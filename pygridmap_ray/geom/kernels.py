@@ -1,0 +1,285 @@
+"""Vectorized planar geometry kernels (pure numpy, no GEOS).
+
+These replace the shapely operations the reference delegates to:
+
+- shoelace area           <- ``geom.area``            (reference overlay.py:273,332)
+- point-in-polygon        <- ``geom.within``          (reference gridding.py:181)
+- clip polygon to rect    <- ``geom.intersection``    (reference overlay.py:275,296)
+- rect/polygon relation   <- ``within``/``intersects`` tile tests
+                                                      (reference gridding.py:150-151)
+
+All polygons are "ring lists": a Python list of ``(N, 2)`` float64 numpy
+arrays.  The first ring of a part is the exterior (CCW, positive signed
+area); holes are CW (negative signed area); multi-part polygons simply
+concatenate more rings.  Point containment uses the even-odd rule, so
+orientation only matters for signed-area bookkeeping.
+
+Boundary convention (documented divergence from GEOS): ``intersects``
+means *area-positive* overlap (``clip area > tol``), not boundary touch.
+``within`` means ``clip area == rect area`` (up to tol).  The reference's
+notebook tests only ever assert on areas and attribute values, never on
+touch-only relations, so this convention is conformance-safe; it is also
+what the DuckDB oracle computes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: geometric tolerance, mirrors the reference's TOL_EPS (base.py:108)
+TOL_EPS = 1e-5
+
+Ring = np.ndarray  # (N, 2) float64, closed or open (first==last optional)
+Rings = list  # list[Ring]
+
+
+def as_ring(points) -> Ring:
+    """Coerce to an (N,2) float64 array, dropping a duplicated closing vertex."""
+    r = np.asarray(points, dtype=np.float64)
+    if r.ndim != 2 or r.shape[1] != 2:
+        raise ValueError(f"ring must be (N,2), got {r.shape}")
+    if len(r) > 1 and r[0][0] == r[-1][0] and r[0][1] == r[-1][1]:
+        r = r[:-1]
+    return r
+
+
+def ring_signed_area(ring: Ring) -> float:
+    """Shoelace signed area of one ring (open representation)."""
+    r = ring
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def rings_area(rings: Rings) -> float:
+    """Net polygon area: sum of signed ring areas (holes CW subtract)."""
+    return float(sum(ring_signed_area(r) for r in rings))
+
+
+def rings_bbox(rings: Rings) -> tuple[float, float, float, float]:
+    xs = np.concatenate([r[:, 0] for r in rings])
+    ys = np.concatenate([r[:, 1] for r in rings])
+    return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
+
+
+def points_in_rings(px: np.ndarray, py: np.ndarray, rings: Rings) -> np.ndarray:
+    """Even-odd-rule containment for many points against one polygon.
+
+    Vectorized over points; loops over polygon edges (edge count is small).
+    Replaces the per-cell shapely ``within`` test (reference gridding.py:181).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    for ring in rings:
+        n = len(ring)
+        if n < 3:
+            continue
+        x1 = ring[:, 0]
+        y1 = ring[:, 1]
+        x2 = np.roll(x1, -1)
+        y2 = np.roll(y1, -1)
+        for i in range(n):
+            a, b, c, d = x1[i], y1[i], x2[i], y2[i]
+            if b == d:  # horizontal edge never crosses a horizontal ray
+                continue
+            crosses = (b > py) != (d > py)
+            if not crosses.any():
+                continue
+            xint = a + (py - b) * (c - a) / (d - b)
+            inside ^= crosses & (px < xint)
+    return inside
+
+
+def clip_ring_rect(
+    ring: Ring, xmin: float, ymin: float, xmax: float, ymax: float
+) -> Ring:
+    """Sutherland-Hodgman clip of one ring against an axis-aligned rect.
+
+    Valid because one side is always a convex (rectangular) window — this is
+    the engine's replacement for ``geom.intersection(cell)`` /
+    ``gpd.overlay`` (reference overlay.py:275,296-297).
+    """
+    pts = ring
+    # (inside predicate, intersection interpolator) per half-plane
+    for axis, bound, keep_ge in (
+        (0, xmin, True),
+        (0, xmax, False),
+        (1, ymin, True),
+        (1, ymax, False),
+    ):
+        n = len(pts)
+        if n == 0:
+            return pts
+        coord = pts[:, axis]
+        ins = coord >= bound if keep_ge else coord <= bound
+        if ins.all():
+            continue
+        out_pts = []
+        for i in range(n):
+            j = (i + 1) % n
+            pi, pj = pts[i], pts[j]
+            ii, ij = ins[i], ins[j]
+            if ii:
+                out_pts.append(pi)
+            if ii != ij:
+                t = (bound - pi[axis]) / (pj[axis] - pi[axis])
+                out_pts.append(pi + t * (pj - pi))
+        pts = (
+            np.array(out_pts, dtype=np.float64)
+            if out_pts
+            else np.empty((0, 2), dtype=np.float64)
+        )
+    return pts
+
+
+def clip_rings_rect(
+    rings: Rings, xmin: float, ymin: float, xmax: float, ymax: float
+) -> Rings:
+    out = []
+    for r in rings:
+        c = clip_ring_rect(r, xmin, ymin, xmax, ymax)
+        if len(c) >= 3:
+            out.append(c)
+    return out
+
+
+def clip_area_rect(
+    rings: Rings, xmin: float, ymin: float, xmax: float, ymax: float
+) -> float:
+    """Area of polygon ∩ rect (exact for the clipped shape)."""
+    return rings_area(clip_rings_rect(rings, xmin, ymin, xmax, ymax))
+
+
+def segments_of(rings: Rings) -> np.ndarray:
+    """All directed edges of a ring list as an (E, 4) array [x1 y1 x2 y2]."""
+    segs = []
+    for r in rings:
+        if len(r) < 2:
+            continue
+        nxt = np.roll(r, -1, axis=0)
+        segs.append(np.concatenate([r, nxt], axis=1))
+    if not segs:
+        return np.empty((0, 4), dtype=np.float64)
+    return np.concatenate(segs, axis=0)
+
+
+def cells_coverage(
+    rings: Rings,
+    x0: float,
+    y0: float,
+    w: float,
+    h: float,
+    nx: int,
+    ny: int,
+) -> np.ndarray:
+    """Exact coverage area of a polygon over a regular (ny, nx) cell grid.
+
+    Cell ``(iy, ix)`` spans ``[x0+ix*w, x0+(ix+1)*w] x [y0+iy*h, y0+(iy+1)*h]``.
+    Returns an (ny, nx) float64 array of overlap areas.
+
+    Strategy (the per-tile kernel behind GridMaker/GridOverlay flags,
+    reference gridding.py:132-188): cells touched by a polygon edge
+    ("boundary cells") get an exact Sutherland-Hodgman clip; all other
+    cells are uniform — resolved in one vectorized point-in-polygon test of
+    their centers (full coverage if inside, zero otherwise).  Boundary-cell
+    count scales with perimeter/cellsize, interior cells are O(1) each.
+    """
+    cov = np.zeros((ny, nx), dtype=np.float64)
+    if not rings:
+        return cov
+    tile_rings = clip_rings_rect(rings, x0, y0, x0 + nx * w, y0 + ny * h)
+    if not tile_rings:
+        return cov
+
+    # mark boundary cells: cells whose rect overlaps an edge's bbox.
+    boundary = np.zeros((ny, nx), dtype=bool)
+    segs = segments_of(tile_rings)
+    ex0 = np.minimum(segs[:, 0], segs[:, 2])
+    ex1 = np.maximum(segs[:, 0], segs[:, 2])
+    ey0 = np.minimum(segs[:, 1], segs[:, 3])
+    ey1 = np.maximum(segs[:, 1], segs[:, 3])
+    ix0 = np.clip(np.floor((ex0 - x0) / w).astype(np.int64), 0, nx - 1)
+    ix1 = np.clip(np.floor((ex1 - x0) / w - TOL_EPS).astype(np.int64), 0, nx - 1)
+    iy0 = np.clip(np.floor((ey0 - y0) / h).astype(np.int64), 0, ny - 1)
+    iy1 = np.clip(np.floor((ey1 - y0) / h - TOL_EPS).astype(np.int64), 0, ny - 1)
+    ix1 = np.maximum(ix1, ix0)
+    iy1 = np.maximum(iy1, iy0)
+    for k in range(len(segs)):
+        boundary[iy0[k] : iy1[k] + 1, ix0[k] : ix1[k] + 1] = True
+
+    # interior cells: vectorized even-odd test on cell centers
+    interior = ~boundary
+    if interior.any():
+        iys, ixs = np.nonzero(interior)
+        cx = x0 + (ixs + 0.5) * w
+        cy = y0 + (iys + 0.5) * h
+        inside = points_in_rings(cx, cy, tile_rings)
+        cov[iys[inside], ixs[inside]] = w * h
+
+    # boundary cells: exact clip
+    iys, ixs = np.nonzero(boundary)
+    for iy, ix in zip(iys.tolist(), ixs.tolist()):
+        cx0 = x0 + ix * w
+        cy0 = y0 + iy * h
+        a = clip_area_rect(tile_rings, cx0, cy0, cx0 + w, cy0 + h)
+        if a > 0:
+            cov[iy, ix] = a
+    return cov
+
+
+def rect_relation(
+    rings: Rings, xmin: float, ymin: float, xmax: float, ymax: float
+) -> int:
+    """Relation of a rect to a polygon: 0=outside, 1=intersects, 2=within.
+
+    Area-based (see module docstring); replaces the tile-level
+    ``within``/``intersects`` mask tests (reference gridding.py:145-151).
+    """
+    area = clip_area_rect(rings, xmin, ymin, xmax, ymax)
+    rect_area = (xmax - xmin) * (ymax - ymin)
+    if area <= TOL_EPS * max(rect_area, 1.0):
+        return 0
+    if area >= rect_area * (1.0 - TOL_EPS):
+        return 2
+    return 1
+
+
+def bbox_to_ring(
+    xmin: float, ymin: float, xmax: float, ymax: float, density: int = 0
+) -> Ring:
+    """Rect bbox -> CCW ring, optionally densified with ``density`` extra
+    collinear vertices per side (reference base.py:237-254)."""
+    if density and density > 0:
+        tx = np.linspace(xmin, xmax, density + 2)
+        ty = np.linspace(ymin, ymax, density + 2)
+        bottom = np.stack([tx[:-1], np.full(density + 1, ymin)], axis=1)
+        right = np.stack([np.full(density + 1, xmax), ty[:-1]], axis=1)
+        top = np.stack([tx[::-1][:-1], np.full(density + 1, ymax)], axis=1)
+        left = np.stack([np.full(density + 1, xmin), ty[::-1][:-1]], axis=1)
+        return np.concatenate([bottom, right, top, left], axis=0)
+    return np.array(
+        [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]], dtype=np.float64
+    )
+
+
+def bbox_intersection(*bboxes) -> tuple[float, float, float, float] | None:
+    """Reduce-fold bbox intersection (reference base.py:439-445)."""
+    xmin = max(b[0] for b in bboxes)
+    ymin = max(b[1] for b in bboxes)
+    xmax = min(b[2] for b in bboxes)
+    ymax = min(b[3] for b in bboxes)
+    if xmin >= xmax or ymin >= ymax:
+        return None
+    return (xmin, ymin, xmax, ymax)
+
+
+def bbox_union(*bboxes) -> tuple[float, float, float, float]:
+    """Reduce-fold bbox union (reference base.py:497-503)."""
+    return (
+        min(b[0] for b in bboxes),
+        min(b[1] for b in bboxes),
+        max(b[2] for b in bboxes),
+        max(b[3] for b in bboxes),
+    )

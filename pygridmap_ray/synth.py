@@ -1,0 +1,307 @@
+"""Deterministic synthetic geo fixtures, with paired SQL fragments.
+
+The north-rule input (BASELINE.json ``input_hint``) is a corpus of
+interleaved text+media documents with point locations.  The sandbox's
+testdata tables carry no coordinates, so this module derives them
+DETERMINISTICALLY from ``documents.doc_id`` with integer/float arithmetic
+that DuckDB reproduces bit-for-bit — each numpy formula below has a
+matching SQL fragment (the ``SQL_*`` constants / ``sql_*`` builders) used
+verbatim by ``oracle_sql()``.  Any drift between the two is a correctness
+failure, so both live in this one file.
+
+Point distribution (FIXTURES.md F1): 70% uniform over the domain bbox,
+30% concentrated in 3 square "urban" clusters -> guaranteed hot cells for
+skew/salting paths.  Domain bbox [0, 0, 500_000, 501_000] (the
+reference's asymmetric test bbox x1000, tests/base.ipynb cell 17).
+
+Spans (``list<struct<kind,text,media_ref,offset>>``) are likewise closed-
+form in ``doc_id`` so the oracle can recompute span summaries after the
+engine round-trips the column through every stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .geom.kernels import as_ring, rings_area
+
+DOMAIN = (0.0, 0.0, 500_000.0, 501_000.0)
+
+# --- point locations -------------------------------------------------------
+# u = ((doc_id * 2654435761) % 1000003) / 1000003.0      uniform-ish [0,1)
+# v = ((doc_id * 2246822519) % 1000033) / 1000033.0
+# 30% of docs (doc_id % 10 < 3) land in cluster c = doc_id % 3.
+
+_CLX = (100_000.0, 250_000.0, 400_000.0)
+_CLY = (120_000.0, 300_000.0, 450_000.0)
+
+SQL_U = "(((doc_id * 2654435761) % 1000003) / 1000003.0)"
+SQL_V = "(((doc_id * 2246822519) % 1000033) / 1000033.0)"
+SQL_X = (
+    "(CASE WHEN doc_id % 10 < 3 THEN "
+    f"(CASE doc_id % 3 WHEN 0 THEN {_CLX[0]} WHEN 1 THEN {_CLX[1]} ELSE {_CLX[2]} END)"
+    f" + ({SQL_U} - 0.5) * 30000.0 "
+    f"ELSE {SQL_U} * 500000.0 END)"
+)
+SQL_Y = (
+    "(CASE WHEN doc_id % 10 < 3 THEN "
+    f"(CASE doc_id % 3 WHEN 0 THEN {_CLY[0]} WHEN 1 THEN {_CLY[1]} ELSE {_CLY[2]} END)"
+    f" + ({SQL_V} - 0.5) * 30000.0 "
+    f"ELSE {SQL_V} * 501000.0 END)"
+)
+
+
+def sql_points_cte(table: str = "documents") -> str:
+    """CTE body: one row per doc with its derived planar location."""
+    return f"SELECT doc_id, {SQL_X} AS x, {SQL_Y} AS y FROM {table}"
+
+
+def derive_xy(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """numpy mirror of SQL_X / SQL_Y (identical op order -> identical doubles)."""
+    did = np.asarray(doc_id, dtype=np.int64)
+    u = ((did * 2654435761) % 1000003).astype(np.float64) / 1000003.0
+    v = ((did * 2246822519) % 1000033).astype(np.float64) / 1000033.0
+    clustered = (did % 10) < 3
+    c = (did % 3).astype(np.int64)
+    cx = np.asarray(_CLX)[c]
+    cy = np.asarray(_CLY)[c]
+    x = np.where(clustered, cx + (u - 0.5) * 30000.0, u * 500000.0)
+    y = np.where(clustered, cy + (v - 0.5) * 30000.0, v * 501000.0)
+    return x, y
+
+
+# --- interleaved spans ------------------------------------------------------
+# n_spans = 1 + doc_id % 8
+# span i (0-based):  kind  = ['text','image','audio'][(doc_id + i) % 3]
+#                    text  = 't-<doc_id>-<i>'        iff kind == 'text' else ''
+#                    media_ref = 'media://<doc_id>/<i>' iff kind != 'text' else ''
+#                    offset = i * 7 + doc_id % 5     (strictly increasing in i)
+
+KINDS = ("text", "image", "audio")
+
+SQL_N_SPANS = "(1 + doc_id % 8)"
+
+
+def sql_span_summary_cte(table: str = "documents") -> str:
+    """Closed-form expected span summary per doc, via a lateral
+    generate_series over span index i (DuckDB)."""
+    kind_case = (
+        "CASE ((d.doc_id + i.i) % 3) WHEN 0 THEN 'text' "
+        "WHEN 1 THEN 'image' ELSE 'audio' END"
+    )
+    return f"""
+SELECT d.doc_id,
+       COUNT(*)::BIGINT                       AS n_spans,
+       SUM(CASE WHEN {kind_case} = 'text' THEN 1 ELSE 0 END)::BIGINT AS n_text,
+       SUM(i.i * 7 + d.doc_id % 5)::BIGINT    AS offset_sum,
+       MAX(i.i * 7 + d.doc_id % 5)::BIGINT    AS last_offset,
+       STRING_AGG({kind_case}, ',' ORDER BY i.i) AS kind_seq
+FROM {table} d
+JOIN (SELECT UNNEST(generate_series(0, 7)) AS i) i
+  ON i.i < 1 + d.doc_id % 8
+GROUP BY d.doc_id
+"""
+
+
+def build_spans_array(doc_id: np.ndarray) -> pa.ListArray:
+    """Arrow list<struct<kind,text,media_ref,offset>> for each doc — built
+    columnar (no per-row Python objects in the hot path)."""
+    did = np.asarray(doc_id, dtype=np.int64)
+    n_spans = 1 + (did % 8)
+    offsets32 = np.zeros(len(did) + 1, dtype=np.int32)
+    np.cumsum(n_spans, out=offsets32[1:])
+    total = int(offsets32[-1])
+    # flattened per-span parent doc_id and span index i
+    parent = np.repeat(did, n_spans)
+    i_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
+        offsets32[:-1].astype(np.int64), n_spans
+    )
+    kind_code = ((parent + i_in_doc) % 3).astype(np.int64)
+    kind = pa.DictionaryArray.from_arrays(
+        pa.array(kind_code, type=pa.int8()), pa.array(list(KINDS))
+    ).cast(pa.string())
+    is_text = kind_code == 0
+    text = pa.array(
+        np.where(
+            is_text,
+            np.char.add(
+                np.char.add("t-", parent.astype("U20")),
+                np.char.add("-", i_in_doc.astype("U20")),
+            ),
+            "",
+        )
+    )
+    media = pa.array(
+        np.where(
+            ~is_text,
+            np.char.add(
+                np.char.add("media://", parent.astype("U20")),
+                np.char.add("/", i_in_doc.astype("U20")),
+            ),
+            "",
+        )
+    )
+    offset = pa.array((i_in_doc * 7 + parent % 5).astype(np.int32))
+    struct = pa.StructArray.from_arrays(
+        [kind, text, media, offset], names=["kind", "text", "media_ref", "offset"]
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets32, type=pa.int32()), struct)
+
+
+def span_summary_from_column(doc_id: pa.Array, spans: pa.Array) -> pa.Table:
+    """Summarize an actual spans column (post-pipeline) for comparison with
+    ``sql_span_summary_cte`` — the per-row span-sequence invariant check."""
+    spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+    lengths = np.asarray(spans.value_lengths())
+    flat = spans.flatten()
+    kind = flat.field("kind")
+    offset = np.asarray(flat.field("offset"), dtype=np.int64)
+    parent_idx = np.repeat(np.arange(len(lengths)), lengths)
+    n_text = np.bincount(
+        parent_idx, weights=np.asarray(kind) == "text", minlength=len(lengths)
+    ).astype(np.int64)
+    offset_sum = np.bincount(parent_idx, weights=offset, minlength=len(lengths)).astype(
+        np.int64
+    )
+    # last offset per doc: offsets strictly increase within a doc -> max
+    last = np.full(len(lengths), -1, dtype=np.int64)
+    np.maximum.at(last, parent_idx, offset)
+    kind_py = np.asarray(kind).astype(object)
+    bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=bounds[1:])
+    kind_seq = [
+        ",".join(kind_py[bounds[i] : bounds[i + 1]]) for i in range(len(lengths))
+    ]
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "n_spans": pa.array(lengths.astype(np.int64)),
+            "n_text": pa.array(n_text),
+            "offset_sum": pa.array(offset_sum),
+            "last_offset": pa.array(last),
+            "kind_seq": pa.array(kind_seq),
+        }
+    )
+
+
+# --- polygon layer ----------------------------------------------------------
+# GISCO/NUTS-style layer (FIXTURES.md F2): each polygon defined BOTH as
+# explicit rings (engine input: L-shape, hole, multipart) and as a disjoint
+# axis-aligned rect decomposition (oracle input).  Tests assert the two
+# representations agree in area.  Coords are multiples of 10_000 so cell
+# centers at any tested cell size never sit on polygon edges.
+# pop (extensive variable, reference DUMMYCOL): pop = (poly_id * 37) % 100 + 0.5
+
+_POLY_RECTS: dict[int, list[tuple[float, float, float, float]]] = {
+    0: [(0, 0, 200_000, 150_000)],
+    1: [(200_000, 0, 500_000, 150_000)],
+    # L-shape
+    2: [(0, 150_000, 100_000, 350_000), (100_000, 150_000, 250_000, 250_000)],
+    # rect with hole [300k,200k,400k,300k]
+    3: [
+        (250_000, 150_000, 450_000, 200_000),
+        (250_000, 200_000, 300_000, 300_000),
+        (400_000, 200_000, 450_000, 300_000),
+        (250_000, 300_000, 450_000, 350_000),
+    ],
+    # multipart (islands)
+    4: [(0, 350_000, 150_000, 500_000), (450_000, 350_000, 500_000, 500_000)],
+    5: [(150_000, 350_000, 450_000, 480_000)],
+    6: [(460_000, 160_000, 500_000, 340_000)],
+    # deliberately overlaps P1 -> cells with >=2 contributing polygons
+    7: [(420_000, 0, 500_000, 120_000)],
+}
+
+
+def _rect_ring(xmin, ymin, xmax, ymax):
+    return as_ring([[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]])
+
+
+_POLY_RINGS: dict[int, list[np.ndarray]] = {
+    0: [_rect_ring(*_POLY_RECTS[0][0])],
+    1: [_rect_ring(*_POLY_RECTS[1][0])],
+    2: [
+        as_ring(
+            [
+                [0, 150_000],
+                [250_000, 150_000],
+                [250_000, 250_000],
+                [100_000, 250_000],
+                [100_000, 350_000],
+                [0, 350_000],
+            ]
+        )
+    ],
+    3: [
+        _rect_ring(250_000, 150_000, 450_000, 350_000),
+        # hole: CW orientation -> negative signed area
+        as_ring(
+            [
+                [300_000, 200_000],
+                [300_000, 300_000],
+                [400_000, 300_000],
+                [400_000, 200_000],
+            ]
+        ),
+    ],
+    4: [
+        _rect_ring(0, 350_000, 150_000, 500_000),
+        _rect_ring(450_000, 350_000, 500_000, 500_000),
+    ],
+    5: [_rect_ring(*_POLY_RECTS[5][0])],
+    6: [_rect_ring(*_POLY_RECTS[6][0])],
+    7: [_rect_ring(*_POLY_RECTS[7][0])],
+}
+
+N_POLYGONS = len(_POLY_RECTS)
+
+
+def polygon_layer() -> list[dict]:
+    """The broadcast side of every spatial join: [{poly_id, nuts_id, rings,
+    rects, bbox, pop, area}, ...].  Small — goes to the object store once
+    (``ray.put``), never re-shipped per batch."""
+    out = []
+    for pid in sorted(_POLY_RECTS):
+        rings = _POLY_RINGS[pid]
+        rects = _POLY_RECTS[pid]
+        xs = [r for rect in rects for r in (rect[0], rect[2])]
+        ys = [r for rect in rects for r in (rect[1], rect[3])]
+        out.append(
+            {
+                "poly_id": pid,
+                "nuts_id": f"RG{pid:03d}",
+                "rings": rings,
+                "rects": rects,
+                "bbox": (min(xs), min(ys), max(xs), max(ys)),
+                "pop": float((pid * 37) % 100) + 0.5,
+                "area": rings_area(rings),
+            }
+        )
+    return out
+
+
+def sql_polygon_rects_cte() -> str:
+    """VALUES CTE of the disjoint rect decomposition (oracle side)."""
+    rows = []
+    for pid in sorted(_POLY_RECTS):
+        pop = float((pid * 37) % 100) + 0.5
+        for xmin, ymin, xmax, ymax in _POLY_RECTS[pid]:
+            rows.append(
+                f"({pid}, 'RG{pid:03d}', {float(xmin)}, {float(ymin)}, "
+                f"{float(xmax)}, {float(ymax)}, {pop})"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(poly_id, nuts_id, rxmin, rymin, rxmax, rymax, pop)"
+    )
+
+
+def sql_polygon_area_cte() -> str:
+    """Per-polygon total area from the rect decomposition."""
+    return (
+        "SELECT poly_id, ANY_VALUE(nuts_id) AS nuts_id, ANY_VALUE(pop) AS pop, "
+        "SUM((rxmax - rxmin) * (rymax - rymin)) AS poly_area "
+        "FROM poly_rects GROUP BY poly_id"
+    )

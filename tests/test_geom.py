@@ -1,0 +1,155 @@
+"""Unit tests for the numpy geometry kernels — everything downstream
+(gridding, overlay, spatial join) depends on these being exact."""
+
+import numpy as np
+import pytest
+
+from pygridmap_ray.geom import (
+    BBoxIndex,
+    as_ring,
+    bbox_intersection,
+    bbox_to_ring,
+    bbox_union,
+    cells_coverage,
+    clip_area_rect,
+    clip_rings_rect,
+    points_in_rings,
+    rect_relation,
+    ring_signed_area,
+    rings_area,
+)
+from pygridmap_ray.synth import polygon_layer
+
+
+def test_shoelace_rect():
+    r = as_ring([[0, 0], [4, 0], [4, 3], [0, 3]])
+    assert ring_signed_area(r) == 12.0
+    assert ring_signed_area(r[::-1]) == -12.0
+
+
+def test_ring_closed_vertex_dropped():
+    r = as_ring([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]])
+    assert len(r) == 4
+
+
+def test_area_with_hole():
+    ext = as_ring([[0, 0], [10, 0], [10, 10], [0, 10]])
+    hole = as_ring([[2, 2], [2, 4], [4, 4], [4, 2]])  # CW
+    assert rings_area([ext, hole]) == 100.0 - 4.0
+
+
+def test_pip_square():
+    sq = [as_ring([[0, 0], [10, 0], [10, 10], [0, 10]])]
+    px = np.array([5.0, 15.0, -1.0, 5.0])
+    py = np.array([5.0, 5.0, 5.0, 15.0])
+    assert points_in_rings(px, py, sq).tolist() == [True, False, False, False]
+
+
+def test_pip_hole_and_concave():
+    ext = as_ring([[0, 0], [10, 0], [10, 10], [0, 10]])
+    hole = as_ring([[2, 2], [2, 4], [4, 4], [4, 2]])
+    inside = points_in_rings(np.array([3.0, 1.0]), np.array([3.0, 1.0]), [ext, hole])
+    assert inside.tolist() == [False, True]  # in hole -> out
+    lshape = [as_ring([[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4]])]
+    inside = points_in_rings(np.array([3.0, 1.0]), np.array([3.0, 1.0]), lshape)
+    assert inside.tolist() == [False, True]
+
+
+def test_clip_rect_basic():
+    sq = [as_ring([[0, 0], [10, 0], [10, 10], [0, 10]])]
+    assert clip_area_rect(sq, 2, 2, 5, 5) == 9.0
+    assert clip_area_rect(sq, -5, -5, 5, 5) == 25.0
+    assert clip_area_rect(sq, 20, 20, 30, 30) == 0.0
+    # clip window fully inside -> rect itself
+    out = clip_rings_rect(sq, 1, 1, 2, 2)
+    assert rings_area(out) == 1.0
+
+
+def test_clip_triangle():
+    tri = [as_ring([[0, 0], [4, 0], [0, 4]])]
+    assert rings_area(tri) == 8.0
+    assert clip_area_rect(tri, 0, 0, 2, 2) == pytest.approx(4.0)  # window inside
+    assert clip_area_rect(tri, 1, 1, 3, 3) == pytest.approx(2.0)  # hypotenuse cut
+
+
+def test_clip_with_hole():
+    ext = as_ring([[0, 0], [10, 0], [10, 10], [0, 10]])
+    hole = as_ring([[2, 2], [2, 6], [6, 6], [6, 2]])
+    # window [0,0,4,4] overlaps hole on [2,2,4,4] -> 16 - 4
+    assert clip_area_rect([ext, hole], 0, 0, 4, 4) == 12.0
+
+
+def test_rect_relation():
+    sq = [as_ring([[0, 0], [10, 0], [10, 10], [0, 10]])]
+    assert rect_relation(sq, 2, 2, 4, 4) == 2  # within
+    assert rect_relation(sq, 8, 8, 12, 12) == 1  # intersects
+    assert rect_relation(sq, 20, 20, 30, 30) == 0  # outside
+    assert rect_relation(sq, -10, -10, 0, 0) == 0  # touch-only = outside
+
+
+def test_cells_coverage_exact():
+    # triangle over a 4x4 unit grid: coverage must sum to triangle area
+    tri = [as_ring([[0, 0], [4, 0], [0, 4]])]
+    cov = cells_coverage(tri, 0, 0, 1, 1, 4, 4)
+    assert cov.shape == (4, 4)
+    assert cov.sum() == pytest.approx(8.0)
+    assert cov[0, 0] == 1.0  # fully covered corner cell
+    assert cov[3, 3] == 0.0
+    assert cov[0, 3] == pytest.approx(0.5)  # diagonal cell
+
+
+def test_cells_coverage_interior_and_hole():
+    ext = as_ring([[0, 0], [8, 0], [8, 8], [0, 8]])
+    hole = as_ring([[2, 2], [2, 6], [6, 6], [6, 2]])
+    cov = cells_coverage([ext, hole], 0, 0, 2, 2, 4, 4)
+    assert cov.sum() == pytest.approx(64.0 - 16.0)
+    assert cov[1, 1] == 0.0  # inside hole
+    assert cov[0, 0] == 4.0
+
+
+def test_cells_coverage_offset_grid():
+    sq = [as_ring([[3, 3], [7, 3], [7, 7], [3, 7]])]
+    cov = cells_coverage(sq, 2, 2, 2, 2, 4, 4)
+    assert cov.sum() == pytest.approx(16.0)
+    assert cov[0, 0] == 1.0  # cell [2,4]x[2,4] overlaps on [3,4]x[3,4]
+
+
+def test_synth_polygons_rects_match_rings():
+    """The ring and rect representations of every fixture polygon agree."""
+    for p in polygon_layer():
+        rect_area = sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in p["rects"])
+        assert p["area"] == pytest.approx(rect_area), p["poly_id"]
+        # coverage over the polygon bbox matches too (10km cells)
+        x0, y0, x1, y1 = p["bbox"]
+        nx = int(round((x1 - x0) / 10_000))
+        ny = int(round((y1 - y0) / 10_000))
+        cov = cells_coverage(p["rings"], x0, y0, 10_000, 10_000, nx, ny)
+        assert cov.sum() == pytest.approx(rect_area)
+
+
+def test_bbox_algebra():
+    assert bbox_intersection((0, 0, 4, 4), (2, 2, 8, 8)) == (2, 2, 4, 4)
+    assert bbox_intersection((0, 0, 1, 1), (2, 2, 3, 3)) is None
+    assert bbox_union((0, 0, 4, 4), (2, 2, 8, 8)) == (0, 0, 8, 8)
+
+
+def test_bbox_to_ring_densified():
+    r = bbox_to_ring(0, 0, 10, 10, density=3)
+    assert len(r) == 16
+    assert ring_signed_area(r) == 100.0
+
+
+def test_bbox_index():
+    rng = np.random.default_rng(7)
+    lo = rng.uniform(0, 100, size=(500, 2))
+    boxes = np.concatenate([lo, lo + rng.uniform(1, 5, size=(500, 2))], axis=1)
+    idx = BBoxIndex(boxes)
+    q = (20.0, 20.0, 30.0, 30.0)
+    got = set(idx.query(*q).tolist())
+    b = boxes
+    expect = set(
+        np.nonzero(
+            (b[:, 0] <= q[2]) & (b[:, 2] >= q[0]) & (b[:, 1] <= q[3]) & (b[:, 3] >= q[1])
+        )[0].tolist()
+    )
+    assert got == expect
