@@ -1,0 +1,297 @@
+"""make_grid — rasterise a polygon mask into a regular grid of cells.
+
+Ray-Data-native re-expression of the reference ``GridMaker``
+(reference gridding.py:132-399): the unit of work is a processing tile,
+but a tile is a *row of a Dataset of tile specs*, not a multiprocessing
+task; the cell-emission kernel is a ``map_batches`` actor pool holding
+the broadcast mask (reference re-pickles the mask per tile,
+gridding.py:345-353).
+
+Output schema (system columns, reference gridding.py:66-68, 164-167):
+
+  cell_id:int64  ix:int32  iy:int32  x:double  y:double
+  tile_id:int64  intersects:int8  within:int8
+
+``x, y`` are the ``xypos`` reference-corner coordinates (default LLc,
+base.py:347-370); geometry is derived from (ix, iy, cellsize, origin) and
+never materialized.
+
+Flag semantics: per-cell ``within`` / ``intersects`` are the OR-fold over
+mask geometries of area-based tests (coverage >= cell_area*(1-TOL) /
+coverage > TOL), matching the reference's per-geometry OR loop
+(gridding.py:180-182) under the engine's area-positive intersection
+convention (see geom.kernels docstring).  A tile fully covered by a
+single mask polygon short-circuits to all-(1,1) without per-cell tests
+(reference tile-level ``wans`` shortcut, gridding.py:145-151).
+
+Divergence (documented): with ``trim=False`` the reference keeps
+TILE-level flags on every cell and emits a placeholder row for
+non-intersecting tiles (gridding.py:160-172); the engine always computes
+per-cell flags and emits all cells — strictly more informative, and the
+reference's tested paths (notebooks) all use ``trim=True``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .geom.kernels import TOL_EPS, cells_coverage, clip_area_rect, rings_bbox
+from .planning import GridSpec, plan_grid, pos_offset
+
+
+def _tile_cell_range(spec: GridSpec, tiy: int, tix: int):
+    """Global (row0, row1, col0, col1) cell-index range of one tile."""
+    r0 = tiy * spec.tilesize[0]
+    r1 = min((tiy + 1) * spec.tilesize[0], spec.nrows)
+    c0 = tix * spec.tilesize[1]
+    c1 = min((tix + 1) * spec.tilesize[1], spec.ncols)
+    return r0, r1, c0, c1
+
+
+def emit_tile_cells(
+    spec: GridSpec,
+    tiy: int,
+    tix: int,
+    mask: list[dict] | bool | None,
+    trim: bool,
+    interior: bool,
+) -> dict[str, np.ndarray] | None:
+    """The per-tile cell-emission kernel (reference prll_process_tile,
+    gridding.py:132-188).  Returns a dict-of-arrays batch or None."""
+    r0, r1, c0, c1 = _tile_cell_range(spec, tiy, tix)
+    ny, nx = r1 - r0, c1 - c0
+    if ny <= 0 or nx <= 0:
+        return None
+    w, h = spec.cellsize
+    x0 = spec.bbox[0] + c0 * w
+    y0 = spec.bbox[1] + r0 * h
+    cell_area = w * h
+
+    if isinstance(mask, list) and mask:
+        tile_x1, tile_y1 = x0 + nx * w, y0 + ny * h
+        cand = [
+            p
+            for p in mask
+            if p["bbox"][0] < tile_x1
+            and p["bbox"][2] > x0
+            and p["bbox"][1] < tile_y1
+            and p["bbox"][3] > y0
+        ]
+        if not cand and trim:
+            return None
+        # single-polygon full-cover shortcut (tile-level wans)
+        full = any(
+            clip_area_rect(p["rings"], x0, y0, tile_x1, tile_y1)
+            >= (tile_x1 - x0) * (tile_y1 - y0) * (1.0 - TOL_EPS)
+            for p in cand
+        )
+        if full:
+            within = np.ones((ny, nx), dtype=bool)
+            intersects = np.ones((ny, nx), dtype=bool)
+        else:
+            within = np.zeros((ny, nx), dtype=bool)
+            intersects = np.zeros((ny, nx), dtype=bool)
+            for p in cand:
+                cov = cells_coverage(p["rings"], x0, y0, w, h, nx, ny)
+                within |= cov >= cell_area * (1.0 - TOL_EPS)
+                intersects |= cov > cell_area * TOL_EPS
+            if trim and not intersects.any():
+                return None
+    else:
+        # mask True/None/empty: full-bbox gridding; reference mask=True sets
+        # intersects=1, within=0 (gridding.py:145-147,163)
+        intersects = np.ones((ny, nx), dtype=bool)
+        within = np.zeros((ny, nx), dtype=bool)
+
+    iy_g, ix_g = np.mgrid[r0:r1, c0:c1]
+    iy_g = iy_g.ravel()
+    ix_g = ix_g.ravel()
+    within = within.ravel()
+    intersects = intersects.ravel()
+    if isinstance(mask, list) and mask and trim:
+        keep = within if interior else (within | intersects)
+        iy_g, ix_g = iy_g[keep], ix_g[keep]
+        within, intersects = within[keep], intersects[keep]
+        if len(iy_g) == 0:
+            return None
+    offx, offy = pos_offset(spec.xypos, spec.cellsize)
+    return {
+        "cell_id": (iy_g * spec.ncols + ix_g).astype(np.int64),
+        "ix": ix_g.astype(np.int32),
+        "iy": iy_g.astype(np.int32),
+        "x": spec.bbox[0] + ix_g * w + offx,
+        "y": spec.bbox[1] + iy_g * h + offy,
+        "tile_id": np.full(len(iy_g), spec.tile_id(tiy, tix), dtype=np.int64),
+        "intersects": intersects.astype(np.int8),
+        "within": within.astype(np.int8),
+    }
+
+
+class EmitCells:
+    """Actor-pool kernel: holds the broadcast mask once per actor
+    (reference ships the mask with every tile task, gridding.py:345-353)."""
+
+    def __init__(self, spec: GridSpec, mask, trim: bool, interior: bool):
+        import ray
+
+        self.spec = spec
+        # mask may arrive as a wrapped ObjectRef (broadcast via ray.put; the
+        # wrapper keeps it out of top-level actor args, see ray#53727)
+        if isinstance(mask, dict) and "__ref__" in mask:
+            mask = ray.get(mask["__ref__"])
+        self.mask = mask
+        self.trim = trim
+        self.interior = interior
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tiys = batch["tiy"].to_numpy()
+        tixs = batch["tix"].to_numpy()
+        parts = []
+        for tiy, tix in zip(tiys.tolist(), tixs.tolist()):
+            out = emit_tile_cells(
+                self.spec, tiy, tix, self.mask, self.trim, self.interior
+            )
+            if out is not None:
+                parts.append(pa.table(out))
+        if not parts:
+            return pa.table(
+                {
+                    "cell_id": pa.array([], pa.int64()),
+                    "ix": pa.array([], pa.int32()),
+                    "iy": pa.array([], pa.int32()),
+                    "x": pa.array([], pa.float64()),
+                    "y": pa.array([], pa.float64()),
+                    "tile_id": pa.array([], pa.int64()),
+                    "intersects": pa.array([], pa.int8()),
+                    "within": pa.array([], pa.int8()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+
+def make_grid(
+    mask=None,
+    *,
+    cellsize,
+    bbox=None,
+    tile: int | tuple[int, int] = 64,
+    trim: bool = True,
+    interior: bool = False,
+    xypos: str = "LLc",
+    sort: bool | str = False,
+    concurrency: int | tuple[int, int] | None = None,
+):
+    """Build the cell grid as a Ray Dataset (reference GridMaker.__call__ +
+    grid_maker, gridding.py:258-399).
+
+    ``mask``: polygon layer (list of dicts with ``rings`` + ``bbox``, e.g.
+    from :func:`pygridmap_ray.synth.polygon_layer`), or None/True for a
+    full-bbox grid.  ``interior=True`` forces ``trim=True`` (reference
+    gridding.py:303-304).  ``sort``: False | 'tile' | 'rc' — explicit
+    ``ds.sort`` only when requested (Ray blocks are unordered; conformance
+    comparisons sort by cell_id, SURVEY.md §7.5.6).
+    """
+    import ray
+    import ray.data as rd
+
+    if interior:
+        trim = True
+    if bbox is None:
+        if not isinstance(mask, list) or not mask:
+            raise ValueError("bbox is required when mask is not a polygon layer")
+        from .geom.kernels import bbox_union
+
+        bbox = bbox_union(*(p["bbox"] for p in mask))
+    spec = plan_grid(bbox, cellsize, tile, xypos=xypos)
+    specs = [
+        {"tiy": tiy, "tix": tix}
+        for tiy in range(spec.nytiles)
+        for tix in range(spec.nxtiles)
+    ]
+    ds = rd.from_items(specs)
+    # ~1 tile per block so tiles parallelize across the pool
+    ds = ds.repartition(min(len(specs), 256))
+    mask_ref = {"__ref__": ray.put(mask)} if isinstance(mask, list) else mask
+    out = ds.map_batches(
+        EmitCells,
+        batch_format="pyarrow",
+        batch_size=4,
+        fn_constructor_args=(spec, mask_ref, trim, interior),
+        concurrency=concurrency or (1, 8),
+    )
+    if sort == "tile":
+        out = out.sort(["tile_id", "cell_id"])
+    elif sort == "rc" or sort is True:
+        out = out.sort(["iy", "ix"])
+    return out
+
+
+def sql_make_grid(
+    bbox,
+    cellsize,
+    *,
+    trim: bool = True,
+    interior: bool = False,
+    xypos: str = "LLc",
+    tile: int | tuple[int, int] = 64,
+    poly_rects_cte: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`make_grid` over the rect-decomposed fixture
+    mask (``poly_rects`` CTE).  Coverage per cell = sum of interval-overlap
+    areas over the DISJOINT rects of each polygon, then the same TOL_EPS
+    thresholds and OR-fold as the engine kernel."""
+    from .synth import sql_polygon_rects_cte
+
+    if interior:
+        trim = True
+    if isinstance(cellsize, (int, float)):
+        cellsize = (float(cellsize), float(cellsize))
+    spec = plan_grid(bbox, cellsize, tile, xypos=xypos)
+    w, h = spec.cellsize
+    offx, offy = pos_offset(xypos, spec.cellsize)
+    x0, y0 = spec.bbox[0], spec.bbox[1]
+    tsr, tsc = spec.tilesize
+    cell_area = w * h
+    rects = poly_rects_cte or sql_polygon_rects_cte()
+    keep = (
+        "within = 1"
+        if interior
+        else "(within = 1 OR intersects = 1)"
+        if trim
+        else "TRUE"
+    )
+    return f"""
+WITH poly_rects AS ({rects}),
+cells AS (
+  SELECT iy.i * {spec.ncols} + ix.i AS cell_id,
+         ix.i AS ix, iy.i AS iy,
+         {x0!r} + ix.i * {w!r} AS cx0,
+         {y0!r} + iy.i * {h!r} AS cy0
+  FROM (SELECT UNNEST(generate_series(0, {spec.ncols - 1})) AS i) ix,
+       (SELECT UNNEST(generate_series(0, {spec.nrows - 1})) AS i) iy
+),
+cov AS (
+  SELECT c.cell_id, r.poly_id,
+         SUM(GREATEST(0, LEAST(c.cx0 + {w!r}, r.rxmax) - GREATEST(c.cx0, r.rxmin))
+           * GREATEST(0, LEAST(c.cy0 + {h!r}, r.rymax) - GREATEST(c.cy0, r.rymin))) AS cov
+  FROM cells c
+  JOIN poly_rects r
+    ON c.cx0 < r.rxmax AND c.cx0 + {w!r} > r.rxmin
+   AND c.cy0 < r.rymax AND c.cy0 + {h!r} > r.rymin
+  GROUP BY c.cell_id, r.poly_id
+),
+flags AS (
+  SELECT cell_id,
+         MAX(CASE WHEN cov >= {cell_area!r} * (1.0 - {TOL_EPS!r}) THEN 1 ELSE 0 END) AS within,
+         MAX(CASE WHEN cov > {cell_area!r} * {TOL_EPS!r} THEN 1 ELSE 0 END) AS intersects
+  FROM cov GROUP BY cell_id
+)
+SELECT c.cell_id, c.ix::INT AS ix, c.iy::INT AS iy,
+       c.cx0 + {offx!r} AS x, c.cy0 + {offy!r} AS y,
+       (c.ix // {tsc}) + (c.iy // {tsr}) * {spec.nxtiles} AS tile_id,
+       COALESCE(f.intersects, 0)::TINYINT AS intersects,
+       COALESCE(f.within, 0)::TINYINT AS within
+FROM cells c LEFT JOIN flags f USING (cell_id)
+WHERE {keep}
+"""

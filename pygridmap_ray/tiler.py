@@ -1,0 +1,466 @@
+"""Cell/tile assignment, tiled writes, transforms, coarse re-aggregation.
+
+Ray-Data-native re-expression of the reference's ``gridtiler.py``:
+
+- :func:`with_cell_columns`   — T1/T2 tile + within-tile coordinate math
+  (reference gridtiler.py:101-118, the v1 ``y_origin`` semantics — NOT the
+  v2 bug at gridtiler.py:236) as one vectorized Arrow ``map_batches``.
+- :func:`grid_tiling`         — partitioned parquet tile tree + ``info.json``
+  (reference gridtiler.py:124-166); the filesystem-append "shuffle" of the
+  reference becomes ``write_parquet(partition_cols=["xt","yt"])``.
+- :func:`grid_transformation` — batch UDF with row-drop semantics
+  (reference gridtiler.py:331-334: UDF returning False drops the row).
+- :func:`grid_aggregation`    — grouped re-aggregation to a coarser
+  resolution (reference gridtiler.py:392-437) via ``groupby().aggregate``
+  with the reference's exact null rules (gridtiler.py:458-534).
+
+Every numeric kernel has a paired SQL builder (``sql_*``) generating the
+bit-identical DuckDB expression for the driver's oracle gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# T1 cell/tile assignment
+# ---------------------------------------------------------------------------
+
+
+def _floor_i64(arr: pa.Array) -> pa.Array:
+    return pc.cast(pc.floor(arr), pa.int64())
+
+
+def assign_cells(
+    batch: pa.Table,
+    *,
+    resolution: float,
+    tile_size_cell: int,
+    x_origin: float = 0.0,
+    y_origin: float = 0.0,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> pa.Table:
+    """Add ``ix iy xt yt local_x local_y cell_key`` to an Arrow batch.
+
+    Exact v1 reference math (gridtiler.py:101-118):
+      xt      = floor((x - x0) / (resolution * tile_size_cell))
+      local_x = floor((x - x0) / resolution - xt * tile_size_cell)
+    ``cell_key = iy * 2**32 + ix`` is the engine's global cell id (the
+    reference's implicit (x, y) cell identity as one int64 join key).
+    """
+    tile_m = resolution * tile_size_cell
+    x = pc.cast(batch[x_col], pa.float64())
+    y = pc.cast(batch[y_col], pa.float64())
+    dx = pc.subtract(x, pa.scalar(x_origin))
+    dy = pc.subtract(y, pa.scalar(y_origin))
+    ix = _floor_i64(pc.divide(dx, pa.scalar(resolution)))
+    iy = _floor_i64(pc.divide(dy, pa.scalar(resolution)))
+    xt = _floor_i64(pc.divide(dx, pa.scalar(tile_m)))
+    yt = _floor_i64(pc.divide(dy, pa.scalar(tile_m)))
+    local_x = _floor_i64(
+        pc.subtract(
+            pc.divide(dx, pa.scalar(resolution)),
+            pc.multiply(pc.cast(xt, pa.float64()), pa.scalar(float(tile_size_cell))),
+        )
+    )
+    local_y = _floor_i64(
+        pc.subtract(
+            pc.divide(dy, pa.scalar(resolution)),
+            pc.multiply(pc.cast(yt, pa.float64()), pa.scalar(float(tile_size_cell))),
+        )
+    )
+    cell_key = pc.add(pc.multiply(iy, pa.scalar(2**32)), ix)
+    out = batch
+    for name, col in [
+        ("ix", ix),
+        ("iy", iy),
+        ("xt", xt),
+        ("yt", yt),
+        ("local_x", local_x),
+        ("local_y", local_y),
+        ("cell_key", cell_key),
+    ]:
+        out = out.append_column(name, col)
+    return out
+
+
+def sql_cell_columns(
+    resolution: float,
+    tile_size_cell: int,
+    x_origin: float = 0.0,
+    y_origin: float = 0.0,
+    x: str = "x",
+    y: str = "y",
+) -> dict[str, str]:
+    """DuckDB twins of :func:`assign_cells` (same literals, same op order)."""
+    res = repr(float(resolution))
+    tm = repr(float(resolution * tile_size_cell))
+    tsc = repr(float(tile_size_cell))
+    x0 = repr(float(x_origin))
+    y0 = repr(float(y_origin))
+    ix = f"CAST(FLOOR(({x} - {x0}) / {res}) AS BIGINT)"
+    iy = f"CAST(FLOOR(({y} - {y0}) / {res}) AS BIGINT)"
+    xt = f"CAST(FLOOR(({x} - {x0}) / {tm}) AS BIGINT)"
+    yt = f"CAST(FLOOR(({y} - {y0}) / {tm}) AS BIGINT)"
+    return {
+        "ix": ix,
+        "iy": iy,
+        "xt": xt,
+        "yt": yt,
+        "local_x": f"CAST(FLOOR(({x} - {x0}) / {res} - {xt} * {tsc}) AS BIGINT)",
+        "local_y": f"CAST(FLOOR(({y} - {y0}) / {res} - {yt} * {tsc}) AS BIGINT)",
+        "cell_key": f"({iy} * 4294967296 + {ix})",
+    }
+
+
+def with_cell_columns(
+    ds,
+    *,
+    resolution: float,
+    tile_size_cell: int = 128,
+    x_origin: float = 0.0,
+    y_origin: float = 0.0,
+    x_col: str = "x",
+    y_col: str = "y",
+    batch_size: int | None = None,
+):
+    """Dataset -> Dataset with cell/tile columns (stateless Arrow stage)."""
+    return ds.map_batches(
+        assign_cells,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_kwargs=dict(
+            resolution=resolution,
+            tile_size_cell=tile_size_cell,
+            x_origin=x_origin,
+            y_origin=y_origin,
+            x_col=x_col,
+            y_col=y_col,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1 sink: tile tree + info.json
+# ---------------------------------------------------------------------------
+
+
+def grid_tiling(
+    ds,
+    output_dir: str,
+    *,
+    resolution: float,
+    tile_size_cell: int = 128,
+    x_origin: float = 0.0,
+    y_origin: float = 0.0,
+    crs: str = "EPSG:3035",
+    transform_fun: Callable[[pa.Table], pa.Table] | None = None,
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Assign tiles and write a partitioned tile tree (reference
+    gridtiler.py:33-171).
+
+    Output layout: ``{output_dir}/xt={v}/yt={v}/*.parquet`` — one directory
+    per tile so a rerun can skip finished partitions — plus ``info.json``
+    with the reference's metadata fields (gridtiler.py:147-166).
+    Tiling bounds come from a small grouped count (also returned), not a
+    driver-side row loop.
+    """
+    if transform_fun is not None:
+        ds = ds.map_batches(transform_fun, batch_format="pyarrow")
+    ds = with_cell_columns(
+        ds,
+        resolution=resolution,
+        tile_size_cell=tile_size_cell,
+        x_origin=x_origin,
+        y_origin=y_origin,
+        x_col=x_col,
+        y_col=y_col,
+    )
+    ds.write_parquet(output_dir, partition_cols=["xt", "yt"], mode="overwrite")
+    # bounds: tiny aggregate over what we just wrote (reads only 2 columns).
+    # hive partition values come back as strings -> cast before min/max.
+    tiles = (
+        read_tiles(output_dir, columns=["xt", "yt"])
+        .groupby(["xt", "yt"])
+        .count()
+        .to_pandas()
+        .astype({"xt": np.int64, "yt": np.int64})
+    )
+    info = {
+        "dims": [],
+        "crs": crs,
+        "tileSizeCell": int(tile_size_cell),
+        "originPoint": {"x": float(x_origin), "y": float(y_origin)},
+        "resolutionGeo": float(resolution),
+        "tilingBounds": {
+            "yMin": int(tiles["yt"].min()),
+            "yMax": int(tiles["yt"].max()),
+            "xMin": int(tiles["xt"].min()),
+            "xMax": int(tiles["xt"].max()),
+        },
+    }
+    with open(os.path.join(output_dir, "info.json"), "w") as f:
+        json.dump(info, f, indent=2)
+    return info
+
+
+def read_tiles(output_dir: str, **kwargs):
+    """Read a tile tree written by :func:`grid_tiling` (skips info.json).
+
+    Hive partition values materialize as STRING columns; cast xt/yt back to
+    int64 so tile keys compare numerically downstream."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(output_dir, file_extensions=["parquet"], **kwargs)
+
+    def fix_types(batch: pa.Table) -> pa.Table:
+        for name in ("xt", "yt"):
+            i = batch.schema.get_field_index(name)
+            if i >= 0 and pa.types.is_string(batch.schema.field(i).type):
+                batch = batch.set_column(i, name, pc.cast(batch.column(i), pa.int64()))
+        return batch
+
+    return ds.map_batches(fix_types, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# T4 transform with drop semantics
+# ---------------------------------------------------------------------------
+
+
+def grid_transformation(
+    ds,
+    function: Callable,
+    *,
+    batch_format: str = "pyarrow",
+    batch_size: int | None = None,
+):
+    """Per-batch transform where the UDF may drop rows (reference
+    gridtiler.py:331-334: row-UDF returning False removes the cell).
+
+    The vectorized contract: ``function(batch) -> batch | (batch, keep_mask)``.
+    A returned boolean array/Array filters the batch — the engine's
+    replacement for the row-at-a-time False check.
+    """
+
+    def apply(batch):
+        out = function(batch)
+        if isinstance(out, tuple):
+            out, keep = out
+            if isinstance(out, pa.Table):
+                keep = keep if isinstance(keep, pa.Array) else pa.array(np.asarray(keep, bool))
+                out = out.filter(keep)
+            else:
+                out = out[np.asarray(keep, bool)]
+        return out
+
+    return ds.map_batches(apply, batch_format=batch_format, batch_size=batch_size)
+
+
+def row_udf_transform(ds, row_fun: Callable[[dict], dict | bool]):
+    """Compatibility shim for the reference's per-row dict UDFs
+    (gridtiler.py:95, base.py:88-95).  Runs the row function inside
+    map_batches (never ``ds.map`` per row); prefer the vectorized
+    :func:`grid_transformation` for hot paths."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = []
+        for r in rows:
+            res = row_fun(dict(r))
+            if res is False:
+                continue
+            out.append(res if isinstance(res, dict) else r)
+        if not out:
+            return batch.slice(0, 0)
+        return pa.Table.from_pylist(out, schema=batch.schema)
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# T5/T6 coarse aggregation with reference null rules
+# ---------------------------------------------------------------------------
+
+#: named aggregation rules, matching reference gridtiler.py:458-534:
+#:   sum       — null-skipping sum, 0 for all-null groups (aggregation_sum)
+#:   average   — null-skipping sum / count of ALL rows     (aggregation_average)
+#:   average2  — null-skipping sum / (a*a)                 (aggregation_average_2)
+#:   average3  — mean of non-null values, null if none     (aggregation_average_3)
+#:   single    — deterministic "first": value at min (iy,ix) in the group
+#:               (aggregation_single_value takes file order; Ray blocks are
+#:               unordered, so the engine pins "first" to the lowest original
+#:               cell coordinate — documented divergence, same fixed point as
+#:               the SQL oracle's arg_min)
+AGG_RULES = ("sum", "average", "average2", "average3", "single")
+
+
+def grid_aggregation(
+    ds,
+    *,
+    resolution: float,
+    a: int,
+    columns: dict[str, str],
+    rounding: int | None = None,
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Aggregate cells to an ``a``-times coarser grid (reference
+    gridtiler.py:357-453).
+
+    Keys (reference gridtiler.py:392-393, coordinates not indices):
+      xa = (a*resolution) * floor(x / (a*resolution))
+
+    ``columns`` maps column name -> rule in :data:`AGG_RULES`.  The whole
+    dataset never sits in driver memory (the reference builds an in-RAM
+    dict index, gridtiler.py:399-410); here it is one Ray hash-shuffle
+    groupby over partial per-batch pre-aggregates.
+    """
+    for col, rule in columns.items():
+        if rule not in AGG_RULES:
+            raise ValueError(f"unknown rule {rule!r} for {col!r}")
+    tr = float(resolution * a)
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        xa = pc.multiply(
+            pc.floor(pc.divide(pc.cast(batch[x_col], pa.float64()), pa.scalar(tr))),
+            pa.scalar(tr),
+        )
+        ya = pc.multiply(
+            pc.floor(pc.divide(pc.cast(batch[y_col], pa.float64()), pa.scalar(tr))),
+            pa.scalar(tr),
+        )
+        keep = [c for c in batch.column_names if c in columns or c in ("ix", "iy")]
+        out = batch.select(keep)
+        return out.append_column("xa", xa).append_column("ya", ya)
+
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow")
+
+    # pre-aggregate inside each batch (combiner) so the shuffle moves one
+    # row per (key, batch) instead of every cell
+    order_cols = {"iy", "ix"} <= set(ds.schema().names)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        parts = {}
+        for col, rule in columns.items():
+            s = pd.to_numeric(df[col], errors="coerce") if rule != "single" else df[col]
+            if rule == "single":
+                if order_cols:
+                    ordk = df["iy"] * 2**32 + df["ix"]
+                else:  # no stable cell coords -> block-local order
+                    ordk = pd.Series(np.arange(len(df)), index=df.index)
+                idx = ordk.groupby([df["xa"], df["ya"]], sort=False).idxmin()
+                parts[f"{col}__sv"] = df[col].loc[idx].set_axis(idx.index)
+                parts[f"{col}__so"] = ordk.loc[idx].set_axis(idx.index)
+            else:
+                gg = s.groupby([df["xa"], df["ya"]], sort=False)
+                parts[f"{col}__sum"] = gg.sum(min_count=1)
+                parts[f"{col}__cnt"] = gg.size()
+                parts[f"{col}__vld"] = gg.count()
+        out = pd.DataFrame(parts).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = keyed.map_batches(partial, batch_format="pyarrow")
+
+    def final(group: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        row = {"xa": group["xa"].iloc[0], "ya": group["ya"].iloc[0]}
+        for col, rule in columns.items():
+            if rule == "single":
+                i = group[f"{col}__so"].idxmin()
+                val = group[f"{col}__sv"].loc[i]
+            else:
+                s = group[f"{col}__sum"].sum(min_count=1)
+                cnt = group[f"{col}__cnt"].sum()
+                vld = group[f"{col}__vld"].sum()
+                if rule == "sum":
+                    val = 0.0 if pd.isna(s) else float(s)
+                elif rule == "average":
+                    val = (0.0 if pd.isna(s) else float(s)) / cnt if cnt else None
+                elif rule == "average2":
+                    val = (0.0 if pd.isna(s) else float(s)) / (a * a)
+                else:  # average3
+                    val = float(s) / vld if vld else None
+            if rounding is not None and isinstance(val, (int, float)) and val is not None:
+                tol = 10.0**rounding
+                # half-away-from-zero to match SQL ROUND (the reference uses
+                # Python banker's round, gridtiler.py:416 — documented delta)
+                val = float(np.sign(val) * np.floor(abs(val) * tol + 0.5) / tol)
+            row[col] = val
+        return pd.DataFrame([row])
+
+    import pandas as pd  # noqa: F401
+
+    return partials.groupby(["xa", "ya"]).map_groups(final, batch_format="pandas")
+
+
+def sql_grid_aggregation(
+    resolution: float,
+    a: int,
+    columns: dict[str, str],
+    rounding: int | None = None,
+    source: str = "cells",
+    x: str = "x",
+    y: str = "y",
+) -> str:
+    """DuckDB twin of :func:`grid_aggregation` over a CTE named ``source``."""
+    tr = repr(float(resolution * a))
+    sel = [
+        f"{tr} * FLOOR({x} / {tr}) AS xa",
+        f"{tr} * FLOOR({y} / {tr}) AS ya",
+    ]
+    exprs = []
+    for col, rule in columns.items():
+        if rule == "sum":
+            e = f"COALESCE(SUM({col}), 0)"
+        elif rule == "average":
+            e = f"COALESCE(SUM({col}), 0) / COUNT(*)"
+        elif rule == "average2":
+            e = f"COALESCE(SUM({col}), 0) / {float(a * a)!r}"
+        elif rule == "average3":
+            e = f"AVG({col})"
+        elif rule == "single":
+            e = f"ARG_MIN({col}, iy * 4294967296 + ix)"
+        else:
+            raise ValueError(rule)
+        if rounding is not None and rule != "single":
+            e = f"ROUND(({e}) * {10.0 ** rounding!r}) / {10.0 ** rounding!r}"
+        exprs.append(f"{e} AS {col}")
+    return (
+        f"SELECT xa, ya, {', '.join(exprs)} FROM "
+        f"(SELECT {source}.*, {sel[0]}, {sel[1]} FROM {source}) GROUP BY xa, ya"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T8 write-side casts
+# ---------------------------------------------------------------------------
+
+
+def round_floats_to_ints(batch: pa.Table) -> pa.Table:
+    """Cast a float column to int64 when EVERY value is integral (column-
+    level version of the reference's per-value downcast, gridtiler.py:567-576
+    — Arrow columns are homogeneous, so value-level mixing is impossible;
+    documented divergence)."""
+    out = batch
+    for i, field in enumerate(batch.schema):
+        if pa.types.is_floating(field.type):
+            col = batch.column(i)
+            if col.null_count == 0 and pc.all(
+                pc.equal(col, pc.floor(col))
+            ).as_py():
+                out = out.set_column(i, field.name, pc.cast(col, pa.int64()))
+    return out
