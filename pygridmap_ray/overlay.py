@@ -1,0 +1,410 @@
+"""GridOverlay — spatial join / intersection / union / areal interpolation.
+
+Ray-Data-native re-expression of the reference ``GridOverlay``
+(reference overlay.py:187-605).  Architecture:
+
+1. **Fragment stage** (:class:`OverlayKernel`, an actor pool): the polygon
+   layer + its bbox index are built ONCE per actor (the reference rebuilds
+   ``poly.sindex`` inside every tile task, overlay.py:258); each grid-cell
+   batch is joined against candidate polygons and clipped — one output row
+   per (cell, polygon) pair with positive overlap area (reference
+   clip_polygon + overlay_polygon + area_overlay, overlay.py:244-335).
+   ``how='union'`` additionally emits one remainder row per cell with
+   uncovered area and null polygon attributes (the NaN ``__area_pct__``
+   rows of the reference union output, overlay.ipynb cell 34).
+2. **Aggregation stage** (global Ray groupby on ``cell_id`` — equivalent
+   to the reference's per-tile groupby because cells never span tiles,
+   SURVEY.md §2.3 note): ``cover`` collect-list (overlay.py:312-323) and
+   attribute rules sum/min/max/list (overlay.py:338-374).
+
+Remainder semantics (documented): remainder area = max(0, cell_area −
+Σ fragment areas) — exact when the polygon layer is non-overlapping,
+which holds for every union test the reference exercises (grid-on-grid).
+
+Partitioning assumption: fragment batches should be spatially coherent
+(e.g. straight from ``make_grid`` tiles) so the per-polygon dense
+coverage window stays small; a shuffled grid still computes correctly but
+with larger windows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .geom.index import BBoxIndex
+from .geom.kernels import TOL_EPS, cells_coverage
+from .planning import GridSpec
+
+RULES = ("sum", "min", "max", "list")
+
+
+class OverlayKernel:
+    """Actor-pool fragment producer: broadcast polygon layer in state."""
+
+    def __init__(
+        self,
+        polygons,
+        cellsize: tuple[float, float],
+        origin: tuple[float, float],
+        how: str = "intersection",
+        attr_cols: tuple[str, ...] = ("nuts_id", "pop"),
+    ):
+        import ray
+
+        if isinstance(polygons, dict) and "__ref__" in polygons:
+            polygons = ray.get(polygons["__ref__"])
+        self.polys = polygons
+        self.index = BBoxIndex(np.array([p["bbox"] for p in polygons]))
+        self.w, self.h = float(cellsize[0]), float(cellsize[1])
+        self.ox, self.oy = float(origin[0]), float(origin[1])
+        if how not in ("intersection", "union"):
+            raise ValueError(f"how must be intersection|union, got {how!r}")
+        self.how = how
+        self.attr_cols = attr_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return self._empty(batch)
+        ix = np.asarray(batch["ix"], dtype=np.int64)
+        iy = np.asarray(batch["iy"], dtype=np.int64)
+        w, h = self.w, self.h
+        cx0 = self.ox + ix * w
+        cy0 = self.oy + iy * h
+        cell_area = w * h
+        frag_sum = np.zeros(n, dtype=np.float64)
+        parts: list[pa.Table] = []
+        for p in self.polys:
+            bx0, by0, bx1, by1 = p["bbox"]
+            sel = (cx0 < bx1) & (cx0 + w > bx0) & (cy0 < by1) & (cy0 + h > by0)
+            if not sel.any():
+                continue
+            pos_all = np.nonzero(sel)[0]
+            six, siy = ix[pos_all], iy[pos_all]
+            ix0, ix1 = int(six.min()), int(six.max())
+            iy0, iy1 = int(siy.min()), int(siy.max())
+            cov = cells_coverage(
+                p["rings"],
+                self.ox + ix0 * w,
+                self.oy + iy0 * h,
+                w,
+                h,
+                ix1 - ix0 + 1,
+                iy1 - iy0 + 1,
+            )
+            areas = cov[siy - iy0, six - ix0]
+            hit = areas > 0.0
+            if not hit.any():
+                continue
+            pos = pos_all[hit]
+            a = areas[hit]
+            frag_sum[pos] += a
+            t = batch.take(pa.array(pos))
+            t = t.append_column("poly_id", pa.array(np.full(len(pos), p["poly_id"]), pa.int64()))
+            for c in self.attr_cols:
+                t = t.append_column(c, pa.array([p[c]] * len(pos)))
+            t = t.append_column("poly_area", pa.array(np.full(len(pos), p["area"])))
+            t = t.append_column("area", pa.array(a))
+            t = t.append_column("area_pct", pa.array(a / p["area"]))
+            parts.append(t)
+        if self.how == "union":
+            rem = cell_area - frag_sum
+            keep = rem > cell_area * TOL_EPS
+            if keep.any():
+                pos = np.nonzero(keep)[0]
+                t = batch.take(pa.array(pos))
+                t = t.append_column("poly_id", pa.nulls(len(pos), pa.int64()))
+                for c in self.attr_cols:
+                    typ = pa.string() if c == "nuts_id" else pa.float64()
+                    t = t.append_column(c, pa.nulls(len(pos), typ))
+                t = t.append_column("poly_area", pa.nulls(len(pos), pa.float64()))
+                t = t.append_column("area", pa.array(rem[pos]))
+                t = t.append_column("area_pct", pa.nulls(len(pos), pa.float64()))
+                parts.append(t)
+        if not parts:
+            return self._empty(batch)
+        return pa.concat_tables(parts)
+
+    def _empty(self, batch: pa.Table) -> pa.Table:
+        t = batch.slice(0, 0)
+        t = t.append_column("poly_id", pa.array([], pa.int64()))
+        for c in self.attr_cols:
+            typ = pa.string() if c == "nuts_id" else pa.float64()
+            t = t.append_column(c, pa.array([], typ))
+        t = t.append_column("poly_area", pa.array([], pa.float64()))
+        t = t.append_column("area", pa.array([], pa.float64()))
+        t = t.append_column("area_pct", pa.array([], pa.float64()))
+        return t
+
+
+def overlay_fragments(
+    grid_ds,
+    polygons: list[dict],
+    spec: GridSpec,
+    *,
+    how: str = "intersection",
+    attr_cols: tuple[str, ...] = ("nuts_id", "pop"),
+    concurrency=(1, 8),
+    batch_size: int | None = None,
+):
+    """Fragment rows of grid × polygon layer (reference O4/O5/O6)."""
+    import ray
+
+    if how not in ("intersection", "union"):
+        # fail on the driver, not inside actor creation
+        raise ValueError(f"how must be intersection|union, got {how!r}")
+    ref = {"__ref__": ray.put(polygons)}
+    return grid_ds.map_batches(
+        OverlayKernel,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_constructor_args=(ref, spec.cellsize, spec.bbox[:2], how, attr_cols),
+        concurrency=concurrency,
+    )
+
+
+def _final_cell_row(
+    g: pd.DataFrame,
+    rule: str | None,
+    columns: list[str],
+    carry: list[str],
+    cover: bool,
+) -> pd.DataFrame:
+    row = {"cell_id": g["cell_id"].iloc[0]}
+    for c in carry:
+        row[c] = g[c].iloc[0]
+    real = g[g["poly_id"].notna()]
+    if cover:
+        ids = sorted(int(v) for v in real["poly_id"].unique())
+        row["cover"] = ",".join(str(v) for v in ids) if ids else None
+        row["n_polys"] = len(ids)
+    if rule in ("sum", "list"):
+        for c in columns:
+            wv = real[c] * real["area_pct"]
+            if rule == "sum":
+                row[c] = float(wv.sum()) if len(real) else 0.0
+            else:  # deterministic order by poly_id; 9-decimal repr
+                order = real["poly_id"].argsort(kind="stable")
+                row[c] = ";".join(f"{v:.9f}" for v in wv.iloc[order]) or None
+    elif rule in ("min", "max"):
+        if len(real):
+            asc = rule == "min"
+            r = real.sort_values(
+                ["area_pct", "poly_id"], ascending=[asc, True], kind="stable"
+            ).iloc[0]
+            for c in columns:
+                row[c] = r[c]
+        else:
+            for c in columns:
+                row[c] = None
+    return pd.DataFrame([row])
+
+
+def grid_overlay(
+    grid_ds,
+    polygons: list[dict],
+    spec: GridSpec,
+    *,
+    how: str = "intersection",
+    rule: str | None = None,
+    columns: list[str] | None = None,
+    cover: bool = False,
+    carry: list[str] | None = None,
+    attr_cols: tuple[str, ...] = ("nuts_id", "pop"),
+    concurrency=(1, 8),
+):
+    """Full overlay: fragments, then per-cell cover/attribute assignment
+    (reference GridOverlay.__call__, overlay.py:433-552).
+
+    ``rule`` in {sum, min, max, list} assigns each ``columns`` polygon
+    attribute to cells: sum -> Σ attr·area_pct (weighted areal
+    interpolation); min/max -> attr of the fragment with the lowest/highest
+    area_pct (tie-broken by ascending poly_id — the reference's sort-then-
+    first, overlay.py:340-360, made deterministic); list -> ';'-joined
+    weighted values ordered by poly_id.  ``cover`` adds the sorted
+    contributing-polygon id string (reference collect-list, overlay.py:
+    312-323).  ``carry`` = grid columns to keep (constant per cell).
+    Cells with no fragment rows (intersection) are absent, matching the
+    reference inner merge (overlay.py:369-374).
+    """
+    if rule is not None and rule not in RULES:
+        raise ValueError(f"rule must be one of {RULES}")
+    columns = list(columns or [])
+    carry = list(carry or [])
+    frags = overlay_fragments(
+        grid_ds,
+        polygons,
+        spec,
+        how=how,
+        attr_cols=attr_cols,
+        concurrency=concurrency,
+    )
+    if rule is None and not cover:
+        return frags
+
+    keep_cols = ["cell_id", *carry, "poly_id", "area_pct", *columns]
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select([c for c in keep_cols if c in b.column_names])
+
+    frags = frags.map_batches(project, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return _final_cell_row(g, rule, columns, carry, cover)
+
+    return frags.groupby("cell_id").map_groups(final, batch_format="pandas")
+
+
+def area_interpolate(
+    polygons: list[dict],
+    grid_ds,
+    spec: GridSpec,
+    variables: list[str],
+    *,
+    cover: bool = True,
+    concurrency=(1, 8),
+):
+    """Weighted areal interpolation of extensive polygon variables onto the
+    grid — the reference's tobler-equivalent wrapper (overlay.py:559-605):
+    how='intersection', rule='sum', area=cover=True.  The reference's
+    retry-with-memory_split is obsolete under Ray streaming + spill."""
+    return grid_overlay(
+        grid_ds,
+        polygons,
+        spec,
+        how="intersection",
+        rule="sum",
+        columns=variables,
+        cover=cover,
+        concurrency=concurrency,
+    )
+
+
+def cells_to_polygon_layer(
+    df: pd.DataFrame, spec: GridSpec, value_col: str = "val"
+) -> list[dict]:
+    """Turn a (small) cell grid into a polygon layer — the second layer of
+    the reference's grid-on-grid identity / scale-reduction tests
+    (overlay.ipynb cells 26-30)."""
+    from .geom.kernels import as_ring
+
+    w, h = spec.cellsize
+    out = []
+    for r in df.itertuples():
+        x0 = spec.bbox[0] + r.ix * w
+        y0 = spec.bbox[1] + r.iy * h
+        out.append(
+            {
+                "poly_id": int(r.cell_id),
+                "nuts_id": str(int(r.cell_id)),
+                "rings": [
+                    as_ring([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]])
+                ],
+                "bbox": (x0, y0, x0 + w, y0 + h),
+                "pop": float(getattr(r, value_col)),
+                "area": w * h,
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (oracle side, over the rect-decomposed fixture layer)
+# ---------------------------------------------------------------------------
+
+
+def _sql_frag_ctes(
+    spec: GridSpec, poly_rects_cte: str | None = None, round_to: int = 6
+) -> str:
+    from .synth import sql_polygon_area_cte, sql_polygon_rects_cte
+
+    w, h = spec.cellsize
+    x0, y0 = spec.bbox[0], spec.bbox[1]
+    r = 10.0**round_to
+    return f"""
+WITH poly_rects AS ({poly_rects_cte or sql_polygon_rects_cte()}),
+poly_area AS ({sql_polygon_area_cte()}),
+cells AS (
+  SELECT iy.i * {spec.ncols} + ix.i AS cell_id, ix.i AS ix, iy.i AS iy,
+         {x0!r} + ix.i * {w!r} AS cx0, {y0!r} + iy.i * {h!r} AS cy0
+  FROM (SELECT UNNEST(generate_series(0, {spec.ncols - 1})) AS i) ix,
+       (SELECT UNNEST(generate_series(0, {spec.nrows - 1})) AS i) iy
+),
+frag AS (
+  SELECT c.cell_id, c.ix, c.iy, r.poly_id,
+         SUM(GREATEST(0, LEAST(c.cx0 + {w!r}, r.rxmax) - GREATEST(c.cx0, r.rxmin))
+           * GREATEST(0, LEAST(c.cy0 + {h!r}, r.rymax) - GREATEST(c.cy0, r.rymin))) AS area
+  FROM cells c
+  JOIN poly_rects r
+    ON c.cx0 < r.rxmax AND c.cx0 + {w!r} > r.rxmin
+   AND c.cy0 < r.rymax AND c.cy0 + {h!r} > r.rymin
+  GROUP BY c.cell_id, c.ix, c.iy, r.poly_id
+  HAVING SUM(GREATEST(0, LEAST(c.cx0 + {w!r}, r.rxmax) - GREATEST(c.cx0, r.rxmin))
+           * GREATEST(0, LEAST(c.cy0 + {h!r}, r.rymax) - GREATEST(c.cy0, r.rymin))) > 0
+),
+frag2 AS (
+  SELECT f.cell_id, f.ix, f.iy, f.poly_id, p.nuts_id, p.pop,
+         ROUND(f.area * {r!r}) / {r!r} AS area,
+         ROUND(f.area / p.poly_area * {r!r}) / {r!r} AS area_pct
+  FROM frag f JOIN poly_area p USING (poly_id)
+)"""
+
+
+def sql_overlay_fragments(
+    spec: GridSpec,
+    *,
+    how: str = "intersection",
+    poly_rects_cte: str | None = None,
+    round_to: int = 6,
+) -> str:
+    """Fragments of the FULL-bbox grid vs the fixture polygon layer.
+    area/area_pct rounded to ``round_to`` decimals (both sides) to absorb
+    summation-order ulp differences."""
+    w, h = spec.cellsize
+    cell_area = w * h
+    r = 10.0**round_to
+    frag = _sql_frag_ctes(spec, poly_rects_cte, round_to)
+    if how == "intersection":
+        return frag + "\nSELECT * FROM frag2"
+    return (
+        frag
+        + f""",
+rem AS (
+  SELECT c.cell_id, c.ix, c.iy, NULL::BIGINT AS poly_id, NULL::VARCHAR AS nuts_id,
+         NULL::DOUBLE AS pop,
+         ROUND(({cell_area!r} - COALESCE(SUM(f.area), 0)) * {r!r}) / {r!r} AS area,
+         NULL::DOUBLE AS area_pct
+  FROM cells c LEFT JOIN frag f USING (cell_id)
+  GROUP BY c.cell_id, c.ix, c.iy
+  HAVING {cell_area!r} - COALESCE(SUM(f.area), 0) > {cell_area!r} * {TOL_EPS!r}
+)
+SELECT * FROM frag2 UNION ALL SELECT * FROM rem"""
+    )
+
+
+def sql_grid_overlay_sum(
+    spec: GridSpec,
+    variables: list[str] = ("pop",),
+    *,
+    cover: bool = True,
+    round_to: int = 6,
+) -> str:
+    """Per-cell weighted-sum assignment + cover over the full-bbox grid
+    (oracle twin of :func:`area_interpolate`)."""
+    base = _sql_frag_ctes(spec, round_to=12)
+    r = 10.0**round_to
+    aggs = [
+        f"ROUND(SUM({v} * area_pct) * {r!r}) / {r!r} AS {v}" for v in variables
+    ]
+    cov = (
+        "STRING_AGG(poly_id::VARCHAR, ',' ORDER BY poly_id) AS cover, "
+        "COUNT(DISTINCT poly_id)::BIGINT AS n_polys, "
+        if cover
+        else ""
+    )
+    return (
+        base
+        + f"\nSELECT cell_id, {cov}{', '.join(aggs)} FROM frag2 GROUP BY cell_id"
+    )
