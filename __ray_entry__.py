@@ -1,44 +1,50 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in pygridmap_ray) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``            — flagship pipeline on sf0.001: interleaved-span
+  corpus -> cell-encode -> spatial join -> per-polygon aggregate.
+- ``queries()``          — named pipelines over ``sf_dir`` (SURVEY.md §2).
+- ``oracle_sql()``       — DuckDB twins, column-name-identical.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, "/root/repo")
+
+from pygridmap_ray.pipelines import queries as _q  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 docs with interleaved spans -> cell assignment ->
+    spatial join against the polygon layer -> joined rows (span column
+    intact).  The driver smoke-checks rows >= 0 and schema stability."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pygridmap_ray.spatial import join_points_to_polygons
+    from pygridmap_ray.synth import build_spans_array, polygon_layer
+    from pygridmap_ray.tiler import with_cell_columns
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = _q.docs_points(sf_dir)
+
+    def add_spans(b: pa.Table) -> pa.Table:
+        return b.append_column("spans", build_spans_array(np.asarray(b["doc_id"])))
+
+    ds = ds.map_batches(add_spans, batch_format="pyarrow")
+    ds = with_cell_columns(ds, resolution=1000.0, tile_size_cell=128)
+    return join_points_to_polygons(ds, polygon_layer(), how="left")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

@@ -236,11 +236,13 @@ def sql_make_grid(
     xypos: str = "LLc",
     tile: int | tuple[int, int] = 64,
     poly_rects_cte: str | None = None,
+    mask_true: bool = False,
 ) -> str:
     """DuckDB twin of :func:`make_grid` over the rect-decomposed fixture
     mask (``poly_rects`` CTE).  Coverage per cell = sum of interval-overlap
     areas over the DISJOINT rects of each polygon, then the same TOL_EPS
-    thresholds and OR-fold as the engine kernel."""
+    thresholds and OR-fold as the engine kernel.  ``mask_true`` mirrors the
+    mask=True full-bbox grid (intersects=1, within=0)."""
     from .synth import sql_polygon_rects_cte
 
     if interior:
@@ -253,6 +255,19 @@ def sql_make_grid(
     x0, y0 = spec.bbox[0], spec.bbox[1]
     tsr, tsc = spec.tilesize
     cell_area = w * h
+    if mask_true:
+        return f"""
+WITH cells AS (
+  SELECT iy.i * {spec.ncols} + ix.i AS cell_id, ix.i AS ix, iy.i AS iy
+  FROM (SELECT UNNEST(generate_series(0, {spec.ncols - 1})) AS i) ix,
+       (SELECT UNNEST(generate_series(0, {spec.nrows - 1})) AS i) iy
+)
+SELECT cell_id, ix::INT AS ix, iy::INT AS iy,
+       {x0!r} + ix * {w!r} + {offx!r} AS x, {y0!r} + iy * {h!r} + {offy!r} AS y,
+       (ix // {tsc}) + (iy // {tsr}) * {spec.nxtiles} AS tile_id,
+       1::TINYINT AS intersects, 0::TINYINT AS within
+FROM cells
+"""
     rects = poly_rects_cte or sql_polygon_rects_cte()
     keep = (
         "within = 1"

@@ -1,0 +1,329 @@
+"""Named pipelines + their DuckDB oracle SQL (the driver correctness gate).
+
+Every entry here is one operator/pipeline from SURVEY.md §2 expressed as a
+Ray Data pipeline over the testdata tables (with deterministically derived
+geo columns, see :mod:`pygridmap_ray.synth`), paired with ANSI SQL DuckDB
+runs on the same tables.  Column names match exactly; float outputs are
+rounded half-away-from-zero to 6 decimals on BOTH sides to absorb
+summation-order ulp differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..gridding import make_grid, sql_make_grid
+from ..overlay import (
+    area_interpolate,
+    overlay_fragments,
+    sql_grid_overlay_sum,
+    sql_overlay_fragments,
+)
+from ..planning import plan_grid
+from ..spatial import join_points_to_polygons, knn_join, sql_point_join
+from ..synth import (
+    DOMAIN,
+    build_spans_array,
+    derive_xy,
+    polygon_layer,
+    span_summary_from_column,
+    sql_points_cte,
+    sql_span_summary_cte,
+)
+from ..tiler import (
+    grid_aggregation,
+    sql_cell_columns,
+    sql_grid_aggregation,
+    with_cell_columns,
+)
+
+RES, TSC = 1000.0, 128
+GRID_CELL = 10_000.0
+OVL_CELL = 50_000.0
+
+
+def round6(batch: pa.Table, cols: list[str]) -> pa.Table:
+    """Half-away-from-zero rounding to 6 decimals (matches SQL ROUND)."""
+    for c in cols:
+        i = batch.schema.get_field_index(c)
+        if i < 0:
+            continue
+        v = np.asarray(batch.column(i), dtype=np.float64)
+        r = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        batch = batch.set_column(i, c, pa.array(r))
+    return batch
+
+
+def docs_points(sf_dir: str, extra_cols: tuple[str, ...] = ()):
+    """documents -> Dataset(doc_id, x, y, *extra) with derived locations."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", *extra_cols]
+    )
+
+    def add_xy(b: pa.Table) -> pa.Table:
+        x, y = derive_xy(np.asarray(b["doc_id"]))
+        return b.append_column("x", pa.array(x)).append_column("y", pa.array(y))
+
+    return ds.map_batches(add_xy, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_cell_assign(sf_dir: str):
+    return with_cell_columns(
+        docs_points(sf_dir), resolution=RES, tile_size_cell=TSC
+    ).map_batches(lambda b: round6(b, ["x", "y"]), batch_format="pyarrow")
+
+
+def q_cell_assign_offset(sf_dir: str):
+    ds = with_cell_columns(
+        docs_points(sf_dir),
+        resolution=RES,
+        tile_size_cell=TSC,
+        x_origin=2500.0,
+        y_origin=7300.0,
+    )
+    return ds.select_columns(
+        ["doc_id", "ix", "iy", "xt", "yt", "local_x", "local_y", "cell_key"]
+    )
+
+
+def q_tiling_bounds(sf_dir: str):
+    ds = with_cell_columns(docs_points(sf_dir), resolution=RES, tile_size_cell=TSC)
+    out = ds.groupby(["xt", "yt"]).count()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["xt", "yt", "n_docs"][: b.num_columns]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_spatial_join(sf_dir: str):
+    out = join_points_to_polygons(docs_points(sf_dir), polygon_layer(), how="inner")
+    return out.select_columns(["doc_id", "poly_id", "nuts_id", "pop"])
+
+
+def q_spatial_join_left(sf_dir: str):
+    out = join_points_to_polygons(docs_points(sf_dir), polygon_layer(), how="left")
+    return out.select_columns(["doc_id", "poly_id", "nuts_id", "pop"])
+
+
+def q_grid_make(sf_dir: str):
+    return make_grid(polygon_layer(), cellsize=GRID_CELL, bbox=DOMAIN, tile=(16, 16))
+
+
+def q_grid_make_interior(sf_dir: str):
+    return make_grid(
+        polygon_layer(), cellsize=GRID_CELL, bbox=DOMAIN, tile=(16, 16), interior=True
+    )
+
+
+def q_grid_make_rect(sf_dir: str):
+    return make_grid(True, cellsize=(20_000.0, 30_000.0), bbox=DOMAIN, tile=(8, 8))
+
+
+def _grid50():
+    spec = plan_grid(DOMAIN, OVL_CELL, tile=(8, 8))
+    return spec, make_grid(True, cellsize=OVL_CELL, bbox=DOMAIN, tile=(8, 8))
+
+
+def q_overlay_intersection(sf_dir: str):
+    spec, grid = _grid50()
+    out = overlay_fragments(grid, polygon_layer(), spec, how="intersection")
+    out = out.select_columns(
+        ["cell_id", "ix", "iy", "poly_id", "nuts_id", "pop", "area", "area_pct"]
+    )
+    return out.map_batches(
+        lambda b: round6(b, ["area", "area_pct"]), batch_format="pyarrow"
+    )
+
+
+def q_overlay_union(sf_dir: str):
+    spec, grid = _grid50()
+    out = overlay_fragments(grid, polygon_layer(), spec, how="union")
+    out = out.select_columns(
+        ["cell_id", "ix", "iy", "poly_id", "nuts_id", "pop", "area", "area_pct"]
+    )
+    return out.map_batches(
+        lambda b: round6(b, ["area", "area_pct"]), batch_format="pyarrow"
+    )
+
+
+def q_area_interpolate(sf_dir: str):
+    spec, grid = _grid50()
+    out = area_interpolate(polygon_layer(), grid, spec, ["pop"])
+    return out.map_batches(lambda b: round6(b, ["pop"]), batch_format="pyarrow")
+
+
+def q_grid_aggregation(sf_dir: str):
+    ds = docs_points(sf_dir, ("n_chars",))
+
+    def widen(b: pa.Table) -> pa.Table:
+        v = pc.cast(b["n_chars"], pa.float64())
+        return (
+            b.append_column("sum_chars", v)
+            .append_column("avg_chars", v)
+            .append_column("mean_chars", v)
+        )
+
+    ds = ds.map_batches(widen, batch_format="pyarrow")
+    out = grid_aggregation(
+        ds,
+        resolution=RES,
+        a=50,
+        columns={"sum_chars": "sum", "avg_chars": "average", "mean_chars": "average3"},
+        rounding=6,
+    )
+    return out.map_batches(
+        lambda b: round6(b, ["sum_chars", "avg_chars", "mean_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    did = np.asarray(t["doc_id"], dtype=np.int64)
+    x, y = derive_xy(did)
+    ref = {"id": did, "x": x, "y": y}
+    out = knn_join(docs_points(sf_dir), ref, resolution=25_000.0, k=4)
+    out = out.select_columns(["doc_id", "rank", "neighbor_id", "distance"])
+    return out.map_batches(lambda b: round6(b, ["distance"]), batch_format="pyarrow")
+
+
+def q_spans_roundtrip(sf_dir: str):
+    """Flagship span-invariant pipeline: synthesize interleaved spans,
+    cell-encode, spatially join, WRITE partitioned parquet, read back, and
+    summarize the spans column — the summary must equal the closed-form
+    oracle, proving per-row (kind, text, media_ref, offset) order survived
+    every stage including the sink."""
+    import tempfile
+
+    import ray.data as rd
+
+    ds = docs_points(sf_dir)
+
+    def add_spans(b: pa.Table) -> pa.Table:
+        return b.append_column("spans", build_spans_array(np.asarray(b["doc_id"])))
+
+    ds = ds.map_batches(add_spans, batch_format="pyarrow")
+    ds = with_cell_columns(ds, resolution=RES, tile_size_cell=TSC)
+    ds = join_points_to_polygons(ds, polygon_layer(), how="left")
+    # one row per doc for the summary: drop join fan-out deterministically
+    out_dir = tempfile.mkdtemp(prefix="spans_roundtrip_", dir="/tmp")
+    ds.write_parquet(out_dir, partition_cols=["xt"], mode="overwrite")
+    back = rd.read_parquet(out_dir, file_extensions=["parquet"])
+
+    def summarize(b: pa.Table) -> pa.Table:
+        return span_summary_from_column(b["doc_id"], b["spans"])
+
+    summary = back.map_batches(summarize, batch_format="pyarrow")
+
+    def dedup(g):
+        return g.head(1)
+
+    return summary.groupby("doc_id").map_groups(dedup, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        "cell_assign": q_cell_assign,
+        "cell_assign_offset": q_cell_assign_offset,
+        "tiling_bounds": q_tiling_bounds,
+        "spatial_join": q_spatial_join,
+        "spatial_join_left": q_spatial_join_left,
+        "grid_make": q_grid_make,
+        "grid_make_interior": q_grid_make_interior,
+        "grid_make_rect": q_grid_make_rect,
+        "overlay_intersection": q_overlay_intersection,
+        "overlay_union": q_overlay_union,
+        "area_interpolate": q_area_interpolate,
+        "grid_aggregation": q_grid_aggregation,
+        "knn": q_knn,
+        "spans_roundtrip": q_spans_roundtrip,
+    }
+
+
+def oracle_sql():
+    cols = sql_cell_columns(RES, TSC)
+    sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
+    cols_off = sql_cell_columns(RES, TSC, 2500.0, 7300.0)
+    sel_off = ", ".join(
+        f"{e} AS {n}"
+        for n, e in cols_off.items()
+    )
+    spec50 = plan_grid(DOMAIN, OVL_CELL, tile=(8, 8))
+    points = sql_points_cte()
+    agg_inner = sql_grid_aggregation(
+        RES,
+        50,
+        {"sum_chars": "sum", "avg_chars": "average", "mean_chars": "average3"},
+        rounding=6,
+        source="pts",
+    )
+    return {
+        "cell_assign": (
+            f"WITH points AS ({points}) "
+            f"SELECT doc_id, ROUND(x * 1e6) / 1e6 AS x, ROUND(y * 1e6) / 1e6 AS y, "
+            f"{sel} FROM points"
+        ),
+        "cell_assign_offset": (
+            f"WITH points AS ({points}) SELECT doc_id, {sel_off} FROM points"
+        ),
+        "tiling_bounds": (
+            f"WITH points AS ({points}) "
+            f"SELECT {cols['xt']} AS xt, {cols['yt']} AS yt, COUNT(*)::BIGINT AS n_docs "
+            f"FROM points GROUP BY xt, yt"
+        ),
+        "spatial_join": (
+            sql_point_join(points, "inner")
+            .replace("SELECT p.*", "SELECT p.doc_id")
+        ),
+        "spatial_join_left": (
+            sql_point_join(points, "left")
+            .replace("SELECT p.*", "SELECT p.doc_id")
+        ),
+        "grid_make": sql_make_grid(DOMAIN, GRID_CELL, tile=(16, 16)),
+        "grid_make_interior": sql_make_grid(
+            DOMAIN, GRID_CELL, tile=(16, 16), interior=True
+        ),
+        "grid_make_rect": sql_make_grid(
+            DOMAIN, (20_000.0, 30_000.0), tile=(8, 8), trim=False, mask_true=True
+        ),
+        "overlay_intersection": sql_overlay_fragments(spec50, how="intersection"),
+        "overlay_union": sql_overlay_fragments(spec50, how="union"),
+        "area_interpolate": sql_grid_overlay_sum(spec50, ["pop"]),
+        "grid_aggregation": (
+            f"WITH points AS ({points}), "
+            f"pts AS (SELECT p.x, p.y, d.n_chars::DOUBLE AS sum_chars, "
+            f"d.n_chars::DOUBLE AS avg_chars, d.n_chars::DOUBLE AS mean_chars "
+            f"FROM points p JOIN documents d USING (doc_id)) "
+            + agg_inner
+        ),
+        "knn": (
+            f"WITH points AS ({points}) "
+            f"SELECT a.doc_id, "
+            f"ROW_NUMBER() OVER (PARTITION BY a.doc_id "
+            f"  ORDER BY (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y), b.doc_id)::BIGINT AS rank, "
+            f"b.doc_id AS neighbor_id, "
+            f"ROUND(SQRT((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)) * 1e6) / 1e6 AS distance "
+            f"FROM points a, points b "
+            f"QUALIFY rank <= 4"
+        ),
+        "spans_roundtrip": sql_span_summary_cte(),
+    }

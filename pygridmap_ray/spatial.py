@@ -1,0 +1,267 @@
+"""Point-in-polygon spatial join + kNN cell lookups.
+
+The north-rule join: documents carrying point locations are joined to the
+broadcast polygon layer (GISCO/NUTS-style) inside ``map_batches`` actor
+pools — the Ray-native form of the reference's per-tile
+``sjoin``/rtree-candidate pattern (reference overlay.py:174-184, 258-260).
+
+Boundary convention: the even-odd ray-casting kernel classifies points on
+a polygon's left/bottom edges as inside and right/top edges as outside —
+exactly the half-open ``[xmin, xmax) x [ymin, ymax)`` convention of the
+SQL oracle's rect decomposition, so the two agree even for points exactly
+on edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .geom.index import BBoxIndex
+from .geom.kernels import points_in_rings
+
+
+class PointJoinKernel:
+    """Actor-pool join: polygon layer + bbox index in state (built once)."""
+
+    def __init__(
+        self,
+        polygons,
+        attr_cols: tuple[str, ...] = ("nuts_id", "pop"),
+        how: str = "inner",
+        x_col: str = "x",
+        y_col: str = "y",
+    ):
+        import ray
+
+        if isinstance(polygons, dict) and "__ref__" in polygons:
+            polygons = ray.get(polygons["__ref__"])
+        self.polys = polygons
+        self.index = BBoxIndex(np.array([p["bbox"] for p in polygons]))
+        self.attr_cols = attr_cols
+        self.how = how
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        px = np.asarray(batch[self.x_col], dtype=np.float64)
+        py = np.asarray(batch[self.y_col], dtype=np.float64)
+        parts = []
+        matched = np.zeros(n, dtype=bool)
+        for p in self.polys:
+            bx0, by0, bx1, by1 = p["bbox"]
+            sel = (px >= bx0) & (px < bx1) & (py >= by0) & (py < by1)
+            if not sel.any():
+                continue
+            pos_all = np.nonzero(sel)[0]
+            inside = points_in_rings(px[pos_all], py[pos_all], p["rings"])
+            pos = pos_all[inside]
+            if len(pos) == 0:
+                continue
+            matched[pos] = True
+            t = batch.take(pa.array(pos))
+            t = t.append_column(
+                "poly_id", pa.array(np.full(len(pos), p["poly_id"]), pa.int64())
+            )
+            for c in self.attr_cols:
+                t = t.append_column(c, pa.array([p[c]] * len(pos)))
+            parts.append(t)
+        if self.how == "left":
+            pos = np.nonzero(~matched)[0]
+            if len(pos):
+                t = batch.take(pa.array(pos))
+                t = t.append_column("poly_id", pa.nulls(len(pos), pa.int64()))
+                for c in self.attr_cols:
+                    typ = pa.string() if c == "nuts_id" else pa.float64()
+                    t = t.append_column(c, pa.nulls(len(pos), typ))
+                parts.append(t)
+        if not parts:
+            t = batch.slice(0, 0)
+            t = t.append_column("poly_id", pa.array([], pa.int64()))
+            for c in self.attr_cols:
+                typ = pa.string() if c == "nuts_id" else pa.float64()
+                t = t.append_column(c, pa.array([], typ))
+            return t
+        return pa.concat_tables(parts)
+
+
+def join_points_to_polygons(
+    ds,
+    polygons: list[dict],
+    *,
+    how: str = "inner",
+    attr_cols: tuple[str, ...] = ("nuts_id", "pop"),
+    x_col: str = "x",
+    y_col: str = "y",
+    concurrency=(1, 8),
+    batch_size: int | None = None,
+):
+    """Spatial join of a point Dataset against the broadcast polygon layer.
+
+    ``how='inner'``: one row per (point, containing polygon) — a point in
+    N overlapping polygons yields N rows.  ``how='left'``: additionally
+    keeps unmatched points with null polygon columns.
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    ref = {"__ref__": ray.put(polygons)}
+    return ds.map_batches(
+        PointJoinKernel,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_constructor_args=(ref, attr_cols, how, x_col, y_col),
+        concurrency=concurrency,
+    )
+
+
+def sql_point_join(points_cte: str, how: str = "inner") -> str:
+    """DuckDB twin: half-open containment against the disjoint rect
+    decomposition (one matching rect per polygon at most)."""
+    from .synth import sql_polygon_rects_cte
+
+    join = "JOIN" if how == "inner" else "LEFT JOIN"
+    return f"""
+WITH points AS ({points_cte}),
+poly_rects AS ({sql_polygon_rects_cte()})
+SELECT p.*, r.poly_id, r.nuts_id, r.pop
+FROM points p
+{join} poly_rects r
+  ON p.x >= r.rxmin AND p.x < r.rxmax AND p.y >= r.rymin AND p.y < r.rymax
+"""
+
+
+def knn_cells_offsets(k_rings: int) -> np.ndarray:
+    """Ring-expansion neighbor offsets for kNN cell lookups: all (dx, dy)
+    within Chebyshev distance ``k_rings``, ordered ring by ring (the
+    (ix, iy)-ring expansion of SURVEY.md §7.0)."""
+    out = [(0, 0)]
+    for r in range(1, k_rings + 1):
+        ring = []
+        for dx in range(-r, r + 1):
+            for dy in (-r, r):
+                ring.append((dx, dy))
+        for dy in range(-r + 1, r):
+            for dx in (-r, r):
+                ring.append((dx, dy))
+        out.extend(sorted(ring))
+    return np.array(out, dtype=np.int64)
+
+
+class KnnJoinKernel:
+    """k-nearest-neighbor lookup against a broadcast reference point set,
+    accelerated by the cell index: candidates come from expanding cell
+    rings, exact distances resolve the final top-k.
+
+    Exactness: rings are expanded until the k-th best candidate distance
+    is <= r * resolution — any point in an unexplored ring (Chebyshev
+    distance > r) lies at Euclidean distance >= r * resolution, so no
+    closer neighbor can remain outside."""
+
+    def __init__(self, ref_points, resolution: float, k: int):
+        import ray
+
+        if isinstance(ref_points, dict) and "__ref__" in ref_points:
+            ref_points = ray.get(ref_points["__ref__"])
+        # ref_points: dict with 'id', 'x', 'y' numpy arrays
+        self.rx = np.asarray(ref_points["x"], dtype=np.float64)
+        self.ry = np.asarray(ref_points["y"], dtype=np.float64)
+        self.rid = np.asarray(ref_points["id"], dtype=np.int64)
+        self.res = float(resolution)
+        self.k = int(k)
+        cix = np.floor(self.rx / self.res).astype(np.int64)
+        ciy = np.floor(self.ry / self.res).astype(np.int64)
+        key = ciy * (2**32) + cix
+        order = np.argsort(key, kind="stable")
+        self.sorted_key = key[order]
+        self.order = order
+
+    def _cell_members(self, key: int) -> np.ndarray:
+        lo = np.searchsorted(self.sorted_key, key, side="left")
+        hi = np.searchsorted(self.sorted_key, key, side="right")
+        return self.order[lo:hi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = np.asarray(batch["x"], dtype=np.float64)
+        py = np.asarray(batch["y"], dtype=np.float64)
+        n = len(px)
+        out_src = np.repeat(np.arange(n), self.k)
+        out_id = np.empty(n * self.k, dtype=np.int64)
+        out_d = np.empty(n * self.k, dtype=np.float64)
+        out_rank = np.tile(np.arange(1, self.k + 1), n)
+        for i in range(n):
+            cix = int(np.floor(px[i] / self.res))
+            ciy = int(np.floor(py[i] / self.res))
+            cand: list[np.ndarray] = []
+            count = 0
+            r = 0
+            while True:
+                if r == 0:
+                    cells = [(cix, ciy)]
+                else:
+                    cells = [
+                        (cix + dx, ciy + dy)
+                        for dx in range(-r, r + 1)
+                        for dy in range(-r, r + 1)
+                        if max(abs(dx), abs(dy)) == r
+                    ]
+                for cx, cy in cells:
+                    m = self._cell_members(cy * (2**32) + cx)
+                    if len(m):
+                        cand.append(m)
+                        count += len(m)
+                if count >= self.k:
+                    ids_t = np.concatenate(cand)
+                    d2_t = (self.rx[ids_t] - px[i]) ** 2 + (
+                        self.ry[ids_t] - py[i]
+                    ) ** 2
+                    kth = np.partition(d2_t, self.k - 1)[self.k - 1]
+                    # unexplored rings lie at distance >= r * res
+                    if kth <= (r * self.res) ** 2:
+                        break
+                if r > 1024:
+                    break
+                r += 1
+            ids = (
+                np.concatenate(cand) if cand else np.empty(0, dtype=np.int64)
+            )
+            d2 = (self.rx[ids] - px[i]) ** 2 + (self.ry[ids] - py[i]) ** 2
+            # deterministic tie-break: (distance, neighbor id)
+            top = np.lexsort((self.rid[ids], d2))[: self.k]
+            kk = len(top)
+            sl = slice(i * self.k, i * self.k + kk)
+            out_id[sl] = self.rid[ids[top]]
+            out_d[sl] = np.sqrt(d2[top])
+            if kk < self.k:  # pad (fewer refs than k)
+                out_id[i * self.k + kk : (i + 1) * self.k] = -1
+                out_d[i * self.k + kk : (i + 1) * self.k] = np.nan
+        src = batch.take(pa.array(out_src))
+        src = src.append_column("neighbor_id", pa.array(out_id))
+        src = src.append_column("rank", pa.array(out_rank.astype(np.int64)))
+        src = src.append_column("distance", pa.array(out_d))
+        return src
+
+
+def knn_join(
+    ds,
+    ref_points: dict,
+    *,
+    resolution: float,
+    k: int,
+    concurrency=(1, 8),
+    batch_size: int | None = None,
+):
+    """For each point row, the k nearest reference points (cell-ring
+    expansion; exact by construction thanks to the safety ring)."""
+    import ray
+
+    ref = {"__ref__": ray.put(ref_points)}
+    return ds.map_batches(
+        KnnJoinKernel,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_constructor_args=(ref, resolution, k),
+        concurrency=concurrency,
+    )

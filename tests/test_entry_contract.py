@@ -1,0 +1,107 @@
+"""Driver-contract simulation: run every queries() entry at sf0.001 and
+compare against its oracle_sql() twin the way the driver does (row count,
+schema names, order-insensitive values)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    importlib.reload(e)
+    return e
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(res):
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def test_entry_smoke(entrymod):
+    ds = entrymod.entry()
+    df = _to_pandas(ds)
+    assert len(df) >= 0
+    assert "spans" in df.columns and "poly_id" in df.columns
+    # spans survived with per-row structure
+    row = df.iloc[0]
+    assert isinstance(row["spans"], (list, np.ndarray))
+
+
+def test_every_query_has_matching_oracle_or_is_declared(entrymod):
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "cell_assign",
+        "cell_assign_offset",
+        "tiling_bounds",
+        "spatial_join",
+        "spatial_join_left",
+        "grid_make",
+        "grid_make_interior",
+        "grid_make_rect",
+        "overlay_intersection",
+        "overlay_union",
+        "area_interpolate",
+        "grid_aggregation",
+        "knn",
+        "spans_roundtrip",
+    ],
+)
+def test_query_matches_oracle(entrymod, con, name):
+    got = _canon(_to_pandas(entrymod.queries()[name](SF)))
+    exp = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} vs {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            g = g.to_numpy(dtype=float)
+            e = e.to_numpy(dtype=float)
+            ok = (np.isnan(g) & np.isnan(e)) | (np.abs(g - e) <= 1e-6)
+            assert ok.all(), f"{name}.{c}: max diff {np.nanmax(np.abs(g - e))}"
+        else:
+            assert g.astype(str).tolist() == e.astype(str).tolist(), f"{name}.{c}"
