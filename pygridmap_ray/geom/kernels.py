@@ -66,12 +66,15 @@ def rings_bbox(rings: Rings) -> tuple[float, float, float, float]:
 def points_in_rings(px: np.ndarray, py: np.ndarray, rings: Rings) -> np.ndarray:
     """Even-odd-rule containment for many points against one polygon.
 
-    Vectorized over points; loops over polygon edges (edge count is small).
-    Replaces the per-cell shapely ``within`` test (reference gridding.py:181).
+    Replaces the per-cell shapely ``within`` test (reference
+    gridding.py:181).  Two vectorized paths: a fully-broadcast (edges x
+    points) kernel when the crossing matrix fits in cache, else a per-edge
+    loop vectorized over points (identical arithmetic, identical results).
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     inside = np.zeros(px.shape, dtype=bool)
+    m = px.size
     for ring in rings:
         n = len(ring)
         if n < 3:
@@ -80,6 +83,16 @@ def points_in_rings(px: np.ndarray, py: np.ndarray, rings: Rings) -> np.ndarray:
         y1 = ring[:, 1]
         x2 = np.roll(x1, -1)
         y2 = np.roll(y1, -1)
+        if n * m <= 2_000_000 and m > 0:
+            # broadcast: (E, 1) against (M,) -> (E, M)
+            b = y1[:, None]
+            d = y2[:, None]
+            crosses = (b > py) != (d > py)
+            dy = np.where(d != b, d - b, 1.0)
+            xint = x1[:, None] + (py - b) * (x2[:, None] - x1[:, None]) / dy
+            hits = crosses & (px < xint)
+            inside ^= (hits.sum(axis=0) & 1).astype(bool)
+            continue
         for i in range(n):
             a, b, c, d = x1[i], y1[i], x2[i], y2[i]
             if b == d:  # horizontal edge never crosses a horizontal ray

@@ -213,13 +213,33 @@ def make_grid(
     # ~1 tile per block so tiles parallelize across the pool
     ds = ds.repartition(min(len(specs), 256))
     mask_ref = {"__ref__": ray.put(mask)} if isinstance(mask, list) else mask
-    out = ds.map_batches(
-        EmitCells,
-        batch_format="pyarrow",
-        batch_size=4,
-        fn_constructor_args=(spec, mask_ref, trim, interior),
-        concurrency=concurrency or (1, 8),
-    )
+    if concurrency is not None:
+        out = ds.map_batches(
+            EmitCells,
+            batch_format="pyarrow",
+            batch_size=4,
+            fn_constructor_args=(spec, mask_ref, trim, interior),
+            concurrency=concurrency,
+        )
+    else:
+        from .spatial import _cached_kernel
+
+        key = (
+            f"emit:{mask_ref['__ref__'].hex() if isinstance(mask_ref, dict) else mask_ref}"
+            f":{spec!r}:{trim}:{interior}"
+        )
+        ref = mask_ref if isinstance(mask_ref, dict) else {"__ref__": None}
+
+        def apply(batch: pa.Table) -> pa.Table:
+            if isinstance(mask_ref, dict):
+                kern = _cached_kernel(
+                    key, ref, lambda m: EmitCells(spec, m, trim, interior)
+                )
+            else:
+                kern = EmitCells(spec, mask_ref, trim, interior)
+            return kern(batch)
+
+        out = ds.map_batches(apply, batch_format="pyarrow", batch_size=4)
     if sort == "tile":
         out = out.sort(["tile_id", "cell_id"])
     elif sort == "rc" or sort is True:

@@ -146,23 +146,38 @@ def overlay_fragments(
     *,
     how: str = "intersection",
     attr_cols: tuple[str, ...] = ("nuts_id", "pop"),
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int | None = None,
 ):
-    """Fragment rows of grid × polygon layer (reference O4/O5/O6)."""
+    """Fragment rows of grid × polygon layer (reference O4/O5/O6).
+
+    ``concurrency=None`` -> stateless tasks with a per-worker kernel cache
+    (elastic, fuses with neighbors); int/tuple -> dedicated actor pool for
+    layers whose index build must be strictly amortized."""
     import ray
 
     if how not in ("intersection", "union"):
         # fail on the driver, not inside actor creation
         raise ValueError(f"how must be intersection|union, got {how!r}")
     ref = {"__ref__": ray.put(polygons)}
-    return grid_ds.map_batches(
-        OverlayKernel,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        fn_constructor_args=(ref, spec.cellsize, spec.bbox[:2], how, attr_cols),
-        concurrency=concurrency,
-    )
+    args = (spec.cellsize, spec.bbox[:2], how, attr_cols)
+    if concurrency is not None:
+        return grid_ds.map_batches(
+            OverlayKernel,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            fn_constructor_args=(ref, *args),
+            concurrency=concurrency,
+        )
+    from .spatial import _cached_kernel
+
+    key = f"overlay:{ref['__ref__'].hex()}:{args!r}"
+
+    def apply(batch: pa.Table) -> pa.Table:
+        kern = _cached_kernel(key, ref, lambda p: OverlayKernel(p, *args))
+        return kern(batch)
+
+    return grid_ds.map_batches(apply, batch_format="pyarrow", batch_size=batch_size)
 
 
 def _final_cell_row(
@@ -213,7 +228,7 @@ def grid_overlay(
     cover: bool = False,
     carry: list[str] | None = None,
     attr_cols: tuple[str, ...] = ("nuts_id", "pop"),
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """Full overlay: fragments, then per-cell cover/attribute assignment
     (reference GridOverlay.__call__, overlay.py:433-552).
@@ -264,7 +279,7 @@ def area_interpolate(
     variables: list[str],
     *,
     cover: bool = True,
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """Weighted areal interpolation of extensive polygon variables onto the
     grid — the reference's tobler-equivalent wrapper (overlay.py:559-605):

@@ -220,8 +220,10 @@ def q_spans_roundtrip(sf_dir: str):
     ds = with_cell_columns(ds, resolution=RES, tile_size_cell=TSC)
     ds = join_points_to_polygons(ds, polygon_layer(), how="left")
     # one row per doc for the summary: drop join fan-out deterministically
+    from ..tiler import write_partitioned
+
     out_dir = tempfile.mkdtemp(prefix="spans_roundtrip_", dir="/tmp")
-    ds.write_parquet(out_dir, partition_cols=["xt"], mode="overwrite")
+    write_partitioned(ds, out_dir, ["xt"], mode="overwrite")
     back = rd.read_parquet(out_dir, file_extensions=["parquet"])
 
     def summarize(b: pa.Table) -> pa.Table:

@@ -47,43 +47,93 @@ class PointJoinKernel:
         n = batch.num_rows
         px = np.asarray(batch[self.x_col], dtype=np.float64)
         py = np.asarray(batch[self.y_col], dtype=np.float64)
-        parts = []
         matched = np.zeros(n, dtype=bool)
-        for p in self.polys:
+        pos_parts: list[np.ndarray] = []
+        code_parts: list[np.ndarray] = []
+        # sorted-x prefilter: per polygon, binary-search the x-range instead
+        # of scanning the whole batch — O(P log n + hits), which is what
+        # keeps NUTS-scale layers (1000s of polygons) cheap per batch
+        order = np.argsort(px, kind="stable")
+        sx = px[order]
+        for j, p in enumerate(self.polys):
             bx0, by0, bx1, by1 = p["bbox"]
-            sel = (px >= bx0) & (px < bx1) & (py >= by0) & (py < by1)
+            lo = np.searchsorted(sx, bx0, side="left")
+            hi = np.searchsorted(sx, bx1, side="left")
+            if lo >= hi:
+                continue
+            cand = order[lo:hi]
+            sel = (py[cand] >= by0) & (py[cand] < by1)
             if not sel.any():
                 continue
-            pos_all = np.nonzero(sel)[0]
+            pos_all = cand[sel]
             inside = points_in_rings(px[pos_all], py[pos_all], p["rings"])
             pos = pos_all[inside]
             if len(pos) == 0:
                 continue
             matched[pos] = True
-            t = batch.take(pa.array(pos))
-            t = t.append_column(
-                "poly_id", pa.array(np.full(len(pos), p["poly_id"]), pa.int64())
-            )
-            for c in self.attr_cols:
-                t = t.append_column(c, pa.array([p[c]] * len(pos)))
-            parts.append(t)
+            pos_parts.append(pos)
+            code_parts.append(np.full(len(pos), j, dtype=np.int64))
         if self.how == "left":
             pos = np.nonzero(~matched)[0]
             if len(pos):
-                t = batch.take(pa.array(pos))
-                t = t.append_column("poly_id", pa.nulls(len(pos), pa.int64()))
-                for c in self.attr_cols:
-                    typ = pa.string() if c == "nuts_id" else pa.float64()
-                    t = t.append_column(c, pa.nulls(len(pos), typ))
-                parts.append(t)
-        if not parts:
-            t = batch.slice(0, 0)
-            t = t.append_column("poly_id", pa.array([], pa.int64()))
-            for c in self.attr_cols:
-                typ = pa.string() if c == "nuts_id" else pa.float64()
-                t = t.append_column(c, pa.array([], typ))
-            return t
-        return pa.concat_tables(parts)
+                pos_parts.append(pos)
+                code_parts.append(np.full(len(pos), -1, dtype=np.int64))
+        if pos_parts:
+            pos_all = np.concatenate(pos_parts)
+            codes = np.concatenate(code_parts)
+        else:
+            pos_all = np.empty(0, dtype=np.int64)
+            codes = np.empty(0, dtype=np.int64)
+        # ONE take + vectorized attr gather (per-polygon take/concat was the
+        # dominant per-batch cost for 1000+-polygon layers)
+        t = batch.take(pa.array(pos_all))
+        null_mask = codes < 0
+        safe = np.where(null_mask, 0, codes)
+        pid_lut = np.array([p["poly_id"] for p in self.polys] or [0], dtype=np.int64)
+        pid = pid_lut[safe]
+        t = t.append_column(
+            "poly_id",
+            pa.array(pid, pa.int64(), mask=null_mask)
+            if len(pid)
+            else pa.array([], pa.int64()),
+        )
+        for c in self.attr_cols:
+            vals = [p[c] for p in self.polys]
+            if vals and isinstance(vals[0], str):
+                lut = pa.array(vals or [""])
+                col = lut.take(
+                    pa.array(safe, pa.int64(), mask=null_mask)
+                    if len(safe)
+                    else pa.array([], pa.int64())
+                )
+            else:
+                v = np.asarray(vals or [0.0], dtype=np.float64)[safe]
+                col = (
+                    pa.array(v, pa.float64(), mask=null_mask)
+                    if len(v)
+                    else pa.array([], pa.float64())
+                )
+            t = t.append_column(c, col)
+        return t
+
+
+#: per-worker-process kernel cache: broadcast object ref hex -> kernel.
+#: The stateless-task path deserializes the layer + builds the index ONCE
+#: per worker process (same amortization as an actor pool, but elastic and
+#: fusable with neighboring stages — a fixed pool of num_cpus actors
+#: starves the write stage, observed in bench profiling).
+_PROC_CACHE: dict[str, object] = {}
+
+
+def _cached_kernel(factory_key: str, ref: dict, build):
+    kern = _PROC_CACHE.get(factory_key)
+    if kern is None:
+        import ray
+
+        payload = ray.get(ref["__ref__"])
+        kern = build(payload)
+        _PROC_CACHE[factory_key] = kern
+    return kern
 
 
 def join_points_to_polygons(
@@ -94,7 +144,7 @@ def join_points_to_polygons(
     attr_cols: tuple[str, ...] = ("nuts_id", "pop"),
     x_col: str = "x",
     y_col: str = "y",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int | None = None,
 ):
     """Spatial join of a point Dataset against the broadcast polygon layer.
@@ -102,19 +152,34 @@ def join_points_to_polygons(
     ``how='inner'``: one row per (point, containing polygon) — a point in
     N overlapping polygons yields N rows.  ``how='left'``: additionally
     keeps unmatched points with null polygon columns.
+
+    ``concurrency=None`` (default) runs stateless tasks with a per-worker
+    kernel cache — right for small/medium broadcast layers.  Pass an
+    int/tuple to use a dedicated actor pool instead (huge layers whose
+    index build must be strictly amortized).
     """
     import ray
 
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     ref = {"__ref__": ray.put(polygons)}
-    return ds.map_batches(
-        PointJoinKernel,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        fn_constructor_args=(ref, attr_cols, how, x_col, y_col),
-        concurrency=concurrency,
-    )
+    if concurrency is not None:
+        return ds.map_batches(
+            PointJoinKernel,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            fn_constructor_args=(ref, attr_cols, how, x_col, y_col),
+            concurrency=concurrency,
+        )
+    key = f"pjoin:{ref['__ref__'].hex()}:{how}:{x_col}:{y_col}:{attr_cols}"
+
+    def apply(batch: pa.Table) -> pa.Table:
+        kern = _cached_kernel(
+            key, ref, lambda p: PointJoinKernel(p, attr_cols, how, x_col, y_col)
+        )
+        return kern(batch)
+
+    return ds.map_batches(apply, batch_format="pyarrow", batch_size=batch_size)
 
 
 def sql_point_join(points_cte: str, how: str = "inner") -> str:
@@ -250,18 +315,27 @@ def knn_join(
     *,
     resolution: float,
     k: int,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int | None = None,
 ):
     """For each point row, the k nearest reference points (cell-ring
-    expansion; exact by construction thanks to the safety ring)."""
+    expansion, exact stopping bound).  ``concurrency=None`` -> stateless
+    tasks with a per-worker cached index; int/tuple -> actor pool."""
     import ray
 
     ref = {"__ref__": ray.put(ref_points)}
-    return ds.map_batches(
-        KnnJoinKernel,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        fn_constructor_args=(ref, resolution, k),
-        concurrency=concurrency,
-    )
+    if concurrency is not None:
+        return ds.map_batches(
+            KnnJoinKernel,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            fn_constructor_args=(ref, resolution, k),
+            concurrency=concurrency,
+        )
+    key = f"knn:{ref['__ref__'].hex()}:{resolution}:{k}"
+
+    def apply(batch: pa.Table) -> pa.Table:
+        kern = _cached_kernel(key, ref, lambda p: KnnJoinKernel(p, resolution, k))
+        return kern(batch)
+
+    return ds.map_batches(apply, batch_format="pyarrow", batch_size=batch_size)

@@ -106,7 +106,10 @@ GROUP BY d.doc_id
 
 def build_spans_array(doc_id: np.ndarray) -> pa.ListArray:
     """Arrow list<struct<kind,text,media_ref,offset>> for each doc — built
-    columnar (no per-row Python objects in the hot path)."""
+    with vectorized Arrow compute kernels (no per-row Python objects and no
+    numpy string ops in the hot path)."""
+    import pyarrow.compute as pc
+
     did = np.asarray(doc_id, dtype=np.int64)
     n_spans = 1 + (did % 8)
     offsets32 = np.zeros(len(did) + 1, dtype=np.int32)
@@ -117,31 +120,16 @@ def build_spans_array(doc_id: np.ndarray) -> pa.ListArray:
     i_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
         offsets32[:-1].astype(np.int64), n_spans
     )
-    kind_code = ((parent + i_in_doc) % 3).astype(np.int64)
-    kind = pa.DictionaryArray.from_arrays(
-        pa.array(kind_code, type=pa.int8()), pa.array(list(KINDS))
-    ).cast(pa.string())
-    is_text = kind_code == 0
-    text = pa.array(
-        np.where(
-            is_text,
-            np.char.add(
-                np.char.add("t-", parent.astype("U20")),
-                np.char.add("-", i_in_doc.astype("U20")),
-            ),
-            "",
-        )
-    )
-    media = pa.array(
-        np.where(
-            ~is_text,
-            np.char.add(
-                np.char.add("media://", parent.astype("U20")),
-                np.char.add("/", i_in_doc.astype("U20")),
-            ),
-            "",
-        )
-    )
+    kind_code = (parent + i_in_doc) % 3
+    kind = pa.array(list(KINDS)).take(pa.array(kind_code))
+    is_text = pa.array(kind_code == 0)
+    pstr = pc.cast(pa.array(parent), pa.string())
+    istr = pc.cast(pa.array(i_in_doc), pa.string())
+    empty = pa.scalar("")
+    text_all = pc.binary_join_element_wise("t-", pstr, "-", istr, empty)
+    media_all = pc.binary_join_element_wise("media://", pstr, "/", istr, empty)
+    text = pc.if_else(is_text, text_all, empty)
+    media = pc.if_else(is_text, empty, media_all)
     offset = pa.array((i_in_doc * 7 + parent % 5).astype(np.int32))
     struct = pa.StructArray.from_arrays(
         [kind, text, media, offset], names=["kind", "text", "media_ref", "offset"]
@@ -276,6 +264,54 @@ def polygon_layer() -> list[dict]:
                 "bbox": (min(xs), min(ys), max(xs), max(ys)),
                 "pop": float((pid * 37) % 100) + 0.5,
                 "area": rings_area(rings),
+            }
+        )
+    return out
+
+
+def bench_polygon_layer(n: int = 1200, nvert: int = 48) -> list[dict]:
+    """NUTS-scale deterministic layer for benchmarks (FIXTURES.md: 1200
+    polygons).  A jittered grid of ``nvert``-vertex star polygons — real
+    GISCO/NUTS borders carry hundreds of vertices, so point-in-polygon is
+    arithmetic-dense, not a 4-comparison bbox test.  Not oracle-checked
+    (the 8-polygon :func:`polygon_layer` is the conformance layer)."""
+    from .geom.kernels import rings_area
+
+    xmin, ymin, xmax, ymax = DOMAIN
+    ncols = int(np.ceil(np.sqrt(n * (xmax - xmin) / (ymax - ymin))))
+    nrows = int(np.ceil(n / ncols))
+    w = (xmax - xmin) / ncols
+    h = (ymax - ymin) / nrows
+    theta = np.arange(nvert) * (2.0 * np.pi / nvert)
+    out = []
+    for pid in range(n):
+        r, c = divmod(pid, ncols)
+        cx = xmin + (c + 0.5) * w
+        cy = ymin + (r + 0.5) * h
+        # deterministic radial jitter -> concave star outline
+        jit = ((pid * 2654435761 + np.arange(nvert) * 40503) % 97) / 97.0
+        rad = 0.45 + 0.45 * jit  # in units of half cell pitch
+        ring = np.stack(
+            [
+                cx + np.cos(theta) * rad * (w * 0.9),
+                cy + np.sin(theta) * rad * (h * 0.9),
+            ],
+            axis=1,
+        )
+        bbox = (
+            float(ring[:, 0].min()),
+            float(ring[:, 1].min()),
+            float(ring[:, 0].max()),
+            float(ring[:, 1].max()),
+        )
+        out.append(
+            {
+                "poly_id": pid,
+                "nuts_id": f"BM{pid:04d}",
+                "rings": [ring],
+                "bbox": bbox,
+                "pop": float((pid * 37) % 100) + 0.5,
+                "area": rings_area([ring]),
             }
         )
     return out

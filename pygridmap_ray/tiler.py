@@ -152,6 +152,83 @@ def with_cell_columns(
 # ---------------------------------------------------------------------------
 
 
+def write_partitioned(
+    ds,
+    output_dir: str,
+    partition_cols: list[str],
+    *,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+):
+    """Scalable hive-layout parquet sink: ``out/{col}={v}/part-*.parquet``.
+
+    Replaces ``Dataset.write_parquet(partition_cols=...)``, which degrades
+    badly under many concurrent writers with list<struct> columns (its
+    grouping path leaves Arrow).  Here each task groups its block with
+    pure-Arrow dictionary encoding + filter and writes directly via
+    ``pyarrow.parquet.write_table`` with write-temp-then-rename atomicity,
+    so a killed run never leaves a half-written visible file (the
+    checkpoint/resume contract, SURVEY.md §7.5.7).
+
+    Returns total rows written.
+    """
+    import shutil as _shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if mode == "overwrite":
+        _shutil.rmtree(output_dir, ignore_errors=True)
+    os.makedirs(output_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
+        keys = [batch[c] for c in partition_cols]
+        combo = pc.binary_join_element_wise(
+            *[pc.cast(k, pa.string()) for k in keys], "|"
+        )
+        paths, rows = [], []
+        data = batch.drop_columns(partition_cols)
+        for v in pc.unique(combo).to_pylist():
+            mask = pc.equal(combo, pa.scalar(v))
+            part = data.filter(mask)
+            vals = str(v).split("|")
+            d = os.path.join(
+                output_dir, *(f"{c}={v}" for c, v in zip(partition_cols, vals))
+            )
+            os.makedirs(d, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(d, f".tmp-{name}")
+            pq.write_table(part, tmp, compression=compression)
+            os.rename(tmp, os.path.join(d, name))
+            paths.append(os.path.join(d, name))
+            rows.append(part.num_rows)
+        return pa.table({"path": pa.array(paths), "rows": pa.array(rows, pa.int64())})
+
+    manifest = ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+    import pandas as _pd
+
+    mdf = manifest.to_pandas()
+    # per-run manifest: which files exist with how many rows (atomic write)
+    mpath = os.path.join(output_dir, "_manifest.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "files": [
+                    {"path": os.path.relpath(p, output_dir), "rows": int(r)}
+                    for p, r in zip(mdf["path"], mdf["rows"])
+                ],
+                "total_rows": int(mdf["rows"].sum()) if len(mdf) else 0,
+                "partition_cols": partition_cols,
+            },
+            f,
+        )
+    os.rename(tmp, mpath)
+    return int(mdf["rows"].sum()) if len(mdf) else 0
+
+
 def grid_tiling(
     ds,
     output_dir: str,
@@ -185,7 +262,7 @@ def grid_tiling(
         x_col=x_col,
         y_col=y_col,
     )
-    ds.write_parquet(output_dir, partition_cols=["xt", "yt"], mode="overwrite")
+    write_partitioned(ds, output_dir, ["xt", "yt"], mode="overwrite")
     # bounds: tiny aggregate over what we just wrote (reads only 2 columns).
     # hive partition values come back as strings -> cast before min/max.
     tiles = (
