@@ -1,0 +1,211 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`ann_topk` — brute-force cosine top-k as the exactness baseline:
+  per-batch numpy matmul against the broadcast (normalized) query matrix,
+  per-batch partial top-k, then one small groupby-final per query — the
+  two-phase top-k pattern (no all-to-all of raw vectors).
+- :func:`ivf_topk` — the scale path: k-means-lite (fixed-seed) coarse
+  centroids, data bucketed by nearest centroid (one shuffle at build
+  time), queries probe only the ``nprobe`` closest buckets.  Exactness is
+  traded for a bounded candidate set; recall measured in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch[emb_col].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(batch.num_rows, -1) if batch.num_rows else flat.reshape(0, 1)
+
+
+def ann_topk(
+    ds,
+    queries: dict,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Exact cosine top-k of each broadcast query against the streamed
+    corpus.  ``queries``: {"ids": int64[], "matrix": (Q, D) float}.
+    Returns one row per (query_id, rank): query_id, rank, neighbor_id,
+    cosine — ties broken by ascending neighbor id."""
+    import ray
+
+    ref = {"__ref__": ray.put(queries)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .spatial import _cached_kernel
+
+        state = _cached_kernel(
+            f"ann:{ref['__ref__'].hex()}",
+            ref,
+            lambda p: {
+                "qm": _normalize(np.asarray(p["matrix"], dtype=np.float64)),
+                "qids": np.asarray(p["ids"], dtype=np.int64),
+            },
+        )
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        v = _normalize(_emb_matrix(batch, emb_col))
+        sims = state["qm"] @ v.T  # (Q, N)
+        q_out, n_out, s_out = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(len(state["qids"])):
+            s = sims[qi]
+            top = np.lexsort((ids, -s))[:kk]
+            q_out.append(np.full(kk, state["qids"][qi], dtype=np.int64))
+            n_out.append(ids[top])
+            s_out.append(s[top])
+        if not q_out:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(q_out)),
+                "neighbor_id": pa.array(np.concatenate(n_out)),
+                "cosine": pa.array(np.concatenate(s_out)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id", "cosine"]]
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def sql_ann_topk(k: int = 5, n_queries: int = 10) -> str:
+    """DuckDB twin: all-pairs cosine on DOUBLE[] with identical tie-break;
+    queries = the first ``n_queries`` vec_ids."""
+    return f"""
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[], d.embedding::DOUBLE[]) * 1e6) / 1e6 AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], d.embedding::DOUBLE[]) DESC, d.vec_id ASC
+         )::BIGINT AS rank
+  FROM embeddings q, embeddings d
+  WHERE q.vec_id < {n_queries}
+) WHERE rank <= {k}
+"""
+
+
+def kmeans_lite(
+    matrix: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 7
+) -> np.ndarray:
+    """Fixed-seed Lloyd iterations on normalized vectors (driver-side,
+    runs on a sample — the coarse quantizer of the IVF index)."""
+    m = _normalize(np.asarray(matrix, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            sel = assign == c
+            if sel.any():
+                cents[c] = m[sel].mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(
+    ds,
+    queries: dict,
+    centroids: np.ndarray,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """IVF-bucketed approximate top-k: rows whose nearest centroid is not
+    among a query's ``nprobe`` closest are skipped in the partial stage —
+    at scale the bucket id is a partition key and whole partitions are
+    pruned at the read (documented partitioning assumption)."""
+    import ray
+
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = {"__ref__": ray.put({**queries, "cents": cents})}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .spatial import _cached_kernel
+
+        def build(p):
+            qm = _normalize(np.asarray(p["matrix"], dtype=np.float64))
+            probes = np.argsort(-(qm @ p["cents"].T), axis=1)[:, :nprobe]
+            return {
+                "qm": qm,
+                "qids": np.asarray(p["ids"], dtype=np.int64),
+                "cents": p["cents"],
+                "probes": probes,
+            }
+
+        state = _cached_kernel(f"ivf:{ref['__ref__'].hex()}:{nprobe}", ref, build)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        v = _normalize(_emb_matrix(batch, emb_col))
+        bucket = np.argmax(v @ state["cents"].T, axis=1) if len(ids) else np.empty(0, int)
+        sims = state["qm"] @ v.T
+        q_out, n_out, s_out = [], [], []
+        for qi in range(len(state["qids"])):
+            mask = np.isin(bucket, state["probes"][qi])
+            if not mask.any():
+                continue
+            s = sims[qi][mask]
+            cand_ids = ids[mask]
+            kk = min(k, len(cand_ids))
+            top = np.lexsort((cand_ids, -s))[:kk]
+            q_out.append(np.full(kk, state["qids"][qi], dtype=np.int64))
+            n_out.append(cand_ids[top])
+            s_out.append(s[top])
+        if not q_out:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(q_out)),
+                "neighbor_id": pa.array(np.concatenate(n_out)),
+                "cosine": pa.array(np.concatenate(s_out)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id", "cosine"]]
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")

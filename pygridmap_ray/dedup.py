@@ -1,0 +1,344 @@
+"""Deduplication operators for large-scale corpora.
+
+Exact (content hash), MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — the standard training-data dedup suite,
+expressed Ray-Data-first:
+
+- per-batch vectorized signature computation in ``map_batches``
+- candidate generation via groupby on (band, bucket) — the LSH shuffle
+- verification inside the bucket group (``map_groups``), never all-pairs
+  across the corpus
+
+All signatures are deterministic (md5-seeded), so reruns and the exact
+paths' DuckDB twins reproduce bit-identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_RE = re.compile(r"\S+")
+
+# MinHash parameters (64 permutations = 16 bands x 4 rows)
+_MINHASH_K = 64
+_LSH_BANDS = 16
+_LSH_ROWS = _MINHASH_K // _LSH_BANDS
+_MERSENNE = np.uint64((1 << 61) - 1)
+_rng = np.random.default_rng(0xC0FFEE)
+_PERM_A = _rng.integers(1, (1 << 61) - 1, size=_MINHASH_K, dtype=np.uint64)
+_PERM_B = _rng.integers(0, (1 << 61) - 1, size=_MINHASH_K, dtype=np.uint64)
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Deterministic 61-bit hashes of word n-grams."""
+    toks = TOKEN_RE.findall(text or "")
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    out = np.fromiter(
+        (int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+    return np.unique(out)
+
+
+def content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5 content hash (exact-dup key; DuckDB twin: ``md5(text)``)."""
+    fp = [
+        hashlib.md5((s or "").encode("utf-8")).hexdigest()
+        for s in batch[text_col].to_pylist()
+    ]
+    return batch.append_column("content_hash", pa.array(fp))
+
+
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Hash-partitioned exact dedup: one surviving (lowest-id) row per
+    distinct content, plus the duplicate count — Ray groupby shuffle over
+    the content hash (guide pattern: hash inside map_batches, tiny
+    groupby)."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda b: content_hash(b, text_col), batch_format="pyarrow"
+    )
+    agg = (
+        hashed.select_columns(["content_hash", id_col])
+        .groupby("content_hash")
+        .aggregate(Min(id_col, alias_name="keeper_id"), Count(alias_name="n_dups"))
+    )
+    return agg
+
+
+def sql_exact_dedup(source: str = "documents", id_col: str = "doc_id") -> str:
+    return (
+        f"SELECT md5(text) AS content_hash, MIN({id_col})::BIGINT AS keeper_id, "
+        f"COUNT(*)::BIGINT AS n_dups FROM {source} GROUP BY content_hash"
+    )
+
+
+def minhash_signatures(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-permutation MinHash per row (vectorized over permutations)."""
+    sigs = np.full((batch.num_rows, _MINHASH_K), np.iinfo(np.uint64).max, np.uint64)
+    texts = batch[text_col].to_pylist()
+    for i, s in enumerate(texts):
+        h = _shingle_hashes(s)
+        if len(h) == 0:
+            continue
+        # (K, S) permuted hashes -> min over shingles
+        perm = (h[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % _MERSENNE
+        sigs[i] = perm.min(axis=1)
+    return batch.append_column(
+        "minhash", pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).astype(np.int64)), _MINHASH_K
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+):
+    """Near-dup pairs via MinHash banding.
+
+    shingle -> minhash (map_batches) -> explode to (band, bucket, id, sig)
+    rows -> groupby (band, bucket) -> in-bucket signature-Jaccard verify ->
+    global pair dedup.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sigged = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: minhash_signatures(b, text_col), batch_format="pyarrow"
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "minhash": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        sig = np.asarray(batch["minhash"].combine_chunks().flatten()).reshape(
+            n, _MINHASH_K
+        )
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        bands, buckets, out_ids, out_sig = [], [], [], []
+        for b in range(_LSH_BANDS):
+            rows = sig[:, b * _LSH_ROWS : (b + 1) * _LSH_ROWS].astype(np.uint64)
+            bucket = rows[:, 0].copy()
+            for j in range(1, _LSH_ROWS):
+                bucket = bucket * np.uint64(1000003) + rows[:, j]
+            bands.append(np.full(n, b, dtype=np.int32))
+            buckets.append(bucket.astype(np.int64))
+            out_ids.append(ids)
+            out_sig.append(sig)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands)),
+                "bucket": pa.array(np.concatenate(buckets)),
+                id_col: pa.array(np.concatenate(out_ids)),
+                "minhash": pa.array(list(np.concatenate(out_sig, axis=0))),
+            }
+        )
+
+    exploded = sigged.map_batches(explode, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["minhash"].to_numpy())
+        order = np.argsort(ids)
+        ids, sigs = ids[order], sigs[order]
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                jac = float((sigs[i] == sigs[j]).mean())
+                if jac >= jaccard_threshold:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_j.append(jac)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+        verify, batch_format="pandas"
+    )
+    # the same pair can surface from several bands -> global dedup
+    from ray.data.aggregate import Max
+
+    return (
+        pairs.groupby(["id_a", "id_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+        if pairs.count()
+        else pairs
+    )
+
+
+def simhash64(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash over token hashes (near-dup = small hamming dist)."""
+    out = np.zeros(batch.num_rows, dtype=np.uint64)
+    for i, s in enumerate(batch[text_col].to_pylist()):
+        toks = TOKEN_RE.findall(s or "")
+        if not toks:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for t in toks:
+            h = np.uint64(int(hashlib.md5(t.encode()).hexdigest()[:16], 16))
+            bits = (h >> shifts) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        bits = (acc > 0).astype(np.uint64)
+        out[i] = np.sum(bits << np.arange(64, dtype=np.uint64))
+    return batch.append_column("simhash", pa.array(out.astype(np.int64)))
+
+
+def ngram_jaccard_pairs(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+):
+    """Exact n-gram Jaccard near-dup pairs, LSH-bucketed first so the
+    verify step never goes all-pairs-global (true set Jaccard computed in
+    the bucket, unlike the signature estimate of minhash_lsh_pairs)."""
+    sigged = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: minhash_signatures(b, text_col), batch_format="pyarrow"
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        sig = (
+            np.asarray(batch["minhash"].combine_chunks().flatten()).reshape(
+                n_rows, _MINHASH_K
+            )
+            if n_rows
+            else np.empty((0, _MINHASH_K), np.int64)
+        )
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        texts = batch[text_col]
+        parts = []
+        for b in range(_LSH_BANDS):
+            rows = sig[:, b * _LSH_ROWS : (b + 1) * _LSH_ROWS].astype(np.uint64)
+            bucket = rows[:, 0].copy()
+            for j in range(1, _LSH_ROWS):
+                bucket = bucket * np.uint64(1000003) + rows[:, j]
+            parts.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(n_rows, b, dtype=np.int32)),
+                        "bucket": pa.array(bucket.astype(np.int64)),
+                        id_col: pa.array(ids),
+                        text_col: texts,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    exploded = sigged.map_batches(explode, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        shingles = [set(_shingle_hashes(t, n).tolist()) for t in g[text_col]]
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j] or not shingles[i] or not shingles[j]:
+                    continue
+                inter = len(shingles[i] & shingles[j])
+                union = len(shingles[i] | shingles[j])
+                jac = inter / union
+                if jac >= threshold:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_j.append(jac)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+        verify, batch_format="pandas"
+    )
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("jaccard", alias_name="jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    ds,
+    all_embeddings: dict,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+):
+    """Embedding-cosine near-dup pairs: each batch's vectors against the
+    broadcast normalized matrix (numpy matmul), keep sim >= threshold and
+    id_a < id_b.  DuckDB twin: all-pairs list_cosine_similarity on
+    DOUBLE[] (small sf); the LSH-bucketed variant is the scale path."""
+    import ray
+
+    ref = {"__ref__": ray.put(all_embeddings)}
+
+    def apply(batch: pa.Table) -> pa.Table:
+        from .spatial import _cached_kernel
+
+        def build(payload):
+            m = np.asarray(payload["matrix"], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            return {
+                "mat": m / norms[:, None],
+                "ids": np.asarray(payload["ids"], dtype=np.int64),
+            }
+
+        state = _cached_kernel(f"nd:{ref['__ref__'].hex()}", ref, build)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        v = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in batch[emb_col].to_pylist()]
+        ) if batch.num_rows else np.empty((0, state["mat"].shape[1]))
+        nv = np.linalg.norm(v, axis=1)
+        nv[nv == 0] = 1.0
+        sims = (v / nv[:, None]) @ state["mat"].T
+        rows_a, rows_b, rows_s = [], [], []
+        for i in range(len(ids)):
+            hit = np.nonzero((sims[i] >= threshold) & (state["ids"] > ids[i]))[0]
+            rows_a.extend([ids[i]] * len(hit))
+            rows_b.extend(state["ids"][hit].tolist())
+            rows_s.extend(sims[i][hit].tolist())
+        return pa.table(
+            {
+                "id_a": pa.array(np.asarray(rows_a, dtype=np.int64)),
+                "id_b": pa.array(np.asarray(rows_b, dtype=np.int64)),
+                "cosine": pa.array(np.asarray(rows_s, dtype=np.float64)),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def sql_embedding_neardup(threshold: float = 0.9) -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6) / 1e6 AS cosine
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
+"""

@@ -238,6 +238,133 @@ def q_spans_roundtrip(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# text / dedup / similarity (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str, cols):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(cols))
+
+
+def q_token_count(sf_dir: str):
+    from ..text import token_count
+
+    return (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(token_count, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "len_chars"])
+    )
+
+
+def q_quality_score(sf_dir: str):
+    from ..text import quality_score
+
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        quality_score, batch_format="pyarrow"
+    )
+    ds = ds.select_columns(["doc_id", "n_tokens", "punct_ratio", "stop_ratio", "quality"])
+    return ds.map_batches(
+        lambda b: round6(b, ["punct_ratio", "stop_ratio", "quality"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from ..text import lang_id
+
+    return (
+        _docs(sf_dir, ("doc_id", "text", "lang"))
+        .map_batches(lang_id, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang", "lang_pred"])
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from ..text import md5_fingerprint
+
+    return (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(md5_fingerprint, batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+    )
+
+
+def q_exact_dedup(sf_dir: str):
+    from ..dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir, ("doc_id", "text")))
+
+
+def q_minhash_lsh(sf_dir: str):
+    from ..dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir, ("doc_id", "text")), jaccard_threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    from ..dedup import simhash64
+
+    return (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(simhash64, batch_format="pyarrow")
+        .select_columns(["doc_id", "simhash"])
+    )
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from ..dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ("doc_id", "text")), threshold=0.3)
+
+
+def _load_embeddings(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    return np.asarray(t["vec_id"], dtype=np.int64), mat
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from ..dedup import embedding_neardup_pairs
+
+    ids, mat = _load_embeddings(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_neardup_pairs(
+        ds, {"ids": ids, "matrix": mat}, threshold=0.35
+    )
+    return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str):
+    import ray.data as rd
+
+    from ..ann import ann_topk
+
+    ids, mat = _load_embeddings(sf_dir)
+    sel = ids < 10
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ann_topk(ds, {"ids": ids[sel], "matrix": mat[sel]}, k=5)
+    return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
+
+
+def q_ivf_topk(sf_dir: str):
+    import ray.data as rd
+
+    from ..ann import ivf_topk, kmeans_lite
+
+    ids, mat = _load_embeddings(sf_dir)
+    cents = kmeans_lite(mat, n_clusters=8)
+    sel = ids < 10
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, {"ids": ids[sel], "matrix": mat[sel]}, cents, k=5, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -258,6 +385,17 @@ def queries():
         "grid_aggregation": q_grid_aggregation,
         "knn": q_knn,
         "spans_roundtrip": q_spans_roundtrip,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -328,4 +466,50 @@ def oracle_sql():
             f"QUALIFY rank <= 4"
         ),
         "spans_roundtrip": sql_span_summary_cte(),
+        "token_count": (
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens, "
+            "length(text)::BIGINT AS len_chars FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, n_tokens, ROUND(punct_ratio * 1e6) / 1e6 AS punct_ratio, "
+            "ROUND(stop_ratio * 1e6) / 1e6 AS stop_ratio, ROUND(quality * 1e6) / 1e6 AS quality "
+            f"FROM ({_sql_quality()})"
+        ),
+        "lang_id": f"SELECT doc_id, lang, lang_pred FROM ({_sql_lang()})",
+        "fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "exact_dedup": _sql_exact_dedup(),
+        "embedding_neardup": _sql_neardup(),
+        "ann_topk": _sql_ann(),
+        # minhash_lsh / simhash / ngram_jaccard / ivf_topk: signature- or
+        # index-based (not SQL-expressible) -> driver rows-only check
     }
+
+
+def _sql_quality():
+    from ..text import sql_quality_score
+
+    return sql_quality_score()
+
+
+def _sql_lang():
+    from ..text import sql_lang_id
+
+    return sql_lang_id()
+
+
+def _sql_exact_dedup():
+    from ..dedup import sql_exact_dedup
+
+    return sql_exact_dedup()
+
+
+def _sql_neardup():
+    from ..dedup import sql_embedding_neardup
+
+    return sql_embedding_neardup(0.35)
+
+
+def _sql_ann():
+    from ..ann import sql_ann_topk
+
+    return sql_ann_topk(5, 10)

@@ -1,0 +1,170 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword/script heuristic), quality scoring, token counting,
+and document fingerprinting — each as a vectorized Arrow ``map_batches``
+stage over the ``documents`` table, with DuckDB twin SQL (both sides run
+RE2, so regex counts agree exactly; md5 agrees byte-for-byte).
+
+These are first-class engine operators (per the build brief), not
+reference ports; the reference has no string functions (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: language -> stopword regex (RE2; identical string used in SQL twins)
+LANG_PATTERNS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|you|that|it|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|ich|mit|auf)\b",
+    "fr": r"\b(le|la|les|et|est|une?|je|pas|pour|dans)\b",
+    "es": r"\b(el|la|los|las|es|una?|yo|con|para|por)\b",
+}
+CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
+TOKEN_PATTERN = r"\S+"
+PUNCT_PATTERN = r"[.,;:!?]"
+#: tie-break priority when stopword counts are equal (argmax order)
+LANG_PRIORITY = ("en", "de", "fr", "es")
+
+
+def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + utf8 length (vectorized RE2)."""
+    t = batch[text_col]
+    return batch.append_column(
+        "n_tokens", pc.cast(pc.count_substring_regex(t, TOKEN_PATTERN), pa.int64())
+    ).append_column("len_chars", pc.cast(pc.utf8_length(t), pa.int64()))
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality features + one scalar score.
+
+    score = min(1, n_tokens/50) * (1 - punct_ratio) * (1 - stop_excess)
+    with stop_excess = max(0, stop_ratio - 0.6).  Deterministic, twinned
+    in SQL (sql_quality_score)."""
+    t = batch[text_col]
+    n_tok = pc.cast(pc.count_substring_regex(t, TOKEN_PATTERN), pa.float64())
+    n_chr = pc.cast(pc.utf8_length(t), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(t, PUNCT_PATTERN), pa.float64())
+    n_stop = pc.cast(
+        pc.count_substring_regex(t, LANG_PATTERNS["en"]), pa.float64()
+    )
+    denom_c = pc.max_element_wise(n_chr, pa.scalar(1.0))
+    denom_t = pc.max_element_wise(n_tok, pa.scalar(1.0))
+    punct_ratio = pc.divide(n_punct, denom_c)
+    stop_ratio = pc.divide(n_stop, denom_t)
+    stop_excess = pc.max_element_wise(
+        pc.subtract(stop_ratio, pa.scalar(0.6)), pa.scalar(0.0)
+    )
+    score = pc.multiply(
+        pc.multiply(
+            pc.min_element_wise(pc.divide(n_tok, pa.scalar(50.0)), pa.scalar(1.0)),
+            pc.subtract(pa.scalar(1.0), punct_ratio),
+        ),
+        pc.subtract(pa.scalar(1.0), stop_excess),
+    )
+    out = batch
+    for name, col in [
+        ("n_tokens", pc.cast(n_tok, pa.int64())),
+        ("punct_ratio", punct_ratio),
+        ("stop_ratio", stop_ratio),
+        ("quality", score),
+    ]:
+        out = out.append_column(name, col)
+    return out
+
+
+def sql_quality_score(source: str = "documents", text: str = "text") -> str:
+    n_tok = f"len(regexp_extract_all({text}, '\\S+'))"
+    n_chr = f"length({text})"
+    # NOTE: DuckDB string literals do NOT treat backslash as an escape, so
+    # RE2 patterns are embedded verbatim
+    n_punct = f"len(regexp_extract_all({text}, '[.,;:!?]'))"
+    n_stop = f"len(regexp_extract_all({text}, '{LANG_PATTERNS['en']}'))"
+    punct_ratio = f"({n_punct}::DOUBLE / GREATEST({n_chr}, 1))"
+    stop_ratio = f"({n_stop}::DOUBLE / GREATEST({n_tok}, 1))"
+    stop_excess = f"GREATEST({stop_ratio} - 0.6, 0.0)"
+    score = (
+        f"(LEAST({n_tok} / 50.0, 1.0) * (1.0 - {punct_ratio}) * (1.0 - {stop_excess}))"
+    )
+    return (
+        f"SELECT *, {n_tok}::BIGINT AS n_tokens, {punct_ratio} AS punct_ratio, "
+        f"{stop_ratio} AS stop_ratio, {score} AS quality FROM {source}"
+    )
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword/script language heuristic over {en, de, fr, es, zh}.
+
+    zh wins when any CJK codepoint is present; otherwise argmax of
+    stopword-pattern hits with fixed priority en>de>fr>es on ties (the SQL
+    twin encodes the identical CASE chain)."""
+    t = batch[text_col]
+    cjk = np.asarray(pc.count_substring_regex(t, CJK_PATTERN))
+    counts = np.stack(
+        [
+            np.asarray(pc.count_substring_regex(t, LANG_PATTERNS[lang]))
+            for lang in LANG_PRIORITY
+        ]
+    )
+    # argmax with first-wins priority = np.argmax on the stacked array
+    best = np.argmax(counts, axis=0)
+    langs = np.array(LANG_PRIORITY, dtype=object)[best]
+    pred = np.where(cjk > 0, "zh", langs)
+    return batch.append_column("lang_pred", pa.array(pred.astype(object)))
+
+
+def sql_lang_id(source: str = "documents", text: str = "text") -> str:
+    def cnt(lang):
+        return f"len(regexp_extract_all({text}, '{LANG_PATTERNS[lang]}'))"
+
+    cjk = f"len(regexp_extract_all({text}, '{CJK_PATTERN}'))"
+    c = {lang: cnt(lang) for lang in LANG_PRIORITY}
+    case = (
+        f"CASE WHEN {cjk} > 0 THEN 'zh' "
+        f"WHEN {c['en']} >= {c['de']} AND {c['en']} >= {c['fr']} AND {c['en']} >= {c['es']} THEN 'en' "
+        f"WHEN {c['de']} >= {c['fr']} AND {c['de']} >= {c['es']} THEN 'de' "
+        f"WHEN {c['fr']} >= {c['es']} THEN 'fr' ELSE 'es' END"
+    )
+    return f"SELECT *, {case} AS lang_pred FROM {source}"
+
+
+def md5_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content fingerprint via md5 (DuckDB-identical).  At 100TB scale a
+    cheaper 64-bit hash would do; md5 keeps the oracle exact."""
+    texts = batch[text_col].to_pylist()
+    fp = [hashlib.md5((s or "").encode("utf-8")).hexdigest() for s in texts]
+    return batch.append_column("fingerprint", pa.array(fp))
+
+
+def rolling_fingerprint(
+    batch: pa.Table, text_col: str = "text", window: int = 8
+) -> pa.Table:
+    """Winnowing-style document sketch: min of rolling polynomial hashes
+    over token windows (the engine's rolling-hash fingerprint; no SQL twin
+    — rows-only check)."""
+    import re
+
+    tok_re = re.compile(TOKEN_PATTERN)
+    out = np.zeros(batch.num_rows, dtype=np.uint64)
+    mod = np.uint64((1 << 61) - 1)
+    base = np.uint64(1000003)
+    for i, s in enumerate(batch[text_col].to_pylist()):
+        toks = tok_re.findall(s or "")
+        if not toks:
+            continue
+        h = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks],
+            dtype=np.uint64,
+        )
+        if len(h) < window:
+            out[i] = h.min()
+            continue
+        acc = np.zeros(len(h) - window + 1, dtype=np.uint64)
+        for j in range(window):
+            acc = (acc * base + h[j : j + len(acc)]) % mod
+        out[i] = acc.min()
+    return batch.append_column("rolling_fp", pa.array(out.astype(np.int64)))

@@ -1,0 +1,97 @@
+"""Behavioral tests for the non-SQL-expressible dedup/similarity paths:
+planted duplicates must be found; IVF recall vs the exact baseline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    import ray.data as rd
+
+    base = [
+        # long doc so a 1-word edit keeps shingle-jaccard ~0.9 (16x4 LSH
+        # banding then catches it with probability ~1)
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the tall green hills and the river flows gently "
+        "through the quiet valley toward the distant shining sea tonight",
+        "completely different content about spatial grids and overlays here",
+        "a third document with its own unrelated words for the corpus",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append({"doc_id": i, "text": t})
+    # near-dup of doc 0 (one word changed) and exact dup of doc 1
+    rows.append({"doc_id": 10, "text": base[0].replace("lazy", "sleepy")})
+    rows.append({"doc_id": 11, "text": base[1]})
+    # unrelated filler
+    for i in range(20, 40):
+        rows.append({"doc_id": i, "text": f"filler text number {i} with unique tokens {i * 7} {i * 13}"})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_minhash_finds_planted_neardup(dup_docs):
+    from pygridmap_ray.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(dup_docs, jaccard_threshold=0.4).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 10) in found  # near-dup
+    assert (1, 11) in found  # exact dup (jaccard 1.0)
+    exact = pairs[(pairs.id_a == 1) & (pairs.id_b == 11)]
+    assert exact["jaccard"].iloc[0] == 1.0
+    # filler docs must NOT pair with each other
+    filler = pairs[(pairs.id_a >= 20)]
+    assert len(filler) == 0
+
+
+def test_ngram_jaccard_exact_values(dup_docs):
+    from pygridmap_ray.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(dup_docs, threshold=0.3).to_pandas()
+    found = {(a, b): j for a, b, j in zip(pairs.id_a, pairs.id_b, pairs.jaccard)}
+    assert found[(1, 11)] == 1.0
+    assert 0.3 <= found[(0, 10)] < 1.0
+
+
+def test_simhash_hamming_close_for_neardups(dup_docs):
+    from pygridmap_ray.dedup import simhash64
+
+    df = (
+        dup_docs.map_batches(simhash64, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    ham = bin(int(df.loc[0, "simhash"]) ^ int(df.loc[10, "simhash"])).count("1")
+    assert ham <= 12  # near-dups land close
+    assert int(df.loc[1, "simhash"]) == int(df.loc[11, "simhash"])  # exact
+    ham_far = bin(int(df.loc[0, "simhash"]) ^ int(df.loc[2, "simhash"])).count("1")
+    assert ham_far > ham
+
+
+def test_ivf_recall_vs_exact(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.ann import ann_topk, ivf_topk, kmeans_lite
+
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    queries = {"ids": ids[:10], "matrix": mat[:10]}
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = ann_topk(ds, queries, k=5).to_pandas()
+    cents = kmeans_lite(mat, n_clusters=8)
+    approx = ivf_topk(ds, queries, cents, k=5, nprobe=4).to_pandas()
+    # recall@5 of the bucketed path vs the exact baseline
+    rec = []
+    for q in range(10):
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.5, rec
+    # self is always rank 1 with cosine 1 in the exact path
+    r1 = exact[exact["rank"] == 1]
+    assert (r1["query_id"].to_numpy() == r1["neighbor_id"].to_numpy()).all()

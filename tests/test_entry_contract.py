@@ -87,6 +87,13 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "grid_aggregation",
         "knn",
         "spans_roundtrip",
+        "token_count",
+        "quality_score",
+        "lang_id",
+        "fingerprint",
+        "exact_dedup",
+        "embedding_neardup",
+        "ann_topk",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):
