@@ -1,0 +1,150 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as Arrow ``binary`` columns next to typed
+metadata; decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages.  The image/audio codec libraries are NOT in this
+container, so the codec call itself is stubbed (clearly marked
+``NotImplementedError`` unless ``fake=True``), while everything Ray-side
+— schema, batch sizing, actor signature, zero-copy binary handling,
+output layout — is real and tested.
+
+Payload synthesis is closed-form in (doc_id, span index) so the DuckDB
+oracle can verify the full explode -> attach-payload -> feature pipeline
+(:func:`sql_media_features`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def explode_media_spans(batch: pa.Table) -> pa.Table:
+    """docs (doc_id, spans) -> one row per non-text span: doc_id, span_idx,
+    kind, media_ref, offset.  Pure Arrow flatten + parent-index gather —
+    the spans list itself is never converted to Python objects."""
+    spans = batch["spans"].combine_chunks()
+    lengths = np.asarray(spans.value_lengths())
+    flat = spans.flatten()
+    parent = np.repeat(np.arange(len(lengths)), lengths)
+    idx_in_doc = np.arange(int(lengths.sum())) - np.repeat(
+        np.concatenate([[0], np.cumsum(lengths)[:-1]]), lengths
+    )
+    kind = flat.field("kind")
+    keep = np.asarray(pc.not_equal(kind, pa.scalar("text")))
+    doc_id = np.asarray(batch["doc_id"], dtype=np.int64)[parent[keep]]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id),
+            "span_idx": pa.array(idx_in_doc[keep].astype(np.int64)),
+            "kind": kind.filter(pa.array(keep)),
+            "media_ref": flat.field("media_ref").filter(pa.array(keep)),
+            "offset": pc.cast(flat.field("offset").filter(pa.array(keep)), pa.int64()),
+        }
+    )
+
+
+def attach_payload(batch: pa.Table) -> pa.Table:
+    """Synthesize the binary payload for each media_ref: md5(media_ref)
+    digest repeated to n_bytes = 64 + (doc_id * 7 + span_idx * 13) % 192.
+    (A real pipeline reads object storage here; the byte-length law is
+    what the oracle checks.)"""
+    doc_id = np.asarray(batch["doc_id"], dtype=np.int64)
+    span_idx = np.asarray(batch["span_idx"], dtype=np.int64)
+    n_bytes = 64 + (doc_id * 7 + span_idx * 13) % 192
+    refs = batch["media_ref"].to_pylist()
+    payloads = []
+    for ref, n in zip(refs, n_bytes.tolist()):
+        d = hashlib.md5(ref.encode()).digest()
+        payloads.append((d * (n // len(d) + 1))[:n])
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+class MediaDecoder:
+    """Actor-pool decode/feature stage.
+
+    ``fake=True`` (default here): deterministic pseudo-decode deriving
+    width/height/feature from the payload bytes — exercises the exact
+    actor signature, batch shapes and output schema a real decoder needs.
+    ``fake=False``: raises NotImplementedError at the codec call (PIL /
+    libsndfile / ffmpeg are not installable in this container)."""
+
+    def __init__(self, fake: bool = True, batch_feature_dim: int = 4):
+        self.fake = fake
+        self.dim = batch_feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        if not self.fake:
+            raise NotImplementedError(
+                "real media decoding requires PIL/libsndfile/ffmpeg, "
+                "unavailable in this environment — run with fake=True"
+            )
+        n_bytes = np.array([len(p) for p in payloads], dtype=np.int64)
+        width = 16 + n_bytes % 32
+        height = 16 + n_bytes % 17
+        # "features": mean of byte values per quarter of the payload
+        feats = np.zeros((len(payloads), self.dim), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            if not p:
+                continue
+            arr = np.frombuffer(p, dtype=np.uint8)
+            for j, chunk in enumerate(np.array_split(arr, self.dim)):
+                feats[i, j] = float(chunk.mean()) if len(chunk) else 0.0
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("n_bytes", pa.array(n_bytes))
+        out = out.append_column("width", pa.array(width))
+        out = out.append_column("height", pa.array(height))
+        out = out.append_column(
+            "features",
+            pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1)), self.dim),
+        )
+        return out
+
+
+def media_pipeline(docs_with_spans_ds, *, concurrency=None, batch_size: int = 1024):
+    """docs -> explode media spans -> attach payload -> decode features.
+
+    Small ``batch_size`` on the decode stage: binary payloads make rows
+    heavy, so batch x concurrency must fit the worker heap (the
+    multimodal memory rule)."""
+    ds = docs_with_spans_ds.map_batches(explode_media_spans, batch_format="pyarrow")
+    ds = ds.map_batches(attach_payload, batch_format="pyarrow")
+    if concurrency is not None:
+        return ds.map_batches(
+            MediaDecoder,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            fn_constructor_kwargs={"fake": True},
+            concurrency=concurrency,
+        )
+    dec = MediaDecoder(fake=True)
+    return ds.map_batches(dec, batch_format="pyarrow", batch_size=batch_size)
+
+
+def sql_media_features() -> str:
+    """Oracle for doc_id/span_idx/kind/media_ref/offset/n_bytes/width/
+    height of the media pipeline (features column is checked by the
+    rows-only path; byte-law twins below are exact)."""
+    from .synth import SQL_N_SPANS
+
+    kind_case = (
+        "CASE ((d.doc_id + i.i) % 3) WHEN 1 THEN 'image' WHEN 2 THEN 'audio' END"
+    )
+    n_bytes = "(64 + (d.doc_id * 7 + i.i * 13) % 192)"
+    return f"""
+SELECT d.doc_id, i.i AS span_idx,
+       {kind_case} AS kind,
+       'media://' || d.doc_id || '/' || i.i AS media_ref,
+       (i.i * 7 + d.doc_id % 5)::BIGINT AS offset,
+       {n_bytes}::BIGINT AS n_bytes,
+       (16 + {n_bytes} % 32)::BIGINT AS width,
+       (16 + {n_bytes} % 17)::BIGINT AS height
+FROM documents d
+JOIN (SELECT UNNEST(generate_series(0, 7)) AS i) i
+  ON i.i < {SQL_N_SPANS.replace('doc_id', 'd.doc_id')}
+WHERE ((d.doc_id + i.i) % 3) != 0
+"""

@@ -44,16 +44,23 @@ GRID_CELL = 10_000.0
 OVL_CELL = 50_000.0
 
 
-def round6(batch: pa.Table, cols: list[str]) -> pa.Table:
-    """Half-away-from-zero rounding to 6 decimals (matches SQL ROUND)."""
+def round_half_away(batch: pa.Table, cols: list[str], decimals: int) -> pa.Table:
+    """Half-away-from-zero rounding (matches SQL ROUND).  Pick ``decimals``
+    so the rounding step dwarfs summation-order ulp noise (~ulp(sum) x
+    addend count) — money sums use 2, small ratios 6."""
+    tol = 10.0**decimals
     for c in cols:
         i = batch.schema.get_field_index(c)
         if i < 0:
             continue
         v = np.asarray(batch.column(i), dtype=np.float64)
-        r = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        r = np.sign(v) * np.floor(np.abs(v) * tol + 0.5) / tol
         batch = batch.set_column(i, c, pa.array(r))
     return batch
+
+
+def round6(batch: pa.Table, cols: list[str]) -> pa.Table:
+    return round_half_away(batch, cols, 6)
 
 
 def docs_points(sf_dir: str, extra_cols: tuple[str, ...] = ()):
@@ -365,6 +372,93 @@ def q_ivf_topk(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# raster / frame / multimodal / stream-shaped
+# ---------------------------------------------------------------------------
+
+_RASTER_KW = dict(height=256, width=256, x_min=0.0, y_min=0.0, resolution=1000.0)
+
+
+def q_raster_cells(sf_dir: str):
+    from ..raster import SyntheticRaster, tiling_raster
+
+    return tiling_raster(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
+
+
+def q_raster_resample(sf_dir: str):
+    from ..raster import SyntheticRaster, resample_raster
+
+    return resample_raster(SyntheticRaster(**_RASTER_KW), out_resolution=2000.0)
+
+
+def q_frame_rowsum(sf_dir: str):
+    import ray.data as rd
+
+    from ..frame import frame_apply
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def f(df):
+        df = df.copy()
+        df["rowsum"] = df["l_quantity"] + df["l_extendedprice"]
+        return df[["l_orderkey", "l_linenumber", "rowsum"]]
+
+    out = frame_apply(ds, f)
+    return out.map_batches(lambda b: round6(b, ["rowsum"]), batch_format="pyarrow")
+
+
+def q_media_features(sf_dir: str):
+    from ..multimodal import media_pipeline
+
+    ds = docs_points(sf_dir).drop_columns(["x", "y"])
+
+    def add_spans(b: pa.Table) -> pa.Table:
+        return b.append_column("spans", build_spans_array(np.asarray(b["doc_id"])))
+
+    ds = ds.map_batches(add_spans, batch_format="pyarrow")
+    out = media_pipeline(ds)
+    return out.drop_columns(["features"])
+
+
+def q_media_features_vec(sf_dir: str):
+    """rows-only variant carrying the feature vectors (list column)."""
+    from ..multimodal import media_pipeline
+
+    ds = docs_points(sf_dir).drop_columns(["x", "y"])
+
+    def add_spans(b: pa.Table) -> pa.Table:
+        return b.append_column("spans", build_spans_array(np.asarray(b["doc_id"])))
+
+    return media_pipeline(ds.map_batches(add_spans, batch_format="pyarrow"))
+
+
+def q_events_window(sf_dir: str):
+    from .relational import events_tumbling_window
+
+    return events_tumbling_window(sf_dir)
+
+
+def q_events_sessionize(sf_dir: str):
+    from .relational import events_sessionize
+
+    return events_sessionize(sf_dir)
+
+
+def q_q1_pricing(sf_dir: str):
+    from .relational import q1_pricing
+
+    return q1_pricing(sf_dir)
+
+
+def q_top_customers(sf_dir: str):
+    from .relational import top_customers
+
+    return top_customers(sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -396,6 +490,15 @@ def queries():
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "raster_cells": q_raster_cells,
+        "raster_resample": q_raster_resample,
+        "frame_rowsum": q_frame_rowsum,
+        "media_features": q_media_features,
+        "media_features_vec": q_media_features_vec,
+        "events_window": q_events_window,
+        "events_sessionize": q_events_sessionize,
+        "q1_pricing": q_q1_pricing,
+        "top_customers": q_top_customers,
     }
 
 
@@ -480,9 +583,64 @@ def oracle_sql():
         "exact_dedup": _sql_exact_dedup(),
         "embedding_neardup": _sql_neardup(),
         "ann_topk": _sql_ann(),
-        # minhash_lsh / simhash / ngram_jaccard / ivf_topk: signature- or
-        # index-based (not SQL-expressible) -> driver rows-only check
+        "raster_cells": _sql_raster_cells(),
+        "raster_resample": _sql_raster_resample(),
+        "frame_rowsum": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND((l_quantity + l_extendedprice) * 1e6) / 1e6 AS rowsum "
+            "FROM lineitem"
+        ),
+        "media_features": _sql_media(),
+        "events_window": _sql_events_window(),
+        "events_sessionize": _sql_events_sessionize(),
+        "q1_pricing": _sql_q1(),
+        "top_customers": _sql_topcust(),
+        # minhash_lsh / simhash / ngram_jaccard / ivf_topk /
+        # media_features_vec: signature- or index-based (not
+        # SQL-expressible) -> driver rows-only check
     }
+
+
+def _sql_raster_cells():
+    from ..raster import SyntheticRaster, sql_raster_cells
+
+    return sql_raster_cells(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
+
+
+def _sql_raster_resample():
+    from ..raster import SyntheticRaster, sql_resample
+
+    return sql_resample(SyntheticRaster(**_RASTER_KW), out_resolution=2000.0)
+
+
+def _sql_media():
+    from ..multimodal import sql_media_features
+
+    return sql_media_features()
+
+
+def _sql_events_window():
+    from .relational import sql_events_tumbling_window
+
+    return sql_events_tumbling_window()
+
+
+def _sql_events_sessionize():
+    from .relational import sql_events_sessionize
+
+    return sql_events_sessionize()
+
+
+def _sql_q1():
+    from .relational import sql_q1_pricing
+
+    return sql_q1_pricing()
+
+
+def _sql_topcust():
+    from .relational import sql_top_customers
+
+    return sql_top_customers()
 
 
 def _sql_quality():

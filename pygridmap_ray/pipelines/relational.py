@@ -1,0 +1,220 @@
+"""Stream-shaped and relational demo pipelines over the testdata tables.
+
+Ray Data has no event-time windows; stream-shaped workloads are
+expressed per the guide: partition by key, sort by ts within the group,
+window inside ``map_groups`` (ordering assumption documented per
+function).  The relational pipelines demonstrate the two-phase
+aggregation and broadcast-join patterns the engine uses everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+US_PER_HOUR = 3_600_000_000
+US_SESSION_GAP = 1_800_000_000  # 30 min
+
+
+def events_tumbling_window(sf_dir: str):
+    """Tumbling 1h window per event_type: count + value sum.
+
+    window key computed vectorized in map_batches (epoch_us // 1h), then
+    ONE small groupby — the canonical pre-keyed shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        win = pc.divide(us, pa.scalar(US_PER_HOUR))
+        return batch.append_column("win", win).drop_columns(["ts"])
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    out = keyed.groupby(["event_type", "win"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="value_sum")
+    )
+
+    def rounder(b: pa.Table) -> pa.Table:
+        from .queries import round6
+
+        return round6(b, ["value_sum"])
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
+def sql_events_tumbling_window() -> str:
+    return (
+        "SELECT event_type, epoch_us(ts) // 3600000000 AS win, "
+        "COUNT(*)::BIGINT AS n_events, "
+        "ROUND(SUM(value) * 1e6) / 1e6 AS value_sum "
+        "FROM events GROUP BY event_type, win"
+    )
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user: sessions counted
+    inside the per-user group after an explicit (ts, event_id) sort —
+    the documented ordering assumption for stream-shaped groups."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        us = g["ts"].astype("int64").to_numpy()
+        gaps = np.diff(us, prepend=us[0])
+        new_sess = (gaps > US_SESSION_GAP).astype(np.int64)
+        new_sess[0] = 1
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int(new_sess.sum())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sql_events_sessionize() -> str:
+    return """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_events,
+       SUM(new_sess)::BIGINT AS n_sessions
+FROM marked GROUP BY user_id
+"""
+
+
+def q1_pricing(sf_dir: str):
+    """TPC-H Q1-style pricing summary with explicit two-phase
+    aggregation: per-batch partial sums (combiner) -> tiny groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        out = g.agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            revenue=("revenue", "sum"),
+            n=("l_quantity", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("revenue", alias_name="revenue"),
+        Sum("n", alias_name="n"),
+    )
+
+    def rounder(b: pa.Table) -> pa.Table:
+        # sums reach ~1e8 at higher sf: summation-order ulp noise (~1e-7)
+        # would straddle a 1e-6 rounding step -> round money to 2 decimals
+        from .queries import round_half_away
+
+        return round_half_away(b, ["sum_qty", "sum_price", "revenue"], 2)
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
+def sql_q1_pricing() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity) * 1e2) / 1e2 AS sum_qty,
+       ROUND(SUM(l_extendedprice) * 1e2) / 1e2 AS sum_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 1e2) / 1e2 AS revenue,
+       COUNT(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Broadcast hash join (orders x customer dimension) + grouped sum +
+    global top-k (sort + limit): the small side ships via the object
+    store once, never a shuffle join."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    ref = {"__ref__": ray.put(cust)}
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", sort=False)["o_totalprice"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total_spent"))
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from ..spatial import _cached_kernel
+
+        lut = _cached_kernel(
+            f"cust:{ref['__ref__'].hex()}",
+            ref,
+            lambda t: t.to_pandas().set_index("c_custkey"),
+        )
+        df = batch.to_pandas()
+        joined = df.join(lut, on="o_custkey", how="inner")
+        return pa.Table.from_pandas(joined, preserve_index=False)
+
+    joined = agg.map_batches(attach, batch_format="pyarrow")
+    out = joined.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(k)
+
+    def rounder(b: pa.Table) -> pa.Table:
+        from .queries import round6
+
+        return round6(b, ["total_spent"])
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
+def sql_top_customers(k: int = 10) -> str:
+    return f"""
+SELECT o_custkey, ROUND(SUM(o_totalprice) * 1e6) / 1e6 AS total_spent,
+       ANY_VALUE(c_name) AS c_name, ANY_VALUE(c_mktsegment) AS c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+ORDER BY SUM(o_totalprice) DESC, o_custkey ASC
+LIMIT {k}
+"""

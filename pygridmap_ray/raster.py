@@ -1,0 +1,303 @@
+"""Raster -> vector tiling (zonal sampling) without rasterio.
+
+Ray-Data-native re-expression of the reference ``gridtiler_raster.py``:
+tile-spec Dataset -> ``map_batches`` actor pool holding open raster
+handles (the reference re-opens files per task, gridtiler_raster.py:60-65)
+-> cell records -> partitioned tile write.
+
+rasterio/GDAL are unavailable in this environment, so the raster source
+is an interface (:class:`RasterSource`) with windowed reads; the bundled
+:class:`SyntheticRaster` generates deterministic bands whose values are
+closed-form in (row, col) — replicable in the DuckDB oracle
+(:func:`sql_raster_cells`).  Swapping in a GeoTIFF source is a reader
+change only.
+
+Georeferencing (reference gridtiler_raster.py:73,110): row 0 is the TOP
+raster row; cell coordinates are lower-left corners, so
+``y = y_min + (H - row - 1) * res`` (the y-flip).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+NODATA = -9999.0
+
+# deterministic band formulas (integers < 2^24 -> exact in float32/float64)
+#   value(band, row, col) = ((row * P1[band] + col * P2[band]) % 1000)
+#   nodata where ((row * 7919 + col * 104729) % 100) < nodata_pct[band]
+_BAND_P1 = {"pop": 92821, "elev": 68917}
+_BAND_P2 = {"pop": 68917, "elev": 92821}
+_BAND_NODATA_PCT = {"pop": 15, "elev": 10}
+
+
+class RasterSource:
+    """Interface: windowed band reads (the rasterio stand-in)."""
+
+    bands: tuple[str, ...]
+    height: int
+    width: int
+    x_min: float
+    y_min: float
+    resolution: float
+
+    def read_window(self, band: str, row0: int, col0: int, h: int, w: int) -> np.ndarray:
+        raise NotImplementedError
+
+
+class SyntheticRaster(RasterSource):
+    """Deterministic raster (FIXTURES.md F5): bands pop/elev, closed-form
+    values + sprinkled nodata; any window computed on the fly."""
+
+    def __init__(
+        self,
+        height: int = 512,
+        width: int = 512,
+        x_min: float = 0.0,
+        y_min: float = 0.0,
+        resolution: float = 1000.0,
+        bands: tuple[str, ...] = ("pop", "elev"),
+    ):
+        self.height = height
+        self.width = width
+        self.x_min = x_min
+        self.y_min = y_min
+        self.resolution = resolution
+        self.bands = bands
+
+    def read_window(self, band, row0, col0, h, w):
+        rows = np.arange(row0, min(row0 + h, self.height))
+        cols = np.arange(col0, min(col0 + w, self.width))
+        r, c = np.meshgrid(rows, cols, indexing="ij")
+        v = ((r * _BAND_P1[band] + c * _BAND_P2[band]) % 1000).astype(np.float64)
+        nod = ((r * 7919 + c * 104729) % 100) < _BAND_NODATA_PCT[band]
+        v[nod] = NODATA
+        return v
+
+
+class RasterTileKernel:
+    """Actor-pool kernel: holds the open raster across all of an actor's
+    tiles (reference re-opens per task)."""
+
+    def __init__(self, raster: RasterSource, tile_size_cell: int, modif_fun=None):
+        self.r = raster
+        self.ts = int(tile_size_cell)
+        self.modif_fun = modif_fun
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for xt, yt in zip(
+            np.asarray(batch["xt"], dtype=np.int64),
+            np.asarray(batch["yt"], dtype=np.int64),
+        ):
+            parts.append(self._tile(int(xt), int(yt)))
+        return (
+            pa.concat_tables([p for p in parts if p is not None])
+            if any(p is not None for p in parts)
+            else self._empty()
+        )
+
+    def _empty(self):
+        cols = {"xt": pa.array([], pa.int64()), "yt": pa.array([], pa.int64()),
+                "x": pa.array([], pa.float64()), "y": pa.array([], pa.float64())}
+        for b in self.r.bands:
+            cols[b] = pa.array([], pa.float64())
+        return pa.table(cols)
+
+    def _tile(self, xt: int, yt: int):
+        r = self.r
+        ts = self.ts
+        # window with the reference's y-flip (gridtiler_raster.py:71-75):
+        # tile (xt, yt) covers rows [H-(yt+1)*ts, H-yt*ts)
+        row0 = r.height - (yt + 1) * ts
+        col0 = xt * ts
+        h = ts + min(row0, 0)
+        row0 = max(row0, 0)
+        if h <= 0 or col0 >= r.width:
+            return None
+        vals = {b: r.read_window(b, row0, col0, h, ts) for b in r.bands}
+        some = next(iter(vals.values()))
+        nrows, ncols = some.shape
+        rr, cc = np.meshgrid(np.arange(nrows), np.arange(ncols), indexing="ij")
+        # a cell exists when ANY band is valid (reference keys cells by
+        # (col,row) and only sets valid bands, gridtiler_raster.py:104-113)
+        any_valid = np.zeros((nrows, ncols), dtype=bool)
+        for b in r.bands:
+            any_valid |= vals[b] != NODATA
+        rr, cc = rr[any_valid], cc[any_valid]
+        if len(rr) == 0:
+            return None
+        abs_row = row0 + rr
+        abs_col = col0 + cc
+        x = r.x_min + abs_col * r.resolution
+        y = r.y_min + (r.height - abs_row - 1) * r.resolution
+        cols = {
+            "xt": pa.array(np.full(len(rr), xt, dtype=np.int64)),
+            "yt": pa.array(np.full(len(rr), yt, dtype=np.int64)),
+            "x": pa.array(x),
+            "y": pa.array(y),
+        }
+        for b in r.bands:
+            v = vals[b][any_valid]
+            if self.modif_fun is not None:
+                v = self.modif_fun(b, v)
+            cols[b] = pa.array(v, pa.float64(), mask=(v == NODATA))
+        return pa.table(cols)
+
+
+def tiling_raster(
+    raster: RasterSource,
+    output_dir: str | None = None,
+    *,
+    tile_size_cell: int = 128,
+    modif_fun=None,
+    concurrency=None,
+):
+    """Raster -> cell-record Dataset (one row per pixel with any valid
+    band), optionally written as a partitioned tile tree (reference
+    tiling_raster, gridtiler_raster.py:143-208)."""
+    import math
+
+    import ray.data as rd
+
+    nxt = math.ceil(raster.width / tile_size_cell)
+    nyt = math.ceil(raster.height / tile_size_cell)
+    specs = [{"xt": xt, "yt": yt} for yt in range(nyt) for xt in range(nxt)]
+    ds = rd.from_items(specs).repartition(min(len(specs), 128))
+    if concurrency is not None:
+        out = ds.map_batches(
+            RasterTileKernel,
+            batch_format="pyarrow",
+            batch_size=4,
+            fn_constructor_args=(raster, tile_size_cell, modif_fun),
+            concurrency=concurrency,
+        )
+    else:
+        kern = RasterTileKernel(raster, tile_size_cell, modif_fun)
+        out = ds.map_batches(kern, batch_format="pyarrow", batch_size=4)
+    if output_dir is not None:
+        from .tiler import write_partitioned
+
+        write_partitioned(out, output_dir, ["xt", "yt"], mode="overwrite")
+    return out
+
+
+def resample_raster(
+    raster: RasterSource,
+    out_resolution: float,
+    *,
+    concurrency=None,
+):
+    """Center-point resampling to a coarser output grid (reference
+    tiling_raster_generic, gridtiler_raster.py:294-313): for every output
+    cell, sample the source pixel containing the cell CENTER; skip cells
+    whose every band is nodata."""
+    import math
+
+    import ray.data as rd
+
+    n_out_x = math.ceil(raster.width * raster.resolution / out_resolution)
+    n_out_y = math.ceil(raster.height * raster.resolution / out_resolution)
+    rows_per_task = max(1, 4096 // max(n_out_x, 1))
+    specs = [
+        {"oy0": oy, "oy1": min(oy + rows_per_task, n_out_y)}
+        for oy in range(0, n_out_y, rows_per_task)
+    ]
+
+    def sample(batch: pa.Table) -> pa.Table:
+        parts = []
+        for oy0, oy1 in zip(
+            np.asarray(batch["oy0"], dtype=np.int64),
+            np.asarray(batch["oy1"], dtype=np.int64),
+        ):
+            oy = np.arange(oy0, oy1)
+            ox = np.arange(n_out_x)
+            gy, gx = np.meshgrid(oy, ox, indexing="ij")
+            gy, gx = gy.ravel(), gx.ravel()
+            cx = raster.x_min + gx * out_resolution + out_resolution / 2.0
+            cy = raster.y_min + gy * out_resolution + out_resolution / 2.0
+            col = np.floor((cx - raster.x_min) / raster.resolution).astype(np.int64)
+            row = raster.height - 1 - np.floor(
+                (cy - raster.y_min) / raster.resolution
+            ).astype(np.int64)
+            ok = (col >= 0) & (col < raster.width) & (row >= 0) & (row < raster.height)
+            gx, gy, col, row = gx[ok], gy[ok], col[ok], row[ok]
+            vals = {}
+            any_valid = np.zeros(len(col), dtype=bool)
+            r0 = int(row.min()) if len(row) else 0
+            r1 = int(row.max()) if len(row) else 0
+            for b in raster.bands:
+                win = raster.read_window(b, r0, 0, r1 - r0 + 1, raster.width)
+                v = win[row - r0, col]
+                vals[b] = v
+                any_valid |= v != NODATA
+            cols = {
+                "ox": pa.array(gx[any_valid]),
+                "oy": pa.array(gy[any_valid]),
+                "x": pa.array((raster.x_min + gx * out_resolution)[any_valid]),
+                "y": pa.array((raster.y_min + gy * out_resolution)[any_valid]),
+            }
+            for b in raster.bands:
+                v = vals[b][any_valid]
+                cols[b] = pa.array(v, pa.float64(), mask=(v == NODATA))
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    ds = rd.from_items(specs).repartition(min(len(specs), 128))
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=2)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+
+def sql_raster_cells(raster: SyntheticRaster, tile_size_cell: int = 128) -> str:
+    """Oracle: same closed-form band values over generate_series pixels."""
+    h, w, res = raster.height, raster.width, raster.resolution
+    x0, y0 = raster.x_min, raster.y_min
+    band_exprs, valid = [], []
+    for b in raster.bands:
+        v = f"((r.i * {_BAND_P1[b]} + c.i * {_BAND_P2[b]}) % 1000)::DOUBLE"
+        nod = f"(((r.i * 7919 + c.i * 104729) % 100) < {_BAND_NODATA_PCT[b]})"
+        band_exprs.append(f"CASE WHEN {nod} THEN NULL ELSE {v} END AS {b}")
+        valid.append(f"NOT {nod}")
+    return f"""
+SELECT (c.i // {tile_size_cell})::BIGINT AS xt,
+       (({h} - r.i - 1) // {tile_size_cell})::BIGINT AS yt,
+       {x0!r} + c.i * {res!r} AS x,
+       {y0!r} + ({h} - r.i - 1) * {res!r} AS y,
+       {', '.join(band_exprs)}
+FROM (SELECT UNNEST(generate_series(0, {h - 1})) AS i) r,
+     (SELECT UNNEST(generate_series(0, {w - 1})) AS i) c
+WHERE {' OR '.join(valid)}
+"""
+
+
+def sql_resample(raster: SyntheticRaster, out_resolution: float) -> str:
+    import math
+
+    h, w, res = raster.height, raster.width, raster.resolution
+    x0, y0 = raster.x_min, raster.y_min
+    n_out_x = math.ceil(w * res / out_resolution)
+    n_out_y = math.ceil(h * res / out_resolution)
+    col = f"CAST(FLOOR((({x0!r} + ox.i * {out_resolution!r} + {out_resolution / 2.0!r}) - {x0!r}) / {res!r}) AS BIGINT)"
+    row = f"({h} - 1 - CAST(FLOOR((({y0!r} + oy.i * {out_resolution!r} + {out_resolution / 2.0!r}) - {y0!r}) / {res!r}) AS BIGINT))"
+    band_exprs, valid = [], []
+    for b in raster.bands:
+        v = f"(({row} * {_BAND_P1[b]} + {col} * {_BAND_P2[b]}) % 1000)::DOUBLE"
+        nod = f"((({row} * 7919 + {col} * 104729) % 100) < {_BAND_NODATA_PCT[b]})"
+        band_exprs.append(f"CASE WHEN {nod} THEN NULL ELSE {v} END AS {b}")
+        valid.append(f"NOT {nod}")
+    return f"""
+SELECT ox.i AS ox, oy.i AS oy,
+       {x0!r} + ox.i * {out_resolution!r} AS x,
+       {y0!r} + oy.i * {out_resolution!r} AS y,
+       {', '.join(band_exprs)}
+FROM (SELECT UNNEST(generate_series(0, {n_out_x - 1})) AS i) ox,
+     (SELECT UNNEST(generate_series(0, {n_out_y - 1})) AS i) oy
+WHERE ({col} >= 0 AND {col} < {w} AND {row} >= 0 AND {row} < {h})
+  AND ({' OR '.join(valid)})
+"""

@@ -94,6 +94,14 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "exact_dedup",
         "embedding_neardup",
         "ann_topk",
+        "raster_cells",
+        "raster_resample",
+        "frame_rowsum",
+        "media_features",
+        "events_window",
+        "events_sessionize",
+        "q1_pricing",
+        "top_customers",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):
