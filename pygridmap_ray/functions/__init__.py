@@ -1,0 +1,28 @@
+"""Scalar/vector functions: geometry kernels, text analysis, dedup
+signatures, similarity search."""
+
+from ..ann import ann_topk, ivf_topk, kmeans_lite  # noqa: F401
+from ..dedup import (  # noqa: F401
+    content_hash,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from ..frame import FrameProcessor, frame_apply  # noqa: F401
+from ..geom import (  # noqa: F401
+    BBoxIndex,
+    cells_coverage,
+    clip_rings_rect,
+    points_in_rings,
+    rings_area,
+)
+from ..text import (  # noqa: F401
+    lang_id,
+    md5_fingerprint,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+)

@@ -1,0 +1,20 @@
+"""Stage kernels (map_batches bodies / actor classes) by pipeline role."""
+
+from ..gridding import EmitCells, emit_tile_cells, make_grid  # noqa: F401
+from ..multimodal import MediaDecoder, media_pipeline  # noqa: F401
+from ..overlay import OverlayKernel, grid_overlay, overlay_fragments  # noqa: F401
+from ..raster import RasterTileKernel, resample_raster, tiling_raster  # noqa: F401
+from ..spatial import (  # noqa: F401
+    KnnJoinKernel,
+    PointJoinKernel,
+    join_points_to_polygons,
+    knn_join,
+)
+from ..tiler import (  # noqa: F401
+    assign_cells,
+    grid_aggregation,
+    grid_tiling,
+    grid_transformation,
+    with_cell_columns,
+    write_partitioned,
+)
