@@ -128,11 +128,129 @@ def emit_tile_cells(
     }
 
 
+def emit_tile_cells_qtree(
+    spec: GridSpec,
+    tiy: int,
+    tix: int,
+    mask: list[dict] | bool | None,
+    trim: bool,
+    interior: bool,
+) -> dict[str, np.ndarray] | None:
+    """Quadtree variant of the cell-emission kernel (reference
+    qtree_process_tile, gridding.py:191-255): recursively split the tile's
+    cell window; a window fully covered by a single mask polygon
+    bulk-emits (within=1, intersects=1) without per-cell tests; a window
+    overlapping no polygon bbox prunes (trim) or bulk-emits (0, 0);
+    otherwise recurse to cell level.  Produces the IDENTICAL row set and
+    flags as :func:`emit_tile_cells` (the conformance target); unlike the
+    reference, tile sizes need not be powers of two (windows split at
+    midpoints, gridding.py:337-338 constraint dropped).
+
+    Measured: ~6x SLOWER than the prll kernel here — the reference's
+    quadtree wins by skipping per-cell shapely calls, but the prll kernel
+    already resolves interior cells with one vectorized center test, so
+    the recursion only adds Python overhead.  Kept for operator parity;
+    prll is the default and the fast path."""
+    if not (isinstance(mask, list) and mask):
+        return emit_tile_cells(spec, tiy, tix, mask, trim, interior)
+    r0, r1, c0, c1 = _tile_cell_range(spec, tiy, tix)
+    if r1 - r0 <= 0 or c1 - c0 <= 0:
+        return None
+    w, h = spec.cellsize
+    x_org, y_org = spec.bbox[0], spec.bbox[1]
+    cell_area = w * h
+    acc_iy: list[np.ndarray] = []
+    acc_ix: list[np.ndarray] = []
+    acc_w: list[np.ndarray] = []
+    acc_i: list[np.ndarray] = []
+
+    def bulk(rr0, rr1, cc0, cc1, within_v, inter_v):
+        iy_g, ix_g = np.mgrid[rr0:rr1, cc0:cc1]
+        n = iy_g.size
+        acc_iy.append(iy_g.ravel())
+        acc_ix.append(ix_g.ravel())
+        acc_w.append(np.full(n, within_v, dtype=bool))
+        acc_i.append(np.full(n, inter_v, dtype=bool))
+
+    def rec(rr0, rr1, cc0, cc1):
+        if rr1 <= rr0 or cc1 <= cc0:
+            return
+        wx0 = x_org + cc0 * w
+        wy0 = y_org + rr0 * h
+        wx1 = x_org + cc1 * w
+        wy1 = y_org + rr1 * h
+        cand = [
+            p
+            for p in mask
+            if p["bbox"][0] < wx1
+            and p["bbox"][2] > wx0
+            and p["bbox"][1] < wy1
+            and p["bbox"][3] > wy0
+        ]
+        if not cand:
+            if not trim:
+                bulk(rr0, rr1, cc0, cc1, False, False)
+            return
+        win_area = (wx1 - wx0) * (wy1 - wy0)
+        if any(
+            clip_area_rect(p["rings"], wx0, wy0, wx1, wy1)
+            >= win_area * (1.0 - TOL_EPS)
+            for p in cand
+        ):
+            bulk(rr0, rr1, cc0, cc1, True, True)
+            return
+        if rr1 - rr0 == 1 and cc1 - cc0 == 1:
+            within_v = inter_v = False
+            for p in cand:
+                a = clip_area_rect(p["rings"], wx0, wy0, wx1, wy1)
+                within_v |= a >= cell_area * (1.0 - TOL_EPS)
+                inter_v |= a > cell_area * TOL_EPS
+            if trim and not inter_v and not within_v:
+                return
+            if interior and not within_v:
+                return
+            bulk(rr0, rr1, cc0, cc1, within_v, inter_v)
+            return
+        rm = (rr0 + rr1) // 2 if rr1 - rr0 > 1 else rr1
+        cm = (cc0 + cc1) // 2 if cc1 - cc0 > 1 else cc1
+        rec(rr0, rm, cc0, cm)
+        rec(rr0, rm, cm, cc1)
+        rec(rm, rr1, cc0, cm)
+        rec(rm, rr1, cm, cc1)
+
+    rec(r0, r1, c0, c1)
+    if not acc_iy:
+        return None
+    iy_g = np.concatenate(acc_iy)
+    ix_g = np.concatenate(acc_ix)
+    within = np.concatenate(acc_w)
+    intersects = np.concatenate(acc_i)
+    if trim:
+        keep = within if interior else (within | intersects)
+        iy_g, ix_g = iy_g[keep], ix_g[keep]
+        within, intersects = within[keep], intersects[keep]
+        if len(iy_g) == 0:
+            return None
+    offx, offy = pos_offset(spec.xypos, spec.cellsize)
+    return {
+        "cell_id": (iy_g * spec.ncols + ix_g).astype(np.int64),
+        "ix": ix_g.astype(np.int32),
+        "iy": iy_g.astype(np.int32),
+        "x": spec.bbox[0] + ix_g * w + offx,
+        "y": spec.bbox[1] + iy_g * h + offy,
+        "tile_id": np.full(len(iy_g), spec.tile_id(tiy, tix), dtype=np.int64),
+        "intersects": intersects.astype(np.int8),
+        "within": within.astype(np.int8),
+    }
+
+
 class EmitCells:
     """Actor-pool kernel: holds the broadcast mask once per actor
     (reference ships the mask with every tile task, gridding.py:345-353)."""
 
-    def __init__(self, spec: GridSpec, mask, trim: bool, interior: bool):
+    def __init__(
+        self, spec: GridSpec, mask, trim: bool, interior: bool, mode: str = "prll"
+    ):
         import ray
 
         self.spec = spec
@@ -143,13 +261,14 @@ class EmitCells:
         self.mask = mask
         self.trim = trim
         self.interior = interior
+        self.kernel = emit_tile_cells_qtree if mode == "qtree" else emit_tile_cells
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tiys = batch["tiy"].to_numpy()
         tixs = batch["tix"].to_numpy()
         parts = []
         for tiy, tix in zip(tiys.tolist(), tixs.tolist()):
-            out = emit_tile_cells(
+            out = self.kernel(
                 self.spec, tiy, tix, self.mask, self.trim, self.interior
             )
             if out is not None:
@@ -180,6 +299,7 @@ def make_grid(
     interior: bool = False,
     xypos: str = "LLc",
     sort: bool | str = False,
+    mode: str = "prll",
     concurrency: int | tuple[int, int] | None = None,
 ):
     """Build the cell grid as a Ray Dataset (reference GridMaker.__call__ +
@@ -213,12 +333,14 @@ def make_grid(
     # ~1 tile per block so tiles parallelize across the pool
     ds = ds.repartition(min(len(specs), 256))
     mask_ref = {"__ref__": ray.put(mask)} if isinstance(mask, list) else mask
+    if mode not in ("prll", "seq", "qtree"):
+        raise ValueError(f"mode must be prll|seq|qtree, got {mode!r}")
     if concurrency is not None:
         out = ds.map_batches(
             EmitCells,
             batch_format="pyarrow",
             batch_size=4,
-            fn_constructor_args=(spec, mask_ref, trim, interior),
+            fn_constructor_args=(spec, mask_ref, trim, interior, mode),
             concurrency=concurrency,
         )
     else:
@@ -226,17 +348,17 @@ def make_grid(
 
         key = (
             f"emit:{mask_ref['__ref__'].hex() if isinstance(mask_ref, dict) else mask_ref}"
-            f":{spec!r}:{trim}:{interior}"
+            f":{spec!r}:{trim}:{interior}:{mode}"
         )
         ref = mask_ref if isinstance(mask_ref, dict) else {"__ref__": None}
 
         def apply(batch: pa.Table) -> pa.Table:
             if isinstance(mask_ref, dict):
                 kern = _cached_kernel(
-                    key, ref, lambda m: EmitCells(spec, m, trim, interior)
+                    key, ref, lambda m: EmitCells(spec, m, trim, interior, mode)
                 )
             else:
-                kern = EmitCells(spec, mask_ref, trim, interior)
+                kern = EmitCells(spec, mask_ref, trim, interior, mode)
             return kern(batch)
 
         out = ds.map_batches(apply, batch_format="pyarrow", batch_size=4)

@@ -115,6 +115,41 @@ def pos_offset(xypos: str, cellsize: tuple[float, float]) -> tuple[float, float]
     raise ValueError(f"xypos must be one of {XYPOS}, got {xypos!r}")
 
 
+def align_pos_location(
+    cellsize: tuple[float, float],
+    bbox: tuple[float, float, float, float],
+    loc: tuple[float, float] = (0.0, 0.0),
+) -> tuple[float, float, float, float]:
+    """Expand a bbox so grid lines pass through the anchor location —
+    INSPIRE-style grid-origin snapping (reference base.py:391-429): the
+    min corner moves down/left to the nearest anchor-aligned grid line,
+    the max corner up/right."""
+    import math
+
+    w, h = cellsize
+    lx, ly = loc
+    xmin = lx + math.floor((bbox[0] - lx) / w) * w
+    ymin = ly + math.floor((bbox[1] - ly) / h) * h
+    xmax = lx + math.ceil((bbox[2] - lx) / w) * w
+    ymax = ly + math.ceil((bbox[3] - ly) / h) * h
+    return (xmin, ymin, xmax, ymax)
+
+
+def dataset_bbox(ds, x_col: str = "x", y_col: str = "y"):
+    """Bounds of a point Dataset via a streaming Min/Max aggregate — the
+    engine's ``get_bbox`` (reference base.py:223-234, which materializes
+    ``total_bounds`` on the driver)."""
+    from ray.data.aggregate import Max, Min
+
+    row = ds.aggregate(
+        Min(x_col, alias_name="xmin"),
+        Min(y_col, alias_name="ymin"),
+        Max(x_col, alias_name="xmax"),
+        Max(y_col, alias_name="ymax"),
+    )
+    return (row["xmin"], row["ymin"], row["xmax"], row["ymax"])
+
+
 @dataclass(frozen=True)
 class GridSpec:
     """Planning result shared by every gridding/overlay stage."""
