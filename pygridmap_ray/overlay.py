@@ -297,6 +297,44 @@ def area_interpolate(
     )
 
 
+def crop_grid_bbox(grid_ds, bbox, x_col: str = "x", y_col: str = "y"):
+    """Partition pruning by coordinate predicate — O3 strategy (c)
+    (reference crop_polygon, overlay.py:206-208): keep cells with
+    xmin <= x <= xmax and ymin <= y <= ymax, vectorized per batch."""
+    import pyarrow.compute as pc
+
+    xmin, ymin, xmax, ymax = bbox
+
+    def f(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(b[x_col], pa.scalar(float(xmin))),
+                pc.less_equal(b[x_col], pa.scalar(float(xmax))),
+            ),
+            pc.and_(
+                pc.greater_equal(b[y_col], pa.scalar(float(ymin))),
+                pc.less_equal(b[y_col], pa.scalar(float(ymax))),
+            ),
+        )
+        return b.filter(keep)
+
+    return grid_ds.map_batches(f, batch_format="pyarrow")
+
+
+def crop_grid_tiles(grid_ds, tile_ids, tile_col: str = "tile_id"):
+    """Partition pruning by stored tile id — O3 strategy (a) (reference
+    overlay.py:196-199): the tile id is a COLUMN, so pruning is a
+    vectorized membership filter, not a scheduling concern."""
+    import pyarrow.compute as pc
+
+    ids = pa.array(sorted(int(t) for t in tile_ids), pa.int64())
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[tile_col], value_set=ids))
+
+    return grid_ds.map_batches(f, batch_format="pyarrow")
+
+
 def cells_to_polygon_layer(
     df: pd.DataFrame, spec: GridSpec, value_col: str = "val"
 ) -> list[dict]:

@@ -178,9 +178,29 @@ def tiling_raster(
         kern = RasterTileKernel(raster, tile_size_cell, modif_fun)
         out = ds.map_batches(kern, batch_format="pyarrow", batch_size=4)
     if output_dir is not None:
+        import json as _json
+
         from .tiler import write_partitioned
 
         write_partitioned(out, output_dir, ["xt", "yt"], mode="overwrite")
+        # info.json metadata (reference gridtiler_raster.py:181-202)
+        import os as _os
+
+        info = {
+            "dims": list(raster.bands),
+            "crs": getattr(raster, "crs", "EPSG:3035"),
+            "tileSizeCell": int(tile_size_cell),
+            "originPoint": {"x": raster.x_min, "y": raster.y_min},
+            "resolutionGeo": raster.resolution,
+            "tilingBounds": {
+                "xMin": 0,
+                "xMax": nxt - 1,
+                "yMin": 0,
+                "yMax": nyt - 1,
+            },
+        }
+        with open(_os.path.join(output_dir, "info.json"), "w") as f:
+            _json.dump(info, f, indent=2)
     return out
 
 

@@ -159,6 +159,7 @@ def write_partitioned(
     *,
     mode: str = "overwrite",
     compression: str = "snappy",
+    file_format: str = "parquet",
 ):
     """Scalable hive-layout parquet sink: ``out/{col}={v}/part-*.parquet``.
 
@@ -198,9 +199,16 @@ def write_partitioned(
                 output_dir, *(f"{c}={v}" for c, v in zip(partition_cols, vals))
             )
             os.makedirs(d, exist_ok=True)
-            name = f"part-{uuid.uuid4().hex}.parquet"
+            name = f"part-{uuid.uuid4().hex}.{file_format}"
             tmp = os.path.join(d, f".tmp-{name}")
-            pq.write_table(part, tmp, compression=compression)
+            if file_format == "csv":
+                # CSV tile tree with x,y first (reference layout,
+                # gridtiler.py:124-144,543-563)
+                import pyarrow.csv as pcsv
+
+                pcsv.write_csv(order_columns_xy_first(part), tmp)
+            else:
+                pq.write_table(part, tmp, compression=compression)
             os.rename(tmp, os.path.join(d, name))
             paths.append(os.path.join(d, name))
             rows.append(part.num_rows)
@@ -288,6 +296,47 @@ def grid_tiling(
     with open(os.path.join(output_dir, "info.json"), "w") as f:
         json.dump(info, f, indent=2)
     return info
+
+
+def read_cells_csv(path: str, **kwargs):
+    """CSV cell-record source (reference DictReader input,
+    gridtiler.py:87-92) — mandatory x,y columns, dynamic extra columns."""
+    import ray.data as rd
+
+    return rd.read_csv(path, **kwargs)
+
+
+def csv_to_parquet(input_path: str, output_dir: str, **kwargs):
+    """Format conversion (reference csv_to_parquet, gridtiler.py:279-300):
+    read_csv -> int-downcast -> write_parquet."""
+    import ray.data as rd
+
+    ds = read_cells_csv(input_path, **kwargs)
+    ds = ds.map_batches(round_floats_to_ints, batch_format="pyarrow")
+    ds.write_parquet(output_dir, mode="overwrite")
+    return ds
+
+
+def order_columns_xy_first(batch: pa.Table) -> pa.Table:
+    """x,y first, then the attribute columns (reference get_csv_header
+    column-ordering contract, gridtiler.py:543-563)."""
+    names = batch.column_names
+    first = [c for c in ("x", "y") if c in names]
+    rest = [c for c in names if c not in ("x", "y")]
+    return batch.select(first + rest)
+
+
+def check_ref_crs(crs1: str, crs2: str | None) -> str:
+    """Assert two layers share a CRS (reference check_ref_proj,
+    base.py:205-212).  Reprojection (set_ref_proj, base.py:215-220) is out
+    of scope — pyproj is unavailable — so a mismatch raises instead of
+    coercing; the engine operates in one planar CRS per pipeline."""
+    if crs2 is not None and crs1 != crs2:
+        raise ValueError(
+            f"CRS mismatch: {crs1!r} vs {crs2!r} — reproject inputs to a "
+            "common planar CRS before building the pipeline"
+        )
+    return crs1
 
 
 def read_tiles(output_dir: str, **kwargs):
