@@ -124,6 +124,28 @@ def q_spatial_join_left(sf_dir: str):
     return out.select_columns(["doc_id", "poly_id", "nuts_id", "pop"])
 
 
+def q_spatial_join_hash(sf_dir: str):
+    """Partitioned-hash-join variant of spatial_join (both-sides-large
+    path) — same oracle as the broadcast join."""
+    from ..spatial import join_points_via_cell_index
+
+    layer = polygon_layer()
+    out = join_points_via_cell_index(
+        docs_points(sf_dir), layer, resolution=10_000.0, num_partitions=8
+    )
+    lut_nuts = pa.array([p["nuts_id"] for p in layer])
+    lut_pop = np.array([p["pop"] for p in layer])
+
+    def attach(b: pa.Table) -> pa.Table:
+        pid = np.asarray(b["poly_id"], dtype=np.int64)
+        b = b.append_column("nuts_id", lut_nuts.take(pa.array(pid)))
+        return b.append_column("pop", pa.array(lut_pop[pid]))
+
+    return out.map_batches(attach, batch_format="pyarrow").select_columns(
+        ["doc_id", "poly_id", "nuts_id", "pop"]
+    )
+
+
 def q_grid_make(sf_dir: str):
     return make_grid(polygon_layer(), cellsize=GRID_CELL, bbox=DOMAIN, tile=(16, 16))
 
@@ -470,6 +492,7 @@ def queries():
         "tiling_bounds": q_tiling_bounds,
         "spatial_join": q_spatial_join,
         "spatial_join_left": q_spatial_join_left,
+        "spatial_join_hash": q_spatial_join_hash,
         "grid_make": q_grid_make,
         "grid_make_interior": q_grid_make_interior,
         "grid_make_rect": q_grid_make_rect,
@@ -539,6 +562,10 @@ def oracle_sql():
         ),
         "spatial_join_left": (
             sql_point_join(points, "left")
+            .replace("SELECT p.*", "SELECT p.doc_id")
+        ),
+        "spatial_join_hash": (
+            sql_point_join(points, "inner")
             .replace("SELECT p.*", "SELECT p.doc_id")
         ),
         "grid_make": sql_make_grid(DOMAIN, GRID_CELL, tile=(16, 16)),

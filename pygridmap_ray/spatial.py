@@ -198,6 +198,130 @@ FROM points p
 """
 
 
+def polygon_cells_index(
+    polygons: list[dict],
+    *,
+    resolution: float,
+    origin: tuple[float, float] = (0.0, 0.0),
+) -> "object":
+    """Distributed (cell_key, poly_id, full) index of a polygon layer.
+
+    The scale path for spatial joins where BOTH sides are large (guide:
+    partitioned hash join): each polygon's coverage is rasterized onto the
+    cell grid — ``full=True`` cells are entirely inside the polygon,
+    ``full=False`` cells touch its boundary.  Built as a Dataset so a
+    10^6-polygon layer indexes in parallel and the result can be persisted
+    / hash-partitioned by cell_key.
+    """
+    import ray
+    import ray.data as rd
+
+    from .geom.kernels import TOL_EPS, cells_coverage
+
+    ref = {"__ref__": ray.put(polygons)}
+    ox, oy = origin
+    res = float(resolution)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        polys = _cached_kernel(f"pci:{ref['__ref__'].hex()}", ref, lambda p: p)
+        keys, pids, fulls = [], [], []
+        for i in np.asarray(batch["id"], dtype=np.int64).tolist():
+            p = polys[i]
+            bx0, by0, bx1, by1 = p["bbox"]
+            ix0 = int(np.floor((bx0 - ox) / res))
+            iy0 = int(np.floor((by0 - oy) / res))
+            ix1 = int(np.ceil((bx1 - ox) / res))
+            iy1 = int(np.ceil((by1 - oy) / res))
+            nx, ny = max(ix1 - ix0, 1), max(iy1 - iy0, 1)
+            cov = cells_coverage(
+                p["rings"], ox + ix0 * res, oy + iy0 * res, res, res, nx, ny
+            )
+            cell_area = res * res
+            iys, ixs = np.nonzero(cov > cell_area * TOL_EPS)
+            if len(iys) == 0:
+                continue
+            full = cov[iys, ixs] >= cell_area * (1.0 - TOL_EPS)
+            keys.append((iys + iy0).astype(np.int64) * 2**32 + (ixs + ix0))
+            pids.append(np.full(len(iys), p["poly_id"], dtype=np.int64))
+            fulls.append(full)
+        if not keys:
+            return pa.table(
+                {
+                    "cell_key": pa.array([], pa.int64()),
+                    "poly_id": pa.array([], pa.int64()),
+                    "full": pa.array([], pa.bool_()),
+                }
+            )
+        return pa.table(
+            {
+                "cell_key": pa.array(np.concatenate(keys)),
+                "poly_id": pa.array(np.concatenate(pids)),
+                "full": pa.array(np.concatenate(fulls)),
+            }
+        )
+
+    specs = rd.range(len(polygons), override_num_blocks=max(1, min(len(polygons), 64)))
+    return specs.map_batches(emit, batch_format="pyarrow")
+
+
+def join_points_via_cell_index(
+    points_ds,
+    polygons: list[dict],
+    *,
+    resolution: float,
+    origin: tuple[float, float] = (0.0, 0.0),
+    num_partitions: int = 32,
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Partitioned-hash-join spatial join (both sides large).
+
+    points are cell-encoded; the polygon layer becomes a (cell_key,
+    poly_id, full) Dataset; a hash `Dataset.join` on cell_key produces
+    candidates; cells fully inside a polygon are accepted without
+    geometry, boundary cells get an exact point-in-polygon verify (rings
+    fetched from the broadcast layer — for layers too big to broadcast,
+    partition the verify stage by poly_id range instead).
+
+    Returns (point columns..., poly_id) — semantically identical to
+    ``join_points_to_polygons(how='inner')`` modulo row order.
+    """
+    import ray
+
+    from .tiler import with_cell_columns
+
+    idx = polygon_cells_index(polygons, resolution=resolution, origin=origin)
+    pts = with_cell_columns(
+        points_ds,
+        resolution=resolution,
+        tile_size_cell=128,
+        x_origin=origin[0],
+        y_origin=origin[1],
+        x_col=x_col,
+        y_col=y_col,
+    ).drop_columns(["ix", "iy", "xt", "yt", "local_x", "local_y"])
+    cand = pts.join(
+        idx, "inner", num_partitions=num_partitions, on=("cell_key",)
+    )
+    ref = {"__ref__": ray.put(polygons)}
+
+    def verify(batch: pa.Table) -> pa.Table:
+        polys = _cached_kernel(f"pciv:{ref['__ref__'].hex()}", ref, lambda p: p)
+        full = np.asarray(batch["full"])
+        px = np.asarray(batch[x_col], dtype=np.float64)
+        py = np.asarray(batch[y_col], dtype=np.float64)
+        pid = np.asarray(batch["poly_id"], dtype=np.int64)
+        keep = full.copy()
+        by_pid = {p["poly_id"]: p for p in polys}
+        for b_pid in np.unique(pid[~full]):
+            sel = np.nonzero((pid == b_pid) & ~full)[0]
+            inside = points_in_rings(px[sel], py[sel], by_pid[int(b_pid)]["rings"])
+            keep[sel] = inside
+        return batch.filter(pa.array(keep)).drop_columns(["full", "cell_key"])
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
 def knn_cells_offsets(k_rings: int) -> np.ndarray:
     """Ring-expansion neighbor offsets for kNN cell lookups: all (dx, dy)
     within Chebyshev distance ``k_rings``, ordered ring by ring (the

@@ -78,6 +78,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "tiling_bounds",
         "spatial_join",
         "spatial_join_left",
+        "spatial_join_hash",
         "grid_make",
         "grid_make_interior",
         "grid_make_rect",
