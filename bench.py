@@ -240,7 +240,7 @@ def run_scaling() -> dict:
         "unit": "efficiency",
         "cpus": [lo, hi],
     }
-    for stage, trials in (("join", 3), ("flagship", 1)):
+    for stage, trials in (("join", 3), ("flagship", 2)):
         r_lo = best_of(lo, stage, trials)
         r_hi = best_of(hi, stage, trials)
         eff = r_hi["docs_per_sec"] / ((hi / lo) * r_lo["docs_per_sec"])
