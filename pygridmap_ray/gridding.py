@@ -362,10 +362,19 @@ def make_grid(
             return kern(batch)
 
         out = ds.map_batches(apply, batch_format="pyarrow", batch_size=4)
+    # sorted modes (reference gridding.py:64: tile/tilerc/tilecr/rc/cr)
     if sort == "tile":
         out = out.sort(["tile_id", "cell_id"])
+    elif sort == "tilerc":
+        out = out.sort(["tile_id", "iy", "ix"])
+    elif sort == "tilecr":
+        out = out.sort(["tile_id", "ix", "iy"])
     elif sort == "rc" or sort is True:
         out = out.sort(["iy", "ix"])
+    elif sort == "cr":
+        out = out.sort(["ix", "iy"])
+    elif sort:
+        raise ValueError(f"sort must be tile|tilerc|tilecr|rc|cr, got {sort!r}")
     return out
 
 
