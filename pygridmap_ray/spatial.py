@@ -360,9 +360,28 @@ class KnnJoinKernel:
         self.rid = np.asarray(ref_points["id"], dtype=np.int64)
         self.res = float(resolution)
         self.k = int(k)
-        cix = np.floor(self.rx / self.res).astype(np.int64)
-        ciy = np.floor(self.ry / self.res).astype(np.int64)
-        key = ciy * (2**32) + cix
+        # adapt the internal cell size to observed density: skewed corpora
+        # (dense urban clusters) at the caller's resolution can put 1000s
+        # of points in one cell, exploding candidate sets — halve the cell
+        # until the p95 occupied-cell occupancy is O(k).  Results are
+        # exact at ANY index resolution (the ring bound scales with it);
+        # this is purely a candidate-set-size control.
+        for _ in range(8):
+            cix = np.floor(self.rx / self.res).astype(np.int64)
+            ciy = np.floor(self.ry / self.res).astype(np.int64)
+            key = ciy * (2**32) + cix
+            _, counts = np.unique(key, return_counts=True)
+            if len(counts) == 0:
+                break
+            # occupancy experienced by a random point (sum c^2 / n): a few
+            # very hot cells dominate this even when cell-quantiles look
+            # tame — exactly the skew signature
+            point_weighted = float((counts.astype(np.float64) ** 2).sum()) / len(
+                self.rx
+            )
+            if point_weighted <= max(8 * self.k, 32):
+                break
+            self.res /= 2.0
         order = np.argsort(key, kind="stable")
         self.sorted_key = key[order]
         self.order = order
@@ -372,6 +391,72 @@ class KnnJoinKernel:
         hi = np.searchsorted(self.sorted_key, key, side="right")
         return self.order[lo:hi]
 
+    def _bulk_pass(self, px, py, r_bulk: int = 2):
+        """Vectorized candidate gather over the (2r+1)^2 neighborhood for
+        ALL points at once: per offset, one searchsorted pair over the
+        sorted cell keys; ragged member ranges expanded with repeat/cumsum;
+        per-point top-k via one lexsort over (point, distance, id) runs.
+
+        Returns (ids, dists) arrays of shape (n, k) and a boolean
+        ``resolved`` mask — a point resolves when it has >= k candidates
+        and its k-th distance is within the explored radius r_bulk * res
+        (the exactness bound); the rest fall back to the ring loop."""
+        n = len(px)
+        k = self.k
+        cix = np.floor(px / self.res).astype(np.int64)
+        ciy = np.floor(py / self.res).astype(np.int64)
+        pt_parts: list[np.ndarray] = []
+        mem_parts: list[np.ndarray] = []
+        for dy in range(-r_bulk, r_bulk + 1):
+            for dx in range(-r_bulk, r_bulk + 1):
+                key = (ciy + dy) * (2**32) + (cix + dx)
+                lo = np.searchsorted(self.sorted_key, key, side="left")
+                hi = np.searchsorted(self.sorted_key, key, side="right")
+                lens = hi - lo
+                tot = int(lens.sum())
+                if tot == 0:
+                    continue
+                # ragged expansion: member positions lo[i]..hi[i] per point
+                pt = np.repeat(np.arange(n), lens)
+                starts = np.repeat(lo, lens)
+                within = np.arange(tot) - np.repeat(
+                    np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+                )
+                mem_parts.append(self.order[starts + within])
+                pt_parts.append(pt)
+        if not pt_parts:
+            return (
+                np.full((n, k), -1, np.int64),
+                np.full((n, k), np.nan),
+                np.zeros(n, bool),
+            )
+        pt = np.concatenate(pt_parts)
+        mem = np.concatenate(mem_parts)
+        d2 = (self.rx[mem] - px[pt]) ** 2 + (self.ry[mem] - py[pt]) ** 2
+        rid = self.rid[mem]
+        order = np.lexsort((rid, d2, pt))
+        pt_s, d2_s, rid_s = pt[order], d2[order], rid[order]
+        # run boundaries per point
+        run_start = np.zeros(len(pt_s), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = pt_s[1:] != pt_s[:-1]
+        start_idx = np.nonzero(run_start)[0]
+        run_pt = pt_s[start_idx]
+        run_len = np.diff(np.append(start_idx, len(pt_s)))
+        pos_in_run = np.arange(len(pt_s)) - np.repeat(start_idx, run_len)
+        counts = np.zeros(n, dtype=np.int64)
+        counts[run_pt] = run_len
+        top = pos_in_run < k
+        ids_out = np.full((n, k), -1, np.int64)
+        d_out = np.full((n, k), np.nan)
+        ids_out[pt_s[top], pos_in_run[top]] = rid_s[top]
+        d_out[pt_s[top], pos_in_run[top]] = d2_s[top]
+        resolved = counts >= k
+        if resolved.any():
+            kth = d_out[:, k - 1]
+            resolved &= kth <= (r_bulk * self.res) ** 2
+        return ids_out, d_out, resolved
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = np.asarray(batch["x"], dtype=np.float64)
         py = np.asarray(batch["y"], dtype=np.float64)
@@ -380,7 +465,12 @@ class KnnJoinKernel:
         out_id = np.empty(n * self.k, dtype=np.int64)
         out_d = np.empty(n * self.k, dtype=np.float64)
         out_rank = np.tile(np.arange(1, self.k + 1), n)
-        for i in range(n):
+        bulk_ids, bulk_d2, resolved = self._bulk_pass(px, py)
+        id_m = out_id.reshape(n, self.k)
+        d_m = out_d.reshape(n, self.k)
+        id_m[resolved] = bulk_ids[resolved]
+        d_m[resolved] = np.sqrt(bulk_d2[resolved])
+        for i in np.nonzero(~resolved)[0].tolist():
             cix = int(np.floor(px[i] / self.res))
             ciy = int(np.floor(py[i] / self.res))
             cand: list[np.ndarray] = []
