@@ -133,6 +133,89 @@ def kmeans_lite(
     return cents
 
 
+def ivf_build(
+    ds,
+    centroids: np.ndarray,
+    output_dir: str,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Materialize the IVF index as a bucket-partitioned parquet tree:
+    ``out/bucket={c}/part-*.parquet``.  This is the scale path's layout —
+    searches then PRUNE AT THE READ, loading only the ``nprobe`` bucket
+    directories a query needs instead of streaming the whole corpus."""
+    import ray
+
+    from .tiler import write_partitioned
+
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = {"__ref__": ray.put(cents)}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from .spatial import _cached_kernel
+
+        c = _cached_kernel(f"ivfb:{ref['__ref__'].hex()}", ref, lambda p: p)
+        v = _normalize(_emb_matrix(batch, emb_col))
+        bucket = (
+            np.argmax(v @ c.T, axis=1).astype(np.int64)
+            if batch.num_rows
+            else np.empty(0, np.int64)
+        )
+        return batch.append_column("bucket", pa.array(bucket))
+
+    return write_partitioned(
+        ds.map_batches(assign, batch_format="pyarrow"), output_dir, ["bucket"]
+    )
+
+
+def ivf_search_pruned(
+    index_dir: str,
+    queries: dict,
+    centroids: np.ndarray,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Search a built IVF tree reading ONLY the probed bucket partitions
+    (column-pruned, partition-pruned read), then the same two-phase
+    partial/final top-k as :func:`ann_topk`."""
+    import os
+
+    import ray.data as rd
+
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    qm = _normalize(np.asarray(queries["matrix"], dtype=np.float64))
+    probes = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    import glob as _glob
+
+    needed = sorted({int(b) for row in probes for b in row})
+    paths = [
+        f
+        for b in needed
+        for f in _glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))
+    ]
+    if not paths:
+        import pandas as _pd
+
+        return rd.from_pandas(
+            _pd.DataFrame({"query_id": [], "rank": [], "neighbor_id": [], "cosine": []})
+        )
+    ds = rd.read_parquet(paths, columns=[id_col, emb_col])
+    # per-query probe masks still apply inside the partial stage
+    return ivf_topk(
+        ds,
+        queries,
+        cents,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        emb_col=emb_col,
+    )
+
+
 def ivf_topk(
     ds,
     queries: dict,

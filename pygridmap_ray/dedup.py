@@ -34,21 +34,39 @@ _PERM_A = _rng.integers(1, (1 << 61) - 1, size=_MINHASH_K, dtype=np.uint64)
 _PERM_B = _rng.integers(0, (1 << 61) - 1, size=_MINHASH_K, dtype=np.uint64)
 
 
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Deterministic 61-bit hashes of word n-grams."""
-    toks = TOKEN_RE.findall(text or "")
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    if not grams:
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """Deterministic 64-bit token hashes: crc32 of the token bytes mixed
+    with a splitmix64 finalizer (C-speed via zlib; PYTHONHASHSEED-free)."""
+    import zlib
+
+    if not toks:
         return np.empty(0, dtype=np.uint64)
-    out = np.fromiter(
-        (int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams),
-        dtype=np.uint64,
-        count=len(grams),
+    h = np.fromiter(
+        (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
     )
-    return np.unique(out)
+    # splitmix64 finalize for 64-bit spread
+    h = (h + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    h ^= h >> np.uint64(30)
+    h = (h * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    h ^= h >> np.uint64(27)
+    h = (h * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Deterministic 61-bit hashes of word n-grams — vectorized rolling
+    polynomial over token hashes (no per-gram string building/md5)."""
+    toks = TOKEN_RE.findall(text or "")
+    th = _token_hashes(toks)
+    if len(th) == 0:
+        return np.empty(0, dtype=np.uint64)
+    m = min(n, len(th))
+    acc = np.zeros(len(th) - m + 1, dtype=np.uint64)
+    base = np.uint64(1000003)
+    for j in range(m):
+        acc = (acc * base + th[j : j + len(acc)]) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return np.unique(acc >> np.uint64(3))  # 61-bit range for the permutations
 
 
 def content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -95,3 +95,40 @@ def test_ivf_recall_vs_exact(ray_session):
     # self is always rank 1 with cosine 1 in the exact path
     r1 = exact[exact["rank"] == 1]
     assert (r1["query_id"].to_numpy() == r1["neighbor_id"].to_numpy()).all()
+
+
+def test_ivf_pruned_read(ray_session, tmp_path):
+    """ivf_build writes a bucket-partitioned tree; ivf_search_pruned reads
+    ONLY the probed bucket dirs and still reaches good recall."""
+    import glob
+
+    import ray.data as rd
+
+    from pygridmap_ray.ann import ann_topk, ivf_build, ivf_search_pruned, kmeans_lite
+
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    cents = kmeans_lite(mat, n_clusters=8)
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    n = ivf_build(ds, cents, idx)
+    assert n == len(ids)
+    assert len(glob.glob(f"{idx}/bucket=*")) >= 2
+    q = {"ids": ids[:10], "matrix": mat[:10]}
+    pruned = ivf_search_pruned(idx, q, cents, k=5, nprobe=4).to_pandas()
+    exact = ann_topk(ds, q, k=5).to_pandas()
+    rec = np.mean(
+        [
+            len(
+                set(exact[exact.query_id == i].neighbor_id)
+                & set(pruned[pruned.query_id == i].neighbor_id)
+            )
+            / 5
+            for i in range(10)
+        ]
+    )
+    assert rec >= 0.5, rec
