@@ -76,7 +76,15 @@ class OverlayKernel:
         cell_area = w * h
         frag_sum = np.zeros(n, dtype=np.float64)
         parts: list[pa.Table] = []
-        for p in self.polys:
+        # prune to polygons whose bbox overlaps this batch's extent — for
+        # NUTS-scale layers a spatially-coherent batch touches only a few
+        cand_ids = self.index.query(
+            float(cx0.min()),
+            float(cy0.min()),
+            float(cx0.max()) + w,
+            float(cy0.max()) + h,
+        )
+        for p in (self.polys[int(i)] for i in cand_ids):
             bx0, by0, bx1, by1 = p["bbox"]
             sel = (cx0 < bx1) & (cx0 + w > bx0) & (cy0 < by1) & (cy0 + h > by0)
             if not sel.any():
