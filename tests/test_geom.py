@@ -153,3 +153,18 @@ def test_bbox_index():
         )[0].tolist()
     )
     assert got == expect
+
+
+def test_cells_coverage_diagonal_star_polygon():
+    """Coverage is exact for non-rectilinear outlines too: a 48-vertex
+    star polygon's per-cell coverage sums to its shoelace area."""
+    from pygridmap_ray.synth import bench_polygon_layer
+
+    p = bench_polygon_layer(9, nvert=48)[4]
+    x0, y0, x1, y1 = p["bbox"]
+    for cs in (5_000.0, 2_500.0):
+        nx = int(np.ceil((x1 - x0) / cs))
+        ny = int(np.ceil((y1 - y0) / cs))
+        cov = cells_coverage(p["rings"], x0, y0, cs, cs, nx, ny)
+        assert cov.sum() == pytest.approx(p["area"], rel=1e-9)
+        assert cov.max() <= cs * cs * (1 + 1e-9)  # SH float rounding headroom
