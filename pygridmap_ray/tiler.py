@@ -186,8 +186,14 @@ def write_partitioned(
         if batch.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
         keys = [batch[c] for c in partition_cols]
+        # null keys map to the hive sentinel partition — a null must never
+        # silently drop rows (it would under the equal/filter chain)
         combo = pc.binary_join_element_wise(
-            *[pc.cast(k, pa.string()) for k in keys], "|"
+            *[
+                pc.fill_null(pc.cast(k, pa.string()), "__HIVE_DEFAULT_PARTITION__")
+                for k in keys
+            ],
+            "|",
         )
         paths, rows = [], []
         data = batch.drop_columns(partition_cols)
@@ -352,7 +358,12 @@ def read_tiles(output_dir: str, **kwargs):
         for name in ("xt", "yt"):
             i = batch.schema.get_field_index(name)
             if i >= 0 and pa.types.is_string(batch.schema.field(i).type):
-                batch = batch.set_column(i, name, pc.cast(batch.column(i), pa.int64()))
+                try:
+                    batch = batch.set_column(
+                        i, name, pc.cast(batch.column(i), pa.int64())
+                    )
+                except pa.ArrowInvalid:
+                    pass  # non-numeric partition values (e.g. null sentinel)
         return batch
 
     return ds.map_batches(fix_types, batch_format="pyarrow")

@@ -226,3 +226,30 @@ def test_round_floats_to_ints():
     assert out.schema.field("a").type == pa.int64()
     assert out.schema.field("b").type == pa.float64()
     assert out.schema.field("c").type == pa.string()
+
+
+def test_write_partitioned_null_keys(ray_session, tmp_path):
+    """Null partition keys land in the hive sentinel dir — never dropped."""
+    import glob
+
+    import ray.data as rd
+
+    from pygridmap_ray.tiler import read_tiles, write_partitioned
+
+    df = pd.DataFrame({"xt": pd.array([0, 1, None, 1], dtype="Int64"), "v": [1.0, 2.0, 3.0, 4.0]})
+    n = write_partitioned(rd.from_pandas(df), str(tmp_path / "t"), ["xt"])
+    assert n == 4
+    assert glob.glob(str(tmp_path / "t" / "xt=__HIVE_DEFAULT_PARTITION__" / "*.parquet"))
+    # pyarrow's hive reader maps the sentinel back to null (Ray's per-file
+    # partition inference chokes on mixed int/sentinel dirs — use pyarrow
+    # for trees that may contain the null partition)
+    import pyarrow.dataset as pads
+
+    back = pads.dataset(
+        str(tmp_path / "t"),
+        partitioning="hive",
+        ignore_prefixes=[".", "_"],
+    ).to_table().to_pandas()
+    assert len(back) == 4
+    assert sorted(back["v"]) == [1.0, 2.0, 3.0, 4.0]
+    assert back["xt"].isna().sum() == 1
