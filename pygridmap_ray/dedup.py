@@ -196,13 +196,13 @@ def minhash_lsh_pairs(
     pairs = exploded.groupby(["band", "bucket"]).map_groups(
         verify, batch_format="pandas"
     )
-    # the same pair can surface from several bands -> global dedup
+    # the same pair can surface from several bands -> global dedup.
+    # no count() guard here: it would execute the whole signature+shuffle
+    # pipeline a second time (reviewed finding)
     from ray.data.aggregate import Max
 
-    return (
-        pairs.groupby(["id_a", "id_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
-        if pairs.count()
-        else pairs
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("jaccard", alias_name="jaccard")
     )
 
 

@@ -80,10 +80,13 @@ def emit_tile_cells(
         ]
         if not cand and trim:
             return None
-        # single-polygon full-cover shortcut (tile-level wans)
+        # single-polygon full-cover shortcut (tile-level wans).  Tolerance
+        # is ONE CELL's epsilon, not the tile's: tile_area*TOL would let a
+        # missing sliver concentrate on a single cell and stamp within=1
+        # where the per-cell path (and the oracle) says 0
         full = any(
             clip_area_rect(p["rings"], x0, y0, tile_x1, tile_y1)
-            >= (tile_x1 - x0) * (tile_y1 - y0) * (1.0 - TOL_EPS)
+            >= (tile_x1 - x0) * (tile_y1 - y0) - cell_area * TOL_EPS
             for p in cand
         )
         if full:
@@ -192,9 +195,10 @@ def emit_tile_cells_qtree(
                 bulk(rr0, rr1, cc0, cc1, False, False)
             return
         win_area = (wx1 - wx0) * (wy1 - wy0)
+        # same one-cell tolerance as the prll shortcut (row-set equality)
         if any(
             clip_area_rect(p["rings"], wx0, wy0, wx1, wy1)
-            >= win_area * (1.0 - TOL_EPS)
+            >= win_area - cell_area * TOL_EPS
             for p in cand
         ):
             bulk(rr0, rr1, cc0, cc1, True, True)

@@ -63,6 +63,12 @@ class OverlayKernel:
             raise ValueError(f"how must be intersection|union, got {how!r}")
         self.how = how
         self.attr_cols = attr_cols
+        # null-column types for remainder/empty rows derive from the ACTUAL
+        # layer values, not the column name
+        self.attr_types = {
+            c: (pa.string() if polygons and isinstance(polygons[0][c], str) else pa.float64())
+            for c in attr_cols
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -125,8 +131,7 @@ class OverlayKernel:
                 t = batch.take(pa.array(pos))
                 t = t.append_column("poly_id", pa.nulls(len(pos), pa.int64()))
                 for c in self.attr_cols:
-                    typ = pa.string() if c == "nuts_id" else pa.float64()
-                    t = t.append_column(c, pa.nulls(len(pos), typ))
+                    t = t.append_column(c, pa.nulls(len(pos), self.attr_types[c]))
                 t = t.append_column("poly_area", pa.nulls(len(pos), pa.float64()))
                 t = t.append_column("area", pa.array(rem[pos]))
                 t = t.append_column("area_pct", pa.nulls(len(pos), pa.float64()))
@@ -139,8 +144,7 @@ class OverlayKernel:
         t = batch.slice(0, 0)
         t = t.append_column("poly_id", pa.array([], pa.int64()))
         for c in self.attr_cols:
-            typ = pa.string() if c == "nuts_id" else pa.float64()
-            t = t.append_column(c, pa.array([], typ))
+            t = t.append_column(c, pa.array([], self.attr_types[c]))
         t = t.append_column("poly_area", pa.array([], pa.float64()))
         t = t.append_column("area", pa.array([], pa.float64()))
         t = t.append_column("area_pct", pa.array([], pa.float64()))
@@ -293,23 +297,22 @@ def _sum_cover_two_phase(frags, columns, carry, cover, with_sum):
         df = batch.to_pandas()
         real = df[df["poly_id"].notna()]
         g = df.groupby("cell_id", sort=False)
-        parts = {}
+        # index over ALL cells in the batch — remainder-only cells (union
+        # rows with null poly_id) must survive with zero sums, so the
+        # frame's index can never come solely from real-fragment groupbys
+        res = pd.DataFrame(index=pd.Index(g.size().index, name="cell_id"))
         for c in carry:
-            parts[c] = g[c].first()
+            res[c] = g[c].first()
         if with_sum:
             for c in columns:
                 w = (real[c] * real["area_pct"]).groupby(
                     real["cell_id"], sort=False
                 ).sum()
-                parts[f"{c}__w"] = w
+                res[f"{c}__w"] = w
         if cover:
-            cov = (
-                real.groupby("cell_id", sort=False)["poly_id"]
-                .agg(lambda s: ",".join(str(int(v)) for v in sorted(s.unique())))
+            res["__cover__"] = real.groupby("cell_id", sort=False)["poly_id"].agg(
+                lambda s: ",".join(str(int(v)) for v in sorted(s.unique()))
             )
-            parts["__cover__"] = cov
-        res = pd.DataFrame(parts)
-        res.index.name = "cell_id"
         res = res.reset_index()
         # cells with only remainder rows: weighted sums default to 0
         if with_sum:

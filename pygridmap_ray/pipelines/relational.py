@@ -31,7 +31,8 @@ def events_tumbling_window(sf_dir: str):
     )
 
     def key(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch["ts"], pa.int64())
+        # normalize to microseconds regardless of source timestamp unit
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
         win = pc.divide(us, pa.scalar(US_PER_HOUR))
         return batch.append_column("win", win).drop_columns(["ts"])
 
@@ -69,7 +70,9 @@ def events_sessionize(sf_dir: str):
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
-        us = g["ts"].astype("int64").to_numpy()
+        # normalize to microseconds (a ns-unit source would otherwise make
+        # the 30-min gap constant mean 1.8 seconds)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         gaps = np.diff(us, prepend=us[0])
         new_sess = (gaps > US_SESSION_GAP).astype(np.int64)
         new_sess[0] = 1

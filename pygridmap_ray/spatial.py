@@ -39,6 +39,10 @@ class PointJoinKernel:
         self.polys = polygons
         self.index = BBoxIndex(np.array([p["bbox"] for p in polygons]))
         self.attr_cols = attr_cols
+        self.attr_types = {
+            c: (pa.string() if polygons and isinstance(polygons[0][c], str) else pa.float64())
+            for c in attr_cols
+        }
         self.how = how
         self.x_col = x_col
         self.y_col = y_col
@@ -382,9 +386,25 @@ class KnnJoinKernel:
             if point_weighted <= max(8 * self.k, 32):
                 break
             self.res /= 2.0
+        else:
+            # loop exhausted after a final halving: REBUILD keys at the
+            # final resolution, else the index and query grids disagree
+            cix = np.floor(self.rx / self.res).astype(np.int64)
+            ciy = np.floor(self.ry / self.res).astype(np.int64)
+            key = ciy * (2**32) + cix
         order = np.argsort(key, kind="stable")
         self.sorted_key = key[order]
         self.order = order
+        # occupied-cell extents: ring expansion past the farthest index
+        # cell provably finds nothing, so the stop bound is per-query
+        # Chebyshev distance to these extents — exactness is preserved and
+        # padding happens only when k > #refs
+        if len(self.rx):
+            self.cix_rng = (int(cix.min()), int(cix.max()))
+            self.ciy_rng = (int(ciy.min()), int(ciy.max()))
+        else:
+            self.cix_rng = (0, 0)
+            self.ciy_rng = (0, 0)
 
     def _cell_members(self, key: int) -> np.ndarray:
         lo = np.searchsorted(self.sorted_key, key, side="left")
@@ -471,8 +491,30 @@ class KnnJoinKernel:
         id_m[resolved] = bulk_ids[resolved]
         d_m[resolved] = np.sqrt(bulk_d2[resolved])
         for i in np.nonzero(~resolved)[0].tolist():
-            cix = int(np.floor(px[i] / self.res))
-            ciy = int(np.floor(py[i] / self.res))
+            # walk rings around the query cell CLAMPED into the occupied
+            # extent — a far-away query must not ring-walk the empty space
+            # between itself and the data (previously O(distance^2) cells)
+            cix = min(
+                max(int(np.floor(px[i] / self.res)), self.cix_rng[0]),
+                self.cix_rng[1],
+            )
+            ciy = min(
+                max(int(np.floor(py[i] / self.res)), self.ciy_rng[0]),
+                self.ciy_rng[1],
+            )
+            # Chebyshev distance from the query POINT to the clamped cell's
+            # region (0 when the query lies inside it): the exactness bound
+            # becomes kth <= max(0, r*res - dq)
+            dqx = max(0.0, cix * self.res - px[i], px[i] - (cix + 1) * self.res)
+            dqy = max(0.0, ciy * self.res - py[i], py[i] - (ciy + 1) * self.res)
+            dq = max(dqx, dqy)
+            # beyond this ring there are no occupied cells at all
+            r_stop = max(
+                abs(cix - self.cix_rng[0]),
+                abs(cix - self.cix_rng[1]),
+                abs(ciy - self.ciy_rng[0]),
+                abs(ciy - self.ciy_rng[1]),
+            )
             cand: list[np.ndarray] = []
             count = 0
             r = 0
@@ -497,11 +539,12 @@ class KnnJoinKernel:
                         self.ry[ids_t] - py[i]
                     ) ** 2
                     kth = np.partition(d2_t, self.k - 1)[self.k - 1]
-                    # unexplored rings lie at distance >= r * res
-                    if kth <= (r * self.res) ** 2:
+                    # unexplored rings lie at distance >= r*res - dq from
+                    # the query point
+                    if kth <= max(0.0, r * self.res - dq) ** 2:
                         break
-                if r > 1024:
-                    break
+                if r >= r_stop:
+                    break  # every occupied cell explored
                 r += 1
             ids = (
                 np.concatenate(cand) if cand else np.empty(0, dtype=np.int64)

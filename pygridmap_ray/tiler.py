@@ -185,16 +185,20 @@ def write_partitioned(
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
-        keys = [batch[c] for c in partition_cols]
+        from urllib.parse import quote
+
+        key_strs = [
+            pc.fill_null(pc.cast(batch[c], pa.string()), "__HIVE_DEFAULT_PARTITION__")
+            for c in partition_cols
+        ]
         # null keys map to the hive sentinel partition — a null must never
-        # silently drop rows (it would under the equal/filter chain)
-        combo = pc.binary_join_element_wise(
-            *[
-                pc.fill_null(pc.cast(k, pa.string()), "__HIVE_DEFAULT_PARTITION__")
-                for k in keys
-            ],
-            "|",
-        )
+        # silently drop rows (it would under the equal/filter chain).
+        # values are percent-encoded BEFORE joining so separator/path chars
+        # ('|', '/', '=') in string keys cannot corrupt the combo or the dir
+        encoded = [
+            pa.array([quote(v, safe="") for v in k.to_pylist()]) for k in key_strs
+        ]
+        combo = pc.binary_join_element_wise(*encoded, "|")
         paths, rows = [], []
         data = batch.drop_columns(partition_cols)
         for v in pc.unique(combo).to_pylist():
@@ -224,6 +228,8 @@ def write_partitioned(
     import pandas as _pd
 
     mdf = manifest.to_pandas()
+    if "path" not in mdf.columns:  # zero-block input loses the schema
+        mdf = _pd.DataFrame({"path": [], "rows": []})
     # per-run manifest: which files exist with how many rows (atomic write)
     mpath = os.path.join(output_dir, "_manifest.json")
     tmp = mpath + ".tmp"
@@ -276,7 +282,22 @@ def grid_tiling(
         x_col=x_col,
         y_col=y_col,
     )
-    write_partitioned(ds, output_dir, ["xt", "yt"], mode="overwrite")
+    n_rows = write_partitioned(ds, output_dir, ["xt", "yt"], mode="overwrite")
+    if n_rows == 0:
+        # empty input: a valid tree with empty bounds, not a crash deep in
+        # the bounds read
+        info = {
+            "dims": [],
+            "crs": crs,
+            "tileSizeCell": int(tile_size_cell),
+            "originPoint": {"x": float(x_origin), "y": float(y_origin)},
+            "resolutionGeo": float(resolution),
+            "tilingBounds": None,
+            "rows": 0,
+        }
+        with open(os.path.join(output_dir, "info.json"), "w") as f:
+            json.dump(info, f, indent=2)
+        return info
     # bounds: tiny aggregate over what we just wrote (reads only 2 columns).
     # hive partition values come back as strings -> cast before min/max.
     tiles = (
@@ -531,7 +552,15 @@ def grid_aggregation(
                     val = (0.0 if pd.isna(s) else float(s)) / (a * a)
                 else:  # average3
                     val = float(s) / vld if vld else None
-            if rounding is not None and isinstance(val, (int, float)) and val is not None:
+            # 'single' values pass through unrounded on BOTH sides (the SQL
+            # twin's ARG_MIN cannot round type-generically; documented
+            # divergence from the reference, which rounds numerics there too)
+            if (
+                rounding is not None
+                and rule != "single"
+                and isinstance(val, (int, float))
+                and val is not None
+            ):
                 tol = 10.0**rounding
                 # half-away-from-zero to match SQL ROUND (the reference uses
                 # Python banker's round, gridtiler.py:416 — documented delta)

@@ -1,0 +1,146 @@
+"""Regressions for the code-review findings (each reproduced the bug
+before its fix)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_knn_duplicated_points_exhausted_halving():
+    """40 identical coordinates keep point-weighted occupancy high through
+    every halving; the index keys must still match the query grid (stale
+    keys previously made lookups miss and the ring loop spin)."""
+    from pygridmap_ray.spatial import KnnJoinKernel
+
+    n = 40
+    ref = {
+        "id": np.arange(n, dtype=np.int64),
+        "x": np.full(n, 123.0),
+        "y": np.full(n, 456.0),
+    }
+    kern = KnnJoinKernel(ref, 1000.0, k=4)
+    out = kern(pa.table({"x": pa.array([123.0, 9999.0]), "y": pa.array([456.0, 9999.0])})).to_pandas()
+    q0 = out[out.x == 123.0].sort_values("rank")
+    assert q0["neighbor_id"].tolist() == [0, 1, 2, 3]  # distance ties -> id order
+    assert (q0["distance"] == 0.0).all()
+    q1 = out[out.x == 9999.0].sort_values("rank")
+    assert q1["neighbor_id"].tolist() == [0, 1, 2, 3]  # far query still exact
+
+
+def test_knn_far_query_needs_many_rings():
+    """A query far outside the occupied region terminates via the
+    occupied-extent bound and still returns the true nearest points."""
+    from pygridmap_ray.spatial import KnnJoinKernel
+
+    ref = {
+        "id": np.arange(3, dtype=np.int64),
+        "x": np.array([0.0, 10.0, 20.0]),
+        "y": np.zeros(3),
+    }
+    kern = KnnJoinKernel(ref, 1.0, k=2)  # tiny cells -> query is ~1e6 rings away
+    out = kern(pa.table({"x": pa.array([1_000_000.0]), "y": pa.array([0.0])})).to_pandas()
+    assert out["neighbor_id"].tolist() == [2, 1]
+
+
+def test_union_sum_keeps_remainder_only_cells(ray_session):
+    """rule=sum over how=union with empty carry: cells outside every
+    polygon must appear with sum 0 (previously silently dropped)."""
+    import ray.data as rd
+
+    from pygridmap_ray.gridding import make_grid
+    from pygridmap_ray.overlay import grid_overlay
+    from pygridmap_ray.planning import plan_grid
+    from pygridmap_ray.synth import polygon_layer
+
+    spec = plan_grid((0, 0, 500_000, 501_000), 50_000.0, tile=(8, 8))
+    grid = make_grid(True, cellsize=50_000.0, bbox=spec.bbox, tile=(8, 8))
+    out = grid_overlay(
+        grid, polygon_layer(), spec, how="union", rule="sum", columns=["pop"]
+    ).to_pandas()
+    assert len(out) == spec.nrows * spec.ncols  # EVERY cell present
+    uncovered = out[out["pop"] == 0.0]
+    assert len(uncovered) > 0
+
+
+def test_partition_values_with_separator_chars(ray_session, tmp_path):
+    """String partition keys containing '|' '/' '=' stay distinct and
+    recoverable (previously merged into a wrong truncated dir)."""
+    import glob
+
+    import ray.data as rd
+
+    from pygridmap_ray.tiler import write_partitioned
+
+    df = pd.DataFrame({"cat": ["a|b", "a|c", "x/y", "k=v"], "v": [1.0, 2.0, 3.0, 4.0]})
+    n = write_partitioned(rd.from_pandas(df), str(tmp_path / "t"), ["cat"])
+    assert n == 4
+    dirs = sorted(p.split("/")[-1] for p in glob.glob(str(tmp_path / "t" / "cat=*")))
+    assert len(dirs) == 4  # four distinct partitions
+    from urllib.parse import unquote
+
+    decoded = sorted(unquote(d[len("cat="):]) for d in dirs)
+    assert decoded == sorted(df["cat"])
+
+
+def test_single_rule_unrounded_matches_oracle(ray_session):
+    """'single' values pass through unrounded on both sides."""
+    import duckdb
+    import ray.data as rd
+
+    from pygridmap_ray.tiler import grid_aggregation, sql_grid_aggregation
+
+    df = pd.DataFrame(
+        {
+            "x": [0.0, 1000.0],
+            "y": [0.0, 0.0],
+            "ix": [0, 1],
+            "iy": [0, 0],
+            "val": [1.005, 2.5],
+        }
+    )
+    rules = {"val": "single"}
+    got = (
+        grid_aggregation(rd.from_pandas(df), resolution=1000.0, a=2, columns=rules, rounding=2)
+        .to_pandas()
+        .sort_values(["xa", "ya"])
+    )
+    con = duckdb.connect()
+    con.register("cells", df)
+    exp = con.sql(sql_grid_aggregation(1000.0, 2, rules, rounding=2)).df()
+    assert got["val"].tolist() == exp["val"].tolist() == [1.005]
+
+
+def test_grid_tiling_empty_input(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pygridmap_ray.tiler import grid_tiling
+
+    df = pd.DataFrame({"x": [1.0], "y": [1.0]}).iloc[:0]
+    info = grid_tiling(
+        rd.from_pandas(pd.DataFrame({"x": [1.0], "y": [1.0]})).filter(lambda r: False),
+        str(tmp_path / "t"),
+        resolution=1000.0,
+    )
+    assert info["tilingBounds"] is None and info["rows"] == 0
+
+
+def test_overlay_string_attr_union(ray_session):
+    """Union remainders with a non-'nuts_id' string attribute column keep
+    consistent Arrow types (previously schema-mismatch crash)."""
+    import ray.data as rd
+
+    from pygridmap_ray.gridding import make_grid
+    from pygridmap_ray.overlay import overlay_fragments
+    from pygridmap_ray.planning import plan_grid
+    from pygridmap_ray.synth import polygon_layer
+
+    layer = [dict(p, region_name=f"R{p['poly_id']}") for p in polygon_layer()]
+    spec = plan_grid((0, 0, 500_000, 501_000), 50_000.0, tile=(8, 8))
+    grid = make_grid(True, cellsize=50_000.0, bbox=spec.bbox, tile=(8, 8))
+    out = overlay_fragments(
+        grid, layer, spec, how="union", attr_cols=("region_name", "pop")
+    ).to_pandas()
+    real = out[out["poly_id"].notna()]
+    assert real["region_name"].str.startswith("R").all()
+    assert out[out["poly_id"].isna()]["region_name"].isna().all()
