@@ -61,7 +61,7 @@ def convex_polygon(draw):
     return [ring]
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(rectilinear_polygon(), st.integers(1, 7), st.integers(1, 7))
 def test_coverage_partitions_area(rings, w, h):
     """Σ per-cell coverage == polygon area, coverage never exceeds a cell."""
@@ -76,7 +76,7 @@ def test_coverage_partitions_area(rings, w, h):
     assert (cov >= 0).all()
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(convex_polygon(), st.floats(-60, 60), st.floats(-60, 60), st.floats(1, 40), st.floats(1, 40))
 def test_clip_bounds(rings, cx, cy, cw, ch):
     """0 <= clip area <= min(polygon area, window area); clipping to a
@@ -88,7 +88,7 @@ def test_clip_bounds(rings, cx, cy, cw, ch):
     assert abs(big - area) <= 1e-9 * max(area, 1.0)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(convex_polygon(), st.integers(0, 100))
 def test_pip_agrees_with_clip(rings, seed):
     """A point strictly inside (by PIP) must sit in a positive-coverage
@@ -106,7 +106,7 @@ def test_pip_agrees_with_clip(rings, seed):
     assert not far[0]
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(rectilinear_polygon(), st.floats(-5, 35), st.floats(-5, 25), st.floats(2, 20), st.floats(2, 20))
 def test_clip_is_idempotent(rings, cx, cy, cw, ch):
     """Clipping an already-clipped polygon to the same window is a no-op
