@@ -36,9 +36,22 @@ def _ensure_corpus(n_docs: int, synthesize) -> str:
     tmpfs keeps ext4 writeback noise out of the timings and models
     per-node cluster storage bandwidth (which scales with nodes) better
     than one shared disk."""
+    import hashlib
+    import inspect
+
     import ray.data as rd
 
-    corpus = f"/dev/shm/bench_corpus_{n_docs}"
+    from pygridmap_ray import synth
+
+    # key the cached corpus by the synthesis laws too, so edits to
+    # derive_xy/build_spans_array can never silently reuse stale data
+    law = hashlib.md5(
+        (
+            inspect.getsource(synth.derive_xy)
+            + inspect.getsource(synth.build_spans_array)
+        ).encode()
+    ).hexdigest()[:8]
+    corpus = f"/dev/shm/bench_corpus_{n_docs}_{law}"
     if not os.path.exists(os.path.join(corpus, "_done")):
         ds = rd.range(n_docs, override_num_blocks=max(NUM_CPUS * 4, 32))
         ds = ds.map_batches(synthesize, batch_format="pyarrow", batch_size=65536)
@@ -67,33 +80,13 @@ def _make_synthesize():
 def _flagship(n_docs: int, out_dir: str) -> dict:
     """docs/sec of synthesize -> spans -> cell-encode -> spatial join ->
     partitioned parquet write."""
-    import numpy as np
-    import pyarrow as pa
     import ray.data as rd
 
     from pygridmap_ray.spatial import join_points_to_polygons
-    from pygridmap_ray.synth import (
-        bench_polygon_layer,
-        build_spans_array,
-        derive_xy,
-    )
-    from pygridmap_ray.tiler import with_cell_columns
+    from pygridmap_ray.synth import bench_polygon_layer
+    from pygridmap_ray.tiler import with_cell_columns, write_partitioned
 
-    def synthesize(batch: pa.Table) -> pa.Table:
-        did = np.asarray(batch["id"], dtype=np.int64)
-        x, y = derive_xy(did)
-        return pa.table(
-            {
-                "doc_id": did,
-                "x": x,
-                "y": y,
-                "spans": build_spans_array(did),
-            }
-        )
-
-    from pygridmap_ray.tiler import write_partitioned
-
-    corpus = _ensure_corpus(n_docs, synthesize)
+    corpus = _ensure_corpus(n_docs, _make_synthesize())
     t0 = time.time()
     ds = rd.read_parquet(corpus, file_extensions=["parquet"])
     ds = with_cell_columns(ds, resolution=1000.0, tile_size_cell=128)
@@ -115,7 +108,7 @@ def _join_stage(n_docs: int) -> dict:
     from pygridmap_ray.synth import bench_polygon_layer
     from pygridmap_ray.tiler import with_cell_columns
 
-    corpus = f"/dev/shm/bench_corpus_{n_docs}"
+    corpus = _ensure_corpus(n_docs, _make_synthesize())
     t0 = time.time()
     ds = rd.read_parquet(
         corpus, file_extensions=["parquet"], columns=["doc_id", "x", "y"]
@@ -178,7 +171,10 @@ def run_once() -> dict:
         metric = "join-stage docs/sec (pruned read->cell-encode->PIP join)"
     else:
         head = _flagship(N_DOCS, out_dir)
-        queries = _secondary()
+        # scaling children skip the sf-scale suite (results unused there)
+        queries = (
+            {} if os.environ.get("GRAFT_BENCH_SECONDARY") == "0" else _secondary()
+        )
         metric = "flagship docs/sec (read->spans->cell-encode->spatial-join->tile-write)"
     shutil.rmtree(out_dir, ignore_errors=True)
     result = {
@@ -217,6 +213,7 @@ def run_scaling() -> dict:
             GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "10000000"),
             GRAFT_BENCH_NVERT=os.environ.get("GRAFT_BENCH_NVERT", "256"),
             GRAFT_BENCH_STAGE=stage,
+            GRAFT_BENCH_SECONDARY="0",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -53,9 +53,13 @@ def round_half_away(batch: pa.Table, cols: list[str], decimals: int) -> pa.Table
         i = batch.schema.get_field_index(c)
         if i < 0:
             continue
-        v = np.asarray(batch.column(i), dtype=np.float64)
+        col = batch.column(i)
+        null_mask = np.asarray(pc.is_null(col).combine_chunks())
+        v = np.asarray(col, dtype=np.float64)
         r = np.sign(v) * np.floor(np.abs(v) * tol + 0.5) / tol
-        batch = batch.set_column(i, c, pa.array(r))
+        # preserve NULLs: np.asarray turns them into NaN, which is a
+        # different Arrow value than null
+        batch = batch.set_column(i, c, pa.array(r, mask=null_mask))
     return batch
 
 
@@ -236,7 +240,6 @@ def q_spans_roundtrip(sf_dir: str):
     summarize the spans column — the summary must equal the closed-form
     oracle, proving per-row (kind, text, media_ref, offset) order survived
     every stage including the sink."""
-    import tempfile
 
     import ray.data as rd
 
@@ -251,7 +254,9 @@ def q_spans_roundtrip(sf_dir: str):
     # one row per doc for the summary: drop join fan-out deterministically
     from ..tiler import write_partitioned
 
-    out_dir = tempfile.mkdtemp(prefix="spans_roundtrip_", dir="/tmp")
+    # fixed path + overwrite: repeated gate/bench runs must not accumulate
+    # corpus copies under /tmp
+    out_dir = "/tmp/spans_roundtrip_stage"
     write_partitioned(ds, out_dir, ["xt"], mode="overwrite")
     back = rd.read_parquet(out_dir, file_extensions=["parquet"])
 

@@ -42,9 +42,10 @@ def events_tumbling_window(sf_dir: str):
     )
 
     def rounder(b: pa.Table) -> pa.Table:
-        from .queries import round6
+        # sums over many rows: 2dp so the step dwarfs ulp(sum) x addends
+        from .queries import round_half_away
 
-        return round6(b, ["value_sum"])
+        return round_half_away(b, ["value_sum"], 2)
 
     return out.map_batches(rounder, batch_format="pyarrow")
 
@@ -53,7 +54,7 @@ def sql_events_tumbling_window() -> str:
     return (
         "SELECT event_type, epoch_us(ts) // 3600000000 AS win, "
         "COUNT(*)::BIGINT AS n_events, "
-        "ROUND(SUM(value) * 1e6) / 1e6 AS value_sum "
+        "ROUND(SUM(value) * 1e2) / 1e2 AS value_sum "
         "FROM events GROUP BY event_type, win"
     )
 
@@ -71,8 +72,12 @@ def events_sessionize(sf_dir: str):
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
         # normalize to microseconds (a ns-unit source would otherwise make
-        # the 30-min gap constant mean 1.8 seconds)
-        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        # the 30-min gap constant mean 1.8 seconds); tz-aware columns must
+        # drop the tz first — pandas astype refuses aware->naive
+        ts = g["ts"]
+        if getattr(ts.dtype, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        us = ts.astype("datetime64[us]").astype("int64").to_numpy()
         gaps = np.diff(us, prepend=us[0])
         new_sess = (gaps > US_SESSION_GAP).astype(np.int64)
         new_sess[0] = 1

@@ -44,7 +44,9 @@ def read_geojson_layer(
     ``id_property``: feature property to use as ``nuts_id`` (falls back to
     the feature ``id`` or the index).  Numeric properties named in
     ``keep_properties`` are copied onto the layer dicts (e.g. the
-    extensive variable for area interpolation).
+    extensive variable for area interpolation); names colliding with
+    engine-computed keys (``area``, ``poly_id``, ...) are stored as
+    ``prop_<name>`` instead of clobbering them.
     """
     if isinstance(path_or_obj, (str,)):
         with open(path_or_obj) as f:
@@ -64,6 +66,8 @@ def read_geojson_layer(
                 rings.extend(_polygon_rings(part))
         else:
             continue  # points/lines are not layer geometries
+        if not rings:  # empty coordinates occur in real exports -> skip
+            continue
         props = feat.get("properties") or {}
         nuts_id = str(
             props.get(id_property)
@@ -81,6 +85,10 @@ def read_geojson_layer(
         }
         for k in keep_properties:
             if k in props:
-                d[k] = float(props[k])
+                # engine-computed keys must not be clobbered by feature
+                # attributes (GISCO exports often carry their own 'area');
+                # conflicting names land under a 'prop_' prefix
+                key = f"prop_{k}" if k in d else k
+                d[key] = float(props[k])
         layer.append(d)
     return layer

@@ -47,8 +47,10 @@ def validate_output(out_dir: str, fingerprint: str | None = None) -> bool:
         return False
     if fingerprint is not None and m.get("fingerprint") != fingerprint:
         return False
+    recorded = set()
     for entry in m.get("files", []):
         path = os.path.join(out_dir, entry["path"])
+        recorded.add(os.path.normpath(path))
         if not os.path.exists(path):
             return False
         if path.endswith(".parquet"):
@@ -58,6 +60,17 @@ def validate_output(out_dir: str, fingerprint: str | None = None) -> bool:
             except Exception:
                 return False
         # csv tiles: existence-only (no cheap row-count metadata)
+    # orphan data files (e.g. a task retried after renaming its file into
+    # place) would duplicate rows on read — an output with extras is NOT
+    # valid
+    import glob as _glob
+
+    for ext in ("parquet", "csv"):
+        for f in _glob.glob(
+            os.path.join(out_dir, "**", f"*.{ext}"), recursive=True
+        ):
+            if os.path.normpath(f) not in recorded:
+                return False
     return True
 
 

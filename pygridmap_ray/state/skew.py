@@ -37,7 +37,13 @@ def salted_groupby_agg(
 
     def add_salt(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch[salt_col])
-        salt = (v.astype(np.int64) % nsalt).astype(np.int64)
+        if np.issubdtype(v.dtype, np.integer):
+            salt = (v.astype(np.int64) % nsalt).astype(np.int64)
+        else:
+            # strings / floats (incl. NaN): deterministic content hash
+            salt = (
+                pd.util.hash_array(v, categorize=False).astype(np.int64) % nsalt
+            )
         return batch.append_column("__salt__", pa.array(salt))
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
