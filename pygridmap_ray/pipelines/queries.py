@@ -398,6 +398,24 @@ def q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, {"ids": ids[sel], "matrix": mat[sel]}, cents, k=5, nprobe=3)
 
 
+def q_ivf_pruned(sf_dir: str):
+    """IVF with a persisted bucket-partitioned index and pruned reads
+    (rows-only check; approximate by design)."""
+    import ray.data as rd
+
+    from ..ann import ivf_build, ivf_search_pruned, kmeans_lite
+
+    ids, mat = _load_embeddings(sf_dir)
+    cents = kmeans_lite(mat, n_clusters=8)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx_dir = "/tmp/ivf_index_stage"
+    ivf_build(ds, cents, idx_dir)
+    sel = ids < 10
+    return ivf_search_pruned(
+        idx_dir, {"ids": ids[sel], "matrix": mat[sel]}, cents, k=5, nprobe=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # raster / frame / multimodal / stream-shaped
 # ---------------------------------------------------------------------------
@@ -518,6 +536,7 @@ def queries():
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_pruned": q_ivf_pruned,
         "raster_cells": q_raster_cells,
         "raster_resample": q_raster_resample,
         "frame_rowsum": q_frame_rowsum,

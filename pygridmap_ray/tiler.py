@@ -54,6 +54,12 @@ def assign_cells(
       local_x = floor((x - x0) / resolution - xt * tile_size_cell)
     ``cell_key = iy * 2**32 + ix`` is the engine's global cell id (the
     reference's implicit (x, y) cell identity as one int64 join key).
+
+    Precision note (hypothesis-found): for x a float-epsilon below a tile
+    boundary the formula itself can yield local == tile_size_cell; the
+    reference only prints a warning there (gridtiler.py:111-118) and the
+    SQL twin computes the identical value, so the engine reproduces the
+    formula rather than clamping.
     """
     tile_m = resolution * tile_size_cell
     x = pc.cast(batch[x_col], pa.float64())

@@ -114,3 +114,40 @@ def test_clip_is_idempotent(rings, cx, cy, cw, ch):
     once = clip_rings_rect(rings, cx, cy, cx + cw, cy + ch)
     twice = clip_rings_rect(once, cx, cy, cx + cw, cy + ch)
     assert abs(rings_area(once) - rings_area(twice)) <= 1e-9
+
+
+@settings(max_examples=50, deadline=None, derandomize=True)
+@given(
+    st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=40),
+    st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=40),
+    st.sampled_from([250.0, 1000.0, 2500.0]),
+    st.integers(16, 256),
+    st.floats(-5000, 5000),
+)
+def test_assign_cells_matches_reference_math(xs, ys, res, tsc, origin):
+    """Tile/local-coordinate assignment equals an independent per-value
+    reimplementation of the reference v1 math (gridtiler.py:101-118) at
+    random origins/resolutions, including negative coordinates."""
+    import math
+
+    import pyarrow as pa
+
+    from pygridmap_ray.tiler import assign_cells
+
+    n = min(len(xs), len(ys))
+    t = pa.table({"x": xs[:n], "y": ys[:n]})
+    out = assign_cells(
+        t, resolution=res, tile_size_cell=tsc, x_origin=origin, y_origin=origin
+    ).to_pandas()
+    for i in range(n):
+        xt = math.floor((xs[i] - origin) / (res * tsc))
+        lx = math.floor((xs[i] - origin) / res - xt * tsc)
+        assert out["xt"][i] == xt
+        assert out["local_x"][i] == lx
+        # the v1 formula itself can round to exactly tsc when x sits a
+        # float-epsilon below a tile boundary — the REFERENCE only warns
+        # there (gridtiler.py:111-118), and the SQL twin computes the same
+        # value, so the engine reproduces rather than clamps it
+        assert 0 <= lx <= tsc
+        yt = math.floor((ys[i] - origin) / (res * tsc))
+        assert out["yt"][i] == yt
