@@ -59,6 +59,14 @@ def ann_topk(
             },
         )
         ids = np.asarray(batch[id_col], dtype=np.int64)
+        if len(ids) == 0:  # empty block: (0, 1) matrix would break matmul
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         v = _normalize(_emb_matrix(batch, emb_col))
         sims = state["qm"] @ v.T  # (Q, N)
         q_out, n_out, s_out = [], [], []
@@ -86,6 +94,15 @@ def ann_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        _topk_final(k), batch_format="pandas"
+    )
+
+
+def _topk_final(k: int):
+    """Shared per-query reducer: sort by (cosine desc, neighbor asc) —
+    THE tie-break contract the SQL oracle encodes — take k, assign ranks.
+    One definition serves the exact and IVF paths so they cannot drift."""
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -95,7 +112,7 @@ def ann_topk(
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "rank", "neighbor_id", "cosine"]]
 
-    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+    return final
 
 
 def sql_ann_topk(k: int = 5, n_queries: int = 10) -> str:
@@ -250,8 +267,16 @@ def ivf_topk(
 
         state = _cached_kernel(f"ivf:{ref['__ref__'].hex()}:{nprobe}", ref, build)
         ids = np.asarray(batch[id_col], dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         v = _normalize(_emb_matrix(batch, emb_col))
-        bucket = np.argmax(v @ state["cents"].T, axis=1) if len(ids) else np.empty(0, int)
+        bucket = np.argmax(v @ state["cents"].T, axis=1)
         sims = state["qm"] @ v.T
         q_out, n_out, s_out = [], [], []
         for qi in range(len(state["qids"])):
@@ -282,13 +307,6 @@ def ivf_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="stable"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "neighbor_id", "cosine"]]
-
-    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _topk_final(k), batch_format="pandas"
+    )

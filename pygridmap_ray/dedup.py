@@ -69,13 +69,24 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.unique(acc >> np.uint64(3))  # 61-bit range for the permutations
 
 
+def _band_buckets(sig: np.ndarray, band: int) -> np.ndarray:
+    """LSH bucket key of one band: uint64 polynomial fold of the band's
+    signature rows.  THE candidate-generation key — one definition for
+    every near-dup operator."""
+    rows = sig[:, band * _LSH_ROWS : (band + 1) * _LSH_ROWS].astype(np.uint64)
+    bucket = rows[:, 0].copy()
+    for j in range(1, _LSH_ROWS):
+        bucket = bucket * np.uint64(1000003) + rows[:, j]
+    return bucket.astype(np.int64)
+
+
 def content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """md5 content hash (exact-dup key; DuckDB twin: ``md5(text)``)."""
-    fp = [
-        hashlib.md5((s or "").encode("utf-8")).hexdigest()
-        for s in batch[text_col].to_pylist()
-    ]
-    return batch.append_column("content_hash", pa.array(fp))
+    """md5 content hash (exact-dup key; DuckDB twin: ``md5(text)``; null
+    text stays null — SQL groups nulls separately from empty strings)."""
+    from .text import md5_list
+
+    fp = md5_list(batch[text_col].to_pylist())
+    return batch.append_column("content_hash", pa.array(fp, pa.string()))
 
 
 def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
@@ -103,12 +114,15 @@ def sql_exact_dedup(source: str = "documents", id_col: str = "doc_id") -> str:
     )
 
 
-def minhash_signatures(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-permutation MinHash per row (vectorized over permutations)."""
+def minhash_signatures(
+    batch: pa.Table, text_col: str = "text", n: int = 3
+) -> pa.Table:
+    """64-permutation MinHash per row (vectorized over permutations) over
+    word ``n``-gram shingles."""
     sigs = np.full((batch.num_rows, _MINHASH_K), np.iinfo(np.uint64).max, np.uint64)
     texts = batch[text_col].to_pylist()
     for i, s in enumerate(texts):
-        h = _shingle_hashes(s)
+        h = _shingle_hashes(s, n)
         if len(h) == 0:
             continue
         # (K, S) permuted hashes -> min over shingles
@@ -155,12 +169,8 @@ def minhash_lsh_pairs(
         ids = np.asarray(batch[id_col], dtype=np.int64)
         bands, buckets, out_ids, out_sig = [], [], [], []
         for b in range(_LSH_BANDS):
-            rows = sig[:, b * _LSH_ROWS : (b + 1) * _LSH_ROWS].astype(np.uint64)
-            bucket = rows[:, 0].copy()
-            for j in range(1, _LSH_ROWS):
-                bucket = bucket * np.uint64(1000003) + rows[:, j]
             bands.append(np.full(n, b, dtype=np.int32))
-            buckets.append(bucket.astype(np.int64))
+            buckets.append(_band_buckets(sig, b))
             out_ids.append(ids)
             out_sig.append(sig)
         return pa.table(
@@ -236,7 +246,7 @@ def ngram_jaccard_pairs(
     verify step never goes all-pairs-global (true set Jaccard computed in
     the bucket, unlike the signature estimate of minhash_lsh_pairs)."""
     sigged = ds.select_columns([id_col, text_col]).map_batches(
-        lambda b: minhash_signatures(b, text_col), batch_format="pyarrow"
+        lambda b: minhash_signatures(b, text_col, n), batch_format="pyarrow"
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -252,15 +262,11 @@ def ngram_jaccard_pairs(
         texts = batch[text_col]
         parts = []
         for b in range(_LSH_BANDS):
-            rows = sig[:, b * _LSH_ROWS : (b + 1) * _LSH_ROWS].astype(np.uint64)
-            bucket = rows[:, 0].copy()
-            for j in range(1, _LSH_ROWS):
-                bucket = bucket * np.uint64(1000003) + rows[:, j]
             parts.append(
                 pa.table(
                     {
                         "band": pa.array(np.full(n_rows, b, dtype=np.int32)),
-                        "bucket": pa.array(bucket.astype(np.int64)),
+                        "bucket": pa.array(_band_buckets(sig, b)),
                         id_col: pa.array(ids),
                         text_col: texts,
                     }
@@ -319,23 +325,25 @@ def embedding_neardup_pairs(
     def apply(batch: pa.Table) -> pa.Table:
         from .spatial import _cached_kernel
 
+        from .ann import _emb_matrix, _normalize
+
         def build(payload):
-            m = np.asarray(payload["matrix"], dtype=np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
             return {
-                "mat": m / norms[:, None],
+                "mat": _normalize(np.asarray(payload["matrix"], dtype=np.float64)),
                 "ids": np.asarray(payload["ids"], dtype=np.int64),
             }
 
         state = _cached_kernel(f"nd:{ref['__ref__'].hex()}", ref, build)
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        v = np.stack(
-            [np.asarray(x, dtype=np.float64) for x in batch[emb_col].to_pylist()]
-        ) if batch.num_rows else np.empty((0, state["mat"].shape[1]))
-        nv = np.linalg.norm(v, axis=1)
-        nv[nv == 0] = 1.0
-        sims = (v / nv[:, None]) @ state["mat"].T
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        sims = _normalize(_emb_matrix(batch, emb_col)) @ state["mat"].T
         rows_a, rows_b, rows_s = [], [], []
         for i in range(len(ids)):
             hit = np.nonzero((sims[i] >= threshold) & (state["ids"] > ids[i]))[0]

@@ -62,7 +62,3 @@ class BBoxIndex:
         b = self.bboxes[cand]
         hit = (b[:, 0] <= xmax) & (b[:, 2] >= xmin) & (b[:, 1] <= ymax) & (b[:, 3] >= ymin)
         return cand[hit]
-
-    def query_points(self, px: np.ndarray, py: np.ndarray) -> list[np.ndarray]:
-        """Candidate geometry ids per point (bbox containment)."""
-        return [self.query(x, y, x, y) for x, y in zip(px, py)]

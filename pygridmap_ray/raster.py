@@ -141,9 +141,15 @@ class RasterTileKernel:
         }
         for b in r.bands:
             v = vals[b][any_valid]
+            # nodata mask comes from the RAW values; modif_fun sees only
+            # valid entries (reference gridtiler_raster.py applies
+            # modif_fun after the nodata skip — transforming the sentinel
+            # would emit corrupted "valid" cells)
+            nod = v == NODATA
             if self.modif_fun is not None:
-                v = self.modif_fun(b, v)
-            cols[b] = pa.array(v, pa.float64(), mask=(v == NODATA))
+                v = v.copy()
+                v[~nod] = self.modif_fun(b, v[~nod])
+            cols[b] = pa.array(v, pa.float64(), mask=nod)
         return pa.table(cols)
 
 
@@ -180,9 +186,12 @@ def tiling_raster(
     if output_dir is not None:
         import json as _json
 
-        from .tiler import write_partitioned
+        from .tiler import read_tiles, write_partitioned
 
         write_partitioned(out, output_dir, ["xt", "yt"], mode="overwrite")
+        # consuming the return value must not recompute every tile —
+        # hand back the written tree instead of the recipe
+        out = read_tiles(output_dir)
         # info.json metadata (reference gridtiler_raster.py:181-202)
         import os as _os
 

@@ -103,18 +103,25 @@ def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     stopword-pattern hits with fixed priority en>de>fr>es on ties (the SQL
     twin encodes the identical CASE chain)."""
     t = batch[text_col]
-    cjk = np.asarray(pc.count_substring_regex(t, CJK_PATTERN))
+    null_mask = np.asarray(pc.is_null(t).combine_chunks())
+    cjk = np.asarray(pc.count_substring_regex(t, CJK_PATTERN), dtype=np.float64)
     counts = np.stack(
         [
-            np.asarray(pc.count_substring_regex(t, LANG_PATTERNS[lang]))
+            np.asarray(
+                pc.count_substring_regex(t, LANG_PATTERNS[lang]), dtype=np.float64
+            )
             for lang in LANG_PRIORITY
         ]
     )
     # argmax with first-wins priority = np.argmax on the stacked array
-    best = np.argmax(counts, axis=0)
+    best = np.argmax(np.nan_to_num(counts, nan=0.0), axis=0)
     langs = np.array(LANG_PRIORITY, dtype=object)[best]
     pred = np.where(cjk > 0, "zh", langs)
-    return batch.append_column("lang_pred", pa.array(pred.astype(object)))
+    # null text -> null prediction (matching the SQL twin's NULL guard;
+    # previously fabricated 'en' while the CASE chain fell through to 'es')
+    return batch.append_column(
+        "lang_pred", pa.array(pred.astype(object), mask=null_mask)
+    )
 
 
 def sql_lang_id(source: str = "documents", text: str = "text") -> str:
@@ -124,7 +131,8 @@ def sql_lang_id(source: str = "documents", text: str = "text") -> str:
     cjk = f"len(regexp_extract_all({text}, '{CJK_PATTERN}'))"
     c = {lang: cnt(lang) for lang in LANG_PRIORITY}
     case = (
-        f"CASE WHEN {cjk} > 0 THEN 'zh' "
+        f"CASE WHEN {text} IS NULL THEN NULL "
+        f"WHEN {cjk} > 0 THEN 'zh' "
         f"WHEN {c['en']} >= {c['de']} AND {c['en']} >= {c['fr']} AND {c['en']} >= {c['es']} THEN 'en' "
         f"WHEN {c['de']} >= {c['fr']} AND {c['de']} >= {c['es']} THEN 'de' "
         f"WHEN {c['fr']} >= {c['es']} THEN 'fr' ELSE 'es' END"
@@ -132,20 +140,32 @@ def sql_lang_id(source: str = "documents", text: str = "text") -> str:
     return f"SELECT *, {case} AS lang_pred FROM {source}"
 
 
+def md5_list(texts: list) -> list:
+    """md5 hex per value; None propagates (SQL md5(NULL) IS NULL) — the
+    one definition shared by fingerprinting and exact dedup."""
+    return [
+        None if s is None else hashlib.md5(s.encode("utf-8")).hexdigest()
+        for s in texts
+    ]
+
+
 def md5_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Content fingerprint via md5 (DuckDB-identical).  At 100TB scale a
     cheaper 64-bit hash would do; md5 keeps the oracle exact."""
-    texts = batch[text_col].to_pylist()
-    fp = [hashlib.md5((s or "").encode("utf-8")).hexdigest() for s in texts]
-    return batch.append_column("fingerprint", pa.array(fp))
+    fp = md5_list(batch[text_col].to_pylist())
+    return batch.append_column("fingerprint", pa.array(fp, pa.string()))
 
 
 def rolling_fingerprint(
     batch: pa.Table, text_col: str = "text", window: int = 8
 ) -> pa.Table:
     """Winnowing-style document sketch: min of rolling polynomial hashes
-    over token windows (the engine's rolling-hash fingerprint; no SQL twin
-    — rows-only check)."""
+    over token windows (no SQL twin — rows-only check).
+
+    Hash family: polynomial fold in uint64 WRAPPING arithmetic (the
+    product wraps mod 2^64 before the final % — deterministic, but NOT
+    the textbook Mersenne-prime field; any cross-language port must
+    reproduce the wrap)."""
     import re
 
     tok_re = re.compile(TOKEN_PATTERN)
