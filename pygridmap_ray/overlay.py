@@ -284,10 +284,55 @@ def grid_overlay(
         # minutes at 1km national grids
         return _sum_cover_two_phase(frags, columns, carry, cover, rule == "sum")
 
+    if rule in ("min", "max") and not cover:
+        return _argext_joins(frags, rule, columns, carry)
+
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return _final_cell_row(g, rule, columns, carry, cover)
 
     return frags.groupby("cell_id").map_groups(final, batch_format="pandas")
+
+
+def _argext_joins(frags, rule, columns, carry):
+    """Vectorized argext (the reference's sort-then-first, overlay.py:
+    340-360): per-cell best area_pct via a built-in aggregate, hash-join
+    back, filter to the best rows, then min poly_id as the deterministic
+    tie-break — three shuffles, zero per-cell Python."""
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    # join aggregator actors hold CPU slots: size the partition count to
+    # the session or the two joins deadlock small clusters
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+
+    real = frags.map_batches(
+        lambda b: b.filter(pc.is_valid(b["poly_id"])), batch_format="pyarrow"
+    )
+    agg = Max if rule == "max" else Min
+    best = real.groupby("cell_id").aggregate(
+        agg("area_pct", alias_name="__best_pct__")
+    )
+    j1 = real.join(best, "inner", num_partitions=nparts, on=("cell_id",))
+    f1 = j1.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["area_pct"], b["__best_pct__"])
+        ).drop_columns(["__best_pct__"]),
+        batch_format="pyarrow",
+    )
+    tie = f1.groupby("cell_id").aggregate(Min("poly_id", alias_name="__best_poly__"))
+    j2 = f1.join(tie, "inner", num_partitions=nparts, on=("cell_id",))
+    out = j2.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["poly_id"], b["__best_poly__"])
+        ).drop_columns(["__best_poly__"]),
+        batch_format="pyarrow",
+    )
+    keep = ["cell_id", *carry, *columns]
+    return out.map_batches(
+        lambda b: b.select([c for c in keep if c in b.column_names]),
+        batch_format="pyarrow",
+    )
 
 
 def _sum_cover_two_phase(frags, columns, carry, cover, with_sum):
