@@ -26,3 +26,34 @@ caller (driver, bench.py, or the test fixture).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy root-level exports of the headline operators (keeps ``import
+    pygridmap_ray`` light — no Ray import until an operator is touched)."""
+    _EXPORTS = {
+        "make_grid": ("pygridmap_ray.gridding", "make_grid"),
+        "grid_overlay": ("pygridmap_ray.overlay", "grid_overlay"),
+        "overlay_fragments": ("pygridmap_ray.overlay", "overlay_fragments"),
+        "area_interpolate": ("pygridmap_ray.overlay", "area_interpolate"),
+        "grid_tiling": ("pygridmap_ray.tiler", "grid_tiling"),
+        "grid_aggregation": ("pygridmap_ray.tiler", "grid_aggregation"),
+        "grid_transformation": ("pygridmap_ray.tiler", "grid_transformation"),
+        "with_cell_columns": ("pygridmap_ray.tiler", "with_cell_columns"),
+        "write_partitioned": ("pygridmap_ray.tiler", "write_partitioned"),
+        "join_points_to_polygons": ("pygridmap_ray.spatial", "join_points_to_polygons"),
+        "knn_join": ("pygridmap_ray.spatial", "knn_join"),
+        "tiling_raster": ("pygridmap_ray.raster", "tiling_raster"),
+        "resample_raster": ("pygridmap_ray.raster", "resample_raster"),
+        "FrameProcessor": ("pygridmap_ray.frame", "FrameProcessor"),
+        "plan_grid": ("pygridmap_ray.planning", "plan_grid"),
+        "polygon_layer": ("pygridmap_ray.synth", "polygon_layer"),
+        "read_geojson_layer": ("pygridmap_ray.sources.geojson", "read_geojson_layer"),
+        "checkpointed_write": ("pygridmap_ray.state", "checkpointed_write"),
+    }
+    if name in _EXPORTS:
+        import importlib
+
+        mod, attr = _EXPORTS[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'pygridmap_ray' has no attribute {name!r}")

@@ -264,11 +264,17 @@ def q_spans_roundtrip(sf_dir: str):
         return span_summary_from_column(b["doc_id"], b["spans"])
 
     summary = back.map_batches(summarize, batch_format="pyarrow")
+    # join fan-out copies are identical per doc -> vectorized dedup via
+    # Max aggregates (no per-doc Python)
+    from ray.data.aggregate import Max
 
-    def dedup(g):
-        return g.head(1)
-
-    return summary.groupby("doc_id").map_groups(dedup, batch_format="pandas")
+    return summary.groupby("doc_id").aggregate(
+        Max("n_spans", alias_name="n_spans"),
+        Max("n_text", alias_name="n_text"),
+        Max("offset_sum", alias_name="offset_sum"),
+        Max("last_offset", alias_name="last_offset"),
+        Max("kind_seq", alias_name="kind_seq"),
+    )
 
 
 # ---------------------------------------------------------------------------
