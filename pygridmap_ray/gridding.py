@@ -36,7 +36,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .geom.kernels import TOL_EPS, cells_coverage, clip_area_rect, rings_bbox
+from .geom.kernels import TOL_EPS, cells_coverage, clip_area_rect
 from .planning import GridSpec, plan_grid, pos_offset
 
 

@@ -118,7 +118,10 @@ class OverlayKernel:
             t = batch.take(pa.array(pos))
             t = t.append_column("poly_id", pa.array(np.full(len(pos), p["poly_id"]), pa.int64()))
             for c in self.attr_cols:
-                t = t.append_column(c, pa.array([p[c]] * len(pos)))
+                # coerce through attr_types: a Python-int attribute would
+                # otherwise infer int64 on fragment rows and clash with the
+                # float64 nulls of union remainders
+                t = t.append_column(c, pa.array([p[c]] * len(pos), self.attr_types[c]))
             t = t.append_column("poly_area", pa.array(np.full(len(pos), p["area"])))
             t = t.append_column("area", pa.array(a))
             t = t.append_column("area_pct", pa.array(a / p["area"]))
@@ -284,7 +287,10 @@ def grid_overlay(
         # minutes at 1km national grids
         return _sum_cover_two_phase(frags, columns, carry, cover, rule == "sum")
 
-    if rule in ("min", "max") and not cover:
+    if rule in ("min", "max") and not cover and how == "intersection":
+        # the join path filters to real fragments, so union's
+        # remainder-only cells would vanish — route union argext to the
+        # generic path, which keeps them with null attrs
         return _argext_joins(frags, rule, columns, carry)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:

@@ -17,7 +17,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .geom.index import BBoxIndex
 from .geom.kernels import points_in_rings
 
 
@@ -37,12 +36,7 @@ class PointJoinKernel:
         if isinstance(polygons, dict) and "__ref__" in polygons:
             polygons = ray.get(polygons["__ref__"])
         self.polys = polygons
-        self.index = BBoxIndex(np.array([p["bbox"] for p in polygons]))
         self.attr_cols = attr_cols
-        self.attr_types = {
-            c: (pa.string() if polygons and isinstance(polygons[0][c], str) else pa.float64())
-            for c in attr_cols
-        }
         self.how = how
         self.x_col = x_col
         self.y_col = y_col
@@ -127,6 +121,7 @@ class PointJoinKernel:
 #: fusable with neighboring stages — a fixed pool of num_cpus actors
 #: starves the write stage, observed in bench profiling).
 _PROC_CACHE: dict[str, object] = {}
+_PROC_CACHE_MAX = 8  # distinct broadcast layers per worker; FIFO evict
 
 
 def _cached_kernel(factory_key: str, ref: dict, build):
@@ -136,6 +131,8 @@ def _cached_kernel(factory_key: str, ref: dict, build):
 
         payload = ray.get(ref["__ref__"])
         kern = build(payload)
+        while len(_PROC_CACHE) >= _PROC_CACHE_MAX:
+            _PROC_CACHE.pop(next(iter(_PROC_CACHE)))
         _PROC_CACHE[factory_key] = kern
     return kern
 
@@ -241,10 +238,14 @@ def polygon_cells_index(
                 p["rings"], ox + ix0 * res, oy + iy0 * res, res, res, nx, ny
             )
             cell_area = res * res
-            iys, ixs = np.nonzero(cov > cell_area * TOL_EPS)
+            # ANY positive coverage emits a candidate cell (a sliver cell
+            # still contains joinable points), and only numerically
+            # complete coverage skips the verify — both required for exact
+            # parity with the broadcast join (review repros)
+            iys, ixs = np.nonzero(cov > 0.0)
             if len(iys) == 0:
                 continue
-            full = cov[iys, ixs] >= cell_area * (1.0 - TOL_EPS)
+            full = cov[iys, ixs] >= cell_area * (1.0 - 1e-12)
             keys.append((iys + iy0).astype(np.int64) * 2**32 + (ixs + ix0))
             pids.append(np.full(len(iys), p["poly_id"], dtype=np.int64))
             fulls.append(full)
@@ -324,23 +325,6 @@ def join_points_via_cell_index(
         return batch.filter(pa.array(keep)).drop_columns(["full", "cell_key"])
 
     return cand.map_batches(verify, batch_format="pyarrow")
-
-
-def knn_cells_offsets(k_rings: int) -> np.ndarray:
-    """Ring-expansion neighbor offsets for kNN cell lookups: all (dx, dy)
-    within Chebyshev distance ``k_rings``, ordered ring by ring (the
-    (ix, iy)-ring expansion of SURVEY.md §7.0)."""
-    out = [(0, 0)]
-    for r in range(1, k_rings + 1):
-        ring = []
-        for dx in range(-r, r + 1):
-            for dy in (-r, r):
-                ring.append((dx, dy))
-        for dy in range(-r + 1, r):
-            for dx in (-r, r):
-                ring.append((dx, dy))
-        out.extend(sorted(ring))
-    return np.array(out, dtype=np.int64)
 
 
 class KnnJoinKernel:

@@ -93,7 +93,10 @@ def assign_cells(
         ("local_y", local_y),
         ("cell_key", cell_key),
     ]:
-        out = out.append_column(name, col)
+        i = out.schema.get_field_index(name)
+        # overwrite pre-existing cell columns (e.g. re-tiling read_tiles
+        # output) instead of appending duplicates
+        out = out.set_column(i, name, col) if i >= 0 else out.append_column(name, col)
     return out
 
 
@@ -200,10 +203,15 @@ def write_partitioned(
         # null keys map to the hive sentinel partition — a null must never
         # silently drop rows (it would under the equal/filter chain).
         # values are percent-encoded BEFORE joining so separator/path chars
-        # ('|', '/', '=') in string keys cannot corrupt the combo or the dir
-        encoded = [
-            pa.array([quote(v, safe="") for v in k.to_pylist()]) for k in key_strs
-        ]
+        # ('|', '/', '=') in string keys cannot corrupt the combo or the
+        # dir; encoding runs over the DICTIONARY of unique values only, not
+        # per row (hot write path stays O(uniques) Python)
+        encoded = []
+        for k in key_strs:
+            d = pc.dictionary_encode(k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k)
+            d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+            qdict = pa.array([quote(v, safe="") for v in d.dictionary.to_pylist()])
+            encoded.append(qdict.take(d.indices))
         combo = pc.binary_join_element_wise(*encoded, "|")
         paths, rows = [], []
         data = batch.drop_columns(partition_cols)
@@ -216,7 +224,10 @@ def write_partitioned(
             )
             os.makedirs(d, exist_ok=True)
             name = f"part-{uuid.uuid4().hex}.{file_format}"
-            tmp = os.path.join(d, f".tmp-{name}")
+            # temp name carries NO data-file extension: Ray's extension
+            # filter and the manifest orphan check must never match a
+            # crash-leftover in-progress file
+            tmp = os.path.join(d, f"{name}.inprogress")
             if file_format == "csv":
                 # CSV tile tree with x,y first (reference layout,
                 # gridtiler.py:124-144,543-563)
@@ -279,6 +290,15 @@ def grid_tiling(
     """
     if transform_fun is not None:
         ds = ds.map_batches(transform_fun, batch_format="pyarrow")
+
+    def _drop_null_coords(b: pa.Table) -> pa.Table:
+        # null coordinates cannot be tiled; mixing the null-sentinel
+        # partition with numeric xt dirs also breaks the bounds read-back
+        return b.filter(
+            pc.and_(pc.is_valid(b[x_col]), pc.is_valid(b[y_col]))
+        )
+
+    ds = ds.map_batches(_drop_null_coords, batch_format="pyarrow")
     ds = with_cell_columns(
         ds,
         resolution=resolution,
@@ -325,6 +345,7 @@ def grid_tiling(
             "xMin": int(tiles["xt"].min()),
             "xMax": int(tiles["xt"].max()),
         },
+        "rows": int(n_rows),
     }
     with open(os.path.join(output_dir, "info.json"), "w") as f:
         json.dump(info, f, indent=2)
@@ -522,7 +543,7 @@ def grid_aggregation(
             s = pd.to_numeric(df[col], errors="coerce") if rule != "single" else df[col]
             if rule == "single":
                 if order_cols:
-                    ordk = df["iy"] * 2**32 + df["ix"]
+                    ordk = df["iy"].astype("int64") * 2**32 + df["ix"].astype("int64")
                 else:  # no stable cell coords -> block-local order
                     ordk = pd.Series(np.arange(len(df)), index=df.index)
                 idx = ordk.groupby([df["xa"], df["ya"]], sort=False).idxmin()

@@ -144,3 +144,102 @@ def test_overlay_string_attr_union(ray_session):
     real = out[out["poly_id"].notna()]
     assert real["region_name"].str.startswith("R").all()
     assert out[out["poly_id"].isna()]["region_name"].isna().all()
+
+
+def test_hash_join_notch_and_sliver_exactness(ray_session):
+    """Hash-join path matches the broadcast join even for (a) a polygon
+    covering a cell except a small notch (full-cell tolerance previously
+    admitted points inside the notch) and (b) a thin sliver polygon whose
+    cells fell under the emission threshold (points silently missing)."""
+    import ray.data as rd
+
+    from pygridmap_ray.geom.kernels import as_ring
+    from pygridmap_ray.spatial import (
+        join_points_to_polygons,
+        join_points_via_cell_index,
+    )
+
+    notch = as_ring(
+        [[0, 0], [10000, 0], [10000, 9980], [20, 9980], [20, 10000], [0, 10000]]
+    )
+    sliver = as_ring([[20000, 0], [30000.08, 0], [30000.08, 10000], [20000, 10000]])
+    layer = [
+        {"poly_id": 0, "nuts_id": "N", "rings": [notch], "bbox": (0, 0, 10000, 10000), "pop": 1.0, "area": 1.0},
+        {"poly_id": 1, "nuts_id": "S", "rings": [sliver], "bbox": (20000, 0, 30000.08, 10000), "pop": 2.0, "area": 1.0},
+    ]
+    pts = pd.DataFrame(
+        {
+            "pid": [0, 1, 2],
+            # inside the notch (NOT in poly 0), interior, inside the sliver cell
+            "x": [5000.0, 5000.0, 30000.04],
+            "y": [9990.0, 5000.0, 5000.0],
+        }
+    )
+    ds = rd.from_pandas(pts)
+    bc = (
+        join_points_to_polygons(ds, layer, how="inner")
+        .to_pandas()[["pid", "poly_id"]]
+        .sort_values(["pid", "poly_id"])
+        .reset_index(drop=True)
+    )
+    hj = (
+        join_points_via_cell_index(ds, layer, resolution=10_000.0, num_partitions=2)
+        .to_pandas()[["pid", "poly_id"]]
+        .sort_values(["pid", "poly_id"])
+        .reset_index(drop=True)
+    )
+    assert bc.equals(hj)
+    assert set(bc["pid"]) == {1, 2}  # notch point matches nothing
+
+
+def test_union_int_attr_no_schema_crash(ray_session):
+    """Integer polygon attributes must not schema-clash with float64 nulls
+    on union remainder rows."""
+    import ray.data as rd
+
+    from pygridmap_ray.gridding import make_grid
+    from pygridmap_ray.overlay import overlay_fragments
+    from pygridmap_ray.planning import plan_grid
+    from pygridmap_ray.synth import polygon_layer
+
+    layer = [dict(p, pop=int(p["pop"])) for p in polygon_layer()]
+    spec = plan_grid((0, 0, 500_000, 501_000), 50_000.0, tile=(8, 8))
+    grid = make_grid(True, cellsize=50_000.0, bbox=spec.bbox, tile=(8, 8))
+    out = overlay_fragments(grid, layer, spec, how="union").to_pandas()
+    assert out["pop"].dtype.kind == "f"
+    assert out[out["poly_id"].isna()]["pop"].isna().all()
+
+
+def test_union_argext_keeps_remainder_cells(ray_session):
+    """how=union + rule=max must keep remainder-only cells (null attr),
+    matching the sum path — the join argext is intersection-only."""
+    import ray.data as rd
+
+    from pygridmap_ray.gridding import make_grid
+    from pygridmap_ray.overlay import grid_overlay
+    from pygridmap_ray.planning import plan_grid
+    from pygridmap_ray.synth import polygon_layer
+
+    spec = plan_grid((0, 0, 500_000, 501_000), 50_000.0, tile=(8, 8))
+    grid = make_grid(True, cellsize=50_000.0, bbox=spec.bbox, tile=(8, 8))
+    out = grid_overlay(
+        grid, polygon_layer(), spec, how="union", rule="max", columns=["pop"]
+    ).to_pandas()
+    assert len(out) == spec.nrows * spec.ncols
+    assert out["pop"].isna().sum() > 0
+
+
+def test_inprogress_tmp_files_invisible(ray_session, tmp_path):
+    """A crash-leftover in-progress file must not break later reads or
+    validate as part of the output."""
+    import ray.data as rd
+
+    from pygridmap_ray.state import validate_output
+    from pygridmap_ray.tiler import read_tiles, write_partitioned
+
+    df = pd.DataFrame({"xt": [0, 1], "v": [1.0, 2.0]})
+    write_partitioned(rd.from_pandas(df), str(tmp_path / "t"), ["xt"])
+    dead = tmp_path / "t" / "xt=0" / "part-dead.parquet.inprogress"
+    dead.write_bytes(b"half written garbage")
+    assert read_tiles(str(tmp_path / "t")).count() == 2  # read unaffected
+    assert validate_output(str(tmp_path / "t"))  # not an orphan data file
