@@ -217,21 +217,66 @@ def minhash_lsh_pairs(
 
 
 def simhash64(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash over token hashes (near-dup = small hamming dist)."""
+    """64-bit SimHash over token hashes (near-dup = small hamming dist).
+
+    Vectorized: one md5 per UNIQUE token (``text.md5_hash64``), the
+    64-bit vote matrix accumulated with one ``np.add.reduceat`` over the
+    concatenated token stream.  Token hash family is the md5 16-hex
+    prefix so the DuckDB twin (:func:`sql_simhash`) is bit-exact."""
+    from .text import _flatten_token_lists, md5_hash64
+
     out = np.zeros(batch.num_rows, dtype=np.uint64)
-    for i, s in enumerate(batch[text_col].to_pylist()):
-        toks = TOKEN_RE.findall(s or "")
-        if not toks:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
+    tok_lists = [TOKEN_RE.findall(s or "") for s in batch[text_col].to_pylist()]
+    flat, lengths = _flatten_token_lists(tok_lists)
+    if len(flat):
+        h = md5_hash64(flat, hexdigits=16)
+        # (T, 64) bit matrix in one C pass: little-endian uint64 bytes ->
+        # unpackbits LSB-first puts integer bit b in column b
+        bits64 = np.unpackbits(
+            h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=bounds[1:])
+        nz = lengths > 0
+        # empty docs own zero-width segments, so consecutive non-empty
+        # docs' start offsets are contiguous -> reduceat sums exactly one
+        # doc's token bit-counts per segment
+        cnt = np.add.reduceat(bits64.astype(np.int32), bounds[:-1][nz], axis=0)
+        # vote sum = 2*count_ones - n_tokens; bit set iff vote sum > 0
+        bits = (2 * cnt > lengths[nz, None]).astype(np.uint64)
         shifts = np.arange(64, dtype=np.uint64)
-        for t in toks:
-            h = np.uint64(int(hashlib.md5(t.encode()).hexdigest()[:16], 16))
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        bits = (acc > 0).astype(np.uint64)
-        out[i] = np.sum(bits << np.arange(64, dtype=np.uint64))
+        out[nz] = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     return batch.append_column("simhash", pa.array(out.astype(np.int64)))
+
+
+def sql_simhash(source: str = "documents", text: str = "text") -> str:
+    """DuckDB twin of :func:`simhash64`: per-token 64-bit md5-prefix hash,
+    64 per-bit vote sums, sign bits reassembled into a signed BIGINT
+    (bit 63 contributes -2^63)."""
+    h = f"('0x' || substr(md5(tok), 1, 16))::UBIGINT"
+    terms = []
+    for b in range(63):
+        terms.append(
+            f"CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    terms.append(
+        "CASE WHEN SUM(CASE WHEN (h >> 63) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        "THEN (-9223372036854775807 - 1) ELSE 0 END"
+    )
+    votes = " + ".join(terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all({text}, '\\S+')) AS tok FROM {source}
+),
+sh AS (
+  SELECT doc_id, ({votes})::BIGINT AS simhash
+  FROM (SELECT doc_id, {h} AS h FROM toks)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash
+FROM {source} d LEFT JOIN sh USING (doc_id)
+"""
 
 
 def ngram_jaccard_pairs(

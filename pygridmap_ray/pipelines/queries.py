@@ -353,6 +353,16 @@ def q_simhash(sf_dir: str):
     )
 
 
+def q_rolling_fp(sf_dir: str):
+    from ..text import rolling_fingerprint
+
+    return (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(rolling_fingerprint, batch_format="pyarrow")
+        .select_columns(["doc_id", "rolling_fp"])
+    )
+
+
 def q_ngram_jaccard(sf_dir: str):
     from ..dedup import ngram_jaccard_pairs
 
@@ -535,6 +545,7 @@ def queries():
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "rolling_fp": q_rolling_fp,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -637,6 +648,8 @@ def oracle_sql():
         ),
         "lang_id": f"SELECT doc_id, lang, lang_pred FROM ({_sql_lang()})",
         "fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "rolling_fp": _sql_rolling_fp(),
+        "simhash": _sql_simhash(),
         "exact_dedup": _sql_exact_dedup(),
         "embedding_neardup": _sql_neardup(),
         "ann_topk": _sql_ann(),
@@ -652,9 +665,6 @@ def oracle_sql():
         "events_sessionize": _sql_events_sessionize(),
         "q1_pricing": _sql_q1(),
         "top_customers": _sql_topcust(),
-        # minhash_lsh / simhash / ngram_jaccard / ivf_topk /
-        # media_features_vec: signature- or index-based (not
-        # SQL-expressible) -> driver rows-only check
     }
 
 
@@ -716,6 +726,18 @@ def _sql_exact_dedup():
     from ..dedup import sql_exact_dedup
 
     return sql_exact_dedup()
+
+
+def _sql_simhash():
+    from ..dedup import sql_simhash
+
+    return sql_simhash()
+
+
+def _sql_rolling_fp():
+    from ..text import sql_rolling_fingerprint
+
+    return sql_rolling_fingerprint()
 
 
 def _sql_neardup():

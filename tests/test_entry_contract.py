@@ -92,6 +92,8 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "quality_score",
         "lang_id",
         "fingerprint",
+        "rolling_fp",
+        "simhash",
         "exact_dedup",
         "embedding_neardup",
         "ann_topk",
