@@ -132,6 +132,48 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 """
 
 
+def sql_ivf_topk(
+    k: int = 5, nprobe: int = 3, n_queries: int = 10, n_centroids: int = 8
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` when the coarse quantizer is the
+    (normalized) embeddings of ``vec_id < n_centroids`` — a data-sampled
+    quantizer, fully SQL-expressible: bucket = arg-max-cosine centroid
+    (ties to lower cid), probes = top-``nprobe`` centroids per query,
+    candidates restricted to probed buckets, then the exact-path ranking
+    (cosine DESC, neighbor ASC)."""
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_centroids}),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}),
+assign AS (
+  SELECT d.vec_id, d.embedding,
+         (SELECT c.cid FROM c
+          ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.cid
+          LIMIT 1) AS bucket
+  FROM embeddings d
+),
+probes AS (
+  SELECT q.vec_id AS query_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.cid
+         ) AS pr
+  FROM q, c
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos_raw * 1e6) / 1e6 AS cosine FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(qq.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS cos_raw,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(qq.embedding::DOUBLE[], a.embedding::DOUBLE[]) DESC, a.vec_id
+         )::BIGINT AS rank
+  FROM probes p
+  JOIN q qq ON qq.vec_id = p.query_id
+  JOIN assign a ON a.bucket = p.cid
+  WHERE p.pr <= {nprobe}
+) WHERE rank <= {k}
+"""
+
+
 def kmeans_lite(
     matrix: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 7
 ) -> np.ndarray:
@@ -205,7 +247,7 @@ def ivf_search_pruned(
 
     cents = _normalize(np.asarray(centroids, dtype=np.float64))
     qm = _normalize(np.asarray(queries["matrix"], dtype=np.float64))
-    probes = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    probes = np.argsort(-(qm @ cents.T), axis=1, kind="stable")[:, :nprobe]
     import glob as _glob
 
     needed = sorted({int(b) for row in probes for b in row})
@@ -257,7 +299,11 @@ def ivf_topk(
 
         def build(p):
             qm = _normalize(np.asarray(p["matrix"], dtype=np.float64))
-            probes = np.argsort(-(qm @ p["cents"].T), axis=1)[:, :nprobe]
+            # stable: probe ties break toward the lower centroid id (the
+            # SQL twin's ORDER BY cos DESC, cid ASC)
+            probes = np.argsort(-(qm @ p["cents"].T), axis=1, kind="stable")[
+                :, :nprobe
+            ]
             return {
                 "qm": qm,
                 "qids": np.asarray(p["ids"], dtype=np.int64),

@@ -351,59 +351,151 @@ def ngram_jaccard_pairs(
     )
 
 
+def _empty_pairs() -> pa.Table:
+    return pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+
 def embedding_neardup_pairs(
     ds,
-    all_embeddings: dict,
+    centroids: np.ndarray,
     *,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.9,
 ):
-    """Embedding-cosine near-dup pairs: each batch's vectors against the
-    broadcast normalized matrix (numpy matmul), keep sim >= threshold and
-    id_a < id_b.  DuckDB twin: all-pairs list_cosine_similarity on
-    DOUBLE[] (small sf); the LSH-bucketed variant is the scale path."""
+    """EXACT embedding-cosine near-dup pairs without any whole-corpus
+    broadcast or driver-side matrix load — the scale path.
+
+    1. assign: each vector -> nearest centroid (small broadcast), carrying
+       its own centroid cosine.
+    2. bucket radii: one tiny groupby (C rows to the driver).  Bucket-pair
+       (b1, b2) can host a qualifying pair only if, by the spherical
+       triangle inequality, ``theta(c1, c2) <= r1 + r2 + arccos(t)``
+       (r = max member angle to own centroid) — everything else is pruned.
+    3. each row is replicated to its surviving bucket-pair groups; one
+       groupby(group) -> in-group normalized matmul.  Cross-side pairs in
+       mixed groups, upper-triangle pairs in diagonal groups, so every
+       qualifying pair is emitted EXACTLY once (no global pair dedup).
+
+    Replication factor = bucket adjacency degree: tighter clusters / more
+    centroids / higher thresholds prune harder; worst case (low threshold,
+    overlapping buckets) degrades to a distributed block all-pairs, still
+    never a driver materialization.  Per-pair cosine is the dot of the two
+    row-normalized vectors — bit-identical to the all-broadcast version,
+    so the DuckDB all-pairs twin keeps matching."""
     import ray
+    from ray.data.aggregate import Min
 
-    ref = {"__ref__": ray.put(all_embeddings)}
+    from .ann import _emb_matrix, _normalize
 
-    def apply(batch: pa.Table) -> pa.Table:
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    n_cent = len(cents)
+    ref = {"__ref__": ray.put(cents)}
+
+    def assign(batch: pa.Table) -> pa.Table:
         from .spatial import _cached_kernel
 
-        from .ann import _emb_matrix, _normalize
-
-        def build(payload):
-            return {
-                "mat": _normalize(np.asarray(payload["matrix"], dtype=np.float64)),
-                "ids": np.asarray(payload["ids"], dtype=np.int64),
-            }
-
-        state = _cached_kernel(f"nd:{ref['__ref__'].hex()}", ref, build)
-        ids = np.asarray(batch[id_col], dtype=np.int64)
-        if len(ids) == 0:
-            return pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
-            )
-        sims = _normalize(_emb_matrix(batch, emb_col)) @ state["mat"].T
-        rows_a, rows_b, rows_s = [], [], []
-        for i in range(len(ids)):
-            hit = np.nonzero((sims[i] >= threshold) & (state["ids"] > ids[i]))[0]
-            rows_a.extend([ids[i]] * len(hit))
-            rows_b.extend(state["ids"][hit].tolist())
-            rows_s.extend(sims[i][hit].tolist())
-        return pa.table(
-            {
-                "id_a": pa.array(np.asarray(rows_a, dtype=np.int64)),
-                "id_b": pa.array(np.asarray(rows_b, dtype=np.int64)),
-                "cosine": pa.array(np.asarray(rows_s, dtype=np.float64)),
-            }
+        c = _cached_kernel(f"ndc:{ref['__ref__'].hex()}", ref, lambda p: p)
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "bucket", pa.array([], pa.int64())
+            ).append_column("cmax", pa.array([], pa.float64()))
+        sims = _normalize(_emb_matrix(batch, emb_col)) @ c.T
+        b = np.argmax(sims, axis=1)
+        cmax = sims[np.arange(len(b)), b]
+        return batch.append_column("bucket", pa.array(b.astype(np.int64))).append_column(
+            "cmax", pa.array(cmax)
         )
 
-    return ds.map_batches(apply, batch_format="pyarrow")
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    # tiny driver-side table: per-bucket worst (lowest) centroid cosine
+    radii = (
+        assigned.select_columns(["bucket", "cmax"])
+        .groupby("bucket")
+        .aggregate(Min("cmax", alias_name="cmin"))
+        .to_pandas()
+    )
+    r = np.zeros(n_cent)
+    present = np.zeros(n_cent, dtype=bool)
+    for bb, cm in zip(radii["bucket"], radii["cmin"]):
+        r[int(bb)] = float(np.arccos(np.clip(cm, -1.0, 1.0)))
+        present[int(bb)] = True
+    theta_c = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
+    theta_t = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    groups_of_bucket: dict[int, list[tuple[int, int]]] = {}
+    for b1 in range(n_cent):
+        if not present[b1]:
+            continue
+        for b2 in range(b1, n_cent):
+            if not present[b2]:
+                continue
+            if theta_c[b1, b2] <= r[b1] + r[b2] + theta_t + 1e-9:
+                gid = b1 * n_cent + b2
+                groups_of_bucket.setdefault(b1, []).append((gid, 0))
+                if b2 != b1:
+                    groups_of_bucket.setdefault(b2, []).append((gid, 1))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        data = batch.select([id_col, emb_col, "bucket"])
+        parts = []
+        buckets = np.asarray(batch["bucket"], dtype=np.int64)
+        for bb in np.unique(buckets):
+            rows = data.filter(pa.array(buckets == bb))
+            for gid, side in groups_of_bucket.get(int(bb), []):
+                parts.append(
+                    rows.append_column(
+                        "gid", pa.array(np.full(rows.num_rows, gid, np.int64))
+                    ).append_column(
+                        "side", pa.array(np.full(rows.num_rows, side, np.int64))
+                    )
+                )
+        if not parts:
+            sch = data.schema.append(pa.field("gid", pa.int64())).append(
+                pa.field("side", pa.int64())
+            )
+            return sch.empty_table()
+        return pa.concat_tables(parts)
+
+    exploded = assigned.map_batches(explode, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        gid = int(g["gid"].iloc[0])
+        diag = (gid // n_cent) == (gid % n_cent)
+        emb = _normalize(np.stack([np.asarray(v, np.float64) for v in g[emb_col]]))
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        if diag:
+            sims = emb @ emb.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = sims[ia, ib] >= threshold
+            a, b, s = ids[ia[keep]], ids[ib[keep]], sims[ia[keep], ib[keep]]
+        else:
+            left = g["side"].to_numpy() == 0
+            la, lb = ids[left], ids[~left]
+            ea, eb = emb[left], emb[~left]
+            if len(la) == 0 or len(lb) == 0:
+                return pd.DataFrame(
+                    {
+                        "id_a": pd.Series([], dtype="int64"),
+                        "id_b": pd.Series([], dtype="int64"),
+                        "cosine": pd.Series([], dtype="float64"),
+                    }
+                )
+            sims = ea @ eb.T
+            ia, ib = np.nonzero(sims >= threshold)
+            a, b, s = la[ia], lb[ib], sims[ia, ib]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"id_a": a2, "id_b": b2, "cosine": s})
+
+    return exploded.groupby("gid").map_groups(verify, batch_format="pandas")
 
 
 def sql_embedding_neardup(threshold: float = 0.9) -> str:

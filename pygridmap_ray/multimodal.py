@@ -125,10 +125,8 @@ def media_pipeline(docs_with_spans_ds, *, concurrency=None, batch_size: int = 10
     return ds.map_batches(dec, batch_format="pyarrow", batch_size=batch_size)
 
 
-def sql_media_features() -> str:
-    """Oracle for doc_id/span_idx/kind/media_ref/offset/n_bytes/width/
-    height of the media pipeline (features column is checked by the
-    rows-only path; byte-law twins below are exact)."""
+def _sql_media_rows() -> str:
+    """Shared CTE body: the exploded media rows with their byte laws."""
     from .synth import SQL_N_SPANS
 
     kind_case = (
@@ -147,4 +145,36 @@ FROM documents d
 JOIN (SELECT UNNEST(generate_series(0, 7)) AS i) i
   ON i.i < {SQL_N_SPANS.replace('doc_id', 'd.doc_id')}
 WHERE ((d.doc_id + i.i) % 3) != 0
+"""
+
+
+def sql_media_features() -> str:
+    """Oracle for doc_id/span_idx/kind/media_ref/offset/n_bytes/width/
+    height of the media pipeline (byte-law twins are exact)."""
+    return _sql_media_rows()
+
+
+def sql_media_features_vec(dim: int = 4) -> str:
+    """Oracle including the decoded feature values: feature j is the mean
+    byte value of the j-th ``np.array_split`` chunk of the payload, whose
+    byte at position p is digest byte ``p % 16`` of ``md5(media_ref)``.
+    array_split law: with l = n//dim, r = n%dim the first r chunks have
+    l+1 bytes — chunk id is closed-form in p.  Features come back as
+    scalar columns f0..f{{dim-1}} (rounded 6dp on both sides)."""
+    byte_val = "('0x' || substr(md5(media_ref), 2 * (u.p % 16) + 1, 2))::BIGINT"
+    chunk = "CASE WHEN p < r * (l + 1) THEN p // (l + 1) ELSE r + (p - r * (l + 1)) // l END"
+    feats = ", ".join(
+        f"ROUND(AVG(bv) FILTER (chunk = {j}) * 1e6) / 1e6 AS f{j}"
+        for j in range(dim)
+    )
+    return f"""
+WITH media AS ({_sql_media_rows()}),
+pos AS (
+  SELECT m.*, u.p, {byte_val} AS bv,
+         (m.n_bytes // {dim}) AS l, (m.n_bytes % {dim}) AS r
+  FROM media m, UNNEST(generate_series(0, m.n_bytes - 1)) AS u(p)
+)
+SELECT doc_id, span_idx, kind, media_ref, "offset", n_bytes, width, height, {feats}
+FROM (SELECT *, {chunk} AS chunk FROM pos)
+GROUP BY doc_id, span_idx, kind, media_ref, "offset", n_bytes, width, height
 """

@@ -254,9 +254,12 @@ def q_spans_roundtrip(sf_dir: str):
     # one row per doc for the summary: drop join fan-out deterministically
     from ..tiler import write_partitioned
 
-    # fixed path + overwrite: repeated gate/bench runs must not accumulate
-    # corpus copies under /tmp
-    out_dir = "/tmp/spans_roundtrip_stage"
+    # pid-suffixed path + overwrite: repeated runs in one process reuse the
+    # dir (no /tmp accumulation) while CONCURRENT gate/bench processes
+    # cannot rmtree each other's files mid-read
+    import os as _os
+
+    out_dir = f"/tmp/spans_roundtrip_stage_{_os.getpid()}"
     write_partitioned(ds, out_dir, ["xt"], mode="overwrite")
     back = rd.read_parquet(out_dir, file_extensions=["parquet"])
 
@@ -369,24 +372,32 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir, ("doc_id", "text")), threshold=0.3)
 
 
-def _load_embeddings(sf_dir: str):
+def _head_vectors(sf_dir: str, n: int):
+    """(ids, matrix) of vec_id < n, ascending — a PRUNED parquet read (row
+    filter push-down), never the whole embedding table in driver RAM."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    )
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
-    return np.asarray(t["vec_id"], dtype=np.int64), mat
+    order = np.argsort(ids)
+    return ids[order], mat[order]
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Bucketed exact near-dup (no whole-matrix broadcast, no driver-side
+    embedding load) — centroids are a tiny pruned-read sample."""
     import ray.data as rd
 
     from ..dedup import embedding_neardup_pairs
 
-    ids, mat = _load_embeddings(sf_dir)
+    _, cents = _head_vectors(sf_dir, 8)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = embedding_neardup_pairs(
-        ds, {"ids": ids, "matrix": mat}, threshold=0.35
-    )
+    out = embedding_neardup_pairs(ds, cents, threshold=0.35)
     return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
 
 
@@ -395,41 +406,49 @@ def q_ann_topk(sf_dir: str):
 
     from ..ann import ann_topk
 
-    ids, mat = _load_embeddings(sf_dir)
-    sel = ids < 10
+    qids, qmat = _head_vectors(sf_dir, 10)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = ann_topk(ds, {"ids": ids[sel], "matrix": mat[sel]}, k=5)
+    out = ann_topk(ds, {"ids": qids, "matrix": qmat}, k=5)
     return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
 
 
 def q_ivf_topk(sf_dir: str):
+    """IVF top-k with a data-sampled coarse quantizer (the first 8 corpus
+    vectors) — deterministic and SQL-expressible, so the approximate path
+    gets an EXACT oracle (``sql_ivf_topk``).  The kmeans_lite quantizer
+    variant stays covered by the recall tests."""
     import ray.data as rd
 
-    from ..ann import ivf_topk, kmeans_lite
+    from ..ann import ivf_topk
 
-    ids, mat = _load_embeddings(sf_dir)
-    cents = kmeans_lite(mat, n_clusters=8)
-    sel = ids < 10
+    qids, qmat = _head_vectors(sf_dir, 10)
+    _, cents = _head_vectors(sf_dir, 8)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, {"ids": ids[sel], "matrix": mat[sel]}, cents, k=5, nprobe=3)
+    out = ivf_topk(ds, {"ids": qids, "matrix": qmat}, cents, k=5, nprobe=3)
+    return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
 
 
 def q_ivf_pruned(sf_dir: str):
-    """IVF with a persisted bucket-partitioned index and pruned reads
-    (rows-only check; approximate by design)."""
+    """Same IVF search but through a persisted bucket-partitioned index
+    with partition-pruned reads; result is identical to ``ivf_topk`` (the
+    pruned read is a physical optimization), so it shares the oracle."""
+    import os as _os
+
     import ray.data as rd
 
-    from ..ann import ivf_build, ivf_search_pruned, kmeans_lite
+    from ..ann import ivf_build, ivf_search_pruned
 
-    ids, mat = _load_embeddings(sf_dir)
-    cents = kmeans_lite(mat, n_clusters=8)
+    qids, qmat = _head_vectors(sf_dir, 10)
+    _, cents = _head_vectors(sf_dir, 8)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx_dir = "/tmp/ivf_index_stage"
+    # pid-suffixed staging dir: same-process reruns overwrite in place,
+    # concurrent gate/bench runs cannot rmtree each other's index mid-read
+    idx_dir = f"/tmp/ivf_index_stage_{_os.getpid()}"
     ivf_build(ds, cents, idx_dir)
-    sel = ids < 10
-    return ivf_search_pruned(
-        idx_dir, {"ids": ids[sel], "matrix": mat[sel]}, cents, k=5, nprobe=3
+    out = ivf_search_pruned(
+        idx_dir, {"ids": qids, "matrix": qmat}, cents, k=5, nprobe=3
     )
+    return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -484,7 +503,9 @@ def q_media_features(sf_dir: str):
 
 
 def q_media_features_vec(sf_dir: str):
-    """rows-only variant carrying the feature vectors (list column)."""
+    """Variant carrying the decoded feature values, flattened to scalar
+    f0..f3 columns so the driver's value-hash can check them against the
+    closed-form byte-law oracle (``sql_media_features_vec``)."""
     from ..multimodal import media_pipeline
 
     ds = docs_points(sf_dir).drop_columns(["x", "y"])
@@ -492,7 +513,24 @@ def q_media_features_vec(sf_dir: str):
     def add_spans(b: pa.Table) -> pa.Table:
         return b.append_column("spans", build_spans_array(np.asarray(b["doc_id"])))
 
-    return media_pipeline(ds.map_batches(add_spans, batch_format="pyarrow"))
+    out = media_pipeline(ds.map_batches(add_spans, batch_format="pyarrow"))
+
+    def flatten(b: pa.Table) -> pa.Table:
+        f = b["features"].combine_chunks()
+        m = (
+            np.asarray(f.flatten(), dtype=np.float64).reshape(b.num_rows, -1)
+            if b.num_rows
+            else np.empty((0, 4))
+        )
+        out_b = b.drop_columns(["features"])
+        for j in range(m.shape[1] if b.num_rows else 4):
+            out_b = out_b.append_column(f"f{j}", pa.array(m[:, j]))
+        return out_b
+
+    out = out.map_batches(flatten, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: round6(b, ["f0", "f1", "f2", "f3"]), batch_format="pyarrow"
+    )
 
 
 def q_events_window(sf_dir: str):
@@ -653,6 +691,8 @@ def oracle_sql():
         "exact_dedup": _sql_exact_dedup(),
         "embedding_neardup": _sql_neardup(),
         "ann_topk": _sql_ann(),
+        "ivf_topk": _sql_ivf(),
+        "ivf_pruned": _sql_ivf(),
         "raster_cells": _sql_raster_cells(),
         "raster_resample": _sql_raster_resample(),
         "frame_rowsum": (
@@ -661,6 +701,7 @@ def oracle_sql():
             "FROM lineitem"
         ),
         "media_features": _sql_media(),
+        "media_features_vec": _sql_media_vec(),
         "events_window": _sql_events_window(),
         "events_sessionize": _sql_events_sessionize(),
         "q1_pricing": _sql_q1(),
@@ -684,6 +725,12 @@ def _sql_media():
     from ..multimodal import sql_media_features
 
     return sql_media_features()
+
+
+def _sql_media_vec():
+    from ..multimodal import sql_media_features_vec
+
+    return sql_media_features_vec()
 
 
 def _sql_events_window():
@@ -750,3 +797,9 @@ def _sql_ann():
     from ..ann import sql_ann_topk
 
     return sql_ann_topk(5, 10)
+
+
+def _sql_ivf():
+    from ..ann import sql_ivf_topk
+
+    return sql_ivf_topk(5, 3, 10, 8)

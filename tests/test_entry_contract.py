@@ -97,10 +97,13 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "exact_dedup",
         "embedding_neardup",
         "ann_topk",
+        "ivf_topk",
+        "ivf_pruned",
         "raster_cells",
         "raster_resample",
         "frame_rowsum",
         "media_features",
+        "media_features_vec",
         "events_window",
         "events_sessionize",
         "q1_pricing",
