@@ -145,8 +145,10 @@ def minhash_lsh_pairs(
     """Near-dup pairs via MinHash banding.
 
     shingle -> minhash (map_batches) -> explode to (band, bucket, id, sig)
-    rows -> groupby (band, bucket) -> in-bucket signature-Jaccard verify ->
-    global pair dedup.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+    rows -> groupby (band, bucket) -> in-bucket signature-Jaccard verify
+    with CANONICAL emission (each pair from exactly one band), so no
+    global pair-dedup shuffle follows.  Returns (id_a, id_b, jaccard)
+    with id_a < id_b, each pair exactly once.
     """
     sigged = ds.select_columns([id_col, text_col]).map_batches(
         lambda b: minhash_signatures(b, text_col), batch_format="pyarrow"
@@ -185,34 +187,95 @@ def minhash_lsh_pairs(
     exploded = sigged.map_batches(explode, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        ids = g[id_col].to_numpy()
+            return empty
+        ids = g[id_col].to_numpy(dtype=np.int64)
         sigs = np.stack(g["minhash"].to_numpy())
+        band = int(g["band"].iloc[0])
         order = np.argsort(ids)
         ids, sigs = ids[order], sigs[order]
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
+        # hot-bucket bound: collapse identical signatures FIRST so a
+        # boilerplate cluster of m near-identical docs costs O(u^2) unique
+        # comparisons, not O(m^2) Python pair checks
+        uniq, inverse = np.unique(sigs, axis=0, return_inverse=True)
+        u = len(uniq)
+        frames = []
+        # within-identical-signature member pairs (estimate 1.0): identical
+        # sigs collide in EVERY band, so emit them only once, in band 0
+        if band == 0:
+            counts = np.bincount(inverse, minlength=u)
+            for s in np.nonzero(counts > 1)[0]:
+                members = ids[inverse == s]  # ascending (ids sorted)
+                ia, ib = np.triu_indices(len(members), k=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": members[ia],
+                            "id_b": members[ib],
+                            "jaccard": np.ones(len(ia)),
+                        }
+                    )
+                )
+        # cross-signature pairs: blockwise vectorized equality on the
+        # UNIQUE signatures.  A pair is emitted ONLY in the first band
+        # where its two signatures fully agree (computable locally from
+        # the sigs) — canonical emission, so no global pair-dedup shuffle
+        # is needed afterwards (a groupby over millions of pair-keys costs
+        # ~1ms of per-group Python each; this was the real hot-bucket
+        # scale-killer)
+        if u >= 2:
+            blk = max(1, (1 << 24) // (u * _MINHASH_K))
+            member_lists = None
+            for lo in range(0, u, blk):
+                hi = min(lo + blk, u)
+                comp = uniq[lo:hi, None, :] == uniq[None, :, :]
+                eq = comp.mean(axis=2)
+                band_eq = comp.reshape(hi - lo, u, _LSH_BANDS, _LSH_ROWS).all(
+                    axis=3
+                )
+                first_band = np.argmax(band_eq, axis=2)
+                ii, jj = np.nonzero(
+                    (eq >= jaccard_threshold)
+                    & band_eq.any(axis=2)
+                    & (first_band == band)
+                )
+                keep = (ii + lo) < jj  # upper triangle of unique-sig pairs
+                if not keep.any():
                     continue
-                jac = float((sigs[i] == sigs[j]).mean())
-                if jac >= jaccard_threshold:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_j.append(jac)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+                if member_lists is None:
+                    inv_order = np.argsort(inverse, kind="stable")
+                    bnds = np.searchsorted(inverse[inv_order], np.arange(u + 1))
+                    member_lists = [
+                        ids[inv_order[bnds[s] : bnds[s + 1]]] for s in range(u)
+                    ]
+                for i2, j2, jac in zip(ii[keep] + lo, jj[keep], eq[ii, jj][keep]):
+                    ma, mb = member_lists[i2], member_lists[j2]
+                    a = np.repeat(ma, len(mb))
+                    b = np.tile(mb, len(ma))
+                    swap = a > b
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.where(swap, b, a),
+                                "id_b": np.where(swap, a, b),
+                                "jaccard": np.full(len(a), float(jac)),
+                            }
+                        )
+                    )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+    # emission is canonical (identical sigs in band 0 only; cross-sig
+    # pairs in their first agreeing band only), so the bucket outputs are
+    # already globally distinct — no pair-dedup shuffle
+    return exploded.groupby(["band", "bucket"]).map_groups(
         verify, batch_format="pandas"
-    )
-    # the same pair can surface from several bands -> global dedup.
-    # no count() guard here: it would execute the whole signature+shuffle
-    # pipeline a second time (reviewed finding)
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("jaccard", alias_name="jaccard")
     )
 
 
@@ -279,6 +342,40 @@ FROM {source} d LEFT JOIN sh USING (doc_id)
 """
 
 
+def _shingle_sets(batch: pa.Table, id_col: str, text_col: str, n: int) -> pa.Table:
+    """Per doc: sorted distinct shingle hashes (list<int64>), set size, and
+    a 64-bit set fingerprint (md5 of the hash bytes) for identical-set
+    collapse.  The text column never leaves this stage."""
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    texts = batch[text_col].to_pylist()
+    arrs = [np.sort(_shingle_hashes(t, n)) for t in texts]
+    sizes = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    import hashlib as _hl
+
+    set_hash = np.fromiter(
+        (
+            int(_hl.md5(a.tobytes()).hexdigest()[:16], 16) - (1 << 63)
+            for a in arrs
+        ),
+        dtype=np.int64,
+        count=len(arrs),
+    )
+    offsets = np.zeros(len(arrs) + 1, dtype=np.int32)
+    np.cumsum(sizes, out=offsets[1:])
+    values = (
+        np.concatenate(arrs).astype(np.int64) if len(arrs) else np.empty(0, np.int64)
+    )
+    shingles = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
+    return pa.table(
+        {
+            id_col: pa.array(ids),
+            "shingles": shingles,
+            "size": pa.array(sizes),
+            "set_hash": pa.array(set_hash),
+        }
+    )
+
+
 def ngram_jaccard_pairs(
     ds,
     *,
@@ -286,69 +383,222 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     n: int = 3,
+    num_partitions: int = 8,
 ):
-    """Exact n-gram Jaccard near-dup pairs, LSH-bucketed first so the
-    verify step never goes all-pairs-global (true set Jaccard computed in
-    the bucket, unlike the signature estimate of minhash_lsh_pairs)."""
-    sigged = ds.select_columns([id_col, text_col]).map_batches(
-        lambda b: minhash_signatures(b, text_col, n), batch_format="pyarrow"
+    """EXACT n-gram Jaccard near-dup pairs via prefix-filter candidate
+    generation (the AllPairs/PPJoin family) — full recall, unlike the
+    probabilistic LSH banding of :func:`minhash_lsh_pairs`, and the raw
+    text never enters the shuffle (only 8-byte shingle hashes travel).
+
+    - per doc: sorted distinct shingle-hash set S (|S| = s); prefix =
+      first ``s - ceil(t*s) + 1`` hashes.  Lemma: jac(A,B) >= t implies
+      the smallest common element sits inside BOTH prefixes, so grouping
+      prefix entries by shingle has full recall.
+    - candidate stage ships (shingle, id, size, pos, set_hash) only;
+      in-bucket, identical sets (same fingerprint) emit their member
+      pairs DIRECTLY with jaccard exactly 1.0 — once, in the bucket of
+      their first prefix hash — so boilerplate clusters never reach the
+      O(m^2) verify.
+    - cross-set candidates pass the length filter (t*max <= min), are
+      deduped, then hash-JOINED back to the two shingle sets
+      (``Dataset.join``) for the exact sorted-array intersection.
+
+    Partitioning assumption: candidates shuffle by shingle hash, verify
+    shuffles by doc id — both well-spread keys; a globally hot shingle is
+    bounded by the prefix filter (only docs whose PREFIX holds it land in
+    its bucket)."""
+    sets = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _shingle_sets(b, id_col, text_col, n), batch_format="pyarrow"
     )
 
-    def explode(batch: pa.Table) -> pa.Table:
-        n_rows = batch.num_rows
-        sig = (
-            np.asarray(batch["minhash"].combine_chunks().flatten()).reshape(
-                n_rows, _MINHASH_K
-            )
-            if n_rows
-            else np.empty((0, _MINHASH_K), np.int64)
-        )
+    def explode_prefix(batch: pa.Table) -> pa.Table:
+        sizes = np.asarray(batch["size"], dtype=np.int64)
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        texts = batch[text_col]
-        parts = []
-        for b in range(_LSH_BANDS):
-            parts.append(
-                pa.table(
+        shash = np.asarray(batch["set_hash"], dtype=np.int64)
+        sh = batch["shingles"].combine_chunks()
+        flat = np.asarray(sh.flatten(), dtype=np.int64)
+        offsets = np.asarray(sh.offsets, dtype=np.int64)
+        pref_len = np.where(
+            sizes > 0, sizes - np.ceil(threshold * sizes).astype(np.int64) + 1, 0
+        )
+        parent = np.repeat(np.arange(len(ids)), pref_len)
+        total = int(pref_len.sum())
+        pos = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(pref_len)[:-1]]), pref_len
+        )
+        take = offsets[:-1][parent] + pos
+        return pa.table(
+            {
+                "shingle": pa.array(flat[take]),
+                id_col: pa.array(ids[parent]),
+                "size": pa.array(sizes[parent]),
+                "pos": pa.array(pos),
+                "set_hash": pa.array(shash[parent]),
+            }
+        )
+
+    prefix = sets.map_batches(explode_prefix, batch_format="pyarrow")
+
+    def candgen(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        sizes = g["size"].to_numpy(dtype=np.int64)
+        pos = g["pos"].to_numpy(dtype=np.int64)
+        shash = g["set_hash"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids, sizes, pos, shash = ids[order], sizes[order], pos[order], shash[order]
+        frames = []
+        # identical sets: emit member pairs once, at their min prefix hash
+        at0 = pos == 0
+        if at0.sum() > 1:
+            h0, i0 = shash[at0], ids[at0]
+            uh, inv = np.unique(h0, return_inverse=True)
+            for s in np.nonzero(np.bincount(inv) > 1)[0]:
+                mem = i0[inv == s]
+                ia, ib = np.triu_indices(len(mem), k=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": mem[ia],
+                            "id_b": mem[ib],
+                            "jaccard": np.ones(len(ia)),
+                        }
+                    )
+                )
+        # cross-set candidates (jaccard -1 marks "verify me"): length
+        # filter t*max <= min, distinct fingerprints only
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = (
+            (shash[ia] != shash[ib])
+            & (threshold * np.maximum(sizes[ia], sizes[ib])
+               <= np.minimum(sizes[ia], sizes[ib]))
+        )
+        if keep.any():
+            frames.append(
+                pd.DataFrame(
                     {
-                        "band": pa.array(np.full(n_rows, b, dtype=np.int32)),
-                        "bucket": pa.array(_band_buckets(sig, b)),
-                        id_col: pa.array(ids),
-                        text_col: texts,
+                        "id_a": ids[ia[keep]],
+                        "id_b": ids[ib[keep]],
+                        "jaccard": np.full(int(keep.sum()), -1.0),
                     }
                 )
             )
-        return pa.concat_tables(parts)
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
-    exploded = sigged.map_batches(explode, batch_format="pyarrow")
+    emitted = prefix.groupby("shingle").map_groups(candgen, batch_format="pandas")
+    import pyarrow.compute as pc
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        shingles = [set(_shingle_hashes(t, n).tolist()) for t in g[text_col]]
+    direct = emitted.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["jaccard"], 0.0)),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count
+
+    cands = (
+        emitted.map_batches(
+            lambda b: b.filter(pc.less(b["jaccard"], 0.0)).select(
+                ["id_a", "id_b"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def _rename(suffix):
+        def f(b: pa.Table) -> pa.Table:
+            # Acero (the join kernel) rejects list<> payload columns ->
+            # pack each sorted int64 set as a binary cell, zero-copy from
+            # the list array's value buffer
+            sh = b["shingles"].combine_chunks()
+            vals = np.asarray(sh.flatten(), dtype=np.int64)
+            offs = (np.asarray(sh.offsets, dtype=np.int64) * 8).astype(np.int32)
+            packed = pa.Array.from_buffers(
+                pa.binary(),
+                len(sh),
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(vals.tobytes())],
+            )
+            return pa.table(
+                {f"id_{suffix}": b[id_col], f"sh_{suffix}": packed}
+            )
+
+        return f
+
+    sets_a = sets.map_batches(_rename("a"), batch_format="pyarrow")
+    sets_b = sets.map_batches(_rename("b"), batch_format="pyarrow")
+    joined = cands.join(
+        sets_a, join_type="inner", num_partitions=num_partitions, on=("id_a",)
+    ).join(sets_b, join_type="inner", num_partitions=num_partitions, on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        na = batch.num_rows
         out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j] or not shingles[i] or not shingles[j]:
+        if na:
+            ids_a = np.asarray(batch["id_a"], dtype=np.int64)
+            ids_b = np.asarray(batch["id_b"], dtype=np.int64)
+            sh_a = batch["sh_a"].to_pylist()
+            sh_b = batch["sh_b"].to_pylist()
+            for i in range(na):
+                a = np.frombuffer(sh_a[i], dtype=np.int64)
+                b = np.frombuffer(sh_b[i], dtype=np.int64)
+                if len(a) == 0 or len(b) == 0:
                     continue
-                inter = len(shingles[i] & shingles[j])
-                union = len(shingles[i] | shingles[j])
-                jac = inter / union
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                jac = inter / (len(a) + len(b) - inter)
                 if jac >= threshold:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
+                    out_a.append(int(ids_a[i]))
+                    out_b.append(int(ids_b[i]))
                     out_j.append(jac)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+        return pa.table(
+            {
+                "id_a": pa.array(np.asarray(out_a, dtype=np.int64)),
+                "id_b": pa.array(np.asarray(out_b, dtype=np.int64)),
+                "jaccard": pa.array(np.asarray(out_j, dtype=np.float64)),
+            }
+        )
 
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
-        verify, batch_format="pandas"
-    )
-    from ray.data.aggregate import Max
+    verified = joined.map_batches(verify, batch_format="pyarrow")
+    return verified.union(direct)
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("jaccard", alias_name="jaccard")
-    )
+
+def sql_ngram_jaccard(
+    threshold: float, n: int = 3, source: str = "documents", text: str = "text"
+) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_pairs`: exact all-pairs Jaccard
+    over DISTINCT word n-grams (m = min(n, n_tokens), like the engine's
+    shingle law), which the prefix-filter pipeline reproduces exactly —
+    its recall is 1 by the prefix lemma, and hash-set Jaccard equals
+    string-set Jaccard absent 61-bit collisions."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t, LEAST({n}, len(t)) AS m
+  FROM (SELECT doc_id, regexp_extract_all({text}, '\\S+') AS t FROM {source})
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN t IS NULL OR len(t) = 0 THEN [] ELSE
+      list_distinct([array_to_string(list_slice(t, p, p + m - 1), chr(31))
+                     for p in generate_series(1, len(t) - m + 1)])
+    END AS g
+  FROM toks
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.g, b.g))::DOUBLE
+           / len(list_distinct(a.g || b.g)) AS jaccard
+  FROM grams a JOIN grams b ON b.doc_id > a.doc_id
+  WHERE len(a.g) > 0 AND len(b.g) > 0
+) WHERE jaccard >= {threshold}
+"""
 
 
 def _empty_pairs() -> pa.Table:

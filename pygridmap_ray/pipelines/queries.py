@@ -341,9 +341,30 @@ def q_exact_dedup(sf_dir: str):
 
 
 def q_minhash_lsh(sf_dir: str):
+    """MinHash+LSH over a PLANTED corpus derived closed-form from doc_id:
+    docs with doc_id % 50 in {0, 13} share identical group text, every
+    other doc gets unique tokens.  LSH recall is probabilistic for
+    0 < jaccard < 1, but identical docs collide in every band with
+    probability 1 and estimate exactly 1.0 — so the full signature ->
+    banding -> bucket-verify pipeline has a deterministic, SQL-expressible
+    expected output (the planted-oracle pattern).  Mixed-similarity recall
+    stays covered by pytest fixtures."""
     from ..dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(sf_dir, ("doc_id", "text")), jaccard_threshold=0.5)
+    ds = _docs(sf_dir, ("doc_id",))
+
+    def planted_text(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        texts = [
+            " ".join(f"g{d // 50}tok{j}" for j in range(16))
+            if d % 50 in (0, 13)
+            else " ".join(f"u{d}w{j}" for j in range(12))
+            for d in did.tolist()
+        ]
+        return b.append_column("text", pa.array(texts, pa.string()))
+
+    ds = ds.map_batches(planted_text, batch_format="pyarrow")
+    return minhash_lsh_pairs(ds, jaccard_threshold=0.5)
 
 
 def q_simhash(sf_dir: str):
@@ -367,9 +388,12 @@ def q_rolling_fp(sf_dir: str):
 
 
 def q_ngram_jaccard(sf_dir: str):
+    """Exact prefix-filter set-similarity join — full recall, so the
+    all-pairs DuckDB twin is an exact oracle."""
     from ..dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(sf_dir, ("doc_id", "text")), threshold=0.3)
+    out = ngram_jaccard_pairs(_docs(sf_dir, ("doc_id", "text")), threshold=0.3)
+    return out.map_batches(lambda b: round6(b, ["jaccard"]), batch_format="pyarrow")
 
 
 def _head_vectors(sf_dir: str, n: int):
@@ -689,6 +713,14 @@ def oracle_sql():
         "rolling_fp": _sql_rolling_fp(),
         "simhash": _sql_simhash(),
         "exact_dedup": _sql_exact_dedup(),
+        "ngram_jaccard": _sql_ngram(),
+        # planted-corpus expectation: exactly the identical-text pairs,
+        # signature jaccard exactly 1.0 (see q_minhash_lsh)
+        "minhash_lsh": (
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 13 "
+            "WHERE a.doc_id % 50 = 0"
+        ),
         "embedding_neardup": _sql_neardup(),
         "ann_topk": _sql_ann(),
         "ivf_topk": _sql_ivf(),
@@ -773,6 +805,16 @@ def _sql_exact_dedup():
     from ..dedup import sql_exact_dedup
 
     return sql_exact_dedup()
+
+
+def _sql_ngram():
+    from ..dedup import sql_ngram_jaccard
+
+    return (
+        "SELECT id_a, id_b, ROUND(jaccard * 1e6) / 1e6 AS jaccard FROM ("
+        + sql_ngram_jaccard(0.3)
+        + ")"
+    )
 
 
 def _sql_simhash():

@@ -45,6 +45,37 @@ def test_minhash_finds_planted_neardup(dup_docs):
     assert len(filler) == 0
 
 
+def test_minhash_hot_cluster_bounded(ray_session):
+    """A planted cluster of 3000 identical docs (the web-boilerplate case)
+    must complete fast: the verify stage collapses identical signatures to
+    ONE unique row per bucket and emits the member pairs vectorized in a
+    single canonical band, so cost is O(u^2 + pairs), never O(m^2) Python
+    pair checks per band."""
+    import time
+
+    import ray.data as rd
+
+    m = 3000
+    rows = [{"doc_id": i, "text": "common boilerplate page body " * 4} for i in range(m)]
+    rows += [
+        {"doc_id": m + i, "text": f"unique doc {i} tokens {i * 3} {i * 11} {i * 17}"}
+        for i in range(50)
+    ]
+    from pygridmap_ray.dedup import minhash_lsh_pairs
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(
+        rd.from_pandas(pd.DataFrame(rows)), jaccard_threshold=0.5
+    ).to_pandas()
+    elapsed = time.time() - t0
+    cluster = pairs[(pairs.id_a < m) & (pairs.id_b < m)]
+    assert len(cluster) == m * (m - 1) // 2
+    assert (cluster["jaccard"] == 1.0).all()
+    # unique docs never pair with the cluster or each other
+    assert len(pairs) == len(cluster)
+    assert elapsed < 60, f"hot cluster took {elapsed:.1f}s"
+
+
 def test_ngram_jaccard_exact_values(dup_docs):
     from pygridmap_ray.dedup import ngram_jaccard_pairs
 

@@ -95,6 +95,8 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "rolling_fp",
         "simhash",
         "exact_dedup",
+        "minhash_lsh",
+        "ngram_jaccard",
         "embedding_neardup",
         "ann_topk",
         "ivf_topk",
