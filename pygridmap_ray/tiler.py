@@ -498,6 +498,7 @@ def grid_aggregation(
     rounding: int | None = None,
     x_col: str = "x",
     y_col: str = "y",
+    combine: str = "tree",
 ):
     """Aggregate cells to an ``a``-times coarser grid (reference
     gridtiler.py:357-453).
@@ -507,12 +508,16 @@ def grid_aggregation(
 
     ``columns`` maps column name -> rule in :data:`AGG_RULES`.  The whole
     dataset never sits in driver memory (the reference builds an in-RAM
-    dict index, gridtiler.py:399-410); here it is one Ray hash-shuffle
-    groupby over partial per-batch pre-aggregates.
+    dict index, gridtiler.py:399-410); per-batch combiner partials are
+    merged either by a repartition tree (``combine="tree"``, default —
+    the coarse output is a^2 x smaller than the input) or a hash-shuffle
+    groupby (``combine="shuffle"`` for enormous coarse grids).
     """
     for col, rule in columns.items():
         if rule not in AGG_RULES:
             raise ValueError(f"unknown rule {rule!r} for {col!r}")
+    if combine not in ("tree", "shuffle"):
+        raise ValueError(f"combine must be 'tree' or 'shuffle', got {combine!r}")
     tr = float(resolution * a)
 
     def key_batch(batch: pa.Table) -> pa.Table:
@@ -531,73 +536,237 @@ def grid_aggregation(
     keyed = ds.map_batches(key_batch, batch_format="pyarrow")
 
     # pre-aggregate inside each batch (combiner) so the shuffle moves one
-    # row per (key, batch) instead of every cell
-    order_cols = {"iy", "ix"} <= set(ds.schema().names)
+    # row per (key, batch) instead of every cell.
+    # NOTE: never call ds.schema() here — it EXECUTES a probe slice of the
+    # pipeline (read + upstream transforms on one block, ~1s of pure
+    # overhead per call); column presence is checked lazily per batch.
+    singles = [c for c, r in columns.items() if r == "single"]
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        parts = {}
+        if singles and not {"ix", "iy"} <= set(batch.column_names):
+            # without stable cell coords the "first" value would depend on
+            # block arrival order — refuse instead of silent nondeterminism
+            raise ValueError(
+                "rule='single' requires ix/iy columns for a deterministic "
+                f"'first' (missing for {singles}); add cell coordinates or "
+                "an explicit order column"
+            )
+        n = batch.num_rows
+        if n == 0:
+            cols0: dict[str, pa.Array] = {
+                "xa": pa.array([], pa.float64()),
+                "ya": pa.array([], pa.float64()),
+            }
+            for col, rule in columns.items():
+                if rule == "single":
+                    cols0[f"{col}__sv"] = batch[col].combine_chunks().slice(0, 0)
+                    cols0[f"{col}__so"] = pa.array([], pa.int64())
+                else:
+                    cols0[f"{col}__sum"] = pa.array([], pa.float64())
+                    cols0[f"{col}__cnt"] = pa.array([], pa.int64())
+                    cols0[f"{col}__vld"] = pa.array([], pa.int64())
+            return pa.table(cols0)
+        # one lexsort + segmented reduceat replaces 3 pandas groupbys per
+        # column (the previous combiner's hot cost).  Group keys are the
+        # xa/ya BIT PATTERNS (identical formula -> identical bits; only
+        # -0.0 needs normalizing), so no float->int boundary arithmetic.
+        xa = np.asarray(batch["xa"], dtype=np.float64)
+        ya = np.asarray(batch["ya"], dtype=np.float64)
+        xa = np.where(xa == 0.0, 0.0, xa)
+        ya = np.where(ya == 0.0, 0.0, ya)
+        ixa = xa.view(np.int64)
+        iya = ya.view(np.int64)
+        order = np.lexsort((ixa, iya))
+        ixo, iyo = ixa[order], iya[order]
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        newg[1:] = (ixo[1:] != ixo[:-1]) | (iyo[1:] != iyo[:-1])
+        starts = np.nonzero(newg)[0]
+        sizes = np.diff(np.append(starts, n))
+        cols: dict[str, pa.Array] = {
+            "xa": pa.array(xa[order][starts]),
+            "ya": pa.array(ya[order][starts]),
+        }
+        if singles:
+            ordk = np.asarray(batch["iy"], dtype=np.int64) * 2**32 + np.asarray(
+                batch["ix"], dtype=np.int64
+            )
+            # sort by (group, order key): first row per group = arg-min key
+            order_s = np.lexsort((ordk, ixa, iya))
+            first = order_s[starts]
         for col, rule in columns.items():
-            s = pd.to_numeric(df[col], errors="coerce") if rule != "single" else df[col]
             if rule == "single":
-                if order_cols:
-                    ordk = df["iy"].astype("int64") * 2**32 + df["ix"].astype("int64")
-                else:  # no stable cell coords -> block-local order
-                    ordk = pd.Series(np.arange(len(df)), index=df.index)
-                idx = ordk.groupby([df["xa"], df["ya"]], sort=False).idxmin()
-                parts[f"{col}__sv"] = df[col].loc[idx].set_axis(idx.index)
-                parts[f"{col}__so"] = ordk.loc[idx].set_axis(idx.index)
-            else:
-                gg = s.groupby([df["xa"], df["ya"]], sort=False)
-                parts[f"{col}__sum"] = gg.sum(min_count=1)
-                parts[f"{col}__cnt"] = gg.size()
-                parts[f"{col}__vld"] = gg.count()
-        out = pd.DataFrame(parts).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+                cols[f"{col}__sv"] = batch[col].combine_chunks().take(
+                    pa.array(first)
+                )
+                cols[f"{col}__so"] = pa.array(ordk[first])
+                continue
+            try:
+                v = np.asarray(
+                    pc.cast(batch[col], pa.float64()), dtype=np.float64
+                )
+            except pa.ArrowInvalid:  # non-numeric -> all-null (pandas
+                v = np.full(n, np.nan)  # to_numeric(errors="coerce") parity)
+            vo = v[order]
+            valid = ~np.isnan(vo)
+            sums = np.add.reduceat(np.where(valid, vo, 0.0), starts)
+            vld = np.add.reduceat(valid.astype(np.int64), starts)
+            cols[f"{col}__sum"] = pa.array(sums, mask=vld == 0)
+            cols[f"{col}__cnt"] = pa.array(sizes.astype(np.int64))
+            cols[f"{col}__vld"] = pa.array(vld)
+        return pa.table(cols)
 
     partials = keyed.map_batches(partial, batch_format="pyarrow")
 
-    def final(group: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
+    def _finish_vals(rule, s, cnt, vld):
+        mask = None
+        if rule == "sum":
+            val = s
+        elif rule == "average":
+            val = s / np.maximum(cnt, 1.0)
+            mask = cnt == 0  # unreachable (groups have rows); parity
+        elif rule == "average2":
+            val = s / float(a * a)
+        else:  # average3: null when no valid values
+            val = s / np.maximum(vld, 1.0)
+            mask = vld == 0
+        if rounding is not None:
+            tol = 10.0**rounding
+            # half-away-from-zero to match SQL ROUND (the reference uses
+            # Python banker's round, gridtiler.py:416 — documented delta)
+            val = np.sign(val) * np.floor(np.abs(val) * tol + 0.5) / tol
+        return val, mask
 
-        row = {"xa": group["xa"].iloc[0], "ya": group["ya"].iloc[0]}
-        for col, rule in columns.items():
-            if rule == "single":
-                i = group[f"{col}__so"].idxmin()
-                val = group[f"{col}__sv"].loc[i]
-            else:
-                s = group[f"{col}__sum"].sum(min_count=1)
-                cnt = group[f"{col}__cnt"].sum()
-                vld = group[f"{col}__vld"].sum()
-                if rule == "sum":
-                    val = 0.0 if pd.isna(s) else float(s)
-                elif rule == "average":
-                    val = (0.0 if pd.isna(s) else float(s)) / cnt if cnt else None
-                elif rule == "average2":
-                    val = (0.0 if pd.isna(s) else float(s)) / (a * a)
-                else:  # average3
-                    val = float(s) / vld if vld else None
-            # 'single' values pass through unrounded on BOTH sides (the SQL
-            # twin's ARG_MIN cannot round type-generically; documented
-            # divergence from the reference, which rounds numerics there too)
-            if (
-                rounding is not None
-                and rule != "single"
-                and isinstance(val, (int, float))
-                and val is not None
-            ):
-                tol = 10.0**rounding
-                # half-away-from-zero to match SQL ROUND (the reference uses
-                # Python banker's round, gridtiler.py:416 — documented delta)
-                val = float(np.sign(val) * np.floor(abs(val) * tol + 0.5) / tol)
-            row[col] = val
-        return pd.DataFrame([row])
+    others = {c: r for c, r in columns.items() if r != "single"}
+    ordered = ["xa", "ya", *columns]
 
-    import pandas as pd  # noqa: F401
+    if combine == "tree":
+        # the a^2 coarsening makes the output grid ~a^2 x smaller than the
+        # input, so the combined partials fit one block by construction for
+        # any sane `a`; a simple repartition-merge beats the groupby
+        # shuffle's fixed sort-aggregate latency by >4x.  Pass
+        # combine="shuffle" when the coarse grid itself is huge.
+        def merge_finish(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            if n == 0:
+                out0 = {
+                    "xa": pa.array([], pa.float64()),
+                    "ya": pa.array([], pa.float64()),
+                }
+                for col, rule in columns.items():
+                    out0[col] = (
+                        b[f"{col}__sv"].combine_chunks().slice(0, 0)
+                        if rule == "single"
+                        else pa.array([], pa.float64())
+                    )
+                return pa.table(out0)
+            xa = np.asarray(b["xa"], dtype=np.float64)
+            ya = np.asarray(b["ya"], dtype=np.float64)
+            ixa = xa.view(np.int64)
+            iya = ya.view(np.int64)
+            order = np.lexsort((ixa, iya))
+            ixo, iyo = ixa[order], iya[order]
+            newg = np.empty(n, dtype=bool)
+            newg[0] = True
+            newg[1:] = (ixo[1:] != ixo[:-1]) | (iyo[1:] != iyo[:-1])
+            starts = np.nonzero(newg)[0]
+            out_cols = {
+                "xa": pa.array(xa[order][starts]),
+                "ya": pa.array(ya[order][starts]),
+            }
+            for col, rule in columns.items():
+                if rule == "single":
+                    so = np.asarray(b[f"{col}__so"], dtype=np.int64)
+                    order_s = np.lexsort((so, ixa, iya))
+                    first = order_s[starts]
+                    out_cols[col] = (
+                        b[f"{col}__sv"].combine_chunks().take(pa.array(first))
+                    )
+                    continue
+                s_np = np.asarray(
+                    pc.fill_null(pc.cast(b[f"{col}__sum"], pa.float64()), np.nan),
+                    dtype=np.float64,
+                )[order]
+                valid = ~np.isnan(s_np)
+                s = np.add.reduceat(np.where(valid, s_np, 0.0), starts)
+                cnt = np.add.reduceat(
+                    np.asarray(b[f"{col}__cnt"], dtype=np.float64)[order], starts
+                )
+                vld = np.add.reduceat(
+                    np.asarray(b[f"{col}__vld"], dtype=np.float64)[order], starts
+                )
+                val, mask = _finish_vals(rule, s, cnt, vld)
+                out_cols[col] = pa.array(val, mask=mask)
+            return pa.table(out_cols)
 
-    return partials.groupby(["xa", "ya"]).map_groups(final, batch_format="pandas")
+        return partials.repartition(1).map_batches(
+            merge_finish, batch_format="pyarrow", batch_size=None
+        )
+
+    # combine == "shuffle": built-in Sum aggregates over the partial
+    # columns + ONE vectorized finish batch — never a per-group Python row
+    # builder (at ~1ms/group that path costs hours on a 1km national
+    # grid).  'single' goes through the arg-min join pattern (same as
+    # overlay._argext_joins).
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    out = None
+    if others:
+        aggs = []
+        for col in others:
+            aggs.append(Sum(f"{col}__sum", alias_name=f"{col}__sum"))
+            aggs.append(Sum(f"{col}__cnt", alias_name=f"{col}__cnt"))
+            aggs.append(Sum(f"{col}__vld", alias_name=f"{col}__vld"))
+        base = partials.groupby(["xa", "ya"]).aggregate(*aggs)
+
+        def finish(b: pa.Table) -> pa.Table:
+            out_b = b.select(["xa", "ya"])
+            for col, rule in others.items():
+                s_col = b[f"{col}__sum"]
+                null_s = np.asarray(pc.is_null(s_col).combine_chunks())
+                s = np.where(null_s, 0.0, np.asarray(s_col, dtype=np.float64))
+                cnt = np.asarray(b[f"{col}__cnt"], dtype=np.float64)
+                vld = np.asarray(b[f"{col}__vld"], dtype=np.float64)
+                val, mask = _finish_vals(rule, s, cnt, vld)
+                out_b = out_b.append_column(col, pa.array(val, mask=mask))
+            return out_b
+
+        out = base.map_batches(finish, batch_format="pyarrow")
+
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    for col in singles:
+        # arg-min join: per-key min order key, join back, filter equal,
+        # dedupe ties by min value (deterministic; ties cannot occur when
+        # (ix, iy) identify input cells uniquely)
+        sel = partials.select_columns(["xa", "ya", f"{col}__sv", f"{col}__so"])
+        best = sel.groupby(["xa", "ya"]).aggregate(
+            Min(f"{col}__so", alias_name="__bso")
+        )
+        j = sel.join(best, "inner", num_partitions=nparts, on=("xa", "ya"))
+        hit = j.map_batches(
+            lambda b, _c=col: b.filter(
+                pc.equal(b[f"{_c}__so"], b["__bso"])
+            ).select(["xa", "ya", f"{_c}__sv"]),
+            batch_format="pyarrow",
+        )
+        # 'single' values pass through unrounded on BOTH sides (the SQL
+        # twin's ARG_MIN cannot round type-generically; documented
+        # divergence from the reference, which rounds numerics there too)
+        single_out = (
+            hit.groupby(["xa", "ya"])
+            .aggregate(Min(f"{col}__sv", alias_name=col))
+        )
+        out = (
+            single_out
+            if out is None
+            else out.join(single_out, "inner", num_partitions=nparts, on=("xa", "ya"))
+        )
+
+    return out.map_batches(
+        lambda b: b.select([c for c in ordered if c in b.column_names]),
+        batch_format="pyarrow",
+    )
 
 
 def sql_grid_aggregation(

@@ -157,6 +157,54 @@ def test_grid_aggregation_null_rules(ray_session, a):
     assert ((np.isnan(g) & np.isnan(e)) | (np.abs(g - e) < 1e-9)).all()
 
 
+def test_grid_aggregation_shuffle_combine_parity(ray_session):
+    """combine='shuffle' (groupby + argext joins) must produce exactly the
+    tree-combine result, including the 'single' rule."""
+    import ray.data as rd
+
+    df = _cells_df()
+    rules = {"pop": "sum", "density": "average3", "landuse": "single"}
+
+    def run(combine):
+        return (
+            grid_aggregation(
+                rd.from_pandas(df),
+                resolution=1000.0,
+                a=5,
+                columns=rules,
+                rounding=6,
+                combine=combine,
+            )
+            .to_pandas()
+            .sort_values(["xa", "ya"])
+            .reset_index(drop=True)
+        )
+
+    tree, shuf = run("tree"), run("shuffle")
+    assert list(tree.columns) == list(shuf.columns)
+    assert len(tree) == len(shuf)
+    for c in tree.columns:
+        t, s = tree[c], shuf[c]
+        if t.dtype.kind == "f":
+            tn, sn = t.to_numpy(float), s.to_numpy(float)
+            assert ((np.isnan(tn) & np.isnan(sn)) | (np.abs(tn - sn) < 1e-9)).all(), c
+        else:
+            assert t.tolist() == s.tolist(), c
+
+
+def test_grid_aggregation_single_requires_order_cols(ray_session):
+    import ray.data as rd
+
+    df = _cells_df().drop(columns=["ix", "iy"])
+    with pytest.raises(Exception, match="single"):
+        grid_aggregation(
+            rd.from_pandas(df),
+            resolution=1000.0,
+            a=2,
+            columns={"landuse": "single"},
+        ).to_pandas()
+
+
 def test_grid_aggregation_average_rules(ray_session):
     import ray.data as rd
 
