@@ -64,11 +64,17 @@ class OverlayKernel:
         self.how = how
         self.attr_cols = attr_cols
         # null-column types for remainder/empty rows derive from the ACTUAL
-        # layer values, not the column name
-        self.attr_types = {
-            c: (pa.string() if polygons and isinstance(polygons[0][c], str) else pa.float64())
-            for c in attr_cols
-        }
+        # layer values — the first NON-NULL value across the layer, so a
+        # None (or heterogeneous) leading polygon cannot misclassify the
+        # column and crash pa.array() at fragment-emission time
+        def _first_type(c):
+            for p in polygons:
+                v = p.get(c)
+                if v is not None:
+                    return pa.string() if isinstance(v, str) else pa.float64()
+            return pa.float64()
+
+        self.attr_types = {c: _first_type(c) for c in attr_cols}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -393,14 +393,92 @@ def check_ref_crs(crs1: str, crs2: str | None) -> str:
     return crs1
 
 
-def read_tiles(output_dir: str, **kwargs):
+def list_tile_files(output_dir: str, pred=None) -> list[str]:
+    """Manifest-listed data files of a tile tree, optionally pruned by a
+    predicate over the hive partition values (dict of column -> string).
+    This is the pruning applied by :func:`read_tiles` — files rejected
+    here are never opened."""
+    with open(os.path.join(output_dir, "_manifest.json")) as f:
+        m = json.load(f)
+    paths = []
+    for entry in m.get("files", []):
+        rel = entry["path"]
+        parts = dict(
+            seg.split("=", 1) for seg in rel.split(os.sep)[:-1] if "=" in seg
+        )
+        if pred is None or pred(parts):
+            paths.append(os.path.join(output_dir, rel))
+    return paths
+
+
+def read_tiles(
+    output_dir: str,
+    tile_pred=None,
+    xt_range: tuple[int, int] | None = None,
+    yt_range: tuple[int, int] | None = None,
+    manifest_only: bool | None = None,
+    **kwargs,
+):
     """Read a tile tree written by :func:`grid_tiling` (skips info.json).
+
+    Partition push-down: ``tile_pred`` (a callable over the hive partition
+    values, e.g. ``lambda p: int(p["xt"]) < 4``) and/or ``xt_range`` /
+    ``yt_range`` inclusive bounds PRUNE DIRECTORIES AT THE READ — pruned
+    files never leave storage (Ray reports them as "Filtered out N
+    paths"), instead of being read then filtered.
+
+    ``manifest_only`` (default: auto — on when ``_manifest.json`` exists)
+    restricts the read to manifest-listed files, so orphan part files left
+    by a task retried after its rename cannot duplicate rows.
 
     Hive partition values materialize as STRING columns; cast xt/yt back to
     int64 so tile keys compare numerically downstream."""
     import ray.data as rd
 
-    ds = rd.read_parquet(output_dir, file_extensions=["parquet"], **kwargs)
+    def _pred(parts: dict) -> bool:
+        try:
+            if xt_range is not None:
+                v = int(parts.get("xt"))
+                if not (xt_range[0] <= v <= xt_range[1]):
+                    return False
+            if yt_range is not None:
+                v = int(parts.get("yt"))
+                if not (yt_range[0] <= v <= yt_range[1]):
+                    return False
+        except (TypeError, ValueError):
+            return False
+        return tile_pred(parts) if tile_pred is not None else True
+
+    mpath = os.path.join(output_dir, "_manifest.json")
+    if manifest_only is None:
+        manifest_only = os.path.exists(mpath)
+    prune = tile_pred is not None or xt_range is not None or yt_range is not None
+    if manifest_only and os.path.exists(mpath):
+        # exact file list from the writer's manifest (+ dir-level pruning)
+        paths = list_tile_files(
+            output_dir, _pred if prune else None
+        )
+        if not paths:  # keep the schema: read the tree, emit zero rows
+            return rd.read_parquet(
+                output_dir, file_extensions=["parquet"], **kwargs
+            ).limit(0)
+        # partition values live in the directory names: parse them back
+        # into columns (explicit file lists skip hive inference)
+        from ray.data.datasource.partitioning import Partitioning
+
+        kwargs.setdefault(
+            "partitioning", Partitioning("hive", base_dir=output_dir)
+        )
+        ds = rd.read_parquet(paths, **kwargs)
+    else:
+        if prune:
+            from ray.data.datasource.partitioning import PathPartitionFilter
+
+            kwargs.setdefault(
+                "partition_filter",
+                PathPartitionFilter.of(_pred, base_dir=output_dir),
+            )
+        ds = rd.read_parquet(output_dir, file_extensions=["parquet"], **kwargs)
 
     def fix_types(batch: pa.Table) -> pa.Table:
         for name in ("xt", "yt"):

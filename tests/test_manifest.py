@@ -73,3 +73,79 @@ def test_half_written_never_validates(ray_session, tmp_path):
     with open(mp, "w") as f:
         f.write("{not json")
     assert not validate_output(out, fp)
+
+
+def test_killed_midrun_resume_byte_identical(ray_session, tmp_path):
+    """E2E crash/resume: a write killed mid-run (a transform raises after
+    some batches have already renamed files into place) leaves an output
+    that does NOT validate; the resumed run rewrites it, and the final
+    tree is byte-identical in content to an uninterrupted run (SURVEY
+    7.5.7's byte-identical clause, previously asserted only at manifest
+    level)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    def data():
+        df = pd.DataFrame(
+            {
+                "xt": np.repeat(np.arange(8), 250),
+                "v": np.arange(2000.0),
+                "w": np.arange(2000)[::-1].astype(np.int64),
+            }
+        )
+        return rd.from_pandas(df).repartition(8)
+
+    poison_flag = str(tmp_path / "poison")
+
+    def make_factory(poison: bool):
+        def factory():
+            def maybe_die(b: pa.Table) -> pa.Table:
+                # first batches pass; once a marker file appears a later
+                # task dies -> the run aborts with files already visible
+                if poison:
+                    if os.path.exists(poison_flag):
+                        raise RuntimeError("simulated worker crash")
+                    open(poison_flag, "w").close()
+                return b
+
+            return data().map_batches(maybe_die, batch_format="pyarrow")
+
+        return factory
+
+    fp = stage_fingerprint(stage="crash-test", v=1)
+    out_a = str(tmp_path / "interrupted")
+    out_b = str(tmp_path / "clean")
+
+    try:
+        checkpointed_write(make_factory(True), out_a, ["xt"], fp)
+        crashed = False
+    except Exception:
+        crashed = True
+    assert crashed
+    # the interrupted tree must NOT validate (manifest missing/stale)
+    assert not validate_output(out_a, fp)
+
+    # resume: rewrites the stage (factory without poison)
+    res = checkpointed_write(make_factory(False), out_a, ["xt"], fp)
+    assert res == {"skipped": False, "rows": 2000}
+    assert validate_output(out_a, fp)
+    # second resume is a pure skip
+    assert checkpointed_write(make_factory(False), out_a, ["xt"], fp)["skipped"]
+
+    # uninterrupted reference run
+    checkpointed_write(make_factory(False), out_b, ["xt"], fp)
+
+    def content_hash(root):
+        h = hashlib.md5()
+        for part in sorted(
+            glob.glob(f"{root}/xt=*/*.parquet"),
+            key=lambda p: os.path.relpath(p, root).split(os.sep)[0],
+        ):
+            t = pq.read_table(part).sort_by([("v", "ascending")])
+            h.update(str(t.to_pydict()).encode())
+        return h.hexdigest()
+
+    assert content_hash(out_a) == content_hash(out_b)

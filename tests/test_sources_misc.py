@@ -130,3 +130,56 @@ def test_check_ref_crs():
     assert check_ref_crs("EPSG:3035", None) == "EPSG:3035"
     with pytest.raises(ValueError, match="CRS mismatch"):
         check_ref_crs("EPSG:3035", "EPSG:4326")
+
+
+def test_cells_to_geometry_wkb_and_rings(ray_session):
+    """Geometry export stage: WKB layout decodes to the exact cell ring;
+    ring-list format carries the same coordinates."""
+    import ray.data as rd
+
+    from pygridmap_ray.export import cells_to_geometry, wkb_to_rings
+    from pygridmap_ray.geom.kernels import rings_area
+
+    df = pd.DataFrame({"ix": [0, 3, -2], "iy": [1, 0, 5], "v": [1.0, 2.0, 3.0]})
+    ds = rd.from_pandas(df).map_batches(
+        lambda b: cells_to_geometry(b, resolution=100.0, x_origin=10.0),
+        batch_format="pyarrow",
+    )
+    out = ds.to_pandas()
+    ring = wkb_to_rings(out["geometry"].iloc[1])
+    assert ring[0].tolist() == [10.0 + 300.0, 0.0]
+    assert (ring[0] == ring[4]).all()  # closed
+    assert abs(rings_area([ring[:4]]) - 100.0 * 100.0) < 1e-9
+    ds2 = rd.from_pandas(df).map_batches(
+        lambda b: cells_to_geometry(b, resolution=100.0, x_origin=10.0, fmt="rings"),
+        batch_format="pyarrow",
+    )
+    flat = ds2.to_pandas()["geometry"].iloc[1]
+    assert np.asarray(flat).reshape(5, 2).tolist() == ring.tolist()
+
+
+def test_geojson_write_roundtrip(ray_session, tmp_path):
+    """write_geojson_tiles output reads back through read_geojson_layer
+    with identical geometry (area) and properties."""
+    import ray.data as rd
+
+    from pygridmap_ray.export import write_geojson_tiles
+    from pygridmap_ray.sources.geojson import read_geojson_layer
+
+    df = pd.DataFrame(
+        {"ix": np.arange(6), "iy": np.arange(6) % 3, "pop": np.arange(6) * 2.0}
+    )
+    out = str(tmp_path / "gj")
+    n = write_geojson_tiles(
+        rd.from_pandas(df),
+        out,
+        resolution=1000.0,
+        properties=("pop",),
+    )
+    assert n == 6
+    layer = []
+    for f in sorted(glob.glob(f"{out}/*.geojson")):
+        layer.extend(read_geojson_layer(f, keep_properties=("pop",)))
+    assert len(layer) == 6
+    assert all(abs(p["area"] - 1000.0 * 1000.0) < 1e-6 for p in layer)
+    assert sorted(p["pop"] for p in layer) == [0.0, 2.0, 4.0, 6.0, 8.0, 10.0]

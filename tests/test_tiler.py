@@ -228,6 +228,52 @@ def test_grid_aggregation_average_rules(ray_session):
     assert np.allclose(got["density"], exp["density"], equal_nan=True)
 
 
+def test_read_tiles_partition_pushdown(points_ds, tmp_path):
+    """xt/yt predicates prune partition DIRECTORIES at the read (fewer
+    input files), with rows identical to a read-everything-then-filter."""
+    from pygridmap_ray.tiler import grid_tiling, read_tiles
+
+    from pygridmap_ray.tiler import list_tile_files
+
+    out = str(tmp_path / "tiles")
+    grid_tiling(points_ds, out, resolution=1000.0, tile_size_cell=64)
+    full = read_tiles(out)
+    pruned = read_tiles(out, xt_range=(0, 2))
+    n_full_files = len(list_tile_files(out))
+    n_pruned_files = len(
+        list_tile_files(out, lambda p: 0 <= int(p["xt"]) <= 2)
+    )
+    assert 0 < n_pruned_files < n_full_files
+    exp = full.to_pandas()
+    exp = exp[(exp.xt >= 0) & (exp.xt <= 2)]
+    got = pruned.to_pandas()
+    assert len(got) == len(exp)
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+    assert got["xt"].dtype.kind == "i"  # partition col cast back to int64
+    # callable predicate form
+    odd = read_tiles(out, tile_pred=lambda p: int(p["yt"]) % 2 == 1).to_pandas()
+    exp_odd = full.to_pandas()
+    assert len(odd) == len(exp_odd[exp_odd.yt % 2 == 1])
+
+
+def test_read_tiles_ignores_orphan_files(points_ds, tmp_path):
+    """A part file not listed in the manifest (e.g. left by a task retried
+    after its rename) is skipped by the default manifest-scoped read."""
+    import glob
+    import shutil
+
+    from pygridmap_ray.tiler import grid_tiling, read_tiles
+
+    out = str(tmp_path / "tiles")
+    info = grid_tiling(points_ds, out, resolution=1000.0, tile_size_cell=64)
+    some = glob.glob(f"{out}/xt=*/yt=*/*.parquet")[0]
+    shutil.copy(some, some.replace(".parquet", "-orphan.parquet"))
+    n = read_tiles(out).count()
+    assert n == info["rows"]  # orphan rows NOT duplicated
+    n_all = read_tiles(out, manifest_only=False).count()
+    assert n_all > n
+
+
 def test_grid_transformation_drop(ray_session):
     import ray.data as rd
 
