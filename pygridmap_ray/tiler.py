@@ -191,6 +191,26 @@ def write_partitioned(
         _shutil.rmtree(output_dir, ignore_errors=True)
     os.makedirs(output_dir, exist_ok=True)
 
+    # Part-file names must be DETERMINISTIC per (task, batch): Ray retries a
+    # failed task under the SAME task id, and the retry replays the same
+    # blocks in the same order — so a stable (task_id, seq) name makes the
+    # retry rename over its own earlier output instead of leaving an orphan
+    # uuid file that readers would see as duplicate rows (ADVICE r1 #4).
+    _seq_by_task: dict = {}
+
+    def _part_stem() -> str:
+        try:
+            import ray as _ray
+
+            tid = _ray.get_runtime_context().get_task_id()
+        except Exception:
+            tid = None
+        if not tid:
+            return f"part-{uuid.uuid4().hex}"
+        n = _seq_by_task.get(tid, 0)
+        _seq_by_task[tid] = n + 1
+        return f"part-{tid[:24]}-{n:05d}"
+
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
@@ -215,6 +235,7 @@ def write_partitioned(
         combo = pc.binary_join_element_wise(*encoded, "|")
         paths, rows = [], []
         data = batch.drop_columns(partition_cols)
+        stem = _part_stem()  # one stem per batch; partition dirs disambiguate
         for v in pc.unique(combo).to_pylist():
             mask = pc.equal(combo, pa.scalar(v))
             part = data.filter(mask)
@@ -223,7 +244,7 @@ def write_partitioned(
                 output_dir, *(f"{c}={v}" for c, v in zip(partition_cols, vals))
             )
             os.makedirs(d, exist_ok=True)
-            name = f"part-{uuid.uuid4().hex}.{file_format}"
+            name = f"{stem}.{file_format}"
             # temp name carries NO data-file extension: Ray's extension
             # filter and the manifest orphan check must never match a
             # crash-leftover in-progress file
