@@ -15,3 +15,14 @@ from .kernels import (  # noqa: F401
     rings_bbox,
 )
 from .index import BBoxIndex  # noqa: F401
+from .proj import (  # noqa: F401
+    laea_forward,
+    laea_inverse,
+    reproject,
+    reproject_rings,
+    set_ref_crs,
+    supported_crs,
+    transform_xy,
+    webmercator_forward,
+    webmercator_inverse,
+)

@@ -23,12 +23,15 @@ from ..overlay import (
 )
 from ..planning import plan_grid
 from ..spatial import join_points_to_polygons, knn_join, sql_point_join
+from ..geom.proj import reproject, sql_laea_forward
 from ..synth import (
     DOMAIN,
     build_spans_array,
+    derive_lonlat,
     derive_xy,
     polygon_layer,
     span_summary_from_column,
+    sql_lonlat_cte,
     sql_points_cte,
     sql_span_summary_cte,
 )
@@ -104,6 +107,36 @@ def q_cell_assign_offset(sf_dir: str):
     return ds.select_columns(
         ["doc_id", "ix", "iy", "xt", "yt", "local_x", "local_y", "cell_key"]
     )
+
+
+def q_reproject(sf_dir: str):
+    """EPSG:4326 -> EPSG:3035 coordinate reprojection (geom.proj.reproject,
+    the engine's set_ref_proj parity point — reference base.py:215-220).
+    Millimetre rounding: the DuckDB twin replays the identical constants
+    and op order, so residual divergence is libm trig ulps (~1e-9 m)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_lonlat(b: pa.Table) -> pa.Table:
+        lon, lat = derive_lonlat(np.asarray(b["doc_id"]))
+        return b.append_column("lon", pa.array(lon)).append_column(
+            "lat", pa.array(lat)
+        )
+
+    ds = reproject(
+        ds.map_batches(add_lonlat, batch_format="pyarrow"),
+        "EPSG:4326",
+        "EPSG:3035",
+        x_col="lon",
+        y_col="lat",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["doc_id", "easting", "northing"])
+        return round_half_away(b, ["easting", "northing"], 3)
+
+    return ds.map_batches(finish, batch_format="pyarrow")
 
 
 def q_tiling_bounds(sf_dir: str):
@@ -590,6 +623,7 @@ def queries():
     return {
         "cell_assign": q_cell_assign,
         "cell_assign_offset": q_cell_assign_offset,
+        "reproject": q_reproject,
         "tiling_bounds": q_tiling_bounds,
         "spatial_join": q_spatial_join,
         "spatial_join_left": q_spatial_join_left,
@@ -628,6 +662,15 @@ def queries():
     }
 
 
+def _sql_reproject() -> str:
+    esql, nsql = sql_laea_forward("lon", "lat")
+    return (
+        f"WITH ll AS ({sql_lonlat_cte()}) "
+        f"SELECT doc_id, ROUND({esql} * 1e3) / 1e3 AS easting, "
+        f"ROUND({nsql} * 1e3) / 1e3 AS northing FROM ll"
+    )
+
+
 def oracle_sql():
     cols = sql_cell_columns(RES, TSC)
     sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
@@ -654,6 +697,7 @@ def oracle_sql():
         "cell_assign_offset": (
             f"WITH points AS ({points}) SELECT doc_id, {sel_off} FROM points"
         ),
+        "reproject": _sql_reproject(),
         "tiling_bounds": (
             f"WITH points AS ({points}) "
             f"SELECT {cols['xt']} AS xt, {cols['yt']} AS yt, COUNT(*)::BIGINT AS n_docs "

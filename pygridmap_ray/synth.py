@@ -71,6 +71,27 @@ def derive_xy(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return x, y
 
 
+# --- geographic locations (reprojection fixtures) ---------------------------
+# The CRS stage needs lon/lat inputs; derive them from the same u/v laws
+# over the LAEA Europe domain: lon in [-5, 25)E, lat in [38, 63)N.
+
+SQL_LON = f"({SQL_U} * 30.0 - 5.0)"
+SQL_LAT = f"({SQL_V} * 25.0 + 38.0)"
+
+
+def sql_lonlat_cte(table: str = "documents") -> str:
+    """CTE body: one row per doc with its derived geographic location."""
+    return f"SELECT doc_id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM {table}"
+
+
+def derive_lonlat(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """numpy mirror of SQL_LON / SQL_LAT (identical op order)."""
+    did = np.asarray(doc_id, dtype=np.int64)
+    u = ((did * 2654435761) % 1000003).astype(np.float64) / 1000003.0
+    v = ((did * 2246822519) % 1000033).astype(np.float64) / 1000033.0
+    return u * 30.0 - 5.0, v * 25.0 + 38.0
+
+
 # --- interleaved spans ------------------------------------------------------
 # n_spans = 1 + doc_id % 8
 # span i (0-based):  kind  = ['text','image','audio'][(doc_id + i) % 3]

@@ -403,9 +403,11 @@ def order_columns_xy_first(batch: pa.Table) -> pa.Table:
 
 def check_ref_crs(crs1: str, crs2: str | None) -> str:
     """Assert two layers share a CRS (reference check_ref_proj,
-    base.py:205-212).  Reprojection (set_ref_proj, base.py:215-220) is out
-    of scope — pyproj is unavailable — so a mismatch raises instead of
-    coercing; the engine operates in one planar CRS per pipeline."""
+    base.py:205-212).  For the reference's coercion path (set_ref_proj,
+    base.py:215-220) use :func:`pygridmap_ray.geom.proj.set_ref_crs`,
+    which reprojects between EPSG:4326/3035/3857 with closed-form numpy
+    kernels (no pyproj needed); this checker raises for any OTHER
+    mismatched CRS pair."""
     if crs2 is not None and crs1 != crs2:
         raise ValueError(
             f"CRS mismatch: {crs1!r} vs {crs2!r} — reproject inputs to a "
