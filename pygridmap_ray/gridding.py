@@ -24,11 +24,16 @@ convention (see geom.kernels docstring).  A tile fully covered by a
 single mask polygon short-circuits to all-(1,1) without per-cell tests
 (reference tile-level ``wans`` shortcut, gridding.py:145-151).
 
-Divergence (documented): with ``trim=False`` the reference keeps
-TILE-level flags on every cell and emits a placeholder row for
-non-intersecting tiles (gridding.py:160-172); the engine always computes
-per-cell flags and emits all cells — strictly more informative, and the
-reference's tested paths (notebooks) all use ``trim=True``.
+trim=False semantics: by default the engine still computes per-cell
+flags and emits all cells (strictly more informative than the
+reference).  Pass ``placeholders=True`` to :func:`make_grid` for exact
+reference ``trim=False`` row-set parity (gridding.py:160-172): cells of
+mask-intersecting tiles carry TILE-level flags (intersects=1,
+within=tile-covered), and each non-intersecting tile contributes ONE
+placeholder row at the tile's lower-left corner with
+``cell_id = -1 - tile_id`` (the reference emits the tile polygon itself
+there; the engine has no geometry column, so the negative cell_id is the
+recognizable placeholder key).
 """
 
 from __future__ import annotations
@@ -49,6 +54,21 @@ def _tile_cell_range(spec: GridSpec, tiy: int, tix: int):
     return r0, r1, c0, c1
 
 
+def _placeholder_row(spec: GridSpec, tiy: int, tix: int, r0: int, c0: int, x0, y0):
+    """Reference trim=False placeholder for a non-intersecting tile
+    (gridding.py:160-163: one row at the tile's lower-left, flags 0/0)."""
+    return {
+        "cell_id": np.array([-1 - spec.tile_id(tiy, tix)], dtype=np.int64),
+        "ix": np.array([c0], dtype=np.int32),
+        "iy": np.array([r0], dtype=np.int32),
+        "x": np.array([x0], dtype=np.float64),
+        "y": np.array([y0], dtype=np.float64),
+        "tile_id": np.array([spec.tile_id(tiy, tix)], dtype=np.int64),
+        "intersects": np.zeros(1, dtype=np.int8),
+        "within": np.zeros(1, dtype=np.int8),
+    }
+
+
 def emit_tile_cells(
     spec: GridSpec,
     tiy: int,
@@ -56,9 +76,15 @@ def emit_tile_cells(
     mask: list[dict] | bool | None,
     trim: bool,
     interior: bool,
+    tile_flags: bool = False,
 ) -> dict[str, np.ndarray] | None:
     """The per-tile cell-emission kernel (reference prll_process_tile,
-    gridding.py:132-188).  Returns a dict-of-arrays batch or None."""
+    gridding.py:132-188).  Returns a dict-of-arrays batch or None.
+
+    ``tile_flags=True`` replays the reference's trim=False branch
+    (gridding.py:160-172): flags are computed once at TILE level and
+    stamped on every cell; tiles that do not intersect the mask emit the
+    single placeholder row instead of their cells."""
     r0, r1, c0, c1 = _tile_cell_range(spec, tiy, tix)
     ny, nx = r1 - r0, c1 - c0
     if ny <= 0 or nx <= 0:
@@ -68,7 +94,28 @@ def emit_tile_cells(
     y0 = spec.bbox[1] + r0 * h
     cell_area = w * h
 
-    if isinstance(mask, list) and mask:
+    if isinstance(mask, list) and mask and tile_flags:
+        tile_x1, tile_y1 = x0 + nx * w, y0 + ny * h
+        cand = [
+            p
+            for p in mask
+            if p["bbox"][0] < tile_x1
+            and p["bbox"][2] > x0
+            and p["bbox"][1] < tile_y1
+            and p["bbox"][3] > y0
+        ]
+        areas = [clip_area_rect(p["rings"], x0, y0, tile_x1, tile_y1) for p in cand]
+        # tile-level ians/wans under the engine's area-positive convention
+        # (same one-cell tolerance as the full-cover shortcut below)
+        if not any(a > cell_area * TOL_EPS for a in areas):
+            return _placeholder_row(spec, tiy, tix, r0, c0, x0, y0)
+        wans = any(
+            a >= (tile_x1 - x0) * (tile_y1 - y0) - cell_area * TOL_EPS
+            for a in areas
+        )
+        intersects = np.ones((ny, nx), dtype=bool)
+        within = np.full((ny, nx), wans, dtype=bool)
+    elif isinstance(mask, list) and mask:
         tile_x1, tile_y1 = x0 + nx * w, y0 + ny * h
         cand = [
             p
@@ -138,6 +185,7 @@ def emit_tile_cells_qtree(
     mask: list[dict] | bool | None,
     trim: bool,
     interior: bool,
+    tile_flags: bool = False,
 ) -> dict[str, np.ndarray] | None:
     """Quadtree variant of the cell-emission kernel (reference
     qtree_process_tile, gridding.py:191-255): recursively split the tile's
@@ -154,8 +202,10 @@ def emit_tile_cells_qtree(
     already resolves interior cells with one vectorized center test, so
     the recursion only adds Python overhead.  Kept for operator parity;
     prll is the default and the fast path."""
-    if not (isinstance(mask, list) and mask):
-        return emit_tile_cells(spec, tiy, tix, mask, trim, interior)
+    if tile_flags or not (isinstance(mask, list) and mask):
+        # the tile-level trim=False path is already one vectorized stamp —
+        # nothing for the quadtree to subdivide
+        return emit_tile_cells(spec, tiy, tix, mask, trim, interior, tile_flags)
     r0, r1, c0, c1 = _tile_cell_range(spec, tiy, tix)
     if r1 - r0 <= 0 or c1 - c0 <= 0:
         return None
@@ -253,7 +303,13 @@ class EmitCells:
     (reference ships the mask with every tile task, gridding.py:345-353)."""
 
     def __init__(
-        self, spec: GridSpec, mask, trim: bool, interior: bool, mode: str = "prll"
+        self,
+        spec: GridSpec,
+        mask,
+        trim: bool,
+        interior: bool,
+        mode: str = "prll",
+        tile_flags: bool = False,
     ):
         import ray
 
@@ -265,6 +321,7 @@ class EmitCells:
         self.mask = mask
         self.trim = trim
         self.interior = interior
+        self.tile_flags = tile_flags
         self.kernel = emit_tile_cells_qtree if mode == "qtree" else emit_tile_cells
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -273,7 +330,13 @@ class EmitCells:
         parts = []
         for tiy, tix in zip(tiys.tolist(), tixs.tolist()):
             out = self.kernel(
-                self.spec, tiy, tix, self.mask, self.trim, self.interior
+                self.spec,
+                tiy,
+                tix,
+                self.mask,
+                self.trim,
+                self.interior,
+                self.tile_flags,
             )
             if out is not None:
                 parts.append(pa.table(out))
@@ -301,6 +364,7 @@ def make_grid(
     tile: int | tuple[int, int] = 64,
     trim: bool = True,
     interior: bool = False,
+    placeholders: bool = False,
     xypos: str = "LLc",
     sort: bool | str = False,
     mode: str = "prll",
@@ -312,7 +376,10 @@ def make_grid(
     ``mask``: polygon layer (list of dicts with ``rings`` + ``bbox``, e.g.
     from :func:`pygridmap_ray.synth.polygon_layer`), or None/True for a
     full-bbox grid.  ``interior=True`` forces ``trim=True`` (reference
-    gridding.py:303-304).  ``sort``: False | 'tile' | 'rc' — explicit
+    gridding.py:303-304).  ``placeholders=True`` (requires ``trim=False``
+    and a polygon mask) selects exact reference trim=False row-set parity
+    — tile-level flags + one placeholder row per non-intersecting tile
+    (see module docstring).  ``sort``: False | 'tile' | 'rc' — explicit
     ``ds.sort`` only when requested (Ray blocks are unordered; conformance
     comparisons sort by cell_id, SURVEY.md §7.5.6).
     """
@@ -321,6 +388,11 @@ def make_grid(
 
     if interior:
         trim = True
+    if placeholders and (trim or not isinstance(mask, list) or not mask):
+        raise ValueError(
+            "placeholders=True is the reference trim=False compatibility "
+            "mode: it requires trim=False and a polygon-layer mask"
+        )
     if bbox is None:
         if not isinstance(mask, list) or not mask:
             raise ValueError("bbox is required when mask is not a polygon layer")
@@ -344,7 +416,7 @@ def make_grid(
             EmitCells,
             batch_format="pyarrow",
             batch_size=4,
-            fn_constructor_args=(spec, mask_ref, trim, interior, mode),
+            fn_constructor_args=(spec, mask_ref, trim, interior, mode, placeholders),
             concurrency=concurrency,
         )
     else:
@@ -352,17 +424,19 @@ def make_grid(
 
         key = (
             f"emit:{mask_ref['__ref__'].hex() if isinstance(mask_ref, dict) else mask_ref}"
-            f":{spec!r}:{trim}:{interior}:{mode}"
+            f":{spec!r}:{trim}:{interior}:{mode}:{placeholders}"
         )
         ref = mask_ref if isinstance(mask_ref, dict) else {"__ref__": None}
 
         def apply(batch: pa.Table) -> pa.Table:
             if isinstance(mask_ref, dict):
                 kern = _cached_kernel(
-                    key, ref, lambda m: EmitCells(spec, m, trim, interior, mode)
+                    key,
+                    ref,
+                    lambda m: EmitCells(spec, m, trim, interior, mode, placeholders),
                 )
             else:
-                kern = EmitCells(spec, mask_ref, trim, interior, mode)
+                kern = EmitCells(spec, mask_ref, trim, interior, mode, placeholders)
             return kern(batch)
 
         out = ds.map_batches(apply, batch_format="pyarrow", batch_size=4)
@@ -388,6 +462,7 @@ def sql_make_grid(
     *,
     trim: bool = True,
     interior: bool = False,
+    placeholders: bool = False,
     xypos: str = "LLc",
     tile: int | tuple[int, int] = 64,
     poly_rects_cte: str | None = None,
@@ -397,7 +472,9 @@ def sql_make_grid(
     mask (``poly_rects`` CTE).  Coverage per cell = sum of interval-overlap
     areas over the DISJOINT rects of each polygon, then the same TOL_EPS
     thresholds and OR-fold as the engine kernel.  ``mask_true`` mirrors the
-    mask=True full-bbox grid (intersects=1, within=0)."""
+    mask=True full-bbox grid (intersects=1, within=0); ``placeholders``
+    mirrors the reference trim=False compatibility mode (tile-level flags
+    + placeholder rows)."""
     from .synth import sql_polygon_rects_cte
 
     if interior:
@@ -424,6 +501,61 @@ SELECT cell_id, ix::INT AS ix, iy::INT AS iy,
 FROM cells
 """
     rects = poly_rects_cte or sql_polygon_rects_cte()
+    if placeholders:
+        # tile origin op order matches the engine kernel exactly:
+        # bbox0 + (tix*tsc) * w — int product first, then one float multiply
+        return f"""
+WITH poly_rects AS ({rects}),
+tiles AS (
+  SELECT tx.i AS tix, ty.i AS tiy,
+         {x0!r} + (tx.i * {tsc}) * {w!r} AS tx0,
+         {y0!r} + (ty.i * {tsr}) * {h!r} AS ty0,
+         LEAST({spec.ncols} - tx.i * {tsc}, {tsc}) AS ncx,
+         LEAST({spec.nrows} - ty.i * {tsr}, {tsr}) AS ncy
+  FROM (SELECT UNNEST(generate_series(0, {spec.nxtiles - 1})) AS i) tx,
+       (SELECT UNNEST(generate_series(0, {spec.nytiles - 1})) AS i) ty
+),
+tcov AS (
+  SELECT t.tix, t.tiy, t.ncx, t.ncy, r.poly_id,
+         SUM(GREATEST(0, LEAST(t.tx0 + t.ncx * {w!r}, r.rxmax) - GREATEST(t.tx0, r.rxmin))
+           * GREATEST(0, LEAST(t.ty0 + t.ncy * {h!r}, r.rymax) - GREATEST(t.ty0, r.rymin))) AS cov
+  FROM tiles t
+  JOIN poly_rects r
+    ON t.tx0 < r.rxmax AND t.tx0 + t.ncx * {w!r} > r.rxmin
+   AND t.ty0 < r.rymax AND t.ty0 + t.ncy * {h!r} > r.rymin
+  GROUP BY t.tix, t.tiy, t.ncx, t.ncy, r.poly_id
+),
+tflags AS (
+  SELECT tix, tiy,
+         MAX(CASE WHEN cov > {cell_area!r} * {TOL_EPS!r} THEN 1 ELSE 0 END) AS ians,
+         MAX(CASE WHEN cov >= (ncx * {w!r}) * (ncy * {h!r}) - {cell_area!r} * {TOL_EPS!r}
+                  THEN 1 ELSE 0 END) AS wans
+  FROM tcov GROUP BY tix, tiy
+),
+cells AS (
+  SELECT iy.i * {spec.ncols} + ix.i AS cell_id,
+         ix.i AS ix, iy.i AS iy,
+         {x0!r} + ix.i * {w!r} AS cx0,
+         {y0!r} + iy.i * {h!r} AS cy0
+  FROM (SELECT UNNEST(generate_series(0, {spec.ncols - 1})) AS i) ix,
+       (SELECT UNNEST(generate_series(0, {spec.nrows - 1})) AS i) iy
+)
+SELECT c.cell_id, c.ix::INT AS ix, c.iy::INT AS iy,
+       c.cx0 + {offx!r} AS x, c.cy0 + {offy!r} AS y,
+       (c.ix // {tsc}) + (c.iy // {tsr}) * {spec.nxtiles} AS tile_id,
+       1::TINYINT AS intersects, f.wans::TINYINT AS within
+FROM cells c
+JOIN tflags f ON f.tix = c.ix // {tsc} AND f.tiy = c.iy // {tsr} AND f.ians = 1
+UNION ALL
+SELECT -1 - (t.tix + t.tiy * {spec.nxtiles}) AS cell_id,
+       (t.tix * {tsc})::INT AS ix, (t.tiy * {tsr})::INT AS iy,
+       t.tx0 AS x, t.ty0 AS y,
+       t.tix + t.tiy * {spec.nxtiles} AS tile_id,
+       0::TINYINT AS intersects, 0::TINYINT AS within
+FROM tiles t
+LEFT JOIN tflags f ON f.tix = t.tix AND f.tiy = t.tiy
+WHERE COALESCE(f.ians, 0) = 0
+"""
     keep = (
         "within = 1"
         if interior

@@ -197,6 +197,20 @@ def q_grid_make_rect(sf_dir: str):
     return make_grid(True, cellsize=(20_000.0, 30_000.0), bbox=DOMAIN, tile=(8, 8))
 
 
+def q_grid_make_notrim(sf_dir: str):
+    """Reference trim=False row-set parity: tile-level flags on the cells
+    of intersecting tiles + one placeholder row per non-intersecting tile
+    (reference gridding.py:160-172)."""
+    return make_grid(
+        polygon_layer(),
+        cellsize=GRID_CELL,
+        bbox=DOMAIN,
+        tile=(16, 16),
+        trim=False,
+        placeholders=True,
+    )
+
+
 def _grid50():
     spec = plan_grid(DOMAIN, OVL_CELL, tile=(8, 8))
     return spec, make_grid(True, cellsize=OVL_CELL, bbox=DOMAIN, tile=(8, 8))
@@ -631,6 +645,7 @@ def queries():
         "grid_make": q_grid_make,
         "grid_make_interior": q_grid_make_interior,
         "grid_make_rect": q_grid_make_rect,
+        "grid_make_notrim": q_grid_make_notrim,
         "overlay_intersection": q_overlay_intersection,
         "overlay_union": q_overlay_union,
         "area_interpolate": q_area_interpolate,
@@ -721,6 +736,9 @@ def oracle_sql():
         ),
         "grid_make_rect": sql_make_grid(
             DOMAIN, (20_000.0, 30_000.0), tile=(8, 8), trim=False, mask_true=True
+        ),
+        "grid_make_notrim": sql_make_grid(
+            DOMAIN, GRID_CELL, tile=(16, 16), trim=False, placeholders=True
         ),
         "overlay_intersection": sql_overlay_fragments(spec50, how="intersection"),
         "overlay_union": sql_overlay_fragments(spec50, how="union"),

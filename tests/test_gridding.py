@@ -90,3 +90,50 @@ def test_sorted_output(ray_session, mask):
     ).to_pandas()
     keys = list(zip(df["tile_id"], df["cell_id"]))
     assert keys == sorted(keys)
+
+
+@pytest.mark.parametrize("cellsize", [10_000.0, 7_500.0])
+def test_placeholders_compat_matches_oracle(ray_session, mask, cellsize):
+    """Reference trim=False parity mode (gridding.py:160-172): tile-level
+    flags on every cell of an intersecting tile; one placeholder row
+    (cell_id = -1 - tile_id, tile lower-left coords, flags 0/0) for each
+    non-intersecting tile."""
+    got = (
+        make_grid(
+            mask,
+            cellsize=cellsize,
+            bbox=DOMAIN,
+            tile=(16, 16),
+            trim=False,
+            placeholders=True,
+        )
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    exp = _run_sql(
+        sql_make_grid(DOMAIN, cellsize, tile=(16, 16), trim=False, placeholders=True)
+    )
+    assert got["cell_id"].tolist() == exp["cell_id"].tolist()
+    for c in ["ix", "iy", "tile_id", "intersects", "within"]:
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert np.array_equal(got["x"].to_numpy(), exp["x"].to_numpy())
+    assert np.array_equal(got["y"].to_numpy(), exp["y"].to_numpy())
+    ph = got[got["cell_id"] < 0]
+    cells = got[got["cell_id"] >= 0]
+    # placeholder keys encode their tile; intersecting tiles stamp
+    # tile-level intersects=1 on every cell
+    assert (ph["cell_id"] == -1 - ph["tile_id"]).all()
+    assert (ph[["intersects", "within"]] == 0).all().all()
+    assert (cells["intersects"] == 1).all()
+    # within is tile-constant in this mode
+    assert (cells.groupby("tile_id")["within"].nunique() == 1).all()
+    # no tile appears both as cells and as a placeholder
+    assert not (set(ph["tile_id"]) & set(cells["tile_id"]))
+
+
+def test_placeholders_requires_trim_false(ray_session, mask):
+    with pytest.raises(ValueError, match="placeholders"):
+        make_grid(mask, cellsize=CELL, bbox=DOMAIN, placeholders=True)
+    with pytest.raises(ValueError, match="placeholders"):
+        make_grid(True, cellsize=CELL, bbox=DOMAIN, trim=False, placeholders=True)
