@@ -21,6 +21,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TOKEN_RE = re.compile(r"\S+")
 
@@ -755,3 +756,144 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> components -> canonical keep-one
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs, *, src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 25, num_partitions: int = 32):
+    """(node, component) for every endpoint of ``pairs`` — component is
+    the MIN node id reachable through the pair graph.
+
+    Distributed min-label propagation with pointer jumping: labels live
+    in a node-scale Dataset; each sweep (a) hash-joins current labels
+    onto the symmetrized edges (``Dataset.join``) to push labels to
+    neighbors, (b) joins labels onto themselves (label-of-my-label —
+    pointer jumping, the classic shortcut step) and (c) folds everything
+    with one ``groupby(node).min`` — shuffles of edge/node-scale data,
+    nothing ever materializes on the driver.  Labels only decrease, so
+    ``sum(label)`` is strictly monotone and "sum unchanged" IS the exact
+    fixpoint test (cheap single-pass aggregate per sweep).
+
+    Pointer jumping makes convergence O(log diameter) sweeps, so even
+    adversarial long-chain graphs finish in a handful of rounds (dedup
+    graphs are star/clique-shaped and converge in 2-3).  Scale note:
+    ``num_partitions`` is the join/shuffle width — size it to edge
+    volume; a pathological mega-component costs its edges' shuffle
+    volume, never a driver materialization.
+    """
+
+    def _sym(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [b[src].combine_chunks().cast(pa.int64()),
+             b[dst].combine_chunks().cast(pa.int64())]
+        )
+        v = pa.concat_arrays(
+            [b[dst].combine_chunks().cast(pa.int64()),
+             b[src].combine_chunks().cast(pa.int64())]
+        )
+        return pa.table({"node": u, "nbr": v})
+
+    from ray.data.aggregate import Min, Sum
+
+    edges = pairs.select_columns([src, dst]).map_batches(
+        _sym, batch_format="pyarrow"
+    )
+    # repartition before materializing: upstream map_groups stages can leave
+    # empty blocks with degenerate (column-less) schemas, which
+    # Dataset.join's per-partition pyarrow join rejects; the merge
+    # re-schemas every block uniformly.  num_partitions scales with edge
+    # volume (it is also the join/shuffle width).
+    edges = edges.repartition(num_partitions).materialize()
+    nparts = num_partitions
+
+    def _node_min(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("label"),
+            "label",
+            pc.min_element_wise(b["label"], b["node"]),
+        )
+
+    def _norm(ds):
+        # hash aggregates emit empty partitions with column-less schemas;
+        # normalize (merge) blocks before they reach a join/union
+        return ds.repartition(nparts).materialize()
+
+    # label0(node) = min(node, min neighbor)
+    labels = _norm(
+        edges.groupby("node")
+        .aggregate(Min("nbr", alias_name="label"))
+        .map_batches(_node_min, batch_format="pyarrow")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+        msgs = edges.join(
+            labels, "inner", num_partitions=nparts, on=("node",)
+        ).select_columns(["nbr", "label"]).rename_columns(["node", "label"])
+        # pointer jumping: node -> label(label(node)) (left join keeps
+        # nodes whose label is already a root, i.e. not itself a node key
+        # with a smaller label)
+        jumped = (
+            labels.rename_columns(["node", "mid"])
+            .join(
+                labels.rename_columns(["mid", "label"]),
+                "inner",
+                num_partitions=nparts,
+                on=("mid",),
+            )
+            .select_columns(["node", "label"])
+        )
+        labels = _norm(
+            labels.union(msgs)
+            .union(jumped)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        )
+    return labels
+
+
+def neardup_components(docs, pairs, *, id_col: str = "doc_id",
+                       max_iter: int = 25, num_partitions: int = 32):
+    """Every doc with its near-dup component id (singletons map to
+    themselves): corpus LEFT-joins the clustered labels, null -> self."""
+    comp = connected_components(
+        pairs, max_iter=max_iter, num_partitions=num_partitions
+    )
+    nparts = num_partitions
+    out = docs.select_columns([id_col]).repartition(nparts).join(
+        comp,
+        "left_outer",
+        num_partitions=nparts,
+        on=(id_col,),
+        right_on=("node",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        lab = pc.coalesce(
+            pc.cast(b["label"], pa.int64()), pc.cast(b[id_col], pa.int64())
+        )
+        return pa.table({id_col: b[id_col], "component": lab})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def neardup_dedup(docs, pairs, *, id_col: str = "doc_id", max_iter: int = 25,
+                  num_partitions: int = 32):
+    """Canonical keep-one-per-component: the survivor is the component's
+    min id (which IS the converged label), so keep iff id == component —
+    no second shuffle after :func:`neardup_components`."""
+    comp = neardup_components(
+        docs, pairs, id_col=id_col, max_iter=max_iter,
+        num_partitions=num_partitions,
+    )
+    return comp.map_batches(
+        lambda b: b.filter(pc.equal(b[id_col], b["component"])),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,293 @@
+"""Order-aware joins Ray Data cannot express natively.
+
+``Dataset.join`` (Ray 2.49) is an equality hash join; the two operators
+here need ORDER within a key:
+
+- :func:`asof_join` — attach to each left row the latest right row at or
+  before it in event time (DuckDB's ``ASOF JOIN``, pandas
+  ``merge_asof``).  One hash shuffle: both sides are schema-aligned,
+  tagged and unioned, bucketed by ``hash(by) % num_buckets`` (bounded
+  group count independent of key cardinality), and each bucket resolves
+  with a single vectorized ``pandas.merge_asof(by=...)`` over an
+  index-only frame — matched right values are then gathered with Arrow
+  ``take`` so output columns keep their exact Arrow types (no
+  pandas int->float null promotion).
+
+- :func:`interval_join` — equality on ``by`` + containment of ``on`` in
+  ``[start, end)`` against a SMALL interval table (validity windows,
+  sessions, calendars).  The interval side is broadcast (``ray.put``
+  once, cached per worker), the probe side streams; per batch the match
+  is one lexsort + per-interval ``searchsorted`` (vectorized over rows,
+  Python loop only over the broadcast side).
+
+Partitioning assumptions (documented per the custom-operator contract):
+``asof_join`` requires one ``by``-key's rows to fit in a worker (true
+for per-entity event streams; a single pathological hot key degrades to
+that key's volume, like any keyed window).  ``interval_join`` requires
+the interval table to fit in worker memory; for a LARGE interval side,
+bucket both sides by ``by`` and apply the same kernel per bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_HASH_MULT = 2654435761  # Knuth multiplicative hash (public domain constant)
+
+
+def _bucket_of(arr: np.ndarray, num_buckets: int) -> np.ndarray:
+    return ((arr.astype(np.int64) * _HASH_MULT) & 0x7FFFFFFF) % num_buckets
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    on: str = "ts",
+    by: str = "user_id",
+    direction: str = "backward",
+    suffix: str = "_r",
+    num_buckets: int = 64,
+):
+    """As-of join two Datasets: for each left row, the single right row
+    with the greatest ``on`` <= left ``on`` (``direction='backward'``; or
+    smallest >= for ``'forward'``) sharing the ``by`` key.  Left-outer
+    semantics: unmatched left rows keep nulls in the right columns.
+
+    Right columns other than ``by``/``on`` are appended with ``suffix``;
+    right's own ``on`` is appended as ``on + suffix``.  ``by`` must be
+    integer-typed (bucketing hash); pass ``num_buckets=None`` to group
+    directly by the key instead (any type, one group per key).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # Dataset.schema() is Ray's wrapper; rebuild true pyarrow schemas
+    _ls, _rs = left.schema(), right.schema()
+    left_schema = pa.schema(list(zip(_ls.names, _ls.types)))
+    right_schema = pa.schema(list(zip(_rs.names, _rs.types)))
+    left_cols = list(left_schema.names)
+    if on not in left_cols or by not in left_cols:
+        raise ValueError(f"left is missing {on!r}/{by!r}")
+    rvalue_cols = [c for c in right_schema.names if c not in (on, by)]
+    renamed = {c: c + suffix for c in rvalue_cols}
+    out_right_cols = [on + suffix] + [renamed[c] for c in rvalue_cols]
+    rtypes = {
+        on + suffix: right_schema.field(on).type,
+        **{renamed[c]: right_schema.field(c).type for c in rvalue_cols},
+    }
+    union_fields = (
+        [(c, left_schema.field(c).type) for c in left_cols]
+        + [(n, rtypes[n]) for n in out_right_cols]
+        + [("__side", pa.int8())]
+    )
+    union_schema = pa.schema(union_fields)
+    group_key = "__bucket" if num_buckets else by
+
+    def _align_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = [b[c] for c in left_cols] + [
+            pa.nulls(n, rtypes[c]) for c in out_right_cols
+        ]
+        cols.append(pa.nulls(n, pa.int8()).fill_null(0))
+        t = pa.table(cols, schema=union_schema)
+        if num_buckets:
+            t = t.append_column(
+                "__bucket",
+                pa.array(_bucket_of(np.asarray(b[by]), num_buckets)),
+            )
+        return t
+
+    def _align_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = []
+        for c in left_cols:
+            if c == by:
+                cols.append(b[by])
+            else:
+                cols.append(pa.nulls(n, left_schema.field(c).type))
+        cols.append(pc.cast(b[on], rtypes[on + suffix]))
+        cols.extend(pc.cast(b[c], rtypes[renamed[c]]) for c in rvalue_cols)
+        cols.append(pa.nulls(n, pa.int8()).fill_null(1))
+        t = pa.table(cols, schema=union_schema)
+        if num_buckets:
+            t = t.append_column(
+                "__bucket",
+                pa.array(_bucket_of(np.asarray(b[by]), num_buckets)),
+            )
+        return t
+
+    la = left.map_batches(_align_left, batch_format="pyarrow")
+    ra = right.map_batches(_align_right, batch_format="pyarrow")
+    unioned = la.union(ra)
+
+    out_schema = pa.schema(
+        [(c, left_schema.field(c).type) for c in left_cols]
+        + [(n, rtypes[n]) for n in out_right_cols]
+    )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"])
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        # index-only merge frame: by/on are never null on their own side,
+        # so pandas dtypes stay faithful
+        l_pd = pd.DataFrame(
+            {
+                by: np.asarray(lt[by]),
+                on: lt[on].to_pandas(),
+                "__li": np.arange(lt.num_rows),
+            }
+        ).sort_values(on, kind="stable")
+        lt_cols = [lt[c] for c in left_cols]
+        if rt.num_rows == 0:
+            out = lt_cols + [pa.nulls(lt.num_rows, rtypes[c]) for c in out_right_cols]
+            return pa.table(out, schema=out_schema)
+        r_pd = pd.DataFrame(
+            {
+                by: np.asarray(rt[by]),
+                f"{on}__r": rt[on + suffix].to_pandas(),
+                "__ri": np.arange(rt.num_rows),
+            }
+        ).sort_values(f"{on}__r", kind="stable")
+        m = pd.merge_asof(
+            l_pd,
+            r_pd,
+            left_on=on,
+            right_on=f"{on}__r",
+            by=by,
+            direction=direction,
+        )
+        li = m["__li"].to_numpy()
+        ri = m["__ri"].astype("float64").to_numpy()  # NaN-safe for all-match
+        miss = np.isnan(ri)
+        ridx = pa.array(
+            np.where(miss, 0, ri).astype(np.int64), mask=miss
+        )
+        lidx = pa.array(li.astype(np.int64))
+        out = [c.take(lidx) for c in lt_cols]
+        out.append(rt[on + suffix].take(ridx))
+        out.extend(rt[renamed[c]].take(ridx) for c in rvalue_cols)
+        return pa.table(out, schema=out_schema)
+
+    return unioned.groupby(group_key).map_groups(
+        _merge, batch_format="pyarrow"
+    )
+
+
+class _IntervalKernel:
+    """Per-worker probe kernel holding the broadcast interval table
+    sorted by (by, start).  Intervals must be non-overlapping per key
+    (validity windows); overlap raises at build time."""
+
+    def __init__(self, iv: dict, on: str, by: str, how: str):
+        import ray
+
+        if isinstance(iv, dict) and "__ref__" in iv:
+            iv = ray.get(iv["__ref__"])
+        self.on, self.by, self.how = on, by, how
+        order = np.lexsort((iv["start"], iv["key"]))
+        self.k = np.asarray(iv["key"], dtype=np.int64)[order]
+        self.s = np.asarray(iv["start"], dtype=np.int64)[order]
+        self.e = np.asarray(iv["end"], dtype=np.int64)[order]
+        self.payload = {
+            name: pa.array(np.asarray(col)[order])
+            for name, col in iv.items()
+            if name not in ("key", "start", "end")
+        }
+        same = self.k[1:] == self.k[:-1]
+        if np.any(same & (self.s[1:] < self.e[:-1])):
+            raise ValueError("intervals overlap within a key")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            rows = np.empty(0, dtype=np.int64)
+            hits = np.empty(0, dtype=np.int64)
+        else:
+            bkey = np.asarray(batch[self.by], dtype=np.int64)
+            oncol = batch[self.on]
+            if pa.types.is_timestamp(oncol.type):
+                oncol = pc.cast(pc.cast(oncol, pa.timestamp("us")), pa.int64())
+            bon = np.asarray(oncol, dtype=np.int64)
+            # one searchsorted per broadcast interval, vectorized over the
+            # batch rows of that interval's key
+            order = np.lexsort((bon, bkey))
+            sk, so = bkey[order], bon[order]
+            rows_l, hits_l = [], []
+            # segment bounds of each interval's key among the batch rows
+            seg_lo = np.searchsorted(sk, self.k, side="left")
+            seg_hi = np.searchsorted(sk, self.k, side="right")
+            for i in range(len(self.k)):
+                lo, hi = seg_lo[i], seg_hi[i]
+                if lo == hi:
+                    continue
+                a = lo + np.searchsorted(so[lo:hi], self.s[i], side="left")
+                b = lo + np.searchsorted(so[lo:hi], self.e[i], side="left")
+                if a < b:
+                    rows_l.append(order[a:b])
+                    hits_l.append(np.full(b - a, i, dtype=np.int64))
+            rows = np.concatenate(rows_l) if rows_l else np.empty(0, dtype=np.int64)
+            hits = np.concatenate(hits_l) if hits_l else np.empty(0, dtype=np.int64)
+        if self.how == "inner":
+            t = batch.take(pa.array(rows))
+            for name, col in self.payload.items():
+                t = t.append_column(name, col.take(pa.array(hits)))
+            return t
+        # left: matched rows get payload, the rest null
+        match_of = np.full(n, -1, dtype=np.int64)
+        match_of[rows] = hits
+        miss = match_of < 0
+        idx = pa.array(np.where(miss, 0, match_of), mask=miss)
+        t = batch
+        for name, col in self.payload.items():
+            if len(col) == 0:
+                t = t.append_column(name, pa.nulls(n, col.type))
+            else:
+                t = t.append_column(name, col.take(idx))
+        return t
+
+
+def interval_join(
+    points,
+    intervals: dict,
+    *,
+    on: str = "ts",
+    by: str = "user_id",
+    how: str = "inner",
+    concurrency=None,
+):
+    """Join a streaming Dataset to a broadcast interval table.
+
+    ``intervals``: dict of columns — ``key`` (int64), ``start``/``end``
+    (int64 epoch-us, half-open), plus payload columns to attach.  A row
+    matches when ``row[by] == key and start <= us(row[on]) < end``.
+    ``how='inner'`` emits matches only; ``'left'`` keeps all rows with
+    null payload (requires non-overlapping intervals — guaranteed by the
+    per-key overlap check).
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    ref = {"__ref__": ray.put(intervals)}
+    if concurrency is not None:
+        return points.map_batches(
+            _IntervalKernel,
+            batch_format="pyarrow",
+            fn_constructor_args=(ref, on, by, how),
+            concurrency=concurrency,
+        )
+    from .spatial import _cached_kernel
+
+    key = f"interval:{ref['__ref__'].hex()}:{on}:{by}:{how}"
+
+    def apply(batch: pa.Table) -> pa.Table:
+        kern = _cached_kernel(key, ref, lambda iv: _IntervalKernel(iv, on, by, how))
+        return kern(batch)
+
+    return points.map_batches(apply, batch_format="pyarrow")

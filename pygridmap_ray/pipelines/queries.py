@@ -387,17 +387,10 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir, ("doc_id", "text")))
 
 
-def q_minhash_lsh(sf_dir: str):
-    """MinHash+LSH over a PLANTED corpus derived closed-form from doc_id:
-    docs with doc_id % 50 in {0, 13} share identical group text, every
-    other doc gets unique tokens.  LSH recall is probabilistic for
-    0 < jaccard < 1, but identical docs collide in every band with
-    probability 1 and estimate exactly 1.0 — so the full signature ->
-    banding -> bucket-verify pipeline has a deterministic, SQL-expressible
-    expected output (the planted-oracle pattern).  Mixed-similarity recall
-    stays covered by pytest fixtures."""
-    from ..dedup import minhash_lsh_pairs
-
+def _planted_docs(sf_dir: str):
+    """PLANTED corpus derived closed-form from doc_id: docs with
+    doc_id % 50 in {0, 13} share identical group text, every other doc
+    gets unique tokens (the planted-oracle pattern)."""
     ds = _docs(sf_dir, ("doc_id",))
 
     def planted_text(b: pa.Table) -> pa.Table:
@@ -410,8 +403,30 @@ def q_minhash_lsh(sf_dir: str):
         ]
         return b.append_column("text", pa.array(texts, pa.string()))
 
-    ds = ds.map_batches(planted_text, batch_format="pyarrow")
-    return minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+    return ds.map_batches(planted_text, batch_format="pyarrow")
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash+LSH over the planted corpus (see _planted_docs).  LSH
+    recall is probabilistic for 0 < jaccard < 1, but identical docs
+    collide in every band with probability 1 and estimate exactly 1.0 —
+    so the full signature -> banding -> bucket-verify pipeline has a
+    deterministic, SQL-expressible expected output.  Mixed-similarity
+    recall stays covered by pytest fixtures."""
+    from ..dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_planted_docs(sf_dir), jaccard_threshold=0.5)
+
+
+def q_neardup_cluster(sf_dir: str):
+    """Near-dup pair graph -> connected components -> every doc labeled
+    with its component (min reachable id; singletons = self).  Exercises
+    the distributed min-label propagation + the left join back onto the
+    corpus."""
+    from ..dedup import minhash_lsh_pairs, neardup_components
+
+    pairs = minhash_lsh_pairs(_planted_docs(sf_dir), jaccard_threshold=0.5)
+    return neardup_components(_docs(sf_dir, ("doc_id",)), pairs, num_partitions=8)
 
 
 def q_simhash(sf_dir: str):
@@ -616,6 +631,99 @@ def q_events_sessionize(sf_dir: str):
     return events_sessionize(sf_dir)
 
 
+IV_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch-us
+IV_STRIDE_US = 21_600_000_000  # 6 h between window starts
+IV_WIDTH_US = 10_800_000_000  # 3 h window width
+
+
+def q_events_asof(sf_dir: str):
+    """As-of join (joins.asof_join): every non-error event picks up the
+    latest error event at-or-before it from the same user.  Values are
+    copied, not computed — the DuckDB ASOF JOIN twin is exact with no
+    rounding."""
+    import ray.data as rd
+
+    from ..joins import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def _split(err: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(b["event_type"], "error")
+            return b.filter(m if err else pc.invert(m)).drop_columns(
+                ["event_type"]
+            )
+
+        return f
+
+    left = ev.map_batches(_split(False), batch_format="pyarrow")
+    right = ev.map_batches(_split(True), batch_format="pyarrow").drop_columns(
+        ["event_id"]
+    )
+    return asof_join(left, right, on="ts", by="user_id")
+
+
+def _interval_table(max_user: int) -> dict:
+    """Closed-form validity windows: 4 per user, 3 h wide every 6 h,
+    phase-shifted by (user % 7) hours from 2024-01-01 (mirrored by the
+    SQL twin literal-for-literal)."""
+    u = np.repeat(np.arange(max_user + 1, dtype=np.int64), 4)
+    i = np.tile(np.arange(4, dtype=np.int64), max_user + 1)
+    start = IV_BASE_US + (u % 7) * 3_600_000_000 + i * IV_STRIDE_US
+    return {
+        "key": u,
+        "start": start,
+        "end": start + IV_WIDTH_US,
+        "iv_id": u * 4 + i,
+        "start_us": start,
+    }
+
+
+def q_events_interval(sf_dir: str):
+    """Broadcast interval (range) join: events matched to per-user
+    validity windows on key equality + ts containment."""
+    import ray.data as rd
+
+    from ..joins import interval_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    max_user = int(ev.max("user_id"))
+    out = interval_join(ev, _interval_table(max_user), how="inner")
+    return out.select_columns(["event_id", "user_id", "iv_id", "start_us"])
+
+
+def _sql_events_asof() -> str:
+    return (
+        "SELECT l.event_id, l.ts, l.user_id, l.value, "
+        "r.ts AS ts_r, r.value AS value_r "
+        "FROM (SELECT event_id, ts, user_id, value FROM events "
+        "WHERE event_type <> 'error') l "
+        "ASOF LEFT JOIN (SELECT ts, user_id, value FROM events "
+        "WHERE event_type = 'error') r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    )
+
+
+def _sql_events_interval() -> str:
+    return f"""
+WITH iv AS (
+  SELECT u.u AS user_id, i.i AS k,
+         {IV_BASE_US} + (u.u % 7) * 3600000000 + i.i * {IV_STRIDE_US} AS s
+  FROM (SELECT UNNEST(generate_series(0, (SELECT MAX(user_id) FROM events))) AS u) u,
+       (SELECT UNNEST(generate_series(0, 3)) AS i) i
+)
+SELECT e.event_id, e.user_id, iv.user_id * 4 + iv.k AS iv_id, iv.s AS start_us
+FROM events e
+JOIN iv ON e.user_id = iv.user_id
+       AND epoch_us(e.ts) >= iv.s AND epoch_us(e.ts) < iv.s + {IV_WIDTH_US}
+"""
+
+
 def q_q1_pricing(sf_dir: str):
     from .relational import q1_pricing
 
@@ -659,6 +767,7 @@ def queries():
         "rolling_fp": q_rolling_fp,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
+        "neardup_cluster": q_neardup_cluster,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -671,6 +780,8 @@ def queries():
         "media_features": q_media_features,
         "media_features_vec": q_media_features_vec,
         "events_window": q_events_window,
+        "events_asof": q_events_asof,
+        "events_interval": q_events_interval,
         "events_sessionize": q_events_sessionize,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
@@ -783,6 +894,16 @@ def oracle_sql():
             "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 13 "
             "WHERE a.doc_id % 50 = 0"
         ),
+        # planted groups {g*50, g*50+13} collapse to their min member;
+        # the correlated MIN keeps the oracle honest for partial blocks
+        "neardup_cluster": (
+            "SELECT d.doc_id, "
+            "CASE WHEN d.doc_id % 50 IN (0, 13) THEN "
+            "(SELECT MIN(d2.doc_id) FROM documents d2 "
+            "WHERE d2.doc_id // 50 = d.doc_id // 50 "
+            "AND d2.doc_id % 50 IN (0, 13)) "
+            "ELSE d.doc_id END AS component FROM documents d"
+        ),
         "embedding_neardup": _sql_neardup(),
         "ann_topk": _sql_ann(),
         "ivf_topk": _sql_ivf(),
@@ -797,6 +918,8 @@ def oracle_sql():
         "media_features": _sql_media(),
         "media_features_vec": _sql_media_vec(),
         "events_window": _sql_events_window(),
+        "events_asof": _sql_events_asof(),
+        "events_interval": _sql_events_interval(),
         "events_sessionize": _sql_events_sessionize(),
         "q1_pricing": _sql_q1(),
         "top_customers": _sql_topcust(),

@@ -1,0 +1,166 @@
+"""asof_join / interval_join (joins.py) and connected-components
+clustering (dedup.py) — semantics beyond what the sf0.01 oracles cover:
+forward direction, empty sides, direct-key grouping, interval overlap
+guard, chain-graph transitivity vs a driver union-find ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pygridmap_ray.joins import _IntervalKernel, asof_join, interval_join
+
+
+def _mk(table):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(table))
+
+
+def _ts(us_list):
+    return pa.array(np.asarray(us_list, dtype="int64")).cast(pa.timestamp("us"))
+
+
+def test_asof_backward_and_forward(ray_session):
+    left = _mk({"ts": _ts([100, 200, 300]), "user_id": [1, 1, 1], "v": [1.0, 2.0, 3.0]})
+    right = _mk({"ts": _ts([150, 250]), "user_id": [1, 1], "w": [10.0, 20.0]})
+    back = (
+        asof_join(left, right, on="ts", by="user_id")
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert back["w_r"].tolist()[0] != back["w_r"].tolist()[0]  # NaN: no prior
+    assert back["w_r"].tolist()[1:] == [10.0, 20.0]
+    fwd = (
+        asof_join(left, right, on="ts", by="user_id", direction="forward")
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert fwd["w_r"].tolist()[:2] == [10.0, 20.0]
+    assert fwd["w_r"].isna().tolist() == [False, False, True]
+
+
+def test_asof_exact_match_and_missing_key(ray_session):
+    left = _mk({"ts": _ts([100, 100]), "user_id": [1, 2], "v": [1.0, 2.0]})
+    right = _mk({"ts": _ts([100]), "user_id": [1], "w": [5.0]})
+    out = (
+        asof_join(left, right, on="ts", by="user_id")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # equality counts as "at or before" (DuckDB ASOF >= semantics)
+    assert out["w_r"].tolist()[0] == 5.0
+    assert out["w_r"].isna().tolist() == [False, True]
+    # int columns survive null-extension without float promotion
+    assert out["user_id"].dtype == np.int64
+
+
+def test_asof_direct_key_grouping(ray_session):
+    left = _mk({"ts": _ts([10, 20]), "user_id": [7, 8], "v": [1.0, 2.0]})
+    right = _mk({"ts": _ts([5, 15]), "user_id": [7, 8], "w": [1.5, 2.5]})
+    out = (
+        asof_join(left, right, on="ts", by="user_id", num_buckets=None)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["w_r"].tolist() == [1.5, 2.5]
+
+
+def test_interval_join_left_and_inner(ray_session):
+    iv = {
+        "key": np.array([1, 1], dtype=np.int64),
+        "start": np.array([100, 300], dtype=np.int64),
+        "end": np.array([200, 400], dtype=np.int64),
+        "iv_id": np.array([0, 1], dtype=np.int64),
+    }
+    pts = _mk({"ts": _ts([150, 250, 350, 50]), "user_id": [1, 1, 1, 2], "p": [1, 2, 3, 4]})
+    inner = interval_join(pts, iv, how="inner").to_pandas().sort_values("p")
+    assert inner["p"].tolist() == [1, 3]
+    assert inner["iv_id"].tolist() == [0, 1]
+    left = interval_join(pts, iv, how="left").to_pandas().sort_values("p")
+    assert left["p"].tolist() == [1, 2, 3, 4]
+    assert left["iv_id"].isna().tolist() == [False, True, False, True]
+    # half-open: end boundary excluded, start included
+    edge = _mk({"ts": _ts([100, 200]), "user_id": [1, 1], "p": [1, 2]})
+    e = interval_join(edge, iv, how="inner").to_pandas()
+    assert e["p"].tolist() == [1]
+
+
+def test_interval_overlap_rejected():
+    iv = {
+        "key": np.array([1, 1], dtype=np.int64),
+        "start": np.array([100, 150], dtype=np.int64),
+        "end": np.array([200, 250], dtype=np.int64),
+    }
+    with pytest.raises(ValueError, match="overlap"):
+        _IntervalKernel(iv, "ts", "user_id", "left")
+
+
+def _union_find(n_edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in n_edges:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_connected_components_vs_union_find(ray_session, seed):
+    from pygridmap_ray.dedup import connected_components
+
+    rng = np.random.default_rng(seed)
+    # a long chain (worst-case diameter for label propagation) + random
+    # extra edges + disjoint singleton pairs
+    chain = [(i, i + 1) for i in range(0, 30)]
+    rand = [tuple(sorted(e)) for e in rng.integers(100, 140, size=(25, 2)) if e[0] != e[1]]
+    far = [(1000, 2000), (3000, 4000)]
+    edges = chain + rand + far
+    ds = _mk(
+        {
+            "id_a": np.array([a for a, _ in edges], dtype=np.int64),
+            "id_b": np.array([b for _, b in edges], dtype=np.int64),
+        }
+    )
+    got = (
+        connected_components(ds, max_iter=50, num_partitions=4)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    # min-reachable ground truth: union-find labels then min per root
+    uf = _union_find(edges)
+    roots = {}
+    for node, r in uf.items():
+        roots.setdefault(r, []).append(node)
+    expect = {n: min(mem) for r, mem in roots.items() for n in mem}
+    assert got == expect
+
+
+def test_neardup_dedup_keeps_min_per_component(ray_session):
+    from pygridmap_ray.dedup import neardup_dedup
+
+    docs = _mk({"doc_id": np.arange(10, dtype=np.int64)})
+    pairs = _mk(
+        {
+            "id_a": np.array([0, 1, 5], dtype=np.int64),
+            "id_b": np.array([1, 2, 6], dtype=np.int64),
+        }
+    )
+    kept = sorted(neardup_dedup(docs, pairs, num_partitions=4).to_pandas()["doc_id"].tolist())
+    # {0,1,2} -> 0, {5,6} -> 5, singletons 3,4,7,8,9 survive
+    assert kept == [0, 3, 4, 5, 7, 8, 9]
