@@ -24,6 +24,8 @@ from ..overlay import (
 from ..planning import plan_grid
 from ..spatial import join_points_to_polygons, knn_join, sql_point_join
 from ..geom.proj import reproject, sql_laea_forward
+from ..stats import sql_grouped_quantiles
+from ..text import sql_top_ngrams
 from ..synth import (
     DOMAIN,
     build_spans_array,
@@ -439,6 +441,28 @@ def q_simhash(sf_dir: str):
     )
 
 
+def q_lang_quantiles(sf_dir: str):
+    """Exact per-language n_chars quantiles via the histogram two-phase
+    plan (stats.grouped_quantiles; DuckDB quantile_disc rank law)."""
+    from ..stats import grouped_quantiles
+
+    return grouped_quantiles(
+        _docs(sf_dir, ("lang", "n_chars")),
+        key="lang",
+        value="n_chars",
+        qs=(0.25, 0.5, 0.9),
+    )
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus-level top-k bigrams: per-batch value_counts combiner ->
+    one (ngram, sum) groupby -> deterministic (cnt DESC, ngram ASC)
+    top-k.  The tie-break total order makes the boundary exact."""
+    from ..text import top_ngrams
+
+    return top_ngrams(_docs(sf_dir, ("doc_id", "text")), n=2, k=25)
+
+
 def q_rolling_fp(sf_dir: str):
     from ..text import rolling_fingerprint
 
@@ -765,6 +789,8 @@ def queries():
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "rolling_fp": q_rolling_fp,
+        "top_bigrams": q_top_bigrams,
+        "lang_quantiles": q_lang_quantiles,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "neardup_cluster": q_neardup_cluster,
@@ -884,6 +910,8 @@ def oracle_sql():
         "lang_id": f"SELECT doc_id, lang, lang_pred FROM ({_sql_lang()})",
         "fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "rolling_fp": _sql_rolling_fp(),
+        "top_bigrams": sql_top_ngrams(2, 25),
+        "lang_quantiles": sql_grouped_quantiles(),
         "simhash": _sql_simhash(),
         "exact_dedup": _sql_exact_dedup(),
         "ngram_jaccard": _sql_ngram(),

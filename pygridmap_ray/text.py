@@ -271,3 +271,85 @@ SELECT th.doc_id,
             ELSE l.fp END AS rolling_fp
 FROM th LEFT JOIN long_fp l USING (doc_id)
 """
+
+
+def ngram_counts_partial(
+    batch: pa.Table, *, n: int = 2, text_col: str = "text"
+) -> pa.Table:
+    """Per-batch partial n-gram counts (the combiner half of
+    :func:`top_ngrams`): whitespace tokens (same \\S+ law as
+    ``token_count``), n-grams joined with single spaces WITHIN each doc,
+    counted once per batch with ``pc.value_counts`` so the global
+    groupby shuffles (ngram, partial_count) rows, never raw text."""
+    la = pc.split_pattern_regex(batch[text_col], r"\s+")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    flat = la.flatten()  # null lists contribute nothing
+    lens = np.diff(la.offsets.to_numpy())
+    row_ids = np.repeat(np.arange(len(la), dtype=np.int64), lens)
+    # tokens are never null (null TEXT yields a null list, flattened away);
+    # fill_null guards the comparison anyway
+    keep = np.asarray(pc.fill_null(pc.not_equal(flat, ""), False))
+    flat = flat.filter(pa.array(keep))
+    rid = row_ids[keep]
+    m = len(flat) - (n - 1)
+    if m <= 0:
+        return pa.table(
+            {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    shifted = [flat.slice(j, m) for j in range(n)]
+    grams = (
+        shifted[0]
+        if n == 1
+        else pc.binary_join_element_wise(*shifted, " ")
+    )
+    same_doc = rid[: m] == rid[n - 1 :]
+    grams = grams.filter(pa.array(same_doc))
+    vc = pc.value_counts(grams)
+    return pa.table(
+        {
+            "ngram": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        }
+    )
+
+
+def top_ngrams(ds, *, n: int = 2, k: int = 20, text_col: str = "text"):
+    """Corpus-level top-k n-grams: per-batch combiner partials -> one
+    small (ngram, sum) groupby -> deterministic total order
+    (count DESC, ngram ASC) -> limit k.  The shuffle carries unique
+    n-grams per batch, not token streams."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: ngram_counts_partial(b, n=n, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    totals = partials.groupby("ngram").aggregate(Sum("cnt", alias_name="cnt"))
+    return totals.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
+
+
+def sql_top_ngrams(n: int = 2, k: int = 20, source: str = "documents") -> str:
+    """DuckDB twin of :func:`top_ngrams` (same token law, same join
+    separator, same deterministic tie-break)."""
+    joined = " || ' ' || ".join(
+        f"t{j}.tok" for j in range(n)
+    )
+    joins = " ".join(
+        f"JOIN tk2 t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.j = t0.j + {j}"
+        for j in range(1, n)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS i
+  FROM {source}
+), tk2 AS (
+  SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j
+  FROM tk WHERE tok <> ''
+)
+SELECT {joined if n > 1 else 't0.tok'} AS ngram, COUNT(*)::BIGINT AS cnt
+FROM tk2 t0 {joins}
+GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {k}
+"""

@@ -1,0 +1,71 @@
+"""top_ngrams (text.py) and grouped_quantiles (stats.py) — kernel law
+checks beyond the sf0.01 oracle rows: tokenizer edge cases, cross-doc
+boundary, the quantile_disc rank law vs DuckDB on random multisets."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from pygridmap_ray.stats import grouped_quantiles, sql_grouped_quantiles
+from pygridmap_ray.text import ngram_counts_partial, top_ngrams
+
+
+def test_ngram_partial_edges():
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["a b c a b", "  x  y  ", None, "one", ""],
+        }
+    )
+    got = (
+        ngram_counts_partial(t, n=2)
+        .to_pandas()
+        .groupby("ngram")["cnt"]
+        .sum()
+        .to_dict()
+    )
+    # no cross-doc bigram ("b x" etc.), no empty tokens, null/empty docs
+    # contribute nothing, single-token docs have no bigram
+    assert got == {"a b": 2, "b c": 1, "c a": 1, "x y": 1}
+    uni = ngram_counts_partial(t, n=1).to_pandas()
+    assert int(uni["cnt"].sum()) == 5 + 2 + 1
+
+
+def test_top_ngrams_deterministic_tiebreak(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table({"text": ["b a", "a c", "b a", "a c", "z z"]})
+    )
+    out = top_ngrams(ds, n=2, k=2).to_pandas()
+    # counts: "b a"=2, "a c"=2, "z z"=1 -> tie broken by ngram ASC
+    assert out["ngram"].tolist() == ["a c", "b a"]
+    assert out["cnt"].tolist() == [2, 2]
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    key = rng.integers(0, 4, size=500)
+    # discrete heavy-tie value domain, plus some nulls
+    val = rng.integers(0, 30, size=500).astype("float64")
+    # true Arrow nulls (NaN would be a sortable VALUE in both engines)
+    t = pa.table({"k": key, "v": pa.array(val, mask=rng.random(500) < 0.05)})
+    qs = (0.1, 0.25, 0.5, 0.75, 0.99)
+    got = (
+        grouped_quantiles(rd.from_arrow(t), key="k", value="v", qs=qs)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = (
+        con.sql(sql_grouped_quantiles("k", "v", qs))
+        .df()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got.columns.tolist() == exp.columns.tolist()
+    assert got.equals(exp)
