@@ -241,12 +241,6 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best_of(ncpu: int, stage: str, trials: int) -> dict:
-        # single-node runs are noisy (page cache, writeback, object-store
-        # reuse) — take the best of N fresh processes per level
-        runs = [run(ncpu, stage) for _ in range(trials)]
-        return max(runs, key=lambda r: r["docs_per_sec"])
-
     lo, hi = 7, 28
     out: dict = {
         "metric": "scaling efficiency (docs/sec, 7 -> 28 cpus)",
@@ -254,8 +248,17 @@ def run_scaling() -> dict:
         "cpus": [lo, hi],
     }
     for stage, trials in (("join", 3), ("flagship", 2)):
-        r_lo = best_of(lo, stage, trials)
-        r_hi = best_of(hi, stage, trials)
+        # single-node runs are noisy (page cache, writeback, object-store
+        # reuse) AND the host's absolute speed drifts over minutes — so
+        # INTERLEAVE the levels (lo, hi, lo, hi, ...) and take the best of
+        # N fresh processes per level: both levels sample the same epochs,
+        # so drift cannot masquerade as (in)efficiency
+        lo_runs, hi_runs = [], []
+        for _ in range(trials):
+            lo_runs.append(run(lo, stage))
+            hi_runs.append(run(hi, stage))
+        r_lo = max(lo_runs, key=lambda r: r["docs_per_sec"])
+        r_hi = max(hi_runs, key=lambda r: r["docs_per_sec"])
         eff = r_hi["docs_per_sec"] / ((hi / lo) * r_lo["docs_per_sec"])
         out[stage] = {
             "docs_per_sec_lo": r_lo["docs_per_sec"],

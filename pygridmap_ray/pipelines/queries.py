@@ -454,6 +454,37 @@ def q_lang_quantiles(sf_dir: str):
     )
 
 
+CURATE_MIN_QUALITY = 0.5
+
+
+def q_corpus_curate(sf_dir: str):
+    """Capstone curation pipeline — the composition a production corpus
+    run executes: exact n-gram-Jaccard near-dup pairs -> connected
+    components -> keep one doc per component (min id) -> quality gate.
+    The quality threshold is applied to the ROUNDED score on both sides
+    so the boundary can never flip on sub-ulp float divergence."""
+    from ..dedup import neardup_dedup, ngram_jaccard_pairs
+    from ..text import quality_score
+
+    pairs = ngram_jaccard_pairs(_docs(sf_dir, ("doc_id", "text")), threshold=0.3)
+    kept = neardup_dedup(_docs(sf_dir, ("doc_id",)), pairs, num_partitions=8)
+
+    def score(b: pa.Table) -> pa.Table:
+        b = quality_score(b)
+        b = round6(b.select(["doc_id", "lang", "quality"]), ["quality"])
+        return b.filter(
+            pc.greater_equal(b["quality"], pa.scalar(CURATE_MIN_QUALITY))
+        )
+
+    scored = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
+        score, batch_format="pyarrow"
+    )
+    out = kept.select_columns(["doc_id"]).join(
+        scored, "inner", num_partitions=8, on=("doc_id",)
+    )
+    return out.select_columns(["doc_id", "lang", "quality"])
+
+
 def q_top_bigrams(sf_dir: str):
     """Corpus-level top-k bigrams: per-batch value_counts combiner ->
     one (ngram, sum) groupby -> deterministic (cnt DESC, ngram ASC)
@@ -789,6 +820,7 @@ def queries():
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "rolling_fp": q_rolling_fp,
+        "corpus_curate": q_corpus_curate,
         "top_bigrams": q_top_bigrams,
         "lang_quantiles": q_lang_quantiles,
         "exact_dedup": q_exact_dedup,
@@ -821,6 +853,38 @@ def _sql_reproject() -> str:
         f"SELECT doc_id, ROUND({esql} * 1e3) / 1e3 AS easting, "
         f"ROUND({nsql} * 1e3) / 1e3 AS northing FROM ll"
     )
+
+
+def _sql_corpus_curate() -> str:
+    """Recursive-CTE twin of q_corpus_curate: transitive closure of the
+    symmetrized exact-Jaccard pair graph -> min-reachable component ->
+    keep doc_id == component -> same rounded quality gate."""
+    from ..dedup import sql_ngram_jaccard
+    from ..text import sql_quality_score
+
+    return f"""
+WITH RECURSIVE pairs AS ({sql_ngram_jaccard(0.3)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+),
+q AS (SELECT doc_id, lang, ROUND(quality * 1e6) / 1e6 AS quality
+      FROM ({sql_quality_score()}))
+SELECT l.doc_id, q.lang, q.quality
+FROM lab l JOIN q ON q.doc_id = l.doc_id
+WHERE l.doc_id = l.component AND q.quality >= {CURATE_MIN_QUALITY}
+"""
 
 
 def oracle_sql():
@@ -910,6 +974,7 @@ def oracle_sql():
         "lang_id": f"SELECT doc_id, lang, lang_pred FROM ({_sql_lang()})",
         "fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "rolling_fp": _sql_rolling_fp(),
+        "corpus_curate": _sql_corpus_curate(),
         "top_bigrams": sql_top_ngrams(2, 25),
         "lang_quantiles": sql_grouped_quantiles(),
         "simhash": _sql_simhash(),
