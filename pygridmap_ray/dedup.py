@@ -897,3 +897,163 @@ def neardup_dedup(docs, pairs, *, id_col: str = "doc_id", max_iter: int = 25,
         lambda b: b.filter(pc.equal(b[id_col], b["component"])),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup, random-hyperplane LSH path
+# ---------------------------------------------------------------------------
+
+_RH_PLANES = 32
+_RH_BAND_BITS = 4  # 8 bands x 4 bits: usable recall down to cosine ~0.35
+_RH_BANDS = _RH_PLANES // _RH_BAND_BITS
+
+
+def _rh_hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes, closed-form in (j, d) so
+    the DuckDB twin regenerates the identical float64 matrix."""
+    j = np.arange(_RH_PLANES, dtype=np.int64)[:, None]
+    d = np.arange(dim, dtype=np.int64)[None, :]
+    return ((j * 2654435761 + d * 40503) % 1000003) / 1000003.0 - 0.5
+
+
+def _emb_matrix(col, n: int) -> np.ndarray:
+    """(n, dim) float64 from a list<float> column without per-row Python."""
+    col = col.combine_chunks()
+    vals = np.asarray(col.flatten(), dtype=np.float64)
+    return vals.reshape(n, vals.size // n) if n else vals.reshape(0, 0)
+
+
+def embedding_lsh_pairs(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+):
+    """Embedding near-dup pairs via random-hyperplane LSH (the
+    sign-banding alternative to the IVF-bucketed path in
+    :func:`embedding_neardup_pairs`): sign(emb @ H) -> 4 bands of 8 bits
+    -> groupby (band, code) -> in-bucket vectorized cosine verify with
+    CANONICAL emission (each pair from its FIRST agreeing band, so no
+    global pair-dedup shuffle follows).
+
+    Scale shape: the shuffle carries (band, code, codes, embedding) rows
+    — 4x the embedding bytes, never an all-pairs broadcast; verify is a
+    blockless normalized matmul per bucket.  Recall is probabilistic in
+    general (as for any RH-LSH); candidates are exact-cosine verified,
+    so precision is exact and the oracle checks the full deterministic
+    output given the fixed hyperplanes.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table(
+            {
+                "band": pa.array([], pa.int32()),
+                "code": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "codes": pa.array([], pa.list_(pa.int64())),
+                emb_col: pa.array([], pa.list_(pa.float64())),
+            }
+        )
+        if n == 0:
+            return empty
+        mat = _emb_matrix(batch[emb_col], n)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        bits = (mat @ _rh_hyperplanes(mat.shape[1]).T >= 0.0).astype(np.int64)
+        weights = 1 << np.arange(_RH_BAND_BITS, dtype=np.int64)
+        codes = bits.reshape(n, _RH_BANDS, _RH_BAND_BITS) @ weights  # (n, B)
+        bands = np.repeat(np.arange(_RH_BANDS, dtype=np.int32), n)
+        codes_t = np.tile(codes, (_RH_BANDS, 1))  # band-major, matches bands
+        emb_t = np.tile(mat, (_RH_BANDS, 1))
+
+        def _list(arr2d, typ):
+            fsl = pa.FixedSizeListArray.from_arrays(
+                pa.array(arr2d.reshape(-1), typ), arr2d.shape[1]
+            )
+            return fsl.cast(pa.list_(typ))  # uniform schema with empty blocks
+
+        return pa.table(
+            {
+                "band": pa.array(bands),
+                "code": pa.array(codes.T.reshape(-1)),
+                id_col: pa.array(np.tile(ids, _RH_BANDS)),
+                "codes": _list(codes_t, pa.int64()),
+                emb_col: _list(emb_t, pa.float64()),
+            }
+        )
+
+    exploded = ds.select_columns([id_col, emb_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        band = int(g["band"].iloc[0])
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        codes = np.stack(g["codes"].to_numpy())[order]
+        emb = np.stack(g[emb_col].to_numpy())[order]
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        emb = emb / norms[:, None]
+        sims = emb @ emb.T
+        # canonical emission: the pair belongs to its FIRST agreeing band
+        first = np.argmax(
+            codes[:, None, :] == codes[None, :, :], axis=2
+        )
+        ia, ib = np.nonzero(
+            np.triu(sims >= threshold, k=1) & (first == band)
+        )
+        if len(ia) == 0:
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "cosine": sims[ia, ib]}
+        )
+
+    return exploded.groupby(["band", "code"]).map_groups(
+        verify, batch_format="pandas"
+    )
+
+
+def sql_embedding_lsh(threshold: float = 0.9, dim: int = 64) -> str:
+    """DuckDB twin: identical hyperplane law, band packing, candidate
+    bucketing and cosine threshold (candidates deduped by DISTINCT where
+    the engine uses canonical first-band emission)."""
+    return f"""
+WITH sd AS (
+  SELECT e.vec_id, j.j AS j,
+         SUM((e.embedding::DOUBLE[])[d.d + 1]
+             * (((j.j * 2654435761 + d.d * 40503) % 1000003) / 1000003.0 - 0.5)) AS dot
+  FROM embeddings e,
+       (SELECT UNNEST(generate_series(0, {_RH_PLANES - 1})) AS j) j,
+       (SELECT UNNEST(generate_series(0, {dim - 1})) AS d) d
+  GROUP BY e.vec_id, j.j
+),
+codes AS (
+  SELECT vec_id, (j // {_RH_BAND_BITS})::INT AS band,
+         SUM((CASE WHEN dot >= 0 THEN 1 ELSE 0 END) * (1 << (j % {_RH_BAND_BITS})))::BIGINT AS code
+  FROM sd GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM codes a JOIN codes b ON a.band = b.band AND a.code = b.code
+                           AND b.vec_id > a.vec_id
+)
+SELECT id_a, id_b, ROUND(cos * 1e6) / 1e6 AS cosine FROM (
+  SELECT c.id_a, c.id_b,
+         list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+) WHERE cos >= {threshold}
+"""

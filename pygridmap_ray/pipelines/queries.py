@@ -542,6 +542,21 @@ def q_embedding_neardup(sf_dir: str):
     return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
 
 
+def q_embedding_lsh(sf_dir: str):
+    """Random-hyperplane LSH embedding near-dup (the sign-banding scale
+    path; deterministic closed-form hyperplanes make the full pipeline
+    oracle-checkable)."""
+    from ..dedup import embedding_lsh_pairs
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = embedding_lsh_pairs(ds, threshold=0.35)
+    return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
+
+
 def q_ann_topk(sf_dir: str):
     import ray.data as rd
 
@@ -829,6 +844,7 @@ def queries():
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_lsh": q_embedding_lsh,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_pruned": q_ivf_pruned,
@@ -885,6 +901,12 @@ SELECT l.doc_id, q.lang, q.quality
 FROM lab l JOIN q ON q.doc_id = l.doc_id
 WHERE l.doc_id = l.component AND q.quality >= {CURATE_MIN_QUALITY}
 """
+
+
+def _sql_emb_lsh():
+    from ..dedup import sql_embedding_lsh
+
+    return sql_embedding_lsh(0.35, 64)
 
 
 def oracle_sql():
@@ -998,6 +1020,7 @@ def oracle_sql():
             "ELSE d.doc_id END AS component FROM documents d"
         ),
         "embedding_neardup": _sql_neardup(),
+        "embedding_lsh": _sql_emb_lsh(),
         "ann_topk": _sql_ann(),
         "ivf_topk": _sql_ivf(),
         "ivf_pruned": _sql_ivf(),
