@@ -1057,3 +1057,130 @@ SELECT id_a, id_b, ROUND(cos * 1e6) / 1e6 AS cosine FROM (
   JOIN embeddings eb ON eb.vec_id = c.id_b
 ) WHERE cos >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-distance pairs (pigeonhole-exact banding)
+# ---------------------------------------------------------------------------
+
+_SH_BANDS = 4
+_SH_BAND_BITS = 64 // _SH_BANDS
+
+
+def simhash_pairs(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+):
+    """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
+
+    Pigeonhole-EXACT banding: a 64-bit signature split into 4 x 16-bit
+    bands — any pair within hamming 3 differs in at most 3 bands, so at
+    least one band matches exactly and the pair lands in a candidate
+    bucket with probability 1.  Full recall means the output equals the
+    all-pairs answer, making the DuckDB twin an exact oracle (the same
+    guarantee breaks for ``max_hamming >= _SH_BANDS``, which raises).
+
+    Shuffle carries (band, band-key, id, simhash) rows; verify is a
+    vectorized in-bucket XOR popcount with canonical first-matching-band
+    emission (no global pair dedup).
+    """
+    if max_hamming >= _SH_BANDS:
+        raise ValueError(
+            f"max_hamming must be < {_SH_BANDS} for the pigeonhole recall "
+            "guarantee; raise _SH_BANDS for looser thresholds"
+        )
+    sigged = ds.select_columns([id_col, text_col]).map_batches(
+        simhash64, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "code": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.int64()),
+                }
+            )
+        sig = np.asarray(batch["simhash"], dtype=np.int64).astype(np.uint64)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        mask = np.uint64((1 << _SH_BAND_BITS) - 1)
+        codes = [
+            ((sig >> np.uint64(b * _SH_BAND_BITS)) & mask).astype(np.int64)
+            for b in range(_SH_BANDS)
+        ]
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.repeat(np.arange(_SH_BANDS, dtype=np.int32), n)
+                ),
+                "code": pa.array(np.concatenate(codes)),
+                id_col: pa.array(np.tile(ids, _SH_BANDS)),
+                "simhash": pa.array(np.tile(sig.astype(np.int64), _SH_BANDS)),
+            }
+        )
+
+    exploded = sigged.map_batches(explode, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        band = int(g["band"].iloc[0])
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        sig = g["simhash"].to_numpy(dtype=np.int64)[order].astype(np.uint64)
+        x = sig[:, None] ^ sig[None, :]
+        ham = np.zeros_like(x, dtype=np.int64)
+        for b in range(8):  # byte-wise popcount via unpackbits-free table
+            ham += _POPCNT[(x >> np.uint64(8 * b)) & np.uint64(0xFF)]
+        # canonical emission: first band where the two band-codes agree
+        mask = np.uint64((1 << _SH_BAND_BITS) - 1)
+        agree = np.stack(
+            [
+                ((x >> np.uint64(b * _SH_BAND_BITS)) & mask) == 0
+                for b in range(_SH_BANDS)
+            ],
+            axis=2,
+        )
+        first = np.argmax(agree, axis=2)
+        ia, ib = np.nonzero(
+            np.triu(ham <= max_hamming, k=1) & (first == band) & agree.any(axis=2)
+        )
+        if len(ia) == 0:
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "hamming": ham[ia, ib]}
+        )
+
+    return exploded.groupby(["band", "code"]).map_groups(
+        verify, batch_format="pandas"
+    )
+
+
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def sql_simhash_pairs(max_hamming: int = 3, source: str = "documents") -> str:
+    """Exact all-pairs twin (valid because banding recall is 1 by the
+    pigeonhole argument): hamming = bit_count(xor) over the same
+    sql_simhash signatures."""
+    return f"""
+WITH sh AS ({sql_simhash(source)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

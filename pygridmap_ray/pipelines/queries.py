@@ -420,6 +420,33 @@ def q_minhash_lsh(sf_dir: str):
     return minhash_lsh_pairs(_planted_docs(sf_dir), jaccard_threshold=0.5)
 
 
+_SQL_PLANTED = (
+    "SELECT doc_id, CASE WHEN doc_id % 50 IN (0, 13) THEN "
+    "array_to_string(['g' || CAST(doc_id // 50 AS VARCHAR) || 'tok' || CAST(j AS VARCHAR) "
+    "for j in generate_series(0, 15)], ' ') ELSE "
+    "array_to_string(['u' || CAST(doc_id AS VARCHAR) || 'w' || CAST(j AS VARCHAR) "
+    "for j in generate_series(0, 11)], ' ') END AS text FROM documents"
+)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash hamming<=3 near-dup pairs over the planted corpus —
+    pigeonhole banding gives recall 1, so the all-pairs DuckDB twin is
+    an exact oracle."""
+    from ..dedup import simhash_pairs
+
+    return simhash_pairs(_planted_docs(sf_dir))
+
+
+def _sql_simhash_pairs() -> str:
+    from ..dedup import sql_simhash_pairs
+
+    inner = sql_simhash_pairs(3, source="planted")
+    return inner.replace(
+        "WITH sh AS", f"WITH planted AS ({_SQL_PLANTED}), sh AS", 1
+    )
+
+
 def q_neardup_cluster(sf_dir: str):
     """Near-dup pair graph -> connected components -> every doc labeled
     with its component (min reachable id; singletons = self).  Exercises
@@ -841,6 +868,7 @@ def queries():
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "neardup_cluster": q_neardup_cluster,
+        "simhash_pairs": q_simhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1000,6 +1028,7 @@ def oracle_sql():
         "top_bigrams": sql_top_ngrams(2, 25),
         "lang_quantiles": sql_grouped_quantiles(),
         "simhash": _sql_simhash(),
+        "simhash_pairs": _sql_simhash_pairs(),
         "exact_dedup": _sql_exact_dedup(),
         "ngram_jaccard": _sql_ngram(),
         # planted-corpus expectation: exactly the identical-text pairs,

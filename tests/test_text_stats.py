@@ -69,3 +69,39 @@ def test_grouped_quantiles_matches_duckdb(ray_session):
     )
     assert got.columns.tolist() == exp.columns.tolist()
     assert got.equals(exp)
+
+
+def test_simhash_pairs_near_misses(ray_session):
+    """Banding must catch pairs at hamming 1..3 (pigeonhole recall 1),
+    not only identical signatures — verified against a brute-force
+    all-pairs popcount."""
+    import ray.data as rd
+
+    from pygridmap_ray.dedup import simhash64, simhash_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    texts = [base]
+    for i in range(6):  # light perturbations -> small hamming distances
+        toks = base.split()
+        toks[i * 3] = f"alt{i}"
+        texts.append(" ".join(toks))
+    texts += [" ".join(f"zz{i}w{j}" for j in range(15)) for i in range(10)]
+    t = pa.table({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    got = (
+        simhash_pairs(rd.from_arrow(t), max_hamming=3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    sig = np.asarray(simhash64(t)["simhash"], dtype=np.int64).astype(np.uint64)
+    x = sig[:, None] ^ sig[None, :]
+    ham = np.zeros_like(x, dtype=np.int64)
+    for b in range(8):
+        ham += np.array([bin(v).count("1") for v in range(256)], dtype=np.int64)[
+            ((x >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
+        ]
+    ia, ib = np.nonzero(np.triu(ham <= 3, k=1))
+    assert got["id_a"].tolist() == ia.tolist()
+    assert got["id_b"].tolist() == ib.tolist()
+    assert got["hamming"].tolist() == ham[ia, ib].tolist()
+    assert (got["hamming"] > 0).any()  # the planted near-misses are caught
