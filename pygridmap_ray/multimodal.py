@@ -178,3 +178,131 @@ SELECT doc_id, span_idx, kind, media_ref, "offset", n_bytes, width, height, {fea
 FROM (SELECT *, {chunk} AS chunk FROM pos)
 GROUP BY doc_id, span_idx, kind, media_ref, "offset", n_bytes, width, height
 """
+
+
+class ImageResizer:
+    """Actor-pool resize stage for image-kind payloads.
+
+    ``fake=True``: deterministic pseudo-resize — input dims derive from
+    the same pseudo-decode law as :class:`MediaDecoder` (a real
+    implementation decodes first), output dims are the target, and the
+    resized byte count scales with the pixel ratio
+    (``max(1, n_bytes * tw*th // (w*h))``); the resized payload is the
+    md5 digest of ``media_ref + ':{tw}x{th}'`` repeated (closed-form, so
+    tests can check the byte law and the oracle checks the scalars).
+    ``fake=False`` raises at the codec call (no PIL in this container).
+    Non-image rows pass through untouched.
+    """
+
+    def __init__(self, target: tuple[int, int] = (64, 64), fake: bool = True):
+        self.tw, self.th = int(target[0]), int(target[1])
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "real image resizing requires PIL, unavailable in this "
+                "environment — run with fake=True"
+            )
+        payloads = batch["payload"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        is_img = np.asarray(pc.equal(batch["kind"], pa.scalar("image")))
+        n_bytes = np.array([len(p) for p in payloads], dtype=np.int64)
+        w = 16 + n_bytes % 32
+        h = 16 + n_bytes % 17
+        rn = np.maximum(1, (n_bytes * self.tw * self.th) // (w * h))
+        out_pl, out_w, out_h, out_n = [], [], [], []
+        for i, p in enumerate(payloads):
+            if not is_img[i]:
+                out_pl.append(p)
+                out_w.append(int(w[i]))
+                out_h.append(int(h[i]))
+                out_n.append(int(n_bytes[i]))
+                continue
+            seed = hashlib.md5(
+                f"{refs[i]}:{self.tw}x{self.th}".encode()
+            ).digest()
+            k = int(rn[i])
+            out_pl.append((seed * (k // len(seed) + 1))[:k])
+            out_w.append(self.tw)
+            out_h.append(self.th)
+            out_n.append(k)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("payload", pa.array(out_pl, pa.binary()))
+        out = out.append_column("width", pa.array(out_w, pa.int64()))
+        out = out.append_column("height", pa.array(out_h, pa.int64()))
+        return out.append_column("n_bytes", pa.array(out_n, pa.int64()))
+
+
+def frame_sample(
+    batch: pa.Table, *, stride: int = 4, max_frames: int = 8
+) -> pa.Table:
+    """Frame-sampling explode: each media row yields every ``stride``-th
+    frame up to ``max_frames``, with ``n_frames = 1 + n_bytes % 24`` (the
+    pseudo-container law; a real pipeline reads the container header).
+    Output: one row per sampled frame with ``frame_idx`` and a derived
+    ``frame_ref``.  Fully vectorized (repeat/cumsum explode + Arrow joins).
+    """
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_idx": pa.array([], pa.int64()),
+                "media_ref": pa.array([], pa.string()),
+                "n_frames": pa.array([], pa.int64()),
+                "frame_idx": pa.array([], pa.int64()),
+                "frame_ref": pa.array([], pa.string()),
+            }
+        )
+    n_bytes = np.array(
+        [len(p) for p in batch["payload"].to_pylist()], dtype=np.int64
+    )
+    n_frames = 1 + n_bytes % 24
+    k = np.minimum((n_frames + stride - 1) // stride, max_frames)
+    parent = np.repeat(np.arange(n), k)
+    starts = np.concatenate([[0], np.cumsum(k)[:-1]])
+    within = np.arange(int(k.sum())) - np.repeat(starts, k)
+    fidx = within * stride
+    pidx = pa.array(parent)
+    refs = batch["media_ref"].combine_chunks().take(pidx)
+    frame_ref = pc.binary_join_element_wise(
+        refs, pa.array(fidx.astype("U"), pa.string()), "#"
+    )
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()).combine_chunks().take(pidx),
+            "span_idx": pc.cast(batch["span_idx"], pa.int64()).combine_chunks().take(pidx),
+            "media_ref": refs,
+            "n_frames": pa.array(n_frames[parent]),
+            "frame_idx": pa.array(fidx),
+            "frame_ref": frame_ref,
+        }
+    )
+
+
+def sql_media_resize(tw: int = 64, th: int = 64) -> str:
+    """Oracle for the resize stage's scalar outputs (image rows get the
+    target dims + pixel-ratio byte count; others keep the decode law)."""
+    return f"""
+WITH media AS ({_sql_media_rows()})
+SELECT doc_id, span_idx, kind, media_ref, "offset",
+       CASE WHEN kind = 'image' THEN {tw} ELSE width END AS width,
+       CASE WHEN kind = 'image' THEN {th} ELSE height END AS height,
+       CASE WHEN kind = 'image'
+            THEN GREATEST(1, (n_bytes * {tw * th}) // (width * height))
+            ELSE n_bytes END AS n_bytes
+FROM media
+"""
+
+
+def sql_frame_sample(stride: int = 4, max_frames: int = 8) -> str:
+    return f"""
+WITH media AS ({_sql_media_rows()}),
+fr AS (SELECT *, 1 + n_bytes % 24 AS n_frames FROM media)
+SELECT doc_id, span_idx, media_ref, n_frames,
+       (f.i * {stride})::BIGINT AS frame_idx,
+       media_ref || '#' || (f.i * {stride}) AS frame_ref
+FROM fr, (SELECT UNNEST(generate_series(0, {max_frames - 1})) AS i) f
+WHERE f.i < LEAST((n_frames + {stride - 1}) // {stride}, {max_frames})
+"""

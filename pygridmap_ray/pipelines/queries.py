@@ -716,6 +716,45 @@ def q_media_features_vec(sf_dir: str):
     )
 
 
+def _media_rows_ds(sf_dir: str):
+    """documents -> exploded media spans with synthesized payloads."""
+    from ..multimodal import attach_payload, explode_media_spans
+
+    ds = docs_points(sf_dir).drop_columns(["x", "y"])
+
+    def add_spans(b: pa.Table) -> pa.Table:
+        return b.append_column("spans", build_spans_array(np.asarray(b["doc_id"])))
+
+    ds = ds.map_batches(add_spans, batch_format="pyarrow")
+    ds = ds.map_batches(explode_media_spans, batch_format="pyarrow")
+    return ds.map_batches(attach_payload, batch_format="pyarrow")
+
+
+def q_media_resize(sf_dir: str):
+    """Resize stage plumbing: image rows -> target dims + pixel-ratio
+    byte count (codec honestly stubbed; scalar laws oracle-checked)."""
+    from ..multimodal import ImageResizer
+
+    out = _media_rows_ds(sf_dir).map_batches(
+        ImageResizer,
+        batch_format="pyarrow",
+        batch_size=1024,
+        fn_constructor_kwargs={"target": (64, 64), "fake": True},
+        concurrency=2,
+    )
+    return out.select_columns(
+        ["doc_id", "span_idx", "kind", "media_ref", "offset", "width", "height", "n_bytes"]
+    )
+
+
+def q_media_frames(sf_dir: str):
+    """Frame-sampling explode: every 4th frame, max 8, of each media
+    payload's pseudo-container."""
+    from ..multimodal import frame_sample
+
+    return _media_rows_ds(sf_dir).map_batches(frame_sample, batch_format="pyarrow")
+
+
 def q_events_window(sf_dir: str):
     from .relational import events_tumbling_window
 
@@ -881,6 +920,8 @@ def queries():
         "frame_rowsum": q_frame_rowsum,
         "media_features": q_media_features,
         "media_features_vec": q_media_features_vec,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "events_window": q_events_window,
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
@@ -935,6 +976,18 @@ def _sql_emb_lsh():
     from ..dedup import sql_embedding_lsh
 
     return sql_embedding_lsh(0.35, 64)
+
+
+def _sql_media_resize():
+    from ..multimodal import sql_media_resize
+
+    return sql_media_resize(64, 64)
+
+
+def _sql_media_frames():
+    from ..multimodal import sql_frame_sample
+
+    return sql_frame_sample(4, 8)
 
 
 def oracle_sql():
@@ -1062,6 +1115,8 @@ def oracle_sql():
         ),
         "media_features": _sql_media(),
         "media_features_vec": _sql_media_vec(),
+        "media_resize": _sql_media_resize(),
+        "media_frames": _sql_media_frames(),
         "events_window": _sql_events_window(),
         "events_asof": _sql_events_asof(),
         "events_interval": _sql_events_interval(),
