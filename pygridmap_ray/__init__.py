@@ -20,6 +20,9 @@ Public surface (mirrors SURVEY.md §2):
 - :mod:`pygridmap_ray.dedup`      — exact / MinHash-LSH / SimHash / embedding dedup
 - :mod:`pygridmap_ray.ann`        — similarity search over embeddings
 - :mod:`pygridmap_ray.frame`     — generic batch/row UDF apply (FrameProcessor)
+- :mod:`pygridmap_ray.joins`      — as-of / interval joins (order-aware)
+- :mod:`pygridmap_ray.stats`      — histogram-exact grouped quantiles
+- :mod:`pygridmap_ray.geom.proj`  — closed-form CRS reprojection
 
 No module in this package calls ``ray.init`` — sessions are owned by the
 caller (driver, bench.py, or the test fixture).
@@ -50,6 +53,14 @@ def __getattr__(name):
         "polygon_layer": ("pygridmap_ray.synth", "polygon_layer"),
         "read_geojson_layer": ("pygridmap_ray.sources.geojson", "read_geojson_layer"),
         "checkpointed_write": ("pygridmap_ray.state", "checkpointed_write"),
+        "asof_join": ("pygridmap_ray.joins", "asof_join"),
+        "interval_join": ("pygridmap_ray.joins", "interval_join"),
+        "connected_components": ("pygridmap_ray.dedup", "connected_components"),
+        "neardup_dedup": ("pygridmap_ray.dedup", "neardup_dedup"),
+        "top_ngrams": ("pygridmap_ray.text", "top_ngrams"),
+        "grouped_quantiles": ("pygridmap_ray.stats", "grouped_quantiles"),
+        "reproject": ("pygridmap_ray.geom.proj", "reproject"),
+        "set_ref_crs": ("pygridmap_ray.geom.proj", "set_ref_crs"),
     }
     if name in _EXPORTS:
         import importlib

@@ -3,14 +3,20 @@ signatures, similarity search."""
 
 from ..ann import ann_topk, ivf_topk, kmeans_lite  # noqa: F401
 from ..dedup import (  # noqa: F401
+    connected_components,
     content_hash,
+    embedding_lsh_pairs,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
+    neardup_components,
+    neardup_dedup,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_pairs,
 )
+from ..stats import grouped_quantiles  # noqa: F401
 from ..frame import FrameProcessor, frame_apply  # noqa: F401
 from ..geom import (  # noqa: F401
     BBoxIndex,
@@ -25,4 +31,6 @@ from ..text import (  # noqa: F401
     quality_score,
     rolling_fingerprint,
     token_count,
+    top_ngrams,
 )
+from ..geom.proj import reproject, set_ref_crs, transform_xy  # noqa: F401

@@ -1,7 +1,13 @@
 """Stage kernels (map_batches bodies / actor classes) by pipeline role."""
 
 from ..gridding import EmitCells, emit_tile_cells, make_grid  # noqa: F401
-from ..multimodal import MediaDecoder, media_pipeline  # noqa: F401
+from ..joins import asof_join, interval_join  # noqa: F401
+from ..multimodal import (  # noqa: F401
+    ImageResizer,
+    MediaDecoder,
+    frame_sample,
+    media_pipeline,
+)
 from ..overlay import OverlayKernel, grid_overlay, overlay_fragments  # noqa: F401
 from ..raster import RasterTileKernel, resample_raster, tiling_raster  # noqa: F401
 from ..spatial import (  # noqa: F401
