@@ -164,3 +164,34 @@ def test_neardup_dedup_keeps_min_per_component(ray_session):
     kept = sorted(neardup_dedup(docs, pairs, num_partitions=4).to_pandas()["doc_id"].tolist())
     # {0,1,2} -> 0, {5,6} -> 5, singletons 3,4,7,8,9 survive
     assert kept == [0, 3, 4, 5, 7, 8, 9]
+
+
+def test_asof_hot_key(ray_session):
+    """A single hot key (one user owning all rows) degrades to that key's
+    volume, not to failure: 20k left rows + 5k right rows in ONE bucket
+    resolve through the single vectorized merge_asof."""
+    rng = np.random.default_rng(11)
+    l_ts = np.sort(rng.integers(0, 10_000_000, size=20_000))
+    r_ts = np.sort(rng.integers(0, 10_000_000, size=5_000))
+    left = _mk(
+        {
+            "ts": _ts(l_ts),
+            "user_id": np.zeros(20_000, dtype=np.int64),
+            "v": np.arange(20_000, dtype=np.float64),
+        }
+    )
+    right = _mk(
+        {
+            "ts": _ts(r_ts),
+            "user_id": np.zeros(5_000, dtype=np.int64),
+            "w": np.arange(5_000, dtype=np.float64),
+        }
+    )
+    out = asof_join(left, right, on="ts", by="user_id").to_pandas()
+    assert len(out) == 20_000
+    # ground truth by searchsorted: last right ts <= left ts
+    idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+    exp = np.where(idx >= 0, idx.astype(float), np.nan)
+    got = out.sort_values("v")["w_r"].to_numpy()
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(exp))
+    np.testing.assert_array_equal(got[~np.isnan(got)], exp[~np.isnan(exp)])
