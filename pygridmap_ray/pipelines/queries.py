@@ -512,6 +512,15 @@ def q_corpus_curate(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "quality"])
 
 
+def q_train_split(sf_dir: str):
+    """Deterministic hash-based train/val/test split (stats.split_by_hash)
+    — content-stable, order/partitioning-independent."""
+    from ..stats import split_by_hash
+
+    out = split_by_hash(_docs(sf_dir, ("doc_id", "lang")), key_col="doc_id")
+    return out.select_columns(["doc_id", "lang", "split"])
+
+
 def q_top_bigrams(sf_dir: str):
     """Corpus-level top-k bigrams: per-batch value_counts combiner ->
     one (ngram, sum) groupby -> deterministic (cnt DESC, ngram ASC)
@@ -904,6 +913,7 @@ def queries():
         "corpus_curate": q_corpus_curate,
         "top_bigrams": q_top_bigrams,
         "lang_quantiles": q_lang_quantiles,
+        "train_split": q_train_split,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "neardup_cluster": q_neardup_cluster,
@@ -988,6 +998,12 @@ def _sql_media_frames():
     from ..multimodal import sql_frame_sample
 
     return sql_frame_sample(4, 8)
+
+
+def _sql_train_split():
+    from ..stats import sql_split_by_hash
+
+    return ("SELECT doc_id, lang, split FROM (" + sql_split_by_hash("doc_id") + ")")
 
 
 def oracle_sql():
@@ -1080,6 +1096,7 @@ def oracle_sql():
         "corpus_curate": _sql_corpus_curate(),
         "top_bigrams": sql_top_ngrams(2, 25),
         "lang_quantiles": sql_grouped_quantiles(),
+        "train_split": _sql_train_split(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
         "exact_dedup": _sql_exact_dedup(),

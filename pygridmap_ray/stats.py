@@ -69,3 +69,69 @@ def sql_grouped_quantiles(
         f"quantile_disc({value}, {q}) AS {_qlabel(q)}" for q in qs
     )
     return f"SELECT {key}, {sel} FROM {source} GROUP BY {key}"
+
+
+def split_by_hash(
+    ds,
+    *,
+    key_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+):
+    """Deterministic train/val/test assignment by content-stable hash.
+
+    The standard corpus-split contract: the split of a record depends
+    only on its key (+ optional salt), never on row order, partitioning
+    or cluster size — so reruns, resumes and incremental ingests assign
+    identically, and train/test leakage cannot happen through data
+    movement.  Law (twinned in SQL): the first 8 md5 hex digits of
+    ``str(key) + salt`` as an integer, modulo 1e6, cut by the cumulative
+    split fractions.  Zero shuffle — one stateless Arrow stage.
+    """
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    names = list(splits)
+    cuts = np.cumsum([splits[n] for n in names]) * 1_000_000.0
+
+    def assign(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        keys = pc.cast(b[key_col], pa.string()).to_pylist()
+        h = np.fromiter(
+            (
+                int(hashlib.md5((k + salt).encode()).hexdigest()[:8], 16)
+                % 1_000_000
+                for k in keys
+            ),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        idx = np.searchsorted(cuts, h, side="right")
+        idx = np.minimum(idx, len(names) - 1)  # h == 1e6 edge (unreachable)
+        lab = pa.array(np.array(names, dtype=object)[idx], pa.string())
+        return b.append_column("split", lab)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_split_by_hash(
+    key_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+    source: str = "documents",
+) -> str:
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(splits)
+    cuts = np.cumsum([splits[n] for n in names]) * 1_000_000.0
+    h = (
+        f"(('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '{salt}'), 1, 8))"
+        f"::BIGINT % 1000000)"
+    )
+    case = "CASE "
+    for name, cut in zip(names[:-1], cuts[:-1]):
+        # strict <: a hash equal to the cut belongs to the NEXT split,
+        # matching numpy searchsorted(side='right') in split_by_hash
+        case += f"WHEN {h} < {cut!r} THEN '{name}' "
+    case += f"ELSE '{names[-1]}' END"
+    return f"SELECT *, {case} AS split FROM {source}"
