@@ -521,6 +521,15 @@ def q_train_split(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "split"])
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Corpus-unigram LM score per doc (aggregate -> broadcast -> score
+    two-phase plan)."""
+    from ..text import unigram_logprob_score
+
+    out = unigram_logprob_score(_docs(sf_dir, ("doc_id", "text")))
+    return out.map_batches(lambda b: round6(b, ["logprob"]), batch_format="pyarrow")
+
+
 def q_top_bigrams(sf_dir: str):
     """Corpus-level top-k bigrams: per-batch value_counts combiner ->
     one (ngram, sum) groupby -> deterministic (cnt DESC, ngram ASC)
@@ -914,6 +923,7 @@ def queries():
         "top_bigrams": q_top_bigrams,
         "lang_quantiles": q_lang_quantiles,
         "train_split": q_train_split,
+        "unigram_logprob": q_unigram_logprob,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "neardup_cluster": q_neardup_cluster,
@@ -1004,6 +1014,12 @@ def _sql_train_split():
     from ..stats import sql_split_by_hash
 
     return ("SELECT doc_id, lang, split FROM (" + sql_split_by_hash("doc_id") + ")")
+
+
+def _sql_unigram():
+    from ..text import sql_unigram_logprob
+
+    return sql_unigram_logprob()
 
 
 def oracle_sql():
@@ -1097,6 +1113,7 @@ def oracle_sql():
         "top_bigrams": sql_top_ngrams(2, 25),
         "lang_quantiles": sql_grouped_quantiles(),
         "train_split": _sql_train_split(),
+        "unigram_logprob": _sql_unigram(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
         "exact_dedup": _sql_exact_dedup(),

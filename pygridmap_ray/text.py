@@ -353,3 +353,97 @@ SELECT {joined if n > 1 else 't0.tok'} AS ngram, COUNT(*)::BIGINT AS cnt
 FROM tk2 t0 {joins}
 GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {k}
 """
+
+
+def unigram_logprob_score(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram distribution — the classic cheap LM-quality proxy.
+
+    Two-phase aggregate-then-broadcast plan: phase 1 reduces the corpus
+    to (token, count) via the combiner path of :func:`top_ngrams`
+    (shuffle carries unique tokens per batch); phase 2 broadcasts the
+    vocabulary once (``ray.put``, cached per worker) and scores each doc
+    in a stateless vectorized stage.  Scale assumption (documented): the
+    VOCABULARY fits in worker memory — true for natural-language token
+    vocabularies even at web scale; for adversarial token spaces, hash
+    tokens into a bounded-size count-min structure first.
+
+    Output: (id_col, n_tokens, logprob) with logprob = mean over tokens
+    of ln(count(tok)/total), null for empty docs.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(
+            lambda b: ngram_counts_partial(b, n=1, text_col=text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    vocab_tbl = counts.to_arrow_refs()
+    vocab = pa.concat_tables([ray.get(r) for r in vocab_tbl])
+    toks = np.asarray(vocab["ngram"]).astype(object)
+    cnts = np.asarray(vocab["cnt"], dtype=np.float64)
+    order = np.argsort(toks)
+    ref = {"__ref__": ray.put((toks[order], cnts[order], float(cnts.sum())))}
+
+    def score(batch: pa.Table) -> pa.Table:
+        from .spatial import _cached_kernel
+
+        toks_s, cnts_s, total = _cached_kernel(
+            f"unigram:{ref['__ref__'].hex()}", ref, lambda v: v
+        )
+        la = pc.split_pattern_regex(batch[text_col], r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.flatten()
+        lens = np.diff(la.offsets.to_numpy())
+        row_ids = np.repeat(np.arange(len(la), dtype=np.int64), lens)
+        keep = np.asarray(pc.fill_null(pc.not_equal(flat, ""), False))
+        words = np.asarray(flat.filter(pa.array(keep))).astype(object)
+        rid = row_ids[keep]
+        pos = np.searchsorted(toks_s, words)
+        pos = np.clip(pos, 0, len(toks_s) - 1)
+        # every scored token exists in the vocabulary (it was counted in
+        # phase 1), so the lookup always hits; the clip only guards the
+        # empty-vocab corner
+        lp = np.log(cnts_s[pos] / total) if len(toks_s) else np.zeros(0)
+        n = batch.num_rows
+        sums = np.zeros(n)
+        np.add.at(sums, rid, lp if len(lp) else 0.0)
+        ntok = np.bincount(rid, minlength=n).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            mean = sums / ntok
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(ntok),
+                "logprob": pa.array(mean, mask=ntok == 0),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_unigram_logprob(source: str = "documents") -> str:
+    """DuckDB twin: same tokenizer, same ln(count/total) law, AVG per doc
+    (6-dp rounding absorbs summation-order ulps)."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM {source}
+), tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+vocab AS (SELECT tok, COUNT(*)::DOUBLE AS cnt FROM tk2 GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+scored AS (
+  SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+         AVG(LN(v.cnt / (SELECT total FROM tot))) AS logprob
+  FROM tk2 t JOIN vocab v USING (tok) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       ROUND(s.logprob * 1e6) / 1e6 AS logprob
+FROM {source} d LEFT JOIN scored s USING (doc_id)
+"""
