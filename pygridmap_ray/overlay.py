@@ -605,3 +605,67 @@ def sql_grid_overlay_sum(
         base
         + f"\nSELECT cell_id, {cov}{', '.join(aggs)} FROM frag2 GROUP BY cell_id"
     )
+
+
+def disaggregate(
+    polygons: list[dict],
+    grid_ds,
+    spec: GridSpec,
+    variables: list[str],
+    *,
+    concurrency=None,
+):
+    """Dasymetric disaggregation — the INVERSE of :func:`area_interpolate`:
+    each polygon's extensive totals are spread down onto the grid cells
+    proportionally to intersection area,
+    ``cell_v = sum_p v_p * area(cell ∩ p) / area(p)``, so per-polygon
+    mass is conserved exactly for polygons fully inside the grid (the
+    Eurostat gridded-statistics production direction: region totals ->
+    1 km grid).  Plan: the overlay fragment kernel (broadcast layer,
+    bbox-pruned, vectorized coverage) -> one vectorized weight batch ->
+    per-cell Sum groupby (two-phase; shuffle carries cells, not
+    fragments x variables)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    frags = overlay_fragments(
+        grid_ds, polygons, spec, how="intersection", concurrency=concurrency
+    )
+    max_pid = max(p["poly_id"] for p in polygons)
+    parea = np.zeros(max_pid + 1, dtype=np.float64)
+    for p in polygons:
+        parea[p["poly_id"]] = float(p["area"])
+
+    def weigh(b: pa.Table) -> pa.Table:
+        pid = np.asarray(b["poly_id"], dtype=np.int64)
+        w = np.asarray(b["area"], dtype=np.float64) / parea[pid]
+        out = {c: b[c] for c in ("cell_id", "ix", "iy")}
+        for v in variables:
+            out[v] = pa.array(np.asarray(b[v], dtype=np.float64) * w)
+        return pa.table(out)
+
+    weighted = frags.map_batches(weigh, batch_format="pyarrow")
+    return weighted.groupby(["cell_id", "ix", "iy"]).aggregate(
+        *(Sum(v, alias_name=v) for v in variables)
+    )
+
+
+def sql_disaggregate(spec: GridSpec, variables: list[str]) -> str:
+    """DuckDB twin of :func:`disaggregate` over the fixture layer: the
+    fragment CTE (same 6-dp area law) joined to the rect-decomposed
+    per-polygon total area, weighted-summed per cell."""
+    from .synth import sql_polygon_area_cte, sql_polygon_rects_cte
+
+    sel = ", ".join(
+        f"ROUND(SUM(f.{v} * f.area / pa.poly_area) * 1e6) / 1e6 AS {v}"
+        for v in variables
+    )
+    return f"""
+WITH frag AS ({sql_overlay_fragments(spec, how="intersection")}),
+poly_rects AS ({sql_polygon_rects_cte()}),
+parea AS ({sql_polygon_area_cte()})
+SELECT f.cell_id, f.ix, f.iy, {sel}
+FROM frag f JOIN parea pa USING (poly_id)
+GROUP BY f.cell_id, f.ix, f.iy
+"""

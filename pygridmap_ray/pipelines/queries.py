@@ -671,6 +671,42 @@ def q_raster_resample(sf_dir: str):
     return resample_raster(SyntheticRaster(**_RASTER_KW), out_resolution=2000.0)
 
 
+def q_disaggregate(sf_dir: str):
+    """Dasymetric disaggregation (inverse area interpolation): polygon
+    totals spread onto cells by intersection-area weight; the final Sum
+    is rounded 6dp on both sides."""
+    from ..overlay import disaggregate
+
+    spec, grid = _grid50()
+    out = disaggregate(polygon_layer(), grid, spec, ["pop"])
+    return out.map_batches(lambda b: round6(b, ["pop"]), batch_format="pyarrow")
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: raster band cells -> zone assignment (PIP join
+    on cell coordinates) -> per-zone count / sum / mean."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..raster import SyntheticRaster, tiling_raster
+
+    cells = tiling_raster(
+        SyntheticRaster(**_RASTER_KW), tile_size_cell=64
+    ).select_columns(["x", "y", "elev"])
+    j = join_points_to_polygons(cells, polygon_layer(), how="inner")
+    agg = j.select_columns(["poly_id", "elev"]).groupby("poly_id").aggregate(
+        Count(alias_name="n_cells"), Sum("elev", alias_name="elev_sum")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        mean = pc.divide(b["elev_sum"], pc.cast(b["n_cells"], pa.float64()))
+        b = b.append_column("elev_mean", mean)
+        return round_half_away(
+            round_half_away(b, ["elev_sum"], 2), ["elev_mean"], 6
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_frame_rowsum(sf_dir: str):
     import ray.data as rd
 
@@ -911,6 +947,7 @@ def queries():
         "overlay_intersection": q_overlay_intersection,
         "overlay_union": q_overlay_union,
         "area_interpolate": q_area_interpolate,
+        "disaggregate": q_disaggregate,
         "grid_aggregation": q_grid_aggregation,
         "knn": q_knn,
         "spans_roundtrip": q_spans_roundtrip,
@@ -937,6 +974,7 @@ def queries():
         "ivf_pruned": q_ivf_pruned,
         "raster_cells": q_raster_cells,
         "raster_resample": q_raster_resample,
+        "zonal_stats": q_zonal_stats,
         "frame_rowsum": q_frame_rowsum,
         "media_features": q_media_features,
         "media_features_vec": q_media_features_vec,
@@ -1022,6 +1060,30 @@ def _sql_unigram():
     return sql_unigram_logprob()
 
 
+def _sql_disaggregate():
+    from ..overlay import sql_disaggregate
+
+    spec = plan_grid(DOMAIN, OVL_CELL, tile=(8, 8))
+    return sql_disaggregate(spec, ["pop"])
+
+
+def _sql_zonal_stats():
+    from ..synth import sql_polygon_rects_cte
+
+    return f"""
+WITH cells AS ({_sql_raster_cells()}),
+poly_rects AS ({sql_polygon_rects_cte()})
+SELECT r.poly_id,
+       COUNT(*)::BIGINT AS n_cells,
+       ROUND(SUM(p.elev) * 1e2) / 1e2 AS elev_sum,
+       ROUND((SUM(p.elev) / COUNT(*)) * 1e6) / 1e6 AS elev_mean
+FROM cells p
+JOIN poly_rects r
+  ON p.x >= r.rxmin AND p.x < r.rxmax AND p.y >= r.rymin AND p.y < r.rymax
+GROUP BY r.poly_id
+"""
+
+
 def oracle_sql():
     cols = sql_cell_columns(RES, TSC)
     sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
@@ -1079,6 +1141,7 @@ def oracle_sql():
         "overlay_intersection": sql_overlay_fragments(spec50, how="intersection"),
         "overlay_union": sql_overlay_fragments(spec50, how="union"),
         "area_interpolate": sql_grid_overlay_sum(spec50, ["pop"]),
+        "disaggregate": _sql_disaggregate(),
         "grid_aggregation": (
             f"WITH points AS ({points}), "
             f"pts AS (SELECT p.x, p.y, d.n_chars::DOUBLE AS sum_chars, "
@@ -1142,6 +1205,7 @@ def oracle_sql():
         "ivf_pruned": _sql_ivf(),
         "raster_cells": _sql_raster_cells(),
         "raster_resample": _sql_raster_resample(),
+        "zonal_stats": _sql_zonal_stats(),
         "frame_rowsum": (
             "SELECT l_orderkey, l_linenumber, "
             "ROUND((l_quantity + l_extendedprice) * 1e6) / 1e6 AS rowsum "

@@ -183,3 +183,26 @@ def test_area_interpolate_wrapper(grid50, polys):
     # (all fixture polygons are inside the domain)
     total = sum(p["pop"] for p in polys)
     assert out["pop"].sum() == pytest.approx(total, rel=1e-9)
+
+
+def test_disaggregate_conserves_mass(ray_session):
+    """Dasymetric disaggregation: total mass on the grid equals the sum
+    of polygon totals weighted by the covered fraction — exactly the
+    polygon totals when every polygon lies inside the grid (the fixture
+    layer does)."""
+    from pygridmap_ray.gridding import make_grid
+    from pygridmap_ray.overlay import disaggregate
+    from pygridmap_ray.planning import plan_grid
+    from pygridmap_ray.synth import DOMAIN, polygon_layer
+
+    layer = polygon_layer()
+    spec = plan_grid(DOMAIN, 50_000.0, tile=(8, 8))
+    grid = make_grid(True, cellsize=50_000.0, bbox=DOMAIN, tile=(8, 8))
+    out = disaggregate(layer, grid, spec, ["pop"]).to_pandas()
+    total = out["pop"].sum()
+    expect = sum(p["pop"] for p in layer)
+    assert abs(total - expect) < 1e-6 * max(1.0, abs(expect))
+    # inverse relationship: re-interpolating the disaggregated grid back
+    # is NOT tested here (intensive/extensive asymmetry); conservation is
+    # the defining invariant
+    assert (out["pop"] >= -1e-12).all()
