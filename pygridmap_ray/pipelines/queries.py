@@ -809,6 +809,19 @@ def q_media_frames(sf_dir: str):
     return _media_rows_ds(sf_dir).map_batches(frame_sample, batch_format="pyarrow")
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) 1h/15min windows per event_type."""
+    from .relational import events_hopping_window
+
+    return events_hopping_window(sf_dir)
+
+
+def _sql_events_hopping() -> str:
+    from .relational import sql_events_hopping_window
+
+    return sql_events_hopping_window()
+
+
 def q_events_window(sf_dir: str):
     from .relational import events_tumbling_window
 
@@ -981,6 +994,7 @@ def queries():
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "events_window": q_events_window,
+        "events_hopping": q_events_hopping,
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
         "events_sessionize": q_events_sessionize,
@@ -1216,6 +1230,7 @@ def oracle_sql():
         "media_resize": _sql_media_resize(),
         "media_frames": _sql_media_frames(),
         "events_window": _sql_events_window(),
+        "events_hopping": _sql_events_hopping(),
         "events_asof": _sql_events_asof(),
         "events_interval": _sql_events_interval(),
         "events_sessionize": _sql_events_sessionize(),

@@ -226,3 +226,64 @@ GROUP BY o_custkey
 ORDER BY SUM(o_totalprice) DESC, o_custkey ASC
 LIMIT {k}
 """
+
+
+def events_hopping_window(sf_dir: str, *, size_us: int = US_PER_HOUR,
+                          hop_us: int = US_PER_HOUR // 4):
+    """Hopping (sliding) window per event_type: 1 h windows every 15 min —
+    each event belongs to exactly size/hop windows, materialized by a
+    vectorized explode (repeat + arange) BEFORE the keyed groupby, so the
+    shuffle carries (type, window) partials like the tumbling case.
+    ``size_us`` must be a multiple of ``hop_us``."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    if size_us % hop_us:
+        raise ValueError("size_us must be a multiple of hop_us")
+    m = size_us // hop_us
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        us = np.asarray(
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        )
+        base = us // hop_us  # hop index of the LAST window containing ts
+        j = np.tile(np.arange(m, dtype=np.int64), n)
+        win = (np.repeat(base, m) - j) * hop_us
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+        return pa.table(
+            {
+                "event_type": batch["event_type"].combine_chunks().take(idx),
+                "win": pa.array(win),
+                "value": batch["value"].combine_chunks().take(idx),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="value_sum"))
+    )
+
+    def rounder(b: pa.Table) -> pa.Table:
+        from .queries import round_half_away
+
+        return round_half_away(b, ["value_sum"], 2)
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
+def sql_events_hopping_window(size_us: int = US_PER_HOUR,
+                              hop_us: int = US_PER_HOUR // 4) -> str:
+    m = size_us // hop_us
+    return f"""
+SELECT event_type,
+       (epoch_us(ts) // {hop_us} - j.j) * {hop_us} AS win,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value) * 1e2) / 1e2 AS value_sum
+FROM events, (SELECT UNNEST(generate_series(0, {m - 1})) AS j) j
+GROUP BY event_type, win
+"""

@@ -927,3 +927,44 @@ def round_floats_to_ints(batch: pa.Table) -> pa.Table:
             ).as_py():
                 out = out.set_column(i, field.name, pc.cast(col, pa.int64()))
     return out
+
+
+def compact_tiles(
+    input_dir: str,
+    output_dir: str,
+    *,
+    partition_cols: list[str] | None = None,
+    target_rows_per_block: int = 500_000,
+    **read_kwargs,
+):
+    """Small-file compaction of a tile tree (store maintenance).
+
+    Long-lived tile stores accumulate small part files — one per (task,
+    batch, partition) write, plus incremental appends — and read cost
+    grows with file count, not bytes.  Compaction: manifest-listed read
+    (:func:`read_tiles`) -> sort by the partition key so each partition's
+    rows are contiguous -> merge into ~``target_rows_per_block`` blocks ->
+    rewrite the SAME hive layout + fresh ``_manifest.json`` under
+    ``output_dir``.  Writes a NEW tree; promote it with one directory
+    rename (atomic on POSIX), so readers never see a half-compacted
+    store.  Returns total rows written (equals the input's manifest
+    total — checked)."""
+    import math
+
+    with open(os.path.join(input_dir, "_manifest.json")) as f:
+        man = json.load(f)
+    if partition_cols is None:
+        partition_cols = man["partition_cols"]
+    ds = read_tiles(input_dir, **read_kwargs)
+    total = ds.count()
+    if total != man["total_rows"]:
+        raise ValueError(
+            f"tree/manifest mismatch: read {total} rows, manifest says "
+            f"{man['total_rows']} — repair with validate_output first"
+        )
+    nblocks = max(1, math.ceil(total / target_rows_per_block))
+    ds = ds.sort(partition_cols).repartition(nblocks)
+    written = write_partitioned(ds, output_dir, partition_cols, mode="overwrite")
+    if written != total:
+        raise RuntimeError(f"compaction wrote {written} of {total} rows")
+    return written

@@ -347,3 +347,40 @@ def test_write_partitioned_null_keys(ray_session, tmp_path):
     assert len(back) == 4
     assert sorted(back["v"]) == [1.0, 2.0, 3.0, 4.0]
     assert back["xt"].isna().sum() == 1
+
+
+def test_compact_tiles_merges_small_files(ray_session, tmp_path):
+    """Many tiny part files -> few target-sized files, identical rows."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygridmap_ray.tiler import compact_tiles, read_tiles, write_partitioned
+
+    n = 4000
+    t = pa.table(
+        {
+            "xt": np.arange(n, dtype=np.int64) % 4,
+            "v": np.arange(n, dtype=np.float64),
+        }
+    )
+    src = str(tmp_path / "frag")
+    # 32 blocks x 4 partitions -> ~128 part files
+    write_partitioned(
+        rd.from_arrow(t).repartition(32), src, ["xt"], mode="overwrite"
+    )
+    with open(os.path.join(src, "_manifest.json")) as f:
+        before = len(json.load(f)["files"])
+    assert before >= 64
+    dst = str(tmp_path / "compact")
+    rows = compact_tiles(src, dst, target_rows_per_block=2000)
+    assert rows == n
+    with open(os.path.join(dst, "_manifest.json")) as f:
+        after = len(json.load(f)["files"])
+    assert after < before / 4
+    a = read_tiles(src).to_pandas().sort_values(["xt", "v"]).reset_index(drop=True)
+    b = read_tiles(dst).to_pandas().sort_values(["xt", "v"]).reset_index(drop=True)
+    assert a.equals(b)
