@@ -136,6 +136,11 @@ def _secondary() -> dict:
         ("grid_aggregation", q.q_grid_aggregation),
         ("knn", q.q_knn),
         ("spans_roundtrip", q.q_spans_roundtrip),
+        # training-data operator family (same sf-scale inputs)
+        ("reproject", q.q_reproject),
+        ("exact_dedup", q.q_exact_dedup),
+        ("top_bigrams", q.q_top_bigrams),
+        ("events_asof", q.q_events_asof),
     ]:
         t0 = time.time()
         res = fn(SF_DIR)

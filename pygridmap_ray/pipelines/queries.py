@@ -25,7 +25,7 @@ from ..planning import plan_grid
 from ..spatial import join_points_to_polygons, knn_join, sql_point_join
 from ..geom.proj import reproject, sql_laea_forward
 from ..stats import sql_grouped_quantiles
-from ..text import sql_top_ngrams
+from ..text import BPE_PATTERN, sql_top_ngrams
 from ..synth import (
     DOMAIN,
     build_spans_array,
@@ -346,7 +346,7 @@ def q_token_count(sf_dir: str):
     return (
         _docs(sf_dir, ("doc_id", "text"))
         .map_batches(token_count, batch_format="pyarrow")
-        .select_columns(["doc_id", "n_tokens", "len_chars"])
+        .select_columns(["doc_id", "n_tokens", "bpe_tokens", "len_chars"])
     )
 
 
@@ -1176,6 +1176,7 @@ def oracle_sql():
         "spans_roundtrip": sql_span_summary_cte(),
         "token_count": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens, "
+            f"len(regexp_extract_all(text, '{BPE_PATTERN.replace(chr(39), chr(39) * 2)}'))::BIGINT AS bpe_tokens, "
             "length(text)::BIGINT AS len_chars FROM documents"
         ),
         "quality_score": (

@@ -26,17 +26,30 @@ LANG_PATTERNS: dict[str, str] = {
 }
 CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
 TOKEN_PATTERN = r"\S+"
+#: BPE-ish subword segmentation (GPT-2-family regex, lookahead-free so
+#: RE2/DuckDB run it identically): contraction suffixes, space-prefixed
+#: letter runs, digit runs, punctuation runs
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 PUNCT_PATTERN = r"[.,;:!?]"
 #: tie-break priority when stopword counts are equal (argmax order)
 LANG_PRIORITY = ("en", "de", "fr", "es")
 
 
 def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace token count + utf8 length (vectorized RE2)."""
+    """Whitespace token count, BPE-ish subword count (the LM-budget
+    estimate), and utf8 length — all vectorized RE2."""
     t = batch[text_col]
-    return batch.append_column(
-        "n_tokens", pc.cast(pc.count_substring_regex(t, TOKEN_PATTERN), pa.int64())
-    ).append_column("len_chars", pc.cast(pc.utf8_length(t), pa.int64()))
+    return (
+        batch.append_column(
+            "n_tokens",
+            pc.cast(pc.count_substring_regex(t, TOKEN_PATTERN), pa.int64()),
+        )
+        .append_column(
+            "bpe_tokens",
+            pc.cast(pc.count_substring_regex(t, BPE_PATTERN), pa.int64()),
+        )
+        .append_column("len_chars", pc.cast(pc.utf8_length(t), pa.int64()))
+    )
 
 
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
