@@ -916,7 +916,10 @@ def connected_components(pairs, *, src: str = "id_a", dst: str = "id_b",
     with one ``groupby(node).min`` — shuffles of edge/node-scale data,
     nothing ever materializes on the driver.  Labels only decrease, so
     ``sum(label)`` is strictly monotone and "sum unchanged" IS the exact
-    fixpoint test (cheap single-pass aggregate per sweep).
+    fixpoint test (cheap single-pass aggregate per sweep).  Caveat at
+    extreme scale: the int64 sum can wrap, and a false stop would need
+    the sweep's total label decrease to be an exact multiple of 2^64 —
+    if ids approach 2^63, renumber them densely first.
 
     Pointer jumping makes convergence O(log diameter) sweeps, so even
     adversarial long-chain graphs finish in a handful of rounds (dedup

@@ -74,6 +74,12 @@ def asof_join(
     rvalue_cols = [c for c in right_schema.names if c not in (on, by)]
     renamed = {c: c + suffix for c in rvalue_cols}
     out_right_cols = [on + suffix] + [renamed[c] for c in rvalue_cols]
+    clash = set(out_right_cols) & set(left_cols)
+    if clash:
+        raise ValueError(
+            f"suffixed right columns collide with left columns: {sorted(clash)}"
+            " — pass a different suffix"
+        )
     rtypes = {
         on + suffix: right_schema.field(on).type,
         **{renamed[c]: right_schema.field(c).type for c in rvalue_cols},
@@ -132,9 +138,21 @@ def asof_join(
         side = np.asarray(g["__side"])
         lt = g.filter(pa.array(side == 0))
         rt = g.filter(pa.array(side == 1))
+        # null ORDER keys can never match: right nulls drop, left nulls
+        # keep null right columns (pandas merge_asof rejects null keys)
+        rt = rt.filter(pc.is_valid(rt[on + suffix]))
+        null_left = lt.filter(pc.is_null(lt[on]))
+        lt = lt.filter(pc.is_valid(lt[on]))
+        null_out = None
+        if null_left.num_rows:
+            null_out = pa.table(
+                [null_left[c] for c in left_cols]
+                + [pa.nulls(null_left.num_rows, rtypes[c]) for c in out_right_cols],
+                schema=out_schema,
+            )
         if lt.num_rows == 0:
-            return out_schema.empty_table()
-        # index-only merge frame: by/on are never null on their own side,
+            return null_out if null_out is not None else out_schema.empty_table()
+        # index-only merge frame: by/on are now never null on either side,
         # so pandas dtypes stay faithful
         l_pd = pd.DataFrame(
             {
@@ -146,7 +164,8 @@ def asof_join(
         lt_cols = [lt[c] for c in left_cols]
         if rt.num_rows == 0:
             out = lt_cols + [pa.nulls(lt.num_rows, rtypes[c]) for c in out_right_cols]
-            return pa.table(out, schema=out_schema)
+            t = pa.table(out, schema=out_schema)
+            return pa.concat_tables([t, null_out]) if null_out is not None else t
         r_pd = pd.DataFrame(
             {
                 by: np.asarray(rt[by]),
@@ -172,7 +191,8 @@ def asof_join(
         out = [c.take(lidx) for c in lt_cols]
         out.append(rt[on + suffix].take(ridx))
         out.extend(rt[renamed[c]].take(ridx) for c in rvalue_cols)
-        return pa.table(out, schema=out_schema)
+        t = pa.table(out, schema=out_schema)
+        return pa.concat_tables([t, null_out]) if null_out is not None else t
 
     return unioned.groupby(group_key).map_groups(
         _merge, batch_format="pyarrow"
@@ -209,14 +229,19 @@ class _IntervalKernel:
             rows = np.empty(0, dtype=np.int64)
             hits = np.empty(0, dtype=np.int64)
         else:
-            bkey = np.asarray(batch[self.by], dtype=np.int64)
+            keycol = batch[self.by]
             oncol = batch[self.on]
             if pa.types.is_timestamp(oncol.type):
                 oncol = pc.cast(pc.cast(oncol, pa.timestamp("us")), pa.int64())
-            bon = np.asarray(oncol, dtype=np.int64)
+            valid = np.asarray(pc.and_(pc.is_valid(keycol), pc.is_valid(oncol)))
+            bkey = np.asarray(pc.fill_null(keycol, 0), dtype=np.int64)
+            bon = np.asarray(pc.fill_null(oncol, 0), dtype=np.int64)
+            # null key/time rows never match: excluded from the probe order
+            # (inner drops them; left keeps them with null payload).
             # one searchsorted per broadcast interval, vectorized over the
             # batch rows of that interval's key
-            order = np.lexsort((bon, bkey))
+            vidx = np.nonzero(valid)[0]
+            order = vidx[np.lexsort((bon[vidx], bkey[vidx]))]
             sk, so = bkey[order], bon[order]
             rows_l, hits_l = [], []
             # segment bounds of each interval's key among the batch rows

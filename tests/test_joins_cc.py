@@ -195,3 +195,33 @@ def test_asof_hot_key(ray_session):
     got = out.sort_values("v")["w_r"].to_numpy()
     np.testing.assert_array_equal(np.isnan(got), np.isnan(exp))
     np.testing.assert_array_equal(got[~np.isnan(got)], exp[~np.isnan(exp)])
+
+
+def test_null_order_keys(ray_session):
+    """Null timestamps never match: asof keeps them with null right
+    columns, interval inner drops them, interval left nulls the payload."""
+    left = _mk(
+        {
+            "ts": pa.array([100, None, 300], pa.timestamp("us")),
+            "user_id": [1, 1, 1],
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    right = _mk({"ts": _ts([50]), "user_id": [1], "w": [9.0]})
+    out = asof_join(left, right, on="ts", by="user_id").to_pandas()
+    assert len(out) == 3
+    byv = out.set_index("v")
+    assert byv.loc[1.0, "w_r"] == 9.0 and byv.loc[3.0, "w_r"] == 9.0
+    assert pd.isna(byv.loc[2.0, "w_r"]) and pd.isna(byv.loc[2.0, "ts_r"])
+
+    iv = {
+        "key": np.array([1], dtype=np.int64),
+        "start": np.array([0], dtype=np.int64),
+        "end": np.array([1000], dtype=np.int64),
+        "iv_id": np.array([7], dtype=np.int64),
+    }
+    inner = interval_join(left, iv, how="inner", by="user_id", on="ts").to_pandas()
+    assert sorted(inner["v"]) == [1.0, 3.0]
+    lj = interval_join(left, iv, how="left", by="user_id", on="ts").to_pandas()
+    assert len(lj) == 3
+    assert pd.isna(lj.set_index("v").loc[2.0, "iv_id"])
