@@ -185,6 +185,17 @@ def q_spatial_join_hash(sf_dir: str):
     )
 
 
+def q_nearest_polygon(sf_dir: str):
+    """Nearest-region assignment: every doc point gets the closest
+    polygon (0 distance inside) — the outside-all-regions completion of
+    the PIP join."""
+    from ..spatial import nearest_polygon_join
+
+    out = nearest_polygon_join(docs_points(sf_dir), polygon_layer())
+    out = out.select_columns(["doc_id", "nearest_poly_id", "dist"])
+    return out.map_batches(lambda b: round6(b, ["dist"]), batch_format="pyarrow")
+
+
 def q_grid_make(sf_dir: str):
     return make_grid(polygon_layer(), cellsize=GRID_CELL, bbox=DOMAIN, tile=(16, 16))
 
@@ -953,6 +964,7 @@ def queries():
         "spatial_join": q_spatial_join,
         "spatial_join_left": q_spatial_join_left,
         "spatial_join_hash": q_spatial_join_hash,
+        "nearest_polygon": q_nearest_polygon,
         "grid_make": q_grid_make,
         "grid_make_interior": q_grid_make_interior,
         "grid_make_rect": q_grid_make_rect,
@@ -1098,6 +1110,12 @@ GROUP BY r.poly_id
 """
 
 
+def _sql_nearest_poly():
+    from ..spatial import sql_nearest_polygon
+
+    return sql_nearest_polygon(sql_points_cte())
+
+
 def oracle_sql():
     cols = sql_cell_columns(RES, TSC)
     sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
@@ -1134,6 +1152,7 @@ def oracle_sql():
             sql_point_join(points, "inner")
             .replace("SELECT p.*", "SELECT p.doc_id")
         ),
+        "nearest_polygon": _sql_nearest_poly(),
         "spatial_join_left": (
             sql_point_join(points, "left")
             .replace("SELECT p.*", "SELECT p.doc_id")

@@ -580,3 +580,101 @@ def knn_join(
         return kern(batch)
 
     return ds.map_batches(apply, batch_format="pyarrow", batch_size=batch_size)
+
+
+class _NearestPolyKernel:
+    """Per-worker broadcast kernel for nearest-polygon assignment: exact
+    euclidean distance to a rectilinear layer via its disjoint rect
+    decomposition (distance to a union = min over parts; interior points
+    get 0).  Rects iterate in ascending poly_id order with strict-less
+    updates, so equal distances resolve to the smallest poly_id — the
+    same total order as the SQL twin's (d2, poly_id) rank."""
+
+    def __init__(self, layer, x_col: str, y_col: str):
+        import ray
+
+        if isinstance(layer, dict) and "__ref__" in layer:
+            layer = ray.get(layer["__ref__"])
+        rows = []
+        for p in sorted(layer, key=lambda p: p["poly_id"]):
+            for r in p["rects"]:
+                rows.append((p["poly_id"], *map(float, r)))
+        arr = np.asarray(rows, dtype=np.float64)
+        self.pid = arr[:, 0].astype(np.int64)
+        self.rx0, self.ry0, self.rx1, self.ry1 = arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4]
+        self.x_col, self.y_col = x_col, y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        x = np.asarray(batch[self.x_col], dtype=np.float64)
+        y = np.asarray(batch[self.y_col], dtype=np.float64)
+        best_d2 = np.full(n, np.inf)
+        best_pid = np.full(n, -1, dtype=np.int64)
+        # loop over the SMALL broadcast side; vectorized over rows.
+        # scale note: for huge layers, prune first with the cell index
+        # (polygon_cells_index) and run this kernel per candidate set.
+        for i in range(len(self.pid)):
+            dx = np.maximum(np.maximum(self.rx0[i] - x, 0.0), x - self.rx1[i])
+            dy = np.maximum(np.maximum(self.ry0[i] - y, 0.0), y - self.ry1[i])
+            d2 = dx * dx + dy * dy
+            upd = d2 < best_d2
+            best_d2[upd] = d2[upd]
+            best_pid[upd] = self.pid[i]
+        return batch.append_column(
+            "nearest_poly_id", pa.array(best_pid)
+        ).append_column("dist", pa.array(np.sqrt(best_d2)))
+
+
+def nearest_polygon_join(
+    points_ds,
+    polygons: list[dict],
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    concurrency=None,
+):
+    """Attach each point's nearest polygon id + euclidean distance
+    (0 inside).  Broadcast-layer stage like the PIP join; the layer's
+    rect decomposition makes the distance exact for rectilinear regions
+    (the fixture/reference geometry family)."""
+    import ray
+
+    ref = {"__ref__": ray.put(polygons)}
+    if concurrency is not None:
+        return points_ds.map_batches(
+            _NearestPolyKernel,
+            batch_format="pyarrow",
+            fn_constructor_args=(ref, x_col, y_col),
+            concurrency=concurrency,
+        )
+    key = f"nearpoly:{ref['__ref__'].hex()}:{x_col}:{y_col}"
+
+    def apply(batch: pa.Table) -> pa.Table:
+        kern = _cached_kernel(key, ref, lambda l: _NearestPolyKernel(l, x_col, y_col))
+        return kern(batch)
+
+    return points_ds.map_batches(apply, batch_format="pyarrow")
+
+
+def sql_nearest_polygon(points_cte: str) -> str:
+    """DuckDB twin: identical max/multiply/min laws over the same rects;
+    rank (d2, poly_id) matches the kernel's strict-less first-poly rule."""
+    from .synth import sql_polygon_rects_cte
+
+    dx = "GREATEST(r.rxmin - p.x, 0, p.x - r.rxmax)"
+    dy = "GREATEST(r.rymin - p.y, 0, p.y - r.rymax)"
+    return f"""
+WITH points AS ({points_cte}),
+poly_rects AS ({sql_polygon_rects_cte()}),
+d AS (
+  SELECT p.doc_id, p.x, p.y, r.poly_id,
+         MIN(({dx}) * ({dx}) + ({dy}) * ({dy})) AS d2
+  FROM points p, poly_rects r
+  GROUP BY p.doc_id, p.x, p.y, r.poly_id
+)
+SELECT doc_id, poly_id AS nearest_poly_id,
+       ROUND(SQRT(d2) * 1e6) / 1e6 AS dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, poly_id) AS rn
+      FROM d)
+WHERE rn = 1
+"""
