@@ -269,3 +269,11 @@ def sql_laea_forward(lon_expr: str, lat_expr: str) -> tuple[str, str]:
         f"- {_f(SINB0)} * COS({beta}) * COS({lam})))"
     )
     return easting, northing
+
+
+def sql_webmercator_forward(lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    """(x_sql, y_sql) replaying :func:`webmercator_forward` exactly
+    (same A constant, same op order; libm ulps land under 6-dp rounds)."""
+    x = f"({_f(A)} * RADIANS({lon_expr}))"
+    y = f"({_f(A)} * LN(TAN({_f(np.pi / 4.0)} + RADIANS({lat_expr}) / 2.0)))"
+    return x, y

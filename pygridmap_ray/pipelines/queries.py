@@ -141,6 +141,45 @@ def q_reproject(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+def q_reproject_webmerc(sf_dir: str):
+    """EPSG:4326 -> EPSG:3857 (spherical Web Mercator) — the second
+    closed-form CRS path, millimetre-rounded like `reproject`."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_lonlat(b: pa.Table) -> pa.Table:
+        lon, lat = derive_lonlat(np.asarray(b["doc_id"]))
+        return b.append_column("lon", pa.array(lon)).append_column(
+            "lat", pa.array(lat)
+        )
+
+    ds = reproject(
+        ds.map_batches(add_lonlat, batch_format="pyarrow"),
+        "EPSG:4326",
+        "EPSG:3857",
+        x_col="lon",
+        y_col="lat",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["doc_id", "mx", "my"])
+        return round_half_away(b, ["mx", "my"], 3)
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_reproject_webmerc() -> str:
+    from ..geom.proj import sql_webmercator_forward
+
+    xs, ys = sql_webmercator_forward("lon", "lat")
+    return (
+        f"WITH ll AS ({sql_lonlat_cte()}) "
+        f"SELECT doc_id, ROUND({xs} * 1e3) / 1e3 AS mx, "
+        f"ROUND({ys} * 1e3) / 1e3 AS my FROM ll"
+    )
+
+
 def q_tiling_bounds(sf_dir: str):
     ds = with_cell_columns(docs_points(sf_dir), resolution=RES, tile_size_cell=TSC)
     out = ds.groupby(["xt", "yt"]).count()
@@ -960,6 +999,7 @@ def queries():
         "cell_assign": q_cell_assign,
         "cell_assign_offset": q_cell_assign_offset,
         "reproject": q_reproject,
+        "reproject_webmerc": q_reproject_webmerc,
         "tiling_bounds": q_tiling_bounds,
         "spatial_join": q_spatial_join,
         "spatial_join_left": q_spatial_join_left,
@@ -1143,6 +1183,7 @@ def oracle_sql():
             f"WITH points AS ({points}) SELECT doc_id, {sel_off} FROM points"
         ),
         "reproject": _sql_reproject(),
+        "reproject_webmerc": _sql_reproject_webmerc(),
         "tiling_bounds": (
             f"WITH points AS ({points}) "
             f"SELECT {cols['xt']} AS xt, {cols['yt']} AS yt, COUNT(*)::BIGINT AS n_docs "
