@@ -225,3 +225,61 @@ def test_null_order_keys(ray_session):
     lj = interval_join(left, iv, how="left", by="user_id", on="ts").to_pandas()
     assert len(lj) == 3
     assert pd.isna(lj.set_index("v").loc[2.0, "iv_id"])
+
+
+def test_interval_join_actor_pool_parity(ray_session):
+    """concurrency= (actor pool) and the default stateless-task path
+    produce identical rows."""
+    rng = np.random.default_rng(5)
+    pts = _mk(
+        {
+            "ts": _ts(rng.integers(0, 1000, size=300)),
+            "user_id": rng.integers(0, 5, size=300).astype(np.int64),
+            "p": np.arange(300, dtype=np.int64),
+        }
+    )
+    iv = {
+        "key": np.arange(5, dtype=np.int64),
+        "start": np.full(5, 100, dtype=np.int64),
+        "end": np.full(5, 600, dtype=np.int64),
+        "iv_id": np.arange(5, dtype=np.int64),
+    }
+    a = interval_join(pts, iv, how="inner").to_pandas().sort_values("p").reset_index(drop=True)
+    b = (
+        interval_join(pts, iv, how="inner", concurrency=2)
+        .to_pandas()
+        .sort_values("p")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_nearest_polygon_actor_pool_parity(ray_session):
+    from pygridmap_ray.spatial import nearest_polygon_join
+    from pygridmap_ray.synth import polygon_layer
+
+    rng = np.random.default_rng(9)
+    pts = _mk(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "x": rng.uniform(-1e5, 6e5, 200),
+            "y": rng.uniform(-1e5, 6e5, 200),
+        }
+    )
+    layer = polygon_layer()
+    a = (
+        nearest_polygon_join(pts, layer)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        nearest_polygon_join(pts, layer, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # interior points have distance exactly 0 and match the PIP join
+    inside = a[a["dist"] == 0.0]
+    assert len(inside) > 0
