@@ -28,6 +28,20 @@ N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "2000000"))
 #: polygon-border complexity of the bench layer (vertices per polygon);
 #: GISCO/NUTS borders carry hundreds of vertices
 NVERT = int(os.environ.get("GRAFT_BENCH_NVERT", "96"))
+#: best-of-N timing per pipeline — this host's throughput drifts up to
+#: 1.8x minute-to-minute (BASELINE.md "bench noise protocol"); min-of-N
+#: back-to-back runs in ONE process is the documented de-noise protocol
+REPEATS = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))
+
+
+def _best_of(fn, repeats: int = 0) -> dict:
+    """min-sec result of `repeats` back-to-back runs of fn() -> {sec, ...}."""
+    best = None
+    for _ in range(repeats or REPEATS):
+        r = fn()
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+    return best
 
 
 def _ensure_corpus(n_docs: int, synthesize) -> str:
@@ -142,12 +156,16 @@ def _secondary() -> dict:
         ("top_bigrams", q.q_top_bigrams),
         ("events_asof", q.q_events_asof),
     ]:
-        t0 = time.time()
-        res = fn(SF_DIR)
-        # consume the stream without materializing on the driver
-        if hasattr(res, "count"):
-            res.count()
-        out[name] = round(time.time() - t0, 3)
+
+        def once(fn=fn):
+            t0 = time.time()
+            res = fn(SF_DIR)
+            # consume the stream without materializing on the driver
+            if hasattr(res, "count"):
+                res.count()
+            return {"sec": time.time() - t0}
+
+        out[name] = round(_best_of(once)["sec"], 3)
     return out
 
 
@@ -187,11 +205,11 @@ def run_once() -> dict:
     stage = os.environ.get("GRAFT_BENCH_STAGE", "flagship")
     if stage == "join":
         _ensure_corpus(N_DOCS, _make_synthesize())
-        head = _join_stage(N_DOCS)
+        head = _best_of(lambda: _join_stage(N_DOCS))
         queries = {}
         metric = "join-stage docs/sec (pruned read->cell-encode->PIP join)"
     else:
-        head = _flagship(N_DOCS, out_dir)
+        head = _best_of(lambda: _flagship(N_DOCS, out_dir))
         # scaling children skip the sf-scale suite (results unused there)
         queries = (
             {} if os.environ.get("GRAFT_BENCH_SECONDARY") == "0" else _secondary()

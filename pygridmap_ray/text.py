@@ -396,7 +396,15 @@ def unigram_logprob_score(ds, *, id_col: str = "doc_id", text_col: str = "text")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
     vocab_tbl = counts.to_arrow_refs()
-    vocab = pa.concat_tables([ray.get(r) for r in vocab_tbl])
+    # Ray's hash-shuffle aggregate can emit EMPTY blocks with column-less
+    # schemas on small inputs (see CLAUDE.md gotcha); drop them before the
+    # concat or pa.concat_tables raises "Schema at index N was different".
+    parts = [t for t in (ray.get(r) for r in vocab_tbl) if t.num_columns > 0]
+    vocab = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    )
     toks = np.asarray(vocab["ngram"]).astype(object)
     cnts = np.asarray(vocab["cnt"], dtype=np.float64)
     order = np.argsort(toks)
