@@ -23,6 +23,7 @@ Public surface (mirrors SURVEY.md §2):
 - :mod:`pygridmap_ray.joins`      — as-of / interval joins (order-aware)
 - :mod:`pygridmap_ray.stats`      — histogram-exact grouped quantiles
 - :mod:`pygridmap_ray.geom.proj`  — closed-form CRS reprojection
+- :mod:`pygridmap_ray.hier`       — S2/H3-style hierarchical cell index (Morton/quadkey)
 
 No module in this package calls ``ray.init`` — sessions are owned by the
 caller (driver, bench.py, or the test fixture).
@@ -61,6 +62,10 @@ def __getattr__(name):
         "grouped_quantiles": ("pygridmap_ray.stats", "grouped_quantiles"),
         "reproject": ("pygridmap_ray.geom.proj", "reproject"),
         "set_ref_crs": ("pygridmap_ray.geom.proj", "set_ref_crs"),
+        "with_hier_cells": ("pygridmap_ray.hier", "with_hier_cells"),
+        "hier_rollup": ("pygridmap_ray.hier", "hier_rollup"),
+        "morton_encode": ("pygridmap_ray.hier", "morton_encode"),
+        "morton_decode": ("pygridmap_ray.hier", "morton_decode"),
     }
     if name in _EXPORTS:
         import importlib

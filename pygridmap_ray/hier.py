@@ -1,0 +1,251 @@
+"""Hierarchical cell indexing (S2/H3-style) over the planar grid.
+
+The reference grids are flat (ix, iy) lattices (pygridmap gridding.py /
+gridtiler.py); web-scale spatial pipelines additionally want a single
+HIERARCHICAL cell id — one integer whose prefix IS the parent cell at
+every coarser level — so that
+
+* coarsening is a shift (`code >> 2*levels`), never a re-join,
+* per-level rollups reuse ONE partitioning key across stages (the
+  engine-wide rule: pick one key, keep it), and
+* range scans over a Z-ordered sort are spatially local.
+
+This module provides the Morton (Z-order) curve used by S2/quadkeys:
+``code = interleave(ix, iy)`` with quadkey digit ``d_j = x_bit + 2*y_bit``
+from the most significant level down.  Everything is vectorized int64
+numpy, and every law has a bit-identical DuckDB twin (`sql_*` builders)
+so the driver gate can hash-compare outputs — same magic constants,
+same op order, signed-64 semantics on both sides.
+
+Scale shape: encoding is a stateless Arrow `map_batches` stage; rollups
+are two-phase (per-batch unique-code partials -> one hash aggregate on
+at most 4**level keys -> shift + tiny re-aggregate per coarser level).
+No map_groups, no per-group Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "morton_encode",
+    "morton_decode",
+    "quadkey",
+    "parent_code",
+    "children_codes",
+    "with_hier_cells",
+    "hier_rollup",
+    "sql_spread_expr",
+    "sql_morton_expr",
+    "sql_quadkey_expr",
+]
+
+# "Interleave bits by binary magic numbers" — the classic public-domain
+# bit-twiddling identity (Stanford graphics bithacks).  Decimal (not hex)
+# because the DuckDB twin must use the same literals and DuckDB treats
+# 0x... literals as non-integers.
+_MASKS = (
+    281470681808895,  # 0x0000FFFF0000FFFF
+    71777214294589695,  # 0x00FF00FF00FF00FF
+    1085102592571150095,  # 0x0F0F0F0F0F0F0F0F
+    3689348814741910323,  # 0x3333333333333333
+    6148914691236517205,  # 0x5555555555555555
+)
+_SHIFTS = (16, 8, 4, 2, 1)
+
+MAX_LEVEL = 31  # 2 * 31 = 62 code bits, keeps int64 positive
+
+
+def _spread(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of v onto the even bit positions (int64)."""
+    v = np.asarray(v, dtype=np.int64)
+    for m, s in zip(_MASKS, _SHIFTS):
+        v = (v | (v << s)) & m
+    return v
+
+
+def morton_encode(ix: np.ndarray, iy: np.ndarray, level: int) -> np.ndarray:
+    """Z-order code of (ix, iy) at `level` (both must be in [0, 2**level))."""
+    if not 0 < level <= MAX_LEVEL:
+        raise ValueError(f"level must be in 1..{MAX_LEVEL}, got {level}")
+    ix = np.asarray(ix, dtype=np.int64)
+    iy = np.asarray(iy, dtype=np.int64)
+    lim = np.int64(1) << level
+    if len(ix) and (
+        ix.min() < 0 or iy.min() < 0 or ix.max() >= lim or iy.max() >= lim
+    ):
+        raise ValueError(f"cell indices out of range for level {level}")
+    return _spread(ix) | (_spread(iy) << 1)
+
+
+def morton_decode(code: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`morton_encode` (level-independent)."""
+    code = np.asarray(code, dtype=np.int64)
+
+    def compact(v: np.ndarray) -> np.ndarray:
+        v = v & _MASKS[4]
+        # inverse pairing: shift k gathers into mask of 2k-bit runs
+        for m, s in zip(_MASKS[3::-1], (1, 2, 4, 8)):
+            v = (v | (v >> s)) & m
+        # final gather of the two 16-bit halves
+        v = (v | (v >> 16)) & 4294967295
+        return v
+
+    return compact(code), compact(code >> 1)
+
+
+def quadkey(code: np.ndarray, level: int) -> np.ndarray:
+    """Quadkey digit strings (most-significant level first), one char per
+    level, digit = x_bit + 2*y_bit — the Bing-maps/S2-face convention."""
+    code = np.asarray(code, dtype=np.int64)
+    digits = np.empty((level, len(code)), dtype=np.uint8)
+    for j in range(level):
+        digits[j] = ((code >> (2 * (level - 1 - j))) & 3).astype(np.uint8)
+    chars = digits + ord("0")
+    return chars.T.copy().view(f"S{level}").ravel().astype(str)
+
+
+def parent_code(code: np.ndarray, levels_up: int = 1) -> np.ndarray:
+    """Ancestor code `levels_up` levels coarser (prefix property)."""
+    return np.asarray(code, dtype=np.int64) >> (2 * levels_up)
+
+
+def children_codes(code: int, levels_down: int = 1) -> np.ndarray:
+    """All descendant codes `levels_down` levels finer, Z-ordered."""
+    base = np.int64(code) << (2 * levels_down)
+    return base + np.arange(4**levels_down, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Dataset stages
+# ---------------------------------------------------------------------------
+
+
+def _encode_batch(
+    batch: pa.Table,
+    *,
+    resolution: float,
+    level: int,
+    x_origin: float,
+    y_origin: float,
+    x_col: str,
+    y_col: str,
+) -> pa.Table:
+    x = np.asarray(batch[x_col], dtype=np.float64)
+    y = np.asarray(batch[y_col], dtype=np.float64)
+    ix = np.floor((x - x_origin) / resolution).astype(np.int64)
+    iy = np.floor((y - y_origin) / resolution).astype(np.int64)
+    code = morton_encode(ix, iy, level)
+    return batch.append_column("cell_code", pa.array(code)).append_column(
+        "quadkey", pa.array(quadkey(code, level), pa.string())
+    )
+
+
+def with_hier_cells(
+    ds,
+    *,
+    resolution: float,
+    level: int,
+    x_origin: float = 0.0,
+    y_origin: float = 0.0,
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Dataset -> Dataset with (cell_code, quadkey) at `level`; the batched
+    H3/S2-style indexing stage of the north rule (stateless Arrow tasks,
+    zero-copy in, two appended columns out)."""
+    return ds.map_batches(
+        _encode_batch,
+        batch_format="pyarrow",
+        fn_kwargs=dict(
+            resolution=resolution,
+            level=level,
+            x_origin=x_origin,
+            y_origin=y_origin,
+            x_col=x_col,
+            y_col=y_col,
+        ),
+    )
+
+
+def hier_rollup(ds, *, parent_level: int, level: int):
+    """(cell_code at `level`) Dataset -> per-parent rollup at
+    `parent_level`: n_docs (doc count) and n_cells (distinct fine cells).
+
+    Two-phase: per-batch unique-code partial counts (the shuffle carries
+    at most one row per fine cell per batch, never raw rows) -> one hash
+    aggregate keyed by fine code (<= 4**level keys) -> shift to the
+    parent prefix -> tiny second aggregate (<= 4**parent_level keys).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    if parent_level >= level:
+        raise ValueError("parent_level must be coarser (smaller) than level")
+    shift = 2 * (level - parent_level)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codes = np.asarray(batch["cell_code"], dtype=np.int64)
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table({"cell_code": u, "docs": c.astype(np.int64)})
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell_code")
+        .aggregate(Sum("docs", alias_name="docs"))
+    )
+
+    def to_parent(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            # hash-shuffle aggregates emit column-less empty blocks on
+            # small inputs; emit a typed empty so downstream schemas agree
+            return pa.table(
+                {
+                    "parent_code": pa.array([], pa.int64()),
+                    "docs": pa.array([], pa.int64()),
+                }
+            )
+        codes = np.asarray(batch["cell_code"], dtype=np.int64)
+        return pa.table(
+            {
+                "parent_code": codes >> shift,
+                "docs": batch["docs"],
+            }
+        )
+
+    return (
+        fine.map_batches(to_parent, batch_format="pyarrow")
+        .groupby("parent_code")
+        .aggregate(
+            Sum("docs", alias_name="n_docs"),
+            Count(alias_name="n_cells"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (bit-identical: same decimal constants, same op order;
+# DuckDB's BIGINT ops are signed-64 like numpy int64)
+# ---------------------------------------------------------------------------
+
+
+def sql_spread_expr(col: str) -> str:
+    """Unrolled bit-spread of `col` (the numpy _spread loop, inlined)."""
+    e = col
+    for m, s in zip(_MASKS, _SHIFTS):
+        e = f"(({e} | ({e} << {s})) & {m})"
+    return e
+
+
+def sql_morton_expr(ix: str, iy: str) -> str:
+    """Morton code of (ix, iy) — twin of :func:`morton_encode`."""
+    return f"({sql_spread_expr(ix)} | ({sql_spread_expr(iy)} << 1))"
+
+
+def sql_quadkey_expr(code: str, level: int) -> str:
+    """Quadkey string of `code` at `level` — twin of :func:`quadkey`.
+    Correlated ordered string_agg over the digit positions."""
+    return (
+        f"(SELECT string_agg(CAST((({code} >> (2*({level}-1-j))) & 3) AS VARCHAR),"
+        f" '' ORDER BY j) FROM generate_series(0, {level}-1) AS qk(j))"
+    )

@@ -111,6 +111,29 @@ def q_cell_assign_offset(sf_dir: str):
     )
 
 
+#: hierarchical (Morton/quadkey) index level: the synth domain spans
+#: ~500 km at 1 km cells -> 512-cell axis -> level 9; rollup at level 4
+HIER_LEVEL, HIER_PARENT = 9, 4
+
+
+def q_cell_hier(sf_dir: str):
+    """Batched S2/H3-style hierarchical cell indexing (hier.with_hier_cells):
+    one Z-order int64 code + quadkey string per doc at level 9."""
+    from ..hier import with_hier_cells
+
+    ds = with_hier_cells(docs_points(sf_dir), resolution=RES, level=HIER_LEVEL)
+    return ds.select_columns(["doc_id", "cell_code", "quadkey"])
+
+
+def q_hier_rollup(sf_dir: str):
+    """Two-phase hierarchical rollup: fine-cell partials -> parent-prefix
+    shift (never a re-join) -> (n_docs, n_cells) per level-4 ancestor."""
+    from ..hier import hier_rollup, with_hier_cells
+
+    ds = with_hier_cells(docs_points(sf_dir), resolution=RES, level=HIER_LEVEL)
+    return hier_rollup(ds, parent_level=HIER_PARENT, level=HIER_LEVEL)
+
+
 def q_reproject(sf_dir: str):
     """EPSG:4326 -> EPSG:3035 coordinate reprojection (geom.proj.reproject,
     the engine's set_ref_proj parity point — reference base.py:215-220).
@@ -998,6 +1021,8 @@ def queries():
     return {
         "cell_assign": q_cell_assign,
         "cell_assign_offset": q_cell_assign_offset,
+        "cell_hier": q_cell_hier,
+        "hier_rollup": q_hier_rollup,
         "reproject": q_reproject,
         "reproject_webmerc": q_reproject_webmerc,
         "tiling_bounds": q_tiling_bounds,
@@ -1053,6 +1078,41 @@ def queries():
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
     }
+
+
+def _sql_hier_codes_cte() -> str:
+    """CTE chain points -> integer cells -> Morton codes (bit-identical
+    twin of hier.with_hier_cells: same floor law, same magic constants)."""
+    from ..hier import sql_morton_expr
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH points AS ({sql_points_cte()}), cells AS ("
+        f"SELECT doc_id, CAST(FLOOR(x / {RES}) AS BIGINT) AS ix, "
+        f"CAST(FLOOR(y / {RES}) AS BIGINT) AS iy FROM points"
+        f"), codes AS (SELECT doc_id, {sql_morton_expr('ix', 'iy')} AS cell_code "
+        f"FROM cells)"
+    )
+
+
+def _sql_cell_hier() -> str:
+    from ..hier import sql_quadkey_expr
+
+    return (
+        f"{_sql_hier_codes_cte()} SELECT doc_id, cell_code, "
+        f"{sql_quadkey_expr('cell_code', HIER_LEVEL)} AS quadkey FROM codes"
+    )
+
+
+def _sql_hier_rollup() -> str:
+    shift = 2 * (HIER_LEVEL - HIER_PARENT)
+    return (
+        f"{_sql_hier_codes_cte()} "
+        f"SELECT cell_code >> {shift} AS parent_code, "
+        f"COUNT(*)::BIGINT AS n_docs, "
+        f"COUNT(DISTINCT cell_code)::BIGINT AS n_cells "
+        f"FROM codes GROUP BY parent_code"
+    )
 
 
 def _sql_reproject() -> str:
@@ -1182,6 +1242,8 @@ def oracle_sql():
         "cell_assign_offset": (
             f"WITH points AS ({points}) SELECT doc_id, {sel_off} FROM points"
         ),
+        "cell_hier": _sql_cell_hier(),
+        "hier_rollup": _sql_hier_rollup(),
         "reproject": _sql_reproject(),
         "reproject_webmerc": _sql_reproject_webmerc(),
         "tiling_bounds": (

@@ -1,0 +1,100 @@
+"""Hierarchical (Morton/quadkey) cell index — encode laws + rollup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pygridmap_ray.hier import (
+    children_codes,
+    hier_rollup,
+    morton_decode,
+    morton_encode,
+    parent_code,
+    quadkey,
+    with_hier_cells,
+)
+
+
+def _brute_interleave(ix: int, iy: int, level: int) -> int:
+    code = 0
+    for b in range(level):
+        code |= ((ix >> b) & 1) << (2 * b)
+        code |= ((iy >> b) & 1) << (2 * b + 1)
+    return code
+
+
+def test_encode_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    level = 13
+    ix = rng.integers(0, 1 << level, 500)
+    iy = rng.integers(0, 1 << level, 500)
+    codes = morton_encode(ix, iy, level)
+    for a, b, c in zip(ix[:50], iy[:50], codes[:50]):
+        assert c == _brute_interleave(int(a), int(b), level)
+
+
+def test_decode_roundtrip():
+    rng = np.random.default_rng(11)
+    ix = rng.integers(0, 1 << 31, 1000)
+    iy = rng.integers(0, 1 << 31, 1000)
+    codes = morton_encode(ix, iy, 31)
+    rx, ry = morton_decode(codes)
+    assert (rx == ix).all() and (ry == iy).all()
+
+
+def test_quadkey_digits():
+    # ix=5 (101b), iy=3 (011b), level 3: digits 1,2,3
+    codes = morton_encode(np.array([5]), np.array([3]), 3)
+    assert quadkey(codes, 3)[0] == "123"
+    # quadkey prefix IS the parent's quadkey
+    codes = morton_encode(np.array([113]), np.array([92]), 8)
+    q8 = quadkey(codes, 8)[0]
+    q5 = quadkey(parent_code(codes, 3), 5)[0]
+    assert q8[:5] == q5
+
+
+def test_parent_children_inverse():
+    kids = children_codes(37, 2)
+    assert len(kids) == 16
+    assert (parent_code(kids, 2) == 37).all()
+    assert len(np.unique(kids)) == 16
+
+
+def test_out_of_range_raises():
+    with pytest.raises(ValueError):
+        morton_encode(np.array([4]), np.array([0]), 2)
+    with pytest.raises(ValueError):
+        morton_encode(np.array([-1]), np.array([0]), 4)
+    with pytest.raises(ValueError):
+        morton_encode(np.array([0]), np.array([0]), 40)
+
+
+def test_rollup_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    x = rng.uniform(0, 512_000, n)
+    y = rng.uniform(0, 512_000, n)
+    ds = rd.from_arrow(pa.table({"x": x, "y": y})).repartition(8)
+    ds = with_hier_cells(ds, resolution=1000.0, level=9)
+    out = hier_rollup(ds, parent_level=3, level=9).to_pandas()
+
+    ix = np.floor(x / 1000.0).astype(np.int64)
+    iy = np.floor(y / 1000.0).astype(np.int64)
+    codes = morton_encode(ix, iy, 9)
+    import pandas as pd
+
+    df = pd.DataFrame({"parent": codes >> 12, "code": codes})
+    exp = df.groupby("parent").agg(n_docs=("code", "size"), n_cells=("code", "nunique"))
+    got = out.set_index("parent_code").sort_index()
+    assert (got["n_docs"] == exp["n_docs"].sort_index()).all()
+    assert (got["n_cells"] == exp["n_cells"].sort_index()).all()
+
+
+def test_zorder_locality():
+    # consecutive codes along the curve stay within one cell step in x+y
+    ix, iy = morton_decode(np.arange(4096, dtype=np.int64))
+    d = np.abs(np.diff(ix)) + np.abs(np.diff(iy))
+    # Z-curve jumps exist, but the mean adjacency must be tight (locality)
+    assert d.mean() < 2.5
