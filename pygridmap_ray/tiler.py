@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Callable
 
 import numpy as np
@@ -213,7 +214,14 @@ def write_partitioned(
 
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "path": pa.array([], pa.string()),
+                    "rows": pa.array([], pa.int64()),
+                    "bytes": pa.array([], pa.int64()),
+                    "write_ms": pa.array([], pa.float64()),
+                }
+            )
         from urllib.parse import quote
 
         key_strs = [
@@ -233,10 +241,11 @@ def write_partitioned(
             qdict = pa.array([quote(v, safe="") for v in d.dictionary.to_pylist()])
             encoded.append(qdict.take(d.indices))
         combo = pc.binary_join_element_wise(*encoded, "|")
-        paths, rows = [], []
+        paths, rows, sizes, times = [], [], [], []
         data = batch.drop_columns(partition_cols)
         stem = _part_stem()  # one stem per batch; partition dirs disambiguate
         for v in pc.unique(combo).to_pylist():
+            t0 = time.monotonic()
             mask = pc.equal(combo, pa.scalar(v))
             part = data.filter(mask)
             vals = str(v).split("|")
@@ -257,27 +266,52 @@ def write_partitioned(
                 pcsv.write_csv(order_columns_xy_first(part), tmp)
             else:
                 pq.write_table(part, tmp, compression=compression)
-            os.rename(tmp, os.path.join(d, name))
-            paths.append(os.path.join(d, name))
+            final = os.path.join(d, name)
+            os.rename(tmp, final)
+            paths.append(final)
             rows.append(part.num_rows)
-        return pa.table({"path": pa.array(paths), "rows": pa.array(rows, pa.int64())})
+            sizes.append(os.path.getsize(final))
+            times.append((time.monotonic() - t0) * 1000.0)
+        return pa.table(
+            {
+                "path": pa.array(paths),
+                "rows": pa.array(rows, pa.int64()),
+                "bytes": pa.array(sizes, pa.int64()),
+                "write_ms": pa.array(times, pa.float64()),
+            }
+        )
 
     manifest = ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
     import pandas as _pd
 
     mdf = manifest.to_pandas()
     if "path" not in mdf.columns:  # zero-block input loses the schema
-        mdf = _pd.DataFrame({"path": [], "rows": []})
-    # per-run manifest: which files exist with how many rows (atomic write)
+        mdf = _pd.DataFrame({"path": [], "rows": [], "bytes": [], "write_ms": []})
+    # per-run manifest: file lineage (path, rows, bytes, write time) plus a
+    # per-PARTITION rollup — the north rule's per-partition lineage+metrics
+    # record, read back by resume/validate and by operators (compaction)
+    rels = [os.path.relpath(p, output_dir) for p in mdf["path"]]
+    parts: dict[str, dict] = {}
+    for rel, r, b, ms in zip(rels, mdf["rows"], mdf["bytes"], mdf["write_ms"]):
+        key = os.path.dirname(rel) or "."
+        agg = parts.setdefault(key, {"files": 0, "rows": 0, "bytes": 0, "write_ms": 0.0})
+        agg["files"] += 1
+        agg["rows"] += int(r)
+        agg["bytes"] += int(b)
+        agg["write_ms"] += float(ms)
     mpath = os.path.join(output_dir, "_manifest.json")
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
             {
                 "files": [
-                    {"path": os.path.relpath(p, output_dir), "rows": int(r)}
-                    for p, r in zip(mdf["path"], mdf["rows"])
+                    {"path": rel, "rows": int(r), "bytes": int(b)}
+                    for rel, r, b in zip(rels, mdf["rows"], mdf["bytes"])
                 ],
+                "partitions": {
+                    k: {**v, "write_ms": round(v["write_ms"], 3)}
+                    for k, v in sorted(parts.items())
+                },
                 "total_rows": int(mdf["rows"].sum()) if len(mdf) else 0,
                 "partition_cols": partition_cols,
             },

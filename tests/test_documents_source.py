@@ -1,0 +1,70 @@
+"""Lance-gated interleaved-document source: fallback, gating, schema contract."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pygridmap_ray.sources.documents import (
+    SPAN_FIELDS,
+    read_document_table,
+    validate_span_schema,
+)
+from pygridmap_ray.synth import build_spans_array
+
+
+@pytest.fixture(scope="module")
+def doc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs")
+    did = np.arange(50, dtype=np.int64)
+    t = pa.table({"doc_id": did, "spans": build_spans_array(did)})
+    pq.write_table(t, os.path.join(d, "part-0.parquet"))
+    return str(d)
+
+
+def test_parquet_fallback_streams(ray_session, doc_dir):
+    ds = read_document_table(doc_dir, validate=True)
+    assert ds.count() == 50
+    assert "spans" in ds.schema().names
+
+
+def test_column_pruning_skips_spans(ray_session, doc_dir):
+    ds = read_document_table(doc_dir, columns=["doc_id"])
+    assert ds.schema().names == ["doc_id"]
+
+
+def test_lance_path_gated(tmp_path):
+    lance_dir = tmp_path / "corpus.lance"
+    lance_dir.mkdir()
+    with pytest.raises(ImportError, match="[Ll]ance"):
+        read_document_table(str(lance_dir))
+
+
+def test_span_schema_contract():
+    did = np.arange(3, dtype=np.int64)
+    good = pa.table({"doc_id": did, "spans": build_spans_array(did)})
+    validate_span_schema(good.schema)  # no raise
+
+    with pytest.raises(ValueError, match="missing 'spans'"):
+        validate_span_schema(pa.table({"doc_id": did}).schema)
+    with pytest.raises(ValueError, match="must be list"):
+        validate_span_schema(pa.table({"doc_id": did, "spans": did}).schema)
+    # wrong offset width (int64 instead of the contract's int32)
+    bad_inner = pa.array(
+        [[{"kind": "text", "text": "t", "media_ref": "", "offset": 0}]],
+        pa.list_(
+            pa.struct(
+                [
+                    ("kind", pa.string()),
+                    ("text", pa.string()),
+                    ("media_ref", pa.string()),
+                    ("offset", pa.int64()),
+                ]
+            )
+        ),
+    )
+    with pytest.raises(ValueError, match="offset"):
+        validate_span_schema(pa.table({"spans": bad_inner}).schema)
+    assert set(SPAN_FIELDS) == {"kind", "text", "media_ref", "offset"}
