@@ -51,6 +51,8 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_r",
     num_buckets: int = 64,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """As-of join two Datasets: for each left row, the single right row
     with the greatest ``on`` <= left ``on`` (``direction='backward'``; or
@@ -64,10 +66,15 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    # Dataset.schema() is Ray's wrapper; rebuild true pyarrow schemas
-    _ls, _rs = left.schema(), right.schema()
-    left_schema = pa.schema(list(zip(_ls.names, _ls.types)))
-    right_schema = pa.schema(list(zip(_rs.names, _rs.types)))
+    # Dataset.schema() EXECUTES the upstream pipeline to its first block
+    # (a limit-1 plan) — twice here.  Callers that know their schemas pass
+    # them and skip both executions; None falls back to inference.
+    if left_schema is None:
+        _ls = left.schema()
+        left_schema = pa.schema(list(zip(_ls.names, _ls.types)))
+    if right_schema is None:
+        _rs = right.schema()
+        right_schema = pa.schema(list(zip(_rs.names, _rs.types)))
     left_cols = list(left_schema.names)
     if on not in left_cols or by not in left_cols:
         raise ValueError(f"left is missing {on!r}/{by!r}")
@@ -127,7 +134,10 @@ def asof_join(
 
     la = left.map_batches(_align_left, batch_format="pyarrow")
     ra = right.map_batches(_align_right, batch_format="pyarrow")
-    unioned = la.union(ra)
+    # the groupby below is a sort shuffle whose MAP parallelism equals the
+    # input block count; a union of two narrow branches often carries a
+    # handful of blocks, serializing the sort map on one task — split them
+    unioned = la.union(ra).repartition(max(num_buckets or 0, 16))
 
     out_schema = pa.schema(
         [(c, left_schema.field(c).type) for c in left_cols]

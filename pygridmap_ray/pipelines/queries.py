@@ -939,7 +939,21 @@ def q_events_asof(sf_dir: str):
     right = ev.map_batches(_split(True), batch_format="pyarrow").drop_columns(
         ["event_id"]
     )
-    return asof_join(left, right, on="ts", by="user_id")
+    ts_t = pa.timestamp("us")
+    return asof_join(
+        left,
+        right,
+        on="ts",
+        by="user_id",
+        # static schema hints skip two limit-1 driver executions
+        left_schema=pa.schema(
+            [("event_id", pa.int64()), ("ts", ts_t), ("user_id", pa.int64()),
+             ("value", pa.float64())]
+        ),
+        right_schema=pa.schema(
+            [("ts", ts_t), ("user_id", pa.int64()), ("value", pa.float64())]
+        ),
+    )
 
 
 def _interval_table(max_user: int) -> dict:
