@@ -134,6 +134,56 @@ def q_hier_rollup(sf_dir: str):
     return hier_rollup(ds, parent_level=HIER_PARENT, level=HIER_LEVEL)
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (text.pii_scrub): deterministic synthetic PII is
+    appended per doc (email always; IP for even ids; phone for ids
+    divisible by 3 — mirrored literal-for-literal in SQL), then scrubbed
+    and counted.  Exercises all three patterns with varying counts."""
+    import pandas as pd
+
+    from ..text import pii_scrub
+
+    ds = _docs(sf_dir, ("doc_id", "text"))
+
+    def add_pii(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"], dtype=np.int64)
+        s = pd.Series(np.asarray(b["text"]).astype(object))
+        ds_ = pd.Series(d.astype(str))
+        email = " reach user" + ds_ + "@example.com"
+        ip = np.where(
+            d % 2 == 0,
+            (" or 10." + pd.Series((d % 256).astype(str)) + ".0."
+             + pd.Series((d % 100).astype(str))).to_numpy(dtype=object),
+            "",
+        )
+        phone = np.where(
+            d % 3 == 0,
+            (" tel 555-" + pd.Series((100 + d % 900).astype(str)) + "-"
+             + pd.Series((1000 + d % 9000).astype(str))).to_numpy(dtype=object),
+            "",
+        )
+        t = (s + email + pd.Series(ip) + pd.Series(phone)).to_numpy(dtype=object)
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(t, pa.string())})
+
+    return ds.map_batches(add_pii, batch_format="pyarrow").map_batches(
+        pii_scrub, batch_format="pyarrow"
+    )
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition signals (text.repetition_stats): top-bigram
+    and duplicate-trigram fractions per doc, 6dp-rounded on both sides."""
+    from ..text import repetition_stats
+
+    ds = _docs(sf_dir, ("doc_id", "text"))
+    out = ds.map_batches(repetition_stats, batch_format="pyarrow")
+    out = out.select_columns(["doc_id", "top_bigram_frac", "dup_trigram_frac"])
+    return out.map_batches(
+        lambda b: round6(b, ["top_bigram_frac", "dup_trigram_frac"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_reproject(sf_dir: str):
     """EPSG:4326 -> EPSG:3035 coordinate reprojection (geom.proj.reproject,
     the engine's set_ref_proj parity point — reference base.py:215-220).
@@ -1037,6 +1087,8 @@ def queries():
         "cell_assign_offset": q_cell_assign_offset,
         "cell_hier": q_cell_hier,
         "hier_rollup": q_hier_rollup,
+        "pii_scrub": q_pii_scrub,
+        "repetition": q_repetition,
         "reproject": q_reproject,
         "reproject_webmerc": q_reproject_webmerc,
         "tiling_bounds": q_tiling_bounds,
@@ -1092,6 +1144,31 @@ def queries():
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
     }
+
+
+def _sql_pii_scrub() -> str:
+    from ..text import sql_pii_scrub
+
+    d = "CAST(doc_id AS VARCHAR)"
+    pii_text = (
+        f"text || ' reach user' || {d} || '@example.com' || "
+        f"CASE WHEN doc_id % 2 = 0 THEN ' or 10.' || CAST(doc_id % 256 AS VARCHAR) "
+        f"|| '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END || "
+        f"CASE WHEN doc_id % 3 = 0 THEN ' tel 555-' || CAST(100 + doc_id % 900 AS VARCHAR) "
+        f"|| '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END"
+    )
+    inner = f"SELECT doc_id, {pii_text} AS text FROM documents"
+    return sql_pii_scrub(source=f"({inner})")
+
+
+def _sql_repetition() -> str:
+    from ..text import sql_repetition_stats
+
+    inner = sql_repetition_stats(source="(SELECT doc_id, text FROM documents)")
+    return (
+        f"SELECT doc_id, ROUND(top_bigram_frac * 1e6) / 1e6 AS top_bigram_frac, "
+        f"ROUND(dup_trigram_frac * 1e6) / 1e6 AS dup_trigram_frac FROM ({inner})"
+    )
 
 
 def _sql_hier_codes_cte() -> str:
@@ -1258,6 +1335,8 @@ def oracle_sql():
         ),
         "cell_hier": _sql_cell_hier(),
         "hier_rollup": _sql_hier_rollup(),
+        "pii_scrub": _sql_pii_scrub(),
+        "repetition": _sql_repetition(),
         "reproject": _sql_reproject(),
         "reproject_webmerc": _sql_reproject_webmerc(),
         "tiling_bounds": (

@@ -90,6 +90,152 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+#: PII redaction patterns (RE2, no lookarounds — DuckDB runs them
+#: identically).  Applied in THIS order: emails first (their local parts
+#: can contain digits/dots), then IPs, then dash-formed phone numbers
+#: (dash vs dot keeps the two disjoint).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails / IPv4s / phone numbers in place (vectorized RE2
+    replace) and count each redaction kind per doc.  The standard
+    pre-training privacy pass; patterns and order are shared with the
+    DuckDB twin (:func:`sql_pii_scrub`)."""
+    t = batch[text_col]
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = pc.cast(pc.count_substring_regex(t, pat), pa.int64())
+        t = pc.replace_substring_regex(t, pat, repl)
+    i = batch.column_names.index(text_col)
+    out = batch.set_column(i, text_col, t)
+    for name, _, _ in PII_PATTERNS:
+        out = out.append_column(f"n_{name}", counts[name])
+    return out
+
+
+def sql_pii_scrub(source: str = "documents", text: str = "text") -> str:
+    """DuckDB twin of :func:`pii_scrub` — same patterns, same order."""
+    scrubbed = text
+    count_cols = []
+    for name, pat, repl in PII_PATTERNS:
+        count_cols.append(
+            f"len(regexp_extract_all({scrubbed}, '{pat}'))::BIGINT AS n_{name}"
+        )
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    others = f"* EXCLUDE ({text})"
+    return (
+        f"SELECT {others}, {scrubbed} AS {text}, {', '.join(count_cols)} "
+        f"FROM {source}"
+    )
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals, vectorized:
+
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigram instances (0 when < 1 bigram),
+    - ``dup_trigram_frac``: 1 - distinct/total word trigram instances.
+
+    High values mark boilerplate / template documents that repetition
+    filters drop before training.  Exact (no hashing): pandas hash
+    tables compare full strings.
+    """
+    import pandas as pd
+
+    t = batch[text_col]
+    la = pc.split_pattern_regex(t, r"\s+")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    flat = la.flatten()
+    lens = np.diff(la.offsets.to_numpy())
+    rid_all = np.repeat(np.arange(len(la), dtype=np.int64), lens)
+    keep = np.asarray(pc.fill_null(pc.not_equal(flat, ""), False))
+    flat = flat.filter(pa.array(keep))
+    rid = rid_all[keep]
+    n = batch.num_rows
+
+    def gram_stats(k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """per-doc (total, distinct, max_count) of word k-grams."""
+        m = len(flat) - (k - 1)
+        total = np.zeros(n, dtype=np.int64)
+        distinct = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        if m <= 0:
+            return total, distinct, top
+        shifted = [flat.slice(j, m) for j in range(k)]
+        grams = pc.binary_join_element_wise(*shifted, " ")
+        same = rid[:m] == rid[k - 1 :]
+        grams = grams.filter(pa.array(same))
+        grid = rid[:m][same]
+        if len(grid) == 0:
+            return total, distinct, top
+        df = pd.DataFrame({"rid": grid, "g": np.asarray(grams).astype(object)})
+        counts = df.groupby(["rid", "g"], sort=False).size()
+        per_doc = counts.groupby(level=0)
+        agg = per_doc.agg(["sum", "size", "max"])
+        idx = agg.index.to_numpy()
+        total[idx] = agg["sum"].to_numpy()
+        distinct[idx] = agg["size"].to_numpy()
+        top[idx] = agg["max"].to_numpy()
+        return total, distinct, top
+
+    tot2, _, top2 = gram_stats(2)
+    tot3, dis3, _ = gram_stats(3)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        top_bigram_frac = np.where(tot2 > 0, top2 / np.maximum(tot2, 1), 0.0)
+        dup_trigram_frac = np.where(
+            tot3 > 0, 1.0 - dis3 / np.maximum(tot3, 1), 0.0
+        )
+    return batch.append_column(
+        "top_bigram_frac", pa.array(top_bigram_frac)
+    ).append_column("dup_trigram_frac", pa.array(dup_trigram_frac))
+
+
+def sql_repetition_stats(source: str = "documents", text: str = "text") -> str:
+    """DuckDB twin of :func:`repetition_stats` — same tokenizer, same
+    join separator, same 0-for-empty convention."""
+
+    def tok_cte(alias: str) -> str:
+        return (
+            f"{alias} AS (SELECT doc_id, tok, ROW_NUMBER() OVER "
+            f"(PARTITION BY doc_id ORDER BY i) AS j FROM ("
+            f"SELECT doc_id, unnest(regexp_split_to_array({text}, '\\s+')) AS tok, "
+            f"generate_subscripts(regexp_split_to_array({text}, '\\s+'), 1) AS i "
+            f"FROM {source}) WHERE tok <> '')"
+        )
+
+    return f"""
+WITH {tok_cte('tk')},
+g2 AS (
+  SELECT t0.doc_id, t0.tok || ' ' || t1.tok AS g
+  FROM tk t0 JOIN tk t1 ON t1.doc_id = t0.doc_id AND t1.j = t0.j + 1
+),
+g3 AS (
+  SELECT t0.doc_id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS g
+  FROM tk t0 JOIN tk t1 ON t1.doc_id = t0.doc_id AND t1.j = t0.j + 1
+             JOIN tk t2 ON t2.doc_id = t0.doc_id AND t2.j = t0.j + 2
+),
+s2 AS (
+  SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_bigram_frac
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+s3 AS (
+  SELECT doc_id, 1.0 - COUNT(DISTINCT g)::DOUBLE / COUNT(*) AS dup_trigram_frac
+  FROM g3 GROUP BY doc_id
+)
+SELECT d.*, COALESCE(s2.top_bigram_frac, 0.0) AS top_bigram_frac,
+       COALESCE(s3.dup_trigram_frac, 0.0) AS dup_trigram_frac
+FROM {source} d
+LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+"""
+
+
 def sql_quality_score(source: str = "documents", text: str = "text") -> str:
     n_tok = f"len(regexp_extract_all({text}, '\\S+'))"
     n_chr = f"length({text})"

@@ -105,3 +105,53 @@ def test_simhash_pairs_near_misses(ray_session):
     assert got["id_b"].tolist() == ib.tolist()
     assert got["hamming"].tolist() == ham[ia, ib].tolist()
     assert (got["hamming"] > 0).any()  # the planted near-misses are caught
+
+
+def test_pii_scrub_known_answers():
+    import pyarrow as pa
+
+    from pygridmap_ray.text import pii_scrub
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail a.b+c@x-y.co.uk now",
+                "ip 192.168.0.1 and phone 555-123-4567 twice 555-000-1111",
+                "clean text with no pii at all",
+            ],
+        }
+    )
+    out = pii_scrub(t)
+    texts = out["text"].to_pylist()
+    assert texts[0] == "mail <EMAIL> now"
+    assert texts[1] == "ip <IP> and phone <PHONE> twice <PHONE>"
+    assert texts[2] == "clean text with no pii at all"
+    assert out["n_email"].to_pylist() == [1, 0, 0]
+    assert out["n_ip"].to_pylist() == [0, 1, 0]
+    assert out["n_phone"].to_pylist() == [0, 2, 0]
+
+
+def test_repetition_stats_known_answers():
+    import pyarrow as pa
+
+    from pygridmap_ray.text import repetition_stats
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                # bigrams: "a b","b a","a b","b a","a b" -> top 3/5
+                # trigrams: 4 total, "a b a","b a b" each twice -> dup 1-2/4
+                "a b a b a b",
+                "u v w x",  # all bigrams/trigrams distinct
+                "one",  # no bigrams at all
+            ],
+        }
+    )
+    out = repetition_stats(t)
+    tb = out["top_bigram_frac"].to_pylist()
+    dt = out["dup_trigram_frac"].to_pylist()
+    assert abs(tb[0] - 3 / 5) < 1e-12 and abs(dt[0] - 0.5) < 1e-12
+    assert tb[1] == 1 / 3 and dt[1] == 0.0
+    assert tb[2] == 0.0 and dt[2] == 0.0
