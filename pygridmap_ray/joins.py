@@ -209,6 +209,88 @@ def asof_join(
     )
 
 
+class _LookupKernel:
+    """Per-worker dimension-lookup kernel: a pandas Index over the
+    broadcast dimension key gives O(1) hash probes for any key dtype."""
+
+    def __init__(self, dim: "pa.Table | dict", on: str, key: str, how: str,
+                 value_cols: list[str] | None):
+        import ray
+
+        if isinstance(dim, dict) and "__ref__" in dim:
+            dim = ray.get(dim["__ref__"])
+        self.on, self.how = on, how
+        cols = value_cols or [c for c in dim.column_names if c != key]
+        self.idx = pd.Index(np.asarray(dim[key]))
+        if not self.idx.is_unique:
+            raise ValueError(f"dimension key {key!r} has duplicate values")
+        self.payload = {c: dim[c].combine_chunks() for c in cols}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pos = self.idx.get_indexer(np.asarray(batch[self.on]))
+        if self.how == "inner":
+            hit = pos >= 0
+            t = batch.filter(pa.array(hit))
+            take = pa.array(pos[hit].astype(np.int64))
+            for c, col in self.payload.items():
+                t = t.append_column(c, col.take(take))
+            return t
+        miss = pos < 0
+        take = pa.array(np.where(miss, 0, pos).astype(np.int64), mask=miss)
+        t = batch
+        for c, col in self.payload.items():
+            t = t.append_column(c, col.take(take))
+        return t
+
+
+def lookup_join(
+    ds,
+    dim: pa.Table,
+    *,
+    on: str,
+    key: str | None = None,
+    value_cols: list[str] | None = None,
+    how: str = "inner",
+    concurrency=None,
+):
+    """Broadcast equality join against a SMALL dimension table.
+
+    The canonical scale pattern for enriching a streaming fact table
+    (documents x language stats, points x region attributes, orders x
+    customer): the dimension goes to the object store ONCE (``ray.put``),
+    each worker builds a hash index once (`_cached_kernel`), and the probe
+    side streams — never an all-to-all shuffle join.  ``key`` defaults to
+    ``on``; the dimension key must be unique (validated at kernel build).
+    ``how='inner'`` drops misses, ``'left'`` keeps them with nulls.
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    key = key or on
+    if value_cols is not None:
+        dim = dim.select([key, *value_cols])
+    ref = {"__ref__": ray.put(dim)}
+    if concurrency is not None:
+        return ds.map_batches(
+            _LookupKernel,
+            batch_format="pyarrow",
+            fn_constructor_args=(ref, on, key, how, value_cols),
+            concurrency=concurrency,
+        )
+    from .spatial import _cached_kernel
+
+    ckey = f"lookup:{ref['__ref__'].hex()}:{on}:{key}:{how}"
+
+    def apply(batch: pa.Table) -> pa.Table:
+        kern = _cached_kernel(
+            ckey, ref, lambda d: _LookupKernel(d, on, key, how, value_cols)
+        )
+        return kern(batch)
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 class _IntervalKernel:
     """Per-worker probe kernel holding the broadcast interval table
     sorted by (by, start).  Intervals must be non-overlapping per key

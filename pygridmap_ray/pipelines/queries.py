@@ -134,6 +134,29 @@ def q_hier_rollup(sf_dir: str):
     return hier_rollup(ds, parent_level=HIER_PARENT, level=HIER_LEVEL)
 
 
+def q_customer_nation(sf_dir: str):
+    """Chained broadcast dimension lookups (joins.lookup_join): streaming
+    customer fact -> nation -> region, zero shuffle joins — the canonical
+    small-side enrichment shape at corpus scale."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..joins import lookup_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    out = lookup_join(cust, nation, on="c_nationkey", key="n_nationkey")
+    out = lookup_join(out, region, on="n_regionkey", key="r_regionkey")
+    return out.select_columns(["c_custkey", "c_name", "n_name", "r_name"])
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (text.pii_scrub): deterministic synthetic PII is
     appended per doc (email always; IP for even ids; phone for ids
@@ -1089,6 +1112,7 @@ def queries():
         "hier_rollup": q_hier_rollup,
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
+        "customer_nation": q_customer_nation,
         "reproject": q_reproject,
         "reproject_webmerc": q_reproject_webmerc,
         "tiling_bounds": q_tiling_bounds,
@@ -1337,6 +1361,11 @@ def oracle_sql():
         "hier_rollup": _sql_hier_rollup(),
         "pii_scrub": _sql_pii_scrub(),
         "repetition": _sql_repetition(),
+        "customer_nation": (
+            "SELECT c_custkey, c_name, n_name, r_name FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
         "reproject": _sql_reproject(),
         "reproject_webmerc": _sql_reproject_webmerc(),
         "tiling_bounds": (

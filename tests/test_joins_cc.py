@@ -283,3 +283,54 @@ def test_nearest_polygon_actor_pool_parity(ray_session):
     # interior points have distance exactly 0 and match the PIP join
     inside = a[a["dist"] == 0.0]
     assert len(inside) > 0
+
+
+def test_lookup_join_inner_left_and_dup_key(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from pygridmap_ray.joins import lookup_join
+
+    dim = pa.table({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    facts = rd.from_arrow(
+        pa.table({"fk": [3, 1, 9, 2, 1], "v": [10, 20, 30, 40, 50]})
+    ).repartition(2)
+
+    inner = lookup_join(facts, dim, on="fk", key="k").to_pandas()
+    inner = inner.sort_values("v").reset_index(drop=True)
+    assert inner["name"].tolist() == ["c", "a", "b", "a"]  # fk=9 dropped
+
+    left = lookup_join(facts, dim, on="fk", key="k", how="left").to_pandas()
+    left = left.sort_values("v").reset_index(drop=True)
+    assert left["name"].tolist()[:2] == ["c", "a"]
+    assert left["name"].isna().tolist() == [False, False, True, False, False]
+
+    dup = pa.table({"k": [1, 1], "name": ["x", "y"]})
+    with pytest.raises(Exception, match="duplicate"):
+        lookup_join(facts, dup, on="fk", key="k").to_pandas()
+
+
+def test_lookup_join_actor_pool_parity(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygridmap_ray.joins import lookup_join
+
+    rng = np.random.default_rng(5)
+    dim = pa.table(
+        {"k": np.arange(100, dtype=np.int64), "w": rng.uniform(size=100)}
+    )
+    facts = rd.from_arrow(
+        pa.table({"fk": rng.integers(0, 130, 500), "i": np.arange(500)})
+    ).repartition(4)
+    a = (
+        lookup_join(facts, dim, on="fk", key="k", how="left")
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    b = (
+        lookup_join(facts, dim, on="fk", key="k", how="left", concurrency=2)
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    assert a.equals(b)
