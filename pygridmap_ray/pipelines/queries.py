@@ -134,6 +134,28 @@ def q_hier_rollup(sf_dir: str):
     return hier_rollup(ds, parent_level=HIER_PARENT, level=HIER_LEVEL)
 
 
+#: stratified-sample keep rates (shared by the Ray query and SQL twin):
+#: downsample the dominant language, keep scarce ones, drop the rest
+STRAT_RATES = {"en": 0.25, "de": 0.9, "fr": 1.0}
+STRAT_DEFAULT = 0.5
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language downsampling (stats.stratified_sample):
+    content-stable hash cut per group, zero shuffle, rerun-invariant."""
+    import ray.data as rd
+
+    from ..stats import stratified_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return stratified_sample(
+        ds, key_col="doc_id", group_col="lang",
+        rates=STRAT_RATES, default_rate=STRAT_DEFAULT,
+    )
+
+
 def q_customer_nation(sf_dir: str):
     """Chained broadcast dimension lookups (joins.lookup_join): streaming
     customer fact -> nation -> region, zero shuffle joins — the canonical
@@ -1113,6 +1135,7 @@ def queries():
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "customer_nation": q_customer_nation,
+        "stratified_sample": q_stratified_sample,
         "reproject": q_reproject,
         "reproject_webmerc": q_reproject_webmerc,
         "tiling_bounds": q_tiling_bounds,
@@ -1168,6 +1191,16 @@ def queries():
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
     }
+
+
+def _sql_stratified_sample() -> str:
+    from ..stats import sql_stratified_sample
+
+    return sql_stratified_sample(
+        key_col="doc_id", group_col="lang",
+        rates=STRAT_RATES, default_rate=STRAT_DEFAULT,
+        source="(SELECT doc_id, lang, n_chars FROM documents)",
+    )
 
 
 def _sql_pii_scrub() -> str:
@@ -1366,6 +1399,7 @@ def oracle_sql():
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey"
         ),
+        "stratified_sample": _sql_stratified_sample(),
         "reproject": _sql_reproject(),
         "reproject_webmerc": _sql_reproject_webmerc(),
         "tiling_bounds": (

@@ -115,6 +115,75 @@ def split_by_hash(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds,
+    *,
+    key_col: str = "doc_id",
+    group_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+    salt: str = "",
+):
+    """Deterministic per-group downsampling (corpus rebalancing).
+
+    Each group gets its own keep-rate (e.g. upweight scarce languages by
+    downsampling dominant ones); a record survives iff its content-stable
+    hash (same md5 law as :func:`split_by_hash`) falls under its group's
+    cut.  Rerun/resume/partition invariant, zero shuffle — one stateless
+    vectorized filter stage.  Groups absent from ``rates`` use
+    ``default_rate`` (0 = drop).
+    """
+    rates = rates or {}
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+
+    def keep(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        keys = pc.cast(b[key_col], pa.string()).to_pylist()
+        h = np.fromiter(
+            (
+                int(hashlib.md5((k + salt).encode()).hexdigest()[:8], 16)
+                % 1_000_000
+                for k in keys
+            ),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        groups = np.asarray(pc.cast(b[group_col], pa.string())).astype(object)
+        cuts = np.fromiter(
+            (rates.get(g, default_rate) * 1_000_000.0 for g in groups),
+            dtype=np.float64,
+            count=len(groups),
+        )
+        return b.filter(pa.array(h < cuts))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_stratified_sample(
+    key_col: str = "doc_id",
+    group_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+    salt: str = "",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` — same hash law, same
+    strict-< cut comparison."""
+    rates = rates or {}
+    h = (
+        f"(('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '{salt}'), 1, 8))"
+        f"::BIGINT % 1000000)"
+    )
+    case = "CASE "
+    for g, r in rates.items():
+        case += f"WHEN {group_col} = '{g}' THEN {r * 1_000_000.0!r} "
+    case += f"ELSE {default_rate * 1_000_000.0!r} END"
+    return f"SELECT * FROM {source} WHERE {h} < ({case})"
+
+
 def sql_split_by_hash(
     key_col: str = "doc_id",
     splits: dict[str, float] | None = None,

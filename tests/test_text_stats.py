@@ -155,3 +155,59 @@ def test_repetition_stats_known_answers():
     assert abs(tb[0] - 3 / 5) < 1e-12 and abs(dt[0] - 0.5) < 1e-12
     assert tb[1] == 1 / 3 and dt[1] == 0.0
     assert tb[2] == 0.0 and dt[2] == 0.0
+
+
+def test_stratified_sample_law(ray_session):
+    """Keep decision is per-row deterministic: rate 1.0 keeps all, 0.0
+    drops all, and the kept subset for a mid rate is hash-stable (same
+    rows on rerun) and matches the DuckDB twin on the same table."""
+    import ray.data as rd
+
+    from pygridmap_ray.stats import sql_stratified_sample, stratified_sample
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(n)],
+            "lang": rng.choice(["en", "de", "xx"], n).tolist(),
+        }
+    )
+    rates = {"en": 0.3, "de": 1.0}
+    ds = rd.from_arrow(t)
+    got = (
+        stratified_sample(
+            ds, key_col="doc_id", group_col="lang", rates=rates, default_rate=0.0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = (
+        con.sql(
+            sql_stratified_sample(
+                key_col="doc_id", group_col="lang", rates=rates, default_rate=0.0
+            )
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    langs = set(got["lang"])
+    assert "xx" not in langs  # default 0.0 drops
+    n_de = int((np.asarray(t["lang"]) == "de").sum())
+    assert int((got["lang"] == "de").sum()) == n_de  # rate 1.0 keeps all
+    # rerun is identical (content-stable, no RNG)
+    again = (
+        stratified_sample(
+            rd.from_arrow(t), key_col="doc_id", group_col="lang",
+            rates=rates, default_rate=0.0,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
