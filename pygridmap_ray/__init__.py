@@ -56,6 +56,11 @@ def __getattr__(name):
         "checkpointed_write": ("pygridmap_ray.state", "checkpointed_write"),
         "asof_join": ("pygridmap_ray.joins", "asof_join"),
         "interval_join": ("pygridmap_ray.joins", "interval_join"),
+        "lookup_join": ("pygridmap_ray.joins", "lookup_join"),
+        "semi_join": ("pygridmap_ray.joins", "semi_join"),
+        "bloom_build": ("pygridmap_ray.joins", "bloom_build"),
+        "bloom_prefilter": ("pygridmap_ray.joins", "bloom_prefilter"),
+        "stratified_sample": ("pygridmap_ray.stats", "stratified_sample"),
         "connected_components": ("pygridmap_ray.dedup", "connected_components"),
         "neardup_dedup": ("pygridmap_ray.dedup", "neardup_dedup"),
         "top_ngrams": ("pygridmap_ray.text", "top_ngrams"),

@@ -408,3 +408,165 @@ def interval_join(
         return kern(batch)
 
     return points.map_batches(apply, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Broadcast semi/anti join + distributed bloom prefilter
+# ---------------------------------------------------------------------------
+
+
+class _MembershipKernel:
+    """Per-worker exact-membership kernel: a pandas Index over the
+    broadcast DISTINCT key array gives O(1) probes for any key dtype."""
+
+    def __init__(self, keys, on: str, anti: bool):
+        import ray
+
+        if isinstance(keys, dict) and "__ref__" in keys:
+            keys = ray.get(keys["__ref__"])
+        self.idx = pd.Index(keys)
+        self.on, self.anti = on, anti
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hit = self.idx.get_indexer(np.asarray(batch[self.on])) >= 0
+        return batch.filter(pa.array(~hit if self.anti else hit))
+
+
+def distinct_keys(right, key: str) -> np.ndarray:
+    """Collect the DISTINCT values of one column to the driver.
+
+    Per-batch ``pc.unique`` partials stream back, so the driver holds only
+    the distinct set (the build-side contract of every broadcast join:
+    distinct keys fit in memory, raw rows need not)."""
+    parts = right.map_batches(
+        lambda b: pa.table({key: pc.unique(b[key])}), batch_format="pyarrow"
+    )
+    arrs = [
+        np.asarray(b[key])
+        for b in parts.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not arrs:
+        return np.array([], dtype=object)
+    return np.unique(np.concatenate(arrs))
+
+
+def semi_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    concurrency=None,
+):
+    """Exact broadcast semi/anti join: keep left rows whose ``on`` value
+    does (``anti=False``) or does not (``anti=True``) appear among the
+    right side's ``right_on`` values.
+
+    The scale pattern for "filter a 100 TB fact table by a key set": the
+    right side reduces to its DISTINCT keys (streamed, deduped per
+    batch), the key array ships to the object store ONCE, and the left
+    side streams through a stateless membership filter — no shuffle, no
+    row amplification.  For a right side whose distinct keys exceed
+    worker memory, run :func:`bloom_prefilter` first and finish with a
+    partitioned hash join on the survivors.
+
+    ``right`` may be a Dataset (distinct keys collected) or a numpy
+    array / list of precollected keys.
+    """
+    import ray
+
+    right_on = right_on or on
+    keys = right if isinstance(right, (np.ndarray, list)) else distinct_keys(
+        right, right_on
+    )
+    ref = {"__ref__": ray.put(np.asarray(keys))}
+    if concurrency is not None:
+        return left.map_batches(
+            _MembershipKernel,
+            batch_format="pyarrow",
+            fn_constructor_args=(ref, on, anti),
+            concurrency=concurrency,
+        )
+    from .spatial import _cached_kernel
+
+    ckey = f"semi:{ref['__ref__'].hex()}:{on}:{anti}"
+
+    def apply(batch: pa.Table) -> pa.Table:
+        kern = _cached_kernel(ckey, ref, lambda k: _MembershipKernel(k, on, anti))
+        return kern(batch)
+
+    return left.map_batches(apply, batch_format="pyarrow")
+
+
+def _bloom_positions(vals: np.ndarray, num_bits: int, num_hashes: int):
+    """k bit positions per value via double hashing.  ``pd.util.hash_array``
+    vectorizes any dtype; stability is only needed WITHIN a run (the bloom
+    is built and probed in the same job, never persisted)."""
+    h1 = pd.util.hash_array(vals, hash_key="0123456789123456").astype(np.uint64)
+    # splitmix64 finalizer as the second, independent hash
+    z = h1 + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)  # odd -> full-period stride
+    m = np.uint64(num_bits)
+    return [((h1 + np.uint64(j) * h2) % m).astype(np.int64) for j in range(num_hashes)]
+
+
+def bloom_build(right, key: str, *, num_bits: int = 1 << 20, num_hashes: int = 4):
+    """Distributed bloom-filter build over one column: each batch emits a
+    partial bitmap (a single bytes row), partials OR together on the
+    driver.  Driver traffic is ``num_blocks x num_bits/8`` bytes — size
+    ``num_bits`` to ~10 bits per expected distinct key; for extreme block
+    counts insert a ``repartition`` tree before collecting.
+
+    Returns ``{"bits": ref, "num_bits": m, "num_hashes": k}`` ready for
+    :func:`bloom_prefilter`."""
+    import ray
+
+    if num_bits % 8:
+        raise ValueError("num_bits must be a multiple of 8")
+
+    def partial(b: pa.Table) -> pa.Table:
+        bits = np.zeros(num_bits // 8, dtype=np.uint8)
+        if b.num_rows:
+            vals = np.asarray(pc.unique(b[key]))
+            for pos in _bloom_positions(vals, num_bits, num_hashes):
+                np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    bits = np.zeros(num_bits // 8, dtype=np.uint8)
+    parts = right.map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for buf in b["bits"].to_pylist():
+            bits |= np.frombuffer(buf, dtype=np.uint8)
+    return {
+        "bits": ray.put(bits),
+        "num_bits": num_bits,
+        "num_hashes": num_hashes,
+    }
+
+
+def bloom_prefilter(ds, bloom: dict, on: str):
+    """Approximate semi-join prefilter: keeps every row whose key IS in
+    the build set (no false negatives) plus a bounded false-positive
+    fraction — the cheap first stage before an exact partitioned join
+    when the build side's distinct keys exceed worker memory."""
+    from .spatial import _cached_kernel
+
+    num_bits, num_hashes = bloom["num_bits"], bloom["num_hashes"]
+    ref = {"__ref__": bloom["bits"]}
+    ckey = f"bloom:{bloom['bits'].hex()}"
+
+    def apply(batch: pa.Table) -> pa.Table:
+        bits = _cached_kernel(ckey, ref, lambda b: b)
+        if not batch.num_rows:
+            return batch
+        vals = np.asarray(batch[on])
+        keep = np.ones(len(vals), dtype=bool)
+        for pos in _bloom_positions(vals, num_bits, num_hashes):
+            keep &= (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -179,6 +179,78 @@ def q_customer_nation(sf_dir: str):
     return out.select_columns(["c_custkey", "c_name", "n_name", "r_name"])
 
 
+#: semi/anti-join threshold (shared by the Ray query and SQL twin):
+#: "high-value orders" = o_totalprice above this literal
+SEMI_PRICE_CUT = 350000.0
+
+
+def _q_semi_anti(sf_dir: str, anti: bool):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..joins import bloom_build, bloom_prefilter, semi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).filter(expr=f"o_totalprice > {SEMI_PRICE_CUT!r}")
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    if not anti:
+        # scale composition: cheap approximate bloom prefilter first (no
+        # false negatives), exact broadcast membership on the survivors
+        bloom = bloom_build(orders, "o_orderkey", num_bits=1 << 17)
+        line = bloom_prefilter(line, bloom, on="l_orderkey")
+    out = semi_join(line, orders, on="l_orderkey", right_on="o_orderkey", anti=anti)
+
+    def partial(b: pa.Table) -> pa.Table:
+        # per-batch combiner: one row per (order, batch) enters the shuffle
+        keys = np.asarray(b["l_orderkey"], dtype=np.int64)
+        if not len(keys):
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "sum_qty": pa.array([], pa.float64()),
+                }
+            )
+        qty = np.asarray(b["l_quantity"], dtype=np.float64)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+        sizes = np.diff(np.append(starts, len(ks)))
+        return pa.table(
+            {
+                "l_orderkey": ks[starts],
+                "n_lines": sizes.astype(np.int64),
+                "sum_qty": np.add.reduceat(qty[order], starts),
+            }
+        )
+
+    return (
+        out.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("sum_qty", alias_name="sum_qty"),
+        )
+    )
+
+
+def q_semi_join(sf_dir: str):
+    """Broadcast semi join (joins.semi_join) behind a distributed bloom
+    prefilter (joins.bloom_build/bloom_prefilter): lineitem rows kept iff
+    their order is high-value; per-order line count + quantity sum."""
+    return _q_semi_anti(sf_dir, anti=False)
+
+
+def q_anti_join(sf_dir: str):
+    """Broadcast anti join: lineitem rows whose order is NOT high-value
+    (exact membership — bloom cannot front an anti join, its false
+    positives would drop valid rows)."""
+    return _q_semi_anti(sf_dir, anti=True)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (text.pii_scrub): deterministic synthetic PII is
     appended per doc (email always; IP for even ids; phone for ids
@@ -1136,6 +1208,8 @@ def queries():
         "repetition": q_repetition,
         "customer_nation": q_customer_nation,
         "stratified_sample": q_stratified_sample,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
         "reproject": q_reproject,
         "reproject_webmerc": q_reproject_webmerc,
         "tiling_bounds": q_tiling_bounds,
@@ -1400,6 +1474,16 @@ def oracle_sql():
             "JOIN region ON n_regionkey = r_regionkey"
         ),
         "stratified_sample": _sql_stratified_sample(),
+        "semi_join": (
+            "SELECT l_orderkey, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty "
+            "FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            f"WHERE o_totalprice > {SEMI_PRICE_CUT!r}) GROUP BY l_orderkey"
+        ),
+        "anti_join": (
+            "SELECT l_orderkey, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty "
+            "FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders "
+            f"WHERE o_totalprice > {SEMI_PRICE_CUT!r}) GROUP BY l_orderkey"
+        ),
         "reproject": _sql_reproject(),
         "reproject_webmerc": _sql_reproject_webmerc(),
         "tiling_bounds": (

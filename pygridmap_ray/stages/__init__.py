@@ -1,7 +1,14 @@
 """Stage kernels (map_batches bodies / actor classes) by pipeline role."""
 
 from ..gridding import EmitCells, emit_tile_cells, make_grid  # noqa: F401
-from ..joins import asof_join, interval_join  # noqa: F401
+from ..joins import (  # noqa: F401
+    asof_join,
+    bloom_build,
+    bloom_prefilter,
+    interval_join,
+    lookup_join,
+    semi_join,
+)
 from ..multimodal import (  # noqa: F401
     ImageResizer,
     MediaDecoder,

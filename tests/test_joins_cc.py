@@ -334,3 +334,66 @@ def test_lookup_join_actor_pool_parity(ray_session):
         .to_pandas().sort_values("i").reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_semi_anti_partition_and_duckdb_parity(ray_session):
+    """semi + anti partition the left side exactly; both match DuckDB
+    IN / NOT IN on the same data; string keys probe via the same kernel."""
+    import duckdb
+    import ray.data as rd
+
+    from pygridmap_ray.joins import semi_join
+
+    rng = np.random.default_rng(11)
+    left = pa.table(
+        {
+            "k": rng.integers(0, 50, 300),
+            "v": rng.normal(size=300),
+        }
+    )
+    right = pa.table({"rk": rng.integers(25, 60, 40)})
+    lds = rd.from_arrow(left)
+    rds = rd.from_arrow(right)
+    got_s = semi_join(lds, rds, on="k", right_on="rk").to_pandas()
+    got_a = semi_join(lds, rds, on="k", right_on="rk", anti=True).to_pandas()
+    assert len(got_s) + len(got_a) == len(left)
+    assert set(got_s["v"]).isdisjoint(set(got_a["v"]))
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp_s = con.sql("SELECT * FROM l WHERE k IN (SELECT rk FROM r)").df()
+    exp_a = con.sql("SELECT * FROM l WHERE k NOT IN (SELECT rk FROM r)").df()
+    for got, exp in ((got_s, exp_s), (got_a, exp_a)):
+        g = got.sort_values(["k", "v"]).reset_index(drop=True)
+        x = exp.sort_values(["k", "v"]).reset_index(drop=True)
+        assert g.equals(x)
+    # string keys + precollected array form + actor pool
+    lstr = rd.from_arrow(pa.table({"k": ["a", "b", "c", "d", "a"]}))
+    out = semi_join(
+        lstr, np.array(["a", "d"], dtype=object), on="k", concurrency=2
+    ).to_pandas()
+    assert sorted(out["k"]) == ["a", "a", "d"]
+
+
+def test_bloom_prefilter_superset_and_fp_rate(ray_session):
+    """Bloom keeps EVERY true member (no false negatives) and the false
+    positive fraction stays near the theoretical rate for the sizing."""
+    import ray.data as rd
+
+    from pygridmap_ray.joins import bloom_build, bloom_prefilter
+
+    rng = np.random.default_rng(3)
+    members = rng.choice(10**9, 2000, replace=False)
+    non_members = np.setdiff1d(
+        rng.choice(10**9, 20000, replace=False), members
+    )
+    build = rd.from_arrow(pa.table({"k": members})).repartition(4)
+    bloom = bloom_build(build, "k", num_bits=1 << 15, num_hashes=4)
+    probe = rd.from_arrow(
+        pa.table({"k": np.concatenate([members, non_members])})
+    ).repartition(3)
+    kept = set(bloom_prefilter(probe, bloom, on="k").to_pandas()["k"])
+    assert set(members) <= kept  # no false negatives, ever
+    fp = (len(kept) - len(members)) / len(non_members)
+    # m/n = 16.4 bits/key, k=4 -> p ~ (1-e^(-4/16.4))^4 ~ 0.0023
+    assert fp < 0.01, fp
