@@ -1049,6 +1049,19 @@ def q_media_frames(sf_dir: str):
     return _media_rows_ds(sf_dir).map_batches(frame_sample, batch_format="pyarrow")
 
 
+def q_events_rolling(sf_dir: str):
+    """Keyed rolling-window aggregates (stats.rolling_aggregate)."""
+    from .relational import events_rolling
+
+    return events_rolling(sf_dir)
+
+
+def _sql_events_rolling() -> str:
+    from .relational import sql_events_rolling
+
+    return sql_events_rolling()
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping (sliding) 1h/15min windows per event_type."""
     from .relational import events_hopping_window
@@ -1259,6 +1272,7 @@ def queries():
         "media_frames": q_media_frames,
         "events_window": q_events_window,
         "events_hopping": q_events_hopping,
+        "events_rolling": q_events_rolling,
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
         "events_sessionize": q_events_sessionize,
@@ -1594,6 +1608,7 @@ def oracle_sql():
         "media_frames": _sql_media_frames(),
         "events_window": _sql_events_window(),
         "events_hopping": _sql_events_hopping(),
+        "events_rolling": _sql_events_rolling(),
         "events_asof": _sql_events_asof(),
         "events_interval": _sql_events_interval(),
         "events_sessionize": _sql_events_sessionize(),

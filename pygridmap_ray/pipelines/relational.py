@@ -287,3 +287,40 @@ SELECT event_type,
 FROM events, (SELECT UNNEST(generate_series(0, {m - 1})) AS j) j
 GROUP BY event_type, win
 """
+
+
+ROLL_WINDOW = 4  #: rolling frame = 3 PRECEDING .. CURRENT (shared with SQL)
+
+
+def events_rolling(sf_dir: str):
+    """Per-user moving sum/mean/min/max over the last ROLL_WINDOW events
+    (stats.rolling_aggregate): ONE bucketed shuffle + vectorized
+    prefix-sum sliding reductions, never per-key Python."""
+    import ray.data as rd
+
+    from ..stats import rolling_aggregate
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return rolling_aggregate(
+        ds,
+        key_col="user_id",
+        order_cols=("ts", "event_id"),
+        value_col="value",
+        window=ROLL_WINDOW,
+    )
+
+
+def sql_events_rolling() -> str:
+    from ..stats import sql_rolling_aggregate
+
+    return sql_rolling_aggregate(
+        key_col="user_id",
+        order_by="ts, event_id",
+        value_col="value",
+        window=ROLL_WINDOW,
+        source="events",
+        select="event_id, ts, user_id, value",
+    )

@@ -204,3 +204,133 @@ def sql_split_by_hash(
         case += f"WHEN {h} < {cut!r} THEN '{name}' "
     case += f"ELSE '{names[-1]}' END"
     return f"SELECT *, {case} AS split FROM {source}"
+
+
+# ---------------------------------------------------------------------------
+# Rolling (keyed, ordered) window aggregates
+# ---------------------------------------------------------------------------
+
+
+def rolling_aggregate(
+    ds,
+    *,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    window: int,
+    num_buckets: int = 64,
+    round_to: int | None = 6,
+):
+    """Per-key moving-window aggregates over ROWS ``window-1`` PRECEDING
+    .. CURRENT (SQL's ``SUM(v) OVER (PARTITION BY key ORDER BY ...
+    ROWS BETWEEN n PRECEDING AND CURRENT ROW)``), with skip-null
+    sum/mean/min/max/count semantics matching SQL window aggregates.
+
+    One hash shuffle: rows bucket by ``hash(key) % num_buckets`` (bounded
+    group count independent of key cardinality — the repo's coarse-group
+    rule), each bucket resolves with ONE lexsort + prefix-sum sliding
+    reductions (no per-key Python).  Assumes one key's rows fit in a
+    worker, like any keyed window; a hot key degrades to its own volume.
+
+    ``order_cols`` must make the order within a key total (append a
+    unique id as the last tiebreak) or results are nondeterministic.
+    ``round_to`` applies half-away rounding to sum/mean on BOTH this and
+    the SQL side (:func:`sql_rolling_aggregate`) so summation-order ulp
+    noise cannot flip the comparison; min/max/count are exact selections
+    and pass through unrounded.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from .joins import _bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b", pa.array(_bucket_of(np.asarray(b[key_col]), num_buckets))
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            return g
+        keys = np.asarray(g[key_col])
+        order_arrs = []
+        for c in order_cols:
+            col = g[c]
+            if pa.types.is_timestamp(col.type):
+                col = pc.cast(col, pa.int64())
+            order_arrs.append(np.asarray(col))
+        # lexsort: last key most significant -> (key, *order_cols)
+        order = np.lexsort((*reversed(order_arrs), keys))
+        vcol = g[value_col]
+        null_mask = np.asarray(pc.is_null(vcol).combine_chunks())[order]
+        v = np.asarray(pc.fill_null(pc.cast(vcol, pa.float64()), 0.0))[order]
+        valid = ~null_mask
+        ks = keys[order]
+        idx = np.arange(n)
+        newk = np.r_[True, ks[1:] != ks[:-1]]
+        seg_start = idx[newk][np.cumsum(newk) - 1]
+        win_start = np.maximum(seg_start, idx - window + 1)
+        psum = np.concatenate([[0.0], np.cumsum(np.where(valid, v, 0.0))])
+        pcnt = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        rsum = psum[idx + 1] - psum[win_start]
+        rcnt = pcnt[idx + 1] - pcnt[win_start]
+        lo = np.where(valid, v, np.inf)
+        hi = np.where(valid, v, -np.inf)
+        rmin = lo.copy()
+        rmax = hi.copy()
+        for j in range(1, window):
+            src = idx - j
+            ok = src >= win_start
+            np.minimum(rmin, np.where(ok, lo[np.maximum(src, 0)], np.inf), out=rmin)
+            np.maximum(rmax, np.where(ok, hi[np.maximum(src, 0)], -np.inf), out=rmax)
+        empty = rcnt == 0
+        rmean = rsum / np.maximum(rcnt, 1)
+        if round_to is not None:
+            tol = 10.0**round_to
+            rsum = np.sign(rsum) * np.floor(np.abs(rsum) * tol + 0.5) / tol
+            rmean = np.sign(rmean) * np.floor(np.abs(rmean) * tol + 0.5) / tol
+        out = g.take(pa.array(order.astype(np.int64)))
+        out = out.append_column("roll_sum", pa.array(rsum, mask=empty))
+        out = out.append_column("roll_mean", pa.array(rmean, mask=empty))
+        out = out.append_column("roll_min", pa.array(rmin, mask=empty))
+        out = out.append_column("roll_max", pa.array(rmax, mask=empty))
+        return out.append_column("roll_n", pa.array(rcnt))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def sql_rolling_aggregate(
+    *,
+    key_col: str,
+    order_by: str,
+    value_col: str,
+    window: int,
+    source: str = "events",
+    select: str = "*",
+    round_to: int | None = 6,
+) -> str:
+    """DuckDB twin of :func:`rolling_aggregate` (same frame, same
+    skip-null law, same half-away rounding of sum/mean)."""
+    w = (
+        f"(PARTITION BY {key_col} ORDER BY {order_by} "
+        f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)"
+    )
+    s, m = f"SUM({value_col}) OVER w", f"COUNT({value_col}) OVER w"
+    if round_to is not None:
+        tol = f"1e{round_to}"
+        rsum = f"ROUND(({s}) * {tol}) / {tol}"
+        rmean = f"ROUND(({s} / ({m})) * {tol}) / {tol}"
+    else:
+        rsum, rmean = s, f"{s} / ({m})"
+    return (
+        f"SELECT {select}, {rsum} AS roll_sum, {rmean} AS roll_mean, "
+        f"MIN({value_col}) OVER w AS roll_min, "
+        f"MAX({value_col}) OVER w AS roll_max, "
+        f"({m})::BIGINT AS roll_n "
+        f"FROM {source} WINDOW w AS {w}"
+    )

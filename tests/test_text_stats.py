@@ -211,3 +211,72 @@ def test_stratified_sample_law(ray_session):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_rolling_aggregate_law_vs_duckdb(ray_session):
+    """Random keys/values with NULLS and duplicate order keys broken by a
+    unique id: sum/mean/min/max/count must match DuckDB's window frame
+    exactly (after the shared half-away rounding of sum/mean)."""
+    import ray.data as rd
+
+    from pygridmap_ray.stats import rolling_aggregate, sql_rolling_aggregate
+
+    rng = np.random.default_rng(42)
+    n = 600
+    vals = rng.normal(scale=50, size=n).round(3)
+    vals[rng.random(n) < 0.15] = np.nan
+    t = pa.table(
+        {
+            "rid": np.arange(n),
+            "k": rng.integers(0, 12, n),
+            "o": rng.integers(0, 40, n),  # heavy order-key ties
+            "v": pa.array(vals, from_pandas=True),  # NaN -> null
+        }
+    )
+    got = (
+        rolling_aggregate(
+            rd.from_arrow(t).repartition(5),
+            key_col="k",
+            order_cols=("o", "rid"),
+            value_col="v",
+            window=3,
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = (
+        con.sql(
+            sql_rolling_aggregate(
+                key_col="k",
+                order_by="o, rid",
+                value_col="v",
+                window=3,
+                select="rid, k, o, v",
+            )
+        )
+        .df()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    pd_cols = ["roll_sum", "roll_mean", "roll_min", "roll_max", "roll_n"]
+    for c in pd_cols:
+        a, b = got[c].to_numpy(float), exp[c].to_numpy(float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+    # window=1 degenerates to the row itself
+    w1 = (
+        rolling_aggregate(
+            rd.from_arrow(t), key_col="k", order_cols=("o", "rid"),
+            value_col="v", window=1,
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    vv = pd.Series(vals)
+    assert ((w1["roll_min"] == vv.round(3)) | vv.isna()).all()
+    assert (w1["roll_n"] == (~vv.isna()).astype(int)).all()
