@@ -251,6 +251,34 @@ def q_anti_join(sf_dir: str):
     return _q_semi_anti(sf_dir, anti=True)
 
 
+def q_moments(sf_dir: str):
+    """Grouped second moments (stats.grouped_moments): per returnflag
+    discount variance/stddev + discount-quantity correlation, combinable
+    partials -> tiny groupby -> vectorized finish."""
+    import ray.data as rd
+
+    from ..stats import grouped_moments
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_discount", "l_quantity"],
+    )
+    return grouped_moments(
+        ds, group_col="l_returnflag", x_col="l_discount", y_col="l_quantity"
+    )
+
+
+def _sql_moments() -> str:
+    from ..stats import sql_grouped_moments
+
+    return sql_grouped_moments(
+        group_col="l_returnflag",
+        x_col="l_discount",
+        y_col="l_quantity",
+        source="lineitem",
+    )
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (text.pii_scrub): deterministic synthetic PII is
     appended per doc (email always; IP for even ids; phone for ids
@@ -1222,6 +1250,7 @@ def queries():
         "customer_nation": q_customer_nation,
         "stratified_sample": q_stratified_sample,
         "semi_join": q_semi_join,
+        "moments": q_moments,
         "anti_join": q_anti_join,
         "reproject": q_reproject,
         "reproject_webmerc": q_reproject_webmerc,
@@ -1488,6 +1517,7 @@ def oracle_sql():
             "JOIN region ON n_regionkey = r_regionkey"
         ),
         "stratified_sample": _sql_stratified_sample(),
+        "moments": _sql_moments(),
         "semi_join": (
             "SELECT l_orderkey, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty "
             "FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders "

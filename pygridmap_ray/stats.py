@@ -334,3 +334,168 @@ def sql_rolling_aggregate(
         f"({m})::BIGINT AS roll_n "
         f"FROM {source} WINDOW w AS {w}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped second moments: variance / stddev / correlation
+# ---------------------------------------------------------------------------
+
+
+def grouped_moments(
+    ds,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str | None = None,
+    round_to: int | None = 6,
+):
+    """Per-group VAR_SAMP/STDDEV_SAMP(x) (+ CORR(x, y)) as a two-phase
+    plan: per-batch moment partials (n, Σx, Σx² — and the PAIR moments
+    over rows where both x and y are non-null, SQL's CORR null law) ->
+    built-in Sum combine keyed by the low-cardinality group -> one
+    vectorized finish.  The shuffle moves one row per (group, batch); raw
+    rows never co-locate.
+
+    Two-pass cancellation note: Σx² − (Σx)²/n loses ~n·ulp(Σx²) — fine
+    for O(1)-magnitude columns at ``round_to=6``; shift/scale wide
+    columns first.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "g": [], "n_x": [], "sx": [], "sxx": [],
+            "n_p": [], "px": [], "py": [], "pxx": [], "pyy": [], "pxy": [],
+        }
+        if b.num_rows:
+            g = np.asarray(b[group_col]).astype(object)
+            x = np.asarray(
+                pc.fill_null(pc.cast(b[x_col], pa.float64()), np.nan)
+            )
+            vx = ~np.isnan(x)
+            if y_col is not None:
+                y = np.asarray(
+                    pc.fill_null(pc.cast(b[y_col], pa.float64()), np.nan)
+                )
+                vp = vx & ~np.isnan(y)
+            order = np.argsort(g, kind="stable")
+            gs = g[order]
+            starts = np.nonzero(np.r_[True, gs[1:] != gs[:-1]])[0]
+            seg = np.append(starts, len(gs))
+            xo = x[order]
+            vxo = vx[order]
+            xz = np.where(vxo, xo, 0.0)
+            cols["g"] = gs[starts].tolist()
+            cols["n_x"] = np.add.reduceat(vxo.astype(np.int64), starts)
+            cols["sx"] = np.add.reduceat(xz, starts)
+            cols["sxx"] = np.add.reduceat(xz * xz, starts)
+            if y_col is not None:
+                yo = y[order]
+                vpo = vp[order]
+                xp = np.where(vpo, xo, 0.0)
+                yp = np.where(vpo, yo, 0.0)
+                cols["n_p"] = np.add.reduceat(vpo.astype(np.int64), starts)
+                cols["px"] = np.add.reduceat(xp, starts)
+                cols["py"] = np.add.reduceat(yp, starts)
+                cols["pxx"] = np.add.reduceat(xp * xp, starts)
+                cols["pyy"] = np.add.reduceat(yp * yp, starts)
+                cols["pxy"] = np.add.reduceat(xp * yp, starts)
+            else:
+                z = np.zeros(len(starts))
+                for k in ("n_p", "px", "py", "pxx", "pyy", "pxy"):
+                    cols[k] = z
+        return pa.table(
+            {
+                group_col: pa.array(cols["g"], pa.string()),
+                "n_x": pa.array(np.asarray(cols["n_x"], np.int64)),
+                **{
+                    k: pa.array(np.asarray(cols[k], np.float64))
+                    for k in ("sx", "sxx", "px", "py", "pxx", "pyy", "pxy")
+                },
+                "n_p": pa.array(np.asarray(cols["n_p"], np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            *(
+                Sum(c, alias_name=c)
+                for c in ("n_x", "sx", "sxx", "n_p", "px", "py", "pxx", "pyy", "pxy")
+            )
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_x"], np.float64)
+        sx = np.asarray(b["sx"], np.float64)
+        sxx = np.asarray(b["sxx"], np.float64)
+        n1 = np.maximum(n, 1.0)
+        var = (sxx - sx * sx / n1) / np.maximum(n - 1.0, 1.0)
+        var = np.maximum(var, 0.0)  # clamp -ulp noise
+        sd = np.sqrt(var)
+        var_mask = n < 2
+        out = {
+            group_col: b[group_col],
+            "n_x": pc.cast(b["n_x"], pa.int64()),
+            "var_x": (var, var_mask),
+            "std_x": (sd, var_mask),
+        }
+        if y_col is not None:
+            np_ = np.asarray(b["n_p"], np.float64)
+            px = np.asarray(b["px"], np.float64)
+            py = np.asarray(b["py"], np.float64)
+            pxx = np.asarray(b["pxx"], np.float64)
+            pyy = np.asarray(b["pyy"], np.float64)
+            pxy = np.asarray(b["pxy"], np.float64)
+            npm = np.maximum(np_, 1.0)
+            cov = pxy - px * py / npm
+            dx = np.maximum(pxx - px * px / npm, 0.0)
+            dy = np.maximum(pyy - py * py / npm, 0.0)
+            den = np.sqrt(dx * dy)
+            corr = cov / np.where(den > 0, den, 1.0)
+            out["corr_xy"] = (corr, (np_ < 2) | (den == 0))
+        cols = {}
+        for k, v in out.items():
+            if isinstance(v, tuple):
+                vals, mask = v
+                if round_to is not None:
+                    tol = 10.0**round_to
+                    vals = np.sign(vals) * np.floor(np.abs(vals) * tol + 0.5) / tol
+                cols[k] = pa.array(vals, mask=mask)
+            else:
+                cols[k] = v
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_grouped_moments(
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str | None = None,
+    source: str = "lineitem",
+    round_to: int | None = 6,
+) -> str:
+    """DuckDB twin of :func:`grouped_moments` — same null laws (STDDEV
+    skips null x; CORR skips rows where either side is null), same
+    half-away rounding."""
+    tol = f"1e{round_to}" if round_to is not None else None
+
+    def r(e: str) -> str:
+        return f"ROUND(({e}) * {tol}) / {tol}" if tol else e
+
+    sel = [
+        group_col,
+        f"COUNT({x_col})::BIGINT AS n_x",
+        f"{r(f'VAR_SAMP({x_col})')} AS var_x",
+        f"{r(f'STDDEV_SAMP({x_col})')} AS std_x",
+    ]
+    if y_col is not None:
+        sel.append(f"{r(f'CORR({x_col}, {y_col})')} AS corr_xy")
+    return (
+        f"SELECT {', '.join(sel)} FROM {source} GROUP BY {group_col}"
+    )

@@ -280,3 +280,56 @@ def test_rolling_aggregate_law_vs_duckdb(ray_session):
     vv = pd.Series(vals)
     assert ((w1["roll_min"] == vv.round(3)) | vv.isna()).all()
     assert (w1["roll_n"] == (~vv.isna()).astype(int)).all()
+
+
+def test_grouped_moments_null_laws_vs_duckdb(ray_session):
+    """Nulls in x and y, a singleton group, and a zero-variance group:
+    var/std use x's null universe, corr uses the pairwise one, degenerate
+    groups go NULL — exactly DuckDB's laws."""
+    import ray.data as rd
+
+    from pygridmap_ray.stats import grouped_moments, sql_grouped_moments
+
+    rng = np.random.default_rng(9)
+    n = 500
+    x = rng.normal(size=n).round(4)
+    y = (2.5 * x + rng.normal(scale=0.3, size=n)).round(4)
+    x[rng.random(n) < 0.1] = np.nan
+    y[rng.random(n) < 0.1] = np.nan
+    g = rng.choice(["a", "b", "c"], n).astype(object)
+    # singleton group + zero-variance group
+    g = np.append(g, ["solo", "flat", "flat", "flat"])
+    x = np.append(x, [1.5, 2.0, 2.0, 2.0])
+    y = np.append(y, [0.5, 1.0, 2.0, 3.0])
+    t = pa.table(
+        {
+            "g": g,
+            "x": pa.array(x, from_pandas=True),
+            "y": pa.array(y, from_pandas=True),
+        }
+    )
+    got = (
+        grouped_moments(
+            rd.from_arrow(t).repartition(4), group_col="g", x_col="x", y_col="y"
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("lineitem", t)
+    exp = (
+        con.sql(sql_grouped_moments(group_col="g", x_col="x", y_col="y"))
+        .df()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert list(got["g"]) == list(exp["g"])
+    assert (got["n_x"].to_numpy() == exp["n_x"].to_numpy()).all()
+    for c in ("var_x", "std_x", "corr_xy"):
+        a, b = got[c].to_numpy(float), exp[c].to_numpy(float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), (c, a, b)
+    flat = got[got["g"] == "flat"].iloc[0]
+    assert flat["var_x"] == 0.0 and np.isnan(flat["corr_xy"])
+    solo = got[got["g"] == "solo"].iloc[0]
+    assert np.isnan(solo["var_x"])
