@@ -67,6 +67,7 @@ def __getattr__(name):
         "grouped_quantiles": ("pygridmap_ray.stats", "grouped_quantiles"),
         "rolling_aggregate": ("pygridmap_ray.stats", "rolling_aggregate"),
         "grouped_moments": ("pygridmap_ray.stats", "grouped_moments"),
+        "hll_distinct": ("pygridmap_ray.stats", "hll_distinct"),
         "reproject": ("pygridmap_ray.geom.proj", "reproject"),
         "set_ref_crs": ("pygridmap_ray.geom.proj", "set_ref_crs"),
         "with_hier_cells": ("pygridmap_ray.hier", "with_hier_cells"),

@@ -279,6 +279,29 @@ def _sql_moments() -> str:
     )
 
 
+def q_hll_distinct(sf_dir: str):
+    """Deterministic HyperLogLog approx COUNT(DISTINCT user) per event
+    type (stats.hll_distinct): batches reduce to register partials, the
+    shuffle carries registers (never keys), merge is elementwise Max —
+    and the estimate is bit-reproducible in SQL."""
+    import ray.data as rd
+
+    from ..stats import hll_distinct
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_distinct(ds, group_col="event_type", key_col="user_id")
+
+
+def _sql_hll_distinct() -> str:
+    from ..stats import sql_hll_distinct
+
+    return sql_hll_distinct(
+        group_col="event_type", key_col="user_id", source="events"
+    )
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (text.pii_scrub): deterministic synthetic PII is
     appended per doc (email always; IP for even ids; phone for ids
@@ -1251,6 +1274,7 @@ def queries():
         "stratified_sample": q_stratified_sample,
         "semi_join": q_semi_join,
         "moments": q_moments,
+        "hll_distinct": q_hll_distinct,
         "anti_join": q_anti_join,
         "reproject": q_reproject,
         "reproject_webmerc": q_reproject_webmerc,
@@ -1518,6 +1542,7 @@ def oracle_sql():
         ),
         "stratified_sample": _sql_stratified_sample(),
         "moments": _sql_moments(),
+        "hll_distinct": _sql_hll_distinct(),
         "semi_join": (
             "SELECT l_orderkey, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty "
             "FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders "

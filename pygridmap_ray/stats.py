@@ -499,3 +499,133 @@ def sql_grouped_moments(
     return (
         f"SELECT {', '.join(sel)} FROM {source} GROUP BY {group_col}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate count-distinct (deterministic HyperLogLog)
+# ---------------------------------------------------------------------------
+
+#: HLL geometry: p=6 -> 64 registers.  Small enough that the SQL twin can
+#: materialize the register grid, big enough for ~10% standard error —
+#: the LAW is what the oracle checks; production accuracy is a p knob.
+_HLL_P = 6
+_HLL_M = 1 << _HLL_P
+
+
+def hll_distinct(ds, *, group_col: str, key_col: str):
+    """Per-group approximate COUNT(DISTINCT key) via a DETERMINISTIC
+    HyperLogLog: h = 60-bit md5 prefix of the key string, register
+    ``j = h % m``, rank ``rho = leading zeros of the remaining 54 bits
+    + 1``; estimate = alpha_m * m^2 / sum(2^-M_j) with the standard
+    linear-counting small-range correction.
+
+    Everything is a pure function of the key bytes, so the result is
+    rerun/partition invariant AND reproducible in SQL
+    (:func:`sql_hll_distinct` — the oracle checks the exact estimate,
+    not a tolerance).  Scale shape: each batch reduces to <= m rows of
+    (group, register, max-rank); the shuffle carries registers, never
+    keys.  Register merge is elementwise max, the one aggregation that
+    is idempotent, commutative and associative — the canonical sketch.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Max
+
+    def partial(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "j": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        g = np.asarray(pc.cast(b[group_col], pa.string())).astype(object)
+        keys = pc.cast(b[key_col], pa.string()).to_pylist()
+        hv = np.fromiter(
+            (int(hashlib.md5(k.encode()).hexdigest()[:15], 16) for k in keys),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        j = hv & (_HLL_M - 1)
+        w = hv >> _HLL_P
+        # exact bit_length (float log2 mis-rounds within 1 ulp of 2^54)
+        bl = np.frompyfunc(int.bit_length, 1, 1)(w.astype(object)).astype(np.int64)
+        rho = (60 - _HLL_P) - bl + 1
+        df = pd.DataFrame({"g": g, "j": j, "rho": rho})
+        red = df.groupby(["g", "j"], sort=False)["rho"].max().reset_index()
+        return pa.table(
+            {
+                group_col: pa.array(red["g"], pa.string()),
+                "j": pa.array(red["j"].to_numpy(np.int64)),
+                "rho": pa.array(red["rho"].to_numpy(np.int64)),
+            }
+        )
+
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "j"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        name = g[group_col][0].as_py()
+        m = _HLL_M
+        M = np.zeros(m, dtype=np.int64)
+        M[np.asarray(g["j"], np.int64)] = np.asarray(g["rho"], np.int64)
+        denom = float(np.sum(1.0 / (1 << M).astype(np.float64)))
+        v = int(np.sum(M == 0))
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        raw = alpha * float(m * m) / denom
+        if raw <= 2.5 * m and v > 0:
+            est = float(m) * float(np.log(float(m) / v))
+        else:
+            est = raw
+        tol = 1e6
+        est = float(np.sign(est) * np.floor(abs(est) * tol + 0.5) / tol)
+        return pa.table({group_col: [name], "approx_distinct": [est]})
+
+    # group cardinality is low by contract (it keys the output report)
+    return regs.groupby(group_col).map_groups(finish, batch_format="pyarrow")
+
+
+def sql_hll_distinct(
+    *, group_col: str, key_col: str, source: str = "events"
+) -> str:
+    """DuckDB twin of :func:`hll_distinct`: identical hash, register,
+    and estimator arithmetic (exact power-of-two terms via ``1 << m``,
+    double-cast alpha expression, same rounding)."""
+    m, p = _HLL_M, _HLL_P
+    wbits = 60 - p
+    return f"""
+WITH h AS (
+  SELECT CAST({group_col} AS VARCHAR) AS g,
+         ('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM {source}
+), r AS (
+  SELECT g, hv % {m} AS j,
+         CASE WHEN hv // {m} = 0 THEN {wbits + 1}
+              ELSE {wbits + 1} - length(bin(hv // {m})) END AS rho
+  FROM h
+), regs AS (
+  SELECT g, j, MAX(rho) AS mj FROM r GROUP BY g, j
+), grid AS (
+  SELECT gg.g, gs.j FROM (SELECT DISTINCT g FROM regs) gg,
+       (SELECT unnest(range({m})) AS j) gs
+), filled AS (
+  SELECT grid.g, grid.j, COALESCE(regs.mj, 0) AS mj
+  FROM grid LEFT JOIN regs ON grid.g = regs.g AND grid.j = regs.j
+), est AS (
+  SELECT g, SUM(1.0::DOUBLE / (1::BIGINT << mj)) AS denom,
+         SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v
+  FROM filled GROUP BY g
+)
+SELECT g AS {group_col},
+  ROUND((CASE WHEN (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {m}))
+                   * {m * m}.0 / denom <= {2.5 * m}
+              AND v > 0
+         THEN {m}.0 * ln({m}.0 / v)
+         ELSE (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {m}))
+              * {m * m}.0 / denom END) * 1e6) / 1e6 AS approx_distinct
+FROM est
+"""

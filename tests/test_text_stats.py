@@ -333,3 +333,51 @@ def test_grouped_moments_null_laws_vs_duckdb(ray_session):
     assert flat["var_x"] == 0.0 and np.isnan(flat["corr_xy"])
     solo = got[got["g"] == "solo"].iloc[0]
     assert np.isnan(solo["var_x"])
+
+
+def test_hll_distinct_accuracy_and_invariance(ray_session):
+    """The estimate lands within the p=6 error envelope of the true
+    distinct count, is partition-invariant, and matches the SQL twin on
+    data with heavy duplication."""
+    import duckdb
+    import ray.data as rd
+
+    from pygridmap_ray.stats import hll_distinct, sql_hll_distinct
+
+    rng = np.random.default_rng(21)
+    t = pa.table(
+        {
+            "g": rng.choice(["big", "small"], 5000, p=[0.8, 0.2]).astype(object),
+            "k": rng.integers(0, 900, 5000),  # ~900 distinct in 'big'
+        }
+    )
+    got = (
+        hll_distinct(rd.from_arrow(t).repartition(7), group_col="g", key_col="k")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    again = (
+        hll_distinct(rd.from_arrow(t).repartition(2), group_col="g", key_col="k")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)  # sketch merge is partition-invariant
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = (
+        con.sql(sql_hll_distinct(group_col="g", key_col="k", source="events"))
+        .df()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert list(got["g"]) == list(exp["g"])
+    assert (got["approx_distinct"].to_numpy() == exp["approx_distinct"].to_numpy()).all()
+    true = (
+        con.sql("SELECT g, COUNT(DISTINCT k) AS d FROM events GROUP BY g ORDER BY g")
+        .df()["d"]
+        .to_numpy(float)
+    )
+    rel = np.abs(got["approx_distinct"].to_numpy() - true) / true
+    assert (rel < 0.35).all(), (got["approx_distinct"].to_numpy(), true)
