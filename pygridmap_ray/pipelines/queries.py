@@ -302,6 +302,26 @@ def _sql_hll_distinct() -> str:
     )
 
 
+def q_tfidf_pairs(sf_dir: str):
+    """TF-IDF cosine similarity pairs over a df-pruned inverted index
+    (tfidf.tfidf_pairs): bigram terms, stop-term cutoff at half the
+    corpus, threshold 0.35."""
+    import ray.data as rd
+
+    from ..tfidf import tfidf_pairs
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_pairs(docs, n=2, max_df_frac=0.5, threshold=0.35)
+
+
+def _sql_tfidf_pairs() -> str:
+    from ..tfidf import sql_tfidf_pairs
+
+    return sql_tfidf_pairs(n=2, max_df_frac=0.5, threshold=0.35)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (text.pii_scrub): deterministic synthetic PII is
     appended per doc (email always; IP for even ids; phone for ids
@@ -1275,6 +1295,7 @@ def queries():
         "semi_join": q_semi_join,
         "moments": q_moments,
         "hll_distinct": q_hll_distinct,
+        "tfidf_pairs": q_tfidf_pairs,
         "anti_join": q_anti_join,
         "reproject": q_reproject,
         "reproject_webmerc": q_reproject_webmerc,
@@ -1543,6 +1564,7 @@ def oracle_sql():
         "stratified_sample": _sql_stratified_sample(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),
+        "tfidf_pairs": _sql_tfidf_pairs(),
         "semi_join": (
             "SELECT l_orderkey, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty "
             "FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
