@@ -69,6 +69,7 @@ def __getattr__(name):
         "grouped_moments": ("pygridmap_ray.stats", "grouped_moments"),
         "hll_distinct": ("pygridmap_ray.stats", "hll_distinct"),
         "tfidf_pairs": ("pygridmap_ray.tfidf", "tfidf_pairs"),
+        "pagerank": ("pygridmap_ray.graph", "pagerank"),
         "reproject": ("pygridmap_ray.geom.proj", "reproject"),
         "set_ref_crs": ("pygridmap_ray.geom.proj", "set_ref_crs"),
         "with_hier_cells": ("pygridmap_ray.hier", "with_hier_cells"),

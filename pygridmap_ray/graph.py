@@ -1,0 +1,215 @@
+"""Iterative graph algorithms as materialized-state Ray Data loops.
+
+``pagerank`` runs the classic damped power iteration with a FIXED
+iteration count — the Pregel shape on Ray Data: edge weights
+(1/outdegree) compute once; each superstep is one hash join (rank state
+x edges on src) plus one coarse-bucketed vectorized sum per dst; the
+rank state (one row per node — always orders of magnitude smaller than
+the edge set) materializes between supersteps.  Nothing driver-side
+ever holds the graph.
+
+Determinism contract: every arithmetic step (weight = 1.0/deg, the
+``(1.0 - d)/n`` teleport term, the final ``pr * n`` scaling) is written
+the same way in :func:`sql_pagerank`'s unrolled CTEs, so the oracle
+compares exact rounded values, not a tolerance.  Summation order
+differs between engines; rank is scaled to mean 1 and rounded
+half-away at ``round_to`` so ulp noise cannot flip the compare.
+
+Assumes the edge list makes every node both a source and a target
+(e.g. undirected graphs doubled into both directions) — dangling-node
+mass redistribution is NOT implemented and such nodes would drop from
+the state after one superstep.  ``connected_components`` (dedup.py)
+covers the other classic iterative-graph need.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pagerank(
+    edges,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 5,
+    num_partitions: int | None = None,
+    round_to: int = 6,
+):
+    """Damped PageRank after exactly ``iters`` supersteps over a
+    deduplicated directed int64 edge Dataset.  Returns ``(v,
+    pr_scaled)`` with rank scaled to mean 1.0 and rounded half-away."""
+    import ray
+
+    from .tfidf import _coarse_sum
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+
+    def one(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(b[src], pa.int64()),
+                "dst": pc.cast(b[dst], pa.int64()),
+                "val": pa.nulls(b.num_rows, pa.float64()).fill_null(1.0),
+            }
+        )
+
+    tagged = edges.map_batches(one, batch_format="pyarrow")
+    deg = _coarse_sum(
+        tagged.map_batches(lambda b: b.select(["src", "val"]), batch_format="pyarrow"),
+        ["src"],
+    ).map_batches(
+        lambda b: pa.table({"src": b["src"], "deg": b["val"]}),
+        batch_format="pyarrow",
+    ).repartition(num_partitions)
+
+    wedges = (
+        tagged.select_columns(["src", "dst"])
+        .repartition(num_partitions)
+        .join(deg, "inner", num_partitions=num_partitions, on=("src",))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["src"],
+                    "dst": b["dst"],
+                    "wt": pc.divide(pa.scalar(1.0), pc.cast(b["deg"], pa.float64())),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # reused every superstep
+    )
+
+    n = deg.count()
+    nf = float(n)
+    teleport = (1.0 - damping) / nf
+
+    pr = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "v": b["src"],
+                "pr": pa.nulls(b.num_rows, pa.float64()).fill_null(1.0 / nf),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        state = pr.map_batches(
+            lambda b: pa.table({"src": b["v"], "pr": b["pr"]}),
+            batch_format="pyarrow",
+        ).repartition(num_partitions)
+        contrib = wedges.join(
+            state, "inner", num_partitions=num_partitions, on=("src",)
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "dst": b["dst"],
+                    "val": pc.multiply(b["pr"], b["wt"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        summed = _coarse_sum(contrib, ["dst"])
+        pr = summed.map_batches(
+            lambda b: pa.table(
+                {
+                    "v": b["dst"],
+                    "pr": pc.add(
+                        pa.scalar(teleport),
+                        pc.multiply(pa.scalar(damping), b["val"]),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    tol = 10.0**round_to
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["pr"], np.float64) * nf
+        s = np.sign(s) * np.floor(np.abs(s) * tol + 0.5) / tol
+        return pa.table({"v": b["v"], "pr_scaled": pa.array(s)})
+
+    return pr.map_batches(finish, batch_format="pyarrow")
+
+
+def bipartite_edges_sql(
+    *,
+    source: str = "lineitem",
+    left: str = "l_suppkey",
+    right: str = "l_partkey",
+) -> str:
+    """Shared edge law for the supplier<->part graph: distinct pairs,
+    namespaced into one int64 node space (left even, right odd), doubled
+    into both directions so no node dangles."""
+    return f"""
+  SELECT {left} * 2 AS src, {right} * 2 + 1 AS dst
+  FROM (SELECT DISTINCT {left}, {right} FROM {source})
+  UNION ALL
+  SELECT {right} * 2 + 1 AS src, {left} * 2 AS dst
+  FROM (SELECT DISTINCT {left}, {right} FROM {source})
+"""
+
+
+def sql_pagerank(
+    *,
+    edges_sql: str,
+    damping: float = 0.85,
+    iters: int = 5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the power iteration unrolled
+    into ``iters`` CTEs with identical arithmetic."""
+    d = repr(damping)
+    tol = f"1e{round_to}"
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src)",
+        "wedges AS (SELECT e.src, e.dst, 1.0 / deg.deg AS wt"
+        " FROM edges e JOIN deg ON deg.src = e.src)",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM deg)",
+        "pr0 AS (SELECT src AS v, 1.0 / (SELECT n FROM nn) AS pr FROM deg)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"pr{k} AS (SELECT w.dst AS v, (1.0 - {d}) / (SELECT n FROM nn)"
+            f" + {d} * SUM(p.pr * w.wt) AS pr"
+            f" FROM wedges w JOIN pr{k - 1} p ON p.v = w.src GROUP BY w.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT v, ROUND(pr * (SELECT n FROM nn)"
+        f" * {tol}) / {tol} AS pr_scaled FROM pr{iters}"
+    )
+
+
+def distinct_int_pairs(ds, a_col: str, b_col: str, *, num_buckets: int = 64):
+    """Global DISTINCT over an int pair column set: per-batch np.unique
+    partial on the packed 64-bit key -> coarse-bucket shuffle (all copies
+    of one pair share a bucket) -> per-bucket np.unique -> unpacked
+    ``(a, b)`` rows.  Requires both values < 2^31 (packed key layout)."""
+
+    def pack(b: pa.Table) -> pa.Table:
+        a = np.asarray(b[a_col], dtype=np.int64)
+        v = np.asarray(b[b_col], dtype=np.int64)
+        if len(a) and (a.max() >= (1 << 31) or v.max() >= (1 << 31) or a.min() < 0 or v.min() < 0):
+            raise ValueError("pair values must be in [0, 2^31)")
+        k = np.unique(a * (1 << 31) + v)
+        cg = ((k.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"k": pa.array(k), "__cg": pa.array(cg)})
+
+    def uniq(g):
+        import pandas as pd
+
+        k = np.unique(g["k"].to_numpy(np.int64))
+        return pd.DataFrame({a_col: k >> 31, b_col: k & ((1 << 31) - 1)})
+
+    return (
+        ds.map_batches(pack, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(uniq, batch_format="pandas")
+    )

@@ -322,6 +322,39 @@ def _sql_tfidf_pairs() -> str:
     return sql_tfidf_pairs(n=2, max_df_frac=0.5, threshold=0.35)
 
 
+def q_pagerank(sf_dir: str):
+    """Fixed-iteration PageRank (graph.pagerank) over the supplier<->part
+    bipartite graph: distinct edges via packed-key coarse dedup, 5 Pregel
+    supersteps of join + coarse-sum with materialized rank state."""
+    import ray.data as rd
+
+    from ..graph import distinct_int_pairs, pagerank
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    pairs = distinct_int_pairs(line, "l_suppkey", "l_partkey")
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["l_suppkey"], np.int64) * 2
+        p = np.asarray(b["l_partkey"], np.int64) * 2 + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, p])),
+                "dst": pa.array(np.concatenate([p, s])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    return pagerank(edges, iters=5)
+
+
+def _sql_pagerank() -> str:
+    from ..graph import bipartite_edges_sql, sql_pagerank
+
+    return sql_pagerank(edges_sql=bipartite_edges_sql(), iters=5)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (text.pii_scrub): deterministic synthetic PII is
     appended per doc (email always; IP for even ids; phone for ids
@@ -1296,6 +1329,7 @@ def queries():
         "moments": q_moments,
         "hll_distinct": q_hll_distinct,
         "tfidf_pairs": q_tfidf_pairs,
+        "pagerank": q_pagerank,
         "anti_join": q_anti_join,
         "reproject": q_reproject,
         "reproject_webmerc": q_reproject_webmerc,
@@ -1565,6 +1599,7 @@ def oracle_sql():
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),
         "tfidf_pairs": _sql_tfidf_pairs(),
+        "pagerank": _sql_pagerank(),
         "semi_join": (
             "SELECT l_orderkey, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty "
             "FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders "

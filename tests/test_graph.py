@@ -1,0 +1,56 @@
+"""graph.pagerank law checks: hand-computable star graph, mass
+conservation, and distinct_int_pairs dedup."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_pagerank_star_closed_form(ray_session):
+    """Undirected star (hub 0, leaves 1..4), d=0.85, 2 iterations —
+    closed form: after any iteration >= 1 every leaf has identical rank
+    and hub + 4*leaf = 5 (scaled mass conservation)."""
+    import ray.data as rd
+
+    from pygridmap_ray.graph import pagerank
+
+    hub = [(0, i) for i in range(1, 5)]
+    edges = pa.table(
+        {
+            "src": [a for a, b in hub] + [b for a, b in hub],
+            "dst": [b for a, b in hub] + [a for a, b in hub],
+        }
+    )
+    out = (
+        pagerank(rd.from_arrow(edges), iters=2, round_to=9)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    n, d = 5.0, 0.85
+    # iter1: hub = (1-d)/n + d*4*(1/n)/1 ; leaf = (1-d)/n + d*(1/n)/4
+    hub1 = (1 - d) / n + d * 4 / n
+    leaf1 = (1 - d) / n + d / (4 * n)
+    hub2 = (1 - d) / n + d * 4 * leaf1  # leaves have degree 1
+    leaf2 = (1 - d) / n + d * hub1 / 4
+    exp = np.array([hub2, leaf2, leaf2, leaf2, leaf2]) * n
+    assert np.allclose(out["pr_scaled"].to_numpy(), exp, atol=2e-9)
+    assert abs(out["pr_scaled"].sum() - n) < 1e-6  # mass conserved
+
+
+def test_distinct_int_pairs(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.graph import distinct_int_pairs
+
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 20, 2000)
+    b = rng.integers(0, 20, 2000)
+    t = pa.table({"x": a, "y": b})
+    got = (
+        distinct_int_pairs(rd.from_arrow(t).repartition(5), "x", "y")
+        .to_pandas()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    exp = sorted(set(zip(a.tolist(), b.tolist())))
+    assert list(map(tuple, got[["x", "y"]].values)) == exp
