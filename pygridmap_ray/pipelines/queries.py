@@ -186,22 +186,24 @@ SEMI_PRICE_CUT = 350000.0
 
 def _q_semi_anti(sf_dir: str, anti: bool):
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
-    from ..joins import bloom_build, bloom_prefilter, semi_join
+    from ..joins import bloom_build, bloom_prefilter, distinct_keys, semi_join
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     ).filter(expr=f"o_totalprice > {SEMI_PRICE_CUT!r}")
+    # ONE pass collects the distinct build keys; bloom + membership both
+    # derive from the array (no second read of the build side)
+    keys = distinct_keys(orders, "o_orderkey")
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
     )
     if not anti:
         # scale composition: cheap approximate bloom prefilter first (no
         # false negatives), exact broadcast membership on the survivors
-        bloom = bloom_build(orders, "o_orderkey", num_bits=1 << 17)
+        bloom = bloom_build(keys, "o_orderkey", num_bits=1 << 17)
         line = bloom_prefilter(line, bloom, on="l_orderkey")
-    out = semi_join(line, orders, on="l_orderkey", right_on="o_orderkey", anti=anti)
+    out = semi_join(line, keys, on="l_orderkey", anti=anti)
 
     def partial(b: pa.Table) -> pa.Table:
         # per-batch combiner: one row per (order, batch) enters the shuffle
@@ -227,13 +229,24 @@ def _q_semi_anti(sf_dir: str, anti: bool):
             }
         )
 
-    return (
-        out.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(
-            Sum("n_lines", alias_name="n_lines"),
-            Sum("sum_qty", alias_name="sum_qty"),
-        )
+    # coarse-bucket final (64 groups) — a fine groupby over ~1e5 order
+    # keys pays the per-group Ray aggregate cost (measured 4.3s at sf0.1)
+    from ..tfidf import _coarse_sum
+
+    summed = _coarse_sum(
+        out.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        ("n_lines", "sum_qty"),
+    )
+    return summed.map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "n_lines": pc.cast(b["n_lines"], pa.int64()),
+                "sum_qty": b["sum_qty"],
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -291,7 +304,9 @@ def q_hll_distinct(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
-    return hll_distinct(ds, group_col="event_type", key_col="user_id")
+    return hll_distinct(
+        ds, group_col="event_type", key_col="user_id", map_parallelism=16
+    )
 
 
 def _sql_hll_distinct() -> str:

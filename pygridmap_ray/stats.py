@@ -298,7 +298,11 @@ def rolling_aggregate(
         return out.append_column("roll_n", pa.array(rcnt))
 
     return (
+        # narrow inputs often arrive as 1-2 blocks; the groupby below is a
+        # sort shuffle whose MAP parallelism equals the block count —
+        # repartition first so it doesn't serialize on one task
         ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(max(16, num_buckets // 4))
         .groupby("__b")
         .map_groups(kernel, batch_format="pyarrow")
     )
@@ -377,10 +381,14 @@ def grouped_moments(
                     pc.fill_null(pc.cast(b[y_col], pa.float64()), np.nan)
                 )
                 vp = vx & ~np.isnan(y)
-            order = np.argsort(g, kind="stable")
-            gs = g[order]
-            starts = np.nonzero(np.r_[True, gs[1:] != gs[:-1]])[0]
-            seg = np.append(starts, len(gs))
+            # factorize -> integer sort (object-array argsort compares
+            # Python strings pairwise — the measured hot cost here)
+            codes, uniq_g = pd.factorize(g, sort=False)
+            order = np.argsort(codes, kind="stable")
+            gs_codes = codes[order]
+            starts = np.nonzero(np.r_[True, gs_codes[1:] != gs_codes[:-1]])[0]
+            gs = uniq_g.to_numpy() if hasattr(uniq_g, "to_numpy") else np.asarray(uniq_g)
+            gs = gs[gs_codes]
             xo = x[order]
             vxo = vx[order]
             xz = np.where(vxo, xo, 0.0)
@@ -512,7 +520,7 @@ _HLL_P = 6
 _HLL_M = 1 << _HLL_P
 
 
-def hll_distinct(ds, *, group_col: str, key_col: str):
+def hll_distinct(ds, *, group_col: str, key_col: str, map_parallelism: int = 0):
     """Per-group approximate COUNT(DISTINCT key) via a DETERMINISTIC
     HyperLogLog: h = 60-bit md5 prefix of the key string, register
     ``j = h % m``, rank ``rho = leading zeros of the remaining 54 bits
@@ -541,7 +549,14 @@ def hll_distinct(ds, *, group_col: str, key_col: str):
                 }
             )
         g = np.asarray(pc.cast(b[group_col], pa.string())).astype(object)
-        keys = pc.cast(b[key_col], pa.string()).to_pylist()
+        keys = np.asarray(pc.cast(b[key_col], pa.string())).astype(object)
+        # duplicates are the common case (repeated visitors) — hash each
+        # distinct (group, key) once per batch
+        first = (
+            ~pd.DataFrame({"g": g, "k": keys}).duplicated().to_numpy()
+        )
+        g = g[first]
+        keys = keys[first].tolist()
         hv = np.fromiter(
             (int(hashlib.md5(k.encode()).hexdigest()[:15], 16) for k in keys),
             dtype=np.int64,
@@ -562,6 +577,11 @@ def hll_distinct(ds, *, group_col: str, key_col: str):
             }
         )
 
+    if map_parallelism:
+        # small narrow inputs arrive as 1-2 blocks, serializing the md5
+        # partial; NEVER set this on corpus-scale inputs (it is a full
+        # extra shuffle) — their natural block count already parallelizes
+        ds = ds.repartition(map_parallelism)
     regs = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby([group_col, "j"])

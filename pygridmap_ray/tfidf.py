@@ -6,27 +6,33 @@ The classic retrieval kernel as a shuffle-lean Ray Data plan:
    tokenize + n-gram + count yields EXACT global (doc, term, tf) rows
    with no combine step (same ``\\S+`` token law as ``text.token_count``
    / ``text.top_ngrams``; terms are word n-grams joined by single
-   spaces).
-2. **Inverted index by coarse bucket** — tf rows shuffle ONCE, keyed by
-   ``hash(term) % num_buckets`` (bounded group count, the engine-wide
-   hash-like-key rule).  A bucket holds every posting of its terms, so
-   document frequency, the ``df <= max_df`` stop-term prune (the bound
-   on posting-list length — and therefore on pair fan-out — at corpus
-   scale), tf·idf weights, per-doc norm partials and per-term dot
-   partials (segmented-triu pair enumeration, vectorized per distinct
-   posting-list size) all compute locally and vectorized.
-3. **Reduce + attach** — the compacted partial stream materializes once
-   (norm + dot partials, orders of magnitude smaller than the corpus),
-   per-doc norms and per-pair dots sum through coarse-bucketed
-   vectorized reductions, and norms attach to pairs with two hash
-   joins.  Cosine = dot / (norm_a · norm_b), thresholded, rounded
-   half-away.
+   spaces).  The tf stream materializes once and feeds two bucketed
+   passes.
+2. **Norms** — tf rows shuffle keyed by ``hash(term) % num_buckets``
+   (bounded group count, the engine-wide hash-like-key rule).  A bucket
+   holds every posting of its terms, so document frequency, the
+   ``df <= max_df`` stop-term prune (the bound on posting-list length —
+   and therefore pair fan-out — at corpus scale) and tf·idf weights all
+   compute locally; per-doc ``sum(w^2)`` partials coarse-sum into one
+   norm per doc.
+3. **Pairs** — with the norm vector broadcast (ray.put once, per-worker
+   cache), a second bucketed pass emits NORMALIZED pair partials
+   ``(w_a/|a|)·(w_b/|b|)`` under a packed int64 pair key
+   (segmented-triu enumeration, vectorized per distinct posting-list
+   size, int-sort + reduceat pre-aggregation).  One coarse sum later
+   the value IS the cosine — threshold, round, unpack.  No join in the
+   whole plan.
+
+Above ``broadcast_norms_limit`` docs the norm vector no longer fits a
+worker; the fallback attaches norms to the tf stream with one
+partitioned hash join and runs the identical pair pass.
 
 Scale notes: the df cutoff is the load-bearing bound — a term kept at
 ``df = d`` contributes ``d(d-1)/2`` pair partials, so pair volume is at
-most ``vocab · max_df²/2`` regardless of corpus size.  Documents are
-single rows (the repo-wide contract), so stage 1 never crosses batches.
-A doc with NO surviving term simply has no postings and cannot pair.
+most ``vocab · max_df²/2`` regardless of corpus size (Zipf vocabularies
+keep the realized sum far below that).  Documents are single rows (the
+repo-wide contract), so stage 1 never crosses batches.  A doc whose
+every term is pruned has no postings and cannot pair.
 """
 
 from __future__ import annotations
@@ -36,9 +42,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_PARTIAL_SCHEMA = pa.schema(
-    [("kind", pa.int8()), ("a", pa.int64()), ("b", pa.int64()), ("val", pa.float64())]
-)
+_PAIR_SHIFT = 31  # doc ids must fit [0, 2^31): packed pair key layout
 
 
 def doc_term_freqs(
@@ -84,9 +88,19 @@ def doc_term_freqs(
     )
 
 
-def _coarse_sum(ds, key_cols: list[str], *, num_buckets: int = 64):
-    """Sum ``val`` per int64 key tuple without a fine groupby: coarse
-    hash buckets, then one lexsort + ``np.add.reduceat`` per bucket."""
+def _coarse_sum(
+    ds,
+    key_cols: list[str],
+    val_cols: tuple[str, ...] = ("val",),
+    *,
+    num_buckets: int = 64,
+    map_parallelism: int = 0,
+):
+    """Sum ``val_cols`` per int64 key tuple without a fine groupby:
+    coarse hash buckets, then one lexsort + ``np.add.reduceat`` per
+    bucket.  ``map_parallelism > 0`` repartitions the input first so the
+    sort-shuffle's map phase is not serialized by a low block count
+    (narrow inputs often arrive as 1-2 blocks)."""
 
     def add_bucket(b: pa.Table) -> pa.Table:
         h = np.zeros(b.num_rows, dtype=np.uint64)
@@ -105,13 +119,63 @@ def _coarse_sum(ds, key_cols: list[str], *, num_buckets: int = 64):
             change[1:] |= a[1:] != a[:-1]
         starts = np.nonzero(change)[0]
         out = {c: a[starts] for c, a in zip(key_cols, ks)}
-        out["val"] = np.add.reduceat(g["val"].to_numpy(np.float64)[order], starts)
+        for v in val_cols:
+            out[v] = np.add.reduceat(g[v].to_numpy(np.float64)[order], starts)
         return pd.DataFrame(out)
 
+    if map_parallelism:
+        ds = ds.repartition(map_parallelism)
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__cg")
         .map_groups(reduce, batch_format="pandas")
+    )
+
+
+def _pair_partials(g: pd.DataFrame, *, max_df: int, nf: float) -> pd.DataFrame:
+    """One term bucket -> packed-key normalized pair partials.
+
+    ``g`` columns: doc, term, tf, nrm (per-doc norm already attached).
+    Emits (pk, val) rows where ``pk = id_a << 31 | id_b`` (id_a < id_b)
+    and val sums to the pair's cosine across buckets."""
+    empty = pd.DataFrame(
+        {"pk": pd.Series([], dtype="int64"), "val": pd.Series([], dtype="float64")}
+    )
+    dfc = g.groupby("term", sort=False)["doc"].size()
+    dfv = g["term"].map(dfc).to_numpy(np.float64)
+    kept = (dfv <= max_df) & (dfv >= 2)  # singleton terms cannot pair
+    if not kept.any():
+        return empty
+    g = g.iloc[np.nonzero(kept)[0]]
+    dfv = dfv[kept]
+    wn = (
+        g["tf"].to_numpy(np.float64)
+        * np.log(nf / dfv)
+        / g["nrm"].to_numpy(np.float64)
+    )
+    doc = g["doc"].to_numpy(np.int64)
+    terms = g["term"].to_numpy()
+    order = np.lexsort((doc, terms))
+    terms, doc, wn = terms[order], doc[order], wn[order]
+    change = np.r_[True, terms[1:] != terms[:-1]]
+    starts = np.nonzero(change)[0]
+    sizes = np.diff(np.append(starts, len(terms)))
+    ga_l, gb_l = [], []
+    for sz in np.unique(sizes):
+        segs = starts[sizes == sz]
+        la, lb = np.triu_indices(int(sz), k=1)
+        ga_l.append((segs[:, None] + la[None, :]).ravel())
+        gb_l.append((segs[:, None] + lb[None, :]).ravel())
+    ga = np.concatenate(ga_l)
+    gb = np.concatenate(gb_l)
+    pk = (doc[ga] << _PAIR_SHIFT) | doc[gb]  # doc ids ascending per segment
+    val = wn[ga] * wn[gb]
+    # pre-aggregate per pair inside the bucket: int sort + reduceat
+    o = np.argsort(pk, kind="stable")
+    pk = pk[o]
+    st = np.nonzero(np.r_[True, pk[1:] != pk[:-1]])[0]
+    return pd.DataFrame(
+        {"pk": pk[st], "val": np.add.reduceat(val[o], st)}
     )
 
 
@@ -126,19 +190,23 @@ def tfidf_pairs(
     num_buckets: int = 64,
     round_to: int = 6,
     num_partitions: int | None = None,
+    broadcast_norms_limit: int = 2_000_000,
 ):
     """All document pairs with TF-IDF cosine similarity >= ``threshold``
     (columns ``id_a < id_b``, ``cosine`` rounded half-away).
 
     ``max_df_frac``: terms appearing in more than this fraction of the
     corpus are stop-terms — pruned from weights AND pairs on both this
-    and the SQL side (:func:`sql_tfidf_pairs`).
+    and the SQL side (:func:`sql_tfidf_pairs`).  Doc ids must fit
+    [0, 2^31) (packed pair keys).
     """
     import ray
 
     n_docs = docs.count()  # parquet metadata count — no data scan
     max_df = int(np.floor(max_df_frac * n_docs))
     nf = float(n_docs)
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
 
     def tf_stage(b: pa.Table) -> pa.Table:
         t = doc_term_freqs(b, id_col=id_col, text_col=text_col, n=n)
@@ -146,121 +214,99 @@ def tfidf_pairs(
         cg = (h % np.uint64(num_buckets)).astype(np.int64)
         return t.append_column("__cg", pa.array(cg))
 
-    def bucket_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    tfd = docs.map_batches(tf_stage, batch_format="pyarrow").materialize()
+
+    def norm_kernel(g: pd.DataFrame) -> pd.DataFrame:
         dfc = g.groupby("term", sort=False)["doc"].size()
         dfv = g["term"].map(dfc).to_numpy(np.float64)
-        kept = dfv <= max_df
+        kept = dfv <= max_df  # df=1 terms DO count toward the norm
         g = g.iloc[np.nonzero(kept)[0]]
         if not len(g):
             return pd.DataFrame(
-                {"kind": pd.Series([], dtype="int8"),
-                 "a": pd.Series([], dtype="int64"),
-                 "b": pd.Series([], dtype="int64"),
+                {"a": pd.Series([], dtype="int64"),
                  "val": pd.Series([], dtype="float64")}
             )
-        dfv = dfv[kept]
-        w = g["tf"].to_numpy(np.float64) * np.log(nf / dfv)
-        doc = g["doc"].to_numpy(np.int64)
-        # norm partials
-        nn = pd.DataFrame({"a": doc, "val": w * w}).groupby("a", sort=False)[
-            "val"
-        ].sum().reset_index()
-        frames = [
-            pd.DataFrame(
-                {"kind": np.int8(0), "a": nn["a"], "b": np.int64(-1), "val": nn["val"]}
-            )
-        ]
-        # pair partials: segmented triu over posting lists (df >= 2)
-        multi = dfv >= 2
-        if multi.any():
-            terms = g["term"].to_numpy()[multi]
-            d2, w2 = doc[multi], w[multi]
-            order = np.lexsort((d2, terms))
-            terms, d2, w2 = terms[order], d2[order], w2[order]
-            change = np.r_[True, terms[1:] != terms[:-1]]
-            starts = np.nonzero(change)[0]
-            sizes = np.diff(np.append(starts, len(terms)))
-            ga_l, gb_l = [], []
-            for sz in np.unique(sizes[sizes >= 2]):
-                segs = starts[sizes == sz]
-                la, lb = np.triu_indices(int(sz), k=1)
-                ga_l.append((segs[:, None] + la[None, :]).ravel())
-                gb_l.append((segs[:, None] + lb[None, :]).ravel())
-            if ga_l:
-                ga = np.concatenate(ga_l)
-                gb = np.concatenate(gb_l)
-                pp = pd.DataFrame(
-                    {"a": d2[ga], "b": d2[gb], "val": w2[ga] * w2[gb]}
-                )
-                pp = pp.groupby(["a", "b"], sort=False)["val"].sum().reset_index()
-                frames.append(
-                    pd.DataFrame(
-                        {"kind": np.int8(1), "a": pp["a"], "b": pp["b"], "val": pp["val"]}
-                    )
-                )
-        out = pd.concat(frames, ignore_index=True)
-        out["kind"] = out["kind"].astype("int8")
+        w = g["tf"].to_numpy(np.float64) * np.log(nf / dfv[kept])
+        out = (
+            pd.DataFrame({"a": g["doc"].to_numpy(np.int64), "val": w * w})
+            .groupby("a", sort=False)["val"]
+            .sum()
+            .reset_index()
+        )
         return out
 
-    partials = (
-        docs.map_batches(tf_stage, batch_format="pyarrow")
-        .groupby("__cg")
-        .map_groups(bucket_kernel, batch_format="pandas")
-        .materialize()  # compacted partials only — never the corpus
-    )
-    if num_partitions is None:
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
-
     norms = _coarse_sum(
-        partials.map_batches(
-            lambda b: b.filter(pc.equal(b["kind"], 0)).select(["a", "val"]),
-            batch_format="pyarrow",
-        ),
+        tfd.groupby("__cg").map_groups(norm_kernel, batch_format="pandas"),
         ["a"],
-        num_buckets=num_buckets,
     ).map_batches(
-        lambda b: pa.table(
-            {"a": b["a"], "nrm": pc.sqrt(b["val"])}
-        ),
+        lambda b: pa.table({"a": b["a"], "nrm": pc.sqrt(b["val"])}),
         batch_format="pyarrow",
     )
-    dots = _coarse_sum(
-        partials.map_batches(
-            lambda b: b.filter(pc.equal(b["kind"], 1)),
-            batch_format="pyarrow",
-        ),
-        ["a", "b"],
-        num_buckets=num_buckets,
-    )
-    # hash-shuffle map_groups stages can emit column-less empty blocks
-    # that Dataset.join rejects — repartition both sides first (repo rule)
-    dots = dots.repartition(num_partitions)
-    na = norms.map_batches(
-        lambda b: pa.table({"a": b["a"], "nrm_a": b["nrm"]}), batch_format="pyarrow"
-    ).repartition(num_partitions)
-    nb = norms.map_batches(
-        lambda b: pa.table({"b": b["a"], "nrm_b": b["nrm"]}), batch_format="pyarrow"
-    ).repartition(num_partitions)
-    j = dots.join(na, "inner", num_partitions=num_partitions, on=("a",))
-    j = j.join(nb, "inner", num_partitions=num_partitions, on=("b",))
 
     tol = 10.0**round_to
 
     def finish(b: pa.Table) -> pa.Table:
-        c = np.asarray(b["val"], np.float64) / (
-            np.asarray(b["nrm_a"], np.float64) * np.asarray(b["nrm_b"], np.float64)
-        )
+        pk = np.asarray(b["pk"], np.int64)
+        c = np.asarray(b["val"], np.float64)
         keep = c >= threshold
-        c = np.floor(np.abs(c[keep]) * tol + 0.5) / tol  # cosines are >= 0 here
+        pk, c = pk[keep], c[keep]
+        c = np.floor(np.abs(c) * tol + 0.5) / tol  # cosines are >= 0 here
         return pa.table(
             {
-                "id_a": pa.array(np.asarray(b["a"], np.int64)[keep]),
-                "id_b": pa.array(np.asarray(b["b"], np.int64)[keep]),
+                "id_a": pa.array(pk >> _PAIR_SHIFT),
+                "id_b": pa.array(pk & ((1 << _PAIR_SHIFT) - 1)),
                 "cosine": pa.array(c),
             }
         )
 
-    return j.map_batches(finish, batch_format="pyarrow")
+    if n_docs <= broadcast_norms_limit:
+        # norms are one float per doc — broadcast them (ray.put once,
+        # per-worker cache) and normalize weights inside the pair pass:
+        # the coarse-summed partial IS the cosine; no join anywhere.
+        from .spatial import _cached_kernel
+
+        narr = norms.to_pandas()
+        o = np.argsort(narr["a"].to_numpy(np.int64), kind="stable")
+        payload = {
+            "ids": narr["a"].to_numpy(np.int64)[o],
+            "nrm": narr["nrm"].to_numpy(np.float64)[o],
+        }
+        ref = {"__ref__": ray.put(payload)}
+        ckey = f"tfidf-norms:{ref['__ref__'].hex()}"
+
+        def attach_nrm(b: pa.Table) -> pa.Table:
+            p = _cached_kernel(ckey, ref, lambda x: x)
+            d = np.asarray(b["doc"], np.int64)
+            if len(p["ids"]):
+                # a doc with ONLY pruned (df > max_df) terms has no norm
+                # row; its tf rows are dropped by the pair kernel's df
+                # mask, so the clipped (wrong-doc) lookup is never used
+                idx = np.clip(np.searchsorted(p["ids"], d), 0, len(p["ids"]) - 1)
+                nrm = p["nrm"][idx]
+            else:
+                nrm = np.ones(len(d))
+            return b.append_column("nrm", pa.array(nrm))
+
+        pair_src = tfd.map_batches(attach_nrm, batch_format="pyarrow")
+    else:
+        # big-corpus fallback: one partitioned hash join attaches norms
+        # to the tf stream (docs shuffle once); identical math after.
+        na = norms.map_batches(
+            lambda b: pa.table({"doc": b["a"], "nrm": b["nrm"]}),
+            batch_format="pyarrow",
+        ).repartition(num_partitions)
+        pair_src = tfd.repartition(num_partitions).join(
+            na, "inner", num_partitions=num_partitions, on=("doc",)
+        )
+
+    pairs = (
+        pair_src.groupby("__cg")
+        .map_groups(
+            lambda g: _pair_partials(g, max_df=max_df, nf=nf),
+            batch_format="pandas",
+        )
+    )
+    return _coarse_sum(pairs, ["pk"]).map_batches(finish, batch_format="pyarrow")
 
 
 def sql_tfidf_pairs(
@@ -274,7 +320,8 @@ def sql_tfidf_pairs(
 ) -> str:
     """DuckDB twin of :func:`tfidf_pairs`: same term law, the same
     ``floor(max_df_frac * N)`` integer cutoff, the same ``tf·ln(N/df)``
-    weight, unrounded threshold compare, half-away rounding."""
+    weight NORMALIZED per doc before the pair sum, unrounded threshold
+    compare, half-away rounding."""
     term = (
         "t0.tok"
         if n == 1
@@ -303,15 +350,14 @@ w AS (
   FROM tf JOIN dft USING (term)
   WHERE dft.df <= FLOOR({max_df_frac!r} * (SELECT n FROM nn))
 ), nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
-dots AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
-  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+wn AS (
+  SELECT w.doc_id, w.term, w.w / nrm.nrm AS wn
+  FROM w JOIN nrm USING (doc_id)
+), cos AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wn * b.wn) AS cosine
+  FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT id_a, id_b,
-       ROUND(dot / (na.nrm * nb.nrm) * 1e6) / 1e6 AS cosine
-FROM dots
-JOIN nrm na ON na.doc_id = id_a
-JOIN nrm nb ON nb.doc_id = id_b
-WHERE dot / (na.nrm * nb.nrm) >= {threshold!r}
+SELECT id_a, id_b, ROUND(cosine * 1e6) / 1e6 AS cosine
+FROM cos WHERE cosine >= {threshold!r}
 """
