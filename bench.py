@@ -155,6 +155,11 @@ def _secondary() -> dict:
         ("exact_dedup", q.q_exact_dedup),
         ("top_bigrams", q.q_top_bigrams),
         ("events_asof", q.q_events_asof),
+        ("semi_join", q.q_semi_join),
+        ("events_rolling", q.q_events_rolling),
+        ("hll_distinct", q.q_hll_distinct),
+        ("tfidf_pairs", q.q_tfidf_pairs),
+        ("pagerank", q.q_pagerank),
     ]:
 
         def once(fn=fn):

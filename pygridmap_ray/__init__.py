@@ -67,6 +67,7 @@ def __getattr__(name):
         "grouped_quantiles": ("pygridmap_ray.stats", "grouped_quantiles"),
         "rolling_aggregate": ("pygridmap_ray.stats", "rolling_aggregate"),
         "grouped_moments": ("pygridmap_ray.stats", "grouped_moments"),
+        "grouped_topk": ("pygridmap_ray.stats", "grouped_topk"),
         "hll_distinct": ("pygridmap_ray.stats", "hll_distinct"),
         "tfidf_pairs": ("pygridmap_ray.tfidf", "tfidf_pairs"),
         "pagerank": ("pygridmap_ray.graph", "pagerank"),

@@ -370,6 +370,39 @@ def _sql_pagerank() -> str:
     return sql_pagerank(edges_sql=bipartite_edges_sql(), iters=5)
 
 
+def q_grouped_topk(sf_dir: str):
+    """Top-3 orders per customer by totalprice (stats.grouped_topk):
+    coarse-bucketed shuffle + vectorized per-bucket sort/cumcount."""
+    import ray.data as rd
+
+    from ..stats import grouped_topk
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return grouped_topk(
+        ds,
+        group_col="o_custkey",
+        order_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        k=3,
+    )
+
+
+def _sql_grouped_topk() -> str:
+    from ..stats import sql_grouped_topk
+
+    return sql_grouped_topk(
+        group_col="o_custkey",
+        order_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        k=3,
+        source="orders",
+        select="o_custkey, o_orderkey, o_totalprice",
+    )
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (text.pii_scrub): deterministic synthetic PII is
     appended per doc (email always; IP for even ids; phone for ids
@@ -1345,6 +1378,7 @@ def queries():
         "hll_distinct": q_hll_distinct,
         "tfidf_pairs": q_tfidf_pairs,
         "pagerank": q_pagerank,
+        "grouped_topk": q_grouped_topk,
         "anti_join": q_anti_join,
         "reproject": q_reproject,
         "reproject_webmerc": q_reproject_webmerc,
@@ -1615,6 +1649,7 @@ def oracle_sql():
         "hll_distinct": _sql_hll_distinct(),
         "tfidf_pairs": _sql_tfidf_pairs(),
         "pagerank": _sql_pagerank(),
+        "grouped_topk": _sql_grouped_topk(),
         "semi_join": (
             "SELECT l_orderkey, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty "
             "FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders "

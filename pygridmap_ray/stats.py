@@ -649,3 +649,74 @@ SELECT g AS {group_col},
               * {m * m}.0 / denom END) * 1e6) / 1e6 AS approx_distinct
 FROM est
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k (rank within group)
+# ---------------------------------------------------------------------------
+
+
+def grouped_topk(
+    ds,
+    *,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+    descending: bool = True,
+    num_buckets: int = 64,
+):
+    """Top ``k`` rows per group by ``order_col`` (desc by default), ties
+    broken by ``tiebreak_col`` ASC — SQL's ``ROW_NUMBER() OVER
+    (PARTITION BY g ORDER BY v DESC, tie) <= k``, emitted with the
+    1-based ``rank`` column.
+
+    One coarse-bucketed shuffle (``hash(group) % num_buckets`` — bounded
+    group count regardless of group cardinality), then a vectorized
+    per-bucket sort + cumcount.  ``tiebreak_col`` must be unique within
+    a group or ranks are nondeterministic."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(b[group_col]))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values(
+            [group_col, order_col, tiebreak_col],
+            ascending=[True, not descending, True],
+            kind="stable",
+        )
+        rank = g.groupby(group_col, sort=False).cumcount() + 1
+        out = g[rank <= k].copy()
+        out["rank"] = rank[rank <= k].to_numpy(np.int64)
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(max(16, num_buckets // 4))
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_grouped_topk(
+    *,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+    descending: bool = True,
+    source: str = "orders",
+    select: str = "*",
+) -> str:
+    """DuckDB twin of :func:`grouped_topk`."""
+    direction = "DESC" if descending else "ASC"
+    return (
+        f"SELECT * FROM (SELECT {select}, ROW_NUMBER() OVER "
+        f"(PARTITION BY {group_col} ORDER BY {order_col} {direction}, "
+        f"{tiebreak_col}) AS rank FROM {source}) WHERE rank <= {k}"
+    )

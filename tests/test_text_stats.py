@@ -381,3 +381,53 @@ def test_hll_distinct_accuracy_and_invariance(ray_session):
     )
     rel = np.abs(got["approx_distinct"].to_numpy() - true) / true
     assert (rel < 0.35).all(), (got["approx_distinct"].to_numpy(), true)
+
+
+def test_grouped_topk_law_vs_duckdb(ray_session):
+    """Heavy value ties broken by the unique tiebreak, groups smaller
+    than k, ascending mode — all must match ROW_NUMBER semantics."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from pygridmap_ray.stats import grouped_topk, sql_grouped_topk
+
+    rng = np.random.default_rng(17)
+    n = 800
+    t = pa.table(
+        {
+            "g": rng.integers(0, 60, n),  # some groups will have < k rows
+            "rid": np.arange(n),
+            "v": rng.integers(0, 5, n).astype("float64"),  # heavy ties
+        }
+    )
+    for desc in (True, False):
+        got = (
+            grouped_topk(
+                rd.from_arrow(t).repartition(5),
+                group_col="g",
+                order_col="v",
+                tiebreak_col="rid",
+                k=3,
+                descending=desc,
+            )
+            .to_pandas()
+            .sort_values(["g", "rank"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("orders", t)
+        exp = (
+            con.sql(
+                sql_grouped_topk(
+                    group_col="g", order_col="v", tiebreak_col="rid",
+                    k=3, descending=desc, source="orders",
+                    select="g, rid, v",
+                )
+            )
+            .df()
+            .sort_values(["g", "rank"])
+            .reset_index(drop=True)
+        )
+        assert got.columns.tolist() == exp.columns.tolist()
+        assert got.astype("float64").equals(exp.astype("float64")), desc
