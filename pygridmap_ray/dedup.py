@@ -472,6 +472,10 @@ def ngram_jaccard_pairs(
     sets = ds.select_columns([id_col, text_col]).map_batches(
         lambda b: _shingle_sets(b, id_col, text_col, n), batch_format="pyarrow"
     )
+    # three consumers (prefix explode + both verify-join sides) — pin the
+    # lineage so tokenize+hash runs ONCE per doc, not three times; the
+    # object store spills if the shingle table outgrows memory
+    sets = sets.materialize()
 
     def explode_prefix(batch: pa.Table) -> pa.Table:
         sizes = np.asarray(batch["size"], dtype=np.int64)
@@ -650,7 +654,19 @@ def ngram_jaccard_pairs(
         # merge away empty column-less partitions the hash shuffle can
         # emit on small inputs — Dataset.join rejects degenerate schemas
         .repartition(num_partitions)
+        # three consumers (two bloom builds + the verify join)
+        .materialize()
     )
+
+    # shrink the corpus-scale set table to ~candidate scale BEFORE the
+    # verify joins: a fixed-size bloom of the surviving candidate ids
+    # (near-linear in true pairs after the PPJoin count filter) keeps the
+    # Acero hash join from shuffling every doc's shingle set — only
+    # bloom-hit sets (candidates + a bounded FP fraction) enter it
+    from .joins import bloom_build, bloom_prefilter
+
+    bloom_a = bloom_build(cands, "id_a")
+    bloom_b = bloom_build(cands, "id_b")
 
     def _rename(suffix):
         def f(b: pa.Table) -> pa.Table:
@@ -671,8 +687,12 @@ def ngram_jaccard_pairs(
 
         return f
 
-    sets_a = sets.map_batches(_rename("a"), batch_format="pyarrow")
-    sets_b = sets.map_batches(_rename("b"), batch_format="pyarrow")
+    sets_a = bloom_prefilter(
+        sets.map_batches(_rename("a"), batch_format="pyarrow"), bloom_a, "id_a"
+    )
+    sets_b = bloom_prefilter(
+        sets.map_batches(_rename("b"), batch_format="pyarrow"), bloom_b, "id_b"
+    )
     half = cands.join(
         sets_a, join_type="inner", num_partitions=num_partitions, on=("id_a",)
     ).repartition(num_partitions)  # joins emit schema-less empty partitions
@@ -904,7 +924,8 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {t
 
 
 def connected_components(pairs, *, src: str = "id_a", dst: str = "id_b",
-                         max_iter: int = 25, num_partitions: int = 32):
+                         max_iter: int = 25, num_partitions: int = 32,
+                         local_max_edges: int = 1 << 20):
     """(node, component) for every endpoint of ``pairs`` — component is
     the MIN node id reachable through the pair graph.
 
@@ -927,6 +948,13 @@ def connected_components(pairs, *, src: str = "id_a", dst: str = "id_b",
     ``num_partitions`` is the join/shuffle width — size it to edge
     volume; a pathological mega-component costs its edges' shuffle
     volume, never a driver materialization.
+
+    Edge lists at or below ``local_max_edges`` (default 2^20 ≈ 16 MB)
+    solve on the driver instead — vectorized numpy pointer-jumping over
+    the already-reduced pair graph, identical output law.  This is the
+    standard hybrid (GraphX/GraphFrames end the same way): near-dup
+    pair graphs are tiny relative to the corpus, and the distributed
+    loop's 4 shuffles per sweep are pure overhead below the cap.
     """
 
     def _sym(b: pa.Table) -> pa.Table:
@@ -951,6 +979,49 @@ def connected_components(pairs, *, src: str = "id_a", dst: str = "id_b",
     # re-schemas every block uniformly.  num_partitions scales with edge
     # volume (it is also the join/shuffle width).
     edges = edges.repartition(num_partitions).materialize()
+
+    # Hybrid fast path (the GraphX/GraphFrames pattern): the near-dup pair
+    # graph is a minuscule fraction of the corpus — after the bucketed pair
+    # generation has already reduced the data, a 4-shuffle-per-round
+    # distributed loop on a driver-sized edge list is pure overhead.  The
+    # count is free (edges is materialized); below the cap we solve with
+    # numpy pointer-jumping on the driver, above it the distributed loop
+    # runs.  Semantics are identical: component = min reachable node id.
+    if edges.count() <= local_max_edges:
+        import ray
+        import ray.data
+
+        tabs = ray.get(edges.to_arrow_refs())
+        tab = pa.concat_tables([t for t in tabs if t.num_rows],
+                               promote_options="default") if any(
+            t.num_rows for t in tabs) else None
+        if tab is None:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64())})
+            )
+        u = np.asarray(tab["node"], dtype=np.int64)
+        v = np.asarray(tab["nbr"], dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u):]
+        lab = np.arange(len(nodes), dtype=np.int64)
+        for _ in range(64):  # O(log n) with pointer jumping
+            old = lab.copy()
+            np.minimum.at(lab, ui, lab[vi])  # push neighbor labels
+            lab = np.minimum(lab, lab[lab])  # pointer jump
+            if np.array_equal(lab, old):
+                break
+        # resolve to roots: labels are indices into the SORTED unique node
+        # array, so the min index is the min node id
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes), "label": pa.array(nodes[lab])})
+        )
+
     nparts = num_partitions
 
     def _node_min(b: pa.Table) -> pa.Table:
