@@ -24,6 +24,7 @@ Public surface (mirrors SURVEY.md §2):
 - :mod:`pygridmap_ray.stats`      — histogram-exact grouped quantiles
 - :mod:`pygridmap_ray.geom.proj`  — closed-form CRS reprojection
 - :mod:`pygridmap_ray.hier`       — S2/H3-style hierarchical cell index (Morton/quadkey)
+- :mod:`pygridmap_ray.pack`       — global prefix-sum + training-sequence packing
 
 No module in this package calls ``ray.init`` — sessions are owned by the
 caller (driver, bench.py, or the test fixture).

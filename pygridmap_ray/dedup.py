@@ -1410,3 +1410,107 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON b.doc_id > a.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train,
+    eval_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """Benchmark decontamination: flag every training doc that shares at
+    least one word ``n``-gram with the eval corpus (the Brown/GPT-3-style
+    13-gram overlap rule, with ``n`` configurable).
+
+    Scale shape: eval corpora are BENCHMARK-scale (thousands of docs,
+    millions of distinct grams), so their distinct gram-hash set
+    broadcasts — built once with per-batch ``np.unique`` combiners, put
+    in the object store once (``ray.put``), cached per worker process.
+    The corpus-scale training side streams through one vectorized
+    ``map_batches``: hash all grams of a batch, one sorted ``np.isin``
+    probe, a segmented-any per doc.  No shuffle of the training corpus at
+    all.  For a pathologically large eval side, front this with
+    :func:`pygridmap_ray.joins.bloom_prefilter` on the gram table
+    instead of the exact broadcast.
+
+    Gram identity is the 61-bit rolling-polynomial hash family of
+    :func:`ngram_jaccard_pairs` (same ``m = min(n, n_tokens)`` law);
+    equal gram strings collide iff the polynomial collides — the same
+    accepted ~2^-61 risk documented there."""
+    import ray
+
+    from .spatial import _cached_kernel
+
+    def ev_partial(b: pa.Table) -> pa.Table:
+        t = _shingle_sets(b, id_col, text_col, n)
+        sh = t["shingles"].combine_chunks()
+        flat = np.unique(np.asarray(sh.flatten(), dtype=np.int64))
+        return pa.table({"gram": pa.array(flat)})
+
+    ev_rows = (
+        eval_ds.select_columns([id_col, text_col])
+        .map_batches(ev_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ev_sorted = (
+        np.unique(ev_rows["gram"].to_numpy(dtype=np.int64))
+        if "gram" in ev_rows.columns and len(ev_rows)
+        else np.empty(0, dtype=np.int64)
+    )
+    ref = {"__ref__": ray.put(ev_sorted)}
+    ckey = f"decon:{ref['__ref__'].hex()}"
+
+    def flag(b: pa.Table) -> pa.Table:
+        ev = _cached_kernel(ckey, ref, lambda a: a)
+        t = _shingle_sets(b, id_col, text_col, n)
+        sh = t["shingles"].combine_chunks()
+        flat = np.asarray(sh.flatten(), dtype=np.int64)
+        offs = np.asarray(sh.offsets, dtype=np.int64)
+        hit = np.isin(flat, ev).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(hit)])
+        cnt = cs[offs[1:]] - cs[offs[:-1]]
+        return pa.table(
+            {id_col: t[id_col], "contaminated": pa.array(cnt > 0)}
+        )
+
+    return train.select_columns([id_col, text_col]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
+def sql_decontaminate(
+    *,
+    n: int = 3,
+    eval_pred: str = "doc_id % 13 = 5",
+    source: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`decontaminate` over string grams (equal iff
+    the engine's polynomial hashes are, absent 61-bit collisions)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t, LEAST({n}, len(t)) AS m
+  FROM (SELECT doc_id, regexp_extract_all({text}, '\\S+') AS t FROM {source})
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN t IS NULL OR len(t) = 0 THEN [] ELSE
+      list_distinct([array_to_string(list_slice(t, p, p + m - 1), chr(31))
+                     for p in generate_series(1, len(t) - m + 1)])
+    END AS g
+  FROM toks
+),
+ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE {eval_pred}),
+tr AS (SELECT doc_id, g FROM grams WHERE NOT ({eval_pred})),
+tg AS (SELECT doc_id, unnest(g) AS gram FROM tr),
+hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (gram))
+SELECT tr.doc_id, (tr.doc_id IN (SELECT doc_id FROM hits)) AS contaminated
+FROM tr
+"""

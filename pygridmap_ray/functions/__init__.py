@@ -5,6 +5,7 @@ from ..ann import ann_topk, ivf_topk, kmeans_lite  # noqa: F401
 from ..dedup import (  # noqa: F401
     connected_components,
     content_hash,
+    decontaminate,
     embedding_lsh_pairs,
     embedding_neardup_pairs,
     exact_dedup,
@@ -17,6 +18,7 @@ from ..dedup import (  # noqa: F401
     simhash_pairs,
 )
 from ..stats import grouped_quantiles  # noqa: F401
+from ..pack import global_prefix_sum, pack_sequences  # noqa: F401
 from ..frame import FrameProcessor, frame_apply  # noqa: F401
 from ..geom import (  # noqa: F401
     BBoxIndex,

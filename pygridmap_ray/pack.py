@@ -1,0 +1,160 @@
+"""Global ordered prefix-sum and training-sequence packing.
+
+The pretraining data layout step the reference never needed but every
+LLM corpus run does: concatenate documents in a deterministic global
+order and chop the token stream into fixed-capacity training sequences
+(the GPT-style "concat and chunk" law).  Each document gets the sequence
+id and intra-sequence offset where its first token lands.
+
+The primitive underneath is a distributed prefix sum over a totally
+ordered key — the same scan Spark's ``zipWithIndex`` performs — built
+from Dataset ops only:
+
+1. one cheap Min/Max aggregate bounds the order key;
+2. ``map_batches`` emits per-batch per-range-bucket subtotals (a
+   combiner: at most ``n_buckets`` rows per batch leave the node);
+3. the ≤ ``n_buckets`` bucket totals collect on the driver (a few KB)
+   and scan into exclusive bucket base offsets;
+4. one range shuffle (``groupby(bucket).map_groups``) co-locates each
+   bucket, which sorts and cumsums vectorized and adds its base.
+
+The single all-to-all in step 4 is inherent — a global rank needs
+order — and is the same cost class as ``Dataset.sort``.  Partitioning
+assumption: one bucket must fit a worker; size ``n_buckets`` so
+``rows / n_buckets`` matches the target block size (the driver-side
+state stays ``n_buckets`` int64s regardless).  Order keys are assumed
+near-uniform over their range (dense doc ids); a pathologically skewed
+key distribution skews bucket sizes, never correctness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def global_prefix_sum(
+    ds,
+    *,
+    order_col: str,
+    value_col: str,
+    out_col: str = "start",
+    n_buckets: int = 256,
+):
+    """Exclusive prefix sum of ``value_col`` in ascending ``order_col``
+    order (the sum of all values with a strictly smaller key).
+
+    ``order_col`` must be a unique integer key — it defines the global
+    concatenation order, so ties would make the law ambiguous.
+    """
+    from ray.data.aggregate import Max, Min
+
+    ds = ds.materialize()  # three consumers: bounds, partials, shuffle
+    bounds = ds.aggregate(
+        Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi")
+    )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = hi - lo + 1
+    nb = min(n_buckets, span)
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        # exact integer range bucketing: key -> [0, nb)
+        return ((keys.astype(np.int64) - lo) * nb // span).astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[order_col], dtype=np.int64)
+        v = np.asarray(b[value_col], dtype=np.int64)
+        bk = bucket_of(k)
+        tot = np.zeros(nb, dtype=np.int64)
+        np.add.at(tot, bk, v)
+        nz = np.nonzero(tot)[0]
+        return pa.table({"__bk": pa.array(nz), "__sub": pa.array(tot[nz])})
+
+    sub = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    totals = np.zeros(nb, dtype=np.int64)
+    np.add.at(totals, sub["__bk"].to_numpy(dtype=np.int64),
+              sub["__sub"].to_numpy(dtype=np.int64))
+    base = np.concatenate([[0], np.cumsum(totals)[:-1]])  # nb int64s
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[order_col], dtype=np.int64)
+        return b.append_column("__bk", pa.array(bucket_of(k)))
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        v = g[value_col].to_numpy(dtype=np.int64)
+        bk = int(g["__bk"].iloc[0])
+        g[out_col] = base[bk] + np.cumsum(v) - v
+        return g.drop(columns=["__bk"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bk")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
+
+
+def pack_sequences(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    cap: int = 2048,
+    n_buckets: int = 256,
+):
+    """Concat-and-chunk sequence packing: documents concatenate in
+    ascending ``id_col`` order into one virtual token stream, which is
+    chopped into sequences of exactly ``cap`` tokens.  Emits per doc the
+    sequence holding its FIRST token (``seq_id``), the offset inside it
+    (``seq_off``), and how many sequences the doc spans (``n_seqs`` —
+    long documents straddle chunk boundaries, exactly like the training
+    reality).  Deterministic and order/partitioning-independent."""
+    out = global_prefix_sum(
+        ds, order_col=id_col, value_col=tokens_col,
+        out_col="__start", n_buckets=n_buckets,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["__start"], dtype=np.int64)
+        v = np.asarray(b[tokens_col], dtype=np.int64)
+        seq = s // cap
+        off = s - seq * cap
+        last = np.where(v > 0, (s + v - 1) // cap, seq)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                tokens_col: b[tokens_col],
+                "seq_id": pa.array(seq),
+                "seq_off": pa.array(off),
+                "n_seqs": pa.array(last - seq + 1),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_pack_sequences(
+    cap: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` — the concat-and-chunk law
+    as one window scan.  Pure int64 arithmetic on both sides, so the
+    driver hash must match bit-exactly."""
+    return f"""
+WITH c AS (
+  SELECT {id_col}, {tokens_col},
+    COALESCE(SUM({tokens_col}) OVER (ORDER BY {id_col}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+  FROM {source}
+)
+SELECT {id_col}, {tokens_col},
+  s // {cap} AS seq_id,
+  s % {cap} AS seq_off,
+  (CASE WHEN {tokens_col} > 0 THEN (s + {tokens_col} - 1) // {cap}
+        ELSE s // {cap} END - s // {cap} + 1) AS n_seqs
+FROM c
+"""

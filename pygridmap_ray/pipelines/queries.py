@@ -904,6 +904,67 @@ def q_corpus_curate(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "quality"])
 
 
+PACK_CAP = 2048
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing: global token prefix-sum in
+    doc_id order -> (seq_id, seq_off, n_seqs) per doc (pack.py)."""
+    from ..pack import pack_sequences
+    from ..text import token_count
+
+    ds = (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(token_count, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+    return pack_sequences(
+        ds, id_col="doc_id", tokens_col="n_tokens", cap=PACK_CAP, n_buckets=64
+    )
+
+
+def _sql_pack_sequences() -> str:
+    from ..pack import sql_pack_sequences
+
+    return sql_pack_sequences(
+        PACK_CAP,
+        source=(
+            "(SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT "
+            "AS n_tokens FROM documents)"
+        ),
+    )
+
+
+DECON_MOD, DECON_RES = 13, 5  # eval split: doc_id % 13 == 5
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: training docs flagged when they share a
+    word 4-gram with the (hash-designated) eval slice — broadcast gram
+    set, zero corpus shuffle (dedup.decontaminate)."""
+    from ..dedup import decontaminate
+
+    def side(is_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            return b.filter(pa.array((ids % DECON_MOD == DECON_RES) == is_eval))
+
+        return f
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    ev = docs.map_batches(side(True), batch_format="pyarrow")
+    tr = docs.map_batches(side(False), batch_format="pyarrow")
+    return decontaminate(tr, ev, n=4)
+
+
+def _sql_decontaminate() -> str:
+    from ..dedup import sql_decontaminate
+
+    return sql_decontaminate(
+        n=4, eval_pred=f"doc_id % {DECON_MOD} = {DECON_RES}"
+    )
+
+
 def q_train_split(sf_dir: str):
     """Deterministic hash-based train/val/test split (stats.split_by_hash)
     — content-stable, order/partitioning-independent."""
@@ -1407,6 +1468,8 @@ def queries():
         "top_bigrams": q_top_bigrams,
         "lang_quantiles": q_lang_quantiles,
         "train_split": q_train_split,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "unigram_logprob": q_unigram_logprob,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
@@ -1729,6 +1792,8 @@ def oracle_sql():
         "top_bigrams": sql_top_ngrams(2, 25),
         "lang_quantiles": sql_grouped_quantiles(),
         "train_split": _sql_train_split(),
+        "pack_sequences": _sql_pack_sequences(),
+        "decontaminate": _sql_decontaminate(),
         "unigram_logprob": _sql_unigram(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
