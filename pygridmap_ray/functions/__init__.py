@@ -17,7 +17,15 @@ from ..dedup import (  # noqa: F401
     simhash64,
     simhash_pairs,
 )
-from ..stats import grouped_quantiles  # noqa: F401
+from ..stats import (  # noqa: F401
+    embedding_covariance,
+    embedding_moments,
+    grouped_quantiles,
+    grouped_string_agg,
+    pca_project,
+    pivot_counts,
+    rollup_aggregate,
+)
 from ..pack import global_prefix_sum, pack_sequences  # noqa: F401
 from ..frame import FrameProcessor, frame_apply  # noqa: F401
 from ..geom import (  # noqa: F401

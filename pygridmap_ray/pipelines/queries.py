@@ -904,6 +904,60 @@ def q_corpus_curate(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "quality"])
 
 
+LANGS = ("de", "en", "es", "fr", "zh")
+COV_DIMS = 16
+
+
+def q_embedding_cov(sf_dir: str):
+    """Sample covariance of the first 16 embedding dims via the
+    combinable-moments two-phase reduce (stats.embedding_covariance)."""
+    import ray.data as rd
+
+    from ..stats import embedding_covariance
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_covariance(ds, dims=COV_DIMS)
+
+
+def _sql_embedding_cov() -> str:
+    from ..stats import sql_embedding_covariance
+
+    return sql_embedding_covariance(dims=COV_DIMS)
+
+
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) counts + char sums — finest groupby
+    once, coarser levels re-aggregate the aggregate."""
+    from ..stats import rollup_aggregate
+
+    return rollup_aggregate(
+        _docs(sf_dir, ("lang", "source", "n_chars")),
+        keys=("lang", "source"), value="n_chars",
+    )
+
+
+def q_pivot_langs(sf_dir: str):
+    """Wide pivot: per source, doc counts per language + char sum."""
+    from ..stats import pivot_counts
+
+    return pivot_counts(
+        _docs(sf_dir, ("lang", "source", "n_chars")),
+        group_col="source", pivot_col="lang", categories=LANGS,
+        value="n_chars",
+    )
+
+
+def q_string_agg(sf_dir: str):
+    """Per-language ordered string_agg of doc ids."""
+    from ..stats import grouped_string_agg
+
+    return grouped_string_agg(
+        _docs(sf_dir, ("lang", "doc_id")),
+        group_col="lang", value_col="doc_id",
+    )
+
+
 PACK_CAP = 2048
 
 
@@ -933,6 +987,27 @@ def _sql_pack_sequences() -> str:
             "AS n_tokens FROM documents)"
         ),
     )
+
+
+def _sql_rollup() -> str:
+    from ..stats import sql_rollup_aggregate
+
+    return sql_rollup_aggregate(keys=("lang", "source"), value="n_chars")
+
+
+def _sql_pivot_langs() -> str:
+    from ..stats import sql_pivot_counts
+
+    return sql_pivot_counts(
+        group_col="source", pivot_col="lang", categories=LANGS,
+        value="n_chars",
+    )
+
+
+def _sql_string_agg() -> str:
+    from ..stats import sql_grouped_string_agg
+
+    return sql_grouped_string_agg(group_col="lang", value_col="doc_id")
 
 
 DECON_MOD, DECON_RES = 13, 5  # eval split: doc_id % 13 == 5
@@ -1470,6 +1545,10 @@ def queries():
         "train_split": q_train_split,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "embedding_cov": q_embedding_cov,
+        "rollup": q_rollup,
+        "pivot_langs": q_pivot_langs,
+        "string_agg": q_string_agg,
         "unigram_logprob": q_unigram_logprob,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
@@ -1794,6 +1873,10 @@ def oracle_sql():
         "train_split": _sql_train_split(),
         "pack_sequences": _sql_pack_sequences(),
         "decontaminate": _sql_decontaminate(),
+        "embedding_cov": _sql_embedding_cov(),
+        "rollup": _sql_rollup(),
+        "pivot_langs": _sql_pivot_langs(),
+        "string_agg": _sql_string_agg(),
         "unigram_logprob": _sql_unigram(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),

@@ -720,3 +720,271 @@ def sql_grouped_topk(
         f"(PARTITION BY {group_col} ORDER BY {order_col} {direction}, "
         f"{tiebreak_col}) AS rank FROM {source}) WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed second moments / covariance / PCA over an embedding column
+# ---------------------------------------------------------------------------
+
+
+def embedding_moments(ds, *, vec_col: str = "embedding", dims: int | None = None):
+    """(n, sum-vector, sum-outer-product) of an embedding column — the
+    combinable sufficient statistics for mean/covariance/PCA.
+
+    Two-phase reduce: each batch emits ONE partial row (an int64 count, a
+    ``dims`` float64 list, a ``dims^2`` float64 list); the driver folds
+    the ~``num_blocks`` partial rows (a few KB each — a reduction OUTPUT,
+    never the dataset).  Float32 vectors are widened to float64 before
+    any product so the law matches a ``CAST(... AS DOUBLE)`` SQL twin.
+
+    Returns ``(n, s, xx)`` with ``s`` shape ``(dims,)`` and ``xx`` shape
+    ``(dims, dims)``."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[vec_col].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        d = len(flat) // max(1, b.num_rows) if b.num_rows else 0
+        x = flat.reshape(b.num_rows, d) if b.num_rows else flat.reshape(0, 0)
+        if dims is not None:
+            x = x[:, :dims]
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0).tolist()],
+                              pa.list_(pa.float64())),
+                "xx": pa.array([(x.T @ x).ravel().tolist()],
+                               pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    d = dims if dims is not None else (
+        len(parts["s"].iloc[0]) if len(parts) else 0
+    )
+    s = np.zeros(d, dtype=np.float64)
+    xx = np.zeros((d, d), dtype=np.float64)
+    for sv, xv in zip(parts["s"], parts["xx"]):
+        if len(sv):
+            s += np.asarray(sv, dtype=np.float64)
+            xx += np.asarray(xv, dtype=np.float64).reshape(d, d)
+    return n, s, xx
+
+
+def embedding_covariance(ds, *, vec_col: str = "embedding", dims: int = 16,
+                         decimals: int = 6) -> pa.Table:
+    """Sample covariance matrix of the first ``dims`` embedding
+    coordinates as a long-form (i, j, cov) table, 1-based indices,
+    rounded half-away at ``decimals`` (absorbs summation-order ulp vs the
+    SQL ``covar_samp`` twin)."""
+    n, s, xx = embedding_moments(ds, vec_col=vec_col, dims=dims)
+    mu = s / n
+    cov = (xx - n * np.outer(mu, mu)) / (n - 1)
+    i, j = np.meshgrid(np.arange(1, dims + 1), np.arange(1, dims + 1),
+                       indexing="ij")
+    tol = 10.0 ** decimals
+    c = cov.ravel()
+    r = np.sign(c) * np.floor(np.abs(c) * tol + 0.5) / tol
+    return pa.table(
+        {
+            "i": pa.array(i.ravel().astype(np.int64)),
+            "j": pa.array(j.ravel().astype(np.int64)),
+            "cov": pa.array(r),
+        }
+    )
+
+
+def sql_embedding_covariance(*, dims: int = 16, decimals: int = 6,
+                             source: str = "embeddings",
+                             vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`embedding_covariance` (covar_samp over the
+    unnested, double-cast coordinates)."""
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(unnest({vec_col}[1:{dims}]) AS DOUBLE) AS v,
+         generate_subscripts({vec_col}[1:{dims}], 1)::BIGINT AS i
+  FROM {source}
+)
+SELECT a.i AS i, b.i AS j, ROUND(covar_samp(a.v, b.v), {decimals}) AS cov
+FROM e a JOIN e b USING (vec_id)
+GROUP BY a.i, b.i
+"""
+
+
+def pca_project(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+                dims: int | None = None, k: int = 4):
+    """Distributed PCA: moments two-phase reduce -> dense ``eigh`` on the
+    driver (dims x dims — driver-scale by construction) -> broadcast the
+    (mean, top-k components) once -> one vectorized projection pass.
+
+    Component sign is canonicalized (largest-|coeff| entry positive) so
+    the output is deterministic.  Returns rows of (id, pc1..pck)."""
+    import ray
+
+    from .spatial import _cached_kernel
+
+    n, s, xx = embedding_moments(ds, vec_col=vec_col, dims=dims)
+    mu = s / n
+    cov = (xx - n * np.outer(mu, mu)) / (n - 1)
+    w, v = np.linalg.eigh(cov)            # ascending eigenvalues
+    comps = v[:, ::-1][:, :k].T.copy()    # (k, d), descending variance
+    flip = np.abs(comps).argmax(axis=1)
+    sign = np.sign(comps[np.arange(k), flip])
+    comps *= np.where(sign == 0, 1.0, sign)[:, None]
+    ref = {"__ref__": ray.put((mu, comps))}
+    ckey = f"pca:{ref['__ref__'].hex()}"
+    d = len(mu)
+
+    def project(b: pa.Table) -> pa.Table:
+        mean, cmp_ = _cached_kernel(ckey, ref, lambda p: p)
+        col = b[vec_col].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        x = flat.reshape(b.num_rows, -1)[:, :d] if b.num_rows else flat.reshape(0, d)
+        y = (x - mean) @ cmp_.T
+        out = {id_col: b[id_col]}
+        for c in range(cmp_.shape[0]):
+            out[f"pc{c + 1}"] = pa.array(y[:, c])
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# rollup / pivot / grouped string_agg
+# ---------------------------------------------------------------------------
+
+
+def rollup_aggregate(ds, *, keys: tuple[str, str], value: str):
+    """``GROUP BY ROLLUP(k1, k2)`` counts + sums: the finest groupby runs
+    ONCE over the data (the only corpus-scale pass); the coarser levels
+    re-aggregate the finest RESULT (aggregate-scale inputs), exactly how
+    a warehouse plans rollups.  NULL marks the rolled-up key, matching
+    the SQL law."""
+    from ray.data.aggregate import Count, Sum
+
+    k1, k2 = keys
+    fine = ds.groupby(list(keys)).aggregate(
+        Count(alias_name="n_rows"), Sum(value, alias_name="sum_val")
+    ).materialize()  # consumed by three levels
+    sch = fine.schema().base_schema  # driver-side: key Arrow types
+    t1, t2 = sch.field(k1).type, sch.field(k2).type
+
+    lvl1 = (
+        fine.groupby(k1)
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("sum_val", alias_name="sum_val"))
+        .map_batches(
+            lambda b: b.append_column(
+                k2, pa.nulls(b.num_rows, t2)
+            ).select([k1, k2, "n_rows", "sum_val"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def _total(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                k1: pa.nulls(1, t1),
+                k2: pa.nulls(1, t2),
+                "n_rows": pa.array(
+                    [pc.sum(b["n_rows"]).as_py() or 0], pa.int64()
+                ),
+                "sum_val": pa.array(
+                    [pc.sum(b["sum_val"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    lvl0 = fine.repartition(1).map_batches(_total, batch_format="pyarrow")
+    fine_sel = fine.map_batches(
+        lambda b: b.select([k1, k2, "n_rows", "sum_val"]),
+        batch_format="pyarrow",
+    )
+    return fine_sel.union(lvl1).union(lvl0)
+
+
+def sql_rollup_aggregate(*, keys: tuple[str, str], value: str,
+                         source: str = "documents") -> str:
+    k1, k2 = keys
+    return (
+        f"SELECT {k1}, {k2}, COUNT(*)::BIGINT AS n_rows, "
+        f"SUM({value})::BIGINT AS sum_val FROM {source} "
+        f"GROUP BY ROLLUP({k1}, {k2})"
+    )
+
+
+def pivot_counts(ds, *, group_col: str, pivot_col: str, categories: tuple,
+                 value: str):
+    """Wide pivot: one row per ``group_col``, a count column per
+    ``pivot_col`` category plus a value sum — per-batch vectorized
+    partials (one row per group per batch), one tiny groupby-sum.  The
+    category set must be CLOSED and small (it becomes the schema)."""
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            b.groupby(group_col, sort=False)[value]
+            .sum()
+            .rename("sum_val")
+            .to_frame()
+        )
+        for c in cats:  # one vectorized pass per category (closed, small)
+            out[f"n_{c}"] = (
+                b[b[pivot_col] == c]
+                .groupby(group_col, sort=False)
+                .size()
+                .reindex(out.index, fill_value=0)
+                .astype(np.int64)
+            )
+        return out.reset_index()
+
+    aggs = [Sum("sum_val", alias_name="sum_val")] + [
+        Sum(f"n_{c}", alias_name=f"n_{c}") for c in cats
+    ]
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(*aggs)
+    )
+
+
+def sql_pivot_counts(*, group_col: str, pivot_col: str, categories: tuple,
+                     value: str, source: str = "documents") -> str:
+    cols = ", ".join(
+        f"COUNT(*) FILTER (WHERE {pivot_col} = '{c}')::BIGINT AS n_{c}"
+        for c in categories
+    )
+    return (
+        f"SELECT {group_col}, SUM({value})::BIGINT AS sum_val, {cols} "
+        f"FROM {source} GROUP BY {group_col}"
+    )
+
+
+def grouped_string_agg(ds, *, group_col: str, value_col: str,
+                       sep: str = ","):
+    """``string_agg(value ORDER BY value)`` per group — low-cardinality
+    groups only (the concatenated string materializes per group; a
+    corpus-scale group would need the packed-sink layout instead)."""
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "ids": [sep.join(str(x) for x in v)],
+            }
+        )
+
+    return ds.groupby(group_col).map_groups(agg, batch_format="pandas")
+
+
+def sql_grouped_string_agg(*, group_col: str, value_col: str,
+                           sep: str = ",", source: str = "documents") -> str:
+    return (
+        f"SELECT {group_col}, string_agg(CAST({value_col} AS VARCHAR), "
+        f"'{sep}' ORDER BY {value_col}) AS ids FROM {source} "
+        f"GROUP BY {group_col}"
+    )
