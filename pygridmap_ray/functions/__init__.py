@@ -26,7 +26,11 @@ from ..stats import (  # noqa: F401
     pivot_counts,
     rollup_aggregate,
 )
-from ..pack import global_prefix_sum, pack_sequences  # noqa: F401
+from ..pack import (  # noqa: F401
+    global_prefix_sum,
+    pack_sequences,
+    shuffle_by_hash,
+)
 from ..frame import FrameProcessor, frame_apply  # noqa: F401
 from ..geom import (  # noqa: F401
     BBoxIndex,

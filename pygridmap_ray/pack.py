@@ -158,3 +158,100 @@ SELECT {id_col}, {tokens_col},
         ELSE s // {cap} END - s // {cap} + 1) AS n_seqs
 FROM c
 """
+
+
+def shuffle_by_hash(
+    ds,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "",
+    n_buckets: int = 256,
+):
+    """Deterministic global training shuffle: every record gets a dense
+    0-based ``pos`` — its rank under ``ORDER BY md5(key || salt), key``.
+    Changing ``salt`` re-deals the epoch; the position is content-stable
+    (independent of row order, partitioning, cluster size), so shuffled
+    shards are reproducible and resumable.
+
+    Same machinery as :func:`global_prefix_sum` with count partials: the
+    60-bit hash is uniform by construction, so fixed-width hash-range
+    buckets are balanced regardless of key skew; per-bucket counts
+    collect on the driver (``n_buckets`` int64s), each bucket sorts
+    vectorized and adds its base rank.  One shuffle, same cost class as
+    ``Dataset.sort``."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    HBITS = 60  # 15 md5 hex digits: positive int64 on both sides
+
+    def hash_of(b: pa.Table) -> np.ndarray:
+        keys = pc.cast(b[key_col], pa.string()).to_pylist()
+        return np.fromiter(
+            (
+                int(hashlib.md5((k + salt).encode()).hexdigest()[:15], 16)
+                for k in keys
+            ),
+            dtype=np.int64,
+            count=len(keys),
+        )
+
+    nb = n_buckets
+    if nb & (nb - 1) or nb <= 0:
+        raise ValueError("n_buckets must be a power of two")
+    shift = np.int64(HBITS - int(np.log2(nb)))  # range bucket via shift:
+    # h * nb would overflow int64 for h near 2^60
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = hash_of(b)
+        bk = h >> shift
+        return b.append_column("__h", pa.array(h)).append_column(
+            "__bk", pa.array(bk.astype(np.int64))
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        bk = np.asarray(b["__bk"], dtype=np.int64)
+        tot = np.bincount(bk, minlength=nb).astype(np.int64)
+        nz = np.nonzero(tot)[0]
+        return pa.table({"__bk": pa.array(nz), "__n": pa.array(tot[nz])})
+
+    sub = tagged.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    totals = np.zeros(nb, dtype=np.int64)
+    if len(sub):
+        np.add.at(totals, sub["__bk"].to_numpy(dtype=np.int64),
+                  sub["__n"].to_numpy(dtype=np.int64))
+    base = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", key_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        g["pos"] = base[int(g["__bk"].iloc[0])] + np.arange(
+            len(g), dtype=np.int64
+        )
+        return g.drop(columns=["__h", "__bk"])
+
+    return (
+        tagged.groupby("__bk")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+def sql_shuffle_by_hash(
+    *,
+    key_col: str = "doc_id",
+    salt: str = "",
+    source: str = "documents",
+    select: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`shuffle_by_hash` (md5-hex rank law)."""
+    h = (
+        f"('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '{salt}'), 1, 15))"
+        f"::BIGINT"
+    )
+    return (
+        f"SELECT {select}, ROW_NUMBER() OVER (ORDER BY {h}, {key_col}) - 1 "
+        f"AS pos FROM {source}"
+    )

@@ -1010,6 +1010,27 @@ def _sql_string_agg() -> str:
     return sql_grouped_string_agg(group_col="lang", value_col="doc_id")
 
 
+SHUFFLE_SALT = "epoch0"
+
+
+def q_shuffle(sf_dir: str):
+    """Deterministic global training shuffle: content-stable dense rank
+    under ORDER BY md5(doc_id || salt) (pack.shuffle_by_hash)."""
+    from ..pack import shuffle_by_hash
+
+    out = shuffle_by_hash(
+        _docs(sf_dir, ("doc_id",)), key_col="doc_id",
+        salt=SHUFFLE_SALT, n_buckets=64,
+    )
+    return out.select_columns(["doc_id", "pos"])
+
+
+def _sql_shuffle() -> str:
+    from ..pack import sql_shuffle_by_hash
+
+    return sql_shuffle_by_hash(key_col="doc_id", salt=SHUFFLE_SALT)
+
+
 DECON_MOD, DECON_RES = 13, 5  # eval split: doc_id % 13 == 5
 
 
@@ -1546,6 +1567,7 @@ def queries():
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "embedding_cov": q_embedding_cov,
+        "shuffle_pos": q_shuffle,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -1874,6 +1896,7 @@ def oracle_sql():
         "pack_sequences": _sql_pack_sequences(),
         "decontaminate": _sql_decontaminate(),
         "embedding_cov": _sql_embedding_cov(),
+        "shuffle_pos": _sql_shuffle(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

@@ -110,3 +110,31 @@ def test_decontaminate_empty_eval(ray_session):
         _ds_from_pandas(tr, 1), _ds_from_pandas(ev, 1), n=3
     ).to_pandas()
     assert out["contaminated"].tolist() == [False]
+
+
+def test_shuffle_by_hash_dense_and_invariant(ray_session):
+    from pygridmap_ray.pack import shuffle_by_hash
+
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+    a = (
+        shuffle_by_hash(_ds_from_pandas(df, 3), n_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")["pos"]
+        .to_numpy()
+    )
+    b = (
+        shuffle_by_hash(_ds_from_pandas(df.iloc[::-1], 11), n_buckets=64)
+        .to_pandas()
+        .sort_values("doc_id")["pos"]
+        .to_numpy()
+    )
+    assert (a == b).all()                       # content-stable
+    assert sorted(a.tolist()) == list(range(500))  # dense 0..n-1 rank
+    # a different salt deals a different permutation
+    c = (
+        shuffle_by_hash(_ds_from_pandas(df, 3), salt="x", n_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")["pos"]
+        .to_numpy()
+    )
+    assert (a != c).any()
