@@ -1476,13 +1476,28 @@ def decontaminate(
         hit = np.isin(flat, ev).astype(np.int64)
         cs = np.concatenate([[0], np.cumsum(hit)])
         cnt = cs[offs[1:]] - cs[offs[:-1]]
-        return pa.table(
-            {id_col: t[id_col], "contaminated": pa.array(cnt > 0)}
-        )
+        # input columns pass through so the flag composes into chains
+        return b.append_column("contaminated", pa.array(cnt > 0))
 
-    return train.select_columns([id_col, text_col]).map_batches(
-        flag, batch_format="pyarrow"
-    )
+    return train.map_batches(flag, batch_format="pyarrow")
+
+
+def sql_grams_cte(n: int, source: str = "documents",
+                  text: str = "text") -> str:
+    """``toks``/``grams`` CTE fragment (distinct word n-gram strings per
+    doc, ``m = min(n, n_tokens)`` law) shared by every gram-law twin."""
+    return f"""toks AS (
+  SELECT doc_id, t, LEAST({n}, len(t)) AS m
+  FROM (SELECT doc_id, regexp_extract_all({text}, '\\S+') AS t FROM {source})
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN t IS NULL OR len(t) = 0 THEN [] ELSE
+      list_distinct([array_to_string(list_slice(t, p, p + m - 1), chr(31))
+                     for p in generate_series(1, len(t) - m + 1)])
+    END AS g
+  FROM toks
+)"""
 
 
 def sql_decontaminate(
@@ -1495,18 +1510,7 @@ def sql_decontaminate(
     """DuckDB twin of :func:`decontaminate` over string grams (equal iff
     the engine's polynomial hashes are, absent 61-bit collisions)."""
     return f"""
-WITH toks AS (
-  SELECT doc_id, t, LEAST({n}, len(t)) AS m
-  FROM (SELECT doc_id, regexp_extract_all({text}, '\\S+') AS t FROM {source})
-),
-grams AS (
-  SELECT doc_id,
-    CASE WHEN t IS NULL OR len(t) = 0 THEN [] ELSE
-      list_distinct([array_to_string(list_slice(t, p, p + m - 1), chr(31))
-                     for p in generate_series(1, len(t) - m + 1)])
-    END AS g
-  FROM toks
-),
+WITH {sql_grams_cte(n, source, text)},
 ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE {eval_pred}),
 tr AS (SELECT doc_id, g FROM grams WHERE NOT ({eval_pred})),
 tg AS (SELECT doc_id, unnest(g) AS gram FROM tr),

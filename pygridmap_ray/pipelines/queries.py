@@ -1010,6 +1010,91 @@ def _sql_string_agg() -> str:
     return sql_grouped_string_agg(group_col="lang", value_col="doc_id")
 
 
+def q_llm_prepare(sf_dir: str):
+    """Capstone #2 — the full pretraining data-prep chain a corpus run
+    executes end-to-end: exact dedup (keep min-id per content) -> drop
+    the eval slice -> quality gate (rounded >= 0.5) -> decontaminate
+    against the eval slice's 4-grams -> hash split, keep 'train' ->
+    concat-and-chunk sequence packing.  Every stage is the engine's own
+    operator; the DuckDB twin composes the same laws."""
+    from ..dedup import decontaminate, exact_dedup
+    from ..pack import pack_sequences
+    from ..stats import split_by_hash
+    from ..text import quality_score
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+
+    def side(is_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            return b.filter(pa.array((ids % DECON_MOD == DECON_RES) == is_eval))
+
+        return f
+
+    keep = (
+        exact_dedup(docs)
+        .select_columns(["keeper_id"])
+        .rename_columns(["doc_id"])
+        .repartition(8)  # aggregates emit column-less empty blocks
+    )
+    kept = docs.join(keep, "inner", num_partitions=8, on=("doc_id",))
+    ev = docs.map_batches(side(True), batch_format="pyarrow")
+    cand = kept.map_batches(side(False), batch_format="pyarrow")
+
+    def quality_gate(b: pa.Table) -> pa.Table:
+        b = quality_score(b)
+        b = round6(b, ["quality"])
+        b = b.filter(
+            pc.greater_equal(b["quality"], pa.scalar(CURATE_MIN_QUALITY))
+        )
+        return b.select(["doc_id", "text", "n_tokens"])
+
+    gated = cand.map_batches(quality_gate, batch_format="pyarrow")
+    clean = decontaminate(gated, ev, n=4).map_batches(
+        lambda b: b.filter(pc.invert(b["contaminated"])).select(
+            ["doc_id", "n_tokens"]
+        ),
+        batch_format="pyarrow",
+    )
+    train = split_by_hash(clean, key_col="doc_id").map_batches(
+        lambda b: b.filter(pc.equal(b["split"], pa.scalar("train"))).select(
+            ["doc_id", "n_tokens"]
+        ),
+        batch_format="pyarrow",
+    )
+    return pack_sequences(
+        train, id_col="doc_id", tokens_col="n_tokens",
+        cap=PACK_CAP, n_buckets=64,
+    )
+
+
+def _sql_llm_prepare() -> str:
+    from ..dedup import sql_grams_cte
+    from ..pack import sql_pack_sequences
+    from ..stats import sql_split_by_hash
+    from ..text import sql_quality_score
+
+    ev_pred = f"doc_id % {DECON_MOD} = {DECON_RES}"
+    survivors = f"""(
+WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+{sql_grams_cte(4)},
+ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE {ev_pred}),
+cand AS (
+  SELECT q.doc_id, q.n_tokens
+  FROM ({sql_quality_score()}) q JOIN keep USING (doc_id)
+  WHERE NOT ({ev_pred.replace('doc_id', 'q.doc_id')})
+    AND ROUND(q.quality * 1e6) / 1e6 >= {CURATE_MIN_QUALITY}
+),
+tg AS (SELECT g.doc_id, unnest(g.g) AS gram
+       FROM grams g JOIN cand ON cand.doc_id = g.doc_id),
+hits AS (SELECT DISTINCT doc_id FROM tg JOIN ev USING (gram))
+SELECT doc_id, n_tokens
+FROM ({sql_split_by_hash(key_col="doc_id", source="cand")})
+WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM hits)
+)"""
+    return sql_pack_sequences(PACK_CAP, source=survivors)
+
+
 SHUFFLE_SALT = "epoch0"
 
 
@@ -1050,7 +1135,9 @@ def q_decontaminate(sf_dir: str):
     docs = _docs(sf_dir, ("doc_id", "text"))
     ev = docs.map_batches(side(True), batch_format="pyarrow")
     tr = docs.map_batches(side(False), batch_format="pyarrow")
-    return decontaminate(tr, ev, n=4)
+    return decontaminate(tr, ev, n=4).select_columns(
+        ["doc_id", "contaminated"]
+    )
 
 
 def _sql_decontaminate() -> str:
@@ -1568,6 +1655,7 @@ def queries():
         "decontaminate": q_decontaminate,
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
+        "llm_prepare": q_llm_prepare,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -1897,6 +1985,7 @@ def oracle_sql():
         "decontaminate": _sql_decontaminate(),
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
+        "llm_prepare": _sql_llm_prepare(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),
