@@ -160,6 +160,11 @@ def _secondary() -> dict:
         ("hll_distinct", q.q_hll_distinct),
         ("tfidf_pairs", q.q_tfidf_pairs),
         ("pagerank", q.q_pagerank),
+        ("pack_sequences", q.q_pack_sequences),
+        ("shuffle_pos", q.q_shuffle),
+        ("decontaminate", q.q_decontaminate),
+        ("embedding_cov", q.q_embedding_cov),
+        ("llm_prepare", q.q_llm_prepare),
     ]:
 
         def once(fn=fn):
