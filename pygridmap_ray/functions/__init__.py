@@ -22,6 +22,8 @@ from ..stats import (  # noqa: F401
     embedding_moments,
     grouped_quantiles,
     grouped_string_agg,
+    keyed_lag,
+    mixture_repeat,
     pca_project,
     pivot_counts,
     rollup_aggregate,

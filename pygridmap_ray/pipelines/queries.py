@@ -1095,6 +1095,48 @@ WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM hits)
     return sql_pack_sequences(PACK_CAP, source=survivors)
 
 
+def q_events_lag(sf_dir: str):
+    """Per-user LAG/LEAD + inter-event delta (stats.keyed_lag; non-null
+    value column in the fixture, so passthrough is exact)."""
+    import ray.data as rd
+
+    from ..stats import keyed_lag
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return keyed_lag(
+        ev, key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="value",
+    )
+
+
+def _sql_events_lag() -> str:
+    from ..stats import sql_keyed_lag
+
+    return sql_keyed_lag()
+
+
+MIX_WEIGHTS = {"en": 1.5, "zh": 2.0, "de": 1.0, "fr": 0.5, "es": 0.25}
+
+
+def q_mixture(sf_dir: str):
+    """Data-mixture epoch repetition: per-language fractional repeat
+    factors, deterministic record-by-record (stats.mixture_repeat)."""
+    from ..stats import mixture_repeat
+
+    return mixture_repeat(
+        _docs(sf_dir, ("doc_id", "lang")), weights=MIX_WEIGHTS,
+    )
+
+
+def _sql_mixture() -> str:
+    from ..stats import sql_mixture_repeat
+
+    return sql_mixture_repeat(weights=MIX_WEIGHTS)
+
+
 SHUFFLE_SALT = "epoch0"
 
 
@@ -1656,6 +1698,8 @@ def queries():
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
         "llm_prepare": q_llm_prepare,
+        "events_lag": q_events_lag,
+        "mixture": q_mixture,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -1986,6 +2030,8 @@ def oracle_sql():
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
         "llm_prepare": _sql_llm_prepare(),
+        "events_lag": _sql_events_lag(),
+        "mixture": _sql_mixture(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

@@ -988,3 +988,176 @@ def sql_grouped_string_agg(*, group_col: str, value_col: str,
         f"'{sep}' ORDER BY {value_col}) AS ids FROM {source} "
         f"GROUP BY {group_col}"
     )
+
+
+# ---------------------------------------------------------------------------
+# per-key LAG/LEAD (ordered neighbor access)
+# ---------------------------------------------------------------------------
+
+
+def keyed_lag(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    num_buckets: int = 64,
+):
+    """Per-key ordered neighbor access — SQL's ``LAG``/``LEAD`` — plus
+    the inter-event time delta (microseconds since the key's previous
+    event).  Order within a key is (``ts_col``, ``id_col``), total by
+    construction.
+
+    Same shape as :func:`rolling_aggregate`: ONE hash shuffle into
+    ``hash(key) % num_buckets`` coarse buckets (bounded group count at
+    any key cardinality), one lexsort per bucket, neighbor values via
+    shifted views masked at key boundaries — zero per-key Python."""
+    from .joins import _bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b", pa.array(_bucket_of(np.asarray(b[key_col]), num_buckets))
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        keys = np.asarray(g[key_col], dtype=np.int64)
+        ts = np.asarray(g[ts_col]).astype("datetime64[us]").view(np.int64)
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        vals = np.asarray(g[value_col], dtype=np.float64)
+        order = np.lexsort((ids, ts, keys))
+        keys, ts, ids, vals = keys[order], ts[order], ids[order], vals[order]
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = keys[1:] == keys[:-1]
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = keys[1:] == keys[:-1]
+        prev_v = np.roll(vals, 1)
+        next_v = np.roll(vals, -1)
+        dt = ts - np.roll(ts, 1)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                key_col: pa.array(keys),
+                "prev_value": pa.array(prev_v, mask=~same_prev),
+                "next_value": pa.array(next_v, mask=~same_next),
+                "dt_us": pa.array(dt, mask=~same_prev),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def sql_keyed_lag(
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    source: str = "events",
+) -> str:
+    """DuckDB twin of :func:`keyed_lag` (LAG/LEAD window law; value
+    passthrough is exact so no rounding is needed)."""
+    return f"""
+SELECT {id_col}, {key_col},
+  LAG({value_col}) OVER w AS prev_value,
+  LEAD({value_col}) OVER w AS next_value,
+  (epoch_us({ts_col}) - LAG(epoch_us({ts_col})) OVER w)::BIGINT AS dt_us
+FROM {source}
+WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col})
+"""
+
+
+# ---------------------------------------------------------------------------
+# data-mixture epoch repetition
+# ---------------------------------------------------------------------------
+
+
+def mixture_repeat(
+    ds,
+    *,
+    key_col: str = "doc_id",
+    group_col: str = "lang",
+    weights: dict[str, float] | None = None,
+    default_weight: float = 1.0,
+    salt: str = "mix",
+):
+    """Deterministic data-mixture weighting by per-group repeat factors —
+    the pretraining "epochs per source" knob.  A weight ``w`` emits each
+    record ``floor(w)`` times, plus one more iff its content-stable hash
+    (the :func:`split_by_hash` md5 law, own salt) falls under
+    ``frac(w)``: fractional epochs hold EXACTLY in expectation and are
+    rerun/partition invariant, record-by-record.  Zero shuffle — one
+    vectorized ``np.repeat`` stage; output carries ``copy`` (0-based
+    repeat index) so downstream packing/shuffling can distinguish
+    epochs."""
+    weights = weights or {}
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {g!r} must be >= 0, got {w}")
+
+    def expand(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        keys = pc.cast(b[key_col], pa.string()).to_pylist()
+        h = np.fromiter(
+            (
+                int(hashlib.md5((k + salt).encode()).hexdigest()[:8], 16)
+                % 1_000_000
+                for k in keys
+            ),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        groups = np.asarray(pc.cast(b[group_col], pa.string())).astype(object)
+        w = np.fromiter(
+            (weights.get(g, default_weight) for g in groups),
+            dtype=np.float64,
+            count=len(groups),
+        )
+        base = np.floor(w).astype(np.int64)
+        # frac(w) at fixed 1e-6 resolution, the law the SQL twin mirrors
+        frac_cut = np.floor((w - base) * 1_000_000.0 + 0.5)
+        k = base + (h < frac_cut).astype(np.int64)
+        idx = np.repeat(np.arange(len(k)), k)
+        copy = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(k)[:-1]]), k
+        )
+        out = b.take(pa.array(idx))
+        return out.append_column("copy", pa.array(copy))
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def sql_mixture_repeat(
+    *,
+    key_col: str = "doc_id",
+    group_col: str = "lang",
+    weights: dict[str, float] | None = None,
+    default_weight: float = 1.0,
+    salt: str = "mix",
+    source: str = "documents",
+    select: str = "doc_id, lang",
+) -> str:
+    """DuckDB twin of :func:`mixture_repeat` (same md5/floor/frac law)."""
+    weights = weights or {}
+    h = (
+        f"(('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '{salt}'), 1, 8))"
+        f"::BIGINT % 1000000)"
+    )
+    wcase = "CASE "
+    for g, w in weights.items():
+        wcase += f"WHEN {group_col} = '{g}' THEN {float(w)!r} "
+    wcase += f"ELSE {float(default_weight)!r} END"
+    k = (
+        f"(FLOOR({wcase})::BIGINT + "
+        f"(CASE WHEN {h} < FLOOR((({wcase}) - FLOOR({wcase})) * 1000000 + 0.5) "
+        f"THEN 1 ELSE 0 END))"
+    )
+    return (
+        f"SELECT {select}, unnest(range({k})) AS copy FROM {source}"
+    )

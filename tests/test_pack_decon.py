@@ -138,3 +138,68 @@ def test_shuffle_by_hash_dense_and_invariant(ray_session):
         .to_numpy()
     )
     assert (a != c).any()
+
+
+def test_keyed_lag_matches_pandas(ray_session):
+    from pygridmap_ray.stats import keyed_lag
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n), unit="us"),
+            "user_id": rng.integers(0, 20, n).astype(np.int64),
+            "value": rng.normal(size=n),
+        }
+    )
+    got = (
+        keyed_lag(
+            _ds_from_pandas(df, 5), key_col="user_id", ts_col="ts",
+            id_col="event_id", value_col="value", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    g = ref.groupby("user_id", sort=False)
+    ref["prev_value"] = g["value"].shift(1)
+    ref["next_value"] = g["value"].shift(-1)
+    ref["dt_us"] = (ref["ts"] - g["ts"].shift(1)) / pd.Timedelta(
+        microseconds=1
+    )
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    for c in ("prev_value", "next_value"):
+        np.testing.assert_allclose(
+            got[c].to_numpy(), ref[c].to_numpy(), atol=0, equal_nan=True
+        )
+    assert (
+        got["dt_us"].astype("float64").fillna(-1).to_numpy()
+        == ref["dt_us"].fillna(-1).to_numpy()
+    ).all()
+
+
+def test_mixture_repeat_law(ray_session):
+    from pygridmap_ray.stats import mixture_repeat
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(1000, dtype=np.int64),
+         "lang": ["en", "zh"] * 500}
+    )
+    out = mixture_repeat(
+        _ds_from_pandas(df, 4), weights={"en": 2.0, "zh": 0.5}
+    ).to_pandas()
+    en = out[out["lang"] == "en"]
+    zh = out[out["lang"] == "zh"]
+    # integer weight: exactly 2 copies each, copy in {0,1}
+    assert len(en) == 1000 and set(en["copy"]) == {0, 1}
+    # fractional: ~half survive with copy 0 only, deterministic on rerun
+    assert 150 < len(zh) < 350 and set(zh["copy"]) == {0}
+    out2 = mixture_repeat(
+        _ds_from_pandas(df.iloc[::-1], 9), weights={"en": 2.0, "zh": 0.5}
+    ).to_pandas()
+    a = out.sort_values(["doc_id", "copy"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "copy"]).reset_index(drop=True)
+    assert a.equals(b)
