@@ -1518,3 +1518,168 @@ hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (gram))
 SELECT tr.doc_id, (tr.doc_id IN (SELECT doc_id FROM hits)) AS contaminated
 FROM tr
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level dedup
+# ---------------------------------------------------------------------------
+
+_LINE_CHUNK = 4
+_LINE_IDX_BITS = 20  # docs are assumed < 2^20 lines long (1M lines)
+
+
+def dedup_lines(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = _LINE_CHUNK,
+    num_buckets: int = 64,
+    num_partitions: int = 8,
+):
+    """Line-level exact dedup (the C4 rule): a line survives only at its
+    GLOBAL first occurrence — ``(doc_id, line_idx)`` minimal over all
+    docs containing that line — and every doc is reassembled from its
+    surviving lines in order.  "Lines" here are consecutive ``chunk``-
+    token windows (the fixture corpus has no newlines; swap the splitter
+    for ``\\n`` on real text — the plan is identical).
+
+    Plan: explode lines with a 64-bit polynomial key over the token
+    hashes (equal line strings <=> equal keys, absent ~2^-61 collisions,
+    same family as :func:`ngram_jaccard_pairs`); ONE coarse-bucket
+    shuffle on the line key resolves first-occurrence winners vectorized
+    (all rows of a key share a bucket); a second coarse shuffle on doc id
+    reassembles kept lines in order.  Both shuffles carry (ids, key,
+    line) — the dedup decision itself never touches the driver.
+
+    Emits (doc_id, n_lines, n_kept, text_kept); docs whose every line is
+    a later occurrence drop out (their text is fully redundant)."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        texts = b[text_col].to_pylist()
+        out_id, out_idx, out_nl, out_line, out_key = [], [], [], [], []
+        for i, t in enumerate(texts):
+            toks = TOKEN_RE.findall(t or "")
+            if not toks:
+                continue
+            th = _token_hashes(toks)
+            nl = (len(toks) + chunk - 1) // chunk
+            for li in range(nl):
+                seg = toks[li * chunk:(li + 1) * chunk]
+                acc = np.uint64(0)
+                for hv in th[li * chunk:(li + 1) * chunk]:
+                    acc = (acc * np.uint64(1000003) + hv) & np.uint64(
+                        0xFFFFFFFFFFFFFFFF
+                    )
+                out_id.append(ids[i])
+                out_idx.append(li)
+                out_nl.append(nl)
+                out_line.append(" ".join(seg))
+                out_key.append(np.int64(acc >> np.uint64(3)))
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(out_id, dtype=np.int64)),
+                "idx": pa.array(np.asarray(out_idx, dtype=np.int64)),
+                "n_lines": pa.array(np.asarray(out_nl, dtype=np.int64)),
+                "line": pa.array(out_line, pa.string()),
+                "key": pa.array(np.asarray(out_key, dtype=np.int64)),
+            }
+        )
+
+    lines = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def add_kb(b: pa.Table) -> pa.Table:
+        h = np.asarray(b["key"]).astype(np.uint64)
+        return b.append_column(
+            "__b",
+            pa.array((((h * np.uint64(2654435761)) % np.uint64(num_buckets)))
+                     .astype(np.int64)),
+        )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["key"].to_numpy(dtype=np.int64)
+        pos = (
+            g[id_col].to_numpy(dtype=np.int64) << _LINE_IDX_BITS
+        ) | g["idx"].to_numpy(dtype=np.int64)
+        order = np.lexsort((pos, k))
+        k, pos = k[order], pos[order]
+        first = np.zeros(len(k), dtype=bool)
+        if len(k):
+            first[0] = True
+            first[1:] = k[1:] != k[:-1]
+        return g.iloc[order[first]]
+
+    kept = (
+        lines.map_batches(add_kb, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+    def add_db(b: pa.Table) -> pa.Table:
+        h = np.asarray(b[id_col]).astype(np.uint64)
+        return b.append_column(
+            "__d",
+            pa.array((((h * np.uint64(2654435761)) % np.uint64(num_buckets)))
+                     .astype(np.int64)),
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "idx"], kind="mergesort")
+        agg = g.groupby(id_col, sort=False).agg(
+            n_lines=("n_lines", "first"),
+            n_kept=("idx", "size"),
+            text_kept=("line", " ".join),
+        )
+        return agg.reset_index()
+
+    return (
+        kept.map_batches(add_db, batch_format="pyarrow")
+        .groupby("__d")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
+def sql_dedup_lines(
+    *,
+    chunk: int = _LINE_CHUNK,
+    source: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dedup_lines` over line STRINGS."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all({text}, '\\S+') AS t FROM {source}
+),
+l2 AS (
+  SELECT doc_id, i,
+    array_to_string(
+      list_slice(t, i * {chunk} + 1,
+                 LEAST(i * {chunk} + {chunk}, len(t))), ' ') AS line
+  FROM (
+    SELECT doc_id, t,
+           unnest(range((len(t) + {chunk} - 1) // {chunk})) AS i
+    FROM toks WHERE len(t) > 0
+  )
+),
+firsts AS (
+  SELECT line, MIN(doc_id * {1 << _LINE_IDX_BITS} + i) AS pos
+  FROM l2 GROUP BY line
+),
+kept AS (
+  SELECT l.doc_id, l.i, l.line
+  FROM l2 l JOIN firsts f
+    ON f.line = l.line AND l.doc_id * {1 << _LINE_IDX_BITS} + l.i = f.pos
+),
+nl AS (
+  SELECT doc_id, (len(t) + {chunk} - 1) // {chunk} AS n_lines
+  FROM toks WHERE len(t) > 0
+)
+SELECT k.doc_id, ANY_VALUE(n.n_lines)::BIGINT AS n_lines,
+       COUNT(*)::BIGINT AS n_kept,
+       string_agg(k.line, ' ' ORDER BY k.i) AS text_kept
+FROM kept k JOIN nl n USING (doc_id)
+GROUP BY k.doc_id
+"""

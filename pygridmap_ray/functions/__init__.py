@@ -6,6 +6,7 @@ from ..dedup import (  # noqa: F401
     connected_components,
     content_hash,
     decontaminate,
+    dedup_lines,
     embedding_lsh_pairs,
     embedding_neardup_pairs,
     exact_dedup,

@@ -1118,6 +1118,20 @@ def _sql_events_lag() -> str:
     return sql_keyed_lag()
 
 
+def q_dedup_lines(sf_dir: str):
+    """C4-style line-level dedup: keep each line only at its global first
+    occurrence, reassemble docs (dedup.dedup_lines)."""
+    from ..dedup import dedup_lines
+
+    return dedup_lines(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _sql_dedup_lines() -> str:
+    from ..dedup import sql_dedup_lines
+
+    return sql_dedup_lines()
+
+
 MIX_WEIGHTS = {"en": 1.5, "zh": 2.0, "de": 1.0, "fr": 0.5, "es": 0.25}
 
 
@@ -1700,6 +1714,7 @@ def queries():
         "llm_prepare": q_llm_prepare,
         "events_lag": q_events_lag,
         "mixture": q_mixture,
+        "dedup_lines": q_dedup_lines,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2032,6 +2047,7 @@ def oracle_sql():
         "llm_prepare": _sql_llm_prepare(),
         "events_lag": _sql_events_lag(),
         "mixture": _sql_mixture(),
+        "dedup_lines": _sql_dedup_lines(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

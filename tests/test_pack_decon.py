@@ -203,3 +203,26 @@ def test_mixture_repeat_law(ray_session):
     a = out.sort_values(["doc_id", "copy"]).reset_index(drop=True)
     b = out2.sort_values(["doc_id", "copy"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_dedup_lines_planted(ray_session):
+    from pygridmap_ray.dedup import dedup_lines
+
+    # chunk=2 lines: doc0 = [a b][c d]; doc1 repeats [a b] (dropped) and
+    # adds [x y]; doc2 is entirely doc0's lines -> vanishes
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a b c d", "a b x y", "c d a b"],
+        }
+    )
+    out = (
+        dedup_lines(_ds_from_pandas(df, 2), chunk=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_lines"].tolist() == [2, 2]
+    assert out["n_kept"].tolist() == [2, 1]
+    assert out["text_kept"].tolist() == ["a b c d", "x y"]
