@@ -19,6 +19,8 @@ from ..dedup import (  # noqa: F401
     simhash_pairs,
 )
 from ..stats import (  # noqa: F401
+    countmin_sketch,
+    countmin_topk,
     embedding_covariance,
     embedding_moments,
     grouped_quantiles,

@@ -1132,6 +1132,20 @@ def _sql_dedup_lines() -> str:
     return sql_dedup_lines()
 
 
+def q_countmin(sf_dir: str):
+    """Count-Min heavy hitters: exact top-20 unigrams probed against the
+    mergeable sketch (stats.countmin_topk; est >= cnt one-sided law)."""
+    from ..stats import countmin_topk
+
+    return countmin_topk(_docs(sf_dir, ("doc_id", "text")), k=20)
+
+
+def _sql_countmin() -> str:
+    from ..stats import sql_countmin_topk
+
+    return sql_countmin_topk(k=20)
+
+
 MIX_WEIGHTS = {"en": 1.5, "zh": 2.0, "de": 1.0, "fr": 0.5, "es": 0.25}
 
 
@@ -1715,6 +1729,7 @@ def queries():
         "events_lag": q_events_lag,
         "mixture": q_mixture,
         "dedup_lines": q_dedup_lines,
+        "countmin_topk": q_countmin,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2048,6 +2063,7 @@ def oracle_sql():
         "events_lag": _sql_events_lag(),
         "mixture": _sql_mixture(),
         "dedup_lines": _sql_dedup_lines(),
+        "countmin_topk": _sql_countmin(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

@@ -1161,3 +1161,137 @@ def sql_mixture_repeat(
     return (
         f"SELECT {select}, unnest(range({k})) AS copy FROM {source}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable heavy-hitter counts)
+# ---------------------------------------------------------------------------
+
+CM_DEPTH, CM_WIDTH = 4, 1024
+
+
+def countmin_sketch(
+    ds,
+    *,
+    text_col: str = "text",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> np.ndarray:
+    """Count-Min sketch of the corpus word stream: ``depth x width``
+    int64 counters, hash row ``i`` bucketing each word by the first 8
+    md5 hex digits of ``word + '#' + i`` mod ``width`` (an md5 law the
+    SQL twin reproduces digit-for-digit).
+
+    Mergeable by addition, so each batch emits its own sketch as ONE
+    flattened row (~``depth*width*8`` bytes) and the driver folds the
+    ~num_blocks partials — the classic sketch reduce; the word stream
+    itself never shuffles.  Per batch the md5 runs once per DISTINCT
+    word (value_counts first), not per occurrence."""
+    import hashlib
+    import re
+
+    from .text import TOKEN_PATTERN  # the engine-wide \S+ token law
+
+    tok_re = re.compile(TOKEN_PATTERN)
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = np.zeros((depth, width), dtype=np.int64)
+        texts = b[text_col].to_pylist()
+        toks: list[str] = []
+        for t in texts:
+            toks.extend(tok_re.findall(t or ""))
+        if toks:
+            words, counts = np.unique(np.asarray(toks, dtype=object),
+                                      return_counts=True)
+            for i in range(depth):
+                cols = np.fromiter(
+                    (
+                        int(hashlib.md5(f"{w}#{i}".encode()).hexdigest()[:8],
+                            16) % width
+                        for w in words
+                    ),
+                    dtype=np.int64,
+                    count=len(words),
+                )
+                np.add.at(sk[i], cols, counts)
+        return pa.table({"sk": pa.array([sk.ravel().tolist()],
+                                        pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = np.zeros(depth * width, dtype=np.int64)
+    for row in parts["sk"]:
+        out += np.asarray(row, dtype=np.int64)
+    return out.reshape(depth, width)
+
+
+def countmin_topk(
+    ds,
+    *,
+    k: int = 20,
+    text_col: str = "text",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> pa.Table:
+    """Heavy hitters with sketch estimates: the exact top-``k`` unigrams
+    (the :func:`pygridmap_ray.text.top_ngrams` law — cnt DESC, word ASC)
+    probed against the Count-Min sketch.  ``est >= cnt`` always (one-
+    sided error); the over-estimate bound is the sketch guarantee.  Both
+    the probe set and every estimate are deterministic, so the DuckDB
+    twin reproduces the table exactly."""
+    import hashlib
+
+    from .text import top_ngrams
+
+    sk = countmin_sketch(ds, text_col=text_col, depth=depth, width=width)
+    top = top_ngrams(ds, n=1, k=k, text_col=text_col).to_pandas()
+    words = top["ngram"].tolist()
+    est = np.empty(len(words), dtype=np.int64)
+    for j, w in enumerate(words):
+        vals = [
+            sk[i][int(hashlib.md5(f"{w}#{i}".encode()).hexdigest()[:8], 16)
+                  % width]
+            for i in range(depth)
+        ]
+        est[j] = min(vals)
+    return pa.table(
+        {
+            "ngram": pa.array(words, pa.string()),
+            "cnt": pa.array(top["cnt"].to_numpy(np.int64)),
+            "est": pa.array(est),
+        }
+    )
+
+
+def sql_countmin_topk(
+    *,
+    k: int = 20,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    source: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`countmin_topk` — rebuilds the identical
+    sketch row sums from the same md5 bucket law."""
+    def b(w: str, ivar: str) -> str:
+        return (
+            f"(('0x' || substr(md5({w} || '#' || {ivar}), 1, 8))::BIGINT "
+            f"% {width})"
+        )
+
+    return f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all({text}, '\\S+')) AS w FROM {source}
+),
+cnt AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM words GROUP BY w),
+topk AS (SELECT w, cnt FROM cnt ORDER BY cnt DESC, w LIMIT {k}),
+hrows AS (SELECT unnest(range({depth})) AS i),
+buckets AS (
+  SELECT i, {b('w', 'i')} AS bkt, SUM(cnt)::BIGINT AS tot
+  FROM cnt, hrows GROUP BY i, bkt
+)
+SELECT t.w AS ngram, t.cnt, MIN(bu.tot)::BIGINT AS est
+FROM topk t
+JOIN hrows r ON TRUE
+JOIN buckets bu ON bu.i = r.i AND bu.bkt = {b('t.w', 'r.i')}
+GROUP BY t.w, t.cnt
+"""

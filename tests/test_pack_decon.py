@@ -226,3 +226,26 @@ def test_dedup_lines_planted(ray_session):
     assert out["n_lines"].tolist() == [2, 2]
     assert out["n_kept"].tolist() == [2, 1]
     assert out["text_kept"].tolist() == ["a b c d", "x y"]
+
+
+def test_countmin_one_sided_and_exact_when_wide(ray_session):
+    from pygridmap_ray.stats import countmin_topk
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(words, size=30, p=None)) for _ in range(200)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "text": texts})
+    # narrow sketch: collisions certain -> est >= cnt, some strict
+    t = countmin_topk(
+        _ds_from_pandas(df, 4), k=15, width=32, depth=3
+    ).to_pandas()
+    assert (t["est"] >= t["cnt"]).all()
+    # wide sketch: 200 distinct words, width 4096 -> est == cnt w.h.p.
+    # per hash row; depth-4 min makes a collision on ALL rows ~impossible
+    t2 = countmin_topk(
+        _ds_from_pandas(df, 4), k=15, width=4096, depth=4
+    ).to_pandas()
+    assert (t2["est"] == t2["cnt"]).all()
