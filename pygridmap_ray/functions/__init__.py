@@ -24,6 +24,7 @@ from ..stats import (  # noqa: F401
     embedding_covariance,
     embedding_moments,
     grouped_quantiles,
+    grouped_quantiles_cont,
     grouped_string_agg,
     keyed_lag,
     mixture_repeat,

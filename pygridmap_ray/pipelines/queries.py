@@ -1132,6 +1132,22 @@ def _sql_dedup_lines() -> str:
     return sql_dedup_lines()
 
 
+def q_lang_quantiles_cont(sf_dir: str):
+    """Interpolated per-language quantiles (quantile_cont law)."""
+    from ..stats import grouped_quantiles_cont
+
+    return grouped_quantiles_cont(
+        _docs(sf_dir, ("lang", "n_chars")), key="lang", value="n_chars",
+        qs=(0.25, 0.5, 0.9),
+    )
+
+
+def _sql_lang_quantiles_cont() -> str:
+    from ..stats import sql_grouped_quantiles_cont
+
+    return sql_grouped_quantiles_cont()
+
+
 def q_countmin(sf_dir: str):
     """Count-Min heavy hitters: exact top-20 unigrams probed against the
     mergeable sketch (stats.countmin_topk; est >= cnt one-sided law)."""
@@ -1730,6 +1746,7 @@ def queries():
         "mixture": q_mixture,
         "dedup_lines": q_dedup_lines,
         "countmin_topk": q_countmin,
+        "lang_quantiles_cont": q_lang_quantiles_cont,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2064,6 +2081,7 @@ def oracle_sql():
         "mixture": _sql_mixture(),
         "dedup_lines": _sql_dedup_lines(),
         "countmin_topk": _sql_countmin(),
+        "lang_quantiles_cont": _sql_lang_quantiles_cont(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

@@ -1295,3 +1295,63 @@ JOIN hrows r ON TRUE
 JOIN buckets bu ON bu.i = r.i AND bu.bkt = {b('t.w', 'r.i')}
 GROUP BY t.w, t.cnt
 """
+
+
+def grouped_quantiles_cont(
+    ds,
+    *,
+    key: str = "lang",
+    value: str = "n_chars",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    round_to: int = 6,
+):
+    """Per-key CONTINUOUS (interpolated) quantiles — SQL:2016
+    ``percentile_cont`` / DuckDB ``quantile_cont`` law: at fractional
+    rank ``h = q*(n-1)`` (0-based) the result interpolates the two
+    neighboring order statistics.  Same histogram two-phase plan as
+    :func:`grouped_quantiles` (the shuffle carries distinct (key, value)
+    pairs only); the per-key finish walks cumulative counts and linearly
+    interpolates.  Outputs round half-away at ``round_to`` on both sides
+    (interpolation is float arithmetic)."""
+    ds = ds.select_columns([key, value]).map_batches(
+        lambda b: b.filter(pc.is_valid(b[value])), batch_format="pyarrow"
+    )
+    hist = ds.groupby([key, value]).count()
+    tol = 10.0 ** round_to
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value, kind="stable")
+        cnt = g["count()"].to_numpy(dtype=np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        vals = g[value].to_numpy(dtype=np.float64)
+        out = {key: [g[key].iloc[0]]}
+        for q in qs:
+            h = q * (n - 1)
+            lo_rank = int(np.floor(h)) + 1     # 1-based order stats
+            hi_rank = min(lo_rank + 1, n)
+            frac = h - np.floor(h)
+            lo = vals[np.searchsorted(cum, lo_rank, side="left")]
+            hi = vals[np.searchsorted(cum, hi_rank, side="left")]
+            x = lo + frac * (hi - lo)
+            out[_qlabel(q)] = [
+                float(np.sign(x) * np.floor(abs(x) * tol + 0.5) / tol)
+            ]
+        return pd.DataFrame(out)
+
+    return hist.groupby(key).map_groups(finish, batch_format="pandas")
+
+
+def sql_grouped_quantiles_cont(
+    key: str = "lang",
+    value: str = "n_chars",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    round_to: int = 6,
+    source: str = "documents",
+) -> str:
+    sel = ", ".join(
+        f"ROUND(quantile_cont({value}, {q}) * 1e{round_to}) / 1e{round_to} "
+        f"AS {_qlabel(q)}"
+        for q in qs
+    )
+    return f"SELECT {key}, {sel} FROM {source} GROUP BY {key}"
