@@ -165,6 +165,7 @@ def _secondary() -> dict:
         ("decontaminate", q.q_decontaminate),
         ("embedding_cov", q.q_embedding_cov),
         ("llm_prepare", q.q_llm_prepare),
+        ("dedup_lines", q.q_dedup_lines),
     ]:
 
         def once(fn=fn):
