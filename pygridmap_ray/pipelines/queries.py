@@ -1148,6 +1148,20 @@ def _sql_lang_quantiles_cont() -> str:
     return sql_grouped_quantiles_cont()
 
 
+def q_filter_cascade(sf_dir: str):
+    """Quality-filter cascade with per-doc reason codes
+    (text.filter_cascade; first-failing-rule law)."""
+    from ..text import filter_cascade
+
+    return filter_cascade(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _sql_filter_cascade() -> str:
+    from ..text import sql_filter_cascade
+
+    return sql_filter_cascade()
+
+
 def q_countmin(sf_dir: str):
     """Count-Min heavy hitters: exact top-20 unigrams probed against the
     mergeable sketch (stats.countmin_topk; est >= cnt one-sided law)."""
@@ -1747,6 +1761,7 @@ def queries():
         "dedup_lines": q_dedup_lines,
         "countmin_topk": q_countmin,
         "lang_quantiles_cont": q_lang_quantiles_cont,
+        "filter_cascade": q_filter_cascade,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2082,6 +2097,7 @@ def oracle_sql():
         "dedup_lines": _sql_dedup_lines(),
         "countmin_topk": _sql_countmin(),
         "lang_quantiles_cont": _sql_lang_quantiles_cont(),
+        "filter_cascade": _sql_filter_cascade(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

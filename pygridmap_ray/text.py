@@ -635,3 +635,90 @@ SELECT d.doc_id,
        ROUND(s.logprob * 1e6) / 1e6 AS logprob
 FROM {source} d LEFT JOIN scored s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# quality-filter cascade with reason codes
+# ---------------------------------------------------------------------------
+
+CASCADE_MIN_TOKENS = 16
+CASCADE_MAX_TOP_BIGRAM = 0.08
+CASCADE_MIN_QUALITY = 0.35
+
+
+def filter_cascade(
+    ds,
+    *,
+    text_col: str = "text",
+    min_tokens: int = CASCADE_MIN_TOKENS,
+    max_top_bigram: float = CASCADE_MAX_TOP_BIGRAM,
+    min_quality: float = CASCADE_MIN_QUALITY,
+):
+    """FineWeb-style filter cascade: rules fire in a FIXED order and each
+    doc carries the FIRST failing rule as its reason code (``too_short``
+    -> ``repetitive`` -> ``low_quality`` -> ``pass``) — the audit trail a
+    production filter keeps so dropped volume is attributable per rule.
+
+    One stateless vectorized stage (quality + repetition signals are the
+    existing Arrow kernels); float comparisons use 6dp half-away-rounded
+    values on BOTH sides so the rule boundary can never flip on
+    summation-order noise."""
+
+    def flag(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        b = quality_score(b, text_col)
+        b = repetition_stats(b, text_col)
+        ntok = np.asarray(b["n_tokens"], dtype=np.int64)
+
+        def r6(col):
+            v = np.asarray(b[col], dtype=np.float64)
+            return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+        tbf, qual = r6("top_bigram_frac"), r6("quality")
+        reason = np.where(
+            ntok < min_tokens,
+            "too_short",
+            np.where(
+                tbf > max_top_bigram,
+                "repetitive",
+                np.where(qual < min_quality, "low_quality", "pass"),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "keep": pa.array(reason == "pass"),
+                "reason": pa.array(reason.astype(object), pa.string()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def sql_filter_cascade(
+    *,
+    min_tokens: int = CASCADE_MIN_TOKENS,
+    max_top_bigram: float = CASCADE_MAX_TOP_BIGRAM,
+    min_quality: float = CASCADE_MIN_QUALITY,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`filter_cascade` (same rule order, same
+    rounded boundaries)."""
+    return f"""
+WITH q AS ({sql_quality_score(source)}),
+r AS ({sql_repetition_stats(source)}),
+j AS (
+  SELECT q.doc_id, q.n_tokens,
+         ROUND(r.top_bigram_frac * 1e6) / 1e6 AS tbf,
+         ROUND(q.quality * 1e6) / 1e6 AS qual
+  FROM q JOIN r USING (doc_id)
+)
+SELECT doc_id,
+  (CASE WHEN n_tokens < {min_tokens} THEN 'too_short'
+        WHEN tbf > {max_top_bigram!r} THEN 'repetitive'
+        WHEN qual < {min_quality!r} THEN 'low_quality'
+        ELSE 'pass' END) AS reason,
+  (n_tokens >= {min_tokens} AND tbf <= {max_top_bigram!r}
+   AND qual >= {min_quality!r}) AS keep
+FROM j
+"""
