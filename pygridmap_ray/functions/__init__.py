@@ -54,4 +54,5 @@ from ..text import (  # noqa: F401
     token_count,
     top_ngrams,
 )
+from ..joins import salted_join  # noqa: F401
 from ..geom.proj import reproject, set_ref_crs, transform_xy  # noqa: F401

@@ -586,3 +586,61 @@ def bloom_prefilter(ds, bloom: dict, on: str):
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# salted join (hot-key skew handling)
+# ---------------------------------------------------------------------------
+
+
+def salted_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    salt: int = 8,
+    num_partitions: int = 32,
+):
+    """Inner hash join that survives pathological key skew: a hot key's
+    left rows spread across ``salt`` sub-shards (key, s) while the right
+    side replicates ``salt``-fold, so no single join partition ever holds
+    a hot key's full volume — the classic salted-join rewrite, here as a
+    first-class operator.
+
+    The salt assignment is an arbitrary per-batch round-robin: the inner
+    join OUTPUT is identical for every assignment (each left row still
+    meets every matching right row exactly once), so determinism of the
+    result does not depend on block layout.  Cost model: right-side
+    shuffle volume multiplies by ``salt`` — use for small-to-medium right
+    sides against a skew-prone left (the FK-join shape); for broadcast-
+    sized right sides :func:`lookup_join` is strictly cheaper."""
+    right_on = right_on or on
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__salt", pa.array(np.arange(b.num_rows, dtype=np.int64) % salt)
+        )
+
+    def explode_right(b: pa.Table) -> pa.Table:
+        idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), salt)
+        out = b.take(pa.array(idx))
+        return out.append_column(
+            "__salt",
+            pa.array(np.tile(np.arange(salt, dtype=np.int64), b.num_rows)),
+        )
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow").repartition(
+        num_partitions
+    )
+    rt = right.map_batches(explode_right, batch_format="pyarrow").repartition(
+        num_partitions
+    )
+    joined = lt.join(
+        rt,
+        "inner",
+        num_partitions=num_partitions,
+        on=(on, "__salt"),
+        right_on=(right_on, "__salt"),
+    )
+    return joined.drop_columns(["__salt"])

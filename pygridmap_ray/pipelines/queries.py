@@ -1148,6 +1148,40 @@ def _sql_lang_quantiles_cont() -> str:
     return sql_grouped_quantiles_cont()
 
 
+def q_salted_join(sf_dir: str):
+    """Skew-safe salted FK join (joins.salted_join): lineitem x orders on
+    orderkey under salt shards, folded to per-priority totals.  The salt
+    rewrite is output-invariant, so the plain-join SQL twin is exact."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..joins import salted_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    j = salted_join(li, od, on="l_orderkey", right_on="o_orderkey", salt=4)
+    agg = j.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_lines"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    return agg.map_batches(
+        lambda b: round_half_away(b, ["sum_qty"], 2), batch_format="pyarrow"
+    )
+
+
+def _sql_salted_join() -> str:
+    return (
+        "SELECT o_orderpriority, COUNT(*)::BIGINT AS n_lines, "
+        "ROUND(SUM(l_quantity) * 1e2) / 1e2 AS sum_qty "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
+    )
+
+
 def q_filter_cascade(sf_dir: str):
     """Quality-filter cascade with per-doc reason codes
     (text.filter_cascade; first-failing-rule law)."""
@@ -1762,6 +1796,7 @@ def queries():
         "countmin_topk": q_countmin,
         "lang_quantiles_cont": q_lang_quantiles_cont,
         "filter_cascade": q_filter_cascade,
+        "salted_join": q_salted_join,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2098,6 +2133,7 @@ def oracle_sql():
         "countmin_topk": _sql_countmin(),
         "lang_quantiles_cont": _sql_lang_quantiles_cont(),
         "filter_cascade": _sql_filter_cascade(),
+        "salted_join": _sql_salted_join(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

@@ -249,3 +249,27 @@ def test_countmin_one_sided_and_exact_when_wide(ray_session):
         _ds_from_pandas(df, 4), k=15, width=4096, depth=4
     ).to_pandas()
     assert (t2["est"] == t2["cnt"]).all()
+
+
+def test_salted_join_hot_key_parity(ray_session):
+    from pygridmap_ray.joins import salted_join
+
+    rng = np.random.default_rng(2)
+    # one pathological hot key: 20k of 24k left rows share key 7
+    keys = np.where(rng.random(24000) < 20 / 24, 7, rng.integers(0, 100, 24000))
+    left = pd.DataFrame(
+        {"k": keys.astype(np.int64), "v": np.arange(24000, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": np.arange(100, dtype=np.int64),
+         "name": [f"n{i}" for i in range(100)]}
+    )
+    out = salted_join(
+        _ds_from_pandas(left, 8), _ds_from_pandas(right, 2),
+        on="k", salt=4, num_partitions=8,
+    ).to_pandas()
+    ref = left.merge(right, on="k", how="inner")
+    assert len(out) == len(ref)
+    a = out.sort_values(["k", "v"]).reset_index(drop=True)
+    b = ref.sort_values(["k", "v"]).reset_index(drop=True)
+    assert (a["name"].to_numpy() == b["name"].to_numpy()).all()
