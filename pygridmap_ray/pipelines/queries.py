@@ -1148,6 +1148,19 @@ def _sql_lang_quantiles_cont() -> str:
     return sql_grouped_quantiles_cont()
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel progression per user (relational.events_funnel)."""
+    from .relational import events_funnel
+
+    return events_funnel(sf_dir)
+
+
+def _sql_events_funnel() -> str:
+    from .relational import sql_events_funnel
+
+    return sql_events_funnel()
+
+
 def q_salted_join(sf_dir: str):
     """Skew-safe salted FK join (joins.salted_join): lineitem x orders on
     orderkey under salt shards, folded to per-priority totals.  The salt
@@ -1797,6 +1810,7 @@ def queries():
         "lang_quantiles_cont": q_lang_quantiles_cont,
         "filter_cascade": q_filter_cascade,
         "salted_join": q_salted_join,
+        "events_funnel": q_events_funnel,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2134,6 +2148,7 @@ def oracle_sql():
         "lang_quantiles_cont": _sql_lang_quantiles_cont(),
         "filter_cascade": _sql_filter_cascade(),
         "salted_join": _sql_salted_join(),
+        "events_funnel": _sql_events_funnel(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

@@ -324,3 +324,102 @@ def sql_events_rolling() -> str:
         source="events",
         select="event_id, ts, user_id, value",
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_MIN_VALUE = 100.0  # only high-value events advance the funnel
+
+
+def events_funnel(sf_dir: str, stages: tuple[str, ...] = FUNNEL_STAGES,
+                  min_value: float = FUNNEL_MIN_VALUE):
+    """Ordered funnel progression per user: stage k is reached iff an
+    event of type ``stages[k]`` occurs STRICTLY after the time stage k-1
+    was reached (each stage takes its MINIMAL qualifying timestamp — the
+    canonical funnel law).  Emits (user_id, stage) with stage in
+    0..len(stages).
+
+    One coarse-bucket shuffle on user hash; inside a bucket every stage
+    resolves with pandas groupby-min over a filtered view — no per-user
+    Python.  Strict '>' on both engine and SQL sides makes timestamp
+    ties law-exact."""
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+    # the qualifying-event predicate makes stages scarce (every user has
+    # every type in the fixture; without it the funnel is degenerate)
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.greater(b["value"], pa.scalar(min_value))),
+        batch_format="pyarrow",
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b", pa.array(_bucket_of(np.asarray(b["user_id"]), 64))
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.unique(g["user_id"].to_numpy(dtype=np.int64))
+        reached = pd.Series(
+            np.zeros(len(users), dtype=np.int64), index=users
+        )
+        # stage-k gate time per user; NaT = stage not reached
+        gate = pd.Series(pd.NaT, index=users, dtype="datetime64[us]")
+        first = True
+        for k, typ in enumerate(stages):
+            sub = g[g["event_type"] == typ]
+            if not first:
+                gt = gate.reindex(sub["user_id"].to_numpy()).to_numpy()
+                sub = sub[sub["ts"].to_numpy() > gt]  # NaT compares False
+            t = sub.groupby("user_id", sort=False)["ts"].min()
+            gate = pd.Series(pd.NaT, index=users, dtype="datetime64[us]")
+            gate.loc[t.index] = t.to_numpy()
+            reached.loc[t.index] = k + 1
+            first = False
+        return pd.DataFrame(
+            {"user_id": users, "stage": reached.to_numpy()}
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_funnel(stages: tuple[str, ...] = FUNNEL_STAGES,
+                      min_value: float = FUNNEL_MIN_VALUE) -> str:
+    """DuckDB twin of :func:`events_funnel` — same strict-> min law over
+    the same qualifying-event predicate; the user universe is drawn from
+    the FILTERED event set (users with no qualifying event do not
+    appear), matching the engine."""
+    ctes = [
+        f"ee AS (SELECT user_id, ts, event_type FROM events "
+        f"WHERE value > {min_value!r})",
+        f"s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ee "
+        f"WHERE event_type = '{stages[0]}' GROUP BY user_id)",
+    ]
+    for k in range(1, len(stages)):
+        ctes.append(
+            f"s{k + 1} AS (SELECT e.user_id, MIN(e.ts) AS t{k + 1} "
+            f"FROM ee e JOIN s{k} ON e.user_id = s{k}.user_id "
+            f"WHERE e.event_type = '{stages[k]}' AND e.ts > s{k}.t{k} "
+            f"GROUP BY e.user_id)"
+        )
+    joins = " ".join(
+        f"LEFT JOIN s{k + 1} ON u.user_id = s{k + 1}.user_id"
+        for k in range(len(stages))
+    )
+    case = "CASE "
+    for k in range(len(stages), 0, -1):
+        case += f"WHEN t{k} IS NOT NULL THEN {k} "
+    case += "ELSE 0 END"
+    return (
+        "WITH " + ", ".join(ctes)
+        + ", u AS (SELECT DISTINCT user_id FROM ee)"
+        + f" SELECT u.user_id, ({case})::BIGINT AS stage FROM u {joins}"
+    )
