@@ -46,6 +46,7 @@ from ..geom import (  # noqa: F401
     rings_area,
 )
 from ..text import (  # noqa: F401
+    bm25_score,
     filter_cascade,
     lang_id,
     md5_fingerprint,

@@ -1148,6 +1148,23 @@ def _sql_lang_quantiles_cont() -> str:
     return sql_grouped_quantiles_cont()
 
 
+BM25_QUERY = ("table", "scan", "vector")
+
+
+def q_bm25(sf_dir: str):
+    """Okapi BM25 relevance of every doc against a fixed query
+    (text.bm25_score; aggregate -> broadcast -> score)."""
+    from ..text import bm25_score
+
+    return bm25_score(_docs(sf_dir, ("doc_id", "text")), BM25_QUERY)
+
+
+def _sql_bm25() -> str:
+    from ..text import sql_bm25_score
+
+    return sql_bm25_score(BM25_QUERY)
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered funnel progression per user (relational.events_funnel)."""
     from .relational import events_funnel
@@ -1811,6 +1828,7 @@ def queries():
         "filter_cascade": q_filter_cascade,
         "salted_join": q_salted_join,
         "events_funnel": q_events_funnel,
+        "bm25": q_bm25,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2149,6 +2167,7 @@ def oracle_sql():
         "filter_cascade": _sql_filter_cascade(),
         "salted_join": _sql_salted_join(),
         "events_funnel": _sql_events_funnel(),
+        "bm25": _sql_bm25(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

@@ -722,3 +722,134 @@ SELECT doc_id,
    AND qual >= {min_quality!r}) AS keep
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring
+# ---------------------------------------------------------------------------
+
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def bm25_score(
+    ds,
+    query_terms: tuple[str, ...],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_to: int = 6,
+):
+    """Okapi BM25 score of every document against a fixed query — the
+    retrieval-relevance primitive (idf = ln((N-df+0.5)/(df+0.5)+1), the
+    Robertson smooth variant; tf = whitespace-token equality count).
+
+    Two-phase plan (the :func:`unigram_logprob_score` shape): phase 1
+    reduces the corpus to (N, total-token-count, df per query term) via
+    one combiner row per batch folded on the driver — all integers, so
+    the derived avgdl/idf are bit-identical to the SQL twin's; phase 2
+    broadcasts the constants in the task closure (a handful of floats)
+    and scores each batch vectorized (flattened tokens, one ``np.isin``
+    per query term, segment sums)."""
+    import re
+
+    tok_re = re.compile(TOKEN_PATTERN)
+    terms = list(query_terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        dl = 0
+        df = np.zeros(len(terms), dtype=np.int64)
+        for t in texts:
+            toks = tok_re.findall(t or "")
+            dl += len(toks)
+            if toks:
+                s = set(toks)
+                for j, q in enumerate(terms):
+                    if q in s:
+                        df[j] += 1
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "dl": pa.array([dl], pa.int64()),
+                "df": pa.array([df.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n"].sum())
+    total_dl = int(parts["dl"].sum())
+    df = np.zeros(len(terms), dtype=np.int64)
+    for row in parts["df"]:
+        df += np.asarray(row, dtype=np.int64)
+    avgdl = total_dl / n_docs
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    tol = 10.0 ** round_to
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        nb = len(texts)
+        toks_per_doc = [tok_re.findall(t or "") for t in texts]
+        lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
+                           count=nb)
+        flat = np.asarray(
+            [w for toks in toks_per_doc for w in toks], dtype=object
+        )
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        s = np.zeros(nb, dtype=np.float64)
+        denom_base = k1 * (1.0 - b + b * lens / avgdl)
+        for j, q in enumerate(terms):
+            hit = (flat == q).astype(np.int64) if len(flat) else np.empty(
+                0, np.int64
+            )
+            cs = np.concatenate([[0], np.cumsum(hit)])
+            tf = (cs[offs[1:]] - cs[offs[:-1]]).astype(np.float64)
+            s += idf[j] * tf * (k1 + 1.0) / (tf + denom_base)
+        r = np.sign(s) * np.floor(np.abs(s) * tol + 0.5) / tol
+        return pa.table({id_col: batch[id_col], "bm25": pa.array(r)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def sql_bm25_score(
+    query_terms: tuple[str, ...],
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_to: int = 6,
+    source: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25_score` (same integer corpus stats,
+    same smooth-idf formula)."""
+    toks = f"regexp_extract_all({text}, '\\S+')"
+    term_sums = []
+    for q in query_terms:
+        qs = q.replace("'", "''")
+        df_q = (
+            f"(SELECT COUNT(*) FROM {source} "
+            f"WHERE list_contains({toks}, '{qs}'))"
+        )
+        tf_q = f"len(list_filter(t, x -> x = '{qs}'))::DOUBLE"
+        idf_q = (
+            f"LN((st.n - {df_q} + 0.5) / ({df_q} + 0.5) + 1.0)"
+        )
+        term_sums.append(
+            f"{idf_q} * {tf_q} * ({k1!r} + 1.0) / "
+            f"({tf_q} + {k1!r} * (1.0 - {b!r} + {b!r} * len(t) / st.avgdl))"
+        )
+    expr = " + ".join(term_sums)
+    return f"""
+WITH st AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         (SUM(len({toks}))::DOUBLE / COUNT(*)) AS avgdl
+  FROM {source}
+),
+d AS (SELECT doc_id, {toks} AS t FROM {source})
+SELECT d.doc_id, ROUND(({expr}) * 1e{round_to}) / 1e{round_to} AS bm25
+FROM d, st
+"""
