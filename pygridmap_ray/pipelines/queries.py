@@ -1148,6 +1148,99 @@ def _sql_lang_quantiles_cont() -> str:
     return sql_grouped_quantiles_cont()
 
 
+def q_lang_confusion(sf_dir: str):
+    """Model-eval pattern: confusion matrix of the lang_id heuristic vs
+    the labeled language — classify in map_batches, one tiny groupby."""
+    from ray.data.aggregate import Count
+
+    from ..text import lang_id
+
+    preds = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
+        lang_id, batch_format="pyarrow"
+    )
+    return (
+        preds.select_columns(["lang", "lang_pred"])
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _sql_lang_confusion() -> str:
+    from ..text import sql_lang_id
+
+    return (
+        f"SELECT lang, lang_pred, COUNT(*)::BIGINT AS n "
+        f"FROM ({sql_lang_id()}) GROUP BY lang, lang_pred"
+    )
+
+
+def q_table_profile(sf_dir: str):
+    """Data-quality profile of lineitem's numeric columns: per column
+    (n, nulls, min, max, sum) from ONE combiner pass — each batch emits
+    one row per column, the tiny groupby folds them (the expectations/
+    dq-assertions primitive)."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = {"col": [], "n": [], "nulls": [], "vmin": [], "vmax": [],
+               "vsum": []}
+        for c in cols:
+            col = b[c]
+            out["col"].append(c)
+            out["n"].append(b.num_rows)
+            out["nulls"].append(int(pc.sum(pc.is_null(col).cast(pa.int64())).as_py() or 0))
+            out["vmin"].append(pc.min(col).as_py())
+            out["vmax"].append(pc.max(col).as_py())
+            out["vsum"].append(float(pc.sum(col).as_py() or 0.0))
+        return pa.table(
+            {
+                "col": pa.array(out["col"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "nulls": pa.array(out["nulls"], pa.int64()),
+                "vmin": pa.array(out["vmin"], pa.float64()),
+                "vmax": pa.array(out["vmax"], pa.float64()),
+                "vsum": pa.array(out["vsum"], pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("nulls", alias_name="nulls"),
+            Min("vmin", alias_name="vmin"),
+            Max("vmax", alias_name="vmax"),
+            Sum("vsum", alias_name="vsum"),
+        )
+    )
+    # vsum is a single corpus-wide money sum (~2e9 at sf0.01): whole-unit
+    # rounding keeps the step >> ulp(sum) x addends (the synth.py rule);
+    # 2dp would leave only ~3x margin
+    return agg.map_batches(
+        lambda b: round_half_away(b, ["vsum"], 0), batch_format="pyarrow"
+    )
+
+
+def _sql_table_profile() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = [
+        (
+            f"SELECT '{c}' AS col, COUNT(*)::BIGINT AS n, "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls, "
+            f"MIN({c})::DOUBLE AS vmin, MAX({c})::DOUBLE AS vmax, "
+            f"ROUND(SUM({c})) AS vsum FROM lineitem"
+        )
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
 BM25_QUERY = ("table", "scan", "vector")
 
 
@@ -1829,6 +1922,8 @@ def queries():
         "salted_join": q_salted_join,
         "events_funnel": q_events_funnel,
         "bm25": q_bm25,
+        "lang_confusion": q_lang_confusion,
+        "table_profile": q_table_profile,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2168,6 +2263,8 @@ def oracle_sql():
         "salted_join": _sql_salted_join(),
         "events_funnel": _sql_events_funnel(),
         "bm25": _sql_bm25(),
+        "lang_confusion": _sql_lang_confusion(),
+        "table_profile": _sql_table_profile(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),
