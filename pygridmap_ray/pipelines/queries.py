@@ -1241,6 +1241,49 @@ def _sql_table_profile() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_incremental_agg(sf_dir: str):
+    """Incremental partition-wise aggregation (state.incremental): stage
+    the corpus as a hive tree, run the incremental fold TWICE — the
+    second pass recomputes zero partitions (asserted) and must reproduce
+    the direct aggregate exactly."""
+    import os as _os
+    import shutil as _shutil
+
+    import ray.data as rd
+
+    from ..state.incremental import incremental_aggregate
+    from ..tiler import write_partitioned
+
+    base = f"/tmp/incr_stage_{_os.getpid()}"
+    _shutil.rmtree(base, ignore_errors=True)
+
+    def add_pt(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        return b.append_column("pt", pa.array(ids % 8))
+
+    docs = _docs(sf_dir, ("doc_id", "lang", "n_chars")).map_batches(
+        add_pt, batch_format="pyarrow"
+    )
+    write_partitioned(docs, f"{base}/in", ["pt"], mode="overwrite")
+    incremental_aggregate(
+        f"{base}/in", f"{base}/cache", key_cols=["lang"],
+        value_col="n_chars",
+    )
+    out, stats = incremental_aggregate(
+        f"{base}/in", f"{base}/cache", key_cols=["lang"],
+        value_col="n_chars",
+    )
+    assert stats["recomputed"] == 0 and stats["cached"] == 8, stats
+    return out
+
+
+def _sql_incremental_agg() -> str:
+    return (
+        "SELECT lang, SUM(n_chars)::BIGINT AS n_chars "
+        "FROM documents GROUP BY lang"
+    )
+
+
 BM25_QUERY = ("table", "scan", "vector")
 
 
@@ -1924,6 +1967,7 @@ def queries():
         "bm25": q_bm25,
         "lang_confusion": q_lang_confusion,
         "table_profile": q_table_profile,
+        "incremental_agg": q_incremental_agg,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2265,6 +2309,7 @@ def oracle_sql():
         "bm25": _sql_bm25(),
         "lang_confusion": _sql_lang_confusion(),
         "table_profile": _sql_table_profile(),
+        "incremental_agg": _sql_incremental_agg(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

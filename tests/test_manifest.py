@@ -149,3 +149,60 @@ def test_killed_midrun_resume_byte_identical(ray_session, tmp_path):
         return h.hexdigest()
 
     assert content_hash(out_a) == content_hash(out_b)
+
+
+def test_incremental_aggregate_contract(ray_session, tmp_path):
+    """Only changed partitions recompute; vanished partitions drop; the
+    fold always equals a direct full aggregate."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pygridmap_ray.state.incremental import incremental_aggregate
+    from pygridmap_ray.tiler import write_partitioned
+
+    base = str(tmp_path)
+    df = pd.DataFrame(
+        {
+            "pt": np.arange(900, dtype=np.int64) % 3,
+            "k": np.array(["a", "b", "c"])[np.arange(900) % 3],
+            "v": np.arange(900, dtype=np.int64),
+        }
+    )
+    write_partitioned(
+        rd.from_pandas(df).repartition(3), f"{base}/in", ["pt"],
+        mode="overwrite",
+    )
+    _, s1 = incremental_aggregate(
+        f"{base}/in", f"{base}/c", key_cols=["k"], value_col="v"
+    )
+    assert s1 == {"recomputed": 3, "cached": 0, "dropped": 0}
+    out2, s2 = incremental_aggregate(
+        f"{base}/in", f"{base}/c", key_cols=["k"], value_col="v"
+    )
+    assert s2 == {"recomputed": 0, "cached": 3, "dropped": 0}
+    ref = df.groupby("k")["v"].sum()
+    got = out2.to_pandas().set_index("k")["v"]
+    assert (got.sort_index() == ref.sort_index()).all()
+    # mutate one partition, delete another
+    extra = pd.DataFrame({"k": ["a"], "v": [10_000]})
+    pq.write_table(
+        pa.Table.from_pandas(extra, preserve_index=False),
+        f"{base}/in/pt=1/extra.parquet",
+    )
+    shutil.rmtree(f"{base}/in/pt=2")
+    out3, s3 = incremental_aggregate(
+        f"{base}/in", f"{base}/c", key_cols=["k"], value_col="v"
+    )
+    assert s3 == {"recomputed": 1, "cached": 1, "dropped": 1}
+    ref3 = (
+        pd.concat([df[df["pt"] != 2], extra.assign(pt=1)])
+        .groupby("k")["v"]
+        .sum()
+    )
+    got3 = out3.to_pandas().set_index("k")["v"]
+    assert (got3.sort_index() == ref3.sort_index()).all()
