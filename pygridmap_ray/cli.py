@@ -130,6 +130,25 @@ def cmd_rollup(args) -> dict:
     return {"job": "rollup", "rows": rows, "sec": round(sec, 3), "output": args.output}
 
 
+def cmd_incr_agg(args) -> dict:
+    from .state.incremental import incremental_aggregate
+
+    t0 = time.time()
+    out, stats = incremental_aggregate(
+        args.input,
+        args.cache,
+        key_cols=args.keys.split(","),
+        value_col=args.value,
+    )
+    rows = out.count()
+    return {
+        "job": "incr-agg",
+        "rows": rows,
+        "sec": round(time.time() - t0, 3),
+        **stats,
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pygridmap_ray.cli", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -154,6 +173,16 @@ def main(argv=None) -> int:
     r.add_argument("--x-col", default="x")
     r.add_argument("--y-col", default="y")
     r.set_defaults(fn=cmd_rollup)
+
+    i = sub.add_parser(
+        "incr-agg",
+        help="incremental partition-wise aggregation (stale-only recompute)",
+    )
+    i.add_argument("--input", required=True, help="hive-partitioned tree")
+    i.add_argument("--cache", required=True, help="partial-cache dir")
+    i.add_argument("--keys", required=True, help="comma-separated key cols")
+    i.add_argument("--value", required=True, help="value column to sum")
+    i.set_defaults(fn=cmd_incr_agg)
 
     args = p.parse_args(argv)
     ray, owned = _ensure_ray()

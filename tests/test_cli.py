@@ -65,3 +65,35 @@ def test_rollup_cmd(corpus, tmp_path, capsys, ray_session):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["rows"] > 0
     assert os.path.exists(os.path.join(out, "_manifest.json"))
+
+
+def test_incr_agg_cli(tmp_path, capsys, ray_session):
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pygridmap_ray.cli import main
+    from pygridmap_ray.tiler import write_partitioned
+
+    df = pd.DataFrame(
+        {"pt": np.arange(300, dtype=np.int64) % 3,
+         "k": ["a", "b"] * 150, "v": np.ones(300, dtype=np.int64)}
+    )
+    write_partitioned(
+        rd.from_pandas(df).repartition(2), f"{tmp_path}/in", ["pt"],
+        mode="overwrite",
+    )
+    rc = main([
+        "incr-agg", "--input", f"{tmp_path}/in",
+        "--cache", f"{tmp_path}/c", "--keys", "k", "--value", "v",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["rows"] == 2 and out["recomputed"] == 3
+    rc = main([
+        "incr-agg", "--input", f"{tmp_path}/in",
+        "--cache", f"{tmp_path}/c", "--keys", "k", "--value", "v",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["recomputed"] == 0 and out["cached"] == 3
