@@ -25,6 +25,8 @@ from ..stats import (  # noqa: F401
     embedding_moments,
     grouped_quantiles,
     grouped_quantiles_cont,
+    approx_quantiles,
+    sample_exact_k,
     grouped_string_agg,
     keyed_lag,
     mixture_repeat,

@@ -1284,6 +1284,38 @@ def _sql_incremental_agg() -> str:
     )
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Fixed-bin histogram-sketch quantiles (stats.approx_quantiles) —
+    the unbounded-domain scale path, exact-law twin."""
+    from ..stats import approx_quantiles
+
+    return approx_quantiles(
+        _docs(sf_dir, ("lang", "n_chars")), key="lang", value="n_chars",
+    )
+
+
+def _sql_approx_quantiles() -> str:
+    from ..stats import sql_approx_quantiles
+
+    return sql_approx_quantiles()
+
+
+def q_sample_exact_k(sf_dir: str):
+    """Exactly-k-per-group deterministic sample (stats.sample_exact_k)."""
+    from ..stats import sample_exact_k
+
+    return sample_exact_k(
+        _docs(sf_dir, ("doc_id", "lang")), group_col="lang",
+        key_col="doc_id", k=10,
+    )
+
+
+def _sql_sample_exact_k() -> str:
+    from ..stats import sql_sample_exact_k
+
+    return sql_sample_exact_k(group_col="lang", key_col="doc_id", k=10)
+
+
 BM25_QUERY = ("table", "scan", "vector")
 
 
@@ -1968,6 +2000,8 @@ def queries():
         "lang_confusion": q_lang_confusion,
         "table_profile": q_table_profile,
         "incremental_agg": q_incremental_agg,
+        "sample_exact_k": q_sample_exact_k,
+        "approx_quantiles": q_approx_quantiles,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2310,6 +2344,8 @@ def oracle_sql():
         "lang_confusion": _sql_lang_confusion(),
         "table_profile": _sql_table_profile(),
         "incremental_agg": _sql_incremental_agg(),
+        "sample_exact_k": _sql_sample_exact_k(),
+        "approx_quantiles": _sql_approx_quantiles(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

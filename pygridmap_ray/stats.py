@@ -1355,3 +1355,162 @@ def sql_grouped_quantiles_cont(
         for q in qs
     )
     return f"SELECT {key}, {sel} FROM {source} GROUP BY {key}"
+
+
+def sample_exact_k(
+    ds,
+    *,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+    num_buckets: int = 64,
+):
+    """EXACTLY ``k`` records per group (fewer iff the group is smaller),
+    chosen deterministically: rank by md5(key || salt) ascending, ties by
+    key — the fixed-eval-subset contract (rate-based
+    :func:`stratified_sample` gives exact rates in expectation only;
+    this gives exact counts).  Content-stable: membership never depends
+    on row order, partitioning, or cluster size.
+
+    Plan: hash tag (one stateless stage) + :func:`grouped_topk`'s
+    coarse-bucket rank kernel."""
+    import hashlib
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = pc.cast(b[key_col], pa.string()).to_pylist()
+        h = np.fromiter(
+            (
+                int(hashlib.md5((x + salt).encode()).hexdigest()[:15], 16)
+                for x in keys
+            ),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        return b.append_column("__h", pa.array(h))
+
+    out = grouped_topk(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        group_col=group_col,
+        order_col="__h",
+        tiebreak_col=key_col,
+        k=k,
+        descending=False,
+        num_buckets=num_buckets,
+    )
+    return out.drop_columns(["__h"])
+
+
+def sql_sample_exact_k(
+    *,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+    source: str = "documents",
+    select: str = "doc_id, lang",
+) -> str:
+    """DuckDB twin of :func:`sample_exact_k` (same md5 rank law)."""
+    h = (
+        f"('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '{salt}'), 1, 15))"
+        f"::BIGINT"
+    )
+    return (
+        f"SELECT * FROM (SELECT {select}, ROW_NUMBER() OVER "
+        f"(PARTITION BY {group_col} ORDER BY {h}, {key_col}) AS rank "
+        f"FROM {source}) WHERE rank <= {k}"
+    )
+
+
+def approx_quantiles(
+    ds,
+    *,
+    key: str,
+    value: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    lo: float = 0.0,
+    hi: float = 512.0,
+    bins: int = 128,
+):
+    """Per-key APPROXIMATE quantiles from a fixed-bin histogram sketch —
+    the scale path :func:`grouped_quantiles` documents for unbounded /
+    continuous value domains.  Bin law: ``clamp(floor((v-lo)/w), 0,
+    bins-1)`` with ``w = (hi-lo)/bins``; the estimate is the UPPER edge
+    of the bin holding rank ``ceil(q*n)`` (quantile_disc's rank), so the
+    error is bounded by one bin width and the law is deterministic — the
+    SQL twin reproduces it digit-for-digit (choose lo/hi/bins so ``w``
+    is a power of two and integer inputs stay float-exact).
+
+    The shuffle carries at most ``keys x bins`` partial rows per batch;
+    value rows never move."""
+    from ray.data.aggregate import Sum
+
+    w = (hi - lo) / bins
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value].to_numpy(dtype=np.float64)
+        bn = np.clip(np.floor((v - lo) / w), 0, bins - 1).astype(np.int64)
+        g = (
+            pd.DataFrame({key: b[key].to_numpy(), "bin": bn})
+            .groupby([key, "bin"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        return g
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, "bin"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bin", kind="stable")
+        cum = g["cnt"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        edges = lo + (g["bin"].to_numpy(dtype=np.int64) + 1) * w
+        out = {key: [g[key].iloc[0]]}
+        for q in qs:
+            rank = min(max(int(np.ceil(q * n)), 1), n)
+            out[_qlabel(q)] = [
+                float(edges[int(np.searchsorted(cum, rank, side="left"))])
+            ]
+        return pd.DataFrame(out)
+
+    return hist.groupby(key).map_groups(finish, batch_format="pandas")
+
+
+def sql_approx_quantiles(
+    *,
+    key: str = "lang",
+    value: str = "n_chars",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    lo: float = 0.0,
+    hi: float = 512.0,
+    bins: int = 128,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`approx_quantiles` (same bin/edge law)."""
+    w = (hi - lo) / bins
+    sel = ", ".join(
+        f"MIN(CASE WHEN cum >= CEIL({q!r} * n) THEN {lo!r} + (bin + 1) * {w!r} "
+        f"END) AS {_qlabel(q)}"
+        for q in qs
+    )
+    return f"""
+WITH b AS (
+  SELECT {key},
+    LEAST(GREATEST(FLOOR(({value} - {lo!r}) / {w!r}), 0), {bins - 1})::BIGINT
+      AS bin
+  FROM {source}
+),
+h AS (SELECT {key}, bin, COUNT(*)::BIGINT AS cnt FROM b GROUP BY {key}, bin),
+c AS (
+  SELECT {key}, bin,
+         SUM(cnt) OVER (PARTITION BY {key} ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY {key}) AS n
+  FROM h
+)
+SELECT {key}, {sel} FROM c GROUP BY {key}
+"""
