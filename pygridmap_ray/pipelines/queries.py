@@ -1284,6 +1284,62 @@ def _sql_incremental_agg() -> str:
     )
 
 
+def q_top_sources(sf_dir: str):
+    """Top-3 sources per language by character volume — aggregate-then-
+    rank composition (groupby Sum -> stats.grouped_topk)."""
+    from ray.data.aggregate import Sum
+
+    from ..stats import grouped_topk
+
+    agg = (
+        _docs(sf_dir, ("lang", "source", "n_chars"))
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_chars", alias_name="chars"))
+    )
+    return grouped_topk(
+        agg, group_col="lang", order_col="chars", tiebreak_col="source", k=3
+    )
+
+
+def _sql_top_sources() -> str:
+    from ..stats import sql_grouped_topk
+
+    return sql_grouped_topk(
+        group_col="lang", order_col="chars", tiebreak_col="source", k=3,
+        source=(
+            "(SELECT lang, source, SUM(n_chars)::BIGINT AS chars "
+            "FROM documents GROUP BY lang, source)"
+        ),
+        select="lang, source, chars",
+    )
+
+
+def q_normalize(sf_dir: str):
+    """Canonical text normalization (text.normalize_text) + md5 of the
+    normalized form — the pre-dedup canonicalization stage."""
+    from ..text import md5_fingerprint, normalize_text
+
+    def f(b: pa.Table) -> pa.Table:
+        b = normalize_text(b)
+        b = md5_fingerprint(b, text_col="norm_text")
+        return b.select(["doc_id", "norm_text", "fingerprint"]).rename_columns(
+            ["doc_id", "norm_text", "norm_md5"]
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _sql_normalize() -> str:
+    from ..text import sql_normalize_text
+
+    return (
+        f"SELECT doc_id, norm_text, md5(norm_text) AS norm_md5 "
+        f"FROM ({sql_normalize_text()})"
+    )
+
+
 def q_approx_quantiles(sf_dir: str):
     """Fixed-bin histogram-sketch quantiles (stats.approx_quantiles) —
     the unbounded-domain scale path, exact-law twin."""
@@ -2002,6 +2058,8 @@ def queries():
         "incremental_agg": q_incremental_agg,
         "sample_exact_k": q_sample_exact_k,
         "approx_quantiles": q_approx_quantiles,
+        "normalize": q_normalize,
+        "top_sources": q_top_sources,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2346,6 +2404,8 @@ def oracle_sql():
         "incremental_agg": _sql_incremental_agg(),
         "sample_exact_k": _sql_sample_exact_k(),
         "approx_quantiles": _sql_approx_quantiles(),
+        "normalize": _sql_normalize(),
+        "top_sources": _sql_top_sources(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

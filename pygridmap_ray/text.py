@@ -853,3 +853,32 @@ d AS (SELECT doc_id, {toks} AS t FROM {source})
 SELECT d.doc_id, ROUND(({expr}) * 1e{round_to}) / 1e{round_to} AS bm25
 FROM d, st
 """
+
+
+def normalize_text(
+    batch: pa.Table,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> pa.Table:
+    """Canonical normalization applied before exact/near dedup:
+    lowercase -> strip ``.,;:!?`` punctuation -> collapse whitespace
+    runs to single spaces -> trim.  All RE2 kernels (DuckDB runs the
+    identical chain), zero Python per row."""
+    t = batch[text_col]
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, r"[.,;:!?]", "")
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column(out_col, t)
+
+
+def sql_normalize_text(
+    source: str = "documents", text: str = "text", out_col: str = "norm_text"
+) -> str:
+    """DuckDB twin of :func:`normalize_text` (same RE2 chain, same
+    order)."""
+    expr = (
+        f"trim(regexp_replace(regexp_replace(lower({text}), "
+        f"'[.,;:!?]', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"SELECT *, {expr} AS {out_col} FROM {source}"
