@@ -26,6 +26,7 @@ from ..stats import (  # noqa: F401
     grouped_quantiles,
     grouped_quantiles_cont,
     approx_quantiles,
+    clip_by_quantiles,
     sample_exact_k,
     grouped_string_agg,
     keyed_lag,

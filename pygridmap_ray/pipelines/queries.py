@@ -1284,6 +1284,69 @@ def _sql_incremental_agg() -> str:
     )
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Data-versioning diff of two derived corpus snapshots (A drops
+    doc_id%11==0, B drops doc_id%7==0 and rewrites doc_id%5==0) —
+    added/removed/changed/unchanged per id (state.snapshot_diff)."""
+    from ..state.incremental import snapshot_diff
+    from ..text import md5_list
+
+    def snap(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            texts = np.asarray(b["text"]).astype(object)
+            if side == "a":
+                keep = ids % 11 != 0
+            else:
+                keep = ids % 7 != 0
+                texts = np.where(ids % 5 == 0, texts + " v2", texts)
+            h = md5_list(list(texts[keep]))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[keep]),
+                    "h": pa.array(h, pa.string()),
+                }
+            )
+
+        return f
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    a = docs.map_batches(snap("a"), batch_format="pyarrow")
+    b = docs.map_batches(snap("b"), batch_format="pyarrow")
+    return snapshot_diff(a, b)
+
+
+def _sql_snapshot_diff() -> str:
+    return """
+WITH a AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0),
+b AS (SELECT doc_id,
+        md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 <> 0)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+  (CASE WHEN a.doc_id IS NULL THEN 'added'
+        WHEN b.doc_id IS NULL THEN 'removed'
+        WHEN a.h = b.h THEN 'unchanged' ELSE 'changed' END) AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
+def q_clip(sf_dir: str):
+    """Winsorize n_chars at the corpus [5%, 95%] quantiles
+    (stats.clip_by_quantiles)."""
+    from ..stats import clip_by_quantiles
+
+    out, _cuts = clip_by_quantiles(
+        _docs(sf_dir, ("doc_id", "n_chars")), value="n_chars"
+    )
+    return out.select_columns(["doc_id", "n_chars", "n_chars_clip"])
+
+
+def _sql_clip() -> str:
+    from ..stats import sql_clip_by_quantiles
+
+    return sql_clip_by_quantiles()
+
+
 def q_top_sources(sf_dir: str):
     """Top-3 sources per language by character volume — aggregate-then-
     rank composition (groupby Sum -> stats.grouped_topk)."""
@@ -2060,6 +2123,8 @@ def queries():
         "approx_quantiles": q_approx_quantiles,
         "normalize": q_normalize,
         "top_sources": q_top_sources,
+        "clip": q_clip,
+        "snapshot_diff": q_snapshot_diff,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2406,6 +2471,8 @@ def oracle_sql():
         "approx_quantiles": _sql_approx_quantiles(),
         "normalize": _sql_normalize(),
         "top_sources": _sql_top_sources(),
+        "clip": _sql_clip(),
+        "snapshot_diff": _sql_snapshot_diff(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

@@ -142,3 +142,58 @@ def incremental_aggregate(
         "dropped": len(dropped),
     }
     return out, stats
+
+
+def snapshot_diff(
+    a,
+    b,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "h",
+    num_buckets: int = 64,
+):
+    """Corpus snapshot diff — the data-versioning audit between two
+    ingest runs: every id labeled ``added`` (B only), ``removed`` (A
+    only), ``changed`` (both, different content hash) or ``unchanged``.
+
+    Inputs are (id, content-hash) tables (hash upstream with
+    ``text.md5_fingerprint`` so the raw text never enters the shuffle).
+    One union + coarse-bucket shuffle on the id; per bucket the two
+    sides align with vectorized index reindexing — no per-id Python.
+    Ids must be unique within each snapshot."""
+    from ..joins import _bucket_of
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.select([id_col, hash_col])
+            t = t.append_column("__side", pa.array(
+                np.full(t.num_rows, side, dtype=np.int8)))
+            return t.append_column(
+                "__b",
+                pa.array(_bucket_of(np.asarray(t[id_col]), num_buckets)),
+            )
+
+        return f
+
+    u = a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        sa = g[g["__side"] == 0].set_index(id_col)[hash_col]
+        sb = g[g["__side"] == 1].set_index(id_col)[hash_col]
+        ids = np.union1d(sa.index.to_numpy(), sb.index.to_numpy())
+        ha = sa.reindex(ids).to_numpy(dtype=object)
+        hb = sb.reindex(ids).to_numpy(dtype=object)
+        in_a = pd.notna(ha)
+        in_b = pd.notna(hb)
+        status = np.where(
+            ~in_a, "added",
+            np.where(~in_b, "removed",
+                     np.where(ha == hb, "unchanged", "changed")),
+        )
+        return pd.DataFrame({id_col: ids, "status": status})
+
+    return (
+        u.groupby("__b").map_groups(kernel, batch_format="pandas")
+    )

@@ -1514,3 +1514,69 @@ c AS (
 )
 SELECT {key}, {sel} FROM c GROUP BY {key}
 """
+
+
+def clip_by_quantiles(
+    ds,
+    *,
+    value: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    out_col: str | None = None,
+):
+    """Winsorization: cap ``value`` at its corpus [q_lo, q_hi] quantiles
+    (the outlier-capping step before training statistics).  Cuts come
+    from the exact value histogram (``groupby(value).count()`` — the
+    shuffle carries distinct values only, the bounded-domain law of
+    :func:`grouped_quantiles`), walked once on the driver
+    (domain-size rows) with the ``quantile_disc`` rank law; the clip
+    itself is one stateless vectorized stage."""
+    out_col = out_col or f"{value}_clip"
+    hist = (
+        ds.select_columns([value])
+        .map_batches(
+            lambda b: b.filter(pc.is_valid(b[value])), batch_format="pyarrow"
+        )
+        .groupby(value)
+        .count()
+        .to_pandas()
+        .sort_values(value, kind="stable")
+    )
+    cum = hist["count()"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1])
+    vals = hist[value].to_numpy()
+
+    def cut(q: float):
+        rank = min(max(int(np.ceil(q * n)), 1), n)
+        return vals[int(np.searchsorted(cum, rank, side="left"))]
+
+    lo_v, hi_v = cut(q_lo), cut(q_hi)
+
+    def clip(b: pa.Table) -> pa.Table:
+        c = pc.min_element_wise(
+            pc.max_element_wise(b[value], pa.scalar(lo_v)), pa.scalar(hi_v)
+        )
+        return b.append_column(out_col, c)
+
+    return ds.map_batches(clip, batch_format="pyarrow"), (lo_v, hi_v)
+
+
+def sql_clip_by_quantiles(
+    *,
+    value: str = "n_chars",
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    source: str = "documents",
+    select: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`clip_by_quantiles` (quantile_disc cuts)."""
+    return f"""
+WITH cuts AS (
+  SELECT quantile_disc({value}, {q_lo!r}) AS lo,
+         quantile_disc({value}, {q_hi!r}) AS hi
+  FROM {source}
+)
+SELECT {select}, {value},
+       LEAST(GREATEST({value}, cuts.lo), cuts.hi) AS {value}_clip
+FROM {source}, cuts
+"""
