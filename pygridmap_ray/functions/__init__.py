@@ -29,6 +29,7 @@ from ..stats import (  # noqa: F401
     clip_by_quantiles,
     sample_exact_k,
     grouped_string_agg,
+    grouped_zscore,
     keyed_lag,
     mixture_repeat,
     pca_project,

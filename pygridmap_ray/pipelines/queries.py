@@ -1284,6 +1284,23 @@ def _sql_incremental_agg() -> str:
     )
 
 
+def q_zscore(sf_dir: str):
+    """Per-language z-score normalization of n_chars
+    (stats.grouped_zscore; grouped-broadcast-normalize)."""
+    from ..stats import grouped_zscore
+
+    return grouped_zscore(
+        _docs(sf_dir, ("doc_id", "lang", "n_chars")),
+        group_col="lang", value_col="n_chars",
+    )
+
+
+def _sql_zscore() -> str:
+    from ..stats import sql_grouped_zscore
+
+    return sql_grouped_zscore()
+
+
 def q_snapshot_diff(sf_dir: str):
     """Data-versioning diff of two derived corpus snapshots (A drops
     doc_id%11==0, B drops doc_id%7==0 and rewrites doc_id%5==0) —
@@ -2125,6 +2142,7 @@ def queries():
         "top_sources": q_top_sources,
         "clip": q_clip,
         "snapshot_diff": q_snapshot_diff,
+        "zscore": q_zscore,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2473,6 +2491,7 @@ def oracle_sql():
         "top_sources": _sql_top_sources(),
         "clip": _sql_clip(),
         "snapshot_diff": _sql_snapshot_diff(),
+        "zscore": _sql_zscore(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

@@ -1580,3 +1580,98 @@ SELECT {select}, {value},
        LEAST(GREATEST({value}, cuts.lo), cuts.hi) AS {value}_clip
 FROM {source}, cuts
 """
+
+
+def grouped_zscore(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    out_col: str | None = None,
+    round_to: int = 6,
+):
+    """Per-group z-score normalization: (v - mean_g) / stddev_samp_g —
+    the grouped-broadcast-normalize pattern (feature scaling per
+    language/source before training-set statistics).
+
+    Phase 1 reuses :func:`grouped_moments`-style combinable partials
+    (n, sum, sum-of-squares per group) folded by a tiny groupby; the
+    per-group constants broadcast in the closure (groups are
+    low-cardinality by contract) into one vectorized normalize stage.
+    Output rounds half-away at ``round_to`` on both sides; degenerate
+    groups (n < 2 or zero variance) emit null, matching SQL's
+    stddev_samp law."""
+    from ray.data.aggregate import Sum
+
+    out_col = out_col or f"{value_col}_z"
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                group_col: np.asarray(
+                    pc.cast(b[group_col], pa.string())
+                ).astype(object),
+                "v": np.asarray(b[value_col], dtype=np.float64),
+            }
+        )
+        g = df.groupby(group_col, sort=False)["v"].agg(
+            n="count", s="sum", ss=lambda x: float((x.to_numpy() ** 2).sum())
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()
+    )
+    consts = {}
+    for _, r in stats.iterrows():
+        n, s, ss = float(r["n"]), float(r["s"]), float(r["ss"])
+        if n < 2:
+            consts[r[group_col]] = None
+            continue
+        mu = s / n
+        var = (ss - n * mu * mu) / (n - 1)
+        consts[r[group_col]] = (mu, float(np.sqrt(var))) if var > 0 else None
+    tol = 10.0 ** round_to
+
+    def normalize(b: pa.Table) -> pa.Table:
+        groups = np.asarray(pc.cast(b[group_col], pa.string())).astype(object)
+        v = np.asarray(b[value_col], dtype=np.float64)
+        z = np.full(len(v), np.nan)
+        for gname, c in consts.items():  # low-cardinality by contract
+            if c is None:
+                continue
+            m = groups == gname
+            z[m] = (v[m] - c[0]) / c[1]
+        r = np.sign(z) * np.floor(np.abs(z) * tol + 0.5) / tol
+        return b.append_column(out_col, pa.array(r, mask=np.isnan(z)))
+
+    return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+def sql_grouped_zscore(
+    *,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    round_to: int = 6,
+    source: str = "documents",
+    select: str = "doc_id, lang, n_chars",
+) -> str:
+    """DuckDB twin of :func:`grouped_zscore`.  The engine computes
+    stddev from (n, sum, sum-sq) in float64; summation-order noise is
+    absorbed by the shared rounding."""
+    z = (
+        f"(({value_col} - AVG({value_col}) OVER w) / "
+        f"NULLIF(STDDEV_SAMP({value_col}) OVER w, 0))"
+    )
+    return (
+        f"SELECT {select}, ROUND({z} * 1e{round_to}) / 1e{round_to} "
+        f"AS {value_col}_z FROM {source} "
+        f"WINDOW w AS (PARTITION BY {group_col})"
+    )
