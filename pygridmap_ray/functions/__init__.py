@@ -50,6 +50,7 @@ from ..geom import (  # noqa: F401
     rings_area,
 )
 from ..text import (  # noqa: F401
+    bigram_logprob_score,
     bm25_score,
     filter_cascade,
     lang_id,

@@ -1284,6 +1284,20 @@ def _sql_incremental_agg() -> str:
     )
 
 
+def q_bigram_lm(sf_dir: str):
+    """Add-one-smoothed bigram LM score per doc
+    (text.bigram_logprob_score)."""
+    from ..text import bigram_logprob_score
+
+    return bigram_logprob_score(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _sql_bigram_lm() -> str:
+    from ..text import sql_bigram_logprob
+
+    return sql_bigram_logprob()
+
+
 def q_zscore(sf_dir: str):
     """Per-language z-score normalization of n_chars
     (stats.grouped_zscore; grouped-broadcast-normalize)."""
@@ -2143,6 +2157,7 @@ def queries():
         "clip": q_clip,
         "snapshot_diff": q_snapshot_diff,
         "zscore": q_zscore,
+        "bigram_lm": q_bigram_lm,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2492,6 +2507,7 @@ def oracle_sql():
         "clip": _sql_clip(),
         "snapshot_diff": _sql_snapshot_diff(),
         "zscore": _sql_zscore(),
+        "bigram_lm": _sql_bigram_lm(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

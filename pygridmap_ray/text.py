@@ -882,3 +882,136 @@ def sql_normalize_text(
         f"'[.,;:!?]', '', 'g'), '\\s+', ' ', 'g'))"
     )
     return f"SELECT *, {expr} AS {out_col} FROM {source}"
+
+
+def bigram_logprob_score(
+    ds, *, id_col: str = "doc_id", text_col: str = "text", round_to: int = 6
+):
+    """Per-doc mean bigram log-probability with add-one smoothing under
+    the corpus's own counts — the KenLM-style step up from
+    :func:`unigram_logprob_score`: ln((C2(w1 w2) + 1) / (C1(w1) + V)),
+    averaged over the doc's bigram instances (null when a doc has < 2
+    tokens).
+
+    Same aggregate-then-broadcast plan, two count tables instead of one
+    (unigram + bigram; the shuffle carries unique grams per batch).
+    Scale assumption (documented, as for the unigram LM): the observed
+    BIGRAM table fits in worker memory — true for natural language
+    (Heaps' law keeps observed bigrams far below V^2); for adversarial
+    token spaces hash grams into the Count-Min sketch instead."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .spatial import _cached_kernel
+
+    def counts_of(n: int):
+        c = (
+            ds.map_batches(
+                lambda b, n=n: ngram_counts_partial(b, n=n, text_col=text_col),
+                batch_format="pyarrow",
+            )
+            .groupby("ngram")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+        parts = [
+            t for t in (ray.get(r) for r in c.to_arrow_refs())
+            if t.num_columns > 0
+        ]
+        tab = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table({"ngram": pa.array([], pa.string()),
+                           "cnt": pa.array([], pa.int64())})
+        )
+        g = np.asarray(tab["ngram"]).astype(object)
+        cn = np.asarray(tab["cnt"], dtype=np.float64)
+        order = np.argsort(g)
+        return g[order], cn[order]
+
+    uni_g, uni_c = counts_of(1)
+    big_g, big_c = counts_of(2)
+    vsize = float(len(uni_g))
+    ref = {"__ref__": ray.put((uni_g, uni_c, big_g, big_c, vsize))}
+    tol = 10.0 ** round_to
+
+    def score(batch: pa.Table) -> pa.Table:
+        ug, uc, bg, bc, v = _cached_kernel(
+            f"bigramlm:{ref['__ref__'].hex()}", ref, lambda x: x
+        )
+        la = pc.split_pattern_regex(batch[text_col], r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.flatten()
+        lens = np.diff(la.offsets.to_numpy())
+        row_ids = np.repeat(np.arange(len(la), dtype=np.int64), lens)
+        keep = np.asarray(pc.fill_null(pc.not_equal(flat, ""), False))
+        flat = flat.filter(pa.array(keep))
+        rid = row_ids[keep]
+        nb = batch.num_rows
+        n_big = np.zeros(nb, dtype=np.int64)
+        lpsum = np.zeros(nb, dtype=np.float64)
+        m = len(flat) - 1
+        if m > 0:
+            grams = pc.binary_join_element_wise(
+                flat.slice(0, m), flat.slice(1, m), " "
+            )
+            same = rid[:m] == rid[1:]
+            grams = np.asarray(grams.filter(pa.array(same))).astype(object)
+            w1 = np.asarray(flat.slice(0, m).filter(pa.array(same))).astype(
+                object
+            )
+            grid = rid[:m][same]
+            if len(grid):
+                c2 = bc[np.clip(np.searchsorted(bg, grams), 0, len(bg) - 1)]
+                c1 = uc[np.clip(np.searchsorted(ug, w1), 0, len(ug) - 1)]
+                lp = np.log((c2 + 1.0) / (c1 + v))
+                np.add.at(lpsum, grid, lp)
+                np.add.at(n_big, grid, 1)
+        with np.errstate(invalid="ignore"):
+            mean = lpsum / n_big
+        r = np.sign(mean) * np.floor(np.abs(mean) * tol + 0.5) / tol
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bigrams": pa.array(n_big),
+                "logprob2": pa.array(r, mask=n_big == 0),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def sql_bigram_logprob(
+    *, round_to: int = 6, source: str = "documents", text: str = "text"
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob_score` (same token/gram laws,
+    same add-one estimator)."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array({text}, '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array({text}, '\\s+'), 1) AS i
+  FROM {source}
+), tk2 AS (
+  SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j
+  FROM tk WHERE tok <> ''
+),
+big AS (
+  SELECT t0.doc_id, t0.tok AS w1, t0.tok || ' ' || t1.tok AS g
+  FROM tk2 t0 JOIN tk2 t1 ON t1.doc_id = t0.doc_id AND t1.j = t0.j + 1
+),
+c2 AS (SELECT g, COUNT(*)::BIGINT AS c FROM big GROUP BY g),
+c1 AS (SELECT tok, COUNT(*)::BIGINT AS c FROM tk2 GROUP BY tok),
+vs AS (SELECT COUNT(*)::BIGINT AS v FROM c1),
+per AS (
+  SELECT big.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+         AVG(LN((c2.c + 1)::DOUBLE / (c1.c + vs.v))) AS lp
+  FROM big JOIN c2 USING (g) JOIN c1 ON c1.tok = big.w1, vs
+  GROUP BY big.doc_id
+)
+SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       ROUND(per.lp * 1e{round_to}) / 1e{round_to} AS logprob2
+FROM (SELECT doc_id FROM {source}) d LEFT JOIN per USING (doc_id)
+"""
