@@ -1284,6 +1284,61 @@ def _sql_incremental_agg() -> str:
     )
 
 
+def q_cells_export(sf_dir: str):
+    """Geometry-export round trip: occupied cells -> partitioned GeoJSON
+    (export.write_geojson_tiles) -> engine's own reader
+    (sources.geojson.read_geojson_layer) -> per-cell corner/area table.
+    The oracle reproduces the corner laws straight from the point CTE,
+    so any byte drift in the writer/reader shows up as a value
+    mismatch."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from ..export import write_geojson_tiles
+    from ..sources.geojson import read_geojson_layer
+    from ..tiler import with_cell_columns
+
+    out = f"/tmp/cells_geojson_{_os.getpid()}"
+    _shutil.rmtree(out, ignore_errors=True)
+    ds = with_cell_columns(
+        docs_points(sf_dir), resolution=RES, tile_size_cell=TSC
+    )
+    cells = ds.groupby(["ix", "iy"]).count()
+    write_geojson_tiles(cells, out, resolution=RES)
+    layer = []
+    for f in sorted(_glob.glob(f"{out}/part-*.geojson")):
+        layer.extend(read_geojson_layer(f))
+    return pa.table(
+        {
+            "cell_key": pa.array(
+                np.asarray([int(p["nuts_id"]) for p in layer], np.int64)
+            ),
+            "x0": pa.array([p["bbox"][0] for p in layer], pa.float64()),
+            "y0": pa.array([p["bbox"][1] for p in layer], pa.float64()),
+            "x1": pa.array([p["bbox"][2] for p in layer], pa.float64()),
+            "y1": pa.array([p["bbox"][3] for p in layer], pa.float64()),
+            "area": pa.array([p["area"] for p in layer], pa.float64()),
+        }
+    )
+
+
+def _sql_cells_export() -> str:
+    from ..tiler import sql_cell_columns
+
+    cols = sql_cell_columns(RES, TSC)
+    points = sql_points_cte()
+    return f"""
+WITH points AS ({points}),
+cells AS (SELECT DISTINCT {cols['ix']} AS ix, {cols['iy']} AS iy FROM points)
+SELECT iy * 4294967296 + ix AS cell_key,
+       ix * {RES!r} AS x0, iy * {RES!r} AS y0,
+       (ix + 1) * {RES!r} AS x1, (iy + 1) * {RES!r} AS y1,
+       {RES!r} * {RES!r} AS area
+FROM cells
+"""
+
+
 def q_bigram_lm(sf_dir: str):
     """Add-one-smoothed bigram LM score per doc
     (text.bigram_logprob_score)."""
@@ -2158,6 +2213,7 @@ def queries():
         "snapshot_diff": q_snapshot_diff,
         "zscore": q_zscore,
         "bigram_lm": q_bigram_lm,
+        "cells_export": q_cells_export,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2508,6 +2564,7 @@ def oracle_sql():
         "snapshot_diff": _sql_snapshot_diff(),
         "zscore": _sql_zscore(),
         "bigram_lm": _sql_bigram_lm(),
+        "cells_export": _sql_cells_export(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),
