@@ -1290,7 +1290,9 @@ def q_cells_export(sf_dir: str):
     (sources.geojson.read_geojson_layer) -> per-cell corner/area table.
     The oracle reproduces the corner laws straight from the point CTE,
     so any byte drift in the writer/reader shows up as a value
-    mismatch."""
+    mismatch.  (The read-back side is the engine's BROADCAST-layer
+    reader — polygon layers are broadcast-scale by contract; the write
+    side is fully distributed.)"""
     import glob as _glob
     import os as _os
     import shutil as _shutil
