@@ -1284,6 +1284,20 @@ def _sql_incremental_agg() -> str:
     )
 
 
+def q_events_retention(sf_dir: str):
+    """Week-over-week cohort retention triangle
+    (relational.events_retention)."""
+    from .relational import events_retention
+
+    return events_retention(sf_dir)
+
+
+def _sql_events_retention() -> str:
+    from .relational import sql_events_retention
+
+    return sql_events_retention()
+
+
 def q_cells_export(sf_dir: str):
     """Geometry-export round trip: occupied cells -> partitioned GeoJSON
     (export.write_geojson_tiles) -> engine's own reader
@@ -2216,6 +2230,7 @@ def queries():
         "zscore": q_zscore,
         "bigram_lm": q_bigram_lm,
         "cells_export": q_cells_export,
+        "events_retention": q_events_retention,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2567,6 +2582,7 @@ def oracle_sql():
         "zscore": _sql_zscore(),
         "bigram_lm": _sql_bigram_lm(),
         "cells_export": _sql_cells_export(),
+        "events_retention": _sql_events_retention(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),

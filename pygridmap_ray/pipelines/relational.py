@@ -423,3 +423,69 @@ def sql_events_funnel(stages: tuple[str, ...] = FUNNEL_STAGES,
         + ", u AS (SELECT DISTINCT user_id FROM ee)"
         + f" SELECT u.user_id, ({case})::BIGINT AS stage FROM u {joins}"
     )
+
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention: users bucketed by their FIRST event week; for
+    every (cohort_week, event_week) the distinct active users — the
+    standard week-over-week retention triangle.
+
+    Plan: per-user first-event week via one groupby-min (combiner
+    inside map_batches keeps the shuffle at user scale); the user ->
+    cohort map joins back onto events with the engine hash join; one
+    (cohort, week, user) dedup groupby then a (cohort, week) count.
+    Integer week ids (epoch_us // WEEK_US) keep the law hash-exact."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Min
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def week(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b["ts"]).astype("datetime64[us]").view(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "week": pa.array(ts // WEEK_US),
+            }
+        )
+
+    weeks = ev.map_batches(week, batch_format="pyarrow")
+
+    def combine_min(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("user_id", sort=False)["week"].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cohort = (
+        weeks.map_batches(combine_min, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("week", alias_name="cohort_week"))
+        .repartition(8)  # aggregates emit column-less empty blocks
+    )
+    joined = weeks.repartition(8).join(
+        cohort, "inner", num_partitions=8, on=("user_id",)
+    )
+    distinct = joined.groupby(["cohort_week", "week", "user_id"]).count()
+    return (
+        distinct.groupby(["cohort_week", "week"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+def sql_events_retention() -> str:
+    """DuckDB twin of :func:`events_retention` (same integer week law)."""
+    return f"""
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+),
+c AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+SELECT c.cohort_week, w.week, COUNT(DISTINCT w.user_id)::BIGINT AS n_users
+FROM w JOIN c USING (user_id)
+GROUP BY c.cohort_week, w.week
+"""

@@ -273,3 +273,32 @@ def test_salted_join_hot_key_parity(ray_session):
     a = out.sort_values(["k", "v"]).reset_index(drop=True)
     b = ref.sort_values(["k", "v"]).reset_index(drop=True)
     assert (a["name"].to_numpy() == b["name"].to_numpy()).all()
+
+
+def test_prefix_sum_property(ray_session):
+    """Hypothesis-style law sweep without per-example Ray runs (one Ray
+    pipeline per case is too slow for dozens of examples): random key
+    spacings, values incl. zeros, bucket counts incl. 1 and > n."""
+    from pygridmap_ray.pack import global_prefix_sum
+
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        n = int(rng.integers(1, 300))
+        ids = np.cumsum(rng.integers(1, 9, n)).astype(np.int64) * int(
+            rng.integers(1, 4)
+        )
+        vals = rng.integers(0, 20, n).astype(np.int64)
+        vals[rng.random(n) < 0.2] = 0
+        nb = int(rng.choice([1, 2, 16, 512]))
+        df = pd.DataFrame({"k": ids, "v": vals})
+        out = (
+            global_prefix_sum(
+                _ds_from_pandas(df.sample(frac=1, random_state=trial), 5),
+                order_col="k", value_col="v", n_buckets=nb,
+            )
+            .to_pandas()
+            .sort_values("k")["start"]
+            .to_numpy()
+        )
+        ref = np.cumsum(vals) - vals
+        assert (out == ref).all(), (trial, n, nb)
