@@ -1284,6 +1284,96 @@ def _sql_incremental_agg() -> str:
     )
 
 
+Q3_SEGMENT, Q3_DATE = "BUILDING", "1998-04-25"
+
+
+def q3_shipping(sf_dir: str):
+    """TPC-H Q3-style 3-way join: customers of one segment -> their
+    orders before the cut date -> line items shipped after it; top-10
+    orders by revenue.  Shape: broadcast semi-join on the dimension
+    (customer keys of the segment ship once), date filters pushed into
+    the map stage, one FK hash join, grouped revenue, bounded final
+    sort.  Ordering uses the ROUNDED revenue on both sides so the top-k
+    boundary is tie-law exact."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ..joins import semi_join
+
+    cut = np.datetime64(Q3_DATE)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["c_mktsegment"], pa.scalar(Q3_SEGMENT))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.filter(
+            pa.array(
+                np.asarray(b["o_orderdate"]).astype("datetime64[D]") < cut
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    orders = semi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev": pc.multiply(
+                    b["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), b["l_discount"]),
+                ),
+            }
+        ).filter(
+            pa.array(np.asarray(b["l_shipdate"]).astype("datetime64[D]") > cut)
+        ),
+        batch_format="pyarrow",
+    )
+    j = li.repartition(8).join(
+        orders.select_columns(["o_orderkey", "o_orderdate"]).repartition(8),
+        "inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = j.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev", alias_name="revenue")
+    )
+    agg = agg.map_batches(
+        lambda b: round_half_away(b, ["revenue"], 2), batch_format="pyarrow"
+    )
+    return agg.sort(
+        ["revenue", "l_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+def _sql_q3() -> str:
+    return f"""
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 1e2) / 1e2
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < DATE '{Q3_DATE}'
+  AND l_shipdate > DATE '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 def q_events_retention(sf_dir: str):
     """Week-over-week cohort retention triangle
     (relational.events_retention)."""
@@ -2231,6 +2321,7 @@ def queries():
         "bigram_lm": q_bigram_lm,
         "cells_export": q_cells_export,
         "events_retention": q_events_retention,
+        "q3_shipping": q3_shipping,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
         "string_agg": q_string_agg,
@@ -2583,6 +2674,7 @@ def oracle_sql():
         "bigram_lm": _sql_bigram_lm(),
         "cells_export": _sql_cells_export(),
         "events_retention": _sql_events_retention(),
+        "q3_shipping": _sql_q3(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
         "string_agg": _sql_string_agg(),
