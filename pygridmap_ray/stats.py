@@ -855,18 +855,47 @@ def pca_project(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
 # ---------------------------------------------------------------------------
 
 
+_NULL_KEY_TOKEN = "\x00<null>\x00"
+
+
 def rollup_aggregate(ds, *, keys: tuple[str, str], value: str):
     """``GROUP BY ROLLUP(k1, k2)`` counts + sums: the finest groupby runs
     ONCE over the data (the only corpus-scale pass); the coarser levels
     re-aggregate the finest RESULT (aggregate-scale inputs), exactly how
     a warehouse plans rollups.  NULL marks the rolled-up key, matching
-    the SQL law."""
+    the SQL law.
+
+    Null DATA keys (string-typed) are supported: Ray's sort aggregate
+    cannot order None among strings, so they ride through the groupby as
+    a sentinel token and decode back to null on output — the result
+    multiset matches SQL ROLLUP's (where a data-null group's subtotal
+    and the rollup marker are likewise both NULL)."""
     from ray.data.aggregate import Count, Sum
 
     k1, k2 = keys
-    fine = ds.groupby(list(keys)).aggregate(
-        Count(alias_name="n_rows"), Sum(value, alias_name="sum_val")
-    ).materialize()  # consumed by three levels
+
+    def _enc(b: pa.Table) -> pa.Table:
+        for c in (k1, k2):
+            i = b.schema.get_field_index(c)
+            t = b.schema.field(c).type
+            # an all-null block degrades the column to Arrow's null type
+            # (Ray emits per-block schemas) — normalize to string first
+            if pa.types.is_null(t):
+                b = b.set_column(i, c, pc.cast(b[c], pa.string()))
+                t = pa.string()
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                b = b.set_column(
+                    i, c, pc.fill_null(pc.cast(b[c], pa.string()),
+                                       pa.scalar(_NULL_KEY_TOKEN))
+                )
+        return b
+
+    fine = (
+        ds.map_batches(_enc, batch_format="pyarrow")
+        .groupby(list(keys))
+        .aggregate(Count(alias_name="n_rows"), Sum(value, alias_name="sum_val"))
+        .materialize()
+    )  # consumed by three levels
     sch = fine.schema().base_schema  # driver-side: key Arrow types
     t1, t2 = sch.field(k1).type, sch.field(k2).type
 
@@ -901,7 +930,26 @@ def rollup_aggregate(ds, *, keys: tuple[str, str], value: str):
         lambda b: b.select([k1, k2, "n_rows", "sum_val"]),
         batch_format="pyarrow",
     )
-    return fine_sel.union(lvl1).union(lvl0)
+
+    def _dec(b: pa.Table) -> pa.Table:
+        for c in (k1, k2):
+            i = b.schema.get_field_index(c)
+            if pa.types.is_string(b.schema.field(c).type):
+                col = b[c]
+                b = b.set_column(
+                    i, c,
+                    pc.if_else(
+                        pc.equal(col, pa.scalar(_NULL_KEY_TOKEN)),
+                        pa.nulls(b.num_rows, pa.string()),
+                        col,
+                    ),
+                )
+        return b
+
+    return (
+        fine_sel.union(lvl1).union(lvl0)
+        .map_batches(_dec, batch_format="pyarrow")
+    )
 
 
 def sql_rollup_aggregate(*, keys: tuple[str, str], value: str,

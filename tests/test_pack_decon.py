@@ -302,3 +302,33 @@ def test_prefix_sum_property(ray_session):
         )
         ref = np.cumsum(vals) - vals
         assert (out == ref).all(), (trial, n, nb)
+
+
+def test_rollup_null_data_keys(ray_session):
+    """Null DATA keys ride through Ray's sort aggregate via the sentinel
+    and the output multiset matches SQL ROLLUP's."""
+    import duckdb
+
+    from pygridmap_ray.stats import rollup_aggregate
+
+    df = pd.DataFrame(
+        {"a": ["x", None, "x", None], "b": ["u", "u", None, None],
+         "v": [1, 2, 3, 4]}
+    )
+    out = rollup_aggregate(
+        _ds_from_pandas(df, 3), keys=("a", "b"), value="v"
+    ).to_pandas()
+    exp = duckdb.connect().execute(
+        "SELECT a, b, COUNT(*)::BIGINT AS n_rows, SUM(v)::BIGINT AS sum_val "
+        "FROM df GROUP BY ROLLUP(a, b)"
+    ).df()
+
+    def norm(d):
+        d = d.reindex(sorted(d.columns), axis=1)
+        return (
+            d.fillna("~N~").astype(str)
+            .sort_values(sorted(d.columns))
+            .reset_index(drop=True)
+        )
+
+    assert norm(out).equals(norm(exp))
