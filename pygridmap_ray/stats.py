@@ -1292,6 +1292,15 @@ def countmin_topk(
 
     sk = countmin_sketch(ds, text_col=text_col, depth=depth, width=width)
     top = top_ngrams(ds, n=1, k=k, text_col=text_col).to_pandas()
+    if "ngram" not in top.columns or not len(top):
+        # token-free corpus: an empty aggregate loses its column schema
+        return pa.table(
+            {
+                "ngram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "est": pa.array([], pa.int64()),
+            }
+        )
     words = top["ngram"].tolist()
     est = np.empty(len(words), dtype=np.int64)
     for j, w in enumerate(words):

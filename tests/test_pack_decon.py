@@ -332,3 +332,12 @@ def test_rollup_null_data_keys(ray_session):
         )
 
     assert norm(out).equals(norm(exp))
+
+
+def test_countmin_empty_corpus(ray_session):
+    from pygridmap_ray.stats import countmin_topk
+
+    df = pd.DataFrame({"doc_id": [0], "text": [""]})
+    out = countmin_topk(_ds_from_pandas(df, 1), k=5)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert len(out) == 0 and list(out.columns) == ["ngram", "cnt", "est"]
