@@ -83,6 +83,15 @@ def global_prefix_sum(
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        k = g[order_col].to_numpy(dtype=np.int64)
+        if len(k) > 1 and (k[1:] == k[:-1]).any():
+            # equal keys make the scan order — and thus every offset —
+            # depend on block arrival; all rows of one key share a bucket,
+            # so this adjacency check is complete
+            raise ValueError(
+                f"global_prefix_sum: duplicate {order_col!r} keys — the "
+                "order column must be unique for a deterministic scan"
+            )
         v = g[value_col].to_numpy(dtype=np.int64)
         bk = int(g["__bk"].iloc[0])
         g[out_col] = base[bk] + np.cumsum(v) - v

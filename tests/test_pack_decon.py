@@ -341,3 +341,13 @@ def test_countmin_empty_corpus(ray_session):
     out = countmin_topk(_ds_from_pandas(df, 1), k=5)
     out = out.to_pandas() if hasattr(out, "to_pandas") else out
     assert len(out) == 0 and list(out.columns) == ["ngram", "cnt", "est"]
+
+
+def test_prefix_sum_rejects_duplicate_keys(ray_session):
+    from pygridmap_ray.pack import global_prefix_sum
+
+    df = pd.DataFrame({"k": [1, 1, 2], "v": [10, 20, 30]})
+    with pytest.raises(Exception, match="duplicate"):
+        global_prefix_sum(
+            _ds_from_pandas(df, 2), order_col="k", value_col="v"
+        ).to_pandas()
