@@ -1148,6 +1148,29 @@ def _sql_lang_quantiles_cont() -> str:
     return sql_grouped_quantiles_cont()
 
 
+def q_distinct_count(sf_dir: str):
+    """EXACT grouped count-distinct (the exact twin of the hll_distinct
+    estimate): dedupe groupby on (lang, source) -> per-lang count.  The
+    shuffle carries distinct pairs only — the standard exact plan when
+    the distinct domain is bounded."""
+    from ray.data.aggregate import Count
+
+    return (
+        _docs(sf_dir, ("lang", "source"))
+        .groupby(["lang", "source"])
+        .count()
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_distinct"))
+    )
+
+
+def _sql_distinct_count() -> str:
+    return (
+        "SELECT lang, COUNT(DISTINCT source)::BIGINT AS n_distinct "
+        "FROM documents GROUP BY lang"
+    )
+
+
 def q_lang_confusion(sf_dir: str):
     """Model-eval pattern: confusion matrix of the lang_id heuristic vs
     the labeled language — classify in map_batches, one tiny groupby."""
@@ -2309,6 +2332,7 @@ def queries():
         "events_funnel": q_events_funnel,
         "bm25": q_bm25,
         "lang_confusion": q_lang_confusion,
+        "distinct_count": q_distinct_count,
         "table_profile": q_table_profile,
         "incremental_agg": q_incremental_agg,
         "sample_exact_k": q_sample_exact_k,
@@ -2662,6 +2686,7 @@ def oracle_sql():
         "events_funnel": _sql_events_funnel(),
         "bm25": _sql_bm25(),
         "lang_confusion": _sql_lang_confusion(),
+        "distinct_count": _sql_distinct_count(),
         "table_profile": _sql_table_profile(),
         "incremental_agg": _sql_incremental_agg(),
         "sample_exact_k": _sql_sample_exact_k(),
