@@ -351,3 +351,40 @@ def test_prefix_sum_rejects_duplicate_keys(ray_session):
         global_prefix_sum(
             _ds_from_pandas(df, 2), order_col="k", value_col="v"
         ).to_pandas()
+
+
+def test_events_funnel_strict_order_law(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.relational import events_funnel
+
+    # user 1: view < click < purchase (stage 3)
+    # user 2: click BEFORE view -> click cannot count; no later click (stage 1)
+    # user 3: view and click at the SAME ts -> strict '>' rejects (stage 1)
+    # user 4: below min_value only (absent from output)
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [
+        (1, t0 + 0, "view", 200.0), (1, t0 + 10, "click", 200.0),
+        (1, t0 + 20, "purchase", 200.0),
+        (2, t0 + 0, "click", 200.0), (2, t0 + 10, "view", 200.0),
+        (3, t0 + 5, "view", 200.0), (3, t0 + 5, "click", 200.0),
+        (4, t0 + 0, "view", 1.0),
+    ]
+    tab = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tab, f"{tmp_path}/events.parquet")
+    out = (
+        events_funnel(str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")["stage"]
+        .to_dict()
+    )
+    assert out == {1: 3, 2: 1, 3: 1}
