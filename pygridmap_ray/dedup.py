@@ -445,7 +445,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     n: int = 3,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """EXACT n-gram Jaccard near-dup pairs via prefix-filter candidate
     generation (the AllPairs/PPJoin family) — full recall, unlike the
@@ -469,6 +469,10 @@ def ngram_jaccard_pairs(
     shuffles by doc id — both well-spread keys; a globally hot shingle is
     bounded by the prefix filter (only docs whose PREFIX holds it land in
     its bucket)."""
+    from .cluster import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     sets = ds.select_columns([id_col, text_col]).map_batches(
         lambda b: _shingle_sets(b, id_col, text_col, n), batch_format="pyarrow"
     )
@@ -924,7 +928,8 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {t
 
 
 def connected_components(pairs, *, src: str = "id_a", dst: str = "id_b",
-                         max_iter: int = 25, num_partitions: int = 32,
+                         max_iter: int = 25,
+                         num_partitions: int | None = None,
                          local_max_edges: int = 1 << 20):
     """(node, component) for every endpoint of ``pairs`` — component is
     the MIN node id reachable through the pair graph.
@@ -956,6 +961,10 @@ def connected_components(pairs, *, src: str = "id_a", dst: str = "id_b",
     pair graphs are tiny relative to the corpus, and the distributed
     loop's 4 shuffles per sweep are pure overhead below the cap.
     """
+    from .cluster import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
 
     def _sym(b: pa.Table) -> pa.Table:
         u = pa.concat_arrays(
@@ -1074,9 +1083,14 @@ def connected_components(pairs, *, src: str = "id_a", dst: str = "id_b",
 
 
 def neardup_components(docs, pairs, *, id_col: str = "doc_id",
-                       max_iter: int = 25, num_partitions: int = 32):
+                       max_iter: int = 25,
+                       num_partitions: int | None = None):
     """Every doc with its near-dup component id (singletons map to
     themselves): corpus LEFT-joins the clustered labels, null -> self."""
+    from .cluster import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     comp = connected_components(
         pairs, max_iter=max_iter, num_partitions=num_partitions
     )
@@ -1099,7 +1113,7 @@ def neardup_components(docs, pairs, *, id_col: str = "doc_id",
 
 
 def neardup_dedup(docs, pairs, *, id_col: str = "doc_id", max_iter: int = 25,
-                  num_partitions: int = 32):
+                  num_partitions: int | None = None):
     """Canonical keep-one-per-component: the survivor is the component's
     min id (which IS the converged label), so keep iff id == component —
     no second shuffle after :func:`neardup_components`."""

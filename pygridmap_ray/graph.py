@@ -56,7 +56,9 @@ def pagerank(
     from .tfidf import _coarse_sum
 
     if num_partitions is None:
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        from .cluster import default_num_partitions
+
+        num_partitions = default_num_partitions()
 
     def one(b: pa.Table) -> pa.Table:
         return pa.table(

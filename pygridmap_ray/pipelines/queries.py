@@ -551,7 +551,7 @@ def q_spatial_join_hash(sf_dir: str):
 
     layer = polygon_layer()
     out = join_points_via_cell_index(
-        docs_points(sf_dir), layer, resolution=10_000.0, num_partitions=8
+        docs_points(sf_dir), layer, resolution=10_000.0
     )
     lut_nuts = pa.array([p["nuts_id"] for p in layer])
     lut_pop = np.array([p["pop"] for p in layer])
@@ -847,7 +847,7 @@ def q_neardup_cluster(sf_dir: str):
     from ..dedup import minhash_lsh_pairs, neardup_components
 
     pairs = minhash_lsh_pairs(_planted_docs(sf_dir), jaccard_threshold=0.5)
-    return neardup_components(_docs(sf_dir, ("doc_id",)), pairs, num_partitions=8)
+    return neardup_components(_docs(sf_dir, ("doc_id",)), pairs)
 
 
 def q_simhash(sf_dir: str):
@@ -886,7 +886,7 @@ def q_corpus_curate(sf_dir: str):
     from ..text import quality_score
 
     pairs = ngram_jaccard_pairs(_docs(sf_dir, ("doc_id", "text")), threshold=0.3)
-    kept = neardup_dedup(_docs(sf_dir, ("doc_id",)), pairs, num_partitions=8)
+    kept = neardup_dedup(_docs(sf_dir, ("doc_id",)), pairs)
 
     def score(b: pa.Table) -> pa.Table:
         b = quality_score(b)
@@ -898,8 +898,11 @@ def q_corpus_curate(sf_dir: str):
     scored = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
         score, batch_format="pyarrow"
     )
+    from ..cluster import default_num_partitions
+
     out = kept.select_columns(["doc_id"]).join(
-        scored, "inner", num_partitions=8, on=("doc_id",)
+        scored, "inner", num_partitions=default_num_partitions(),
+        on=("doc_id",),
     )
     return out.select_columns(["doc_id", "lang", "quality"])
 
@@ -1031,15 +1034,26 @@ def q_llm_prepare(sf_dir: str):
 
         return f
 
+    from ..cluster import default_num_partitions
+
+    # Keeper-id set from exact dedup: an ID-ONLY stream.  The text column
+    # must never enter a shuffle (it is the bulk of the corpus bytes), so
+    # the per-doc stages below — quality gate, decontamination (broadcast
+    # eval gram set) — run map-only on the doc stream FIRST, reducing it
+    # to (doc_id, n_tokens); only then does the keeper semi-join shuffle,
+    # exchanging 16 bytes/row.  Every per-doc predicate commutes with the
+    # keeper-set intersection, so the result is law-identical to
+    # dedup-first.  (A broadcast/bloom semi-join does not apply: the
+    # keeper set is corpus-sized — most documents are unique.)
+    nparts = default_num_partitions()
     keep = (
         exact_dedup(docs)
         .select_columns(["keeper_id"])
         .rename_columns(["doc_id"])
-        .repartition(8)  # aggregates emit column-less empty blocks
+        .repartition(nparts)  # aggregates emit column-less empty blocks
     )
-    kept = docs.join(keep, "inner", num_partitions=8, on=("doc_id",))
     ev = docs.map_batches(side(True), batch_format="pyarrow")
-    cand = kept.map_batches(side(False), batch_format="pyarrow")
+    cand = docs.map_batches(side(False), batch_format="pyarrow")
 
     def quality_gate(b: pa.Table) -> pa.Table:
         b = quality_score(b)
@@ -1056,6 +1070,7 @@ def q_llm_prepare(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+    clean = clean.join(keep, "inner", num_partitions=nparts, on=("doc_id",))
     train = split_by_hash(clean, key_col="doc_id").map_batches(
         lambda b: b.filter(pc.equal(b["split"], pa.scalar("train"))).select(
             ["doc_id", "n_tokens"]
@@ -1362,10 +1377,13 @@ def q3_shipping(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    j = li.repartition(8).join(
-        orders.select_columns(["o_orderkey", "o_orderdate"]).repartition(8),
+    from ..cluster import default_num_partitions
+
+    nparts = default_num_partitions()
+    j = li.repartition(nparts).join(
+        orders.select_columns(["o_orderkey", "o_orderdate"]).repartition(nparts),
         "inner",
-        num_partitions=8,
+        num_partitions=nparts,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

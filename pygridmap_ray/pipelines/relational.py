@@ -59,37 +59,64 @@ def sql_events_tumbling_window() -> str:
     )
 
 
-def events_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user: sessions counted
-    inside the per-user group after an explicit (ts, event_id) sort —
-    the documented ordering assumption for stream-shaped groups."""
+def events_sessionize(sf_dir: str, *, num_buckets: int = 64):
+    """Session windows (30-min inactivity gap) per user: one COARSE
+    bucket shuffle on user hash (all of a user's events share a bucket),
+    then a single vectorized scan per bucket — one lexsort over
+    (user, ts, event_id), session starts where the user changes or the
+    gap exceeds the threshold, per-user counts via ``np.add.reduceat``.
+    Never a per-user group: a fine ``groupby(user_id).map_groups`` costs
+    ~1 ms Python PER USER (the repo's documented rule), which at 10^8
+    users is days; this plan's per-user cost is a few sorted-array ops."""
     import ray.data as rd
+
+    from ..joins import _bucket_of
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+    def tag(b: pa.Table) -> pa.Table:
         # normalize to microseconds (a ns-unit source would otherwise make
-        # the 30-min gap constant mean 1.8 seconds); tz-aware columns must
-        # drop the tz first — pandas astype refuses aware->naive
-        ts = g["ts"]
-        if getattr(ts.dtype, "tz", None) is not None:
-            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
-        us = ts.astype("datetime64[us]").astype("int64").to_numpy()
-        gaps = np.diff(us, prepend=us[0])
-        new_sess = (gaps > US_SESSION_GAP).astype(np.int64)
-        new_sess[0] = 1
-        return pd.DataFrame(
+        # the 30-min gap constant mean 1.8 seconds)
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [int(new_sess.sum())],
+                "user_id": pa.array(uid),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "us": us,
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, us = uid[order], us[order]
+        user_change = np.empty(len(uid), dtype=bool)
+        user_change[0] = True
+        user_change[1:] = uid[1:] != uid[:-1]
+        gaps = np.diff(us, prepend=us[0])
+        new_sess = user_change | (gaps > US_SESSION_GAP)
+        starts = np.flatnonzero(user_change)
+        n_events = np.diff(np.append(starts, len(uid)))
+        n_sessions = np.add.reduceat(new_sess.astype(np.int64), starts)
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "n_events": n_events,
+                "n_sessions": n_sessions,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
 
 
 def sql_events_sessionize() -> str:
@@ -428,53 +455,79 @@ def sql_events_funnel(stages: tuple[str, ...] = FUNNEL_STAGES,
 WEEK_US = 7 * 86_400 * 1_000_000
 
 
-def events_retention(sf_dir: str):
+_WEEK_BITS = 16  # weeks-since-epoch < 2^16 until year ~3225
+
+
+def events_retention(sf_dir: str, *, num_buckets: int = 64):
     """Cohort retention: users bucketed by their FIRST event week; for
     every (cohort_week, event_week) the distinct active users — the
     standard week-over-week retention triangle.
 
-    Plan: per-user first-event week via one groupby-min (combiner
-    inside map_batches keeps the shuffle at user scale); the user ->
-    cohort map joins back onto events with the engine hash join; one
-    (cohort, week, user) dedup groupby then a (cohort, week) count.
+    Plan (zero joins, zero fine groupbys): per-batch the (user, week)
+    pairs collapse to their packed-int64 ``np.unique`` (user<<16 | week
+    — the graph.distinct_int_pairs law), then ONE coarse shuffle on user
+    hash co-locates each user's pairs; the bucket kernel derives the
+    user's cohort (min week — exact, the user is whole in the bucket)
+    and emits partial (cohort_week, week, n) counts; a final
+    low-cardinality (weeks²-sized) groupby sums the partials.  The old
+    plan's user→cohort hash join and per-(cohort,week,user) distinct
+    groupby (~1 ms Python per group) are both gone.
     Integer week ids (epoch_us // WEEK_US) keep the law hash-exact."""
     import ray.data as rd
 
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Sum
+
+    from ..joins import _bucket_of
 
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
 
-    def week(b: pa.Table) -> pa.Table:
+    def pack(b: pa.Table) -> pa.Table:
         ts = np.asarray(b["ts"]).astype("datetime64[us]").view(np.int64)
+        week = ts // WEEK_US
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        if len(week) and (
+            week.min() < 0
+            or week.max() >= (1 << _WEEK_BITS)
+            or uid.min() < 0
+            or uid.max() >= (1 << (63 - _WEEK_BITS))
+        ):
+            raise ValueError("user/week id out of packed range")
+        k = np.unique((uid << _WEEK_BITS) | week)
         return pa.table(
             {
-                "user_id": b["user_id"],
-                "week": pa.array(ts // WEEK_US),
+                "k": pa.array(k),
+                "__b": pa.array(_bucket_of(k >> _WEEK_BITS, num_buckets)),
             }
         )
 
-    weeks = ev.map_batches(week, batch_format="pyarrow")
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(g["k"].to_numpy(np.int64))  # global (user, week) set
+        uid = k >> _WEEK_BITS
+        week = k & ((1 << _WEEK_BITS) - 1)
+        # k is sorted, so each user's first row holds its min week
+        starts = np.empty(len(k), dtype=bool)
+        starts[0] = True
+        starts[1:] = uid[1:] != uid[:-1]
+        cohort = week[starts][np.cumsum(starts) - 1]
+        cw = (cohort << _WEEK_BITS) | week
+        pairs, n = np.unique(cw, return_counts=True)
+        return pd.DataFrame(
+            {
+                "cohort_week": pairs >> _WEEK_BITS,
+                "week": pairs & ((1 << _WEEK_BITS) - 1),
+                "n": n.astype(np.int64),
+            }
+        )
 
-    def combine_min(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        g = df.groupby("user_id", sort=False)["week"].min().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    cohort = (
-        weeks.map_batches(combine_min, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Min("week", alias_name="cohort_week"))
-        .repartition(8)  # aggregates emit column-less empty blocks
+    partials = (
+        ev.map_batches(pack, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
     )
-    joined = weeks.repartition(8).join(
-        cohort, "inner", num_partitions=8, on=("user_id",)
-    )
-    distinct = joined.groupby(["cohort_week", "week", "user_id"]).count()
-    return (
-        distinct.groupby(["cohort_week", "week"])
-        .aggregate(Count(alias_name="n_users"))
+    return partials.groupby(["cohort_week", "week"]).aggregate(
+        Sum("n", alias_name="n_users")
     )
 
 

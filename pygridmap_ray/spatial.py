@@ -275,7 +275,7 @@ def join_points_via_cell_index(
     *,
     resolution: float,
     origin: tuple[float, float] = (0.0, 0.0),
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     x_col: str = "x",
     y_col: str = "y",
 ):
@@ -293,8 +293,11 @@ def join_points_via_cell_index(
     """
     import ray
 
+    from .cluster import default_num_partitions
     from .tiler import with_cell_columns
 
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     idx = polygon_cells_index(polygons, resolution=resolution, origin=origin)
     pts = with_cell_columns(
         points_ds,

@@ -206,7 +206,9 @@ def tfidf_pairs(
     max_df = int(np.floor(max_df_frac * n_docs))
     nf = float(n_docs)
     if num_partitions is None:
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        from .cluster import default_num_partitions
+
+        num_partitions = default_num_partitions()
 
     def tf_stage(b: pa.Table) -> pa.Table:
         t = doc_term_freqs(b, id_col=id_col, text_col=text_col, n=n)
