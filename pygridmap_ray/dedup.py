@@ -1549,7 +1549,6 @@ def dedup_lines(
     text_col: str = "text",
     chunk: int = _LINE_CHUNK,
     num_buckets: int = 64,
-    num_partitions: int = 8,
 ):
     """Line-level exact dedup (the C4 rule): a line survives only at its
     GLOBAL first occurrence — ``(doc_id, line_idx)`` minimal over all
@@ -1569,35 +1568,71 @@ def dedup_lines(
     Emits (doc_id, n_lines, n_kept, text_kept); docs whose every line is
     a later occurrence drop out (their text is fully redundant)."""
 
+    # base^e mod 2^64 for e in [0, chunk) — the rolling polynomial
+    # acc = ((h0*B + h1)*B + ...) equals sum h_j * B^(m-1-j) in the
+    # wrapping uint64 ring, so chunked line keys vectorize to one
+    # weighted np.add.reduceat over the batch's flat token-hash stream.
+    _bpow = np.empty(chunk, dtype=np.uint64)
+    _bpow[0] = 1
+    for _e in range(1, chunk):
+        _bpow[_e] = _bpow[_e - 1] * np.uint64(1000003)
+
     def explode(b: pa.Table) -> pa.Table:
+        from itertools import chain
+
         ids = np.asarray(b[id_col], dtype=np.int64)
         texts = b[text_col].to_pylist()
-        out_id, out_idx, out_nl, out_line, out_key = [], [], [], [], []
-        for i, t in enumerate(texts):
-            toks = TOKEN_RE.findall(t or "")
-            if not toks:
-                continue
-            th = _token_hashes(toks)
-            nl = (len(toks) + chunk - 1) // chunk
-            for li in range(nl):
-                seg = toks[li * chunk:(li + 1) * chunk]
-                acc = np.uint64(0)
-                for hv in th[li * chunk:(li + 1) * chunk]:
-                    acc = (acc * np.uint64(1000003) + hv) & np.uint64(
-                        0xFFFFFFFFFFFFFFFF
-                    )
-                out_id.append(ids[i])
-                out_idx.append(li)
-                out_nl.append(nl)
-                out_line.append(" ".join(seg))
-                out_key.append(np.int64(acc >> np.uint64(3)))
+        tok_lists = [TOKEN_RE.findall(t or "") for t in texts]
+        ntok = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        flat_toks = list(chain.from_iterable(tok_lists))
+        th = _token_hashes(flat_toks)
+        nl = -(-ntok // chunk)  # lines per doc (0 for empty docs)
+        total_lines = int(nl.sum())
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "idx": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "line": pa.array([], pa.string()),
+                "key": pa.array([], pa.int64()),
+            }
+        )
+        if total_lines == 0:
+            return empty
+        # per-line doc index / within-doc line index / flat token spans
+        line_doc = np.repeat(np.arange(len(ids), dtype=np.int64), nl)
+        line_starts_cum = np.concatenate(([0], np.cumsum(nl)))[:-1]
+        idx = np.arange(total_lines, dtype=np.int64) - line_starts_cum[line_doc]
+        doc_tok0 = np.concatenate(([0], np.cumsum(ntok)))[:-1]
+        start = doc_tok0[line_doc] + idx * chunk
+        end = np.minimum(start + chunk, doc_tok0[line_doc] + ntok[line_doc])
+        llen = end - start
+        # key = wrapping-uint64 weighted segment sum of token hashes
+        p = np.arange(len(th), dtype=np.int64) - np.repeat(start, llen)
+        w = _bpow[np.repeat(llen, llen) - 1 - p]
+        key = np.add.reduceat(th * w, start)
+        key = (key >> np.uint64(3)).astype(np.int64)
+        # line strings: tokens partition contiguously per line — one
+        # Arrow list-slice + vectorized join, no per-line Python
+        flat = pa.array(
+            np.concatenate((np.asarray([0], np.int64), np.cumsum(llen)))
+        )
+        toks_arr = pa.array(flat_toks, pa.string())
+        lines = pc.cast(
+            pc.binary_join(
+                pa.LargeListArray.from_arrays(flat, toks_arr), pa.scalar(" ")
+            ),
+            pa.string(),
+        )
         return pa.table(
             {
-                id_col: pa.array(np.asarray(out_id, dtype=np.int64)),
-                "idx": pa.array(np.asarray(out_idx, dtype=np.int64)),
-                "n_lines": pa.array(np.asarray(out_nl, dtype=np.int64)),
-                "line": pa.array(out_line, pa.string()),
-                "key": pa.array(np.asarray(out_key, dtype=np.int64)),
+                id_col: pa.array(ids[line_doc]),
+                "idx": pa.array(idx),
+                "n_lines": pa.array(nl[line_doc]),
+                "line": lines,
+                "key": pa.array(key),
             }
         )
 

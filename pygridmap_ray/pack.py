@@ -188,22 +188,16 @@ def shuffle_by_hash(
     collect on the driver (``n_buckets`` int64s), each bucket sorts
     vectorized and adds its base rank.  One shuffle, same cost class as
     ``Dataset.sort``."""
-    import hashlib
-
     import pyarrow.compute as pc
+
+    from .text import md5_prefix_int
 
     HBITS = 60  # 15 md5 hex digits: positive int64 on both sides
 
     def hash_of(b: pa.Table) -> np.ndarray:
-        keys = pc.cast(b[key_col], pa.string()).to_pylist()
-        return np.fromiter(
-            (
-                int(hashlib.md5((k + salt).encode()).hexdigest()[:15], 16)
-                for k in keys
-            ),
-            dtype=np.int64,
-            count=len(keys),
-        )
+        return md5_prefix_int(
+            pc.cast(b[key_col], pa.string()), salt=salt, hexdigits=15
+        ).astype(np.int64)
 
     nb = n_buckets
     if nb & (nb - 1) or nb <= 0:

@@ -95,18 +95,13 @@ def split_by_hash(
     cuts = np.cumsum([splits[n] for n in names]) * 1_000_000.0
 
     def assign(b: pa.Table) -> pa.Table:
-        import hashlib
+        from .text import md5_prefix_int
 
-        keys = pc.cast(b[key_col], pa.string()).to_pylist()
-        h = np.fromiter(
-            (
-                int(hashlib.md5((k + salt).encode()).hexdigest()[:8], 16)
-                % 1_000_000
-                for k in keys
-            ),
-            dtype=np.int64,
-            count=len(keys),
-        )
+        keys = pc.cast(b[key_col], pa.string())
+        h = (
+            md5_prefix_int(keys, salt=salt, hexdigits=8)
+            % np.uint64(1_000_000)
+        ).astype(np.int64)
         idx = np.searchsorted(cuts, h, side="right")
         idx = np.minimum(idx, len(names) - 1)  # h == 1e6 edge (unreachable)
         lab = pa.array(np.array(names, dtype=object)[idx], pa.string())
@@ -139,18 +134,14 @@ def stratified_sample(
             raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
 
     def keep(b: pa.Table) -> pa.Table:
-        import hashlib
+        from .text import md5_prefix_int
 
-        keys = pc.cast(b[key_col], pa.string()).to_pylist()
-        h = np.fromiter(
-            (
-                int(hashlib.md5((k + salt).encode()).hexdigest()[:8], 16)
-                % 1_000_000
-                for k in keys
-            ),
-            dtype=np.int64,
-            count=len(keys),
-        )
+        h = (
+            md5_prefix_int(
+                pc.cast(b[key_col], pa.string()), salt=salt, hexdigits=8
+            )
+            % np.uint64(1_000_000)
+        ).astype(np.int64)
         groups = np.asarray(pc.cast(b[group_col], pa.string())).astype(object)
         cuts = np.fromiter(
             (rates.get(g, default_rate) * 1_000_000.0 for g in groups),
@@ -557,11 +548,9 @@ def hll_distinct(ds, *, group_col: str, key_col: str, map_parallelism: int = 0):
         )
         g = g[first]
         keys = keys[first].tolist()
-        hv = np.fromiter(
-            (int(hashlib.md5(k.encode()).hexdigest()[:15], 16) for k in keys),
-            dtype=np.int64,
-            count=len(keys),
-        )
+        from .text import md5_prefix_int
+
+        hv = md5_prefix_int(keys, hexdigits=15).astype(np.int64)
         j = hv & (_HLL_M - 1)
         w = hv >> _HLL_P
         # exact bit_length (float log2 mis-rounds within 1 ulp of 2^54)
@@ -1149,18 +1138,14 @@ def mixture_repeat(
             raise ValueError(f"weight for {g!r} must be >= 0, got {w}")
 
     def expand(b: pa.Table) -> pa.Table:
-        import hashlib
+        from .text import md5_prefix_int
 
-        keys = pc.cast(b[key_col], pa.string()).to_pylist()
-        h = np.fromiter(
-            (
-                int(hashlib.md5((k + salt).encode()).hexdigest()[:8], 16)
-                % 1_000_000
-                for k in keys
-            ),
-            dtype=np.int64,
-            count=len(keys),
-        )
+        h = (
+            md5_prefix_int(
+                pc.cast(b[key_col], pa.string()), salt=salt, hexdigits=8
+            )
+            % np.uint64(1_000_000)
+        ).astype(np.int64)
         groups = np.asarray(pc.cast(b[group_col], pa.string())).astype(object)
         w = np.fromiter(
             (weights.get(g, default_weight) for g in groups),
@@ -1432,18 +1417,12 @@ def sample_exact_k(
 
     Plan: hash tag (one stateless stage) + :func:`grouped_topk`'s
     coarse-bucket rank kernel."""
-    import hashlib
+    from .text import md5_prefix_int
 
     def tag(b: pa.Table) -> pa.Table:
-        keys = pc.cast(b[key_col], pa.string()).to_pylist()
-        h = np.fromiter(
-            (
-                int(hashlib.md5((x + salt).encode()).hexdigest()[:15], 16)
-                for x in keys
-            ),
-            dtype=np.int64,
-            count=len(keys),
-        )
+        h = md5_prefix_int(
+            pc.cast(b[key_col], pa.string()), salt=salt, hexdigits=15
+        ).astype(np.int64)
         return b.append_column("__h", pa.array(h))
 
     out = grouped_topk(

@@ -299,6 +299,172 @@ def sql_lang_id(source: str = "documents", text: str = "text") -> str:
     return f"SELECT *, {case} AS lang_pred FROM {source}"
 
 
+# ---------------------------------------------------------------------------
+# Vectorized MD5 (single-block messages) — RFC 1321 in numpy
+# ---------------------------------------------------------------------------
+# THE content-stable hash law of the engine is md5 (the DuckDB twins are
+# md5(...)), so every split/sample/shuffle/mixture/HLL stage pays an md5
+# per row.  Keys at those sites are short strings (stringified ids), i.e.
+# single 512-bit MD5 blocks — which vectorizes: the padded messages land
+# in one (16, n) uint32 matrix and the 64 rounds run as numpy ops over
+# all rows at once.  No per-row Python anywhere; ~4x over the old
+# per-row hashlib loop on a 1M-row microbench (BASELINE.md).
+
+_MD5_K = np.array(
+    [int(abs(np.sin(i + 1)) * 2**32) & 0xFFFFFFFF for i in range(64)],
+    dtype=np.uint32,
+)
+_MD5_S = [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4 \
+    + [6, 10, 15, 21] * 4
+_MD5_G = (
+    list(range(16))
+    + [(5 * i + 1) % 16 for i in range(16, 32)]
+    + [(3 * i + 5) % 16 for i in range(32, 48)]
+    + [(7 * i) % 16 for i in range(48, 64)]
+)
+_U64_FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
+_MD5_VEC_CHUNK = 1 << 16  # measured knee: rounds working set stays in L2
+
+
+def _md5_pad_single_block(sl: pa.Array) -> np.ndarray:
+    """(16, n) uint32 padded single-block MD5 messages from a non-null
+    string/binary Arrow array whose rows are all <= 55 bytes.  Bytes are
+    moved with ONE uint64 gather per 8-byte word (sliding-window view of
+    the value buffer), never a per-byte scatter."""
+    n = len(sl)
+    off = np.frombuffer(
+        sl.buffers()[1], np.int32, n + 1, offset=4 * sl.offset
+    ).astype(np.int64)
+    nd = int(off[-1])
+    data = np.frombuffer(sl.buffers()[2], np.uint8, nd)
+    lens = np.diff(off)
+    maxlen = int(lens.max()) if n else 0
+    dpad = np.zeros(nd + 64, np.uint8)
+    dpad[:nd] = data
+    sw = np.lib.stride_tricks.sliding_window_view(dpad, 8)
+    X = np.zeros((16, n), np.uint32)
+    for wi in range(maxlen // 8 + 1):
+        w = sw[off[:-1] + wi * 8].copy().view("<u8").ravel().astype(np.uint64)
+        rem = lens - wi * 8  # row bytes still unplaced at this word
+        rc = np.clip(rem, 0, 8).astype(np.uint64)
+        mask = np.where(
+            rc >= 8,
+            _U64_FULL,
+            (np.uint64(1) << np.minimum(rc * np.uint64(8), np.uint64(63)))
+            - np.uint64(1),
+        )
+        w &= mask
+        # the 0x80 terminator lands right after the last payload byte
+        w |= np.where(
+            (rem >= 0) & (rem < 8),
+            np.uint64(0x80) << (rc * np.uint64(8)),
+            np.uint64(0),
+        )
+        X[2 * wi] = (w & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        X[2 * wi + 1] = (w >> np.uint64(32)).astype(np.uint32)
+    bl = lens.astype(np.uint64) * 8
+    X[14] = (bl & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    X[15] = (bl >> np.uint64(32)).astype(np.uint32)
+    return X
+
+
+def _md5_rounds(XT: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """RFC 1321 rounds over n single-block messages at once; returns the
+    (A, B) state words (= first 8 digest bytes).  In-place ufuncs with a
+    rotating buffer set — zero allocations inside the 64-step loop."""
+    n = XT.shape[1]
+    a = np.full(n, 0x67452301, np.uint32)
+    b = np.full(n, 0xEFCDAB89, np.uint32)
+    c = np.full(n, 0x98BADCFE, np.uint32)
+    d = np.full(n, 0x10325476, np.uint32)
+    A0, B0 = a.copy(), b.copy()
+    f = np.empty(n, np.uint32)
+    t = np.empty(n, np.uint32)
+    spare = np.empty(n, np.uint32)
+    for i in range(64):
+        if i < 16:  # (b&c)|(~b&d) == d ^ (b & (c^d))
+            np.bitwise_xor(c, d, out=f)
+            f &= b
+            f ^= d
+        elif i < 32:  # (d&b)|(~d&c) == c ^ (d & (b^c))
+            np.bitwise_xor(b, c, out=f)
+            f &= d
+            f ^= c
+        elif i < 48:
+            np.bitwise_xor(b, c, out=f)
+            f ^= d
+        else:
+            np.bitwise_not(d, out=f)
+            f |= b
+            f ^= c
+        f += a
+        f += _MD5_K[i]
+        f += XT[_MD5_G[i]]
+        s = _MD5_S[i]
+        np.left_shift(f, np.uint32(s), out=t)
+        np.right_shift(f, np.uint32(32 - s), out=f)
+        f |= t
+        f += b
+        a, d, c, b, f, spare = d, c, b, f, spare, a
+    A0 += a
+    B0 += b
+    return A0, B0
+
+
+def md5_prefix_int(keys, *, salt: str = "", hexdigits: int = 15) -> np.ndarray:
+    """uint64 value of the first ``hexdigits`` (<= 16) hex chars of
+    ``md5(key + salt)`` for every key — THE content-stable hash law
+    shared by split/sample/shuffle/mixture/HLL (DuckDB twin:
+    ``('0x' || substr(md5(k || salt), 1, N))::UBIGINT``).
+
+    ``keys`` is a list of str OR a pyarrow string array (non-null).
+    Short keys (the id-string case — every hash-law call site) take the
+    vectorized single-block path; any batch containing a key longer than
+    55 bytes after salting falls back to a per-row C md5 loop, same law.
+    """
+    if hexdigits < 1 or hexdigits > 16:
+        raise ValueError("hexdigits must be in [1, 16]")
+    shift = np.uint64((16 - hexdigits) * 4)
+    if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = pa.array(keys, pa.string())
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if keys.null_count:
+        raise ValueError("md5_prefix_int keys must be non-null")
+    if salt:
+        keys = pc.binary_join_element_wise(keys, salt, "")
+    if pa.types.is_large_string(keys.type) or pa.types.is_large_binary(
+        keys.type
+    ):
+        keys = keys.cast(pa.string())
+    n = len(keys)
+    out = np.empty(n, np.uint64)
+    lo = 0
+    while lo < n:
+        sl = keys.slice(lo, _MD5_VEC_CHUNK)
+        m = len(sl)
+        offs = np.frombuffer(
+            sl.buffers()[1], np.int32, m + 1, offset=4 * sl.offset
+        )
+        if m and int(np.diff(offs).max()) > 55:
+            md5 = hashlib.md5
+            out[lo : lo + m] = np.fromiter(
+                (
+                    int.from_bytes(md5(k).digest()[:8], "big")
+                    for k in sl.cast(pa.binary()).to_pylist()
+                ),
+                dtype=np.uint64,
+                count=m,
+            )
+        else:
+            A, B = _md5_rounds(_md5_pad_single_block(sl))
+            out[lo : lo + m] = (
+                A.byteswap().astype(np.uint64) << np.uint64(32)
+            ) | B.byteswap()
+        lo += m
+    return out >> shift
+
+
 def md5_hash64(tokens, hexdigits: int = 16) -> np.ndarray:
     """64-bit-ish token hashes: integer value of the first ``hexdigits``
     hex chars of md5 (DuckDB twin: ``('0x'||substr(md5(t),1,N))::UBIGINT``,
@@ -313,11 +479,7 @@ def md5_hash64(tokens, hexdigits: int = 16) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     # hash-based factorize (no sort) — ~20x faster than np.unique here
     inv, uniq = pd.factorize(toks)
-    uh = np.fromiter(
-        (int(hashlib.md5(t.encode()).hexdigest()[:hexdigits], 16) for t in uniq),
-        dtype=np.uint64,
-        count=len(uniq),
-    )
+    uh = md5_prefix_int(list(uniq), hexdigits=hexdigits)
     return uh[inv]
 
 

@@ -191,6 +191,8 @@ def tfidf_pairs(
     round_to: int = 6,
     num_partitions: int | None = None,
     broadcast_norms_limit: int = 2_000_000,
+    persist: str = "memory",
+    persist_path: str | None = None,
 ):
     """All document pairs with TF-IDF cosine similarity >= ``threshold``
     (columns ``id_a < id_b``, ``cosine`` rounded half-away).
@@ -199,6 +201,17 @@ def tfidf_pairs(
     corpus are stop-terms — pruned from weights AND pairs on both this
     and the SQL side (:func:`sql_tfidf_pairs`).  Doc ids must fit
     [0, 2^31) (packed pair keys).
+
+    ``persist`` controls how the corpus-scale (doc, term, tf) postings
+    stream — consumed twice (norm pass + pair pass) — is reused:
+
+    - ``"memory"`` (default): pin in the object store (spillable).  The
+      right call up to object-store scale.
+    - ``"parquet"``: checkpoint the postings to ``persist_path`` (a tmp
+      dir if unset) and re-read per consumer — the 100 TB mode: the tile
+      store holds the postings, the object store never does.
+    - ``"recompute"``: no pin at all; lineage re-runs tokenize+hash per
+      consumer (pay 2x compute, hold nothing).
     """
     import ray
 
@@ -216,7 +229,21 @@ def tfidf_pairs(
         cg = (h % np.uint64(num_buckets)).astype(np.int64)
         return t.append_column("__cg", pa.array(cg))
 
-    tfd = docs.map_batches(tf_stage, batch_format="pyarrow").materialize()
+    tfd = docs.map_batches(tf_stage, batch_format="pyarrow")
+    if persist == "memory":
+        tfd = tfd.materialize()
+    elif persist == "parquet":
+        import tempfile
+
+        import ray.data as rd
+
+        path = persist_path or tempfile.mkdtemp(prefix="tfidf_postings_")
+        tfd.write_parquet(path)
+        tfd = rd.read_parquet(path)
+    elif persist != "recompute":
+        raise ValueError(
+            f"persist must be memory|parquet|recompute, got {persist!r}"
+        )
 
     def norm_kernel(g: pd.DataFrame) -> pd.DataFrame:
         dfc = g.groupby("term", sort=False)["doc"].size()
