@@ -296,3 +296,63 @@ def bbox_union(*bboxes) -> tuple[float, float, float, float]:
         max(b[2] for b in bboxes),
         max(b[3] for b in bboxes),
     )
+
+
+def clip_ring_convex(ring: Ring, clip: Ring) -> Ring:
+    """Sutherland-Hodgman clip of one ring against a CONVEX CCW clip
+    polygon — the layer x layer generalization of :func:`clip_ring_rect`
+    (which remains the fast path for axis-aligned windows).  Closes the
+    reference's general ``gpd.overlay`` surface (reference
+    overlay.py:296-297) for convex clip layers; concave x concave
+    overlay decomposes the clip side into convex pieces first.
+
+    The subject may be arbitrary (concave, CW hole rings): SH emits
+    degenerate zero-area bridges for disconnected intersections, so the
+    SIGNED AREA of the output is exact and orientation is preserved
+    (holes stay negative).  Vertex-order output is for area/centroid
+    laws, not for re-clipping."""
+    pts = ring
+    m = len(clip)
+    for e in range(m):
+        n = len(pts)
+        if n == 0:
+            return pts
+        ax, ay = clip[e]
+        bx, by = clip[(e + 1) % m]
+        ex, ey = bx - ax, by - ay
+        # signed cross: >= 0 is inside (left of edge) for a CCW clip
+        d = ex * (pts[:, 1] - ay) - ey * (pts[:, 0] - ax)
+        ins = d >= 0.0
+        if ins.all():
+            continue
+        out_pts = []
+        for i in range(n):
+            j = (i + 1) % n
+            ii, ij = ins[i], ins[j]
+            if ii:
+                out_pts.append(pts[i])
+            if ii != ij:
+                t = d[i] / (d[i] - d[j])
+                out_pts.append(pts[i] + t * (pts[j] - pts[i]))
+        pts = (
+            np.array(out_pts, dtype=np.float64)
+            if out_pts
+            else np.empty((0, 2), dtype=np.float64)
+        )
+    return pts
+
+
+def clip_rings_convex(rings: Rings, clip: Ring) -> Rings:
+    out = []
+    for r in rings:
+        c = clip_ring_convex(r, clip)
+        if len(c) >= 3:
+            out.append(c)
+    return out
+
+
+def clip_area_convex(rings: Rings, clip: Ring) -> float:
+    """Signed-area sum of the convex-clipped rings (holes subtract)."""
+    return float(
+        sum(ring_signed_area(c) for c in clip_rings_convex(rings, clip))
+    )

@@ -669,3 +669,79 @@ SELECT f.cell_id, f.ix, f.iy, {sel}
 FROM frag f JOIN parea pa USING (poly_id)
 GROUP BY f.cell_id, f.ix, f.iy
 """
+
+
+def poly_overlay(
+    subjects_ds,
+    clips: list[dict],
+    *,
+    id_col: str = "poly_id",
+    rings_col: str = "rings",
+    round_to: int = 6,
+):
+    """Layer x layer overlay: intersection AREA of every (subject
+    polygon, convex clip polygon) pair — the general ``gpd.overlay``
+    surface of the reference (overlay.py:296-297) for convex clip
+    layers (decompose a concave clip into convex pieces first; the
+    reference's exercised unions are convex tile rects).
+
+    Subjects stream as a Dataset whose ``rings_col`` is
+    ``list<list<list<double>>>`` (outer rings CCW, holes CW — signed
+    areas subtract, so holes are exact); the small clip layer ships via
+    ``ray.put`` once and is bbox-pruned per subject.  Per-batch cost is
+    polygons x surviving clips Sutherland-Hodgman runs
+    (:func:`geom.kernels.clip_ring_convex`) — vertex loops are numpy,
+    the pair loop is polygon-scale, never vertex-scale Python.
+    Emits (id_col, clip_id, area) rows with area > 0, rounded
+    half-away."""
+    import ray
+
+    from .geom.kernels import clip_area_convex, rings_bbox
+    from .spatial import _cached_kernel
+
+    payload = [
+        {
+            "clip_id": int(c["clip_id"]),
+            "ring": np.asarray(c["ring"], dtype=np.float64),
+        }
+        for c in clips
+    ]
+    for c in payload:
+        r = c["ring"]
+        c["bbox"] = (
+            float(r[:, 0].min()),
+            float(r[:, 1].min()),
+            float(r[:, 0].max()),
+            float(r[:, 1].max()),
+        )
+    ref = {"__ref__": ray.put(payload)}
+    ckey = f"polyov:{ref['__ref__'].hex()}"
+    tol = 10.0**round_to
+
+    def kernel(b: pa.Table) -> pa.Table:
+        cl = _cached_kernel(ckey, ref, lambda p: p)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        rings_rows = b[rings_col].to_pylist()
+        out_id, out_cid, out_area = [], [], []
+        for i, raw in enumerate(rings_rows):
+            rings = [np.asarray(r, dtype=np.float64) for r in raw]
+            bb = rings_bbox(rings)
+            for c in cl:
+                cb = c["bbox"]
+                if bb[0] >= cb[2] or bb[2] <= cb[0] \
+                        or bb[1] >= cb[3] or bb[3] <= cb[1]:
+                    continue
+                a = clip_area_convex(rings, c["ring"])
+                if a > 0.0:
+                    out_id.append(ids[i])
+                    out_cid.append(c["clip_id"])
+                    out_area.append(np.floor(abs(a) * tol + 0.5) / tol)
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(out_id, dtype=np.int64)),
+                "clip_id": pa.array(np.asarray(out_cid, dtype=np.int64)),
+                "area": pa.array(np.asarray(out_area, dtype=np.float64)),
+            }
+        )
+
+    return subjects_ds.map_batches(kernel, batch_format="pyarrow")

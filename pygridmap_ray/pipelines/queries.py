@@ -638,6 +638,48 @@ def q_area_interpolate(sf_dir: str):
     return out.map_batches(lambda b: round6(b, ["pop"]), batch_format="pyarrow")
 
 
+def q_poly_overlay(sf_dir: str):
+    """Layer x layer overlay (general convex-clip Sutherland-Hodgman):
+    the 8-polygon fixture layer (km-scaled; holes included) against the
+    3-clip convex layer — rect, sloped-top and sloped-bottom trapezoids.
+    The oracle integrates rect ∩ clip strips in closed form over the
+    fixture's rect decomposition, so the general ring∩ring kernel is
+    checked against the independently-verified rect law."""
+    import ray.data as rd
+
+    from ..overlay import poly_overlay
+    from ..synth import clip_layer
+
+    subs = [
+        {
+            "poly_id": p["poly_id"],
+            "rings": [(r / 1000.0).tolist() for r in p["rings"]],
+        }
+        for p in polygon_layer()
+    ]
+    return poly_overlay(rd.from_items(subs).repartition(4), clip_layer())
+
+
+def _sql_poly_overlay() -> str:
+    from ..synth import (
+        _CLIP_POLYS,
+        sql_clip_area_expr,
+        sql_polygon_rects_km_cte,
+    )
+
+    parts = [
+        f"SELECT poly_id, {spec[0]} AS clip_id,"
+        f" SUM({sql_clip_area_expr(spec)}) AS a"
+        f" FROM pr GROUP BY poly_id HAVING a > 0"
+        for spec in _CLIP_POLYS
+    ]
+    return (
+        f"WITH pr AS ({sql_polygon_rects_km_cte()}),"
+        f" u AS ({' UNION ALL '.join(parts)})"
+        f" SELECT poly_id, clip_id, ROUND(a * 1e6) / 1e6 AS area FROM u"
+    )
+
+
 def q_grid_aggregation(sf_dir: str):
     ds = docs_points(sf_dir, ("n_chars",))
 
@@ -2322,6 +2364,7 @@ def queries():
         "overlay_intersection": q_overlay_intersection,
         "overlay_union": q_overlay_union,
         "area_interpolate": q_area_interpolate,
+        "poly_overlay": q_poly_overlay,
         "disaggregate": q_disaggregate,
         "grid_aggregation": q_grid_aggregation,
         "knn": q_knn,
@@ -2652,6 +2695,7 @@ def oracle_sql():
         ),
         "overlay_intersection": sql_overlay_fragments(spec50, how="intersection"),
         "overlay_union": sql_overlay_fragments(spec50, how="union"),
+        "poly_overlay": _sql_poly_overlay(),
         "area_interpolate": sql_grid_overlay_sum(spec50, ["pop"]),
         "disaggregate": _sql_disaggregate(),
         "grid_aggregation": (

@@ -362,3 +362,100 @@ def sql_polygon_area_cte() -> str:
         "SUM((rxmax - rxmin) * (rymax - rymin)) AS poly_area "
         "FROM poly_rects GROUP BY poly_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Convex clip layer — layer x layer overlay fixture (poly_overlay oracle)
+# ---------------------------------------------------------------------------
+# km units: the engine scales the metre-unit fixture rings by /1000.0
+# (every fixture coordinate is a multiple of 1000 m, so the division is
+# EXACT in float64 and both sides start from identical values; km-scale
+# coordinates also keep shoelace cross-terms O(1e5), so fp noise sits
+# ~1e-10 under the 1e-6 rounding step).  Each clip is the convex region
+# {xl <= x <= xr, mb*x + cb <= y <= mt*x + ct} with slopes >= 0: a plain
+# rect, a sloped-TOP trapezoid and a sloped-BOTTOM trapezoid — the
+# non-axis-aligned edges exercise the general Sutherland-Hodgman kernel
+# in both orientations while the DuckDB twin stays a closed-form
+# rect-strip integral over the subject's rect decomposition.
+_CLIP_POLYS = (
+    # (clip_id, xl, xr, mb, cb, mt, ct)
+    (0, 120.0, 380.0, 0.0, 80.0, 0.0, 260.0),  # axis-aligned rect
+    (1, 50.0, 350.0, 0.0, 50.0, 0.4, 160.0),   # sloped top edge
+    (2, 100.0, 450.0, 0.3, 20.0, 0.0, 430.0),  # sloped bottom edge
+)
+
+
+def clip_layer() -> list[dict]:
+    """[{clip_id, ring (CCW, km)}, ...] — broadcast side of poly_overlay."""
+    out = []
+    for cid, xl, xr, mb, cb, mt, ct in _CLIP_POLYS:
+        ring = as_ring(
+            [
+                [xl, mb * xl + cb],
+                [xr, mb * xr + cb],
+                [xr, mt * xr + ct],
+                [xl, mt * xl + ct],
+            ]
+        )
+        out.append({"clip_id": cid, "ring": ring})
+    return out
+
+
+def sql_polygon_rects_km_cte() -> str:
+    """The rect decomposition scaled to km (literals divided by 1000 in
+    Python — the same exact floats the engine's /1000.0 ring scale
+    produces)."""
+    rows = []
+    for pid in sorted(_POLY_RECTS):
+        for xmin, ymin, xmax, ymax in _POLY_RECTS[pid]:
+            rows.append(
+                f"({pid}, {float(xmin) / 1000.0}, {float(ymin) / 1000.0}, "
+                f"{float(xmax) / 1000.0}, {float(ymax) / 1000.0})"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(poly_id, rxmin, rymin, rxmax, rymax)"
+    )
+
+
+def sql_clip_area_expr(clip: tuple) -> str:
+    """Closed-form ``area(rect ∩ clip)`` SQL over columns rxmin/rymin/
+    rxmax/rymax, for one ``_CLIP_POLYS`` row.  Piecewise-linear strip
+    integral: the clamp breakpoints of the sloped edge split [X0, X1]
+    into a zero piece, a linear piece and a saturated piece."""
+    _, xl, xr, mb, cb, mt, ct = clip
+    x0 = f"GREATEST(rxmin, {xl!r})"
+    x1 = f"LEAST(rxmax, {xr!r})"
+    if mb == 0.0 and mt == 0.0:
+        return (
+            f"GREATEST(0, {x1} - {x0})"
+            f" * GREATEST(0, LEAST(rymax, {ct!r}) - GREATEST(rymin, {cb!r}))"
+        )
+    if mb == 0.0:  # sloped top: cb <= y <= mt*x + ct
+        ylo = f"GREATEST(rymin, {cb!r})"
+        xa = f"(({ylo}) - {ct!r}) / {mt!r}"
+        xb = f"(rymax - {ct!r}) / {mt!r}"
+        lo = f"GREATEST({x0}, LEAST({x1}, {xa}))"
+        hi = f"GREATEST({x0}, LEAST({x1}, {xb}))"
+        return (
+            f"CASE WHEN {x1} > {x0} AND rymax > {ylo} THEN"
+            f" {mt!r} / 2.0 * (({hi}) * ({hi}) - ({lo}) * ({lo}))"
+            f" + ({ct!r} - ({ylo})) * (({hi}) - ({lo}))"
+            f" + (rymax - ({ylo})) * (({x1}) - ({hi}))"
+            f" ELSE 0.0 END"
+        )
+    if mt == 0.0:  # sloped bottom: mb*x + cb <= y <= ct
+        yhi = f"LEAST(rymax, {ct!r})"
+        xa = f"(rymin - {cb!r}) / {mb!r}"
+        xb = f"(({yhi}) - {cb!r}) / {mb!r}"
+        lo = f"GREATEST({x0}, LEAST({x1}, {xa}))"
+        hi = f"GREATEST({x0}, LEAST({x1}, {xb}))"
+        return (
+            f"CASE WHEN {x1} > {x0} AND {yhi} > rymin THEN"
+            f" (({yhi}) - rymin) * (({lo}) - ({x0}))"
+            f" + (({yhi}) - {cb!r}) * (({hi}) - ({lo}))"
+            f" - {mb!r} / 2.0 * (({hi}) * ({hi}) - ({lo}) * ({lo}))"
+            f" ELSE 0.0 END"
+        )
+    raise ValueError("clips with BOTH edges sloped are not in the fixture")

@@ -85,6 +85,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "overlay_intersection",
         "overlay_union",
         "area_interpolate",
+        "poly_overlay",
         "grid_aggregation",
         "knn",
         "spans_roundtrip",

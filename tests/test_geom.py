@@ -168,3 +168,63 @@ def test_cells_coverage_diagonal_star_polygon():
         cov = cells_coverage(p["rings"], x0, y0, cs, cs, nx, ny)
         assert cov.sum() == pytest.approx(p["area"], rel=1e-9)
         assert cov.max() <= cs * cs * (1 + 1e-9)  # SH float rounding headroom
+
+
+def test_clip_ring_convex_matches_rect_kernel():
+    """The general convex SH kernel agrees with the independently
+    oracle-verified rect SH kernel whenever the window IS a rect."""
+    from pygridmap_ray.geom.kernels import (
+        as_ring, clip_area_convex, clip_ring_rect, ring_signed_area,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(200):
+        ring = as_ring(rng.uniform(0, 100, size=(int(rng.integers(3, 12)), 2)))
+        r = np.sort(rng.uniform(0, 100, 4))
+        xmin, xmax, ymin, ymax = r[0], r[2], r[1], r[3]
+        rc = clip_ring_rect(ring, xmin, ymin, xmax, ymax)
+        a_rect = ring_signed_area(rc) if len(rc) >= 3 else 0.0
+        conv = as_ring(
+            [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]]
+        )
+        a_conv = clip_area_convex([ring], conv)
+        assert abs(a_rect - a_conv) < 1e-9 * max(1, abs(a_rect))
+
+
+def test_clip_ring_convex_halfplane_additivity():
+    """area(S ∩ T) == area(S ∩ T ∩ left-half) + area(S ∩ T ∩ right-half):
+    the slab-decomposition identity the poly_overlay oracle relies on."""
+    from pygridmap_ray.geom.kernels import (
+        as_ring, clip_area_convex, clip_rings_convex,
+    )
+
+    rng = np.random.default_rng(7)
+    tri = as_ring([[10, 10], [90, 30], [40, 95]])
+    big = 1e6
+    lhalf = as_ring([[-big, -big], [45, -big], [45, big], [-big, big]])
+    rhalf = as_ring([[45, -big], [big, -big], [big, big], [45, big]])
+    for _ in range(150):
+        ring = as_ring(rng.uniform(0, 100, size=(int(rng.integers(3, 10)), 2)))
+        a_full = clip_area_convex([ring], tri)
+        parts = clip_rings_convex([ring], tri)
+        a_split = sum(clip_area_convex([p], lhalf) for p in parts) + sum(
+            clip_area_convex([p], rhalf) for p in parts
+        )
+        assert abs(a_full - a_split) < 1e-6 * max(1, abs(a_full))
+
+
+def test_poly_overlay_areas_far_from_rounding_boundary():
+    """The poly_overlay fixture's true areas sit far from the 0.5e-6
+    rounding boundary, so engine-vs-oracle fp noise (~1e-10) can never
+    flip a rounded digit."""
+    from pygridmap_ray.geom.kernels import clip_area_convex
+    from pygridmap_ray.synth import clip_layer, polygon_layer
+
+    for p in polygon_layer():
+        rings = [r / 1000.0 for r in p["rings"]]
+        for c in clip_layer():
+            a = clip_area_convex(rings, c["ring"])
+            if a <= 0:
+                continue
+            frac = abs(a * 1e6 - np.floor(a * 1e6 + 0.5))
+            assert abs(frac - 0.5) > 1e-3, (p["poly_id"], c["clip_id"], a)
