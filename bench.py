@@ -157,6 +157,9 @@ def _secondary() -> dict:
         ("events_asof", q.q_events_asof),
         ("semi_join", q.q_semi_join),
         ("events_rolling", q.q_events_rolling),
+        ("events_sessionize", q.q_events_sessionize),
+        ("events_retention", q.q_events_retention),
+        ("poly_overlay", q.q_poly_overlay),
         ("hll_distinct", q.q_hll_distinct),
         ("tfidf_pairs", q.q_tfidf_pairs),
         ("pagerank", q.q_pagerank),

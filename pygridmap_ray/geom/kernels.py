@@ -356,3 +356,68 @@ def clip_area_convex(rings: Rings, clip: Ring) -> float:
     return float(
         sum(ring_signed_area(c) for c in clip_rings_convex(rings, clip))
     )
+
+
+def _points_in_tri(P: np.ndarray, a, b, c, eps: float) -> np.ndarray:
+    """Strict-interior test of points P against CCW triangle abc."""
+    d0 = (b[0] - a[0]) * (P[:, 1] - a[1]) - (b[1] - a[1]) * (P[:, 0] - a[0])
+    d1 = (c[0] - b[0]) * (P[:, 1] - b[1]) - (c[1] - b[1]) * (P[:, 0] - b[0])
+    d2 = (a[0] - c[0]) * (P[:, 1] - c[1]) - (a[1] - c[1]) * (P[:, 0] - c[0])
+    return (d0 > eps) & (d1 > eps) & (d2 > eps)
+
+
+def triangulate_ring(ring: Ring) -> list[Ring]:
+    """Ear-clipping triangulation of a SIMPLE (non-self-intersecting)
+    ring, any orientation -> CCW triangles that exactly tile it.  O(n^2)
+    — meant for clip-layer polygons that are triangulated ONCE on the
+    driver and broadcast, never for per-row geometry.  Degenerate
+    (collinear) vertices are dropped as zero-area ears."""
+    r = as_ring(np.asarray(ring, dtype=np.float64))
+    if ring_signed_area(r) < 0:
+        r = r[::-1]
+    scale = max(r[:, 0].ptp(), r[:, 1].ptp()) or 1.0
+    eps = 1e-12 * scale * scale
+    idx = list(range(len(r)))
+    tris: list[Ring] = []
+    while len(idx) > 3:
+        n = len(idx)
+        best_flat = None  # smallest-|cross| vertex, the degeneracy escape
+        best_mag = np.inf
+        found = False
+        for k in range(n):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % n]
+            a, b, c = r[i0], r[i1], r[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) \
+                - (b[1] - a[1]) * (c[0] - a[0])
+            if abs(cross) < best_mag:
+                best_mag, best_flat = abs(cross), k
+            if cross <= eps:
+                continue  # reflex or collinear — not an ear
+            others = [j for j in idx if j not in (i0, i1, i2)]
+            if others and _points_in_tri(r[others], a, b, c, -eps).any():
+                continue
+            tris.append(np.array([a, b, c], dtype=np.float64))
+            idx.pop(k)
+            found = True
+            break
+        if not found:
+            if best_mag > eps:  # simple-polygon precondition violated
+                raise ValueError("triangulate_ring: no ear found "
+                                 "(self-intersecting ring?)")
+            idx.pop(best_flat)  # collinear vertex — removable, zero area
+    if len(idx) == 3:
+        t = r[idx]
+        if ring_signed_area(t) > 0:
+            tris.append(t)
+    return tris
+
+
+def clip_area_poly(rings: Rings, clip: Ring) -> float:
+    """Signed intersection area of ``rings`` with an ARBITRARY simple
+    clip polygon: the clip is ear-clipped into CCW triangles (exact
+    tiling, so areas add) and each triangle clips via
+    :func:`clip_area_convex`.  Triangulate once and reuse
+    :func:`clip_area_convex` directly when calling in a loop."""
+    return float(
+        sum(clip_area_convex(rings, t) for t in triangulate_ring(clip))
+    )

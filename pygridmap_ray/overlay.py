@@ -688,31 +688,40 @@ def poly_overlay(
     Subjects stream as a Dataset whose ``rings_col`` is
     ``list<list<list<double>>>`` (outer rings CCW, holes CW — signed
     areas subtract, so holes are exact); the small clip layer ships via
-    ``ray.put`` once and is bbox-pruned per subject.  Per-batch cost is
-    polygons x surviving clips Sutherland-Hodgman runs
-    (:func:`geom.kernels.clip_ring_convex`) — vertex loops are numpy,
-    the pair loop is polygon-scale, never vertex-scale Python.
-    Emits (id_col, clip_id, area) rows with area > 0, rounded
+    ``ray.put`` once and is bbox-pruned per subject.  CONCAVE clip
+    polygons are ear-clipped into convex (triangle) pieces ONCE on the
+    driver (:func:`geom.kernels.triangulate_ring` — areas add exactly
+    over the tiling), so the per-batch kernel only ever runs convex SH.
+    Per-batch cost is polygons x surviving clip pieces — vertex loops
+    are numpy, the pair loop is polygon-scale, never vertex-scale
+    Python.  Emits (id_col, clip_id, area) rows with area > 0, rounded
     half-away."""
     import ray
 
-    from .geom.kernels import clip_area_convex, rings_bbox
+    from .geom.kernels import clip_area_convex, rings_bbox, triangulate_ring
     from .spatial import _cached_kernel
 
-    payload = [
-        {
-            "clip_id": int(c["clip_id"]),
-            "ring": np.asarray(c["ring"], dtype=np.float64),
-        }
-        for c in clips
-    ]
-    for c in payload:
-        r = c["ring"]
-        c["bbox"] = (
-            float(r[:, 0].min()),
-            float(r[:, 1].min()),
-            float(r[:, 0].max()),
-            float(r[:, 1].max()),
+    def _is_convex_ccw(r: np.ndarray) -> bool:
+        nxt = np.roll(r, -1, axis=0)
+        e = nxt - r
+        cross = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] \
+            - e[:, 1] * np.roll(e, -1, axis=0)[:, 0]
+        return bool((cross >= 0).all())
+
+    payload = []
+    for c in clips:
+        r = np.asarray(c["ring"], dtype=np.float64)
+        payload.append(
+            {
+                "clip_id": int(c["clip_id"]),
+                "pieces": [r] if _is_convex_ccw(r) else triangulate_ring(r),
+                "bbox": (
+                    float(r[:, 0].min()),
+                    float(r[:, 1].min()),
+                    float(r[:, 0].max()),
+                    float(r[:, 1].max()),
+                ),
+            }
         )
     ref = {"__ref__": ray.put(payload)}
     ckey = f"polyov:{ref['__ref__'].hex()}"
@@ -731,7 +740,7 @@ def poly_overlay(
                 if bb[0] >= cb[2] or bb[2] <= cb[0] \
                         or bb[1] >= cb[3] or bb[3] <= cb[1]:
                     continue
-                a = clip_area_convex(rings, c["ring"])
+                a = sum(clip_area_convex(rings, p) for p in c["pieces"])
                 if a > 0.0:
                     out_id.append(ids[i])
                     out_cid.append(c["clip_id"])

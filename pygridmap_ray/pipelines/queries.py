@@ -660,6 +660,43 @@ def q_poly_overlay(sf_dir: str):
     return poly_overlay(rd.from_items(subs).repartition(4), clip_layer())
 
 
+def q_poly_overlay_concave(sf_dir: str):
+    """Concave-clip overlay: the L-shaped clip exercises the
+    ear-clipping triangulation path (diagonal-edged triangles through
+    general SH) while the oracle stays a pure rect x rect law over both
+    decompositions."""
+    import ray.data as rd
+
+    from ..overlay import poly_overlay
+    from ..synth import clip_layer_concave
+
+    subs = [
+        {
+            "poly_id": p["poly_id"],
+            "rings": [(r / 1000.0).tolist() for r in p["rings"]],
+        }
+        for p in polygon_layer()
+    ]
+    return poly_overlay(rd.from_items(subs).repartition(4),
+                        clip_layer_concave())
+
+
+def _sql_poly_overlay_concave() -> str:
+    from ..synth import sql_clip_l_rects_cte, sql_polygon_rects_km_cte
+
+    frag = (
+        "GREATEST(0, LEAST(rxmax, cxmax) - GREATEST(rxmin, cxmin))"
+        " * GREATEST(0, LEAST(rymax, cymax) - GREATEST(rymin, cymin))"
+    )
+    return (
+        f"WITH pr AS ({sql_polygon_rects_km_cte()}),"
+        f" cr AS ({sql_clip_l_rects_cte()})"
+        f" SELECT poly_id, 0 AS clip_id,"
+        f" ROUND(SUM({frag}) * 1e6) / 1e6 AS area"
+        f" FROM pr, cr GROUP BY poly_id HAVING SUM({frag}) > 0"
+    )
+
+
 def _sql_poly_overlay() -> str:
     from ..synth import (
         _CLIP_POLYS,
@@ -2365,6 +2402,7 @@ def queries():
         "overlay_union": q_overlay_union,
         "area_interpolate": q_area_interpolate,
         "poly_overlay": q_poly_overlay,
+        "poly_overlay_concave": q_poly_overlay_concave,
         "disaggregate": q_disaggregate,
         "grid_aggregation": q_grid_aggregation,
         "knn": q_knn,
@@ -2696,6 +2734,7 @@ def oracle_sql():
         "overlay_intersection": sql_overlay_fragments(spec50, how="intersection"),
         "overlay_union": sql_overlay_fragments(spec50, how="union"),
         "poly_overlay": _sql_poly_overlay(),
+        "poly_overlay_concave": _sql_poly_overlay_concave(),
         "area_interpolate": sql_grid_overlay_sum(spec50, ["pop"]),
         "disaggregate": _sql_disaggregate(),
         "grid_aggregation": (

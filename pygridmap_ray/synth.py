@@ -459,3 +459,28 @@ def sql_clip_area_expr(clip: tuple) -> str:
             f" ELSE 0.0 END"
         )
     raise ValueError("clips with BOTH edges sloped are not in the fixture")
+
+
+# Concave clip fixture (triangulation path of poly_overlay): an L-shaped
+# ring whose exact rect decomposition gives the oracle a pure
+# rect-x-rect law, while the ENGINE path ear-clips the ring into
+# diagonal-edged triangles and runs general convex SH against each.
+_CLIP_L_RING = (
+    (150.0, 100.0), (400.0, 100.0), (400.0, 220.0),
+    (300.0, 220.0), (300.0, 400.0), (150.0, 400.0),
+)
+_CLIP_L_RECTS = (
+    (150.0, 100.0, 400.0, 220.0),
+    (150.0, 220.0, 300.0, 400.0),
+)
+
+
+def clip_layer_concave() -> list[dict]:
+    return [{"clip_id": 0, "ring": as_ring(list(_CLIP_L_RING))}]
+
+
+def sql_clip_l_rects_cte() -> str:
+    rows = ", ".join(
+        f"({x0}, {y0}, {x1}, {y1})" for x0, y0, x1, y1 in _CLIP_L_RECTS
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS c(cxmin, cymin, cxmax, cymax)"

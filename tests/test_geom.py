@@ -228,3 +228,55 @@ def test_poly_overlay_areas_far_from_rounding_boundary():
                 continue
             frac = abs(a * 1e6 - np.floor(a * 1e6 + 0.5))
             assert abs(frac - 0.5) > 1e-3, (p["poly_id"], c["clip_id"], a)
+
+
+def _star_ring(rng, nv):
+    """Guaranteed-simple concave star: jittered equal angular spacing
+    (every gap < pi) with random radii."""
+    from pygridmap_ray.geom.kernels import as_ring
+
+    th = (np.arange(nv) + 0.8 * rng.uniform(0, 1, nv)) * 2 * np.pi / nv
+    rad = rng.uniform(0.3, 1.0, nv)
+    return as_ring(np.stack([np.cos(th) * rad, np.sin(th) * rad], 1) * 100)
+
+
+def test_triangulate_ring_tiles_exactly():
+    from pygridmap_ray.geom.kernels import ring_signed_area, triangulate_ring
+
+    rng = np.random.default_rng(11)
+    for _ in range(120):
+        ring = _star_ring(rng, int(rng.integers(4, 24)))
+        tris = triangulate_ring(ring)
+        assert all(ring_signed_area(t) > 0 for t in tris)
+        got = sum(ring_signed_area(t) for t in tris)
+        assert abs(got - ring_signed_area(ring)) < 1e-6
+    # CW input + collinear vertex
+    from pygridmap_ray.geom.kernels import as_ring
+
+    sq = as_ring([[0, 0], [50, 0], [100, 0], [100, 100], [0, 100]])[::-1]
+    tris = triangulate_ring(sq)
+    assert abs(sum(ring_signed_area(t) for t in tris) - 10000) < 1e-9
+
+
+def test_clip_area_poly_matches_fan_decomposition():
+    """Triangulation-based concave clip == independent centroid-fan
+    decomposition on star-shaped clip polygons."""
+    from pygridmap_ray.geom.kernels import (
+        as_ring, clip_area_convex, clip_area_poly,
+    )
+
+    rng = np.random.default_rng(12)
+    for _ in range(80):
+        s = _star_ring(rng, int(rng.integers(4, 16)))
+        nv = len(s)
+        subj = as_ring(
+            rng.uniform(-120, 120, size=(int(rng.integers(3, 9)), 2))
+        )
+        a_tri = clip_area_poly([subj], s)
+        a_fan = sum(
+            clip_area_convex(
+                [subj], as_ring([[0.0, 0.0], s[i], s[(i + 1) % nv]])
+            )
+            for i in range(nv)
+        )
+        assert abs(a_tri - a_fan) < 1e-7 * max(1, abs(a_tri))
