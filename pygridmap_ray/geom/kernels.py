@@ -421,3 +421,57 @@ def clip_area_poly(rings: Rings, clip: Ring) -> float:
     return float(
         sum(clip_area_convex(rings, t) for t in triangulate_ring(clip))
     )
+
+
+def heal_ring(ring: Ring, tol: float = 0.0) -> Ring:
+    """Degeneracy healing for one ring — the engine's analog of the
+    reference's TopologyException retry (``unary_union`` +
+    ``buffer(buff_geom_prec)``, reference overlay.py:299-309), for the
+    degeneracies that retry actually repairs in its exercised paths:
+
+    - consecutive (near-)duplicate vertices collapse (within ``tol``);
+    - zero-area spikes (A-B-A reversals) and exactly-collinear interior
+      vertices drop, iterated to a fixed point;
+    - rings reduced below 3 vertices or below ``tol^2`` absolute area
+      return empty.
+
+    True self-intersection repair (the ``buffer(0)`` node-and-rebuild)
+    is intentionally NOT attempted: a bowtie's intended interior is
+    ambiguous, and the signed-area laws downstream already treat
+    crossing lobes consistently (opposite lobes cancel).  Documented
+    behavior, matching SURVEY §7.5 scope."""
+    r = as_ring(np.asarray(ring, dtype=np.float64))
+    t2 = tol * tol
+    for _ in range(len(r) + 1):  # each pass removes >= 1 vertex or stops
+        n = len(r)
+        if n < 3:
+            return np.empty((0, 2), dtype=np.float64)
+        prv = np.roll(r, 1, axis=0)
+        nxt = np.roll(r, -1, axis=0)
+        dup = ((r - prv) ** 2).sum(axis=1) <= t2
+        e1 = r - prv
+        e2 = nxt - r
+        cross = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        dot = (e1 * e2).sum(axis=1)
+        spike = (np.abs(cross) <= t2) & (dot < 0.0)  # reversal
+        flat = (cross == 0.0) & (dot >= 0.0)  # exactly collinear
+        drop = dup | spike | flat
+        if not drop.any():
+            break
+        # drop one vertex per pass (the first flagged) — neighbor masks
+        # computed on the stale ring would over-delete
+        r = np.delete(r, int(np.flatnonzero(drop)[0]), axis=0)
+    if len(r) < 3 or abs(ring_signed_area(r)) <= max(t2, 0.0):
+        return np.empty((0, 2), dtype=np.float64)
+    return r
+
+
+def heal_rings(rings: Rings, tol: float = 0.0) -> Rings:
+    """Heal every ring, dropping the ones that collapse; ring ORDER and
+    ORIENTATION are preserved (holes stay CW)."""
+    out = []
+    for r in rings:
+        h = heal_ring(r, tol)
+        if len(h) >= 3:
+            out.append(h)
+    return out

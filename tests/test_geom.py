@@ -280,3 +280,41 @@ def test_clip_area_poly_matches_fan_decomposition():
             for i in range(nv)
         )
         assert abs(a_tri - a_fan) < 1e-7 * max(1, abs(a_tri))
+
+
+def test_heal_ring_degeneracies():
+    """Dup vertices, A-B-A spikes and collinear interiors heal away
+    without area change; slivers under tol^2 collapse; healthy rings
+    (any orientation) pass through untouched."""
+    from pygridmap_ray.geom.kernels import (
+        as_ring, heal_ring, ring_signed_area,
+    )
+
+    r = as_ring(
+        [[0, 0], [0, 0], [50, 0], [100, 0], [100, 50], [150, 90],
+         [100, 50], [100, 100], [0, 100]]
+    )
+    h = heal_ring(r, tol=1e-9)
+    assert len(h) == 4 and abs(ring_signed_area(h) - 10000) < 1e-9
+    assert len(heal_ring(as_ring([[0, 0], [100, 0], [50, 1e-9]]),
+                         tol=1e-3)) == 0
+    g = as_ring([[0, 0], [100, 0], [100, 100], [0, 100]])[::-1]
+    assert np.array_equal(heal_ring(g), g)
+    rng = np.random.default_rng(5)
+    for trial in range(60):
+        nv = int(rng.integers(4, 10))
+        th = (np.arange(nv) + 0.8 * rng.uniform(0, 1, nv)) * 2 * np.pi / nv
+        clean = as_ring(
+            np.stack([np.cos(th), np.sin(th)], 1)
+            * 100 * rng.uniform(0.5, 1, nv)[:, None]
+        )
+        noisy = []
+        for p in clean:
+            noisy.append(p)
+            if rng.random() < 0.4:
+                noisy.append(p)  # duplicate
+            if rng.random() < 0.3:  # out-and-back spike
+                q = p + rng.uniform(1, 5, 2)
+                noisy += [q.tolist(), p.tolist()]
+        h = heal_ring(np.asarray(noisy, dtype=float), tol=1e-9)
+        assert abs(ring_signed_area(h) - ring_signed_area(clean)) < 1e-6
