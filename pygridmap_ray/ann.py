@@ -356,3 +356,224 @@ def ivf_topk(
     return partials.groupby("query_id").map_groups(
         _topk_final(k), batch_format="pandas"
     )
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd k-means over the embedding column
+# ---------------------------------------------------------------------------
+
+def kmeans_embeddings(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_to: int = 6,
+):
+    """Deterministic Lloyd k-means — the semantic-clustering building
+    block (cluster-then-dedup / cluster-balanced sampling).  Returns
+    (id_col, cluster) for every vector.
+
+    Fully distributed at the right granularity: centroids broadcast via
+    ``ray.put`` each sweep; ``map_batches`` computes per-batch PARTIAL
+    (count, sum-vector) rows per centroid, so one sweep moves
+    ``k x (d+1)`` floats per batch — never an assignment shuffle, never
+    raw vectors.  The driver folds k x d floats and updates centroids
+    (empty clusters keep their previous centroid).
+
+    The oracle law (:func:`sql_kmeans` — DuckDB iterated CTEs):
+    init = embeddings of the ``k`` lowest ids (the IVF data-sampled
+    quantizer convention); assignment = arg-min euclidean distance with
+    ties to the LOWER centroid id; updated centroids rounded half-away
+    at ``round_to`` decimals on BOTH sides, which absorbs
+    summation-order ulp drift before it can flip a later assignment."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .spatial import _cached_kernel
+
+    tol = 10.0**round_to
+
+    init = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b[id_col], pa.scalar(k))),
+            batch_format="pyarrow",
+        )
+        .select_columns([id_col, emb_col])
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    if len(init) != k:
+        raise ValueError(f"init expects ids 0..{k - 1} present, got {len(init)}")
+    cents = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in init[emb_col]]
+    )
+
+    def partials(b: pa.Table, *, ref, ckey) -> pa.Table:
+        C = _cached_kernel(ckey, ref, lambda c: c)
+        X = _emb_matrix(b, emb_col)
+        # explicit (x - c)^2 — the same arithmetic shape as the SQL
+        # list_distance law (sqrt is monotone, argmin unaffected)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)  # first minimum == lowest cid on ties
+        n = np.bincount(a, minlength=len(C)).astype(np.float64)
+        onehot = np.zeros((len(X), len(C)))
+        onehot[np.arange(len(X)), a] = 1.0
+        s = onehot.T @ X  # (k, d) per-batch sums
+        return pa.table(
+            {
+                "cid": pa.array(np.arange(len(C), dtype=np.int64)),
+                "n": pa.array(n),
+                "s": pa.array(list(s), pa.list_(pa.float64())),
+            }
+        )
+
+    for _ in range(iters):
+        ref = {"__ref__": ray.put(cents)}
+        ckey = f"kmeans:{ref['__ref__'].hex()}"
+        p = ds.map_batches(
+            lambda b, ref=ref, ckey=ckey: partials(b, ref=ref, ckey=ckey),
+            batch_format="pyarrow",
+        ).to_pandas()
+        n_tot = p.groupby("cid")["n"].sum()
+        new = cents.copy()
+        for cid in range(k):
+            nc = float(n_tot.get(cid, 0.0))
+            if nc > 0:
+                s = np.sum(
+                    np.stack(p.loc[p["cid"] == cid, "s"].to_numpy()), axis=0
+                )
+                m = s / nc
+                new[cid] = np.sign(m) * np.floor(np.abs(m) * tol + 0.5) / tol
+        cents = new
+
+    ref = {"__ref__": ray.put(cents)}
+    ckey = f"kmeans:{ref['__ref__'].hex()}"
+
+    def assign(b: pa.Table) -> pa.Table:
+        C = _cached_kernel(ckey, ref, lambda c: c)
+        X = _emb_matrix(b, emb_col)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_kmeans(
+    k: int = 8, iters: int = 2, dim: int = 64, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`kmeans_embeddings`: iterated CTE sweeps,
+    per-dim centroid means generated as ``dim`` explicit expressions
+    (same rounding, same ties-to-lower-cid argmin via ORDER BY
+    list_distance, cid LIMIT 1)."""
+    r = 10.0**round_to
+    ctes = [
+        f"c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS embedding"
+        f" FROM embeddings WHERE vec_id < {k})"
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"a{it} AS (SELECT d.vec_id, d.embedding,"
+            f" (SELECT c.cid FROM c{it} c"
+            f" ORDER BY list_distance(d.embedding::DOUBLE[], c.embedding)"
+            f" ASC, c.cid LIMIT 1) AS cluster FROM embeddings d)"
+        )
+        dims = ", ".join(
+            f"ROUND(SUM((embedding::DOUBLE[])[{i + 1}]) / COUNT(*)"
+            f" * {r!r}) / {r!r}"
+            for i in range(dim)
+        )
+        ctes.append(
+            f"u{it} AS (SELECT cluster AS cid, [{dims}] AS embedding"
+            f" FROM a{it} GROUP BY cluster)"
+        )
+        ctes.append(
+            f"c{it + 1} AS (SELECT p.cid,"
+            f" COALESCE(u.embedding, p.embedding) AS embedding"
+            f" FROM c{it} p LEFT JOIN u{it} u USING (cid))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT d.vec_id, (SELECT c.cid FROM c{iters} c"
+        f" ORDER BY list_distance(d.embedding::DOUBLE[], c.embedding)"
+        f" ASC, c.cid LIMIT 1)::BIGINT AS cluster FROM embeddings d"
+    )
+
+
+def quantize_embeddings(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    levels: int = 255,
+):
+    """Global-scalar int8-style quantization of an embedding column:
+    per-dimension corpus [min, max] (ONE combiner-style reduce — a 2 x d
+    partial row per batch, folded on the driver and broadcast back), then
+    ``round((x - mn) / (mx - mn) * levels)`` per value — the standard
+    storage/bandwidth trick before ANN at 100 TB (4 bytes -> 1 byte per
+    dim).  Constant dimensions quantize to 0.  Emits (id, qvec)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .spatial import _cached_kernel
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        X = _emb_matrix(b, emb_col)
+        return pa.table(
+            {
+                "mn": pa.array([X.min(axis=0)], pa.list_(pa.float64())),
+                "mx": pa.array([X.max(axis=0)], pa.list_(pa.float64())),
+            }
+        )
+
+    p = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    mn = np.min(np.stack(p["mn"].to_numpy()), axis=0)
+    mx = np.max(np.stack(p["mx"].to_numpy()), axis=0)
+    scale = mx - mn
+    scale[scale == 0] = 1.0  # constant dim -> q = 0
+    ref = {"__ref__": ray.put({"mn": mn, "scale": scale})}
+    ckey = f"quant:{ref['__ref__'].hex()}"
+
+    def quant(b: pa.Table) -> pa.Table:
+        s = _cached_kernel(ckey, ref, lambda x: x)
+        X = _emb_matrix(b, emb_col)
+        q = np.floor((X - s["mn"]) / s["scale"] * float(levels) + 0.5)
+        q = q.astype(np.int64)
+        off = np.arange(0, (len(X) + 1) * X.shape[1], X.shape[1])
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "qvec": pa.LargeListArray.from_arrays(
+                    pa.array(off), pa.array(q.ravel())
+                ).cast(pa.list_(pa.int64())),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def sql_quantize(dim: int = 64, levels: int = 255) -> str:
+    """DuckDB twin of :func:`quantize_embeddings` — same op order
+    ``(x - mn) / (mx - mn) * levels`` per dimension, ROUND half-away."""
+    mins = ", ".join(
+        f"MIN((embedding::DOUBLE[])[{i + 1}]) AS mn{i}" for i in range(dim)
+    )
+    maxs = ", ".join(
+        f"MAX((embedding::DOUBLE[])[{i + 1}]) AS mx{i}" for i in range(dim)
+    )
+    dims = ", ".join(
+        f"CAST(ROUND(((embedding::DOUBLE[])[{i + 1}] - s.mn{i})"
+        f" / (CASE WHEN s.mx{i} = s.mn{i} THEN 1.0"
+        f" ELSE s.mx{i} - s.mn{i} END) * {float(levels)!r}) AS BIGINT)"
+        for i in range(dim)
+    )
+    return (
+        f"WITH s AS (SELECT {mins}, {maxs} FROM embeddings)"
+        f" SELECT vec_id, [{dims}] AS qvec FROM embeddings, s"
+    )

@@ -2001,6 +2001,45 @@ def q_embedding_lsh(sf_dir: str):
     return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
 
 
+def q_kmeans(sf_dir: str):
+    """Deterministic Lloyd k-means over the embedding column — the
+    semantic-clustering building block (broadcast centroids, per-batch
+    partial sums, zero assignment shuffle)."""
+    import ray.data as rd
+
+    from ..ann import kmeans_embeddings
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_embeddings(ds, k=8, iters=2)
+
+
+def _sql_kmeans() -> str:
+    from ..ann import sql_kmeans
+
+    return sql_kmeans(k=8, iters=2, dim=64)
+
+
+def q_quantize(sf_dir: str):
+    """Global-scalar int8 quantization of the embedding column (one
+    per-dim min/max reduce -> broadcast -> vectorized map)."""
+    import ray.data as rd
+
+    from ..ann import quantize_embeddings
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return quantize_embeddings(ds)
+
+
+def _sql_quantize() -> str:
+    from ..ann import sql_quantize
+
+    return sql_quantize(dim=64)
+
+
 def q_ann_topk(sf_dir: str):
     import ray.data as rd
 
@@ -2458,6 +2497,8 @@ def queries():
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh": q_embedding_lsh,
         "ann_topk": q_ann_topk,
+        "kmeans": q_kmeans,
+        "quantize_emb": q_quantize,
         "ivf_topk": q_ivf_topk,
         "ivf_pruned": q_ivf_pruned,
         "raster_cells": q_raster_cells,
@@ -2829,6 +2870,8 @@ def oracle_sql():
         "embedding_neardup": _sql_neardup(),
         "embedding_lsh": _sql_emb_lsh(),
         "ann_topk": _sql_ann(),
+        "kmeans": _sql_kmeans(),
+        "quantize_emb": _sql_quantize(),
         "ivf_topk": _sql_ivf(),
         "ivf_pruned": _sql_ivf(),
         "raster_cells": _sql_raster_cells(),

@@ -163,3 +163,76 @@ def test_ivf_pruned_read(ray_session, tmp_path):
         ]
     )
     assert rec >= 0.5, rec
+
+
+def test_kmeans_partition_invariance_and_laws(ray_session):
+    """kmeans_embeddings is content-stable: identical clusters under any
+    input partitioning; every planted tight blob lands in one cluster."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygridmap_ray.ann import kmeans_embeddings
+
+    rng = np.random.default_rng(0)
+    k, d, per = 4, 8, 30
+    centers = rng.normal(0, 10, (k, d))
+    blobs = np.concatenate(
+        [c + rng.normal(0, 0.05, (per, d)) for c in centers]
+    )
+    # interleave blobs so the deterministic init (lowest k ids) seeds one
+    # centroid per blob — ids i belong to blob i % k
+    order = np.arange(len(blobs)).reshape(k, per).T.ravel()
+    X = blobs[order]
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.array(list(X), pa.list_(pa.float64())),
+        }
+    )
+
+    def run(nparts):
+        out = (
+            kmeans_embeddings(
+                rd.from_arrow(t).repartition(nparts),
+                k=k, iters=3,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        return out
+
+    a, b = run(2), run(7)
+    assert a.equals(b)
+    lab = a["cluster"].to_numpy()
+    for blob in range(k):
+        assert len(set(lab[blob::k])) == 1  # row i is in blob i % k
+
+
+def test_quantize_embeddings_bounds_and_reconstruction(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygridmap_ray.ann import quantize_embeddings
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(0, 3, (200, 6))
+    X[:, 5] = 7.25  # constant dim -> quantizes to 0
+    t = pa.table(
+        {
+            "vec_id": np.arange(200, dtype=np.int64),
+            "embedding": pa.array(list(X), pa.list_(pa.float64())),
+        }
+    )
+    out = (
+        quantize_embeddings(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    Q = np.stack(out["qvec"].to_numpy())
+    assert Q.min() >= 0 and Q.max() <= 255
+    assert (Q[:, 5] == 0).all()
+    mn, mx = X[:, :5].min(axis=0), X[:, :5].max(axis=0)
+    rec = Q[:, :5] / 255.0 * (mx - mn) + mn
+    assert np.abs(rec - X[:, :5]).max() <= (mx - mn).max() / 255.0
