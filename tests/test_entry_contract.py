@@ -49,7 +49,16 @@ def _to_pandas(res):
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # list-valued cells (qvec, spans) are unsortable/unhashable in
+            # pandas — canonicalize to their string form before sorting
+            df[c] = df[c].map(
+                lambda v: str(np.asarray(v).tolist())
+                if isinstance(v, (list, np.ndarray))
+                else v
+            )
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
 
@@ -86,6 +95,9 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "overlay_union",
         "area_interpolate",
         "poly_overlay",
+        "poly_overlay_concave",
+        "kmeans",
+        "quantize_emb",
         "grid_aggregation",
         "knn",
         "spans_roundtrip",
