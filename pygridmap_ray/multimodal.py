@@ -255,9 +255,11 @@ def frame_sample(
                 "frame_ref": pa.array([], pa.string()),
             }
         )
-    n_bytes = np.array(
-        [len(p) for p in batch["payload"].to_pylist()], dtype=np.int64
-    )
+    # length from Arrow offsets only — never materialize the binary
+    # payloads into Python (they are the heavy column)
+    n_bytes = np.asarray(
+        pc.binary_length(batch["payload"]).combine_chunks()
+    ).astype(np.int64)
     n_frames = 1 + n_bytes % 24
     k = np.minimum((n_frames + stride - 1) // stride, max_frames)
     parent = np.repeat(np.arange(n), k)
