@@ -431,3 +431,33 @@ def test_grouped_topk_law_vs_duckdb(ray_session):
         )
         assert got.columns.tolist() == exp.columns.tolist()
         assert got.astype("float64").equals(exp.astype("float64")), desc
+
+
+def test_md5_prefix_int_law_and_edges():
+    """Vectorized single-block MD5 is bit-identical to the per-row
+    hashlib law across lengths 0..70 (covering the 55-byte single-block
+    boundary and the C fallback), salts, hexdigit widths, and sliced /
+    chunked Arrow inputs."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from pygridmap_ray.text import md5_prefix_int
+
+    keys = [""] + ["x" * n for n in range(1, 71)] + [str(i * 37) for i in range(500)]
+    for salt in ("", "s", "longer-salt"):
+        for hd in (8, 15, 16):
+            exp = [
+                int(hashlib.md5((k + salt).encode()).hexdigest()[:hd], 16)
+                for k in keys
+            ]
+            got = md5_prefix_int(keys, salt=salt, hexdigits=hd)
+            assert [int(x) for x in got] == exp, (salt, hd)
+    arr = pa.chunked_array([keys[:100], keys[100:]])
+    got = md5_prefix_int(arr, hexdigits=15)
+    exp = [int(hashlib.md5(k.encode()).hexdigest()[:15], 16) for k in keys]
+    assert [int(x) for x in got] == exp
+    sliced = pa.array(keys).slice(3, 50)
+    got = md5_prefix_int(sliced, hexdigits=15)
+    assert [int(x) for x in got] == exp[3:53]
+    assert len(md5_prefix_int([], hexdigits=15)) == 0
