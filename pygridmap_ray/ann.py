@@ -411,9 +411,21 @@ def kmeans_embeddings(
 
     def partials(b: pa.Table, *, ref, ckey) -> pa.Table:
         C = _cached_kernel(ckey, ref, lambda c: c)
+        if b.num_rows == 0:  # empty blocks (filters/repartition) are real
+            return pa.table(
+                {
+                    "cid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.float64()),
+                    "s": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         X = _emb_matrix(b, emb_col)
         # explicit (x - c)^2 — the same arithmetic shape as the SQL
-        # list_distance law (sqrt is monotone, argmin unaffected)
+        # list_distance law (sqrt is monotone, argmin unaffected).
+        # Near-tie caveat: numpy's pairwise .sum vs DuckDB's sequential
+        # accumulation can disagree within ~1 ulp; exact duplicates
+        # tie-break identically on both sides, continuous embeddings make
+        # sub-ulp near-ties measure-zero (oracle verified at 3 scales).
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         a = d2.argmin(axis=1)  # first minimum == lowest cid on ties
         n = np.bincount(a, minlength=len(C)).astype(np.float64)
@@ -451,6 +463,13 @@ def kmeans_embeddings(
     ckey = f"kmeans:{ref['__ref__'].hex()}"
 
     def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
         C = _cached_kernel(ckey, ref, lambda c: c)
         X = _emb_matrix(b, emb_col)
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -524,6 +543,13 @@ def quantize_embeddings(
     from .spatial import _cached_kernel
 
     def mm_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # empty blocks contribute no partial row
+            return pa.table(
+                {
+                    "mn": pa.array([], pa.list_(pa.float64())),
+                    "mx": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         X = _emb_matrix(b, emb_col)
         return pa.table(
             {

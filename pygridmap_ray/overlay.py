@@ -741,10 +741,17 @@ def poly_overlay(
                         or bb[1] >= cb[3] or bb[3] <= cb[1]:
                     continue
                 a = sum(clip_area_convex(rings, p) for p in c["pieces"])
-                if a > 0.0:
+                # round BEFORE the emission test: SH bridge geometry on a
+                # disjoint-but-bbox-overlapping pair is exactly 0 in exact
+                # arithmetic but +-1e-16 in float — testing the raw sum
+                # could emit a spurious 0.0 row the exact-arithmetic SQL
+                # twin never produces (both sides gate on the ROUNDED
+                # area)
+                ar = np.floor(abs(a) * tol + 0.5) / tol
+                if a > 0.0 and ar > 0.0:
                     out_id.append(ids[i])
                     out_cid.append(c["clip_id"])
-                    out_area.append(np.floor(abs(a) * tol + 0.5) / tol)
+                    out_area.append(ar)
         return pa.table(
             {
                 id_col: pa.array(np.asarray(out_id, dtype=np.int64)),

@@ -693,7 +693,8 @@ def _sql_poly_overlay_concave() -> str:
         f" cr AS ({sql_clip_l_rects_cte()})"
         f" SELECT poly_id, 0 AS clip_id,"
         f" ROUND(SUM({frag}) * 1e6) / 1e6 AS area"
-        f" FROM pr, cr GROUP BY poly_id HAVING SUM({frag}) > 0"
+        f" FROM pr, cr GROUP BY poly_id"
+        f" HAVING ROUND(SUM({frag}) * 1e6) / 1e6 > 0"
     )
 
 
@@ -707,7 +708,7 @@ def _sql_poly_overlay() -> str:
     parts = [
         f"SELECT poly_id, {spec[0]} AS clip_id,"
         f" SUM({sql_clip_area_expr(spec)}) AS a"
-        f" FROM pr GROUP BY poly_id HAVING a > 0"
+        f" FROM pr GROUP BY poly_id HAVING ROUND(a * 1e6) / 1e6 > 0"
         for spec in _CLIP_POLYS
     ]
     return (

@@ -455,7 +455,8 @@ def sql_events_funnel(stages: tuple[str, ...] = FUNNEL_STAGES,
 WEEK_US = 7 * 86_400 * 1_000_000
 
 
-_WEEK_BITS = 16  # weeks-since-epoch < 2^16 until year ~3225
+_WEEK_BITS = 16  # biased weeks fit 16 bits for years ~1656..2911
+_WEEK_BIAS = 1 << 14  # pre-1970 timestamps give negative week ids
 
 
 def events_retention(sf_dir: str, *, num_buckets: int = 64):
@@ -485,7 +486,11 @@ def events_retention(sf_dir: str, *, num_buckets: int = 64):
 
     def pack(b: pa.Table) -> pa.Table:
         ts = np.asarray(b["ts"]).astype("datetime64[us]").view(np.int64)
-        week = ts // WEEK_US
+        # DuckDB's integer // TRUNCATES toward zero (verified: (-5)//7=0),
+        # numpy's floors — match the SQL law explicitly for pre-1970 ts,
+        # then bias so negative weeks pack cleanly (unpacked at emit)
+        week = np.where(ts >= 0, ts // WEEK_US, -((-ts) // WEEK_US))
+        week = week + _WEEK_BIAS
         uid = np.asarray(b["user_id"], dtype=np.int64)
         if len(week) and (
             week.min() < 0
@@ -515,8 +520,8 @@ def events_retention(sf_dir: str, *, num_buckets: int = 64):
         pairs, n = np.unique(cw, return_counts=True)
         return pd.DataFrame(
             {
-                "cohort_week": pairs >> _WEEK_BITS,
-                "week": pairs & ((1 << _WEEK_BITS) - 1),
+                "cohort_week": (pairs >> _WEEK_BITS) - _WEEK_BIAS,
+                "week": (pairs & ((1 << _WEEK_BITS) - 1)) - _WEEK_BIAS,
                 "n": n.astype(np.int64),
             }
         )

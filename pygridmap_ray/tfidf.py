@@ -207,9 +207,13 @@ def tfidf_pairs(
 
     - ``"memory"`` (default): pin in the object store (spillable).  The
       right call up to object-store scale.
-    - ``"parquet"``: checkpoint the postings to ``persist_path`` (a tmp
-      dir if unset) and re-read per consumer — the 100 TB mode: the tile
-      store holds the postings, the object store never does.
+    - ``"parquet"``: checkpoint the postings to ``persist_path`` and
+      re-read per consumer — the 100 TB mode: the tile store holds the
+      postings, the object store never does.  On a multi-node cluster
+      ``persist_path`` MUST be shared storage (object store / NFS); the
+      single-node default (a driver tempdir) exists for tests only.  The
+      checkpoint is left on disk (the returned Dataset reads it lazily)
+      — the caller owns cleanup after consuming the result.
     - ``"recompute"``: no pin at all; lineage re-runs tokenize+hash per
       consumer (pay 2x compute, hold nothing).
     """

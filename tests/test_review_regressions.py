@@ -243,3 +243,73 @@ def test_inprogress_tmp_files_invisible(ray_session, tmp_path):
     dead.write_bytes(b"half written garbage")
     assert read_tiles(str(tmp_path / "t")).count() == 2  # read unaffected
     assert validate_output(str(tmp_path / "t"))  # not an orphan data file
+
+
+def test_kmeans_quantize_tolerate_empty_blocks(ray_session):
+    """r3 review: empty pyarrow blocks (filters/repartition leave them)
+    must not crash the embedding partial stages."""
+    import ray.data as rd
+
+    from pygridmap_ray.ann import kmeans_embeddings, quantize_embeddings
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(0, 1, (40, 8))
+    t = pa.table(
+        {
+            "vec_id": np.arange(40, dtype=np.int64),
+            "embedding": pa.array(list(X), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(10).map_batches(
+        lambda b: b.filter(pa.array(np.asarray(b["vec_id"]) % 7 != 5)),
+        batch_format="pyarrow",
+    )
+    assert kmeans_embeddings(ds, k=4, iters=2).count() == 35
+    assert quantize_embeddings(ds).count() == 35
+
+
+def test_events_retention_pre_1970(ray_session, tmp_path):
+    """r3 review: negative epoch weeks must pack (bias) AND follow
+    DuckDB's truncate-toward-zero // law, not numpy's floor."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.relational import (
+        events_retention, sql_events_retention,
+    )
+
+    ev = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [
+                    np.datetime64("1969-12-30T00:00:00", "us"),
+                    np.datetime64("1970-01-15T00:00:00", "us"),
+                    np.datetime64("1969-06-01T00:00:00", "us"),
+                    np.datetime64("1969-06-20T00:00:00", "us"),
+                    np.datetime64("1971-03-01T00:00:00", "us"),
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    got = (
+        events_retention(str(tmp_path))
+        .to_pandas()
+        .sort_values(["cohort_week", "week"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/events.parquet')"
+    )
+    exp = (
+        con.sql(sql_events_retention())
+        .df()
+        .sort_values(["cohort_week", "week"])
+        .reset_index(drop=True)
+    )
+    assert got.astype(str).equals(exp.astype(str))
+    assert int(got["cohort_week"].min()) < 0

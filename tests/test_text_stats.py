@@ -444,15 +444,27 @@ def test_md5_prefix_int_law_and_edges():
 
     from pygridmap_ray.text import md5_prefix_int
 
-    keys = [""] + ["x" * n for n in range(1, 71)] + [str(i * 37) for i in range(500)]
+    # two key sets: one entirely <= 55 bytes AFTER salting (forces the
+    # vectorized single-block path, covering lengths 0..44 and the exact
+    # 53/54/55-byte block boundary), one containing 70-byte keys (forces
+    # the C fallback for the whole chunk) — a padder regression at the
+    # boundary or in salt handling cannot hide behind the fallback
+    base = [""] + ["x" * n for n in range(1, 45)] + [
+        str(i * 37) for i in range(500)
+    ]
     for salt in ("", "s", "longer-salt"):
-        for hd in (8, 15, 16):
-            exp = [
-                int(hashlib.md5((k + salt).encode()).hexdigest()[:hd], 16)
-                for k in keys
-            ]
-            got = md5_prefix_int(keys, salt=salt, hexdigits=hd)
-            assert [int(x) for x in got] == exp, (salt, hd)
+        m = 55 - len(salt)  # exact single-block boundary AFTER salting
+        vec_keys = base + ["y" * (m - 2), "y" * (m - 1), "y" * m]
+        fb_keys = vec_keys + ["z" * 70]  # forces the whole-chunk fallback
+        for keys in (vec_keys, fb_keys):
+            for hd in (8, 15, 16):
+                exp = [
+                    int(hashlib.md5((k + salt).encode()).hexdigest()[:hd], 16)
+                    for k in keys
+                ]
+                got = md5_prefix_int(keys, salt=salt, hexdigits=hd)
+                assert [int(x) for x in got] == exp, (salt, hd, len(keys))
+    keys = base + ["z" * 70]
     arr = pa.chunked_array([keys[:100], keys[100:]])
     got = md5_prefix_int(arr, hexdigits=15)
     exp = [int(hashlib.md5(k.encode()).hexdigest()[:15], 16) for k in keys]
