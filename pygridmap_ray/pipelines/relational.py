@@ -277,7 +277,10 @@ def events_hopping_window(sf_dir: str, *, size_us: int = US_PER_HOUR,
         us = np.asarray(
             pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
         )
-        base = us // hop_us  # hop index of the LAST window containing ts
+        # DuckDB // truncates toward zero; numpy floors — match the SQL
+        # law for pre-1970 (negative-epoch) timestamps
+        base = np.where(us >= 0, us // hop_us, -((-us) // hop_us))
+        # hop index of the LAST window containing ts
         j = np.tile(np.arange(m, dtype=np.int64), n)
         win = (np.repeat(base, m) - j) * hop_us
         idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
