@@ -678,12 +678,18 @@ def poly_overlay(
     id_col: str = "poly_id",
     rings_col: str = "rings",
     round_to: int = 6,
+    heal_tol: float | None = None,
 ):
     """Layer x layer overlay: intersection AREA of every (subject
     polygon, convex clip polygon) pair — the general ``gpd.overlay``
     surface of the reference (overlay.py:296-297) for convex clip
     layers (decompose a concave clip into convex pieces first; the
     reference's exercised unions are convex tile rects).
+
+    ``heal_tol`` (optional) runs :func:`geom.kernels.heal_rings` on every
+    subject ring before clipping — the reference's TopologyException
+    retry analog for user-provided layers with duplicate/spike/collinear
+    vertices (reference overlay.py:299-309).
 
     Subjects stream as a Dataset whose ``rings_col`` is
     ``list<list<list<double>>>`` (outer rings CCW, holes CW — signed
@@ -734,6 +740,12 @@ def poly_overlay(
         out_id, out_cid, out_area = [], [], []
         for i, raw in enumerate(rings_rows):
             rings = [np.asarray(r, dtype=np.float64) for r in raw]
+            if heal_tol is not None:
+                from .geom.kernels import heal_rings
+
+                rings = heal_rings(rings, heal_tol)
+            if not rings:
+                continue
             bb = rings_bbox(rings)
             for c in cl:
                 cb = c["bbox"]

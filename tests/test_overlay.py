@@ -206,3 +206,47 @@ def test_disaggregate_conserves_mass(ray_session):
     # is NOT tested here (intensive/extensive asymmetry); conservation is
     # the defining invariant
     assert (out["pop"] >= -1e-12).all()
+
+
+def test_poly_overlay_heal_tol_matches_clean_layer(ray_session):
+    """poly_overlay(heal_tol=...) on a noise-injected subject layer
+    (duplicate vertices + out-and-back spikes) reproduces the clean
+    layer's areas exactly."""
+    import numpy as np
+    import ray.data as rd
+
+    from pygridmap_ray.overlay import poly_overlay
+    from pygridmap_ray.synth import clip_layer, polygon_layer
+
+    def rows(noisy: bool):
+        out = []
+        for p in polygon_layer():
+            rings = []
+            for r in p["rings"]:
+                r = r / 1000.0
+                if noisy:
+                    pts = []
+                    for j, q in enumerate(r):
+                        pts.append(q)
+                        if j % 3 == 0:
+                            pts.append(q)  # duplicate vertex
+                        if j % 4 == 1:
+                            s = q + np.array([7.0, 3.0])
+                            pts += [s, q]  # zero-area spike
+                    r = np.asarray(pts)
+                rings.append(r.tolist())
+            out.append({"poly_id": p["poly_id"], "rings": rings})
+        return out
+
+    def run(rows_, **kw):
+        return (
+            poly_overlay(rd.from_items(rows_).repartition(3),
+                         clip_layer(), **kw)
+            .to_pandas()
+            .sort_values(["poly_id", "clip_id"])
+            .reset_index(drop=True)
+        )
+
+    clean = run(rows(False))
+    healed = run(rows(True), heal_tol=1e-9)
+    assert clean.equals(healed)
