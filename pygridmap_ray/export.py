@@ -161,3 +161,43 @@ def write_geojson_tiles(
     for b in counts.iter_batches(batch_format="pyarrow"):
         total += int(np.asarray(b["rows"]).sum()) if b.num_rows else 0
     return total
+
+
+def rings_to_wkb(rings) -> bytes:
+    """ISO WKB Polygon (little-endian) for an ARBITRARY ring list —
+    outer ring first, holes after (orientation preserved); open rings
+    are closed per the WKB spec.  The general-geometry counterpart of
+    the fixed-93-byte cell fast path in :func:`cells_to_geometry`
+    (a 4-vertex rect ring produces byte-identical output), used to
+    export polygon layers / overlay subjects without a GEOS binding.
+    Per-ring packing is polygon-layer-scale (broadcast side), never a
+    per-row corpus path."""
+    import struct
+
+    parts = [b"\x01\x03\x00\x00\x00", struct.pack("<I", len(rings))]
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        closed = np.concatenate([r, r[:1]], axis=0)
+        parts.append(struct.pack("<I", len(closed)))
+        parts.append(closed.astype("<f8").tobytes())
+    return b"".join(parts)
+
+
+def wkb_to_polygon(wkb: bytes) -> list[np.ndarray]:
+    """Decode an engine-written WKB Polygon (any ring count / vertex
+    counts) back to its OPEN rings — the general read twin of
+    :func:`rings_to_wkb`; :func:`wkb_to_rings` remains the 93-byte cell
+    fast path."""
+    import struct
+
+    assert wkb[:5] == b"\x01\x03\x00\x00\x00", "not a LE WKB polygon"
+    (n_rings,) = struct.unpack_from("<I", wkb, 5)
+    out = []
+    off = 9
+    for _ in range(n_rings):
+        (npts,) = struct.unpack_from("<I", wkb, off)
+        off += 4
+        ring = np.frombuffer(wkb, dtype="<f8", count=npts * 2, offset=off)
+        off += npts * 16
+        out.append(ring.reshape(npts, 2)[:-1].copy())  # drop closing vertex
+    return out

@@ -183,3 +183,26 @@ def test_geojson_write_roundtrip(ray_session, tmp_path):
     assert len(layer) == 6
     assert all(abs(p["area"] - 1000.0 * 1000.0) < 1e-6 for p in layer)
     assert sorted(p["pop"] for p in layer) == [0.0, 2.0, 4.0, 6.0, 8.0, 10.0]
+
+
+def test_rings_to_wkb_roundtrip_and_cell_identity():
+    """General WKB polygon codec: fixture round trip (incl. the hole
+    polygon) and byte-identity with the fixed 93-byte cell layout."""
+    import numpy as np
+
+    from pygridmap_ray.export import (
+        rings_to_wkb, wkb_to_polygon, wkb_to_rings,
+    )
+    from pygridmap_ray.synth import polygon_layer
+
+    for p in polygon_layer():
+        back = wkb_to_polygon(rings_to_wkb(p["rings"]))
+        assert len(back) == len(p["rings"])
+        for a, b in zip(back, p["rings"]):
+            assert np.array_equal(a, np.asarray(b, float))
+    rect = np.array(
+        [[0.0, 0.0], [1000.0, 0.0], [1000.0, 1000.0], [0.0, 1000.0]]
+    )
+    w = rings_to_wkb([rect])
+    assert len(w) == 93
+    assert np.array_equal(wkb_to_rings(w)[:4], rect)
