@@ -1,0 +1,150 @@
+"""Focal (neighborhood) statistics over sparse grid cells — raster map
+algebra's focal-sum / focal-mean re-expressed for a cell stream.
+
+Reference parity: pygridmap's raster path treats the grid as dense
+per-tile arrays (reference ``gridtiler_raster.py:61-127``); a focal
+kernel there is a windowed convolution per tile that needs HALO pixels
+from the 8 neighbouring tiles before it can evaluate border cells.  The
+engine works on the SPARSE occupied-cell stream instead and turns the
+halo exchange into plain dataflow:
+
+1. each batch reduces its points to per-cell count partials (``np.unique``
+   on packed int64 cell keys — no groupby);
+2. every partial is SPREAD to the ``(2k+1)^2`` neighbourhood cells it
+   contributes to — a contribution whose target lies in another tile is
+   exactly the halo copy a dense engine would ship;
+3. ONE coarse-bucket sum keyed by target cell folds all partials; the
+   cell's own count rides along in a second value column, so occupied
+   cells are recovered without a join.
+
+Contributions are additive, so partials never need the global per-cell
+count first — two narrow shuffles total, both over (int64, int64,
+float64) rows, independent of how many points share a cell.  At cluster
+scale the spread factor is a constant 9 (or ``(2k+1)^2``) on the
+already-reduced cell partials, not on the point stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .tfidf import _coarse_sum
+
+#: cell coords must fit this packing (iy * 2^32 + ix, both >= 0)
+_PACK_SHIFT = np.int64(1) << np.int64(32)
+
+
+def _cell_count_spread(
+    b: pa.Table, *, ix_col: str, iy_col: str, ksize: int
+) -> pa.Table:
+    """One batch of cell-tagged points -> spread neighbourhood partials
+    ``(tix, tiy, contrib, self_cnt)``: per-cell counts via packed-int
+    ``np.unique``, each emitted to its ``(2k+1)^2`` target cells."""
+    empty = pa.table(
+        {
+            "tix": pa.array([], pa.int64()),
+            "tiy": pa.array([], pa.int64()),
+            "contrib": pa.array([], pa.float64()),
+            "self_cnt": pa.array([], pa.float64()),
+        }
+    )
+    if not b.num_rows:
+        return empty
+    ix = np.asarray(b[ix_col], np.int64)
+    iy = np.asarray(b[iy_col], np.int64)
+    if (ix < 0).any() or (iy < 0).any() or (ix >= _PACK_SHIFT).any():
+        raise ValueError("focal cells must satisfy 0 <= ix < 2^32, iy >= 0")
+    pk = iy * _PACK_SHIFT + ix
+    u, cnt = np.unique(pk, return_counts=True)
+    cix = u % _PACK_SHIFT
+    ciy = u // _PACK_SHIFT
+    w = 2 * ksize + 1
+    offs = np.arange(-ksize, ksize + 1, dtype=np.int64)
+    dx = np.tile(np.repeat(offs, w), len(u))
+    dy = np.tile(np.tile(offs, w), len(u))
+    tix = np.repeat(cix, w * w) + dx
+    tiy = np.repeat(ciy, w * w) + dy
+    contrib = np.repeat(cnt.astype(np.float64), w * w)
+    self_cnt = np.where((dx == 0) & (dy == 0), contrib, 0.0)
+    return pa.table(
+        {
+            "tix": pa.array(tix),
+            "tiy": pa.array(tiy),
+            "contrib": pa.array(contrib),
+            "self_cnt": pa.array(self_cnt),
+        }
+    )
+
+
+def focal_counts(
+    ds,
+    *,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    ksize: int = 1,
+    num_buckets: int = 64,
+    round_to: int = 6,
+):
+    """Per occupied cell: its own point count plus the focal sum / mean
+    of counts over the ``(2k+1) x (2k+1)`` neighbourhood (empty
+    neighbour cells count 0, the dense-raster convention).
+
+    Output columns: ``ix, iy, n_docs, focal_sum, focal_mean`` with
+    ``focal_mean = round(focal_sum / (2k+1)^2, round_to)`` half-away —
+    the SQL twin is a self-join on ``BETWEEN +-k`` (:func:`sql_focal_mean`).
+    """
+    if ksize < 1:
+        raise ValueError("ksize must be >= 1")
+    denom = float((2 * ksize + 1) ** 2)
+    tol = 10.0**round_to
+
+    spread = ds.map_batches(
+        _cell_count_spread,
+        batch_format="pyarrow",
+        fn_kwargs=dict(ix_col=ix_col, iy_col=iy_col, ksize=ksize),
+    )
+    summed = _coarse_sum(
+        spread,
+        ["tix", "tiy"],
+        ("contrib", "self_cnt"),
+        num_buckets=num_buckets,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        occ = np.asarray(b["self_cnt"], np.float64)
+        keep = occ > 0.5
+        fs = np.asarray(b["contrib"], np.float64)[keep]
+        fm = np.floor((fs / denom) * tol + 0.5) / tol  # counts are >= 0
+        return pa.table(
+            {
+                ix_col: pa.array(np.asarray(b["tix"], np.int64)[keep]),
+                iy_col: pa.array(np.asarray(b["tiy"], np.int64)[keep]),
+                "n_docs": pa.array(occ[keep].astype(np.int64)),
+                "focal_sum": pa.array(fs.astype(np.int64)),
+                "focal_mean": pa.array(fm),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_focal_mean(
+    *, points_cte: str, ix_expr: str, iy_expr: str, ksize: int = 1
+) -> str:
+    """DuckDB twin of :func:`focal_counts` over the same point CTE and
+    cell law (same ``(2k+1)^2`` divisor, same op order, half-away 6dp)."""
+    w2 = (2 * ksize + 1) ** 2
+    return f"""
+WITH pts AS ({points_cte}), cells AS (
+  SELECT {ix_expr} AS ix, {iy_expr} AS iy, COUNT(*) AS n_docs
+  FROM pts GROUP BY 1, 2
+)
+SELECT a.ix, a.iy, a.n_docs::BIGINT AS n_docs,
+       SUM(b.n_docs)::BIGINT AS focal_sum,
+       ROUND(SUM(b.n_docs) / {w2}.0 * 1e6) / 1e6 AS focal_mean
+FROM cells a JOIN cells b
+  ON b.ix BETWEEN a.ix - {ksize} AND a.ix + {ksize}
+ AND b.iy BETWEEN a.iy - {ksize} AND a.iy + {ksize}
+GROUP BY a.ix, a.iy, a.n_docs
+"""

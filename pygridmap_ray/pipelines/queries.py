@@ -134,6 +134,33 @@ def q_hier_rollup(sf_dir: str):
     return hier_rollup(ds, parent_level=HIER_PARENT, level=HIER_LEVEL)
 
 
+#: focal-statistics cell size: coarser than RES so 3x3 neighbourhoods are
+#: populated at every sf (the synth domain spans ~500 km -> ~50x50 cells)
+FOCAL_RES = 10_000.0
+
+
+def q_focal_mean(sf_dir: str):
+    """3x3 focal mean of per-cell doc counts (focal.focal_counts): dense-
+    raster map algebra as sparse halo-exchange dataflow — per-batch cell
+    partials spread to their 9 neighbour cells (the halo copies), one
+    coarse-bucket sum keyed by target cell, no join anywhere."""
+    from ..focal import focal_counts
+
+    ds = with_cell_columns(
+        docs_points(sf_dir), resolution=FOCAL_RES, tile_size_cell=TSC
+    )
+    return focal_counts(ds.select_columns(["ix", "iy"]))
+
+
+def _sql_focal_mean() -> str:
+    from ..focal import sql_focal_mean
+
+    cols = sql_cell_columns(FOCAL_RES, TSC)
+    return sql_focal_mean(
+        points_cte=sql_points_cte(), ix_expr=cols["ix"], iy_expr=cols["iy"]
+    )
+
+
 #: stratified-sample keep rates (shared by the Ray query and SQL twin):
 #: downsample the dominant language, keep scarce ones, drop the rest
 STRAT_RATES = {"en": 0.25, "de": 0.9, "fr": 1.0}
@@ -2416,6 +2443,7 @@ def queries():
         "cell_assign_offset": q_cell_assign_offset,
         "cell_hier": q_cell_hier,
         "hier_rollup": q_hier_rollup,
+        "focal_mean": q_focal_mean,
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "customer_nation": q_customer_nation,
@@ -2720,6 +2748,7 @@ def oracle_sql():
         ),
         "cell_hier": _sql_cell_hier(),
         "hier_rollup": _sql_hier_rollup(),
+        "focal_mean": _sql_focal_mean(),
         "pii_scrub": _sql_pii_scrub(),
         "repetition": _sql_repetition(),
         "customer_nation": (

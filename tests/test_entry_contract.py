@@ -99,6 +99,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "kmeans",
         "quantize_emb",
         "grid_aggregation",
+        "focal_mean",
         "knn",
         "spans_roundtrip",
         "token_count",
