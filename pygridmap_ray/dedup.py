@@ -1732,3 +1732,127 @@ SELECT k.doc_id, ANY_VALUE(n.n_lines)::BIGINT AS n_lines,
 FROM kept k JOIN nl n USING (doc_id)
 GROUP BY k.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram coverage (substring-level dedup diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def dup_gram_coverage(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_buckets: int = 64,
+    round_to: int = 6,
+):
+    """Per-document fraction of token n-gram POSITIONS whose n-gram occurs
+    at least twice in the corpus (counting same-document repeats) — the
+    scan that motivates substring-level dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": duplicated substrings
+    concentrate in a small doc subset; this scores each doc's share).
+
+    Plan: the exact per-batch (doc, term, tf) reduction from
+    :func:`pygridmap_ray.tfidf.doc_term_freqs` (each doc is one row, so
+    no combine step), one bucketed shuffle keyed by ``hash(term) %
+    num_buckets`` — a bucket holds EVERY posting of its terms, so global
+    occurrence counts and per-doc covered/total partials compute locally
+    — then one coarse int-keyed sum per doc.  No join; gram strings
+    shuffle once, doc partials are 3 int64/float64 columns.
+
+    Output: ``doc_id, n_grams, dup_grams, dup_frac`` (docs with fewer
+    than ``n`` tokens have no gram positions and are absent, matching
+    the SQL twin)."""
+    import pandas as pd
+
+    from .tfidf import _coarse_sum, doc_term_freqs
+
+    def tf_stage(b: pa.Table) -> pa.Table:
+        t = doc_term_freqs(b, id_col=id_col, text_col=text_col, n=n)
+        h = pd.util.hash_array(np.asarray(t["term"]).astype(object))
+        cg = (h % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__cg", pa.array(cg))
+
+    def bucket_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("term", sort=False)["tf"].transform("sum")
+        tf = g["tf"].to_numpy(np.float64)
+        dup = np.where(tot.to_numpy(np.float64) >= 2.0, tf, 0.0)
+        out = pd.DataFrame(
+            {"doc": g["doc"].to_numpy(np.int64), "n_grams": tf, "dup_grams": dup}
+        )
+        return (
+            out.groupby("doc", sort=False)[["n_grams", "dup_grams"]]
+            .sum()
+            .reset_index()
+        )
+
+    partials = (
+        docs.map_batches(tf_stage, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(bucket_kernel, batch_format="pandas")
+    )
+    summed = _coarse_sum(
+        partials, ["doc"], ("n_grams", "dup_grams"), num_buckets=num_buckets
+    )
+    tol = 10.0**round_to
+
+    def finish(b: pa.Table) -> pa.Table:
+        ng = np.asarray(b["n_grams"], np.float64)
+        dg = np.asarray(b["dup_grams"], np.float64)
+        frac = np.floor((dg / ng) * tol + 0.5) / tol  # fractions are >= 0
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(b["doc"], np.int64)),
+                "n_grams": pa.array(ng.astype(np.int64)),
+                "dup_grams": pa.array(dg.astype(np.int64)),
+                "dup_frac": pa.array(frac),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_dup_gram_coverage(
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    source: str = "documents",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dup_gram_coverage` — same token/gram law as
+    :func:`pygridmap_ray.tfidf.sql_tfidf_pairs` (``\\s+`` split, empties
+    dropped, n-grams joined by single spaces, never crossing docs)."""
+    term = (
+        "t0.tok" if n == 1 else " || ' ' || ".join(f"t{j}.tok" for j in range(n))
+    )
+    joins = " ".join(
+        f"JOIN tk2 t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.j = t0.j + {j}"
+        for j in range(1, n)
+    )
+    t = f"1e{round_to}"
+    return f"""
+WITH tk AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_split_to_array({text_col}, '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array({text_col}, '\\s+'), 1) AS i
+  FROM {source}
+), tk2 AS (
+  SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j
+  FROM tk WHERE tok <> ''
+), tf AS (
+  SELECT t0.doc_id, {term} AS term, COUNT(*)::DOUBLE AS tf
+  FROM tk2 t0 {joins} GROUP BY t0.doc_id, term
+), tot AS (
+  SELECT term, SUM(tf) AS tot FROM tf GROUP BY term
+)
+SELECT tf.doc_id AS {id_col},
+       SUM(tf.tf)::BIGINT AS n_grams,
+       SUM(CASE WHEN tot.tot >= 2.0 THEN tf.tf ELSE 0 END)::BIGINT AS dup_grams,
+       ROUND(SUM(CASE WHEN tot.tot >= 2.0 THEN tf.tf ELSE 0 END)
+             / SUM(tf.tf) * {t}) / {t} AS dup_frac
+FROM tf JOIN tot USING (term)
+GROUP BY tf.doc_id
+"""

@@ -152,6 +152,14 @@ def q_focal_mean(sf_dir: str):
     return focal_counts(ds.select_columns(["ix", "iy"]))
 
 
+def _sql_weighted_sample() -> str:
+    from ..stats import sql_priority_sample
+
+    return sql_priority_sample(
+        key_col="doc_id", weight_col="n_chars", k=PRIO_K, salt=PRIO_SALT
+    )
+
+
 def _sql_focal_mean() -> str:
     from ..focal import sql_focal_mean
 
@@ -180,6 +188,27 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample(
         ds, key_col="doc_id", group_col="lang",
         rates=STRAT_RATES, default_rate=STRAT_DEFAULT,
+    )
+
+
+#: priority-sample size + salt (shared by the Ray query and SQL twin)
+PRIO_K, PRIO_SALT = 150, "ps1"
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (stats.priority_sample, Duffield–Lund–Thorup): k best of
+    w * 2^60 / (md5_60(key) + 1) — transcendental-free so the SQL twin
+    is bit-identical; per-batch top-k partials, one tiny final fold."""
+    import ray.data as rd
+
+    from ..stats import priority_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return priority_sample(
+        ds, key_col="doc_id", weight_col="n_chars", k=PRIO_K, salt=PRIO_SALT
     )
 
 
@@ -1268,6 +1297,47 @@ def _sql_lang_quantiles_cont() -> str:
     from ..stats import sql_grouped_quantiles_cont
 
     return sql_grouped_quantiles_cont()
+
+
+def q_dup_gram_coverage(sf_dir: str):
+    """Per-doc duplicated-trigram coverage (dedup.dup_gram_coverage) —
+    the substring-dedup diagnostic: gram-bucket shuffle computes global
+    occurrence counts locally, doc partials coarse-sum; no join."""
+    import ray.data as rd
+
+    from ..dedup import dup_gram_coverage
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dup_gram_coverage(ds, n=3)
+
+
+def _sql_dup_gram_coverage() -> str:
+    from ..dedup import sql_dup_gram_coverage
+
+    return sql_dup_gram_coverage(n=3)
+
+
+def q_iqr_outliers(sf_dir: str):
+    """Per-event-type Tukey-fence outlier profile (stats.iqr_outliers):
+    histogram-plan quartiles -> closure-broadcast fences -> one scan
+    with per-batch partial counts; fences built from 6dp-rounded
+    quartiles so strict compares agree bitwise with the SQL twin."""
+    import ray.data as rd
+
+    from ..stats import iqr_outliers
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return iqr_outliers(ds, key="event_type", value="value")
+
+
+def _sql_iqr_outliers() -> str:
+    from ..stats import sql_iqr_outliers
+
+    return sql_iqr_outliers(key="event_type", value="value")
 
 
 def q_distinct_count(sf_dir: str):
@@ -2448,6 +2518,9 @@ def queries():
         "repetition": q_repetition,
         "customer_nation": q_customer_nation,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
+        "iqr_outliers": q_iqr_outliers,
+        "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
         "hll_distinct": q_hll_distinct,
@@ -2757,6 +2830,9 @@ def oracle_sql():
             "JOIN region ON n_regionkey = r_regionkey"
         ),
         "stratified_sample": _sql_stratified_sample(),
+        "weighted_sample": _sql_weighted_sample(),
+        "iqr_outliers": _sql_iqr_outliers(),
+        "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),
         "tfidf_pairs": _sql_tfidf_pairs(),

@@ -1384,6 +1384,106 @@ def grouped_quantiles_cont(
     return hist.groupby(key).map_groups(finish, batch_format="pandas")
 
 
+def iqr_outliers(ds, *, key: str, value: str, round_to: int = 6):
+    """Per-key Tukey-fence outlier profile: rows outside
+    ``[q1 - 1.5*iqr, q3 + 1.5*iqr]`` (strict compare) with
+    ``q1/q3 = quantile_cont(0.25/0.75)``.
+
+    Law detail that makes the DuckDB twin exact: the fences are built
+    from the 6dp-ROUNDED quartiles (the same rounding the quantile
+    oracle already proves identical on both sides), and the fence
+    arithmetic runs in the same op order — so the strict comparisons
+    agree bitwise even when the unrounded interpolations differ by an
+    ulp.  Values that are NULL/NaN are never outliers but DO count in
+    ``n_events`` (SQL CASE semantics).
+
+    Scale shape: the quartile pass is the existing histogram two-phase
+    plan (shuffle carries distinct (key, value) pairs); the fence table
+    is one row per key — closure-captured, never shuffled; the scan pass
+    emits one partial row per (key, batch) and a low-cardinality groupby
+    folds them.  Output: ``key, n_events, n_outliers, outlier_rate``."""
+    quarts = grouped_quantiles_cont(
+        ds, key=key, value=value, qs=(0.25, 0.75), round_to=round_to
+    ).to_pandas()
+    fences = {
+        r[key]: (
+            r["q25"] - 1.5 * (r["q75"] - r["q25"]),
+            r["q75"] + 1.5 * (r["q75"] - r["q25"]),
+        )
+        for _, r in quarts.iterrows()
+    }
+    tol = 10.0**round_to
+
+    def partial(b: pa.Table) -> pa.Table:
+        ks = np.asarray(pc.cast(b[key], pa.string())).astype(object)
+        v = np.asarray(b[value], np.float64)  # nulls -> NaN (never outlier)
+        ug, inv = np.unique(ks, return_inverse=True)
+        lo = np.array([fences.get(g, (-np.inf, np.inf))[0] for g in ug])
+        hi = np.array([fences.get(g, (-np.inf, np.inf))[1] for g in ug])
+        out = (v < lo[inv]) | (v > hi[inv])
+        n = np.bincount(inv, minlength=len(ug)).astype(np.int64)
+        k_out = np.bincount(inv, weights=out, minlength=len(ug)).astype(np.int64)
+        return pa.table(
+            {
+                key: pa.array(ug, pa.string()),
+                "n_events": pa.array(n),
+                "n_outliers": pa.array(k_out),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_outliers", alias_name="n_outliers"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_events"], np.float64)
+        k_out = np.asarray(b["n_outliers"], np.float64)
+        rate = np.floor((k_out / n) * tol + 0.5) / tol  # rates are >= 0
+        return pa.table(
+            {
+                key: b[key],
+                "n_events": pa.array(np.asarray(b["n_events"], np.int64)),
+                "n_outliers": pa.array(np.asarray(b["n_outliers"], np.int64)),
+                "outlier_rate": pa.array(rate),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_iqr_outliers(
+    *, key: str, value: str, source: str = "events", round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`iqr_outliers` (fences from 6dp-rounded
+    quartiles, same op order, strict compares)."""
+    t = f"1e{round_to}"
+    return f"""
+WITH f AS (
+  SELECT {key},
+         ROUND(quantile_cont({value}, 0.25) * {t}) / {t} AS q1,
+         ROUND(quantile_cont({value}, 0.75) * {t}) / {t} AS q3
+  FROM {source} GROUP BY {key}
+), flagged AS (
+  SELECT e.{key},
+         CASE WHEN e.{value} < f.q1 - 1.5 * (f.q3 - f.q1)
+                OR e.{value} > f.q3 + 1.5 * (f.q3 - f.q1)
+              THEN 1 ELSE 0 END AS is_out
+  FROM {source} e JOIN f USING ({key})
+)
+SELECT {key}, COUNT(*)::BIGINT AS n_events,
+       SUM(is_out)::BIGINT AS n_outliers,
+       ROUND(SUM(is_out)::DOUBLE / COUNT(*) * {t}) / {t} AS outlier_rate
+FROM flagged GROUP BY {key}
+"""
+
+
 def sql_grouped_quantiles_cont(
     key: str = "lang",
     value: str = "n_chars",
@@ -1435,6 +1535,116 @@ def sample_exact_k(
         num_buckets=num_buckets,
     )
     return out.drop_columns(["__h"])
+
+
+def priority_sample(
+    ds,
+    *,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+):
+    """Deterministic weighted sample WITHOUT replacement of exactly ``k``
+    rows — Duffield–Lund–Thorup *priority sampling* (near-optimal
+    subset-sum variance): each row gets priority ``w / u`` for a uniform
+    ``u`` derived from its key, and the ``k`` highest priorities win.
+
+    The law is transcendental-free so the DuckDB twin is bit-identical:
+    ``u = (h + 1) / 2^60`` with ``h`` the 60-bit md5 prefix of
+    ``key || salt`` (the repo-wide content-stable hash law), and the
+    ORDER key is ``w * 2^60 / (h + 1)`` — one exact power-of-two product
+    plus one correctly-rounded IEEE division on both sides.  Membership
+    therefore never depends on row order, partitioning, or cluster size.
+
+    Scale shape: per-batch vectorized top-k partials (``k`` candidate
+    rows per block), one single-block final fold — the candidate stream
+    is ``k x num_blocks`` rows regardless of corpus size; nothing else
+    shuffles.  Ties (measure zero) break by ascending key on both sides.
+
+    Output: ``rank (1-based), key, weight, priority`` (priority rounded
+    half-away to 6dp)."""
+    from .text import md5_prefix_int
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    scale = float(1 << 60)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], b.schema.field(key_col).type),
+                weight_col: pa.array([], b.schema.field(weight_col).type),
+                "__pri": pa.array([], pa.float64()),
+            }
+        )
+        if not b.num_rows:
+            return empty
+        w = np.asarray(b[weight_col], np.float64)
+        if (w < 0).any():
+            raise ValueError("priority_sample weights must be >= 0")
+        h = md5_prefix_int(
+            pc.cast(b[key_col], pa.string()), salt=salt, hexdigits=15
+        ).astype(np.int64)
+        pri = w * scale / (h + 1).astype(np.float64)
+        keys = np.asarray(b[key_col])
+        top = np.lexsort((keys, -pri))[: min(k, len(pri))]
+        return pa.table(
+            {
+                key_col: b[key_col].take(pa.array(top)),
+                weight_col: b[weight_col].take(pa.array(top)),
+                "__pri": pa.array(pri[top]),
+            }
+        )
+
+    def final(b: pa.Table) -> pa.Table:
+        pri = np.asarray(b["__pri"], np.float64)
+        keys = np.asarray(b[key_col])
+        top = np.lexsort((keys, -pri))[: min(k, len(pri))]
+        tol = 1e6
+        pr = np.floor(pri[top] * tol + 0.5) / tol  # priorities are >= 0
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+                key_col: b[key_col].take(pa.array(top)),
+                weight_col: b[weight_col].take(pa.array(top)),
+                "priority": pa.array(pr),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def sql_priority_sample(
+    *,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`priority_sample` (same md5 / division law)."""
+    h = (
+        f"('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '{salt}'), 1, 15))"
+        f"::BIGINT"
+    )
+    return f"""
+WITH pri AS (
+  SELECT {key_col}, {weight_col},
+         CAST({weight_col} AS DOUBLE) * 1152921504606846976.0 / ({h} + 1) AS p
+  FROM {source}
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY p DESC, {key_col}) AS rank,
+         {key_col}, {weight_col}, p
+  FROM pri
+)
+SELECT rank, {key_col}, {weight_col}, ROUND(p * 1e6) / 1e6 AS priority
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def sql_sample_exact_k(

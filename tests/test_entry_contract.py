@@ -100,6 +100,9 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "quantize_emb",
         "grid_aggregation",
         "focal_mean",
+        "weighted_sample",
+        "iqr_outliers",
+        "dup_gram_coverage",
         "knn",
         "spans_roundtrip",
         "token_count",
