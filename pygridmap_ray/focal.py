@@ -148,3 +148,200 @@ FROM cells a JOIN cells b
  AND b.iy BETWEEN a.iy - {ksize} AND a.iy + {ksize}
 GROUP BY a.ix, a.iy, a.n_docs
 """
+
+
+# ---------------------------------------------------------------------------
+# contiguous cell clusters (degree-of-urbanisation style labeling)
+# ---------------------------------------------------------------------------
+
+
+def cell_clusters(
+    ds,
+    *,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    min_count: int = 1,
+    min_cluster_docs: int = 1,
+    num_buckets: int = 64,
+):
+    """Contiguous clusters of occupied grid cells — the Eurostat
+    degree-of-urbanisation shape (GHSL "urban cluster": threshold cells,
+    4-connectivity, cluster-level population floor) over the point
+    stream.
+
+    Plan: per-batch packed-cell count partials -> one coarse sum ->
+    threshold (``count >= min_count``); each occupied cell then emits an
+    ANCHOR row under its own key plus CLAIM rows under its east/north
+    neighbour keys — one bucketed shuffle later a key holding both an
+    anchor and claims yields the adjacency edges (and every anchor a
+    self-edge, so isolated cells become singleton clusters), all matched
+    vectorized inside the bucket.  Components come from
+    :func:`pygridmap_ray.dedup.connected_components` (distributed
+    pointer-jumping min-label), cluster aggregates from one more coarse
+    sum keyed by the (hash-like) component id.
+
+    Output: ``cluster_id`` (min packed cell key in the component),
+    ``n_cells``, ``n_docs`` — rows with ``n_docs >= min_cluster_docs``.
+    """
+    import pandas as pd
+
+    from .dedup import connected_components
+    from .cluster import default_num_partitions
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return pa.table(
+                {"pk": pa.array([], pa.int64()), "cnt": pa.array([], pa.float64())}
+            )
+        ix = np.asarray(b[ix_col], np.int64)
+        iy = np.asarray(b[iy_col], np.int64)
+        if (ix < 0).any() or (iy < 0).any() or (ix >= _PACK_SHIFT - 1).any():
+            # ix == 2^32-1 would make the east-claim key wrap into row iy+1
+            raise ValueError("cluster cells must satisfy 0 <= ix < 2^32-1, iy >= 0")
+        pk = iy * _PACK_SHIFT + ix
+        u, cnt = np.unique(pk, return_counts=True)
+        return pa.table(
+            {"pk": pa.array(u), "cnt": pa.array(cnt.astype(np.float64))}
+        )
+
+    cells = _coarse_sum(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["pk"],
+        ("cnt",),
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda b: b.filter(
+            np.asarray(b["cnt"], np.float64) >= float(min_count)
+        ),
+        batch_format="pyarrow",
+    )
+    nparts = default_num_partitions()
+    cells = cells.repartition(nparts).materialize()  # consumed 2x (claims + join)
+
+    def claims(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["pk"], np.int64)
+        key = np.concatenate([pk, pk + 1, pk + _PACK_SHIFT])
+        src = np.concatenate([pk, pk, pk])
+        anchor = np.concatenate(
+            [np.ones(len(pk), np.int64), np.zeros(2 * len(pk), np.int64)]
+        )
+        return pa.table(
+            {"key": pa.array(key), "src": pa.array(src), "anchor": pa.array(anchor)}
+        )
+
+    def edge_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(np.int64)
+        src = g["src"].to_numpy(np.int64)
+        anc = g["anchor"].to_numpy(np.int64) == 1
+        anchored = np.sort(key[anc])
+        cl_key, cl_src = key[~anc], src[~anc]
+        if len(anchored):
+            pos = np.clip(np.searchsorted(anchored, cl_key), 0, len(anchored) - 1)
+            hit = anchored[pos] == cl_key
+        else:  # bucket holds claims only (their targets are unoccupied)
+            hit = np.zeros(len(cl_key), dtype=bool)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([cl_src[hit], key[anc]]),
+                "id_b": np.concatenate([cl_key[hit], key[anc]]),
+            }
+        )
+
+    edges = (
+        cells.map_batches(claims, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "__cg",
+                pa.array(
+                    (
+                        (np.asarray(b["key"], np.int64).astype(np.uint64)
+                         * np.uint64(2654435761))
+                        % np.uint64(num_buckets)
+                    ).astype(np.int64)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("__cg")
+        .map_groups(edge_kernel, batch_format="pandas")
+    )
+    labels = connected_components(edges, src="id_a", dst="id_b")
+
+    joined = cells.join(
+        labels.repartition(nparts),
+        "inner",
+        num_partitions=nparts,
+        on=("pk",),
+        right_on=("node",),
+    )
+
+    def cluster_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "component": b["label"],
+                "n_docs": b["cnt"],
+                "n_cells": pa.array(np.ones(b.num_rows, np.float64)),
+            }
+        )
+
+    agg = _coarse_sum(
+        joined.map_batches(cluster_partial, batch_format="pyarrow"),
+        ["component"],
+        ("n_docs", "n_cells"),
+        num_buckets=num_buckets,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = np.asarray(b["n_docs"], np.float64)
+        keep = nd >= float(min_cluster_docs)
+        return pa.table(
+            {
+                "cluster_id": pa.array(np.asarray(b["component"], np.int64)[keep]),
+                "n_cells": pa.array(
+                    np.asarray(b["n_cells"], np.float64)[keep].astype(np.int64)
+                ),
+                "n_docs": pa.array(nd[keep].astype(np.int64)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_cell_clusters(
+    *,
+    points_cte: str,
+    ix_expr: str,
+    iy_expr: str,
+    min_count: int = 1,
+    min_cluster_docs: int = 1,
+) -> str:
+    """DuckDB twin of :func:`cell_clusters`: recursive min-label
+    propagation over the same packed keys and 4-adjacency.  The
+    recursion only creates ``(node, label)`` rows with ``label < node``
+    (dominated labels are pruned), so it terminates and MIN per node is
+    the component id — same law as the engine's pointer jumping."""
+    shift = int(_PACK_SHIFT)
+    return f"""
+WITH RECURSIVE pts AS ({points_cte}), cells AS (
+  SELECT {ix_expr} AS ix, {iy_expr} AS iy, COUNT(*) AS cnt
+  FROM pts GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+), c AS (
+  SELECT iy * {shift} + ix AS pk, ix, iy, cnt FROM cells
+), sym AS (
+  SELECT a.pk AS u, b.pk AS v FROM c a JOIN c b
+    ON (abs(a.ix - b.ix) + abs(a.iy - b.iy)) = 1
+), rec AS (
+  SELECT pk AS node, pk AS label FROM c
+  UNION
+  SELECT s.v AS node, r.label FROM rec r JOIN sym s ON s.u = r.node
+  WHERE r.label < s.v
+), comp AS (
+  SELECT node, MIN(label) AS component FROM rec GROUP BY node
+)
+SELECT comp.component AS cluster_id,
+       COUNT(*)::BIGINT AS n_cells,
+       SUM(c.cnt)::BIGINT AS n_docs
+FROM c JOIN comp ON c.pk = comp.node
+GROUP BY comp.component
+HAVING SUM(c.cnt) >= {min_cluster_docs}
+"""

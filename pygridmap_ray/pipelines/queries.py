@@ -169,6 +169,37 @@ def _sql_focal_mean() -> str:
     )
 
 
+#: urban-cluster floor: keep clusters totalling at least this many docs
+CLUSTER_MIN_DOCS = 3
+
+
+def q_cell_clusters(sf_dir: str):
+    """Contiguous occupied-cell clusters, Eurostat degree-of-urbanisation
+    shape (focal.cell_clusters): threshold cells -> anchor/claim bucketed
+    adjacency -> distributed connected components -> coarse cluster
+    aggregates; cluster_id is the component's min packed cell key."""
+    from ..focal import cell_clusters
+
+    ds = with_cell_columns(
+        docs_points(sf_dir), resolution=FOCAL_RES, tile_size_cell=TSC
+    )
+    return cell_clusters(
+        ds.select_columns(["ix", "iy"]), min_cluster_docs=CLUSTER_MIN_DOCS
+    )
+
+
+def _sql_cell_clusters() -> str:
+    from ..focal import sql_cell_clusters
+
+    cols = sql_cell_columns(FOCAL_RES, TSC)
+    return sql_cell_clusters(
+        points_cte=sql_points_cte(),
+        ix_expr=cols["ix"],
+        iy_expr=cols["iy"],
+        min_cluster_docs=CLUSTER_MIN_DOCS,
+    )
+
+
 #: stratified-sample keep rates (shared by the Ray query and SQL twin):
 #: downsample the dominant language, keep scarce ones, drop the rest
 STRAT_RATES = {"en": 0.25, "de": 0.9, "fr": 1.0}
@@ -2514,6 +2545,7 @@ def queries():
         "cell_hier": q_cell_hier,
         "hier_rollup": q_hier_rollup,
         "focal_mean": q_focal_mean,
+        "cell_clusters": q_cell_clusters,
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "customer_nation": q_customer_nation,
@@ -2822,6 +2854,7 @@ def oracle_sql():
         "cell_hier": _sql_cell_hier(),
         "hier_rollup": _sql_hier_rollup(),
         "focal_mean": _sql_focal_mean(),
+        "cell_clusters": _sql_cell_clusters(),
         "pii_scrub": _sql_pii_scrub(),
         "repetition": _sql_repetition(),
         "customer_nation": (

@@ -100,6 +100,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "quantize_emb",
         "grid_aggregation",
         "focal_mean",
+        "cell_clusters",
         "weighted_sample",
         "iqr_outliers",
         "dup_gram_coverage",

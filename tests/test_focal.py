@@ -53,3 +53,51 @@ def test_focal_ksize2(ray_session):
 def test_focal_negative_cell_rejected(ray_session):
     with pytest.raises(Exception):
         _run([(-1, 0)])
+
+
+def _run_clusters(rows, **kw):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygridmap_ray.focal import cell_clusters
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "ix": pa.array([r[0] for r in rows], pa.int64()),
+                "iy": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
+    out = cell_clusters(ds, **kw).to_pandas()
+    return out.sort_values("cluster_id", ignore_index=True)
+
+
+def test_clusters_4adjacency_not_diagonal(ray_session):
+    # L-shape (0,0)-(1,0)-(1,1) is ONE cluster; (3,3)+(4,4) are diagonal
+    # -> TWO singletons (4-adjacency, not 8)
+    out = _run_clusters([(0, 0), (1, 0), (1, 1), (3, 3), (4, 4)])
+    assert len(out) == 3
+    got = {r.cluster_id: (r.n_cells, r.n_docs) for r in out.itertuples()}
+    assert got[0] == (3, 3)  # min packed key of the L = (0,0) -> 0
+    assert got[3 * (1 << 32) + 3] == (1, 1)
+    assert got[4 * (1 << 32) + 4] == (1, 1)
+
+
+def test_clusters_min_count_threshold(ray_session):
+    # (0,0) has 1 doc < min_count=2 -> dropped, breaking the bridge
+    # between (1,0)x2 and ... nothing else; (0,1)x3 is its own cluster
+    out = _run_clusters(
+        [(0, 0), (1, 0), (1, 0), (0, 1), (0, 1), (0, 1)], min_count=2
+    )
+    assert len(out) == 2
+    assert sorted(out["n_docs"].tolist()) == [2, 3]
+
+
+def test_clusters_doc_floor(ray_session):
+    # cluster floor keeps only components totalling >= 4 docs
+    out = _run_clusters(
+        [(0, 0), (1, 0), (1, 0), (1, 0), (5, 5)], min_cluster_docs=4
+    )
+    assert len(out) == 1
+    assert out["n_docs"].iloc[0] == 4 and out["n_cells"].iloc[0] == 2
