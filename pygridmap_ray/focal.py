@@ -345,3 +345,137 @@ FROM c JOIN comp ON c.pk = comp.node
 GROUP BY comp.component
 HAVING SUM(c.cnt) >= {min_cluster_docs}
 """
+
+
+# ---------------------------------------------------------------------------
+# per-cell categorical majority (mode with deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+
+def cell_majority(
+    ds,
+    *,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    cat_col: str = "lang",
+    num_buckets: int = 64,
+    round_to: int = 6,
+):
+    """Majority category per occupied cell (choropleth-style dominant
+    class, e.g. dominant language per grid cell) with SQL's
+    deterministic tie-break: highest count wins, ties go to the
+    lexicographically smallest category.
+
+    Plan: per-batch (cell, category) count partials (one pandas groupby
+    over batch-local rows), ONE coarse-bucket shuffle keyed by the
+    hash-like packed cell key (the engine-wide rule: never a fine
+    groupby on cell keys), then a vectorized per-bucket fold: lexsort +
+    ``np.add.reduceat`` sums per (cell, category), a second lexsort
+    picks each cell's winner without any per-cell Python.
+
+    Output: ``ix, iy, top_cat, n_top, n_total, share`` (share rounded
+    half-away)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pk": pa.array([], pa.int64()),
+                "cat": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.float64()),
+            }
+        )
+        if not b.num_rows:
+            return empty
+        ix = np.asarray(b[ix_col], np.int64)
+        iy = np.asarray(b[iy_col], np.int64)
+        if (ix < 0).any() or (iy < 0).any() or (ix >= _PACK_SHIFT).any():
+            raise ValueError("majority cells must satisfy 0 <= ix < 2^32, iy >= 0")
+        df = pd.DataFrame(
+            {
+                "pk": iy * _PACK_SHIFT + ix,
+                "cat": np.asarray(b[cat_col]).astype(object),
+            }
+        )
+        red = df.groupby(["pk", "cat"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                "pk": pa.array(red["pk"].to_numpy(np.int64)),
+                "cat": pa.array(red["cat"], pa.string()),
+                "cnt": pa.array(red["cnt"].to_numpy(np.float64)),
+            }
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = (
+            np.asarray(b["pk"], np.int64).astype(np.uint64)
+            * np.uint64(2654435761)
+        ) % np.uint64(num_buckets)
+        return b.append_column("__cg", pa.array(h.astype(np.int64)))
+
+    tol = 10.0**round_to
+
+    def bucket_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["pk"].to_numpy(np.int64)
+        cat = g["cat"].to_numpy(object)
+        cnt = g["cnt"].to_numpy(np.float64)
+        # fold batch partials: sum per (pk, cat)
+        order = np.lexsort((cat, pk))
+        pk, cat, cnt = pk[order], cat[order], cnt[order]
+        change = np.r_[True, (pk[1:] != pk[:-1]) | (cat[1:] != cat[:-1])]
+        starts = np.nonzero(change)[0]
+        pk, cat = pk[starts], cat[starts]
+        cnt = np.add.reduceat(cnt, starts)
+        # winner per pk: order by (pk, -cnt, cat), take first
+        order = np.lexsort((cat, -cnt, pk))
+        pk, cat, cnt = pk[order], cat[order], cnt[order]
+        first = np.r_[True, pk[1:] != pk[:-1]]
+        totals = np.add.reduceat(cnt, np.nonzero(first)[0])
+        wpk, wcat, wcnt = pk[first], cat[first], cnt[first]
+        share = np.floor((wcnt / totals) * tol + 0.5) / tol
+        return pd.DataFrame(
+            {
+                ix_col: wpk % _PACK_SHIFT,
+                iy_col: wpk // _PACK_SHIFT,
+                "top_cat": wcat,
+                "n_top": wcnt.astype(np.int64),
+                "n_total": totals.astype(np.int64),
+                "share": share,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(bucket_kernel, batch_format="pandas")
+    )
+
+
+def sql_cell_majority(
+    *,
+    points_cte: str,
+    ix_expr: str,
+    iy_expr: str,
+    cat_col: str = "lang",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cell_majority` (count DESC, category ASC
+    tie-break; share = n_top / n_total rounded half-away)."""
+    t = f"1e{round_to}"
+    return f"""
+WITH pts AS ({points_cte}), cl AS (
+  SELECT {ix_expr} AS ix, {iy_expr} AS iy, {cat_col} AS cat,
+         COUNT(*) AS cnt
+  FROM pts GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT ix, iy, cat, cnt,
+         ROW_NUMBER() OVER (PARTITION BY ix, iy ORDER BY cnt DESC, cat) AS rn,
+         SUM(cnt) OVER (PARTITION BY ix, iy) AS n_total
+  FROM cl
+)
+SELECT ix, iy, cat AS top_cat, cnt::BIGINT AS n_top,
+       n_total::BIGINT AS n_total,
+       ROUND(cnt / n_total * {t}) / {t} AS share
+FROM ranked WHERE rn = 1
+"""

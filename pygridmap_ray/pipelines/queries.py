@@ -28,6 +28,8 @@ from ..stats import sql_grouped_quantiles
 from ..text import BPE_PATTERN, sql_top_ngrams
 from ..synth import (
     DOMAIN,
+    SQL_X,
+    SQL_Y,
     build_spans_array,
     derive_lonlat,
     derive_xy,
@@ -167,6 +169,47 @@ def _sql_focal_mean() -> str:
     return sql_focal_mean(
         points_cte=sql_points_cte(), ix_expr=cols["ix"], iy_expr=cols["iy"]
     )
+
+
+def q_cell_majority(sf_dir: str):
+    """Dominant language per grid cell (focal.cell_majority): batch-local
+    (cell, lang) count partials, one coarse-bucket shuffle on the packed
+    cell key, vectorized per-bucket winner pick (count DESC, lang ASC)."""
+    from ..focal import cell_majority
+
+    ds = with_cell_columns(
+        docs_points(sf_dir, ("lang",)), resolution=FOCAL_RES, tile_size_cell=TSC
+    )
+    return cell_majority(ds.select_columns(["ix", "iy", "lang"]))
+
+
+def _sql_cell_majority() -> str:
+    from ..focal import sql_cell_majority
+
+    cols = sql_cell_columns(FOCAL_RES, TSC)
+    pts = f"SELECT doc_id, lang, {SQL_X} AS x, {SQL_Y} AS y FROM documents"
+    return sql_cell_majority(
+        points_cte=pts, ix_expr=cols["ix"], iy_expr=cols["iy"]
+    )
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-doc Shannon token entropy (text.token_entropy): each doc is
+    one row, so the whole op is batch-local — zero shuffles."""
+    import ray.data as rd
+
+    from ..text import token_entropy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return token_entropy(ds)
+
+
+def _sql_token_entropy() -> str:
+    from ..text import sql_token_entropy
+
+    return sql_token_entropy()
 
 
 #: urban-cluster floor: keep clusters totalling at least this many docs
@@ -2546,6 +2589,8 @@ def queries():
         "hier_rollup": q_hier_rollup,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
+        "cell_majority": q_cell_majority,
+        "token_entropy": q_token_entropy,
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "customer_nation": q_customer_nation,
@@ -2855,6 +2900,8 @@ def oracle_sql():
         "hier_rollup": _sql_hier_rollup(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
+        "cell_majority": _sql_cell_majority(),
+        "token_entropy": _sql_token_entropy(),
         "pii_scrub": _sql_pii_scrub(),
         "repetition": _sql_repetition(),
         "customer_nation": (

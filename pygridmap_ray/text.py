@@ -1177,3 +1177,89 @@ SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
        ROUND(per.lp * 1e{round_to}) / 1e{round_to} AS logprob2
 FROM (SELECT doc_id FROM {source}) d LEFT JOIN per USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# per-document token entropy (vocabulary-diversity quality signal)
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+):
+    """Shannon entropy of each document's token distribution (nats) —
+    the vocabulary-diversity signal quality filters pair with repetition
+    ratios (low entropy = template/boilerplate, degenerate repetition).
+
+    ``H = ln(n) - (sum_t c_t ln c_t) / n`` over ``\\S+`` tokens (the
+    repo-wide token law).  Each doc is one input row, so the whole
+    computation is batch-local — ZERO shuffles; per-batch the (doc,
+    term, tf) reduction comes from
+    :func:`pygridmap_ray.tfidf.doc_term_freqs` and two vectorized folds
+    finish it.  Docs with no tokens are absent (matching the SQL twin).
+
+    Output: ``doc_id, n_tokens, entropy`` (entropy rounded half-away;
+    the ln summation-order ulp is absorbed by the rounding, the
+    repo-wide float contract)."""
+    from .tfidf import doc_term_freqs
+
+    tol = 10.0**round_to
+
+    def kernel(b: pa.Table) -> pa.Table:
+        t = doc_term_freqs(b, id_col=id_col, text_col=text_col, n=1)
+        doc = np.asarray(t["doc"], np.int64)
+        tf = np.asarray(t["tf"], np.float64)
+        if not len(doc):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "entropy": pa.array([], pa.float64()),
+                }
+            )
+        order = np.argsort(doc, kind="stable")
+        doc, tf = doc[order], tf[order]
+        starts = np.nonzero(np.r_[True, doc[1:] != doc[:-1]])[0]
+        n = np.add.reduceat(tf, starts)
+        s = np.add.reduceat(tf * np.log(tf), starts)
+        h = np.log(n) - s / n
+        h = np.sign(h) * np.floor(np.abs(h) * tol + 0.5) / tol
+        return pa.table(
+            {
+                id_col: pa.array(doc[starts]),
+                "n_tokens": pa.array(n.astype(np.int64)),
+                "entropy": pa.array(h),
+            }
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow")
+
+
+def sql_token_entropy(
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source: str = "documents",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`token_entropy` (same token law and op
+    order: ``ln(n) - sum(c ln c) / n``, half-away rounding)."""
+    t = f"1e{round_to}"
+    return f"""
+WITH tk AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_split_to_array({text_col}, '\\s+')) AS tok
+  FROM {source}
+), tf AS (
+  SELECT doc_id, tok, COUNT(*)::DOUBLE AS tf
+  FROM tk WHERE tok <> '' GROUP BY doc_id, tok
+)
+SELECT doc_id AS {id_col}, SUM(tf)::BIGINT AS n_tokens,
+       ROUND((ln(SUM(tf)) - SUM(tf * ln(tf)) / SUM(tf)) * {t}) / {t}
+         AS entropy
+FROM tf GROUP BY doc_id
+"""

@@ -101,6 +101,8 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "grid_aggregation",
         "focal_mean",
         "cell_clusters",
+        "cell_majority",
+        "token_entropy",
         "weighted_sample",
         "iqr_outliers",
         "dup_gram_coverage",

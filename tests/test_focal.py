@@ -101,3 +101,27 @@ def test_clusters_doc_floor(ray_session):
     )
     assert len(out) == 1
     assert out["n_docs"].iloc[0] == 4 and out["n_cells"].iloc[0] == 2
+
+
+def test_majority_tiebreak_lex_smallest(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygridmap_ray.focal import cell_majority
+
+    # cell (0,0): 2x "fr", 2x "de" -> tie -> "de" (lex smallest); cell
+    # (1,1): clear "en" majority with share 2/3
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "ix": pa.array([0, 0, 0, 0, 1, 1, 1], pa.int64()),
+                "iy": pa.array([0, 0, 0, 0, 1, 1, 1], pa.int64()),
+                "lang": pa.array(["fr", "de", "fr", "de", "en", "en", "fr"]),
+            }
+        )
+    )
+    out = cell_majority(ds).to_pandas().sort_values(["ix", "iy"], ignore_index=True)
+    assert out.loc[0, "top_cat"] == "de" and out.loc[0, "n_top"] == 2
+    assert out.loc[0, "n_total"] == 4 and out.loc[0, "share"] == 0.5
+    assert out.loc[1, "top_cat"] == "en" and out.loc[1, "n_total"] == 3
+    assert abs(out.loc[1, "share"] - 0.666667) < 1e-9
