@@ -160,6 +160,13 @@ def _secondary() -> dict:
         ("events_sessionize", q.q_events_sessionize),
         ("events_retention", q.q_events_retention),
         ("poly_overlay", q.q_poly_overlay),
+        ("focal_mean", q.q_focal_mean),
+        ("cell_clusters", q.q_cell_clusters),
+        ("cell_majority", q.q_cell_majority),
+        ("dup_gram_coverage", q.q_dup_gram_coverage),
+        ("token_entropy", q.q_token_entropy),
+        ("weighted_sample", q.q_weighted_sample),
+        ("iqr_outliers", q.q_iqr_outliers),
         ("hll_distinct", q.q_hll_distinct),
         ("tfidf_pairs", q.q_tfidf_pairs),
         ("pagerank", q.q_pagerank),
