@@ -286,6 +286,43 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+#: per-group priority-sample size + salt
+PRIOG_K, PRIOG_SALT = 40, "psg1"
+
+
+def q_weighted_sample_group(sf_dir: str):
+    """Exactly-k weighted samples per language
+    (stats.priority_sample_grouped): the priority-sampling law ranked
+    within groups through the coarse-bucket top-k kernel."""
+    import ray.data as rd
+
+    from ..stats import priority_sample_grouped
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return priority_sample_grouped(
+        ds,
+        group_col="lang",
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=PRIOG_K,
+        salt=PRIOG_SALT,
+    )
+
+
+def _sql_weighted_sample_group() -> str:
+    from ..stats import sql_priority_sample_grouped
+
+    return sql_priority_sample_grouped(
+        group_col="lang",
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=PRIOG_K,
+        salt=PRIOG_SALT,
+    )
+
+
 def q_customer_nation(sf_dir: str):
     """Chained broadcast dimension lookups (joins.lookup_join): streaming
     customer fact -> nation -> region, zero shuffle joins — the canonical
@@ -2596,6 +2633,7 @@ def queries():
         "customer_nation": q_customer_nation,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
+        "weighted_sample_group": q_weighted_sample_group,
         "iqr_outliers": q_iqr_outliers,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -2911,6 +2949,7 @@ def oracle_sql():
         ),
         "stratified_sample": _sql_stratified_sample(),
         "weighted_sample": _sql_weighted_sample(),
+        "weighted_sample_group": _sql_weighted_sample_group(),
         "iqr_outliers": _sql_iqr_outliers(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),

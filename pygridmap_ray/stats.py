@@ -1619,6 +1619,72 @@ def priority_sample(
     )
 
 
+def priority_sample_grouped(
+    ds,
+    *,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    num_buckets: int = 64,
+):
+    """EXACTLY ``k`` weighted samples per group (fewer iff smaller) —
+    the per-group form of :func:`priority_sample`: same transcendental-
+    free ``w * 2^60 / (md5_60(key||salt) + 1)`` priority law, ranked
+    within each group via :func:`grouped_topk`'s coarse-bucket kernel
+    (one bounded shuffle, no per-group Python beyond the bucket scan).
+
+    Output: the input columns plus ``rank`` (1-based within group)."""
+    from .text import md5_prefix_int
+
+    scale = float(1 << 60)
+
+    def tag(b: pa.Table) -> pa.Table:
+        w = np.asarray(b[weight_col], np.float64)
+        if (w < 0).any():
+            raise ValueError("priority_sample weights must be >= 0")
+        h = md5_prefix_int(
+            pc.cast(b[key_col], pa.string()), salt=salt, hexdigits=15
+        ).astype(np.int64)
+        pri = w * scale / (h + 1).astype(np.float64)
+        return b.append_column("__pri", pa.array(pri))
+
+    out = grouped_topk(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        group_col=group_col,
+        order_col="__pri",
+        tiebreak_col=key_col,
+        k=k,
+        descending=True,
+        num_buckets=num_buckets,
+    )
+    return out.drop_columns(["__pri"])
+
+
+def sql_priority_sample_grouped(
+    *,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    source: str = "documents",
+    select: str = "doc_id, lang, n_chars",
+) -> str:
+    """DuckDB twin of :func:`priority_sample_grouped`."""
+    h = (
+        f"('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '{salt}'), 1, 15))"
+        f"::BIGINT"
+    )
+    pri = f"CAST({weight_col} AS DOUBLE) * 1152921504606846976.0 / ({h} + 1)"
+    return (
+        f"SELECT * FROM (SELECT {select}, ROW_NUMBER() OVER "
+        f"(PARTITION BY {group_col} ORDER BY {pri} DESC, {key_col}) AS rank "
+        f"FROM {source}) WHERE rank <= {k}"
+    )
+
+
 def sql_priority_sample(
     *,
     key_col: str,

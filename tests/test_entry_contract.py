@@ -104,6 +104,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "cell_majority",
         "token_entropy",
         "weighted_sample",
+        "weighted_sample_group",
         "iqr_outliers",
         "dup_gram_coverage",
         "knn",
