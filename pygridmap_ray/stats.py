@@ -1398,10 +1398,13 @@ def iqr_outliers(ds, *, key: str, value: str, round_to: int = 6):
     ``n_events`` (SQL CASE semantics).
 
     Scale shape: the quartile pass is the existing histogram two-phase
-    plan (shuffle carries distinct (key, value) pairs); the fence table
-    is one row per key — closure-captured, never shuffled; the scan pass
-    emits one partial row per (key, batch) and a low-cardinality groupby
-    folds them.  Output: ``key, n_events, n_outliers, outlier_rate``."""
+    plan — the shuffle carries distinct (key, value) pairs, which for a
+    CONTINUOUS value domain degrades to row scale (the documented limit
+    of the exact plan; swap in :func:`approx_quantiles` fences for
+    unbounded domains at corpus scale).  The fence table is one row per
+    key — closure-captured, never shuffled; the scan pass emits one
+    partial row per (key, batch) and a low-cardinality groupby folds
+    them.  Output: ``key, n_events, n_outliers, outlier_rate``."""
     quarts = grouped_quantiles_cont(
         ds, key=key, value=value, qs=(0.25, 0.75), round_to=round_to
     ).to_pandas()
