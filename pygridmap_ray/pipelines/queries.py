@@ -1430,6 +1430,26 @@ def _sql_dup_gram_coverage() -> str:
     return sql_dup_gram_coverage(n=3)
 
 
+def q_percent_rank(sf_dir: str):
+    """Distributed PERCENT_RANK window (stats.percent_rank): bounded
+    histogram reduce + broadcast per-group CDF; row stream never
+    shuffles."""
+    import ray.data as rd
+
+    from ..stats import percent_rank
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return percent_rank(ds, group_col="lang", value_col="n_chars")
+
+
+def _sql_percent_rank() -> str:
+    from ..stats import sql_percent_rank
+
+    return sql_percent_rank(group_col="lang", value_col="n_chars")
+
+
 def q_iqr_outliers(sf_dir: str):
     """Per-event-type Tukey-fence outlier profile (stats.iqr_outliers):
     histogram-plan quartiles -> closure-broadcast fences -> one scan
@@ -2635,6 +2655,7 @@ def queries():
         "weighted_sample": q_weighted_sample,
         "weighted_sample_group": q_weighted_sample_group,
         "iqr_outliers": q_iqr_outliers,
+        "percent_rank": q_percent_rank,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
@@ -2951,6 +2972,7 @@ def oracle_sql():
         "weighted_sample": _sql_weighted_sample(),
         "weighted_sample_group": _sql_weighted_sample_group(),
         "iqr_outliers": _sql_iqr_outliers(),
+        "percent_rank": _sql_percent_rank(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),

@@ -1384,6 +1384,75 @@ def grouped_quantiles_cont(
     return hist.groupby(key).map_groups(finish, batch_format="pandas")
 
 
+def percent_rank(
+    ds, *, group_col: str, value_col: str, round_to: int = 6
+):
+    """SQL's ``PERCENT_RANK() OVER (PARTITION BY group ORDER BY value)``
+    for every row, without a window shuffle: ``(rank_min - 1) / (n - 1)``
+    where ``rank_min - 1`` is the count of strictly smaller values in
+    the group (single-row groups rank 0, the SQL edge case).
+
+    Plan: the bounded-domain histogram reduce (shuffle carries distinct
+    (group, value) pairs — the same contract as
+    :func:`grouped_quantiles`), then the per-group sorted values +
+    cumulative counts broadcast once (``ray.put`` + per-worker cache)
+    and every row resolves with one vectorized ``searchsorted`` — the
+    row stream itself never shuffles.
+
+    Output: the input columns plus ``pct_rank`` (rounded half-away)."""
+    import ray
+
+    from .spatial import _cached_kernel
+
+    hist = ds.groupby([group_col, value_col]).count().to_pandas()
+    hist = hist.sort_values([group_col, value_col], kind="stable")
+    payload = {}
+    for g, sub in hist.groupby(group_col, sort=False):
+        vals = sub[value_col].to_numpy(np.float64)
+        cnt = sub["count()"].to_numpy(np.int64)
+        below = np.concatenate([[0], cnt.cumsum()[:-1]])
+        payload[g] = {"vals": vals, "below": below, "n": int(cnt.sum())}
+    ref = {"__ref__": ray.put(payload)}
+    ckey = f"pct-rank:{ref['__ref__'].hex()}"
+    tol = 10.0**round_to
+
+    def attach(b: pa.Table) -> pa.Table:
+        p = _cached_kernel(ckey, ref, lambda x: x)
+        ks = np.asarray(pc.cast(b[group_col], pa.string())).astype(object)
+        v = np.asarray(b[value_col], np.float64)
+        out = np.zeros(len(v), np.float64)
+        for g in np.unique(ks):
+            m = ks == g
+            st = p.get(g)
+            if st is None or st["n"] <= 1:
+                continue
+            idx = np.searchsorted(st["vals"], v[m], side="left")
+            out[m] = st["below"][np.clip(idx, 0, len(st["vals"]) - 1)] / (
+                st["n"] - 1
+            )
+        out = np.floor(out * tol + 0.5) / tol  # percent ranks are >= 0
+        return b.append_column("pct_rank", pa.array(out))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def sql_percent_rank(
+    *,
+    group_col: str,
+    value_col: str,
+    source: str = "documents",
+    select: str = "doc_id, lang, n_chars",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`percent_rank`."""
+    t = f"1e{round_to}"
+    return (
+        f"SELECT {select}, ROUND(PERCENT_RANK() OVER "
+        f"(PARTITION BY {group_col} ORDER BY {value_col}) * {t}) / {t} "
+        f"AS pct_rank FROM {source}"
+    )
+
+
 def iqr_outliers(ds, *, key: str, value: str, round_to: int = 6):
     """Per-key Tukey-fence outlier profile: rows outside
     ``[q1 - 1.5*iqr, q3 + 1.5*iqr]`` (strict compare) with

@@ -106,6 +106,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "weighted_sample",
         "weighted_sample_group",
         "iqr_outliers",
+        "percent_rank",
         "dup_gram_coverage",
         "knn",
         "spans_roundtrip",

@@ -1,0 +1,134 @@
+"""Property tests: the round-3 sampling / window / focal family.
+
+Invariants that must hold under ANY partitioning (the content-stable
+contract): priority-sample membership, focal mass conservation,
+percent_rank bounds.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table(n=400, seed=7):
+    rng = np.random.RandomState(seed)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "n_chars": pa.array(rng.randint(1, 500, n).astype(np.int64)),
+        }
+    )
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 17])
+def test_priority_sample_partition_invariant(ray_session, blocks):
+    import ray.data as rd
+
+    from pygridmap_ray.stats import priority_sample
+
+    t = _docs_table()
+    ds = rd.from_arrow(t).repartition(blocks)
+    out = (
+        priority_sample(ds, key_col="doc_id", weight_col="n_chars", k=25)
+        .to_pandas()
+        .sort_values("rank", ignore_index=True)
+    )
+    assert len(out) == 25
+    # membership is a pure function of content: recompute the law locally
+    import hashlib
+
+    w = t["n_chars"].to_numpy()
+    h = np.array(
+        [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+            for d in t["doc_id"].to_numpy()
+        ],
+        dtype=np.int64,
+    )
+    pri = w.astype(np.float64) * float(1 << 60) / (h + 1).astype(np.float64)
+    expect = t["doc_id"].to_numpy()[np.lexsort((t["doc_id"].to_numpy(), -pri))][:25]
+    assert out["doc_id"].tolist() == expect.tolist()
+
+
+def test_priority_sample_k_exceeds_n(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.stats import priority_sample
+
+    ds = rd.from_arrow(_docs_table(n=6))
+    out = priority_sample(ds, key_col="doc_id", weight_col="n_chars", k=50)
+    df = out.to_pandas()
+    assert len(df) == 6
+    assert df["rank"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_zero_weight_rows_lose(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.stats import priority_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+            "n_chars": pa.array(
+                np.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 1], dtype=np.int64)
+            ),
+        }
+    )
+    out = priority_sample(
+        rd.from_arrow(t), key_col="doc_id", weight_col="n_chars", k=5
+    ).to_pandas()
+    # all weighted rows outrank every zero-weight row
+    assert sorted(out["doc_id"].tolist()) == [5, 6, 7, 8, 9]
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_focal_mass_conservation(ray_session, blocks):
+    import ray.data as rd
+
+    from pygridmap_ray.focal import focal_counts
+
+    rng = np.random.RandomState(3)
+    ix = rng.randint(0, 12, 300).astype(np.int64)
+    iy = rng.randint(0, 12, 300).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"ix": pa.array(ix), "iy": pa.array(iy)})).repartition(
+        blocks
+    )
+    out = focal_counts(ds).to_pandas()
+    # every point lands in exactly one occupied cell
+    assert out["n_docs"].sum() == 300
+    # a cell's focal sum includes itself
+    assert (out["focal_sum"] >= out["n_docs"]).all()
+    # partitioning must not change anything (content-stable law)
+    out1 = focal_counts(
+        rd.from_arrow(pa.table({"ix": pa.array(ix), "iy": pa.array(iy)}))
+    ).to_pandas()
+    a = out.sort_values(["ix", "iy"], ignore_index=True)
+    b = out1.sort_values(["ix", "iy"], ignore_index=True)
+    assert a.equals(b)
+
+
+def test_percent_rank_bounds_and_edges(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.stats import percent_rank
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(7, dtype=np.int64)),
+            "lang": pa.array(["en"] * 5 + ["de"] + ["fr"]),
+            "n_chars": pa.array(np.array([5, 1, 5, 9, 3, 4, 8], dtype=np.int64)),
+        }
+    )
+    out = (
+        percent_rank(rd.from_arrow(t), group_col="lang", value_col="n_chars")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # en values [5,1,5,9,3]: ranks-1 = [2,0,2,4,1] over n-1=4
+    assert out.loc[0, "pct_rank"] == 0.5
+    assert out.loc[1, "pct_rank"] == 0.0
+    assert out.loc[3, "pct_rank"] == 1.0
+    assert out.loc[4, "pct_rank"] == 0.25
+    # singleton groups are 0 (SQL edge)
+    assert out.loc[5, "pct_rank"] == 0.0 and out.loc[6, "pct_rank"] == 0.0
