@@ -651,12 +651,19 @@ def ngram_jaccard_pairs(
             }
         )
 
+    from .cluster import ensure_block_schema
+
+    _cand_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     cands = (
-        emitted.map_batches(_pack_pairs, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(_count_filter, batch_format="pandas")
-        # merge away empty column-less partitions the hash shuffle can
-        # emit on small inputs — Dataset.join rejects degenerate schemas
+        ensure_block_schema(
+            # the hash-shuffle map_groups emits COLUMN-LESS blocks for
+            # empty partitions; joins reject them and a bare repartition
+            # only heals it while width <= non-empty block count
+            emitted.map_batches(_pack_pairs, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(_count_filter, batch_format="pandas"),
+            _cand_schema,
+        )
         .repartition(num_partitions)
         # three consumers (two bloom builds + the verify join)
         .materialize()
@@ -697,11 +704,28 @@ def ngram_jaccard_pairs(
     sets_b = bloom_prefilter(
         sets.map_batches(_rename("b"), batch_format="pyarrow"), bloom_b, "id_b"
     )
-    half = cands.join(
-        sets_a, join_type="inner", num_partitions=num_partitions, on=("id_a",)
-    ).repartition(num_partitions)  # joins emit schema-less empty partitions
-    joined = half.join(
-        sets_b, join_type="inner", num_partitions=num_partitions, on=("id_b",)
+    from .cluster import safe_join
+
+    _half_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("sh_a", pa.binary())]
+    )
+    half = safe_join(
+        cands,
+        sets_a,
+        "inner",
+        num_partitions=num_partitions,
+        on=("id_a",),
+        left_schema=_cand_schema,
+        right_schema=pa.schema([("id_a", pa.int64()), ("sh_a", pa.binary())]),
+    )
+    joined = safe_join(
+        half,
+        sets_b,
+        "inner",
+        num_partitions=num_partitions,
+        on=("id_b",),
+        left_schema=_half_schema,
+        right_schema=pa.schema([("id_b", pa.int64()), ("sh_b", pa.binary())]),
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -1094,13 +1118,19 @@ def neardup_components(docs, pairs, *, id_col: str = "doc_id",
     comp = connected_components(
         pairs, max_iter=max_iter, num_partitions=num_partitions
     )
+    from .cluster import safe_join
+
     nparts = num_partitions
-    out = docs.select_columns([id_col]).repartition(nparts).join(
+    out = safe_join(
+        docs.select_columns([id_col]).repartition(nparts),
         comp,
         "left_outer",
         num_partitions=nparts,
         on=(id_col,),
         right_on=("node",),
+        # comp can be a single EMPTY block (no pairs) — the explicit
+        # schema lets the guard emit its never-matching sentinel row
+        right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
     )
 
     def finish(b: pa.Table) -> pa.Table:

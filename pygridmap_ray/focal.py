@@ -267,12 +267,20 @@ def cell_clusters(
     )
     labels = connected_components(edges, src="id_a", dst="id_b")
 
-    joined = cells.join(
-        labels.repartition(nparts),
+    from .cluster import safe_join
+
+    joined = safe_join(
+        cells,
+        labels,
         "inner",
         num_partitions=nparts,
         on=("pk",),
         right_on=("node",),
+        # guards against the hash-shuffle schema race on sparse inputs
+        # (cells < width after the threshold, or a label table from the
+        # local CC solve) — see cluster.compact_blocks
+        left_schema=pa.schema([("pk", pa.int64()), ("cnt", pa.float64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
     )
 
     def cluster_partial(b: pa.Table) -> pa.Table:

@@ -325,7 +325,16 @@ def _argext_joins(frags, rule, columns, carry):
     best = real.groupby("cell_id").aggregate(
         agg("area_pct", alias_name="__best_pct__")
     )
-    j1 = real.join(best, "inner", num_partitions=nparts, on=("cell_id",))
+    from .cluster import safe_join
+
+    # best/tie are aggregate outputs and f1 a filter-on-join output —
+    # all can carry empty blocks on small inputs (hash-shuffle schema
+    # race, see cluster.compact_blocks); they are reduction-scale, so
+    # the guard's materialize is bounded
+    j1 = safe_join(
+        real, best, "inner", num_partitions=nparts, on=("cell_id",),
+        right_schema="auto",
+    )
     f1 = j1.map_batches(
         lambda b: b.filter(
             pc.equal(b["area_pct"], b["__best_pct__"])
@@ -333,7 +342,10 @@ def _argext_joins(frags, rule, columns, carry):
         batch_format="pyarrow",
     )
     tie = f1.groupby("cell_id").aggregate(Min("poly_id", alias_name="__best_poly__"))
-    j2 = f1.join(tie, "inner", num_partitions=nparts, on=("cell_id",))
+    j2 = safe_join(
+        f1, tie, "inner", num_partitions=nparts, on=("cell_id",),
+        left_schema="auto", right_schema="auto",
+    )
     out = j2.map_batches(
         lambda b: b.filter(
             pc.equal(b["poly_id"], b["__best_poly__"])

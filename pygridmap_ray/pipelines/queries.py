@@ -1145,11 +1145,14 @@ def q_corpus_curate(sf_dir: str):
     scored = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
         score, batch_format="pyarrow"
     )
-    from ..cluster import default_num_partitions
+    from ..cluster import default_num_partitions, safe_join
 
-    out = kept.select_columns(["doc_id"]).join(
-        scored, "inner", num_partitions=default_num_partitions(),
-        on=("doc_id",),
+    # both sides are filter outputs (empty blocks possible on small
+    # inputs) — guard against the hash-shuffle schema race
+    out = safe_join(
+        kept.select_columns(["doc_id"]), scored, "inner",
+        num_partitions=default_num_partitions(), on=("doc_id",),
+        left_schema="auto", right_schema="auto",
     )
     return out.select_columns(["doc_id", "lang", "quality"])
 
@@ -1317,7 +1320,14 @@ def q_llm_prepare(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    clean = clean.join(keep, "inner", num_partitions=nparts, on=("doc_id",))
+    from ..cluster import safe_join
+
+    # clean is a filter output and keep an aggregate output — both can
+    # carry empty blocks on small inputs (hash-shuffle schema race)
+    clean = safe_join(
+        clean, keep, "inner", num_partitions=nparts, on=("doc_id",),
+        left_schema="auto", right_schema="auto",
+    )
     train = split_by_hash(clean, key_col="doc_id").map_batches(
         lambda b: b.filter(pc.equal(b["split"], pa.scalar("train"))).select(
             ["doc_id", "n_tokens"]

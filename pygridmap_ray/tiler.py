@@ -878,7 +878,12 @@ def grid_aggregation(
         best = sel.groupby(["xa", "ya"]).aggregate(
             Min(f"{col}__so", alias_name="__bso")
         )
-        j = sel.join(best, "inner", num_partitions=nparts, on=("xa", "ya"))
+        from .cluster import safe_join
+
+        j = safe_join(
+            sel, best, "inner", num_partitions=nparts, on=("xa", "ya"),
+            right_schema="auto",  # aggregate output: schema-race guard
+        )
         hit = j.map_batches(
             lambda b, _c=col: b.filter(
                 pc.equal(b[f"{_c}__so"], b["__bso"])
@@ -895,7 +900,11 @@ def grid_aggregation(
         out = (
             single_out
             if out is None
-            else out.join(single_out, "inner", num_partitions=nparts, on=("xa", "ya"))
+            else safe_join(
+                out, single_out, "inner", num_partitions=nparts,
+                on=("xa", "ya"),
+                left_schema="auto", right_schema="auto",
+            )
         )
 
     return out.map_batches(

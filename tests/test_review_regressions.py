@@ -313,3 +313,46 @@ def test_events_retention_pre_1970(ray_session, tmp_path):
     )
     assert got.astype(str).equals(exp.astype(str))
     assert int(got["cohort_week"].min()) < 0
+
+
+def test_safe_join_survives_empty_first_block_schema_race(ray_session):
+    """Ray 2.49 hash-shuffle join loses a side's schema broadcast when
+    its FIRST-dispatched block is empty; row-less partitions then
+    finalize column-less and Acero throws.  safe_join's compact guard
+    must make the deterministic worst case (empty blocks first) pass."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygridmap_ray.cluster import safe_join
+
+    def mk(n_keys, empty_first, name):
+        tables = [
+            pa.table({"k": pa.array([], pa.int64()),
+                      name: pa.array([], pa.float64())})
+        ] * empty_first
+        tables.append(
+            pa.table({"k": pa.array(np.arange(n_keys, dtype=np.int64)),
+                      name: pa.array(np.ones(n_keys))})
+        )
+        return rd.from_arrow(tables)
+
+    sch_l = pa.schema([("k", pa.int64()), ("x", pa.float64())])
+    sch_r = pa.schema([("k", pa.int64()), ("y", pa.float64())])
+    out = safe_join(
+        mk(20, 8, "x"), mk(3, 8, "y"), "inner", num_partitions=16,
+        on=("k",), left_schema=sch_l, right_schema=sch_r,
+    ).to_pandas()
+    assert sorted(out["k"].tolist()) == [0, 1, 2]
+
+    # globally-empty side: the sentinel row keeps the shuffle schema-ful
+    # and the inner join drops it
+    empty = rd.from_arrow(
+        [pa.table({"k": pa.array([], pa.int64()),
+                   "y": pa.array([], pa.float64())})]
+    )
+    out = safe_join(
+        mk(5, 0, "x"), empty, "inner", num_partitions=16, on=("k",),
+        left_schema=sch_l, right_schema=sch_r,
+    ).to_pandas()
+    assert len(out) == 0
