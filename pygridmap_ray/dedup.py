@@ -1066,7 +1066,10 @@ def connected_components(pairs, *, src: str = "id_a", dst: str = "id_b",
 
     def _norm(ds):
         # hash aggregates emit empty partitions with column-less schemas;
-        # normalize (merge) blocks before they reach a join/union
+        # normalize (merge) blocks before they reach a join/union.  A
+        # balanced repartition suffices here (no safe_join guard): the
+        # distributed loop only runs above local_max_edges, so labels /
+        # edges rows >> nparts and no block is empty.
         return ds.repartition(nparts).materialize()
 
     # label0(node) = min(node, min neighbor)

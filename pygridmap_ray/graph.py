@@ -157,7 +157,10 @@ def pagerank(
         )
 
     # big-graph path: the state is a Dataset, attached per superstep with
-    # a partitioned hash join
+    # a partitioned hash join.  No safe_join guard needed: this path only
+    # runs above the broadcast limit (nodes >> join width), and every
+    # side is a fresh balanced repartition — no empty blocks to lose the
+    # hash-shuffle schema race on (cluster.compact_blocks docstring).
     deg_ds = deg.map_batches(
         lambda b: pa.table({"src": b["src"], "deg": b["val"]}),
         batch_format="pyarrow",
