@@ -1411,7 +1411,8 @@ def percent_rank(
         vals = sub[value_col].to_numpy(np.float64)
         cnt = sub["count()"].to_numpy(np.int64)
         below = np.concatenate([[0], cnt.cumsum()[:-1]])
-        payload[g] = {"vals": vals, "below": below, "n": int(cnt.sum())}
+        # str() key matches the batch-side string cast for any key dtype
+        payload[str(g)] = {"vals": vals, "below": below, "n": int(cnt.sum())}
     ref = {"__ref__": ray.put(payload)}
     ckey = f"pct-rank:{ref['__ref__'].hex()}"
     tol = 10.0**round_to
@@ -1477,13 +1478,16 @@ def iqr_outliers(ds, *, key: str, value: str, round_to: int = 6):
     quarts = grouped_quantiles_cont(
         ds, key=key, value=value, qs=(0.25, 0.75), round_to=round_to
     ).to_pandas()
-    fences = {
-        r[key]: (
-            r["q25"] - 1.5 * (r["q75"] - r["q25"]),
-            r["q75"] + 1.5 * (r["q75"] - r["q25"]),
+    # column-wise build (iterrows would coerce mixed rows to float64 and
+    # mangle int keys to "1.0"); str keys match the scan pass's cast
+    q1 = quarts["q25"].to_numpy(np.float64)
+    q3 = quarts["q75"].to_numpy(np.float64)
+    fences = dict(
+        zip(
+            quarts[key].astype(str).tolist(),
+            zip(q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)),
         )
-        for _, r in quarts.iterrows()
-    }
+    )
     tol = 10.0**round_to
 
     def partial(b: pa.Table) -> pa.Table:

@@ -132,3 +132,29 @@ def test_percent_rank_bounds_and_edges(ray_session):
     assert out.loc[4, "pct_rank"] == 0.25
     # singleton groups are 0 (SQL edge)
     assert out.loc[5, "pct_rank"] == 0.0 and out.loc[6, "pct_rank"] == 0.0
+
+
+def test_percent_rank_and_iqr_with_int_group_keys(ray_session):
+    """Broadcast dicts must hit for NON-string group keys too (the scan
+    side casts keys to string; the build side must match)."""
+    import ray.data as rd
+
+    from pygridmap_ray.stats import iqr_outliers, percent_rank
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 1, 2, 2, 2, 2], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 10.0, 10.0, 10.0, 99.0]),
+        }
+    )
+    pr = (
+        percent_rank(rd.from_arrow(t), group_col="g", value_col="v")
+        .to_pandas()
+    )
+    # non-degenerate ranks prove the broadcast lookup hit
+    assert pr["pct_rank"].max() == 1.0 and pr["pct_rank"].min() == 0.0
+    out = iqr_outliers(rd.from_arrow(t), key="g", value="v").to_pandas()
+    out = out.sort_values("g", ignore_index=True)
+    assert out["n_events"].tolist() == [4, 4]
+    # group 2: q1=10, q3=32.25ish -> 99 is beyond the upper fence
+    assert out.loc[1, "n_outliers"] >= 1
