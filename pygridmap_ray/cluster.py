@@ -30,38 +30,7 @@ def default_num_partitions(min_parts: int = 2, per_cpu: float = 0.5) -> int:
     return max(min_parts, int(cpus * per_cpu))
 
 
-def ensure_block_schema(ds, schema):
-    """Force EVERY block of ``ds`` to carry exactly ``schema``.
-
-    Ray's hash-shuffle ``groupby().map_groups()`` SKIPS the UDF on empty
-    hash partitions and emits their blocks as-is — EMPTY AND COLUMN-LESS.
-    ``map_batches`` stages silently absorb those, but ``Dataset.join`` /
-    ``union`` consume blocks per partition and reject a degenerate
-    schema (Acero: "No match ... for key field reference").  The legacy
-    workaround — ``.repartition(n)`` to merge them away — only works
-    while every output partition receives at least one non-empty block,
-    i.e. it silently breaks when ``n`` (cluster-derived!) exceeds the
-    non-empty block count; small inputs on wide clusters hit exactly
-    that.  This helper is width-independent: degenerate blocks are
-    replaced by an empty table of ``schema``, real blocks are projected
-    and cast to it.  ``batch_size=None`` keeps the mapping per-block
-    (zero-copy; never concatenates mismatched schemas).
-
-    Use it on any join/union input produced by a hash-shuffle
-    ``map_groups`` / ``aggregate`` stage."""
-    import pyarrow as pa
-
-    empty = schema.empty_table()
-
-    def fix(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or b.num_columns == 0:
-            return empty
-        return b.select(schema.names).cast(schema)
-
-    return ds.map_batches(fix, batch_format="pyarrow", batch_size=None)
-
-
-def compact_blocks(ds, schema=None, sentinel_keys: dict | None = None):
+def compact_blocks(ds, schema, sentinel_keys: dict | None = None):
     """Rebuild ``ds`` from its NON-EMPTY blocks only — the deterministic
     guard against Ray 2.49's hash-shuffle schema race.
 
@@ -92,15 +61,8 @@ def compact_blocks(ds, schema=None, sentinel_keys: dict | None = None):
     import pyarrow as pa
     import ray.data as rd
 
-    if schema is not None:
-        def fix(b):
-            return b.select(schema.names).cast(schema)
-    else:
-        # identity through a pyarrow map: non-empty pandas blocks become
-        # Arrow (from_arrow_refs needs that); empty blocks skip the UDF
-        # and are dropped below anyway
-        def fix(b):
-            return b
+    def fix(b):
+        return b.select(schema.names).cast(schema)
 
     mat = ds.map_batches(fix, batch_format="pyarrow", batch_size=None).materialize()
     refs = []
@@ -112,12 +74,6 @@ def compact_blocks(ds, schema=None, sentinel_keys: dict | None = None):
         # an empty single block would be the side's first-shuffled block
         # and lose the race deterministically: emit ONE sentinel row with
         # never-matching keys instead (the join drops it)
-        if schema is None:
-            raise ValueError(
-                "compact_blocks: side has no rows anywhere and no schema "
-                "was given — pass an explicit schema for sides that can "
-                "be globally empty"
-            )
         cols = []
         for f in schema:
             if f.name in (sentinel_keys or {}):
@@ -146,13 +102,15 @@ def safe_join(
     carry empty or column-less blocks (downstream of a filter,
     ``map_groups``, aggregate, join, or a width>rows repartition) AND
     whose volume is bounded (the compact materializes); pass ``None``
-    for dense corpus-scale sides (raw reads / row-preserving maps /
-    fresh balanced repartitions with rows >= width), which have no
-    empty blocks to race on.  Pass the string ``"auto"`` to guard a
-    side whose schema is awkward to state (generic value columns): the
-    schema is derived from the materialized non-empty blocks —
-    "auto" sides must not be globally empty (no sentinel can be built
-    without a schema; such sides need the explicit form)."""
+    for dense sides (raw reads / row-preserving maps), which have no
+    empty blocks to race on.  For UNBOUNDED sides that merely passed a
+    filter, prefer a fresh balanced ``.repartition(width)`` right
+    before the join — it yields non-empty blocks whenever rows >=
+    width (every realistic scale) without pinning the side."""
+    if join_type not in ("inner", "left_outer"):
+        # a guarded side's sentinel row would surface in the output of
+        # right/full outer joins (unmatched right rows are kept there)
+        raise ValueError("safe_join supports inner and left_outer only")
     if join_type == "left_outer" and left_schema is not None:
         raise ValueError(
             "left_outer: guard only the right side (a left sentinel row "
@@ -161,21 +119,20 @@ def safe_join(
         )
     rkeys = right_on or on
     if left_schema is not None:
-        sch = None if left_schema == "auto" else left_schema
-        sent = (
-            {k: _sentinel_for(sch.field(k).type, "left") for k in on}
-            if sch is not None
-            else None
+        left = compact_blocks(
+            left,
+            left_schema,
+            {k: _sentinel_for(left_schema.field(k).type, "left") for k in on},
         )
-        left = compact_blocks(left, sch, sent)
     if right_schema is not None:
-        sch = None if right_schema == "auto" else right_schema
-        sent = (
-            {k: _sentinel_for(sch.field(k).type, "right") for k in rkeys}
-            if sch is not None
-            else None
+        right = compact_blocks(
+            right,
+            right_schema,
+            {
+                k: _sentinel_for(right_schema.field(k).type, "right")
+                for k in rkeys
+            },
         )
-        right = compact_blocks(right, sch, sent)
     return left.join(
         right,
         join_type,

@@ -651,19 +651,15 @@ def ngram_jaccard_pairs(
             }
         )
 
-    from .cluster import ensure_block_schema
-
     _cand_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     cands = (
-        ensure_block_schema(
-            # the hash-shuffle map_groups emits COLUMN-LESS blocks for
-            # empty partitions; joins reject them and a bare repartition
-            # only heals it while width <= non-empty block count
-            emitted.map_batches(_pack_pairs, batch_format="pyarrow")
-            .groupby("__b")
-            .map_groups(_count_filter, batch_format="pandas"),
-            _cand_schema,
-        )
+        emitted.map_batches(_pack_pairs, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(_count_filter, batch_format="pandas")
+        # the hash-shuffle map_groups emits COLUMN-LESS blocks for empty
+        # partitions; the repartition merges them for the two bloom-build
+        # consumers (their map UDFs skip empty blocks anyway), and the
+        # verify JOIN below is guarded by safe_join's compaction
         .repartition(num_partitions)
         # three consumers (two bloom builds + the verify join)
         .materialize()

@@ -31,8 +31,11 @@ import pyarrow as pa
 
 from .tfidf import _coarse_sum
 
-#: cell coords must fit this packing (iy * 2^32 + ix, both >= 0)
+#: cell coords must fit this packing (iy * 2^32 + ix, both >= 0;
+#: iy is bounded so pk - and the clusters path sentinel pk + 2^32
+#: north claim - stays inside int64)
 _PACK_SHIFT = np.int64(1) << np.int64(32)
+_PACK_MAX_IY = (np.int64(1) << np.int64(31)) - np.int64(1)
 
 
 def _cell_count_spread(
@@ -53,8 +56,13 @@ def _cell_count_spread(
         return empty
     ix = np.asarray(b[ix_col], np.int64)
     iy = np.asarray(b[iy_col], np.int64)
-    if (ix < 0).any() or (iy < 0).any() or (ix >= _PACK_SHIFT).any():
-        raise ValueError("focal cells must satisfy 0 <= ix < 2^32, iy >= 0")
+    if (
+        (ix < 0).any() or (iy < 0).any()
+        or (ix >= _PACK_SHIFT).any() or (iy >= _PACK_MAX_IY).any()
+    ):
+        raise ValueError(
+            "focal cells must satisfy 0 <= ix < 2^32, 0 <= iy < 2^31-1"
+        )
     pk = iy * _PACK_SHIFT + ix
     u, cnt = np.unique(pk, return_counts=True)
     cix = u % _PACK_SHIFT
@@ -195,28 +203,47 @@ def cell_clusters(
             )
         ix = np.asarray(b[ix_col], np.int64)
         iy = np.asarray(b[iy_col], np.int64)
-        if (ix < 0).any() or (iy < 0).any() or (ix >= _PACK_SHIFT - 1).any():
-            # ix == 2^32-1 would make the east-claim key wrap into row iy+1
-            raise ValueError("cluster cells must satisfy 0 <= ix < 2^32-1, iy >= 0")
+        if (
+            (ix < 0).any() or (iy < 0).any()
+            or (ix >= _PACK_SHIFT - 1).any() or (iy >= _PACK_MAX_IY).any()
+        ):
+            # ix == 2^32-1 would make the east-claim key wrap into row
+            # iy+1; iy >= 2^31-1 would overflow pk (and the north claim)
+            raise ValueError(
+                "cluster cells must satisfy 0 <= ix < 2^32-1, "
+                "0 <= iy < 2^31-1"
+            )
         pk = iy * _PACK_SHIFT + ix
         u, cnt = np.unique(pk, return_counts=True)
         return pa.table(
             {"pk": pa.array(u), "cnt": pa.array(cnt.astype(np.float64))}
         )
 
-    cells = _coarse_sum(
-        ds.map_batches(count_partial, batch_format="pyarrow"),
-        ["pk"],
-        ("cnt",),
-        num_buckets=num_buckets,
-    ).map_batches(
-        lambda b: b.filter(
-            np.asarray(b["cnt"], np.float64) >= float(min_count)
-        ),
-        batch_format="pyarrow",
-    )
+    from .cluster import LEFT_SENTINEL, compact_blocks
+
     nparts = default_num_partitions()
-    cells = cells.repartition(nparts).materialize()  # consumed 2x (claims + join)
+    _cells_schema = pa.schema([("pk", pa.int64()), ("cnt", pa.float64())])
+    # ONE materialize serves both consumers (claims + join) AND removes
+    # every empty block (threshold filter + map_groups can leave them),
+    # so the join below needs no further left-side guard — see
+    # cluster.compact_blocks (hash-shuffle schema race)
+    cells = compact_blocks(
+        _coarse_sum(
+            ds.map_batches(count_partial, batch_format="pyarrow"),
+            ["pk"],
+            ("cnt",),
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda b: b.filter(
+                np.asarray(b["cnt"], np.float64) >= float(min_count)
+            ),
+            batch_format="pyarrow",
+        ),
+        _cells_schema,
+        # zero occupied cells -> one sentinel cell with null count; its
+        # fake singleton cluster dies at the NaN >= floor filter below
+        sentinel_keys={"pk": LEFT_SENTINEL},
+    )
 
     def claims(b: pa.Table) -> pa.Table:
         pk = np.asarray(b["pk"], np.int64)
@@ -270,16 +297,14 @@ def cell_clusters(
     from .cluster import safe_join
 
     joined = safe_join(
-        cells,
+        cells,  # already compacted above — no empty blocks
         labels,
         "inner",
         num_partitions=nparts,
         on=("pk",),
         right_on=("node",),
-        # guards against the hash-shuffle schema race on sparse inputs
-        # (cells < width after the threshold, or a label table from the
-        # local CC solve) — see cluster.compact_blocks
-        left_schema=pa.schema([("pk", pa.int64()), ("cnt", pa.float64())]),
+        # the label side can be sparse or globally empty (local CC solve
+        # on a tiny graph) — see cluster.compact_blocks
         right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
     )
 
@@ -397,8 +422,13 @@ def cell_majority(
             return empty
         ix = np.asarray(b[ix_col], np.int64)
         iy = np.asarray(b[iy_col], np.int64)
-        if (ix < 0).any() or (iy < 0).any() or (ix >= _PACK_SHIFT).any():
-            raise ValueError("majority cells must satisfy 0 <= ix < 2^32, iy >= 0")
+        if (
+            (ix < 0).any() or (iy < 0).any()
+            or (ix >= _PACK_SHIFT).any() or (iy >= _PACK_MAX_IY).any()
+        ):
+            raise ValueError(
+                "majority cells must satisfy 0 <= ix < 2^32, 0 <= iy < 2^31-1"
+            )
         df = pd.DataFrame(
             {
                 "pk": iy * _PACK_SHIFT + ix,

@@ -325,26 +325,25 @@ def _argext_joins(frags, rule, columns, carry):
     best = real.groupby("cell_id").aggregate(
         agg("area_pct", alias_name="__best_pct__")
     )
-    from .cluster import safe_join
-
     # best/tie are aggregate outputs and f1 a filter-on-join output —
-    # all can carry empty blocks on small inputs (hash-shuffle schema
-    # race, see cluster.compact_blocks); they are reduction-scale, so
-    # the guard's materialize is bounded
-    j1 = safe_join(
-        real, best, "inner", num_partitions=nparts, on=("cell_id",),
-        right_schema="auto",
+    # all can carry empty blocks on small inputs (the hash-shuffle
+    # schema race, cluster.compact_blocks docstring).  Balanced
+    # repartitions keep every block non-empty whenever rows >= width
+    # without pinning the (cell-scale, unbounded) sides.
+    j1 = real.join(
+        best.repartition(nparts), "inner", num_partitions=nparts,
+        on=("cell_id",),
     )
     f1 = j1.map_batches(
         lambda b: b.filter(
             pc.equal(b["area_pct"], b["__best_pct__"])
         ).drop_columns(["__best_pct__"]),
         batch_format="pyarrow",
-    )
+    ).repartition(nparts)
     tie = f1.groupby("cell_id").aggregate(Min("poly_id", alias_name="__best_poly__"))
-    j2 = safe_join(
-        f1, tie, "inner", num_partitions=nparts, on=("cell_id",),
-        left_schema="auto", right_schema="auto",
+    j2 = f1.join(
+        tie.repartition(nparts), "inner", num_partitions=nparts,
+        on=("cell_id",),
     )
     out = j2.map_batches(
         lambda b: b.filter(

@@ -1145,14 +1145,17 @@ def q_corpus_curate(sf_dir: str):
     scored = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
         score, batch_format="pyarrow"
     )
-    from ..cluster import default_num_partitions, safe_join
+    from ..cluster import default_num_partitions
 
     # both sides are filter outputs (empty blocks possible on small
-    # inputs) — guard against the hash-shuffle schema race
-    out = safe_join(
-        kept.select_columns(["doc_id"]), scored, "inner",
-        num_partitions=default_num_partitions(), on=("doc_id",),
-        left_schema="auto", right_schema="auto",
+    # inputs — the hash-shuffle schema race, cluster.compact_blocks
+    # docstring).  They are corpus-scale, so instead of the pinning
+    # compact guard, a fresh BALANCED repartition makes every block
+    # non-empty whenever rows >= width (always at real scale).
+    nparts = default_num_partitions()
+    out = kept.select_columns(["doc_id"]).repartition(nparts).join(
+        scored.repartition(nparts), "inner", num_partitions=nparts,
+        on=("doc_id",),
     )
     return out.select_columns(["doc_id", "lang", "quality"])
 
@@ -1320,13 +1323,11 @@ def q_llm_prepare(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    from ..cluster import safe_join
-
-    # clean is a filter output and keep an aggregate output — both can
-    # carry empty blocks on small inputs (hash-shuffle schema race)
-    clean = safe_join(
-        clean, keep, "inner", num_partitions=nparts, on=("doc_id",),
-        left_schema="auto", right_schema="auto",
+    # clean is a corpus-scale filter output — balance-repartition it so
+    # no block is empty (hash-shuffle schema race guard without the
+    # pinning compact; keep is already repartitioned above)
+    clean = clean.repartition(nparts).join(
+        keep, "inner", num_partitions=nparts, on=("doc_id",)
     )
     train = split_by_hash(clean, key_col="doc_id").map_batches(
         lambda b: b.filter(pc.equal(b["split"], pa.scalar("train"))).select(

@@ -878,11 +878,11 @@ def grid_aggregation(
         best = sel.groupby(["xa", "ya"]).aggregate(
             Min(f"{col}__so", alias_name="__bso")
         )
-        from .cluster import safe_join
-
-        j = safe_join(
-            sel, best, "inner", num_partitions=nparts, on=("xa", "ya"),
-            right_schema="auto",  # aggregate output: schema-race guard
+        # balanced repartition of the aggregate output: schema-race
+        # guard without pinning (cluster.compact_blocks docstring)
+        j = sel.join(
+            best.repartition(nparts), "inner", num_partitions=nparts,
+            on=("xa", "ya"),
         )
         hit = j.map_batches(
             lambda b, _c=col: b.filter(
@@ -900,10 +900,9 @@ def grid_aggregation(
         out = (
             single_out
             if out is None
-            else safe_join(
-                out, single_out, "inner", num_partitions=nparts,
-                on=("xa", "ya"),
-                left_schema="auto", right_schema="auto",
+            else out.repartition(nparts).join(
+                single_out.repartition(nparts), "inner",
+                num_partitions=nparts, on=("xa", "ya"),
             )
         )
 
