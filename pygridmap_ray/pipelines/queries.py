@@ -1441,6 +1441,30 @@ def _sql_dup_gram_coverage() -> str:
     return sql_dup_gram_coverage(n=3)
 
 
+def q_ntile(sf_dir: str):
+    """NTILE(4) quartile bucketing per language (stats.ntile): one
+    coarse-bucket shuffle, vectorized multi-group tile assignment with
+    the exact SQL fill law; doc_id tiebreak makes ties deterministic."""
+    import ray.data as rd
+
+    from ..stats import ntile
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return ntile(
+        ds, group_col="lang", order_col="n_chars", tiebreak_col="doc_id", n=4
+    )
+
+
+def _sql_ntile() -> str:
+    from ..stats import sql_ntile
+
+    return sql_ntile(
+        group_col="lang", order_col="n_chars", tiebreak_col="doc_id", n=4
+    )
+
+
 def q_percent_rank(sf_dir: str):
     """Distributed PERCENT_RANK window (stats.percent_rank): bounded
     histogram reduce + broadcast per-group CDF; row stream never
@@ -2667,6 +2691,7 @@ def queries():
         "weighted_sample_group": q_weighted_sample_group,
         "iqr_outliers": q_iqr_outliers,
         "percent_rank": q_percent_rank,
+        "ntile": q_ntile,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
@@ -2984,6 +3009,7 @@ def oracle_sql():
         "weighted_sample_group": _sql_weighted_sample_group(),
         "iqr_outliers": _sql_iqr_outliers(),
         "percent_rank": _sql_percent_rank(),
+        "ntile": _sql_ntile(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),

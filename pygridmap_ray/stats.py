@@ -1454,6 +1454,91 @@ def sql_percent_rank(
     )
 
 
+def ntile(
+    ds,
+    *,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    n: int,
+    num_buckets: int = 64,
+):
+    """SQL's ``NTILE(n) OVER (PARTITION BY group ORDER BY order, tie)``
+    — equal-height bucketing with the exact SQL fill law (the first
+    ``cnt % n`` tiles get one extra row).  ``tiebreak_col`` must be
+    unique within a group: NTILE is ORDER-dependent on ties, so only a
+    total order makes the result (and the oracle compare)
+    deterministic.
+
+    Plan: one coarse-bucket shuffle keyed by ``hash(group) %
+    num_buckets`` (bounded group count — the engine-wide rule), then a
+    single vectorized pass per bucket: lexsort over (group, order,
+    tie), per-group positions by run-length, the closed-form tile
+    formula.  Partitioning assumption: one group's rows fit a worker
+    (the standard keyed-window bound).
+
+    Output: the input columns plus ``tile`` (1-based int64)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(b[group_col]))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        order = np.lexsort(
+            (
+                g[tiebreak_col].to_numpy(),
+                g[order_col].to_numpy(),
+                g[group_col].to_numpy(),
+            )
+        )
+        g = g.iloc[order].reset_index(drop=True)
+        keys = g[group_col].to_numpy()
+        first = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.nonzero(first)[0]
+        cnt = np.diff(np.append(starts, len(g)))
+        pos = np.arange(len(g)) - np.repeat(starts, cnt)
+        cnts = np.repeat(cnt, cnt)
+        base = cnts // n
+        rem = cnts % n
+        boundary = rem * (base + 1)
+        in_head = pos < boundary
+        tile = np.where(
+            in_head,
+            pos // np.maximum(base + 1, 1),
+            rem + (pos - boundary) // np.maximum(base, 1),
+        )
+        g["tile"] = (tile + 1).astype(np.int64)
+        return g
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(max(16, num_buckets // 4))
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_ntile(
+    *,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    n: int,
+    source: str = "documents",
+    select: str = "doc_id, lang, n_chars",
+) -> str:
+    """DuckDB twin of :func:`ntile`."""
+    return (
+        f"SELECT {select}, NTILE({n}) OVER (PARTITION BY {group_col} "
+        f"ORDER BY {order_col}, {tiebreak_col}) AS tile FROM {source}"
+    )
+
+
 def iqr_outliers(ds, *, key: str, value: str, round_to: int = 6):
     """Per-key Tukey-fence outlier profile: rows outside
     ``[q1 - 1.5*iqr, q3 + 1.5*iqr]`` (strict compare) with

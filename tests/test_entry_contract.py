@@ -107,6 +107,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "weighted_sample_group",
         "iqr_outliers",
         "percent_rank",
+        "ntile",
         "dup_gram_coverage",
         "knn",
         "spans_roundtrip",

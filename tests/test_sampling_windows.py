@@ -158,3 +158,30 @@ def test_percent_rank_and_iqr_with_int_group_keys(ray_session):
     assert out["n_events"].tolist() == [4, 4]
     # group 2: q1=10, q3=32.25ish -> 99 is beyond the upper fence
     assert out.loc[1, "n_outliers"] >= 1
+
+
+def test_ntile_fill_law(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.stats import ntile
+
+    # 10 rows, n=4 -> tiles of 3,3,2,2 (first cnt%n tiles get the extra)
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 10 + ["b"] * 2 + ["c"], pa.string()),
+            "v": pa.array(list(range(10)) + [5, 1] + [9], pa.int64()),
+            "id": pa.array(list(range(13)), pa.int64()),
+        }
+    )
+    out = (
+        ntile(rd.from_arrow(t), group_col="g", order_col="v",
+              tiebreak_col="id", n=4)
+        .to_pandas()
+        .sort_values(["g", "v", "id"], ignore_index=True)
+    )
+    a = out[out["g"] == "a"]["tile"].tolist()
+    assert a == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # cnt < n: tiles 1..cnt
+    b = out[out["g"] == "b"].sort_values("v")["tile"].tolist()
+    assert b == [1, 2]
+    assert out[out["g"] == "c"]["tile"].tolist() == [1]
