@@ -176,6 +176,7 @@ def _secondary() -> dict:
         ("embedding_cov", q.q_embedding_cov),
         ("llm_prepare", q.q_llm_prepare),
         ("dedup_lines", q.q_dedup_lines),
+        ("ngram_jaccard", q.q_ngram_jaccard),
         ("bm25", q.q_bm25),
         ("q3_shipping", q.q3_shipping),
     ]:
