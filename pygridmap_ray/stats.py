@@ -1539,10 +1539,27 @@ def sql_ntile(
     )
 
 
-def iqr_outliers(ds, *, key: str, value: str, round_to: int = 6):
+def iqr_outliers(
+    ds,
+    *,
+    key: str,
+    value: str,
+    round_to: int = 6,
+    fences: str = "exact",
+    lo: float = 0.0,
+    hi: float = 512.0,
+    bins: int = 128,
+):
     """Per-key Tukey-fence outlier profile: rows outside
     ``[q1 - 1.5*iqr, q3 + 1.5*iqr]`` (strict compare) with
     ``q1/q3 = quantile_cont(0.25/0.75)``.
+
+    ``fences="approx"`` is the corpus-scale mode for CONTINUOUS value
+    domains: quartiles come from the fixed-bin histogram sketch
+    (:func:`approx_quantiles` — the shuffle carries at most keys x bins
+    partial rows instead of every distinct (key, value) pair), fence
+    error bounded by 1.5 bin widths; pass ``lo/hi/bins`` to size the
+    sketch.  The oracle keeps the exact mode.
 
     Law detail that makes the DuckDB twin exact: the fences are built
     from the 6dp-ROUNDED quartiles (the same rounding the quantile
@@ -1560,9 +1577,16 @@ def iqr_outliers(ds, *, key: str, value: str, round_to: int = 6):
     key — closure-captured, never shuffled; the scan pass emits one
     partial row per (key, batch) and a low-cardinality groupby folds
     them.  Output: ``key, n_events, n_outliers, outlier_rate``."""
-    quarts = grouped_quantiles_cont(
-        ds, key=key, value=value, qs=(0.25, 0.75), round_to=round_to
-    ).to_pandas()
+    if fences == "exact":
+        quarts = grouped_quantiles_cont(
+            ds, key=key, value=value, qs=(0.25, 0.75), round_to=round_to
+        ).to_pandas()
+    elif fences == "approx":
+        quarts = approx_quantiles(
+            ds, key=key, value=value, qs=(0.25, 0.75), lo=lo, hi=hi, bins=bins
+        ).to_pandas()
+    else:
+        raise ValueError("fences must be 'exact' or 'approx'")
     # column-wise build (iterrows would coerce mixed rows to float64 and
     # mangle int keys to "1.0"); str keys match the scan pass's cast
     q1 = quarts["q25"].to_numpy(np.float64)

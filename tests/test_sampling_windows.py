@@ -185,3 +185,28 @@ def test_ntile_fill_law(ray_session):
     b = out[out["g"] == "b"].sort_values("v")["tile"].tolist()
     assert b == [1, 2]
     assert out[out["g"] == "c"]["tile"].tolist() == [1]
+
+
+def test_iqr_outliers_approx_mode(ray_session):
+    """fences='approx' (fixed-bin sketch quartiles) must flag the same
+    far outlier as exact mode and stay within a bin width elsewhere."""
+    import ray.data as rd
+
+    from pygridmap_ray.stats import iqr_outliers
+
+    rng = np.random.RandomState(11)
+    v = np.concatenate([rng.uniform(10, 20, 500), [400.0, 450.0]])
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * len(v), pa.string()),
+            "v": pa.array(v),
+        }
+    )
+    exact = iqr_outliers(rd.from_arrow(t), key="g", value="v").to_pandas()
+    approx = iqr_outliers(
+        rd.from_arrow(t), key="g", value="v",
+        fences="approx", lo=0.0, hi=512.0, bins=128,
+    ).to_pandas()
+    assert exact["n_outliers"].iloc[0] == 2
+    assert approx["n_outliers"].iloc[0] == 2  # far outliers robust to 4-wide bins
+    assert approx["n_events"].iloc[0] == exact["n_events"].iloc[0] == 502
