@@ -1885,3 +1885,56 @@ SELECT tf.doc_id AS {id_col},
 FROM tf JOIN tot USING (term)
 GROUP BY tf.doc_id
 """
+
+
+def neardup_keep_best(
+    docs,
+    pairs,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    max_iter: int = 25,
+    num_partitions: int | None = None,
+    num_buckets: int = 64,
+):
+    """Keep the HIGHEST-SCORING doc per near-dup component (ties -> min
+    id) — the production retention rule (survivor = best quality), vs
+    :func:`neardup_dedup`'s canonical min-id survivor.
+
+    ``docs`` must carry ``id_col`` + ``score_col`` (round the score
+    first so ulp noise cannot flip ties — the repo float contract).
+    Plan: component labels from :func:`neardup_components`, scores
+    re-attached with one balanced-repartition join (both sides doc-scale
+    but narrow — id, label, score), then the winner per component via
+    the coarse-bucket top-k kernel (component ids are hash-like, so a
+    fine groupby is banned; :func:`pygridmap_ray.stats.grouped_topk`
+    buckets by ``hash(component) % num_buckets``).
+
+    Output: ``id_col, component, score_col`` — one row per component."""
+    from .cluster import default_num_partitions
+    from .stats import grouped_topk
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    comp = neardup_components(
+        docs.select_columns([id_col]), pairs,
+        id_col=id_col, max_iter=max_iter, num_partitions=num_partitions,
+    )
+    scored = docs.select_columns([id_col, score_col]).repartition(
+        num_partitions
+    )
+    j = comp.repartition(num_partitions).join(
+        scored, "inner", num_partitions=num_partitions, on=(id_col,)
+    )
+    win = grouped_topk(
+        j,
+        group_col="component",
+        order_col=score_col,
+        tiebreak_col=id_col,
+        k=1,
+        descending=True,
+        num_buckets=num_buckets,
+    )
+    return win.drop_columns(["rank"]).select_columns(
+        [id_col, "component", score_col]
+    )

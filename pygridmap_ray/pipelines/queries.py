@@ -1160,6 +1160,60 @@ def q_corpus_curate(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "quality"])
 
 
+def q_neardup_keep_best(sf_dir: str):
+    """Near-dup dedup keeping the BEST-quality doc per component
+    (dedup.neardup_keep_best): exact Jaccard pairs -> CC labels ->
+    balanced-repartition score join -> coarse-bucket argmax per
+    (hash-like) component id; ties break to min doc_id."""
+    from ..dedup import neardup_keep_best, ngram_jaccard_pairs
+    from ..text import quality_score
+
+    docs = _docs(sf_dir, ("doc_id", "text", "lang"))
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir, ("doc_id", "text")), threshold=0.3
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        b = quality_score(b)
+        return round6(b.select(["doc_id", "quality"]), ["quality"])
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    return neardup_keep_best(scored, pairs, score_col="quality")
+
+
+def _sql_neardup_keep_best() -> str:
+    from ..dedup import sql_ngram_jaccard
+    from ..text import sql_quality_score
+
+    return f"""
+WITH RECURSIVE pairs AS ({sql_ngram_jaccard(0.3)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+),
+q AS (SELECT doc_id, ROUND(quality * 1e6) / 1e6 AS quality
+      FROM ({sql_quality_score()})),
+ranked AS (
+  SELECT l.doc_id, l.component, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY l.component
+                            ORDER BY q.quality DESC, l.doc_id) AS rn
+  FROM lab l JOIN q ON q.doc_id = l.doc_id
+)
+SELECT doc_id, component, quality FROM ranked WHERE rn = 1
+"""
+
+
 LANGS = ("de", "en", "es", "fr", "zh")
 COV_DIMS = 16
 
@@ -2726,6 +2780,7 @@ def queries():
         "fingerprint": q_fingerprint,
         "rolling_fp": q_rolling_fp,
         "corpus_curate": q_corpus_curate,
+        "neardup_keep_best": q_neardup_keep_best,
         "top_bigrams": q_top_bigrams,
         "lang_quantiles": q_lang_quantiles,
         "train_split": q_train_split,
@@ -3094,6 +3149,7 @@ def oracle_sql():
         "fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "rolling_fp": _sql_rolling_fp(),
         "corpus_curate": _sql_corpus_curate(),
+        "neardup_keep_best": _sql_neardup_keep_best(),
         "top_bigrams": sql_top_ngrams(2, 25),
         "lang_quantiles": sql_grouped_quantiles(),
         "train_split": _sql_train_split(),

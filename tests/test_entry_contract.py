@@ -120,6 +120,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "exact_dedup",
         "minhash_lsh",
         "ngram_jaccard",
+        "neardup_keep_best",
         "embedding_neardup",
         "ann_topk",
         "ivf_topk",
