@@ -1495,6 +1495,51 @@ def _sql_dup_gram_coverage() -> str:
     return sql_dup_gram_coverage(n=3)
 
 
+def q_grouped_corr(sf_dir: str):
+    """Pearson correlation of quantity vs extended price per return
+    flag (stats.grouped_corr): combinable (n, sums, cross-sums)
+    partials, one low-cardinality groupby, closed-form finish."""
+    import ray.data as rd
+
+    from ..stats import grouped_corr
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_corr(
+        ds, group_col="l_returnflag", x_col="l_quantity",
+        y_col="l_extendedprice",
+    )
+
+
+def _sql_grouped_corr() -> str:
+    from ..stats import sql_grouped_corr
+
+    return sql_grouped_corr(
+        group_col="l_returnflag", x_col="l_quantity", y_col="l_extendedprice"
+    )
+
+
+def q_window_ranks(sf_dir: str):
+    """RANK / DENSE_RANK / CUME_DIST per language (stats.window_ranks):
+    histogram reduce + broadcast per-group CDF, rows never shuffle."""
+    import ray.data as rd
+
+    from ..stats import window_ranks
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return window_ranks(ds, group_col="lang", value_col="n_chars")
+
+
+def _sql_window_ranks() -> str:
+    from ..stats import sql_window_ranks
+
+    return sql_window_ranks(group_col="lang", value_col="n_chars")
+
+
 def q_ntile(sf_dir: str):
     """NTILE(4) quartile bucketing per language (stats.ntile): one
     coarse-bucket shuffle, vectorized multi-group tile assignment with
@@ -2746,6 +2791,8 @@ def queries():
         "iqr_outliers": q_iqr_outliers,
         "percent_rank": q_percent_rank,
         "ntile": q_ntile,
+        "window_ranks": q_window_ranks,
+        "grouped_corr": q_grouped_corr,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
@@ -3065,6 +3112,8 @@ def oracle_sql():
         "iqr_outliers": _sql_iqr_outliers(),
         "percent_rank": _sql_percent_rank(),
         "ntile": _sql_ntile(),
+        "window_ranks": _sql_window_ranks(),
+        "grouped_corr": _sql_grouped_corr(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),

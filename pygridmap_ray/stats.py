@@ -1437,6 +1437,87 @@ def percent_rank(
     return ds.map_batches(attach, batch_format="pyarrow")
 
 
+def window_ranks(
+    ds, *, group_col: str, value_col: str, round_to: int = 6
+):
+    """SQL's ``RANK / DENSE_RANK / CUME_DIST OVER (PARTITION BY group
+    ORDER BY value)`` for every row, without a window shuffle — same
+    plan as :func:`percent_rank`: one bounded-domain histogram reduce,
+    the per-group (sorted values, cumulative counts) broadcast once,
+    every row resolved by vectorized ``searchsorted``:
+
+    - ``rank``       = count of strictly smaller values + 1 (ties share
+      the min rank);
+    - ``dense_rank`` = 1 + index of the value among the group's DISTINCT
+      values;
+    - ``cume_dist``  = rows <= value / n (rounded half-away).
+
+    Output: the input columns plus ``rank, dense_rank, cume_dist``."""
+    import ray
+
+    from .spatial import _cached_kernel
+
+    hist = ds.groupby([group_col, value_col]).count().to_pandas()
+    hist = hist.sort_values([group_col, value_col], kind="stable")
+    payload = {}
+    for g, sub in hist.groupby(group_col, sort=False):
+        vals = sub[value_col].to_numpy(np.float64)
+        cnt = sub["count()"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        below = np.concatenate([[0], cum[:-1]])
+        payload[str(g)] = {
+            "vals": vals, "below": below, "cum": cum, "n": int(cum[-1])
+        }
+    ref = {"__ref__": ray.put(payload)}
+    ckey = f"win-ranks:{ref['__ref__'].hex()}"
+    tol = 10.0**round_to
+
+    def attach(b: pa.Table) -> pa.Table:
+        p = _cached_kernel(ckey, ref, lambda x: x)
+        ks = np.asarray(pc.cast(b[group_col], pa.string())).astype(object)
+        v = np.asarray(b[value_col], np.float64)
+        rank = np.ones(len(v), np.int64)
+        dense = np.ones(len(v), np.int64)
+        cume = np.ones(len(v), np.float64)
+        for g in np.unique(ks):
+            m = ks == g
+            st = p.get(g)
+            if st is None:
+                continue
+            idx = np.clip(
+                np.searchsorted(st["vals"], v[m], side="left"),
+                0,
+                len(st["vals"]) - 1,
+            )
+            rank[m] = st["below"][idx] + 1
+            dense[m] = idx + 1
+            cume[m] = st["cum"][idx] / st["n"]
+        cume = np.floor(cume * tol + 0.5) / tol  # cume_dist is > 0
+        out = b.append_column("rank", pa.array(rank))
+        out = out.append_column("dense_rank", pa.array(dense))
+        return out.append_column("cume_dist", pa.array(cume))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def sql_window_ranks(
+    *,
+    group_col: str,
+    value_col: str,
+    source: str = "documents",
+    select: str = "doc_id, lang, n_chars",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`window_ranks`."""
+    t = f"1e{round_to}"
+    over = f"OVER (PARTITION BY {group_col} ORDER BY {value_col})"
+    return (
+        f"SELECT {select}, RANK() {over} AS rank, "
+        f"DENSE_RANK() {over} AS dense_rank, "
+        f"ROUND(CUME_DIST() {over} * {t}) / {t} AS cume_dist FROM {source}"
+    )
+
+
 def sql_percent_rank(
     *,
     group_col: str,
@@ -1452,6 +1533,96 @@ def sql_percent_rank(
         f"(PARTITION BY {group_col} ORDER BY {value_col}) * {t}) / {t} "
         f"AS pct_rank FROM {source}"
     )
+
+
+def grouped_corr(
+    ds, *, group_col: str, x_col: str, y_col: str, round_to: int = 6
+):
+    """Per-group Pearson correlation from COMBINABLE sufficient
+    statistics: each batch reduces to one ``(n, sx, sy, sxx, syy, sxy)``
+    row per group (the same partial-moments shape as
+    :func:`grouped_moments` / z-score), a low-cardinality groupby sums
+    them, and the closed form
+    ``r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))``
+    finishes — identical op order to the SQL twin, summation-order ulp
+    absorbed by the half-away rounding.  NULL in either column drops
+    the row (SQL aggregate semantics).  Output: ``group, corr``."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = np.asarray(pc.cast(b[group_col], pa.string())).astype(object)
+        x = np.asarray(b[x_col], np.float64)
+        y = np.asarray(b[y_col], np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        g, x, y = g[ok], x[ok], y[ok]
+        ug, inv = np.unique(g, return_inverse=True)
+        nb = len(ug)
+        out = {
+            group_col: pa.array(ug, pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=nb).astype(np.float64)),
+            "sx": pa.array(np.bincount(inv, weights=x, minlength=nb)),
+            "sy": pa.array(np.bincount(inv, weights=y, minlength=nb)),
+            "sxx": pa.array(np.bincount(inv, weights=x * x, minlength=nb)),
+            "syy": pa.array(np.bincount(inv, weights=y * y, minlength=nb)),
+            "sxy": pa.array(np.bincount(inv, weights=x * y, minlength=nb)),
+        }
+        return pa.table(out)
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+        )
+    )
+    tol = 10.0**round_to
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"], np.float64)
+        sx = np.asarray(b["sx"], np.float64)
+        sy = np.asarray(b["sy"], np.float64)
+        sxx = np.asarray(b["sxx"], np.float64)
+        syy = np.asarray(b["syy"], np.float64)
+        sxy = np.asarray(b["sxy"], np.float64)
+        r = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        r = np.sign(r) * np.floor(np.abs(r) * tol + 0.5) / tol
+        return pa.table({group_col: b[group_col], "corr": pa.array(r)})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_grouped_corr(
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    source: str = "lineitem",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`grouped_corr` — explicit sums and the SAME
+    closed form (DuckDB's corr() uses a different internal recurrence,
+    so the twin spells the formula out)."""
+    t = f"1e{round_to}"
+    return f"""
+WITH s AS (
+  SELECT {group_col},
+         COUNT(*)::DOUBLE AS n,
+         SUM({x_col}::DOUBLE) AS sx, SUM({y_col}::DOUBLE) AS sy,
+         SUM({x_col}::DOUBLE * {x_col}::DOUBLE) AS sxx,
+         SUM({y_col}::DOUBLE * {y_col}::DOUBLE) AS syy,
+         SUM({x_col}::DOUBLE * {y_col}::DOUBLE) AS sxy
+  FROM {source}
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+  GROUP BY {group_col}
+)
+SELECT {group_col},
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * {t}) / {t}
+         AS corr
+FROM s
+"""
 
 
 def ntile(

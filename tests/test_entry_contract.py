@@ -108,6 +108,8 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "iqr_outliers",
         "percent_rank",
         "ntile",
+        "window_ranks",
+        "grouped_corr",
         "dup_gram_coverage",
         "knn",
         "spans_roundtrip",
