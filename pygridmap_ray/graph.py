@@ -310,3 +310,73 @@ def distinct_int_pairs(ds, a_col: str, b_col: str, *, num_buckets: int = 64):
         .groupby("__cg")
         .map_groups(uniq, batch_format="pandas")
     )
+
+
+def degree_histogram(pairs, a_col: str, b_col: str, *,
+                     num_buckets: int = 64):
+    """Degree distribution of the bipartite graph given its DISTINCT
+    edge set (e.g. :func:`distinct_int_pairs` output): one row
+    ``(degree, n_nodes)`` per observed degree, both sides counted in a
+    namespaced node space (left even, right odd — the
+    :func:`bipartite_edges_sql` law).
+
+    Scale plan: node ids are HIGH-cardinality, so degrees never go
+    through a fine groupby — per-batch ``np.unique`` partials on the
+    namespaced node key, one coarse-bucket shuffle (all partials of a
+    node share a bucket), per-bucket reduceat sum, then the degree
+    values (LOW-cardinality) feed the one small built-in groupby.
+    Mirrors reference ``gridtiler.py`` aggregation staging (partial ->
+    tiny final), applied to graph degrees.
+    """
+    from ray.data.aggregate import Sum
+
+    def explode(b: pa.Table) -> pa.Table:
+        a = np.asarray(b[a_col], np.int64) * 2
+        v = np.asarray(b[b_col], np.int64) * 2 + 1
+        node, cnt = np.unique(np.concatenate([a, v]), return_counts=True)
+        cg = (
+            (node.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(node), "cnt": pa.array(cnt.astype(np.int64)),
+             "__cg": pa.array(cg)}
+        )
+
+    def per_bucket(g):
+        import pandas as pd
+
+        node = g["node"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        order = np.argsort(node, kind="stable")
+        node, cnt = node[order], cnt[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], node[1:] != node[:-1]])
+        )
+        deg = np.add.reduceat(cnt, starts)
+        dval, dcnt = np.unique(deg, return_counts=True)
+        return pd.DataFrame(
+            {"degree": dval, "n_nodes": dcnt.astype(np.int64)}
+        )
+
+    return (
+        pairs.map_batches(explode, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("degree")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+    )
+
+
+def sql_degree_histogram(*, source: str = "lineitem",
+                         left: str = "l_suppkey",
+                         right: str = "l_partkey") -> str:
+    return f"""
+WITH e AS (SELECT DISTINCT {left}, {right} FROM {source}),
+nodes AS (
+  SELECT {left} * 2 AS node, COUNT(*)::BIGINT AS deg FROM e GROUP BY 1
+  UNION ALL
+  SELECT {right} * 2 + 1 AS node, COUNT(*)::BIGINT AS deg FROM e GROUP BY 1
+)
+SELECT deg AS degree, COUNT(*)::BIGINT AS n_nodes FROM nodes GROUP BY deg
+"""

@@ -2767,6 +2767,58 @@ def q_top_customers(sf_dir: str):
     return top_customers(sf_dir)
 
 
+def q_events_transitions(sf_dir: str):
+    from .relational import events_transitions
+
+    return events_transitions(sf_dir)
+
+
+def q_events_ewma(sf_dir: str):
+    from .relational import events_ewma
+
+    return events_ewma(sf_dir)
+
+
+def q_grouped_mode(sf_dir: str):
+    """Modal order priority per order status (deterministic tie-break)."""
+    import ray.data as rd
+
+    from ..stats import grouped_mode
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+    return grouped_mode(
+        ds, group_key="o_orderstatus", value="o_orderpriority"
+    )
+
+
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source) over the documents table."""
+    import ray.data as rd
+
+    from ..stats import cube_aggregate
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return cube_aggregate(ds, keys=("lang", "source"), value="n_chars")
+
+
+def q_degree_hist(sf_dir: str):
+    """Degree distribution of the supplier<->part bipartite graph."""
+    import ray.data as rd
+
+    from ..graph import degree_histogram, distinct_int_pairs
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    pairs = distinct_int_pairs(line, "l_suppkey", "l_partkey")
+    return degree_histogram(pairs, "l_suppkey", "l_partkey")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2793,6 +2845,11 @@ def queries():
         "ntile": q_ntile,
         "window_ranks": q_window_ranks,
         "grouped_corr": q_grouped_corr,
+        "events_transitions": q_events_transitions,
+        "events_ewma": q_events_ewma,
+        "grouped_mode": q_grouped_mode,
+        "cube": q_cube,
+        "degree_hist": q_degree_hist,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
@@ -3067,6 +3124,38 @@ def _sql_nearest_poly():
     return sql_nearest_polygon(sql_points_cte())
 
 
+def _sql_events_transitions() -> str:
+    from .relational import sql_events_transitions
+
+    return sql_events_transitions()
+
+
+def _sql_events_ewma() -> str:
+    from .relational import sql_events_ewma
+
+    return sql_events_ewma()
+
+
+def _sql_grouped_mode() -> str:
+    from ..stats import sql_grouped_mode
+
+    return sql_grouped_mode(
+        group_key="o_orderstatus", value="o_orderpriority", source="orders"
+    )
+
+
+def _sql_cube() -> str:
+    from ..stats import sql_cube_aggregate
+
+    return sql_cube_aggregate(keys=("lang", "source"), value="n_chars")
+
+
+def _sql_degree_hist() -> str:
+    from ..graph import sql_degree_histogram
+
+    return sql_degree_histogram()
+
+
 def oracle_sql():
     cols = sql_cell_columns(RES, TSC)
     sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
@@ -3114,6 +3203,11 @@ def oracle_sql():
         "ntile": _sql_ntile(),
         "window_ranks": _sql_window_ranks(),
         "grouped_corr": _sql_grouped_corr(),
+        "events_transitions": _sql_events_transitions(),
+        "events_ewma": _sql_events_ewma(),
+        "grouped_mode": _sql_grouped_mode(),
+        "cube": _sql_cube(),
+        "degree_hist": _sql_degree_hist(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),

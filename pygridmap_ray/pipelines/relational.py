@@ -550,3 +550,155 @@ SELECT c.cohort_week, w.week, COUNT(DISTINCT w.user_id)::BIGINT AS n_users
 FROM w JOIN c USING (user_id)
 GROUP BY c.cohort_week, w.week
 """
+
+
+def events_transitions(sf_dir: str, *, num_buckets: int = 64):
+    """Markov transition counts (event_type -> next event_type within a
+    user's time-ordered stream): the sessionize plan — ONE coarse bucket
+    shuffle on user hash, per-bucket lexsort over (user, ts, event_id),
+    a vectorized shift compare, per-bucket pair-code partial counts —
+    then the (src, dst) pairs (LOW-cardinality: event types squared)
+    feed the one small built-in groupby.  Never a per-user group and the
+    strings never shuffle twice: types are factorized per bucket."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..joins import _bucket_of
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "us": us,
+                "event_type": pc.cast(b["event_type"], pa.string()),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        codes, cats = pd.factorize(g["event_type"], sort=True)
+        order = np.lexsort((eid, us, uid))
+        uid, codes = uid[order], codes[order]
+        if len(uid) < 2:
+            return pd.DataFrame({"src": [], "dst": [], "n": []}).astype(
+                {"src": str, "dst": str, "n": np.int64}
+            )
+        same_user = uid[1:] == uid[:-1]
+        pair = codes[:-1].astype(np.int64) * len(cats) + codes[1:]
+        pk, pn = np.unique(pair[same_user], return_counts=True)
+        return pd.DataFrame(
+            {
+                "src": cats[(pk // len(cats))],
+                "dst": cats[(pk % len(cats))],
+                "n": pn.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def sql_events_transitions() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst
+  FROM events
+)
+SELECT src, dst, COUNT(*)::BIGINT AS n
+FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+"""
+
+
+def events_ewma(sf_dir: str, *, num_buckets: int = 64):
+    """Per-user exponentially weighted mean of ``value`` over the
+    time-ordered stream (normalized weights 0.5^k, k = age in events):
+    the same single-coarse-shuffle plan as sessionize — bucket on user
+    hash, one lexsort per bucket, a vectorized segment-aligned geometric
+    weighting (no per-user Python).  alpha = 0.5 keeps every weight an
+    exact binary power so the numpy and SQL laws agree bit-for-bit
+    before the shared 6dp rounding."""
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+    from .queries import round_half_away
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "us": us,
+                "value": pc.cast(b["value"], pa.float64()),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        val = g["value"].to_numpy(np.float64)
+        order = np.lexsort((eid, us, uid))
+        uid, val = uid[order], val[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]])
+        )
+        seg_len = np.diff(np.append(starts, len(uid)))
+        # k = age in events (0 = newest); position within segment
+        pos = np.arange(len(uid)) - np.repeat(starts, seg_len)
+        k = np.repeat(seg_len, seg_len) - 1 - pos
+        w = np.power(0.5, k.astype(np.float64))  # exact binary powers
+        num = np.add.reduceat(val * w, starts)
+        den = np.add.reduceat(w, starts)
+        return pd.DataFrame({"user_id": uid[starts], "ewma": num / den})
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda b: round_half_away(b, ["ewma"], 6), batch_format="pyarrow"
+    )
+
+
+def sql_events_ewma() -> str:
+    return """
+WITH r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) - 1 AS k
+  FROM events
+)
+SELECT user_id,
+       ROUND(SUM(value * POWER(0.5, k)) / SUM(POWER(0.5, k)) * 1e6) / 1e6
+         AS ewma
+FROM r GROUP BY user_id
+"""

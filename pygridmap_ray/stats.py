@@ -847,12 +847,15 @@ def pca_project(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
 _NULL_KEY_TOKEN = "\x00<null>\x00"
 
 
-def rollup_aggregate(ds, *, keys: tuple[str, str], value: str):
+def rollup_aggregate(ds, *, keys: tuple[str, str], value: str,
+                     cube: bool = False):
     """``GROUP BY ROLLUP(k1, k2)`` counts + sums: the finest groupby runs
     ONCE over the data (the only corpus-scale pass); the coarser levels
     re-aggregate the finest RESULT (aggregate-scale inputs), exactly how
     a warehouse plans rollups.  NULL marks the rolled-up key, matching
-    the SQL law.
+    the SQL law.  ``cube=True`` adds the (NULL, k2) level — ``GROUP BY
+    CUBE`` — still from the same single finest pass, computed PRE-decode
+    so data-null keys stay distinguishable from rollup markers.
 
     Null DATA keys (string-typed) are supported: Ray's sort aggregate
     cannot order None among strings, so they ride through the groupby as
@@ -920,6 +923,20 @@ def rollup_aggregate(ds, *, keys: tuple[str, str], value: str):
         batch_format="pyarrow",
     )
 
+    lvl2 = None
+    if cube:
+        lvl2 = (
+            fine.groupby(k2)
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("sum_val", alias_name="sum_val"))
+            .map_batches(
+                lambda b: b.append_column(
+                    k1, pa.nulls(b.num_rows, t1)
+                ).select([k1, k2, "n_rows", "sum_val"]),
+                batch_format="pyarrow",
+            )
+        )
+
     def _dec(b: pa.Table) -> pa.Table:
         for c in (k1, k2):
             i = b.schema.get_field_index(c)
@@ -935,10 +952,10 @@ def rollup_aggregate(ds, *, keys: tuple[str, str], value: str):
                 )
         return b
 
-    return (
-        fine_sel.union(lvl1).union(lvl0)
-        .map_batches(_dec, batch_format="pyarrow")
-    )
+    out = fine_sel.union(lvl1).union(lvl0)
+    if lvl2 is not None:
+        out = out.union(lvl2)
+    return out.map_batches(_dec, batch_format="pyarrow")
 
 
 def sql_rollup_aggregate(*, keys: tuple[str, str], value: str,
@@ -2342,4 +2359,80 @@ def sql_grouped_zscore(
         f"SELECT {select}, ROUND({z} * 1e{round_to}) / 1e{round_to} "
         f"AS {value_col}_z FROM {source} "
         f"WINDOW w AS (PARTITION BY {group_col})"
+    )
+
+
+def grouped_mode(ds, *, group_key: str, value: str):
+    """Modal value per group with a deterministic tie-break (smallest
+    value wins): per-batch ``value_counts`` partials on the (group,
+    value) pair — one row per observed pair per batch — then ONE small
+    built-in groupby-sum (the pair space must be LOW-cardinality: both
+    columns categorical), and the argmax resolves on the aggregate-scale
+    count table in a single final batch.  The corpus-scale data is read
+    exactly once and only pair counts ever shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            b.groupby([group_key, value], sort=False, observed=True)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([group_key, value])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(
+            ["n", value], ascending=[False, True], kind="stable"
+        )
+        top = b.drop_duplicates(subset=[group_key], keep="first")
+        return pd.DataFrame(
+            {
+                group_key: top[group_key].to_numpy(),
+                "mode_value": top[value].to_numpy(),
+                "mode_count": top["n"].to_numpy(np.int64),
+            }
+        )
+
+    # the count table is aggregate-scale (|groups| x |values| rows);
+    # one final batch resolves the argmax
+    return counts.repartition(1).map_batches(argmax, batch_format="pandas")
+
+
+def sql_grouped_mode(*, group_key: str, value: str,
+                     source: str) -> str:
+    return f"""
+WITH c AS (
+  SELECT {group_key}, {value}, COUNT(*)::BIGINT AS n
+  FROM {source} GROUP BY {group_key}, {value}
+)
+SELECT {group_key}, {value} AS mode_value, n AS mode_count
+FROM c
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY {group_key} ORDER BY n DESC, {value}
+) = 1
+"""
+
+
+def cube_aggregate(ds, *, keys: tuple[str, str], value: str):
+    """``GROUP BY CUBE(k1, k2)`` counts + sums: :func:`rollup_aggregate`
+    plus the (NULL, k2) level — the finest groupby still runs ONCE over
+    the data and every coarser level (k1-only, k2-only, grand total)
+    re-aggregates the finest RESULT.  NULL marks a rolled-up key."""
+    return rollup_aggregate(ds, keys=keys, value=value, cube=True)
+
+
+def sql_cube_aggregate(*, keys: tuple[str, str], value: str,
+                       source: str = "documents") -> str:
+    k1, k2 = keys
+    return (
+        f"SELECT {k1}, {k2}, COUNT(*)::BIGINT AS n_rows, "
+        f"SUM({value})::BIGINT AS sum_val FROM {source} "
+        f"GROUP BY CUBE({k1}, {k2})"
     )

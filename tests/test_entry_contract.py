@@ -110,6 +110,11 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "ntile",
         "window_ranks",
         "grouped_corr",
+        "events_transitions",
+        "events_ewma",
+        "grouped_mode",
+        "cube",
+        "degree_hist",
         "dup_gram_coverage",
         "knn",
         "spans_roundtrip",
