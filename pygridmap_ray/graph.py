@@ -380,3 +380,122 @@ nodes AS (
 )
 SELECT deg AS degree, COUNT(*)::BIGINT AS n_nodes FROM nodes GROUP BY deg
 """
+
+
+def co_occurrence(ds, key_col: str, item_col: str, *,
+                  max_degree: int = 64, num_buckets: int = 64):
+    """Bipartite projection with pair counts: for every unordered item
+    pair sharing a key, how many keys they share (the co-purchase /
+    co-occurrence matrix).  The classic blowup control is the degree
+    cutoff: keys with more than ``max_degree`` items are dropped on BOTH
+    sides of the law (a key with d items emits d(d-1)/2 pairs — hot keys
+    are the quadratic risk, exactly the PPJoin/LSH hot-bucket rule used
+    in dedup.py).
+
+    Plan: distinct (key, item) via the packed-unique coarse dedup -> one
+    coarse-bucket shuffle on key hash (all items of a key share a
+    bucket) -> per-bucket vectorized within-segment pair emission (no
+    Python loop over keys) + packed-pair partial counts -> second coarse
+    shuffle on pair hash -> reduceat sum.  Pair ids are HIGH-cardinality
+    so they never see a fine groupby."""
+
+    pairs = distinct_int_pairs(ds, key_col, item_col,
+                               num_buckets=num_buckets)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col], np.int64)
+        cg = (
+            (k.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {"k": pa.array(k),
+             "it": pa.array(np.asarray(b[item_col], np.int64)),
+             "__cg": pa.array(cg)}
+        )
+
+    def emit_pairs(g):
+        import pandas as pd
+
+        k = g["k"].to_numpy(np.int64)
+        it = g["it"].to_numpy(np.int64)
+        order = np.lexsort((it, k))
+        k, it = k[order], it[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        n = np.diff(np.append(starts, len(k)))
+        keep = n <= max_degree
+        # drop hot keys entirely (both-sides law)
+        if not keep.all():
+            mask = np.repeat(keep, n)
+            k, it = k[mask], it[mask]
+            starts = np.flatnonzero(
+                np.concatenate([[True], k[1:] != k[:-1]])
+            ) if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(starts, len(k)))
+        if len(k) == 0:
+            return pd.DataFrame({"pair": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        # within-segment ordered pairs (i < j), fully vectorized:
+        # left count per element = (segment remainder after it)
+        local = np.arange(len(k)) - np.repeat(starts, n)
+        rem = np.repeat(n, n) - 1 - local          # pairs each row starts
+        total = int(rem.sum())
+        left = np.repeat(np.arange(len(k)), rem)
+        # offset within each row's run: 1..rem
+        run_start = np.cumsum(rem) - rem
+        off = np.arange(total) - np.repeat(run_start, rem) + 1
+        right = left + off
+        a, bb = it[left], it[right]
+        lo = np.minimum(a, bb)
+        hi = np.maximum(a, bb)
+        pk, pn = np.unique(lo * (1 << 31) + hi, return_counts=True)
+        return pd.DataFrame({"pair": pk, "n": pn.astype(np.int64)})
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        p = np.asarray(b["pair"], np.int64)
+        cg = (
+            (p.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return b.append_column("__cg2", pa.array(cg))
+
+    def final(g):
+        import pandas as pd
+
+        p = g["pair"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.argsort(p, kind="stable")
+        p, n = p[order], n[order]
+        starts = np.flatnonzero(np.concatenate([[True], p[1:] != p[:-1]]))
+        tot = np.add.reduceat(n, starts)
+        pu = p[starts]
+        return pd.DataFrame(
+            {"item_a": pu >> 31, "item_b": pu & ((1 << 31) - 1),
+             "n_shared": tot.astype(np.int64)}
+        )
+
+    return (
+        pairs.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .map_batches(rebucket, batch_format="pyarrow")
+        .groupby("__cg2")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def sql_co_occurrence(*, source: str = "lineitem",
+                      key: str = "l_partkey", item: str = "l_suppkey",
+                      max_degree: int = 64) -> str:
+    return f"""
+WITH e AS (SELECT DISTINCT {key}, {item} FROM {source}),
+ok AS (SELECT {key} FROM e GROUP BY {key}
+       HAVING COUNT(*) <= {max_degree}),
+f AS (SELECT e.{key}, e.{item} FROM e JOIN ok USING ({key}))
+SELECT LEAST(a.{item}, b.{item}) AS item_a,
+       GREATEST(a.{item}, b.{item}) AS item_b,
+       COUNT(*)::BIGINT AS n_shared
+FROM f a JOIN f b
+  ON a.{key} = b.{key} AND a.{item} < b.{item}
+GROUP BY item_a, item_b
+"""

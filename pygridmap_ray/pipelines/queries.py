@@ -2806,6 +2806,62 @@ def q_cube(sf_dir: str):
     return cube_aggregate(ds, keys=("lang", "source"), value="n_chars")
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source roundtrip: the documents projection streams
+    to newline-delimited JSON (one shard per block — the resumable
+    many-file layout, never one giant file), is read back with the JSON
+    source, and aggregates; the oracle aggregates the original parquet,
+    so the roundtrip must be lossless to hash-match."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonl_rt_", dir="/tmp")
+    try:
+        ds.write_json(tmp)
+        back = rd.read_json(tmp)
+        out = back.groupby(["lang", "source"]).aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+        # consume before the temp dir disappears
+        return out.materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _sql_jsonl_roundtrip() -> str:
+    return (
+        "SELECT lang, source, COUNT(*)::BIGINT AS n_docs, "
+        "SUM(n_chars)::BIGINT AS sum_chars FROM documents "
+        "GROUP BY lang, source"
+    )
+
+
+def q_events_rolling_users(sf_dir: str):
+    from .relational import events_rolling_users
+
+    return events_rolling_users(sf_dir)
+
+
+def q_co_occurrence(sf_dir: str):
+    """Supplier co-occurrence counts via the part<->supplier bipartite
+    projection (degree-capped)."""
+    import ray.data as rd
+
+    from ..graph import co_occurrence
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    return co_occurrence(line, "l_partkey", "l_suppkey")
+
+
 def q_degree_hist(sf_dir: str):
     """Degree distribution of the supplier<->part bipartite graph."""
     import ray.data as rd
@@ -2850,6 +2906,9 @@ def queries():
         "grouped_mode": q_grouped_mode,
         "cube": q_cube,
         "degree_hist": q_degree_hist,
+        "co_occurrence": q_co_occurrence,
+        "events_rolling_users": q_events_rolling_users,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
@@ -3156,6 +3215,18 @@ def _sql_degree_hist() -> str:
     return sql_degree_histogram()
 
 
+def _sql_co_occurrence() -> str:
+    from ..graph import sql_co_occurrence
+
+    return sql_co_occurrence()
+
+
+def _sql_events_rolling_users() -> str:
+    from .relational import sql_events_rolling_users
+
+    return sql_events_rolling_users()
+
+
 def oracle_sql():
     cols = sql_cell_columns(RES, TSC)
     sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
@@ -3208,6 +3279,9 @@ def oracle_sql():
         "grouped_mode": _sql_grouped_mode(),
         "cube": _sql_cube(),
         "degree_hist": _sql_degree_hist(),
+        "co_occurrence": _sql_co_occurrence(),
+        "events_rolling_users": _sql_events_rolling_users(),
+        "jsonl_roundtrip": _sql_jsonl_roundtrip(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),

@@ -702,3 +702,77 @@ SELECT user_id,
          AS ewma
 FROM r GROUP BY user_id
 """
+
+
+DAY_US = 86_400_000_000
+ROLLING_DAYS = 7  #: trailing window width (shared with the SQL twin)
+
+
+def events_rolling_users(sf_dir: str, *, num_buckets: int = 64):
+    """Rolling 7-day distinct active users per window-end day: an event
+    on day d contributes to windows d..d+6, so the explode is the
+    hopping-window repeat+arange (no self-join), and the distinct is the
+    packed-int coarse dedup — per-batch ``np.unique`` partials, ONE
+    coarse-bucket shuffle on the (window_day, user) hash, per-bucket
+    unique, then only LOW-cardinality (day, partial-count) rows reach
+    the built-in groupby.  Day uses the truncate-toward-zero law so the
+    numpy and DuckDB ``//`` agree on pre-1970 timestamps."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    DOFF = np.int64(1) << 25  # day offset so packed keys stay positive
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = np.asarray(
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        )
+        uid = np.asarray(b["user_id"], np.int64)
+        day = np.where(us >= 0, us // DAY_US, -((-us) // DAY_US))
+        # batch-local distinct (day, user) BEFORE the x7 explode
+        k = np.unique((day + DOFF) * (np.int64(1) << 31) + uid)
+        d0 = (k >> 31) - DOFF
+        u0 = k & ((np.int64(1) << 31) - 1)
+        j = np.tile(np.arange(ROLLING_DAYS, dtype=np.int64), len(k))
+        wk = np.unique(
+            (np.repeat(d0, ROLLING_DAYS) + j + DOFF) * (np.int64(1) << 31)
+            + np.repeat(u0, ROLLING_DAYS)
+        )
+        cg = (
+            (wk.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pa.table({"k": pa.array(wk), "__cg": pa.array(cg)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(g["k"].to_numpy(np.int64))
+        day = (k >> 31) - DOFF
+        dval, dcnt = np.unique(day, return_counts=True)
+        return pd.DataFrame({"wday": dval, "n": dcnt.astype(np.int64)})
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("wday")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+def sql_events_rolling_users() -> str:
+    return f"""
+WITH u AS (
+  SELECT DISTINCT
+    CASE WHEN epoch_us(ts) >= 0 THEN epoch_us(ts) // {DAY_US}
+         ELSE -((-epoch_us(ts)) // {DAY_US}) END AS day,
+    user_id
+  FROM events
+),
+w AS (
+  SELECT DISTINCT u.day + j.j AS wday, user_id
+  FROM u, (SELECT UNNEST(generate_series(0, {ROLLING_DAYS - 1})) AS j) j
+)
+SELECT wday, COUNT(*)::BIGINT AS n_users FROM w GROUP BY wday
+"""

@@ -115,6 +115,9 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "grouped_mode",
         "cube",
         "degree_hist",
+        "co_occurrence",
+        "events_rolling_users",
+        "jsonl_roundtrip",
         "dup_gram_coverage",
         "knn",
         "spans_roundtrip",
