@@ -2862,6 +2862,120 @@ def q_co_occurrence(sf_dir: str):
     return co_occurrence(line, "l_partkey", "l_suppkey")
 
 
+def q_histogram(sf_dir: str):
+    """Exact 20-bin equi-width histogram of extended price."""
+    import ray.data as rd
+
+    from ..stats import histogram
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return histogram(ds, value="l_extendedprice", bins=20)
+
+
+KW_TERMS = ("spark", "window")
+
+
+def q_keyword_search(sf_dir: str):
+    """Inverted-index build (bucket-partitioned parquet tree) + pruned
+    AND-of-terms read — the IR analogue of ivf_pruned."""
+    import os as _os
+
+    import ray.data as rd
+
+    from ..text import inverted_index_build, keyword_search
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    idx_dir = f"/tmp/inv_index_stage_{_os.getpid()}"
+    inverted_index_build(ds, idx_dir)
+    return keyword_search(idx_dir, KW_TERMS)
+
+
+FULL_OUTER_PRICE_CUT = 3_500_000.0
+FULL_OUTER_BAL_CUT = 9_000.0
+
+
+def q_full_outer(sf_dir: str):
+    """FULL OUTER hash join of two independently filtered sides: big
+    spenders (per-customer order totals above a cut) vs high-balance
+    customers.  Both sides sit downstream of a filter/aggregate, so the
+    schema-race guard is the documented repartition-right-before-join
+    (rows >> width at every real scale); the width is cluster-derived."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..cluster import default_num_partitions
+
+    w = default_num_partitions()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    spend = (
+        orders.groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="spend"))
+        .filter(expr=f"spend > {FULL_OUTER_PRICE_CUT!r}")
+        .repartition(w)
+    )
+    cust = (
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+        )
+        .filter(expr=f"c_acctbal > {FULL_OUTER_BAL_CUT!r}")
+        .repartition(w)
+    )
+    out = spend.join(
+        cust, "full_outer", num_partitions=w,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the join keys into the left key
+        # column (verified: right-only rows carry the right key there)
+        t = pa.table(
+            {
+                "custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "spend": b["spend"],
+                "c_acctbal": b["c_acctbal"],
+            }
+        )
+        return round_half_away(t, ["spend"], 2)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_histogram() -> str:
+    from ..stats import sql_histogram
+
+    return sql_histogram(value="l_extendedprice", source="lineitem",
+                         bins=20)
+
+
+def _sql_keyword_search() -> str:
+    from ..text import sql_keyword_search
+
+    return sql_keyword_search(KW_TERMS)
+
+
+def _sql_full_outer() -> str:
+    return f"""
+WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS spend
+  FROM orders GROUP BY o_custkey
+  HAVING SUM(o_totalprice) > {FULL_OUTER_PRICE_CUT!r}
+),
+hib AS (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_acctbal > {FULL_OUTER_BAL_CUT!r}
+)
+SELECT COALESCE(s.o_custkey, h.c_custkey) AS custkey,
+       ROUND(s.spend, 2) AS spend, h.c_acctbal
+FROM spend s FULL OUTER JOIN hib h ON s.o_custkey = h.c_custkey
+"""
+
+
 def q_degree_hist(sf_dir: str):
     """Degree distribution of the supplier<->part bipartite graph."""
     import ray.data as rd
@@ -2909,6 +3023,9 @@ def queries():
         "co_occurrence": q_co_occurrence,
         "events_rolling_users": q_events_rolling_users,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "histogram": q_histogram,
+        "keyword_search": q_keyword_search,
+        "full_outer": q_full_outer,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
@@ -3282,6 +3399,9 @@ def oracle_sql():
         "co_occurrence": _sql_co_occurrence(),
         "events_rolling_users": _sql_events_rolling_users(),
         "jsonl_roundtrip": _sql_jsonl_roundtrip(),
+        "histogram": _sql_histogram(),
+        "keyword_search": _sql_keyword_search(),
+        "full_outer": _sql_full_outer(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),

@@ -2436,3 +2436,43 @@ def sql_cube_aggregate(*, keys: tuple[str, str], value: str,
         f"SUM({value})::BIGINT AS sum_val FROM {source} "
         f"GROUP BY CUBE({k1}, {k2})"
     )
+
+
+def histogram(ds, *, value: str, bins: int = 20):
+    """Exact equi-width histogram: pass 1 is a two-scalar (min, max)
+    aggregate, pass 2 a vectorized bin id + the one small groupby — the
+    standard two-pass plan for exact equi-width bins (the SQL twin's
+    subquery does the same).  The bin arithmetic is written identically
+    on both sides — ``floor((x - mn) / ((mx - mn) / bins))`` capped at
+    ``bins - 1`` — so doubles agree bit-for-bit."""
+    from ray.data.aggregate import Count
+
+    mn = float(ds.min(value))
+    mx = float(ds.max(value))
+    w = (mx - mn) / float(bins)
+
+    def binner(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[value], np.float64)
+        bi = np.minimum(
+            np.floor((x - mn) / w), float(bins - 1)
+        ).astype(np.int64)
+        return pa.table({"bin": pa.array(bi)})
+
+    return (
+        ds.map_batches(binner, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def sql_histogram(*, value: str, source: str, bins: int = 20) -> str:
+    return f"""
+WITH mm AS (
+  SELECT MIN({value})::DOUBLE AS mn, MAX({value})::DOUBLE AS mx
+  FROM {source}
+)
+SELECT LEAST(FLOOR(({value} - mn) / ((mx - mn) / {float(bins)!r})),
+             {float(bins - 1)!r})::BIGINT AS bin,
+       COUNT(*)::BIGINT AS n
+FROM {source}, mm GROUP BY bin
+"""

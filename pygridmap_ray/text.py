@@ -1263,3 +1263,122 @@ SELECT doc_id AS {id_col}, SUM(tf)::BIGINT AS n_tokens,
          AS entropy
 FROM tf GROUP BY doc_id
 """
+
+
+def inverted_index_build(ds, index_dir: str, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         num_buckets: int = 16) -> int:
+    """Persist an inverted index (term -> posting list) as a
+    bucket-partitioned parquet tree ``index_dir/bucket=<h>/...`` — the
+    same pruned-read layout as the IVF index (ann.py): a query for k
+    terms later reads ONLY those terms' buckets.
+
+    Build plan: vectorized split -> flat (term, doc) stream; term
+    strings are dictionary-encoded per batch so dedup and the bucket
+    hash run over the (tiny) per-batch vocabulary, never per token.
+    Postings are batch-local distinct; global distinct is enforced at
+    query time by the packed-unique scan (cheaper than a corpus-wide
+    shuffle at build time, and the index stays mergeable/appendable)."""
+    import zlib
+
+    from .tiler import write_partitioned
+
+    def postings(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.cast(b[text_col], pa.string()), " "
+        )
+        n = np.asarray(pc.list_value_length(toks), np.int64)
+        doc = np.repeat(np.asarray(b[id_col], np.int64), n)
+        flat = pc.list_flatten(toks)
+        dic = pc.dictionary_encode(flat)
+        codes = np.asarray(dic.combine_chunks().indices, np.int64)
+        vocab = dic.combine_chunks().dictionary
+        # batch-local distinct (term, doc)
+        pk = np.unique(codes * (np.int64(1) << 31) + doc)
+        code_u = pk >> 31
+        doc_u = pk & ((np.int64(1) << 31) - 1)
+        # hash only the per-batch vocabulary, then gather
+        vhash = np.fromiter(
+            (zlib.crc32(t.encode()) % num_buckets
+             for t in vocab.to_pylist()),
+            dtype=np.int64, count=len(vocab),
+        )
+        return pa.table(
+            {
+                "term": vocab.take(pa.array(code_u)),
+                id_col: pa.array(doc_u),
+                "bucket": pa.array(vhash[code_u]),
+            }
+        )
+
+    flat = ds.map_batches(postings, batch_format="pyarrow")
+    return write_partitioned(flat, index_dir, ["bucket"])
+
+
+def keyword_search(index_dir: str, terms: tuple[str, ...], *,
+                   id_col: str = "doc_id", num_buckets: int = 16,
+                   coarse_buckets: int = 64):
+    """AND-of-terms search over :func:`inverted_index_build`'s tree:
+    reads ONLY the query terms' bucket partitions (partition pruning at
+    the source), filters to the terms, then counts distinct matched
+    terms per doc via per-batch packed-unique partials + ONE coarse
+    bucket on doc hash — doc ids are HIGH-cardinality so they never see
+    a fine groupby — and keeps docs matching all k terms."""
+    import zlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    tset = sorted(set(terms))
+    k = len(tset)
+    need = sorted({zlib.crc32(t.encode()) % num_buckets for t in tset})
+    paths = [f"{index_dir}/bucket={h}" for h in need]
+    ds = rd.read_parquet(paths, columns=["term", id_col])
+    t2i = {t: i for i, t in enumerate(tset)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        # dictionary-encode so the query-term match runs over the tiny
+        # per-batch vocabulary, then gathers — never per posting row
+        dic = pc.dictionary_encode(
+            pc.cast(b["term"], pa.string())
+        ).combine_chunks()
+        vmap = np.fromiter(
+            (t2i.get(t, -1) for t in dic.dictionary.to_pylist()),
+            dtype=np.int64, count=len(dic.dictionary),
+        )
+        tcode = vmap[np.asarray(dic.indices, np.int64)]
+        keep = tcode >= 0
+        doc = np.asarray(b[id_col], np.int64)[keep]
+        tcode = tcode[keep]
+        pk = np.unique(doc * np.int64(k + 1) + tcode)
+        d = pk // np.int64(k + 1)
+        cg = (
+            (d.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(coarse_buckets)
+        ).astype(np.int64)
+        return pa.table({"pk": pa.array(pk), "__cg": pa.array(cg)})
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        pk = np.unique(g["pk"].to_numpy(np.int64))
+        d = pk // np.int64(k + 1)
+        starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        cnt = np.diff(np.append(starts, len(d)))
+        hit = d[starts][cnt == k]
+        return pd.DataFrame({id_col: hit})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def sql_keyword_search(terms: tuple[str, ...], *,
+                       source: str = "documents",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    conds = " AND ".join(
+        f"list_contains(string_split({text_col}, ' '), '{t}')"
+        for t in sorted(set(terms))
+    )
+    return f"SELECT {id_col} FROM {source} WHERE {conds}"

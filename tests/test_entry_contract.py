@@ -118,6 +118,9 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "co_occurrence",
         "events_rolling_users",
         "jsonl_roundtrip",
+        "histogram",
+        "keyword_search",
+        "full_outer",
         "dup_gram_coverage",
         "knn",
         "spans_roundtrip",
