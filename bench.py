@@ -179,6 +179,11 @@ def _secondary() -> dict:
         ("ngram_jaccard", q.q_ngram_jaccard),
         ("bm25", q.q_bm25),
         ("q3_shipping", q.q3_shipping),
+        ("events_transitions", q.q_events_transitions),
+        ("events_rolling_users", q.q_events_rolling_users),
+        ("co_occurrence", q.q_co_occurrence),
+        ("keyword_search", q.q_keyword_search),
+        ("histogram", q.q_histogram),
     ]:
 
         def once(fn=fn):

@@ -644,3 +644,62 @@ def salted_join(
         right_on=(right_on, "__salt"),
     )
     return joined.drop_columns(["__salt"])
+
+
+def key_set_op(left, right, key_col: str, *, op: str,
+               num_buckets: int = 64):
+    """Distributed DISTINCT set algebra over an int64 key column:
+    ``op`` in {"intersect", "except", "union"} with SQL DISTINCT
+    semantics.  Per-batch ``np.unique`` partials tagged with a side bit
+    ride ONE coarse-bucket shuffle on key hash (all copies of a key —
+    from either side — share a bucket); the per-bucket resolve is a
+    sorted-run membership scan.  Keys are HIGH-cardinality so they
+    never meet a fine groupby, and only distinct (key, side) pairs
+    ever shuffle."""
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(f"unknown set op {op!r}")
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            k = np.unique(np.asarray(b[key_col], np.int64))
+            if len(k) and (k.min() < 0 or k.max() >= (1 << 62)):
+                raise ValueError("keys must be in [0, 2^62)")
+            cg = _bucket_of(k, num_buckets)
+            return pa.table(
+                {
+                    "k": pa.array(k),
+                    "side": pa.array(
+                        np.full(len(k), side, dtype=np.int64)
+                    ),
+                    "__cg": pa.array(cg),
+                }
+            )
+
+        return fn
+
+    def resolve(g):
+        import pandas as pd
+
+        k = g["k"].to_numpy(np.int64)
+        s = g["side"].to_numpy(np.int64)
+        # distinct (key, side), then membership per key via sorted runs
+        pk = np.unique(k * 2 + s)
+        ku = pk >> 1
+        starts = np.flatnonzero(
+            np.concatenate([[True], ku[1:] != ku[:-1]])
+        )
+        n = np.diff(np.append(starts, len(ku)))
+        in_both = n == 2
+        first_side = pk[starts] & 1
+        if op == "intersect":
+            keep = ku[starts][in_both]
+        elif op == "except":
+            keep = ku[starts][(~in_both) & (first_side == 0)]
+        else:  # union
+            keep = ku[starts]
+        return pd.DataFrame({key_col: keep})
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return both.groupby("__cg").map_groups(resolve, batch_format="pandas")

@@ -2862,6 +2862,67 @@ def q_co_occurrence(sf_dir: str):
     return co_occurrence(line, "l_partkey", "l_suppkey")
 
 
+SET_OP_ERR_CUT = 13  #: heavy-error threshold (shared with the SQL twins)
+
+
+def _set_op_sides(sf_dir: str):
+    """Clickers vs heavy-error users (> SET_OP_ERR_CUT errors): the
+    right side runs through the built-in hash aggregate (the exact_dedup
+    shape — scale-safe on a high-cardinality key) + a filter."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    clickers = ev.filter(expr="event_type == 'click'")
+    heavy_err = (
+        ev.filter(expr="event_type == 'error'")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_err"))
+        .filter(expr=f"n_err > {SET_OP_ERR_CUT}")
+    )
+    return clickers, heavy_err
+
+
+def q_set_intersect(sf_dir: str):
+    """Clicking users who are also heavy-error users: DISTINCT
+    INTERSECT."""
+    from ..joins import key_set_op
+
+    a, b = _set_op_sides(sf_dir)
+    return key_set_op(a, b, "user_id", op="intersect")
+
+
+def q_set_except(sf_dir: str):
+    """Clicking users who are NOT heavy-error users: DISTINCT EXCEPT."""
+    from ..joins import key_set_op
+
+    a, b = _set_op_sides(sf_dir)
+    return key_set_op(a, b, "user_id", op="except")
+
+
+def _sql_set_heavy() -> str:
+    return (
+        "SELECT user_id FROM events WHERE event_type = 'error' "
+        f"GROUP BY user_id HAVING COUNT(*) > {SET_OP_ERR_CUT}"
+    )
+
+
+def _sql_set_intersect() -> str:
+    return (
+        "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+        f"INTERSECT SELECT user_id FROM ({_sql_set_heavy()}) h"
+    )
+
+
+def _sql_set_except() -> str:
+    return (
+        "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+        f"EXCEPT SELECT user_id FROM ({_sql_set_heavy()}) h"
+    )
+
+
 def q_histogram(sf_dir: str):
     """Exact 20-bin equi-width histogram of extended price."""
     import ray.data as rd
@@ -3026,6 +3087,8 @@ def queries():
         "histogram": q_histogram,
         "keyword_search": q_keyword_search,
         "full_outer": q_full_outer,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
@@ -3402,6 +3465,8 @@ def oracle_sql():
         "histogram": _sql_histogram(),
         "keyword_search": _sql_keyword_search(),
         "full_outer": _sql_full_outer(),
+        "set_intersect": _sql_set_intersect(),
+        "set_except": _sql_set_except(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),

@@ -121,6 +121,8 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "histogram",
         "keyword_search",
         "full_outer",
+        "set_intersect",
+        "set_except",
         "dup_gram_coverage",
         "knn",
         "spans_roundtrip",
