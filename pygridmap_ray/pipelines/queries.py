@@ -2862,6 +2862,66 @@ def q_co_occurrence(sf_dir: str):
     return co_occurrence(line, "l_partkey", "l_suppkey")
 
 
+def q_grouped_mad(sf_dir: str):
+    """Per-language median absolute deviation of document length."""
+    import ray.data as rd
+
+    from ..stats import grouped_mad
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_mad(ds, key="lang", value="n_chars")
+
+
+def _sql_grouped_mad() -> str:
+    from ..stats import sql_grouped_mad
+
+    return sql_grouped_mad(key="lang", value="n_chars", source="documents")
+
+
+def q_events_latest(sf_dir: str):
+    """Latest event value per user (distributed arg-max combiner)."""
+    import ray.data as rd
+
+    from ..stats import grouped_latest
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def cast_us(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "us": us,
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "value": b["value"],
+            }
+        )
+
+    return grouped_latest(
+        ds.map_batches(cast_us, batch_format="pyarrow"),
+        key="user_id", order_cols=("us", "event_id"),
+        carry_cols=("value",),
+    )
+
+
+def _sql_events_latest() -> str:
+    from ..stats import sql_grouped_latest
+
+    inner = sql_grouped_latest(
+        key="user_id", order_cols=("us", "event_id"),
+        carry_cols=("value",), source="s",
+    )
+    return (
+        "WITH s AS (SELECT user_id, epoch_us(ts) AS us, event_id, value "
+        f"FROM events) {inner}"
+    )
+
+
 SET_OP_ERR_CUT = 13  #: heavy-error threshold (shared with the SQL twins)
 
 
@@ -3089,6 +3149,8 @@ def queries():
         "full_outer": q_full_outer,
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
+        "grouped_mad": q_grouped_mad,
+        "events_latest": q_events_latest,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
@@ -3467,6 +3529,8 @@ def oracle_sql():
         "full_outer": _sql_full_outer(),
         "set_intersect": _sql_set_intersect(),
         "set_except": _sql_set_except(),
+        "grouped_mad": _sql_grouped_mad(),
+        "events_latest": _sql_events_latest(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),

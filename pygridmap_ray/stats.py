@@ -2476,3 +2476,110 @@ SELECT LEAST(FLOOR(({value} - mn) / ((mx - mn) / {float(bins)!r})),
        COUNT(*)::BIGINT AS n
 FROM {source}, mm GROUP BY bin
 """
+
+
+def grouped_mad(ds, *, key: str, value: str, round_to: int = 6):
+    """Per-group median absolute deviation — the robust spread measure
+    (outlier fences that heavy tails cannot drag).  Two passes of the
+    :func:`grouped_quantiles_cont` histogram two-phase plan: pass 1
+    computes the per-group interpolated median (rounded half-away at
+    ``round_to`` — the SQL twin rounds at the same point so the
+    deviation law is shared bit-for-bit), the per-group constants
+    broadcast in the closure (groups are low-cardinality by contract),
+    pass 2 medians the absolute deviations.  The corpus is read twice;
+    nothing ever materializes driver-side beyond one row per group."""
+    med = grouped_quantiles_cont(
+        ds, key=key, value=value, qs=(0.5,), round_to=round_to
+    )
+    mp = {
+        r[key]: float(r[_qlabel(0.5)]) for r in med.take_all()
+    }  # one row per group — aggregate-scale by contract
+
+    def dev(b: pa.Table) -> pa.Table:
+        k = np.asarray(pc.cast(b[key], pa.string())).astype(object)
+        v = np.asarray(b[value], np.float64)
+        m = pd.Series(k).map(mp).to_numpy(np.float64)
+        return pa.table(
+            {key: pc.cast(b[key], pa.string()), "dev": np.abs(v - m)}
+        )
+
+    out = grouped_quantiles_cont(
+        ds.map_batches(dev, batch_format="pyarrow"),
+        key=key, value="dev", qs=(0.5,), round_to=round_to,
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns([key, "mad"]), batch_format="pyarrow"
+    )
+
+
+def sql_grouped_mad(*, key: str, value: str, source: str,
+                    round_to: int = 6) -> str:
+    t = f"1e{round_to}"
+    return f"""
+WITH m AS (
+  SELECT {key}, ROUND(quantile_cont({value}, 0.5) * {t}) / {t} AS med
+  FROM {source} WHERE {value} IS NOT NULL GROUP BY {key}
+),
+d AS (
+  SELECT s.{key}, ABS(s.{value} - m.med) AS dev
+  FROM {source} s JOIN m USING ({key}) WHERE s.{value} IS NOT NULL
+)
+SELECT {key}, ROUND(quantile_cont(dev, 0.5) * {t}) / {t} AS mad
+FROM d GROUP BY {key}
+"""
+
+
+def grouped_latest(ds, *, key: str, order_cols: tuple,
+                   carry_cols: tuple, num_buckets: int = 64):
+    """Latest row per key (distributed arg-max): the classic
+    last-snapshot-per-entity reduction.  Arg-max is a combiner — each
+    batch keeps ONE candidate row per key it sees (vectorized lexsort +
+    segment-last), candidates ride one coarse-bucket shuffle on key
+    hash, and the per-bucket resolve repeats the same scan.  Keys are
+    HIGH-cardinality by design and never meet a fine groupby; all
+    ``order_cols`` must be int64-comparable (cast timestamps upstream).
+    Ties break by the full ``order_cols`` tuple, so the result is
+    deterministic and partition-invariant."""
+    from .joins import _bucket_of
+
+    cols = [key, *order_cols, *carry_cols]
+
+    def last_per_key(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy(np.int64)
+        order_arrays = tuple(
+            df[c].to_numpy(np.int64) for c in reversed(order_cols)
+        )
+        idx = np.lexsort((*order_arrays, k))
+        ks = k[idx]
+        # last index of each key segment
+        last = np.flatnonzero(
+            np.concatenate([ks[1:] != ks[:-1], [True]])
+        )
+        take = idx[last]
+        return df.iloc[take][cols].reset_index(drop=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(cols).to_pandas()
+        red = last_per_key(df)
+        red["__cg"] = _bucket_of(red[key].to_numpy(np.int64), num_buckets)
+        return pa.Table.from_pandas(red, preserve_index=False)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        return last_per_key(g)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def sql_grouped_latest(*, key: str, order_cols: tuple,
+                       carry_cols: tuple, source: str) -> str:
+    ob = ", ".join(f"{c} DESC" for c in order_cols)
+    sel = ", ".join([key, *order_cols, *carry_cols])
+    return (
+        f"SELECT {sel} FROM {source} "
+        f"QUALIFY ROW_NUMBER() OVER "
+        f"(PARTITION BY {key} ORDER BY {ob}) = 1"
+    )

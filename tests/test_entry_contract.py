@@ -123,6 +123,8 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "full_outer",
         "set_intersect",
         "set_except",
+        "grouped_mad",
+        "events_latest",
         "dup_gram_coverage",
         "knn",
         "spans_roundtrip",
