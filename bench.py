@@ -184,6 +184,7 @@ def _secondary() -> dict:
         ("co_occurrence", q.q_co_occurrence),
         ("keyword_search", q.q_keyword_search),
         ("histogram", q.q_histogram),
+        ("chunk_documents", q.q_chunk_documents),
     ]:
 
         def once(fn=fn):

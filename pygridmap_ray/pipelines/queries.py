@@ -2862,6 +2862,24 @@ def q_co_occurrence(sf_dir: str):
     return co_occurrence(line, "l_partkey", "l_suppkey")
 
 
+def q_chunk_documents(sf_dir: str):
+    """Overlapping 64-token / 48-stride chunking of every document."""
+    import ray.data as rd
+
+    from ..text import chunk_documents
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(ds)
+
+
+def _sql_chunk_documents() -> str:
+    from ..text import sql_chunk_documents
+
+    return sql_chunk_documents()
+
+
 def q_grouped_mad(sf_dir: str):
     """Per-language median absolute deviation of document length."""
     import ray.data as rd
@@ -3151,6 +3169,7 @@ def queries():
         "set_except": q_set_except,
         "grouped_mad": q_grouped_mad,
         "events_latest": q_events_latest,
+        "chunk_documents": q_chunk_documents,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
@@ -3531,6 +3550,7 @@ def oracle_sql():
         "set_except": _sql_set_except(),
         "grouped_mad": _sql_grouped_mad(),
         "events_latest": _sql_events_latest(),
+        "chunk_documents": _sql_chunk_documents(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),

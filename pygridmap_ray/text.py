@@ -1382,3 +1382,85 @@ def sql_keyword_search(terms: tuple[str, ...], *,
         for t in sorted(set(terms))
     )
     return f"SELECT {id_col} FROM {source} WHERE {conds}"
+
+
+def chunk_documents(ds, *, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    window: int = 64, stride: int = 48):
+    """Overlapping token-window chunking — the LLM-prep step that turns
+    long documents into training-context-sized pieces (window tokens,
+    advancing by stride, last chunk truncated).  Everything is one
+    vectorized pass: Arrow split -> chunk layout arithmetic in numpy ->
+    ONE ``take`` gathers the (overlapping) token stream into chunk-major
+    order -> ``binary_join`` reassembles chunk strings.  No shuffle at
+    all — chunking is embarrassingly parallel; token law is the
+    single-space split shared with the SQL twin."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.cast(b[text_col], pa.string()), " ")
+        )
+        lens = pc.list_value_length(
+            pc.split_pattern(pc.cast(b[text_col], pa.string()), " ")
+        )
+        n = np.asarray(lens, np.int64)
+        ids = np.asarray(b[id_col], np.int64)
+        # chunks per doc: 1 + max(ceil((n - window)/stride), 0), written
+        # so floor-div and SQL's truncating // agree (arg clamps at 0)
+        extra = np.maximum((n - window + stride - 1) // stride, 0)
+        nc = extra + 1
+        total = int(nc.sum())
+        cdoc = np.repeat(np.arange(len(ids), dtype=np.int64), nc)
+        c0 = np.concatenate(([0], np.cumsum(nc)))[:-1]
+        j = np.arange(total, dtype=np.int64) - c0[cdoc]
+        start = j * stride
+        end = np.minimum(start + window, n[cdoc])
+        clen = end - start
+        doc_tok0 = np.concatenate(([0], np.cumsum(n)))[:-1]
+        g0 = doc_tok0[cdoc] + start
+        run0 = np.cumsum(clen) - clen
+        within = np.arange(int(clen.sum()), dtype=np.int64) - np.repeat(
+            run0, clen
+        )
+        gather = np.repeat(g0, clen) + within
+        picked = toks.combine_chunks().take(pa.array(gather))
+        offs = pa.array(np.concatenate(([0], np.cumsum(clen))))
+        chunks = pc.cast(
+            pc.binary_join(
+                pa.LargeListArray.from_arrays(offs, picked), pa.scalar(" ")
+            ),
+            pa.string(),
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[cdoc]),
+                "chunk_id": pa.array(j),
+                "chunk": chunks,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def sql_chunk_documents(*, id_col: str = "doc_id",
+                        text_col: str = "text", source: str = "documents",
+                        window: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH t AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS toks,
+         len(string_split({text_col}, ' ')) AS n
+  FROM {source}
+)
+SELECT {id_col}, j AS chunk_id,
+       array_to_string(
+         toks[j * {stride} + 1 : LEAST(j * {stride} + {window}, n)], ' '
+       ) AS chunk
+FROM t,
+     UNNEST(generate_series(
+       0, GREATEST((n - {window} + {stride} - 1) // {stride}, 0)
+     )) AS u(j)
+"""

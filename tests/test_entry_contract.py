@@ -125,6 +125,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "set_except",
         "grouped_mad",
         "events_latest",
+        "chunk_documents",
         "dup_gram_coverage",
         "knn",
         "spans_roundtrip",
