@@ -2862,6 +2862,61 @@ def q_co_occurrence(sf_dir: str):
     return co_occurrence(line, "l_partkey", "l_suppkey")
 
 
+def q_bucketed_join(sf_dir: str):
+    """Storage-partitioned join: both tables hash-bucketed to parquet
+    ONCE (the only shuffle, reusable across every later join on the
+    key), then joined bucket-by-bucket with local Arrow hash joins —
+    zero join-time shuffle; aggregated to per-priority revenue."""
+    import os as _os
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..state.bucketed import bucketed_join, bucketed_write
+
+    pid = _os.getpid()
+    a_dir = f"/tmp/bucketed_line_{pid}"
+    b_dir = f"/tmp/bucketed_orders_{pid}"
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    bucketed_write(line, a_dir, key="l_orderkey")
+    bucketed_write(orders, b_dir, key="o_orderkey")
+    joined = bucketed_join(
+        a_dir, b_dir, key="l_orderkey", right_key="o_orderkey"
+    )
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderpriority", "l_extendedprice"])
+
+    out = (
+        joined.map_batches(pick, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_lines"),
+            Sum("l_extendedprice", alias_name="revenue"),
+        )
+    )
+    return out.map_batches(
+        lambda b: round_half_away(b, ["revenue"], 2),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_bucketed_join() -> str:
+    return """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_lines,
+       ROUND(SUM(l_extendedprice) * 1e2) / 1e2 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_chunk_documents(sf_dir: str):
     """Overlapping 64-token / 48-stride chunking of every document."""
     import ray.data as rd
@@ -3170,6 +3225,7 @@ def queries():
         "grouped_mad": q_grouped_mad,
         "events_latest": q_events_latest,
         "chunk_documents": q_chunk_documents,
+        "bucketed_join": q_bucketed_join,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
@@ -3551,6 +3607,7 @@ def oracle_sql():
         "grouped_mad": _sql_grouped_mad(),
         "events_latest": _sql_events_latest(),
         "chunk_documents": _sql_chunk_documents(),
+        "bucketed_join": _sql_bucketed_join(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),

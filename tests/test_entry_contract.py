@@ -126,6 +126,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "grouped_mad",
         "events_latest",
         "chunk_documents",
+        "bucketed_join",
         "dup_gram_coverage",
         "knn",
         "spans_roundtrip",
