@@ -2862,6 +2862,37 @@ def q_co_occurrence(sf_dir: str):
     return co_occurrence(line, "l_partkey", "l_suppkey")
 
 
+def q_pareto(sf_dir: str):
+    """Pareto frontier of parts maximizing (retail price, size)."""
+    import ray.data as rd
+
+    from ..stats import pareto_frontier
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_retailprice", "p_size"]
+    )
+    return pareto_frontier(ds, x="p_retailprice", y="p_size")
+
+
+def _sql_pareto() -> str:
+    from ..stats import sql_pareto_frontier
+
+    return sql_pareto_frontier(x="p_retailprice", y="p_size",
+                               source="part")
+
+
+def q_events_gap_fill(sf_dir: str):
+    from .relational import events_gap_fill
+
+    return events_gap_fill(sf_dir)
+
+
+def _sql_events_gap_fill() -> str:
+    from .relational import sql_events_gap_fill
+
+    return sql_events_gap_fill()
+
+
 def q_bucketed_join(sf_dir: str):
     """Storage-partitioned join: both tables hash-bucketed to parquet
     ONCE (the only shuffle, reusable across every later join on the
@@ -3226,6 +3257,8 @@ def queries():
         "events_latest": q_events_latest,
         "chunk_documents": q_chunk_documents,
         "bucketed_join": q_bucketed_join,
+        "pareto": q_pareto,
+        "events_gap_fill": q_events_gap_fill,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
@@ -3608,6 +3641,8 @@ def oracle_sql():
         "events_latest": _sql_events_latest(),
         "chunk_documents": _sql_chunk_documents(),
         "bucketed_join": _sql_bucketed_join(),
+        "pareto": _sql_pareto(),
+        "events_gap_fill": _sql_events_gap_fill(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),

@@ -776,3 +776,112 @@ w AS (
 )
 SELECT wday, COUNT(*)::BIGINT AS n_users FROM w GROUP BY wday
 """
+
+
+def events_gap_fill(sf_dir: str, *, num_buckets: int = 64):
+    """Per-user daily resample with last-value carry-forward: one row
+    per (user, day) over the user's own [min day, max day] span, value
+    = latest event value at or before that day (ASOF semantics).  The
+    sessionize plan again — ONE coarse bucket on user hash, then a
+    single vectorized per-bucket pass: lexsort, per-(user, day) last
+    value, per-user day grids via repeat+arange, ``searchsorted``
+    carry-forward.  Day uses the truncate-toward-zero law."""
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        usv = np.asarray(us)
+        day = np.where(usv >= 0, usv // DAY_US, -((-usv) // DAY_US))
+        uid = np.asarray(b["user_id"], np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "us": us,
+                "day": pa.array(day),
+                "value": pc.cast(b["value"], pa.float64()),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        val = g["value"].to_numpy(np.float64)
+        order = np.lexsort((eid, us, day, uid))
+        uid, day, val = uid[order], day[order], val[order]
+        # last row per (user, day): the latest (ts, event_id) wins
+        last = np.concatenate(
+            [(uid[1:] != uid[:-1]) | (day[1:] != day[:-1]), [True]]
+        )
+        lu, ld, lv = uid[last], day[last], val[last]
+        # per-user day grids
+        ustart = np.flatnonzero(
+            np.concatenate([[True], lu[1:] != lu[:-1]])
+        )
+        uend = np.append(ustart[1:], len(lu))
+        d0 = ld[ustart]
+        d1 = ld[uend - 1]
+        span = d1 - d0 + 1
+        total = int(span.sum())
+        gdoc = np.repeat(np.arange(len(ustart), dtype=np.int64), span)
+        g0 = np.cumsum(span) - span
+        gday = np.arange(total, dtype=np.int64) - g0[gdoc] + d0[gdoc]
+        # carry-forward: latest (user, day) row <= each grid day — ONE
+        # searchsorted over all users at once, each user's (sorted,
+        # distinct) days offset into a disjoint int64 range
+        base = ustart[gdoc]
+        OFF = np.int64(1) << 22  # |day| < 2^21 for any epoch in range
+        key_rows = ld + np.repeat(
+            np.arange(len(ustart), dtype=np.int64), uend - ustart
+        ) * OFF
+        key_grid = gday + gdoc * OFF
+        pos = np.searchsorted(key_rows, key_grid, side="right") - 1
+        return pd.DataFrame(
+            {
+                "user_id": lu[base],
+                "day": gday,
+                "value": lv[pos],
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_gap_fill() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) >= 0 THEN epoch_us(ts) // {DAY_US}
+              ELSE -((-epoch_us(ts)) // {DAY_US}) END AS day,
+         value
+  FROM events
+),
+lastp AS (
+  SELECT user_id, day, value FROM e
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id, day ORDER BY us DESC, event_id DESC
+  ) = 1
+),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e
+         GROUP BY user_id),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1)) AS day FROM span
+)
+SELECT g.user_id, g.day, l.value
+FROM grid g ASOF JOIN lastp l
+  ON g.user_id = l.user_id AND g.day >= l.day
+"""

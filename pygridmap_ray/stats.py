@@ -2583,3 +2583,56 @@ def sql_grouped_latest(*, key: str, order_cols: tuple,
         f"QUALIFY ROW_NUMBER() OVER "
         f"(PARTITION BY {key} ORDER BY {ob}) = 1"
     )
+
+
+def pareto_frontier(ds, *, x: str, y: str):
+    """2-D Pareto frontier (maximize both): the non-dominated point
+    set.  Frontier-of-union == frontier-of-frontiers, so this is a pure
+    combiner: each batch reduces to its LOCAL frontier (bounded, tiny
+    by geometry — dominated points never leave the worker), partials
+    union into one final vectorized pass.  Output is the DISTINCT
+    frontier (duplicates of a frontier point collapse, matching the SQL
+    twin's DISTINCT).  The local and final kernels are the same sorted
+    scan: unique points sorted (x desc, y desc); a point survives iff
+    its y strictly exceeds every y at strictly larger x."""
+
+    def frontier(xv: np.ndarray, yv: np.ndarray):
+        if len(xv) == 0:
+            return xv.astype(np.float64), yv.astype(np.float64)
+        pts = np.unique(np.stack([xv, yv], axis=1), axis=0)
+        # sort x desc, y desc
+        order = np.lexsort((-pts[:, 1], -pts[:, 0]))
+        p = pts[order]
+        # first row per x block carries that x's max y
+        first = np.concatenate([[True], p[1:, 0] != p[:-1, 0]])
+        px, py = p[first, 0], p[first, 1]
+        # strictly increasing y as x decreases
+        run = np.maximum.accumulate(py)
+        keep = np.concatenate([[True], py[1:] > run[:-1]])
+        return px[keep], py[keep]
+
+    def partial(b: pa.Table) -> pa.Table:
+        xv = np.asarray(b[x], np.float64)
+        yv = np.asarray(b[y], np.float64)
+        fx, fy = frontier(xv, yv)
+        return pa.table({x: pa.array(fx), y: pa.array(fy)})
+
+    def final(b: pa.Table) -> pa.Table:
+        return partial(b)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # union of tiny local frontiers
+        .map_batches(final, batch_format="pyarrow")
+    )
+
+
+def sql_pareto_frontier(*, x: str, y: str, source: str) -> str:
+    return f"""
+SELECT DISTINCT {x}::DOUBLE AS {x}, {y}::DOUBLE AS {y} FROM {source} p
+WHERE NOT EXISTS (
+  SELECT 1 FROM {source} q
+  WHERE q.{x} >= p.{x} AND q.{y} >= p.{y}
+    AND (q.{x} > p.{x} OR q.{y} > p.{y})
+)
+"""

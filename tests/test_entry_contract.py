@@ -127,6 +127,8 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "events_latest",
         "chunk_documents",
         "bucketed_join",
+        "pareto",
+        "events_gap_fill",
         "dup_gram_coverage",
         "knn",
         "spans_roundtrip",
