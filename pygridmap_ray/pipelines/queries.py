@@ -2862,6 +2862,31 @@ def q_co_occurrence(sf_dir: str):
     return co_occurrence(line, "l_partkey", "l_suppkey")
 
 
+def q_spearman(sf_dir: str):
+    """Spearman rank correlation of quantity vs discount per return
+    flag (both columns discrete — the broadcast-rank-map contract)."""
+    import ray.data as rd
+
+    from ..stats import spearman_corr
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    return spearman_corr(
+        ds, group_col="l_returnflag", x_col="l_quantity",
+        y_col="l_discount",
+    )
+
+
+def _sql_spearman() -> str:
+    from ..stats import sql_spearman_corr
+
+    return sql_spearman_corr(
+        group_col="l_returnflag", x_col="l_quantity", y_col="l_discount"
+    )
+
+
 def q_pareto(sf_dir: str):
     """Pareto frontier of parts maximizing (retail price, size)."""
     import ray.data as rd
@@ -3259,6 +3284,7 @@ def queries():
         "bucketed_join": q_bucketed_join,
         "pareto": q_pareto,
         "events_gap_fill": q_events_gap_fill,
+        "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
         "moments": q_moments,
@@ -3643,6 +3669,7 @@ def oracle_sql():
         "bucketed_join": _sql_bucketed_join(),
         "pareto": _sql_pareto(),
         "events_gap_fill": _sql_events_gap_fill(),
+        "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
         "hll_distinct": _sql_hll_distinct(),

@@ -2636,3 +2636,110 @@ WHERE NOT EXISTS (
     AND (q.{x} > p.{x} OR q.{y} > p.{y})
 )
 """
+
+
+def spearman_corr(ds, *, group_col: str, x_col: str, y_col: str,
+                  round_to: int = 6):
+    """Per-group Spearman rank correlation (ties get average ranks —
+    the standard law): phase 1 reduces each column to its per-group
+    discrete histogram (distinct (group, value) counts — the same
+    DISCRETE-domain contract as :func:`window_ranks` / IQR's exact
+    fences; continuous domains belong on the moments/approx paths),
+    builds average-rank maps driver-side at aggregate scale and
+    broadcasts them in the closure; phase 2 maps every row to its two
+    ranks via one ``searchsorted`` and hands off to
+    :func:`grouped_corr`'s combinable-moments plan — rows never
+    shuffle.  Average rank of a tie block = ranks_before + (c + 1)/2,
+    exact in binary, matching ``RANK() + (tie_count - 1)/2.0``."""
+
+    def rank_map(col: str) -> dict:
+        hist = (
+            ds.select_columns([group_col, col])
+            .map_batches(
+                lambda b: b.filter(pc.is_valid(b[col])),
+                batch_format="pyarrow",
+            )
+            .groupby([group_col, col])
+            .count()
+            .take_all()
+        )
+        by_g: dict = {}
+        for r in hist:
+            by_g.setdefault(str(r[group_col]), []).append(
+                (float(r[col]), int(r["count()"]))
+            )
+        out = {}
+        for g, pairs in by_g.items():
+            pairs.sort()
+            vals = np.array([v for v, _ in pairs], np.float64)
+            cnts = np.array([c for _, c in pairs], np.int64)
+            before = np.cumsum(cnts) - cnts
+            avg = before + (cnts + 1) / 2.0
+            out[g] = (vals, avg)
+        return out
+
+    mx, my = rank_map(x_col), rank_map(y_col)
+
+    def to_ranks(b: pa.Table) -> pa.Table:
+        g = np.asarray(pc.cast(b[group_col], pa.string())).astype(object)
+        x = np.asarray(b[x_col], np.float64)
+        y = np.asarray(b[y_col], np.float64)
+        rx = np.empty(len(g), np.float64)
+        ry = np.empty(len(g), np.float64)
+        for gv in pd.unique(g):
+            m = g == gv
+            vx, ax = mx[str(gv)]
+            vy, ay = my[str(gv)]
+            rx[m] = ax[np.searchsorted(vx, x[m])]
+            ry[m] = ay[np.searchsorted(vy, y[m])]
+        return pa.table(
+            {group_col: pa.array(g, pa.string()),
+             "rx": pa.array(rx), "ry": pa.array(ry)}
+        )
+
+    ranked = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.is_valid(b[x_col]), pc.is_valid(b[y_col]))
+        ),
+        batch_format="pyarrow",
+    ).map_batches(to_ranks, batch_format="pyarrow")
+    out = grouped_corr(
+        ranked, group_col=group_col, x_col="rx", y_col="ry",
+        round_to=round_to,
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns([group_col, "spearman"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_spearman_corr(*, group_col: str, x_col: str, y_col: str,
+                      source: str = "lineitem",
+                      round_to: int = 6) -> str:
+    t = f"1e{round_to}"
+    return f"""
+WITH r AS (
+  SELECT {group_col},
+    RANK() OVER (PARTITION BY {group_col} ORDER BY {x_col})
+      + (COUNT(*) OVER (PARTITION BY {group_col}, {x_col}) - 1) / 2.0
+      AS rx,
+    RANK() OVER (PARTITION BY {group_col} ORDER BY {y_col})
+      + (COUNT(*) OVER (PARTITION BY {group_col}, {y_col}) - 1) / 2.0
+      AS ry
+  FROM {source}
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+s AS (
+  SELECT {group_col},
+         COUNT(*)::DOUBLE AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+         SUM(rx * ry) AS sxy
+  FROM r GROUP BY {group_col}
+)
+SELECT {group_col},
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) * {t})
+         / {t} AS spearman
+FROM s
+"""

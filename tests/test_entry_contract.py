@@ -129,6 +129,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "bucketed_join",
         "pareto",
         "events_gap_fill",
+        "spearman",
         "dup_gram_coverage",
         "knn",
         "spans_roundtrip",
