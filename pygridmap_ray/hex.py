@@ -1,0 +1,223 @@
+"""Hexagonal cell indexing (H3-style) over the planar domain.
+
+The north rule asks for "batched H3/S2 indexing inside map_batches".
+:mod:`pygridmap_ray.hier` covers the S2 family (square Morton/quadkey
+cells); this module adds the H3 family: a flat-top hexagonal lattice in
+axial coordinates (q, r), assigned by the classic fractional-axial +
+cube-rounding construction (Amit Patel's public hex-grid notes; the same
+point→cell law H3 uses on each gnomonic face).
+
+Hexagons are the H3 pitch for spatial joins because every cell has six
+EQUIDISTANT neighbours (square grids have two neighbour distances), so
+k-ring smoothing and density contours are isotropic.
+
+Laws (bit-identical DuckDB twins in ``sql_hex_cte`` — same constant
+expressions, same op order; ``sqrt`` is IEEE-754 correctly rounded in
+both engines, so ``sqrt(3.0)`` is the same double):
+
+    fq = ((2.0/3.0) * x) / size
+    fr = ((-1.0/3.0) * x + (sqrt(3.0)/3.0) * y) / size
+    fs = -fq - fr                      (cube constraint q + r + s = 0)
+    rq, rr, rs = floor(f? + 0.5)       (shared half-up law, both sides)
+    fix the axis with the largest |r? - f?|:
+        if dq > dr and dq > ds:  q = -rr - rs   else q = rq
+        elif dr > ds:            r = -rq - rs   else r = rr
+
+Centers (axial → pixel, flat-top): cx = size * ((3.0/2.0) * q),
+cy = size * ((sqrt(3.0)/2.0) * q + sqrt(3.0) * r).
+
+Scale shape: assignment is a stateless zero-copy Arrow ``map_batches``
+stage (reference parity: pygridmap gridtiler.py grid_tiling assigns
+square cells per chunk; here the lattice is hexagonal).  Density is
+two-phase: per-batch packed-int ``np.unique`` partials -> one hash
+aggregate on at most O(domain/size²) keys -> decode.  No map_groups,
+no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "hex_axial",
+    "hex_center",
+    "hex_neighbors",
+    "with_hex_cells",
+    "hex_density",
+    "sql_hex_cte",
+]
+
+# constants are COMPUTED (not inlined decimals) so the Python floats and
+# the DuckDB twin's folded expressions are the same doubles by shared law
+_C_Q = 2.0 / 3.0
+_C_RX = -1.0 / 3.0
+_SQRT3 = np.sqrt(3.0)
+_SQRT3_3 = _SQRT3 / 3.0
+_SQRT3_2 = _SQRT3 / 2.0
+_C_CX = 3.0 / 2.0
+
+#: the six axial neighbour offsets (flat-top), fixed public order
+_NEIGHBORS = ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+
+def hex_axial(
+    x: np.ndarray, y: np.ndarray, size: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Axial (q, r) of each point on the flat-top hex lattice of
+    circumradius `size` (cube-rounding law above)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    fq = (_C_Q * x) / size
+    fr = (_C_RX * x + _SQRT3_3 * y) / size
+    fs = -fq - fr
+    rq = np.floor(fq + 0.5)
+    rr = np.floor(fr + 0.5)
+    rs = np.floor(fs + 0.5)
+    dq = np.abs(rq - fq)
+    dr = np.abs(rr - fr)
+    ds_ = np.abs(rs - fs)
+    fix_q = (dq > dr) & (dq > ds_)
+    fix_r = ~fix_q & (dr > ds_)
+    q = np.where(fix_q, -rr - rs, rq).astype(np.int64)
+    r = np.where(fix_r, -rq - rs, rr).astype(np.int64)
+    return q, r
+
+
+def hex_center(
+    q: np.ndarray, r: np.ndarray, size: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Center (cx, cy) of axial cell (q, r) — flat-top axial→pixel."""
+    qf = np.asarray(q, dtype=np.float64)
+    rf = np.asarray(r, dtype=np.float64)
+    return size * (_C_CX * qf), size * (_SQRT3_2 * qf + _SQRT3 * rf)
+
+
+def hex_neighbors(q: int, r: int) -> list[tuple[int, int]]:
+    """The six axial neighbours of (q, r), fixed order."""
+    return [(q + dq, r + dr) for dq, dr in _NEIGHBORS]
+
+
+def _pack(q: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """(q, r) -> one int64 key: (q << 32) | (r & 0xFFFFFFFF).  Signed-safe
+    on both fields (arithmetic shifts recover them in :func:`_unpack`)."""
+    return (np.asarray(q, np.int64) << 32) | (
+        np.asarray(r, np.int64) & np.int64(4294967295)
+    )
+
+
+def _unpack(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    key = np.asarray(key, dtype=np.int64)
+    return key >> 32, (key << 32) >> 32
+
+
+def _assign_batch(
+    batch: pa.Table, *, size: float, x_col: str, y_col: str
+) -> pa.Table:
+    x = np.asarray(batch[x_col], dtype=np.float64)
+    y = np.asarray(batch[y_col], dtype=np.float64)
+    q, r = hex_axial(x, y, size)
+    key = pc.binary_join_element_wise(
+        pc.cast(pa.array(q), pa.string()),
+        pc.cast(pa.array(r), pa.string()),
+        ":",
+    )
+    return (
+        batch.append_column("hq", pa.array(q))
+        .append_column("hr", pa.array(r))
+        .append_column("hex_key", key)
+    )
+
+
+def with_hex_cells(
+    ds,
+    *,
+    size: float,
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Dataset -> Dataset with (hq, hr, hex_key) appended: the H3-style
+    batched indexing stage (stateless Arrow tasks, zero-copy in)."""
+    return ds.map_batches(
+        _assign_batch,
+        batch_format="pyarrow",
+        fn_kwargs=dict(size=size, x_col=x_col, y_col=y_col),
+    )
+
+
+def hex_density(ds, *, size: float):
+    """(hq, hr) Dataset -> per-hex doc count with cell centers.
+
+    Two-phase: per-batch packed-key ``np.unique`` partials (the shuffle
+    carries at most one row per hex per batch) -> one hash aggregate on
+    O((domain/size)²) keys -> unpack + centers.  Float centers are
+    rounded half-away to 6dp (house float-output law).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "docs": c.astype(np.int64)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("docs", alias_name="n_docs"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            # hash aggregates emit column-less empty blocks on small
+            # inputs; emit a typed empty so downstream schemas agree
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "cx": pa.array([], pa.float64()),
+                    "cy": pa.array([], pa.float64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        cx, cy = hex_center(q, r, size)
+        rnd = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+                "cx": pa.array(rnd(cx)),
+                "cy": pa.array(rnd(cy)),
+                "n_docs": b["n_docs"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin (same constant expressions, same op order)
+# ---------------------------------------------------------------------------
+
+
+def sql_hex_cte(size: float, points_cte: str = "pts") -> str:
+    """CTE chain `frac, cube, hexed` over `points_cte(doc_id, x, y)`:
+    hexed carries (doc_id, x, y, ..., hq, hr) — twin of
+    :func:`hex_axial`.  Append after a points CTE:
+    ``WITH pts AS (...), {sql_hex_cte(...)} SELECT ... FROM hexed``."""
+    s = repr(float(size))
+    fixq = "(abs(rq - fq) > abs(rr - fr) AND abs(rq - fq) > abs(rs - fs))"
+    return (
+        f"frac AS (SELECT *, ((2.0/3.0) * x) / {s} AS fq,"
+        f" ((-1.0/3.0) * x + (sqrt(3.0)/3.0) * y) / {s} AS fr"
+        f" FROM {points_cte}),"
+        f" cube AS (SELECT *, (-fq - fr) AS fs,"
+        f" floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,"
+        f" floor((-fq - fr) + 0.5) AS rs FROM frac),"
+        f" hexed AS (SELECT *,"
+        f" CAST(CASE WHEN {fixq} THEN (-rr - rs) ELSE rq END AS BIGINT) AS hq,"
+        f" CAST(CASE WHEN NOT {fixq} AND abs(rr - fr) > abs(rs - fs)"
+        f" THEN (-rq - rs) ELSE rr END AS BIGINT) AS hr"
+        f" FROM cube)"
+    )

@@ -136,6 +136,28 @@ def q_hier_rollup(sf_dir: str):
     return hier_rollup(ds, parent_level=HIER_PARENT, level=HIER_LEVEL)
 
 
+#: H3-style hex lattice circumradius: ~25 km hexes over the ~500 km domain
+HEX_SIZE = 25_000.0
+
+
+def q_hex_assign(sf_dir: str):
+    """H3-style hexagonal cell assignment (hex.with_hex_cells): axial
+    (hq, hr) + hex_key per doc via the batched cube-rounding kernel."""
+    from ..hex import with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return ds.select_columns(["doc_id", "hq", "hr", "hex_key"])
+
+
+def q_hex_density(sf_dir: str):
+    """Per-hex doc density with cell centers: packed-key unique partials
+    -> one small hash aggregate -> unpack (raw rows never shuffle)."""
+    from ..hex import hex_density, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return hex_density(ds, size=HEX_SIZE)
+
+
 #: focal-statistics cell size: coarser than RES so 3x3 neighbourhoods are
 #: populated at every sf (the synth domain spans ~500 km -> ~50x50 cells)
 FOCAL_RES = 10_000.0
@@ -3250,6 +3272,8 @@ def queries():
         "cell_assign_offset": q_cell_assign_offset,
         "cell_hier": q_cell_hier,
         "hier_rollup": q_hier_rollup,
+        "hex_assign": q_hex_assign,
+        "hex_density": q_hex_density,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -3447,6 +3471,32 @@ def _sql_cell_hier() -> str:
     )
 
 
+def _sql_hex_assign() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)} "
+        f"SELECT doc_id, hq, hr, "
+        f"CAST(hq AS VARCHAR) || ':' || CAST(hr AS VARCHAR) AS hex_key "
+        f"FROM hexed"
+    )
+
+
+def _sql_hex_density() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    s = repr(float(HEX_SIZE))
+    cx = f"ROUND(({s} * ((3.0/2.0) * hq)) * 1e6) / 1e6"
+    cy = f"ROUND(({s} * ((sqrt(3.0)/2.0) * hq + sqrt(3.0) * hr)) * 1e6) / 1e6"
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)} "
+        f"SELECT hq, hr, {cx} AS cx, {cy} AS cy, "
+        f"COUNT(*)::BIGINT AS n_docs FROM hexed GROUP BY hq, hr"
+    )
+
+
 def _sql_hier_rollup() -> str:
     shift = 2 * (HIER_LEVEL - HIER_PARENT)
     return (
@@ -3631,6 +3681,8 @@ def oracle_sql():
         ),
         "cell_hier": _sql_cell_hier(),
         "hier_rollup": _sql_hier_rollup(),
+        "hex_assign": _sql_hex_assign(),
+        "hex_density": _sql_hex_density(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),

@@ -1,0 +1,83 @@
+"""H3-style hexagonal indexing — cube-round law, centers, density."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from pygridmap_ray.hex import (
+    _pack,
+    _unpack,
+    hex_axial,
+    hex_center,
+    hex_density,
+    hex_neighbors,
+    with_hex_cells,
+)
+
+SIZE = 1000.0
+
+
+def test_center_roundtrip():
+    """The center of every cell assigns back to that cell."""
+    rng = np.random.default_rng(11)
+    q = rng.integers(-50, 51, 400)
+    r = rng.integers(-50, 51, 400)
+    cx, cy = hex_center(q, r, SIZE)
+    q2, r2 = hex_axial(cx, cy, SIZE)
+    assert np.array_equal(q, q2) and np.array_equal(r, r2)
+
+
+def test_assignment_is_nearest_center():
+    """Cube rounding == nearest-center (Voronoi) assignment: the chosen
+    cell's center is at least as close as all six neighbours'."""
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-20_000, 20_000, 2000)
+    y = rng.uniform(-20_000, 20_000, 2000)
+    q, r = hex_axial(x, y, SIZE)
+    cx, cy = hex_center(q, r, SIZE)
+    own = (x - cx) ** 2 + (y - cy) ** 2
+    for dq, dr in hex_neighbors(0, 0):
+        nx, ny = hex_center(q + dq, r + dr, SIZE)
+        d = (x - nx) ** 2 + (y - ny) ** 2
+        assert (own <= d + 1e-6).all()
+
+
+def test_neighbors_equidistant():
+    """All six neighbour centers sit exactly sqrt(3)*size away."""
+    cx0, cy0 = hex_center(np.array([3]), np.array([-2]), SIZE)
+    for nq, nr in hex_neighbors(3, -2):
+        nx, ny = hex_center(np.array([nq]), np.array([nr]), SIZE)
+        d = np.hypot(nx - cx0, ny - cy0)[0]
+        assert abs(d - np.sqrt(3.0) * SIZE) < 1e-9
+
+
+def test_pack_unpack_signed():
+    rng = np.random.default_rng(13)
+    q = rng.integers(-(1 << 30), 1 << 30, 1000)
+    r = rng.integers(-(1 << 30), 1 << 30, 1000)
+    q2, r2 = _unpack(_pack(q, r))
+    assert np.array_equal(q, q2) and np.array_equal(r, r2)
+
+
+def test_density_matches_numpy(ray_session):
+    rng = np.random.default_rng(14)
+    x = rng.uniform(0, 50_000, 3000)
+    y = rng.uniform(0, 50_000, 3000)
+    ds = rd.from_arrow(pa.table({"x": x, "y": y})).repartition(6)
+    out = (
+        hex_density(with_hex_cells(ds, size=SIZE), size=SIZE)
+        .to_pandas()
+        .sort_values(["hq", "hr"])
+        .reset_index(drop=True)
+    )
+    q, r = hex_axial(x, y, SIZE)
+    key = _pack(q, r)
+    u, c = np.unique(key, return_counts=True)
+    uq, ur = _unpack(u)
+    order = np.lexsort((ur, uq))
+    uq, ur, c = uq[order], ur[order], c[order]
+    assert np.array_equal(out["hq"].to_numpy(), uq)
+    assert np.array_equal(out["hr"].to_numpy(), ur)
+    assert np.array_equal(out["n_docs"].to_numpy(), c)
+    assert int(out["n_docs"].sum()) == 3000
