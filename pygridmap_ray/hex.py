@@ -46,6 +46,7 @@ __all__ = [
     "hex_neighbors",
     "with_hex_cells",
     "hex_density",
+    "hex_rollup",
     "sql_hex_cte",
 ]
 
@@ -192,6 +193,55 @@ def hex_density(ds, *, size: float):
                 "n_docs": b["n_docs"],
             }
         )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hex_rollup(ds, *, sum_cols: dict[str, str]):
+    """(hq, hr, *cols) Dataset -> per-hex n_docs plus SUM of each named
+    integer column (`sum_cols` maps output name -> input column).
+
+    Same two-phase shape as :func:`hex_density`: per-batch packed-key
+    ``np.unique`` partials (heavy payload columns never shuffle — one
+    partial row per hex per batch) -> one small hash aggregate -> unpack.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, inv = np.unique(key, return_inverse=True)
+        cols: dict[str, pa.Array] = {
+            "hkey": pa.array(u),
+            "docs": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64)),
+        }
+        for out, src in sum_cols.items():
+            v = np.asarray(b[src], dtype=np.int64)
+            # per-batch sums stay < 2**53 (batch-bounded), so the float
+            # bincount accumulator is exact before the int64 cast
+            cols[out] = pa.array(
+                np.bincount(inv, weights=v, minlength=len(u)).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    aggs = [Sum("docs", alias_name="n_docs")] + [
+        Sum(out, alias_name=out) for out in sum_cols
+    ]
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(*aggs)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            schema = {"hq": pa.int64(), "hr": pa.int64(), "n_docs": pa.int64()}
+            schema.update({out: pa.int64() for out in sum_cols})
+            return pa.table({k: pa.array([], t) for k, t in schema.items()})
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        out_cols = {"hq": pa.array(q), "hr": pa.array(r), "n_docs": b["n_docs"]}
+        for out in sum_cols:
+            out_cols[out] = b[out]
+        return pa.table(out_cols)
 
     return agg.map_batches(finish, batch_format="pyarrow")
 

@@ -158,6 +158,45 @@ def q_hex_density(sf_dir: str):
     return hex_density(ds, size=HEX_SIZE)
 
 
+def q_hex_media_density(sf_dir: str):
+    """Per-hex interleaved-payload rollup (axes A+B): synthesize the spans
+    column, hex-index each doc, count spans/media spans by TRAVERSING the
+    actual list<struct> column (vectorized flatten + bincount), and roll
+    up per hex via packed-key partials — the spans payload never shuffles;
+    the oracle recomputes the same stats closed-form from doc_id."""
+    from ..hex import hex_rollup, with_hex_cells
+    from ..synth import build_spans_array
+
+    ds = docs_points(sf_dir)
+
+    def add_spans(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "spans", build_spans_array(np.asarray(b["doc_id"]))
+        )
+
+    def span_stats(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lengths = np.asarray(spans.value_lengths(), dtype=np.int64)
+        flat = spans.flatten()
+        is_media = np.asarray(pc.not_equal(flat.field("kind"), "text"))
+        parent_idx = np.repeat(np.arange(len(lengths)), lengths)
+        n_media = np.bincount(
+            parent_idx, weights=is_media, minlength=len(lengths)
+        ).astype(np.int64)
+        return (
+            b.append_column("n_spans", pa.array(lengths))
+            .append_column("n_media", pa.array(n_media))
+            .drop_columns(["spans"])
+        )
+
+    ds = ds.map_batches(add_spans, batch_format="pyarrow")
+    ds = with_hex_cells(ds, size=HEX_SIZE)
+    ds = ds.map_batches(span_stats, batch_format="pyarrow")
+    return hex_rollup(ds, sum_cols={"n_spans": "n_spans", "n_media": "n_media"})
+
+
 #: focal-statistics cell size: coarser than RES so 3x3 neighbourhoods are
 #: populated at every sf (the synth domain spans ~500 km -> ~50x50 cells)
 FOCAL_RES = 10_000.0
@@ -3274,6 +3313,7 @@ def queries():
         "hier_rollup": q_hier_rollup,
         "hex_assign": q_hex_assign,
         "hex_density": q_hex_density,
+        "hex_media_density": q_hex_media_density,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -3497,6 +3537,20 @@ def _sql_hex_density() -> str:
     )
 
 
+def _sql_hex_media_density() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte, sql_span_summary_cte
+
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)} "
+        f"SELECT h.hq, h.hr, COUNT(*)::BIGINT AS n_docs, "
+        f"SUM(ss.n_spans)::BIGINT AS n_spans, "
+        f"SUM(ss.n_spans - ss.n_text)::BIGINT AS n_media "
+        f"FROM hexed h JOIN ({sql_span_summary_cte()}) ss "
+        f"ON h.doc_id = ss.doc_id GROUP BY h.hq, h.hr"
+    )
+
+
 def _sql_hier_rollup() -> str:
     shift = 2 * (HIER_LEVEL - HIER_PARENT)
     return (
@@ -3683,6 +3737,7 @@ def oracle_sql():
         "hier_rollup": _sql_hier_rollup(),
         "hex_assign": _sql_hex_assign(),
         "hex_density": _sql_hex_density(),
+        "hex_media_density": _sql_hex_media_density(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),

@@ -12,6 +12,7 @@ from pygridmap_ray.hex import (
     hex_center,
     hex_density,
     hex_neighbors,
+    hex_rollup,
     with_hex_cells,
 )
 
@@ -81,3 +82,26 @@ def test_density_matches_numpy(ray_session):
     assert np.array_equal(out["hr"].to_numpy(), ur)
     assert np.array_equal(out["n_docs"].to_numpy(), c)
     assert int(out["n_docs"].sum()) == 3000
+
+
+def test_rollup_matches_numpy(ray_session):
+    rng = np.random.default_rng(15)
+    x = rng.uniform(0, 30_000, 2000)
+    y = rng.uniform(0, 30_000, 2000)
+    w = rng.integers(0, 100, 2000)
+    ds = rd.from_arrow(pa.table({"x": x, "y": y, "w": w})).repartition(5)
+    out = (
+        hex_rollup(with_hex_cells(ds, size=SIZE), sum_cols={"wsum": "w"})
+        .to_pandas()
+        .sort_values(["hq", "hr"])
+        .reset_index(drop=True)
+    )
+    key = _pack(*hex_axial(x, y, SIZE))
+    u, inv = np.unique(key, return_inverse=True)
+    uq, ur = _unpack(u)
+    order = np.lexsort((ur, uq))
+    assert np.array_equal(out["n_docs"].to_numpy(), np.bincount(inv)[order])
+    assert np.array_equal(
+        out["wsum"].to_numpy(),
+        np.bincount(inv, weights=w).astype(np.int64)[order],
+    )
