@@ -46,6 +46,7 @@ __all__ = [
     "hex_neighbors",
     "with_hex_cells",
     "hex_density",
+    "hex_focal",
     "hex_rollup",
     "sql_hex_cte",
 ]
@@ -244,6 +245,83 @@ def hex_rollup(ds, *, sum_cols: dict[str, str]):
         return pa.table(out_cols)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hex_focal(ds, *, size: float):
+    """(hq, hr) Dataset -> per-occupied-hex focal (k-ring 1) doc count:
+    for every hex that contains at least one doc, the total docs in
+    itself plus its six neighbours.
+
+    Scale shape: after the tiny per-hex aggregate, each hex SCATTERS its
+    count to its 7 ring targets plus one self marker row, and a single
+    second hash aggregate resolves both the focal sum and the
+    occupied-filter — no join anywhere (the marker-row trick replaces the
+    usual focal self-join), and the second shuffle carries at most
+    7 rows per occupied hex.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "docs": c.astype(np.int64)})
+
+    dens = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("docs", alias_name="n"))
+    )
+
+    def scatter(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.int64()),
+                    "contrib": pa.array([], pa.int64()),
+                    "self_n": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        n = np.asarray(b["n"], np.int64)
+        tkeys = [_pack(q + dq, r + dr) for dq, dr in ((0, 0), *_NEIGHBORS)]
+        tkey = np.concatenate(tkeys + [_pack(q, r)])
+        contrib = np.concatenate([np.tile(n, 7), np.zeros(len(n), np.int64)])
+        self_n = np.concatenate([np.zeros(7 * len(n), np.int64), n])
+        return pa.table({"tkey": tkey, "contrib": contrib, "self_n": self_n})
+
+    focal = (
+        dens.map_batches(scatter, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(
+            Sum("contrib", alias_name="focal_docs"),
+            Max("self_n", alias_name="n_docs"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "focal_docs": pa.array([], pa.int64()),
+                }
+            )
+        keep = np.asarray(b["n_docs"], np.int64) > 0
+        q, r = _unpack(np.asarray(b["tkey"], np.int64)[keep])
+        return pa.table(
+            {
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+                "n_docs": pa.array(np.asarray(b["n_docs"], np.int64)[keep]),
+                "focal_docs": pa.array(
+                    np.asarray(b["focal_docs"], np.int64)[keep]
+                ),
+            }
+        )
+
+    return focal.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -197,6 +197,16 @@ def q_hex_media_density(sf_dir: str):
     return hex_rollup(ds, sum_cols={"n_spans": "n_spans", "n_media": "n_media"})
 
 
+def q_hex_focal(sf_dir: str):
+    """K-ring-1 focal doc density per occupied hex: scatter each hex's
+    count to its 7 ring targets + a self marker, one second aggregate
+    resolves focal sum and occupancy (no focal self-join)."""
+    from ..hex import hex_focal, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return hex_focal(ds, size=HEX_SIZE)
+
+
 #: focal-statistics cell size: coarser than RES so 3x3 neighbourhoods are
 #: populated at every sf (the synth domain spans ~500 km -> ~50x50 cells)
 FOCAL_RES = 10_000.0
@@ -3314,6 +3324,7 @@ def queries():
         "hex_assign": q_hex_assign,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
+        "hex_focal": q_hex_focal,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -3551,6 +3562,22 @@ def _sql_hex_media_density() -> str:
     )
 
 
+def _sql_hex_focal() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"d AS (SELECT hq, hr, COUNT(*)::BIGINT AS n FROM hexed GROUP BY hq, hr), "
+        f"off(dq, dr) AS (VALUES (0,0),(1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1)), "
+        f"sc AS (SELECT d.hq + o.dq AS tq, d.hr + o.dr AS tr, d.n "
+        f"FROM d CROSS JOIN off o) "
+        f"SELECT d2.hq, d2.hr, d2.n AS n_docs, SUM(sc.n)::BIGINT AS focal_docs "
+        f"FROM d d2 JOIN sc ON sc.tq = d2.hq AND sc.tr = d2.hr "
+        f"GROUP BY d2.hq, d2.hr, d2.n"
+    )
+
+
 def _sql_hier_rollup() -> str:
     shift = 2 * (HIER_LEVEL - HIER_PARENT)
     return (
@@ -3738,6 +3765,7 @@ def oracle_sql():
         "hex_assign": _sql_hex_assign(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
+        "hex_focal": _sql_hex_focal(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),

@@ -105,3 +105,28 @@ def test_rollup_matches_numpy(ray_session):
         out["wsum"].to_numpy(),
         np.bincount(inv, weights=w).astype(np.int64)[order],
     )
+
+
+def test_focal_matches_bruteforce(ray_session):
+    from pygridmap_ray.hex import hex_focal
+
+    rng = np.random.default_rng(16)
+    x = rng.uniform(0, 20_000, 1500)
+    y = rng.uniform(0, 20_000, 1500)
+    ds = rd.from_arrow(pa.table({"x": x, "y": y})).repartition(4)
+    out = (
+        hex_focal(with_hex_cells(ds, size=SIZE), size=SIZE)
+        .to_pandas()
+        .set_index(["hq", "hr"])
+        .sort_index()
+    )
+    q, r = hex_axial(x, y, SIZE)
+    key = _pack(q, r)
+    u, c = np.unique(key, return_counts=True)
+    counts = dict(zip(u.tolist(), c.tolist()))
+    for (hq, hr), row in out.iterrows():
+        ring = [(hq, hr)] + hex_neighbors(hq, hr)
+        expect = sum(counts.get(int(_pack(np.array([a]), np.array([b]))[0]), 0) for a, b in ring)
+        assert row["focal_docs"] == expect
+        assert row["n_docs"] == counts[int(_pack(np.array([hq]), np.array([hr]))[0])]
+    assert len(out) == len(u)
