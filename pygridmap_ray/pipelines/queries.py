@@ -207,6 +207,27 @@ def q_hex_focal(sf_dir: str):
     return hex_focal(ds, size=HEX_SIZE)
 
 
+def q_nearest_hub(sf_dir: str):
+    """Broadcast-small-side geodesic nearest-neighbour: the 8-row hub
+    table rides the batch closure, every batch computes a vectorized
+    n×8 haversine matrix + argmin — zero shuffle (geodesic.nearest_hub).
+    Ties break to the lowest hub_id on both sides."""
+    import ray.data as rd
+
+    from ..geodesic import nearest_hub
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_lonlat(b: pa.Table) -> pa.Table:
+        lon, lat = derive_lonlat(np.asarray(b["doc_id"]))
+        return b.append_column("lon", pa.array(lon)).append_column(
+            "lat", pa.array(lat)
+        )
+
+    ds = nearest_hub(ds.map_batches(add_lonlat, batch_format="pyarrow"))
+    return ds.select_columns(["doc_id", "hub_id", "hub_km"])
+
+
 #: focal-statistics cell size: coarser than RES so 3x3 neighbourhoods are
 #: populated at every sf (the synth domain spans ~500 km -> ~50x50 cells)
 FOCAL_RES = 10_000.0
@@ -3325,6 +3346,7 @@ def queries():
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
+        "nearest_hub": q_nearest_hub,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -3578,6 +3600,21 @@ def _sql_hex_focal() -> str:
     )
 
 
+def _sql_nearest_hub() -> str:
+    from ..geodesic import sql_haversine_expr, sql_hubs_cte
+    from ..synth import sql_lonlat_cte
+
+    hav = sql_haversine_expr("lon", "lat", "hlon", "hlat")
+    return (
+        f"WITH ll AS ({sql_lonlat_cte()}), {sql_hubs_cte()}, "
+        f"d AS (SELECT doc_id, hub_id, {hav} AS dist "
+        f"FROM ll CROSS JOIN hubs) "
+        f"SELECT doc_id, hub_id, ROUND(dist * 1e3) / 1e3 AS hub_km FROM d "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id "
+        f"ORDER BY dist, hub_id) = 1"
+    )
+
+
 def _sql_hier_rollup() -> str:
     shift = 2 * (HIER_LEVEL - HIER_PARENT)
     return (
@@ -3766,6 +3803,7 @@ def oracle_sql():
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),
+        "nearest_hub": _sql_nearest_hub(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),
