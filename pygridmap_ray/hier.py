@@ -36,6 +36,8 @@ __all__ = [
     "children_codes",
     "with_hier_cells",
     "hier_rollup",
+    "zrange_cover",
+    "zrange_filter",
     "sql_spread_expr",
     "sql_morton_expr",
     "sql_quadkey_expr",
@@ -221,6 +223,118 @@ def hier_rollup(ds, *, parent_level: int, level: int):
             Count(alias_name="n_cells"),
         )
     )
+
+
+def zrange_cover(
+    bbox: tuple[float, float, float, float],
+    *,
+    resolution: float,
+    level: int,
+    x_origin: float = 0.0,
+    y_origin: float = 0.0,
+    max_depth: int | None = None,
+) -> np.ndarray:
+    """Covering Morton code ranges for all level-`level` cells that
+    intersect ``bbox`` (x0, y0, x1, y1; half-open on the high edges).
+
+    Classic quadtree descent: a node fully inside the bbox emits its
+    whole code range; a disjoint node is skipped; a straddling node
+    recurses.  ``max_depth`` (default: full descent) bounds the range
+    count — a shallower descent emits a SUPERSET, which is safe because
+    :func:`zrange_filter` always refines exactly on x/y.  Returns an
+    (n, 2) int64 array of inclusive [lo, hi] ranges, sorted, adjacent
+    ranges merged.
+
+    This is the Z-ORDER RANGE SCAN of the north rule's storage story: on
+    a cell-code-sorted tile store the same ranges prune row groups /
+    partitions at the read instead of rows in memory.
+    """
+    x0, y0, x1, y1 = bbox
+    qx0 = int(np.floor((x0 - x_origin) / resolution))
+    qy0 = int(np.floor((y0 - y_origin) / resolution))
+    qx1 = int(np.floor((x1 - x_origin) / resolution))
+    qy1 = int(np.floor((y1 - y_origin) / resolution))
+    lim = 1 << level
+    qx0, qy0 = max(qx0, 0), max(qy0, 0)
+    qx1, qy1 = min(qx1, lim - 1), min(qy1, lim - 1)
+    if qx0 > qx1 or qy0 > qy1:
+        return np.empty((0, 2), dtype=np.int64)
+    depth_cap = level if max_depth is None else min(max_depth, level)
+    out: list[tuple[int, int]] = []
+
+    def descend(code: int, d: int, ix: int, iy: int) -> None:
+        side = 1 << (level - d)
+        nx1, ny1 = ix + side - 1, iy + side - 1
+        if nx1 < qx0 or ix > qx1 or ny1 < qy0 or iy > qy1:
+            return
+        span = 1 << (2 * (level - d))
+        lo = code << (2 * (level - d))
+        if (ix >= qx0 and nx1 <= qx1 and iy >= qy0 and ny1 <= qy1) or d >= depth_cap:
+            out.append((lo, lo + span - 1))
+            return
+        half = side >> 1
+        for child in range(4):
+            descend(
+                (code << 2) | child,
+                d + 1,
+                ix + (child & 1) * half,
+                iy + ((child >> 1) & 1) * half,
+            )
+
+    descend(0, 0, 0, 0)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    return np.asarray(merged, dtype=np.int64).reshape(-1, 2)
+
+
+def zrange_filter(
+    ds,
+    bbox: tuple[float, float, float, float],
+    *,
+    resolution: float,
+    level: int,
+    x_origin: float = 0.0,
+    y_origin: float = 0.0,
+    max_depth: int | None = None,
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Dataset(cell_code, x, y, ...) -> rows with (x, y) inside ``bbox``
+    (half-open high edges), pruned FIRST by the Morton cover ranges
+    (vectorized searchsorted — candidates never leave the prune mask)
+    and then refined exactly on the coordinates."""
+    ranges = zrange_cover(
+        bbox,
+        resolution=resolution,
+        level=level,
+        x_origin=x_origin,
+        y_origin=y_origin,
+        max_depth=max_depth,
+    )
+    starts = np.ascontiguousarray(ranges[:, 0])
+    ends = np.ascontiguousarray(ranges[:, 1])
+    x0, y0, x1, y1 = bbox
+
+    def filt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or len(starts) == 0:
+            return b.slice(0, 0)
+        code = np.asarray(b["cell_code"], dtype=np.int64)
+        idx = np.searchsorted(starts, code, side="right") - 1
+        cand = (idx >= 0) & (code <= ends[np.maximum(idx, 0)])
+        if not cand.any():
+            return b.slice(0, 0)
+        sub = b.take(pa.array(np.flatnonzero(cand)))
+        x = np.asarray(sub[x_col], dtype=np.float64)
+        y = np.asarray(sub[y_col], dtype=np.float64)
+        keep = (x >= x0) & (x < x1) & (y >= y0) & (y < y1)
+        return sub.take(pa.array(np.flatnonzero(keep)))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -228,6 +228,23 @@ def q_nearest_hub(sf_dir: str):
     return ds.select_columns(["doc_id", "hub_id", "hub_km"])
 
 
+#: Z-order range-scan bbox (exact float bounds shared with the oracle)
+ZQ_BBOX = (120_000.0, 80_000.0, 310_000.0, 240_000.0)
+
+
+def q_zrange_query(sf_dir: str):
+    """Spatial bbox query the index-scan way: quadtree cover of the bbox
+    -> Morton [lo, hi] ranges -> vectorized searchsorted prune on the
+    cell code -> exact x/y refine (hier.zrange_cover/zrange_filter).  On
+    a code-sorted tile store the same ranges prune at the READ; the
+    oracle is the plain coordinate predicate."""
+    from ..hier import with_hier_cells, zrange_filter
+
+    ds = with_hier_cells(docs_points(sf_dir), resolution=RES, level=HIER_LEVEL)
+    ds = zrange_filter(ds, ZQ_BBOX, resolution=RES, level=HIER_LEVEL)
+    return ds.select_columns(["doc_id", "cell_code"])
+
+
 #: focal-statistics cell size: coarser than RES so 3x3 neighbourhoods are
 #: populated at every sf (the synth domain spans ~500 km -> ~50x50 cells)
 FOCAL_RES = 10_000.0
@@ -3347,6 +3364,7 @@ def queries():
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
         "nearest_hub": q_nearest_hub,
+        "zrange_query": q_zrange_query,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -3615,6 +3633,21 @@ def _sql_nearest_hub() -> str:
     )
 
 
+def _sql_zrange_query() -> str:
+    from ..hier import sql_morton_expr
+    from ..synth import sql_points_cte
+
+    x0, y0, x1, y1 = ZQ_BBOX
+    return (
+        f"WITH points AS ({sql_points_cte()}), f AS ("
+        f"SELECT doc_id, x, y FROM points WHERE x >= {x0!r} AND x < {x1!r} "
+        f"AND y >= {y0!r} AND y < {y1!r}), cells AS ("
+        f"SELECT doc_id, CAST(FLOOR(x / {RES}) AS BIGINT) AS ix, "
+        f"CAST(FLOOR(y / {RES}) AS BIGINT) AS iy FROM f) "
+        f"SELECT doc_id, {sql_morton_expr('ix', 'iy')} AS cell_code FROM cells"
+    )
+
+
 def _sql_hier_rollup() -> str:
     shift = 2 * (HIER_LEVEL - HIER_PARENT)
     return (
@@ -3804,6 +3837,7 @@ def oracle_sql():
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),
         "nearest_hub": _sql_nearest_hub(),
+        "zrange_query": _sql_zrange_query(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),

@@ -98,3 +98,63 @@ def test_zorder_locality():
     d = np.abs(np.diff(ix)) + np.abs(np.diff(iy))
     # Z-curve jumps exist, but the mean adjacency must be tight (locality)
     assert d.mean() < 2.5
+
+
+def test_zrange_cover_exact_cell_set():
+    from pygridmap_ray.hier import zrange_cover
+
+    level, res = 5, 10.0
+    bbox = (33.0, 71.0, 187.0, 240.0)
+    ranges = zrange_cover(bbox, resolution=res, level=level)
+    # expand ranges -> code set
+    codes = np.concatenate(
+        [np.arange(lo, hi + 1) for lo, hi in ranges]
+    ) if len(ranges) else np.array([], dtype=np.int64)
+    assert len(np.unique(codes)) == len(codes)  # disjoint
+    # brute force: every cell whose rect intersects the bbox
+    lim = 1 << level
+    ix, iy = np.meshgrid(np.arange(lim), np.arange(lim), indexing="ij")
+    ix, iy = ix.ravel(), iy.ravel()
+    x0, y0, x1, y1 = bbox
+    hit = (
+        ((ix + 1) * res > x0) & (ix * res <= x1)
+        & ((iy + 1) * res > y0) & (iy * res <= y1)
+    )
+    # the cover uses inclusive floor bounds: cells floor(x0/res)..floor(x1/res)
+    qx0, qx1 = int(np.floor(x0 / res)), int(np.floor(x1 / res))
+    qy0, qy1 = int(np.floor(y0 / res)), int(np.floor(y1 / res))
+    hit = (ix >= qx0) & (ix <= qx1) & (iy >= qy0) & (iy <= qy1)
+    expect = np.sort(morton_encode(ix[hit], iy[hit], level))
+    assert np.array_equal(np.sort(codes), expect)
+
+
+def test_zrange_shallow_is_superset():
+    from pygridmap_ray.hier import zrange_cover
+
+    level, res = 6, 10.0
+    bbox = (55.0, 12.0, 300.0, 411.0)
+    full = zrange_cover(bbox, resolution=res, level=level)
+    shallow = zrange_cover(bbox, resolution=res, level=level, max_depth=3)
+    def expand(r):
+        return set(
+            int(c) for lo, hi in r for c in range(int(lo), int(hi) + 1)
+        )
+    assert expand(full) <= expand(shallow)
+    assert len(shallow) <= len(full)
+
+
+def test_zrange_filter_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.hier import with_hier_cells, zrange_filter
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    x = rng.uniform(0, 5120, n)
+    y = rng.uniform(0, 5120, n)
+    ds = rd.from_arrow(pa.table({"i": np.arange(n), "x": x, "y": y})).repartition(6)
+    bbox = (811.0, 73.5, 3119.0, 4805.25)
+    ds = with_hier_cells(ds, resolution=10.0, level=9)
+    out = zrange_filter(ds, bbox, resolution=10.0, level=9).to_pandas()
+    keep = (x >= bbox[0]) & (x < bbox[2]) & (y >= bbox[1]) & (y < bbox[3])
+    assert sorted(out["i"].tolist()) == np.flatnonzero(keep).tolist()
