@@ -3027,6 +3027,18 @@ def _sql_events_gap_fill() -> str:
     return sql_events_gap_fill()
 
 
+def q_events_trajectory(sf_dir: str):
+    from .relational import events_trajectory
+
+    return events_trajectory(sf_dir)
+
+
+def _sql_events_trajectory() -> str:
+    from .relational import sql_events_trajectory
+
+    return sql_events_trajectory()
+
+
 def q_bucketed_join(sf_dir: str):
     """Storage-partitioned join: both tables hash-bucketed to parquet
     ONCE (the only shuffle, reusable across every later join on the
@@ -3399,6 +3411,7 @@ def queries():
         "bucketed_join": q_bucketed_join,
         "pareto": q_pareto,
         "events_gap_fill": q_events_gap_fill,
+        "events_trajectory": q_events_trajectory,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -3876,6 +3889,7 @@ def oracle_sql():
         "bucketed_join": _sql_bucketed_join(),
         "pareto": _sql_pareto(),
         "events_gap_fill": _sql_events_gap_fill(),
+        "events_trajectory": _sql_events_trajectory(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),

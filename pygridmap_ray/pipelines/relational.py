@@ -885,3 +885,95 @@ SELECT g.user_id, g.day, l.value
 FROM grid g ASOF JOIN lastp l
   ON g.user_id = l.user_id AND g.day >= l.day
 """
+
+
+def events_trajectory(sf_dir: str, *, num_buckets: int = 64):
+    """Per-user planar trajectory length: events ordered by (ts,
+    event_id), each step contributes sqrt(dx*dx + dy*dy) over the
+    synth point law applied to event_id.
+
+    Scale shape: the sessionize/gap-fill plan — ONE coarse shuffle on
+    the user-hash bucket, then a single vectorized per-bucket pass
+    (lexsort, same-user step mask, ``np.add.reduceat``-style bincount
+    segment sums).  Never a per-user group.  Output path_len rounded
+    half-away to 2dp (sums of ~1e5-magnitude steps: the step dwarfs
+    summation-order ulp noise on both sides).
+    """
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        uid = np.asarray(b["user_id"], np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        order = np.lexsort((eid, us, uid))
+        uid, x, y = uid[order], x[order], y[order]
+        starts = np.concatenate([[True], uid[1:] != uid[:-1]])
+        dx = np.diff(x)
+        dy = np.diff(y)
+        step = np.sqrt(dx * dx + dy * dy)
+        # zero out steps that cross a user boundary
+        step = np.where(starts[1:], 0.0, step)
+        inv = np.cumsum(starts) - 1
+        n_users = int(inv[-1]) + 1 if len(inv) else 0
+        path = np.bincount(inv[1:], weights=step, minlength=n_users)
+        n_events = np.bincount(inv, minlength=n_users).astype(np.int64)
+        path = np.sign(path) * np.floor(np.abs(path) * 1e2 + 0.5) / 1e2
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "n_events": n_events,
+                "path_len": path,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_trajectory() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events
+),
+d AS (
+  SELECT user_id,
+         x - LAG(x) OVER w AS dx,
+         y - LAG(y) OVER w AS dy
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_events,
+       ROUND(COALESCE(SUM(sqrt(dx*dx + dy*dy)), 0.0) * 1e2) / 1e2 AS path_len
+FROM d GROUP BY user_id
+"""

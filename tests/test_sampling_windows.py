@@ -210,3 +210,33 @@ def test_iqr_outliers_approx_mode(ray_session):
     assert exact["n_outliers"].iloc[0] == 2
     assert approx["n_outliers"].iloc[0] == 2  # far outliers robust to 4-wide bins
     assert approx["n_events"].iloc[0] == exact["n_events"].iloc[0] == 502
+
+
+def test_events_trajectory_matches_pandas(ray_session, sf_dir):
+    import duckdb
+
+    from pygridmap_ray.pipelines.relational import events_trajectory
+    from pygridmap_ray.synth import derive_xy
+
+    out = (
+        events_trajectory(sf_dir)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ev = duckdb.sql(
+        f"SELECT user_id, event_id, epoch_us(ts) AS us "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).df()
+    x, y = derive_xy(ev["event_id"].to_numpy(np.int64))
+    ev = ev.assign(x=x, y=y).sort_values(["user_id", "us", "event_id"])
+    expect = []
+    for uid, g in ev.groupby("user_id", sort=True):
+        dx = np.diff(g["x"].to_numpy())
+        dy = np.diff(g["y"].to_numpy())
+        plen = float(np.sum(np.sqrt(dx * dx + dy * dy)))
+        expect.append((uid, len(g), np.floor(abs(plen) * 1e2 + 0.5) / 1e2))
+    assert len(out) == len(expect)
+    for (uid, n, plen), row in zip(expect, out.itertuples(index=False)):
+        assert row.user_id == uid and row.n_events == n
+        assert abs(row.path_len - plen) < 1e-9
