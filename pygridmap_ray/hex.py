@@ -48,6 +48,7 @@ __all__ = [
     "hex_density",
     "hex_focal",
     "hex_rollup",
+    "hex_zscore",
     "sql_hex_cte",
 ]
 
@@ -322,6 +323,83 @@ def hex_focal(ds, *, size: float):
         )
 
     return focal.map_batches(finish, batch_format="pyarrow")
+
+
+def hex_zscore(ds, *, size: float):
+    """(hq, hr) Dataset -> per-occupied-hex density z-score (the
+    Getis-Ord-style hotspot screen): z = (n - mean) / std over the
+    population of occupied hexes.
+
+    Scale shape: per-hex counts via the usual packed-key partials; the
+    GLOBAL moments reduce as one (k, s, ss) integer row per batch (sums
+    of counts and squared counts are < 2**53, so they are EXACT and
+    addition-order-free — the z law is bit-identical to the SQL twin),
+    then ride the closure as two scalars.  The density table is
+    materialized once (it is the small aggregate, never raw rows).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "n": c.astype(np.int64)})
+
+    dens = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def gpart(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                }
+            )
+        n = np.asarray(b["n"], np.int64)
+        return pa.table(
+            {
+                "k": pa.array([np.int64(len(n))]),
+                "s": pa.array([n.sum()]),
+                "ss": pa.array([(n * n).sum()]),
+            }
+        )
+
+    g = dens.map_batches(gpart, batch_format="pyarrow").sum(["k", "s", "ss"])
+    k = float(g["sum(k)"])
+    s = float(g["sum(s)"])
+    ss = float(g["sum(ss)"])
+    m = s / k
+    denom = np.sqrt(ss / k - (s / k) * (s / k))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "z": pa.array([], pa.float64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        n = np.asarray(b["n"], np.int64).astype(np.float64)
+        z = (n - m) / denom
+        z = np.sign(z) * np.floor(np.abs(z) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+                "n_docs": b["n"],
+                "z": pa.array(z),
+            }
+        )
+
+    return dens.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -207,6 +207,16 @@ def q_hex_focal(sf_dir: str):
     return hex_focal(ds, size=HEX_SIZE)
 
 
+def q_hex_zscore(sf_dir: str):
+    """Hotspot screen: per-occupied-hex density z-score; global moments
+    reduce as one exact integer (k, s, ss) row per batch and ride the
+    closure as scalars (hex.hex_zscore)."""
+    from ..hex import hex_zscore, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return hex_zscore(ds, size=HEX_SIZE)
+
+
 def q_nearest_hub(sf_dir: str):
     """Broadcast-small-side geodesic nearest-neighbour: the 8-row hub
     table rides the batch closure, every batch computes a vectorized
@@ -226,6 +236,100 @@ def q_nearest_hub(sf_dir: str):
 
     ds = nearest_hub(ds.map_batches(add_lonlat, batch_format="pyarrow"))
     return ds.select_columns(["doc_id", "hub_id", "hub_km"])
+
+
+def q_poly_media_rollup(sf_dir: str):
+    """Per-polygon interleaved-payload rollup (axes A+B through the
+    SPATIAL JOIN): span stats are computed from the actual list<struct>
+    column BEFORE the join (the payload never rides the join), points
+    join the broadcast polygon layer, and tiny per-polygon partials are
+    the only thing the final aggregate shuffles."""
+    from ray.data.aggregate import Sum
+
+    from ..spatial import join_points_to_polygons
+    from ..synth import build_spans_array, polygon_layer
+
+    ds = docs_points(sf_dir)
+
+    def add_span_stats(b: pa.Table) -> pa.Table:
+        spans = build_spans_array(np.asarray(b["doc_id"]))
+        lengths = np.asarray(spans.value_lengths(), dtype=np.int64)
+        flat = spans.flatten()
+        is_media = np.asarray(pc.not_equal(flat.field("kind"), "text"))
+        parent_idx = np.repeat(np.arange(len(lengths)), lengths)
+        n_media = np.bincount(
+            parent_idx, weights=is_media, minlength=len(lengths)
+        ).astype(np.int64)
+        return b.append_column("n_spans", pa.array(lengths)).append_column(
+            "n_media", pa.array(n_media)
+        )
+
+    ds = ds.map_batches(add_span_stats, batch_format="pyarrow")
+    ds = join_points_to_polygons(
+        ds, polygon_layer(), how="inner", attr_cols=("nuts_id",)
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        pid = np.asarray(b["poly_id"], np.int64)
+        u, inv = np.unique(pid, return_inverse=True)
+        return pa.table(
+            {
+                "poly_id": pa.array(u),
+                "docs": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64)),
+                "spans": pa.array(
+                    np.bincount(
+                        inv,
+                        weights=np.asarray(b["n_spans"], np.int64),
+                        minlength=len(u),
+                    ).astype(np.int64)
+                ),
+                "media": pa.array(
+                    np.bincount(
+                        inv,
+                        weights=np.asarray(b["n_media"], np.int64),
+                        minlength=len(u),
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("poly_id")
+        .aggregate(
+            Sum("docs", alias_name="n_docs"),
+            Sum("spans", alias_name="n_spans"),
+            Sum("media", alias_name="n_media"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "poly_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_spans": pa.array([], pa.int64()),
+                    "n_media": pa.array([], pa.int64()),
+                }
+            )
+        return b
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_poly_media_rollup() -> str:
+    from ..spatial import sql_point_join
+    from ..synth import sql_points_cte, sql_span_summary_cte
+
+    return (
+        f"WITH j AS ({sql_point_join(sql_points_cte())}), "
+        f"ss AS ({sql_span_summary_cte()}) "
+        f"SELECT j.poly_id, COUNT(*)::BIGINT AS n_docs, "
+        f"SUM(ss.n_spans)::BIGINT AS n_spans, "
+        f"SUM(ss.n_spans - ss.n_text)::BIGINT AS n_media "
+        f"FROM j JOIN ss ON j.doc_id = ss.doc_id GROUP BY j.poly_id"
+    )
 
 
 #: Z-order range-scan bbox (exact float bounds shared with the oracle)
@@ -3375,8 +3479,10 @@ def queries():
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
+        "hex_zscore": q_hex_zscore,
         "nearest_hub": q_nearest_hub,
         "zrange_query": q_zrange_query,
+        "poly_media_rollup": q_poly_media_rollup,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -3631,6 +3737,21 @@ def _sql_hex_focal() -> str:
     )
 
 
+def _sql_hex_zscore() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"d AS (SELECT hq, hr, COUNT(*)::BIGINT AS n FROM hexed GROUP BY hq, hr), "
+        f"g AS (SELECT SUM(n)::DOUBLE AS s, SUM(n*n)::DOUBLE AS ss, "
+        f"COUNT(*)::DOUBLE AS k FROM d) "
+        f"SELECT d.hq, d.hr, d.n AS n_docs, "
+        f"ROUND(((d.n - (g.s / g.k)) / sqrt(g.ss / g.k - (g.s / g.k) * (g.s / g.k)))"
+        f" * 1e6) / 1e6 AS z FROM d, g"
+    )
+
+
 def _sql_nearest_hub() -> str:
     from ..geodesic import sql_haversine_expr, sql_hubs_cte
     from ..synth import sql_lonlat_cte
@@ -3849,8 +3970,10 @@ def oracle_sql():
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),
+        "hex_zscore": _sql_hex_zscore(),
         "nearest_hub": _sql_nearest_hub(),
         "zrange_query": _sql_zrange_query(),
+        "poly_media_rollup": _sql_poly_media_rollup(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),

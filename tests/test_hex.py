@@ -130,3 +130,29 @@ def test_focal_matches_bruteforce(ray_session):
         assert row["focal_docs"] == expect
         assert row["n_docs"] == counts[int(_pack(np.array([hq]), np.array([hr]))[0])]
     assert len(out) == len(u)
+
+
+def test_zscore_matches_numpy(ray_session):
+    from pygridmap_ray.hex import hex_zscore
+
+    rng = np.random.default_rng(17)
+    x = rng.uniform(0, 40_000, 2500)
+    y = rng.uniform(0, 40_000, 2500)
+    ds = rd.from_arrow(pa.table({"x": x, "y": y})).repartition(5)
+    out = (
+        hex_zscore(with_hex_cells(ds, size=SIZE), size=SIZE)
+        .to_pandas()
+        .sort_values(["hq", "hr"])
+        .reset_index(drop=True)
+    )
+    key = _pack(*hex_axial(x, y, SIZE))
+    u, c = np.unique(key, return_counts=True)
+    k, s, ss = float(len(c)), float(c.sum()), float((c * c).sum())
+    m = s / k
+    denom = np.sqrt(ss / k - (s / k) * (s / k))
+    zs = (c.astype(float) - m) / denom
+    zs = np.sign(zs) * np.floor(np.abs(zs) * 1e6 + 0.5) / 1e6
+    uq, ur = _unpack(u)
+    order = np.lexsort((ur, uq))
+    assert np.array_equal(out["n_docs"].to_numpy(), c[order])
+    assert np.array_equal(out["z"].to_numpy(), zs[order])
