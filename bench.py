@@ -185,6 +185,13 @@ def _secondary() -> dict:
         ("keyword_search", q.q_keyword_search),
         ("histogram", q.q_histogram),
         ("chunk_documents", q.q_chunk_documents),
+        # round-3 geospatial additions
+        ("hex_density", q.q_hex_density),
+        ("hex_focal", q.q_hex_focal),
+        ("nearest_hub", q.q_nearest_hub),
+        ("zrange_query", q.q_zrange_query),
+        ("events_trajectory", q.q_events_trajectory),
+        ("poly_media_rollup", q.q_poly_media_rollup),
     ]:
 
         def once(fn=fn):

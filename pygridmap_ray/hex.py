@@ -407,23 +407,25 @@ def hex_zscore(ds, *, size: float):
 # ---------------------------------------------------------------------------
 
 
-def sql_hex_cte(size: float, points_cte: str = "pts") -> str:
-    """CTE chain `frac, cube, hexed` over `points_cte(doc_id, x, y)`:
-    hexed carries (doc_id, x, y, ..., hq, hr) — twin of
+def sql_hex_cte(size: float, points_cte: str = "pts", prefix: str = "") -> str:
+    """CTE chain `{p}frac, {p}cube, {p}hexed` over `points_cte(doc_id,
+    x, y)`: `{p}hexed` carries (doc_id, x, y, ..., hq, hr) — twin of
     :func:`hex_axial`.  Append after a points CTE:
-    ``WITH pts AS (...), {sql_hex_cte(...)} SELECT ... FROM hexed``."""
+    ``WITH pts AS (...), {sql_hex_cte(...)} SELECT ... FROM hexed``.
+    ``prefix`` disambiguates multiple lattices in one statement."""
     s = repr(float(size))
+    p = prefix
     fixq = "(abs(rq - fq) > abs(rr - fr) AND abs(rq - fq) > abs(rs - fs))"
     return (
-        f"frac AS (SELECT *, ((2.0/3.0) * x) / {s} AS fq,"
+        f"{p}frac AS (SELECT *, ((2.0/3.0) * x) / {s} AS fq,"
         f" ((-1.0/3.0) * x + (sqrt(3.0)/3.0) * y) / {s} AS fr"
         f" FROM {points_cte}),"
-        f" cube AS (SELECT *, (-fq - fr) AS fs,"
+        f" {p}cube AS (SELECT *, (-fq - fr) AS fs,"
         f" floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,"
-        f" floor((-fq - fr) + 0.5) AS rs FROM frac),"
-        f" hexed AS (SELECT *,"
+        f" floor((-fq - fr) + 0.5) AS rs FROM {p}frac),"
+        f" {p}hexed AS (SELECT *,"
         f" CAST(CASE WHEN {fixq} THEN (-rr - rs) ELSE rq END AS BIGINT) AS hq,"
         f" CAST(CASE WHEN NOT {fixq} AND abs(rr - fr) > abs(rs - fs)"
         f" THEN (-rq - rs) ELSE rr END AS BIGINT) AS hr"
-        f" FROM cube)"
+        f" FROM {p}cube)"
     )

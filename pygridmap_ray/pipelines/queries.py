@@ -238,6 +238,158 @@ def q_nearest_hub(sf_dir: str):
     return ds.select_columns(["doc_id", "hub_id", "hub_km"])
 
 
+#: hex pyramid sizes (fine -> coarse), level index = position
+HEX_PYRAMID_SIZES = (12_500.0, 25_000.0, 50_000.0)
+
+
+def q_hex_pyramid(sf_dir: str):
+    """Multi-resolution hex density pyramid in ONE scan: every batch
+    assigns all three lattice levels and emits packed-key partials per
+    level; a single (level, hkey) hash aggregate finishes.  The tile-
+    pyramid pattern — raw rows are read once for the whole pyramid."""
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, hex_axial
+
+    ds = docs_points(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["x"], np.float64)
+        y = np.asarray(b["y"], np.float64)
+        lv, keys, ns = [], [], []
+        for lvl, s in enumerate(HEX_PYRAMID_SIZES):
+            q, r = hex_axial(x, y, s)
+            u, c = np.unique(_pack(q, r), return_counts=True)
+            lv.append(np.full(len(u), lvl, np.int64))
+            keys.append(u)
+            ns.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "level": pa.array(np.concatenate(lv)),
+                "hkey": pa.array(np.concatenate(keys)),
+                "docs": pa.array(np.concatenate(ns)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["level", "hkey"])
+        .aggregate(Sum("docs", alias_name="n_docs"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "level": pa.array([], pa.int64()),
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        return pa.table(
+            {
+                "level": b["level"],
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+                "n_docs": b["n_docs"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_hex_pyramid() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    ctes = ", ".join(
+        sql_hex_cte(s, prefix=f"l{i}_")
+        for i, s in enumerate(HEX_PYRAMID_SIZES)
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS level, hq, hr, COUNT(*)::BIGINT AS n_docs "
+        f"FROM l{i}_hexed GROUP BY hq, hr"
+        for i in range(len(HEX_PYRAMID_SIZES))
+    )
+    return f"WITH pts AS ({sql_points_cte()}), {ctes} {selects}"
+
+
+def q_span_transitions(sf_dir: str):
+    """Corpus-wide span kind-transition matrix (the interleaved-payload
+    Markov summary): consecutive (kind_i -> kind_{i+1}) pairs WITHIN each
+    doc, counted by traversing the real list<struct> column — per batch
+    one 9-cell bincount partial, one tiny final aggregate.  The oracle
+    recomputes the pairs closed-form from doc_id."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..synth import KINDS, build_spans_array
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        spans = build_spans_array(np.asarray(b["doc_id"]))
+        lengths = np.asarray(spans.value_lengths(), dtype=np.int64)
+        flat = spans.flatten()
+        code = np.asarray(
+            pc.index_in(flat.field("kind"), value_set=pa.array(list(KINDS))),
+            dtype=np.int64,
+        )
+        parent_idx = np.repeat(np.arange(len(lengths)), lengths)
+        same = parent_idx[1:] == parent_idx[:-1]
+        pair = code[:-1][same] * 3 + code[1:][same]
+        n = np.bincount(pair, minlength=9).astype(np.int64)
+        keep = n > 0
+        return pa.table(
+            {
+                "pair": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "n": pa.array(n[keep]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "from_kind": pa.array([], pa.string()),
+                    "to_kind": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pair = np.asarray(b["pair"], np.int64)
+        kinds = np.asarray(list(KINDS), dtype=object)
+        return pa.table(
+            {
+                "from_kind": pa.array(kinds[pair // 3]),
+                "to_kind": pa.array(kinds[pair % 3]),
+                "n": b["n"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_span_transitions() -> str:
+    case_f = "CASE f WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END"
+    case_t = "CASE t WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END"
+    return (
+        f"WITH pairs AS (SELECT ((d.doc_id + i.i) % 3) AS f, "
+        f"((d.doc_id + i.i + 1) % 3) AS t FROM documents d "
+        f"JOIN (SELECT UNNEST(generate_series(0, 6)) AS i) i "
+        f"ON i.i < d.doc_id % 8) "
+        f"SELECT {case_f} AS from_kind, {case_t} AS to_kind, "
+        f"COUNT(*)::BIGINT AS n FROM pairs GROUP BY f, t"
+    )
+
+
 def q_poly_media_rollup(sf_dir: str):
     """Per-polygon interleaved-payload rollup (axes A+B through the
     SPATIAL JOIN): span stats are computed from the actual list<struct>
@@ -3483,6 +3635,8 @@ def queries():
         "nearest_hub": q_nearest_hub,
         "zrange_query": q_zrange_query,
         "poly_media_rollup": q_poly_media_rollup,
+        "span_transitions": q_span_transitions,
+        "hex_pyramid": q_hex_pyramid,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -3974,6 +4128,8 @@ def oracle_sql():
         "nearest_hub": _sql_nearest_hub(),
         "zrange_query": _sql_zrange_query(),
         "poly_media_rollup": _sql_poly_media_rollup(),
+        "span_transitions": _sql_span_transitions(),
+        "hex_pyramid": _sql_hex_pyramid(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),
