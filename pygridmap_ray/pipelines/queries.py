@@ -316,6 +316,111 @@ def _sql_hex_pyramid() -> str:
     return f"WITH pts AS ({sql_points_cte()}), {ctes} {selects}"
 
 
+def q_hex_top_lang(sf_dir: str):
+    """Dominant language per hex: per-batch (hkey, lang) count partials
+    (lexsort segment scan — raw rows never shuffle) -> one composite-key
+    hash aggregate -> distributed arg-max via the `grouped_latest`
+    combiner.  Ties: highest count, then LOWEST lang (the SQL
+    `ORDER BY n DESC, lang ASC` law, encoded as a negated big-endian
+    packed lang int so max-of-order-tuple picks it)."""
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, with_hex_cells
+    from ..stats import grouped_latest
+
+    ds = with_hex_cells(docs_points(sf_dir, extra_cols=("lang",)), size=HEX_SIZE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hkey = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        lang = np.asarray(b["lang"]).astype(object)
+        enc = pc.dictionary_encode(pa.array(lang))
+        code = np.asarray(enc.indices, np.int64)
+        order = np.lexsort((code, hkey))
+        hs, cs = hkey[order], code[order]
+        bound = np.concatenate(
+            [[True], (hs[1:] != hs[:-1]) | (cs[1:] != cs[:-1])]
+        )
+        starts = np.flatnonzero(bound)
+        n = np.diff(np.append(starts, len(hs)))
+        return pa.table(
+            {
+                "hkey": pa.array(hs[starts]),
+                "lang": pa.array(enc.dictionary.take(pa.array(cs[starts]))),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    mix = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hkey", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def encode_order(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hkey": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "neg_lang": pa.array([], pa.int64()),
+                }
+            )
+        lang = np.asarray(b["lang"]).astype("S8")
+        packed = lang.view(">u8").astype(np.int64)  # ASCII -> < 2**63
+        return pa.table(
+            {
+                "hkey": b["hkey"],
+                "lang": b["lang"],
+                "n": b["n"],
+                "neg_lang": pa.array(-packed),
+            }
+        )
+
+    top = grouped_latest(
+        mix.map_batches(encode_order, batch_format="pyarrow"),
+        key="hkey",
+        order_cols=("n", "neg_lang"),
+        carry_cols=("lang",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        return pa.table(
+            {
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+                "lang": b["lang"],
+                "n": b["n"],
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_hex_top_lang() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    return (
+        f"WITH pts AS (SELECT doc_id, lang, {SQL_X} AS x, {SQL_Y} AS y "
+        f"FROM documents), {sql_hex_cte(HEX_SIZE)}, "
+        f"m AS (SELECT hq, hr, lang, COUNT(*)::BIGINT AS n FROM hexed "
+        f"GROUP BY hq, hr, lang) "
+        f"SELECT hq, hr, lang, n FROM m QUALIFY ROW_NUMBER() OVER "
+        f"(PARTITION BY hq, hr ORDER BY n DESC, lang ASC) = 1"
+    )
+
+
 def q_span_transitions(sf_dir: str):
     """Corpus-wide span kind-transition matrix (the interleaved-payload
     Markov summary): consecutive (kind_i -> kind_{i+1}) pairs WITHIN each
@@ -3637,6 +3742,7 @@ def queries():
         "poly_media_rollup": q_poly_media_rollup,
         "span_transitions": q_span_transitions,
         "hex_pyramid": q_hex_pyramid,
+        "hex_top_lang": q_hex_top_lang,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -4130,6 +4236,7 @@ def oracle_sql():
         "poly_media_rollup": _sql_poly_media_rollup(),
         "span_transitions": _sql_span_transitions(),
         "hex_pyramid": _sql_hex_pyramid(),
+        "hex_top_lang": _sql_hex_top_lang(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),
