@@ -421,6 +421,162 @@ def _sql_hex_top_lang() -> str:
     )
 
 
+def q_hex_boundaries(sf_dir: str):
+    """Hex geometry export: the 6 flat-top vertices of every OCCUPIED
+    hex (6 rows per hex: hq, hr, v, vx, vy), derived from the tiny
+    density aggregate — raw rows never shuffle, the vertex fan-out is
+    6x the hex count, not the doc count."""
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u = np.unique(key)
+        return pa.table(
+            {"hkey": pa.array(u), "one": pa.array(np.ones(len(u), np.int64))}
+        )
+
+    occ = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("one", alias_name="one"))
+    )
+
+    ang = np.arange(6, dtype=np.float64) * (np.pi / 3.0)
+    cosv, sinv = np.cos(ang), np.sin(ang)
+    s = HEX_SIZE
+
+    def vertices(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "vx": pa.array([], pa.float64()),
+                    "vy": pa.array([], pa.float64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        qf = q.astype(np.float64)
+        rf = r.astype(np.float64)
+        cx = s * ((3.0 / 2.0) * qf)
+        cy = s * ((np.sqrt(3.0) / 2.0) * qf + np.sqrt(3.0) * rf)
+        vx = cx[:, None] + s * cosv[None, :]
+        vy = cy[:, None] + s * sinv[None, :]
+        rnd = lambda a: np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+        n = len(q)
+        return pa.table(
+            {
+                "hq": pa.array(np.repeat(q, 6)),
+                "hr": pa.array(np.repeat(r, 6)),
+                "v": pa.array(np.tile(np.arange(6, dtype=np.int64), n)),
+                "vx": pa.array(rnd(vx).ravel()),
+                "vy": pa.array(rnd(vy).ravel()),
+            }
+        )
+
+    return occ.map_batches(vertices, batch_format="pyarrow")
+
+
+def _sql_hex_boundaries() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    s = repr(float(HEX_SIZE))
+    cx = f"({s} * ((3.0/2.0) * hq))"
+    cy = f"({s} * ((sqrt(3.0)/2.0) * hq + sqrt(3.0) * hr))"
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"d AS (SELECT DISTINCT hq, hr FROM hexed), "
+        f"k AS (SELECT UNNEST(generate_series(0, 5)) AS v) "
+        f"SELECT hq, hr, v, "
+        f"ROUND(({cx} + {s} * cos(v * (pi()/3.0))) * 1e6) / 1e6 AS vx, "
+        f"ROUND(({cy} + {s} * sin(v * (pi()/3.0))) * 1e6) / 1e6 AS vy "
+        f"FROM d CROSS JOIN k"
+    )
+
+
+#: geodesic catchment radius (km)
+CATCHMENT_KM = 300.0
+
+
+def q_hub_catchment(sf_dir: str):
+    """Distance-band aggregate per hub: docs within 300 km by haversine,
+    counted with per-batch (hub, count, dist-sum) partials over the
+    broadcast hub matrix — the geodesic range-join shape, zero shuffle
+    of raw rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..geodesic import HUBS, haversine_km
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    hub_id = np.array([h[0] for h in HUBS], dtype=np.int64)
+    hub_lon = np.array([h[1] for h in HUBS], dtype=np.float64)
+    hub_lat = np.array([h[2] for h in HUBS], dtype=np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        lon, lat = derive_lonlat(np.asarray(b["doc_id"]))
+        d = haversine_km(
+            lon[:, None], lat[:, None], hub_lon[None, :], hub_lat[None, :]
+        )
+        inside = d <= CATCHMENT_KM
+        cnt = inside.sum(axis=0).astype(np.int64)
+        dsum = np.where(inside, d, 0.0).sum(axis=0)
+        keep = cnt > 0
+        return pa.table(
+            {
+                "hub_id": pa.array(hub_id[keep]),
+                "cnt": pa.array(cnt[keep]),
+                "dsum": pa.array(dsum[keep]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hub_id")
+        .aggregate(
+            Sum("cnt", alias_name="n_docs"), Sum("dsum", alias_name="dsum")
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hub_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "mean_km": pa.array([], pa.float64()),
+                }
+            )
+        n = np.asarray(b["n_docs"], np.int64).astype(np.float64)
+        m = np.asarray(b["dsum"], np.float64) / n
+        m = np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"hub_id": b["hub_id"], "n_docs": b["n_docs"], "mean_km": pa.array(m)}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_hub_catchment() -> str:
+    from ..geodesic import sql_haversine_expr, sql_hubs_cte
+    from ..synth import sql_lonlat_cte
+
+    hav = sql_haversine_expr("lon", "lat", "hlon", "hlat")
+    return (
+        f"WITH ll AS ({sql_lonlat_cte()}), {sql_hubs_cte()}, "
+        f"d AS (SELECT hub_id, {hav} AS dist FROM ll CROSS JOIN hubs) "
+        f"SELECT hub_id, COUNT(*)::BIGINT AS n_docs, "
+        f"ROUND((SUM(dist) / COUNT(*)) * 1e6) / 1e6 AS mean_km "
+        f"FROM d WHERE dist <= {CATCHMENT_KM!r} GROUP BY hub_id"
+    )
+
+
 def q_span_transitions(sf_dir: str):
     """Corpus-wide span kind-transition matrix (the interleaved-payload
     Markov summary): consecutive (kind_i -> kind_{i+1}) pairs WITHIN each
@@ -3743,6 +3899,8 @@ def queries():
         "span_transitions": q_span_transitions,
         "hex_pyramid": q_hex_pyramid,
         "hex_top_lang": q_hex_top_lang,
+        "hex_boundaries": q_hex_boundaries,
+        "hub_catchment": q_hub_catchment,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -4237,6 +4395,8 @@ def oracle_sql():
         "span_transitions": _sql_span_transitions(),
         "hex_pyramid": _sql_hex_pyramid(),
         "hex_top_lang": _sql_hex_top_lang(),
+        "hex_boundaries": _sql_hex_boundaries(),
+        "hub_catchment": _sql_hub_catchment(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),
