@@ -577,6 +577,92 @@ def _sql_hub_catchment() -> str:
     )
 
 
+def q_hex_zonal(sf_dir: str):
+    """Raster -> hex zonal statistics: synthetic band cells hex-indexed
+    on their coordinates, per-hex (n_cells, elev_sum, elev_mean) via
+    packed-key partials.  Band values are integer-valued doubles, so the
+    sums are EXACT and addition-order-free on both sides."""
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, with_hex_cells
+    from ..raster import SyntheticRaster, tiling_raster
+
+    cells = tiling_raster(
+        SyntheticRaster(**_RASTER_KW), tile_size_cell=64
+    ).select_columns(["x", "y", "elev"])
+
+    def valid(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["elev"]))
+
+    ds = with_hex_cells(
+        cells.map_batches(valid, batch_format="pyarrow"), size=HEX_SIZE
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, inv = np.unique(key, return_inverse=True)
+        elev = np.asarray(b["elev"], np.float64)
+        return pa.table(
+            {
+                "hkey": pa.array(u),
+                "cells": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64)),
+                "esum": pa.array(np.bincount(inv, weights=elev, minlength=len(u))),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(
+            Sum("cells", alias_name="n_cells"), Sum("esum", alias_name="elev_sum")
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "n_cells": pa.array([], pa.int64()),
+                    "elev_sum": pa.array([], pa.float64()),
+                    "elev_mean": pa.array([], pa.float64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        s = np.asarray(b["elev_sum"], np.float64)
+        n = np.asarray(b["n_cells"], np.int64).astype(np.float64)
+        m = s / n
+        m = np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+                "n_cells": b["n_cells"],
+                "elev_sum": b["elev_sum"],
+                "elev_mean": pa.array(m),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_hex_zonal() -> str:
+    from ..hex import sql_hex_cte
+    from ..raster import SyntheticRaster, sql_raster_cells
+
+    rc = sql_raster_cells(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
+    return (
+        f"WITH rc AS ({rc}), "
+        f"pts AS (SELECT x, y, elev FROM rc WHERE elev IS NOT NULL), "
+        f"{sql_hex_cte(HEX_SIZE)} "
+        f"SELECT hq, hr, COUNT(*)::BIGINT AS n_cells, "
+        f"SUM(elev) AS elev_sum, "
+        f"ROUND((SUM(elev) / COUNT(*)) * 1e6) / 1e6 AS elev_mean "
+        f"FROM hexed GROUP BY hq, hr"
+    )
+
+
 def q_span_transitions(sf_dir: str):
     """Corpus-wide span kind-transition matrix (the interleaved-payload
     Markov summary): consecutive (kind_i -> kind_{i+1}) pairs WITHIN each
@@ -3901,6 +3987,7 @@ def queries():
         "hex_top_lang": q_hex_top_lang,
         "hex_boundaries": q_hex_boundaries,
         "hub_catchment": q_hub_catchment,
+        "hex_zonal": q_hex_zonal,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -4397,6 +4484,7 @@ def oracle_sql():
         "hex_top_lang": _sql_hex_top_lang(),
         "hex_boundaries": _sql_hex_boundaries(),
         "hub_catchment": _sql_hub_catchment(),
+        "hex_zonal": _sql_hex_zonal(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),
