@@ -3636,6 +3636,18 @@ def q_events_trajectory(sf_dir: str):
     return events_trajectory(sf_dir)
 
 
+def q_od_matrix(sf_dir: str):
+    from .relational import events_od_matrix
+
+    return events_od_matrix(sf_dir, hex_size=HEX_SIZE)
+
+
+def _sql_od_matrix() -> str:
+    from .relational import sql_events_od_matrix
+
+    return sql_events_od_matrix(hex_size=HEX_SIZE)
+
+
 def _sql_events_trajectory() -> str:
     from .relational import sql_events_trajectory
 
@@ -4023,6 +4035,7 @@ def queries():
         "pareto": q_pareto,
         "events_gap_fill": q_events_gap_fill,
         "events_trajectory": q_events_trajectory,
+        "od_matrix": q_od_matrix,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -4524,6 +4537,7 @@ def oracle_sql():
         "pareto": _sql_pareto(),
         "events_gap_fill": _sql_events_gap_fill(),
         "events_trajectory": _sql_events_trajectory(),
+        "od_matrix": _sql_od_matrix(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),

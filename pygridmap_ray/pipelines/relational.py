@@ -977,3 +977,119 @@ SELECT user_id, COUNT(*)::BIGINT AS n_events,
        ROUND(COALESCE(SUM(sqrt(dx*dx + dy*dy)), 0.0) * 1e2) / 1e2 AS path_len
 FROM d GROUP BY user_id
 """
+
+
+def events_od_matrix(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
+    """Origin-destination flow matrix over the hex lattice: each user's
+    FIRST and LAST event (by ts, event_id) become origin/destination
+    points (synth law on event_id), both ends are hex-indexed, and flows
+    count users per (origin hex, destination hex) pair.
+
+    Scale shape: ONE coarse user-hash bucket shuffle; the per-bucket
+    kernel finds first/last rows with a single lexsort segment scan and
+    emits (okey, dkey, n) partial counts; a tiny composite-key hash
+    aggregate finishes.  Raw events never shuffle twice, never a
+    per-user group."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, hex_axial
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, eid = uid[order], eid[order]
+        starts = np.concatenate([[True], uid[1:] != uid[:-1]])
+        ends = np.concatenate([uid[1:] != uid[:-1], [True]])
+        ox, oy = derive_xy(eid[starts])
+        dx, dy = derive_xy(eid[ends])
+        okey = _pack(*hex_axial(ox, oy, hex_size))
+        dkey = _pack(*hex_axial(dx, dy, hex_size))
+        po = np.lexsort((dkey, okey))
+        ok, dk = okey[po], dkey[po]
+        bound = np.concatenate([[True], (ok[1:] != ok[:-1]) | (dk[1:] != dk[:-1])])
+        s = np.flatnonzero(bound)
+        n = np.diff(np.append(s, len(ok)))
+        return pd.DataFrame(
+            {"okey": ok[s], "dkey": dk[s], "n": n.astype(np.int64)}
+        )
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby(["okey", "dkey"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "oq": pa.array([], pa.int64()),
+                    "orr": pa.array([], pa.int64()),
+                    "dq": pa.array([], pa.int64()),
+                    "dr": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        oq, orr = _unpack(np.asarray(b["okey"], np.int64))
+        dq, dr = _unpack(np.asarray(b["dkey"], np.int64))
+        return pa.table(
+            {
+                "oq": pa.array(oq),
+                "orr": pa.array(orr),
+                "dq": pa.array(dq),
+                "dr": pa.array(dr),
+                "n_users": b["n_users"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_events_od_matrix(*, hex_size: float) -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    return f"""
+WITH pts0 AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events
+),
+fpts AS (
+  SELECT user_id, x, y FROM pts0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) = 1
+),
+lpts AS (
+  SELECT user_id, x, y FROM pts0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) = 1
+),
+{sql_hex_cte(hex_size, points_cte="fpts", prefix="f_")},
+{sql_hex_cte(hex_size, points_cte="lpts", prefix="l_")}
+SELECT f.hq AS oq, f.hr AS orr, l.hq AS dq, l.hr AS dr,
+       COUNT(*)::BIGINT AS n_users
+FROM f_hexed f JOIN l_hexed l ON f.user_id = l.user_id
+GROUP BY f.hq, f.hr, l.hq, l.hr
+"""
