@@ -737,6 +737,42 @@ def _sql_span_transitions() -> str:
     )
 
 
+def q_zrange_store(sf_dir: str):
+    """The READ-side Z-order range scan: the corpus is written as a
+    code-prefix-bucketed parquet tree (hive `__zp=` = level-3 Morton
+    ancestor, <= 64 dirs), then the bbox cover ranges prune PARTITION
+    DIRECTORIES at the read (`read_tiles(tile_pred=...)` — pruned files
+    never leave storage) before the in-memory searchsorted prune + exact
+    refine.  Same rows as `zrange_query`; this is the 100 TB layout the
+    zrange docstring promises."""
+    import os as _os
+
+    from ..hier import with_hier_cells, zrange_cover, zrange_filter
+    from ..tiler import read_tiles, write_partitioned
+
+    shift = 2 * (HIER_LEVEL - 3)  # level-3 ancestor prefix
+    ds = with_hier_cells(docs_points(sf_dir), resolution=RES, level=HIER_LEVEL)
+
+    def add_prefix(b: pa.Table) -> pa.Table:
+        code = np.asarray(b["cell_code"], np.int64)
+        return b.append_column("zp", pa.array(code >> shift))
+
+    out_dir = f"/tmp/zrange_store_{_os.getpid()}"
+    write_partitioned(
+        ds.map_batches(add_prefix, batch_format="pyarrow"),
+        out_dir,
+        ["zp"],
+        mode="overwrite",
+    )
+    ranges = zrange_cover(ZQ_BBOX, resolution=RES, level=HIER_LEVEL)
+    prefixes: set[int] = set()
+    for lo, hi in ranges:
+        prefixes.update(range(int(lo) >> shift, (int(hi) >> shift) + 1))
+    back = read_tiles(out_dir, tile_pred=lambda p: int(p["zp"]) in prefixes)
+    back = zrange_filter(back, ZQ_BBOX, resolution=RES, level=HIER_LEVEL)
+    return back.select_columns(["doc_id", "cell_code"])
+
+
 def q_poly_media_rollup(sf_dir: str):
     """Per-polygon interleaved-payload rollup (axes A+B through the
     SPATIAL JOIN): span stats are computed from the actual list<struct>
@@ -3993,6 +4029,7 @@ def queries():
         "hex_zscore": q_hex_zscore,
         "nearest_hub": q_nearest_hub,
         "zrange_query": q_zrange_query,
+        "zrange_store": q_zrange_store,
         "poly_media_rollup": q_poly_media_rollup,
         "span_transitions": q_span_transitions,
         "hex_pyramid": q_hex_pyramid,
@@ -4491,6 +4528,7 @@ def oracle_sql():
         "hex_zscore": _sql_hex_zscore(),
         "nearest_hub": _sql_nearest_hub(),
         "zrange_query": _sql_zrange_query(),
+        "zrange_store": _sql_zrange_query(),
         "poly_media_rollup": _sql_poly_media_rollup(),
         "span_transitions": _sql_span_transitions(),
         "hex_pyramid": _sql_hex_pyramid(),
