@@ -663,6 +663,175 @@ def _sql_hex_zonal() -> str:
     )
 
 
+#: TPC-H Q5 constants (shared engine/oracle)
+Q5_REGION = "EUROPE"
+Q5_D0, Q5_D1 = "1996-01-01", "1997-01-01"
+
+
+def q_q5_revenue(sf_dir: str):
+    """TPC-H Q5-style local-supplier volume: customers and suppliers of
+    the same (European) nation, order-date window, revenue per nation.
+
+    Scale shape: region->nation resolves to a broadcast nation set;
+    customer (projected to id+nation, euro-filtered) joins orders
+    (date-pushed) in a partitioned hash join; lineitem (projected to
+    orderkey+suppkey+rev) joins that in a second partitioned join; the
+    supplier nation rides a broadcast dict and the same-nation predicate
+    is a vectorized filter — the classic big×big chain with every
+    dimension broadcast and every fact column pruned at the read.
+    Revenue sums are rounded to 2dp on both sides."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..cluster import default_num_partitions
+    from ..spatial import _cached_kernel
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
+    euro_reg = {
+        k for k, n in zip(reg["r_regionkey"], reg["r_name"]) if n == Q5_REGION
+    }
+    euro = {
+        k: n
+        for k, n, rk in zip(
+            nat["n_nationkey"], nat["n_name"], nat["n_regionkey"]
+        )
+        if rk in euro_reg
+    }
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys = np.asarray(supp["s_suppkey"], np.int64)
+    snats = np.asarray(supp["s_nationkey"], np.int64)
+    so = np.argsort(skeys, kind="stable")
+    s_map_ref = {"__ref__": ray.put((skeys[so], snats[so]))}
+    euro_keys = frozenset(euro)
+
+    d0 = np.datetime64(Q5_D0)
+    d1 = np.datetime64(Q5_D1)
+    nparts = default_num_partitions()
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pa.array(np.isin(np.asarray(b["c_nationkey"], np.int64), list(euro_keys)))
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "o_custkey"]).filter(
+            pa.array(
+                (np.asarray(b["o_orderdate"]).astype("datetime64[D]") >= d0)
+                & (np.asarray(b["o_orderdate"]).astype("datetime64[D]") < d1)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    ord_cust = orders.repartition(nparts).join(
+        cust.repartition(nparts),
+        "inner",
+        num_partitions=nparts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "rev": pc.multiply(
+                    b["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), b["l_discount"]),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = li.repartition(nparts).join(
+        ord_cust.select_columns(["o_orderkey", "c_nationkey"]).repartition(
+            nparts
+        ),
+        "inner",
+        num_partitions=nparts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    key = f"q5supp:{s_map_ref['__ref__'].hex()}"
+
+    def same_nation(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "c_nationkey": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.float64()),
+                }
+            )
+        sk_sorted, sn_sorted = _cached_kernel(key, s_map_ref, lambda d: d)
+        sk = np.asarray(b["l_suppkey"], np.int64)
+        pos = np.searchsorted(sk_sorted, sk)
+        pos = np.minimum(pos, len(sk_sorted) - 1)
+        hit = sk_sorted[pos] == sk
+        s_nat = np.where(hit, sn_sorted[pos], -1)
+        keep = s_nat == np.asarray(b["c_nationkey"], np.int64)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(
+                    np.asarray(b["c_nationkey"], np.int64)[keep]
+                ),
+                "rev": pa.array(np.asarray(b["rev"], np.float64)[keep]),
+            }
+        )
+
+    agg = (
+        j.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        nk = np.asarray(b["c_nationkey"], np.int64)
+        names = pa.array([euro[int(v)] for v in nk], pa.string())
+        out = pa.table({"n_name": names, "revenue": b["revenue"]})
+        return round_half_away(out, ["revenue"], 2)
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue", "n_name"], descending=[True, False])
+    )
+
+
+def _sql_q5() -> str:
+    return f"""
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 1e2) / 1e2 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_D0}' AND o_orderdate < TIMESTAMP '{Q5_D1}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def q_span_transitions(sf_dir: str):
     """Corpus-wide span kind-transition matrix (the interleaved-payload
     Markov summary): consecutive (kind_i -> kind_{i+1}) pairs WITHIN each
@@ -4173,6 +4342,7 @@ def queries():
         "events_interval": q_events_interval,
         "events_sessionize": q_events_sessionize,
         "q1_pricing": q_q1_pricing,
+        "q5_revenue": q_q5_revenue,
         "top_customers": q_top_customers,
     }
 
@@ -4745,6 +4915,7 @@ def oracle_sql():
         "events_interval": _sql_events_interval(),
         "events_sessionize": _sql_events_sessionize(),
         "q1_pricing": _sql_q1(),
+        "q5_revenue": _sql_q5(),
         "top_customers": _sql_topcust(),
     }
 
