@@ -3841,6 +3841,18 @@ def q_events_trajectory(sf_dir: str):
     return events_trajectory(sf_dir)
 
 
+def q_hex_dwell(sf_dir: str):
+    from .relational import events_hex_dwell
+
+    return events_hex_dwell(sf_dir, hex_size=HEX_SIZE)
+
+
+def _sql_hex_dwell() -> str:
+    from .relational import sql_events_hex_dwell
+
+    return sql_events_hex_dwell(hex_size=HEX_SIZE)
+
+
 def q_od_matrix(sf_dir: str):
     from .relational import events_od_matrix
 
@@ -4242,6 +4254,7 @@ def queries():
         "events_gap_fill": q_events_gap_fill,
         "events_trajectory": q_events_trajectory,
         "od_matrix": q_od_matrix,
+        "hex_dwell": q_hex_dwell,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -4746,6 +4759,7 @@ def oracle_sql():
         "events_gap_fill": _sql_events_gap_fill(),
         "events_trajectory": _sql_events_trajectory(),
         "od_matrix": _sql_od_matrix(),
+        "hex_dwell": _sql_hex_dwell(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),

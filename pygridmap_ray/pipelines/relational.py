@@ -1093,3 +1093,91 @@ SELECT f.hq AS oq, f.hr AS orr, l.hq AS dq, l.hr AS dr,
 FROM f_hexed f JOIN l_hexed l ON f.user_id = l.user_id
 GROUP BY f.hq, f.hr, l.hq, l.hr
 """
+
+
+def events_hex_dwell(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
+    """Longest same-hex dwell per user (gaps-and-islands): events in
+    (ts, event_id) order, a run is a maximal stretch of consecutive
+    events in the SAME hex cell; output each user's longest run length.
+
+    Scale shape: one coarse user-hash bucket shuffle; the per-bucket
+    kernel is a single lexsort + run-boundary mask + two bincounts
+    (run lengths, then per-user max via ``np.maximum.at``) — the
+    vectorized replacement for the SQL double-ROW_NUMBER islands trick.
+    """
+    import ray.data as rd
+
+    from ..hex import _pack, hex_axial
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        hkey = _pack(*hex_axial(x, y, hex_size))
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "hkey": pa.array(hkey),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        k = g["hkey"].to_numpy(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, k = uid[order], k[order]
+        starts = np.concatenate([[True], uid[1:] != uid[:-1]])
+        new_run = starts | np.concatenate([[True], k[1:] != k[:-1]])
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        user_inv = np.cumsum(starts) - 1
+        run_user = user_inv[new_run]
+        n_users = int(user_inv[-1]) + 1 if len(user_inv) else 0
+        longest = np.zeros(n_users, dtype=np.int64)
+        np.maximum.at(longest, run_user, run_len)
+        return pd.DataFrame({"user_id": uid[starts], "max_run": longest})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_hex_dwell(*, hex_size: float) -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events
+),
+{sql_hex_cte(hex_size)},
+s AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id)
+       - ROW_NUMBER() OVER (PARTITION BY user_id, hq, hr ORDER BY us, event_id)
+         AS grp,
+         hq, hr
+  FROM hexed
+),
+runs AS (
+  SELECT user_id, COUNT(*)::BIGINT AS len
+  FROM s GROUP BY user_id, hq, hr, grp
+)
+SELECT user_id, MAX(len)::BIGINT AS max_run FROM runs GROUP BY user_id
+"""
