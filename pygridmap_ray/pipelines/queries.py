@@ -3853,6 +3853,141 @@ def _sql_hex_dwell() -> str:
     return sql_events_hex_dwell(hex_size=HEX_SIZE)
 
 
+def q_hex_peak_hour(sf_dir: str):
+    """Peak activity hour per hex: events hex-indexed on their point
+    law, (hkey, hour-of-day) count partials -> one composite hash
+    aggregate -> distributed arg-max (`grouped_latest` combiner).  Tie
+    law: highest count then LOWEST hour (negated-hour order key)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, hex_axial
+    from ..stats import grouped_latest
+    from ..synth import derive_xy
+
+    HOUR_US = 3_600_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        hkey = _pack(*hex_axial(x, y, HEX_SIZE))
+        us = np.asarray(pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()))
+        hour = (us // HOUR_US) % 24  # synth timestamps are all >= epoch
+        order = np.lexsort((hour, hkey))
+        hs, ho = hkey[order], hour[order]
+        bound = np.concatenate([[True], (hs[1:] != hs[:-1]) | (ho[1:] != ho[:-1])])
+        s = np.flatnonzero(bound)
+        n = np.diff(np.append(s, len(hs)))
+        return pa.table(
+            {
+                "hkey": pa.array(hs[s]),
+                "hour": pa.array(ho[s]),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    mix = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hkey", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def encode(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hkey": pa.array([], pa.int64()),
+                    "hour": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "neg_hour": pa.array([], pa.int64()),
+                }
+            )
+        return b.append_column(
+            "neg_hour", pa.array(-np.asarray(b["hour"], np.int64))
+        )
+
+    top = grouped_latest(
+        mix.map_batches(encode, batch_format="pyarrow"),
+        key="hkey",
+        order_cols=("n", "neg_hour"),
+        carry_cols=("hour",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "peak_hour": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        return pa.table(
+            {
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+                "peak_hour": b["hour"],
+                "n": b["n"],
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_hex_peak_hour() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    return (
+        f"WITH pts AS (SELECT event_id, "
+        f"(epoch_us(ts) // 3600000000) % 24 AS hour, "
+        f"{ex} AS x, {ey} AS y FROM events), "
+        f"{sql_hex_cte(HEX_SIZE)}, "
+        f"m AS (SELECT hq, hr, hour, COUNT(*)::BIGINT AS n FROM hexed "
+        f"GROUP BY hq, hr, hour) "
+        f"SELECT hq, hr, hour AS peak_hour, n FROM m "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY hq, hr "
+        f"ORDER BY n DESC, hour ASC) = 1"
+    )
+
+
+def q_spatial_antijoin(sf_dir: str):
+    """Spatial ANTI-join: docs contained by NO polygon — the left spatial
+    join with a vectorized null-side filter (complement of every
+    spatial_join* query; the decontamination shape applied to geometry)."""
+    from ..spatial import join_points_to_polygons
+    from ..synth import polygon_layer
+
+    ds = join_points_to_polygons(
+        docs_points(sf_dir), polygon_layer(), how="left", attr_cols=()
+    )
+
+    def outside(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_null(b["poly_id"])).select(["doc_id"])
+
+    return ds.map_batches(outside, batch_format="pyarrow")
+
+
+def _sql_spatial_antijoin() -> str:
+    from ..synth import sql_points_cte, sql_polygon_rects_cte
+
+    return (
+        f"WITH points AS ({sql_points_cte()}), "
+        f"poly_rects AS ({sql_polygon_rects_cte()}) "
+        f"SELECT doc_id FROM points p WHERE NOT EXISTS ("
+        f"SELECT 1 FROM poly_rects r WHERE p.x >= r.rxmin AND p.x < r.rxmax "
+        f"AND p.y >= r.rymin AND p.y < r.rymax)"
+    )
+
+
 def q_od_matrix(sf_dir: str):
     from .relational import events_od_matrix
 
@@ -4255,6 +4390,8 @@ def queries():
         "events_trajectory": q_events_trajectory,
         "od_matrix": q_od_matrix,
         "hex_dwell": q_hex_dwell,
+        "hex_peak_hour": q_hex_peak_hour,
+        "spatial_antijoin": q_spatial_antijoin,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -4760,6 +4897,8 @@ def oracle_sql():
         "events_trajectory": _sql_events_trajectory(),
         "od_matrix": _sql_od_matrix(),
         "hex_dwell": _sql_hex_dwell(),
+        "hex_peak_hour": _sql_hex_peak_hour(),
+        "spatial_antijoin": _sql_spatial_antijoin(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
