@@ -3988,6 +3988,18 @@ def _sql_spatial_antijoin() -> str:
     )
 
 
+def q_step_bearings(sf_dir: str):
+    from .relational import events_step_bearings
+
+    return events_step_bearings(sf_dir)
+
+
+def _sql_step_bearings() -> str:
+    from .relational import sql_events_step_bearings
+
+    return sql_events_step_bearings()
+
+
 def q_od_matrix(sf_dir: str):
     from .relational import events_od_matrix
 
@@ -4392,6 +4404,7 @@ def queries():
         "hex_dwell": q_hex_dwell,
         "hex_peak_hour": q_hex_peak_hour,
         "spatial_antijoin": q_spatial_antijoin,
+        "step_bearings": q_step_bearings,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -4899,6 +4912,7 @@ def oracle_sql():
         "hex_dwell": _sql_hex_dwell(),
         "hex_peak_hour": _sql_hex_peak_hour(),
         "spatial_antijoin": _sql_spatial_antijoin(),
+        "step_bearings": _sql_step_bearings(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),

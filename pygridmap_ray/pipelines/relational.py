@@ -1181,3 +1181,98 @@ runs AS (
 )
 SELECT user_id, MAX(len)::BIGINT AS max_run FROM runs GROUP BY user_id
 """
+
+
+def events_step_bearings(sf_dir: str, *, num_buckets: int = 64):
+    """Global 8-sector travel-direction histogram: per-user consecutive
+    steps (ts, event_id order), bearing = atan2(dy, dx) folded into 45°
+    sectors.  Same one-coarse-bucket shuffle as the trajectory kernel;
+    each bucket emits ONE 8-cell bincount partial.  Sector boundaries
+    are irrational for the synth points, so libm atan2 ulps cannot flip
+    a sector (measure-zero law, same footing as the haversine ops)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        order = np.lexsort((eid, us, uid))
+        uid, x, y = uid[order], x[order], y[order]
+        same = uid[1:] == uid[:-1]
+        dx = np.diff(x)[same]
+        dy = np.diff(y)[same]
+        deg = np.arctan2(dy, dx) * (180.0 / np.pi)
+        sector = np.floor(((deg + 360.0) % 360.0) / 45.0).astype(np.int64)
+        n = np.bincount(sector, minlength=8).astype(np.int64)
+        return pd.DataFrame(
+            {"sector": np.arange(8, dtype=np.int64), "n_steps": n}
+        )
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("sector")
+        .aggregate(Sum("n_steps", alias_name="n_steps"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "sector": pa.array([], pa.int64()),
+                    "n_steps": pa.array([], pa.int64()),
+                }
+            )
+        return b.filter(pc.greater(b["n_steps"], 0))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_events_step_bearings() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events
+),
+d AS (
+  SELECT user_id,
+         x - LAG(x) OVER w AS dx,
+         y - LAG(y) OVER w AS dy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT CAST(FLOOR(((atan2(dy, dx) * (180.0 / pi()) + 360.0) % 360.0) / 45.0)
+       AS BIGINT) AS sector,
+       COUNT(*)::BIGINT AS n_steps
+FROM d WHERE dx IS NOT NULL
+GROUP BY sector
+"""
