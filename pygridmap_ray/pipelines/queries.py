@@ -217,6 +217,148 @@ def q_hex_zscore(sf_dir: str):
     return hex_zscore(ds, size=HEX_SIZE)
 
 
+def q_hex_choropleth(sf_dir: str):
+    """Choropleth classing: occupied hexes bucketed into 4 equal-height
+    density classes with SQL's exact NTILE fill law (stats.ntile over
+    the tiny density aggregate; tiebreak = packed hex key so the class
+    boundary is a total order)."""
+    from ..hex import _pack, hex_density, with_hex_cells
+    from ..stats import ntile
+
+    dens = hex_density(
+        with_hex_cells(docs_points(sf_dir), size=HEX_SIZE), size=HEX_SIZE
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "hkey": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.int64()),
+                }
+            )
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        return pa.table(
+            {
+                "hq": b["hq"],
+                "hr": b["hr"],
+                "n_docs": b["n_docs"],
+                "hkey": pa.array(key),
+                "g": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    out = ntile(
+        dens.map_batches(prep, batch_format="pyarrow"),
+        group_col="g",
+        order_col="n_docs",
+        tiebreak_col="hkey",
+        n=4,
+    )
+    return out.select_columns(["hq", "hr", "n_docs", "tile"])
+
+
+def _sql_hex_choropleth() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"d AS (SELECT hq, hr, COUNT(*)::BIGINT AS n_docs FROM hexed "
+        f"GROUP BY hq, hr) "
+        f"SELECT hq, hr, n_docs, NTILE(4) OVER (ORDER BY n_docs, "
+        f"((hq << 32) | (hr & 4294967295)))::BIGINT AS tile FROM d"
+    )
+
+
+def q_hex_embedding_norm(sf_dir: str):
+    """Embeddings × hex interop: per-hex mean L2 norm of the embedding
+    vectors of co-located docs (vec_id shares the doc point law).  Norms
+    are vectorized float64 row reductions; per-hex (count, norm-sum)
+    partials are the only shuffle.  Mean rounded 6dp (norm ulps dwarfed)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, hex_axial
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(emb)
+        flat = np.asarray(emb.values, dtype=np.float64)
+        mat = flat.reshape(n, -1)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        vid = np.asarray(b["vec_id"], np.int64)
+        x, y = derive_xy(vid)
+        key = _pack(*hex_axial(x, y, HEX_SIZE))
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "hkey": pa.array(u),
+                "cnt": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64)),
+                "nsum": pa.array(np.bincount(inv, weights=nrm, minlength=len(u))),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(
+            Sum("cnt", alias_name="n_vecs"), Sum("nsum", alias_name="nsum")
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                    "mean_norm": pa.array([], pa.float64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        m = np.asarray(b["nsum"], np.float64) / np.asarray(
+            b["n_vecs"], np.int64
+        ).astype(np.float64)
+        m = np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+                "n_vecs": b["n_vecs"],
+                "mean_norm": pa.array(m),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_hex_embedding_norm() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "vec_id")
+    ey = SQL_Y.replace("doc_id", "vec_id")
+    return (
+        f"WITH pts AS (SELECT vec_id, {ex} AS x, {ey} AS y, "
+        f"sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v))) "
+        f"AS nrm FROM embeddings), {sql_hex_cte(HEX_SIZE)} "
+        f"SELECT hq, hr, COUNT(*)::BIGINT AS n_vecs, "
+        f"ROUND((SUM(nrm) / COUNT(*)) * 1e6) / 1e6 AS mean_norm "
+        f"FROM hexed GROUP BY hq, hr"
+    )
+
+
 def q_nearest_hub(sf_dir: str):
     """Broadcast-small-side geodesic nearest-neighbour: the 8-row hub
     table rides the batch closure, every batch computes a vectorized
@@ -4365,6 +4507,8 @@ def queries():
         "hex_boundaries": q_hex_boundaries,
         "hub_catchment": q_hub_catchment,
         "hex_zonal": q_hex_zonal,
+        "hex_choropleth": q_hex_choropleth,
+        "hex_embedding_norm": q_hex_embedding_norm,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -4869,6 +5013,8 @@ def oracle_sql():
         "hex_boundaries": _sql_hex_boundaries(),
         "hub_catchment": _sql_hub_catchment(),
         "hex_zonal": _sql_hex_zonal(),
+        "hex_choropleth": _sql_hex_choropleth(),
+        "hex_embedding_norm": _sql_hex_embedding_norm(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),
