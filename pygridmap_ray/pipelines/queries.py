@@ -359,6 +359,115 @@ def _sql_hex_embedding_norm() -> str:
     )
 
 
+#: cluster-labeling lattice: fine hexes + min-density gate so the urban
+#: cores separate into distinct components
+HEXC_SIZE, HEXC_MIN = 6_250.0, 2
+
+
+def q_hex_clusters(sf_dir: str):
+    """Hotspot cluster labeling: connected components over ADJACENT
+    occupied hexes (6-neighbor lattice adjacency), label = min packed
+    key in the component — the spatial DBSCAN-core shape.
+
+    Scale shape: raw rows reduce to the lattice-bounded density
+    aggregate first; adjacency edges come from a vectorized searchsorted
+    against the sorted occupied-key vector (6 probes per hex); the
+    component solve reuses `dedup.connected_components` (hybrid local /
+    distributed pointer jumping).  Driver ever holds only occupied-CELL
+    vectors (O(domain/size²) — the same bound as the polygon layer
+    broadcast), never doc rows.  A fine lattice + min-density gate make
+    the urban cores separate (8 components at sf0.01)."""
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    from ..dedup import connected_components
+    from ..hex import _NEIGHBORS, _pack, _unpack, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEXC_SIZE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "docs": c.astype(np.int64)})
+
+    occ = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("docs", alias_name="n_docs"))
+        .materialize()
+    )
+    occ_df = occ.to_pandas()  # lattice-bounded (see docstring)
+    occ_df = occ_df[occ_df["n_docs"] >= HEXC_MIN]
+    keys = np.sort(occ_df["hkey"].to_numpy(np.int64))
+    n_map = occ_df.set_index("hkey")["n_docs"]
+    q, r = _unpack(keys)
+    pairs_a, pairs_b = [], []
+    for dq, dr in _NEIGHBORS:
+        nk = _pack(q + dq, r + dr)
+        pos = np.searchsorted(keys, nk)
+        pos = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos] == nk
+        a, b = keys[hit], nk[hit]
+        pairs_a.append(np.minimum(a, b))
+        pairs_b.append(np.maximum(a, b))
+    ea = np.concatenate(pairs_a) if pairs_a else np.array([], np.int64)
+    eb = np.concatenate(pairs_b) if pairs_b else np.array([], np.int64)
+    if len(ea):
+        order = np.lexsort((eb, ea))
+        ea, eb = ea[order], eb[order]
+        first = np.concatenate([[True], (ea[1:] != ea[:-1]) | (eb[1:] != eb[:-1])])
+        ea, eb = ea[first], eb[first]
+    label = dict(zip(keys.tolist(), keys.tolist()))
+    if len(ea):
+        cc = connected_components(
+            rd.from_arrow(pa.table({"id_a": ea, "id_b": eb})),
+            src="id_a",
+            dst="id_b",
+        ).to_pandas()
+        label.update(zip(cc["node"].tolist(), cc["label"].tolist()))
+    cl = np.array([label[int(k)] for k in keys], dtype=np.int64)
+    cq, cr = _unpack(cl)
+    out = pa.table(
+        {
+            "hq": pa.array(q),
+            "hr": pa.array(r),
+            "n_docs": pa.array(n_map.loc[keys].to_numpy(np.int64)),
+            "cq": pa.array(cq),
+            "cr": pa.array(cr),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+def _sql_hex_clusters() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH RECURSIVE pts AS ({sql_points_cte()}), {sql_hex_cte(HEXC_SIZE)}, "
+        f"d AS (SELECT hq, hr, COUNT(*)::BIGINT AS n_docs FROM hexed "
+        f"GROUP BY hq, hr HAVING COUNT(*) >= {HEXC_MIN}), "
+        f"k AS (SELECT hq, hr, n_docs, ((hq << 32) | (hr & 4294967295)) AS key "
+        f"FROM d), "
+        f"off(dq, dr) AS (VALUES (1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1)), "
+        f"e AS (SELECT a.key AS src, b.key AS dst FROM k a "
+        f"CROSS JOIN off o JOIN k b "
+        f"ON b.hq = a.hq + o.dq AND b.hr = a.hr + o.dr), "
+        f"reach(key, lab) AS ("
+        f"SELECT key, key FROM k UNION "
+        f"SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.key), "
+        f"lab AS (SELECT key, MIN(lab) AS cl FROM reach GROUP BY key) "
+        # low-32 sign-fix instead of (cl << 32) >> 32: DuckDB raises on
+        # signed left-shift overflow (numpy wraps)
+        f"SELECT k.hq, k.hr, k.n_docs, (l.cl >> 32) AS cq, "
+        f"CASE WHEN (l.cl & 4294967295) >= 2147483648 "
+        f"THEN (l.cl & 4294967295) - 4294967296 "
+        f"ELSE (l.cl & 4294967295) END AS cr "
+        f"FROM k JOIN lab l ON k.key = l.key"
+    )
+
+
 def q_nearest_hub(sf_dir: str):
     """Broadcast-small-side geodesic nearest-neighbour: the 8-row hub
     table rides the batch closure, every batch computes a vectorized
@@ -4509,6 +4618,7 @@ def queries():
         "hex_zonal": q_hex_zonal,
         "hex_choropleth": q_hex_choropleth,
         "hex_embedding_norm": q_hex_embedding_norm,
+        "hex_clusters": q_hex_clusters,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -5015,6 +5125,7 @@ def oracle_sql():
         "hex_zonal": _sql_hex_zonal(),
         "hex_choropleth": _sql_hex_choropleth(),
         "hex_embedding_norm": _sql_hex_embedding_norm(),
+        "hex_clusters": _sql_hex_clusters(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),
