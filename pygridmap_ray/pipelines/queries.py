@@ -468,6 +468,67 @@ def _sql_hex_clusters() -> str:
     )
 
 
+#: hex-cover enumeration window (covers the synth domain with margin;
+#: shared by the engine and the oracle so both scan the same lattice)
+HEXCOV_Q = (-2, 16)
+HEXCOV_R = (-16, 32)
+
+
+def q_poly_hex_cover(sf_dir: str):
+    """Polygon -> hex-cover rasterization (center-containment law): the
+    hexes whose centers fall inside each polygon's disjoint rect
+    decomposition.  This is the INDEX-BUILD primitive for joining
+    polygon layers in hex space (polygon side becomes (poly_id, hkey)
+    rows once, points join by key).  The layer is the broadcast small
+    side; enumeration is a vectorized lattice scan per rect."""
+    import ray.data as rd
+
+    from ..hex import hex_center
+    from ..synth import polygon_layer
+
+    qs = np.arange(HEXCOV_Q[0], HEXCOV_Q[1] + 1, dtype=np.int64)
+    rs = np.arange(HEXCOV_R[0], HEXCOV_R[1] + 1, dtype=np.int64)
+    gq, gr = np.meshgrid(qs, rs, indexing="ij")
+    gq, gr = gq.ravel(), gr.ravel()
+    cx, cy = hex_center(gq, gr, HEX_SIZE)
+    pid_out, hq_out, hr_out = [], [], []
+    for poly in polygon_layer():
+        inside = np.zeros(len(gq), dtype=bool)
+        for rxmin, rymin, rxmax, rymax in poly["rects"]:
+            inside |= (
+                (cx >= rxmin) & (cx < rxmax) & (cy >= rymin) & (cy < rymax)
+            )
+        pid_out.append(np.full(int(inside.sum()), poly["poly_id"], np.int64))
+        hq_out.append(gq[inside])
+        hr_out.append(gr[inside])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "poly_id": pa.array(np.concatenate(pid_out)),
+                "hq": pa.array(np.concatenate(hq_out)),
+                "hr": pa.array(np.concatenate(hr_out)),
+            }
+        )
+    )
+
+
+def _sql_poly_hex_cover() -> str:
+    from ..synth import sql_polygon_rects_cte
+
+    s = repr(float(HEX_SIZE))
+    cx = f"({s} * ((3.0/2.0) * gq.i))"
+    cy = f"({s} * ((sqrt(3.0)/2.0) * gq.i + sqrt(3.0) * gr.i))"
+    return (
+        f"WITH poly_rects AS ({sql_polygon_rects_cte()}), "
+        f"gq AS (SELECT UNNEST(generate_series({HEXCOV_Q[0]}, {HEXCOV_Q[1]})) AS i), "
+        f"gr AS (SELECT UNNEST(generate_series({HEXCOV_R[0]}, {HEXCOV_R[1]})) AS i) "
+        f"SELECT DISTINCT r.poly_id, gq.i AS hq, gr.i AS hr "
+        f"FROM poly_rects r, gq, gr "
+        f"WHERE {cx} >= r.rxmin AND {cx} < r.rxmax "
+        f"AND {cy} >= r.rymin AND {cy} < r.rymax"
+    )
+
+
 def q_nearest_hub(sf_dir: str):
     """Broadcast-small-side geodesic nearest-neighbour: the 8-row hub
     table rides the batch closure, every batch computes a vectorized
@@ -4619,6 +4680,7 @@ def queries():
         "hex_choropleth": q_hex_choropleth,
         "hex_embedding_norm": q_hex_embedding_norm,
         "hex_clusters": q_hex_clusters,
+        "poly_hex_cover": q_poly_hex_cover,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -5126,6 +5188,7 @@ def oracle_sql():
         "hex_choropleth": _sql_hex_choropleth(),
         "hex_embedding_norm": _sql_hex_embedding_norm(),
         "hex_clusters": _sql_hex_clusters(),
+        "poly_hex_cover": _sql_poly_hex_cover(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),
