@@ -529,6 +529,37 @@ def _sql_poly_hex_cover() -> str:
     )
 
 
+def q_spatial_join_hexidx(sf_dir: str):
+    """Point-in-polygon join THROUGH the hex-cover index (alternative
+    strategy to the broadcast PIP kernel): conservative hex cover built
+    once from the layer, two searchsorted probes per point, exact rect
+    refine only for cover candidates.  Same output law as the plain
+    rect join."""
+    from ..spatial import join_points_via_hex_cover
+    from ..synth import polygon_layer
+
+    ds = join_points_via_hex_cover(
+        docs_points(sf_dir),
+        polygon_layer(),
+        hex_size=HEX_SIZE,
+        q_range=HEXCOV_Q,
+        r_range=HEXCOV_R,
+    )
+    return ds.select_columns(["doc_id", "poly_id"])
+
+
+def _sql_spatial_join_hexidx() -> str:
+    from ..synth import sql_points_cte, sql_polygon_rects_cte
+
+    return (
+        f"WITH points AS ({sql_points_cte()}), "
+        f"poly_rects AS ({sql_polygon_rects_cte()}) "
+        f"SELECT p.doc_id, r.poly_id FROM points p JOIN poly_rects r "
+        f"ON p.x >= r.rxmin AND p.x < r.rxmax "
+        f"AND p.y >= r.rymin AND p.y < r.rymax"
+    )
+
+
 def q_nearest_hub(sf_dir: str):
     """Broadcast-small-side geodesic nearest-neighbour: the 8-row hub
     table rides the batch closure, every batch computes a vectorized
@@ -4681,6 +4712,7 @@ def queries():
         "hex_embedding_norm": q_hex_embedding_norm,
         "hex_clusters": q_hex_clusters,
         "poly_hex_cover": q_poly_hex_cover,
+        "spatial_join_hexidx": q_spatial_join_hexidx,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -5189,6 +5221,7 @@ def oracle_sql():
         "hex_embedding_norm": _sql_hex_embedding_norm(),
         "hex_clusters": _sql_hex_clusters(),
         "poly_hex_cover": _sql_poly_hex_cover(),
+        "spatial_join_hexidx": _sql_spatial_join_hexidx(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),

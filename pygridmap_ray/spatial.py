@@ -681,3 +681,111 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, poly_id) AS 
       FROM d)
 WHERE rn = 1
 """
+
+
+def join_points_via_hex_cover(
+    ds,
+    polygons: list[dict],
+    *,
+    hex_size: float,
+    q_range: tuple[int, int],
+    r_range: tuple[int, int],
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Point-in-polygon join THROUGH a hex-cover index: the polygon side
+    is rasterized ONCE into a conservative (hkey -> poly candidates)
+    cover (hexes whose center lies within the rect expanded by the
+    circumradius — a superset of every intersecting hex, since a hex is
+    contained in its center disk), points probe the sorted cover with
+    two searchsorted calls, and only cover candidates pay the exact
+    rect-containment refine.
+
+    This is the 100 TB alternative to broadcasting the full polygon
+    kernel: the cover is O(polygon area / hex area) keys; a point in an
+    empty hex costs TWO binary searches and no geometry at all.  Output:
+    one row per (point, containing polygon), like
+    ``join_points_to_polygons(how='inner')``.
+    """
+    import ray
+
+    from .hex import _pack, hex_axial, hex_center
+
+    qs = np.arange(q_range[0], q_range[1] + 1, dtype=np.int64)
+    rs = np.arange(r_range[0], r_range[1] + 1, dtype=np.int64)
+    gq, gr = np.meshgrid(qs, rs, indexing="ij")
+    gq, gr = gq.ravel(), gr.ravel()
+    cx, cy = hex_center(gq, gr, hex_size)
+    gkey = _pack(gq, gr)
+
+    cover_k, cover_p = [], []
+    # per-poly rect arrays for the exact refine
+    rect_poly, rxmin, rymin, rxmax, rymax = [], [], [], [], []
+    for poly in polygons:
+        inside = np.zeros(len(gkey), dtype=bool)
+        for x0, y0, x1, y1 in poly["rects"]:
+            inside |= (
+                (cx >= x0 - hex_size)
+                & (cx < x1 + hex_size)
+                & (cy >= y0 - hex_size)
+                & (cy < y1 + hex_size)
+            )
+            rect_poly.append(poly["poly_id"])
+            rxmin.append(x0)
+            rymin.append(y0)
+            rxmax.append(x1)
+            rymax.append(y1)
+        cover_k.append(gkey[inside])
+        cover_p.append(np.full(int(inside.sum()), poly["poly_id"], np.int64))
+    ck = np.concatenate(cover_k)
+    cp = np.concatenate(cover_p)
+    order = np.lexsort((cp, ck))
+    ck, cp = ck[order], cp[order]
+    rect_poly = np.asarray(rect_poly, np.int64)
+    rects = np.asarray([rxmin, rymin, rxmax, rymax], np.float64)
+    ro = np.argsort(rect_poly, kind="stable")
+    rect_poly, rects = rect_poly[ro], rects[:, ro]
+    ref = {
+        "__ref__": ray.put((ck, cp, rect_poly, rects))
+    }
+    key = f"hexcover:{ref['__ref__'].hex()}:{x_col}:{y_col}"
+
+    def probe(b: pa.Table) -> pa.Table:
+        ck_, cp_, rpoly, rects_ = _cached_kernel(key, ref, lambda t: t)
+        x = np.asarray(b[x_col], np.float64)
+        y = np.asarray(b[y_col], np.float64)
+        k = _pack(*hex_axial(x, y, hex_size))
+        lo = np.searchsorted(ck_, k, side="left")
+        hi = np.searchsorted(ck_, k, side="right")
+        cnt = hi - lo
+        rows = np.repeat(np.arange(len(k)), cnt)
+        if not len(rows):
+            return b.slice(0, 0).append_column(
+                "poly_id", pa.array([], pa.int64())
+            )
+        # candidate (point, poly) pairs
+        idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi) if h > l])
+        cand_poly = cp_[idx]
+        # exact refine: point inside ANY rect of the candidate polygon
+        px, py = x[rows], y[rows]
+        keep = np.zeros(len(rows), dtype=bool)
+        # rects are sorted by poly; probe each candidate's rect run
+        r_lo = np.searchsorted(rpoly, cand_poly, side="left")
+        r_hi = np.searchsorted(rpoly, cand_poly, side="right")
+        max_rects = int((r_hi - r_lo).max()) if len(r_lo) else 0
+        for j in range(max_rects):
+            ridx = r_lo + j
+            valid = ridx < r_hi
+            rv = np.minimum(ridx, len(rpoly) - 1)
+            hitj = (
+                valid
+                & (px >= rects_[0][rv])
+                & (px < rects_[2][rv])
+                & (py >= rects_[1][rv])
+                & (py < rects_[3][rv])
+            )
+            keep |= hitj
+        sub = b.take(pa.array(rows[keep]))
+        return sub.append_column("poly_id", pa.array(cand_poly[keep]))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

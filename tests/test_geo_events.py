@@ -59,3 +59,40 @@ def test_hex_dwell_bruteforce(ray_session, sf_dir):
             run = run + 1 if k[i] == k[i - 1] else 1
             best = max(best, run)
         assert out[uid] == best
+
+
+def test_hex_cover_join_equals_broadcast_join(ray_session, sf_dir):
+    """The hex-cover index strategy and the broadcast PIP kernel must
+    produce the same (point, polygon) set."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from pygridmap_ray.spatial import (
+        join_points_to_polygons,
+        join_points_via_hex_cover,
+    )
+    from pygridmap_ray.synth import polygon_layer
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    x = rng.uniform(0, 500_000, n)
+    y = rng.uniform(0, 501_000, n)
+    ds = rd.from_arrow(
+        pa.table({"i": np.arange(n), "x": x, "y": y})
+    ).repartition(5)
+    via_cover = (
+        join_points_via_hex_cover(
+            ds, polygon_layer(), hex_size=25_000.0,
+            q_range=(-2, 16), r_range=(-16, 32),
+        )
+        .to_pandas()[["i", "poly_id"]]
+        .sort_values(["i", "poly_id"])
+        .reset_index(drop=True)
+    )
+    via_bcast = (
+        join_points_to_polygons(ds, polygon_layer(), how="inner", attr_cols=())
+        .to_pandas()[["i", "poly_id"]]
+        .sort_values(["i", "poly_id"])
+        .reset_index(drop=True)
+    )
+    assert via_cover.equals(via_bcast)
