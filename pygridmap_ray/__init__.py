@@ -23,7 +23,9 @@ Public surface (mirrors SURVEY.md §2):
 - :mod:`pygridmap_ray.joins`      — as-of / interval joins (order-aware)
 - :mod:`pygridmap_ray.stats`      — histogram-exact grouped quantiles
 - :mod:`pygridmap_ray.geom.proj`  — closed-form CRS reprojection
-- :mod:`pygridmap_ray.hier`       — S2/H3-style hierarchical cell index (Morton/quadkey)
+- :mod:`pygridmap_ray.hier`       — S2-style hierarchical cell index (Morton/quadkey, Z-range scans)
+- :mod:`pygridmap_ray.hex`        — H3-style hexagonal lattice (assign/density/focal/zscore)
+- :mod:`pygridmap_ray.geodesic`   — haversine kernels + broadcast nearest-hub
 - :mod:`pygridmap_ray.pack`       — global prefix-sum + training-sequence packing
 
 No module in this package calls ``ray.init`` — sessions are owned by the
@@ -78,6 +80,20 @@ def __getattr__(name):
         "hier_rollup": ("pygridmap_ray.hier", "hier_rollup"),
         "morton_encode": ("pygridmap_ray.hier", "morton_encode"),
         "morton_decode": ("pygridmap_ray.hier", "morton_decode"),
+        "zrange_cover": ("pygridmap_ray.hier", "zrange_cover"),
+        "zrange_filter": ("pygridmap_ray.hier", "zrange_filter"),
+        "with_hex_cells": ("pygridmap_ray.hex", "with_hex_cells"),
+        "hex_axial": ("pygridmap_ray.hex", "hex_axial"),
+        "hex_density": ("pygridmap_ray.hex", "hex_density"),
+        "hex_rollup": ("pygridmap_ray.hex", "hex_rollup"),
+        "hex_focal": ("pygridmap_ray.hex", "hex_focal"),
+        "hex_zscore": ("pygridmap_ray.hex", "hex_zscore"),
+        "haversine_km": ("pygridmap_ray.geodesic", "haversine_km"),
+        "nearest_hub": ("pygridmap_ray.geodesic", "nearest_hub"),
+        "join_points_via_hex_cover": (
+            "pygridmap_ray.spatial",
+            "join_points_via_hex_cover",
+        ),
     }
     if name in _EXPORTS:
         import importlib
