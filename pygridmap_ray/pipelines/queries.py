@@ -560,6 +560,85 @@ def _sql_spatial_join_hexidx() -> str:
     )
 
 
+def q_poly_lang_entropy(sf_dir: str):
+    """Language diversity per polygon: Shannon entropy of the language
+    mix of contained docs.  Raw rows reduce to (poly, lang) count
+    partials before any shuffle; the final per-poly entropy runs on the
+    polygon-bounded aggregate (8 groups — the documented low-cardinality
+    groupby exemption)."""
+    from ray.data.aggregate import Sum
+
+    from ..spatial import join_points_to_polygons
+    from ..synth import polygon_layer
+
+    ds = join_points_to_polygons(
+        docs_points(sf_dir, extra_cols=("lang",)),
+        polygon_layer(),
+        how="inner",
+        attr_cols=(),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        pid = np.asarray(b["poly_id"], np.int64)
+        enc = pc.dictionary_encode(b["lang"].combine_chunks())
+        code = np.asarray(enc.indices, np.int64)
+        order = np.lexsort((code, pid))
+        ps, cs = pid[order], code[order]
+        bound = np.concatenate([[True], (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])])
+        s = np.flatnonzero(bound)
+        n = np.diff(np.append(s, len(ps)))
+        return pa.table(
+            {
+                "poly_id": pa.array(ps[s]),
+                "lang": enc.dictionary.take(pa.array(cs[s])),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    mix = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["poly_id", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    import pandas as pd
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(np.float64)
+        total = n.sum()
+        p = n / total
+        e = -np.sum(p * np.log(p))
+        e = np.sign(e) * np.floor(np.abs(e) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "poly_id": [int(g["poly_id"].iloc[0])],
+                "n_docs": [int(total)],
+                "lang_entropy": [float(e)],
+            }
+        )
+
+    return mix.groupby("poly_id").map_groups(entropy, batch_format="pandas")
+
+
+def _sql_poly_lang_entropy() -> str:
+    from ..synth import SQL_X, SQL_Y, sql_polygon_rects_cte
+
+    return (
+        f"WITH points AS (SELECT doc_id, lang, {SQL_X} AS x, {SQL_Y} AS y "
+        f"FROM documents), poly_rects AS ({sql_polygon_rects_cte()}), "
+        f"j AS (SELECT r.poly_id, p.lang FROM points p JOIN poly_rects r "
+        f"ON p.x >= r.rxmin AND p.x < r.rxmax "
+        f"AND p.y >= r.rymin AND p.y < r.rymax), "
+        f"m AS (SELECT poly_id, lang, COUNT(*)::DOUBLE AS n FROM j "
+        f"GROUP BY poly_id, lang), "
+        f"t AS (SELECT poly_id, SUM(n) AS total FROM m GROUP BY poly_id) "
+        f"SELECT m.poly_id, CAST(t.total AS BIGINT) AS n_docs, "
+        f"ROUND((-SUM((m.n / t.total) * ln(m.n / t.total))) * 1e6) / 1e6 "
+        f"AS lang_entropy FROM m JOIN t ON m.poly_id = t.poly_id "
+        f"GROUP BY m.poly_id, t.total"
+    )
+
+
 def q_nearest_hub(sf_dir: str):
     """Broadcast-small-side geodesic nearest-neighbour: the 8-row hub
     table rides the batch closure, every batch computes a vectorized
@@ -4713,6 +4792,7 @@ def queries():
         "hex_clusters": q_hex_clusters,
         "poly_hex_cover": q_poly_hex_cover,
         "spatial_join_hexidx": q_spatial_join_hexidx,
+        "poly_lang_entropy": q_poly_lang_entropy,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -5222,6 +5302,7 @@ def oracle_sql():
         "hex_clusters": _sql_hex_clusters(),
         "poly_hex_cover": _sql_poly_hex_cover(),
         "spatial_join_hexidx": _sql_spatial_join_hexidx(),
+        "poly_lang_entropy": _sql_poly_lang_entropy(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),
