@@ -639,6 +639,112 @@ def _sql_poly_lang_entropy() -> str:
     )
 
 
+def q_media_hex_bytes(sf_dir: str):
+    """Multimodal × geo: media spans exploded and pseudo-decoded on the
+    ACTOR-POOL stage (`multimodal.media_pipeline(concurrency=2)` — the
+    binary payload is synthesized and measured, not assumed), then byte
+    totals roll up per (hex, kind) via composite partials.  The oracle
+    recomputes the byte-length law closed-form per span."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, hex_axial
+    from ..multimodal import media_pipeline
+    from ..synth import build_spans_array
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_spans(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "spans", build_spans_array(np.asarray(b["doc_id"]))
+        )
+
+    dec = media_pipeline(
+        ds.map_batches(add_spans, batch_format="pyarrow"),
+        concurrency=2,
+        batch_size=512,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], np.int64)
+        x, y = derive_xy(did)
+        hkey = _pack(*hex_axial(x, y, HEX_SIZE))
+        enc = pc.dictionary_encode(b["kind"].combine_chunks())
+        code = np.asarray(enc.indices, np.int64)
+        nb = np.asarray(b["n_bytes"], np.int64)
+        order = np.lexsort((code, hkey))
+        hs, cs, nbs = hkey[order], code[order], nb[order]
+        bound = np.concatenate([[True], (hs[1:] != hs[:-1]) | (cs[1:] != cs[:-1])])
+        s = np.flatnonzero(bound)
+        seg = np.diff(np.append(s, len(hs)))
+        inv = np.repeat(np.arange(len(s)), seg)
+        return pa.table(
+            {
+                "hkey": pa.array(hs[s]),
+                "kind": enc.dictionary.take(pa.array(cs[s])),
+                "n_media": pa.array(seg.astype(np.int64)),
+                "total_bytes": pa.array(
+                    np.bincount(inv, weights=nbs, minlength=len(s)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    agg = (
+        dec.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hkey", "kind"])
+        .aggregate(
+            Sum("n_media", alias_name="n_media"),
+            Sum("total_bytes", alias_name="total_bytes"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.string()),
+                    "n_media": pa.array([], pa.int64()),
+                    "total_bytes": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        return pa.table(
+            {
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+                "kind": b["kind"],
+                "n_media": b["n_media"],
+                "total_bytes": b["total_bytes"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_media_hex_bytes() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    kind_case = (
+        "CASE ((sp.doc_id + sp.si) % 3) WHEN 1 THEN 'image' ELSE 'audio' END"
+    )
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"sp AS (SELECT d.doc_id, i.i AS si FROM documents d "
+        f"JOIN (SELECT UNNEST(generate_series(0, 7)) AS i) i "
+        f"ON i.i < 1 + d.doc_id % 8 WHERE (d.doc_id + i.i) % 3 <> 0) "
+        f"SELECT h.hq, h.hr, {kind_case} AS kind, "
+        f"COUNT(*)::BIGINT AS n_media, "
+        f"SUM(64 + (sp.doc_id * 7 + sp.si * 13) % 192)::BIGINT AS total_bytes "
+        f"FROM hexed h JOIN sp ON h.doc_id = sp.doc_id "
+        f"GROUP BY h.hq, h.hr, kind"
+    )
+
+
 def q_nearest_hub(sf_dir: str):
     """Broadcast-small-side geodesic nearest-neighbour: the 8-row hub
     table rides the batch closure, every batch computes a vectorized
@@ -4793,6 +4899,7 @@ def queries():
         "poly_hex_cover": q_poly_hex_cover,
         "spatial_join_hexidx": q_spatial_join_hexidx,
         "poly_lang_entropy": q_poly_lang_entropy,
+        "media_hex_bytes": q_media_hex_bytes,
         "focal_mean": q_focal_mean,
         "cell_clusters": q_cell_clusters,
         "cell_majority": q_cell_majority,
@@ -5303,6 +5410,7 @@ def oracle_sql():
         "poly_hex_cover": _sql_poly_hex_cover(),
         "spatial_join_hexidx": _sql_spatial_join_hexidx(),
         "poly_lang_entropy": _sql_poly_lang_entropy(),
+        "media_hex_bytes": _sql_media_hex_bytes(),
         "focal_mean": _sql_focal_mean(),
         "cell_clusters": _sql_cell_clusters(),
         "cell_majority": _sql_cell_majority(),
