@@ -4516,6 +4516,18 @@ def _sql_spatial_antijoin() -> str:
     )
 
 
+def q_session_paths(sf_dir: str):
+    from .relational import events_session_paths
+
+    return events_session_paths(sf_dir)
+
+
+def _sql_session_paths() -> str:
+    from .relational import sql_events_session_paths
+
+    return sql_events_session_paths()
+
+
 def q_step_bearings(sf_dir: str):
     from .relational import events_step_bearings
 
@@ -4940,6 +4952,7 @@ def queries():
         "hex_peak_hour": q_hex_peak_hour,
         "spatial_antijoin": q_spatial_antijoin,
         "step_bearings": q_step_bearings,
+        "session_paths": q_session_paths,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -5455,6 +5468,7 @@ def oracle_sql():
         "hex_peak_hour": _sql_hex_peak_hour(),
         "spatial_antijoin": _sql_spatial_antijoin(),
         "step_bearings": _sql_step_bearings(),
+        "session_paths": _sql_session_paths(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),

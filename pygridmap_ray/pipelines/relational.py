@@ -1276,3 +1276,114 @@ SELECT CAST(FLOOR(((atan2(dy, dx) * (180.0 / pi()) + 360.0) % 360.0) / 45.0)
 FROM d WHERE dx IS NOT NULL
 GROUP BY sector
 """
+
+
+def events_session_paths(sf_dir: str, *, num_buckets: int = 64):
+    """Per-SESSION trajectory length: sessionization (30-min gap law,
+    same as `events_sessionize`) fused with the ordered step-sum kernel
+    — one coarse bucket shuffle, one lexsort, session ids by cumulative
+    gap flags, per-session step sums that never cross a session
+    boundary.  session_idx is 1-based within each user (the SQL running
+    SUM law).  path_len rounded half-away to 2dp."""
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        order = np.lexsort((eid, us, uid))
+        uid, us, x, y = uid[order], us[order], x[order], y[order]
+        user_change = np.empty(len(uid), dtype=bool)
+        user_change[0] = True
+        user_change[1:] = uid[1:] != uid[:-1]
+        gaps = np.diff(us, prepend=us[0])
+        new_sess = user_change | (gaps > US_SESSION_GAP)
+        # 1-based session index within user: cumulative new_sess minus
+        # the cumulative count at the user's first row (its own flag
+        # makes the first session 1)
+        cums = np.cumsum(new_sess)
+        ustart = np.flatnonzero(user_change)
+        base = np.repeat(cums[ustart] - 1, np.diff(np.append(ustart, len(uid))))
+        sidx = cums - base
+        # per-session segment sums
+        sess_id = np.cumsum(new_sess) - 1  # global session ordinal
+        dx = np.diff(x)
+        dy = np.diff(y)
+        step = np.sqrt(dx * dx + dy * dy)
+        step = np.where(new_sess[1:], 0.0, step)
+        n_sessions = int(sess_id[-1]) + 1 if len(sess_id) else 0
+        plen = np.bincount(sess_id[1:], weights=step, minlength=n_sessions)
+        n_ev = np.bincount(sess_id, minlength=n_sessions).astype(np.int64)
+        sstart = np.flatnonzero(new_sess)
+        plen = np.sign(plen) * np.floor(np.abs(plen) * 1e2 + 0.5) / 1e2
+        return pd.DataFrame(
+            {
+                "user_id": uid[sstart],
+                "session_idx": sidx[sstart],
+                "n_events": n_ev,
+                "path_len": plen,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_session_paths() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN us - LAG(us) OVER w > {US_SESSION_GAP}
+                   OR LAG(us) OVER w IS NULL
+            THEN 1 ELSE 0 END AS new_s
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+d AS (
+  SELECT user_id, sid,
+         x - LAG(x) OVER w2 AS dx,
+         y - LAG(y) OVER w2 AS dy
+  FROM s WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY us, event_id)
+)
+SELECT user_id, sid AS session_idx, COUNT(*)::BIGINT AS n_events,
+       ROUND(COALESCE(SUM(sqrt(dx*dx + dy*dy)), 0.0) * 1e2) / 1e2 AS path_len
+FROM d GROUP BY user_id, sid
+"""
