@@ -49,6 +49,7 @@ __all__ = [
     "hex_focal",
     "hex_rollup",
     "hex_zscore",
+    "kring_offsets",
     "sql_hex_cte",
 ]
 
@@ -248,19 +249,35 @@ def hex_rollup(ds, *, sum_cols: dict[str, str]):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def hex_focal(ds, *, size: float):
+def kring_offsets(k: int) -> list[tuple[int, int]]:
+    """All axial offsets within hex distance <= k (hex distance =
+    (|dq| + |dr| + |dq+dr|) / 2), self included; (2k+1)·(k+1) + k²
+    offsets — 7 for k=1, 19 for k=2."""
+    out = []
+    for dq in range(-k, k + 1):
+        for dr in range(-k, k + 1):
+            if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= k:
+                out.append((dq, dr))
+    return out
+
+
+def hex_focal(ds, *, size: float, k: int = 1):
     """(hq, hr) Dataset -> per-occupied-hex focal (k-ring 1) doc count:
     for every hex that contains at least one doc, the total docs in
     itself plus its six neighbours.
 
     Scale shape: after the tiny per-hex aggregate, each hex SCATTERS its
-    count to its 7 ring targets plus one self marker row, and a single
+    count to its k-ring targets (7 for k=1, 19 for k=2) plus one self
+    marker row, and a single
     second hash aggregate resolves both the focal sum and the
     occupied-filter — no join anywhere (the marker-row trick replaces the
     usual focal self-join), and the second shuffle carries at most
-    7 rows per occupied hex.
+    ring-size rows per occupied hex.
     """
     from ray.data.aggregate import Max, Sum
+
+    offs = kring_offsets(k)
+    n_offs = len(offs)
 
     def partial(b: pa.Table) -> pa.Table:
         key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
@@ -284,10 +301,12 @@ def hex_focal(ds, *, size: float):
             )
         q, r = _unpack(np.asarray(b["hkey"], np.int64))
         n = np.asarray(b["n"], np.int64)
-        tkeys = [_pack(q + dq, r + dr) for dq, dr in ((0, 0), *_NEIGHBORS)]
+        tkeys = [_pack(q + dq, r + dr) for dq, dr in offs]
         tkey = np.concatenate(tkeys + [_pack(q, r)])
-        contrib = np.concatenate([np.tile(n, 7), np.zeros(len(n), np.int64)])
-        self_n = np.concatenate([np.zeros(7 * len(n), np.int64), n])
+        contrib = np.concatenate(
+            [np.tile(n, n_offs), np.zeros(len(n), np.int64)]
+        )
+        self_n = np.concatenate([np.zeros(n_offs * len(n), np.int64), n])
         return pa.table({"tkey": tkey, "contrib": contrib, "self_n": self_n})
 
     focal = (

@@ -745,6 +745,32 @@ def _sql_media_hex_bytes() -> str:
     )
 
 
+def q_hex_focal2(sf_dir: str):
+    """K-ring-2 focal density (19-cell neighbourhood): the same scatter
+    + marker-row plan as `hex_focal`, parametrized by ring size."""
+    from ..hex import hex_focal, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return hex_focal(ds, size=HEX_SIZE, k=2)
+
+
+def _sql_hex_focal2() -> str:
+    from ..hex import kring_offsets, sql_hex_cte
+    from ..synth import sql_points_cte
+
+    vals = ",".join(f"({dq},{dr})" for dq, dr in kring_offsets(2))
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"d AS (SELECT hq, hr, COUNT(*)::BIGINT AS n FROM hexed GROUP BY hq, hr), "
+        f"off(dq, dr) AS (VALUES {vals}), "
+        f"sc AS (SELECT d.hq + o.dq AS tq, d.hr + o.dr AS tr, d.n "
+        f"FROM d CROSS JOIN off o) "
+        f"SELECT d2.hq, d2.hr, d2.n AS n_docs, SUM(sc.n)::BIGINT AS focal_docs "
+        f"FROM d d2 JOIN sc ON sc.tq = d2.hq AND sc.tr = d2.hr "
+        f"GROUP BY d2.hq, d2.hr, d2.n"
+    )
+
+
 def q_nearest_hub(sf_dir: str):
     """Broadcast-small-side geodesic nearest-neighbour: the 8-row hub
     table rides the batch closure, every batch computes a vectorized
@@ -4516,6 +4542,18 @@ def _sql_spatial_antijoin() -> str:
     )
 
 
+def q_radius_gyration(sf_dir: str):
+    from .relational import events_radius_gyration
+
+    return events_radius_gyration(sf_dir)
+
+
+def _sql_radius_gyration() -> str:
+    from .relational import sql_events_radius_gyration
+
+    return sql_events_radius_gyration()
+
+
 def q_session_paths(sf_dir: str):
     from .relational import events_session_paths
 
@@ -4895,6 +4933,7 @@ def queries():
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
         "hex_zscore": q_hex_zscore,
+        "hex_focal2": q_hex_focal2,
         "nearest_hub": q_nearest_hub,
         "zrange_query": q_zrange_query,
         "zrange_store": q_zrange_store,
@@ -4953,6 +4992,7 @@ def queries():
         "spatial_antijoin": q_spatial_antijoin,
         "step_bearings": q_step_bearings,
         "session_paths": q_session_paths,
+        "radius_gyration": q_radius_gyration,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -5407,6 +5447,7 @@ def oracle_sql():
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),
         "hex_zscore": _sql_hex_zscore(),
+        "hex_focal2": _sql_hex_focal2(),
         "nearest_hub": _sql_nearest_hub(),
         "zrange_query": _sql_zrange_query(),
         "zrange_store": _sql_zrange_query(),
@@ -5469,6 +5510,7 @@ def oracle_sql():
         "spatial_antijoin": _sql_spatial_antijoin(),
         "step_bearings": _sql_step_bearings(),
         "session_paths": _sql_session_paths(),
+        "radius_gyration": _sql_radius_gyration(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),

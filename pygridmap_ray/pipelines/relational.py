@@ -1387,3 +1387,93 @@ SELECT user_id, sid AS session_idx, COUNT(*)::BIGINT AS n_events,
        ROUND(COALESCE(SUM(sqrt(dx*dx + dy*dy)), 0.0) * 1e2) / 1e2 AS path_len
 FROM d GROUP BY user_id, sid
 """
+
+
+def events_radius_gyration(sf_dir: str):
+    """Radius of gyration per user (the classic mobility-spread metric):
+    rg = sqrt(mean ||p - centroid||^2) over the user's event points.
+
+    Fully COMBINABLE: per-batch (n, sx, sy, sxx+syy) moment partials per
+    user (np.unique + bincount — raw rows never shuffle), one hash
+    aggregate keyed by user, vectorized closed form.  No ordered pass,
+    no bucket kernel.  3dp rounding dwarfs summation-order ulps of the
+    1e11-scale squared sums."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..synth import derive_xy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        u, inv = np.unique(uid, return_inverse=True)
+        k = len(u)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "n": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+                "sx": pa.array(np.bincount(inv, weights=x, minlength=k)),
+                "sy": pa.array(np.bincount(inv, weights=y, minlength=k)),
+                "sq": pa.array(
+                    np.bincount(inv, weights=x * x + y * y, minlength=k)
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sq", alias_name="sq"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "rg": pa.array([], pa.float64()),
+                }
+            )
+        n = np.asarray(b["n_events"], np.int64).astype(np.float64)
+        sx = np.asarray(b["sx"], np.float64)
+        sy = np.asarray(b["sy"], np.float64)
+        sq = np.asarray(b["sq"], np.float64)
+        rg2 = sq / n - ((sx / n) * (sx / n) + (sy / n) * (sy / n))
+        rg = np.sqrt(np.maximum(rg2, 0.0))
+        rg = np.sign(rg) * np.floor(np.abs(rg) * 1e3 + 0.5) / 1e3
+        return pa.table(
+            {"user_id": b["user_id"], "n_events": b["n_events"], "rg": pa.array(rg)}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_events_radius_gyration() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    return f"""
+WITH pts AS (SELECT user_id, {ex} AS x, {ey} AS y FROM events),
+m AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_events,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*x + y*y) AS sq
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n_events,
+       ROUND(sqrt(GREATEST(sq / n_events
+             - ((sx / n_events) * (sx / n_events)
+                + (sy / n_events) * (sy / n_events)), 0.0)) * 1e3) / 1e3 AS rg
+FROM m
+"""
