@@ -4566,6 +4566,40 @@ def _sql_session_paths() -> str:
     return sql_events_session_paths()
 
 
+def q_location_entropy(sf_dir: str):
+    from .relational import events_location_entropy
+
+    return events_location_entropy(sf_dir, hex_size=HEX_SIZE)
+
+
+def _sql_location_entropy() -> str:
+    from .relational import sql_events_location_entropy
+
+    return sql_events_location_entropy(hex_size=HEX_SIZE)
+
+
+def q_od_top_flows(sf_dir: str):
+    """Bounded top-k on the OD matrix: the 20 heaviest flows, ties
+    broken by the full (oq, orr, dq, dr) tuple — a tie-law-exact
+    distributed sort + limit on an already-small aggregate."""
+    from .relational import events_od_matrix
+
+    od = events_od_matrix(sf_dir, hex_size=HEX_SIZE)
+    return od.sort(
+        ["n_users", "oq", "orr", "dq", "dr"],
+        descending=[True, False, False, False, False],
+    ).limit(20)
+
+
+def _sql_od_top_flows() -> str:
+    from .relational import sql_events_od_matrix
+
+    return (
+        f"SELECT * FROM ({sql_events_od_matrix(hex_size=HEX_SIZE)}) "
+        f"ORDER BY n_users DESC, oq, orr, dq, dr LIMIT 20"
+    )
+
+
 def q_step_bearings(sf_dir: str):
     from .relational import events_step_bearings
 
@@ -4993,6 +5027,8 @@ def queries():
         "step_bearings": q_step_bearings,
         "session_paths": q_session_paths,
         "radius_gyration": q_radius_gyration,
+        "location_entropy": q_location_entropy,
+        "od_top_flows": q_od_top_flows,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -5511,6 +5547,8 @@ def oracle_sql():
         "step_bearings": _sql_step_bearings(),
         "session_paths": _sql_session_paths(),
         "radius_gyration": _sql_radius_gyration(),
+        "location_entropy": _sql_location_entropy(),
+        "od_top_flows": _sql_od_top_flows(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),

@@ -1477,3 +1477,113 @@ SELECT user_id, n_events,
                 + (sy / n_events) * (sy / n_events)), 0.0)) * 1e3) / 1e3 AS rg
 FROM m
 """
+
+
+def events_location_entropy(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
+    """Per-user location diversity: number of distinct hexes visited and
+    the Shannon entropy of the user's hex-visit distribution.
+
+    Scale shape: per-batch (user, hex) count partials first (raw rows
+    never shuffle), ONE composite hash aggregate, then a coarse
+    user-bucket pass computes each user's entropy with a lexsort +
+    segment reduction (users are high-cardinality — never a fine
+    groupby).  Entropy rounded 6dp (p·ln p ulps are far below)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, hex_axial
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        hkey = _pack(*hex_axial(x, y, hex_size))
+        order = np.lexsort((hkey, uid))
+        us, ks = uid[order], hkey[order]
+        bound = np.concatenate([[True], (us[1:] != us[:-1]) | (ks[1:] != ks[:-1])])
+        s = np.flatnonzero(bound)
+        n = np.diff(np.append(s, len(us)))
+        return pa.table(
+            {
+                "user_id": pa.array(us[s]),
+                "hkey": pa.array(ks[s]),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    mix = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "hkey"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "hkey": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "__b": pa.array([], pa.int64()),
+                }
+            )
+        uid = np.asarray(b["user_id"], np.int64)
+        return b.append_column("__b", pa.array(_bucket_of(uid, num_buckets)))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.float64)
+        order = np.lexsort((g["hkey"].to_numpy(np.int64), uid))
+        uid, n = uid[order], n[order]
+        starts = np.concatenate([[True], uid[1:] != uid[:-1]])
+        inv = np.cumsum(starts) - 1
+        k = int(inv[-1]) + 1 if len(inv) else 0
+        total = np.bincount(inv, weights=n, minlength=k)
+        p = n / total[inv]
+        ent = -np.bincount(inv, weights=p * np.log(p), minlength=k)
+        ent = np.sign(ent) * np.floor(np.abs(ent) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "n_hexes": np.bincount(inv, minlength=k).astype(np.int64),
+                "n_events": total.astype(np.int64),
+                "loc_entropy": ent,
+            }
+        )
+
+    return (
+        mix.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_location_entropy(*, hex_size: float) -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, {ex} AS x, {ey} AS y FROM events
+),
+{sql_hex_cte(hex_size)},
+m AS (
+  SELECT user_id, hq, hr, COUNT(*)::DOUBLE AS n
+  FROM hexed GROUP BY user_id, hq, hr
+),
+t AS (SELECT user_id, SUM(n) AS total, COUNT(*)::BIGINT AS n_hexes FROM m
+      GROUP BY user_id)
+SELECT m.user_id, t.n_hexes, CAST(t.total AS BIGINT) AS n_events,
+       ROUND((-SUM((m.n / t.total) * ln(m.n / t.total))) * 1e6) / 1e6
+         AS loc_entropy
+FROM m JOIN t ON m.user_id = t.user_id
+GROUP BY m.user_id, t.n_hexes, t.total
+"""
