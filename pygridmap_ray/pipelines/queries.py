@@ -4600,6 +4600,99 @@ def _sql_od_top_flows() -> str:
     )
 
 
+#: decay constant for recency-weighted density (7 days, microseconds)
+DECAY_TAU_US = 604_800_000_000.0
+
+
+def q_hex_decay_density(sf_dir: str):
+    """Recency-weighted hex density: each event contributes
+    exp(-(t_max - t) / tau) — the streaming-freshness law.  The global
+    t_max is ONE integer max-reduce broadcast as a closure scalar;
+    per-hex (count, weight-sum) partials are the only shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, hex_axial
+    from ..synth import derive_xy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(to_us, batch_format="pyarrow")
+    tmax = int(ds.max("us"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        us = np.asarray(b["us"], np.int64)
+        x, y = derive_xy(eid)
+        key = _pack(*hex_axial(x, y, HEX_SIZE))
+        w = np.exp(-((tmax - us) / DECAY_TAU_US))
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "hkey": pa.array(u),
+                "n": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64)),
+                "w": pa.array(np.bincount(inv, weights=w, minlength=len(u))),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("w", alias_name="wsum"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "decayed": pa.array([], pa.float64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        w = np.asarray(b["wsum"], np.float64)
+        w = np.sign(w) * np.floor(np.abs(w) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+                "n_events": b["n_events"],
+                "decayed": pa.array(w),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_hex_decay_density() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    return (
+        f"WITH pts AS (SELECT event_id, epoch_us(ts) AS us, "
+        f"{ex} AS x, {ey} AS y FROM events), "
+        f"{sql_hex_cte(HEX_SIZE)}, "
+        f"t AS (SELECT MAX(us) AS tmax FROM pts) "
+        f"SELECT hq, hr, COUNT(*)::BIGINT AS n_events, "
+        f"ROUND(SUM(exp(-((t.tmax - us) / {DECAY_TAU_US!r}))) * 1e6) / 1e6 "
+        f"AS decayed FROM hexed, t GROUP BY hq, hr"
+    )
+
+
 def q_step_bearings(sf_dir: str):
     from .relational import events_step_bearings
 
@@ -5029,6 +5122,7 @@ def queries():
         "radius_gyration": q_radius_gyration,
         "location_entropy": q_location_entropy,
         "od_top_flows": q_od_top_flows,
+        "hex_decay_density": q_hex_decay_density,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -5549,6 +5643,7 @@ def oracle_sql():
         "radius_gyration": _sql_radius_gyration(),
         "location_entropy": _sql_location_entropy(),
         "od_top_flows": _sql_od_top_flows(),
+        "hex_decay_density": _sql_hex_decay_density(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
