@@ -192,6 +192,10 @@ def _secondary() -> dict:
         ("zrange_query", q.q_zrange_query),
         ("events_trajectory", q.q_events_trajectory),
         ("poly_media_rollup", q.q_poly_media_rollup),
+        ("session_paths", q.q_session_paths),
+        ("od_matrix", q.q_od_matrix),
+        ("spatial_join_hexidx", q.q_spatial_join_hexidx),
+        ("media_hex_bytes", q.q_media_hex_bytes),
     ]:
 
         def once(fn=fn):

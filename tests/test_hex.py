@@ -156,3 +156,32 @@ def test_zscore_matches_numpy(ray_session):
     order = np.lexsort((ur, uq))
     assert np.array_equal(out["n_docs"].to_numpy(), c[order])
     assert np.array_equal(out["z"].to_numpy(), zs[order])
+
+
+def test_pyramid_levels_conserve_mass(ray_session):
+    """Every pyramid level partitions the same points: per-level sums
+    must all equal the input count."""
+    from pygridmap_ray.pipelines.queries import q_hex_pyramid
+
+    out = q_hex_pyramid("/root/testdata/sf0.001").to_pandas()
+    sums = out.groupby("level")["n_docs"].sum()
+    assert len(sums) == 3
+    assert (sums == sums.iloc[0]).all()
+
+
+def test_boundary_vertices_centered():
+    """The 6 flat-top vertices average back to the hex center and sit at
+    exactly the circumradius."""
+    from pygridmap_ray.hex import hex_center
+
+    size = 25_000.0
+    q = np.array([3, -2, 0])
+    r = np.array([-1, 4, 0])
+    cx, cy = hex_center(q, r, size)
+    ang = np.arange(6) * (np.pi / 3.0)
+    vx = cx[:, None] + size * np.cos(ang)[None, :]
+    vy = cy[:, None] + size * np.sin(ang)[None, :]
+    assert np.allclose(vx.mean(axis=1), cx)
+    assert np.allclose(vy.mean(axis=1), cy)
+    d = np.hypot(vx - cx[:, None], vy - cy[:, None])
+    assert np.allclose(d, size)
