@@ -4693,6 +4693,18 @@ def _sql_hex_decay_density() -> str:
     )
 
 
+def q_hex_weekly_growth(sf_dir: str):
+    from .relational import events_hex_weekly_growth
+
+    return events_hex_weekly_growth(sf_dir, hex_size=HEX_SIZE)
+
+
+def _sql_hex_weekly_growth() -> str:
+    from .relational import sql_events_hex_weekly_growth
+
+    return sql_events_hex_weekly_growth(hex_size=HEX_SIZE)
+
+
 def q_step_bearings(sf_dir: str):
     from .relational import events_step_bearings
 
@@ -5123,6 +5135,7 @@ def queries():
         "location_entropy": q_location_entropy,
         "od_top_flows": q_od_top_flows,
         "hex_decay_density": q_hex_decay_density,
+        "hex_weekly_growth": q_hex_weekly_growth,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -5644,6 +5657,7 @@ def oracle_sql():
         "location_entropy": _sql_location_entropy(),
         "od_top_flows": _sql_od_top_flows(),
         "hex_decay_density": _sql_hex_decay_density(),
+        "hex_weekly_growth": _sql_hex_weekly_growth(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),

@@ -1587,3 +1587,122 @@ SELECT m.user_id, t.n_hexes, CAST(t.total AS BIGINT) AS n_events,
 FROM m JOIN t ON m.user_id = t.user_id
 GROUP BY m.user_id, t.n_hexes, t.total
 """
+
+
+def events_hex_weekly_growth(
+    sf_dir: str, *, hex_size: float, num_buckets: int = 64
+):
+    """Week-over-week activity growth per hex: events bucketed to
+    (hex, epoch-week), then LAG + percent change along each hex's weekly
+    series.  pct is 0.0 for a hex's first week (COALESCE'd LAG law — avoids the NaN-vs-NULL hash ambiguity) and
+    weeks are only the OBSERVED ones (sparse series — LAG skips gaps,
+    it does not fill them).
+
+    Scale shape: (hex, week) count partials -> one composite aggregate
+    -> ONE coarse hex-bucket pass (lexsort + shifted-diff).  Weeks use
+    the nonnegative-epoch truncation law."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, hex_axial
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    WEEK_US = 7 * 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        us = np.asarray(pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()))
+        week = us // WEEK_US  # synth timestamps are all >= epoch
+        x, y = derive_xy(eid)
+        hkey = _pack(*hex_axial(x, y, hex_size))
+        order = np.lexsort((week, hkey))
+        hs, ws = hkey[order], week[order]
+        bound = np.concatenate([[True], (hs[1:] != hs[:-1]) | (ws[1:] != ws[:-1])])
+        s = np.flatnonzero(bound)
+        n = np.diff(np.append(s, len(hs)))
+        return pa.table(
+            {
+                "hkey": pa.array(hs[s]),
+                "week": pa.array(ws[s]),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hkey", "week"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hkey": pa.array([], pa.int64()),
+                    "week": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "__b": pa.array([], pa.int64()),
+                }
+            )
+        k = np.asarray(b["hkey"], np.int64)
+        return b.append_column("__b", pa.array(_bucket_of(k, num_buckets)))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["hkey"].to_numpy(np.int64)
+        w = g["week"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.lexsort((w, k))
+        k, w, n = k[order], w[order], n[order]
+        same = np.concatenate([[False], k[1:] == k[:-1]])
+        prev = np.concatenate([[0], n[:-1]])
+        pct = np.where(
+            same,
+            (n - prev) / np.where(same, prev, 1).astype(np.float64),
+            0.0,
+        )
+        pct = np.sign(pct) * np.floor(np.abs(pct) * 1e6 + 0.5) / 1e6
+        hq, hr = _unpack(k)
+        return pd.DataFrame(
+            {
+                "hq": hq,
+                "hr": hr,
+                "week": w,
+                "n": n,
+                "pct_change": pct,
+            }
+        )
+
+    return (
+        agg.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_hex_weekly_growth(*, hex_size: float) -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    week_us = 7 * 86_400_000_000
+    return f"""
+WITH pts AS (
+  SELECT event_id, epoch_us(ts) // {week_us} AS week, {ex} AS x, {ey} AS y
+  FROM events
+),
+{sql_hex_cte(hex_size)},
+m AS (
+  SELECT hq, hr, week, COUNT(*)::BIGINT AS n FROM hexed GROUP BY hq, hr, week
+)
+SELECT hq, hr, week, n,
+       COALESCE(ROUND(((n - LAG(n) OVER w)
+                / CAST(LAG(n) OVER w AS DOUBLE)) * 1e6) / 1e6, 0.0)
+         AS pct_change
+FROM m WINDOW w AS (PARTITION BY hq, hr ORDER BY week)
+"""
