@@ -1386,6 +1386,56 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q_unpivot_bands(sf_dir: str):
+    """UNPIVOT (wide -> long) over the raster band columns: one row per
+    (cell, band) with non-null value — the melt primitive, vectorized as
+    per-batch column concatenation with null-mask drops (no per-row
+    Python, no shuffle)."""
+    import ray.data as rd
+
+    from ..raster import SyntheticRaster, tiling_raster
+
+    cells = tiling_raster(
+        SyntheticRaster(**_RASTER_KW), tile_size_cell=64
+    ).select_columns(["x", "y", "pop", "elev"])
+
+    def melt(b: pa.Table) -> pa.Table:
+        xs, ys, bands, vals = [], [], [], []
+        x = np.asarray(b["x"], np.float64)
+        y = np.asarray(b["y"], np.float64)
+        for band in ("pop", "elev"):
+            col = b[band]
+            keep = np.asarray(pc.is_valid(col))
+            xs.append(x[keep])
+            ys.append(y[keep])
+            bands.append(np.full(int(keep.sum()), band, object))
+            vals.append(np.asarray(col, np.float64)[keep])
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate(xs)),
+                "y": pa.array(np.concatenate(ys)),
+                "band": pa.array(np.concatenate(bands).astype(str)),
+                "value": pa.array(np.concatenate(vals)),
+            }
+        )
+
+    return cells.map_batches(melt, batch_format="pyarrow")
+
+
+def _sql_unpivot_bands() -> str:
+    from ..raster import SyntheticRaster, sql_raster_cells
+
+    rc = sql_raster_cells(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
+    return (
+        f"WITH rc AS ({rc}) "
+        f"SELECT x, y, 'pop' AS band, pop AS value FROM rc "
+        f"WHERE pop IS NOT NULL "
+        f"UNION ALL "
+        f"SELECT x, y, 'elev' AS band, elev AS value FROM rc "
+        f"WHERE elev IS NOT NULL"
+    )
+
+
 def q_span_transitions(sf_dir: str):
     """Corpus-wide span kind-transition matrix (the interleaved-payload
     Markov summary): consecutive (kind_i -> kind_{i+1}) pairs WITHIN each
@@ -5136,6 +5186,7 @@ def queries():
         "od_top_flows": q_od_top_flows,
         "hex_decay_density": q_hex_decay_density,
         "hex_weekly_growth": q_hex_weekly_growth,
+        "unpivot_bands": q_unpivot_bands,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -5658,6 +5709,7 @@ def oracle_sql():
         "od_top_flows": _sql_od_top_flows(),
         "hex_decay_density": _sql_hex_decay_density(),
         "hex_weekly_growth": _sql_hex_weekly_growth(),
+        "unpivot_bands": _sql_unpivot_bands(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
