@@ -50,6 +50,7 @@ __all__ = [
     "hex_rollup",
     "hex_zscore",
     "kring_offsets",
+    "morans_i",
     "sql_hex_cte",
 ]
 
@@ -419,6 +420,137 @@ def hex_zscore(ds, *, size: float):
         )
 
     return dens.map_batches(finish, batch_format="pyarrow")
+
+
+def morans_i(ds, *, size: float):
+    """Global Moran's I spatial autocorrelation of the per-hex doc
+    density under 6-neighbour lattice adjacency (binary weights):
+
+        I = ((N / W) * SUM_ij dv_i * dv_j) / SUM_i dv_i**2,
+        dv_i = n_i - mean(n),  W = number of directed adjacent pairs.
+
+    Scale shape: density partials -> tiny aggregate; ONE exact integer
+    (k, s) reduce broadcasts the mean; each hex scatters its deviation
+    to its 6 neighbours plus a self marker, and a single second
+    aggregate yields per-target (neighbour-deviation sum, pair count,
+    own deviation); the scalars reduce with one more pass.  Raw rows
+    never shuffle; everything after the first aggregate is
+    lattice-bounded.  Returns a ONE-ROW Dataset
+    (n_hexes, w_pairs, moran_i) with moran_i rounded 6dp.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "n": c.astype(np.int64)})
+
+    dens = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def gpart(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+            )
+        n = np.asarray(b["n"], np.int64)
+        return pa.table(
+            {"k": pa.array([np.int64(len(n))]), "s": pa.array([n.sum()])}
+        )
+
+    g = dens.map_batches(gpart, batch_format="pyarrow").sum(["k", "s"])
+    n_hexes = int(g["sum(k)"])
+    m = float(g["sum(s)"]) / float(n_hexes)
+
+    def scatter(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.int64()),
+                    "ndv": pa.array([], pa.float64()),
+                    "npairs": pa.array([], pa.int64()),
+                    "self_dv": pa.array([], pa.float64()),
+                    "is_self": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        dv = np.asarray(b["n"], np.int64).astype(np.float64) - m
+        tkeys = [_pack(q + dq, r + dr) for dq, dr in _NEIGHBORS]
+        nrep = len(_NEIGHBORS)
+        tkey = np.concatenate(tkeys + [_pack(q, r)])
+        nv = len(dv)
+        return pa.table(
+            {
+                "tkey": pa.array(tkey),
+                "ndv": pa.array(
+                    np.concatenate([np.tile(dv, nrep), np.zeros(nv)])
+                ),
+                "npairs": pa.array(
+                    np.concatenate(
+                        [np.ones(nrep * nv, np.int64), np.zeros(nv, np.int64)]
+                    )
+                ),
+                "self_dv": pa.array(np.concatenate([np.zeros(nrep * nv), dv])),
+                "is_self": pa.array(
+                    np.concatenate(
+                        [np.zeros(nrep * nv, np.int64), np.ones(nv, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    tgt = (
+        dens.map_batches(scatter, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(
+            Sum("ndv", alias_name="ndv"),
+            Sum("npairs", alias_name="npairs"),
+            Sum("self_dv", alias_name="self_dv"),
+            Max("is_self", alias_name="occupied"),
+        )
+    )
+
+    def fpart(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "num": pa.array([], pa.float64()),
+                    "den": pa.array([], pa.float64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        occ = np.asarray(b["occupied"], np.int64) == 1
+        sdv = np.asarray(b["self_dv"], np.float64)[occ]
+        ndv = np.asarray(b["ndv"], np.float64)[occ]
+        npairs = np.asarray(b["npairs"], np.int64)[occ]
+        return pa.table(
+            {
+                "num": pa.array([float(np.sum(sdv * ndv))]),
+                "den": pa.array([float(np.sum(sdv * sdv))]),
+                "w": pa.array([np.int64(npairs.sum())]),
+            }
+        )
+
+    f = tgt.map_batches(fpart, batch_format="pyarrow").sum(["num", "den", "w"])
+    num = float(f["sum(num)"])
+    den = float(f["sum(den)"])
+    w = int(f["sum(w)"])
+    moran = ((float(n_hexes) / float(w)) * num) / den
+    moran = float(np.sign(moran) * np.floor(np.abs(moran) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_hexes": pa.array([n_hexes], pa.int64()),
+                "w_pairs": pa.array([w], pa.int64()),
+                "moran_i": pa.array([moran], pa.float64()),
+            }
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

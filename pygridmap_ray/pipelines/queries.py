@@ -1436,6 +1436,36 @@ def _sql_unpivot_bands() -> str:
     )
 
 
+def q_morans_i(sf_dir: str):
+    """Global Moran's I of the hex density field (binary 6-neighbour
+    weights): scatter + marker-row aggregates, one-row result."""
+    from ..hex import morans_i, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return morans_i(ds, size=HEX_SIZE)
+
+
+def _sql_morans_i() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"d AS (SELECT hq, hr, COUNT(*)::BIGINT AS n FROM hexed GROUP BY hq, hr), "
+        f"g AS (SELECT SUM(n)::DOUBLE / COUNT(*) AS m, "
+        f"COUNT(*)::BIGINT AS k FROM d), "
+        f"dev AS (SELECT hq, hr, n - g.m AS dv FROM d, g), "
+        f"off(dq, dr) AS (VALUES (1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1)), "
+        f"e AS (SELECT a.dv AS dva, b.dv AS dvb FROM dev a "
+        f"CROSS JOIN off o JOIN dev b "
+        f"ON b.hq = a.hq + o.dq AND b.hr = a.hr + o.dr) "
+        f"SELECT g.k AS n_hexes, (SELECT COUNT(*) FROM e)::BIGINT AS w_pairs, "
+        f"ROUND((((g.k::DOUBLE / (SELECT COUNT(*) FROM e)) "
+        f"* (SELECT SUM(dva * dvb) FROM e)) "
+        f"/ (SELECT SUM(dv * dv) FROM dev)) * 1e6) / 1e6 AS moran_i FROM g"
+    )
+
+
 def q_span_transitions(sf_dir: str):
     """Corpus-wide span kind-transition matrix (the interleaved-payload
     Markov summary): consecutive (kind_i -> kind_{i+1}) pairs WITHIN each
@@ -5187,6 +5217,7 @@ def queries():
         "hex_decay_density": q_hex_decay_density,
         "hex_weekly_growth": q_hex_weekly_growth,
         "unpivot_bands": q_unpivot_bands,
+        "morans_i": q_morans_i,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -5710,6 +5741,7 @@ def oracle_sql():
         "hex_decay_density": _sql_hex_decay_density(),
         "hex_weekly_growth": _sql_hex_weekly_growth(),
         "unpivot_bands": _sql_unpivot_bands(),
+        "morans_i": _sql_morans_i(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
