@@ -50,6 +50,7 @@ __all__ = [
     "hex_rollup",
     "hex_zscore",
     "kring_offsets",
+    "local_morans_i",
     "morans_i",
     "sql_hex_cte",
 ]
@@ -551,6 +552,118 @@ def morans_i(ds, *, size: float):
             }
         )
     )
+
+
+def local_morans_i(ds, *, size: float):
+    """Local Moran's I (LISA) per occupied hex:
+
+        I_i = (N * dv_i * SUM_{j in N(i)} dv_j) / SUM_k dv_k**2
+
+    Same plan as :func:`morans_i` (mean broadcast, deviation scatter,
+    marker-row aggregate) but finished PER TARGET instead of reduced to
+    a scalar — the hotspot/coldspot classifier.  Output: (hq, hr,
+    n_docs... ) one row per occupied hex with `lisa` rounded 6dp."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "n": c.astype(np.int64)})
+
+    dens = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def gpart(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+            )
+        n = np.asarray(b["n"], np.int64)
+        return pa.table(
+            {"k": pa.array([np.int64(len(n))]), "s": pa.array([n.sum()])}
+        )
+
+    g = dens.map_batches(gpart, batch_format="pyarrow").sum(["k", "s"])
+    n_hexes = int(g["sum(k)"])
+    m = float(g["sum(s)"]) / float(n_hexes)
+
+    def dpart(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table({"d2": pa.array([], pa.float64())})
+        dv = np.asarray(b["n"], np.int64).astype(np.float64) - m
+        return pa.table({"d2": pa.array([float(np.sum(dv * dv))])})
+
+    den = float(dens.map_batches(dpart, batch_format="pyarrow").sum("d2"))
+
+    def scatter(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.int64()),
+                    "ndv": pa.array([], pa.float64()),
+                    "self_dv": pa.array([], pa.float64()),
+                    "self_n": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        nv = np.asarray(b["n"], np.int64)
+        dv = nv.astype(np.float64) - m
+        tkeys = [_pack(q + dq, r + dr) for dq, dr in _NEIGHBORS]
+        nrep = len(_NEIGHBORS)
+        k = len(dv)
+        return pa.table(
+            {
+                "tkey": pa.array(np.concatenate(tkeys + [_pack(q, r)])),
+                "ndv": pa.array(np.concatenate([np.tile(dv, nrep), np.zeros(k)])),
+                "self_dv": pa.array(np.concatenate([np.zeros(nrep * k), dv])),
+                "self_n": pa.array(
+                    np.concatenate([np.zeros(nrep * k, np.int64), nv])
+                ),
+            }
+        )
+
+    tgt = (
+        dens.map_batches(scatter, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(
+            Sum("ndv", alias_name="ndv"),
+            Sum("self_dv", alias_name="self_dv"),
+            Max("self_n", alias_name="n_docs"),
+        )
+    )
+
+    nf = float(n_hexes)
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "lisa": pa.array([], pa.float64()),
+                }
+            )
+        occ = np.asarray(b["n_docs"], np.int64) > 0
+        q, r = _unpack(np.asarray(b["tkey"], np.int64)[occ])
+        sdv = np.asarray(b["self_dv"], np.float64)[occ]
+        ndv = np.asarray(b["ndv"], np.float64)[occ]
+        lisa = (nf * sdv * ndv) / den
+        lisa = np.sign(lisa) * np.floor(np.abs(lisa) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+                "n_docs": pa.array(np.asarray(b["n_docs"], np.int64)[occ]),
+                "lisa": pa.array(lisa),
+            }
+        )
+
+    return tgt.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

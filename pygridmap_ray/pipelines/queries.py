@@ -1466,6 +1466,37 @@ def _sql_morans_i() -> str:
     )
 
 
+def q_local_moran(sf_dir: str):
+    """Local Moran's I (LISA) per occupied hex — the hotspot/coldspot
+    classifier; same scatter plan as `morans_i`, finished per target."""
+    from ..hex import local_morans_i, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return local_morans_i(ds, size=HEX_SIZE)
+
+
+def _sql_local_moran() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"d AS (SELECT hq, hr, COUNT(*)::BIGINT AS n FROM hexed GROUP BY hq, hr), "
+        f"g AS (SELECT SUM(n)::DOUBLE / COUNT(*) AS m, "
+        f"COUNT(*)::DOUBLE AS k FROM d), "
+        f"dev AS (SELECT hq, hr, n, n - g.m AS dv FROM d, g), "
+        f"den AS (SELECT SUM(dv * dv) AS d2 FROM dev), "
+        f"off(dq, dr) AS (VALUES (1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1)), "
+        f"e AS (SELECT a.hq, a.hr, SUM(b.dv) AS s FROM dev a "
+        f"CROSS JOIN off o JOIN dev b "
+        f"ON b.hq = a.hq + o.dq AND b.hr = a.hr + o.dr GROUP BY a.hq, a.hr) "
+        f"SELECT dev.hq, dev.hr, dev.n AS n_docs, "
+        f"ROUND((((g.k * dev.dv) * COALESCE(e.s, 0.0)) / den.d2) * 1e6) / 1e6 "
+        f"AS lisa FROM dev LEFT JOIN e ON e.hq = dev.hq AND e.hr = dev.hr "
+        f"CROSS JOIN g CROSS JOIN den"
+    )
+
+
 def q_span_transitions(sf_dir: str):
     """Corpus-wide span kind-transition matrix (the interleaved-payload
     Markov summary): consecutive (kind_i -> kind_{i+1}) pairs WITHIN each
@@ -5218,6 +5249,7 @@ def queries():
         "hex_weekly_growth": q_hex_weekly_growth,
         "unpivot_bands": q_unpivot_bands,
         "morans_i": q_morans_i,
+        "local_moran": q_local_moran,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -5742,6 +5774,7 @@ def oracle_sql():
         "hex_weekly_growth": _sql_hex_weekly_growth(),
         "unpivot_bands": _sql_unpivot_bands(),
         "morans_i": _sql_morans_i(),
+        "local_moran": _sql_local_moran(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
