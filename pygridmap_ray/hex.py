@@ -50,6 +50,7 @@ __all__ = [
     "hex_rollup",
     "hex_zscore",
     "kring_offsets",
+    "gi_star",
     "local_morans_i",
     "morans_i",
     "sql_hex_cte",
@@ -660,6 +661,126 @@ def local_morans_i(ds, *, size: float):
                 "hr": pa.array(r),
                 "n_docs": pa.array(np.asarray(b["n_docs"], np.int64)[occ]),
                 "lisa": pa.array(lisa),
+            }
+        )
+
+    return tgt.map_batches(finish, batch_format="pyarrow")
+
+
+def gi_star(ds, *, size: float):
+    """Getis-Ord Gi* hotspot z-statistic per occupied hex (binary
+    self-inclusive 7-cell weights):
+
+        Gi* = (F_i - m*W_i) / (S * sqrt((N*W_i - W_i^2) / (N - 1)))
+
+    with F_i the focal count sum over occupied ring members, W_i the
+    occupied ring size (self included), m/S the global mean/population
+    std of per-hex counts.  Same machinery as `hex_focal` + `hex_zscore`
+    composed: exact integer (k, s, ss) global reduce -> closure
+    scalars; count scatter to the 7-cell ring with self markers; one
+    second aggregate; vectorized finish.  Gi* rounded 6dp."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "n": c.astype(np.int64)})
+
+    dens = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def gpart(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                }
+            )
+        n = np.asarray(b["n"], np.int64)
+        return pa.table(
+            {
+                "k": pa.array([np.int64(len(n))]),
+                "s": pa.array([n.sum()]),
+                "ss": pa.array([(n * n).sum()]),
+            }
+        )
+
+    g = dens.map_batches(gpart, batch_format="pyarrow").sum(["k", "s", "ss"])
+    kN = float(g["sum(k)"])
+    m = float(g["sum(s)"]) / kN
+    S = np.sqrt(float(g["sum(ss)"]) / kN - m * m)
+
+    def scatter(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.int64()),
+                    "fsum": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "self_n": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        n = np.asarray(b["n"], np.int64)
+        offs = ((0, 0), *_NEIGHBORS)
+        tkeys = [_pack(q + dq, r + dr) for dq, dr in offs]
+        nrep = len(offs)
+        k = len(n)
+        return pa.table(
+            {
+                "tkey": pa.array(np.concatenate(tkeys + [_pack(q, r)])),
+                "fsum": pa.array(
+                    np.concatenate([np.tile(n, nrep), np.zeros(k, np.int64)])
+                ),
+                "w": pa.array(
+                    np.concatenate(
+                        [np.ones(nrep * k, np.int64), np.zeros(k, np.int64)]
+                    )
+                ),
+                "self_n": pa.array(
+                    np.concatenate([np.zeros(nrep * k, np.int64), n])
+                ),
+            }
+        )
+
+    tgt = (
+        dens.map_batches(scatter, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(
+            Sum("fsum", alias_name="fsum"),
+            Sum("w", alias_name="w"),
+            Max("self_n", alias_name="n_docs"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "gi_star": pa.array([], pa.float64()),
+                }
+            )
+        occ = np.asarray(b["n_docs"], np.int64) > 0
+        q, r = _unpack(np.asarray(b["tkey"], np.int64)[occ])
+        fsum = np.asarray(b["fsum"], np.int64)[occ].astype(np.float64)
+        w = np.asarray(b["w"], np.int64)[occ].astype(np.float64)
+        gi = (fsum - m * w) / (S * np.sqrt((kN * w - w * w) / (kN - 1.0)))
+        gi = np.sign(gi) * np.floor(np.abs(gi) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+                "n_docs": pa.array(np.asarray(b["n_docs"], np.int64)[occ]),
+                "gi_star": pa.array(gi),
             }
         )
 

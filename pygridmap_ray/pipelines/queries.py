@@ -1497,6 +1497,40 @@ def _sql_local_moran() -> str:
     )
 
 
+def q_gi_star(sf_dir: str):
+    """Getis-Ord Gi* hotspot z-statistic per occupied hex (self-inclusive
+    7-cell ring), composed from the focal-scatter + exact-global-moments
+    machinery."""
+    from ..hex import gi_star, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return gi_star(ds, size=HEX_SIZE)
+
+
+def _sql_gi_star() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"d AS (SELECT hq, hr, COUNT(*)::BIGINT AS n FROM hexed GROUP BY hq, hr), "
+        f"g AS (SELECT COUNT(*)::DOUBLE AS k, "
+        f"SUM(n)::DOUBLE / COUNT(*) AS m, "
+        f"sqrt(SUM(n*n)::DOUBLE / COUNT(*) "
+        f"- (SUM(n)::DOUBLE / COUNT(*)) * (SUM(n)::DOUBLE / COUNT(*))) AS sd "
+        f"FROM d), "
+        f"off(dq, dr) AS (VALUES (0,0),(1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1)), "
+        f"e AS (SELECT a.hq, a.hr, SUM(b.n)::DOUBLE AS fsum, "
+        f"COUNT(*)::DOUBLE AS w FROM d a CROSS JOIN off o JOIN d b "
+        f"ON b.hq = a.hq + o.dq AND b.hr = a.hr + o.dr GROUP BY a.hq, a.hr) "
+        f"SELECT e.hq, e.hr, d.n AS n_docs, "
+        f"ROUND(((e.fsum - g.m * e.w) "
+        f"/ (g.sd * sqrt((g.k * e.w - e.w * e.w) / (g.k - 1.0)))) * 1e6) / 1e6 "
+        f"AS gi_star FROM e JOIN d ON d.hq = e.hq AND d.hr = e.hr "
+        f"CROSS JOIN g"
+    )
+
+
 def q_span_transitions(sf_dir: str):
     """Corpus-wide span kind-transition matrix (the interleaved-payload
     Markov summary): consecutive (kind_i -> kind_{i+1}) pairs WITHIN each
@@ -5250,6 +5284,7 @@ def queries():
         "unpivot_bands": q_unpivot_bands,
         "morans_i": q_morans_i,
         "local_moran": q_local_moran,
+        "gi_star": q_gi_star,
         "spearman": q_spearman,
         "dup_gram_coverage": q_dup_gram_coverage,
         "semi_join": q_semi_join,
@@ -5775,6 +5810,7 @@ def oracle_sql():
         "unpivot_bands": _sql_unpivot_bands(),
         "morans_i": _sql_morans_i(),
         "local_moran": _sql_local_moran(),
+        "gi_star": _sql_gi_star(),
         "spearman": _sql_spearman(),
         "dup_gram_coverage": _sql_dup_gram_coverage(),
         "moments": _sql_moments(),
