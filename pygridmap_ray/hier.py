@@ -41,6 +41,10 @@ __all__ = [
     "sql_spread_expr",
     "sql_morton_expr",
     "sql_quadkey_expr",
+    "geohash_encode",
+    "with_geohash",
+    "sql_geohash_expr",
+    "GEOHASH_ALPHABET",
 ]
 
 # "Interleave bits by binary magic numbers" — the classic public-domain
@@ -362,4 +366,79 @@ def sql_quadkey_expr(code: str, level: int) -> str:
     return (
         f"(SELECT string_agg(CAST((({code} >> (2*({level}-1-j))) & 3) AS VARCHAR),"
         f" '' ORDER BY j) FROM generate_series(0, {level}-1) AS qk(j))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geohash (public Gustavo-Niemeyer spec): the SAME Morton interleave over
+# quantized (lon, lat), 5 bits per base-32 character, longitude first (the
+# most significant bit of the code is the top longitude bit).  Trig-free —
+# quantization is floor((coord+off)/span * 2**half), so the DuckDB twin is
+# bit-identical (same literals, same op order, IEEE doubles both sides).
+# Prefix property: char k of an n-char hash IS the k-char hash (truncating
+# bits == flooring at the coarser scale), so coarsening is substr(), never
+# a re-encode.
+# ---------------------------------------------------------------------------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_LUT = np.frombuffer(GEOHASH_ALPHABET.encode(), dtype=np.uint8)
+
+
+def geohash_encode(
+    lon: np.ndarray, lat: np.ndarray, nchars: int = 8
+) -> np.ndarray:
+    """Base-32 geohash strings of (lon, lat), `nchars` characters.
+
+    `nchars` must be even (odd lengths split a coordinate's bit budget
+    mid-character; every even prefix of the result is itself the valid
+    shorter geohash) and <= 12 (30 bits per axis, the `_spread` input
+    width).  Inputs must lie in [-180, 180) x [-90, 90).
+    """
+    if nchars % 2 or not 2 <= nchars <= 12:
+        raise ValueError(f"nchars must be even in 2..12, got {nchars}")
+    half = (5 * nchars) // 2
+    scale = float(1 << half)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    qlon = np.floor((lon + 180.0) / 360.0 * scale).astype(np.int64)
+    qlat = np.floor((lat + 90.0) / 180.0 * scale).astype(np.int64)
+    if len(qlon) and (
+        qlon.min() < 0 or qlat.min() < 0 or qlon.max() >= scale or qlat.max() >= scale
+    ):
+        raise ValueError("lon/lat outside [-180,180) x [-90,90)")
+    code = _spread(qlat) | (_spread(qlon) << 1)
+    digits = np.empty((len(code), nchars), dtype=np.uint8)
+    for j in range(nchars):
+        digits[:, j] = ((code >> (5 * (nchars - 1 - j))) & 31).astype(np.uint8)
+    chars = _GH_LUT[digits]
+    return chars.copy().view(f"S{nchars}").ravel().astype(str)
+
+
+def with_geohash(ds, *, lon_col: str = "lon", lat_col: str = "lat",
+                 nchars: int = 8, out_col: str = "geohash"):
+    """Stateless Arrow map_batches stage appending a geohash column."""
+
+    def enc(b: pa.Table) -> pa.Table:
+        gh = geohash_encode(
+            np.asarray(b[lon_col]), np.asarray(b[lat_col]), nchars
+        )
+        return b.append_column(out_col, pa.array(gh, type=pa.string()))
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def sql_geohash_expr(lon: str, lat: str, nchars: int = 8) -> str:
+    """Geohash string — twin of :func:`geohash_encode` (same literals,
+    same op order; floor result is non-negative so BIGINT cast == floor)."""
+    if nchars % 2 or not 2 <= nchars <= 12:
+        raise ValueError(f"nchars must be even in 2..12, got {nchars}")
+    half = (5 * nchars) // 2
+    scale = repr(float(1 << half))
+    qlon = f"CAST(floor((({lon}) + 180.0) / 360.0 * {scale}) AS BIGINT)"
+    qlat = f"CAST(floor((({lat}) + 90.0) / 180.0 * {scale}) AS BIGINT)"
+    code = f"({sql_spread_expr(qlat)} | ({sql_spread_expr(qlon)} << 1))"
+    return (
+        f"(SELECT string_agg(substr('{GEOHASH_ALPHABET}',"
+        f" CAST((({code}) >> (5*({nchars}-1-j))) & 31 AS INTEGER) + 1, 1),"
+        f" '' ORDER BY j) FROM generate_series(0, {nchars}-1) AS gh(j))"
     )

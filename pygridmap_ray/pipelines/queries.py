@@ -149,6 +149,39 @@ def q_hex_assign(sf_dir: str):
     return ds.select_columns(["doc_id", "hq", "hr", "hex_key"])
 
 
+def q_geohash_assign(sf_dir: str):
+    """Public-spec base-32 geohash cell assignment (hier.with_geohash):
+    the Morton interleave over quantized lon/lat, 8 chars per doc plus the
+    4-char parent prefix (coarsening is substr, never a re-encode)."""
+    import ray.data as rd
+
+    from ..hier import with_geohash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_lonlat(b: pa.Table) -> pa.Table:
+        lon, lat = derive_lonlat(np.asarray(b["doc_id"]))
+        return b.append_column("lon", pa.array(lon)).append_column(
+            "lat", pa.array(lat)
+        )
+
+    ds = with_geohash(
+        ds.map_batches(add_lonlat, batch_format="pyarrow"), nchars=8
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        gh = b["geohash"]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "geohash": gh,
+                "gh4": pc.utf8_slice_codeunits(gh, 0, 4),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
 def q_hex_density(sf_dir: str):
     """Per-hex doc density with cell centers: packed-key unique partials
     -> one small hash aggregate -> unpack (raw rows never shuffle)."""
@@ -5213,6 +5246,7 @@ def queries():
         "cell_hier": q_cell_hier,
         "hier_rollup": q_hier_rollup,
         "hex_assign": q_hex_assign,
+        "geohash_assign": q_geohash_assign,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -5458,6 +5492,18 @@ def _sql_hex_assign() -> str:
         f"SELECT doc_id, hq, hr, "
         f"CAST(hq AS VARCHAR) || ':' || CAST(hr AS VARCHAR) AS hex_key "
         f"FROM hexed"
+    )
+
+
+def _sql_geohash_assign() -> str:
+    from ..hier import sql_geohash_expr
+    from ..synth import sql_lonlat_cte
+
+    gh = sql_geohash_expr("lon", "lat", 8)
+    return (
+        f"WITH ll AS ({sql_lonlat_cte()}), "
+        f"g AS (SELECT doc_id, {gh} AS geohash FROM ll) "
+        f"SELECT doc_id, geohash, substr(geohash, 1, 4) AS gh4 FROM g"
     )
 
 
@@ -5735,6 +5781,7 @@ def oracle_sql():
         "cell_hier": _sql_cell_hier(),
         "hier_rollup": _sql_hier_rollup(),
         "hex_assign": _sql_hex_assign(),
+        "geohash_assign": _sql_geohash_assign(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -158,3 +158,66 @@ def test_zrange_filter_matches_bruteforce(ray_session):
     out = zrange_filter(ds, bbox, resolution=10.0, level=9).to_pandas()
     keep = (x >= bbox[0]) & (x < bbox[2]) & (y >= bbox[1]) & (y < bbox[3])
     assert sorted(out["i"].tolist()) == np.flatnonzero(keep).tolist()
+
+
+# --- geohash ----------------------------------------------------------------
+
+
+def test_geohash_known_vector():
+    # the classic public example: (lat 42.605, lon -5.603) -> "ezs42"
+    from pygridmap_ray.hier import geohash_encode
+
+    got = geohash_encode(np.array([-5.603]), np.array([42.605]), 6)
+    assert got[0].startswith("ezs42")
+
+
+def test_geohash_prefix_property_and_bruteforce():
+    from pygridmap_ray.hier import GEOHASH_ALPHABET, geohash_encode
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 179.9, 300)
+    lat = rng.uniform(-90, 89.9, 300)
+    g8 = geohash_encode(lon, lat, 8)
+    g4 = geohash_encode(lon, lat, 4)
+    assert all(a[:4] == b for a, b in zip(g8, g4))
+
+    # brute-force bit interleave for one point
+    def brute(lo, la, nchars):
+        half = 5 * nchars // 2
+        qlo = int(np.floor((lo + 180.0) / 360.0 * (1 << half)))
+        qla = int(np.floor((la + 90.0) / 180.0 * (1 << half)))
+        bits = []
+        for b in range(half - 1, -1, -1):
+            bits.append((qlo >> b) & 1)
+            bits.append((qla >> b) & 1)
+        s = ""
+        for j in range(nchars):
+            v = 0
+            for k in range(5):
+                v = (v << 1) | bits[5 * j + k]
+            s += GEOHASH_ALPHABET[v]
+        return s
+
+    for i in range(20):
+        assert g8[i] == brute(lon[i], lat[i], 8), i
+
+
+def test_geohash_validation():
+    from pygridmap_ray.hier import geohash_encode
+
+    with pytest.raises(ValueError):
+        geohash_encode(np.array([0.0]), np.array([0.0]), 5)  # odd
+    with pytest.raises(ValueError):
+        geohash_encode(np.array([200.0]), np.array([0.0]), 8)  # range
+
+
+def test_with_geohash_stage(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.hier import geohash_encode, with_geohash
+
+    lon = np.linspace(-5, 24, 50)
+    lat = np.linspace(38, 62, 50)
+    ds = rd.from_arrow(pa.table({"lon": lon, "lat": lat}))
+    out = with_geohash(ds, nchars=6).to_pandas()
+    assert (out["geohash"].to_numpy() == geohash_encode(lon, lat, 6)).all()
