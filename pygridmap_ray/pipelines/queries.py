@@ -182,6 +182,88 @@ def q_geohash_assign(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+S2_LEVEL = 12
+
+
+def q_s2_assign(sf_dir: str):
+    """S2-style sphere cell assignment (s2.with_s2_cells): cube-face +
+    quadratic-ST + Morton position per doc, plus the level-8 ancestor via
+    prefix shift (north-star 'batched H3/S2 indexing' — the H3 half is
+    hex_assign).  Trig-free law, so the DuckDB twin is bit-identical."""
+    import ray.data as rd
+
+    from ..s2 import s2_parent, with_s2_cells
+    from ..synth import derive_xyz
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_xyz(b: pa.Table) -> pa.Table:
+        px, py, pz = derive_xyz(np.asarray(b["doc_id"]))
+        return (
+            b.append_column("px", pa.array(px))
+            .append_column("py", pa.array(py))
+            .append_column("pz", pa.array(pz))
+        )
+
+    ds = with_s2_cells(
+        ds.map_batches(add_xyz, batch_format="pyarrow"), level=S2_LEVEL
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cell = np.asarray(b["s2_cell"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "face": b["s2_face"],
+                "si": b["s2_si"],
+                "ti": b["s2_ti"],
+                "s2_cell": b["s2_cell"],
+                "s2_parent": pa.array(s2_parent(cell, 4)),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def q_s2_density(sf_dir: str):
+    """Per-cell doc counts at a COARSE S2 level reached by prefix shift
+    (never a re-encode): encode once at level 12, roll up at level 6 with
+    per-batch value_counts partials -> one small hash aggregate."""
+    import ray.data as rd
+
+    from ..s2 import with_s2_cells
+    from ..synth import derive_xyz
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_xyz(b: pa.Table) -> pa.Table:
+        px, py, pz = derive_xyz(np.asarray(b["doc_id"]))
+        return (
+            b.append_column("px", pa.array(px))
+            .append_column("py", pa.array(py))
+            .append_column("pz", pa.array(pz))
+        )
+
+    ds = with_s2_cells(
+        ds.map_batches(add_xyz, batch_format="pyarrow"), level=S2_LEVEL
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        parent = np.asarray(b["s2_cell"]) >> np.int64(2 * (S2_LEVEL - 6))
+        keys, counts = np.unique(parent, return_counts=True)
+        return pa.table({"s2_cell6": keys, "n": counts.astype(np.int64)})
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.groupby("s2_cell6").sum("n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s2_cell6": b["s2_cell6"], "n_docs": b["sum(n)"]}
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
 def q_hex_density(sf_dir: str):
     """Per-hex doc density with cell centers: packed-key unique partials
     -> one small hash aggregate -> unpack (raw rows never shuffle)."""
@@ -5247,6 +5329,8 @@ def queries():
         "hier_rollup": q_hier_rollup,
         "hex_assign": q_hex_assign,
         "geohash_assign": q_geohash_assign,
+        "s2_assign": q_s2_assign,
+        "s2_density": q_s2_density,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -5492,6 +5576,29 @@ def _sql_hex_assign() -> str:
         f"SELECT doc_id, hq, hr, "
         f"CAST(hq AS VARCHAR) || ':' || CAST(hr AS VARCHAR) AS hex_key "
         f"FROM hexed"
+    )
+
+
+def _sql_s2_assign() -> str:
+    from ..s2 import sql_s2_cte
+    from ..synth import sql_xyz_cte
+
+    return (
+        f"WITH xyz AS ({sql_xyz_cte()}), {sql_s2_cte(S2_LEVEL)} "
+        f"SELECT doc_id, face, si, ti, s2_cell,"
+        f" (s2_cell >> 8) AS s2_parent FROM s2"
+    )
+
+
+def _sql_s2_density() -> str:
+    from ..s2 import sql_s2_cte
+    from ..synth import sql_xyz_cte
+
+    shift = 2 * (S2_LEVEL - 6)
+    return (
+        f"WITH xyz AS ({sql_xyz_cte()}), {sql_s2_cte(S2_LEVEL)} "
+        f"SELECT (s2_cell >> {shift}) AS s2_cell6,"
+        f" COUNT(*)::BIGINT AS n_docs FROM s2 GROUP BY 1"
     )
 
 
@@ -5782,6 +5889,8 @@ def oracle_sql():
         "hier_rollup": _sql_hier_rollup(),
         "hex_assign": _sql_hex_assign(),
         "geohash_assign": _sql_geohash_assign(),
+        "s2_assign": _sql_s2_assign(),
+        "s2_density": _sql_s2_density(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

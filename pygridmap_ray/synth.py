@@ -92,6 +92,36 @@ def derive_lonlat(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return u * 30.0 - 5.0, v * 25.0 + 38.0
 
 
+# --- 3D direction vectors (S2-style cube-face cell fixtures) -----------------
+# The sphere-cell stage needs unit DIRECTIONS, but face/uv assignment is
+# scale-invariant (pure component ratios), so normalization is skipped and
+# the law stays trig-free: a third LCG coordinate w joins u, v and each is
+# mapped to [-1, 1).  Components cannot be 0 (u = k/odd_prime != 0.5), so
+# every doc has a well-defined major axis.
+
+SQL_W = "(((doc_id * 3266489917) % 1000037) / 1000037.0)"
+SQL_PX = f"({SQL_U} * 2.0 - 1.0)"
+SQL_PY = f"({SQL_V} * 2.0 - 1.0)"
+SQL_PZ = f"({SQL_W} * 2.0 - 1.0)"
+
+
+def sql_xyz_cte(table: str = "documents") -> str:
+    """CTE body: one row per doc with its derived direction components."""
+    return (
+        f"SELECT doc_id, {SQL_PX} AS px, {SQL_PY} AS py, {SQL_PZ} AS pz "
+        f"FROM {table}"
+    )
+
+
+def derive_xyz(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """numpy mirror of SQL_PX / SQL_PY / SQL_PZ (identical op order)."""
+    did = np.asarray(doc_id, dtype=np.int64)
+    u = ((did * 2654435761) % 1000003).astype(np.float64) / 1000003.0
+    v = ((did * 2246822519) % 1000033).astype(np.float64) / 1000033.0
+    w = ((did * 3266489917) % 1000037).astype(np.float64) / 1000037.0
+    return u * 2.0 - 1.0, v * 2.0 - 1.0, w * 2.0 - 1.0
+
+
 # --- interleaved spans ------------------------------------------------------
 # n_spans = 1 + doc_id % 8
 # span i (0-based):  kind  = ['text','image','audio'][(doc_id + i) % 3]

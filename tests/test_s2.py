@@ -1,0 +1,86 @@
+"""S2-style sphere cells — face table, quadratic ST, Morton position."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pygridmap_ray.s2 import (
+    face_uv,
+    s2_encode,
+    s2_parent,
+    sql_s2_cte,
+    uv_to_st,
+    with_s2_cells,
+)
+from pygridmap_ray.synth import derive_xyz, sql_xyz_cte
+
+
+def test_face_table_axis_points():
+    # points straight down each axis land on the canonical face with u=v=0
+    px = np.array([1.0, 0.0, 0.0, -1.0, 0.0, 0.0])
+    py = np.array([0.0, 1.0, 0.0, 0.0, -1.0, 0.0])
+    pz = np.array([0.0, 0.0, 1.0, 0.0, 0.0, -1.0])
+    face, u, v = face_uv(px, py, pz)
+    assert face.tolist() == [0, 1, 2, 3, 4, 5]
+    assert np.allclose(u, 0) and np.allclose(v, 0)
+
+
+def test_face_uv_in_range_and_scale_invariant():
+    rng = np.random.default_rng(3)
+    p = rng.normal(size=(3, 500))
+    face, u, v = face_uv(*p)
+    assert ((face >= 0) & (face <= 5)).all()
+    assert (np.abs(u) <= 1.0 + 1e-12).all() and (np.abs(v) <= 1.0 + 1e-12).all()
+    f2, u2, v2 = face_uv(*(p * 7.5))
+    assert (face == f2).all()
+    assert np.allclose(u, u2) and np.allclose(v, v2)
+
+
+def test_uv_to_st_endpoints_and_monotone():
+    u = np.linspace(-1, 1, 101)
+    s = uv_to_st(u)
+    assert s[0] == 0.0 and s[-1] == 1.0 and abs(s[50] - 0.5) < 1e-15
+    assert (np.diff(s) > 0).all()
+
+
+def test_parent_is_coarser_encode():
+    did = np.arange(1, 5001)
+    px, py, pz = derive_xyz(did)
+    _, _, _, c12 = s2_encode(px, py, pz, 12)
+    _, _, _, c7 = s2_encode(px, py, pz, 7)
+    assert (s2_parent(c12, 5) == c7).all()
+
+
+def test_level_validation():
+    one = np.array([1.0])
+    with pytest.raises(ValueError):
+        s2_encode(one, one, one, 0)
+    with pytest.raises(ValueError):
+        s2_encode(one, one, one, 30)
+
+
+def test_sql_twin_bit_identical():
+    did = np.arange(1, 20001)
+    face, si, ti, cell = s2_encode(*derive_xyz(did), 12)
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM range(1, 20001) t(doc_id)")
+    df = con.sql(
+        f"WITH xyz AS ({sql_xyz_cte()}), {sql_s2_cte(12)} "
+        f"SELECT face, si, ti, s2_cell FROM s2 ORDER BY doc_id"
+    ).df()
+    assert (df["face"].to_numpy() == face).all()
+    assert (df["si"].to_numpy() == si).all()
+    assert (df["ti"].to_numpy() == ti).all()
+    assert (df["s2_cell"].to_numpy() == cell).all()
+
+
+def test_with_s2_cells_stage(ray_session):
+    import ray.data as rd
+
+    did = np.arange(1, 301)
+    px, py, pz = derive_xyz(did)
+    ds = rd.from_arrow(pa.table({"px": px, "py": py, "pz": pz}))
+    out = with_s2_cells(ds, level=10).to_pandas()
+    _, _, _, cell = s2_encode(px, py, pz, 10)
+    assert (np.sort(out["s2_cell"].to_numpy()) == np.sort(cell)).all()
