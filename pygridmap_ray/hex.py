@@ -43,6 +43,7 @@ import pyarrow.compute as pc
 __all__ = [
     "hex_axial",
     "hex_center",
+    "hex_idw",
     "hex_neighbors",
     "with_hex_cells",
     "hex_density",
@@ -345,6 +346,105 @@ def hex_focal(ds, *, size: float, k: int = 1):
         )
 
     return focal.map_batches(finish, batch_format="pyarrow")
+
+
+def hex_idw(ds, *, size: float, k: int = 1, val_col: str = "val"):
+    """Inverse-distance-weighted field estimate at occupied hex centers.
+
+    Each point carries a value; the estimate at cell c is
+    ``sum(w_p * v_p) / sum(w_p)`` over every point p whose hex lies in
+    c's k-ring, with ``w = 1 / (d2 + 1.0)`` and ``d2`` the squared planar
+    distance from the point to c's CENTER (the +1 m^2 floor caps the
+    weight of points sitting on the center).  Output rounded half-away
+    at 6 dp (the twin replays identical constants; residual divergence is
+    summation-order ulps, orders below the step).
+
+    Scale shape: one pass over the points — each point scatters its
+    (w*v, w) contribution to its ring's target keys, PRE-AGGREGATED per
+    batch with a packed-key unique, plus a self marker row; ONE hash
+    aggregate resolves sums and the occupied filter (marker-row trick,
+    no join).  Shuffle rows <= ring_size * occupied cells per batch.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    offs = kring_offsets(k)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.int64()),
+                    "wv": pa.array([], pa.float64()),
+                    "w": pa.array([], pa.float64()),
+                    "occ": pa.array([], pa.int64()),
+                }
+            )
+        q = np.asarray(b["hq"], np.int64)
+        r = np.asarray(b["hr"], np.int64)
+        x = np.asarray(b["x"], np.float64)
+        y = np.asarray(b["y"], np.float64)
+        v = np.asarray(b[val_col], np.float64)
+        n = len(q)
+        tkeys, wvs, ws = [], [], []
+        for dq, dr in offs:
+            tq, tr = q + dq, r + dr
+            cx, cy = hex_center(tq, tr, size)
+            d2 = (x - cx) * (x - cx) + (y - cy) * (y - cy)
+            w = 1.0 / (d2 + 1.0)
+            tkeys.append(_pack(tq, tr))
+            wvs.append(w * v)
+            ws.append(w)
+        tkey = np.concatenate(tkeys)
+        wv = np.concatenate(wvs)
+        w = np.concatenate(ws)
+        occ = np.zeros(len(tkey), np.int64)
+        # self marker rows flag occupied cells (zero-weight contributions)
+        tkey = np.concatenate([tkey, _pack(q, r)])
+        wv = np.concatenate([wv, np.zeros(n)])
+        w = np.concatenate([w, np.zeros(n)])
+        occ = np.concatenate([occ, np.ones(n, np.int64)])
+        # in-batch combiner: collapse duplicate targets before the shuffle
+        u, inv = np.unique(tkey, return_inverse=True)
+        return pa.table(
+            {
+                "tkey": u,
+                "wv": np.bincount(inv, weights=wv),
+                "w": np.bincount(inv, weights=w),
+                "occ": np.bincount(
+                    inv, weights=occ.astype(np.float64)
+                ).astype(np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(
+            Sum("wv", alias_name="swv"),
+            Sum("w", alias_name="sw"),
+            Max("occ", alias_name="occ"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "idw_val": pa.array([], pa.float64()),
+                }
+            )
+        keep = np.asarray(b["occ"], np.int64) > 0
+        q, r = _unpack(np.asarray(b["tkey"], np.int64)[keep])
+        swv = np.asarray(b["swv"], np.float64)[keep]
+        sw = np.asarray(b["sw"], np.float64)[keep]
+        idw = np.floor(np.abs(swv / sw) * 1e6 + 0.5) / 1e6 * np.sign(swv / sw)
+        return pa.table(
+            {"hq": pa.array(q), "hr": pa.array(r), "idw_val": pa.array(idw)}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def hex_zscore(ds, *, size: float):

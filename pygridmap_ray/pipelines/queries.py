@@ -264,6 +264,25 @@ def q_s2_density(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+def q_idw_interpolate(sf_dir: str):
+    """Inverse-distance-weighted interpolation of the doc n_chars field at
+    occupied hex centers (hex.hex_idw): k-ring-bounded scatter with
+    per-batch packed-key combiners and a single marker-row hash aggregate
+    — the classic IDW surface without any all-pairs distance matrix."""
+    from ..hex import hex_idw, with_hex_cells
+
+    ds = docs_points(sf_dir, extra_cols=("n_chars",))
+    ds = with_hex_cells(ds, size=HEX_SIZE)
+
+    def as_val(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "val", pc.cast(b["n_chars"], pa.float64())
+        )
+
+    ds = ds.map_batches(as_val, batch_format="pyarrow")
+    return hex_idw(ds, size=HEX_SIZE, k=1, val_col="val")
+
+
 def q_hex_density(sf_dir: str):
     """Per-hex doc density with cell centers: packed-key unique partials
     -> one small hash aggregate -> unpack (raw rows never shuffle)."""
@@ -5331,6 +5350,7 @@ def queries():
         "geohash_assign": q_geohash_assign,
         "s2_assign": q_s2_assign,
         "s2_density": q_s2_density,
+        "idw_interpolate": q_idw_interpolate,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -5599,6 +5619,31 @@ def _sql_s2_density() -> str:
         f"WITH xyz AS ({sql_xyz_cte()}), {sql_s2_cte(S2_LEVEL)} "
         f"SELECT (s2_cell >> {shift}) AS s2_cell6,"
         f" COUNT(*)::BIGINT AS n_docs FROM s2 GROUP BY 1"
+    )
+
+
+def _sql_idw_interpolate() -> str:
+    from ..hex import kring_offsets, sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    s = repr(float(HEX_SIZE))
+    vals = ", ".join(f"({dq}, {dr})" for dq, dr in kring_offsets(1))
+    cx = f"({s} * ((3.0/2.0) * thq))"
+    cy = f"({s} * ((sqrt(3.0)/2.0) * thq + sqrt(3.0) * thr))"
+    d2 = f"((x - {cx}) * (x - {cx}) + (y - {cy}) * (y - {cy}))"
+    w = f"(1.0 / ({d2} + 1.0))"
+    return (
+        f"WITH pts AS (SELECT doc_id, {SQL_X} AS x, {SQL_Y} AS y,"
+        f" CAST(n_chars AS DOUBLE) AS val FROM documents), "
+        f"{sql_hex_cte(HEX_SIZE)}, "
+        f"cells AS (SELECT DISTINCT hq, hr FROM hexed), "
+        f"offs(dq, dr) AS (VALUES {vals}), "
+        f"contrib AS (SELECT c.hq AS thq, c.hr AS thr, p.x, p.y, p.val"
+        f" FROM cells c CROSS JOIN offs o JOIN hexed p"
+        f" ON p.hq = c.hq + o.dq AND p.hr = c.hr + o.dr) "
+        f"SELECT thq AS hq, thr AS hr,"
+        f" ROUND((sum({w} * val) / sum({w})) * 1000000.0) / 1000000.0"
+        f" AS idw_val FROM contrib GROUP BY thq, thr"
     )
 
 
@@ -5891,6 +5936,7 @@ def oracle_sql():
         "geohash_assign": _sql_geohash_assign(),
         "s2_assign": _sql_s2_assign(),
         "s2_density": _sql_s2_density(),
+        "idw_interpolate": _sql_idw_interpolate(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -185,3 +185,48 @@ def test_boundary_vertices_centered():
     assert np.allclose(vy.mean(axis=1), cy)
     d = np.hypot(vx - cx[:, None], vy - cy[:, None])
     assert np.allclose(d, size)
+
+
+def test_hex_idw_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.hex import (
+        hex_axial,
+        hex_center,
+        hex_idw,
+        kring_offsets,
+    )
+
+    rng = np.random.default_rng(11)
+    n, size = 400, 10.0
+    x = rng.uniform(0, 200, n)
+    y = rng.uniform(0, 200, n)
+    val = rng.uniform(1, 50, n)
+    q, r = hex_axial(x, y, size)
+    ds = rd.from_arrow(
+        pa.table({"hq": q, "hr": r, "x": x, "y": y, "val": val})
+    )
+    out = (
+        hex_idw(ds, size=size, k=1)
+        .to_pandas()
+        .sort_values(["hq", "hr"])
+        .reset_index(drop=True)
+    )
+
+    offs = kring_offsets(1)
+    cells = sorted(set(zip(q.tolist(), r.tolist())))
+    rows = []
+    for cq, cr in cells:
+        cx, cy = hex_center(np.array([cq]), np.array([cr]), size)
+        swv = sw = 0.0
+        for i in range(n):
+            if (q[i] - cq, r[i] - cr) in [(-dq, -dr) for dq, dr in offs]:
+                d2 = (x[i] - cx[0]) ** 2 + (y[i] - cy[0]) ** 2
+                w = 1.0 / (d2 + 1.0)
+                swv += w * val[i]
+                sw += w
+        rows.append((cq, cr, swv / sw))
+    assert len(out) == len(rows)
+    for (cq, cr, e), (_, got) in zip(rows, out.iterrows()):
+        assert got["hq"] == cq and got["hr"] == cr
+        assert abs(got["idw_val"] - e) < 1e-5, (cq, cr)
