@@ -4222,6 +4222,17 @@ def q_raster_resample(sf_dir: str):
     return resample_raster(SyntheticRaster(**_RASTER_KW), out_resolution=2000.0)
 
 
+def q_raster_hillshade(sf_dir: str):
+    """Horn slope / aspect / hillshade over the synthetic elevation band:
+    tile-parallel 3x3 stencil with ONE-PIXEL HALO reads (no shuffle at any
+    raster size) on an actor pool holding the open raster."""
+    from ..raster import SyntheticRaster, hillshade_raster
+
+    return hillshade_raster(
+        SyntheticRaster(**_RASTER_KW), tile_size_cell=64, concurrency=(1, 4)
+    )
+
+
 def q_disaggregate(sf_dir: str):
     """Dasymetric disaggregation (inverse area interpolation): polygon
     totals spread onto cells by intersection-area weight; the final Sum
@@ -5509,6 +5520,7 @@ def queries():
         "ivf_topk": q_ivf_topk,
         "ivf_pruned": q_ivf_pruned,
         "raster_cells": q_raster_cells,
+        "raster_hillshade": q_raster_hillshade,
         "raster_resample": q_raster_resample,
         "zonal_stats": q_zonal_stats,
         "frame_rowsum": q_frame_rowsum,
@@ -6164,6 +6176,7 @@ def oracle_sql():
         "ivf_topk": _sql_ivf(),
         "ivf_pruned": _sql_ivf(),
         "raster_cells": _sql_raster_cells(),
+        "raster_hillshade": _sql_raster_hillshade(),
         "raster_resample": _sql_raster_resample(),
         "zonal_stats": _sql_zonal_stats(),
         "frame_rowsum": (
@@ -6191,6 +6204,12 @@ def _sql_raster_cells():
     from ..raster import SyntheticRaster, sql_raster_cells
 
     return sql_raster_cells(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
+
+
+def _sql_raster_hillshade():
+    from ..raster import SyntheticRaster, sql_hillshade
+
+    return sql_hillshade(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
 
 
 def _sql_raster_resample():

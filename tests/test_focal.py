@@ -125,3 +125,40 @@ def test_majority_tiebreak_lex_smallest(ray_session):
     assert out.loc[0, "n_total"] == 4 and out.loc[0, "share"] == 0.5
     assert out.loc[1, "top_cat"] == "en" and out.loc[1, "n_total"] == 3
     assert abs(out.loc[1, "share"] - 0.666667) < 1e-9
+
+
+def test_hillshade_halo_matches_whole_raster(ray_session):
+    """Tile-parallel stencil with halo reads == one whole-raster stencil."""
+    from pygridmap_ray.raster import (
+        NODATA,
+        HillshadeKernel,
+        SyntheticRaster,
+        hillshade_raster,
+    )
+
+    r = SyntheticRaster(height=96, width=80, resolution=500.0)
+    tiled = (
+        hillshade_raster(r, tile_size_cell=32)
+        .to_pandas()
+        .sort_values(["y", "x"])
+        .reset_index(drop=True)
+    )
+    # whole raster as ONE tile (tile size covers everything)
+    whole = HillshadeKernel(r, 128)._tile(0, 0)
+    assert whole is not None
+    wdf = (
+        whole.to_pandas().sort_values(["y", "x"]).reset_index(drop=True)
+    )
+    assert len(tiled) == len(wdf)
+    for c in ["x", "y", "slope", "aspect", "hillshade"]:
+        assert np.allclose(tiled[c].to_numpy(), wdf[c].to_numpy()), c
+
+    # every output pixel's 3x3 window is interior and fully valid
+    z = r.read_window("elev", 0, 0, r.height, r.width)
+    col = ((tiled["x"] - r.x_min) / r.resolution).round().astype(int)
+    row = r.height - 1 - ((tiled["y"] - r.y_min) / r.resolution).round().astype(int)
+    assert (row > 0).all() and (row < r.height - 1).all()
+    assert (col > 0).all() and (col < r.width - 1).all()
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            assert (z[row + dr, col + dc] != NODATA).all()
