@@ -45,6 +45,7 @@ __all__ = [
     "hex_center",
     "hex_idw",
     "hex_neighbors",
+    "hex_spatial_lag",
     "with_hex_cells",
     "hex_density",
     "hex_focal",
@@ -522,6 +523,114 @@ def hex_zscore(ds, *, size: float):
         )
 
     return dens.map_batches(finish, batch_format="pyarrow")
+
+
+def hex_spatial_lag(ds, *, size: float):
+    """Spatial-lag OLS over the hex density field: regress each occupied
+    cell's count on its NEIGHBOR-MEAN count (lag = ring-1 sum / 6.0,
+    absent neighbors counting 0) and return the closed-form fit — one row
+    (beta0, beta1, r2, n_cells), rounded 6dp.  The autoregressive
+    companion to :func:`morans_i`: beta1 estimates the strength of
+    spatial dependence as a slope instead of a cross-moment.
+
+    Scale shape: density partials -> scatter to the SIX neighbors plus a
+    self marker -> one hash aggregate resolves (n, lag) per cell -> tiny
+    (1, x, y, xx, xy, yy) sum partials -> one global reduce; closed form
+    on six scalars.  No join, no materialization.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    neigh = [o for o in kring_offsets(1) if o != (0, 0)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "docs": c.astype(np.int64)})
+
+    dens = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("docs", alias_name="n"))
+    )
+
+    def scatter(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.int64()),
+                    "contrib": pa.array([], pa.int64()),
+                    "self_n": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        n = np.asarray(b["n"], np.int64)
+        tkey = np.concatenate(
+            [_pack(q + dq, r + dr) for dq, dr in neigh] + [_pack(q, r)]
+        )
+        contrib = np.concatenate(
+            [np.tile(n, len(neigh)), np.zeros(len(n), np.int64)]
+        )
+        self_n = np.concatenate([np.zeros(len(neigh) * len(n), np.int64), n])
+        return pa.table({"tkey": tkey, "contrib": contrib, "self_n": self_n})
+
+    lagged = (
+        dens.map_batches(scatter, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(
+            Sum("contrib", alias_name="ring_sum"),
+            Max("self_n", alias_name="n"),
+        )
+    )
+
+    def sums(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            z = np.zeros(1)
+            return pa.table(
+                {"cnt": np.zeros(1, np.int64), "sx": z, "sy": z,
+                 "sxx": z, "sxy": z, "syy": z}
+            )
+        n = np.asarray(b["n"], np.int64)
+        keep = n > 0
+        y = n[keep].astype(np.float64)
+        x = np.asarray(b["ring_sum"], np.int64)[keep].astype(np.float64) / 6.0
+        return pa.table(
+            {
+                "cnt": np.array([len(y)], np.int64),
+                "sx": np.array([x.sum()]),
+                "sy": np.array([y.sum()]),
+                "sxx": np.array([(x * x).sum()]),
+                "sxy": np.array([(x * y).sum()]),
+                "syy": np.array([(y * y).sum()]),
+            }
+        )
+
+    tot = (
+        lagged.map_batches(sums, batch_format="pyarrow")
+        .sum(["cnt", "sx", "sy", "sxx", "sxy", "syy"])
+    )
+
+    import ray.data as rd
+
+    nn = float(tot["sum(cnt)"])
+    sx, sy = tot["sum(sx)"], tot["sum(sy)"]
+    sxx, sxy, syy = tot["sum(sxx)"], tot["sum(sxy)"], tot["sum(syy)"]
+    cov = nn * sxy - sx * sy
+    varx = nn * sxx - sx * sx
+    vary = nn * syy - sy * sy
+    beta1 = cov / varx
+    beta0 = (sy - beta1 * sx) / nn
+    r2 = (cov * cov) / (varx * vary)
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([int(nn)], pa.int64()),
+                "beta0": pa.array([rnd(beta0)]),
+                "beta1": pa.array([rnd(beta1)]),
+                "r2": pa.array([rnd(r2)]),
+            }
+        )
+    )
 
 
 def morans_i(ds, *, size: float):

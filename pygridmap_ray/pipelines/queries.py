@@ -283,6 +283,17 @@ def q_idw_interpolate(sf_dir: str):
     return hex_idw(ds, size=HEX_SIZE, k=1, val_col="val")
 
 
+def q_hex_spatial_lag(sf_dir: str):
+    """Spatial-lag OLS regression of per-hex density on the neighbor-mean
+    density (hex.hex_spatial_lag): scatter + marker-row aggregate for the
+    lag field, then six-scalar sum partials and a closed-form fit — the
+    autoregressive companion to morans_i."""
+    from ..hex import hex_spatial_lag, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return hex_spatial_lag(ds, size=HEX_SIZE)
+
+
 def q_hex_density(sf_dir: str):
     """Per-hex doc density with cell centers: packed-key unique partials
     -> one small hash aggregate -> unpack (raw rows never shuffle)."""
@@ -5362,6 +5373,7 @@ def queries():
         "s2_assign": q_s2_assign,
         "s2_density": q_s2_density,
         "idw_interpolate": q_idw_interpolate,
+        "hex_spatial_lag": q_hex_spatial_lag,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -5631,6 +5643,37 @@ def _sql_s2_density() -> str:
         f"WITH xyz AS ({sql_xyz_cte()}), {sql_s2_cte(S2_LEVEL)} "
         f"SELECT (s2_cell >> {shift}) AS s2_cell6,"
         f" COUNT(*)::BIGINT AS n_docs FROM s2 GROUP BY 1"
+    )
+
+
+def _sql_hex_spatial_lag() -> str:
+    from ..hex import kring_offsets, sql_hex_cte
+    from ..synth import sql_points_cte
+
+    vals = ", ".join(
+        f"({dq}, {dr})" for dq, dr in kring_offsets(1) if (dq, dr) != (0, 0)
+    )
+    rnd = lambda e: f"(ROUND(({e}) * 1000000.0) / 1000000.0)"
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"cells AS (SELECT hq, hr, COUNT(*)::BIGINT AS n FROM hexed"
+        f" GROUP BY hq, hr), "
+        f"offs(dq, dr) AS (VALUES {vals}), "
+        f"lagged AS (SELECT c.hq, c.hr, any_value(c.n) AS n,"
+        f" COALESCE(SUM(nb.n), 0)::DOUBLE / 6.0 AS lag"
+        f" FROM cells c CROSS JOIN offs o LEFT JOIN cells nb"
+        f" ON nb.hq = c.hq + o.dq AND nb.hr = c.hr + o.dr"
+        f" GROUP BY c.hq, c.hr), "
+        f"s AS (SELECT COUNT(*)::DOUBLE AS nn, SUM(lag) AS sx,"
+        f" SUM(n::DOUBLE) AS sy, SUM(lag * lag) AS sxx,"
+        f" SUM(lag * n::DOUBLE) AS sxy,"
+        f" SUM(n::DOUBLE * n::DOUBLE) AS syy FROM lagged) "
+        f"SELECT CAST(nn AS BIGINT) AS n_cells,"
+        f" {rnd('(sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx) / nn')}"
+        f" AS beta0,"
+        f" {rnd('(nn * sxy - sx * sy) / (nn * sxx - sx * sx)')} AS beta1,"
+        f" {rnd('((nn * sxy - sx * sy) * (nn * sxy - sx * sy)) / ((nn * sxx - sx * sx) * (nn * syy - sy * sy))')}"
+        f" AS r2 FROM s"
     )
 
 
@@ -5949,6 +5992,7 @@ def oracle_sql():
         "s2_assign": _sql_s2_assign(),
         "s2_density": _sql_s2_density(),
         "idw_interpolate": _sql_idw_interpolate(),
+        "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -230,3 +230,42 @@ def test_hex_idw_bruteforce(ray_session):
     for (cq, cr, e), (_, got) in zip(rows, out.iterrows()):
         assert got["hq"] == cq and got["hr"] == cr
         assert abs(got["idw_val"] - e) < 1e-5, (cq, cr)
+
+
+def test_hex_spatial_lag_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.hex import hex_axial, hex_spatial_lag, kring_offsets
+
+    rng = np.random.default_rng(5)
+    n, size = 600, 10.0
+    x = rng.uniform(0, 150, n)
+    y = rng.uniform(0, 150, n)
+    q, r = hex_axial(x, y, size)
+    ds = rd.from_arrow(pa.table({"hq": q, "hr": r}))
+    out = hex_spatial_lag(ds, size=size).to_pandas()
+
+    from collections import Counter
+
+    cnt = Counter(zip(q.tolist(), r.tolist()))
+    neigh = [o for o in kring_offsets(1) if o != (0, 0)]
+    xs, ys = [], []
+    for (cq, cr), cn in cnt.items():
+        lag = sum(cnt.get((cq + dq, cr + dr), 0) for dq, dr in neigh) / 6.0
+        xs.append(lag)
+        ys.append(float(cn))
+    xs, ys = np.array(xs), np.array(ys)
+    nn = float(len(xs))
+    sx, sy = xs.sum(), ys.sum()
+    cov = nn * (xs * ys).sum() - sx * sy
+    varx = nn * (xs * xs).sum() - sx * sx
+    vary = nn * (ys * ys).sum() - sy * sy
+    b1 = cov / varx
+    b0 = (sy - b1 * sx) / nn
+    r2 = cov * cov / (varx * vary)
+    row = out.iloc[0]
+    assert row["n_cells"] == len(cnt)
+    assert abs(row["beta1"] - b1) < 1e-5
+    assert abs(row["beta0"] - b0) < 1e-5
+    assert abs(row["r2"] - r2) < 1e-5
+    assert 0.0 <= row["r2"] <= 1.0
