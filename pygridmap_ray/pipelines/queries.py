@@ -4244,6 +4244,17 @@ def q_raster_hillshade(sf_dir: str):
     )
 
 
+def q_raster_d8(sf_dir: str):
+    """D8 steepest-descent flow direction per pixel (raster.d8_flow_raster):
+    the classic hydrology operator as a tile + halo stencil — first-max
+    tie law over the fixed E..NE neighbor order, 0 for pits/flats."""
+    from ..raster import SyntheticRaster, d8_flow_raster
+
+    return d8_flow_raster(
+        SyntheticRaster(**_RASTER_KW), tile_size_cell=64, concurrency=(1, 4)
+    )
+
+
 def q_disaggregate(sf_dir: str):
     """Dasymetric disaggregation (inverse area interpolation): polygon
     totals spread onto cells by intersection-area weight; the final Sum
@@ -5533,6 +5544,7 @@ def queries():
         "ivf_pruned": q_ivf_pruned,
         "raster_cells": q_raster_cells,
         "raster_hillshade": q_raster_hillshade,
+        "raster_d8": q_raster_d8,
         "raster_resample": q_raster_resample,
         "zonal_stats": q_zonal_stats,
         "frame_rowsum": q_frame_rowsum,
@@ -6221,6 +6233,7 @@ def oracle_sql():
         "ivf_pruned": _sql_ivf(),
         "raster_cells": _sql_raster_cells(),
         "raster_hillshade": _sql_raster_hillshade(),
+        "raster_d8": _sql_raster_d8(),
         "raster_resample": _sql_raster_resample(),
         "zonal_stats": _sql_zonal_stats(),
         "frame_rowsum": (
@@ -6248,6 +6261,12 @@ def _sql_raster_cells():
     from ..raster import SyntheticRaster, sql_raster_cells
 
     return sql_raster_cells(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
+
+
+def _sql_raster_d8():
+    from ..raster import SyntheticRaster, sql_d8_flow
+
+    return sql_d8_flow(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
 
 
 def _sql_raster_hillshade():

@@ -444,6 +444,190 @@ def hillshade_raster(
     return ds.map_batches(kern, batch_format="pyarrow", batch_size=4)
 
 
+# D8 neighbor order (ESRI code convention: E SE S SW W NW N NE as powers
+# of two).  (dr, dc) in ARRAY space: r grows downward (south), c east.
+_D8 = (
+    (0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+    (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128),
+)
+
+
+class D8Kernel:
+    """Actor-pool stencil kernel: D8 steepest-descent flow direction per
+    pixel — the classic hydrology operator.  Same tile + one-pixel-halo
+    shape as :class:`HillshadeKernel` (no shuffle at any raster size).
+
+    Law (twin-identical): drop to each neighbor = (z_c - z_n) / dist with
+    dist = res orthogonal, res * sqrt(2) diagonal; direction = ESRI code
+    of the FIRST neighbor attaining the maximum drop in the fixed order
+    E SE S SW W NW N NE; 0 when no drop is positive (pit / flat).  Border
+    pixels and any pixel whose 3x3 window touches nodata are skipped.
+    """
+
+    def __init__(self, raster: RasterSource, tile_size_cell: int,
+                 band: str = "elev"):
+        self.r = raster
+        self.ts = int(tile_size_cell)
+        self.band = band
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for xt, yt in zip(
+            np.asarray(batch["xt"], dtype=np.int64),
+            np.asarray(batch["yt"], dtype=np.int64),
+        ):
+            t = self._tile(int(xt), int(yt))
+            if t is not None:
+                parts.append(t)
+        if parts:
+            return pa.concat_tables(parts)
+        return pa.table(
+            {
+                "xt": pa.array([], pa.int64()),
+                "yt": pa.array([], pa.int64()),
+                "x": pa.array([], pa.float64()),
+                "y": pa.array([], pa.float64()),
+                "d8": pa.array([], pa.int64()),
+            }
+        )
+
+    def _tile(self, xt: int, yt: int):
+        r, ts = self.r, self.ts
+        row0 = r.height - (yt + 1) * ts
+        col0 = xt * ts
+        h = ts + min(row0, 0)
+        row0 = max(row0, 0)
+        if h <= 0 or col0 >= r.width:
+            return None
+        hr0 = max(row0 - 1, 0)
+        hc0 = max(col0 - 1, 0)
+        hh = min(row0 + h + 1, r.height) - hr0
+        hw = min(col0 + ts + 1, r.width) - hc0
+        z = self.r.read_window(self.band, hr0, hc0, hh, hw)
+        o_r0 = max(row0, 1)
+        o_r1 = min(row0 + h, r.height - 1)
+        o_c0 = max(col0, 1)
+        o_c1 = min(col0 + ts, r.width - 1)
+        if o_r0 >= o_r1 or o_c0 >= o_c1:
+            return None
+        lr0, lc0 = o_r0 - hr0, o_c0 - hc0
+        nh, nw = o_r1 - o_r0, o_c1 - o_c0
+
+        def win(dr, dc):
+            return z[lr0 + dr : lr0 + dr + nh, lc0 + dc : lc0 + dc + nw]
+
+        zc = win(0, 0)
+        valid = zc != NODATA
+        res = r.resolution
+        diag = res * np.sqrt(2.0)
+        drops = np.empty((8, nh, nw))
+        for i, (dr, dc, _code) in enumerate(_D8):
+            zn = win(dr, dc)
+            valid &= zn != NODATA
+            drops[i] = (zc - zn) / (diag if dr and dc else res)
+        if not valid.any():
+            return None
+        best = np.argmax(drops, axis=0)  # first max wins ties
+        maxdrop = np.take_along_axis(drops, best[None], 0)[0]
+        codes = np.asarray([c for _, _, c in _D8], np.int64)
+        d8 = np.where(maxdrop > 0.0, codes[best], 0)
+        rr, cc = np.nonzero(valid)
+        abs_row = o_r0 + rr
+        abs_col = o_c0 + cc
+        return pa.table(
+            {
+                "xt": pa.array(np.full(len(rr), xt, dtype=np.int64)),
+                "yt": pa.array(np.full(len(rr), yt, dtype=np.int64)),
+                "x": pa.array(r.x_min + abs_col * r.resolution),
+                "y": pa.array(
+                    r.y_min + (r.height - abs_row - 1) * r.resolution
+                ),
+                "d8": pa.array(d8[valid]),
+            }
+        )
+
+
+def d8_flow_raster(
+    raster: RasterSource,
+    *,
+    band: str = "elev",
+    tile_size_cell: int = 128,
+    concurrency=None,
+):
+    """Raster -> per-pixel D8 flow-direction Dataset (tile stencil)."""
+    import math
+
+    import ray.data as rd
+
+    nxt = math.ceil(raster.width / tile_size_cell)
+    nyt = math.ceil(raster.height / tile_size_cell)
+    specs = [{"xt": xt, "yt": yt} for yt in range(nyt) for xt in range(nxt)]
+    ds = rd.from_items(specs).repartition(min(len(specs), 128))
+    if concurrency is not None:
+        return ds.map_batches(
+            D8Kernel,
+            batch_format="pyarrow",
+            batch_size=4,
+            fn_constructor_args=(raster, tile_size_cell, band),
+            concurrency=concurrency,
+        )
+    return ds.map_batches(
+        D8Kernel(raster, tile_size_cell, band),
+        batch_format="pyarrow",
+        batch_size=4,
+    )
+
+
+def sql_d8_flow(
+    raster: SyntheticRaster, band: str = "elev", tile_size_cell: int = 128
+) -> str:
+    """Oracle: row-number argmax over the 8 unpivoted neighbor drops —
+    ORDER BY dropv DESC, ordi ASC reproduces numpy's first-max tie law."""
+    h, w, res = raster.height, raster.width, raster.resolution
+    x0, y0 = raster.x_min, raster.y_min
+    p1, p2 = _BAND_P1[band], _BAND_P2[band]
+    pct = _BAND_NODATA_PCT[band]
+
+    def ok(dr, dc):
+        return (
+            f"(((r.i + {dr}) * 7919 + (c.i + {dc}) * 104729) % 100) >= {pct}"
+        )
+
+    valid = " AND ".join(
+        ok(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+    )
+
+    def pz(dr, dc):
+        # neighbor value in px-space (ri, ci)
+        return f"(((ri + {dr}) * {p1} + (ci + {dc}) * {p2}) % 1000)::DOUBLE"
+
+    branches = " UNION ALL ".join(
+        f"SELECT ri, ci, {i} AS ordi, {code} AS code,"
+        f" ({pz(0, 0)} - {pz(dr, dc)}) /"
+        + (f" ({res!r} * sqrt(2.0))" if dr and dc else f" {res!r}")
+        + " AS dropv FROM px"
+        for i, (dr, dc, code) in enumerate(_D8)
+    )
+    return f"""
+WITH px AS (
+  SELECT r.i AS ri, c.i AS ci
+  FROM (SELECT UNNEST(generate_series(1, {h - 2})) AS i) r,
+       (SELECT UNNEST(generate_series(1, {w - 2})) AS i) c
+  WHERE {valid}
+), drops AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ri, ci
+                               ORDER BY dropv DESC, ordi ASC) AS rn
+  FROM ({branches})
+)
+SELECT (ci // {tile_size_cell})::BIGINT AS xt,
+       (({h} - ri - 1) // {tile_size_cell})::BIGINT AS yt,
+       {x0!r} + ci * {res!r} AS x,
+       {y0!r} + ({h} - ri - 1) * {res!r} AS y,
+       CASE WHEN dropv > 0.0 THEN code ELSE 0 END::BIGINT AS d8
+FROM drops WHERE rn = 1
+"""
+
+
 def sql_hillshade(
     raster: SyntheticRaster,
     band: str = "elev",

@@ -162,3 +162,54 @@ def test_hillshade_halo_matches_whole_raster(ray_session):
     for dr in (-1, 0, 1):
         for dc in (-1, 0, 1):
             assert (z[row + dr, col + dc] != NODATA).all()
+
+
+def test_d8_halo_matches_whole_and_semantics(ray_session):
+    from pygridmap_ray.raster import (
+        NODATA,
+        D8Kernel,
+        SyntheticRaster,
+        d8_flow_raster,
+    )
+
+    r = SyntheticRaster(height=96, width=80, resolution=500.0)
+    tiled = (
+        d8_flow_raster(r, tile_size_cell=32)
+        .to_pandas()
+        .sort_values(["y", "x"])
+        .reset_index(drop=True)
+    )
+    whole = (
+        D8Kernel(r, 128)
+        ._tile(0, 0)
+        .to_pandas()
+        .sort_values(["y", "x"])
+        .reset_index(drop=True)
+    )
+    assert len(tiled) == len(whole)
+    assert (tiled["d8"].to_numpy() == whole["d8"].to_numpy()).all()
+    assert set(tiled["d8"].unique()) <= {0, 1, 2, 4, 8, 16, 32, 64, 128}
+
+    # brute re-derivation for a sample of pixels
+    z = r.read_window("elev", 0, 0, r.height, r.width)
+    col = ((tiled["x"] - r.x_min) / r.resolution).round().astype(int).to_numpy()
+    row = (
+        r.height - 1 - ((tiled["y"] - r.y_min) / r.resolution).round().astype(int)
+    ).to_numpy()
+    d8s = tiled["d8"].to_numpy()
+    offs = [(0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+            (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128)]
+    import math
+
+    for i in range(0, len(tiled), 97):
+        rr, cc = row[i], col[i]
+        best, bestcode = -math.inf, 0
+        for dr, dc, code in offs:
+            zn = z[rr + dr, cc + dc]
+            assert zn != NODATA
+            d = (z[rr, cc] - zn) / (
+                r.resolution * math.sqrt(2.0) if dr and dc else r.resolution
+            )
+            if d > best:
+                best, bestcode = d, code
+        assert d8s[i] == (bestcode if best > 0 else 0), i
