@@ -5017,6 +5017,21 @@ def _sql_hex_weekly_growth() -> str:
     return sql_events_hex_weekly_growth(hex_size=HEX_SIZE)
 
 
+def q_hex_mann_kendall(sf_dir: str):
+    """Emerging-hotspot (Mann-Kendall) trend per hex over the sparse
+    weekly activity series — tie-corrected variance, continuity-corrected
+    z; vectorized pair construction in one coarse-bucket pass."""
+    from .relational import events_hex_mann_kendall
+
+    return events_hex_mann_kendall(sf_dir, hex_size=HEX_SIZE)
+
+
+def _sql_hex_mann_kendall() -> str:
+    from .relational import sql_events_hex_mann_kendall
+
+    return sql_events_hex_mann_kendall(hex_size=HEX_SIZE)
+
+
 def q_step_bearings(sf_dir: str):
     from .relational import events_step_bearings
 
@@ -5385,6 +5400,7 @@ def queries():
         "s2_density": q_s2_density,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
+        "hex_mann_kendall": q_hex_mann_kendall,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6005,6 +6021,7 @@ def oracle_sql():
         "s2_density": _sql_s2_density(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
+        "hex_mann_kendall": _sql_hex_mann_kendall(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -1706,3 +1706,180 @@ SELECT hq, hr, week, n,
          AS pct_change
 FROM m WINDOW w AS (PARTITION BY hq, hr ORDER BY week)
 """
+
+
+def events_hex_mann_kendall(
+    sf_dir: str, *, hex_size: float, num_buckets: int = 64
+):
+    """Emerging-hotspot trend per hex: the Mann-Kendall statistic over
+    each hex's OBSERVED weekly activity series (sparse weeks, same
+    convention as :func:`events_hex_weekly_growth`).
+
+    Law (twin-identical): with the hex's weekly counts n_1..n_L in week
+    order, ``s = sum_{i<j} sign(n_j - n_i)``; tie-corrected variance
+    ``var = (L(L-1)(2L+5) - sum_t t(t-1)(2t+5)) / 18`` over value-tie
+    groups t; ``z = (s -+ 1)/sqrt(var)`` (continuity-corrected, 0 when
+    s = 0 or var = 0); hexes with a single active week are dropped.
+    z rounded half-away 6dp.
+
+    Scale shape: (hex, week) count partials -> one composite hash
+    aggregate -> ONE coarse hex-bucket pass where pair indices are built
+    VECTORIZED (repeat/arange construction, no per-hex Python loop) —
+    pair volume is sum L^2 with L <= #weeks, linear in hexes.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, hex_axial
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    WEEK_US = 7 * 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        us = np.asarray(pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()))
+        week = us // WEEK_US
+        x, y = derive_xy(eid)
+        hkey = _pack(*hex_axial(x, y, hex_size))
+        order = np.lexsort((week, hkey))
+        hs, ws = hkey[order], week[order]
+        bound = np.concatenate([[True], (hs[1:] != hs[:-1]) | (ws[1:] != ws[:-1])])
+        s = np.flatnonzero(bound)
+        n = np.diff(np.append(s, len(hs)))
+        return pa.table(
+            {
+                "hkey": pa.array(hs[s]),
+                "week": pa.array(ws[s]),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hkey", "week"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hkey": pa.array([], pa.int64()),
+                    "week": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "__b": pa.array([], pa.int64()),
+                }
+            )
+        k = np.asarray(b["hkey"], np.int64)
+        return b.append_column("__b", pa.array(_bucket_of(k, num_buckets)))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["hkey"].to_numpy(np.int64)
+        w = g["week"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.lexsort((w, k))
+        k, w, n = k[order], w[order], n[order]
+        # segments (one per hex)
+        bound = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(bound)
+        L = np.diff(np.append(starts, len(k)))
+        seg_of = np.repeat(np.arange(len(starts)), L)
+        # vectorized i<j pair construction within segments
+        idx = np.arange(len(k))
+        seg_end = np.repeat(starts + L, L)
+        reps = seg_end - idx - 1
+        iidx = np.repeat(idx, reps)
+        jj = (
+            np.arange(int(reps.sum()))
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        jidx = iidx + 1 + jj
+        pair_seg = np.repeat(seg_of, reps)
+        sgn = np.sign(n[jidx] - n[iidx])
+        s_stat = np.bincount(pair_seg, weights=sgn, minlength=len(starts))
+        s_stat = s_stat.astype(np.int64)
+        # tie term per segment over equal VALUES
+        o2 = np.lexsort((n, k))
+        k2, n2 = k[o2], n[o2]
+        b2 = np.concatenate([[True], (k2[1:] != k2[:-1]) | (n2[1:] != n2[:-1])])
+        t = np.diff(np.append(np.flatnonzero(b2), len(k2)))
+        tie_seg = seg_of[o2][b2]
+        tt = np.bincount(
+            tie_seg,
+            weights=(t * (t - 1) * (2 * t + 5)).astype(np.float64),
+            minlength=len(starts),
+        ).astype(np.int64)
+        var = (L * (L - 1) * (2 * L + 5) - tt).astype(np.float64) / 18.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(
+                s_stat > 0,
+                (s_stat - 1) / np.sqrt(var),
+                np.where(s_stat < 0, (s_stat + 1) / np.sqrt(var), 0.0),
+            )
+        z = np.where(var <= 0.0, 0.0, z)
+        z = np.sign(z) * np.floor(np.abs(z) * 1e6 + 0.5) / 1e6
+        keep = L >= 2
+        hq, hr = _unpack(k[starts][keep])
+        return pd.DataFrame(
+            {
+                "hq": hq,
+                "hr": hr,
+                "n_weeks": L[keep],
+                "s": s_stat[keep],
+                "z": z[keep],
+            }
+        )
+
+    return (
+        agg.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_hex_mann_kendall(*, hex_size: float) -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    week_us = 7 * 86_400_000_000
+    return f"""
+WITH pts AS (
+  SELECT event_id, epoch_us(ts) // {week_us} AS week, {ex} AS x, {ey} AS y
+  FROM events
+),
+{sql_hex_cte(hex_size)},
+m AS (
+  SELECT hq, hr, week, COUNT(*)::BIGINT AS n FROM hexed GROUP BY hq, hr, week
+),
+lens AS (SELECT hq, hr, COUNT(*)::BIGINT AS L FROM m GROUP BY hq, hr),
+pairsum AS (
+  SELECT a.hq, a.hr,
+         SUM(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END)::BIGINT AS s
+  FROM m a JOIN m b ON b.hq = a.hq AND b.hr = a.hr AND b.week > a.week
+  GROUP BY a.hq, a.hr
+),
+ties AS (
+  SELECT hq, hr, SUM(t * (t - 1) * (2 * t + 5))::BIGINT AS tt
+  FROM (SELECT hq, hr, n, COUNT(*)::BIGINT AS t FROM m GROUP BY hq, hr, n)
+  GROUP BY hq, hr
+)
+SELECT l.hq, l.hr, l.L AS n_weeks, COALESCE(p.s, 0)::BIGINT AS s,
+       CASE WHEN CAST(l.L * (l.L - 1) * (2 * l.L + 5) - t.tt AS DOUBLE) / 18.0 <= 0.0
+              THEN 0.0
+            WHEN COALESCE(p.s, 0) > 0 THEN ROUND(((COALESCE(p.s, 0) - 1)
+              / sqrt(CAST(l.L * (l.L - 1) * (2 * l.L + 5) - t.tt AS DOUBLE) / 18.0)) * 1e6) / 1e6
+            WHEN COALESCE(p.s, 0) < 0 THEN ROUND(((COALESCE(p.s, 0) + 1)
+              / sqrt(CAST(l.L * (l.L - 1) * (2 * l.L + 5) - t.tt AS DOUBLE) / 18.0)) * 1e6) / 1e6
+            ELSE 0.0 END AS z
+FROM lens l
+LEFT JOIN pairsum p ON p.hq = l.hq AND p.hr = l.hr
+JOIN ties t ON t.hq = l.hq AND t.hr = l.hr
+WHERE l.L >= 2
+"""

@@ -96,3 +96,57 @@ def test_hex_cover_join_equals_broadcast_join(ray_session, sf_dir):
         .reset_index(drop=True)
     )
     assert via_cover.equals(via_bcast)
+
+
+def test_mann_kendall_bruteforce(ray_session, sf_dir):
+    """Engine MK statistic == an O(L^2) reference loop per hex."""
+    from collections import defaultdict
+
+    from pygridmap_ray.pipelines.relational import events_hex_mann_kendall
+
+    out = (
+        events_hex_mann_kendall(sf_dir, hex_size=SIZE)
+        .to_pandas()
+        .sort_values(["hq", "hr"])
+        .reset_index(drop=True)
+    )
+
+    df = _events(sf_dir)
+    week = df["us"].to_numpy() // (7 * 86_400_000_000)
+    x, y = derive_xy(df["event_id"].to_numpy())
+    q, r = hex_axial(x, y, SIZE)
+    series = defaultdict(lambda: defaultdict(int))
+    for qi, ri, wi in zip(q, r, week):
+        series[(qi, ri)][wi] += 1
+    rows = []
+    for (qi, ri), wk in series.items():
+        ws = sorted(wk)
+        n = [wk[w] for w in ws]
+        L = len(n)
+        if L < 2:
+            continue
+        s = sum(
+            (n[j] > n[i]) - (n[j] < n[i])
+            for i in range(L)
+            for j in range(i + 1, L)
+        )
+        from collections import Counter
+
+        tt = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(n).values()
+        )
+        var = (L * (L - 1) * (2 * L + 5) - tt) / 18.0
+        if var <= 0:
+            z = 0.0
+        elif s > 0:
+            z = (s - 1) / np.sqrt(var)
+        elif s < 0:
+            z = (s + 1) / np.sqrt(var)
+        else:
+            z = 0.0
+        rows.append((qi, ri, L, s, z))
+    rows.sort()
+    assert len(out) == len(rows)
+    for (qi, ri, L, s, z), (_, got) in zip(rows, out.iterrows()):
+        assert (got["hq"], got["hr"], got["n_weeks"], got["s"]) == (qi, ri, L, s)
+        assert abs(got["z"] - z) < 1e-5
