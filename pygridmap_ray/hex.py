@@ -44,6 +44,7 @@ __all__ = [
     "hex_axial",
     "hex_center",
     "hex_idw",
+    "hex_lattice_stats",
     "hex_neighbors",
     "hex_spatial_lag",
     "with_hex_cells",
@@ -523,6 +524,117 @@ def hex_zscore(ds, *, size: float):
         )
 
     return dens.map_batches(finish, batch_format="pyarrow")
+
+
+# axial neighbor directions in CYCLIC order (consecutive entries are
+# themselves adjacent — the corner-triple property triangle counting uses)
+_CYCLE = ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+
+def hex_lattice_stats(ds, *, size: float):
+    """Graph profile of the occupied-hex adjacency lattice: one row
+    (n_cells, n_edges, n_triangles) where edges join adjacent occupied
+    cells and triangles are 3-cliques (corner triples of mutually
+    adjacent cells).
+
+    Law: every occupied cell scatters an occupancy bit to each of its 6
+    neighbors; per occupied cell the 6-bit mask m gives popcount(m)
+    half-edges and ``sum_i m_i & m_{(i+1) mod 6}`` triangle corners
+    (consecutive cyclic directions are mutually adjacent) — so
+    ``E = sum popcount / 2`` and ``T = sum corners / 3``.  Exact
+    integers, no float law.
+
+    Scale shape: unique-cell partials -> scatter (6 rows/cell + self
+    marker) -> ONE hash aggregate -> int partials -> global sum.  The
+    same no-join marker-row plan as :func:`hex_focal`; never an
+    edge-list materialization.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u = np.unique(key)
+        return pa.table({"hkey": u, "one": np.ones(len(u), np.int64)})
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Max("one", alias_name="occ"))
+    )
+
+    def scatter(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.int64()),
+                    "bit": pa.array([], pa.int64()),
+                    "self_occ": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        tkeys, bits = [], []
+        for i, (dq, dr) in enumerate(_CYCLE):
+            # target t = c + d_i sees c as its neighbor in the OPPOSITE
+            # direction (i + 3) mod 6
+            tkeys.append(_pack(q + dq, r + dr))
+            bits.append(
+                np.full(len(q), np.int64(1) << ((i + 3) % 6), np.int64)
+            )
+        tkey = np.concatenate(tkeys + [_pack(q, r)])
+        bit = np.concatenate(bits + [np.zeros(len(q), np.int64)])
+        self_occ = np.concatenate(
+            [np.zeros(6 * len(q), np.int64), np.ones(len(q), np.int64)]
+        )
+        return pa.table({"tkey": tkey, "bit": bit, "self_occ": self_occ})
+
+    masked = (
+        cells.map_batches(scatter, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(
+            Sum("bit", alias_name="mask"),
+            Max("self_occ", alias_name="occ"),
+        )
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            z = np.zeros(1, np.int64)
+            return pa.table({"cells": z, "half_edges": z, "corners": z})
+        occ = np.asarray(b["occ"], np.int64) > 0
+        m = np.asarray(b["mask"], np.int64)[occ]
+        half = np.zeros(len(m), np.int64)
+        corners = np.zeros(len(m), np.int64)
+        for i in range(6):
+            bi = (m >> i) & 1
+            half += bi
+            corners += bi & ((m >> ((i + 1) % 6)) & 1)
+        return pa.table(
+            {
+                "cells": np.array([int(occ.sum())], np.int64),
+                "half_edges": np.array([int(half.sum())], np.int64),
+                "corners": np.array([int(corners.sum())], np.int64),
+            }
+        )
+
+    tot = masked.map_batches(counts, batch_format="pyarrow").sum(
+        ["cells", "half_edges", "corners"]
+    )
+
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([int(tot["sum(cells)"])], pa.int64()),
+                "n_edges": pa.array(
+                    [int(tot["sum(half_edges)"]) // 2], pa.int64()
+                ),
+                "n_triangles": pa.array(
+                    [int(tot["sum(corners)"]) // 3], pa.int64()
+                ),
+            }
+        )
+    )
 
 
 def hex_spatial_lag(ds, *, size: float):

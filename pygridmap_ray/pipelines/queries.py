@@ -294,6 +294,16 @@ def q_hex_spatial_lag(sf_dir: str):
     return hex_spatial_lag(ds, size=HEX_SIZE)
 
 
+def q_hex_triangles(sf_dir: str):
+    """Triangle count on the occupied-hex adjacency graph
+    (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
+    distributed triangle counting with zero edge-list materialization."""
+    from ..hex import hex_lattice_stats, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return hex_lattice_stats(ds, size=HEX_SIZE)
+
+
 def q_hex_density(sf_dir: str):
     """Per-hex doc density with cell centers: packed-key unique partials
     -> one small hash aggregate -> unpack (raw rows never shuffle)."""
@@ -5401,6 +5411,7 @@ def queries():
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
+        "hex_triangles": q_hex_triangles,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -5671,6 +5682,34 @@ def _sql_s2_density() -> str:
         f"WITH xyz AS ({sql_xyz_cte()}), {sql_s2_cte(S2_LEVEL)} "
         f"SELECT (s2_cell >> {shift}) AS s2_cell6,"
         f" COUNT(*)::BIGINT AS n_docs FROM s2 GROUP BY 1"
+    )
+
+
+def _sql_hex_triangles() -> str:
+    from ..hex import _CYCLE, sql_hex_cte
+    from ..synth import sql_points_cte
+
+    def nb_join(alias, dq, dr):
+        return (
+            f"JOIN cells {alias} ON {alias}.hq = c.hq + {dq}"
+            f" AND {alias}.hr = c.hr + {dr}"
+        )
+
+    tri_branches = " UNION ALL ".join(
+        f"SELECT 1 FROM cells c {nb_join('a', *_CYCLE[i])}"
+        f" {nb_join('b', *_CYCLE[(i + 1) % 6])}"
+        for i in range(6)
+    )
+    edge_branches = " UNION ALL ".join(
+        f"SELECT 1 FROM cells c {nb_join('a', dq, dr)}" for dq, dr in _CYCLE
+    )
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"cells AS (SELECT DISTINCT hq, hr FROM hexed) "
+        f"SELECT (SELECT COUNT(*) FROM cells)::BIGINT AS n_cells,"
+        f" ((SELECT COUNT(*) FROM ({edge_branches})) // 2)::BIGINT AS n_edges,"
+        f" ((SELECT COUNT(*) FROM ({tri_branches})) // 3)::BIGINT"
+        f" AS n_triangles"
     )
 
 
@@ -6022,6 +6061,7 @@ def oracle_sql():
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),
+        "hex_triangles": _sql_hex_triangles(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -269,3 +269,54 @@ def test_hex_spatial_lag_bruteforce(ray_session):
     assert abs(row["beta0"] - b0) < 1e-5
     assert abs(row["r2"] - r2) < 1e-5
     assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_hex_lattice_stats_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.hex import hex_lattice_stats
+
+    # hand lattice: a filled 2-ring around origin (19 cells)
+    from pygridmap_ray.hex import kring_offsets
+
+    cells = kring_offsets(2)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "hq": np.array([c[0] for c in cells], np.int64),
+                "hr": np.array([c[1] for c in cells], np.int64),
+            }
+        )
+    )
+    out = hex_lattice_stats(ds, size=10.0).to_pandas().iloc[0]
+
+    cyc = [(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
+    cs = set(cells)
+    edges = sum(
+        1 for (q, r) in cs for dq, dr in cyc if (q + dq, r + dr) in cs
+    ) // 2
+    tris = (
+        sum(
+            1
+            for (q, r) in cs
+            for i in range(6)
+            if (q + cyc[i][0], r + cyc[i][1]) in cs
+            and (q + cyc[(i + 1) % 6][0], r + cyc[(i + 1) % 6][1]) in cs
+        )
+        // 3
+    )
+    assert out["n_cells"] == 19
+    assert out["n_edges"] == edges
+    assert out["n_triangles"] == tris
+
+    # duplicate input rows must not change the profile
+    ds2 = rd.from_arrow(
+        pa.table(
+            {
+                "hq": np.array([c[0] for c in cells * 3], np.int64),
+                "hr": np.array([c[1] for c in cells * 3], np.int64),
+            }
+        )
+    )
+    out2 = hex_lattice_stats(ds2, size=10.0).to_pandas().iloc[0]
+    assert (out2 == out).all()
