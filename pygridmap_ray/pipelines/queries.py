@@ -2576,6 +2576,31 @@ def q_area_interpolate(sf_dir: str):
     return out.map_batches(lambda b: round6(b, ["pop"]), batch_format="pyarrow")
 
 
+def q_poly_metrics(sf_dir: str):
+    """Per-polygon shape metrics (overlay.poly_metrics): shoelace area,
+    boundary length, Polsby-Popper compactness over the fixture layer —
+    geopandas .area/.length/compactness parity, reduceat-vectorized."""
+    import ray.data as rd
+
+    from ..overlay import poly_metrics
+
+    subs = [
+        {
+            "poly_id": p["poly_id"],
+            "rings": [r.tolist() for r in p["rings"]],
+        }
+        for p in polygon_layer()
+    ]
+    return poly_metrics(rd.from_items(subs).repartition(2))
+
+
+def _sql_poly_metrics() -> str:
+    from ..overlay import sql_poly_metrics
+    from ..synth import _POLY_RINGS
+
+    return sql_poly_metrics(_POLY_RINGS)
+
+
 def q_poly_overlay(sf_dir: str):
     """Layer x layer overlay (general convex-clip Sutherland-Hodgman):
     the 8-polygon fixture layer (km-scaled; holes included) against the
@@ -5508,6 +5533,7 @@ def queries():
         "overlay_union": q_overlay_union,
         "area_interpolate": q_area_interpolate,
         "poly_overlay": q_poly_overlay,
+        "poly_metrics": q_poly_metrics,
         "poly_overlay_concave": q_poly_overlay_concave,
         "disaggregate": q_disaggregate,
         "grid_aggregation": q_grid_aggregation,
@@ -6188,6 +6214,7 @@ def oracle_sql():
         "overlay_intersection": sql_overlay_fragments(spec50, how="intersection"),
         "overlay_union": sql_overlay_fragments(spec50, how="union"),
         "poly_overlay": _sql_poly_overlay(),
+        "poly_metrics": _sql_poly_metrics(),
         "poly_overlay_concave": _sql_poly_overlay_concave(),
         "area_interpolate": sql_grid_overlay_sum(spec50, ["pop"]),
         "disaggregate": _sql_disaggregate(),

@@ -250,3 +250,41 @@ def test_poly_overlay_heal_tol_matches_clean_layer(ray_session):
     clean = run(rows(False))
     healed = run(rows(True), heal_tol=1e-9)
     assert clean.equals(healed)
+
+
+def test_poly_metrics_known_shapes(ray_session):
+    """Area/perimeter/compactness against hand-computed shapes,
+    including a hole and a circle-approximation compactness limit."""
+    import math
+
+    import ray.data as rd
+
+    from pygridmap_ray.overlay import poly_metrics
+
+    # unit square; square with a centered half-size hole; near-circle
+    theta = np.linspace(0, 2 * np.pi, 200, endpoint=False)
+    circ = [[math.cos(t), math.sin(t)] for t in theta]
+    subs = [
+        {"poly_id": 0, "rings": [[[0, 0], [4, 0], [4, 4], [0, 4]]]},
+        {
+            "poly_id": 1,
+            "rings": [
+                [[0, 0], [4, 0], [4, 4], [0, 4]],
+                [[1, 1], [1, 3], [3, 3], [3, 1]],  # CW hole
+            ],
+        },
+        {"poly_id": 2, "rings": [circ]},
+    ]
+    out = (
+        poly_metrics(rd.from_items(subs))
+        .to_pandas()
+        .sort_values("poly_id")
+        .reset_index(drop=True)
+    )
+    assert abs(out.loc[0, "area"] - 16.0) < 1e-12
+    assert abs(out.loc[0, "perimeter"] - 16.0) < 1e-12
+    assert abs(out.loc[0, "compactness"] - math.pi / 4) < 1e-6
+    assert abs(out.loc[1, "area"] - 12.0) < 1e-12
+    assert abs(out.loc[1, "perimeter"] - 24.0) < 1e-12
+    # near-circle approaches the isoperimetric bound 1
+    assert out.loc[2, "compactness"] > 0.999
