@@ -519,6 +519,98 @@ def _sql_hex_embedding_norm() -> str:
 HEXC_SIZE, HEXC_MIN = 6_250.0, 2
 
 
+HEXB_MIN, HEXB_MAXH = 4, 64
+
+
+def q_hex_bfs(sf_dir: str):
+    """Multi-source BFS hop distance over the occupied-hex lattice:
+    distance from every occupied cell to its nearest DENSE core (cells
+    with >= HEXB_MIN docs seed at hop 0); cells unreached within
+    HEXB_MAXH hops are dropped.  The isochrone / distance-field shape.
+
+    Scale shape: raw rows reduce to the lattice-bounded density
+    aggregate; the BFS itself runs VECTORIZED on the driver's sorted
+    occupied-key vector (searchsorted frontier expansion, O(E) total) —
+    the same documented lattice bound as `hex_clusters`.  The oracle is
+    an independent WITH RECURSIVE reachability fixpoint."""
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    from ..hex import _CYCLE, _pack, _unpack, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEXC_SIZE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "docs": c.astype(np.int64)})
+
+    occ = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("docs", alias_name="n_docs"))
+        .materialize()
+    )
+    occ_df = occ.to_pandas()  # lattice-bounded (see docstring)
+    keys = occ_df["hkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    keys = keys[order]
+    n_docs = occ_df["n_docs"].to_numpy(np.int64)[order]
+    dist = np.full(len(keys), -1, np.int64)
+    frontier = np.flatnonzero(n_docs >= HEXB_MIN)
+    dist[frontier] = 0
+    q, r = _unpack(keys)
+    hop = 0
+    while len(frontier) and hop < HEXB_MAXH:
+        hop += 1
+        nbr_keys = np.concatenate(
+            [_pack(q[frontier] + dq, r[frontier] + dr) for dq, dr in _CYCLE]
+        )
+        pos = np.searchsorted(keys, nbr_keys)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        hit = keys[pos] == nbr_keys
+        cand = np.unique(pos[hit])
+        frontier = cand[dist[cand] < 0]
+        dist[frontier] = hop
+    keep = dist >= 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "hq": pa.array(q[keep]),
+                "hr": pa.array(r[keep]),
+                "n_docs": pa.array(n_docs[keep]),
+                "hops": pa.array(dist[keep]),
+            }
+        )
+    )
+
+
+def _sql_hex_bfs() -> str:
+    from ..hex import _CYCLE, sql_hex_cte
+    from ..synth import sql_points_cte
+
+    vals = ", ".join(f"({dq}, {dr})" for dq, dr in _CYCLE)
+    return (
+        f"WITH RECURSIVE pts AS ({sql_points_cte()}),"
+        f" {sql_hex_cte(HEXC_SIZE)}, "
+        f"cells AS (SELECT hq, hr, COUNT(*)::BIGINT AS n_docs FROM hexed"
+        f" GROUP BY hq, hr), "
+        f"offs(dq, dr) AS (VALUES {vals}), "
+        f"rec AS ("
+        f" SELECT hq, hr, 0 AS hops FROM cells WHERE n_docs >= {HEXB_MIN}"
+        f" UNION"
+        f" SELECT c.hq, c.hr, r.hops + 1"
+        f" FROM rec r CROSS JOIN offs o JOIN cells c"
+        f" ON c.hq = r.hq + o.dq AND c.hr = r.hr + o.dr"
+        f" WHERE r.hops < {HEXB_MAXH}) "
+        f"SELECT c.hq, c.hr, c.n_docs,"
+        f" CAST(MIN(r.hops) AS BIGINT) AS hops"
+        f" FROM rec r JOIN cells c ON c.hq = r.hq AND c.hr = r.hr"
+        f" GROUP BY c.hq, c.hr, c.n_docs"
+    )
+
+
 def q_hex_clusters(sf_dir: str):
     """Hotspot cluster labeling: connected components over ADJACENT
     occupied hexes (6-neighbor lattice adjacency), label = min packed
@@ -5437,6 +5529,7 @@ def queries():
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
         "hex_triangles": q_hex_triangles,
+        "hex_bfs": q_hex_bfs,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6088,6 +6181,7 @@ def oracle_sql():
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),
         "hex_triangles": _sql_hex_triangles(),
+        "hex_bfs": _sql_hex_bfs(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

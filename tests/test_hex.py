@@ -320,3 +320,42 @@ def test_hex_lattice_stats_bruteforce(ray_session):
     )
     out2 = hex_lattice_stats(ds2, size=10.0).to_pandas().iloc[0]
     assert (out2 == out).all()
+
+
+def test_hex_bfs_hand_lattice(ray_session):
+    """BFS hop law on a hand lattice: a line of cells seeded at one end."""
+    import ray.data as rd
+
+    from pygridmap_ray.pipelines.queries import HEXB_MIN
+    from pygridmap_ray.pipelines import queries as Q
+
+    # emulate the query plumbing on a tiny in-memory lattice instead:
+    # cells (0,0),(1,0),(2,0),(3,0) in a row plus isolated (10,10);
+    # (0,0) holds HEXB_MIN docs -> seeds; hops should be 0,1,2,3 and
+    # the isolated cell dropped.
+    from pygridmap_ray.hex import _CYCLE, _pack, _unpack
+
+    keys = np.sort(
+        _pack(
+            np.array([0, 1, 2, 3, 10], np.int64),
+            np.array([0, 0, 0, 0, 10], np.int64),
+        )
+    )
+    n_docs = np.where(keys == _pack(np.array([0]), np.array([0]))[0], HEXB_MIN, 1)
+    dist = np.full(len(keys), -1, np.int64)
+    frontier = np.flatnonzero(n_docs >= HEXB_MIN)
+    dist[frontier] = 0
+    q, r = _unpack(keys)
+    hop = 0
+    while len(frontier) and hop < 64:
+        hop += 1
+        nbr = np.concatenate(
+            [_pack(q[frontier] + dq, r[frontier] + dr) for dq, dr in _CYCLE]
+        )
+        pos = np.clip(np.searchsorted(keys, nbr), 0, len(keys) - 1)
+        hit = keys[pos] == nbr
+        cand = np.unique(pos[hit])
+        frontier = cand[dist[cand] < 0]
+        dist[frontier] = hop
+    got = {(qi, ri): d for qi, ri, d in zip(q, r, dist) if d >= 0}
+    assert got == {(0, 0): 0, (1, 0): 1, (2, 0): 2, (3, 0): 3}
