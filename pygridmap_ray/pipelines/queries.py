@@ -4382,6 +4382,15 @@ def q_raster_d8(sf_dir: str):
     )
 
 
+def q_raster_bilinear(sf_dir: str):
+    """Bilinear resampling of the elevation band to a 1.5 km grid
+    (raster.bilinear_raster): 2x2-support interpolation with exact
+    fractional weights, row-strip tasks reading only their source rows."""
+    from ..raster import SyntheticRaster, bilinear_raster
+
+    return bilinear_raster(SyntheticRaster(**_RASTER_KW), 1500.0)
+
+
 def q_disaggregate(sf_dir: str):
     """Dasymetric disaggregation (inverse area interpolation): polygon
     totals spread onto cells by intersection-area weight; the final Sum
@@ -5691,6 +5700,7 @@ def queries():
         "raster_cells": q_raster_cells,
         "raster_hillshade": q_raster_hillshade,
         "raster_d8": q_raster_d8,
+        "raster_bilinear": q_raster_bilinear,
         "raster_resample": q_raster_resample,
         "zonal_stats": q_zonal_stats,
         "frame_rowsum": q_frame_rowsum,
@@ -6412,6 +6422,7 @@ def oracle_sql():
         "raster_cells": _sql_raster_cells(),
         "raster_hillshade": _sql_raster_hillshade(),
         "raster_d8": _sql_raster_d8(),
+        "raster_bilinear": _sql_raster_bilinear(),
         "raster_resample": _sql_raster_resample(),
         "zonal_stats": _sql_zonal_stats(),
         "frame_rowsum": (
@@ -6445,6 +6456,12 @@ def _sql_raster_d8():
     from ..raster import SyntheticRaster, sql_d8_flow
 
     return sql_d8_flow(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
+
+
+def _sql_raster_bilinear():
+    from ..raster import SyntheticRaster, sql_bilinear
+
+    return sql_bilinear(SyntheticRaster(**_RASTER_KW), 1500.0)
 
 
 def _sql_raster_hillshade():

@@ -278,6 +278,181 @@ def resample_raster(
     return ds.map_batches(sample, batch_format="pyarrow", batch_size=2)
 
 
+def bilinear_raster(
+    raster: RasterSource,
+    out_resolution: float,
+    *,
+    band: str = "elev",
+    concurrency=None,
+):
+    """Bilinear resampling to a new output grid: every output cell center
+    interpolates the FOUR surrounding source pixel centers (weights are
+    the fractional offsets; pixel centers sit at (col + 0.5) * res).
+
+    Law (twin-identical): ``g = (center - origin)/res - 0.5``; corner
+    index = floor(g); skip output cells whose 2x2 support is out of
+    bounds or touches nodata; value rounded half-away 6dp (the weights
+    are exact-arithmetic doubles, so only summation ulps diverge —
+    orders below the step).
+
+    Scale shape: same row-strip task layout as :func:`resample_raster`
+    (each strip reads only its source rows — partition-pruned reads, no
+    shuffle).
+    """
+    import math
+
+    import ray.data as rd
+
+    n_out_x = math.ceil(raster.width * raster.resolution / out_resolution)
+    n_out_y = math.ceil(raster.height * raster.resolution / out_resolution)
+    rows_per_task = max(1, 4096 // max(n_out_x, 1))
+    specs = [
+        {"oy0": oy, "oy1": min(oy + rows_per_task, n_out_y)}
+        for oy in range(0, n_out_y, rows_per_task)
+    ]
+
+    def sample(batch: pa.Table) -> pa.Table:
+        parts = []
+        for oy0, oy1 in zip(
+            np.asarray(batch["oy0"], dtype=np.int64),
+            np.asarray(batch["oy1"], dtype=np.int64),
+        ):
+            oy = np.arange(oy0, oy1)
+            ox = np.arange(n_out_x)
+            gyi, gxi = np.meshgrid(oy, ox, indexing="ij")
+            gyi, gxi = gyi.ravel(), gxi.ravel()
+            cx = raster.x_min + gxi * out_resolution + out_resolution / 2.0
+            cy = raster.y_min + gyi * out_resolution + out_resolution / 2.0
+            gx = (cx - raster.x_min) / raster.resolution - 0.5
+            gy = (cy - raster.y_min) / raster.resolution - 0.5
+            c0 = np.floor(gx).astype(np.int64)
+            b0 = np.floor(gy).astype(np.int64)
+            fx = gx - c0
+            fy = gy - b0
+            ok = (
+                (c0 >= 0)
+                & (c0 + 1 < raster.width)
+                & (b0 >= 0)
+                & (b0 + 1 < raster.height)
+            )
+            gxi, gyi = gxi[ok], gyi[ok]
+            c0, b0, fx, fy = c0[ok], b0[ok], fx[ok], fy[ok]
+            if not len(c0):
+                continue
+            # array rows for bottom-row indices b0 (y-flip)
+            r1 = raster.height - 1 - b0  # row of b0 (lower y)
+            r0 = r1 - 1  # row of b0 + 1
+            lo = int(r0.min())
+            hi = int(r1.max())
+            win = raster.read_window(band, lo, 0, hi - lo + 1, raster.width)
+            v00 = win[r1 - lo, c0]
+            v10 = win[r1 - lo, c0 + 1]
+            v01 = win[r0 - lo, c0]
+            v11 = win[r0 - lo, c0 + 1]
+            valid = (
+                (v00 != NODATA)
+                & (v10 != NODATA)
+                & (v01 != NODATA)
+                & (v11 != NODATA)
+            )
+            val = (
+                v00 * (1.0 - fx) * (1.0 - fy)
+                + v10 * fx * (1.0 - fy)
+                + v01 * (1.0 - fx) * fy
+                + v11 * fx * fy
+            )
+            val = np.sign(val) * np.floor(np.abs(val) * 1e6 + 0.5) / 1e6
+            parts.append(
+                pa.table(
+                    {
+                        "ox": pa.array(gxi[valid]),
+                        "oy": pa.array(gyi[valid]),
+                        "x": pa.array(
+                            (raster.x_min + gxi * out_resolution)[valid]
+                        ),
+                        "y": pa.array(
+                            (raster.y_min + gyi * out_resolution)[valid]
+                        ),
+                        band: pa.array(val[valid]),
+                    }
+                )
+            )
+        if parts:
+            return pa.concat_tables(parts)
+        return pa.table(
+            {
+                "ox": pa.array([], pa.int64()),
+                "oy": pa.array([], pa.int64()),
+                "x": pa.array([], pa.float64()),
+                "y": pa.array([], pa.float64()),
+                band: pa.array([], pa.float64()),
+            }
+        )
+
+    ds = rd.from_items(specs).repartition(min(len(specs), 128))
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=2)
+
+
+def sql_bilinear(
+    raster: SyntheticRaster, out_resolution: float, band: str = "elev"
+) -> str:
+    """Oracle: the same 2x2 bilinear law over generate_series output
+    cells with closed-form corner values (identical constants/op order)."""
+    h, w, res = raster.height, raster.width, raster.resolution
+    x0, y0 = raster.x_min, raster.y_min
+    p1, p2 = _BAND_P1[band], _BAND_P2[band]
+    pct = _BAND_NODATA_PCT[band]
+    import math
+
+    n_out_x = math.ceil(w * res / out_resolution)
+    n_out_y = math.ceil(h * res / out_resolution)
+    cx = f"({x0!r} + ox.i * {out_resolution!r} + {out_resolution!r} / 2.0)"
+    cy = f"({y0!r} + oy.i * {out_resolution!r} + {out_resolution!r} / 2.0)"
+    gx = f"(({cx} - {x0!r}) / {res!r} - 0.5)"
+    gy = f"(({cy} - {y0!r}) / {res!r} - 0.5)"
+    c0 = f"CAST(floor({gx}) AS BIGINT)"
+    b0 = f"CAST(floor({gy}) AS BIGINT)"
+    fx = f"({gx} - {c0})"
+    fy = f"({gy} - {b0})"
+    r1 = f"({h} - 1 - {b0})"
+    r0 = f"({r1} - 1)"
+
+    def zv(rr, cc):
+        return f"((({rr}) * {p1} + ({cc}) * {p2}) % 1000)::DOUBLE"
+
+    def okv(rr, cc):
+        return f"((({rr}) * 7919 + ({cc}) * 104729) % 100) >= {pct}"
+
+    v00 = zv(r1, c0)
+    v10 = zv(r1, f"{c0} + 1")
+    v01 = zv(r0, c0)
+    v11 = zv(r0, f"{c0} + 1")
+    val = (
+        f"({v00} * (1.0 - {fx}) * (1.0 - {fy})"
+        f" + {v10} * {fx} * (1.0 - {fy})"
+        f" + {v01} * (1.0 - {fx}) * {fy}"
+        f" + {v11} * {fx} * {fy})"
+    )
+    valid = " AND ".join(
+        [
+            okv(r1, c0),
+            okv(r1, f"{c0} + 1"),
+            okv(r0, c0),
+            okv(r0, f"{c0} + 1"),
+        ]
+    )
+    return f"""
+SELECT ox.i AS ox, oy.i AS oy,
+       {x0!r} + ox.i * {out_resolution!r} AS x,
+       {y0!r} + oy.i * {out_resolution!r} AS y,
+       ROUND(({val}) * 1000000.0) / 1000000.0 AS {band}
+FROM (SELECT UNNEST(generate_series(0, {n_out_x - 1})) AS i) ox,
+     (SELECT UNNEST(generate_series(0, {n_out_y - 1})) AS i) oy
+WHERE {c0} >= 0 AND {c0} + 1 < {w} AND {b0} >= 0 AND {b0} + 1 < {h}
+  AND {valid}
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins
 # ---------------------------------------------------------------------------

@@ -213,3 +213,33 @@ def test_d8_halo_matches_whole_and_semantics(ray_session):
             if d > best:
                 best, bestcode = d, code
         assert d8s[i] == (bestcode if best > 0 else 0), i
+
+
+def test_bilinear_interpolates_exactly_on_smooth_field(ray_session):
+    """On a nodata-free LINEAR synthetic field, bilinear interpolation
+    must reproduce the plane exactly at every sample point."""
+    import numpy as np
+
+    from pygridmap_ray.raster import RasterSource, bilinear_raster
+
+    class Plane(RasterSource):
+        bands = ("elev",)
+        height, width = 64, 64
+        x_min = y_min = 0.0
+        resolution = 1000.0
+
+        def read_window(self, band, row0, col0, h, w):
+            rows = np.arange(row0, min(row0 + h, self.height))
+            cols = np.arange(col0, min(col0 + w, self.width))
+            r, c = np.meshgrid(rows, cols, indexing="ij")
+            # value linear in map coords: y decreases with array row
+            return 2.0 * c + 3.0 * (self.height - 1 - r)
+
+    r = Plane()
+    out = bilinear_raster(r, 1500.0, band="elev").to_pandas()
+    assert len(out) > 0
+    # plane in pixel units: v = 2*px + 3*py with px=(x-x0)/res-0.5 offset
+    px = (out["x"] + 750.0 - r.x_min) / r.resolution - 0.5
+    py = (out["y"] + 750.0 - r.y_min) / r.resolution - 0.5
+    expect = 2.0 * px + 3.0 * py
+    assert np.allclose(out["elev"].to_numpy(), expect, atol=1e-6)
