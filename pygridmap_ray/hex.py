@@ -43,6 +43,7 @@ import pyarrow.compute as pc
 __all__ = [
     "hex_axial",
     "hex_center",
+    "general_g",
     "hex_idw",
     "hex_lattice_stats",
     "hex_neighbors",
@@ -632,6 +633,117 @@ def hex_lattice_stats(ds, *, size: float):
                 "n_triangles": pa.array(
                     [int(tot["sum(corners)"]) // 3], pa.int64()
                 ),
+            }
+        )
+    )
+
+
+def general_g(ds, *, size: float):
+    """Getis-Ord General G over the occupied-hex density field with
+    binary ring-1 lattice weights: ``G = sum_{i!=j} w_ij x_i x_j /
+    sum_{i!=j} x_i x_j`` plus its expectation ``E[G] = W / (n(n-1))``
+    (universe = occupied cells; x = cell doc count; W = directed
+    adjacent-pair count).  One row (n_cells, w_sum, g, e_g), g/e_g
+    rounded 6dp — the global clustering companion to :func:`gi_star`.
+
+    Scale shape: the same density -> neighbor-scatter -> single hash
+    aggregate plan as :func:`hex_spatial_lag` (the scatter additionally
+    carries a 1 per contribution to count W); all sums are exact
+    integers, reduced to four scalars.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    neigh = [o for o in kring_offsets(1) if o != (0, 0)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "docs": c.astype(np.int64)})
+
+    dens = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("docs", alias_name="n"))
+    )
+
+    def scatter(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.int64()),
+                    "contrib": pa.array([], pa.int64()),
+                    "links": pa.array([], pa.int64()),
+                    "self_n": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        n = np.asarray(b["n"], np.int64)
+        tkey = np.concatenate(
+            [_pack(q + dq, r + dr) for dq, dr in neigh] + [_pack(q, r)]
+        )
+        contrib = np.concatenate(
+            [np.tile(n, len(neigh)), np.zeros(len(n), np.int64)]
+        )
+        links = np.concatenate(
+            [np.ones(len(neigh) * len(n), np.int64), np.zeros(len(n), np.int64)]
+        )
+        self_n = np.concatenate([np.zeros(len(neigh) * len(n), np.int64), n])
+        return pa.table(
+            {"tkey": tkey, "contrib": contrib, "links": links, "self_n": self_n}
+        )
+
+    lagged = (
+        dens.map_batches(scatter, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(
+            Sum("contrib", alias_name="ring_sum"),
+            Sum("links", alias_name="nbrs"),
+            Max("self_n", alias_name="n"),
+        )
+    )
+
+    def sums(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            z = np.zeros(1, np.int64)
+            return pa.table(
+                {"cnt": z, "num": z, "w": z, "sx": z, "sxx": z}
+            )
+        n = np.asarray(b["n"], np.int64)
+        keep = n > 0
+        x = n[keep]
+        ring = np.asarray(b["ring_sum"], np.int64)[keep]
+        nbrs = np.asarray(b["nbrs"], np.int64)[keep]
+        return pa.table(
+            {
+                "cnt": np.array([int(keep.sum())], np.int64),
+                "num": np.array([int((x * ring).sum())], np.int64),
+                "w": np.array([int(nbrs.sum())], np.int64),
+                "sx": np.array([int(x.sum())], np.int64),
+                "sxx": np.array([int((x * x).sum())], np.int64),
+            }
+        )
+
+    tot = lagged.map_batches(sums, batch_format="pyarrow").sum(
+        ["cnt", "num", "w", "sx", "sxx"]
+    )
+
+    import ray.data as rd
+
+    nn = int(tot["sum(cnt)"])
+    num = float(tot["sum(num)"])
+    w = int(tot["sum(w)"])
+    sx = float(tot["sum(sx)"])
+    sxx = float(tot["sum(sxx)"])
+    g = num / (sx * sx - sxx)
+    e_g = float(w) / (float(nn) * (float(nn) - 1.0))
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([nn], pa.int64()),
+                "w_sum": pa.array([w], pa.int64()),
+                "g": pa.array([rnd(g)]),
+                "e_g": pa.array([rnd(e_g)]),
             }
         )
     )

@@ -294,6 +294,44 @@ def q_hex_spatial_lag(sf_dir: str):
     return hex_spatial_lag(ds, size=HEX_SIZE)
 
 
+def q_general_g(sf_dir: str):
+    """Getis-Ord General G over the hex density field (hex.general_g):
+    global spatial clustering of high values with binary ring-1 weights —
+    completes the ESDA suite (morans_i, local_moran, gi_star)."""
+    from ..hex import general_g, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return general_g(ds, size=HEX_SIZE)
+
+
+def _sql_general_g() -> str:
+    from ..hex import kring_offsets, sql_hex_cte
+    from ..synth import sql_points_cte
+
+    vals = ", ".join(
+        f"({dq}, {dr})" for dq, dr in kring_offsets(1) if (dq, dr) != (0, 0)
+    )
+    rnd = lambda e: f"(ROUND(({e}) * 1000000.0) / 1000000.0)"
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"cells AS (SELECT hq, hr, COUNT(*)::BIGINT AS n FROM hexed"
+        f" GROUP BY hq, hr), "
+        f"offs(dq, dr) AS (VALUES {vals}), "
+        f"pairs AS (SELECT a.n AS xi, b.n AS xj FROM cells a"
+        f" CROSS JOIN offs o JOIN cells b"
+        f" ON b.hq = a.hq + o.dq AND b.hr = a.hr + o.dr), "
+        f"s AS (SELECT (SELECT COUNT(*) FROM cells)::BIGINT AS nn,"
+        f" (SELECT SUM(xi * xj) FROM pairs)::BIGINT AS num,"
+        f" (SELECT COUNT(*) FROM pairs)::BIGINT AS w,"
+        f" (SELECT SUM(n) FROM cells)::BIGINT AS sx,"
+        f" (SELECT SUM(n * n) FROM cells)::BIGINT AS sxx) "
+        f"SELECT nn AS n_cells, w AS w_sum,"
+        f" {rnd('CAST(num AS DOUBLE) / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) - CAST(sxx AS DOUBLE))')} AS g,"
+        f" {rnd('CAST(w AS DOUBLE) / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))')} AS e_g"
+        f" FROM s"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -5539,6 +5577,7 @@ def queries():
         "hex_mann_kendall": q_hex_mann_kendall,
         "hex_triangles": q_hex_triangles,
         "hex_bfs": q_hex_bfs,
+        "general_g": q_general_g,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6192,6 +6231,7 @@ def oracle_sql():
         "hex_mann_kendall": _sql_hex_mann_kendall(),
         "hex_triangles": _sql_hex_triangles(),
         "hex_bfs": _sql_hex_bfs(),
+        "general_g": _sql_general_g(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -359,3 +359,35 @@ def test_hex_bfs_hand_lattice(ray_session):
         dist[frontier] = hop
     got = {(qi, ri): d for qi, ri, d in zip(q, r, dist) if d >= 0}
     assert got == {(0, 0): 0, (1, 0): 1, (2, 0): 2, (3, 0): 3}
+
+
+def test_general_g_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.hex import general_g, hex_axial, kring_offsets
+
+    rng = np.random.default_rng(9)
+    n, size = 500, 10.0
+    x = rng.uniform(0, 120, n)
+    y = rng.uniform(0, 120, n)
+    q, r = hex_axial(x, y, size)
+    ds = rd.from_arrow(pa.table({"hq": q, "hr": r}))
+    out = general_g(ds, size=size).to_pandas().iloc[0]
+
+    from collections import Counter
+
+    cnt = Counter(zip(q.tolist(), r.tolist()))
+    neigh = [o for o in kring_offsets(1) if o != (0, 0)]
+    num = w = 0
+    for (cq, cr), ci in cnt.items():
+        for dq, dr in neigh:
+            cj = cnt.get((cq + dq, cr + dr))
+            if cj is not None:
+                num += ci * cj
+                w += 1
+    vals = np.array(list(cnt.values()), float)
+    den = vals.sum() ** 2 - (vals * vals).sum()
+    nn = len(cnt)
+    assert out["n_cells"] == nn and out["w_sum"] == w
+    assert abs(out["g"] - num / den) < 1e-5
+    assert abs(out["e_g"] - w / (nn * (nn - 1))) < 1e-5
