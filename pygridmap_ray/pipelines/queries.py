@@ -5206,6 +5206,21 @@ def _sql_hex_mann_kendall() -> str:
     return sql_events_hex_mann_kendall(hex_size=HEX_SIZE)
 
 
+def q_od_gravity(sf_dir: str):
+    """Gravity-model (distance-decay) fit over OD hex flows: OLS of
+    ln(flow) on ln(center distance) — the classic spatial-interaction
+    regression, reduced to six scalars on the driver."""
+    from .relational import events_od_gravity
+
+    return events_od_gravity(sf_dir, hex_size=HEX_SIZE)
+
+
+def _sql_od_gravity() -> str:
+    from .relational import sql_events_od_gravity
+
+    return sql_events_od_gravity(hex_size=HEX_SIZE)
+
+
 def q_step_bearings(sf_dir: str):
     from .relational import events_step_bearings
 
@@ -5578,6 +5593,7 @@ def queries():
         "hex_triangles": q_hex_triangles,
         "hex_bfs": q_hex_bfs,
         "general_g": q_general_g,
+        "od_gravity": q_od_gravity,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6232,6 +6248,7 @@ def oracle_sql():
         "hex_triangles": _sql_hex_triangles(),
         "hex_bfs": _sql_hex_bfs(),
         "general_g": _sql_general_g(),
+        "od_gravity": _sql_od_gravity(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -1883,3 +1883,190 @@ LEFT JOIN pairsum p ON p.hq = l.hq AND p.hr = l.hr
 JOIN ties t ON t.hq = l.hq AND t.hr = l.hr
 WHERE l.L >= 2
 """
+
+
+def events_od_gravity(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
+    """Gravity-model fit over the OD hex-flow matrix: OLS of
+    ``ln(flow)`` on ``ln(center distance)`` across origin!=destination
+    flows — one row (n_pairs, alpha, beta, r2), 6dp.  beta is the
+    distance-decay exponent of the classic spatial-interaction model
+    (typically negative).
+
+    Scale shape: the :func:`events_od_matrix` plan (one coarse bucket
+    shuffle + composite aggregate) feeding six-scalar log-sums and a
+    closed-form fit — flows never leave the cluster, the driver sees six
+    numbers.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, hex_axial, hex_center
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, eid = uid[order], eid[order]
+        starts = np.concatenate([[True], uid[1:] != uid[:-1]])
+        ends = np.concatenate([uid[1:] != uid[:-1], [True]])
+        ox, oy = derive_xy(eid[starts])
+        dx, dy = derive_xy(eid[ends])
+        okey = _pack(*hex_axial(ox, oy, hex_size))
+        dkey = _pack(*hex_axial(dx, dy, hex_size))
+        po = np.lexsort((dkey, okey))
+        ok, dk = okey[po], dkey[po]
+        bound = np.concatenate([[True], (ok[1:] != ok[:-1]) | (dk[1:] != dk[:-1])])
+        s = np.flatnonzero(bound)
+        n = np.diff(np.append(s, len(ok)))
+        return pd.DataFrame(
+            {"okey": ok[s], "dkey": dk[s], "n": n.astype(np.int64)}
+        )
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby(["okey", "dkey"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def sums(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            z = np.zeros(1)
+            return pa.table(
+                {"cnt": np.zeros(1, np.int64), "sx": z, "sy": z,
+                 "sxx": z, "sxy": z, "syy": z}
+            )
+        okey = np.asarray(b["okey"], np.int64)
+        dkey = np.asarray(b["dkey"], np.int64)
+        n = np.asarray(b["n_users"], np.int64)
+        keep = okey != dkey
+        oq, orr = _unpack(okey[keep])
+        dq, dr = _unpack(dkey[keep])
+        cox, coy = hex_center(oq, orr, hex_size)
+        cdx, cdy = hex_center(dq, dr, hex_size)
+        d2 = (cox - cdx) * (cox - cdx) + (coy - cdy) * (coy - cdy)
+        x = np.log(np.sqrt(d2))
+        y = np.log(n[keep].astype(np.float64))
+        return pa.table(
+            {
+                "cnt": np.array([len(x)], np.int64),
+                "sx": np.array([x.sum()]),
+                "sy": np.array([y.sum()]),
+                "sxx": np.array([(x * x).sum()]),
+                "sxy": np.array([(x * y).sum()]),
+                "syy": np.array([(y * y).sum()]),
+            }
+        )
+
+    tot = agg.map_batches(sums, batch_format="pyarrow").sum(
+        ["cnt", "sx", "sy", "sxx", "sxy", "syy"]
+    )
+    nn = float(tot["sum(cnt)"])
+    sx, sy = tot["sum(sx)"], tot["sum(sy)"]
+    sxx, sxy, syy = tot["sum(sxx)"], tot["sum(sxy)"], tot["sum(syy)"]
+    cov = nn * sxy - sx * sy
+    varx = nn * sxx - sx * sx
+    vary = nn * syy - sy * sy
+    # degenerate-fit law (shared with the twin): too few distinct flows
+    # or a constant regressor / response -> zero coefficients
+    if nn < 2.0 or varx == 0.0 or vary == 0.0:
+        alpha = beta = r2 = 0.0
+    else:
+        beta = cov / varx
+        alpha = (sy - beta * sx) / nn
+        r2 = (cov * cov) / (varx * vary)
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_pairs": pa.array([int(nn)], pa.int64()),
+                "alpha": pa.array([rnd(alpha)]),
+                "beta": pa.array([rnd(beta)]),
+                "r2": pa.array([rnd(r2)]),
+            }
+        )
+    )
+
+
+def sql_events_od_gravity(*, hex_size: float) -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    s = repr(float(hex_size))
+
+    def cx(q):
+        return f"({s} * ((3.0/2.0) * {q}))"
+
+    def cy(q, r):
+        return f"({s} * ((sqrt(3.0)/2.0) * {q} + sqrt(3.0) * {r}))"
+
+    d2 = (
+        f"(({cx('oq')} - {cx('dq')}) * ({cx('oq')} - {cx('dq')})"
+        f" + ({cy('oq', 'orr')} - {cy('dq', 'dr')})"
+        f" * ({cy('oq', 'orr')} - {cy('dq', 'dr')}))"
+    )
+    rnd = lambda e: f"(ROUND(({e}) * 1000000.0) / 1000000.0)"
+    beta = "(nn * sxy - sx * sy) / (nn * sxx - sx * sx)"
+    return f"""
+WITH pts0 AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events
+),
+fpts AS (
+  SELECT user_id, x, y FROM pts0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) = 1
+),
+lpts AS (
+  SELECT user_id, x, y FROM pts0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) = 1
+),
+{sql_hex_cte(hex_size, points_cte="fpts", prefix="f_")},
+{sql_hex_cte(hex_size, points_cte="lpts", prefix="l_")},
+flows AS (
+  SELECT f.hq AS oq, f.hr AS orr, l.hq AS dq, l.hr AS dr,
+         COUNT(*)::BIGINT AS n_users
+  FROM f_hexed f JOIN l_hexed l ON f.user_id = l.user_id
+  GROUP BY f.hq, f.hr, l.hq, l.hr
+),
+p AS (
+  SELECT ln(sqrt({d2})) AS lx, ln(CAST(n_users AS DOUBLE)) AS ly
+  FROM flows WHERE NOT (oq = dq AND orr = dr)
+),
+st AS (
+  SELECT COUNT(*)::DOUBLE AS nn, SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy, SUM(ly * ly) AS syy
+  FROM p
+)
+SELECT CAST(nn AS BIGINT) AS n_pairs,
+       CASE WHEN nn < 2.0 OR nn * sxx - sx * sx = 0.0
+              OR nn * syy - sy * sy = 0.0 THEN 0.0
+            ELSE {rnd(f"(sy - ({beta}) * sx) / nn")} END AS alpha,
+       CASE WHEN nn < 2.0 OR nn * sxx - sx * sx = 0.0
+              OR nn * syy - sy * sy = 0.0 THEN 0.0
+            ELSE {rnd(beta)} END AS beta,
+       CASE WHEN nn < 2.0 OR nn * sxx - sx * sx = 0.0
+              OR nn * syy - sy * sy = 0.0 THEN 0.0
+            ELSE {rnd("((nn * sxy - sx * sy) * (nn * sxy - sx * sy)) / ((nn * sxx - sx * sx) * (nn * syy - sy * sy))")} END AS r2
+FROM st
+"""

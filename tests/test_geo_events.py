@@ -150,3 +150,51 @@ def test_mann_kendall_bruteforce(ray_session, sf_dir):
     for (qi, ri, L, s, z), (_, got) in zip(rows, out.iterrows()):
         assert (got["hq"], got["hr"], got["n_weeks"], got["s"]) == (qi, ri, L, s)
         assert abs(got["z"] - z) < 1e-5
+
+
+def test_od_gravity_bruteforce(ray_session, sf_dir):
+    """Gravity fit == a brute per-user first/last + OLS reference."""
+    from collections import Counter
+
+    from pygridmap_ray.hex import hex_center
+    from pygridmap_ray.pipelines.relational import events_od_gravity
+
+    out = events_od_gravity(sf_dir, hex_size=SIZE).to_pandas().iloc[0]
+
+    df = _events(sf_dir).sort_values(["user_id", "us", "event_id"])
+    first = df.groupby("user_id").first()
+    last = df.groupby("user_id").last()
+    fx, fy = derive_xy(first["event_id"].to_numpy())
+    lx, ly = derive_xy(last["event_id"].to_numpy())
+    ok = _pack(*hex_axial(fx, fy, SIZE))
+    dk = _pack(*hex_axial(lx, ly, SIZE))
+    flows = Counter(zip(ok.tolist(), dk.tolist()))
+    xs, ys = [], []
+    from pygridmap_ray.hex import _unpack
+
+    for (o, d), n in flows.items():
+        if o == d:
+            continue
+        oq, orr = _unpack(np.array([o]))
+        dq, dr = _unpack(np.array([d]))
+        cox, coy = hex_center(oq, orr, SIZE)
+        cdx, cdy = hex_center(dq, dr, SIZE)
+        dist = np.sqrt((cox - cdx) ** 2 + (coy - cdy) ** 2)[0]
+        xs.append(np.log(dist))
+        ys.append(np.log(float(n)))
+    xs, ys = np.array(xs), np.array(ys)
+    nn = float(len(xs))
+    sx, sy = xs.sum(), ys.sum()
+    cov = nn * (xs * ys).sum() - sx * sy
+    varx = nn * (xs * xs).sum() - sx * sx
+    vary = nn * (ys * ys).sum() - sy * sy
+    if nn < 2 or varx == 0.0 or vary == 0.0:
+        alpha = beta = r2 = 0.0
+    else:
+        beta = cov / varx
+        alpha = (sy - beta * sx) / nn
+        r2 = cov * cov / (varx * vary)
+    assert out["n_pairs"] == len(xs)
+    assert abs(out["beta"] - beta) < 1e-5
+    assert abs(out["alpha"] - alpha) < 1e-5
+    assert abs(out["r2"] - r2) < 1e-5
