@@ -196,6 +196,15 @@ def _secondary() -> dict:
         ("od_matrix", q.q_od_matrix),
         ("spatial_join_hexidx", q.q_spatial_join_hexidx),
         ("media_hex_bytes", q.q_media_hex_bytes),
+        # late-round-3: sphere-cell / ESDA / raster-stencil wave
+        ("s2_assign", q.q_s2_assign),
+        ("geohash_assign", q.q_geohash_assign),
+        ("idw_interpolate", q.q_idw_interpolate),
+        ("raster_hillshade", q.q_raster_hillshade),
+        ("raster_d8", q.q_raster_d8),
+        ("hex_mann_kendall", q.q_hex_mann_kendall),
+        ("hex_triangles", q.q_hex_triangles),
+        ("od_gravity", q.q_od_gravity),
     ]:
 
         def once(fn=fn):

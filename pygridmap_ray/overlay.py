@@ -684,10 +684,10 @@ GROUP BY f.cell_id, f.ix, f.iy
 
 def poly_metrics(ds, *, rings_col: str = "rings"):
     """Per-polygon shape metrics: net shoelace area (holes CW subtract),
-    total boundary length (holes add), and Polsby-Popper compactness
-    ``4*pi*A / P^2`` (the classic public gerrymandering score, rounded
-    6dp) — the geopandas ``.area`` / ``.length`` parity point as a
-    stateless Arrow stage.
+    total boundary length (holes add), shoelace-moment centroid (cx, cy)
+    and Polsby-Popper compactness ``4*pi*A / P^2`` (the classic public
+    gerrymandering score, rounded 6dp) — the geopandas ``.area`` /
+    ``.length`` / ``.centroid`` parity point as a stateless Arrow stage.
 
     Vectorized across the whole batch: rings flatten to one vertex
     stream, the wraparound next-vertex index is patched at ring ends, and
@@ -729,17 +729,23 @@ def poly_metrics(ds, *, rings_col: str = "rings"):
         )
         ring_area = 0.5 * np.add.reduceat(cross, starts)
         ring_perim = np.add.reduceat(elen, starts)
+        ring_mx = np.add.reduceat((x + x[nxt]) * cross, starts)
+        ring_my = np.add.reduceat((y + y[nxt]) * cross, starts)
         rp = np.asarray(ring_poly, np.int64)
         area = np.bincount(rp, weights=ring_area, minlength=len(ids))
         perim = np.bincount(rp, weights=ring_perim, minlength=len(ids))
+        cx = (np.bincount(rp, weights=ring_mx, minlength=len(ids)) / 6.0) / area
+        cy = (np.bincount(rp, weights=ring_my, minlength=len(ids)) / 6.0) / area
         comp = (4.0 * np.pi * area) / (perim * perim)
-        comp = np.sign(comp) * np.floor(np.abs(comp) * 1e6 + 0.5) / 1e6
+        rnd = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
         return pa.table(
             {
                 "poly_id": pa.array(ids),
                 "area": pa.array(area),
                 "perimeter": pa.array(perim),
-                "compactness": pa.array(comp),
+                "cx": pa.array(rnd(cx)),
+                "cy": pa.array(rnd(cy)),
+                "compactness": pa.array(rnd(comp)),
             }
         )
 
@@ -757,16 +763,24 @@ def sql_poly_metrics(rings_by_poly: dict) -> str:
             pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
             for i in range(len(pts)):
                 nx, ny = pts[(i + 1) % len(pts)]
+                # ::DOUBLE — bare decimal literals parse as DECIMAL and
+                # overflow in the moment products
                 rows.append(
-                    f"({pid}, {pts[i, 0]!r}, {pts[i, 1]!r}, {nx!r}, {ny!r})"
+                    f"({pid}, {pts[i, 0]!r}::DOUBLE, {pts[i, 1]!r}::DOUBLE,"
+                    f" {nx!r}::DOUBLE, {ny!r}::DOUBLE)"
                 )
     vals = ", ".join(rows)
     return (
         f"WITH v(poly_id, x, y, nx, ny) AS (VALUES {vals}), "
         f"m AS (SELECT poly_id, SUM(x * ny - nx * y) * 0.5 AS area,"
         f" SUM(sqrt((nx - x) * (nx - x) + (ny - y) * (ny - y)))"
-        f" AS perimeter FROM v GROUP BY poly_id) "
+        f" AS perimeter,"
+        f" SUM((x + nx) * (x * ny - nx * y)) AS mx,"
+        f" SUM((y + ny) * (x * ny - nx * y)) AS my"
+        f" FROM v GROUP BY poly_id) "
         f"SELECT poly_id, area, perimeter,"
+        f" ROUND(((mx / 6.0) / area) * 1e6) / 1e6 AS cx,"
+        f" ROUND(((my / 6.0) / area) * 1e6) / 1e6 AS cy,"
         f" ROUND(((4.0 * pi() * area) / (perimeter * perimeter)) * 1e6)"
         f" / 1e6 AS compactness FROM m"
     )

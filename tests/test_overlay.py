@@ -286,5 +286,8 @@ def test_poly_metrics_known_shapes(ray_session):
     assert abs(out.loc[0, "compactness"] - math.pi / 4) < 1e-6
     assert abs(out.loc[1, "area"] - 12.0) < 1e-12
     assert abs(out.loc[1, "perimeter"] - 24.0) < 1e-12
+    assert abs(out.loc[0, "cx"] - 2.0) < 1e-9 and abs(out.loc[0, "cy"] - 2.0) < 1e-9
+    assert abs(out.loc[1, "cx"] - 2.0) < 1e-9 and abs(out.loc[1, "cy"] - 2.0) < 1e-9
+    assert abs(out.loc[2, "cx"]) < 1e-6 and abs(out.loc[2, "cy"]) < 1e-6
     # near-circle approaches the isoperimetric bound 1
     assert out.loc[2, "compactness"] > 0.999
