@@ -5206,6 +5206,21 @@ def _sql_hex_mann_kendall() -> str:
     return sql_events_hex_mann_kendall(hex_size=HEX_SIZE)
 
 
+def q_home_work(sf_dir: str):
+    """Home/work anchor hexes per user (modal night vs office-hour cell,
+    smallest-cell tie law) — mobility-mining anchors in one coarse
+    bucket pass."""
+    from .relational import events_home_work
+
+    return events_home_work(sf_dir, hex_size=HEX_SIZE)
+
+
+def _sql_home_work() -> str:
+    from .relational import sql_events_home_work
+
+    return sql_events_home_work(hex_size=HEX_SIZE)
+
+
 def q_od_gravity(sf_dir: str):
     """Gravity-model (distance-decay) fit over OD hex flows: OLS of
     ln(flow) on ln(center distance) — the classic spatial-interaction
@@ -5594,6 +5609,7 @@ def queries():
         "hex_bfs": q_hex_bfs,
         "general_g": q_general_g,
         "od_gravity": q_od_gravity,
+        "home_work": q_home_work,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6249,6 +6265,7 @@ def oracle_sql():
         "hex_bfs": _sql_hex_bfs(),
         "general_g": _sql_general_g(),
         "od_gravity": _sql_od_gravity(),
+        "home_work": _sql_home_work(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

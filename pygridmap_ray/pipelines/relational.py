@@ -2070,3 +2070,113 @@ SELECT CAST(nn AS BIGINT) AS n_pairs,
             ELSE {rnd("((nn * sxy - sx * sy) * (nn * sxy - sx * sy)) / ((nn * sxx - sx * sx) * (nn * syy - sy * sy))")} END AS r2
 FROM st
 """
+
+
+def events_home_work(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
+    """Home / work anchor detection per user: the modal NIGHT-hour hex
+    (hour < 6 or >= 22) is "home", the modal OFFICE-hour hex
+    (9 <= hour < 17) is "work"; ties break to the smallest (hq, hr);
+    users need at least one event in EACH window.  The classic
+    mobility-mining anchor law, hour = (epoch_us // 3.6e9) % 24.
+
+    Scale shape: one coarse user-hash bucket shuffle; the per-bucket
+    kernel is two lexsort segment scans (count per (user, hex), then
+    first-row-per-user under the (count DESC, hq, hr) tie order) and one
+    in-bucket merge — no per-user Python, no second shuffle.
+    """
+    import ray.data as rd
+
+    from ..hex import hex_axial
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    HOUR_US = 3_600_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def _modal(uid, hq, hr):
+        """Per-user modal cell under (count DESC, hq, hr): returns
+        (user, hq, hr, count) arrays."""
+        order = np.lexsort((hr, hq, uid))
+        u, q, r = uid[order], hq[order], hr[order]
+        bound = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (q[1:] != q[:-1]) | (r[1:] != r[:-1])]
+        )
+        s = np.flatnonzero(bound)
+        c = np.diff(np.append(s, len(u))).astype(np.int64)
+        gu, gq, gr = u[s], q[s], r[s]
+        o2 = np.lexsort((gr, gq, -c, gu))
+        gu, gq, gr, c = gu[o2], gq[o2], gr[o2], c[o2]
+        first = np.concatenate([[True], gu[1:] != gu[:-1]])
+        return gu[first], gq[first], gr[first], c[first]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        hour = (us // HOUR_US) % 24
+        x, y = derive_xy(eid)
+        hq, hr = hex_axial(x, y, hex_size)
+        night = (hour < 6) | (hour >= 22)
+        day = (hour >= 9) & (hour < 17)
+        hu, hq1, hr1, hc = _modal(uid[night], hq[night], hr[night])
+        wu, wq, wr, wc = _modal(uid[day], hq[day], hr[day])
+        h = pd.DataFrame(
+            {"user_id": hu, "home_q": hq1, "home_r": hr1, "n_home": hc}
+        )
+        w = pd.DataFrame(
+            {"user_id": wu, "work_q": wq, "work_r": wr, "n_work": wc}
+        )
+        return h.merge(w, on="user_id", how="inner")
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_home_work(*, hex_size: float) -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    hr_expr = "((us // 3600000000) % 24)"
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events
+),
+{sql_hex_cte(hex_size)},
+nbest AS (
+  SELECT user_id, hq, hr, COUNT(*)::BIGINT AS c FROM hexed
+  WHERE {hr_expr} < 6 OR {hr_expr} >= 22
+  GROUP BY user_id, hq, hr
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY COUNT(*) DESC, hq, hr) = 1
+),
+dbest AS (
+  SELECT user_id, hq, hr, COUNT(*)::BIGINT AS c FROM hexed
+  WHERE {hr_expr} >= 9 AND {hr_expr} < 17
+  GROUP BY user_id, hq, hr
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY COUNT(*) DESC, hq, hr) = 1
+)
+SELECT n.user_id, n.hq AS home_q, n.hr AS home_r, n.c AS n_home,
+       d.hq AS work_q, d.hr AS work_r, d.c AS n_work
+FROM nbest n JOIN dbest d ON n.user_id = d.user_id
+"""

@@ -198,3 +198,46 @@ def test_od_gravity_bruteforce(ray_session, sf_dir):
     assert abs(out["beta"] - beta) < 1e-5
     assert abs(out["alpha"] - alpha) < 1e-5
     assert abs(out["r2"] - r2) < 1e-5
+
+
+def test_home_work_bruteforce(ray_session, sf_dir):
+    from collections import Counter, defaultdict
+
+    from pygridmap_ray.pipelines.relational import events_home_work
+
+    out = (
+        events_home_work(sf_dir, hex_size=SIZE)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    df = _events(sf_dir)
+    hour = (df["us"].to_numpy() // 3_600_000_000) % 24
+    x, y = derive_xy(df["event_id"].to_numpy())
+    q, r = hex_axial(x, y, SIZE)
+    uid = df["user_id"].to_numpy()
+    night = defaultdict(Counter)
+    day = defaultdict(Counter)
+    for u, h, qi, ri in zip(uid, hour, q, r):
+        if h < 6 or h >= 22:
+            night[u][(qi, ri)] += 1
+        if 9 <= h < 17:
+            day[u][(qi, ri)] += 1
+
+    def best(cnt):
+        return min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    rows = []
+    for u in sorted(set(night) & set(day)):
+        (hq_, hr_), hc = best(night[u])
+        (wq_, wr_), wc = best(day[u])
+        rows.append((u, hq_, hr_, hc, wq_, wr_, wc))
+    assert len(out) == len(rows)
+    got = list(
+        zip(
+            out["user_id"], out["home_q"], out["home_r"], out["n_home"],
+            out["work_q"], out["work_r"], out["n_work"],
+        )
+    )
+    assert got == rows
