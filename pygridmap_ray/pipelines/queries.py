@@ -332,6 +332,44 @@ def _sql_general_g() -> str:
     )
 
 
+RIPLEY_RADII = (25_000.0, 50_000.0, 100_000.0)
+RIPLEY_AREA = 500_000.0 * 501_000.0
+
+
+def q_ripley_k(sf_dir: str):
+    """Ripley's K point-pattern statistic (spatial.ripley_k) at three
+    radii over the doc point field: 3x3 ghost-cell pair counting, one
+    coarse bucket shuffle, one count per radius on the driver."""
+    from ..spatial import ripley_k
+
+    return ripley_k(
+        docs_points(sf_dir), radii=list(RIPLEY_RADII), area=RIPLEY_AREA
+    )
+
+
+def _sql_ripley_k() -> str:
+    from ..synth import sql_points_cte
+
+    vals = ", ".join(
+        f"({i}, {r!r}::DOUBLE)" for i, r in enumerate(RIPLEY_RADII)
+    )
+    d2 = (
+        "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    )
+    return (
+        f"WITH pts AS ({sql_points_cte()}), "
+        f"radii(ri, r) AS (VALUES {vals}), "
+        f"c AS (SELECT ri, r,"
+        f" (SELECT COUNT(*) FROM pts a, pts b"
+        f"  WHERE a.doc_id != b.doc_id AND {d2} <= rr.r * rr.r)::BIGINT"
+        f" AS n_pairs FROM radii rr(ri, r)), "
+        f"n AS (SELECT COUNT(*)::DOUBLE AS nn FROM pts) "
+        f"SELECT r, n_pairs,"
+        f" ROUND((({RIPLEY_AREA!r} * CAST(n_pairs AS DOUBLE)) / (nn * nn))"
+        f" * 1e6) / 1e6 AS k FROM c, n"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -5610,6 +5648,7 @@ def queries():
         "general_g": q_general_g,
         "od_gravity": q_od_gravity,
         "home_work": q_home_work,
+        "ripley_k": q_ripley_k,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6266,6 +6305,7 @@ def oracle_sql():
         "general_g": _sql_general_g(),
         "od_gravity": _sql_od_gravity(),
         "home_work": _sql_home_work(),
+        "ripley_k": _sql_ripley_k(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

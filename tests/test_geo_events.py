@@ -241,3 +241,35 @@ def test_home_work_bruteforce(ray_session, sf_dir):
         )
     )
     assert got == rows
+
+
+def test_ripley_k_bruteforce(ray_session):
+    """Ghost-cell pair counting == the O(n^2) direct count, including
+    pairs that straddle cell boundaries."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygridmap_ray.spatial import ripley_k
+
+    rng = np.random.default_rng(23)
+    n = 400
+    x = rng.uniform(0, 1000, n)
+    y = rng.uniform(0, 1000, n)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    ).repartition(5)
+    radii = [50.0, 120.0, 300.0]
+    out = (
+        ripley_k(ds, radii=radii, area=1000.0 * 1000.0)
+        .to_pandas()
+        .sort_values("r")
+        .reset_index(drop=True)
+    )
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, np.inf)
+    for i, r in enumerate(radii):
+        cnt = int((d2 <= r * r).sum())
+        assert out.loc[i, "n_pairs"] == cnt
+        assert abs(out.loc[i, "k"] - 1e6 * cnt / (n * n)) < 1e-5
