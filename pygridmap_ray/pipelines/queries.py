@@ -4467,6 +4467,20 @@ def q_raster_bilinear(sf_dir: str):
     return bilinear_raster(SyntheticRaster(**_RASTER_KW), 1500.0)
 
 
+def q_raster_contour(sf_dir: str):
+    """Marching-squares contour segments at the 500 isoline
+    (raster.contour_raster): the raster->vector isoline operator as a
+    tile + halo stencil with the shared public case table."""
+    from ..raster import SyntheticRaster, contour_raster
+
+    return contour_raster(
+        SyntheticRaster(**_RASTER_KW),
+        threshold=500.0,
+        tile_size_cell=64,
+        concurrency=(1, 4),
+    )
+
+
 def q_disaggregate(sf_dir: str):
     """Dasymetric disaggregation (inverse area interpolation): polygon
     totals spread onto cells by intersection-area weight; the final Sum
@@ -5811,6 +5825,7 @@ def queries():
         "raster_hillshade": q_raster_hillshade,
         "raster_d8": q_raster_d8,
         "raster_bilinear": q_raster_bilinear,
+        "raster_contour": q_raster_contour,
         "raster_resample": q_raster_resample,
         "zonal_stats": q_zonal_stats,
         "frame_rowsum": q_frame_rowsum,
@@ -6537,6 +6552,7 @@ def oracle_sql():
         "raster_hillshade": _sql_raster_hillshade(),
         "raster_d8": _sql_raster_d8(),
         "raster_bilinear": _sql_raster_bilinear(),
+        "raster_contour": _sql_raster_contour(),
         "raster_resample": _sql_raster_resample(),
         "zonal_stats": _sql_zonal_stats(),
         "frame_rowsum": (
@@ -6570,6 +6586,12 @@ def _sql_raster_d8():
     from ..raster import SyntheticRaster, sql_d8_flow
 
     return sql_d8_flow(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
+
+
+def _sql_raster_contour():
+    from ..raster import SyntheticRaster, sql_contour
+
+    return sql_contour(SyntheticRaster(**_RASTER_KW), threshold=500.0)
 
 
 def _sql_raster_bilinear():

@@ -453,6 +453,289 @@ WHERE {c0} >= 0 AND {c0} + 1 < {w} AND {b0} >= 0 AND {b0} + 1 < {h}
 """
 
 
+# Marching-squares case table (public standard): corner bits TL=8 TR=4
+# BR=2 BL=1 (bit set when value >= threshold); each case emits 0-2 contour
+# segments between edge crossings.  Saddles (5, 10) disambiguate on the
+# 4-corner average (avg >= T joins the high regions).  SHARED by the
+# vectorized kernel and the generated DuckDB twin.
+_MS_SEGS = {
+    1: [("left", "bottom")],
+    2: [("bottom", "right")],
+    3: [("left", "right")],
+    4: [("top", "right")],
+    6: [("top", "bottom")],
+    7: [("left", "top")],
+    8: [("left", "top")],
+    9: [("top", "bottom")],
+    11: [("top", "right")],
+    12: [("left", "right")],
+    13: [("bottom", "right")],
+    14: [("left", "bottom")],
+}
+_MS_SADDLE = {
+    5: {
+        True: [("left", "top"), ("bottom", "right")],
+        False: [("left", "bottom"), ("top", "right")],
+    },
+    10: {
+        True: [("top", "right"), ("left", "bottom")],
+        False: [("left", "top"), ("bottom", "right")],
+    },
+}
+
+
+class ContourKernel:
+    """Actor-pool stencil kernel: marching-squares contour segments at a
+    fixed threshold — the raster->vector isoline operator (GDAL contour
+    parity).  Same tile + one-pixel-halo plan as :class:`HillshadeKernel`
+    (blocks never cross workers; no shuffle at any raster size).
+
+    Law (twin-identical): nodes are pixels at ``(x0 + c*res,
+    y0 + (H-1-r)*res)``; each 2x2 block (TL TR BR BL) with no nodata
+    corner classifies by the >=-threshold bit pattern; crossings
+    interpolate linearly ``t = (T - v_a) / (v_b - v_a)`` along the edge;
+    coordinates round half-away 6dp.
+    """
+
+    def __init__(self, raster: RasterSource, tile_size_cell: int,
+                 band: str = "elev", threshold: float = 500.0):
+        self.r = raster
+        self.ts = int(tile_size_cell)
+        self.band = band
+        self.t = float(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for xt, yt in zip(
+            np.asarray(batch["xt"], dtype=np.int64),
+            np.asarray(batch["yt"], dtype=np.int64),
+        ):
+            t = self._tile(int(xt), int(yt))
+            if t is not None:
+                parts.append(t)
+        if parts:
+            return pa.concat_tables(parts)
+        return pa.table(
+            {
+                "r": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+                "seg": pa.array([], pa.int64()),
+                "x1": pa.array([], pa.float64()),
+                "y1": pa.array([], pa.float64()),
+                "x2": pa.array([], pa.float64()),
+                "y2": pa.array([], pa.float64()),
+            }
+        )
+
+    def _edge_point(self, edge, rr, cc, tl, tr, br, bl):
+        """Endpoint of the crossing on `edge` for block top-left (rr, cc):
+        node coords with the y-flip, linear interpolation along the edge."""
+        r0 = self.r
+        nx = r0.x_min + cc * r0.resolution
+        ny = r0.y_min + (r0.height - 1 - rr) * r0.resolution
+        res = r0.resolution
+        T = self.t
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if edge == "top":
+                t = (T - tl) / (tr - tl)
+                return nx + t * res, ny
+            if edge == "bottom":
+                t = (T - bl) / (br - bl)
+                return nx + t * res, ny - res
+            if edge == "left":
+                t = (T - tl) / (bl - tl)
+                return nx, ny - t * res
+            t = (T - tr) / (br - tr)  # right
+            return nx + res, ny - t * res
+
+    def _tile(self, xt: int, yt: int):
+        r, ts = self.r, self.ts
+        row0 = r.height - (yt + 1) * ts
+        col0 = xt * ts
+        h = ts + min(row0, 0)
+        row0 = max(row0, 0)
+        if h <= 0 or col0 >= r.width:
+            return None
+        # blocks whose top-left node lies in this tile; +1 halo right/down
+        hh = min(row0 + h + 1, r.height) - row0
+        hw = min(col0 + ts + 1, r.width) - col0
+        if hh < 2 or hw < 2:
+            return None
+        z = self.r.read_window(self.band, row0, col0, hh, hw)
+        tl = z[:-1, :-1]
+        tr = z[:-1, 1:]
+        bl = z[1:, :-1]
+        br = z[1:, 1:]
+        valid = (
+            (tl != NODATA) & (tr != NODATA) & (bl != NODATA) & (br != NODATA)
+        )
+        T = self.t
+        cs = (
+            (tl >= T).astype(np.int64) * 8
+            + (tr >= T).astype(np.int64) * 4
+            + (br >= T).astype(np.int64) * 2
+            + (bl >= T).astype(np.int64) * 1
+        )
+        hi = (tl + tr + br + bl) / 4.0 >= T
+        rows = {k: [] for k in ("r", "c", "seg", "x1", "y1", "x2", "y2")}
+        rnd = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+        def emit(mask, segs):
+            if not mask.any():
+                return
+            rr_, cc_ = np.nonzero(mask)
+            abs_r = row0 + rr_
+            abs_c = col0 + cc_
+            vt = (tl[mask], tr[mask], br[mask], bl[mask])
+            for si, (ea, eb) in enumerate(segs):
+                x1, y1 = self._edge_point(ea, abs_r, abs_c, *vt)
+                x2, y2 = self._edge_point(eb, abs_r, abs_c, *vt)
+                rows["r"].append(abs_r)
+                rows["c"].append(abs_c)
+                rows["seg"].append(np.full(len(abs_r), si, np.int64))
+                rows["x1"].append(rnd(x1))
+                rows["y1"].append(rnd(y1))
+                rows["x2"].append(rnd(x2))
+                rows["y2"].append(rnd(y2))
+
+        for case, segs in _MS_SEGS.items():
+            emit(valid & (cs == case), segs)
+        for case, variants in _MS_SADDLE.items():
+            emit(valid & (cs == case) & hi, variants[True])
+            emit(valid & (cs == case) & ~hi, variants[False])
+        if not rows["r"]:
+            return None
+        return pa.table(
+            {k: pa.array(np.concatenate(v)) for k, v in rows.items()}
+        )
+
+
+def contour_raster(
+    raster: RasterSource,
+    *,
+    band: str = "elev",
+    threshold: float = 500.0,
+    tile_size_cell: int = 128,
+    concurrency=None,
+):
+    """Raster -> contour-segment Dataset at one threshold (marching
+    squares, tile + halo stencil)."""
+    import math
+
+    import ray.data as rd
+
+    nxt = math.ceil(raster.width / tile_size_cell)
+    nyt = math.ceil(raster.height / tile_size_cell)
+    specs = [{"xt": xt, "yt": yt} for yt in range(nyt) for xt in range(nxt)]
+    ds = rd.from_items(specs).repartition(min(len(specs), 128))
+    args = (raster, tile_size_cell, band, threshold)
+    if concurrency is not None:
+        return ds.map_batches(
+            ContourKernel,
+            batch_format="pyarrow",
+            batch_size=4,
+            fn_constructor_args=args,
+            concurrency=concurrency,
+        )
+    return ds.map_batches(
+        ContourKernel(*args), batch_format="pyarrow", batch_size=4
+    )
+
+
+def sql_contour(
+    raster: SyntheticRaster,
+    band: str = "elev",
+    threshold: float = 500.0,
+) -> str:
+    """Oracle: the same case table unrolled into per-slot CASE chains over
+    generate_series blocks (generated from _MS_SEGS/_MS_SADDLE — shared
+    constants, shared interpolation expressions)."""
+    h, w, res = raster.height, raster.width, raster.resolution
+    x0, y0 = raster.x_min, raster.y_min
+    p1, p2 = _BAND_P1[band], _BAND_P2[band]
+    pct = _BAND_NODATA_PCT[band]
+    T = repr(float(threshold))
+
+    corners = {
+        "tl": (0, 0), "tr": (0, 1), "br": (1, 1), "bl": (1, 0),
+    }
+
+    def zv(name):
+        dr, dc = corners[name]
+        return f"(((r.i + {dr}) * {p1} + (c.i + {dc}) * {p2}) % 1000)::DOUBLE"
+
+    def okv(name):
+        dr, dc = corners[name]
+        return (
+            f"(((r.i + {dr}) * 7919 + (c.i + {dc}) * 104729) % 100) >= {pct}"
+        )
+
+    valid = " AND ".join(okv(n) for n in corners)
+    # the segment stage sees the block columns (ri, ci, tl..bl), not r/c
+    nx = f"({x0!r} + ci * {res!r})"
+    ny = f"({y0!r} + ({h} - 1 - ri) * {res!r})"
+
+    def edge_xy(edge):
+        if edge == "top":
+            t = f"(({T} - tl) / (tr - tl))"
+            return f"({nx} + {t} * {res!r})", ny
+        if edge == "bottom":
+            t = f"(({T} - bl) / (br - bl))"
+            return f"({nx} + {t} * {res!r})", f"({ny} - {res!r})"
+        if edge == "left":
+            t = f"(({T} - tl) / (bl - tl))"
+            return nx, f"({ny} - {t} * {res!r})"
+        t = f"(({T} - tr) / (br - tr))"
+        return f"({nx} + {res!r})", f"({ny} - {t} * {res!r})"
+
+    rnd = lambda e: f"(ROUND(({e}) * 1000000.0) / 1000000.0)"
+    # (condition, slot) -> (x1, y1, x2, y2) expressions
+    branches = []  # (cond_sql, slot, exprs)
+    for case, segs in _MS_SEGS.items():
+        for si, (ea, eb) in enumerate(segs):
+            xa, ya = edge_xy(ea)
+            xb, yb = edge_xy(eb)
+            branches.append((f"cs = {case}", si, (xa, ya, xb, yb)))
+    for case, variants in _MS_SADDLE.items():
+        for flag, segs in variants.items():
+            cond = f"cs = {case} AND {'hi' if flag else 'NOT hi'}"
+            for si, (ea, eb) in enumerate(segs):
+                xa, ya = edge_xy(ea)
+                xb, yb = edge_xy(eb)
+                branches.append((cond, si, (xa, ya, xb, yb)))
+
+    def coord_case(ci):
+        whens = " ".join(
+            f"WHEN ({cond}) AND s.i = {slot} THEN {rnd(exprs[ci])}"
+            for cond, slot, exprs in branches
+        )
+        return f"(CASE {whens} ELSE NULL END)"
+
+    return f"""
+WITH blocks AS (
+  SELECT r.i AS ri, c.i AS ci,
+         {zv('tl')} AS tl, {zv('tr')} AS tr,
+         {zv('br')} AS br, {zv('bl')} AS bl
+  FROM (SELECT UNNEST(generate_series(0, {h - 2})) AS i) r,
+       (SELECT UNNEST(generate_series(0, {w - 2})) AS i) c
+  WHERE {valid}
+), cls AS (
+  SELECT *, (CASE WHEN tl >= {T} THEN 8 ELSE 0 END
+           + CASE WHEN tr >= {T} THEN 4 ELSE 0 END
+           + CASE WHEN br >= {T} THEN 2 ELSE 0 END
+           + CASE WHEN bl >= {T} THEN 1 ELSE 0 END) AS cs,
+         ((tl + tr + br + bl) / 4.0 >= {T}) AS hi
+  FROM blocks
+), segs AS (
+  SELECT cls.ri AS r, cls.ci AS c, s.i AS seg,
+         {coord_case(0)} AS x1, {coord_case(1)} AS y1,
+         {coord_case(2)} AS x2, {coord_case(3)} AS y2
+  FROM cls, (SELECT UNNEST(generate_series(0, 1)) AS i) s
+)
+SELECT r, c, seg, x1, y1, x2, y2 FROM segs WHERE x1 IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins
 # ---------------------------------------------------------------------------

@@ -243,3 +243,51 @@ def test_bilinear_interpolates_exactly_on_smooth_field(ray_session):
     py = (out["y"] + 750.0 - r.y_min) / r.resolution - 0.5
     expect = 2.0 * px + 3.0 * py
     assert np.allclose(out["elev"].to_numpy(), expect, atol=1e-6)
+
+
+def test_contour_halo_and_hand_block(ray_session):
+    from pygridmap_ray.raster import (
+        ContourKernel,
+        RasterSource,
+        SyntheticRaster,
+        contour_raster,
+    )
+
+    r = SyntheticRaster(height=96, width=80, resolution=500.0)
+    tiled = (
+        contour_raster(r, threshold=500.0, tile_size_cell=32)
+        .to_pandas()
+        .sort_values(["r", "c", "seg"])
+        .reset_index(drop=True)
+    )
+    whole = (
+        ContourKernel(r, 128, "elev", 500.0)
+        ._tile(0, 0)
+        .to_pandas()
+        .sort_values(["r", "c", "seg"])
+        .reset_index(drop=True)
+    )
+    assert len(tiled) == len(whole) > 0
+    for col in ["r", "c", "seg", "x1", "y1", "x2", "y2"]:
+        assert np.allclose(tiled[col].to_numpy(), whole[col].to_numpy()), col
+
+    class Two(RasterSource):
+        """One 2x2 block: TL=0 TR=0 / BL=1000 BR=0 at T=500 -> case 1
+        (BL only): segment from left edge midpoint to bottom midpoint."""
+
+        bands = ("elev",)
+        height = width = 2
+        x_min = y_min = 0.0
+        resolution = 10.0
+
+        def read_window(self, band, row0, col0, h, w):
+            z = np.array([[0.0, 0.0], [1000.0, 0.0]])
+            return z[row0 : row0 + h, col0 : col0 + w]
+
+    seg = ContourKernel(Two(), 4, "elev", 500.0)._tile(0, 0).to_pandas()
+    assert len(seg) == 1
+    row = seg.iloc[0]
+    # left edge: from node (0,0)=(0,10) toward (1,0)=(0,0), t=0.5 -> (0,5)
+    assert (row["x1"], row["y1"]) == (0.0, 5.0)
+    # bottom edge: from node (1,0)=(0,0) toward (1,1)=(10,0), t=0.5 -> (5,0)
+    assert (row["x2"], row["y2"]) == (5.0, 0.0)
