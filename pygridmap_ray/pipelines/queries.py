@@ -380,6 +380,39 @@ def q_hex_triangles(sf_dir: str):
     return hex_lattice_stats(ds, size=HEX_SIZE)
 
 
+def q_hex_kde(sf_dir: str):
+    """Gaussian KDE heatmap at hex centers (hex.hex_kde): ring-2
+    truncated kernel, bandwidth = cell size — the smoothed-density
+    companion to hex_density."""
+    from ..hex import hex_kde, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return hex_kde(ds, size=HEX_SIZE, bandwidth=HEX_SIZE, k=2)
+
+
+def _sql_hex_kde() -> str:
+    from ..hex import kring_offsets, sql_hex_cte
+    from ..synth import sql_points_cte
+
+    s = repr(float(HEX_SIZE))
+    h2 = f"(2.0 * ({s} * {s}))"
+    vals = ", ".join(f"({dq}, {dr})" for dq, dr in kring_offsets(2))
+    cx = f"({s} * ((3.0/2.0) * thq))"
+    cy = f"({s} * ((sqrt(3.0)/2.0) * thq + sqrt(3.0) * thr))"
+    d2 = f"((x - {cx}) * (x - {cx}) + (y - {cy}) * (y - {cy}))"
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"cells AS (SELECT DISTINCT hq, hr FROM hexed), "
+        f"offs(dq, dr) AS (VALUES {vals}), "
+        f"contrib AS (SELECT c.hq AS thq, c.hr AS thr, p.x, p.y"
+        f" FROM cells c CROSS JOIN offs o JOIN hexed p"
+        f" ON p.hq = c.hq + o.dq AND p.hr = c.hr + o.dr) "
+        f"SELECT thq AS hq, thr AS hr,"
+        f" ROUND(SUM(exp(-{d2} / {h2})) * 1000000.0) / 1000000.0 AS kde"
+        f" FROM contrib GROUP BY thq, thr"
+    )
+
+
 def q_hex_density(sf_dir: str):
     """Per-hex doc density with cell centers: packed-key unique partials
     -> one small hash aggregate -> unpack (raw rows never shuffle)."""
@@ -5663,6 +5696,7 @@ def queries():
         "od_gravity": q_od_gravity,
         "home_work": q_home_work,
         "ripley_k": q_ripley_k,
+        "hex_kde": q_hex_kde,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6321,6 +6355,7 @@ def oracle_sql():
         "od_gravity": _sql_od_gravity(),
         "home_work": _sql_home_work(),
         "ripley_k": _sql_ripley_k(),
+        "hex_kde": _sql_hex_kde(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -391,3 +391,32 @@ def test_general_g_bruteforce(ray_session):
     assert out["n_cells"] == nn and out["w_sum"] == w
     assert abs(out["g"] - num / den) < 1e-5
     assert abs(out["e_g"] - w / (nn * (nn - 1))) < 1e-5
+
+
+def test_hex_kde_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.hex import hex_axial, hex_center, hex_kde, kring_offsets
+
+    rng = np.random.default_rng(19)
+    n, size, h = 300, 10.0, 10.0
+    x = rng.uniform(0, 150, n)
+    y = rng.uniform(0, 150, n)
+    q, r = hex_axial(x, y, size)
+    ds = rd.from_arrow(pa.table({"hq": q, "hr": r, "x": x, "y": y}))
+    out = (
+        hex_kde(ds, size=size, bandwidth=h, k=2)
+        .to_pandas()
+        .set_index(["hq", "hr"])
+        .sort_index()
+    )
+    ring = set(kring_offsets(2))
+    for (cq, cr), row in out.iterrows():
+        cx, cy = hex_center(np.array([cq]), np.array([cr]), size)
+        tot = 0.0
+        for i in range(n):
+            if (q[i] - cq, r[i] - cr) in {(-a, -b) for a, b in ring}:
+                d2 = (x[i] - cx[0]) ** 2 + (y[i] - cy[0]) ** 2
+                tot += np.exp(-d2 / (2 * h * h))
+        assert abs(row["kde"] - tot) < 1e-5
+    assert len(out) == len(set(zip(q.tolist(), r.tolist())))
