@@ -5306,6 +5306,21 @@ def _sql_home_work() -> str:
     return sql_events_home_work(hex_size=HEX_SIZE)
 
 
+def q_events_coloc(sf_dir: str):
+    """Co-location contact pairs (same hex, same epoch hour, >= 2
+    distinct meetings) — two packed-key coarse-bucket shuffles, never a
+    fine pair groupby."""
+    from .relational import events_coloc
+
+    return events_coloc(sf_dir, hex_size=HEX_SIZE)
+
+
+def _sql_events_coloc() -> str:
+    from .relational import sql_events_coloc
+
+    return sql_events_coloc(hex_size=HEX_SIZE)
+
+
 def q_od_gravity(sf_dir: str):
     """Gravity-model (distance-decay) fit over OD hex flows: OLS of
     ln(flow) on ln(center distance) — the classic spatial-interaction
@@ -5697,6 +5712,7 @@ def queries():
         "home_work": q_home_work,
         "ripley_k": q_ripley_k,
         "hex_kde": q_hex_kde,
+        "events_coloc": q_events_coloc,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6356,6 +6372,7 @@ def oracle_sql():
         "home_work": _sql_home_work(),
         "ripley_k": _sql_ripley_k(),
         "hex_kde": _sql_hex_kde(),
+        "events_coloc": _sql_events_coloc(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

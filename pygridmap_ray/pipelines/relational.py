@@ -2180,3 +2180,146 @@ SELECT n.user_id, n.hq AS home_q, n.hr AS home_r, n.c AS n_home,
        d.hq AS work_q, d.hr AS work_r, d.c AS n_work
 FROM nbest n JOIN dbest d ON n.user_id = d.user_id
 """
+
+
+def events_coloc(
+    sf_dir: str,
+    *,
+    hex_size: float,
+    min_meets: int = 2,
+    num_buckets: int = 64,
+):
+    """Co-location (contact) pairs: two users MEET when they appear in
+    the SAME hex cell during the SAME epoch hour; output unordered user
+    pairs with at least `min_meets` distinct (cell, hour) meetings — the
+    proximity-analytics / contact-graph operator.
+
+    Scale shape: two coarse-bucket shuffles, both on packed int64 keys
+    (the house rule for hash-like keys — never a fine groupby):
+    (cell, hour) buckets where the kernel dedups presence and emits
+    pairs with the vectorized repeat/arange construction, then pair-key
+    buckets where one np.unique resolves meet counts.  Pair volume is
+    sum k² over cell-hour groups (k = users co-present) — bounded by
+    the hour slicing, and hot cells are visible in the group sizes, not
+    hidden in a shuffle.
+    """
+    import ray.data as rd
+
+    from ..hex import _pack, hex_axial
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    HOUR_US = 3_600_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        us = np.asarray(pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()))
+        uid = np.asarray(b["user_id"], np.int64)
+        x, y = derive_xy(eid)
+        hkey = _pack(*hex_axial(x, y, hex_size))
+        hb = us // HOUR_US
+        # bucket on a hash MIX of (cell, hour) — collisions there only
+        # co-locate groups, they never merge them (the kernel groups on
+        # the exact pair of columns)
+        mix = hkey ^ (hb * np.int64(-7046029254386353131))
+        return pa.table(
+            {
+                "hkey": pa.array(hkey),
+                "hb": pa.array(hb),
+                "user_id": pa.array(uid),
+                "__b": pa.array(_bucket_of(mix, num_buckets)),
+            }
+        )
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        hk = g["hkey"].to_numpy(np.int64)
+        hb = g["hb"].to_numpy(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        # distinct (cell, hour, user) presence
+        order = np.lexsort((uid, hb, hk))
+        hk, hb, u = hk[order], hb[order], uid[order]
+        keep = np.concatenate(
+            [[True],
+             (hk[1:] != hk[:-1]) | (hb[1:] != hb[:-1]) | (u[1:] != u[:-1])]
+        )
+        hk, hb, u = hk[keep], hb[keep], u[keep]
+        # per-(cell, hour) sorted-user segments -> i<j pairs (repeat/arange)
+        starts = np.flatnonzero(
+            np.concatenate([[True], (hk[1:] != hk[:-1]) | (hb[1:] != hb[:-1])])
+        )
+        L = np.diff(np.append(starts, len(u)))
+        idx = np.arange(len(u))
+        seg_end = np.repeat(starts + L, L)
+        reps = seg_end - idx - 1
+        iidx = np.repeat(idx, reps)
+        jj = (
+            np.arange(int(reps.sum()))
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        jidx = iidx + 1 + jj
+        pkey = (u[iidx] << np.int64(32)) | u[jidx]  # ua < ub by sort order
+        pk, c = np.unique(pkey, return_counts=True)
+        return pd.DataFrame({"pkey": pk, "n": c.astype(np.int64)})
+
+    def ptag(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "pkey": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "__p": pa.array([], pa.int64()),
+                }
+            )
+        k = np.asarray(b["pkey"], np.int64)
+        return b.append_column("__p", pa.array(_bucket_of(k, num_buckets)))
+
+    def count_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["pkey"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        keep = tot >= min_meets
+        u, tot = u[keep], tot[keep]
+        return pd.DataFrame(
+            {
+                "user_a": u >> 32,
+                "user_b": u & np.int64(4294967295),
+                "n_meets": tot,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pair_kernel, batch_format="pandas")
+        .map_batches(ptag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(count_kernel, batch_format="pandas")
+    )
+
+
+def sql_events_coloc(*, hex_size: float, min_meets: int = 2) -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events
+),
+{sql_hex_cte(hex_size)},
+pres AS (
+  SELECT DISTINCT hq, hr, us // 3600000000 AS hb, user_id FROM hexed
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*)::BIGINT AS n_meets
+FROM pres a JOIN pres b
+  ON a.hq = b.hq AND a.hr = b.hr AND a.hb = b.hb AND a.user_id < b.user_id
+GROUP BY a.user_id, b.user_id
+HAVING COUNT(*) >= {min_meets}
+"""

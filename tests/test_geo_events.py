@@ -273,3 +273,51 @@ def test_ripley_k_bruteforce(ray_session):
         cnt = int((d2 <= r * r).sum())
         assert out.loc[i, "n_pairs"] == cnt
         assert abs(out.loc[i, "k"] - 1e6 * cnt / (n * n)) < 1e-5
+
+
+def test_events_coloc_bruteforce(ray_session, tmp_path):
+    """Brute parity on a synthetic events table dense enough to meet."""
+    from collections import Counter, defaultdict
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.relational import events_coloc
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    eid = rng.integers(1, 300, n)  # few distinct event points -> shared cells
+    uid = rng.integers(1, 40, n)
+    us = rng.integers(0, 48, n) * 3_600_000_000 + rng.integers(0, 3_600_000_000, n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(us, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = (
+        events_coloc(str(tmp_path), hex_size=SIZE, min_meets=2)
+        .to_pandas()
+        .sort_values(["user_a", "user_b"])
+        .reset_index(drop=True)
+    )
+
+    x, y = derive_xy(eid)
+    q, r = hex_axial(x, y, SIZE)
+    hb = us // 3_600_000_000
+    slot_users = defaultdict(set)
+    for qi, ri, hi, ui in zip(q, r, hb, uid):
+        slot_users[(qi, ri, hi)].add(ui)
+    meets = Counter()
+    for users in slot_users.values():
+        us_ = sorted(users)
+        for i in range(len(us_)):
+            for j in range(i + 1, len(us_)):
+                meets[(us_[i], us_[j])] += 1
+    rows = sorted((a, b, m) for (a, b), m in meets.items() if m >= 2)
+    assert len(rows) > 0
+    got = list(zip(out["user_a"], out["user_b"], out["n_meets"]))
+    assert got == rows
