@@ -370,6 +370,86 @@ def _sql_ripley_k() -> str:
     )
 
 
+def q_clark_evans(sf_dir: str):
+    """Clark-Evans nearest-neighbor index over the doc point field:
+    ``R = mean_nn_dist / (0.5 / sqrt(n / A))`` with the standard normal
+    statistic ``z = (mean - E) / (0.26136 / sqrt(n * rho))`` — R < 1
+    clustered, > 1 dispersed.  NN distances come from the exact
+    ring-bounded knn kernel (k=2 self-join, self excluded); the driver
+    reduces two scalars."""
+    import pyarrow.parquet as pq
+
+    from ..spatial import knn_join
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    did = np.asarray(t["doc_id"], dtype=np.int64)
+    x, y = derive_xy(did)
+    ref = {"id": did, "x": x, "y": y}
+    out = knn_join(docs_points(sf_dir), ref, resolution=25_000.0, k=2)
+
+    def nn_partial(b: pa.Table) -> pa.Table:
+        doc = np.asarray(b["doc_id"], np.int64)
+        nid = np.asarray(b["neighbor_id"], np.int64)
+        d = np.asarray(b["distance"], np.float64)
+        keep = nid != doc
+        doc, d = doc[keep], d[keep]
+        # a doc's k rows are contiguous within one batch: segment min
+        order = np.argsort(doc, kind="stable")
+        doc, d = doc[order], d[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], doc[1:] != doc[:-1]])
+        )
+        mins = np.minimum.reduceat(d, starts)
+        return pa.table(
+            {
+                "cnt": np.array([len(starts)], np.int64),
+                "sd": np.array([mins.sum()]),
+            }
+        )
+
+    tot = out.map_batches(nn_partial, batch_format="pyarrow").sum(
+        ["cnt", "sd"]
+    )
+    import ray.data as rd
+
+    nn = float(tot["sum(cnt)"])
+    mean = tot["sum(sd)"] / nn
+    rho = nn / RIPLEY_AREA
+    expect = 0.5 / np.sqrt(rho)
+    r_index = mean / expect
+    z = (mean - expect) / (0.26136 / np.sqrt(nn * rho))
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([int(nn)], pa.int64()),
+                "mean_nn": pa.array([rnd(mean)]),
+                "r_index": pa.array([rnd(r_index)]),
+                "z": pa.array([rnd(z)]),
+            }
+        )
+    )
+
+
+def _sql_clark_evans() -> str:
+    from ..synth import sql_points_cte
+
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    rnd = lambda e: f"(ROUND(({e}) * 1000000.0) / 1000000.0)"
+    return (
+        f"WITH pts AS ({sql_points_cte()}), "
+        f"nnd AS (SELECT a.doc_id, MIN(sqrt({d2})) AS d"
+        f" FROM pts a JOIN pts b ON a.doc_id != b.doc_id"
+        f" GROUP BY a.doc_id), "
+        f"s AS (SELECT COUNT(*)::DOUBLE AS nn, SUM(d) AS sd FROM nnd) "
+        f"SELECT CAST(nn AS BIGINT) AS n,"
+        f" {rnd('sd / nn')} AS mean_nn,"
+        f" {rnd(f'(sd / nn) / (0.5 / sqrt(nn / {RIPLEY_AREA!r}))')} AS r_index,"
+        f" {rnd(f'((sd / nn) - (0.5 / sqrt(nn / {RIPLEY_AREA!r}))) / (0.26136 / sqrt(nn * (nn / {RIPLEY_AREA!r})))')} AS z"
+        f" FROM s"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -5713,6 +5793,7 @@ def queries():
         "ripley_k": q_ripley_k,
         "hex_kde": q_hex_kde,
         "events_coloc": q_events_coloc,
+        "clark_evans": q_clark_evans,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6373,6 +6454,7 @@ def oracle_sql():
         "ripley_k": _sql_ripley_k(),
         "hex_kde": _sql_hex_kde(),
         "events_coloc": _sql_events_coloc(),
+        "clark_evans": _sql_clark_evans(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -321,3 +321,31 @@ def test_events_coloc_bruteforce(ray_session, tmp_path):
     assert len(rows) > 0
     got = list(zip(out["user_a"], out["user_b"], out["n_meets"]))
     assert got == rows
+
+
+def test_clark_evans_bruteforce(ray_session, sf_dir):
+    from pygridmap_ray.pipelines.queries import RIPLEY_AREA, q_clark_evans
+
+    out = q_clark_evans(sf_dir).to_pandas().iloc[0]
+
+    import duckdb
+
+    df = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+    x, y = derive_xy(df["doc_id"].to_numpy())
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d = np.sqrt(dx * dx + dy * dy)
+    np.fill_diagonal(d, np.inf)
+    nnd = d.min(axis=1)
+    n = float(len(nnd))
+    mean = nnd.sum() / n
+    rho = n / RIPLEY_AREA
+    expect = 0.5 / np.sqrt(rho)
+    assert out["n"] == len(nnd)
+    assert abs(out["mean_nn"] - mean) < 1e-4
+    assert abs(out["r_index"] - mean / expect) < 1e-5
+    assert abs(
+        out["z"] - (mean - expect) / (0.26136 / np.sqrt(n * rho))
+    ) < 1e-4
