@@ -450,6 +450,91 @@ def _sql_clark_evans() -> str:
     )
 
 
+QUADRAT_NX, QUADRAT_NY = 10, 10
+QUADRAT_W, QUADRAT_H = 500_000.0, 501_000.0
+
+
+def q_quadrat_test(sf_dir: str):
+    """Chi-square quadrat-count test for complete spatial randomness:
+    a fixed 10x10 grid over the point domain, observed vs uniform
+    expected counts INCLUDING empty quadrats — one row (n, chi2, df).
+    chi2 far above df rejects CSR (the doc field is clustered by law).
+
+    Scale shape: per-batch bincount partials over the fixed 100-cell
+    grid -> one tiny vector sum; the driver sees 100 integers."""
+    ds = docs_points(sf_dir)
+    ncell = QUADRAT_NX * QUADRAT_NY
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["x"], np.float64)
+        y = np.asarray(b["y"], np.float64)
+        ix = np.minimum(
+            np.floor(x / (QUADRAT_W / QUADRAT_NX)).astype(np.int64),
+            QUADRAT_NX - 1,
+        )
+        iy = np.minimum(
+            np.floor(y / (QUADRAT_H / QUADRAT_NY)).astype(np.int64),
+            QUADRAT_NY - 1,
+        )
+        cell = iy * QUADRAT_NX + ix
+        cnt = np.bincount(cell, minlength=ncell).astype(np.int64)
+        return pa.table(
+            {"cell": np.arange(ncell, dtype=np.int64), "n": cnt}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("cell")
+    )
+    import ray.data as rd
+
+    obs = np.zeros(ncell)
+    obs[agg["cell"].to_numpy(np.int64)] = agg["n"].to_numpy(np.float64)
+    n = float(obs.sum())
+    exp = n / float(ncell)
+    chi2 = (((obs - exp) * (obs - exp)) / exp).sum()
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([int(n)], pa.int64()),
+                "chi2": pa.array([rnd(chi2)]),
+                "df": pa.array([ncell - 1], pa.int64()),
+            }
+        )
+    )
+
+
+def _sql_quadrat_test() -> str:
+    from ..synth import sql_points_cte
+
+    nx, ny = QUADRAT_NX, QUADRAT_NY
+    ncell = nx * ny
+    dx = repr(QUADRAT_W / nx)
+    dy = repr(QUADRAT_H / ny)
+    ix = f"LEAST(CAST(floor(x / {dx}) AS BIGINT), {nx - 1})"
+    iy = f"LEAST(CAST(floor(y / {dy}) AS BIGINT), {ny - 1})"
+    return (
+        f"WITH pts AS ({sql_points_cte()}), "
+        f"counts AS (SELECT ({iy}) * {nx} + ({ix}) AS cell,"
+        f" COUNT(*)::DOUBLE AS n FROM pts GROUP BY 1), "
+        f"grid AS (SELECT UNNEST(generate_series(0, {ncell - 1})) AS cell), "
+        f"obs AS (SELECT g.cell, COALESCE(c.n, 0.0) AS n"
+        f" FROM grid g LEFT JOIN counts c ON c.cell = g.cell), "
+        f"s AS (SELECT SUM(n) AS total FROM obs) "
+        f"SELECT CAST(total AS BIGINT) AS n,"
+        f" ROUND((SELECT SUM(((n - total / {float(ncell)!r})"
+        f" * (n - total / {float(ncell)!r})) / (total / {float(ncell)!r}))"
+        f" FROM obs) * 1000000.0) / 1000000.0 AS chi2,"
+        f" {ncell - 1} AS df FROM s"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -5794,6 +5879,7 @@ def queries():
         "hex_kde": q_hex_kde,
         "events_coloc": q_events_coloc,
         "clark_evans": q_clark_evans,
+        "quadrat_test": q_quadrat_test,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6455,6 +6541,7 @@ def oracle_sql():
         "hex_kde": _sql_hex_kde(),
         "events_coloc": _sql_events_coloc(),
         "clark_evans": _sql_clark_evans(),
+        "quadrat_test": _sql_quadrat_test(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -349,3 +349,26 @@ def test_clark_evans_bruteforce(ray_session, sf_dir):
     assert abs(
         out["z"] - (mean - expect) / (0.26136 / np.sqrt(n * rho))
     ) < 1e-4
+
+
+def test_quadrat_test_bruteforce(ray_session, sf_dir):
+    from pygridmap_ray.pipelines.queries import q_quadrat_test
+
+    out = q_quadrat_test(sf_dir).to_pandas().iloc[0]
+
+    import duckdb
+
+    df = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+    x, y = derive_xy(df["doc_id"].to_numpy())
+    ix = np.minimum((x / 50_000.0).astype(int), 9)
+    iy = np.minimum((y / 50_100.0).astype(int), 9)
+    obs = np.bincount(iy * 10 + ix, minlength=100).astype(float)
+    n = obs.sum()
+    exp = n / 100.0
+    chi2 = (((obs - exp) ** 2) / exp).sum()
+    assert out["n"] == int(n) and out["df"] == 99
+    assert abs(out["chi2"] - chi2) < 1e-4
+    # the synthetic field is clustered by construction
+    assert out["chi2"] > 99
