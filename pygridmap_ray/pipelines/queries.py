@@ -535,6 +535,68 @@ def _sql_quadrat_test() -> str:
     )
 
 
+def q_hex_gini(sf_dir: str):
+    """Gini coefficient of the hex density field (spatial inequality of
+    activity): ``G = 2*sum(i*x_(i)) / (n*sum(x)) - (n+1)/n`` over
+    rank-sorted cell counts — tie-order-invariant closed form, rounded
+    6dp.  One row (n_cells, gini).
+
+    Scale shape: packed-key density partials -> one hash aggregate; the
+    rank sort runs on the lattice-bounded cell vector (same documented
+    bound as hex_clusters)."""
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    from ..hex import _pack, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "docs": c.astype(np.int64)})
+
+    occ = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("docs", alias_name="n"))
+        .to_pandas()  # lattice-bounded (see docstring)
+    )
+    x = np.sort(occ["n"].to_numpy(np.int64))
+    n = float(len(x))
+    tot = float(x.sum())
+    ranks = np.arange(1, len(x) + 1, dtype=np.float64)
+    g = 2.0 * float((ranks * x).sum()) / (n * tot) - (n + 1.0) / n
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([len(x)], pa.int64()),
+                "gini": pa.array([rnd(g)]),
+            }
+        )
+    )
+
+
+def _sql_hex_gini() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"cells AS (SELECT hq, hr, COUNT(*)::BIGINT AS n FROM hexed"
+        f" GROUP BY hq, hr), "
+        f"ranked AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, hq, hr)"
+        f" AS i FROM cells), "
+        f"s AS (SELECT COUNT(*)::DOUBLE AS nn, SUM(n)::DOUBLE AS tot,"
+        f" SUM(CAST(i AS DOUBLE) * CAST(n AS DOUBLE)) AS rs FROM ranked) "
+        f"SELECT CAST(nn AS BIGINT) AS n_cells,"
+        f" ROUND((2.0 * rs / (nn * tot) - (nn + 1.0) / nn) * 1000000.0)"
+        f" / 1000000.0 AS gini FROM s"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -5880,6 +5942,7 @@ def queries():
         "events_coloc": q_events_coloc,
         "clark_evans": q_clark_evans,
         "quadrat_test": q_quadrat_test,
+        "hex_gini": q_hex_gini,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6542,6 +6605,7 @@ def oracle_sql():
         "events_coloc": _sql_events_coloc(),
         "clark_evans": _sql_clark_evans(),
         "quadrat_test": _sql_quadrat_test(),
+        "hex_gini": _sql_hex_gini(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

