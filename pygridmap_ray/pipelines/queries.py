@@ -640,6 +640,70 @@ def _sql_hex_kde() -> str:
     )
 
 
+S2R_FACE = 0
+S2R_BOX = (1000, 2600, 1400, 3000)  # si_lo, si_hi, ti_lo, ti_hi (level 12)
+
+
+def q_s2_range(sf_dir: str):
+    """S2-cell range scan: quadtree cover of an (si, ti) box on one cube
+    face -> face-prefixed Morton [lo, hi] ranges -> vectorized
+    searchsorted prune on the cell id (the read-pruning story of
+    zrange_query, on the sphere index).  Full-depth cover is exact, so
+    the prune IS the predicate; the oracle is the plain si/ti box."""
+    import ray.data as rd
+
+    from ..hier import zrange_cover
+    from ..s2 import with_s2_cells
+    from ..synth import derive_xyz
+
+    a, b, c, d = S2R_BOX
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_xyz(t: pa.Table) -> pa.Table:
+        px, py, pz = derive_xyz(np.asarray(t["doc_id"]))
+        return (
+            t.append_column("px", pa.array(px))
+            .append_column("py", pa.array(py))
+            .append_column("pz", pa.array(pz))
+        )
+
+    ds = with_s2_cells(
+        ds.map_batches(add_xyz, batch_format="pyarrow"), level=S2_LEVEL
+    )
+    # integer-box cover at unit resolution: zrange_cover FLOORS the high
+    # edge into the covered set, so +0.5 keeps the inclusive bound at b/d
+    ranges = zrange_cover(
+        (float(a), float(c), b + 0.5, d + 0.5),
+        resolution=1.0,
+        level=S2_LEVEL,
+    )
+    prefix = np.int64(S2R_FACE) << np.int64(2 * S2_LEVEL)
+    los = ranges[:, 0] + prefix
+    his = ranges[:, 1] + prefix
+
+    def prune(t: pa.Table) -> pa.Table:
+        cell = np.asarray(t["s2_cell"], np.int64)
+        pos = np.searchsorted(los, cell, side="right") - 1
+        ok = (pos >= 0) & (cell <= his[np.clip(pos, 0, len(his) - 1)])
+        return t.filter(pa.array(ok))
+
+    ds = ds.map_batches(prune, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "s2_cell"])
+
+
+def _sql_s2_range() -> str:
+    from ..s2 import sql_s2_cte
+    from ..synth import sql_xyz_cte
+
+    a, b, c, d = S2R_BOX
+    return (
+        f"WITH xyz AS ({sql_xyz_cte()}), {sql_s2_cte(S2_LEVEL)} "
+        f"SELECT doc_id, s2_cell FROM s2"
+        f" WHERE face = {S2R_FACE} AND si BETWEEN {a} AND {b}"
+        f" AND ti BETWEEN {c} AND {d}"
+    )
+
+
 def q_hex_density(sf_dir: str):
     """Per-hex doc density with cell centers: packed-key unique partials
     -> one small hash aggregate -> unpack (raw rows never shuffle)."""
@@ -5929,6 +5993,7 @@ def queries():
         "geohash_assign": q_geohash_assign,
         "s2_assign": q_s2_assign,
         "s2_density": q_s2_density,
+        "s2_range": q_s2_range,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -6592,6 +6657,7 @@ def oracle_sql():
         "geohash_assign": _sql_geohash_assign(),
         "s2_assign": _sql_s2_assign(),
         "s2_density": _sql_s2_density(),
+        "s2_range": _sql_s2_range(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

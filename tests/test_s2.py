@@ -84,3 +84,25 @@ def test_with_s2_cells_stage(ray_session):
     out = with_s2_cells(ds, level=10).to_pandas()
     _, _, _, cell = s2_encode(px, py, pz, 10)
     assert (np.sort(out["s2_cell"].to_numpy()) == np.sort(cell)).all()
+
+
+def test_s2_range_cover_is_exact():
+    """Full-depth cover of an integer (si, ti) box == the box predicate
+    on every cell id in range."""
+    from pygridmap_ray.hier import morton_encode, zrange_cover
+
+    a, b, c, d = 5, 20, 9, 17
+    level = 6
+    ranges = zrange_cover(
+        (float(a), float(c), b + 0.5, d + 0.5), resolution=1.0, level=level
+    )
+    covered = set()
+    for lo, hi in ranges:
+        covered.update(range(int(lo), int(hi) + 1))
+    expect = set()
+    for si in range(a, b + 1):
+        for ti in range(c, d + 1):
+            expect.add(
+                int(morton_encode(np.array([si]), np.array([ti]), level)[0])
+            )
+    assert covered == expect
