@@ -597,6 +597,54 @@ def _sql_hex_gini() -> str:
     )
 
 
+VARIO_BINS = ((0.0, 25_000.0), (25_000.0, 50_000.0), (50_000.0, 100_000.0))
+
+
+def q_variogram(sf_dir: str):
+    """Empirical semivariogram of the n_chars field over doc points
+    (spatial.variogram): ghost-cell pair sweep, per-bin (count, sum-sq)
+    partials — the kriging-precursor spatial-continuity curve."""
+    from ..spatial import variogram
+
+    ds = docs_points(sf_dir, extra_cols=("n_chars",))
+
+    def as_val(b: pa.Table) -> pa.Table:
+        return b.append_column("val", pc.cast(b["n_chars"], pa.float64()))
+
+    return variogram(
+        ds.map_batches(as_val, batch_format="pyarrow"),
+        bins=[tuple(b) for b in VARIO_BINS],
+    )
+
+
+def _sql_variogram() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    dz2 = "((a.val - b.val) * (a.val - b.val))"
+    vals = ", ".join(
+        f"({lo!r}::DOUBLE, {hi!r}::DOUBLE)" for lo, hi in VARIO_BINS
+    )
+    return (
+        f"WITH pts AS (SELECT doc_id, {SQL_X} AS x, {SQL_Y} AS y,"
+        f" CAST(n_chars AS DOUBLE) AS val FROM documents), "
+        f"bins(bin_lo, bin_hi) AS (VALUES {vals}), "
+        f"s AS (SELECT bin_lo, bin_hi,"
+        f" (SELECT COUNT(*) FROM pts a, pts b WHERE a.doc_id != b.doc_id"
+        f"  AND {d2} >= bb.bin_lo * bb.bin_lo"
+        f"  AND {d2} < bb.bin_hi * bb.bin_hi)::BIGINT AS n_pairs,"
+        f" (SELECT COALESCE(SUM({dz2}), 0.0) FROM pts a, pts b"
+        f"  WHERE a.doc_id != b.doc_id"
+        f"  AND {d2} >= bb.bin_lo * bb.bin_lo"
+        f"  AND {d2} < bb.bin_hi * bb.bin_hi) AS ssq"
+        f" FROM bins bb(bin_lo, bin_hi)) "
+        f"SELECT bin_lo, bin_hi, n_pairs,"
+        f" CASE WHEN n_pairs = 0 THEN 0.0"
+        f" ELSE ROUND((ssq / (2.0 * CAST(n_pairs AS DOUBLE))) * 1000000.0)"
+        f" / 1000000.0 END AS gamma FROM s"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -6008,6 +6056,7 @@ def queries():
         "clark_evans": q_clark_evans,
         "quadrat_test": q_quadrat_test,
         "hex_gini": q_hex_gini,
+        "variogram": q_variogram,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6672,6 +6721,7 @@ def oracle_sql():
         "clark_evans": _sql_clark_evans(),
         "quadrat_test": _sql_quadrat_test(),
         "hex_gini": _sql_hex_gini(),
+        "variogram": _sql_variogram(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -372,3 +372,39 @@ def test_quadrat_test_bruteforce(ray_session, sf_dir):
     assert abs(out["chi2"] - chi2) < 1e-4
     # the synthetic field is clustered by construction
     assert out["chi2"] > 99
+
+
+def test_variogram_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygridmap_ray.spatial import variogram
+
+    rng = np.random.default_rng(29)
+    n = 300
+    x = rng.uniform(0, 800, n)
+    y = rng.uniform(0, 800, n)
+    v = rng.uniform(0, 10, n)
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": np.arange(n, dtype=np.int64), "x": x, "y": y, "val": v}
+        )
+    ).repartition(4)
+    bins = [(0.0, 60.0), (60.0, 150.0), (150.0, 400.0)]
+    out = (
+        variogram(ds, bins=bins)
+        .to_pandas()
+        .sort_values("bin_lo")
+        .reset_index(drop=True)
+    )
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d2 = dx * dx + dy * dy
+    dz2 = (v[:, None] - v[None, :]) ** 2
+    neq = ~np.eye(n, dtype=bool)
+    for i, (lo, hi) in enumerate(bins):
+        m = (d2 >= lo * lo) & (d2 < hi * hi) & neq
+        cnt = int(m.sum())
+        assert out.loc[i, "n_pairs"] == cnt
+        if cnt:
+            assert abs(out.loc[i, "gamma"] - dz2[m].sum() / (2 * cnt)) < 1e-5
