@@ -4853,6 +4853,29 @@ def q_raster_contour(sf_dir: str):
     )
 
 
+PROFILE_P0, PROFILE_P1, PROFILE_STEPS = (30_000.0, 40_000.0), (210_000.0, 190_000.0), 400
+
+
+def q_raster_profile(sf_dir: str):
+    """Terrain profile along a segment (raster.profile_raster): n+1
+    parametric samples, each bilinear from its 2x2 support; strip tasks
+    read only their source rows."""
+    from ..raster import SyntheticRaster, profile_raster
+
+    return profile_raster(
+        SyntheticRaster(**_RASTER_KW), PROFILE_P0, PROFILE_P1,
+        n_steps=PROFILE_STEPS,
+    )
+
+
+def _sql_raster_profile():
+    from ..raster import SyntheticRaster, sql_profile
+
+    return sql_profile(
+        SyntheticRaster(**_RASTER_KW), PROFILE_P0, PROFILE_P1, PROFILE_STEPS
+    )
+
+
 def q_disaggregate(sf_dir: str):
     """Dasymetric disaggregation (inverse area interpolation): polygon
     totals spread onto cells by intersection-area weight; the final Sum
@@ -6220,6 +6243,7 @@ def queries():
         "raster_d8": q_raster_d8,
         "raster_bilinear": q_raster_bilinear,
         "raster_contour": q_raster_contour,
+        "raster_profile": q_raster_profile,
         "raster_resample": q_raster_resample,
         "zonal_stats": q_zonal_stats,
         "frame_rowsum": q_frame_rowsum,
@@ -6954,6 +6978,7 @@ def oracle_sql():
         "raster_d8": _sql_raster_d8(),
         "raster_bilinear": _sql_raster_bilinear(),
         "raster_contour": _sql_raster_contour(),
+        "raster_profile": _sql_raster_profile(),
         "raster_resample": _sql_raster_resample(),
         "zonal_stats": _sql_zonal_stats(),
         "frame_rowsum": (

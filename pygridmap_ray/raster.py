@@ -1190,3 +1190,160 @@ FROM (SELECT UNNEST(generate_series(0, {n_out_x - 1})) AS i) ox,
 WHERE ({col} >= 0 AND {col} < {w} AND {row} >= 0 AND {row} < {h})
   AND ({' OR '.join(valid)})
 """
+
+
+def profile_raster(
+    raster: RasterSource,
+    p0: tuple[float, float],
+    p1: tuple[float, float],
+    *,
+    n_steps: int,
+    band: str = "elev",
+    steps_per_task: int = 64,
+):
+    """Elevation profile along the segment p0 -> p1: n_steps + 1 evenly
+    spaced samples, each BILINEARLY interpolated from its 2x2 pixel
+    support (same law as :func:`bilinear_raster`); samples whose support
+    is out of bounds or touches nodata are dropped.  Output rows
+    (k, dist, x, y, value), value rounded 6dp — the route-sampling /
+    terrain-profile operator.
+
+    Scale shape: contiguous step strips become tasks; each strip reads
+    only the source rows its samples touch (pruned windowed reads, no
+    shuffle)."""
+    import ray.data as rd
+
+    x0, y0 = float(p0[0]), float(p0[1])
+    x1, y1 = float(p1[0]), float(p1[1])
+    seg = float(np.sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)))
+    specs = [
+        {"k0": k, "k1": min(k + steps_per_task, n_steps + 1)}
+        for k in range(0, n_steps + 1, steps_per_task)
+    ]
+
+    def sample(b: pa.Table) -> pa.Table:
+        parts = []
+        for k0, k1 in zip(
+            np.asarray(b["k0"], np.int64), np.asarray(b["k1"], np.int64)
+        ):
+            k = np.arange(k0, k1, dtype=np.int64)
+            t = k.astype(np.float64) / float(n_steps)
+            sx = x0 + t * (x1 - x0)
+            sy = y0 + t * (y1 - y0)
+            gx = (sx - raster.x_min) / raster.resolution - 0.5
+            gy = (sy - raster.y_min) / raster.resolution - 0.5
+            c0 = np.floor(gx).astype(np.int64)
+            b0 = np.floor(gy).astype(np.int64)
+            fx = gx - c0
+            fy = gy - b0
+            ok = (
+                (c0 >= 0)
+                & (c0 + 1 < raster.width)
+                & (b0 >= 0)
+                & (b0 + 1 < raster.height)
+            )
+            if not ok.any():
+                continue
+            k, t, sx, sy = k[ok], t[ok], sx[ok], sy[ok]
+            c0, b0, fx, fy = c0[ok], b0[ok], fx[ok], fy[ok]
+            r1 = raster.height - 1 - b0
+            r0 = r1 - 1
+            lo, hi = int(r0.min()), int(r1.max())
+            win = raster.read_window(band, lo, 0, hi - lo + 1, raster.width)
+            v00 = win[r1 - lo, c0]
+            v10 = win[r1 - lo, c0 + 1]
+            v01 = win[r0 - lo, c0]
+            v11 = win[r0 - lo, c0 + 1]
+            valid = (
+                (v00 != NODATA)
+                & (v10 != NODATA)
+                & (v01 != NODATA)
+                & (v11 != NODATA)
+            )
+            val = (
+                v00 * (1.0 - fx) * (1.0 - fy)
+                + v10 * fx * (1.0 - fy)
+                + v01 * (1.0 - fx) * fy
+                + v11 * fx * fy
+            )
+            val = np.sign(val) * np.floor(np.abs(val) * 1e6 + 0.5) / 1e6
+            dist = t * seg
+            dist = np.sign(dist) * np.floor(np.abs(dist) * 1e6 + 0.5) / 1e6
+            parts.append(
+                pa.table(
+                    {
+                        "k": pa.array(k[valid]),
+                        "dist": pa.array(dist[valid]),
+                        "x": pa.array(sx[valid]),
+                        "y": pa.array(sy[valid]),
+                        band: pa.array(val[valid]),
+                    }
+                )
+            )
+        if parts:
+            return pa.concat_tables(parts)
+        return pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+                "x": pa.array([], pa.float64()),
+                "y": pa.array([], pa.float64()),
+                band: pa.array([], pa.float64()),
+            }
+        )
+
+    ds = rd.from_items(specs).repartition(min(len(specs), 32))
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=2)
+
+
+def sql_profile(
+    raster: SyntheticRaster,
+    p0: tuple[float, float],
+    p1: tuple[float, float],
+    n_steps: int,
+    band: str = "elev",
+) -> str:
+    """Oracle: the same parametric bilinear law over generate_series k."""
+    h, w, res = raster.height, raster.width, raster.resolution
+    x0r, y0r = raster.x_min, raster.y_min
+    p1x, p1y = float(p1[0]), float(p1[1])
+    p0x, p0y = float(p0[0]), float(p0[1])
+    seg = float(np.sqrt((p1x - p0x) ** 2 + (p1y - p0y) ** 2))
+    pp1, pp2 = _BAND_P1[band], _BAND_P2[band]
+    pct = _BAND_NODATA_PCT[band]
+    t = f"(CAST(k.i AS DOUBLE) / {float(n_steps)!r})"
+    sx = f"({p0x!r} + {t} * ({p1x!r} - {p0x!r}))"
+    sy = f"({p0y!r} + {t} * ({p1y!r} - {p0y!r}))"
+    gx = f"(({sx} - {x0r!r}) / {res!r} - 0.5)"
+    gy = f"(({sy} - {y0r!r}) / {res!r} - 0.5)"
+    c0 = f"CAST(floor({gx}) AS BIGINT)"
+    b0 = f"CAST(floor({gy}) AS BIGINT)"
+    fx = f"({gx} - {c0})"
+    fy = f"({gy} - {b0})"
+    r1 = f"({h} - 1 - {b0})"
+    r0 = f"({r1} - 1)"
+
+    def zv(rr, cc):
+        return f"((({rr}) * {pp1} + ({cc}) * {pp2}) % 1000)::DOUBLE"
+
+    def okv(rr, cc):
+        return f"((({rr}) * 7919 + ({cc}) * 104729) % 100) >= {pct}"
+
+    val = (
+        f"({zv(r1, c0)} * (1.0 - {fx}) * (1.0 - {fy})"
+        f" + {zv(r1, f'{c0} + 1')} * {fx} * (1.0 - {fy})"
+        f" + {zv(r0, c0)} * (1.0 - {fx}) * {fy}"
+        f" + {zv(r0, f'{c0} + 1')} * {fx} * {fy})"
+    )
+    valid = " AND ".join(
+        [okv(r1, c0), okv(r1, f"{c0} + 1"), okv(r0, c0), okv(r0, f"{c0} + 1")]
+    )
+    return f"""
+SELECT k.i AS k,
+       ROUND(({t} * {seg!r}) * 1000000.0) / 1000000.0 AS dist,
+       {sx} AS x, {sy} AS y,
+       ROUND(({val}) * 1000000.0) / 1000000.0 AS {band}
+FROM (SELECT UNNEST(generate_series(0, {n_steps})) AS i) k
+WHERE {c0} >= 0 AND {c0} + 1 < {w} AND {b0} >= 0 AND {b0} + 1 < {h}
+  AND {valid}
+"""

@@ -291,3 +291,36 @@ def test_contour_halo_and_hand_block(ray_session):
     assert (row["x1"], row["y1"]) == (0.0, 5.0)
     # bottom edge: from node (1,0)=(0,0) toward (1,1)=(10,0), t=0.5 -> (5,0)
     assert (row["x2"], row["y2"]) == (5.0, 0.0)
+
+
+def test_profile_on_linear_plane(ray_session):
+    """Profile samples along a segment on a linear field reproduce the
+    plane exactly, and dist is monotone."""
+    import numpy as np
+
+    from pygridmap_ray.raster import RasterSource, profile_raster
+
+    class Plane(RasterSource):
+        bands = ("elev",)
+        height, width = 64, 64
+        x_min = y_min = 0.0
+        resolution = 100.0
+
+        def read_window(self, band, row0, col0, h, w):
+            rows = np.arange(row0, min(row0 + h, self.height))
+            cols = np.arange(col0, min(col0 + w, self.width))
+            r, c = np.meshgrid(rows, cols, indexing="ij")
+            return 2.0 * c + 3.0 * (self.height - 1 - r)
+
+    r = Plane()
+    out = (
+        profile_raster(r, (500.0, 600.0), (5500.0, 5100.0), n_steps=100)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) > 50
+    px = (out["x"] - r.x_min) / r.resolution - 0.5
+    py = (out["y"] - r.y_min) / r.resolution - 0.5
+    assert np.allclose(out["elev"], 2.0 * px + 3.0 * py, atol=1e-6)
+    assert (np.diff(out["dist"]) > 0).all()
