@@ -205,6 +205,12 @@ def _secondary() -> dict:
         ("hex_mann_kendall", q.q_hex_mann_kendall),
         ("hex_triangles", q.q_hex_triangles),
         ("od_gravity", q.q_od_gravity),
+        ("hex_kde", q.q_hex_kde),
+        ("raster_contour", q.q_raster_contour),
+        ("variogram", q.q_variogram),
+        ("events_coloc", q.q_events_coloc),
+        ("home_work", q.q_home_work),
+        ("ripley_k", q.q_ripley_k),
     ]:
 
         def once(fn=fn):

