@@ -62,3 +62,23 @@ from ..text import (  # noqa: F401
 )
 from ..joins import salted_join  # noqa: F401
 from ..geom.proj import reproject, set_ref_crs, transform_xy  # noqa: F401
+from ..hex import (  # noqa: F401
+    general_g,
+    gi_star,
+    hex_axial,
+    hex_center,
+    hex_idw,
+    hex_kde,
+    hex_lattice_stats,
+    hex_spatial_lag,
+    local_morans_i,
+    morans_i,
+)
+from ..hier import (  # noqa: F401
+    geohash_encode,
+    morton_decode,
+    morton_encode,
+    quadkey,
+    zrange_cover,
+)
+from ..s2 import face_uv, s2_encode, s2_parent, uv_to_st  # noqa: F401

@@ -15,13 +15,32 @@ from ..multimodal import (  # noqa: F401
     frame_sample,
     media_pipeline,
 )
-from ..overlay import OverlayKernel, grid_overlay, overlay_fragments  # noqa: F401
-from ..raster import RasterTileKernel, resample_raster, tiling_raster  # noqa: F401
+from ..overlay import (  # noqa: F401
+    OverlayKernel,
+    grid_overlay,
+    overlay_fragments,
+    poly_metrics,
+)
+from ..raster import (  # noqa: F401
+    ContourKernel,
+    D8Kernel,
+    HillshadeKernel,
+    RasterTileKernel,
+    bilinear_raster,
+    contour_raster,
+    d8_flow_raster,
+    hillshade_raster,
+    profile_raster,
+    resample_raster,
+    tiling_raster,
+)
 from ..spatial import (  # noqa: F401
     KnnJoinKernel,
     PointJoinKernel,
     join_points_to_polygons,
     knn_join,
+    ripley_k,
+    variogram,
 )
 from ..tiler import (  # noqa: F401
     assign_cells,
