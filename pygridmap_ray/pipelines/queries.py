@@ -700,6 +700,198 @@ def _sql_variogram_dir() -> str:
     )
 
 
+def q_std_ellipse(sf_dir: str):
+    """Measuring geographic distributions: mean center, standard
+    distance, and the standard deviational ellipse of the doc point
+    field (orientation + major/minor sigmas from the closed-form 2x2
+    covariance eigendecomposition) — one row, all 6dp.
+
+    Scale shape: per-batch (n, sx, sy, sxx, syy, sxy) partials -> one
+    six-scalar reduce; the ellipse algebra runs on the driver scalars."""
+    ds = docs_points(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["x"], np.float64)
+        y = np.asarray(b["y"], np.float64)
+        return pa.table(
+            {
+                "n": np.array([len(x)], np.int64),
+                "sx": np.array([x.sum()]),
+                "sy": np.array([y.sum()]),
+                "sxx": np.array([(x * x).sum()]),
+                "syy": np.array([(y * y).sum()]),
+                "sxy": np.array([(x * y).sum()]),
+            }
+        )
+
+    tot = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    )
+    import ray.data as rd
+
+    n = float(tot["sum(n)"])
+    mx = tot["sum(sx)"] / n
+    my = tot["sum(sy)"] / n
+    cxx = tot["sum(sxx)"] / n - mx * mx
+    cyy = tot["sum(syy)"] / n - my * my
+    cxy = tot["sum(sxy)"] / n - mx * my
+    std_dist = np.sqrt(cxx + cyy)
+    theta = 0.5 * np.arctan2(2.0 * cxy, cxx - cyy)
+    half = np.sqrt(
+        ((cxx - cyy) / 2.0) * ((cxx - cyy) / 2.0) + cxy * cxy
+    )
+    lam1 = (cxx + cyy) / 2.0 + half
+    lam2 = (cxx + cyy) / 2.0 - half
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([int(n)], pa.int64()),
+                "mean_x": pa.array([rnd(mx)]),
+                "mean_y": pa.array([rnd(my)]),
+                "std_dist": pa.array([rnd(std_dist)]),
+                "theta": pa.array([rnd(theta)]),
+                "sigma_major": pa.array([rnd(np.sqrt(lam1))]),
+                "sigma_minor": pa.array([rnd(np.sqrt(lam2))]),
+            }
+        )
+    )
+
+
+def _sql_std_ellipse() -> str:
+    from ..synth import sql_points_cte
+
+    rnd = lambda e: f"(ROUND(({e}) * 1000000.0) / 1000000.0)"
+    cxx = "(sxx / n - (sx / n) * (sx / n))"
+    cyy = "(syy / n - (sy / n) * (sy / n))"
+    cxy = "(sxy / n - (sx / n) * (sy / n))"
+    half = (
+        f"sqrt((({cxx} - {cyy}) / 2.0) * (({cxx} - {cyy}) / 2.0)"
+        f" + {cxy} * {cxy})"
+    )
+    return (
+        f"WITH pts AS ({sql_points_cte()}), "
+        f"s AS (SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,"
+        f" SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy"
+        f" FROM pts) "
+        f"SELECT CAST(n AS BIGINT) AS n,"
+        f" {rnd('sx / n')} AS mean_x, {rnd('sy / n')} AS mean_y,"
+        f" {rnd(f'sqrt({cxx} + {cyy})')} AS std_dist,"
+        f" {rnd(f'0.5 * atan2(2.0 * {cxy}, {cxx} - {cyy})')} AS theta,"
+        f" {rnd(f'sqrt(({cxx} + {cyy}) / 2.0 + {half})')} AS sigma_major,"
+        f" {rnd(f'sqrt(({cxx} + {cyy}) / 2.0 - {half})')} AS sigma_minor"
+        f" FROM s"
+    )
+
+
+def q_knn_loo_r2(sf_dir: str):
+    """Leave-one-out kNN regression skill score: predict each doc's
+    n_chars as the mean of its 4 nearest OTHER points' values and report
+    ``R^2 = 1 - SSE / SST`` — the spatial cross-validation diagnostic
+    (R^2 ~ 0 here: the value law is spatially unstructured by
+    construction).  One row (n, r2), 6dp.
+
+    Scale shape: the exact ring-bounded knn kernel (k=5, self included)
+    plus a per-worker cached id->val lookup; per-batch (sse, sy, syy)
+    partials -> one reduce.  Tie law (distance, neighbor_id) matches the
+    twin's (d2, doc_id) rank because sqrt is strictly monotone."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..spatial import knn_join
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    did = np.asarray(t["doc_id"], dtype=np.int64)
+    x, y = derive_xy(did)
+    order = np.argsort(did)
+    sorted_ids = did[order]
+    sorted_vals = np.asarray(t["n_chars"], np.float64)[order]
+    ref = {"id": did, "x": x, "y": y}
+    lookup_ref = ray.put((sorted_ids, sorted_vals))
+
+    out = knn_join(docs_points(sf_dir, ("n_chars",)), ref,
+                   resolution=25_000.0, k=5)
+
+    def partial(b: pa.Table, _ref=lookup_ref) -> pa.Table:
+        ids, vals = ray.get(_ref)
+        doc = np.asarray(b["doc_id"], np.int64)
+        nid = np.asarray(b["neighbor_id"], np.int64)
+        dist = np.asarray(b["distance"], np.float64)
+        yv = np.asarray(b["n_chars"], np.float64)
+        keep = nid != doc
+        doc_k, nid_k, dist_k = doc[keep], nid[keep], dist[keep]
+        # per-doc 4 nearest under the (distance, neighbor_id) tie order
+        o = np.lexsort((nid_k, dist_k, doc_k))
+        doc_k, nid_k = doc_k[o], nid_k[o]
+        starts = np.flatnonzero(
+            np.concatenate([[True], doc_k[1:] != doc_k[:-1]])
+        )
+        rank = np.arange(len(doc_k)) - np.repeat(starts,
+                                                 np.diff(np.append(starts, len(doc_k))))
+        top = rank < 4
+        nv = vals[np.searchsorted(ids, nid_k[top])]
+        seg = np.repeat(np.arange(len(starts)),
+                        np.minimum(np.diff(np.append(starts, len(doc_k))), 4))
+        pred = np.bincount(seg, weights=nv) / 4.0
+        # align y values (every knn row carries its doc's n_chars)
+        first_doc = doc_k[starts]
+        uids, uidx = np.unique(doc, return_index=True)
+        ytrue = yv[uidx][np.searchsorted(uids, first_doc)]
+        sse = float(((ytrue - pred) * (ytrue - pred)).sum())
+        return pa.table(
+            {
+                "n": np.array([len(first_doc)], np.int64),
+                "sy": np.array([ytrue.sum()]),
+                "syy": np.array([(ytrue * ytrue).sum()]),
+                "sse": np.array([sse]),
+            }
+        )
+
+    tot = out.map_batches(partial, batch_format="pyarrow").sum(
+        ["n", "sy", "syy", "sse"]
+    )
+    import ray.data as rd
+
+    n = float(tot["sum(n)"])
+    sst = tot["sum(syy)"] - tot["sum(sy)"] * tot["sum(sy)"] / n
+    r2 = 1.0 - tot["sum(sse)"] / sst
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([int(n)], pa.int64()),
+                "r2": pa.array([rnd(r2)]),
+            }
+        )
+    )
+
+
+def _sql_knn_loo_r2() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    return (
+        f"WITH pts AS (SELECT doc_id, {SQL_X} AS x, {SQL_Y} AS y,"
+        f" CAST(n_chars AS DOUBLE) AS val FROM documents), "
+        f"cand AS (SELECT a.doc_id, b.val,"
+        f" ROW_NUMBER() OVER (PARTITION BY a.doc_id"
+        f" ORDER BY {d2}, b.doc_id) AS rn"
+        f" FROM pts a JOIN pts b ON a.doc_id != b.doc_id), "
+        f"yhat AS (SELECT doc_id, SUM(val) / 4.0 AS pred FROM cand"
+        f" WHERE rn <= 4 GROUP BY doc_id), "
+        f"j AS (SELECT p.val AS y, h.pred FROM pts p"
+        f" JOIN yhat h ON h.doc_id = p.doc_id), "
+        f"s AS (SELECT COUNT(*)::DOUBLE AS n, SUM(y) AS sy,"
+        f" SUM(y * y) AS syy, SUM((y - pred) * (y - pred)) AS sse FROM j) "
+        f"SELECT CAST(n AS BIGINT) AS n,"
+        f" ROUND((1.0 - sse / (syy - sy * sy / n)) * 1000000.0)"
+        f" / 1000000.0 AS r2 FROM s"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -6136,6 +6328,8 @@ def queries():
         "hex_gini": q_hex_gini,
         "variogram": q_variogram,
         "variogram_dir": q_variogram_dir,
+        "std_ellipse": q_std_ellipse,
+        "knn_loo_r2": q_knn_loo_r2,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6803,6 +6997,8 @@ def oracle_sql():
         "hex_gini": _sql_hex_gini(),
         "variogram": _sql_variogram(),
         "variogram_dir": _sql_variogram_dir(),
+        "std_ellipse": _sql_std_ellipse(),
+        "knn_loo_r2": _sql_knn_loo_r2(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -435,3 +435,40 @@ def test_variogram_directional_partitions_pairs(ray_session):
     for lo, _ in bins:
         assert per_bin[lo] == omni.loc[lo, "n_pairs"]
     assert set(direc["sector"].unique()) <= {0, 1, 2, 3}
+
+
+def test_std_ellipse_and_knn_r2_bruteforce(ray_session, sf_dir):
+    import duckdb
+
+    from pygridmap_ray.pipelines.queries import q_knn_loo_r2, q_std_ellipse
+
+    df = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+    x, y = derive_xy(df["doc_id"].to_numpy())
+
+    ell = q_std_ellipse(sf_dir).to_pandas().iloc[0]
+    mx, my = x.mean(), y.mean()
+    cxx, cyy = x.var(), y.var()
+    cxy = ((x - mx) * (y - my)).mean()
+    assert abs(ell["mean_x"] - mx) < 1e-3
+    assert abs(ell["std_dist"] - np.sqrt(cxx + cyy)) < 1e-3
+    half = np.sqrt(((cxx - cyy) / 2) ** 2 + cxy**2)
+    assert abs(ell["sigma_major"] - np.sqrt((cxx + cyy) / 2 + half)) < 1e-3
+    assert ell["sigma_major"] >= ell["sigma_minor"] > 0
+
+    r2row = q_knn_loo_r2(sf_dir).to_pandas().iloc[0]
+    v = df["n_chars"].to_numpy(float)
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, np.inf)
+    ids = df["doc_id"].to_numpy()
+    preds = np.empty(len(v))
+    for i in range(len(v)):
+        order = np.lexsort((ids, d2[i]))[:4]
+        preds[i] = v[order].sum() / 4.0
+    sse = ((v - preds) ** 2).sum()
+    sst = (v**2).sum() - v.sum() ** 2 / len(v)
+    assert r2row["n"] == len(v)
+    assert abs(r2row["r2"] - (1.0 - sse / sst)) < 1e-4
