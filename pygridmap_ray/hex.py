@@ -43,6 +43,7 @@ import pyarrow.compute as pc
 __all__ = [
     "hex_axial",
     "hex_center",
+    "correlogram",
     "general_g",
     "hex_idw",
     "hex_kde",
@@ -1063,6 +1064,152 @@ def morans_i(ds, *, size: float):
                 "n_hexes": pa.array([n_hexes], pa.int64()),
                 "w_pairs": pa.array([w], pa.int64()),
                 "moran_i": pa.array([moran], pa.float64()),
+            }
+        )
+    )
+
+
+def ring_offsets(k: int) -> list[tuple[int, int]]:
+    """Axial offsets at hex distance EXACTLY k (the annulus), 6k cells."""
+    inner = set(kring_offsets(k - 1)) if k > 0 else set()
+    return [o for o in kring_offsets(k) if o not in inner]
+
+
+def correlogram(ds, *, size: float, ks: tuple[int, ...] = (1, 2, 3)):
+    """Spatial correlogram: global Moran's I of the hex density field at
+    each ring distance k (binary weights on the ANNULUS of cells exactly
+    k steps away) — one row per k (ring, n_hexes, w_pairs, moran_i),
+    moran_i rounded 6dp.  The distance-decay profile of spatial
+    autocorrelation; I(k) falling toward 0 locates the cluster scale.
+
+    Scale shape: the :func:`morans_i` plan with ONE widened scatter —
+    each cell emits its deviation once per annulus offset with per-ring
+    columns, one hash aggregate resolves every ring simultaneously, and
+    the shared denominator reduces once.  Scatter volume is
+    sum_k 6k rows per occupied cell.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    rings = {k: ring_offsets(k) for k in ks}
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "n": c.astype(np.int64)})
+
+    dens = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def gpart(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+            )
+        n = np.asarray(b["n"], np.int64)
+        return pa.table(
+            {"k": pa.array([np.int64(len(n))]), "s": pa.array([n.sum()])}
+        )
+
+    g = dens.map_batches(gpart, batch_format="pyarrow").sum(["k", "s"])
+    n_hexes = int(g["sum(k)"])
+    m = float(g["sum(s)"]) / float(n_hexes)
+
+    def scatter(b: pa.Table) -> pa.Table:
+        cols = {"tkey": pa.array([], pa.int64())}
+        if b.num_columns == 0 or b.num_rows == 0:
+            for k in ks:
+                cols[f"ndv{k}"] = pa.array([], pa.float64())
+                cols[f"np{k}"] = pa.array([], pa.int64())
+            cols["self_dv"] = pa.array([], pa.float64())
+            cols["is_self"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        dv = np.asarray(b["n"], np.int64).astype(np.float64) - m
+        nv = len(dv)
+        tkeys, blocks = [], []
+        for k in ks:
+            for dq, dr in rings[k]:
+                tkeys.append(_pack(q + dq, r + dr))
+                blocks.append(k)
+        tkey = np.concatenate(tkeys + [_pack(q, r)])
+        total = len(blocks) * nv
+        out = {"tkey": pa.array(tkey)}
+        for k in ks:
+            ndv = np.concatenate(
+                [dv if bk == k else np.zeros(nv) for bk in blocks]
+                + [np.zeros(nv)]
+            )
+            npr = np.concatenate(
+                [
+                    np.full(nv, 1 if bk == k else 0, np.int64)
+                    for bk in blocks
+                ]
+                + [np.zeros(nv, np.int64)]
+            )
+            out[f"ndv{k}"] = pa.array(ndv)
+            out[f"np{k}"] = pa.array(npr)
+        out["self_dv"] = pa.array(np.concatenate([np.zeros(total), dv]))
+        out["is_self"] = pa.array(
+            np.concatenate([np.zeros(total, np.int64), np.ones(nv, np.int64)])
+        )
+        return pa.table(out)
+
+    aggs = []
+    for k in ks:
+        aggs.append(Sum(f"ndv{k}", alias_name=f"ndv{k}"))
+        aggs.append(Sum(f"np{k}", alias_name=f"np{k}"))
+    aggs.append(Sum("self_dv", alias_name="self_dv"))
+    aggs.append(Max("is_self", alias_name="occupied"))
+    tgt = (
+        dens.map_batches(scatter, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(*aggs)
+    )
+
+    def fpart(b: pa.Table) -> pa.Table:
+        cols = {}
+        if b.num_columns == 0 or b.num_rows == 0:
+            for k in ks:
+                cols[f"num{k}"] = pa.array([], pa.float64())
+                cols[f"w{k}"] = pa.array([], pa.int64())
+            cols["den"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        occ = np.asarray(b["occupied"], np.int64) == 1
+        sdv = np.asarray(b["self_dv"], np.float64)[occ]
+        cols["den"] = pa.array([float(np.sum(sdv * sdv))])
+        for k in ks:
+            ndv = np.asarray(b[f"ndv{k}"], np.float64)[occ]
+            npr = np.asarray(b[f"np{k}"], np.int64)[occ]
+            cols[f"num{k}"] = pa.array([float(np.sum(sdv * ndv))])
+            cols[f"w{k}"] = pa.array([np.int64(npr.sum())])
+        return pa.table(cols)
+
+    names = [f"num{k}" for k in ks] + [f"w{k}" for k in ks] + ["den"]
+    f = tgt.map_batches(fpart, batch_format="pyarrow").sum(names)
+    den = float(f["sum(den)"])
+    rows = {"ring": [], "n_hexes": [], "w_pairs": [], "moran_i": []}
+    for k in ks:
+        num = float(f[f"sum(num{k})"])
+        w = int(f[f"sum(w{k})"])
+        moran = ((float(n_hexes) / float(w)) * num) / den if w else 0.0
+        rows["ring"].append(k)
+        rows["n_hexes"].append(n_hexes)
+        rows["w_pairs"].append(w)
+        rows["moran_i"].append(
+            float(np.sign(moran) * np.floor(np.abs(moran) * 1e6 + 0.5) / 1e6)
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "ring": pa.array(rows["ring"], pa.int64()),
+                "n_hexes": pa.array(rows["n_hexes"], pa.int64()),
+                "w_pairs": pa.array(rows["w_pairs"], pa.int64()),
+                "moran_i": pa.array(rows["moran_i"], pa.float64()),
             }
         )
     )

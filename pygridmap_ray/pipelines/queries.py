@@ -892,6 +892,52 @@ def _sql_knn_loo_r2() -> str:
     )
 
 
+def q_correlogram(sf_dir: str):
+    """Spatial correlogram (hex.correlogram): Moran's I at ring distances
+    1..3 with annulus weights — one widened scatter resolves every ring
+    in a single hash aggregate."""
+    from ..hex import correlogram, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+    return correlogram(ds, size=HEX_SIZE, ks=(1, 2, 3))
+
+
+def _sql_correlogram() -> str:
+    from ..hex import ring_offsets, sql_hex_cte
+    from ..synth import sql_points_cte
+
+    parts = []
+    for k in (1, 2, 3):
+        vals = ", ".join(f"({dq}, {dr})" for dq, dr in ring_offsets(k))
+        parts.append(
+            f"SELECT {k} AS ring, CAST(st.nn AS BIGINT) AS n_hexes,"
+            f" CAST(p.w AS BIGINT) AS w_pairs,"
+            f" ROUND((((st.nn / p.w) * p.num) / st.den) * 1000000.0)"
+            f" / 1000000.0 AS moran_i"
+            f" FROM (SELECT SUM((CAST(a.n AS DOUBLE) - st0.m)"
+            f" * (CAST(b.n AS DOUBLE) - st0.m)) AS num,"
+            f" COUNT(*)::DOUBLE AS w"
+            f" FROM cells a CROSS JOIN (SELECT m FROM stats) st0"
+            f" CROSS JOIN (VALUES {vals}) o(dq, dr) JOIN cells b"
+            f" ON b.hq = a.hq + o.dq AND b.hr = a.hr + o.dr) p"
+            f" CROSS JOIN stats st"
+        )
+        # ^ one adjacency pass per ring; `stats` carries mean/den/count
+    body = " UNION ALL ".join(parts)
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"cells AS (SELECT hq, hr, COUNT(*)::BIGINT AS n FROM hexed"
+        f" GROUP BY hq, hr), "
+        f"stats0 AS (SELECT COUNT(*)::DOUBLE AS nn,"
+        f" SUM(n)::DOUBLE / COUNT(*)::DOUBLE AS m FROM cells), "
+        f"stats AS (SELECT nn, m,"
+        f" (SELECT SUM((CAST(n AS DOUBLE) - s.m)"
+        f" * (CAST(n AS DOUBLE) - s.m)) FROM cells) AS den"
+        f" FROM stats0 s) "
+        f"{body}"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -6330,6 +6376,7 @@ def queries():
         "variogram_dir": q_variogram_dir,
         "std_ellipse": q_std_ellipse,
         "knn_loo_r2": q_knn_loo_r2,
+        "correlogram": q_correlogram,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -6999,6 +7046,7 @@ def oracle_sql():
         "variogram_dir": _sql_variogram_dir(),
         "std_ellipse": _sql_std_ellipse(),
         "knn_loo_r2": _sql_knn_loo_r2(),
+        "correlogram": _sql_correlogram(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

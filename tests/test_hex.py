@@ -438,3 +438,34 @@ def test_hex_gini_properties(ray_session):
     g_rank = 2.0 * float((ranks * x).sum()) / (n * tot) - (n + 1.0) / n
     g_mad = np.abs(x[:, None] - x[None, :]).sum() / (2.0 * n * tot)
     assert abs(g_rank - g_mad) < 1e-12
+
+
+def test_correlogram_ring1_equals_morans_i(ray_session):
+    """Correlogram at ring 1 must reproduce morans_i exactly (same law,
+    annulus(1) == the 6 neighbors); rings partition: annuli are disjoint."""
+    from pygridmap_ray.hex import (
+        correlogram,
+        hex_axial,
+        kring_offsets,
+        morans_i,
+        ring_offsets,
+        with_hex_cells,
+    )
+
+    rng = np.random.default_rng(21)
+    x = rng.uniform(0, 60_000, 2500)
+    y = rng.uniform(0, 60_000, 2500)
+    ds = rd.from_arrow(pa.table({"x": x, "y": y})).repartition(5)
+    hexed = with_hex_cells(ds, size=SIZE)
+    cg = correlogram(hexed, size=SIZE, ks=(1, 2)).to_pandas()
+    mi = morans_i(hexed, size=SIZE).to_pandas().iloc[0]
+    r1 = cg[cg["ring"] == 1].iloc[0]
+    assert r1["n_hexes"] == mi["n_hexes"]
+    assert r1["w_pairs"] == mi["w_pairs"]
+    assert r1["moran_i"] == mi["moran_i"]
+
+    assert set(ring_offsets(1)) | set(ring_offsets(2)) | {(0, 0)} == set(
+        kring_offsets(2)
+    )
+    assert not set(ring_offsets(1)) & set(ring_offsets(2))
+    assert len(ring_offsets(3)) == 18
