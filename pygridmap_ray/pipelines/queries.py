@@ -938,6 +938,82 @@ def _sql_correlogram() -> str:
     )
 
 
+BUFFER_R = 30_000.0
+
+
+def q_hex_buffer(sf_dir: str):
+    """Distance buffer as a hex-cell set: every cell whose CENTER lies
+    within BUFFER_R of at least one doc point (the raster-space GIS
+    buffer / dilation).  Candidates come from each point's k-ring with
+    k = ceil((R + size) / (1.5 * size)) — centers at hex distance k are
+    at least 1.5*size*k apart, so no qualifying cell can be missed.
+
+    Scale shape: per-point k-ring scatter with exact center-distance
+    test, per-batch packed-key dedup, one distinct aggregate — shuffle
+    volume is O(buffered cells x blocks)."""
+    import math
+
+    from ray.data.aggregate import Max
+
+    from ..hex import _pack, _unpack, hex_center, kring_offsets, with_hex_cells
+
+    k = math.ceil((BUFFER_R + HEX_SIZE) / (1.5 * HEX_SIZE))
+    offs = kring_offsets(k)
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = np.asarray(b["hq"], np.int64)
+        r = np.asarray(b["hr"], np.int64)
+        x = np.asarray(b["x"], np.float64)
+        y = np.asarray(b["y"], np.float64)
+        keys = []
+        for dq, dr in offs:
+            tq, tr = q + dq, r + dr
+            cx, cy = hex_center(tq, tr, HEX_SIZE)
+            d2 = (x - cx) * (x - cx) + (y - cy) * (y - cy)
+            hit = d2 <= BUFFER_R * BUFFER_R
+            keys.append(_pack(tq[hit], tr[hit]))
+        u = np.unique(np.concatenate(keys))
+        return pa.table({"hkey": u, "one": np.ones(len(u), np.int64)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Max("one", alias_name="one"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {"hq": pa.array([], pa.int64()), "hr": pa.array([], pa.int64())}
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        return pa.table({"hq": pa.array(q), "hr": pa.array(r)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_hex_buffer() -> str:
+    import math
+
+    from ..hex import kring_offsets, sql_hex_cte
+    from ..synth import sql_points_cte
+
+    k = math.ceil((BUFFER_R + HEX_SIZE) / (1.5 * HEX_SIZE))
+    vals = ", ".join(f"({dq}, {dr})" for dq, dr in kring_offsets(k))
+    s = repr(float(HEX_SIZE))
+    cx = f"({s} * ((3.0/2.0) * (p.hq + o.dq)))"
+    cy = f"({s} * ((sqrt(3.0)/2.0) * (p.hq + o.dq) + sqrt(3.0) * (p.hr + o.dr)))"
+    d2 = f"((p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}))"
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"offs(dq, dr) AS (VALUES {vals}) "
+        f"SELECT DISTINCT p.hq + o.dq AS hq, p.hr + o.dr AS hr"
+        f" FROM hexed p CROSS JOIN offs o"
+        f" WHERE {d2} <= {BUFFER_R!r} * {BUFFER_R!r}"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -6377,6 +6453,7 @@ def queries():
         "std_ellipse": q_std_ellipse,
         "knn_loo_r2": q_knn_loo_r2,
         "correlogram": q_correlogram,
+        "hex_buffer": q_hex_buffer,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -7047,6 +7124,7 @@ def oracle_sql():
         "std_ellipse": _sql_std_ellipse(),
         "knn_loo_r2": _sql_knn_loo_r2(),
         "correlogram": _sql_correlogram(),
+        "hex_buffer": _sql_hex_buffer(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

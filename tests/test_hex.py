@@ -469,3 +469,42 @@ def test_correlogram_ring1_equals_morans_i(ray_session):
     )
     assert not set(ring_offsets(1)) & set(ring_offsets(2))
     assert len(ring_offsets(3)) == 18
+
+
+def test_hex_buffer_ring_bound_and_brute(ray_session):
+    """Buffer cells == brute all-cells scan (the k-ring candidate bound
+    misses nothing), and every buffered center is within R of a point."""
+    import math
+
+    from pygridmap_ray.hex import hex_axial, hex_center
+    from pygridmap_ray.pipelines.queries import (
+        BUFFER_R,
+        HEX_SIZE,
+        q_hex_buffer,
+    )
+    from pygridmap_ray.synth import derive_xy
+
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = (
+        q_hex_buffer(sf_dir)
+        .to_pandas()
+        .sort_values(["hq", "hr"])
+        .reset_index(drop=True)
+    )
+    df = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+    x, y = derive_xy(df["doc_id"].to_numpy())
+    # brute: scan a generous axial window around the occupied cells
+    # (hex distance <= 5 > the query's k-ring bound of 2)
+    pq, pr = hex_axial(x, y, HEX_SIZE)
+    cells = []
+    for cq in range(pq.min() - 5, pq.max() + 6):
+        for cr in range(pr.min() - 5, pr.max() + 6):
+            cx, cy = hex_center(np.array([cq]), np.array([cr]), HEX_SIZE)
+            d2 = (x - cx[0]) ** 2 + (y - cy[0]) ** 2
+            if (d2 <= BUFFER_R * BUFFER_R).any():
+                cells.append((cq, cr))
+    assert list(zip(out["hq"], out["hr"])) == sorted(cells)
