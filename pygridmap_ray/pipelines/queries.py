@@ -1014,6 +1014,90 @@ def _sql_hex_buffer() -> str:
     )
 
 
+def q_hex_erode(sf_dir: str):
+    """Morphological EROSION of the occupancy lattice: occupied cells
+    whose six neighbors are ALL occupied (the interior of the occupied
+    region — dilation's complement, see hex_buffer).  Reuses the 6-bit
+    neighborhood-mask plan of hex_lattice_stats: scatter + ONE marker
+    aggregate, mask == 63 selects the interior; no join."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..hex import _CYCLE, _pack, _unpack, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEXC_SIZE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u = np.unique(key)
+        return pa.table({"hkey": u, "one": np.ones(len(u), np.int64)})
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Max("one", alias_name="occ"))
+    )
+
+    def scatter(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.int64()),
+                    "bit": pa.array([], pa.int64()),
+                    "self_occ": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        tkeys, bits = [], []
+        for i, (dq, dr) in enumerate(_CYCLE):
+            tkeys.append(_pack(q + dq, r + dr))
+            bits.append(
+                np.full(len(q), np.int64(1) << ((i + 3) % 6), np.int64)
+            )
+        tkey = np.concatenate(tkeys + [_pack(q, r)])
+        bit = np.concatenate(bits + [np.zeros(len(q), np.int64)])
+        self_occ = np.concatenate(
+            [np.zeros(6 * len(q), np.int64), np.ones(len(q), np.int64)]
+        )
+        return pa.table({"tkey": tkey, "bit": bit, "self_occ": self_occ})
+
+    masked = (
+        cells.map_batches(scatter, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(
+            Sum("bit", alias_name="mask"),
+            Max("self_occ", alias_name="occ"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {"hq": pa.array([], pa.int64()), "hr": pa.array([], pa.int64())}
+            )
+        keep = (np.asarray(b["occ"], np.int64) > 0) & (
+            np.asarray(b["mask"], np.int64) == 63
+        )
+        q, r = _unpack(np.asarray(b["tkey"], np.int64)[keep])
+        return pa.table({"hq": pa.array(q), "hr": pa.array(r)})
+
+    return masked.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_hex_erode() -> str:
+    from ..hex import _CYCLE, sql_hex_cte
+    from ..synth import sql_points_cte
+
+    vals = ", ".join(f"({dq}, {dr})" for dq, dr in _CYCLE)
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEXC_SIZE)}, "
+        f"cells AS (SELECT DISTINCT hq, hr FROM hexed), "
+        f"offs(dq, dr) AS (VALUES {vals}) "
+        f"SELECT c.hq, c.hr FROM cells c CROSS JOIN offs o"
+        f" JOIN cells n ON n.hq = c.hq + o.dq AND n.hr = c.hr + o.dr"
+        f" GROUP BY c.hq, c.hr HAVING COUNT(*) = 6"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -6454,6 +6538,7 @@ def queries():
         "knn_loo_r2": q_knn_loo_r2,
         "correlogram": q_correlogram,
         "hex_buffer": q_hex_buffer,
+        "hex_erode": q_hex_erode,
         "hex_density": q_hex_density,
         "hex_media_density": q_hex_media_density,
         "hex_focal": q_hex_focal,
@@ -7125,6 +7210,7 @@ def oracle_sql():
         "knn_loo_r2": _sql_knn_loo_r2(),
         "correlogram": _sql_correlogram(),
         "hex_buffer": _sql_hex_buffer(),
+        "hex_erode": _sql_hex_erode(),
         "hex_density": _sql_hex_density(),
         "hex_media_density": _sql_hex_media_density(),
         "hex_focal": _sql_hex_focal(),

@@ -508,3 +508,28 @@ def test_hex_buffer_ring_bound_and_brute(ray_session):
             if (d2 <= BUFFER_R * BUFFER_R).any():
                 cells.append((cq, cr))
     assert list(zip(out["hq"], out["hr"])) == sorted(cells)
+
+
+def test_hex_erode_is_interior(ray_session):
+    """Erosion == cells whose full 1-ring is occupied (brute set check
+    on the real fixture)."""
+    import duckdb
+
+    from pygridmap_ray.hex import hex_axial, hex_neighbors
+    from pygridmap_ray.pipelines.queries import HEXC_SIZE, q_hex_erode
+    from pygridmap_ray.synth import derive_xy
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = set(
+        map(tuple, q_hex_erode(sf_dir).to_pandas()[["hq", "hr"]].to_numpy())
+    )
+    df = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+    x, y = derive_xy(df["doc_id"].to_numpy())
+    q, r = hex_axial(x, y, HEXC_SIZE)
+    occ = set(zip(q.tolist(), r.tolist()))
+    expect = {
+        c for c in occ if all(n in occ for n in hex_neighbors(*c))
+    }
+    assert out == expect and len(expect) > 0
