@@ -1205,6 +1205,78 @@ def _sql_s2_range() -> str:
     )
 
 
+def q_sphere_nn(sf_dir: str):
+    """Exact nearest neighbor on the unit sphere: for every doc, the
+    other doc with the maximum direction cosine (normalized xyz dot
+    product), ties to the smallest doc_id.  One row per doc
+    (doc_id, nn_id, dot 6dp).
+
+    Scale shape: the brute-force ANN layout — the (n, 3) normalized
+    direction matrix broadcasts once (ray.put) and each batch runs a
+    BLAS-free broadcasted elementwise dot (explicit x*x' + y*y' + z*z',
+    so no FMA contraction can diverge from the twin) + first-max argmax.
+    The IVF-bucketed path (ann.ivf_topk) is the scale escape hatch."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from ..synth import derive_xyz
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    did = np.sort(np.asarray(t["doc_id"], dtype=np.int64))
+    px, py, pz = derive_xyz(did)
+    norm = np.sqrt(px * px + py * py + pz * pz)
+    ux, uy, uz = px / norm, py / norm, pz / norm
+    ref = ray.put((did, ux, uy, uz))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def nn(b: pa.Table, _ref=ref) -> pa.Table:
+        rid, rx, ry, rz = ray.get(_ref)
+        doc = np.asarray(b["doc_id"], np.int64)
+        qx, qy, qz = derive_xyz(doc)
+        qn = np.sqrt(qx * qx + qy * qy + qz * qz)
+        qx, qy, qz = qx / qn, qy / qn, qz / qn
+        dot = (
+            qx[:, None] * rx[None, :]
+            + qy[:, None] * ry[None, :]
+            + qz[:, None] * rz[None, :]
+        )
+        self_pos = np.searchsorted(rid, doc)
+        dot[np.arange(len(doc)), self_pos] = -np.inf
+        best = np.argmax(dot, axis=1)  # rid ascending -> first max = min id
+        bd = dot[np.arange(len(doc)), best]
+        bd = np.sign(bd) * np.floor(np.abs(bd) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "nn_id": pa.array(rid[best]),
+                "dot": pa.array(bd),
+            }
+        )
+
+    return ds.map_batches(nn, batch_format="pyarrow")
+
+
+def _sql_sphere_nn() -> str:
+    from ..synth import sql_xyz_cte
+
+    norm = "sqrt(px * px + py * py + pz * pz)"
+    return (
+        f"WITH xyz AS ({sql_xyz_cte()}), "
+        f"u AS (SELECT doc_id, px / {norm} AS ux, py / {norm} AS uy,"
+        f" pz / {norm} AS uz FROM xyz), "
+        f"pairs AS (SELECT a.doc_id, b.doc_id AS nn_id,"
+        f" a.ux * b.ux + a.uy * b.uy + a.uz * b.uz AS d"
+        f" FROM u a JOIN u b ON a.doc_id != b.doc_id"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY a.doc_id"
+        f" ORDER BY d DESC, b.doc_id) = 1) "
+        f"SELECT doc_id, nn_id,"
+        f" ROUND(d * 1000000.0) / 1000000.0 AS dot FROM pairs"
+    )
+
+
 def q_hex_density(sf_dir: str):
     """Per-hex doc density with cell centers: packed-key unique partials
     -> one small hash aggregate -> unpack (raw rows never shuffle)."""
@@ -6518,6 +6590,7 @@ def queries():
         "s2_assign": q_s2_assign,
         "s2_density": q_s2_density,
         "s2_range": q_s2_range,
+        "sphere_nn": q_sphere_nn,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -7190,6 +7263,7 @@ def oracle_sql():
         "s2_assign": _sql_s2_assign(),
         "s2_density": _sql_s2_density(),
         "s2_range": _sql_s2_range(),
+        "sphere_nn": _sql_sphere_nn(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

@@ -106,3 +106,36 @@ def test_s2_range_cover_is_exact():
                 int(morton_encode(np.array([si]), np.array([ti]), level)[0])
             )
     assert covered == expect
+
+
+def test_sphere_nn_bruteforce(ray_session):
+    """Engine sphere-NN == brute argmax over normalized dots."""
+    from pygridmap_ray.pipelines.queries import q_sphere_nn
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = (
+        q_sphere_nn(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    ids = np.sort(
+        duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).df()["doc_id"].to_numpy()
+    )
+    px, py, pz = derive_xyz(ids)
+    m = np.stack([px, py, pz], axis=1)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    dots = m @ m.T
+    np.fill_diagonal(dots, -np.inf)
+    best = np.argmax(dots, axis=1)
+    assert (out["doc_id"].to_numpy() == ids).all()
+    assert (out["nn_id"].to_numpy() == ids[best]).all()
+    got_dot = out["dot"].to_numpy()
+    assert np.allclose(got_dot, dots[np.arange(len(ids)), best], atol=1e-5)
+    # symmetry sanity: the mutual-NN relation is non-empty
+    nn_map = dict(zip(out["doc_id"], out["nn_id"]))
+    assert any(nn_map.get(v) == k for k, v in nn_map.items())
