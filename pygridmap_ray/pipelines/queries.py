@@ -3666,6 +3666,81 @@ def _sql_poly_metrics() -> str:
     return sql_poly_metrics(_POLY_RINGS)
 
 
+def q_poly_adjacency(sf_dir: str):
+    """Layer topology matrix (DE-9IM lite): for every polygon pair,
+    'overlaps' when rect interiors intersect with positive area, else
+    'touches' when boundaries share a positive-length segment — computed
+    on the disjoint rect decompositions, fully vectorized rect-pair
+    tests on the broadcast layer (the small-side law of every overlay).
+
+    Output: (poly_a, poly_b, relation) with poly_a < poly_b."""
+    import ray.data as rd
+
+    layer = polygon_layer()
+    pid, rx0, ry0, rx1, ry1 = [], [], [], [], []
+    for p in layer:
+        for xmin, ymin, xmax, ymax in p["rects"]:
+            pid.append(p["poly_id"])
+            rx0.append(xmin)
+            ry0.append(ymin)
+            rx1.append(xmax)
+            ry1.append(ymax)
+    pid = np.asarray(pid, np.int64)
+    rx0 = np.asarray(rx0)
+    ry0 = np.asarray(ry0)
+    rx1 = np.asarray(rx1)
+    ry1 = np.asarray(ry1)
+
+    def pairs(_: pa.Table) -> pa.Table:
+        ix = np.arange(len(pid))
+        ai, bi = np.meshgrid(ix, ix, indexing="ij")
+        ai, bi = ai.ravel(), bi.ravel()
+        keep = pid[ai] < pid[bi]
+        ai, bi = ai[keep], bi[keep]
+        ox = np.minimum(rx1[ai], rx1[bi]) - np.maximum(rx0[ai], rx0[bi])
+        oy = np.minimum(ry1[ai], ry1[bi]) - np.maximum(ry0[ai], ry0[bi])
+        overlaps = (ox > 0.0) & (oy > 0.0)
+        touches = ((ox == 0.0) & (oy > 0.0)) | ((oy == 0.0) & (ox > 0.0))
+        pa_, pb_ = pid[ai], pid[bi]
+        key = pa_ * 1000 + pb_
+        rel = {}
+        for k in np.unique(key[overlaps]):
+            rel[int(k)] = "overlaps"
+        for k in np.unique(key[touches]):
+            rel.setdefault(int(k), "touches")
+        ks = sorted(rel)
+        return pa.table(
+            {
+                "poly_a": pa.array([k // 1000 for k in ks], pa.int64()),
+                "poly_b": pa.array([k % 1000 for k in ks], pa.int64()),
+                "relation": pa.array([rel[k] for k in ks], pa.string()),
+            }
+        )
+
+    return rd.from_items([{"go": 1}]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+
+def _sql_poly_adjacency() -> str:
+    from ..synth import sql_polygon_rects_cte
+
+    ox = "(LEAST(a.rxmax, b.rxmax) - GREATEST(a.rxmin, b.rxmin))"
+    oy = "(LEAST(a.rymax, b.rymax) - GREATEST(a.rymin, b.rymin))"
+    return (
+        f"WITH rects AS ({sql_polygon_rects_cte()}), "
+        f"pr AS (SELECT a.poly_id AS poly_a, b.poly_id AS poly_b,"
+        f" MAX(CASE WHEN {ox} > 0.0 AND {oy} > 0.0 THEN 2"
+        f" WHEN ({ox} = 0.0 AND {oy} > 0.0)"
+        f" OR ({oy} = 0.0 AND {ox} > 0.0) THEN 1 ELSE 0 END) AS rel"
+        f" FROM rects a JOIN rects b ON a.poly_id < b.poly_id"
+        f" GROUP BY a.poly_id, b.poly_id) "
+        f"SELECT poly_a, poly_b,"
+        f" CASE WHEN rel = 2 THEN 'overlaps' ELSE 'touches' END AS relation"
+        f" FROM pr WHERE rel > 0"
+    )
+
+
 def q_poly_overlay(sf_dir: str):
     """Layer x layer overlay (general convex-clip Sutherland-Hodgman):
     the 8-polygon fixture layer (km-scaled; holes included) against the
@@ -6709,6 +6784,7 @@ def queries():
         "area_interpolate": q_area_interpolate,
         "poly_overlay": q_poly_overlay,
         "poly_metrics": q_poly_metrics,
+        "poly_adjacency": q_poly_adjacency,
         "poly_overlay_concave": q_poly_overlay_concave,
         "disaggregate": q_disaggregate,
         "grid_aggregation": q_grid_aggregation,
@@ -7412,6 +7488,7 @@ def oracle_sql():
         "overlay_union": sql_overlay_fragments(spec50, how="union"),
         "poly_overlay": _sql_poly_overlay(),
         "poly_metrics": _sql_poly_metrics(),
+        "poly_adjacency": _sql_poly_adjacency(),
         "poly_overlay_concave": _sql_poly_overlay_concave(),
         "area_interpolate": sql_grid_overlay_sum(spec50, ["pop"]),
         "disaggregate": _sql_disaggregate(),

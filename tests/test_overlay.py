@@ -291,3 +291,18 @@ def test_poly_metrics_known_shapes(ray_session):
     assert abs(out.loc[2, "cx"]) < 1e-6 and abs(out.loc[2, "cy"]) < 1e-6
     # near-circle approaches the isoperimetric bound 1
     assert out.loc[2, "compactness"] > 0.999
+
+
+def test_poly_adjacency_known_topology(ray_session):
+    """The fixture layer's hand-checkable relations: P7 overlaps P1
+    (deliberate fixture overlap); P0 touches P1 (shared x=200k edge)."""
+    from pygridmap_ray.pipelines.queries import q_poly_adjacency
+
+    out = q_poly_adjacency("/root/testdata/sf0.001").to_pandas()
+    rel = {
+        (a, b): r
+        for a, b, r in zip(out["poly_a"], out["poly_b"], out["relation"])
+    }
+    assert rel[(1, 7)] == "overlaps"
+    assert rel[(0, 1)] == "touches"
+    assert all(a < b for a, b in rel)
