@@ -5512,6 +5512,59 @@ def q_zonal_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_zonal_hist(sf_dir: str):
+    """Zonal HISTOGRAM: per polygon, the distribution of raster band
+    values in 100-wide bins (bin = floor(elev / 100)) — the categorical
+    companion to zonal_stats; same PIP-on-cell-coordinates join, then a
+    composite (poly, bin) count with per-batch combiners."""
+    from ray.data.aggregate import Sum
+
+    from ..raster import SyntheticRaster, tiling_raster
+
+    cells = tiling_raster(
+        SyntheticRaster(**_RASTER_KW), tile_size_cell=64
+    ).select_columns(["x", "y", "elev"])
+    j = join_points_to_polygons(cells, polygon_layer(), how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        poly = np.asarray(b["poly_id"], np.int64)
+        elev = np.asarray(b["elev"], np.float64)
+        ok = ~np.isnan(elev)
+        poly, elev = poly[ok], elev[ok]
+        binv = np.floor(elev / 100.0).astype(np.int64)
+        key = poly * 100 + binv
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "poly_id": pa.array(u // 100),
+                "bin": pa.array(u % 100),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(["poly_id", "bin"])
+        .aggregate(Sum("n", alias_name="n_cells"))
+    )
+
+
+def _sql_zonal_hist():
+    from ..synth import sql_polygon_rects_cte
+
+    return f"""
+WITH cells AS ({_sql_raster_cells()}),
+poly_rects AS ({sql_polygon_rects_cte()})
+SELECT r.poly_id, CAST(floor(p.elev / 100.0) AS BIGINT) AS bin,
+       COUNT(*)::BIGINT AS n_cells
+FROM cells p
+JOIN poly_rects r
+  ON p.x >= r.rxmin AND p.x < r.rxmax AND p.y >= r.rymin AND p.y < r.rymax
+WHERE p.elev IS NOT NULL
+GROUP BY r.poly_id, bin
+"""
+
+
 def q_frame_rowsum(sf_dir: str):
     import ray.data as rd
 
@@ -6666,6 +6719,7 @@ def queries():
         "s2_density": q_s2_density,
         "s2_range": q_s2_range,
         "sphere_nn": q_sphere_nn,
+        "zonal_hist": q_zonal_hist,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -7340,6 +7394,7 @@ def oracle_sql():
         "s2_density": _sql_s2_density(),
         "s2_range": _sql_s2_range(),
         "sphere_nn": _sql_sphere_nn(),
+        "zonal_hist": _sql_zonal_hist(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

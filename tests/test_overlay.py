@@ -306,3 +306,15 @@ def test_poly_adjacency_known_topology(ray_session):
     assert rel[(1, 7)] == "overlaps"
     assert rel[(0, 1)] == "touches"
     assert all(a < b for a, b in rel)
+
+
+def test_zonal_hist_sums_to_zonal_stats(ray_session):
+    """Per-polygon histogram counts must sum to zonal_stats n_cells."""
+    from pygridmap_ray.pipelines.queries import q_zonal_hist, q_zonal_stats
+
+    hist = q_zonal_hist("/root/testdata/sf0.001").to_pandas()
+    stats = q_zonal_stats("/root/testdata/sf0.001").to_pandas()
+    got = hist.groupby("poly_id")["n_cells"].sum().sort_index()
+    exp = stats.set_index("poly_id")["n_cells"].sort_index()
+    assert (got == exp).all()
+    assert hist["bin"].between(0, 9).all()
