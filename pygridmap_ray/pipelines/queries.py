@@ -6336,6 +6336,21 @@ def _sql_events_coloc() -> str:
     return sql_events_coloc(hex_size=HEX_SIZE)
 
 
+def q_od_paths(sf_dir: str):
+    """Per-user hex path densification from origin to destination cell
+    (cube-lerp line law on center coordinates) — the trajectory
+    rasterization operator."""
+    from .relational import events_od_paths
+
+    return events_od_paths(sf_dir, hex_size=HEX_SIZE)
+
+
+def _sql_od_paths() -> str:
+    from .relational import sql_events_od_paths
+
+    return sql_events_od_paths(hex_size=HEX_SIZE)
+
+
 def q_od_gravity(sf_dir: str):
     """Gravity-model (distance-decay) fit over OD hex flows: OLS of
     ln(flow) on ln(center distance) — the classic spatial-interaction
@@ -6720,6 +6735,7 @@ def queries():
         "s2_range": q_s2_range,
         "sphere_nn": q_sphere_nn,
         "zonal_hist": q_zonal_hist,
+        "od_paths": q_od_paths,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -7395,6 +7411,7 @@ def oracle_sql():
         "s2_range": _sql_s2_range(),
         "sphere_nn": _sql_sphere_nn(),
         "zonal_hist": _sql_zonal_hist(),
+        "od_paths": _sql_od_paths(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

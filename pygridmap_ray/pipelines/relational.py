@@ -2323,3 +2323,132 @@ FROM pres a JOIN pres b
 GROUP BY a.user_id, b.user_id
 HAVING COUNT(*) >= {min_meets}
 """
+
+
+def events_od_paths(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
+    """Hex path densification: for every user, the straight-line cell
+    path from the ORIGIN hex (first event) to the DESTINATION hex (last
+    event) — step k of n samples the segment between the two cell
+    CENTERS at fraction k/n (n = hex lattice distance) and hex-assigns
+    it (the classic cube-lerp line law, expressed on center coordinates
+    so the twin shares the assignment CTE).  Rows (user_id, seq, hq, hr).
+
+    Scale shape: ONE coarse user-hash bucket shuffle; the per-bucket
+    kernel finds first/last with a lexsort segment scan and explodes
+    paths VECTORIZED (repeat/arange over per-user step counts).
+    """
+    import ray.data as rd
+
+    from ..hex import _pack, hex_axial, hex_center
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, eid = uid[order], eid[order]
+        starts = np.concatenate([[True], uid[1:] != uid[:-1]])
+        ends = np.concatenate([uid[1:] != uid[:-1], [True]])
+        users = uid[starts]
+        ox, oy = derive_xy(eid[starts])
+        dx, dy = derive_xy(eid[ends])
+        oq, orr = hex_axial(ox, oy, hex_size)
+        dq, dr = hex_axial(dx, dy, hex_size)
+        ddq = dq - oq
+        ddr = dr - orr
+        n = (np.abs(ddq) + np.abs(ddr) + np.abs(ddq + ddr)) // 2
+        cox, coy = hex_center(oq, orr, hex_size)
+        cdx, cdy = hex_center(dq, dr, hex_size)
+        # explode: user u emits steps 0..n_u
+        reps = (n + 1).astype(np.int64)
+        ui = np.repeat(np.arange(len(users)), reps)
+        seq = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        nf = np.where(n[ui] == 0, 1, n[ui]).astype(np.float64)
+        t = seq.astype(np.float64) / nf
+        sx = cox[ui] + t * (cdx[ui] - cox[ui])
+        sy = coy[ui] + t * (cdy[ui] - coy[ui])
+        hq, hr = hex_axial(sx, sy, hex_size)
+        return pd.DataFrame(
+            {
+                "user_id": users[ui],
+                "seq": seq,
+                "hq": hq,
+                "hr": hr,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_od_paths(*, hex_size: float) -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    s = repr(float(hex_size))
+
+    def cx(q):
+        return f"({s} * ((3.0/2.0) * {q}))"
+
+    def cy(q, r):
+        return f"({s} * ((sqrt(3.0)/2.0) * {q} + sqrt(3.0) * {r}))"
+
+    return f"""
+WITH pts0 AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events
+),
+fpts AS (
+  SELECT user_id, x, y FROM pts0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) = 1
+),
+lpts AS (
+  SELECT user_id, x, y FROM pts0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) = 1
+),
+{sql_hex_cte(hex_size, points_cte="fpts", prefix="f_")},
+{sql_hex_cte(hex_size, points_cte="lpts", prefix="l_")},
+od AS (
+  SELECT f.user_id, f.hq AS oq, f.hr AS orr, l.hq AS dq, l.hr AS dr,
+         (abs(l.hq - f.hq) + abs(l.hr - f.hr)
+          + abs((l.hq - f.hq) + (l.hr - f.hr))) // 2 AS n
+  FROM f_hexed f JOIN l_hexed l ON f.user_id = l.user_id
+),
+steps AS (
+  SELECT od.user_id, k.i AS seq,
+         {cx('od.oq')} + (CAST(k.i AS DOUBLE)
+           / (CASE WHEN od.n = 0 THEN 1.0 ELSE CAST(od.n AS DOUBLE) END))
+           * ({cx('od.dq')} - {cx('od.oq')}) AS x,
+         {cy('od.oq', 'od.orr')} + (CAST(k.i AS DOUBLE)
+           / (CASE WHEN od.n = 0 THEN 1.0 ELSE CAST(od.n AS DOUBLE) END))
+           * ({cy('od.dq', 'od.dr')} - {cy('od.oq', 'od.orr')}) AS y
+  FROM od CROSS JOIN LATERAL
+    (SELECT UNNEST(generate_series(0, od.n)) AS i) k
+),
+{sql_hex_cte(hex_size, points_cte="steps", prefix="p_")}
+SELECT user_id, seq, hq, hr FROM p_hexed
+"""

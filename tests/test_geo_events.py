@@ -472,3 +472,30 @@ def test_std_ellipse_and_knn_r2_bruteforce(ray_session, sf_dir):
     sst = (v**2).sum() - v.sum() ** 2 / len(v)
     assert r2row["n"] == len(v)
     assert abs(r2row["r2"] - (1.0 - sse / sst)) < 1e-4
+
+
+def test_od_paths_connectivity(ray_session, sf_dir):
+    """Path laws: seq 0 is the origin cell, seq n the destination cell,
+    consecutive path cells are lattice-adjacent or equal, and the step
+    count is the hex distance."""
+    from pygridmap_ray.hex import hex_neighbors
+    from pygridmap_ray.pipelines.relational import events_od_paths
+
+    out = (
+        events_od_paths(sf_dir, hex_size=SIZE)
+        .to_pandas()
+        .sort_values(["user_id", "seq"])
+    )
+    ev = _events(sf_dir).sort_values(["user_id", "us", "event_id"])
+    for uid, g in out.groupby("user_id"):
+        cells = list(zip(g["hq"], g["hr"]))
+        ge = ev[ev["user_id"] == uid]
+        fx, fy = derive_xy(np.array([ge["event_id"].iloc[0]]))
+        lx, ly = derive_xy(np.array([ge["event_id"].iloc[-1]]))
+        o = tuple(int(v[0]) for v in hex_axial(fx, fy, SIZE))
+        d = tuple(int(v[0]) for v in hex_axial(lx, ly, SIZE))
+        assert cells[0] == o and cells[-1] == d
+        dq, dr = d[0] - o[0], d[1] - o[1]
+        assert len(cells) == (abs(dq) + abs(dr) + abs(dq + dr)) // 2 + 1
+        for a, b in zip(cells, cells[1:]):
+            assert b == a or b in hex_neighbors(*a), (uid, a, b)
