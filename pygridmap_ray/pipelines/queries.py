@@ -5476,6 +5476,71 @@ def _sql_raster_profile():
     )
 
 
+def q_band_corr(sf_dir: str):
+    """Inter-band Pearson correlation (map-algebra statistics): r between
+    the pop and elev bands over pixels where BOTH are valid — one row
+    (n, r), 6dp, from six-scalar moment partials."""
+    from ..raster import SyntheticRaster, tiling_raster
+
+    cells = tiling_raster(
+        SyntheticRaster(**_RASTER_KW), tile_size_cell=64
+    ).select_columns(["pop", "elev"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = np.asarray(b["pop"], np.float64)
+        e = np.asarray(b["elev"], np.float64)
+        ok = ~(np.isnan(p) | np.isnan(e))
+        p, e = p[ok], e[ok]
+        return pa.table(
+            {
+                "n": np.array([len(p)], np.int64),
+                "sp": np.array([p.sum()]),
+                "se": np.array([e.sum()]),
+                "spp": np.array([(p * p).sum()]),
+                "see": np.array([(e * e).sum()]),
+                "spe": np.array([(p * e).sum()]),
+            }
+        )
+
+    tot = cells.map_batches(partial, batch_format="pyarrow").sum(
+        ["n", "sp", "se", "spp", "see", "spe"]
+    )
+    import ray.data as rd
+
+    n = float(tot["sum(n)"])
+    sp, se = tot["sum(sp)"], tot["sum(se)"]
+    spp, see, spe = tot["sum(spp)"], tot["sum(see)"], tot["sum(spe)"]
+    r = (n * spe - sp * se) / (
+        np.sqrt(n * spp - sp * sp) * np.sqrt(n * see - se * se)
+    )
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([int(n)], pa.int64()),
+                "r": pa.array([rnd(r)]),
+            }
+        )
+    )
+
+
+def _sql_band_corr():
+    return f"""
+WITH cells AS ({_sql_raster_cells()}),
+s AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(pop) AS sp, SUM(elev) AS se,
+         SUM(pop * pop) AS spp, SUM(elev * elev) AS see,
+         SUM(pop * elev) AS spe
+  FROM cells WHERE pop IS NOT NULL AND elev IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(((n * spe - sp * se)
+         / (sqrt(n * spp - sp * sp) * sqrt(n * see - se * se)))
+         * 1000000.0) / 1000000.0 AS r
+FROM s
+"""
+
+
 def q_disaggregate(sf_dir: str):
     """Dasymetric disaggregation (inverse area interpolation): polygon
     totals spread onto cells by intersection-area weight; the final Sum
@@ -6351,6 +6416,85 @@ def _sql_od_paths() -> str:
     return sql_events_od_paths(hex_size=HEX_SIZE)
 
 
+def q_path_density(sf_dir: str):
+    """Flow-map density: how many user OD paths traverse each hex cell
+    (distinct users per cell over the densified paths) — the traffic
+    intensity rollup of od_paths.  Per-batch packed-key distinct
+    partials -> one hash aggregate."""
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack
+
+    from .relational import events_od_paths
+
+    from ..joins import _bucket_of
+
+    paths = events_od_paths(sf_dir, hex_size=HEX_SIZE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        # batch-local dedup shrinks the shuffle; exactness comes from the
+        # second, bucket-level unique (a pair may straddle batches)
+        pairs = np.unique(np.stack([key, uid], axis=1), axis=0)
+        mix = pairs[:, 0] ^ (pairs[:, 1] * np.int64(-7046029254386353131))
+        return pa.table(
+            {
+                "hkey": pa.array(pairs[:, 0]),
+                "uid": pa.array(pairs[:, 1]),
+                "__b": pa.array(_bucket_of(mix, 64)),
+            }
+        )
+
+    def bucket_distinct(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        arr = np.unique(
+            np.stack(
+                [g["hkey"].to_numpy(np.int64), g["uid"].to_numpy(np.int64)],
+                axis=1,
+            ),
+            axis=0,
+        )
+        u, c = np.unique(arr[:, 0], return_counts=True)
+        return pd.DataFrame({"hkey": u, "n": c.astype(np.int64)})
+
+    agg = (
+        paths.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_distinct, batch_format="pandas")
+        .groupby("hkey")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hq": pa.array([], pa.int64()),
+                    "hr": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        return pa.table(
+            {"hq": pa.array(q), "hr": pa.array(r), "n_users": b["n_users"]}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_path_density() -> str:
+    from .relational import sql_events_od_paths
+
+    inner = sql_events_od_paths(hex_size=HEX_SIZE)
+    return (
+        f"WITH paths AS ({inner}) "
+        f"SELECT hq, hr, COUNT(DISTINCT user_id)::BIGINT AS n_users"
+        f" FROM paths GROUP BY hq, hr"
+    )
+
+
 def q_od_gravity(sf_dir: str):
     """Gravity-model (distance-decay) fit over OD hex flows: OLS of
     ln(flow) on ln(center distance) — the classic spatial-interaction
@@ -6736,6 +6880,8 @@ def queries():
         "sphere_nn": q_sphere_nn,
         "zonal_hist": q_zonal_hist,
         "od_paths": q_od_paths,
+        "path_density": q_path_density,
+        "band_corr": q_band_corr,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -7412,6 +7558,8 @@ def oracle_sql():
         "sphere_nn": _sql_sphere_nn(),
         "zonal_hist": _sql_zonal_hist(),
         "od_paths": _sql_od_paths(),
+        "path_density": _sql_path_density(),
+        "band_corr": _sql_band_corr(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

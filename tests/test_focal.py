@@ -324,3 +324,36 @@ def test_profile_on_linear_plane(ray_session):
     py = (out["y"] - r.y_min) / r.resolution - 0.5
     assert np.allclose(out["elev"], 2.0 * px + 3.0 * py, atol=1e-6)
     assert (np.diff(out["dist"]) > 0).all()
+
+
+def test_band_corr_and_path_density_laws(ray_session):
+    """band_corr matches np.corrcoef on both-valid pixels; path_density
+    counts equal brute per-cell distinct users over the paths."""
+    from pygridmap_ray.pipelines.queries import (
+        _RASTER_KW,
+        q_band_corr,
+        q_path_density,
+    )
+    from pygridmap_ray.pipelines.relational import events_od_paths
+    from pygridmap_ray.raster import NODATA, SyntheticRaster
+
+    out = q_band_corr("/root/testdata/sf0.001").to_pandas().iloc[0]
+    r = SyntheticRaster(**_RASTER_KW)
+    p = r.read_window("pop", 0, 0, r.height, r.width)
+    e = r.read_window("elev", 0, 0, r.height, r.width)
+    ok = (p != NODATA) & (e != NODATA)
+    expect = np.corrcoef(p[ok], e[ok])[0, 1]
+    assert out["n"] == int(ok.sum())
+    assert abs(out["r"] - expect) < 1e-5
+
+    dens = q_path_density("/root/testdata/sf0.001").to_pandas()
+    paths = events_od_paths(
+        "/root/testdata/sf0.001", hex_size=25_000.0
+    ).to_pandas()
+    brute = (
+        paths.drop_duplicates(["hq", "hr", "user_id"])
+        .groupby(["hq", "hr"])
+        .size()
+    )
+    got = dens.set_index(["hq", "hr"])["n_users"].sort_index()
+    assert (got == brute.sort_index()).all()
