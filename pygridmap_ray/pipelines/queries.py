@@ -6495,6 +6495,89 @@ def _sql_path_density() -> str:
     )
 
 
+SFCA_D_KM = 300.0
+
+
+def q_accessibility(sf_dir: str):
+    """Two-step floating catchment accessibility (2SFCA): hub j's ratio
+    R_j = capacity_j / demand within D km (capacity = 100 + 10*hub_id);
+    point i's access A_i = sum of R_j over hubs within D km (0.0 when
+    none) — the classic service-accessibility index, 6dp.
+
+    Scale shape: step 1 is an 8-counter per-batch partial -> global sum
+    (the hub table broadcasts, demand never shuffles); step 2 is a
+    stateless vectorized pass with the 8 ratios riding the closure."""
+    import ray.data as rd
+
+    from ..geodesic import HUBS, haversine_km
+
+    hub_id = np.array([h[0] for h in HUBS], np.int64)
+    hlon = np.array([h[1] for h in HUBS])
+    hlat = np.array([h[2] for h in HUBS])
+    cap = 100.0 + 10.0 * hub_id.astype(np.float64)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        lon, lat = derive_lonlat(np.asarray(b["doc_id"]))
+        d = haversine_km(
+            lon[:, None], lat[:, None], hlon[None, :], hlat[None, :]
+        )
+        within = (d <= SFCA_D_KM).sum(axis=0).astype(np.int64)
+        return pa.table(
+            {"hub_id": pa.array(hub_id), "demand": pa.array(within)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    dem = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("hub_id")
+        .aggregate(Sum("demand", alias_name="demand"))
+        .to_pandas()
+        .sort_values("hub_id")
+    )
+    demand = np.zeros(len(HUBS), np.int64)
+    demand[dem["hub_id"].to_numpy(np.int64)] = dem["demand"].to_numpy(np.int64)
+    with np.errstate(divide="ignore"):
+        ratio = np.where(demand > 0, cap / demand.astype(np.float64), 0.0)
+
+    def access(b: pa.Table) -> pa.Table:
+        doc = np.asarray(b["doc_id"], np.int64)
+        lon, lat = derive_lonlat(doc)
+        d = haversine_km(
+            lon[:, None], lat[:, None], hlon[None, :], hlat[None, :]
+        )
+        a = np.where(d <= SFCA_D_KM, ratio[None, :], 0.0).sum(axis=1)
+        a = np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+        return pa.table({"doc_id": pa.array(doc), "access": pa.array(a)})
+
+    return ds.map_batches(access, batch_format="pyarrow")
+
+
+def _sql_accessibility() -> str:
+    from ..geodesic import sql_haversine_expr, sql_hubs_cte
+    from ..synth import sql_lonlat_cte
+
+    dist = sql_haversine_expr("p.lon", "p.lat", "h.hlon", "h.hlat")
+    return (
+        f"WITH ll AS ({sql_lonlat_cte()}), {sql_hubs_cte()}, "
+        f"dem AS (SELECT h.hub_id,"
+        f" (100.0 + 10.0 * h.hub_id) AS cap, COUNT(p.doc_id)::BIGINT AS n"
+        f" FROM hubs h LEFT JOIN ll p ON {dist} <= {SFCA_D_KM!r}"
+        f" GROUP BY h.hub_id), "
+        f"ratio AS (SELECT hub_id,"
+        f" CASE WHEN n > 0 THEN cap / CAST(n AS DOUBLE) ELSE 0.0 END AS r,"
+        f" hlon, hlat FROM dem JOIN hubs USING (hub_id)) "
+        f"SELECT p.doc_id,"
+        f" ROUND(COALESCE(SUM(CASE WHEN"
+        f" {sql_haversine_expr('p.lon', 'p.lat', 'r.hlon', 'r.hlat')}"
+        f" <= {SFCA_D_KM!r} THEN r.r END), 0.0) * 1000000.0) / 1000000.0"
+        f" AS access"
+        f" FROM ll p CROSS JOIN ratio r GROUP BY p.doc_id"
+    )
+
+
 def q_od_gravity(sf_dir: str):
     """Gravity-model (distance-decay) fit over OD hex flows: OLS of
     ln(flow) on ln(center distance) — the classic spatial-interaction
@@ -6882,6 +6965,7 @@ def queries():
         "od_paths": q_od_paths,
         "path_density": q_path_density,
         "band_corr": q_band_corr,
+        "accessibility": q_accessibility,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -7560,6 +7644,7 @@ def oracle_sql():
         "od_paths": _sql_od_paths(),
         "path_density": _sql_path_density(),
         "band_corr": _sql_band_corr(),
+        "accessibility": _sql_accessibility(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

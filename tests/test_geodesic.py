@@ -44,3 +44,39 @@ def test_nearest_hub_matches_bruteforce(ray_session):
     best = d[np.arange(len(lon)), j]
     best = np.floor(best * 1e3 + 0.5) / 1e3
     assert np.array_equal(out["hub_km"].to_numpy(), best)
+
+
+def test_accessibility_bruteforce(ray_session):
+    """2SFCA == a direct two-step loop over the hub table."""
+    import duckdb
+    import numpy as np
+
+    from pygridmap_ray.geodesic import HUBS, haversine_km
+    from pygridmap_ray.pipelines.queries import SFCA_D_KM, q_accessibility
+    from pygridmap_ray.synth import derive_lonlat
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = (
+        q_accessibility(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ids = np.sort(
+        duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).df()["doc_id"].to_numpy()
+    )
+    lon, lat = derive_lonlat(ids)
+    ratios = {}
+    for hid, hlon, hlat in HUBS:
+        d = haversine_km(lon, lat, np.full_like(lon, hlon), np.full_like(lat, hlat))
+        n = int((d <= SFCA_D_KM).sum())
+        ratios[hid] = ((100.0 + 10.0 * hid) / n if n else 0.0, hlon, hlat)
+    acc = np.zeros(len(ids))
+    for hid, (r, hlon, hlat) in ratios.items():
+        d = haversine_km(lon, lat, np.full_like(lon, hlon), np.full_like(lat, hlat))
+        acc += np.where(d <= SFCA_D_KM, r, 0.0)
+    assert (out["doc_id"].to_numpy() == ids).all()
+    assert np.allclose(out["access"].to_numpy(), acc, atol=1e-5)
+    assert (out["access"] > 0).any()
