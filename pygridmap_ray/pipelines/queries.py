@@ -6578,6 +6578,21 @@ def _sql_accessibility() -> str:
     )
 
 
+def q_speed_outliers(sf_dir: str):
+    """Per-user telemetry speed screening (GPS-noise filter law): flag
+    steps over 30 m/s or with non-increasing timestamps; report clean
+    mean speed — one coarse bucket pass."""
+    from .relational import events_speed_outliers
+
+    return events_speed_outliers(sf_dir)
+
+
+def _sql_speed_outliers() -> str:
+    from .relational import sql_events_speed_outliers
+
+    return sql_events_speed_outliers()
+
+
 def q_od_gravity(sf_dir: str):
     """Gravity-model (distance-decay) fit over OD hex flows: OLS of
     ln(flow) on ln(center distance) — the classic spatial-interaction
@@ -6966,6 +6981,7 @@ def queries():
         "path_density": q_path_density,
         "band_corr": q_band_corr,
         "accessibility": q_accessibility,
+        "speed_outliers": q_speed_outliers,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -7645,6 +7661,7 @@ def oracle_sql():
         "path_density": _sql_path_density(),
         "band_corr": _sql_band_corr(),
         "accessibility": _sql_accessibility(),
+        "speed_outliers": _sql_speed_outliers(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

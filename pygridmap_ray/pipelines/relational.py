@@ -2452,3 +2452,121 @@ steps AS (
 {sql_hex_cte(hex_size, points_cte="steps", prefix="p_")}
 SELECT user_id, seq, hq, hr FROM p_hexed
 """
+
+
+def events_speed_outliers(
+    sf_dir: str, *, vmax: float = 30.0, num_buckets: int = 64
+):
+    """Telemetry speed screening (GPS-noise filter law): per-user
+    consecutive steps in (ts, event_id) order; a step is FLAGGED when
+    its implied speed exceeds `vmax` m/s or its time delta is <= 0.
+    Output per user: n_steps, n_flagged, and the mean speed of the
+    clean steps (0.0 when none), 6dp.
+
+    Scale shape: the trajectory one-coarse-bucket plan; the kernel is
+    one lexsort + vectorized diffs (no per-user Python)."""
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        order = np.lexsort((eid, us, uid))
+        uid, us, x, y = uid[order], us[order], x[order], y[order]
+        same = uid[1:] == uid[:-1]
+        du = uid[1:][same]
+        dt = np.diff(us)[same]
+        dx = np.diff(x)[same]
+        dy = np.diff(y)[same]
+        dist = np.sqrt(dx * dx + dy * dy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            speed = dist / (dt.astype(np.float64) / 1e6)
+        bad = (dt <= 0) | (speed > vmax)
+        users, inv = np.unique(du, return_inverse=True)
+        n_steps = np.bincount(inv, minlength=len(users)).astype(np.int64)
+        n_flag = np.bincount(
+            inv, weights=bad.astype(np.float64), minlength=len(users)
+        ).astype(np.int64)
+        ok = ~bad
+        s_ok = np.bincount(
+            inv[ok], weights=speed[ok], minlength=len(users)
+        )
+        c_ok = np.bincount(inv[ok], minlength=len(users))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(c_ok > 0, s_ok / c_ok, 0.0)
+        mean = np.sign(mean) * np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "n_steps": n_steps,
+                "n_flagged": n_flag,
+                "mean_speed": mean,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_speed_outliers(*, vmax: float = 30.0) -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events
+),
+steps AS (
+  SELECT user_id,
+         us - LAG(us) OVER w AS dt,
+         x - LAG(x) OVER w AS dx,
+         y - LAG(y) OVER w AS dy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+  QUALIFY LAG(us) OVER w IS NOT NULL
+),
+sp AS (
+  SELECT user_id, dt,
+         sqrt(dx * dx + dy * dy) / (CAST(dt AS DOUBLE) / 1e6) AS speed
+  FROM steps WHERE dt > 0
+  UNION ALL
+  SELECT user_id, dt, NULL AS speed FROM steps WHERE dt <= 0
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_steps,
+       SUM(CASE WHEN dt <= 0 OR speed > {vmax!r} THEN 1 ELSE 0 END)::BIGINT
+         AS n_flagged,
+       ROUND(COALESCE(SUM(CASE WHEN dt > 0 AND speed <= {vmax!r}
+                          THEN speed END)
+         / NULLIF(SUM(CASE WHEN dt > 0 AND speed <= {vmax!r}
+                      THEN 1 END), 0), 0.0) * 1000000.0) / 1000000.0
+         AS mean_speed
+FROM sp GROUP BY user_id
+"""

@@ -499,3 +499,38 @@ def test_od_paths_connectivity(ray_session, sf_dir):
         assert len(cells) == (abs(dq) + abs(dr) + abs(dq + dr)) // 2 + 1
         for a, b in zip(cells, cells[1:]):
             assert b == a or b in hex_neighbors(*a), (uid, a, b)
+
+
+def test_speed_outliers_bruteforce(ray_session, sf_dir):
+    from pygridmap_ray.pipelines.relational import events_speed_outliers
+
+    out = (
+        events_speed_outliers(sf_dir)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ev = _events(sf_dir).sort_values(["user_id", "us", "event_id"])
+    x, y = derive_xy(ev["event_id"].to_numpy())
+    ev = ev.assign(x=x, y=y)
+    for uid, g in ev.groupby("user_id", sort=True):
+        us = g["us"].to_numpy()
+        xs = g["x"].to_numpy()
+        ys = g["y"].to_numpy()
+        if len(us) < 2:
+            assert uid not in out.index
+            continue
+        n = len(us) - 1
+        flags = 0
+        speeds = []
+        for i in range(n):
+            dt = us[i + 1] - us[i]
+            dist = np.hypot(xs[i + 1] - xs[i], ys[i + 1] - ys[i])
+            if dt <= 0 or dist / (dt / 1e6) > 30.0:
+                flags += 1
+            else:
+                speeds.append(dist / (dt / 1e6))
+        row = out.loc[uid]
+        assert row["n_steps"] == n and row["n_flagged"] == flags
+        exp = float(np.mean(speeds)) if speeds else 0.0
+        assert abs(row["mean_speed"] - exp) < 1e-5
