@@ -1277,6 +1277,71 @@ def _sql_sphere_nn() -> str:
     )
 
 
+def q_mutual_nn(sf_dir: str):
+    """Mutual nearest-neighbor pairs on the sphere (the classic
+    agglomerative-clustering seed / duplicate-candidate relation): pairs
+    (a, b) where each is the other's exact nearest neighbor.  Output
+    (doc_a, doc_b, dot) with doc_a < doc_b.
+
+    Scale shape: the sphere_nn stage emits one directed edge per doc;
+    edges shuffle ONCE by packed unordered-pair key and a per-bucket
+    count == 2 test finds mutual pairs — no self-join."""
+    from ..joins import _bucket_of
+
+    nn = q_sphere_nn(sf_dir)
+
+    def edges(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["doc_id"], np.int64)
+        c = np.asarray(b["nn_id"], np.int64)
+        d = np.asarray(b["dot"], np.float64)
+        lo = np.minimum(a, c)
+        hi = np.maximum(a, c)
+        key = (lo << np.int64(32)) | hi
+        return pa.table(
+            {
+                "pkey": pa.array(key),
+                "dot": pa.array(d),
+                "__b": pa.array(_bucket_of(key, 64)),
+            }
+        )
+
+    def mutual(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        k = g["pkey"].to_numpy(np.int64)
+        d = g["dot"].to_numpy(np.float64)
+        order = np.argsort(k, kind="stable")
+        k, d = k[order], d[order]
+        u, starts = np.unique(k, return_index=True)
+        counts = np.diff(np.append(starts, len(k)))
+        keep = counts == 2
+        u, starts = u[keep], starts[keep]
+        return pd.DataFrame(
+            {
+                "doc_a": u >> 32,
+                "doc_b": u & np.int64(4294967295),
+                "dot": d[starts],
+            }
+        )
+
+    return (
+        nn.map_batches(edges, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(mutual, batch_format="pandas")
+    )
+
+
+def _sql_mutual_nn() -> str:
+    inner = _sql_sphere_nn()
+    return (
+        f"WITH nn AS ({inner}) "
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.dot"
+        f" FROM nn a JOIN nn b"
+        f" ON a.nn_id = b.doc_id AND b.nn_id = a.doc_id"
+        f" AND a.doc_id < b.doc_id"
+    )
+
+
 def q_hex_density(sf_dir: str):
     """Per-hex doc density with cell centers: packed-key unique partials
     -> one small hash aggregate -> unpack (raw rows never shuffle)."""
@@ -6982,6 +7047,7 @@ def queries():
         "band_corr": q_band_corr,
         "accessibility": q_accessibility,
         "speed_outliers": q_speed_outliers,
+        "mutual_nn": q_mutual_nn,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -7662,6 +7728,7 @@ def oracle_sql():
         "band_corr": _sql_band_corr(),
         "accessibility": _sql_accessibility(),
         "speed_outliers": _sql_speed_outliers(),
+        "mutual_nn": _sql_mutual_nn(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

@@ -139,3 +139,23 @@ def test_sphere_nn_bruteforce(ray_session):
     # symmetry sanity: the mutual-NN relation is non-empty
     nn_map = dict(zip(out["doc_id"], out["nn_id"]))
     assert any(nn_map.get(v) == k for k, v in nn_map.items())
+
+
+def test_mutual_nn_subset_and_symmetric(ray_session):
+    """Mutual pairs are exactly the symmetric subset of the NN relation."""
+    from pygridmap_ray.pipelines.queries import q_mutual_nn, q_sphere_nn
+
+    sf_dir = "/root/testdata/sf0.001"
+    nn = q_sphere_nn(sf_dir).to_pandas()
+    rel = dict(zip(nn["doc_id"], nn["nn_id"]))
+    expect = sorted(
+        (a, b) for a, b in rel.items() if a < b and rel.get(b) == a
+    )
+    mut = (
+        q_mutual_nn(sf_dir)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(mut["doc_a"], mut["doc_b"])) == expect
+    assert (mut["dot"] <= 1.0).all()
