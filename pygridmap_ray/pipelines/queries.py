@@ -1098,6 +1098,156 @@ def _sql_hex_erode() -> str:
     )
 
 
+JC_MIN_B = 2  # a cell is BLACK when it holds >= 2 docs
+
+
+def q_join_counts(sf_dir: str):
+    """Join-count statistics for the binary density map (classic
+    categorical ESDA): cells are BLACK when n_docs >= 2 else WHITE;
+    count undirected adjacent pairs by class combo (bb, bw, ww) plus
+    the class totals — BB above expectation means the dense cells
+    clump.
+
+    Scale shape: density -> 6-neighbor scatter carrying the source
+    CLASS bit -> one marker aggregate gives each cell its per-class
+    neighbor counts; integer partials reduce to five scalars; /2
+    converts directed to undirected."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..hex import _pack, kring_offsets, with_hex_cells
+
+    neigh = [o for o in kring_offsets(1) if o != (0, 0)]
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "docs": c.astype(np.int64)})
+
+    dens = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("docs", alias_name="n"))
+    )
+
+    from ..hex import _unpack
+
+    def scatter(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.int64()),
+                    "nb_b": pa.array([], pa.int64()),
+                    "nb_w": pa.array([], pa.int64()),
+                    "self_cls": pa.array([], pa.int64()),
+                    "is_self": pa.array([], pa.int64()),
+                }
+            )
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        black = (np.asarray(b["n"], np.int64) >= JC_MIN_B).astype(np.int64)
+        tkey = np.concatenate(
+            [_pack(q + dq, r + dr) for dq, dr in neigh] + [_pack(q, r)]
+        )
+        nv = len(black)
+        nb_b = np.concatenate(
+            [np.tile(black, len(neigh)), np.zeros(nv, np.int64)]
+        )
+        nb_w = np.concatenate(
+            [np.tile(1 - black, len(neigh)), np.zeros(nv, np.int64)]
+        )
+        self_cls = np.concatenate(
+            [np.zeros(len(neigh) * nv, np.int64), black + 1]  # 1=W, 2=B
+        )
+        is_self = np.concatenate(
+            [np.zeros(len(neigh) * nv, np.int64), np.ones(nv, np.int64)]
+        )
+        return pa.table(
+            {
+                "tkey": pa.array(tkey),
+                "nb_b": pa.array(nb_b),
+                "nb_w": pa.array(nb_w),
+                "self_cls": pa.array(self_cls),
+                "is_self": pa.array(is_self),
+            }
+        )
+
+    tgt = (
+        dens.map_batches(scatter, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(
+            Sum("nb_b", alias_name="nb_b"),
+            Sum("nb_w", alias_name="nb_w"),
+            Max("self_cls", alias_name="cls"),
+        )
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        z = np.zeros(1, np.int64)
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {"bb2": z, "bw": z, "ww2": z, "nb": z, "nw": z}
+            )
+        cls = np.asarray(b["cls"], np.int64)
+        occ = cls > 0
+        black = cls[occ] == 2
+        nb_b = np.asarray(b["nb_b"], np.int64)[occ]
+        nb_w = np.asarray(b["nb_w"], np.int64)[occ]
+        return pa.table(
+            {
+                "bb2": np.array([int(nb_b[black].sum())], np.int64),
+                "bw": np.array(
+                    [int(nb_w[black].sum() + nb_b[~black].sum())], np.int64
+                ),
+                "ww2": np.array([int(nb_w[~black].sum())], np.int64),
+                "nb": np.array([int(black.sum())], np.int64),
+                "nw": np.array([int((~black).sum())], np.int64),
+            }
+        )
+
+    tot = tgt.map_batches(counts, batch_format="pyarrow").sum(
+        ["bb2", "bw", "ww2", "nb", "nw"]
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_black": pa.array([int(tot["sum(nb)"])], pa.int64()),
+                "n_white": pa.array([int(tot["sum(nw)"])], pa.int64()),
+                "bb": pa.array([int(tot["sum(bb2)"]) // 2], pa.int64()),
+                "bw": pa.array([int(tot["sum(bw)"]) // 2], pa.int64()),
+                "ww": pa.array([int(tot["sum(ww2)"]) // 2], pa.int64()),
+            }
+        )
+    )
+
+
+def _sql_join_counts() -> str:
+    from ..hex import kring_offsets, sql_hex_cte
+    from ..synth import sql_points_cte
+
+    vals = ", ".join(
+        f"({dq}, {dr})" for dq, dr in kring_offsets(1) if (dq, dr) != (0, 0)
+    )
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"cells AS (SELECT hq, hr,"
+        f" CASE WHEN COUNT(*) >= {JC_MIN_B} THEN 1 ELSE 0 END AS b"
+        f" FROM hexed GROUP BY hq, hr), "
+        f"offs(dq, dr) AS (VALUES {vals}), "
+        f"pairs AS (SELECT a.b AS ba, c.b AS bc FROM cells a"
+        f" CROSS JOIN offs o JOIN cells c"
+        f" ON c.hq = a.hq + o.dq AND c.hr = a.hr + o.dr) "
+        f"SELECT (SELECT SUM(b) FROM cells)::BIGINT AS n_black,"
+        f" (SELECT SUM(1 - b) FROM cells)::BIGINT AS n_white,"
+        f" (SELECT COUNT(*) FROM pairs WHERE ba = 1 AND bc = 1)::BIGINT // 2"
+        f" AS bb,"
+        f" (SELECT COUNT(*) FROM pairs WHERE ba != bc)::BIGINT // 2 AS bw,"
+        f" (SELECT COUNT(*) FROM pairs WHERE ba = 0 AND bc = 0)::BIGINT // 2"
+        f" AS ww"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -7048,6 +7198,7 @@ def queries():
         "accessibility": q_accessibility,
         "speed_outliers": q_speed_outliers,
         "mutual_nn": q_mutual_nn,
+        "join_counts": q_join_counts,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -7729,6 +7880,7 @@ def oracle_sql():
         "accessibility": _sql_accessibility(),
         "speed_outliers": _sql_speed_outliers(),
         "mutual_nn": _sql_mutual_nn(),
+        "join_counts": _sql_join_counts(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

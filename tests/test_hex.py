@@ -533,3 +533,43 @@ def test_hex_erode_is_interior(ray_session):
         c for c in occ if all(n in occ for n in hex_neighbors(*c))
     }
     assert out == expect and len(expect) > 0
+
+
+def test_join_counts_bruteforce(ray_session):
+    import duckdb
+
+    from pygridmap_ray.hex import hex_axial, kring_offsets
+    from pygridmap_ray.pipelines.queries import (
+        HEX_SIZE,
+        JC_MIN_B,
+        q_join_counts,
+    )
+    from pygridmap_ray.synth import derive_xy
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = q_join_counts(sf_dir).to_pandas().iloc[0]
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()["doc_id"].to_numpy()
+    x, y = derive_xy(ids)
+    q, r = hex_axial(x, y, HEX_SIZE)
+    from collections import Counter
+
+    cnt = Counter(zip(q.tolist(), r.tolist()))
+    cls = {c: cnt[c] >= JC_MIN_B for c in cnt}
+    neigh = [o for o in kring_offsets(1) if o != (0, 0)]
+    bb = bw = ww = 0
+    for (cq, cr), b in cls.items():
+        for dq, dr in neigh:
+            o = cls.get((cq + dq, cr + dr))
+            if o is None:
+                continue
+            if b and o:
+                bb += 1
+            elif b != o:
+                bw += 1
+            else:
+                ww += 1
+    assert out["n_black"] == sum(cls.values())
+    assert out["n_white"] == len(cls) - sum(cls.values())
+    assert (out["bb"], out["bw"], out["ww"]) == (bb // 2, bw // 2, ww // 2)
