@@ -1248,6 +1248,118 @@ def _sql_join_counts() -> str:
     )
 
 
+def q_colocation_quotient(sf_dir: str):
+    """Co-location quotient between language categories (Leslie &
+    Kronenfeld's CLQ): for every ordered pair (A, B),
+    ``CLQ = (C_AB / N_A) / (N_B' / (N - 1))`` where C_AB counts A points
+    whose exact nearest neighbor is a B point (N_B' = N_B - 1 when
+    A = B) — CLQ > 1 means B co-locates around A beyond global mixing.
+
+    Scale shape: the exact ring-bounded knn kernel (k=2, self excluded,
+    (distance, id) tie order) + a per-worker id->lang lookup; per-batch
+    (lang_a, lang_b) count partials -> one tiny categorical aggregate;
+    the quotient algebra runs on category scalars."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..spatial import knn_join
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    did = np.asarray(t["doc_id"], dtype=np.int64)
+    langs = np.asarray(t["lang"]).astype(str)
+    order = np.argsort(did)
+    sorted_ids, sorted_langs = did[order], langs[order]
+    x, y = derive_xy(did)
+    ref = {"id": did, "x": x, "y": y}
+    lookup = ray.put((sorted_ids, sorted_langs))
+
+    out = knn_join(docs_points(sf_dir), ref, resolution=25_000.0, k=2)
+
+    def partial(b: pa.Table, _ref=lookup) -> pa.Table:
+        ids, lg = ray.get(_ref)
+        doc = np.asarray(b["doc_id"], np.int64)
+        nid = np.asarray(b["neighbor_id"], np.int64)
+        dist = np.asarray(b["distance"], np.float64)
+        keep = nid != doc
+        doc, nid, dist = doc[keep], nid[keep], dist[keep]
+        o = np.lexsort((nid, dist, doc))
+        doc, nid = doc[o], nid[o]
+        first = np.concatenate([[True], doc[1:] != doc[:-1]])
+        doc, nid = doc[first], nid[first]
+        la = lg[np.searchsorted(ids, doc)]
+        lb = lg[np.searchsorted(ids, nid)]
+        key = np.char.add(np.char.add(la, "|"), lb)
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {"pair": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        out.map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="c"))
+        .to_pandas()
+    )
+    import ray.data as rd
+
+    n_lang = {}
+    for lv in np.unique(sorted_langs):
+        n_lang[str(lv)] = int((sorted_langs == lv).sum())
+    n_total = float(len(sorted_ids))
+    rows = {"lang_a": [], "lang_b": [], "c_ab": [], "clq": []}
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    for _, row in agg.sort_values("pair").iterrows():
+        la, lb = row["pair"].split("|")
+        c_ab = int(row["c"])
+        nb = n_lang[lb] - 1 if la == lb else n_lang[lb]
+        clq = (float(c_ab) / float(n_lang[la])) / (
+            float(nb) / (n_total - 1.0)
+        )
+        rows["lang_a"].append(la)
+        rows["lang_b"].append(lb)
+        rows["c_ab"].append(c_ab)
+        rows["clq"].append(rnd(clq))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang_a": pa.array(rows["lang_a"], pa.string()),
+                "lang_b": pa.array(rows["lang_b"], pa.string()),
+                "c_ab": pa.array(rows["c_ab"], pa.int64()),
+                "clq": pa.array(rows["clq"], pa.float64()),
+            }
+        )
+    )
+
+
+def _sql_colocation_quotient() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    return (
+        f"WITH pts AS (SELECT doc_id, lang, {SQL_X} AS x, {SQL_Y} AS y"
+        f" FROM documents), "
+        f"nn AS (SELECT a.doc_id, a.lang AS lang_a, b.lang AS lang_b"
+        f" FROM pts a JOIN pts b ON a.doc_id != b.doc_id"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY a.doc_id"
+        f" ORDER BY {d2}, b.doc_id) = 1), "
+        f"tot AS (SELECT lang, COUNT(*)::DOUBLE AS nl FROM pts GROUP BY lang), "
+        f"n AS (SELECT COUNT(*)::DOUBLE AS nt FROM pts), "
+        f"cab AS (SELECT lang_a, lang_b, COUNT(*)::BIGINT AS c_ab FROM nn"
+        f" GROUP BY lang_a, lang_b) "
+        f"SELECT c.lang_a, c.lang_b, c.c_ab,"
+        f" ROUND(((CAST(c.c_ab AS DOUBLE) / ta.nl)"
+        f" / ((CASE WHEN c.lang_a = c.lang_b THEN tb.nl - 1.0 ELSE tb.nl END)"
+        f" / (n.nt - 1.0))) * 1000000.0) / 1000000.0 AS clq"
+        f" FROM cab c JOIN tot ta ON ta.lang = c.lang_a"
+        f" JOIN tot tb ON tb.lang = c.lang_b CROSS JOIN n"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -7199,6 +7311,7 @@ def queries():
         "speed_outliers": q_speed_outliers,
         "mutual_nn": q_mutual_nn,
         "join_counts": q_join_counts,
+        "colocation_quotient": q_colocation_quotient,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -7881,6 +7994,7 @@ def oracle_sql():
         "speed_outliers": _sql_speed_outliers(),
         "mutual_nn": _sql_mutual_nn(),
         "join_counts": _sql_join_counts(),
+        "colocation_quotient": _sql_colocation_quotient(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

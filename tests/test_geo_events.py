@@ -534,3 +534,40 @@ def test_speed_outliers_bruteforce(ray_session, sf_dir):
         assert row["n_steps"] == n and row["n_flagged"] == flags
         exp = float(np.mean(speeds)) if speeds else 0.0
         assert abs(row["mean_speed"] - exp) < 1e-5
+
+
+def test_colocation_quotient_bruteforce(ray_session, sf_dir):
+    import duckdb
+    from collections import Counter
+
+    from pygridmap_ray.pipelines.queries import q_colocation_quotient
+
+    out = (
+        q_colocation_quotient(sf_dir)
+        .to_pandas()
+        .sort_values(["lang_a", "lang_b"])
+        .reset_index(drop=True)
+    )
+    df = duckdb.sql(
+        f"SELECT doc_id, lang FROM read_parquet('{sf_dir}/documents.parquet')"
+        f" ORDER BY doc_id"
+    ).df()
+    ids = df["doc_id"].to_numpy()
+    langs = df["lang"].to_numpy()
+    x, y = derive_xy(ids)
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, np.inf)
+    best = np.lexsort((np.broadcast_to(ids, d2.shape), d2), axis=1)[:, 0]
+    cab = Counter(zip(langs, langs[best]))
+    nl = Counter(langs)
+    n = len(ids)
+    rows = []
+    for (la, lb), c in sorted(cab.items()):
+        nb = nl[lb] - 1 if la == lb else nl[lb]
+        rows.append((la, lb, c, (c / nl[la]) / (nb / (n - 1))))
+    assert len(out) == len(rows)
+    for (la, lb, c, clq), (_, got) in zip(rows, out.iterrows()):
+        assert (got["lang_a"], got["lang_b"], got["c_ab"]) == (la, lb, c)
+        assert abs(got["clq"] - clq) < 1e-5
