@@ -1360,6 +1360,90 @@ def _sql_colocation_quotient() -> str:
     )
 
 
+def q_hex_entropy(sf_dir: str):
+    """Spatial entropy of the density field: Shannon H = -sum p ln p
+    over cell shares plus evenness H / ln(K) (1 = perfectly even,
+    0 = all mass in one cell) — the concentration companion to hex_gini.
+    One row (n_cells, h, evenness), 6dp.
+
+    Scale shape: density partials -> hash aggregate -> per-batch
+    (sum n ln n) partials -> two scalars (H folds via
+    ln N - sum(n ln n)/N, so the shares never materialize)."""
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    from ..hex import _pack, with_hex_cells
+
+    ds = with_hex_cells(docs_points(sf_dir), size=HEX_SIZE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "docs": c.astype(np.int64)})
+
+    dens = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("docs", alias_name="n"))
+    )
+
+    def sums(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "k": np.zeros(1, np.int64),
+                    "s": np.zeros(1, np.int64),
+                    "snln": np.zeros(1),
+                }
+            )
+        n = np.asarray(b["n"], np.int64).astype(np.float64)
+        return pa.table(
+            {
+                "k": np.array([len(n)], np.int64),
+                "s": np.array([int(n.sum())], np.int64),
+                "snln": np.array([(n * np.log(n)).sum()]),
+            }
+        )
+
+    tot = dens.map_batches(sums, batch_format="pyarrow").sum(
+        ["k", "s", "snln"]
+    )
+    k = float(tot["sum(k)"])
+    s = float(tot["sum(s)"])
+    h = np.log(s) - tot["sum(snln)"] / s
+    evenness = h / np.log(k) if k > 1 else 0.0
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([int(k)], pa.int64()),
+                "h": pa.array([rnd(h)]),
+                "evenness": pa.array([rnd(evenness)]),
+            }
+        )
+    )
+
+
+def _sql_hex_entropy() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    rnd = lambda e: f"(ROUND(({e}) * 1000000.0) / 1000000.0)"
+    h = "(ln(s) - snln / s)"
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"cells AS (SELECT hq, hr, COUNT(*)::BIGINT AS n FROM hexed"
+        f" GROUP BY hq, hr), "
+        f"t AS (SELECT COUNT(*)::DOUBLE AS k, SUM(n)::DOUBLE AS s,"
+        f" SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snln"
+        f" FROM cells) "
+        f"SELECT CAST(k AS BIGINT) AS n_cells, {rnd(h)} AS h,"
+        f" CASE WHEN k > 1.0 THEN {rnd(f'{h} / ln(k)')} ELSE 0.0 END"
+        f" AS evenness FROM t"
+    )
+
+
 def q_hex_triangles(sf_dir: str):
     """Triangle count on the occupied-hex adjacency graph
     (hex.hex_lattice_stats): 3-cliques via the 6-bit neighborhood mask —
@@ -7312,6 +7396,7 @@ def queries():
         "mutual_nn": q_mutual_nn,
         "join_counts": q_join_counts,
         "colocation_quotient": q_colocation_quotient,
+        "hex_entropy": q_hex_entropy,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -7995,6 +8080,7 @@ def oracle_sql():
         "mutual_nn": _sql_mutual_nn(),
         "join_counts": _sql_join_counts(),
         "colocation_quotient": _sql_colocation_quotient(),
+        "hex_entropy": _sql_hex_entropy(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

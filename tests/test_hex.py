@@ -573,3 +573,25 @@ def test_join_counts_bruteforce(ray_session):
     assert out["n_black"] == sum(cls.values())
     assert out["n_white"] == len(cls) - sum(cls.values())
     assert (out["bb"], out["bw"], out["ww"]) == (bb // 2, bw // 2, ww // 2)
+
+
+def test_hex_entropy_bruteforce(ray_session):
+    import duckdb
+
+    from pygridmap_ray.hex import hex_axial
+    from pygridmap_ray.pipelines.queries import HEX_SIZE, q_hex_entropy
+    from pygridmap_ray.synth import derive_xy
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = q_hex_entropy(sf_dir).to_pandas().iloc[0]
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()["doc_id"].to_numpy()
+    q, r = hex_axial(*derive_xy(ids), HEX_SIZE)
+    _, c = np.unique(_pack(q, r), return_counts=True)
+    p = c / c.sum()
+    h = float(-(p * np.log(p)).sum())
+    assert out["n_cells"] == len(c)
+    assert abs(out["h"] - h) < 1e-5
+    assert abs(out["evenness"] - h / np.log(len(c))) < 1e-5
+    assert 0.0 < out["evenness"] <= 1.0
