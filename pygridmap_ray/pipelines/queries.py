@@ -454,6 +454,84 @@ QUADRAT_NX, QUADRAT_NY = 10, 10
 QUADRAT_W, QUADRAT_H = 500_000.0, 501_000.0
 
 
+GFUNC_RADII = (10_000.0, 25_000.0, 60_000.0)
+
+
+def q_g_function(sf_dir: str):
+    """Point-pattern G function: the CDF of nearest-neighbor distances
+    at fixed radii — G(r) above 1 - exp(-rho pi r^2) means clustering.
+    Rows (r, n_within, g) with g = share of points whose exact NN lies
+    within r, 6dp.
+
+    Scale shape: the knn kernel (k=2, self excluded) + per-batch
+    per-radius counters -> one tiny reduce."""
+    import pyarrow.parquet as pq
+
+    from ..spatial import knn_join
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    did = np.asarray(t["doc_id"], dtype=np.int64)
+    x, y = derive_xy(did)
+    ref = {"id": did, "x": x, "y": y}
+    out = knn_join(docs_points(sf_dir), ref, resolution=25_000.0, k=2)
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc = np.asarray(b["doc_id"], np.int64)
+        nid = np.asarray(b["neighbor_id"], np.int64)
+        dist = np.asarray(b["distance"], np.float64)
+        keep = nid != doc
+        doc, dist = doc[keep], dist[keep]
+        o = np.lexsort((dist, doc))
+        doc, dist = doc[o], dist[o]
+        first = np.concatenate([[True], doc[1:] != doc[:-1]])
+        nn = dist[first]
+        cols = {"n": np.array([len(nn)], np.int64)}
+        for i, rr in enumerate(GFUNC_RADII):
+            cols[f"w{i}"] = np.array([int((nn <= rr).sum())], np.int64)
+        return pa.table(cols)
+
+    names = ["n"] + [f"w{i}" for i in range(len(GFUNC_RADII))]
+    tot = out.map_batches(partial, batch_format="pyarrow").sum(names)
+    import ray.data as rd
+
+    n = float(tot["sum(n)"])
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    rows = {"r": [], "n_within": [], "g": []}
+    for i, rr in enumerate(GFUNC_RADII):
+        w = int(tot[f"sum(w{i})"])
+        rows["r"].append(float(rr))
+        rows["n_within"].append(w)
+        rows["g"].append(rnd(float(w) / n))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "r": pa.array(rows["r"], pa.float64()),
+                "n_within": pa.array(rows["n_within"], pa.int64()),
+                "g": pa.array(rows["g"], pa.float64()),
+            }
+        )
+    )
+
+
+def _sql_g_function() -> str:
+    from ..synth import sql_points_cte
+
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    vals = ", ".join(f"({r!r}::DOUBLE)" for r in GFUNC_RADII)
+    return (
+        f"WITH pts AS ({sql_points_cte()}), "
+        f"nnd AS (SELECT a.doc_id, MIN(sqrt({d2})) AS d FROM pts a"
+        f" JOIN pts b ON a.doc_id != b.doc_id GROUP BY a.doc_id), "
+        f"radii(r) AS (VALUES {vals}), "
+        f"n AS (SELECT COUNT(*)::DOUBLE AS nt FROM nnd) "
+        f"SELECT rr.r,"
+        f" (SELECT COUNT(*) FROM nnd WHERE d <= rr.r)::BIGINT AS n_within,"
+        f" ROUND((CAST((SELECT COUNT(*) FROM nnd WHERE d <= rr.r) AS DOUBLE)"
+        f" / n.nt) * 1000000.0) / 1000000.0 AS g"
+        f" FROM radii rr CROSS JOIN n"
+    )
+
+
 def q_quadrat_test(sf_dir: str):
     """Chi-square quadrat-count test for complete spatial randomness:
     a fixed 10x10 grid over the point domain, observed vs uniform
@@ -7397,6 +7475,7 @@ def queries():
         "join_counts": q_join_counts,
         "colocation_quotient": q_colocation_quotient,
         "hex_entropy": q_hex_entropy,
+        "g_function": q_g_function,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -8081,6 +8160,7 @@ def oracle_sql():
         "join_counts": _sql_join_counts(),
         "colocation_quotient": _sql_colocation_quotient(),
         "hex_entropy": _sql_hex_entropy(),
+        "g_function": _sql_g_function(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

@@ -571,3 +571,30 @@ def test_colocation_quotient_bruteforce(ray_session, sf_dir):
     for (la, lb, c, clq), (_, got) in zip(rows, out.iterrows()):
         assert (got["lang_a"], got["lang_b"], got["c_ab"]) == (la, lb, c)
         assert abs(got["clq"] - clq) < 1e-5
+
+
+def test_g_function_monotone_and_brute(ray_session, sf_dir):
+    import duckdb
+
+    from pygridmap_ray.pipelines.queries import GFUNC_RADII, q_g_function
+
+    out = (
+        q_g_function(sf_dir)
+        .to_pandas()
+        .sort_values("r")
+        .reset_index(drop=True)
+    )
+    assert (np.diff(out["g"]) >= 0).all()
+    assert out["g"].between(0, 1).all()
+
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()["doc_id"].to_numpy()
+    x, y = derive_xy(ids)
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, np.inf)
+    nn = np.sqrt(d2.min(axis=1))
+    for i, r in enumerate(GFUNC_RADII):
+        assert out.loc[i, "n_within"] == int((nn <= r).sum())
