@@ -7582,6 +7582,321 @@ def q_degree_hist(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Voronoi / map-matching / trajectory-similarity wave
+# ---------------------------------------------------------------------------
+# Facility seeds (Voronoi sites) and road segments are tiny broadcast-side
+# fixtures: deterministic integer-derived coordinates, embedded verbatim as
+# VALUES in the oracles so both sides start from identical doubles.
+
+VOR_SEEDS: tuple[tuple[int, float, float], ...] = tuple(
+    (
+        s,
+        float(((s * 7349 + 1213) % 491) * 1000.0 + 3500.0),
+        float(((s * 9187 + 2729) % 487) * 1000.0 + 4700.0),
+    )
+    for s in range(12)
+)
+VOR_GRID = 50  # fixed probe lattice per axis for the cell-area estimate
+
+ROAD_SEGS: tuple[tuple[int, float, float, float, float], ...] = tuple(
+    (
+        s,
+        float(((s * 5801 + 977) % 441) * 1000.0 + 20_000.0),
+        float(((s * 6571 + 1439) % 443) * 1000.0 + 21_000.0),
+        float(((s * 4231 + 3307) % 439) * 1000.0 + 30_000.0),
+        float(((s * 3917 + 2113) % 449) * 1000.0 + 26_000.0),
+    )
+    for s in range(10)
+)
+
+HAUS_REF: tuple[tuple[float, float], ...] = tuple(
+    (
+        float(20_000.0 + i * 65_000.0),
+        float(((i * 3571 + 911) % 430) * 1000.0 + 30_000.0),
+    )
+    for i in range(8)
+)
+
+
+def _seed_mindist(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(winner seed id, winning d2) per point — first-min tie = lowest id,
+    same d2 op order as the SQL twin."""
+    sx = np.array([s[1] for s in VOR_SEEDS])
+    sy = np.array([s[2] for s in VOR_SEEDS])
+    d2 = (x[:, None] - sx[None, :]) * (x[:, None] - sx[None, :]) + (
+        y[:, None] - sy[None, :]
+    ) * (y[:, None] - sy[None, :])
+    win = np.argmin(d2, axis=1)
+    return win, d2[np.arange(len(x)), win]
+
+
+def q_voronoi_assign(sf_dir: str):
+    """Voronoi assignment of the doc point field to 12 facility seeds:
+    every doc goes to its nearest seed (tie -> lowest seed id); per seed
+    the doc count, the summed snap distance (2dp — metre sums), and the
+    seed's Voronoi cell area estimated on a fixed 50x50 probe lattice.
+
+    Scale shape: the seed table is a broadcast constant; one stateless
+    map_batches pass emits 12-row bincount partials, a 12-group hash
+    aggregate folds them; the lattice is a fixture constant evaluated
+    once.  No shuffle touches the doc stream."""
+    import ray.data as rd
+
+    k = len(VOR_SEEDS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x, y = derive_xy(np.asarray(b["doc_id"], np.int64))
+        win, d2 = _seed_mindist(x, y)
+        n = np.bincount(win, minlength=k).astype(np.int64)
+        sd = np.bincount(win, weights=np.sqrt(d2), minlength=k)
+        return pa.table(
+            {
+                "seed_id": np.arange(k, dtype=np.int64),
+                "n_docs": n,
+                "sum_d": sd,
+            }
+        )
+
+    agg = (
+        docs_points(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("seed_id")
+        .sum(["n_docs", "sum_d"])
+    )
+
+    # fixed-lattice Voronoi cell areas (fixture constant, 2500 probes)
+    gx = (np.arange(VOR_GRID, dtype=np.float64) + 0.5) * (500_000.0 / VOR_GRID)
+    gy = (np.arange(VOR_GRID, dtype=np.float64) + 0.5) * (501_000.0 / VOR_GRID)
+    mx, my = np.meshgrid(gx, gy, indexing="ij")
+    pwin, _ = _seed_mindist(mx.ravel(), my.ravel())
+    cell_area = (500_000.0 / VOR_GRID) * (501_000.0 / VOR_GRID)
+    area = np.bincount(pwin, minlength=k).astype(np.float64) * cell_area
+    area_by_seed = {int(i): float(a) for i, a in enumerate(area)}
+
+    def finish(b: pa.Table) -> pa.Table:
+        sid = np.asarray(b["seed_id"], np.int64)
+        sd = np.asarray(b["sum(sum_d)"], np.float64)
+        sd = np.sign(sd) * np.floor(np.abs(sd) * 100.0 + 0.5) / 100.0
+        return pa.table(
+            {
+                "seed_id": sid,
+                "n_docs": np.asarray(b["sum(n_docs)"], np.int64),
+                "sum_d": sd,
+                "cell_area": np.array(
+                    [area_by_seed[int(s)] for s in sid], np.float64
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_voronoi_assign() -> str:
+    from ..synth import sql_points_cte
+
+    seeds = ", ".join(f"({s}, {x!r}, {y!r})" for s, x, y in VOR_SEEDS)
+    g = VOR_GRID
+    d2 = "((p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy))"
+    px = f"((gx.i + 0.5) * ({500_000.0!r} / {float(g)!r}))"
+    py = f"((gy.i + 0.5) * ({501_000.0!r} / {float(g)!r}))"
+    pd2 = f"(({px} - s.sx) * ({px} - s.sx) + ({py} - s.sy) * ({py} - s.sy))"
+    return (
+        f"WITH seeds(seed_id, sx, sy) AS (VALUES {seeds}), "
+        f"pts AS ({sql_points_cte()}), "
+        f"assign AS (SELECT s.seed_id, sqrt({d2}) AS d FROM pts p"
+        f" CROSS JOIN seeds s"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY p.doc_id"
+        f" ORDER BY {d2}, s.seed_id) = 1), "
+        f"probes AS (SELECT gx.i AS ix, gy.i AS iy, s.seed_id"
+        f" FROM (SELECT UNNEST(generate_series(0, {g - 1})) AS i) gx,"
+        f" (SELECT UNNEST(generate_series(0, {g - 1})) AS i) gy"
+        f" CROSS JOIN seeds s"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY gx.i, gy.i"
+        f" ORDER BY {pd2}, s.seed_id) = 1), "
+        f"pa AS (SELECT seed_id, COUNT(*)::DOUBLE"
+        f" * (({500_000.0!r} / {float(g)!r}) * ({501_000.0!r} / {float(g)!r}))"
+        f" AS cell_area FROM probes GROUP BY seed_id) "
+        f"SELECT s.seed_id, COALESCE(a.n, 0)::BIGINT AS n_docs,"
+        f" COALESCE(a.sd, 0.0) AS sum_d,"
+        f" COALESCE(pa.cell_area, 0.0) AS cell_area"
+        f" FROM seeds s"
+        f" LEFT JOIN (SELECT seed_id, COUNT(*) AS n,"
+        f" ROUND(SUM(d) * 100.0) / 100.0 AS sd"
+        f" FROM assign GROUP BY seed_id) a ON s.seed_id = a.seed_id"
+        f" LEFT JOIN pa ON s.seed_id = pa.seed_id"
+    )
+
+
+def q_map_match(sf_dir: str):
+    """Map matching: snap every doc point to the nearest of 10 road
+    segments (exact point-to-segment projection with clamped parameter;
+    tie -> lowest segment id); per segment the matched count and the
+    mean snap distance (2dp).  Zero-match segments appear with 0 / 0.0.
+
+    Scale shape: the segment table is a broadcast constant; a stateless
+    vectorized pass computes the (n x 10) distance matrix per batch and
+    emits 10-row partials; a 10-group hash aggregate folds them."""
+    import ray.data as rd
+
+    segs = ROAD_SEGS
+    m = len(segs)
+    ax = np.array([s[1] for s in segs])
+    ay = np.array([s[2] for s in segs])
+    bx = np.array([s[3] for s in segs])
+    by = np.array([s[4] for s in segs])
+    l2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x, y = derive_xy(np.asarray(b["doc_id"], np.int64))
+        t = (
+            (x[:, None] - ax[None, :]) * (bx - ax)[None, :]
+            + (y[:, None] - ay[None, :]) * (by - ay)[None, :]
+        ) / l2[None, :]
+        t = np.minimum(np.maximum(t, 0.0), 1.0)
+        cx = ax[None, :] + t * (bx - ax)[None, :]
+        cy = ay[None, :] + t * (by - ay)[None, :]
+        d2 = (x[:, None] - cx) * (x[:, None] - cx) + (y[:, None] - cy) * (
+            y[:, None] - cy
+        )
+        win = np.argmin(d2, axis=1)
+        dwin = np.sqrt(d2[np.arange(len(x)), win])
+        return pa.table(
+            {
+                "seg_id": np.arange(m, dtype=np.int64),
+                "n_pts": np.bincount(win, minlength=m).astype(np.int64),
+                "sum_d": np.bincount(win, weights=dwin, minlength=m),
+            }
+        )
+
+    agg = (
+        docs_points(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("seg_id")
+        .sum(["n_pts", "sum_d"])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["sum(n_pts)"], np.int64)
+        sd = np.asarray(b["sum(sum_d)"], np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(n > 0, sd / np.maximum(n, 1), 0.0)
+        mean = np.sign(mean) * np.floor(np.abs(mean) * 100.0 + 0.5) / 100.0
+        return pa.table(
+            {
+                "seg_id": np.asarray(b["seg_id"], np.int64),
+                "n_pts": n,
+                "mean_d": mean,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_map_match() -> str:
+    from ..synth import sql_points_cte
+
+    segs = ", ".join(
+        f"({s}, {ax!r}, {ay!r}, {bx!r}, {by!r})"
+        for s, ax, ay, bx, by in ROAD_SEGS
+    )
+    l2 = "((r.bx - r.ax) * (r.bx - r.ax) + (r.by - r.ay) * (r.by - r.ay))"
+    traw = (
+        f"(((p.x - r.ax) * (r.bx - r.ax) + (p.y - r.ay) * (r.by - r.ay))"
+        f" / {l2})"
+    )
+    t = f"LEAST(GREATEST({traw}, 0.0), 1.0)"
+    cx = f"(r.ax + {t} * (r.bx - r.ax))"
+    cy = f"(r.ay + {t} * (r.by - r.ay))"
+    d2 = f"((p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}))"
+    return (
+        f"WITH segs(seg_id, ax, ay, bx, by) AS (VALUES {segs}), "
+        f"pts AS ({sql_points_cte()}), "
+        f"assign AS (SELECT r.seg_id, sqrt({d2}) AS d"
+        f" FROM pts p CROSS JOIN segs r"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY p.doc_id"
+        f" ORDER BY {d2}, r.seg_id) = 1) "
+        f"SELECT s.seg_id, COALESCE(a.n, 0)::BIGINT AS n_pts,"
+        f" COALESCE(a.md, 0.0) AS mean_d FROM segs s"
+        f" LEFT JOIN (SELECT seg_id, COUNT(*) AS n,"
+        f" ROUND((SUM(d) / COUNT(*)) * 100.0) / 100.0 AS md"
+        f" FROM assign GROUP BY seg_id) a ON s.seg_id = a.seg_id"
+    )
+
+
+def q_traj_hausdorff(sf_dir: str):
+    """Directed Hausdorff distance from each user's telemetry trajectory
+    to a fixed 8-vertex reference polyline (vertex-set form: max over the
+    user's points of the min distance to a reference vertex).  Top 20
+    users by (h DESC, user_id), 6dp — exact, since max/min pick identical
+    doubles on both sides.
+
+    Scale shape: the reference is a broadcast constant; per-batch
+    vectorized min-dist + per-user max partials collapse each batch to
+    one row per touched user; a hash max-aggregate folds partials and
+    only user-cardinality rows reach the final sort."""
+    import ray.data as rd
+
+    rx = np.array([p[0] for p in HAUS_REF])
+    ry = np.array([p[1] for p in HAUS_REF])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        d2 = (x[:, None] - rx[None, :]) * (x[:, None] - rx[None, :]) + (
+            y[:, None] - ry[None, :]
+        ) * (y[:, None] - ry[None, :])
+        dmin = d2.min(axis=1)
+        order = np.argsort(uid, kind="stable")
+        uid, dmin = uid[order], dmin[order]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        users = uid[first]
+        hmax = np.maximum.reduceat(dmin, np.flatnonzero(first))
+        return pa.table({"user_id": users, "h2": hmax})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "user_id"
+    ).max("h2")
+
+    def finish(b: pa.Table) -> pa.Table:
+        h = np.sqrt(np.asarray(b["max(h2)"], np.float64))
+        h = np.sign(h) * np.floor(np.abs(h) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"user_id": np.asarray(b["user_id"], np.int64), "h": h}
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["h", "user_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def _sql_traj_hausdorff() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    refs = ", ".join(f"({x!r}, {y!r})" for x, y in HAUS_REF)
+    d2 = "((p.x - r.rx) * (p.x - r.rx) + (p.y - r.ry) * (p.y - r.ry))"
+    return (
+        f"WITH ref(rx, ry) AS (VALUES {refs}), "
+        f"pts AS (SELECT user_id, event_id, {ex} AS x, {ey} AS y"
+        f" FROM events), "
+        f"nn AS (SELECT p.user_id, MIN({d2}) AS d2 FROM pts p"
+        f" CROSS JOIN ref r GROUP BY p.user_id, p.event_id) "
+        f"SELECT user_id,"
+        f" ROUND(sqrt(MAX(d2)) * 1000000.0) / 1000000.0 AS h"
+        f" FROM nn GROUP BY user_id"
+        f" ORDER BY h DESC, user_id LIMIT 20"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7611,6 +7926,9 @@ def queries():
         "hex_entropy": q_hex_entropy,
         "g_function": q_g_function,
         "f_function": q_f_function,
+        "voronoi_assign": q_voronoi_assign,
+        "map_match": q_map_match,
+        "traj_hausdorff": q_traj_hausdorff,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -8298,6 +8616,9 @@ def oracle_sql():
         "hex_entropy": _sql_hex_entropy(),
         "g_function": _sql_g_function(),
         "f_function": _sql_f_function(),
+        "voronoi_assign": _sql_voronoi_assign(),
+        "map_match": _sql_map_match(),
+        "traj_hausdorff": _sql_traj_hausdorff(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),
