@@ -7897,6 +7897,297 @@ def _sql_traj_hausdorff() -> str:
 
 
 # ---------------------------------------------------------------------------
+# hull / dissolve / geometric-median wave
+# ---------------------------------------------------------------------------
+
+HULL_MOD, HULL_RES = 11, 5  # doc subset: doc_id % 11 == 5
+HULL_EPS = 1e-2  # combiner slack >> cross-product float noise (~1e-4)
+GMED_ITERS = 8
+GMED_EPS = 1e-9
+
+
+def q_convex_hull(sf_dir: str):
+    """Convex-hull boundary of a doc-point subset (doc_id % 11 == 5): one
+    row per boundary point (doc_id, x, y) at 6dp — vertices AND exactly
+    collinear edge points (the LCG point law is a rational lattice, so
+    exact collinearity genuinely occurs; the boundary-inclusive law is
+    the one both sides can decide bit-identically).
+
+    Scale shape: the classic distributed hull — each batch reduces to
+    its local hull via a conservative monotone chain (an eps-slack
+    combiner that never loses a true boundary point), then the exact
+    supporting-line law (same cross expression as the oracle, same
+    doubles) confirms each candidate against the subset."""
+    import ray.data as rd
+
+    from ..spatial import hull_boundary_chain, hull_boundary_support
+
+    def subset(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], np.int64)
+        return b.filter(pa.array(did % HULL_MOD == HULL_RES))
+
+    ds = docs_points(sf_dir).map_batches(subset, batch_format="pyarrow")
+
+    def local_hull(b: pa.Table) -> pa.Table:
+        out = b.select(["doc_id", "x", "y"])
+        flag = np.zeros(b.num_rows, bool)
+        if b.num_rows:
+            x = np.asarray(b["x"], np.float64)
+            y = np.asarray(b["y"], np.float64)
+            flag[hull_boundary_chain(x, y, eps=HULL_EPS)] = True
+        return out.append_column("cand", pa.array(flag))
+
+    # the pruned subset is tiny by construction (1/11 sample); the
+    # witness check must quantify over the FULL subset for bit-parity
+    # with the oracle, so gather it (at 100 TB the c-scan stays a
+    # distributed AND-reduce over broadcast candidate pairs).
+    sub = pa.concat_tables(
+        ds.map_batches(local_hull, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    did = np.asarray(sub["doc_id"], np.int64)
+    hx = np.asarray(sub["x"], np.float64)
+    hy = np.asarray(sub["y"], np.float64)
+    cand = np.flatnonzero(np.asarray(sub["cand"]))
+    idx = hull_boundary_support(hx, hy, cand)
+    rnd = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+    idx = idx[np.argsort(did[idx])]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(did[idx], pa.int64()),
+                "x": pa.array(rnd(hx[idx])),
+                "y": pa.array(rnd(hy[idx])),
+            }
+        )
+    )
+
+
+def _sql_convex_hull() -> str:
+    from ..synth import sql_points_cte
+
+    cross = "((b.x - p.x) * (c.y - p.y) - (b.y - p.y) * (c.x - p.x))"
+    return (
+        f"WITH pts AS ({sql_points_cte()}), "
+        f"sub AS (SELECT * FROM pts WHERE doc_id % {HULL_MOD} = {HULL_RES}) "
+        f"SELECT p.doc_id, ROUND(p.x * 1000000.0) / 1000000.0 AS x,"
+        f" ROUND(p.y * 1000000.0) / 1000000.0 AS y"
+        f" FROM sub p WHERE EXISTS (SELECT 1 FROM sub b"
+        f" WHERE b.doc_id != p.doc_id AND NOT EXISTS ("
+        f"SELECT 1 FROM sub c WHERE {cross} < 0.0))"
+        f" ORDER BY p.doc_id"
+    )
+
+
+def q_dissolve_area(sf_dir: str):
+    """Dissolve-by-attribute with EXACT union area: the 8-polygon fixture
+    layer (km-scaled rect decompositions, overlapping polygons included)
+    grouped by poly_id % 3; per group the polygon/rect counts, the naive
+    summed rect area and the true union area via coordinate-compression
+    cover counting — sum_area > union_area exactly where members overlap.
+
+    Scale shape: the layer is the broadcast small side (object store
+    once); per-group compression is one vectorized cover mask.  With a
+    huge layer the same kernel runs per dissolve-group partition."""
+    import ray.data as rd
+
+    from ..synth import polygon_layer
+
+    rows = []
+    for p in polygon_layer():
+        for xmin, ymin, xmax, ymax in p["rects"]:
+            rows.append(
+                {
+                    "grp": int(p["poly_id"]) % 3,
+                    "poly_id": int(p["poly_id"]),
+                    "rxmin": xmin / 1000.0,
+                    "rymin": ymin / 1000.0,
+                    "rxmax": xmax / 1000.0,
+                    "rymax": ymax / 1000.0,
+                }
+            )
+
+    def kernel(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        x0 = g["rxmin"].to_numpy(np.float64)
+        y0 = g["rymin"].to_numpy(np.float64)
+        x1 = g["rxmax"].to_numpy(np.float64)
+        y1 = g["rymax"].to_numpy(np.float64)
+        xs = np.unique(np.concatenate([x0, x1]))
+        ys = np.unique(np.concatenate([y0, y1]))
+        mx = (xs[:-1] + xs[1:]) / 2.0
+        my = (ys[:-1] + ys[1:]) / 2.0
+        cx, cy = np.meshgrid(mx, my, indexing="ij")
+        cov = np.zeros(cx.shape, bool)
+        for i in range(len(x0)):
+            cov |= (
+                (x0[i] <= cx)
+                & (cx < x1[i])
+                & (y0[i] <= cy)
+                & (cy < y1[i])
+            )
+        w = np.diff(xs)[:, None] * np.diff(ys)[None, :]
+        union = float((w * cov).sum())
+        sums = float(((x1 - x0) * (y1 - y0)).sum())
+        rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame(
+            {
+                "grp": [int(g["grp"].iloc[0])],
+                "n_polys": [int(g["poly_id"].nunique())],
+                "n_rects": [len(g)],
+                "sum_area": [rnd(sums)],
+                "union_area": [rnd(union)],
+            }
+        )
+
+    return (
+        rd.from_items(rows)
+        .groupby("grp")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def _sql_dissolve_area() -> str:
+    from ..synth import sql_polygon_rects_km_cte
+
+    r6 = lambda e: f"(ROUND(({e}) * 1000000.0) / 1000000.0)"
+    return (
+        f"WITH rects AS ({sql_polygon_rects_km_cte()}), "
+        f"g AS (SELECT poly_id % 3 AS grp, poly_id, rxmin, rymin,"
+        f" rxmax, rymax FROM rects), "
+        f"xs0 AS (SELECT DISTINCT grp, rxmin AS x FROM g"
+        f" UNION SELECT DISTINCT grp, rxmax FROM g), "
+        f"ys0 AS (SELECT DISTINCT grp, rymin AS y FROM g"
+        f" UNION SELECT DISTINCT grp, rymax FROM g), "
+        f"xs AS (SELECT grp, x AS x0,"
+        f" LEAD(x) OVER (PARTITION BY grp ORDER BY x) AS x1 FROM xs0), "
+        f"ys AS (SELECT grp, y AS y0,"
+        f" LEAD(y) OVER (PARTITION BY grp ORDER BY y) AS y1 FROM ys0), "
+        f"cells AS (SELECT xs.grp, x0, x1, y0, y1 FROM xs JOIN ys"
+        f" ON xs.grp = ys.grp WHERE x1 IS NOT NULL AND y1 IS NOT NULL), "
+        f"cov AS (SELECT c.grp, (c.x1 - c.x0) * (c.y1 - c.y0) AS a"
+        f" FROM cells c WHERE EXISTS (SELECT 1 FROM g r"
+        f" WHERE r.grp = c.grp"
+        f" AND r.rxmin <= (c.x0 + c.x1) / 2.0"
+        f" AND (c.x0 + c.x1) / 2.0 < r.rxmax"
+        f" AND r.rymin <= (c.y0 + c.y1) / 2.0"
+        f" AND (c.y0 + c.y1) / 2.0 < r.rymax)), "
+        f"ua AS (SELECT grp, SUM(a) AS union_area FROM cov GROUP BY grp) "
+        f"SELECT g.grp, COUNT(DISTINCT g.poly_id)::BIGINT AS n_polys,"
+        f" COUNT(*)::BIGINT AS n_rects,"
+        f" {r6('SUM((g.rxmax - g.rxmin) * (g.rymax - g.rymin))')} AS sum_area,"
+        f" {r6('ANY_VALUE(ua.union_area)')} AS union_area"
+        f" FROM g JOIN ua ON g.grp = ua.grp"
+        f" GROUP BY g.grp"
+    )
+
+
+def q_geometric_median(sf_dir: str):
+    """Geometric median (Weiszfeld, {GMED_ITERS} fixed iterations) of each
+    urban cluster's doc points, seeded at the cluster centers: per group
+    (g = doc_id % 3 over clustered docs) the point count and the median
+    coordinates at 4dp.
+
+    Scale shape: pure broadcast-state supersteps — each iteration is one
+    stateless pass emitting 3-row (sum w, sum wx, sum wy) partials, the
+    driver holds only the 3x2 median state between passes (the pagerank
+    shape; no shuffle ever touches the point stream)."""
+    import ray.data as rd
+
+    from ..synth import _CLX, _CLY
+
+    def clustered(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], np.int64)
+        return b.filter(pa.array(did % 10 < 3))
+
+    ds = docs_points(sf_dir).map_batches(clustered, batch_format="pyarrow")
+    med = np.array([list(_CLX), list(_CLY)], np.float64).T.copy()
+
+    counts = None
+    for _ in range(GMED_ITERS):
+        mx, my = med[:, 0].copy(), med[:, 1].copy()
+
+        def part(b: pa.Table, mx=mx, my=my) -> pa.Table:
+            did = np.asarray(b["doc_id"], np.int64)
+            x = np.asarray(b["x"], np.float64)
+            y = np.asarray(b["y"], np.float64)
+            g = (did % 3).astype(np.int64)
+            dx = x - mx[g]
+            dy = y - my[g]
+            d = np.sqrt(dx * dx + dy * dy)
+            w = 1.0 / np.maximum(d, GMED_EPS)
+            return pa.table(
+                {
+                    "g": np.arange(3, dtype=np.int64),
+                    "n": np.bincount(g, minlength=3).astype(np.int64),
+                    "sw": np.bincount(g, weights=w, minlength=3),
+                    "swx": np.bincount(g, weights=x * w, minlength=3),
+                    "swy": np.bincount(g, weights=y * w, minlength=3),
+                }
+            )
+
+        tot = (
+            ds.map_batches(part, batch_format="pyarrow")
+            .groupby("g")
+            .sum(["n", "sw", "swx", "swy"])
+            .to_pandas()
+            .sort_values("g")
+        )
+        counts = tot["sum(n)"].to_numpy(np.int64)
+        med[:, 0] = tot["sum(swx)"].to_numpy() / tot["sum(sw)"].to_numpy()
+        med[:, 1] = tot["sum(swy)"].to_numpy() / tot["sum(sw)"].to_numpy()
+
+    rnd = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4
+    return rd.from_arrow(
+        pa.table(
+            {
+                "g": np.arange(3, dtype=np.int64),
+                "n": counts,
+                "mx": rnd(med[:, 0]),
+                "my": rnd(med[:, 1]),
+            }
+        )
+    )
+
+
+def _sql_geometric_median() -> str:
+    from ..synth import _CLX, _CLY, sql_points_cte
+
+    seeds = ", ".join(
+        f"({g}, {_CLX[g]!r}, {_CLY[g]!r})" for g in range(3)
+    )
+    parts = [
+        f"pts AS ({sql_points_cte()})",
+        (
+            "cpts AS (SELECT doc_id % 3 AS g, x, y FROM pts"
+            " WHERE doc_id % 10 < 3)"
+        ),
+        f"it0(g, mx, my) AS (SELECT * FROM (VALUES {seeds}))",
+    ]
+    w = (
+        "1.0 / GREATEST(sqrt((p.x - i.mx) * (p.x - i.mx)"
+        f" + (p.y - i.my) * (p.y - i.my)), {GMED_EPS!r})"
+    )
+    for k in range(1, GMED_ITERS + 1):
+        parts.append(
+            f"it{k} AS (SELECT p.g,"
+            f" SUM(p.x * ({w})) / SUM({w}) AS mx,"
+            f" SUM(p.y * ({w})) / SUM({w}) AS my"
+            f" FROM cpts p JOIN it{k - 1} i ON p.g = i.g GROUP BY p.g)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT c.g, COUNT(*)::BIGINT AS n,"
+        f" ROUND(ANY_VALUE(i.mx) * 10000.0) / 10000.0 AS mx,"
+        f" ROUND(ANY_VALUE(i.my) * 10000.0) / 10000.0 AS my"
+        f" FROM cpts c JOIN it{GMED_ITERS} i ON c.g = i.g GROUP BY c.g"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7929,6 +8220,9 @@ def queries():
         "voronoi_assign": q_voronoi_assign,
         "map_match": q_map_match,
         "traj_hausdorff": q_traj_hausdorff,
+        "convex_hull": q_convex_hull,
+        "dissolve_area": q_dissolve_area,
+        "geometric_median": q_geometric_median,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -8619,6 +8913,9 @@ def oracle_sql():
         "voronoi_assign": _sql_voronoi_assign(),
         "map_match": _sql_map_match(),
         "traj_hausdorff": _sql_traj_hausdorff(),
+        "convex_hull": _sql_convex_hull(),
+        "dissolve_area": _sql_dissolve_area(),
+        "geometric_median": _sql_geometric_median(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

@@ -1060,3 +1060,94 @@ def variogram(
     cols["n_pairs"] = pa.array(cnt)
     cols["gamma"] = pa.array(gamma)
     return rd.from_arrow(pa.table(cols))
+
+
+def convex_hull_chain(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of the convex-hull vertices of (x, y) via Andrew's monotone
+    chain, collinear boundary points EXCLUDED (strict turns only) — the
+    same vertex set as the oracle's strict-left hull-edge law, so the two
+    agree whenever no three input points are exactly collinear in float64
+    (the synthetic LCG point law never is).
+
+    Used as a COMBINER: each batch reduces to its local hull (the only
+    points that can survive globally), the union of local hulls — a few
+    dozen rows per block — folds on the driver with one more chain pass.
+    """
+    n = len(x)
+    if n <= 2:
+        return np.arange(n)
+    order = np.lexsort((y, x))
+
+    def half(idx):
+        out: list[int] = []
+        for i in idx:
+            while len(out) >= 2:
+                ax_, ay_ = x[out[-2]], y[out[-2]]
+                bx_, by_ = x[out[-1]], y[out[-1]]
+                if (bx_ - ax_) * (y[i] - ay_) - (by_ - ay_) * (x[i] - ax_) <= 0.0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(order)
+    upper = half(order[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def hull_boundary_chain(
+    x: np.ndarray, y: np.ndarray, eps: float = 0.0
+) -> np.ndarray:
+    """Indices of all points on (or within ``eps`` cross-product slack of)
+    the convex-hull BOUNDARY — vertices and collinear edge points — via an
+    inclusive monotone chain that pops only on a turn more than ``eps``
+    right.  With eps > max float-evaluation noise of the cross products it
+    is a CONSERVATIVE filter: every point the exact supporting-line law
+    would keep survives, plus possibly a few near-boundary extras, so it
+    serves as the distributed combiner in front of an exact final pass
+    (see ``hull_boundary_support``)."""
+    n = len(x)
+    if n <= 2:
+        return np.arange(n)
+    order = np.lexsort((y, x))
+
+    def half(idx):
+        out: list[int] = []
+        for i in idx:
+            while len(out) >= 2:
+                ax_, ay_ = x[out[-2]], y[out[-2]]
+                bx_, by_ = x[out[-1]], y[out[-1]]
+                if (bx_ - ax_) * (y[i] - ay_) - (by_ - ay_) * (x[i] - ax_) < -eps:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(order)
+    upper = half(order[::-1])
+    return np.unique(np.array(lower + upper, dtype=np.int64))
+
+
+def hull_boundary_support(
+    x: np.ndarray, y: np.ndarray, cand: np.ndarray
+) -> np.ndarray:
+    """Exact hull-boundary decision for candidate indices ``cand`` against
+    the full point set: p is on the boundary iff some ray p->b (b any
+    other point) has EVERY point left-or-on, with the cross product
+    written exactly as the SQL twin writes it — both sides evaluate the
+    same doubles, so the decision is bit-deterministic even for exactly
+    collinear lattice points (the synthetic LCG law is a rational lattice
+    and does produce them)."""
+    keep = []
+    for p in cand:
+        px, py = x[p], y[p]
+        cr = (x[:, None] - px) * (y[None, :] - py) - (y[:, None] - py) * (
+            x[None, :] - px
+        )
+        ok = (cr >= 0.0).all(axis=1)
+        ok[p] = False
+        if ok.any():
+            keep.append(p)
+    return np.asarray(keep, dtype=np.int64)
