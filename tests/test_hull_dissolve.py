@@ -1,0 +1,159 @@
+"""Hull boundary / dissolve / Voronoi-snap kernels — law-level tests.
+
+The oracle parity of the full pipelines is driven by the sweep; these
+tests pin the kernel laws themselves on adversarial (exactly collinear /
+overlapping) inputs that the LCG fixtures may or may not hit at a given
+scale factor.
+"""
+
+import numpy as np
+import pytest
+
+from pygridmap_ray.spatial import hull_boundary_chain, hull_boundary_support
+
+
+def _sql_law(x, y):
+    """Literal re-statement of the oracle's supporting-line EXISTS/NOT
+    EXISTS over all points — O(n^3), reference only."""
+    n = len(x)
+    out = []
+    for p in range(n):
+        found = False
+        for b in range(n):
+            if b == p:
+                continue
+            if all(
+                (x[b] - x[p]) * (y[c] - y[p]) - (y[b] - y[p]) * (x[c] - x[p])
+                >= 0.0
+                for c in range(n)
+            ):
+                found = True
+                break
+        if found:
+            out.append(p)
+    return out
+
+
+def test_hull_matches_sql_law_on_degenerate_lattices():
+    rng = np.random.default_rng(11)
+    for _ in range(120):
+        n = int(rng.integers(3, 12))
+        pts = sorted(
+            {
+                (float(a), float(b))
+                for a, b in zip(rng.integers(0, 6, n), rng.integers(0, 6, n))
+            }
+        )
+        if len(pts) < 3:
+            continue
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        cand = hull_boundary_chain(x, y, eps=1e-2)
+        got = sorted(hull_boundary_support(x, y, cand).tolist())
+        assert got == _sql_law(x, y)
+
+
+def test_hull_chain_is_conservative():
+    # every point the exact law keeps must survive the chain combiner
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        n = int(rng.integers(5, 30))
+        x = (rng.integers(0, 1000003, n) / 1000003.0) * 500000.0
+        y = (rng.integers(0, 1000033, n) / 1000033.0) * 501000.0
+        cand = set(hull_boundary_chain(x, y, eps=1.0).tolist())
+        assert set(_sql_law(x, y)) <= cand
+
+
+def test_hull_boundary_includes_collinear_edge_points():
+    x = np.array([0.0, 2.0, 4.0, 2.0, 2.0])
+    y = np.array([0.0, 0.0, 0.0, 3.0, 1.0])
+    cand = hull_boundary_chain(x, y, eps=1e-9)
+    keep = sorted(hull_boundary_support(x, y, cand).tolist())
+    # (2,0) lies exactly on the bottom edge -> boundary; (2,1) is interior
+    assert keep == [0, 1, 2, 3]
+
+
+def test_dissolve_union_area_removes_overlap(ray_session):
+    from pygridmap_ray.pipelines.queries import q_dissolve_area
+
+    out = q_dissolve_area("/root/testdata/sf0.001").to_pandas()
+    out = out.sort_values("grp", ignore_index=True)
+    assert len(out) == 3
+    # union can never exceed the naive sum, and the overlapping pair
+    # (poly 1 / poly 7 share grp 1) must strictly shrink
+    assert (out["union_area"] <= out["sum_area"] + 1e-9).all()
+    g1 = out[out["grp"] == 1].iloc[0]
+    assert g1["union_area"] < g1["sum_area"] - 1.0
+
+
+def test_dissolve_union_matches_rasterized_truth():
+    # brute-force pixel count on the integer-aligned fixture
+    from pygridmap_ray.synth import polygon_layer
+
+    groups = {}
+    for p in polygon_layer():
+        groups.setdefault(int(p["poly_id"]) % 3, []).extend(p["rects"])
+    for grp, rects in groups.items():
+        grid = np.zeros((50, 51), bool)  # 10 km pixels
+        for xmin, ymin, xmax, ymax in rects:
+            grid[
+                int(xmin // 10_000) : int(xmax // 10_000),
+                int(ymin // 10_000) : int(ymax // 10_000),
+            ] = True
+        expect_km2 = grid.sum() * 100.0  # (10 km)^2 pixels
+        x0 = np.array([r[0] / 1000.0 for r in rects])
+        y0 = np.array([r[1] / 1000.0 for r in rects])
+        x1 = np.array([r[2] / 1000.0 for r in rects])
+        y1 = np.array([r[3] / 1000.0 for r in rects])
+        xs = np.unique(np.concatenate([x0, x1]))
+        ys = np.unique(np.concatenate([y0, y1]))
+        mx = (xs[:-1] + xs[1:]) / 2.0
+        my = (ys[:-1] + ys[1:]) / 2.0
+        cx, cy = np.meshgrid(mx, my, indexing="ij")
+        cov = np.zeros(cx.shape, bool)
+        for i in range(len(x0)):
+            cov |= (x0[i] <= cx) & (cx < x1[i]) & (y0[i] <= cy) & (cy < y1[i])
+        w = np.diff(xs)[:, None] * np.diff(ys)[None, :]
+        union = float((w * cov).sum())
+        assert union == pytest.approx(expect_km2, abs=1e-6)
+
+
+def test_map_match_projection_law():
+    # point projects onto segment interior / clamps to endpoints
+    from pygridmap_ray.pipelines.queries import ROAD_SEGS
+
+    s, ax, ay, bx, by = ROAD_SEGS[0]
+    l2 = (bx - ax) ** 2 + (by - ay) ** 2
+    for px, py, expect_t in [
+        (ax, ay, 0.0),
+        (bx, by, 1.0),
+        ((ax + bx) / 2.0, (ay + by) / 2.0, 0.5),
+        (ax - 1e6, ay - 1e6, 0.0),  # far behind A -> clamp 0
+    ]:
+        t = ((px - ax) * (bx - ax) + (py - ay) * (by - ay)) / l2
+        t = min(max(t, 0.0), 1.0)
+        assert t == pytest.approx(expect_t, abs=1e-9)
+
+
+def test_geometric_median_beats_centroid(ray_session):
+    # Weiszfeld output must not increase the sum of distances vs the
+    # cluster centroid (the defining property of the geometric median)
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.queries import q_geometric_median
+    from pygridmap_ray.synth import derive_xy
+
+    out = q_geometric_median("/root/testdata/sf0.001").to_pandas()
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    did = np.asarray(t["doc_id"], np.int64)
+    did = did[did % 10 < 3]
+    x, y = derive_xy(did)
+    g = did % 3
+    for row in out.itertuples():
+        xs, ys = x[g == row.g], y[g == row.g]
+        d_med = np.hypot(xs - row.mx, ys - row.my).sum()
+        d_cen = np.hypot(xs - xs.mean(), ys - ys.mean()).sum()
+        assert d_med <= d_cen + 1e-6
+        assert int(row.n) == len(xs)
