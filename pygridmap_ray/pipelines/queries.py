@@ -8188,6 +8188,78 @@ def _sql_geometric_median() -> str:
 
 
 # ---------------------------------------------------------------------------
+# hydrology / cost-surface raster wave
+# ---------------------------------------------------------------------------
+
+_FLOW_KW = dict(height=64, width=64, x_min=0.0, y_min=0.0, resolution=1000.0)
+_COST_KW = dict(height=28, width=28, x_min=0.0, y_min=0.0, resolution=1000.0)
+COST_SRC = (14, 14)  # valid under the pop nodata law
+
+
+def q_raster_flow_accum(sf_dir: str):
+    """D8 flow accumulation (upstream-cell count) over the convergent
+    bowl elevation surface: the hydrology operator downstream of
+    q_raster_d8 — the D8 stencil runs tile-parallel, the acyclic flow
+    forest folds in vectorized Kahn waves (lattice-bounded driver peel;
+    pointer-doubling reach pairs are the planet-raster path)."""
+    from ..raster import BowlRaster, flow_accumulation
+
+    return flow_accumulation(
+        BowlRaster(**_FLOW_KW), tile_size_cell=32, concurrency=(1, 4)
+    )
+
+
+def _sql_raster_flow_accum():
+    from ..raster import BowlRaster, sql_flow_accum
+
+    return sql_flow_accum(BowlRaster(**_FLOW_KW), tile_size_cell=32)
+
+
+_VIEW_KW = dict(height=40, width=40, x_min=0.0, y_min=0.0, resolution=1000.0)
+VIEW_OBS = (20, 20)  # valid under the elev nodata law
+
+
+def q_raster_viewshed(sf_dir: str):
+    """Observer viewshed over the synthetic elevation band: per-cell
+    line-of-sight visibility via the rational midpoint walk (division-
+    free sampling, slope comparison per sample; nodata transparent).
+    Tile tasks read one obs+tile bbox window each; the R2 sweep is the
+    planet-raster path."""
+    from ..raster import SyntheticRaster, viewshed_raster
+
+    return viewshed_raster(
+        SyntheticRaster(**_VIEW_KW),
+        VIEW_OBS,
+        tile_size_cell=16,
+        concurrency=(1, 4),
+    )
+
+
+def _sql_raster_viewshed():
+    from ..raster import SyntheticRaster, sql_viewshed
+
+    return sql_viewshed(SyntheticRaster(**_VIEW_KW), VIEW_OBS)
+
+
+def q_raster_cost_distance(sf_dir: str):
+    """Least-cost distance field from a source cell over the synthetic
+    population band used as a cost surface (4-neighbor moves, cost of a
+    move = entered cell value + 1, nodata impassable): distributed
+    row-strip reads feed an exact driver Dijkstra (integer-valued
+    doubles — order-free); delta-stepping supersteps are the planet
+    path.  Rows: every REACHED cell (x, y, cost)."""
+    from ..raster import SyntheticRaster, cost_distance
+
+    return cost_distance(SyntheticRaster(**_COST_KW), COST_SRC)
+
+
+def _sql_raster_cost_distance():
+    from ..raster import SyntheticRaster, sql_cost_distance
+
+    return sql_cost_distance(SyntheticRaster(**_COST_KW), COST_SRC)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -8223,6 +8295,9 @@ def queries():
         "convex_hull": q_convex_hull,
         "dissolve_area": q_dissolve_area,
         "geometric_median": q_geometric_median,
+        "raster_flow_accum": q_raster_flow_accum,
+        "raster_cost_distance": q_raster_cost_distance,
+        "raster_viewshed": q_raster_viewshed,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -8916,6 +8991,9 @@ def oracle_sql():
         "convex_hull": _sql_convex_hull(),
         "dissolve_area": _sql_dissolve_area(),
         "geometric_median": _sql_geometric_median(),
+        "raster_flow_accum": _sql_raster_flow_accum(),
+        "raster_cost_distance": _sql_raster_cost_distance(),
+        "raster_viewshed": _sql_raster_viewshed(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

@@ -1347,3 +1347,555 @@ FROM (SELECT UNNEST(generate_series(0, {n_steps})) AS i) k
 WHERE {c0} >= 0 AND {c0} + 1 < {w} AND {b0} >= 0 AND {b0} + 1 < {h}
   AND {valid}
 """
+
+
+# ---------------------------------------------------------------------------
+# flow accumulation / cost distance / viewshed
+# ---------------------------------------------------------------------------
+
+_D8_BY_CODE = {code: (dr, dc) for dr, dc, code in _D8}
+
+
+def flow_accumulation(
+    raster: RasterSource,
+    *,
+    band: str = "elev",
+    tile_size_cell: int = 128,
+    concurrency=None,
+):
+    """Upstream-cell count per pixel over the D8 flow forest: for every
+    valid pixel, how many other pixels' steepest-descent paths pass
+    through it.  An edge u -> t exists when u's D8 target t is itself a
+    valid pixel; D8 targets strictly lower ground, so the forest is
+    acyclic and accumulation is the ancestor count.
+
+    Scale shape: the D8 field is the tile+halo stencil (distributed);
+    the forest fold here is the lattice-bounded driver peel (vectorized
+    Kahn waves over one int per pixel — the hex_bfs shape).  At planet
+    rasters the same edges feed pointer-doubling reach-pair emission
+    (graph.py's pointer-jump machinery) instead of a driver array.
+    """
+    import ray.data as rd
+
+    d8 = d8_flow_raster(
+        raster,
+        band=band,
+        tile_size_cell=tile_size_cell,
+        concurrency=concurrency,
+    )
+    tbl = pa.concat_tables(d8.iter_batches(batch_format="pyarrow"))
+    x = np.asarray(tbl["x"], np.float64)
+    y = np.asarray(tbl["y"], np.float64)
+    code = np.asarray(tbl["d8"], np.int64)
+    res, h, w = raster.resolution, raster.height, raster.width
+    ci = np.rint((x - raster.x_min) / res).astype(np.int64)
+    ri = (h - 1 - np.rint((y - raster.y_min) / res)).astype(np.int64)
+    lin = ri * w + ci
+    order = np.argsort(lin)
+    lin, ci, ri, code, x, y = (
+        lin[order], ci[order], ri[order], code[order], x[order], y[order]
+    )
+    dr = np.zeros(len(lin), np.int64)
+    dc = np.zeros(len(lin), np.int64)
+    for cd, (drr, dcc) in _D8_BY_CODE.items():
+        m = code == cd
+        dr[m], dc[m] = drr, dcc
+    tgt = (ri + dr) * w + (ci + dc)
+    pos = np.searchsorted(lin, tgt)
+    pos = np.clip(pos, 0, len(lin) - 1)
+    has = (code != 0) & (lin[pos] == tgt)
+    nxt = np.where(has, pos, -1)
+
+    n = len(lin)
+    acc = np.zeros(n, np.int64)
+    indeg = np.bincount(nxt[nxt >= 0], minlength=n)
+    done = np.zeros(n, bool)
+    ready = indeg == 0
+    while ready.any():
+        u = np.flatnonzero(ready & ~done)
+        if not len(u):
+            break
+        done[u] = True
+        uh = u[nxt[u] >= 0]
+        t = nxt[uh]
+        np.add.at(acc, t, acc[uh] + 1)
+        np.subtract.at(indeg, t, 1)
+        ready = (indeg == 0) & ~done
+    return rd.from_arrow(
+        pa.table(
+            {
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "acc": pa.array(acc, pa.int64()),
+            }
+        )
+    )
+
+
+class BowlRaster(RasterSource):
+    """Synthetic convergent elevation surface for hydrology fixtures: a
+    paraboloid bowl (minimum at the raster center) plus a small LCG
+    roughness term so no two neighbor drops tie, with a sparse nodata
+    sprinkle.  All values are small integers — every engine/oracle
+    comparison is exact.  The sawtooth ``SyntheticRaster`` law has an
+    almost-constant gradient (parallel flow, no convergence), which makes
+    flow accumulation trivially 0/1; the bowl drains to the center and
+    exercises deep accumulation chains."""
+
+    def __init__(
+        self,
+        height: int = 64,
+        width: int = 64,
+        x_min: float = 0.0,
+        y_min: float = 0.0,
+        resolution: float = 1000.0,
+        nodata_pct: int = 3,
+    ):
+        self.height = height
+        self.width = width
+        self.x_min = x_min
+        self.y_min = y_min
+        self.resolution = resolution
+        self.nodata_pct = int(nodata_pct)
+        self.bands = ("elev",)
+
+    def read_window(self, band, row0, col0, h, w):
+        rows = np.arange(row0, min(row0 + h, self.height))
+        cols = np.arange(col0, min(col0 + w, self.width))
+        r, c = np.meshgrid(rows, cols, indexing="ij")
+        ch, cw = self.height // 2, self.width // 2
+        v = (
+            (r - ch) * (r - ch)
+            + (c - cw) * (c - cw)
+            + (r * 68917 + c * 92821) % 7
+        ).astype(np.float64)
+        nod = ((r * 7919 + c * 104729) % 100) < self.nodata_pct
+        v[nod] = NODATA
+        return v
+
+    def sql_value_expr(self, rr: str, cc: str) -> str:
+        ch, cw = self.height // 2, self.width // 2
+        return (
+            f"((({rr}) - {ch}) * (({rr}) - {ch})"
+            f" + (({cc}) - {cw}) * (({cc}) - {cw})"
+            f" + ((({rr}) * 68917 + ({cc}) * 92821) % 7))::DOUBLE"
+        )
+
+    def sql_ok_expr(self, rr: str, cc: str) -> str:
+        return (
+            f"((({rr}) * 7919 + ({cc}) * 104729) % 100) >= {self.nodata_pct}"
+        )
+
+
+def sql_flow_accum(raster: BowlRaster, tile_size_cell: int = 128) -> str:
+    """Oracle: a D8 twin over the raster's own law expressions feeding a
+    WITH RECURSIVE reach-pair closure; accumulation = ancestors per cell
+    (COUNT of reach pairs)."""
+    h, w, res = raster.height, raster.width, raster.resolution
+    x0, y0 = raster.x_min, raster.y_min
+
+    def pz(dr, dc):
+        return raster.sql_value_expr(f"ri + {dr}", f"ci + {dc}")
+
+    valid = " AND ".join(
+        raster.sql_ok_expr(f"r.i + {dr}", f"c.i + {dc}")
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT ri, ci, {i} AS ordi, {code} AS code,"
+        f" ({pz(0, 0)} - {pz(dr, dc)}) /"
+        + (f" ({res!r} * sqrt(2.0))" if dr and dc else f" {res!r}")
+        + " AS dropv FROM px"
+        for i, (dr, dc, code) in enumerate(_D8)
+    )
+    dirs = ", ".join(
+        f"({code}, {dr}, {dc})" for dr, dc, code in _D8
+    )
+    return f"""
+WITH RECURSIVE px AS (
+  SELECT r.i AS ri, c.i AS ci
+  FROM (SELECT UNNEST(generate_series(1, {h - 2})) AS i) r,
+       (SELECT UNNEST(generate_series(1, {w - 2})) AS i) c
+  WHERE {valid}
+), drops AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ri, ci
+                               ORDER BY dropv DESC, ordi ASC) AS rn
+  FROM ({branches})
+), flow AS (
+  SELECT ri, ci,
+         {x0!r} + ci * {res!r} AS x,
+         {y0!r} + ({h} - ri - 1) * {res!r} AS y,
+         CASE WHEN dropv > 0.0 THEN code ELSE 0 END::BIGINT AS d8
+  FROM drops WHERE rn = 1
+), dirs(code, dr, dc) AS (VALUES {dirs}),
+edges AS (
+  SELECT f.ri, f.ci, f.ri + d.dr AS tr, f.ci + d.dc AS tc
+  FROM flow f JOIN dirs d ON f.d8 = d.code
+  WHERE f.d8 != 0 AND EXISTS (
+    SELECT 1 FROM flow t WHERE t.ri = f.ri + d.dr AND t.ci = f.ci + d.dc)
+), reach(sr, sc, cr, cc) AS (
+  SELECT ri, ci, tr, tc FROM edges
+  UNION
+  SELECT r.sr, r.sc, e.tr, e.tc FROM reach r
+  JOIN edges e ON e.ri = r.cr AND e.ci = r.cc
+), acc AS (
+  SELECT cr, cc, COUNT(*) AS acc FROM reach GROUP BY cr, cc
+)
+SELECT f.x, f.y, COALESCE(a.acc, 0)::BIGINT AS acc
+FROM flow f LEFT JOIN acc a ON a.cr = f.ri AND a.cc = f.ci
+"""
+
+
+def cost_distance(
+    raster: RasterSource,
+    source_rc: tuple[int, int],
+    *,
+    band: str = "pop",
+    strip_rows: int = 64,
+):
+    """Least-cost distance field from a source cell over a cost raster:
+    4-neighbor moves, cost of a move = value of the ENTERED cell + 1
+    (strictly positive), nodata impassable.  Costs are integer-valued
+    doubles, so every distance is exact and order-free.
+
+    Scale shape: the cost/validity field is read in distributed row
+    strips; the fold is an exact driver Dijkstra over one (cost, valid)
+    pair per cell — lattice-bounded like hex_bfs.  At planet rasters the
+    same strip reads feed distributed delta-stepping supersteps.
+    Returns (x, y, cost) for every REACHED cell.
+    """
+    import heapq
+
+    import ray.data as rd
+
+    h, w, res = raster.height, raster.width, raster.resolution
+    strips = [
+        {"r0": r0, "nr": min(strip_rows, h - r0)}
+        for r0 in range(0, h, strip_rows)
+    ]
+
+    def read_strip(b: pa.Table) -> pa.Table:
+        parts_r, parts_c, parts_v = [], [], []
+        for r0, nr in zip(
+            np.asarray(b["r0"], np.int64), np.asarray(b["nr"], np.int64)
+        ):
+            z = raster.read_window(band, int(r0), 0, int(nr), w)
+            rr, cc = np.meshgrid(
+                np.arange(r0, r0 + nr), np.arange(w), indexing="ij"
+            )
+            parts_r.append(rr.ravel())
+            parts_c.append(cc.ravel())
+            parts_v.append(z.ravel())
+        return pa.table(
+            {
+                "ri": np.concatenate(parts_r).astype(np.int64),
+                "ci": np.concatenate(parts_c).astype(np.int64),
+                "v": np.concatenate(parts_v),
+            }
+        )
+
+    cells = rd.from_items(strips).map_batches(
+        read_strip, batch_format="pyarrow"
+    )
+    tbl = pa.concat_tables(cells.iter_batches(batch_format="pyarrow"))
+    ri = np.asarray(tbl["ri"], np.int64)
+    ci = np.asarray(tbl["ci"], np.int64)
+    v = np.asarray(tbl["v"], np.float64)
+    grid = np.full((h, w), np.nan)
+    grid[ri, ci] = v
+    valid = grid != NODATA
+    cost = grid + 1.0
+
+    r0, c0 = source_rc
+    if not valid[r0, c0]:
+        raise ValueError("source cell is nodata")
+    INF = np.inf
+    dist = np.full((h, w), INF)
+    dist[r0, c0] = 0.0
+    pq = [(0.0, r0, c0)]
+    while pq:
+        d, r, c = heapq.heappop(pq)
+        if d > dist[r, c]:
+            continue
+        for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < h and 0 <= nc < w and valid[nr, nc]:
+                nd = d + cost[nr, nc]
+                if nd < dist[nr, nc]:
+                    dist[nr, nc] = nd
+                    heapq.heappush(pq, (nd, nr, nc))
+    rr, cc = np.nonzero(np.isfinite(dist) & valid)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "x": pa.array(raster.x_min + cc * res),
+                "y": pa.array(raster.y_min + (h - rr - 1) * res),
+                "cost": pa.array(dist[rr, cc]),
+            }
+        )
+    )
+
+
+def sql_cost_distance(
+    raster: SyntheticRaster,
+    source_rc: tuple[int, int],
+    band: str = "pop",
+) -> str:
+    """Oracle: staged Bellman-Ford generated to the exact fixpoint
+    depth of the same recurrence on this fixture (the stage count is a
+    fixture constant, computed from the same closed-form law)."""
+    h, w = raster.height, raster.width
+    p1, p2 = _BAND_P1[band], _BAND_P2[band]
+    pct = _BAND_NODATA_PCT[band]
+    res, x0, y0 = raster.resolution, raster.x_min, raster.y_min
+
+    # exact stage count: run the staged Bellman recurrence itself
+    # (d_k = MIN(d_{k-1}, relax(d_{k-1}))) to its fixpoint — the SQL
+    # stages below compute the identical recurrence, so k_stages is by
+    # construction enough and integer-valued doubles make it exact.
+    val = (np.arange(h)[:, None] * p1 + np.arange(w)[None, :] * p2) % 1000
+    nod = (
+        np.arange(h)[:, None] * 7919 + np.arange(w)[None, :] * 104729
+    ) % 100 < pct
+    valid = ~nod
+    cost = val.astype(np.float64) + 1.0
+    r0, c0 = source_rc
+    INF = np.inf
+    dist = np.full((h, w), INF)
+    dist[r0, c0] = 0.0
+    k_stages = 0
+    while True:
+        nd = dist.copy()
+        for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+            shifted = np.full((h, w), INF)
+            src = dist[
+                max(0, -dr) : h - max(0, dr), max(0, -dc) : w - max(0, dc)
+            ]
+            shifted[
+                max(0, dr) : h - max(0, -dr), max(0, dc) : w - max(0, -dc)
+            ] = src
+            cand = shifted + cost
+            nd = np.minimum(nd, np.where(valid, cand, INF))
+        nd[~valid] = INF
+        k_stages += 1
+        if np.array_equal(nd, dist, equal_nan=False) or np.all(
+            (nd == dist) | (np.isinf(nd) & np.isinf(dist))
+        ):
+            break
+        dist = nd
+
+    zc = f"(((r.i) * {p1} + (c.i) * {p2}) % 1000)::DOUBLE"
+    okc = f"(((r.i) * 7919 + (c.i) * 104729) % 100) >= {pct}"
+    parts = [
+        (
+            f"cells AS (SELECT r.i AS ri, c.i AS ci, {zc} + 1.0 AS w"
+            f" FROM (SELECT UNNEST(generate_series(0, {h - 1})) AS i) r,"
+            f" (SELECT UNNEST(generate_series(0, {w - 1})) AS i) c"
+            f" WHERE {okc})"
+        ),
+        (
+            "edges AS (SELECT a.ri AS fr, a.ci AS fc, b.ri AS tr,"
+            " b.ci AS tc, b.w FROM cells a JOIN cells b"
+            " ON (abs(a.ri - b.ri) + abs(a.ci - b.ci)) = 1)"
+        ),
+        f"d0(ri, ci, d) AS (VALUES ({r0}, {c0}, 0.0))",
+    ]
+    for k in range(1, k_stages + 1):
+        # MATERIALIZED: each stage references its predecessor twice, and
+        # DuckDB inlines plain CTEs -> exponential expansion without it.
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT ri, ci, MIN(d) AS d FROM ("
+            f"SELECT ri, ci, d FROM d{k - 1}"
+            f" UNION ALL"
+            f" SELECT e.tr AS ri, e.tc AS ci, p.d + e.w AS d"
+            f" FROM d{k - 1} p JOIN edges e ON e.fr = p.ri AND e.fc = p.ci"
+            f") GROUP BY ri, ci)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT {x0!r} + ci * {res!r} AS x,"
+        f" {y0!r} + ({h} - ri - 1) * {res!r} AS y, d AS cost"
+        f" FROM d{k_stages}"
+    )
+
+
+class ViewshedKernel:
+    """Actor-pool kernel: line-of-sight visibility of every valid cell
+    from a fixed observer.  Law (twin-identical, division-free in the
+    sampling): target at Chebyshev distance K is sampled at steps
+    i = 1..K-1, sample cell = obs + floor((delta * i) / K + 0.5) per
+    axis (the rational midpoint walk); a VALID sample blocks the target
+    when its slope (z_s - z_o) / i >= target slope (z_t - z_o) / K;
+    nodata samples are transparent.  Each tile task reads ONE window —
+    the bbox of the observer and the tile (all its rays live inside it);
+    for planet rasters swap in the R2/reference-plane sweep, which needs
+    only a ring halo per tile.
+    """
+
+    def __init__(
+        self,
+        raster: RasterSource,
+        obs_rc: tuple[int, int],
+        tile_size_cell: int,
+        band: str = "elev",
+    ):
+        self.r = raster
+        self.ro, self.co = int(obs_rc[0]), int(obs_rc[1])
+        self.ts = int(tile_size_cell)
+        self.band = band
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for xt, yt in zip(
+            np.asarray(batch["xt"], dtype=np.int64),
+            np.asarray(batch["yt"], dtype=np.int64),
+        ):
+            t = self._tile(int(xt), int(yt))
+            if t is not None:
+                parts.append(t)
+        if parts:
+            return pa.concat_tables(parts)
+        return pa.table(
+            {
+                "x": pa.array([], pa.float64()),
+                "y": pa.array([], pa.float64()),
+                "vis": pa.array([], pa.int64()),
+            }
+        )
+
+    def _tile(self, xt: int, yt: int):
+        r, ts = self.r, self.ts
+        row0 = r.height - (yt + 1) * ts
+        h = ts + min(row0, 0)
+        row0 = max(row0, 0)
+        col0 = xt * ts
+        if h <= 0 or col0 >= r.width:
+            return None
+        r1 = min(row0 + h, r.height)
+        c1 = min(col0 + ts, r.width)
+        # one window covering the observer and the whole tile
+        wr0 = min(row0, self.ro)
+        wc0 = min(col0, self.co)
+        wr1 = max(r1, self.ro + 1)
+        wc1 = max(c1, self.co + 1)
+        z = r.read_window(self.band, wr0, wc0, wr1 - wr0, wc1 - wc0)
+        zo = z[self.ro - wr0, self.co - wc0]
+        if zo == NODATA:
+            raise ValueError("observer cell is nodata")
+
+        rr, cc = np.meshgrid(
+            np.arange(row0, r1), np.arange(col0, c1), indexing="ij"
+        )
+        rr, cc = rr.ravel(), cc.ravel()
+        zt = z[rr - wr0, cc - wc0]
+        keep = (zt != NODATA) & ~((rr == self.ro) & (cc == self.co))
+        rr, cc, zt = rr[keep], cc[keep], zt[keep]
+        if not len(rr):
+            return None
+        dr = rr - self.ro
+        dc = cc - self.co
+        K = np.maximum(np.abs(dr), np.abs(dc))
+        kmax = int(K.max())
+        vis = np.ones(len(rr), bool)
+        if kmax >= 2:
+            i = np.arange(1, kmax, dtype=np.int64)[None, :]
+            live = i < K[:, None]
+            sr = self.ro + np.floor((dr[:, None] * i) / K[:, None] + 0.5).astype(
+                np.int64
+            )
+            sc = self.co + np.floor((dc[:, None] * i) / K[:, None] + 0.5).astype(
+                np.int64
+            )
+            sr_c = np.clip(sr, wr0, wr1 - 1)
+            sc_c = np.clip(sc, wc0, wc1 - 1)
+            zs = z[sr_c - wr0, sc_c - wc0]
+            valid_s = live & (zs != NODATA)
+            slope_s = (zs - zo) / i.astype(np.float64)
+            slope_t = (zt - zo) / K.astype(np.float64)
+            blocked = (valid_s & (slope_s >= slope_t[:, None])).any(axis=1)
+            vis = ~blocked
+        return pa.table(
+            {
+                "x": pa.array(r.x_min + cc * r.resolution),
+                "y": pa.array(
+                    r.y_min + (r.height - rr - 1) * r.resolution
+                ),
+                "vis": pa.array(vis.astype(np.int64)),
+            }
+        )
+
+
+def viewshed_raster(
+    raster: RasterSource,
+    obs_rc: tuple[int, int],
+    *,
+    band: str = "elev",
+    tile_size_cell: int = 128,
+    concurrency=None,
+):
+    """Raster -> per-cell observer-visibility Dataset (tile kernel)."""
+    import math
+
+    import ray.data as rd
+
+    nxt = math.ceil(raster.width / tile_size_cell)
+    nyt = math.ceil(raster.height / tile_size_cell)
+    specs = [{"xt": xt, "yt": yt} for yt in range(nyt) for xt in range(nxt)]
+    ds = rd.from_items(specs).repartition(min(len(specs), 128))
+    if concurrency is not None:
+        return ds.map_batches(
+            ViewshedKernel,
+            batch_format="pyarrow",
+            batch_size=4,
+            fn_constructor_args=(raster, obs_rc, tile_size_cell, band),
+            concurrency=concurrency,
+        )
+    return ds.map_batches(
+        ViewshedKernel(raster, obs_rc, tile_size_cell, band),
+        batch_format="pyarrow",
+        batch_size=4,
+    )
+
+
+def sql_viewshed(
+    raster: SyntheticRaster,
+    obs_rc: tuple[int, int],
+    band: str = "elev",
+) -> str:
+    """Oracle: correlated generate_series sampling along each ray with
+    the identical floor(+0.5) midpoint walk and slope comparison."""
+    h, w, res = raster.height, raster.width, raster.resolution
+    x0, y0 = raster.x_min, raster.y_min
+    p1, p2 = _BAND_P1[band], _BAND_P2[band]
+    pct = _BAND_NODATA_PCT[band]
+    ro, co = int(obs_rc[0]), int(obs_rc[1])
+
+    def zv(rr, cc):
+        return f"((({rr}) * {p1} + ({cc}) * {p2}) % 1000)::DOUBLE"
+
+    def okv(rr, cc):
+        return f"((({rr}) * 7919 + ({cc}) * 104729) % 100) >= {pct}"
+
+    zo = zv(ro, co)
+    sr = f"({ro} + CAST(FLOOR(((t.ri - {ro}) * s.i) / t.k + 0.5) AS BIGINT))"
+    sc = f"({co} + CAST(FLOOR(((t.ci - {co}) * s.i) / t.k + 0.5) AS BIGINT))"
+    return f"""
+WITH t AS (
+  SELECT r.i AS ri, c.i AS ci,
+         GREATEST(abs(r.i - {ro}), abs(c.i - {co})) AS k
+  FROM (SELECT UNNEST(generate_series(0, {h - 1})) AS i) r,
+       (SELECT UNNEST(generate_series(0, {w - 1})) AS i) c
+  WHERE {okv("r.i", "c.i")} AND NOT (r.i = {ro} AND c.i = {co})
+), blocked AS (
+  SELECT DISTINCT t.ri, t.ci
+  FROM t, UNNEST(generate_series(1, t.k - 1)) AS s(i)
+  WHERE {okv(sr, sc)}
+    AND ({zv(sr, sc)} - {zo}) / s.i >= ({zv("t.ri", "t.ci")} - {zo}) / t.k
+)
+SELECT {x0!r} + t.ci * {res!r} AS x,
+       {y0!r} + ({h} - t.ri - 1) * {res!r} AS y,
+       CASE WHEN b.ri IS NULL THEN 1 ELSE 0 END::BIGINT AS vis
+FROM t LEFT JOIN blocked b ON b.ri = t.ri AND b.ci = t.ci
+"""

@@ -1,0 +1,137 @@
+"""Terrain-analysis raster operators: flow accumulation, cost distance,
+viewshed — law-level invariants against brute-force recomputation."""
+
+import numpy as np
+import pytest
+
+from pygridmap_ray.raster import NODATA, BowlRaster, SyntheticRaster
+
+
+def _bowl_field(h=32, w=32):
+    r = BowlRaster(height=h, width=w)
+    z = r.read_window("elev", 0, 0, h, w)
+    return r, z
+
+
+def test_flow_accum_bellman_identity(ray_session):
+    from pygridmap_ray.raster import flow_accumulation, _D8
+
+    h = w = 32
+    r, z = _bowl_field(h, w)
+    out = flow_accumulation(r, tile_size_cell=16).to_pandas()
+    ci = np.rint(out["x"].to_numpy() / 1000.0).astype(int)
+    ri = (h - 1 - np.rint(out["y"].to_numpy() / 1000.0)).astype(int)
+    acc = dict(zip(zip(ri, ci), out["acc"].to_numpy()))
+
+    # recompute D8 next-cell brute force and check A[t] = sum (A[u] + 1)
+    valid = np.ones((h, w), bool)
+    for rr in range(h):
+        for cc in range(w):
+            win = z[max(rr - 1, 0) : rr + 2, max(cc - 1, 0) : cc + 2]
+            if (
+                rr == 0
+                or cc == 0
+                or rr == h - 1
+                or cc == w - 1
+                or (win == NODATA).any()
+            ):
+                valid[rr, cc] = False
+    assert set(acc) == {tuple(p) for p in np.argwhere(valid)}
+    nxt = {}
+    for rr, cc in np.argwhere(valid):
+        drops = [
+            (z[rr, cc] - z[rr + dr, cc + dc])
+            / (1000.0 * np.sqrt(2.0) if dr and dc else 1000.0)
+            for dr, dc, _ in _D8
+        ]
+        best = int(np.argmax(drops))
+        if drops[best] > 0:
+            dr, dc, _ = _D8[best]
+            t = (rr + dr, cc + dc)
+            if t in acc:
+                nxt[(rr, cc)] = t
+    expect = {k: 0 for k in acc}
+    # acyclic: iterate until stable
+    changed = True
+    while changed:
+        changed = False
+        new = {k: 0 for k in acc}
+        for u, t in nxt.items():
+            new[t] += expect[u] + 1
+        if new != expect:
+            expect, changed = new, True
+    assert acc == expect
+
+
+def test_cost_distance_is_optimal(ray_session):
+    from pygridmap_ray.raster import cost_distance
+
+    h = w = 28
+    r = SyntheticRaster(height=h, width=w)
+    z = r.read_window("pop", 0, 0, h, w)
+    out = cost_distance(r, (14, 14)).to_pandas()
+    ci = np.rint(out["x"].to_numpy() / 1000.0).astype(int)
+    ri = (h - 1 - np.rint(out["y"].to_numpy() / 1000.0)).astype(int)
+    dist = np.full((h, w), np.inf)
+    dist[ri, ci] = out["cost"].to_numpy()
+    assert dist[14, 14] == 0.0
+    # Bellman optimality: d[c] = min over neighbors d[n] + cost(c)
+    for rr, cc in zip(ri, ci):
+        if (rr, cc) == (14, 14):
+            continue
+        best = min(
+            dist[rr + dr, cc + dc]
+            for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0))
+            if 0 <= rr + dr < h and 0 <= cc + dc < w
+        )
+        assert dist[rr, cc] == best + (z[rr, cc] + 1.0)
+    # nodata cells are never reached
+    assert not np.isfinite(dist[z == NODATA]).any()
+
+
+def test_viewshed_adjacent_always_visible(ray_session):
+    from pygridmap_ray.raster import viewshed_raster
+
+    h = w = 40
+    r = SyntheticRaster(height=h, width=w)
+    out = viewshed_raster(r, (20, 20), tile_size_cell=16).to_pandas()
+    ci = np.rint(out["x"].to_numpy() / 1000.0).astype(int)
+    ri = (h - 1 - np.rint(out["y"].to_numpy() / 1000.0)).astype(int)
+    vis = dict(zip(zip(ri, ci), out["vis"].to_numpy()))
+    z = r.read_window("elev", 0, 0, h, w)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            cell = (20 + dr, 20 + dc)
+            if cell == (20, 20):
+                assert cell not in vis  # observer excluded
+            elif z[cell] != NODATA:
+                assert vis[cell] == 1  # K=1: nothing can block
+
+
+def test_viewshed_brute_force_rays(ray_session):
+    from pygridmap_ray.raster import viewshed_raster
+
+    h = w = 40
+    ro = co = 20
+    r = SyntheticRaster(height=h, width=w)
+    z = r.read_window("elev", 0, 0, h, w)
+    out = viewshed_raster(r, (ro, co), tile_size_cell=16).to_pandas()
+    ci = np.rint(out["x"].to_numpy() / 1000.0).astype(int)
+    ri = (h - 1 - np.rint(out["y"].to_numpy() / 1000.0)).astype(int)
+    vis = dict(zip(zip(ri, ci), out["vis"].to_numpy()))
+    zo = z[ro, co]
+    rng = np.random.default_rng(2)
+    cells = list(vis)
+    for idx in rng.choice(len(cells), 60, replace=False):
+        rt, ct = cells[idx]
+        k = max(abs(rt - ro), abs(ct - co))
+        blocked = False
+        for i in range(1, k):
+            sr = ro + int(np.floor(((rt - ro) * i) / k + 0.5))
+            sc = co + int(np.floor(((ct - co) * i) / k + 0.5))
+            if z[sr, sc] == NODATA:
+                continue
+            if (z[sr, sc] - zo) / i >= (z[rt, ct] - zo) / k:
+                blocked = True
+                break
+        assert vis[(rt, ct)] == (0 if blocked else 1)
