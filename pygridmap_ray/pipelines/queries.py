@@ -8259,6 +8259,156 @@ def _sql_raster_cost_distance():
     return sql_cost_distance(SyntheticRaster(**_COST_KW), COST_SRC)
 
 
+def q_raster_watershed(sf_dir: str):
+    """Watershed labeling over the bowl surface: every valid pixel gets
+    the sink (terminal cell) of its D8 path — pointer DOUBLING over the
+    flow forest (ptr = ptr[ptr], log-depth), the hydrology companion of
+    flow accumulation."""
+    from ..raster import BowlRaster, watershed_raster
+
+    return watershed_raster(
+        BowlRaster(**_FLOW_KW), tile_size_cell=32, concurrency=(1, 4)
+    )
+
+
+def _sql_raster_watershed():
+    from ..raster import BowlRaster, sql_watershed
+
+    return sql_watershed(BowlRaster(**_FLOW_KW), tile_size_cell=32)
+
+
+def q_raster_cost_path(sf_dir: str):
+    """Least-cost PATH extraction: from the cost-distance field, walk
+    back from the most expensive reachable cell (tie -> largest (ri,
+    ci)) to the source along exact-relaxation predecessors (tie ->
+    smallest (ri, ci)); integer-valued doubles make every equality test
+    exact, so engine and oracle walk the same cells."""
+    from ..raster import SyntheticRaster, cost_path
+
+    return cost_path(SyntheticRaster(**_COST_KW), COST_SRC)
+
+
+def _sql_raster_cost_path():
+    from ..raster import SyntheticRaster, sql_cost_path
+
+    return sql_cost_path(SyntheticRaster(**_COST_KW), COST_SRC)
+
+
+def q_zonal_majority(sf_dir: str):
+    """Zonal MAJORITY: per polygon the modal 100-wide elevation bin of
+    the raster cells inside it (tie -> smallest bin) — the categorical
+    argmax on top of the zonal-histogram plan.  The (poly, bin) rollup
+    is tiny; the argmax is one lexsort over it."""
+    import ray.data as rd
+
+    hist = q_zonal_hist(sf_dir)
+    tbl = pa.concat_tables(hist.iter_batches(batch_format="pyarrow"))
+    poly = np.asarray(tbl["poly_id"], np.int64)
+    binv = np.asarray(tbl["bin"], np.int64)
+    n = np.asarray(tbl["n_cells"], np.int64)
+    order = np.lexsort((binv, -n, poly))
+    poly, binv, n = poly[order], binv[order], n[order]
+    first = np.concatenate([[True], poly[1:] != poly[:-1]])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "poly_id": pa.array(poly[first], pa.int64()),
+                "maj_bin": pa.array(binv[first], pa.int64()),
+                "n_cells": pa.array(n[first], pa.int64()),
+            }
+        )
+    )
+
+
+def _sql_zonal_majority():
+    return (
+        f"WITH zh AS ({_sql_zonal_hist()}) "
+        f"SELECT poly_id, bin AS maj_bin, n_cells FROM zh"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY poly_id"
+        f" ORDER BY n_cells DESC, bin) = 1"
+    )
+
+
+def q_skyline(sf_dir: str):
+    """Pareto skyline of the doc point field (minimize x AND y): a doc
+    survives iff no other doc is <= on both axes and < on one — the
+    classic distributed skyline.  Pure comparisons on identical doubles,
+    so no rounding law is needed beyond the cosmetic 6dp.
+
+    Scale shape: each batch reduces to its local skyline (sort + running
+    min scan — only local-skyline points can survive globally); the
+    union of local skylines is small and folds with one driver scan."""
+    import ray.data as rd
+
+    def local_skyline(b: pa.Table) -> pa.Table:
+        out = b.select(["doc_id", "x", "y"])
+        if not b.num_rows:
+            return out
+        x = np.asarray(b["x"], np.float64)
+        y = np.asarray(b["y"], np.float64)
+        return out.take(pa.array(_skyline_idx(x, y)))
+
+    cand = pa.concat_tables(
+        docs_points(sf_dir)
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    did = np.asarray(cand["doc_id"], np.int64)
+    x = np.asarray(cand["x"], np.float64)
+    y = np.asarray(cand["y"], np.float64)
+    idx = _skyline_idx(x, y)
+    idx = idx[np.argsort(did[idx])]
+    rnd = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(did[idx], pa.int64()),
+                "x": pa.array(rnd(x[idx])),
+                "y": pa.array(rnd(y[idx])),
+            }
+        )
+    )
+
+
+def _skyline_idx(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of the (min, min) Pareto front: p dominated iff some q has
+    qx <= px, qy <= py with one strict.  Vectorized: sort by (x, y);
+    dominated iff min-y over strictly-smaller x is <= y, or an equal-x
+    point has strictly smaller y."""
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    miny = np.minimum.accumulate(ys)  # prefix min over (x, y) order
+    grp_start = np.concatenate([[True], xs[1:] != xs[:-1]])
+    start_idx = np.maximum.accumulate(
+        np.where(grp_start, np.arange(len(xs)), 0)
+    )
+    # min y among points with strictly smaller x = prefix min just
+    # before this x-group starts
+    prev_min = np.where(
+        start_idx > 0, miny[np.maximum(start_idx - 1, 0)], np.inf
+    )
+    # within an equal-x group ys is ascending, so the group min is its
+    # first element; a later equal-x point is dominated by it
+    gm = ys[start_idx]
+    dominated = (prev_min <= ys) | (gm < ys)
+    keep = order[~dominated]
+    return np.sort(keep)
+
+
+def _sql_skyline() -> str:
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH pts AS ({sql_points_cte()}) "
+        f"SELECT a.doc_id, ROUND(a.x * 1000000.0) / 1000000.0 AS x,"
+        f" ROUND(a.y * 1000000.0) / 1000000.0 AS y FROM pts a"
+        f" WHERE NOT EXISTS (SELECT 1 FROM pts b"
+        f" WHERE b.x <= a.x AND b.y <= a.y"
+        f" AND (b.x < a.x OR b.y < a.y))"
+        f" ORDER BY a.doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8298,6 +8448,10 @@ def queries():
         "raster_flow_accum": q_raster_flow_accum,
         "raster_cost_distance": q_raster_cost_distance,
         "raster_viewshed": q_raster_viewshed,
+        "raster_watershed": q_raster_watershed,
+        "raster_cost_path": q_raster_cost_path,
+        "zonal_majority": q_zonal_majority,
+        "skyline": q_skyline,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -8994,6 +9148,10 @@ def oracle_sql():
         "raster_flow_accum": _sql_raster_flow_accum(),
         "raster_cost_distance": _sql_raster_cost_distance(),
         "raster_viewshed": _sql_raster_viewshed(),
+        "raster_watershed": _sql_raster_watershed(),
+        "raster_cost_path": _sql_raster_cost_path(),
+        "zonal_majority": _sql_zonal_majority(),
+        "skyline": _sql_skyline(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

@@ -1356,27 +1356,17 @@ WHERE {c0} >= 0 AND {c0} + 1 < {w} AND {b0} >= 0 AND {b0} + 1 < {h}
 _D8_BY_CODE = {code: (dr, dc) for dr, dc, code in _D8}
 
 
-def flow_accumulation(
+def _flow_forest(
     raster: RasterSource,
     *,
     band: str = "elev",
     tile_size_cell: int = 128,
     concurrency=None,
 ):
-    """Upstream-cell count per pixel over the D8 flow forest: for every
-    valid pixel, how many other pixels' steepest-descent paths pass
-    through it.  An edge u -> t exists when u's D8 target t is itself a
-    valid pixel; D8 targets strictly lower ground, so the forest is
-    acyclic and accumulation is the ancestor count.
-
-    Scale shape: the D8 field is the tile+halo stencil (distributed);
-    the forest fold here is the lattice-bounded driver peel (vectorized
-    Kahn waves over one int per pixel — the hex_bfs shape).  At planet
-    rasters the same edges feed pointer-doubling reach-pair emission
-    (graph.py's pointer-jump machinery) instead of a driver array.
-    """
-    import ray.data as rd
-
+    """Gather the D8 flow FOREST — one next-pointer per valid pixel —
+    from the distributed stencil.  Returns (x, y, lin, nxt) sorted by
+    linear pixel id; nxt[i] = position of i's flow target, -1 when the
+    pixel is a pit/flat or its target is not a valid pixel."""
     d8 = d8_flow_raster(
         raster,
         band=band,
@@ -1405,7 +1395,34 @@ def flow_accumulation(
     pos = np.clip(pos, 0, len(lin) - 1)
     has = (code != 0) & (lin[pos] == tgt)
     nxt = np.where(has, pos, -1)
+    return x, y, lin, nxt
 
+
+def flow_accumulation(
+    raster: RasterSource,
+    *,
+    band: str = "elev",
+    tile_size_cell: int = 128,
+    concurrency=None,
+):
+    """Upstream-cell count per pixel over the D8 flow forest: for every
+    valid pixel, how many other pixels' steepest-descent paths pass
+    through it.  An edge u -> t exists when u's D8 target t is itself a
+    valid pixel; D8 targets strictly lower ground, so the forest is
+    acyclic and accumulation is the ancestor count.
+
+    Scale shape: the D8 field is the tile+halo stencil (distributed);
+    the forest fold here is the lattice-bounded driver peel (vectorized
+    Kahn waves over one int per pixel — the hex_bfs shape).  At planet
+    rasters the same edges feed pointer-doubling reach-pair emission
+    (graph.py's pointer-jump machinery) instead of a driver array.
+    """
+    import ray.data as rd
+
+    x, y, lin, nxt = _flow_forest(
+        raster, band=band, tile_size_cell=tile_size_cell,
+        concurrency=concurrency,
+    )
     n = len(lin)
     acc = np.zeros(n, np.int64)
     indeg = np.bincount(nxt[nxt >= 0], minlength=n)
@@ -1565,66 +1582,12 @@ def cost_distance(
     same strip reads feed distributed delta-stepping supersteps.
     Returns (x, y, cost) for every REACHED cell.
     """
-    import heapq
-
     import ray.data as rd
 
-    h, w, res = raster.height, raster.width, raster.resolution
-    strips = [
-        {"r0": r0, "nr": min(strip_rows, h - r0)}
-        for r0 in range(0, h, strip_rows)
-    ]
-
-    def read_strip(b: pa.Table) -> pa.Table:
-        parts_r, parts_c, parts_v = [], [], []
-        for r0, nr in zip(
-            np.asarray(b["r0"], np.int64), np.asarray(b["nr"], np.int64)
-        ):
-            z = raster.read_window(band, int(r0), 0, int(nr), w)
-            rr, cc = np.meshgrid(
-                np.arange(r0, r0 + nr), np.arange(w), indexing="ij"
-            )
-            parts_r.append(rr.ravel())
-            parts_c.append(cc.ravel())
-            parts_v.append(z.ravel())
-        return pa.table(
-            {
-                "ri": np.concatenate(parts_r).astype(np.int64),
-                "ci": np.concatenate(parts_c).astype(np.int64),
-                "v": np.concatenate(parts_v),
-            }
-        )
-
-    cells = rd.from_items(strips).map_batches(
-        read_strip, batch_format="pyarrow"
+    h, res = raster.height, raster.resolution
+    dist, valid, _cost = _cost_field(
+        raster, source_rc, band=band, strip_rows=strip_rows
     )
-    tbl = pa.concat_tables(cells.iter_batches(batch_format="pyarrow"))
-    ri = np.asarray(tbl["ri"], np.int64)
-    ci = np.asarray(tbl["ci"], np.int64)
-    v = np.asarray(tbl["v"], np.float64)
-    grid = np.full((h, w), np.nan)
-    grid[ri, ci] = v
-    valid = grid != NODATA
-    cost = grid + 1.0
-
-    r0, c0 = source_rc
-    if not valid[r0, c0]:
-        raise ValueError("source cell is nodata")
-    INF = np.inf
-    dist = np.full((h, w), INF)
-    dist[r0, c0] = 0.0
-    pq = [(0.0, r0, c0)]
-    while pq:
-        d, r, c = heapq.heappop(pq)
-        if d > dist[r, c]:
-            continue
-        for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
-            nr, nc = r + dr, c + dc
-            if 0 <= nr < h and 0 <= nc < w and valid[nr, nc]:
-                nd = d + cost[nr, nc]
-                if nd < dist[nr, nc]:
-                    dist[nr, nc] = nd
-                    heapq.heappush(pq, (nd, nr, nc))
     rr, cc = np.nonzero(np.isfinite(dist) & valid)
     return rd.from_arrow(
         pa.table(
@@ -1718,6 +1681,245 @@ def sql_cost_distance(
         + f" SELECT {x0!r} + ci * {res!r} AS x,"
         f" {y0!r} + ({h} - ri - 1) * {res!r} AS y, d AS cost"
         f" FROM d{k_stages}"
+    )
+
+
+def _cost_field(
+    raster: RasterSource,
+    source_rc: tuple[int, int],
+    *,
+    band: str = "pop",
+    strip_rows: int = 64,
+):
+    """Distributed row-strip read of the cost band + exact driver
+    Dijkstra.  Returns (dist, valid, cost) dense grids (see
+    :func:`cost_distance` for the law and the scale notes)."""
+    import heapq
+
+    import ray.data as rd
+
+    h, w = raster.height, raster.width
+    strips = [
+        {"r0": r0, "nr": min(strip_rows, h - r0)}
+        for r0 in range(0, h, strip_rows)
+    ]
+
+    def read_strip(b: pa.Table) -> pa.Table:
+        parts_r, parts_c, parts_v = [], [], []
+        for r0, nr in zip(
+            np.asarray(b["r0"], np.int64), np.asarray(b["nr"], np.int64)
+        ):
+            z = raster.read_window(band, int(r0), 0, int(nr), w)
+            rr, cc = np.meshgrid(
+                np.arange(r0, r0 + nr), np.arange(w), indexing="ij"
+            )
+            parts_r.append(rr.ravel())
+            parts_c.append(cc.ravel())
+            parts_v.append(z.ravel())
+        return pa.table(
+            {
+                "ri": np.concatenate(parts_r).astype(np.int64),
+                "ci": np.concatenate(parts_c).astype(np.int64),
+                "v": np.concatenate(parts_v),
+            }
+        )
+
+    cells = rd.from_items(strips).map_batches(
+        read_strip, batch_format="pyarrow"
+    )
+    tbl = pa.concat_tables(cells.iter_batches(batch_format="pyarrow"))
+    grid = np.full((h, w), np.nan)
+    grid[
+        np.asarray(tbl["ri"], np.int64), np.asarray(tbl["ci"], np.int64)
+    ] = np.asarray(tbl["v"], np.float64)
+    valid = grid != NODATA
+    cost = grid + 1.0
+
+    r0, c0 = source_rc
+    if not valid[r0, c0]:
+        raise ValueError("source cell is nodata")
+    dist = np.full((h, w), np.inf)
+    dist[r0, c0] = 0.0
+    pq = [(0.0, r0, c0)]
+    while pq:
+        d, r, c = heapq.heappop(pq)
+        if d > dist[r, c]:
+            continue
+        for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < h and 0 <= nc < w and valid[nr, nc]:
+                nd = d + cost[nr, nc]
+                if nd < dist[nr, nc]:
+                    dist[nr, nc] = nd
+                    heapq.heappush(pq, (nd, nr, nc))
+    return dist, valid, cost
+
+
+def cost_path(
+    raster: RasterSource,
+    source_rc: tuple[int, int],
+    *,
+    band: str = "pop",
+    strip_rows: int = 64,
+):
+    """Extract THE least-cost path from the source to the most expensive
+    reachable cell (ties -> largest (ri, ci)): backtrack from the target
+    along predecessors, where the predecessor of a cell is the smallest
+    (ri, ci) neighbor n with dist[n] + cost[cell] == dist[cell] — exact
+    on integer-valued doubles, so engine and oracle walk the same cells.
+    Rows (seq, x, y, cost) with seq = 0 at the target, increasing toward
+    the source."""
+    import ray.data as rd
+
+    h, w, res = raster.height, raster.width, raster.resolution
+    dist, valid, cost = _cost_field(
+        raster, source_rc, band=band, strip_rows=strip_rows
+    )
+    reach = np.isfinite(dist) & valid
+    rr, cc = np.nonzero(reach)
+    order = np.lexsort((cc, rr, dist[rr, cc]))
+    tr, tc = int(rr[order[-1]]), int(cc[order[-1]])
+
+    seq_r, seq_c = [tr], [tc]
+    cur = (tr, tc)
+    while cur != tuple(source_rc):
+        r, c = cur
+        pred = None
+        for dr, dc in ((-1, 0), (0, -1), (0, 1), (1, 0)):  # (ri, ci) order
+            nr, nc = r + dr, c + dc
+            if (
+                0 <= nr < h
+                and 0 <= nc < w
+                and reach[nr, nc]
+                and dist[nr, nc] + cost[r, c] == dist[r, c]
+            ):
+                pred = (nr, nc)
+                break
+        assert pred is not None, "broken backtrack"
+        seq_r.append(pred[0])
+        seq_c.append(pred[1])
+        cur = pred
+    sr = np.asarray(seq_r, np.int64)
+    sc = np.asarray(seq_c, np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "seq": pa.array(np.arange(len(sr)), pa.int64()),
+                "x": pa.array(raster.x_min + sc * res),
+                "y": pa.array(raster.y_min + (h - sr - 1) * res),
+                "cost": pa.array(dist[sr, sc]),
+            }
+        )
+    )
+
+
+def sql_cost_path(
+    raster: SyntheticRaster,
+    source_rc: tuple[int, int],
+    band: str = "pop",
+) -> str:
+    """Oracle: the staged Bellman field + a per-cell predecessor table
+    (QUALIFY smallest (ri, ci) exact-relaxation neighbor) + a recursive
+    backtrack walk from the argmax target."""
+    base = sql_cost_distance(raster, source_rc, band)
+    # reuse the generated stages: strip the trailing SELECT, keep the WITH
+    head, _, _tail = base.rpartition(" SELECT ")
+    h, res = raster.height, raster.resolution
+    x0, y0 = raster.x_min, raster.y_min
+    import re
+
+    k_stages = max(
+        int(m) for m in re.findall(r"\bd(\d+) AS", base)
+    )
+    return (
+        head.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f", dist AS (SELECT ri, ci, d FROM d{k_stages}), "
+        f"tgt AS (SELECT ri, ci FROM dist"
+        f" ORDER BY d DESC, ri DESC, ci DESC LIMIT 1), "
+        f"pred AS (SELECT c.ri, c.ci, n.ri AS pr, n.ci AS pc"
+        f" FROM dist c JOIN edges e ON e.tr = c.ri AND e.tc = c.ci"
+        f" JOIN dist n ON n.ri = e.fr AND n.ci = e.fc"
+        f" WHERE n.d + e.w = c.d"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY c.ri, c.ci"
+        f" ORDER BY n.ri, n.ci) = 1), "
+        f"path(seq, ri, ci) AS ("
+        f"SELECT 0, ri, ci FROM tgt"
+        f" UNION ALL"
+        f" SELECT p.seq + 1, q.pr, q.pc FROM path p"
+        f" JOIN pred q ON q.ri = p.ri AND q.ci = p.ci) "
+        f"SELECT p.seq::BIGINT AS seq,"
+        f" {x0!r} + p.ci * {res!r} AS x,"
+        f" {y0!r} + ({h} - p.ri - 1) * {res!r} AS y,"
+        f" dd.d AS cost"
+        f" FROM path p JOIN dist dd ON dd.ri = p.ri AND dd.ci = p.ci"
+    )
+
+
+def watershed_raster(
+    raster: RasterSource,
+    *,
+    band: str = "elev",
+    tile_size_cell: int = 128,
+    concurrency=None,
+):
+    """Watershed labeling over the D8 flow forest: every valid pixel is
+    labeled with the SINK its steepest-descent path terminates at (a
+    pit/flat or a pixel whose target leaves the valid set).  Rows
+    (x, y, sink_ri, sink_ci).
+
+    Scale shape: the D8 field is the tile+halo stencil; the root find is
+    pointer DOUBLING (ptr = ptr[ptr] until fixpoint, log-depth), here on
+    the gathered forest array, at planet scale as join supersteps over
+    the same (pixel, next) pair table."""
+    import ray.data as rd
+
+    x, y, lin, nxt = _flow_forest(
+        raster, band=band, tile_size_cell=tile_size_cell,
+        concurrency=concurrency,
+    )
+    n = len(lin)
+    ptr = np.where(nxt >= 0, nxt, np.arange(n))
+    while True:
+        ptr2 = ptr[ptr]
+        if np.array_equal(ptr2, ptr):
+            break
+        ptr = ptr2
+    sink = lin[ptr]
+    w = raster.width
+    return rd.from_arrow(
+        pa.table(
+            {
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "sink_ri": pa.array(sink // w, pa.int64()),
+                "sink_ci": pa.array(sink % w, pa.int64()),
+            }
+        )
+    )
+
+
+def sql_watershed(raster: BowlRaster, tile_size_cell: int = 128) -> str:
+    """Oracle: the bowl D8 twin + a recursive walk to the terminal cell
+    (the row of the closure whose current cell has no outgoing edge)."""
+    accum = sql_flow_accum(raster, tile_size_cell)
+    head, _, _tail = accum.rpartition("), reach(")
+    # rebuild from the shared px/drops/flow/dirs/edges prefix
+    prefix = head + ")"
+    return (
+        prefix
+        + """, walk(ri, ci, cr, cc) AS (
+  SELECT ri, ci, ri, ci FROM flow
+  UNION
+  SELECT w.ri, w.ci, e.tr, e.tc FROM walk w
+  JOIN edges e ON e.ri = w.cr AND e.ci = w.cc
+), sinks AS (
+  SELECT w.ri, w.ci, w.cr AS sink_ri, w.cc AS sink_ci FROM walk w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.ri = w.cr AND e.ci = w.cc)
+)
+SELECT f.x, f.y, s.sink_ri, s.sink_ci
+FROM flow f JOIN sinks s ON s.ri = f.ri AND s.ci = f.ci
+"""
     )
 
 

@@ -135,3 +135,53 @@ def test_viewshed_brute_force_rays(ray_session):
                 blocked = True
                 break
         assert vis[(rt, ct)] == (0 if blocked else 1)
+
+
+def test_watershed_sinks_are_fixpoints(ray_session):
+    from pygridmap_ray.raster import BowlRaster, watershed_raster
+
+    h = w = 32
+    out = watershed_raster(BowlRaster(height=h, width=w), tile_size_cell=16).to_pandas()
+    ci = np.rint(out["x"].to_numpy() / 1000.0).astype(int)
+    ri = (h - 1 - np.rint(out["y"].to_numpy() / 1000.0)).astype(int)
+    lab = dict(zip(zip(ri, ci), zip(out["sink_ri"], out["sink_ci"])))
+    # every sink labels itself, and every label is a valid pixel
+    for cell, sink in lab.items():
+        sink = (int(sink[0]), int(sink[1]))
+        assert sink in lab
+        assert lab[sink] == sink
+
+
+def test_cost_path_is_contiguous_and_monotone(ray_session):
+    from pygridmap_ray.raster import SyntheticRaster, cost_path
+
+    out = cost_path(SyntheticRaster(height=28, width=28), (14, 14)).to_pandas()
+    out = out.sort_values("seq", ignore_index=True)
+    assert out["cost"].iloc[-1] == 0.0  # path ends at the source
+    dx = np.abs(np.diff(out["x"].to_numpy()))
+    dy = np.abs(np.diff(out["y"].to_numpy()))
+    assert ((dx + dy) == 1000.0).all()  # 4-neighbor steps
+    assert (np.diff(out["cost"].to_numpy()) < 0).all()  # strictly cheaper
+
+
+def test_skyline_matches_brute_force():
+    from pygridmap_ray.pipelines.queries import _skyline_idx
+
+    rng = np.random.default_rng(9)
+    for _ in range(80):
+        n = int(rng.integers(2, 60))
+        # small integer lattice -> plenty of duplicates and ties
+        x = rng.integers(0, 8, n).astype(np.float64)
+        y = rng.integers(0, 8, n).astype(np.float64)
+        got = sorted(_skyline_idx(x, y).tolist())
+        exp = [
+            a
+            for a in range(n)
+            if not any(
+                x[b] <= x[a]
+                and y[b] <= y[a]
+                and (x[b] < x[a] or y[b] < y[a])
+                for b in range(n)
+            )
+        ]
+        assert got == exp
