@@ -8410,6 +8410,207 @@ def _sql_skyline() -> str:
 
 
 # ---------------------------------------------------------------------------
+# trajectory DP similarity: discrete Frechet + DTW
+# ---------------------------------------------------------------------------
+
+TRAJ_L = 12  # DP prefix: first L events per user in (ts, event_id) order
+
+
+def _traj_dp(sf_dir: str, kind: str, num_buckets: int = 64):
+    """Shared DP engine for discrete Frechet / DTW of each user's first
+    TRAJ_L telemetry points against the 8-vertex HAUS_REF polyline.
+
+    The recurrence (frechet: F = max(d, min of three predecessors);
+    dtw: F = d + min of three) is a pure function of identical doubles,
+    so engine and oracle agree bit-for-bit in ANY evaluation order — the
+    oracle stages it by anti-diagonal, the engine scans cells directly.
+
+    Scale shape: one user-hash coarse-bucket shuffle; inside a bucket the
+    DP runs as L x 8 vectorized steps across ALL the bucket's users at
+    once (no per-user Python dispatch)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+
+    rx = np.array([p[0] for p in HAUS_REF])
+    ry = np.array([p[1] for p in HAUS_REF])
+    m = len(HAUS_REF)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        order = np.lexsort((eid, us, uid))
+        uid, x, y = uid[order], x[order], y[order]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gidx = np.cumsum(first) - 1
+        seq = np.arange(len(uid)) - np.flatnonzero(first)[gidx]
+        keep = seq < TRAJ_L
+        uid, x, y, gidx, seq = (
+            uid[keep], x[keep], y[keep], gidx[keep], seq[keep]
+        )
+        users = uid[np.concatenate([[True], uid[1:] != uid[:-1]])]
+        nu = len(users)
+        lens = np.bincount(gidx, minlength=nu)
+        # (nu, L) padded coordinate grids
+        gx = np.full((nu, TRAJ_L), np.nan)
+        gy = np.full((nu, TRAJ_L), np.nan)
+        gx[gidx, seq] = x
+        gy[gidx, seq] = y
+        d = np.sqrt(
+            (gx[:, :, None] - rx[None, None, :])
+            * (gx[:, :, None] - rx[None, None, :])
+            + (gy[:, :, None] - ry[None, None, :])
+            * (gy[:, :, None] - ry[None, None, :])
+        )
+        F = np.full((nu, TRAJ_L, m), np.inf)
+        for i in range(TRAJ_L):
+            for j in range(m):
+                dij = d[:, i, j]
+                if i == 0 and j == 0:
+                    F[:, 0, 0] = dij
+                    continue
+                if i == 0:
+                    prev = F[:, 0, j - 1]
+                elif j == 0:
+                    prev = F[:, i - 1, 0]
+                else:
+                    prev = np.minimum(
+                        np.minimum(F[:, i - 1, j], F[:, i, j - 1]),
+                        F[:, i - 1, j - 1],
+                    )
+                if kind == "frechet":
+                    F[:, i, j] = np.maximum(dij, prev)
+                else:
+                    F[:, i, j] = dij + prev
+        out = F[np.arange(nu), lens - 1, m - 1]
+        rnd = np.sign(out) * np.floor(np.abs(out) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {"user_id": users, "n_pts": lens.astype(np.int64), "dist": rnd}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+def q_traj_frechet(sf_dir: str):
+    """Discrete Frechet distance (max-of-min-leash DP) from each user's
+    trajectory prefix to the reference polyline — see `_traj_dp`."""
+    return _traj_dp(sf_dir, "frechet")
+
+
+def q_traj_dtw(sf_dir: str):
+    """Dynamic-time-warping distance (sum-of-matched-steps DP) from each
+    user's trajectory prefix to the reference polyline — see
+    `_traj_dp`."""
+    return _traj_dp(sf_dir, "dtw")
+
+
+def _sql_traj_dp(kind: str) -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    m = len(HAUS_REF)
+    refs = ", ".join(
+        f"({j + 1}, {x!r}, {y!r})" for j, (x, y) in enumerate(HAUS_REF)
+    )
+    if kind == "frechet":
+        cell = {
+            "i1": "GREATEST(d.d, pl.f)",
+            "j1": "GREATEST(d.d, pu.f)",
+            "mid": "GREATEST(d.d, LEAST(pu.f, pl.f, pd.f))",
+        }
+    else:
+        cell = {
+            "i1": "(d.d + pl.f)",
+            "j1": "(d.d + pu.f)",
+            "mid": "(d.d + LEAST(pu.f, pl.f, pd.f))",
+        }
+    parts = [
+        (
+            f"pts AS (SELECT user_id,"
+            f" ROW_NUMBER() OVER (PARTITION BY user_id"
+            f" ORDER BY ts, event_id) AS i,"
+            f" {ex} AS x, {ey} AS y FROM events"
+            f" QUALIFY i <= {TRAJ_L})"
+        ),
+        f"ref(j, rx, ry) AS (VALUES {refs})",
+        (
+            "dm AS MATERIALIZED (SELECT p.user_id, p.i, r.j,"
+            " sqrt((p.x - r.rx) * (p.x - r.rx)"
+            " + (p.y - r.ry) * (p.y - r.ry)) AS d"
+            " FROM pts p CROSS JOIN ref r)"
+        ),
+        "f2 AS MATERIALIZED (SELECT user_id, i, j, d AS f FROM dm"
+        " WHERE i = 1 AND j = 1)",
+    ]
+    for k in range(3, TRAJ_L + m + 1):
+        joins = (
+            f" LEFT JOIN f{k - 1} pu ON pu.user_id = d.user_id"
+            f" AND pu.i = d.i - 1 AND pu.j = d.j"
+            f" LEFT JOIN f{k - 1} pl ON pl.user_id = d.user_id"
+            f" AND pl.i = d.i AND pl.j = d.j - 1"
+        )
+        if k >= 4:
+            joins += (
+                f" LEFT JOIN f{k - 2} pd ON pd.user_id = d.user_id"
+                f" AND pd.i = d.i - 1 AND pd.j = d.j - 1"
+            )
+            mid = cell["mid"]
+        else:
+            mid = "NULL"  # k = 3 has no (i>1, j>1) cells
+        parts.append(
+            f"f{k} AS MATERIALIZED (SELECT d.user_id, d.i, d.j,"
+            f" CASE WHEN d.i = 1 THEN {cell['i1']}"
+            f" WHEN d.j = 1 THEN {cell['j1']}"
+            f" ELSE {mid} END AS f"
+            f" FROM dm d{joins}"
+            f" WHERE d.i + d.j = {k})"
+        )
+    alls = " UNION ALL ".join(
+        f"SELECT * FROM f{k}" for k in range(2, TRAJ_L + m + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f", fall AS ({alls}) "
+        f"SELECT user_id, i::BIGINT AS n_pts,"
+        f" ROUND(f * 1000000.0) / 1000000.0 AS dist FROM fall"
+        f" WHERE j = {m}"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id"
+        f" ORDER BY i DESC) = 1"
+        f" ORDER BY user_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -8452,6 +8653,8 @@ def queries():
         "raster_cost_path": q_raster_cost_path,
         "zonal_majority": q_zonal_majority,
         "skyline": q_skyline,
+        "traj_frechet": q_traj_frechet,
+        "traj_dtw": q_traj_dtw,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -9152,6 +9355,8 @@ def oracle_sql():
         "raster_cost_path": _sql_raster_cost_path(),
         "zonal_majority": _sql_zonal_majority(),
         "skyline": _sql_skyline(),
+        "traj_frechet": _sql_traj_dp("frechet"),
+        "traj_dtw": _sql_traj_dp("dtw"),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

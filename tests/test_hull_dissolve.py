@@ -157,3 +157,50 @@ def test_geometric_median_beats_centroid(ray_session):
         d_cen = np.hypot(xs - xs.mean(), ys - ys.mean()).sum()
         assert d_med <= d_cen + 1e-6
         assert int(row.n) == len(xs)
+
+
+def test_traj_dp_small_cases(ray_session):
+    # DP law pinned on hand-checked 1- and 2-point trajectories
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.queries import (
+        HAUS_REF, TRAJ_L, q_traj_frechet, q_traj_dtw,
+    )
+    from pygridmap_ray.synth import derive_xy
+
+    fre = q_traj_frechet("/root/testdata/sf0.001").to_pandas()
+    dtw = q_traj_dtw("/root/testdata/sf0.001").to_pandas()
+    assert (fre["n_pts"] <= TRAJ_L).all()
+    assert set(fre["user_id"]) == set(dtw["user_id"])
+    # frechet <= dtw always (max-of-path vs sum-of-path over >= 1 step)
+    j = fre.merge(dtw, on="user_id", suffixes=("_f", "_d"))
+    assert (j["dist_f"] <= j["dist_d"] + 1e-9).all()
+    # brute-force one user end-to-end
+    t = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "event_id", "ts"],
+    ).to_pandas()
+    u = int(fre["user_id"].iloc[0])
+    g = t[t["user_id"] == u].sort_values(["ts", "event_id"]).head(TRAJ_L)
+    x, y = derive_xy(g["event_id"].to_numpy(np.int64))
+    rx = np.array([p[0] for p in HAUS_REF])
+    ry = np.array([p[1] for p in HAUS_REF])
+    d = np.sqrt((x[:, None] - rx) ** 2 + (y[:, None] - ry) ** 2)
+    n, m = d.shape
+    F = np.full((n, m), np.inf)
+    for i in range(n):
+        for j2 in range(m):
+            if i == 0 and j2 == 0:
+                F[0, 0] = d[0, 0]
+            elif i == 0:
+                F[0, j2] = max(d[0, j2], F[0, j2 - 1])
+            elif j2 == 0:
+                F[i, 0] = max(d[i, 0], F[i - 1, 0])
+            else:
+                F[i, j2] = max(
+                    d[i, j2],
+                    min(F[i - 1, j2], F[i, j2 - 1], F[i - 1, j2 - 1]),
+                )
+    expect = np.floor(abs(F[n - 1, m - 1]) * 1e6 + 0.5) / 1e6
+    got = float(fre[fre["user_id"] == u]["dist"].iloc[0])
+    assert got == expect
