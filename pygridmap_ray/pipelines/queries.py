@@ -8611,6 +8611,162 @@ def _sql_traj_dp(kind: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Hilbert curve / cost allocation / cost bands
+# ---------------------------------------------------------------------------
+
+HILBERT_P = 8  # curve order: 256 x 256 cells over the domain
+COST_SRCS = ((14, 14), (5, 22), (22, 4))  # all valid under the pop law
+
+
+def _hilbert_d(ix: np.ndarray, iy: np.ndarray, p: int = HILBERT_P):
+    """Vectorized xy -> Hilbert distance (the classic reflect+swap walk,
+    all-integer — exact on both sides; the oracle runs the same loop as
+    generated CTE stages)."""
+    ix = ix.astype(np.int64).copy()
+    iy = iy.astype(np.int64).copy()
+    d = np.zeros(len(ix), np.int64)
+    s = 1 << (p - 1)
+    while s > 0:
+        rx = ((ix & s) > 0).astype(np.int64)
+        ry = ((iy & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # reflect, then swap
+        refl = (ry == 0) & (rx == 1)
+        ix2 = np.where(refl, s - 1 - ix, ix)
+        iy2 = np.where(refl, s - 1 - iy, iy)
+        swap = ry == 0
+        ix, iy = (
+            np.where(swap, iy2, ix2),
+            np.where(swap, ix2, iy2),
+        )
+        s >>= 1
+    return d
+
+
+def q_hilbert_assign(sf_dir: str):
+    """Hilbert-curve cell index per doc (order-8 curve over the domain):
+    the locality-preserving sibling of the Morton/geohash/S2 encoders —
+    one stateless vectorized pass; all arithmetic integer-exact."""
+    import ray.data as rd
+
+    cw = 500_000.0 / 256.0
+    ch = 501_000.0 / 256.0
+
+    def enc(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["x"], np.float64)
+        y = np.asarray(b["y"], np.float64)
+        ix = np.floor(x / cw).astype(np.int64)
+        iy = np.floor(y / ch).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "hx": pa.array(ix),
+                "hy": pa.array(iy),
+                "hilbert": pa.array(_hilbert_d(ix, iy)),
+            }
+        )
+
+    return docs_points(sf_dir).map_batches(enc, batch_format="pyarrow")
+
+
+def _sql_hilbert_assign() -> str:
+    from ..synth import sql_points_cte
+
+    cw = 500_000.0 / 256.0
+    ch = 501_000.0 / 256.0
+    parts = [
+        f"pts AS ({sql_points_cte()})",
+        (
+            f"h0 AS (SELECT doc_id,"
+            f" CAST(FLOOR(x / {cw!r}) AS BIGINT) AS hx,"
+            f" CAST(FLOOR(y / {ch!r}) AS BIGINT) AS hy,"
+            f" CAST(FLOOR(x / {cw!r}) AS BIGINT) AS ix,"
+            f" CAST(FLOOR(y / {ch!r}) AS BIGINT) AS iy,"
+            f" 0::BIGINT AS d FROM pts)"
+        ),
+    ]
+    k = 0
+    s = 1 << (HILBERT_P - 1)
+    while s > 0:
+        k += 1
+        rx = f"(CASE WHEN (ix & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (iy & {s}) > 0 THEN 1 ELSE 0 END)"
+        quad = f"xor(3 * {rx}, {ry})"
+        refl = f"({ry} = 0 AND {rx} = 1)"
+        ix2 = f"(CASE WHEN {refl} THEN {s - 1} - ix ELSE ix END)"
+        iy2 = f"(CASE WHEN {refl} THEN {s - 1} - iy ELSE iy END)"
+        parts.append(
+            f"h{k} AS (SELECT doc_id, hx, hy,"
+            f" CASE WHEN {ry} = 0 THEN {iy2} ELSE {ix2} END AS ix,"
+            f" CASE WHEN {ry} = 0 THEN {ix2} ELSE {iy2} END AS iy,"
+            f" d + {s * s} * {quad} AS d FROM h{k - 1})"
+        )
+        s >>= 1
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT doc_id, hx, hy, d AS hilbert FROM h{k}"
+    )
+
+
+def q_raster_cost_allocation(sf_dir: str):
+    """Cost allocation (network Voronoi over the cost surface): every
+    reached cell labeled with its cheapest source (tie -> smallest
+    source index); three independent cost fields + one exact argmin."""
+    from ..raster import SyntheticRaster, cost_allocation
+
+    return cost_allocation(SyntheticRaster(**_COST_KW), COST_SRCS)
+
+
+def _sql_raster_cost_allocation():
+    from ..raster import SyntheticRaster, sql_cost_allocation
+
+    return sql_cost_allocation(SyntheticRaster(**_COST_KW), COST_SRCS)
+
+
+def q_raster_cost_bands(sf_dir: str):
+    """Isochrone-style cost bands: the single-source cost-distance field
+    classified into 500-wide bands, one row per band with its cell count
+    — the reduce on top of q_raster_cost_distance."""
+    import ray.data as rd
+
+    ds = q_raster_cost_distance(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        band = np.floor(
+            np.asarray(b["cost"], np.float64) / 500.0
+        ).astype(np.int64)
+        u, c = np.unique(band, return_counts=True)
+        return pa.table(
+            {"band": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .sum("n")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": b["band"],
+                "n_cells": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_raster_cost_bands():
+    return (
+        f"WITH cd AS ({_sql_raster_cost_distance()}) "
+        f"SELECT CAST(FLOOR(cost / 500.0) AS BIGINT) AS band,"
+        f" COUNT(*)::BIGINT AS n_cells FROM cd GROUP BY band"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -8655,6 +8811,9 @@ def queries():
         "skyline": q_skyline,
         "traj_frechet": q_traj_frechet,
         "traj_dtw": q_traj_dtw,
+        "hilbert_assign": q_hilbert_assign,
+        "raster_cost_allocation": q_raster_cost_allocation,
+        "raster_cost_bands": q_raster_cost_bands,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -9357,6 +9516,9 @@ def oracle_sql():
         "skyline": _sql_skyline(),
         "traj_frechet": _sql_traj_dp("frechet"),
         "traj_dtw": _sql_traj_dp("dtw"),
+        "hilbert_assign": _sql_hilbert_assign(),
+        "raster_cost_allocation": _sql_raster_cost_allocation(),
+        "raster_cost_bands": _sql_raster_cost_bands(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

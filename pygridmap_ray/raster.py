@@ -2101,3 +2101,124 @@ SELECT {x0!r} + t.ci * {res!r} AS x,
        CASE WHEN b.ri IS NULL THEN 1 ELSE 0 END::BIGINT AS vis
 FROM t LEFT JOIN blocked b ON b.ri = t.ri AND b.ci = t.ci
 """
+
+
+def cost_allocation(
+    raster: RasterSource,
+    sources: tuple[tuple[int, int], ...],
+    *,
+    band: str = "pop",
+    strip_rows: int = 64,
+):
+    """Cost allocation (network-Voronoi over a cost surface): every
+    reached cell is labeled with the source it is cheapest to reach
+    (tie -> smallest source index).  Distances are integer-valued
+    doubles, so the argmin is exact.  Rows (x, y, src, cost).
+
+    Scale shape: one strip-read + driver Dijkstra per source (the
+    fields are independent — at scale they run as parallel jobs), then
+    a vectorized argmin."""
+    import ray.data as rd
+
+    h, res = raster.height, raster.resolution
+    fields = [
+        _cost_field(raster, s, band=band, strip_rows=strip_rows)[0]
+        for s in sources
+    ]
+    dist = np.stack(fields)  # (ns, h, w)
+    best = np.argmin(dist, axis=0)  # first min = smallest src index
+    dmin = np.take_along_axis(dist, best[None], 0)[0]
+    reach = np.isfinite(dmin)
+    rr, cc = np.nonzero(reach)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "x": pa.array(raster.x_min + cc * res),
+                "y": pa.array(raster.y_min + (h - rr - 1) * res),
+                "src": pa.array(best[rr, cc].astype(np.int64)),
+                "cost": pa.array(dmin[rr, cc]),
+            }
+        )
+    )
+
+
+def sql_cost_allocation(
+    raster: SyntheticRaster,
+    sources: tuple[tuple[int, int], ...],
+    band: str = "pop",
+) -> str:
+    """Oracle: one staged Bellman field carrying a src column (GROUP BY
+    cell+src), stages generated to the max per-source fixpoint depth,
+    then a QUALIFY argmin per cell with the smallest-src tie law."""
+    h, w = raster.height, raster.width
+    p1, p2 = _BAND_P1[band], _BAND_P2[band]
+    pct = _BAND_NODATA_PCT[band]
+    res, x0, y0 = raster.resolution, raster.x_min, raster.y_min
+
+    val = (np.arange(h)[:, None] * p1 + np.arange(w)[None, :] * p2) % 1000
+    nod = (
+        np.arange(h)[:, None] * 7919 + np.arange(w)[None, :] * 104729
+    ) % 100 < pct
+    valid = ~nod
+    cost = val.astype(np.float64) + 1.0
+    INF = np.inf
+
+    def depth(r0, c0):
+        dist = np.full((h, w), INF)
+        dist[r0, c0] = 0.0
+        k = 0
+        while True:
+            nd = dist.copy()
+            for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+                shifted = np.full((h, w), INF)
+                shifted[
+                    max(0, dr) : h - max(0, -dr), max(0, dc) : w - max(0, -dc)
+                ] = dist[
+                    max(0, -dr) : h - max(0, dr), max(0, -dc) : w - max(0, dc)
+                ]
+                nd = np.minimum(nd, np.where(valid, shifted + cost, INF))
+            nd[~valid] = INF
+            k += 1
+            if np.all((nd == dist) | (np.isinf(nd) & np.isinf(dist))):
+                return k
+            dist = nd
+
+    k_stages = max(depth(r0, c0) for r0, c0 in sources)
+    zc = f"(((r.i) * {p1} + (c.i) * {p2}) % 1000)::DOUBLE"
+    okc = f"(((r.i) * 7919 + (c.i) * 104729) % 100) >= {pct}"
+    seeds = ", ".join(
+        f"({r0}, {c0}, {s}, 0.0)" for s, (r0, c0) in enumerate(sources)
+    )
+    parts = [
+        (
+            f"cells AS (SELECT r.i AS ri, c.i AS ci, {zc} + 1.0 AS w"
+            f" FROM (SELECT UNNEST(generate_series(0, {h - 1})) AS i) r,"
+            f" (SELECT UNNEST(generate_series(0, {w - 1})) AS i) c"
+            f" WHERE {okc})"
+        ),
+        (
+            "edges AS (SELECT a.ri AS fr, a.ci AS fc, b.ri AS tr,"
+            " b.ci AS tc, b.w FROM cells a JOIN cells b"
+            " ON (abs(a.ri - b.ri) + abs(a.ci - b.ci)) = 1)"
+        ),
+        f"d0(ri, ci, src, d) AS (VALUES {seeds})",
+    ]
+    for k in range(1, k_stages + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT ri, ci, src, MIN(d) AS d FROM ("
+            f"SELECT ri, ci, src, d FROM d{k - 1}"
+            f" UNION ALL"
+            f" SELECT e.tr AS ri, e.tc AS ci, p.src, p.d + e.w AS d"
+            f" FROM d{k - 1} p JOIN edges e ON e.fr = p.ri AND e.fc = p.ci"
+            f") GROUP BY ri, ci, src)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT {x0!r} + ci * {res!r} AS x,"
+        f" {y0!r} + ({h} - ri - 1) * {res!r} AS y,"
+        f" src::BIGINT AS src, d AS cost"
+        f" FROM d{k_stages}"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY ri, ci"
+        f" ORDER BY d, src) = 1"
+    )

@@ -204,3 +204,43 @@ def test_traj_dp_small_cases(ray_session):
     expect = np.floor(abs(F[n - 1, m - 1]) * 1e6 + 0.5) / 1e6
     got = float(fre[fre["user_id"] == u]["dist"].iloc[0])
     assert got == expect
+
+
+def test_hilbert_is_a_space_filling_curve():
+    from pygridmap_ray.pipelines.queries import _hilbert_d
+
+    # bijection on the full 64x64 grid (order 6), and consecutive curve
+    # positions are 4-neighbor adjacent (the defining Hilbert property)
+    p = 6
+    n = 1 << p
+    ix, iy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = _hilbert_d(ix.ravel(), iy.ravel(), p)
+    assert sorted(d.tolist()) == list(range(n * n))
+    order = np.argsort(d)
+    sx, sy = ix.ravel()[order], iy.ravel()[order]
+    step = np.abs(np.diff(sx)) + np.abs(np.diff(sy))
+    assert (step == 1).all()
+
+
+def test_cost_allocation_partitions_reached_cells(ray_session):
+    from pygridmap_ray.pipelines.queries import (
+        COST_SRCS, _COST_KW, q_raster_cost_allocation,
+    )
+    from pygridmap_ray.raster import SyntheticRaster, cost_distance
+
+    alloc = q_raster_cost_allocation("/root/testdata/sf0.001").to_pandas()
+    assert set(alloc["src"].unique()) <= {0, 1, 2}
+    # each cell's allocated cost equals the min of the per-source fields
+    per_src = [
+        cost_distance(SyntheticRaster(**_COST_KW), s).to_pandas()
+        for s in COST_SRCS
+    ]
+    key = lambda df: {(x, y): c for x, y, c in
+                      zip(df["x"], df["y"], df["cost"])}
+    maps = [key(d) for d in per_src]
+    for x, y, src, cost in zip(
+        alloc["x"], alloc["y"], alloc["src"], alloc["cost"]
+    ):
+        best = min(m.get((x, y), np.inf) for m in maps)
+        assert cost == best
+        assert maps[int(src)].get((x, y)) == best
