@@ -8767,6 +8767,281 @@ def _sql_raster_cost_bands():
 
 
 # ---------------------------------------------------------------------------
+# spatial-statistics wave: Theil-Sen, Huff, dissimilarity, Zipf
+# ---------------------------------------------------------------------------
+
+
+def q_hex_theil_sen(sf_dir: str):
+    """Theil-Sen robust trend slope per hex (median of pairwise weekly
+    slopes) — the robust companion of hex_mann_kendall; see
+    relational.events_hex_theil_sen for the DuckDB-exact median law."""
+    from .relational import events_hex_theil_sen
+
+    return events_hex_theil_sen(sf_dir, hex_size=HEX_SIZE)
+
+
+def _sql_hex_theil_sen() -> str:
+    from .relational import sql_events_hex_theil_sen
+
+    return sql_events_hex_theil_sen(hex_size=HEX_SIZE)
+
+
+def q_huff_shares(sf_dir: str):
+    """Huff gravity market shares: every doc splits its demand over the
+    hub table with probability proportional to S_j / d_ij^2 (haversine
+    km, attractiveness S_j = (hub_id * 37) % 11 + 1); per hub the
+    expected captured demand and the count of docs whose TOP share it is
+    (tie -> smallest hub).
+
+    Scale shape: the broadcast hub matrix + one stateless vectorized
+    pass emitting per-hub partials; a tiny hash fold."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..geodesic import HUBS, haversine_km
+
+    hub_id = np.array([h[0] for h in HUBS], dtype=np.int64)
+    hub_lon = np.array([h[1] for h in HUBS], dtype=np.float64)
+    hub_lat = np.array([h[2] for h in HUBS], dtype=np.float64)
+    s = ((hub_id * 37) % 11 + 1).astype(np.float64)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lon, lat = derive_lonlat(np.asarray(b["doc_id"]))
+        d = haversine_km(
+            lon[:, None], lat[:, None], hub_lon[None, :], hub_lat[None, :]
+        )
+        g = np.maximum(d, 1e-6)
+        w = s[None, :] / (g * g)
+        p = w / w.sum(axis=1, keepdims=True)
+        top = np.argmax(w, axis=1)  # first max = smallest hub id
+        return pa.table(
+            {
+                "hub_id": pa.array(hub_id),
+                "exp_p": pa.array(p.sum(axis=0)),
+                "n_top": pa.array(
+                    np.bincount(top, minlength=len(hub_id)).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hub_id")
+        .aggregate(
+            Sum("exp_p", alias_name="expected"),
+            Sum("n_top", alias_name="n_top"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        e = np.asarray(b["expected"], np.float64)
+        e = np.sign(e) * np.floor(np.abs(e) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "hub_id": b["hub_id"],
+                "expected": pa.array(e),
+                "n_top": pc.cast(b["n_top"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_huff_shares() -> str:
+    from ..geodesic import HUBS, sql_haversine_expr, sql_hubs_cte
+    from ..synth import sql_lonlat_cte
+
+    sv = ", ".join(
+        f"({h[0]}, {float((h[0] * 37) % 11 + 1)!r})" for h in HUBS
+    )
+    hav = sql_haversine_expr("lon", "lat", "hlon", "hlat")
+    g = "GREATEST(dist, 1e-6)"
+    return (
+        f"WITH ll AS ({sql_lonlat_cte()}), {sql_hubs_cte()}, "
+        f"sv(hub_id, s) AS (VALUES {sv}), "
+        f"d AS (SELECT ll.doc_id, h.hub_id, sv.s, {hav} AS dist"
+        f" FROM ll CROSS JOIN hubs h JOIN sv ON sv.hub_id = h.hub_id), "
+        f"w AS (SELECT doc_id, hub_id, s / ({g} * {g}) AS w FROM d), "
+        f"p AS (SELECT doc_id, hub_id,"
+        f" w / SUM(w) OVER (PARTITION BY doc_id) AS p,"
+        f" ROW_NUMBER() OVER (PARTITION BY doc_id"
+        f" ORDER BY w DESC, hub_id) AS rn FROM w) "
+        f"SELECT hub_id, ROUND(SUM(p) * 1e6) / 1e6 AS expected,"
+        f" SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_top"
+        f" FROM p GROUP BY hub_id"
+    )
+
+
+DISS_CELL = 10_000.0  # 10 km dissimilarity / zipf cells
+
+
+def _cell_counts(sf_dir: str, split_lang: str | None = None):
+    """(cell -> count) partial plan over 10-km cells; with split_lang,
+    (cell -> (a, b)) where a counts that language."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cols = ["doc_id"] + (["lang"] if split_lang else [])
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x, y = derive_xy(np.asarray(b["doc_id"], np.int64))
+        ix = np.floor(x / DISS_CELL).astype(np.int64)
+        iy = np.floor(y / DISS_CELL).astype(np.int64)
+        key = ix * 1000 + iy
+        if split_lang is None:
+            u, c = np.unique(key, return_counts=True)
+            return pa.table(
+                {"cell": pa.array(u), "n": pa.array(c.astype(np.int64))}
+            )
+        isa = (
+            np.asarray(b["lang"], dtype=object) == split_lang
+        ).astype(np.int64)
+        u, inv = np.unique(key, return_inverse=True)
+        a = np.bincount(inv, weights=isa, minlength=len(u)).astype(np.int64)
+        t = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(u),
+                "a": pa.array(a),
+                "b": pa.array(t - a),
+            }
+        )
+
+    if split_lang is None:
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cell")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+    )
+
+
+def q_dissimilarity_index(sf_dir: str):
+    """Duncan dissimilarity index of segregation between 'en' docs and
+    all others over 10-km cells: D = 0.5 * sum_c |a_c/A - b_c/B| — one
+    row (n_cells, a_total, b_total, d_index 6dp).
+
+    Scale shape: per-batch composite (cell, a, b) combiners -> hash
+    aggregate -> the driver folds one pair of ints per OCCUPIED cell."""
+    import ray.data as rd
+
+    tbl = pa.concat_tables(
+        _cell_counts(sf_dir, split_lang="en").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    a = np.asarray(tbl["a"], np.int64)
+    b = np.asarray(tbl["b"], np.int64)
+    A = float(a.sum())
+    B = float(b.sum())
+    d = 0.5 * np.abs(a / A - b / B).sum()
+    d = float(np.sign(d) * np.floor(np.abs(d) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([len(a)], pa.int64()),
+                "a_total": pa.array([int(A)], pa.int64()),
+                "b_total": pa.array([int(B)], pa.int64()),
+                "d_index": pa.array([d]),
+            }
+        )
+    )
+
+
+def _sql_dissimilarity_index() -> str:
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH pts AS (SELECT p.doc_id, p.x, p.y, d.lang FROM"
+        f" ({sql_points_cte()}) p JOIN documents d USING (doc_id)), "
+        f"cells AS (SELECT CAST(FLOOR(x / {DISS_CELL!r}) AS BIGINT) * 1000"
+        f" + CAST(FLOOR(y / {DISS_CELL!r}) AS BIGINT) AS cell,"
+        f" SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS a,"
+        f" SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS b"
+        f" FROM pts GROUP BY cell), "
+        f"tot AS (SELECT SUM(a)::DOUBLE AS ta, SUM(b)::DOUBLE AS tb,"
+        f" COUNT(*)::BIGINT AS k FROM cells) "
+        f"SELECT t.k AS n_cells, CAST(t.ta AS BIGINT) AS a_total,"
+        f" CAST(t.tb AS BIGINT) AS b_total,"
+        f" ROUND((0.5 * SUM(ABS(c.a / t.ta - c.b / t.tb))) * 1e6) / 1e6"
+        f" AS d_index"
+        f" FROM cells c CROSS JOIN tot t GROUP BY t.k, t.ta, t.tb"
+    )
+
+
+def q_zipf_fit(sf_dir: str):
+    """Rank-size (Zipf) fit of the 10-km cell densities: OLS of ln(n)
+    on ln(rank) with rank by (n DESC, cell) — one row (n_cells, slope,
+    intercept, r2), 6dp.  A slope near -1 is the classic Zipf signature.
+
+    Scale shape: the cell rollup is tiny; rank + six-scalar moments on
+    the driver (the od_gravity closed-form fit shape)."""
+    import ray.data as rd
+
+    tbl = pa.concat_tables(
+        _cell_counts(sf_dir).iter_batches(batch_format="pyarrow")
+    )
+    cell = np.asarray(tbl["cell"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    order = np.lexsort((cell, -n))
+    n = n[order]
+    k = len(n)
+    rank = np.arange(1, k + 1, dtype=np.float64)
+    X = np.log(rank)
+    Y = np.log(n.astype(np.float64))
+    sx, sy = X.sum(), Y.sum()
+    sxx, sxy, syy = (X * X).sum(), (X * Y).sum(), (Y * Y).sum()
+    kk = float(k)
+    slope = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    intercept = (sy - slope * sx) / kk
+    r2num = (kk * sxy - sx * sy) * (kk * sxy - sx * sy)
+    r2den = (kk * sxx - sx * sx) * (kk * syy - sy * sy)
+    r2 = r2num / r2den
+    rnd = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([k], pa.int64()),
+                "slope": pa.array([rnd(slope)]),
+                "intercept": pa.array([rnd(intercept)]),
+                "r2": pa.array([rnd(r2)]),
+            }
+        )
+    )
+
+
+def _sql_zipf_fit() -> str:
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH pts AS ({sql_points_cte()}), "
+        f"cells AS (SELECT CAST(FLOOR(x / {DISS_CELL!r}) AS BIGINT) * 1000"
+        f" + CAST(FLOOR(y / {DISS_CELL!r}) AS BIGINT) AS cell,"
+        f" COUNT(*)::BIGINT AS n FROM pts GROUP BY cell), "
+        f"ranked AS (SELECT ln(ROW_NUMBER() OVER (ORDER BY n DESC, cell)"
+        f"::DOUBLE) AS lx, ln(n::DOUBLE) AS ly FROM cells), "
+        f"s AS (SELECT COUNT(*)::DOUBLE AS k, SUM(lx) AS sx, SUM(ly) AS sy,"
+        f" SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy, SUM(ly * ly) AS syy"
+        f" FROM ranked) "
+        f"SELECT CAST(k AS BIGINT) AS n_cells,"
+        f" ROUND(((k * sxy - sx * sy) / (k * sxx - sx * sx)) * 1e6) / 1e6"
+        f" AS slope,"
+        f" ROUND(((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)"
+        f" / k) * 1e6) / 1e6 AS intercept,"
+        f" ROUND((((k * sxy - sx * sy) * (k * sxy - sx * sy))"
+        f" / ((k * sxx - sx * sx) * (k * syy - sy * sy))) * 1e6) / 1e6"
+        f" AS r2 FROM s"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -8814,6 +9089,10 @@ def queries():
         "hilbert_assign": q_hilbert_assign,
         "raster_cost_allocation": q_raster_cost_allocation,
         "raster_cost_bands": q_raster_cost_bands,
+        "hex_theil_sen": q_hex_theil_sen,
+        "huff_shares": q_huff_shares,
+        "dissimilarity_index": q_dissimilarity_index,
+        "zipf_fit": q_zipf_fit,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -9519,6 +9798,10 @@ def oracle_sql():
         "hilbert_assign": _sql_hilbert_assign(),
         "raster_cost_allocation": _sql_raster_cost_allocation(),
         "raster_cost_bands": _sql_raster_cost_bands(),
+        "hex_theil_sen": _sql_hex_theil_sen(),
+        "huff_shares": _sql_huff_shares(),
+        "dissimilarity_index": _sql_dissimilarity_index(),
+        "zipf_fit": _sql_zipf_fit(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),

@@ -2570,3 +2570,155 @@ SELECT user_id, COUNT(*)::BIGINT AS n_steps,
          AS mean_speed
 FROM sp GROUP BY user_id
 """
+
+
+def events_hex_theil_sen(
+    sf_dir: str, *, hex_size: float, num_buckets: int = 64
+):
+    """Theil-Sen trend slope per hex: the MEDIAN of all pairwise weekly
+    slopes (n_j - n_i) / (w_j - w_i) over each hex's observed weekly
+    series — the robust companion of events_hex_mann_kendall, same
+    sparse-week convention, hexes with a single active week dropped.
+    Median law matches DuckDB's double MEDIAN exactly: lo + (hi - lo)/2
+    over the two middle order statistics.  Slope rounded 6dp.
+
+    Scale shape: identical to mann_kendall — (hex, week) partials, one
+    composite aggregate, ONE coarse hex-bucket pass with vectorized
+    repeat/arange pair construction and a lexsort median (no per-hex
+    Python)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, hex_axial
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+
+    WEEK_US = 7 * 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        us = np.asarray(
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        )
+        week = us // WEEK_US
+        x, y = derive_xy(eid)
+        hkey = _pack(*hex_axial(x, y, hex_size))
+        order = np.lexsort((week, hkey))
+        hs, ws = hkey[order], week[order]
+        bound = np.concatenate(
+            [[True], (hs[1:] != hs[:-1]) | (ws[1:] != ws[:-1])]
+        )
+        s = np.flatnonzero(bound)
+        n = np.diff(np.append(s, len(hs)))
+        return pa.table(
+            {
+                "hkey": pa.array(hs[s]),
+                "week": pa.array(ws[s]),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hkey", "week"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hkey": pa.array([], pa.int64()),
+                    "week": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "__b": pa.array([], pa.int64()),
+                }
+            )
+        k = np.asarray(b["hkey"], np.int64)
+        return b.append_column("__b", pa.array(_bucket_of(k, num_buckets)))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["hkey"].to_numpy(np.int64)
+        w = g["week"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.lexsort((w, k))
+        k, w, n = k[order], w[order], n[order]
+        bound = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(bound)
+        L = np.diff(np.append(starts, len(k)))
+        seg_of = np.repeat(np.arange(len(starts)), L)
+        idx = np.arange(len(k))
+        seg_end = np.repeat(starts + L, L)
+        reps = seg_end - idx - 1
+        iidx = np.repeat(idx, reps)
+        jj = (
+            np.arange(int(reps.sum()))
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        jidx = iidx + 1 + jj
+        pair_seg = np.repeat(seg_of, reps)
+        slope = (n[jidx] - n[iidx]) / (w[jidx] - w[iidx])
+        # per-segment median over variable-length slope lists
+        o2 = np.lexsort((slope, pair_seg))
+        sl = slope[o2]
+        P = (L * (L - 1)) // 2
+        pstart = np.concatenate([[0], np.cumsum(P)[:-1]])
+        keep = L >= 2
+        lo = pstart + (np.maximum(P, 1) - 1) // 2
+        hi = pstart + np.maximum(P, 1) // 2
+        lo = np.clip(lo, 0, max(len(sl) - 1, 0))
+        hi = np.clip(hi, 0, max(len(sl) - 1, 0))
+        if len(sl):
+            med = sl[lo] + (sl[hi] - sl[lo]) / 2.0
+        else:
+            med = np.zeros(len(starts))
+        med = np.sign(med) * np.floor(np.abs(med) * 1e6 + 0.5) / 1e6
+        hq, hr = _unpack(k[starts][keep])
+        return pd.DataFrame(
+            {
+                "hq": hq,
+                "hr": hr,
+                "n_weeks": L[keep].astype(np.int64),
+                "slope": med[keep],
+            }
+        )
+
+    return (
+        agg.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_hex_theil_sen(*, hex_size: float) -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    week_us = 7 * 86_400_000_000
+    return f"""
+WITH pts AS (
+  SELECT event_id, epoch_us(ts) // {week_us} AS week, {ex} AS x, {ey} AS y
+  FROM events
+),
+{sql_hex_cte(hex_size)},
+m AS (
+  SELECT hq, hr, week, COUNT(*)::BIGINT AS n FROM hexed GROUP BY hq, hr, week
+),
+lens AS (SELECT hq, hr, COUNT(*)::BIGINT AS L FROM m GROUP BY hq, hr),
+slopes AS (
+  SELECT a.hq, a.hr,
+         (b.n - a.n)::DOUBLE / (b.week - a.week) AS slope
+  FROM m a JOIN m b ON b.hq = a.hq AND b.hr = a.hr AND b.week > a.week
+)
+SELECT l.hq, l.hr, l.L AS n_weeks,
+       ROUND(MEDIAN(s.slope) * 1e6) / 1e6 AS slope
+FROM lens l JOIN slopes s ON s.hq = l.hq AND s.hr = l.hr
+WHERE l.L >= 2
+GROUP BY l.hq, l.hr, l.L
+"""
