@@ -9042,6 +9042,339 @@ def _sql_zipf_fit() -> str:
 
 
 # ---------------------------------------------------------------------------
+# space-time interaction + circular statistics
+# ---------------------------------------------------------------------------
+
+KNOX_DS = 25_000.0  # Knox spatial threshold (m)
+KNOX_DT = 21_600_000_000  # Knox temporal threshold (6 h in us)
+KNOX_MOD = 4  # event subset: event_id % 4 == 0
+
+
+def q_knox_test(sf_dir: str):
+    """Knox space-time interaction test over an event subset: ordered
+    pair counts close in SPACE (d <= 25 km), close in TIME (|dt| <= 6 h)
+    and close in BOTH, plus the Knox ratio
+    n_both * n_pairs / (n_space * n_time) — ratio > 1 signals
+    space-time clustering (epidemiology's classic).
+
+    Scale shape: two ghost-replication plans — the ripley 3x3 spatial
+    cell pass counts space/both pairs, a 1D time-bucket pass counts
+    time pairs; all counts are exact integers, nothing but per-bucket
+    partials ever shuffles."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..joins import _bucket_of
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    ds2 = KNOX_DS * KNOX_DS
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        us = np.asarray(
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        )
+        keep = eid % KNOX_MOD == 0
+        eid, us = eid[keep], us[keep]
+        x, y = derive_xy(eid)
+        return pa.table(
+            {
+                "eid": pa.array(eid),
+                "us": pa.array(us),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    pts = ds.map_batches(prep, batch_format="pyarrow")
+
+    # --- spatial (and both) pairs: 3x3 ghost cells of size KNOX_DS ----
+    def scat_xy(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["x"], np.float64)
+        y = np.asarray(b["y"], np.float64)
+        eid = np.asarray(b["eid"], np.int64)
+        us = np.asarray(b["us"], np.int64)
+        cx = np.floor(x / KNOX_DS).astype(np.int64)
+        cy = np.floor(y / KNOX_DS).astype(np.int64)
+        ks, xs, ys, es, ts_, ow = [], [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ks.append(
+                    ((cx + dx) << 32) | ((cy + dy) & np.int64(4294967295))
+                )
+                xs.append(x)
+                ys.append(y)
+                es.append(eid)
+                ts_.append(us)
+                ow.append(
+                    np.full(len(x), 1 if dx == 0 and dy == 0 else 0, np.int8)
+                )
+        key = np.concatenate(ks)
+        return pa.table(
+            {
+                "ckey": pa.array(key),
+                "px": pa.array(np.concatenate(xs)),
+                "py": pa.array(np.concatenate(ys)),
+                "pid": pa.array(np.concatenate(es)),
+                "pt": pa.array(np.concatenate(ts_)),
+                "own": pa.array(np.concatenate(ow)),
+                "__b": pa.array(_bucket_of(key, 64)),
+            }
+        )
+
+    def kern_xy(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["ckey"].to_numpy(np.int64)
+        px = g["px"].to_numpy(np.float64)
+        py = g["py"].to_numpy(np.float64)
+        pid = g["pid"].to_numpy(np.int64)
+        pt = g["pt"].to_numpy(np.int64)
+        own = g["own"].to_numpy(np.int8)
+        order = np.argsort(ck, kind="stable")
+        ck, px, py, pid, pt, own = (
+            ck[order], px[order], py[order], pid[order], pt[order],
+            own[order],
+        )
+        starts = np.flatnonzero(np.concatenate([[True], ck[1:] != ck[:-1]]))
+        ends = np.append(starts[1:], len(ck))
+        n_space = n_both = 0
+        for s, e in zip(starts, ends):
+            o = own[s:e] > 0
+            if not o.any():
+                continue
+            dx = px[s:e][o][:, None] - px[s:e][None, :]
+            dy = py[s:e][o][:, None] - py[s:e][None, :]
+            d2 = dx * dx + dy * dy
+            neq = pid[s:e][o][:, None] != pid[s:e][None, :]
+            close = (d2 <= ds2) & neq
+            n_space += int(close.sum())
+            dt = np.abs(pt[s:e][o][:, None] - pt[s:e][None, :])
+            n_both += int((close & (dt <= KNOX_DT)).sum())
+        return pd.DataFrame({"n_space": [n_space], "n_both": [n_both]})
+
+    sp = (
+        pts.map_batches(scat_xy, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kern_xy, batch_format="pandas")
+        .sum(["n_space", "n_both"])
+    )
+
+    # --- temporal pairs: 1D ghost buckets of width KNOX_DT ------------
+    def scat_t(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["eid"], np.int64)
+        us = np.asarray(b["us"], np.int64)
+        tb = us // KNOX_DT
+        ks, es, ts_, ow = [], [], [], []
+        for d in (-1, 0, 1):
+            ks.append(tb + d)
+            es.append(eid)
+            ts_.append(us)
+            ow.append(np.full(len(us), 1 if d == 0 else 0, np.int8))
+        key = np.concatenate(ks)
+        return pa.table(
+            {
+                "tkey": pa.array(key),
+                "pid": pa.array(np.concatenate(es)),
+                "pt": pa.array(np.concatenate(ts_)),
+                "own": pa.array(np.concatenate(ow)),
+                "__b": pa.array(_bucket_of(key, 64)),
+            }
+        )
+
+    def kern_t(g: pd.DataFrame) -> pd.DataFrame:
+        tk = g["tkey"].to_numpy(np.int64)
+        pid = g["pid"].to_numpy(np.int64)
+        pt = g["pt"].to_numpy(np.int64)
+        own = g["own"].to_numpy(np.int8)
+        order = np.argsort(tk, kind="stable")
+        tk, pid, pt, own = tk[order], pid[order], pt[order], own[order]
+        starts = np.flatnonzero(np.concatenate([[True], tk[1:] != tk[:-1]]))
+        ends = np.append(starts[1:], len(tk))
+        n_time = 0
+        cnt = 0
+        for s, e in zip(starts, ends):
+            o = own[s:e] > 0
+            if not o.any():
+                continue
+            dt = np.abs(pt[s:e][o][:, None] - pt[s:e][None, :])
+            neq = pid[s:e][o][:, None] != pid[s:e][None, :]
+            n_time += int(((dt <= KNOX_DT) & neq).sum())
+            cnt += int(o.sum())
+        return pd.DataFrame({"n_time": [n_time], "n": [cnt]})
+
+    tm = (
+        pts.map_batches(scat_t, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kern_t, batch_format="pandas")
+        .sum(["n_time", "n"])
+    )
+
+    import ray.data as rd2
+
+    n = int(tm["sum(n)"])
+    n_time = int(tm["sum(n_time)"])
+    n_space = int(sp["sum(n_space)"])
+    n_both = int(sp["sum(n_both)"])
+    npairs = n * (n - 1)
+    knox = (
+        float(n_both) * float(npairs) / (float(n_space) * float(n_time))
+        if n_space and n_time
+        else 0.0
+    )
+    knox = float(np.sign(knox) * np.floor(np.abs(knox) * 1e6 + 0.5) / 1e6)
+    return rd2.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "n_both": pa.array([n_both], pa.int64()),
+                "n_space": pa.array([n_space], pa.int64()),
+                "n_time": pa.array([n_time], pa.int64()),
+                "knox": pa.array([knox]),
+            }
+        )
+    )
+
+
+def _sql_knox_test() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    ds2 = KNOX_DS * KNOX_DS
+    return f"""
+WITH pts AS (
+  SELECT event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events WHERE event_id % {KNOX_MOD} = 0
+),
+p AS (
+  SELECT SUM(CASE WHEN {d2} <= {ds2!r} THEN 1 ELSE 0 END)::BIGINT AS n_space,
+         SUM(CASE WHEN {d2} <= {ds2!r}
+                   AND abs(a.us - b.us) <= {KNOX_DT} THEN 1 ELSE 0 END)::BIGINT
+           AS n_both,
+         SUM(CASE WHEN abs(a.us - b.us) <= {KNOX_DT} THEN 1 ELSE 0 END)::BIGINT
+           AS n_time
+  FROM pts a JOIN pts b ON a.event_id != b.event_id
+),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM pts)
+SELECT n.n, p.n_both, p.n_space, p.n_time,
+       CASE WHEN p.n_space > 0 AND p.n_time > 0 THEN
+         ROUND((p.n_both::DOUBLE * (n.n * (n.n - 1))::DOUBLE
+                / (p.n_space::DOUBLE * p.n_time::DOUBLE)) * 1e6) / 1e6
+       ELSE 0.0 END AS knox
+FROM n CROSS JOIN p
+"""
+
+
+def q_bearing_stats(sf_dir: str):
+    """Circular statistics of per-user movement bearings: for each user
+    the step unit vectors (dx, dy)/norm sum to (C, S); outputs n_steps,
+    the circular mean bearing atan2(S, C) and the resultant length
+    R = sqrt(C^2 + S^2)/n (1 = perfectly directed, 0 = uniform), 6dp.
+    No per-step trig: cos/sin of atan2(dy, dx) ARE dx/norm, dy/norm;
+    the single per-user atan2 goes through libm (math.atan2) to match
+    DuckDB bit-for-bit (numpy's SIMD arctan2 is 1 ulp off on ~25% of
+    inputs).
+
+    Scale shape: the one-coarse-bucket trajectory plan (speed_outliers
+    shape), vectorized diffs, per-user reduceat sums."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "__b": pa.array(_bucket_of(uid, 64)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        order = np.lexsort((eid, us, uid))
+        uid, x, y = uid[order], x[order], y[order]
+        same = uid[1:] == uid[:-1]
+        du = uid[1:][same]
+        dx = np.diff(x)[same]
+        dy = np.diff(y)[same]
+        norm = np.maximum(np.sqrt(dx * dx + dy * dy), 1e-12)
+        cu = dx / norm
+        su = dy / norm
+        users, inv = np.unique(du, return_inverse=True)
+        n = np.bincount(inv, minlength=len(users)).astype(np.int64)
+        C = np.bincount(inv, weights=cu, minlength=len(users))
+        S = np.bincount(inv, weights=su, minlength=len(users))
+        mb = np.array([math.atan2(s_, c_) for s_, c_ in zip(S, C)])
+        R = np.sqrt(C * C + S * S) / n
+        r6 = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "n_steps": n,
+                "mean_bearing": r6(mb),
+                "resultant": r6(R),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def _sql_bearing_stats() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    norm = "GREATEST(sqrt(dx * dx + dy * dy), 1e-12)"
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events
+),
+steps AS (
+  SELECT user_id,
+         x - LAG(x) OVER w AS dx,
+         y - LAG(y) OVER w AS dy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+  QUALIFY LAG(x) OVER w IS NOT NULL
+),
+cs AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_steps,
+         SUM(dx / {norm}) AS c, SUM(dy / {norm}) AS s
+  FROM steps GROUP BY user_id
+)
+SELECT user_id, n_steps,
+       ROUND(atan2(s, c) * 1e6) / 1e6 AS mean_bearing,
+       ROUND((sqrt(c * c + s * s) / n_steps) * 1e6) / 1e6 AS resultant
+FROM cs
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9093,6 +9426,8 @@ def queries():
         "huff_shares": q_huff_shares,
         "dissimilarity_index": q_dissimilarity_index,
         "zipf_fit": q_zipf_fit,
+        "knox_test": q_knox_test,
+        "bearing_stats": q_bearing_stats,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -9802,6 +10137,8 @@ def oracle_sql():
         "huff_shares": _sql_huff_shares(),
         "dissimilarity_index": _sql_dissimilarity_index(),
         "zipf_fit": _sql_zipf_fit(),
+        "knox_test": _sql_knox_test(),
+        "bearing_stats": _sql_bearing_stats(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),
