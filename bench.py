@@ -211,6 +211,18 @@ def _secondary() -> dict:
         ("events_coloc", q.q_events_coloc),
         ("home_work", q.q_home_work),
         ("ripley_k", q.q_ripley_k),
+        # final round-3 waves: facility / hull / terrain / DP trajectory
+        ("voronoi_assign", q.q_voronoi_assign),
+        ("map_match", q.q_map_match),
+        ("convex_hull", q.q_convex_hull),
+        ("skyline", q.q_skyline),
+        ("hilbert_assign", q.q_hilbert_assign),
+        ("traj_dtw", q.q_traj_dtw),
+        ("knox_test", q.q_knox_test),
+        ("bearing_stats", q.q_bearing_stats),
+        ("raster_flow_accum", q.q_raster_flow_accum),
+        ("raster_viewshed", q.q_raster_viewshed),
+        ("geometric_median", q.q_geometric_median),
     ]:
 
         def once(fn=fn):
