@@ -8100,44 +8100,57 @@ def q_geometric_median(sf_dir: str):
 
     def clustered(b: pa.Table) -> pa.Table:
         did = np.asarray(b["doc_id"], np.int64)
-        return b.filter(pa.array(did % 10 < 3))
+        b = b.filter(pa.array(did % 10 < 3))
+        g = (np.asarray(b["doc_id"], np.int64) % 3).astype(np.int64)
+        return pa.table({"g": g, "x": b["x"], "y": b["y"]})
 
-    ds = docs_points(sf_dir).map_batches(clustered, batch_format="pyarrow")
+    # the clustered projection is a small fraction of the corpus; pin it
+    # once so the 8 supersteps never re-read / re-derive the input
+    ds = (
+        docs_points(sf_dir)
+        .map_batches(clustered, batch_format="pyarrow")
+        .materialize()
+    )
     med = np.array([list(_CLX), list(_CLY)], np.float64).T.copy()
+    cols = [f"{p}{i}" for p in ("n", "sw", "swx", "swy") for i in range(3)]
 
     counts = None
     for _ in range(GMED_ITERS):
         mx, my = med[:, 0].copy(), med[:, 1].copy()
 
         def part(b: pa.Table, mx=mx, my=my) -> pa.Table:
-            did = np.asarray(b["doc_id"], np.int64)
+            g = np.asarray(b["g"], np.int64)
             x = np.asarray(b["x"], np.float64)
             y = np.asarray(b["y"], np.float64)
-            g = (did % 3).astype(np.int64)
             dx = x - mx[g]
             dy = y - my[g]
             d = np.sqrt(dx * dx + dy * dy)
             w = 1.0 / np.maximum(d, GMED_EPS)
+            vals = {
+                "n": np.bincount(g, minlength=3).astype(np.float64),
+                "sw": np.bincount(g, weights=w, minlength=3),
+                "swx": np.bincount(g, weights=x * w, minlength=3),
+                "swy": np.bincount(g, weights=y * w, minlength=3),
+            }
             return pa.table(
                 {
-                    "g": np.arange(3, dtype=np.int64),
-                    "n": np.bincount(g, minlength=3).astype(np.int64),
-                    "sw": np.bincount(g, weights=w, minlength=3),
-                    "swx": np.bincount(g, weights=x * w, minlength=3),
-                    "swy": np.bincount(g, weights=y * w, minlength=3),
+                    f"{p}{i}": np.array([vals[p][i]])
+                    for p in ("n", "sw", "swx", "swy")
+                    for i in range(3)
                 }
             )
 
-        tot = (
-            ds.map_batches(part, batch_format="pyarrow")
-            .groupby("g")
-            .sum(["n", "sw", "swx", "swy"])
-            .to_pandas()
-            .sort_values("g")
+        tot = ds.map_batches(part, batch_format="pyarrow").sum(cols)
+        counts = np.array(
+            [tot[f"sum(n{i})"] for i in range(3)], np.int64
         )
-        counts = tot["sum(n)"].to_numpy(np.int64)
-        med[:, 0] = tot["sum(swx)"].to_numpy() / tot["sum(sw)"].to_numpy()
-        med[:, 1] = tot["sum(swy)"].to_numpy() / tot["sum(sw)"].to_numpy()
+        sw = np.array([tot[f"sum(sw{i})"] for i in range(3)])
+        med[:, 0] = np.array(
+            [tot[f"sum(swx{i})"] for i in range(3)]
+        ) / sw
+        med[:, 1] = np.array(
+            [tot[f"sum(swy{i})"] for i in range(3)]
+        ) / sw
 
     rnd = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4
     return rd.from_arrow(
