@@ -9388,6 +9388,239 @@ FROM cs
 
 
 # ---------------------------------------------------------------------------
+# ST-DBSCAN: space-time density clustering
+# ---------------------------------------------------------------------------
+
+STDB_DS = 15_000.0  # spatial eps (m)
+STDB_DT = 43_200_000_000  # temporal eps (12 h in us)
+STDB_MINPTS = 4  # neighbors (excluding self) for a core point
+
+
+def q_st_dbscan(sf_dir: str):
+    """ST-DBSCAN core clustering of the event subset: a point is CORE
+    when >= 4 other events lie within 15 km AND 12 h; clusters are the
+    connected components of the core-core closeness graph (DBSCAN* — no
+    border assignment), labeled by their minimum event id.  Rows
+    (cluster, n_core) — singleton cores form their own cluster.
+
+    Scale shape: two 3x3 ghost-cell passes (cell = eps, so an owner's
+    whole neighborhood lives in its own cell block): pass 1 emits exact
+    per-owner neighbor counts, pass 2 emits core-core edges against the
+    broadcast core set; components fold through the distributed
+    min-label/pointer-jumping machinery (dedup.connected_components)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..dedup import connected_components
+    from ..joins import _bucket_of
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    ds2 = STDB_DS * STDB_DS
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        us = np.asarray(
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        )
+        keep = eid % KNOX_MOD == 0
+        eid, us = eid[keep], us[keep]
+        x, y = derive_xy(eid)
+        return pa.table(
+            {
+                "eid": pa.array(eid),
+                "us": pa.array(us),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    pts = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def scat(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["x"], np.float64)
+        y = np.asarray(b["y"], np.float64)
+        eid = np.asarray(b["eid"], np.int64)
+        us = np.asarray(b["us"], np.int64)
+        cx = np.floor(x / STDB_DS).astype(np.int64)
+        cy = np.floor(y / STDB_DS).astype(np.int64)
+        ks, xs, ys, es, ts_, ow = [], [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ks.append(
+                    ((cx + dx) << 32) | ((cy + dy) & np.int64(4294967295))
+                )
+                xs.append(x)
+                ys.append(y)
+                es.append(eid)
+                ts_.append(us)
+                ow.append(
+                    np.full(len(x), 1 if dx == 0 and dy == 0 else 0, np.int8)
+                )
+        key = np.concatenate(ks)
+        return pa.table(
+            {
+                "ckey": pa.array(key),
+                "px": pa.array(np.concatenate(xs)),
+                "py": pa.array(np.concatenate(ys)),
+                "pid": pa.array(np.concatenate(es)),
+                "pt": pa.array(np.concatenate(ts_)),
+                "own": pa.array(np.concatenate(ow)),
+                "__b": pa.array(_bucket_of(key, 64)),
+            }
+        )
+
+    def _cells(g: pd.DataFrame):
+        ck = g["ckey"].to_numpy(np.int64)
+        order = np.argsort(ck, kind="stable")
+        starts = np.flatnonzero(
+            np.concatenate([[True], ck[order][1:] != ck[order][:-1]])
+        )
+        ends = np.append(starts[1:], len(ck))
+        return order, starts, ends
+
+    def kern_count(g: pd.DataFrame) -> pd.DataFrame:
+        order, starts, ends = _cells(g)
+        px = g["px"].to_numpy(np.float64)[order]
+        py = g["py"].to_numpy(np.float64)[order]
+        pid = g["pid"].to_numpy(np.int64)[order]
+        pt = g["pt"].to_numpy(np.int64)[order]
+        own = g["own"].to_numpy(np.int8)[order]
+        ids, cnts = [], []
+        for s, e in zip(starts, ends):
+            o = own[s:e] > 0
+            if not o.any():
+                continue
+            dx = px[s:e][o][:, None] - px[s:e][None, :]
+            dy = py[s:e][o][:, None] - py[s:e][None, :]
+            close = (
+                (dx * dx + dy * dy <= ds2)
+                & (
+                    np.abs(pt[s:e][o][:, None] - pt[s:e][None, :])
+                    <= STDB_DT
+                )
+                & (pid[s:e][o][:, None] != pid[s:e][None, :])
+            )
+            ids.append(pid[s:e][o])
+            cnts.append(close.sum(axis=1).astype(np.int64))
+        if not ids:
+            return pd.DataFrame({"eid": [], "cnt": []}).astype(np.int64)
+        return pd.DataFrame(
+            {"eid": np.concatenate(ids), "cnt": np.concatenate(cnts)}
+        )
+
+    scattered = pts.map_batches(scat, batch_format="pyarrow")
+    counts = (
+        scattered.groupby("__b")
+        .map_groups(kern_count, batch_format="pandas")
+    )
+    core_tbl = pa.concat_tables(
+        counts.iter_batches(batch_format="pyarrow")
+    )
+    ce = np.asarray(core_tbl["eid"], np.int64)
+    cc_ = np.asarray(core_tbl["cnt"], np.int64)
+    core_ids = np.sort(ce[cc_ >= STDB_MINPTS])
+
+    def kern_edges(g: pd.DataFrame, core=core_ids) -> pd.DataFrame:
+        order, starts, ends = _cells(g)
+        px = g["px"].to_numpy(np.float64)[order]
+        py = g["py"].to_numpy(np.float64)[order]
+        pid = g["pid"].to_numpy(np.int64)[order]
+        pt = g["pt"].to_numpy(np.int64)[order]
+        own = g["own"].to_numpy(np.int8)[order]
+        pos = np.searchsorted(core, pid)
+        pos = np.clip(pos, 0, max(len(core) - 1, 0))
+        is_core = (len(core) > 0) & (core[pos] == pid)
+        eas, ebs = [], []
+        for s, e in zip(starts, ends):
+            o = (own[s:e] > 0) & is_core[s:e]
+            cand = is_core[s:e]
+            if not o.any() or not cand.any():
+                continue
+            dx = px[s:e][o][:, None] - px[s:e][None, :]
+            dy = py[s:e][o][:, None] - py[s:e][None, :]
+            close = (
+                (dx * dx + dy * dy <= ds2)
+                & (
+                    np.abs(pt[s:e][o][:, None] - pt[s:e][None, :])
+                    <= STDB_DT
+                )
+                & (pid[s:e][o][:, None] < pid[s:e][None, :])
+                & cand[None, :]
+            )
+            oi, cj = np.nonzero(close)
+            eas.append(pid[s:e][o][oi])
+            ebs.append(pid[s:e][cj])
+        if not eas:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        return pd.DataFrame(
+            {"id_a": np.concatenate(eas), "id_b": np.concatenate(ebs)}
+        )
+
+    edges = scattered.groupby("__b").map_groups(
+        kern_edges, batch_format="pandas"
+    )
+    comp = connected_components(edges)
+    ctbl = pa.concat_tables(comp.iter_batches(batch_format="pyarrow"))
+    node = np.asarray(ctbl["node"], np.int64)
+    lab = np.asarray(ctbl["component"], np.int64)
+    # singleton cores (no core neighbor) are their own cluster
+    pos = np.searchsorted(np.sort(node), core_ids)
+    pos = np.clip(pos, 0, max(len(node) - 1, 0))
+    sn = np.sort(node)
+    lonely = core_ids[(len(node) == 0) | (sn[pos] != core_ids)]
+    node = np.concatenate([node, lonely])
+    lab = np.concatenate([lab, lonely])
+    u, cnts2 = np.unique(lab, return_counts=True)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cluster": pa.array(u, pa.int64()),
+                "n_core": pa.array(cnts2.astype(np.int64)),
+            }
+        )
+    )
+
+
+def _sql_st_dbscan() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    ds2 = STDB_DS * STDB_DS
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events WHERE event_id % {KNOX_MOD} = 0
+),
+nbr AS (
+  SELECT a.event_id AS id, COUNT(*)::BIGINT AS cnt
+  FROM pts a JOIN pts b ON a.event_id != b.event_id
+   AND {d2} <= {ds2!r} AND abs(a.us - b.us) <= {STDB_DT}
+  GROUP BY a.event_id
+),
+core AS (SELECT id FROM nbr WHERE cnt >= {STDB_MINPTS}),
+edges AS (
+  SELECT a.event_id AS ea, b.event_id AS eb
+  FROM pts a JOIN pts b ON a.event_id != b.event_id
+   AND {d2} <= {ds2!r} AND abs(a.us - b.us) <= {STDB_DT}
+  JOIN core ca ON ca.id = a.event_id
+  JOIN core cb ON cb.id = b.event_id
+),
+reach(id, lab) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.eb, r.lab FROM reach r JOIN edges e ON e.ea = r.id
+),
+comp AS (SELECT id, MIN(lab) AS lab FROM reach GROUP BY id)
+SELECT lab AS cluster, COUNT(*)::BIGINT AS n_core
+FROM comp GROUP BY lab
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9441,6 +9674,7 @@ def queries():
         "zipf_fit": q_zipf_fit,
         "knox_test": q_knox_test,
         "bearing_stats": q_bearing_stats,
+        "st_dbscan": q_st_dbscan,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -10152,6 +10386,7 @@ def oracle_sql():
         "zipf_fit": _sql_zipf_fit(),
         "knox_test": _sql_knox_test(),
         "bearing_stats": _sql_bearing_stats(),
+        "st_dbscan": _sql_st_dbscan(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),
