@@ -9529,9 +9529,11 @@ def q_st_dbscan(sf_dir: str):
         pid = g["pid"].to_numpy(np.int64)[order]
         pt = g["pt"].to_numpy(np.int64)[order]
         own = g["own"].to_numpy(np.int8)[order]
-        pos = np.searchsorted(core, pid)
-        pos = np.clip(pos, 0, max(len(core) - 1, 0))
-        is_core = (len(core) > 0) & (core[pos] == pid)
+        if len(core):
+            pos = np.clip(np.searchsorted(core, pid), 0, len(core) - 1)
+            is_core = core[pos] == pid
+        else:
+            is_core = np.zeros(len(pid), bool)
         eas, ebs = [], []
         for s, e in zip(starts, ends):
             o = (own[s:e] > 0) & is_core[s:e]
@@ -9562,24 +9564,33 @@ def q_st_dbscan(sf_dir: str):
         kern_edges, batch_format="pandas"
     )
     comp = connected_components(edges)
-    ctbl = pa.concat_tables(comp.iter_batches(batch_format="pyarrow"))
+    batches = list(comp.iter_batches(batch_format="pyarrow"))
+    ctbl = (
+        pa.concat_tables(batches)
+        if batches
+        else pa.table(
+            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+        )
+    )
     node = np.asarray(ctbl["node"], np.int64)
-    lab = np.asarray(ctbl["component"], np.int64)
+    lab = np.asarray(ctbl["label"], np.int64)
     # singleton cores (no core neighbor) are their own cluster
-    pos = np.searchsorted(np.sort(node), core_ids)
-    pos = np.clip(pos, 0, max(len(node) - 1, 0))
-    sn = np.sort(node)
-    lonely = core_ids[(len(node) == 0) | (sn[pos] != core_ids)]
+    if len(node):
+        sn = np.sort(node)
+        pos = np.clip(np.searchsorted(sn, core_ids), 0, len(sn) - 1)
+        lonely = core_ids[sn[pos] != core_ids]
+    else:
+        lonely = core_ids
     node = np.concatenate([node, lonely])
     lab = np.concatenate([lab, lonely])
     u, cnts2 = np.unique(lab, return_counts=True)
-    return rd.from_arrow(
-        pa.table(
-            {
-                "cluster": pa.array(u, pa.int64()),
-                "n_core": pa.array(cnts2.astype(np.int64)),
-            }
-        )
+    # a 0-row Ray Dataset drops its column schema on to_pandas(); the
+    # rollup is tiny, so hand back the Arrow table directly
+    return pa.table(
+        {
+            "cluster": pa.array(u.astype(np.int64)),
+            "n_core": pa.array(cnts2.astype(np.int64)),
+        }
     )
 
 
