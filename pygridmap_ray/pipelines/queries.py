@@ -9632,6 +9632,286 @@ FROM comp GROUP BY lab
 
 
 # ---------------------------------------------------------------------------
+# trajectory simplification / A-B test / Benford
+# ---------------------------------------------------------------------------
+
+SIMP_EPS = 60_000.0  # radial-distance simplification threshold (m)
+
+
+def q_traj_simplify(sf_dir: str):
+    """Radial-distance trajectory simplification: over each user's first
+    TRAJ_L points (the DP prefix convention), keep point 1, then
+    repeatedly the FIRST later point farther than 60 km from the last
+    kept one.  Rows (user_id, seq, x, y) of kept points, 6dp.
+
+    Scale shape: one user-hash bucket shuffle; the sequential kept-scan
+    is a <= L frontier loop VECTORIZED ACROSS USERS (cur-index array,
+    masked first-true pick per step — no per-user Python dispatch)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+
+    eps2 = SIMP_EPS * SIMP_EPS
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "__b": pa.array(_bucket_of(uid, 64)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        order = np.lexsort((eid, us, uid))
+        uid, x, y = uid[order], x[order], y[order]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gidx = np.cumsum(first) - 1
+        seq = np.arange(len(uid)) - np.flatnonzero(first)[gidx]
+        keep = seq < TRAJ_L
+        uid, x, y, gidx, seq = (
+            uid[keep], x[keep], y[keep], gidx[keep], seq[keep]
+        )
+        users = uid[np.concatenate([[True], uid[1:] != uid[:-1]])]
+        nu = len(users)
+        lens = np.bincount(gidx, minlength=nu)
+        gx = np.full((nu, TRAJ_L), np.nan)
+        gy = np.full((nu, TRAJ_L), np.nan)
+        gx[gidx, seq] = x
+        gy[gidx, seq] = y
+        jj = np.arange(TRAJ_L)[None, :]
+        valid = jj < lens[:, None]
+        cur = np.zeros(nu, np.int64)  # point 1 always kept
+        alive = lens > 0
+        out_u, out_s, out_x, out_y = [], [], [], []
+        out_u.append(users[alive])
+        out_s.append(cur[alive] + 1)
+        out_x.append(gx[alive, 0])
+        out_y.append(gy[alive, 0])
+        for _ in range(TRAJ_L - 1):
+            if not alive.any():
+                break
+            cx = gx[np.arange(nu), cur][:, None]
+            cy = gy[np.arange(nu), cur][:, None]
+            d2 = (gx - cx) * (gx - cx) + (gy - cy) * (gy - cy)
+            cand = valid & (jj > cur[:, None]) & (d2 > eps2)
+            has = cand.any(axis=1) & alive
+            nxt = np.argmax(cand, axis=1)
+            cur = np.where(has, nxt, cur)
+            alive = has
+            if has.any():
+                out_u.append(users[has])
+                out_s.append(cur[has] + 1)
+                out_x.append(gx[has, cur[has]])
+                out_y.append(gy[has, cur[has]])
+        r6 = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "user_id": np.concatenate(out_u),
+                "seq": np.concatenate(out_s).astype(np.int64),
+                "x": r6(np.concatenate(out_x)),
+                "y": r6(np.concatenate(out_y)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def _sql_traj_simplify() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    eps2 = SIMP_EPS * SIMP_EPS
+    d2 = "((p2.x - w.x) * (p2.x - w.x) + (p2.y - w.y) * (p2.y - w.y))"
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i,
+         {ex} AS x, {ey} AS y
+  FROM events QUALIFY i <= {TRAJ_L}
+),
+walk(user_id, seq, x, y) AS (
+  SELECT user_id, i, x, y FROM pts WHERE i = 1
+  UNION ALL
+  SELECT w.user_id, p.i, p.x, p.y
+  FROM walk w JOIN pts p ON p.user_id = w.user_id
+   AND p.i = (SELECT MIN(p2.i) FROM pts p2
+              WHERE p2.user_id = w.user_id AND p2.i > w.seq
+                AND {d2} > {eps2!r})
+)
+SELECT user_id, seq::BIGINT AS seq,
+       ROUND(x * 1e6) / 1e6 AS x, ROUND(y * 1e6) / 1e6 AS y
+FROM walk
+"""
+
+
+def q_ab_test(sf_dir: str):
+    """Two-proportion A/B z-test: users split by user_id parity, success
+    = 'purchase' events; one row (n_a, c_a, n_b, c_b, z) with the pooled
+    two-proportion z statistic, 6dp.
+
+    Scale shape: four integer counters via per-batch partials — the
+    minimal combinable aggregate."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        conv = (
+            np.asarray(b["event_type"], dtype=object) == "purchase"
+        ).astype(np.int64)
+        gb = (uid % 2).astype(np.int64)
+        return pa.table(
+            {
+                "n_a": np.array([int((gb == 0).sum())], np.int64),
+                "c_a": np.array([int(conv[gb == 0].sum())], np.int64),
+                "n_b": np.array([int((gb == 1).sum())], np.int64),
+                "c_b": np.array([int(conv[gb == 1].sum())], np.int64),
+            }
+        )
+
+    tot = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n_a", "c_a", "n_b", "c_b"]
+    )
+    na, ca = float(tot["sum(n_a)"]), float(tot["sum(c_a)"])
+    nb, cb = float(tot["sum(n_b)"]), float(tot["sum(c_b)"])
+    p = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / np.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    z = float(np.sign(z) * np.floor(np.abs(z) * 1e6 + 0.5) / 1e6)
+    return pa.table(
+        {
+            "n_a": pa.array([int(na)], pa.int64()),
+            "c_a": pa.array([int(ca)], pa.int64()),
+            "n_b": pa.array([int(nb)], pa.int64()),
+            "c_b": pa.array([int(cb)], pa.int64()),
+            "z": pa.array([z]),
+        }
+    )
+
+
+def _sql_ab_test() -> str:
+    return """
+WITH s AS (
+  SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS na,
+         SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END)::DOUBLE AS ca,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS nb,
+         SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END)::DOUBLE AS cb
+  FROM events
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS c_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS c_b,
+       ROUND(((ca / na - cb / nb)
+              / sqrt(((ca + cb) / (na + nb)) * (1.0 - (ca + cb) / (na + nb))
+                     * (1.0 / na + 1.0 / nb))) * 1e6) / 1e6 AS z
+FROM s
+"""
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit distribution of lineitem extended prices:
+    per digit 1-9 the observed count and share, plus the chi-square
+    statistic vs the Benford expectation in each row (6dp).  The digit
+    law is arithmetic (floor(v / 10^floor(log10(v)))) — no string
+    formatting, so both sides compute identical doubles.
+
+    Scale shape: 9-bin bincount partials -> 9-group fold."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["l_extendedprice"], np.float64)
+        v = v[v > 0]
+        # integer-cents digit law: exact, no log10-on-data (1-ulp
+        # fragile near powers of ten)
+        c = np.rint(v * 100.0).astype(np.int64)
+        for _ in range(20):
+            big = c >= 10
+            if not big.any():
+                break
+            c = np.where(big, c // 10, c)
+        cnt = np.bincount(c, minlength=10)[1:10].astype(np.int64)
+        return pa.table(
+            {
+                "digit": np.arange(1, 10, dtype=np.int64),
+                "n": cnt,
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .sum("n")
+    )
+    tbl = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    dig = np.asarray(tbl["digit"], np.int64)
+    n = np.asarray(tbl["sum(n)"], np.int64)
+    order = np.argsort(dig)
+    dig, n = dig[order], n[order]
+    tot = float(n.sum())
+    share = n / tot
+    exp = np.log10(1.0 + 1.0 / dig.astype(np.float64))
+    chi = (share - exp) * (share - exp) / exp * tot
+    r6 = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            "digit": pa.array(dig),
+            "n": pa.array(n),
+            "share": pa.array(r6(share)),
+            "chi_term": pa.array(r6(chi)),
+        }
+    )
+
+
+def _sql_benford() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(LEFT(CAST(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                        AS VARCHAR), 1) AS BIGINT) AS digit
+  FROM lineitem WHERE l_extendedprice > 0
+),
+c AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n)::DOUBLE AS tot FROM c)
+SELECT c.digit, c.n,
+       ROUND((c.n / t.tot) * 1e6) / 1e6 AS share,
+       ROUND((((c.n / t.tot) - LOG10(1.0 + 1.0 / c.digit))
+              * ((c.n / t.tot) - LOG10(1.0 + 1.0 / c.digit))
+              / LOG10(1.0 + 1.0 / c.digit) * t.tot) * 1e6) / 1e6
+         AS chi_term
+FROM c CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9686,6 +9966,9 @@ def queries():
         "knox_test": q_knox_test,
         "bearing_stats": q_bearing_stats,
         "st_dbscan": q_st_dbscan,
+        "traj_simplify": q_traj_simplify,
+        "ab_test": q_ab_test,
+        "benford": q_benford,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -10398,6 +10681,9 @@ def oracle_sql():
         "knox_test": _sql_knox_test(),
         "bearing_stats": _sql_bearing_stats(),
         "st_dbscan": _sql_st_dbscan(),
+        "traj_simplify": _sql_traj_simplify(),
+        "ab_test": _sql_ab_test(),
+        "benford": _sql_benford(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),
