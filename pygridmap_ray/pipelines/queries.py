@@ -9912,6 +9912,369 @@ FROM c CROSS JOIN t
 
 
 # ---------------------------------------------------------------------------
+# k-core / focal median / CUSUM
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 30  # generous peel depth; converges in < 10 on these graphs
+KCORE_POFF = 1 << 22  # part-node id offset in the bipartite graph
+
+
+def q_kcore(sf_dir: str):
+    """k-core decomposition (k = 3) of the supplier<->part bipartite
+    graph: iteratively peel nodes with degree < k until stable; output
+    every surviving node with its in-core degree.  The op is DEFINED as
+    {KCORE_ROUNDS} peeling rounds (idempotent once converged — both
+    sides run the same count), so engine and oracle agree at any scale
+    factor.
+
+    Scale shape: the distinct edge set comes from the packed-key
+    coarse-bucket distinct (graph.distinct_int_pairs); the peel is
+    node-scale — vectorized bincount rounds over the gathered edge
+    array below the pagerank dense-path threshold, degree-filter
+    supersteps (groupby + broadcast alive set) above it."""
+    import ray.data as rd
+
+    from ..graph import distinct_int_pairs
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    pairs = distinct_int_pairs(line, "l_suppkey", "l_partkey")
+    tbl = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
+    a = np.asarray(tbl["l_suppkey"], np.int64)
+    b = np.asarray(tbl["l_partkey"], np.int64) + KCORE_POFF
+    # symmetric edge list
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    nodes, inv_u = np.unique(u, return_inverse=True)
+    inv_v = np.searchsorted(nodes, v)
+    alive = np.ones(len(nodes), bool)
+    for _ in range(KCORE_ROUNDS):
+        e_alive = alive[inv_u] & alive[inv_v]
+        deg = np.bincount(inv_u[e_alive], minlength=len(nodes))
+        nxt = alive & (deg >= KCORE_K)
+        if np.array_equal(nxt, alive):
+            break
+        alive = nxt
+    e_alive = alive[inv_u] & alive[inv_v]
+    deg = np.bincount(inv_u[e_alive], minlength=len(nodes))
+    keep = alive & (deg > 0)
+    return pa.table(
+        {
+            "node": pa.array(nodes[keep], pa.int64()),
+            "deg": pa.array(deg[keep].astype(np.int64)),
+        }
+    )
+
+
+def _sql_kcore() -> str:
+    parts = [
+        (
+            "ed AS (SELECT DISTINCT l_suppkey AS a,"
+            f" l_partkey + {KCORE_POFF} AS b FROM lineitem)"
+        ),
+        "edges AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed)",
+        "g0 AS (SELECT DISTINCT a AS n FROM edges)",
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT n FROM ("
+            f"SELECT e.a AS n, COUNT(*) AS d FROM edges e"
+            f" JOIN g{i - 1} ga ON ga.n = e.a"
+            f" JOIN g{i - 1} gb ON gb.n = e.b"
+            f" GROUP BY e.a) WHERE d >= {KCORE_K})"
+        )
+    last = f"g{KCORE_ROUNDS}"
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT e.a AS node, COUNT(*)::BIGINT AS deg FROM edges e"
+        f" JOIN {last} ga ON ga.n = e.a JOIN {last} gb ON gb.n = e.b"
+        f" GROUP BY e.a"
+    )
+
+
+def q_raster_focal_median(sf_dir: str):
+    """3x3 focal MEDIAN filter over the elevation band (interior pixels,
+    nodata excluded from each window, center must be valid): the robust
+    smoothing stencil.  Median law = lo + (hi - lo)/2 over the two
+    middle order statistics — DuckDB's double MEDIAN exactly.
+
+    Scale shape: the hillshade tile + one-pixel-halo pattern; the
+    median is one lane-sort over 9 stacked shifts per tile."""
+    import math
+
+    import ray.data as rd
+
+    from ..raster import NODATA, SyntheticRaster
+
+    r = SyntheticRaster(**_RASTER_KW)
+    ts = 64
+    nxt = math.ceil(r.width / ts)
+    nyt = math.ceil(r.height / ts)
+    specs = [{"xt": xt, "yt": yt} for yt in range(nyt) for xt in range(nxt)]
+
+    def tile(b: pa.Table) -> pa.Table:
+        outs = []
+        for xt, yt in zip(
+            np.asarray(b["xt"], np.int64), np.asarray(b["yt"], np.int64)
+        ):
+            row0 = r.height - (int(yt) + 1) * ts
+            h = ts + min(row0, 0)
+            row0 = max(row0, 0)
+            col0 = int(xt) * ts
+            if h <= 0 or col0 >= r.width:
+                continue
+            hr0 = max(row0 - 1, 0)
+            hc0 = max(col0 - 1, 0)
+            hh = min(row0 + h + 1, r.height) - hr0
+            hw = min(col0 + ts + 1, r.width) - hc0
+            z = r.read_window("elev", hr0, hc0, hh, hw)
+            o_r0 = max(row0, 1)
+            o_r1 = min(row0 + h, r.height - 1)
+            o_c0 = max(col0, 1)
+            o_c1 = min(col0 + ts, r.width - 1)
+            if o_r0 >= o_r1 or o_c0 >= o_c1:
+                continue
+            lr0, lc0 = o_r0 - hr0, o_c0 - hc0
+            nh, nw = o_r1 - o_r0, o_c1 - o_c0
+            stack = np.stack(
+                [
+                    z[lr0 + dr : lr0 + dr + nh, lc0 + dc : lc0 + dc + nw]
+                    for dr in (-1, 0, 1)
+                    for dc in (-1, 0, 1)
+                ],
+                axis=-1,
+            )
+            center_ok = stack[:, :, 4] != NODATA
+            vals = np.where(stack == NODATA, np.inf, stack)
+            vals = np.sort(vals, axis=-1)
+            m = (stack != NODATA).sum(axis=-1)
+            lo = np.take_along_axis(
+                vals, ((np.maximum(m, 1) - 1) // 2)[..., None], -1
+            )[..., 0]
+            hi = np.take_along_axis(
+                vals, (np.maximum(m, 1) // 2)[..., None], -1
+            )[..., 0]
+            med = lo + (hi - lo) / 2.0
+            rr, cc = np.nonzero(center_ok)
+            outs.append(
+                pa.table(
+                    {
+                        "x": pa.array(r.x_min + (o_c0 + cc) * r.resolution),
+                        "y": pa.array(
+                            r.y_min
+                            + (r.height - (o_r0 + rr) - 1) * r.resolution
+                        ),
+                        "med": pa.array(med[rr, cc]),
+                    }
+                )
+            )
+        if outs:
+            return pa.concat_tables(outs)
+        return pa.table(
+            {
+                "x": pa.array([], pa.float64()),
+                "y": pa.array([], pa.float64()),
+                "med": pa.array([], pa.float64()),
+            }
+        )
+
+    return rd.from_items(specs).repartition(16).map_batches(
+        tile, batch_format="pyarrow", batch_size=4
+    )
+
+
+def _sql_raster_focal_median() -> str:
+    from ..raster import _BAND_NODATA_PCT, _BAND_P1, _BAND_P2
+
+    r = _RASTER_KW
+    h, w, res = r["height"], r["width"], r["resolution"]
+    p1, p2 = _BAND_P1["elev"], _BAND_P2["elev"]
+    pct = _BAND_NODATA_PCT["elev"]
+    branches = " UNION ALL ".join(
+        f"SELECT ri, ci,"
+        f" (((ri + {dr}) * {p1} + (ci + {dc}) * {p2}) % 1000)::DOUBLE AS v"
+        f" FROM px WHERE (((ri + {dr}) * 7919 + (ci + {dc}) * 104729)"
+        f" % 100) >= {pct}"
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    )
+    return f"""
+WITH px AS (
+  SELECT r.i AS ri, c.i AS ci
+  FROM (SELECT UNNEST(generate_series(1, {h - 2})) AS i) r,
+       (SELECT UNNEST(generate_series(1, {w - 2})) AS i) c
+  WHERE ((r.i * 7919 + c.i * 104729) % 100) >= {pct}
+),
+win AS ({branches})
+SELECT {r["x_min"]!r} + ci * {res!r} AS x,
+       {r["y_min"]!r} + ({h} - ri - 1) * {res!r} AS y,
+       MEDIAN(v) AS med
+FROM win GROUP BY ri, ci
+"""
+
+
+CUSUM_K = 0.5  # CUSUM slack (allowance)
+
+
+def q_hex_cusum(sf_dir: str):
+    """CUSUM upward change detection per hex over the observed weekly
+    series: S_t = max(0, S_{t-1} + (n_t - mean - 0.5)); per hex the
+    peak S, the 1-based ordinal week of the FIRST peak, and the week
+    count — hexes with >= 2 active weeks.  6dp.
+
+    Scale shape: the mann_kendall plan — (hex, week) partials, one
+    composite aggregate, one coarse bucket pass whose scan loops over
+    week ordinals (a handful) vectorized across all hexes."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..hex import _pack, _unpack, hex_axial
+    from ..joins import _bucket_of
+
+    WEEK_US = 7 * 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        us = np.asarray(
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        )
+        week = us // WEEK_US
+        x, y = derive_xy(eid)
+        hkey = _pack(*hex_axial(x, y, HEX_SIZE))
+        order = np.lexsort((week, hkey))
+        hs, ws = hkey[order], week[order]
+        bound = np.concatenate(
+            [[True], (hs[1:] != hs[:-1]) | (ws[1:] != ws[:-1])]
+        )
+        s = np.flatnonzero(bound)
+        n = np.diff(np.append(s, len(hs)))
+        return pa.table(
+            {
+                "hkey": pa.array(hs[s]),
+                "week": pa.array(ws[s]),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hkey", "week"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "hkey": pa.array([], pa.int64()),
+                    "week": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "__b": pa.array([], pa.int64()),
+                }
+            )
+        k = np.asarray(b["hkey"], np.int64)
+        return b.append_column("__b", pa.array(_bucket_of(k, 64)))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["hkey"].to_numpy(np.int64)
+        w = g["week"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.lexsort((w, k))
+        k, n = k[order], n[order]
+        bound = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(bound)
+        L = np.diff(np.append(starts, len(k)))
+        seg = np.repeat(np.arange(len(starts)), L)
+        mu = np.bincount(seg, weights=n.astype(np.float64)) / L
+        lmax = int(L.max()) if len(L) else 0
+        S = np.zeros(len(starts))
+        best = np.zeros(len(starts))
+        # ordinal 1 is the tie-law floor: an all-zero series peaks at t=1
+        best_t = np.ones(len(starts), np.int64)
+        ord_in = np.arange(len(k)) - starts[seg]
+        for t in range(lmax):
+            m = ord_in == t
+            hexi = seg[m]
+            S[hexi] = np.maximum(
+                0.0, S[hexi] + (n[m] - mu[hexi] - CUSUM_K)
+            )
+            better = S[hexi] > best[hexi]
+            best[hexi[better]] = S[hexi[better]]
+            best_t[hexi[better]] = t + 1
+        keep = L >= 2
+        hq, hr = _unpack(k[starts][keep])
+        r6 = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "hq": hq,
+                "hr": hr,
+                "n_weeks": L[keep].astype(np.int64),
+                "peak": r6(best[keep]),
+                "peak_week": best_t[keep],
+            }
+        )
+
+    return (
+        agg.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def _sql_hex_cusum() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    week_us = 7 * 86_400_000_000
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT event_id, epoch_us(ts) // {week_us} AS week, {ex} AS x, {ey} AS y
+  FROM events
+),
+{sql_hex_cte(HEX_SIZE)},
+m AS (
+  SELECT hq, hr, week, COUNT(*)::BIGINT AS n FROM hexed GROUP BY hq, hr, week
+),
+mo AS (
+  SELECT hq, hr, n,
+         ROW_NUMBER() OVER (PARTITION BY hq, hr ORDER BY week) AS t
+  FROM m
+),
+st AS (
+  SELECT hq, hr, AVG(n::DOUBLE) AS mu, COUNT(*)::BIGINT AS L
+  FROM m GROUP BY hq, hr
+),
+walk(hq, hr, t, s) AS (
+  SELECT mo.hq, mo.hr, 1,
+         GREATEST(0.0, (mo.n - st.mu - {CUSUM_K!r}))
+  FROM mo JOIN st ON st.hq = mo.hq AND st.hr = mo.hr WHERE mo.t = 1
+  UNION ALL
+  SELECT w.hq, w.hr, w.t + 1,
+         GREATEST(0.0, w.s + (mo.n - st.mu - {CUSUM_K!r}))
+  FROM walk w
+  JOIN mo ON mo.hq = w.hq AND mo.hr = w.hr AND mo.t = w.t + 1
+  JOIN st ON st.hq = w.hq AND st.hr = w.hr
+)
+SELECT w.hq, w.hr, st.L AS n_weeks,
+       ROUND(w.s * 1e6) / 1e6 AS peak, w.t::BIGINT AS peak_week
+FROM walk w JOIN st ON st.hq = w.hq AND st.hr = w.hr
+WHERE st.L >= 2
+QUALIFY ROW_NUMBER() OVER (PARTITION BY w.hq, w.hr
+                           ORDER BY w.s DESC, w.t ASC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9969,6 +10332,9 @@ def queries():
         "traj_simplify": q_traj_simplify,
         "ab_test": q_ab_test,
         "benford": q_benford,
+        "kcore": q_kcore,
+        "raster_focal_median": q_raster_focal_median,
+        "hex_cusum": q_hex_cusum,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -10684,6 +11050,9 @@ def oracle_sql():
         "traj_simplify": _sql_traj_simplify(),
         "ab_test": _sql_ab_test(),
         "benford": _sql_benford(),
+        "kcore": _sql_kcore(),
+        "raster_focal_median": _sql_raster_focal_median(),
+        "hex_cusum": _sql_hex_cusum(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),
