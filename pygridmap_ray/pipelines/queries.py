@@ -10275,6 +10275,254 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY w.hq, w.hr
 
 
 # ---------------------------------------------------------------------------
+# Geary's C + label propagation communities
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 8
+
+
+def q_geary_c(sf_dir: str):
+    """Geary's C spatial autocorrelation of the per-hex doc density
+    (the distance-based complement of Moran's I; C < 1 = clustering):
+    C = (N-1) * sum_adj (n_i - n_j)^2 / (2 W sum (n_i - mean)^2).
+    One row (n_hexes, w_pairs, geary_c 6dp).
+
+    Scale shape: the morans_i scatter plan — density partials, one
+    neighbor scatter with self markers, a second hash aggregate; the
+    pairwise numerator folds EXACTLY in integers via
+    cnt*n^2 - 2n*sum_nbr + sum_nbr^2 per target."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from ..hex import _NEIGHBORS, _pack, hex_axial
+
+    ds = docs_points(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _pack(
+            *hex_axial(
+                np.asarray(b["x"], np.float64),
+                np.asarray(b["y"], np.float64),
+                HEX_SIZE,
+            )
+        )
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"hkey": u, "n": c.astype(np.int64)})
+
+    dens = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hkey")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def scatter(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.int64()),
+                    "nn": pa.array([], pa.int64()),
+                    "nn2": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "self_n": pa.array([], pa.int64()),
+                    "is_self": pa.array([], pa.int64()),
+                }
+            )
+        from ..hex import _unpack
+
+        q, r = _unpack(np.asarray(b["hkey"], np.int64))
+        n = np.asarray(b["n"], np.int64)
+        tkeys = [_pack(q + dq, r + dr) for dq, dr in _NEIGHBORS]
+        nrep = len(_NEIGHBORS)
+        nv = len(n)
+        return pa.table(
+            {
+                "tkey": pa.array(np.concatenate(tkeys + [_pack(q, r)])),
+                "nn": pa.array(
+                    np.concatenate([np.tile(n, nrep), np.zeros(nv, np.int64)])
+                ),
+                "nn2": pa.array(
+                    np.concatenate(
+                        [np.tile(n * n, nrep), np.zeros(nv, np.int64)]
+                    )
+                ),
+                "cnt": pa.array(
+                    np.concatenate(
+                        [np.ones(nrep * nv, np.int64), np.zeros(nv, np.int64)]
+                    )
+                ),
+                "self_n": pa.array(
+                    np.concatenate([np.zeros(nrep * nv, np.int64), n])
+                ),
+                "is_self": pa.array(
+                    np.concatenate(
+                        [np.zeros(nrep * nv, np.int64), np.ones(nv, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    tgt = (
+        dens.map_batches(scatter, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(
+            Sum("nn", alias_name="nn"),
+            Sum("nn2", alias_name="nn2"),
+            Sum("cnt", alias_name="cnt"),
+            Sum("self_n", alias_name="self_n"),
+            Max("is_self", alias_name="occupied"),
+        )
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {
+                    "num": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "s2": pa.array([], pa.int64()),
+                }
+            )
+        occ = np.asarray(b["occupied"], np.int64) == 1
+        nt = np.asarray(b["self_n"], np.int64)[occ]
+        nn = np.asarray(b["nn"], np.int64)[occ]
+        nn2 = np.asarray(b["nn2"], np.int64)[occ]
+        cnt = np.asarray(b["cnt"], np.int64)[occ]
+        num = cnt * nt * nt - 2 * nt * nn + nn2  # exact integers
+        return pa.table(
+            {
+                "num": pa.array([int(num.sum())]),
+                "w": pa.array([int(cnt.sum())]),
+                "k": pa.array([int(occ.sum())]),
+                "s": pa.array([int(nt.sum())]),
+                "s2": pa.array([int((nt * nt).sum())]),
+            }
+        )
+
+    tot = tgt.map_batches(fold, batch_format="pyarrow").sum(
+        ["num", "w", "k", "s", "s2"]
+    )
+    num = float(tot["sum(num)"])
+    w = float(tot["sum(w)"])
+    k = float(tot["sum(k)"])
+    s = float(tot["sum(s)"])
+    s2 = float(tot["sum(s2)"])
+    # sum (n - m)^2 = s2 - s^2/k, all from exact integer sums
+    den = s2 - s * s / k
+    c = ((k - 1.0) * num) / (2.0 * w * den)
+    c = float(np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6)
+    return pa.table(
+        {
+            "n_hexes": pa.array([int(k)], pa.int64()),
+            "w_pairs": pa.array([int(w)], pa.int64()),
+            "geary_c": pa.array([c]),
+        }
+    )
+
+
+def _sql_geary_c() -> str:
+    from ..hex import sql_hex_cte
+    from ..synth import sql_points_cte
+
+    return (
+        f"WITH pts AS ({sql_points_cte()}), {sql_hex_cte(HEX_SIZE)}, "
+        f"d AS (SELECT hq, hr, COUNT(*)::BIGINT AS n FROM hexed"
+        f" GROUP BY hq, hr), "
+        f"g AS (SELECT COUNT(*)::BIGINT AS k, SUM(n)::BIGINT AS s,"
+        f" SUM(n * n)::BIGINT AS s2 FROM d), "
+        f"off(dq, dr) AS (VALUES (1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1)), "
+        f"e AS (SELECT a.n AS na, b.n AS nb FROM d a CROSS JOIN off o"
+        f" JOIN d b ON b.hq = a.hq + o.dq AND b.hr = a.hr + o.dr), "
+        f"p AS (SELECT SUM((na - nb) * (na - nb))::BIGINT AS num,"
+        f" COUNT(*)::BIGINT AS w FROM e) "
+        f"SELECT g.k AS n_hexes, p.w AS w_pairs,"
+        f" ROUND((((g.k::DOUBLE - 1.0) * p.num::DOUBLE)"
+        f" / (2.0 * p.w::DOUBLE"
+        f" * (g.s2::DOUBLE - g.s::DOUBLE * g.s::DOUBLE / g.k::DOUBLE)))"
+        f" * 1e6) / 1e6 AS geary_c"
+        f" FROM g CROSS JOIN p"
+    )
+
+
+def q_label_prop(sf_dir: str):
+    """Label-propagation communities on the supplier<->part bipartite
+    graph: labels start as node ids; {LPA_ROUNDS} SYNCHRONOUS rounds of
+    'adopt the most frequent neighbor label, tie -> smallest' (the op is
+    defined by the fixed round count, so engine and oracle agree at any
+    sf).  Output per community: (community, n_nodes).
+
+    Scale shape: the distinct edge set is distributed; each round is an
+    all-integer vectorized mode pass over edge-scale arrays (node-hash
+    partitioned joins are the above-threshold path)."""
+    import ray.data as rd
+
+    from ..graph import distinct_int_pairs
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    pairs = distinct_int_pairs(line, "l_suppkey", "l_partkey")
+    tbl = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
+    a = np.asarray(tbl["l_suppkey"], np.int64)
+    b = np.asarray(tbl["l_partkey"], np.int64) + KCORE_POFF
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    nodes, inv_u = np.unique(u, return_inverse=True)
+    inv_v = np.searchsorted(nodes, v)
+    lab = nodes.copy()
+    for _ in range(LPA_ROUNDS):
+        nl = lab[inv_v]
+        order = np.lexsort((nl, inv_u))
+        su, sl = inv_u[order], nl[order]
+        runs = np.concatenate([[True], (su[1:] != su[:-1]) | (sl[1:] != sl[:-1])])
+        rs = np.flatnonzero(runs)
+        rc = np.diff(np.append(rs, len(su)))
+        ru, rl = su[rs], sl[rs]
+        pick = np.lexsort((rl, -rc, ru))
+        first = np.concatenate([[True], ru[pick][1:] != ru[pick][:-1]])
+        upd_nodes = ru[pick][first]
+        upd_labs = rl[pick][first]
+        new = lab.copy()
+        new[upd_nodes] = upd_labs
+        lab = new
+    comm, sizes = np.unique(lab, return_counts=True)
+    return pa.table(
+        {
+            "community": pa.array(comm, pa.int64()),
+            "n_nodes": pa.array(sizes.astype(np.int64)),
+        }
+    )
+
+
+def _sql_label_prop() -> str:
+    parts = [
+        (
+            "ed AS (SELECT DISTINCT l_suppkey AS a,"
+            f" l_partkey + {KCORE_POFF} AS b FROM lineitem)"
+        ),
+        "edges AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed)",
+        "l0 AS (SELECT DISTINCT a AS n, a AS lab FROM edges)",
+    ]
+    for i in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT n, lab FROM ("
+            f"SELECT e.a AS n, l.lab AS lab, COUNT(*) AS c"
+            f" FROM edges e JOIN l{i - 1} l ON l.n = e.b"
+            f" GROUP BY e.a, l.lab)"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY n"
+            f" ORDER BY c DESC, lab ASC) = 1)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT lab AS community, COUNT(*)::BIGINT AS n_nodes"
+        f" FROM l{LPA_ROUNDS} GROUP BY lab"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10335,6 +10583,8 @@ def queries():
         "kcore": q_kcore,
         "raster_focal_median": q_raster_focal_median,
         "hex_cusum": q_hex_cusum,
+        "geary_c": q_geary_c,
+        "label_prop": q_label_prop,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -11053,6 +11303,8 @@ def oracle_sql():
         "kcore": _sql_kcore(),
         "raster_focal_median": _sql_raster_focal_median(),
         "hex_cusum": _sql_hex_cusum(),
+        "geary_c": _sql_geary_c(),
+        "label_prop": _sql_label_prop(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),
