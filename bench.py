@@ -223,6 +223,9 @@ def _secondary() -> dict:
         ("raster_flow_accum", q.q_raster_flow_accum),
         ("raster_viewshed", q.q_raster_viewshed),
         ("geometric_median", q.q_geometric_median),
+        ("st_dbscan", q.q_st_dbscan),
+        ("kcore", q.q_kcore),
+        ("traj_simplify", q.q_traj_simplify),
     ]:
 
         def once(fn=fn):
