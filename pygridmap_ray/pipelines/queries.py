@@ -10523,6 +10523,158 @@ def _sql_label_prop() -> str:
 
 
 # ---------------------------------------------------------------------------
+# IPF (Furness balancing) of the region OD matrix
+# ---------------------------------------------------------------------------
+
+IPF_ITERS = 6
+IPF_RW = 500_000.0 / 3.0
+IPF_RH = 501_000.0 / 3.0
+
+
+def q_ipf_balance(sf_dir: str):
+    """Iterative proportional fitting (the Furness method) of the 3x3
+    region OD matrix to UNIFORM target margins: per user one flow from
+    the region of the first event to the region of the last; 6 rounds of
+    row-then-column scaling toward total/9 per margin (zero margins keep
+    their zeros — the guard is part of the law).  Rows (o_region,
+    d_region, n, flow 6dp) over observed OD cells.
+
+    Scale shape: one user-hash bucket pass collapses events to per-user
+    endpoints; the 81-cell matrix balances on the driver (margins are
+    region-scale — the broadcast-state superstep path at finer
+    partitions)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..joins import _bucket_of
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        reg = (
+            np.floor(x / IPF_RW).astype(np.int64) * 3
+            + np.floor(y / IPF_RH).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "reg": pa.array(reg),
+                "__b": pa.array(_bucket_of(uid, 64)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        reg = g["reg"].to_numpy(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, reg = uid[order], reg[order]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        last = np.concatenate([uid[1:] != uid[:-1], [True]])
+        o = reg[first]
+        d = reg[last]
+        key = o * 9 + d
+        u, c = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {"od": u, "n": c.astype(np.int64)}
+        )
+
+    flows = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("od")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(flows.iter_batches(batch_format="pyarrow"))
+    od = np.asarray(tbl["od"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    M = np.zeros((3 * 3, 3 * 3))
+    M[od // 9, od % 9] = n.astype(np.float64)
+    T = float(n.sum()) / 9.0
+    for _ in range(IPF_ITERS):
+        rs = M.sum(axis=1)
+        fac = np.where(rs > 0.0, T / np.where(rs > 0.0, rs, 1.0), 0.0)
+        M = M * fac[:, None]
+        cs = M.sum(axis=0)
+        fac = np.where(cs > 0.0, T / np.where(cs > 0.0, cs, 1.0), 0.0)
+        M = M * fac[None, :]
+    oo, dd = od // 9, od % 9
+    f = M[oo, dd]
+    f = np.sign(f) * np.floor(np.abs(f) * 1e6 + 0.5) / 1e6
+    order = np.argsort(od)
+    return pa.table(
+        {
+            "o_region": pa.array(oo[order], pa.int64()),
+            "d_region": pa.array(dd[order], pa.int64()),
+            "n": pa.array(n[order]),
+            "flow": pa.array(f[order]),
+        }
+    )
+
+
+def _sql_ipf_balance() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    reg = (
+        f"(CAST(FLOOR(({ex}) / {IPF_RW!r}) AS BIGINT) * 3"
+        f" + CAST(FLOOR(({ey}) / {IPF_RH!r}) AS BIGINT))"
+    )
+    parts = [
+        (
+            f"pe AS (SELECT user_id, {reg} AS region,"
+            f" ROW_NUMBER() OVER (PARTITION BY user_id"
+            f" ORDER BY ts, event_id) AS rn_a,"
+            f" ROW_NUMBER() OVER (PARTITION BY user_id"
+            f" ORDER BY ts DESC, event_id DESC) AS rn_d"
+            f" FROM events)"
+        ),
+        (
+            "m0 AS (SELECT a.region AS o, z.region AS d,"
+            " COUNT(*)::BIGINT AS n, COUNT(*)::DOUBLE AS f"
+            " FROM pe a JOIN pe z USING (user_id)"
+            " WHERE a.rn_a = 1 AND z.rn_d = 1"
+            " GROUP BY a.region, z.region)"
+        ),
+        "t AS (SELECT SUM(n)::DOUBLE / 9.0 AS tt FROM m0)",
+    ]
+    k = 0
+    for _ in range(IPF_ITERS):
+        k += 1
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT o, d, n,"
+            f" f * (CASE WHEN SUM(f) OVER (PARTITION BY o) > 0.0"
+            f" THEN t.tt / SUM(f) OVER (PARTITION BY o)"
+            f" ELSE 0.0 END) AS f FROM m{k - 1} CROSS JOIN t)"
+        )
+        k += 1
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT o, d, n,"
+            f" f * (CASE WHEN SUM(f) OVER (PARTITION BY d) > 0.0"
+            f" THEN t.tt / SUM(f) OVER (PARTITION BY d)"
+            f" ELSE 0.0 END) AS f FROM m{k - 1} CROSS JOIN t)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT o AS o_region, d AS d_region, n,"
+        f" ROUND(f * 1e6) / 1e6 AS flow FROM m{k}"
+        f" ORDER BY o_region, d_region"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10585,6 +10737,7 @@ def queries():
         "hex_cusum": q_hex_cusum,
         "geary_c": q_geary_c,
         "label_prop": q_label_prop,
+        "ipf_balance": q_ipf_balance,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -11305,6 +11458,7 @@ def oracle_sql():
         "hex_cusum": _sql_hex_cusum(),
         "geary_c": _sql_geary_c(),
         "label_prop": _sql_label_prop(),
+        "ipf_balance": _sql_ipf_balance(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),
