@@ -9488,22 +9488,29 @@ def q_st_dbscan(sf_dir: str):
         pt = g["pt"].to_numpy(np.int64)[order]
         own = g["own"].to_numpy(np.int8)[order]
         ids, cnts = [], []
+        CHUNK = 512  # bound hot-cell owner blocks (exact: law is per-pair)
         for s, e in zip(starts, ends):
             o = own[s:e] > 0
             if not o.any():
                 continue
-            dx = px[s:e][o][:, None] - px[s:e][None, :]
-            dy = py[s:e][o][:, None] - py[s:e][None, :]
-            close = (
-                (dx * dx + dy * dy <= ds2)
-                & (
-                    np.abs(pt[s:e][o][:, None] - pt[s:e][None, :])
-                    <= STDB_DT
+            ox_all = px[s:e][o]
+            oy_all = py[s:e][o]
+            ot_all = pt[s:e][o]
+            oid_all = pid[s:e][o]
+            for c0 in range(0, len(ox_all), CHUNK):
+                sl = slice(c0, c0 + CHUNK)
+                dx = ox_all[sl][:, None] - px[s:e][None, :]
+                dy = oy_all[sl][:, None] - py[s:e][None, :]
+                close = (
+                    (dx * dx + dy * dy <= ds2)
+                    & (
+                        np.abs(ot_all[sl][:, None] - pt[s:e][None, :])
+                        <= STDB_DT
+                    )
+                    & (oid_all[sl][:, None] != pid[s:e][None, :])
                 )
-                & (pid[s:e][o][:, None] != pid[s:e][None, :])
-            )
-            ids.append(pid[s:e][o])
-            cnts.append(close.sum(axis=1).astype(np.int64))
+                ids.append(oid_all[sl])
+                cnts.append(close.sum(axis=1).astype(np.int64))
         if not ids:
             return pd.DataFrame({"eid": [], "cnt": []}).astype(np.int64)
         return pd.DataFrame(
@@ -9535,25 +9542,32 @@ def q_st_dbscan(sf_dir: str):
         else:
             is_core = np.zeros(len(pid), bool)
         eas, ebs = [], []
+        CHUNK = 512
         for s, e in zip(starts, ends):
             o = (own[s:e] > 0) & is_core[s:e]
             cand = is_core[s:e]
             if not o.any() or not cand.any():
                 continue
-            dx = px[s:e][o][:, None] - px[s:e][None, :]
-            dy = py[s:e][o][:, None] - py[s:e][None, :]
-            close = (
-                (dx * dx + dy * dy <= ds2)
-                & (
-                    np.abs(pt[s:e][o][:, None] - pt[s:e][None, :])
-                    <= STDB_DT
+            ox_all = px[s:e][o]
+            oy_all = py[s:e][o]
+            ot_all = pt[s:e][o]
+            oid_all = pid[s:e][o]
+            for c0 in range(0, len(ox_all), CHUNK):
+                sl = slice(c0, c0 + CHUNK)
+                dx = ox_all[sl][:, None] - px[s:e][None, :]
+                dy = oy_all[sl][:, None] - py[s:e][None, :]
+                close = (
+                    (dx * dx + dy * dy <= ds2)
+                    & (
+                        np.abs(ot_all[sl][:, None] - pt[s:e][None, :])
+                        <= STDB_DT
+                    )
+                    & (oid_all[sl][:, None] < pid[s:e][None, :])
+                    & cand[None, :]
                 )
-                & (pid[s:e][o][:, None] < pid[s:e][None, :])
-                & cand[None, :]
-            )
-            oi, cj = np.nonzero(close)
-            eas.append(pid[s:e][o][oi])
-            ebs.append(pid[s:e][cj])
+                oi, cj = np.nonzero(close)
+                eas.append(oid_all[sl][oi])
+                ebs.append(pid[s:e][cj])
         if not eas:
             return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
         return pd.DataFrame(
@@ -10675,6 +10689,210 @@ def _sql_ipf_balance() -> str:
 
 
 # ---------------------------------------------------------------------------
+# region-week independence test + movement entropy
+# ---------------------------------------------------------------------------
+
+
+def q_region_week_chi2(sf_dir: str):
+    """Chi-square test of independence between event region (3x3) and
+    epoch week: observed vs expected = row_total * col_total / N over
+    the contingency table; one row (n, n_regions, n_weeks, chi2 6dp).
+
+    Scale shape: composite (region, week) integer combiners -> a tiny
+    contingency table folds on the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    WEEK_US = 7 * 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        us = np.asarray(
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        )
+        x, y = derive_xy(eid)
+        reg = (
+            np.floor(x / IPF_RW).astype(np.int64) * 3
+            + np.floor(y / IPF_RH).astype(np.int64)
+        )
+        week = us // WEEK_US
+        key = reg * 1_000_000 + week
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"rw": u, "n": c.astype(np.int64)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("rw")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    rw = np.asarray(tbl["rw"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    reg = rw // 1_000_000
+    week = rw % 1_000_000
+    regs, ri = np.unique(reg, return_inverse=True)
+    weeks, wi = np.unique(week, return_inverse=True)
+    row = np.bincount(ri, weights=n, minlength=len(regs))
+    col = np.bincount(wi, weights=n, minlength=len(weeks))
+    tot = float(n.sum())
+    # chi2 over OBSERVED cells plus the zero cells' expected mass:
+    # sum (o - e)^2 / e  =  sum_obs (o - e)^2 / e + sum_zero e
+    e_obs = row[ri] * col[wi] / tot
+    chi = float(((n - e_obs) * (n - e_obs) / e_obs).sum())
+    chi += float((row.sum() * col.sum() / tot) - e_obs.sum())
+    chi = float(np.sign(chi) * np.floor(np.abs(chi) * 1e6 + 0.5) / 1e6)
+    return pa.table(
+        {
+            "n": pa.array([int(tot)], pa.int64()),
+            "n_regions": pa.array([len(regs)], pa.int64()),
+            "n_weeks": pa.array([len(weeks)], pa.int64()),
+            "chi2": pa.array([chi]),
+        }
+    )
+
+
+def _sql_region_week_chi2() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    week_us = 7 * 86_400_000_000
+    reg = (
+        f"(CAST(FLOOR(({ex}) / {IPF_RW!r}) AS BIGINT) * 3"
+        f" + CAST(FLOOR(({ey}) / {IPF_RH!r}) AS BIGINT))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT {reg} AS reg, epoch_us(ts) // {week_us} AS week FROM events
+),
+o AS (SELECT reg, week, COUNT(*)::BIGINT AS n FROM pts GROUP BY reg, week),
+r AS (SELECT reg, SUM(n)::DOUBLE AS rn FROM o GROUP BY reg),
+c AS (SELECT week, SUM(n)::DOUBLE AS cn FROM o GROUP BY week),
+t AS (SELECT SUM(n)::DOUBLE AS tot FROM o),
+obs AS (
+  SELECT SUM((o.n - r.rn * c.cn / t.tot) * (o.n - r.rn * c.cn / t.tot)
+             / (r.rn * c.cn / t.tot)) AS chi_obs,
+         SUM(r.rn * c.cn / t.tot) AS e_obs
+  FROM o JOIN r USING (reg) JOIN c USING (week) CROSS JOIN t
+)
+SELECT CAST(t.tot AS BIGINT) AS n,
+       (SELECT COUNT(*) FROM r)::BIGINT AS n_regions,
+       (SELECT COUNT(*) FROM c)::BIGINT AS n_weeks,
+       ROUND((obs.chi_obs
+              + ((SELECT SUM(rn) FROM r) * (SELECT SUM(cn) FROM c) / t.tot
+                 - obs.e_obs)) * 1e6) / 1e6 AS chi2
+FROM obs CROSS JOIN t
+"""
+
+
+def q_movement_entropy(sf_dir: str):
+    """Conditional movement entropy H(next region | current region) of
+    the per-user region sequences (natural log): counts over observed
+    region transitions, H = -sum p(x,y) ln(n_xy / n_x).  One row
+    (n_transitions, n_states, h 6dp) — low H = predictable mobility.
+
+    Scale shape: the one-coarse-bucket trajectory plan emitting integer
+    (from, to) transition combiners; the 81-cell table folds on the
+    driver."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..joins import _bucket_of
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        reg = (
+            np.floor(x / IPF_RW).astype(np.int64) * 3
+            + np.floor(y / IPF_RH).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "reg": pa.array(reg),
+                "__b": pa.array(_bucket_of(uid, 64)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        reg = g["reg"].to_numpy(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, reg = uid[order], reg[order]
+        same = uid[1:] == uid[:-1]
+        key = reg[:-1][same] * 9 + reg[1:][same]
+        u, c = np.unique(key, return_counts=True)
+        return pd.DataFrame({"ft": u, "n": c.astype(np.int64)})
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("ft")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    ft = np.asarray(tbl["ft"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    frm = ft // 9
+    states, fi = np.unique(frm, return_inverse=True)
+    row = np.bincount(fi, weights=n, minlength=len(states))
+    tot = float(n.sum())
+    h = float(-(n / tot * np.log(n / row[fi])).sum())
+    h = float(np.sign(h) * np.floor(np.abs(h) * 1e6 + 0.5) / 1e6)
+    return pa.table(
+        {
+            "n_transitions": pa.array([int(tot)], pa.int64()),
+            "n_states": pa.array([len(states)], pa.int64()),
+            "h": pa.array([h]),
+        }
+    )
+
+
+def _sql_movement_entropy() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    reg = (
+        f"(CAST(FLOOR(({ex}) / {IPF_RW!r}) AS BIGINT) * 3"
+        f" + CAST(FLOOR(({ey}) / {IPF_RH!r}) AS BIGINT))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {reg} AS reg FROM events
+),
+tr AS (
+  SELECT LAG(reg) OVER w AS f, reg AS t2
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+  QUALIFY LAG(reg) OVER w IS NOT NULL
+),
+o AS (SELECT f, t2, COUNT(*)::BIGINT AS n FROM tr GROUP BY f, t2),
+r AS (SELECT f, SUM(n)::DOUBLE AS rn FROM o GROUP BY f),
+t AS (SELECT SUM(n)::DOUBLE AS tot FROM o)
+SELECT CAST(t.tot AS BIGINT) AS n_transitions,
+       (SELECT COUNT(*) FROM r)::BIGINT AS n_states,
+       ROUND((-(SELECT SUM(o.n / t2_.tot * ln(o.n / r.rn))
+                FROM o JOIN r USING (f) CROSS JOIN t t2_)) * 1e6) / 1e6 AS h
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10738,6 +10956,8 @@ def queries():
         "geary_c": q_geary_c,
         "label_prop": q_label_prop,
         "ipf_balance": q_ipf_balance,
+        "region_week_chi2": q_region_week_chi2,
+        "movement_entropy": q_movement_entropy,
         "idw_interpolate": q_idw_interpolate,
         "hex_spatial_lag": q_hex_spatial_lag,
         "hex_mann_kendall": q_hex_mann_kendall,
@@ -11459,6 +11679,8 @@ def oracle_sql():
         "geary_c": _sql_geary_c(),
         "label_prop": _sql_label_prop(),
         "ipf_balance": _sql_ipf_balance(),
+        "region_week_chi2": _sql_region_week_chi2(),
+        "movement_entropy": _sql_movement_entropy(),
         "idw_interpolate": _sql_idw_interpolate(),
         "hex_spatial_lag": _sql_hex_spatial_lag(),
         "hex_mann_kendall": _sql_hex_mann_kendall(),
