@@ -312,6 +312,45 @@ def distinct_int_pairs(ds, a_col: str, b_col: str, *, num_buckets: int = 64):
     )
 
 
+def distinct_int_pairs_table(ds, a_col: str, b_col: str) -> pa.Table:
+    """Driver-final variant of :func:`distinct_int_pairs` for DENSE-PATH
+    consumers (k-core, label propagation, the pagerank dense gate) that
+    materialize the whole distinct edge set on the driver anyway: one
+    per-batch packed-key ``np.unique`` partial, partials streamed to the
+    driver, one final ``np.unique`` — no shuffle at all (measured ~3x
+    faster than the coarse-groupby plan at sf0.1).  Only correct to use
+    when the DISTINCT pair count is driver-memory scale (the same gate
+    those consumers already assume); the distributed
+    :func:`distinct_int_pairs` remains the above-threshold path."""
+
+    def pack(b: pa.Table) -> pa.Table:
+        a = np.asarray(b[a_col], dtype=np.int64)
+        v = np.asarray(b[b_col], dtype=np.int64)
+        if len(a) and (
+            a.max() >= (1 << 31)
+            or v.max() >= (1 << 31)
+            or a.min() < 0
+            or v.min() < 0
+        ):
+            raise ValueError("pair values must be in [0, 2^31)")
+        return pa.table({"k": pa.array(np.unique(a * (1 << 31) + v))})
+
+    parts = [
+        np.asarray(b["k"], np.int64)
+        for b in ds.map_batches(pack, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    k = (
+        np.unique(np.concatenate(parts))
+        if parts
+        else np.empty(0, np.int64)
+    )
+    return pa.table(
+        {a_col: pa.array(k >> 31), b_col: pa.array(k & ((1 << 31) - 1))}
+    )
+
+
 def degree_histogram(pairs, a_col: str, b_col: str, *,
                      num_buckets: int = 64):
     """Degree distribution of the bipartite graph given its DISTINCT

@@ -3925,28 +3925,30 @@ def _sql_tfidf_pairs() -> str:
 
 def q_pagerank(sf_dir: str):
     """Fixed-iteration PageRank (graph.pagerank) over the supplier<->part
-    bipartite graph: distinct edges via packed-key coarse dedup, 5 Pregel
-    supersteps of join + coarse-sum with materialized rank state."""
+    bipartite graph: distinct edges via per-batch packed-key partials +
+    one driver-final unique (this demo graph is node-scale, the pagerank
+    dense gate — at corpus scale swap in the distributed
+    graph.distinct_int_pairs), 5 Pregel supersteps of join + coarse-sum
+    with materialized rank state."""
     import ray.data as rd
 
-    from ..graph import distinct_int_pairs, pagerank
+    from ..cluster import default_num_partitions
+    from ..graph import distinct_int_pairs_table, pagerank
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
     )
-    pairs = distinct_int_pairs(line, "l_suppkey", "l_partkey")
-
-    def both_dirs(b: pa.Table) -> pa.Table:
-        s = np.asarray(b["l_suppkey"], np.int64) * 2
-        p = np.asarray(b["l_partkey"], np.int64) * 2 + 1
-        return pa.table(
+    tbl = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
+    s = np.asarray(tbl["l_suppkey"], np.int64) * 2
+    p = np.asarray(tbl["l_partkey"], np.int64) * 2 + 1
+    edges = rd.from_arrow(
+        pa.table(
             {
                 "src": pa.array(np.concatenate([s, p])),
                 "dst": pa.array(np.concatenate([p, s])),
             }
         )
-
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    ).repartition(default_num_partitions())
     return pagerank(edges, iters=5)
 
 
@@ -9942,20 +9944,21 @@ def q_kcore(sf_dir: str):
     sides run the same count), so engine and oracle agree at any scale
     factor.
 
-    Scale shape: the distinct edge set comes from the packed-key
-    coarse-bucket distinct (graph.distinct_int_pairs); the peel is
-    node-scale — vectorized bincount rounds over the gathered edge
-    array below the pagerank dense-path threshold, degree-filter
-    supersteps (groupby + broadcast alive set) above it."""
+    Scale shape: the distinct edge set comes from per-batch packed-key
+    partials + one driver-final unique (graph.distinct_int_pairs_table
+    — this consumer gathers the edge set anyway, so the coarse-bucket
+    shuffle would be pure overhead); the peel is node-scale —
+    vectorized bincount rounds over the gathered edge array below the
+    pagerank dense-path threshold, degree-filter supersteps (groupby +
+    broadcast alive set) above it."""
     import ray.data as rd
 
-    from ..graph import distinct_int_pairs
+    from ..graph import distinct_int_pairs_table
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
     )
-    pairs = distinct_int_pairs(line, "l_suppkey", "l_partkey")
-    tbl = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
+    tbl = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
     a = np.asarray(tbl["l_suppkey"], np.int64)
     b = np.asarray(tbl["l_partkey"], np.int64) + KCORE_POFF
     # symmetric edge list
@@ -10467,18 +10470,19 @@ def q_label_prop(sf_dir: str):
     defined by the fixed round count, so engine and oracle agree at any
     sf).  Output per community: (community, n_nodes).
 
-    Scale shape: the distinct edge set is distributed; each round is an
+    Scale shape: the distinct edge set comes from per-batch packed-key
+    partials + one driver-final unique (distinct_int_pairs_table — the
+    mode rounds gather the edge array anyway); each round is an
     all-integer vectorized mode pass over edge-scale arrays (node-hash
     partitioned joins are the above-threshold path)."""
     import ray.data as rd
 
-    from ..graph import distinct_int_pairs
+    from ..graph import distinct_int_pairs_table
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
     )
-    pairs = distinct_int_pairs(line, "l_suppkey", "l_partkey")
-    tbl = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
+    tbl = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
     a = np.asarray(tbl["l_suppkey"], np.int64)
     b = np.asarray(tbl["l_partkey"], np.int64) + KCORE_POFF
     u = np.concatenate([a, b])
