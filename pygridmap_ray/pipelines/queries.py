@@ -25,7 +25,7 @@ from ..planning import plan_grid
 from ..spatial import join_points_to_polygons, knn_join, sql_point_join
 from ..geom.proj import reproject, sql_laea_forward
 from ..stats import sql_grouped_quantiles
-from ..text import BPE_PATTERN, sql_top_ngrams
+from ..text import BPE_PATTERN, sql_fuzzy_vocab, sql_pmi_bigrams, sql_top_ngrams
 from ..synth import (
     DOMAIN,
     SQL_X,
@@ -5822,6 +5822,24 @@ def q_top_bigrams(sf_dir: str):
     return top_ngrams(_docs(sf_dir, ("doc_id", "text")), n=2, k=25)
 
 
+def q_pmi_bigrams(sf_dir: str):
+    """PMI collocations (phrase mining): combiner-aggregated unigram +
+    bigram totals, corpus sizes from one tiny Sum reduce, vocabulary
+    broadcast once, vectorized PMI over the thresholded bigram set."""
+    from ..text import pmi_bigrams
+
+    return pmi_bigrams(_docs(sf_dir, ("doc_id", "text")), min_count=5)
+
+
+def q_fuzzy_vocab(sf_dir: str):
+    """Fuzzy vocabulary self-join (typo/variant mining): recall-complete
+    length banding + pair-vectorized Levenshtein DP over the broadcast
+    vocabulary; oracle is DuckDB's own levenshtein over all-pairs."""
+    from ..text import fuzzy_vocab_pairs
+
+    return fuzzy_vocab_pairs(_docs(sf_dir, ("doc_id", "text")), max_dist=2)
+
+
 def q_rolling_fp(sf_dir: str):
     from ..text import rolling_fingerprint
 
@@ -11094,6 +11112,8 @@ def queries():
         "corpus_curate": q_corpus_curate,
         "neardup_keep_best": q_neardup_keep_best,
         "top_bigrams": q_top_bigrams,
+        "pmi_bigrams": q_pmi_bigrams,
+        "fuzzy_vocab": q_fuzzy_vocab,
         "lang_quantiles": q_lang_quantiles,
         "train_split": q_train_split,
         "pack_sequences": q_pack_sequences,
@@ -11871,6 +11891,8 @@ def oracle_sql():
         "corpus_curate": _sql_corpus_curate(),
         "neardup_keep_best": _sql_neardup_keep_best(),
         "top_bigrams": sql_top_ngrams(2, 25),
+        "pmi_bigrams": sql_pmi_bigrams(min_count=5),
+        "fuzzy_vocab": sql_fuzzy_vocab(max_dist=2),
         "lang_quantiles": sql_grouped_quantiles(),
         "train_split": _sql_train_split(),
         "pack_sequences": _sql_pack_sequences(),

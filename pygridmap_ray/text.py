@@ -1464,3 +1464,338 @@ FROM t,
        0, GREATEST((n - {window} + {stride} - 1) // {stride}, 0)
      )) AS u(j)
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (phrase mining) + fuzzy vocabulary matching
+# ---------------------------------------------------------------------------
+
+
+def _ngram_totals(ds, *, n: int, text_col: str = "text",
+                  min_count: int = 1, num_buckets: int = 64):
+    """Global (ngram, cnt) totals: per-batch ``ngram_counts_partial``
+    combiner -> coarse hash-bucket groupby (the engine-wide
+    hash-like-key rule: never one Ray group per unique gram) ->
+    per-bucket vectorized sum, filtered to ``cnt >= min_count``.  The
+    shuffle carries unique grams per batch, never token streams."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = ngram_counts_partial(b, n=n, text_col=text_col)
+        h = pd.util.hash_array(np.asarray(t["ngram"]).astype(object))
+        cg = (h % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__cg", pa.array(cg))
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        totals = g.groupby("ngram", sort=False)["cnt"].sum().reset_index()
+        if min_count > 1:
+            totals = totals[totals["cnt"] >= min_count]
+        return totals[["ngram", "cnt"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(bucket_sum, batch_format="pandas")
+    )
+
+
+def _gather_totals(totals) -> pa.Table:
+    """Materialize a (ngram, cnt) totals Dataset on the driver —
+    vocabulary-scale by contract (callers document the bound)."""
+    import ray
+
+    parts = [
+        t
+        for t in (ray.get(r) for r in totals.to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0
+    ]
+    if not parts:
+        return pa.table(
+            {"ngram": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables([p.select(["ngram", "cnt"]) for p in parts])
+
+
+def pmi_bigrams(ds, *, min_count: int = 5, text_col: str = "text",
+                round_to: int = 6):
+    """Pointwise-mutual-information collocations over adjacent token
+    bigrams — the classic phrase-mining signal (Church & Hanks 1990).
+
+    ``pmi(a b) = ln(((c_ab * N1) * N1) / ((c_a * c_b) * N2))`` with N1 =
+    total tokens, N2 = total within-doc bigrams; the exact double op
+    order is mirrored in :func:`sql_pmi_bigrams` so the rounded values
+    hash-match.  Output: (w1, w2, cnt, pmi) for every bigram with
+    ``cnt >= min_count``.
+
+    Scale plan: bigram + unigram totals are combiner -> coarse-bucket
+    aggregates (shuffle carries unique grams per batch); N1/N2 reduce
+    from one tiny per-batch partial; the unigram VOCABULARY broadcasts
+    once (``ray.put``, cached per worker — the documented natural-
+    language bound, same as ``unigram_logprob_score``); the final PMI
+    stage is stateless vectorized over the min_count-filtered bigram
+    totals, which stream — no stage ever materializes corpus-scale
+    data on the driver."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    # one tiny (n1, n2) partial per batch -> Sum reduce
+    def size_partial(b: pa.Table) -> pa.Table:
+        la = pc.split_pattern_regex(b[text_col], r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.flatten()
+        lens = np.diff(la.offsets.to_numpy())
+        rid = np.repeat(np.arange(len(la), dtype=np.int64), lens)
+        keep = np.asarray(pc.fill_null(pc.not_equal(flat, ""), False))
+        ntok = np.bincount(rid[keep], minlength=len(la))
+        return pa.table(
+            {
+                "n1": pa.array([int(ntok.sum())], pa.int64()),
+                "n2": pa.array(
+                    [int(np.maximum(ntok - 1, 0).sum())], pa.int64()
+                ),
+            }
+        )
+
+    sizes = (
+        ds.map_batches(size_partial, batch_format="pyarrow")
+        .aggregate(Sum("n1", alias_name="n1"), Sum("n2", alias_name="n2"))
+    )
+    n1 = float(sizes["n1"] or 0)
+    n2 = float(sizes["n2"] or 0)
+
+    uni = _gather_totals(_ngram_totals(ds, n=1, text_col=text_col))
+    toks = np.asarray(uni["ngram"]).astype(object)
+    cnts = np.asarray(uni["cnt"], dtype=np.float64)
+    order = np.argsort(toks)
+    ref = {"__ref__": ray.put((toks[order], cnts[order], n1, n2))}
+
+    big = _ngram_totals(ds, n=2, text_col=text_col, min_count=min_count)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from .spatial import _cached_kernel
+
+        toks_s, cnts_s, t1, t2 = _cached_kernel(
+            f"pmi:{ref['__ref__'].hex()}", ref, lambda v: v
+        )
+        grams = np.asarray(batch["ngram"]).astype(object)
+        cab = np.asarray(batch["cnt"], dtype=np.float64)
+        # tokens are \S+ so every bigram has exactly one space
+        w1 = np.array([g.split(" ", 1)[0] for g in grams], dtype=object)
+        w2 = np.array([g.split(" ", 1)[1] for g in grams], dtype=object)
+        ca = cnts_s[np.searchsorted(toks_s, w1)] if len(toks_s) else cab
+        cb = cnts_s[np.searchsorted(toks_s, w2)] if len(toks_s) else cab
+        pmi = np.log(((cab * t1) * t1) / ((ca * cb) * t2))
+        tol = 10.0 ** round_to
+        pmi = np.sign(pmi) * np.floor(np.abs(pmi) * tol + 0.5) / tol
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "cnt": pc.cast(batch["cnt"], pa.int64()),
+                "pmi": pa.array(pmi),
+            }
+        )
+
+    return big.map_batches(score, batch_format="pyarrow")
+
+
+def sql_pmi_bigrams(*, min_count: int = 5, source: str = "documents",
+                    text: str = "text", round_to: int = 6) -> str:
+    """DuckDB twin of :func:`pmi_bigrams` (same token/gram laws, same
+    double op order inside LN)."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array({text}, '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array({text}, '\\s+'), 1) AS i
+  FROM {source}
+), tk2 AS (
+  SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j
+  FROM tk WHERE tok <> ''
+),
+uni AS (SELECT tok, COUNT(*)::BIGINT AS c FROM tk2 GROUP BY tok),
+n1 AS (SELECT SUM(c)::DOUBLE AS n FROM uni),
+big AS (
+  SELECT t0.tok AS w1, t1.tok AS w2, COUNT(*)::BIGINT AS cnt
+  FROM tk2 t0 JOIN tk2 t1 ON t1.doc_id = t0.doc_id AND t1.j = t0.j + 1
+  GROUP BY t0.tok, t1.tok
+),
+n2 AS (SELECT SUM(cnt)::DOUBLE AS n FROM big)
+SELECT b.w1, b.w2, b.cnt,
+       ROUND(LN(((b.cnt::DOUBLE * n1.n) * n1.n)
+                / ((ua.c::DOUBLE * ub.c::DOUBLE) * n2.n)) * 1e{round_to})
+         / 1e{round_to} AS pmi
+FROM big b
+JOIN uni ua ON ua.tok = b.w1
+JOIN uni ub ON ub.tok = b.w2
+CROSS JOIN n1 CROSS JOIN n2
+WHERE b.cnt >= {min_count}
+"""
+
+
+def _levenshtein_block(A: np.ndarray, la: np.ndarray,
+                       B: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein distances between every row of token matrix A
+    (na x La, uint8-padded) and every row of B — one DP over the padded
+    grid, VECTORIZED across the full na*nb pair axis (unit costs, the
+    classic Wagner–Fischer recurrence; identical to DuckDB's
+    ``levenshtein`` on ASCII input).  Returns an (na, nb) int matrix."""
+    na, La = A.shape
+    nb, Lb = B.shape
+    P = na * nb
+    # pair-expanded character matrices
+    Ae = np.repeat(A, nb, axis=0)          # (P, La)
+    Be = np.tile(B, (na, 1))               # (P, Lb)
+    lae = np.repeat(la, nb)
+    lbe = np.tile(lb, na)
+    prev = np.broadcast_to(
+        np.arange(Lb + 1, dtype=np.int32), (P, Lb + 1)
+    ).copy()
+    out = np.where(lae == 0, lbe, 0).astype(np.int32)
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = (Ae[:, i - 1][:, None] != Be).astype(np.int32)
+        # dp[i][j] = min(dp[i-1][j] + 1, dp[i][j-1] + 1, dp[i-1][j-1] + sub)
+        diag = prev[:, :-1] + sub
+        up = prev[:, 1:] + 1
+        m = np.minimum(diag, up)
+        # left dependency is sequential within the row
+        for j in range(1, Lb + 1):
+            cur[:, j] = np.minimum(m[:, j - 1], cur[:, j - 1] + 1)
+        # rows ending exactly at this i record their final distance
+        done = lae == i
+        if done.any():
+            out[done] = cur[done, lbe[done]]
+        prev = cur
+    return out.reshape(na, nb)
+
+
+def fuzzy_vocab_pairs(ds, *, max_dist: int = 2, min_count: int = 1,
+                      text_col: str = "text"):
+    """Fuzzy vocabulary self-join (typo/variant mining): every DISTINCT
+    token pair of the corpus vocabulary with ``levenshtein <= max_dist``,
+    carrying both corpus frequencies.  Output: (tok_a, tok_b, dist,
+    cnt_a, cnt_b) with ``tok_a < tok_b``.
+
+    Blocking is COMPLETE, not approximate: ``levenshtein(a, b) >=
+    |len(a) - len(b)|``, so tokens band by length and only band pairs
+    within ``max_dist`` meet — the oracle needs no blocking clause and
+    the result is still exact.  Scale plan: the vocabulary reduces via
+    the combiner -> coarse-bucket aggregate (corpus never re-reads);
+    band-pair blocks fan out as one Dataset row each and run the
+    pair-vectorized DP (``_levenshtein_block``) in parallel with the
+    banded vocabulary broadcast once (``ray.put``, per-worker cache).
+    ASCII token law (DuckDB's levenshtein counts unicode codepoints;
+    the uint8 DP counts bytes — identical on ASCII corpora)."""
+    import ray
+    import ray.data as rd
+
+    vocab = _gather_totals(
+        _ngram_totals(ds, n=1, text_col=text_col, min_count=min_count)
+    )
+    toks = np.asarray(vocab["ngram"]).astype(object)
+    cnts = np.asarray(vocab["cnt"], dtype=np.int64)
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    bands: dict[int, dict] = {}
+    for L in np.unique(lens):
+        sel = lens == L
+        bt = toks[sel]
+        order = np.argsort(bt)
+        bt = bt[order]
+        bc = cnts[sel][order]
+        mat = np.zeros((len(bt), int(L)), dtype=np.uint8)
+        for r, t in enumerate(bt):
+            mat[r, : len(t)] = np.frombuffer(t.encode("ascii"), np.uint8)
+        bands[int(L)] = {"toks": bt, "cnts": bc, "mat": mat}
+    ref = {"__ref__": ray.put(bands)}
+    pairs = [
+        {"la": int(a), "lb": int(b)}
+        for a in sorted(bands)
+        for b in sorted(bands)
+        if a <= b and b - a <= max_dist
+    ]
+    empty = pa.table(
+        {
+            "tok_a": pa.array([], pa.string()),
+            "tok_b": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+            "cnt_a": pa.array([], pa.int64()),
+            "cnt_b": pa.array([], pa.int64()),
+        }
+    )
+    if not pairs:
+        return rd.from_arrow(empty)
+
+    def solve(batch: pa.Table) -> pa.Table:
+        from .spatial import _cached_kernel
+
+        bds = _cached_kernel(
+            f"fuzzyvocab:{ref['__ref__'].hex()}", ref, lambda v: v
+        )
+        outs = []
+        for la, lb in zip(
+            np.asarray(batch["la"]), np.asarray(batch["lb"])
+        ):
+            A, B = bds[int(la)], bds[int(lb)]
+            lens_a = np.full(len(A["toks"]), int(la), dtype=np.int64)
+            lens_b = np.full(len(B["toks"]), int(lb), dtype=np.int64)
+            d = _levenshtein_block(A["mat"], lens_a, B["mat"], lens_b)
+            ia, ib = np.nonzero(d <= max_dist)
+            if la == lb:
+                keep = ia < ib  # strict upper triangle of the same band
+                ia, ib = ia[keep], ib[keep]
+            if not len(ia):
+                continue
+            ta, tb = A["toks"][ia], B["toks"][ib]
+            ca, cb = A["cnts"][ia], B["cnts"][ib]
+            dd = d[ia, ib].astype(np.int64)
+            # normalize to tok_a < tok_b (cross-band order is by length,
+            # not lexicographic)
+            swap = ta > tb
+            ta2 = np.where(swap, tb, ta)
+            tb2 = np.where(swap, ta, tb)
+            ca2 = np.where(swap, cb, ca)
+            cb2 = np.where(swap, ca, cb)
+            outs.append(
+                pa.table(
+                    {
+                        "tok_a": pa.array(ta2, pa.string()),
+                        "tok_b": pa.array(tb2, pa.string()),
+                        "dist": pa.array(dd),
+                        "cnt_a": pa.array(ca2.astype(np.int64)),
+                        "cnt_b": pa.array(cb2.astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(outs) if outs else empty
+
+    return rd.from_items(pairs).map_batches(
+        solve, batch_format="pyarrow", batch_size=4
+    )
+
+
+def sql_fuzzy_vocab(*, max_dist: int = 2, min_count: int = 1,
+                    source: str = "documents", text: str = "text") -> str:
+    """DuckDB twin of :func:`fuzzy_vocab_pairs` — plain all-pairs with
+    the levenshtein filter (the engine's length banding is recall-
+    complete, so no blocking clause is needed here)."""
+    having = (
+        f"HAVING COUNT(*) >= {min_count}" if min_count > 1 else ""
+    )
+    return f"""
+WITH tk AS (
+  SELECT unnest(regexp_split_to_array({text}, '\\s+')) AS tok FROM {source}
+),
+uni AS (
+  SELECT tok, COUNT(*)::BIGINT AS c FROM tk WHERE tok <> '' GROUP BY tok
+  {having}
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b,
+       levenshtein(a.tok, b.tok)::BIGINT AS dist,
+       a.c AS cnt_a, b.c AS cnt_b
+FROM uni a JOIN uni b ON a.tok < b.tok
+WHERE levenshtein(a.tok, b.tok) <= {max_dist}
+"""
