@@ -158,7 +158,7 @@ def write_geojson_tiles(
 
     counts = ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
     total = 0
-    for b in counts.iter_batches(batch_format="pyarrow"):
+    for b in counts.iter_batches(batch_size=None, batch_format="pyarrow"):
         total += int(np.asarray(b["rows"]).sum()) if b.num_rows else 0
     return total
 

@@ -128,7 +128,7 @@ def pagerank(
                 acc = np.zeros(n)
                 for b in wedges.map_batches(
                     contrib_dense, batch_format="pyarrow"
-                ).iter_batches(batch_format="pyarrow"):
+                ).iter_batches(batch_size=None, batch_format="pyarrow"):
                     for buf in b["acc"].to_pylist():
                         acc += np.frombuffer(buf, dtype=np.float64)
                 pr = teleport + damping * acc
@@ -338,7 +338,7 @@ def distinct_int_pairs_table(ds, a_col: str, b_col: str) -> pa.Table:
     parts = [
         np.asarray(b["k"], np.int64)
         for b in ds.map_batches(pack, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
+            batch_size=None, batch_format="pyarrow"
         )
     ]
     k = (
@@ -538,3 +538,173 @@ FROM f a JOIN f b
   ON a.{key} = b.{key} AND a.{item} < b.{item}
 GROUP BY item_a, item_b
 """
+
+
+def cooccurrence_edge_table(
+    ds,
+    group_col: str,
+    item_col: str,
+    *,
+    min_weight: int = 3,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Thresholded item co-occurrence graph: one (u, v, w) row per item
+    pair sharing >= ``min_weight`` distinct groups, u < v by item id.
+
+    Scale plan: rows bucket by GROUP hash (all members of one group
+    co-locate; groups are small — order line counts — so per-group pair
+    volume is bounded); within each bucket the (group, item) set is
+    deduped with one packed np.unique, pairs emit via the vectorized
+    stride-d scan (no Python per group), and partial pair counts reduce
+    with a second packed np.unique.  Partials then hash-bucket by PAIR
+    key and sum vectorized.  The THRESHOLDED edge set returns as a
+    driver table — bounded by min_weight (the analytics consumers hold
+    it anyway); raise min_weight rather than gathering dense graphs."""
+
+    def emit_pairs(b: pa.Table) -> pa.Table:
+        g = np.asarray(b[group_col], np.int64)
+        it = np.asarray(b[item_col], np.int64)
+        if len(g) and (
+            g.max() >= (1 << 31) or it.max() >= (1 << 31)
+            or g.min() < 0 or it.min() < 0
+        ):
+            raise ValueError("group/item values must be in [0, 2^31)")
+        k = np.unique(g * (1 << 31) + it)
+        cg = (
+            ((k >> 31).astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pa.table({"k": pa.array(k), "__cg": pa.array(cg)})
+
+    def bucket_pairs(t: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        k = np.unique(t["k"].to_numpy(np.int64))
+        g = k >> 31
+        it = k & ((1 << 31) - 1)
+        # k sorted => (g, it) lexsorted: items ascend within each group
+        parts = []
+        d = 1
+        while True:
+            if d >= len(g):
+                break
+            same = g[:-d] == g[d:]
+            if not same.any():
+                break
+            u = it[:-d][same]
+            v = it[d:][same]
+            parts.append(u * (1 << 31) + v)
+            d += 1
+        if not parts:
+            return pd.DataFrame(
+                {"pk": pd.Series([], dtype="int64"),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        pk, cnt = np.unique(np.concatenate(parts), return_counts=True)
+        return pd.DataFrame({"pk": pk, "cnt": cnt.astype(np.int64)})
+
+    partials = (
+        ds.map_batches(emit_pairs, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # final: per-batch partials of one pair may span buckets of stage 1;
+    # reduce on the driver over (pk, cnt) partial rows — pair-vocabulary
+    # scale, then threshold
+    parts = [
+        (np.asarray(b["pk"], np.int64), np.asarray(b["cnt"], np.int64))
+        for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    if parts:
+        pk = np.concatenate([p[0] for p in parts])
+        cnt = np.concatenate([p[1] for p in parts])
+        order = np.argsort(pk, kind="stable")
+        pk, cnt = pk[order], cnt[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], pk[1:] != pk[:-1]])
+        )
+        tot = np.add.reduceat(cnt, starts)
+        pk = pk[starts]
+        keep = tot >= min_weight
+        pk, tot = pk[keep], tot[keep]
+    else:
+        pk = np.empty(0, np.int64)
+        tot = np.empty(0, np.int64)
+    return pa.table(
+        {
+            "u": pa.array(pk >> 31),
+            "v": pa.array(pk & ((1 << 31) - 1)),
+            "w": pa.array(tot),
+        }
+    )
+
+
+def triangle_stats(edges: pa.Table, *, round_to: int = 6) -> pa.Table:
+    """Global triangle census of an undirected simple graph given its
+    (u, v) edge table (u < v): one row (n_nodes, n_edges, n_wedges,
+    n_triangles, clustering) with clustering = 3*triangles/wedges
+    (the global/transitivity coefficient, 6dp half-away).
+
+    Exact node-iterator algorithm, vectorized: edges orient low->high
+    DEGREE (ties by node id — the standard O(E^1.5) wedge bound), the
+    oriented adjacency emits wedges with the stride-d scan, and each
+    wedge closes iff its (v, w) key is in the oriented edge-key set
+    (sorted-array membership, no hashing)."""
+    u = np.asarray(edges["u"], np.int64)
+    v = np.asarray(edges["v"], np.int64)
+    if not len(u):
+        return pa.table(
+            {
+                "n_nodes": pa.array([0], pa.int64()),
+                "n_edges": pa.array([0], pa.int64()),
+                "n_wedges": pa.array([0], pa.int64()),
+                "n_triangles": pa.array([0], pa.int64()),
+                "clustering": pa.array([None], pa.float64()),
+            }
+        )
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u):]
+    n = len(nodes)
+    deg = np.bincount(iu, minlength=n) + np.bincount(iv, minlength=n)
+    n_edges = len(u)
+    n_wedges = int((deg.astype(np.int64) * (deg - 1) // 2).sum())
+    # orient by (deg, node-id): rank nodes, edge points lower -> higher
+    rank = np.empty(n, np.int64)
+    rank[np.lexsort((np.arange(n), deg))] = np.arange(n)
+    ru, rv = rank[iu], rank[iv]
+    src = np.where(ru < rv, ru, rv)
+    dst = np.where(ru < rv, rv, ru)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    ekey = src * n + dst  # sorted ascending by construction
+    tri = 0
+    d = 1
+    while d < len(src):
+        same = src[:-d] == src[d:]
+        if not same.any():
+            break
+        a = dst[:-d][same]  # wedge endpoints, a-rank < b-rank
+        b = dst[d:][same]
+        lo = np.where(a < b, a, b)
+        hi = np.where(a < b, b, a)
+        wk = lo * n + hi
+        pos = np.searchsorted(ekey, wk)
+        pos = np.clip(pos, 0, len(ekey) - 1)
+        tri += int((ekey[pos] == wk).sum())
+        d += 1
+    if n_wedges:
+        c = (3.0 * float(tri)) / float(n_wedges)
+        tol = 10.0 ** round_to
+        c = np.sign(c) * np.floor(abs(c) * tol + 0.5) / tol
+        cl = pa.array([float(c)])
+    else:
+        cl = pa.array([None], pa.float64())
+    return pa.table(
+        {
+            "n_nodes": pa.array([int(n)], pa.int64()),
+            "n_edges": pa.array([int(n_edges)], pa.int64()),
+            "n_wedges": pa.array([int(n_wedges)], pa.int64()),
+            "n_triangles": pa.array([int(tri)], pa.int64()),
+            "clustering": cl,
+        }
+    )

@@ -443,7 +443,7 @@ def distinct_keys(right, key: str) -> np.ndarray:
     )
     arrs = [
         np.asarray(b[key])
-        for b in parts.iter_batches(batch_format="pyarrow")
+        for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
         if b.num_rows
     ]
     if not arrs:
@@ -554,7 +554,7 @@ def bloom_build(right, key: str, *, num_bits: int = 1 << 20, num_hashes: int = 4
 
     bits = np.zeros(num_bits // 8, dtype=np.uint8)
     parts = right.map_batches(partial, batch_format="pyarrow")
-    for b in parts.iter_batches(batch_format="pyarrow"):
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
         for buf in b["bits"].to_pylist():
             bits |= np.frombuffer(buf, dtype=np.uint8)
     return {

@@ -5386,6 +5386,107 @@ def q_events_retention(sf_dir: str):
     return events_retention(sf_dir)
 
 
+SNAIVE_LAG = 7
+
+
+def q_seasonal_naive(sf_dir: str):
+    """Seasonal-naive forecast backtest per event type: forecast(day) =
+    count(day - {SNAIVE_LAG}); report per-type MAE and MAPE over every
+    day whose lagged day exists (inner-join law).  The classic
+    time-series baseline every production forecast is judged against.
+
+    Scale shape: one per-batch (event_type, day, n) combiner partial ->
+    the built-in low-cardinality Sum groupby (types x days is bounded)
+    -> the tiny daily-counts table aligns day vs day-lag vectorized.
+    Counts are integers (exactly representable), so MAE is
+    order-independent; MAPE rounds at 6dp (dwarfs ulp x 30 addends)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = (
+            np.asarray(b["ts"])
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {"event_type": np.asarray(b["event_type"]).astype(object),
+             "day": day}
+        )
+        g = df.groupby(["event_type", "day"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    et = np.asarray(tbl["event_type"]).astype(object)
+    day = np.asarray(tbl["day"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    # align (type, day) vs (type, day - LAG) with one packed sort
+    order = np.lexsort((day, et))
+    et, day, n = et[order], day[order], n[order]
+    types, tcode = np.unique(et, return_inverse=True)
+    key = tcode * (1 << 31) + day
+    lag_key = tcode * (1 << 31) + (day - SNAIVE_LAG)
+    pos = np.searchsorted(key, lag_key)
+    pos = np.clip(pos, 0, len(key) - 1)
+    hit = key[pos] == lag_key
+    act = n[hit].astype(np.float64)
+    fc = n[pos[hit]].astype(np.float64)
+    tc = tcode[hit]
+    err = np.abs(act - fc)
+    out_t, out_nd, out_mae, out_mape = [], [], [], []
+    for t in range(len(types)):
+        sel = tc == t
+        if not sel.any():
+            continue
+        out_t.append(types[t])
+        out_nd.append(int(sel.sum()))
+        tol = 1e6
+        mae = float(np.mean(err[sel]))
+        mape = float(np.mean(err[sel] / act[sel]))
+        out_mae.append(np.sign(mae) * np.floor(abs(mae) * tol + 0.5) / tol)
+        out_mape.append(np.sign(mape) * np.floor(abs(mape) * tol + 0.5) / tol)
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "n_days": pa.array(out_nd, pa.int64()),
+            "mae": pa.array(out_mae, pa.float64()),
+            "mape": pa.array(out_mape, pa.float64()),
+        }
+    )
+
+
+def _sql_seasonal_naive() -> str:
+    return f"""
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY event_type, d
+)
+SELECT a.event_type, COUNT(*)::BIGINT AS n_days,
+       ROUND(AVG(ABS(a.n - b.n)::DOUBLE) * 1e6) / 1e6 AS mae,
+       ROUND(AVG(ABS(a.n - b.n)::DOUBLE / a.n::DOUBLE) * 1e6) / 1e6 AS mape
+FROM c a JOIN c b ON b.event_type = a.event_type
+                 AND b.d = a.d - {SNAIVE_LAG}
+GROUP BY a.event_type
+"""
+
+
 def _sql_events_retention() -> str:
     from .relational import sql_events_retention
 
@@ -6018,6 +6119,18 @@ def q_raster_hillshade(sf_dir: str):
     from ..raster import SyntheticRaster, hillshade_raster
 
     return hillshade_raster(
+        SyntheticRaster(**_RASTER_KW), tile_size_cell=64, concurrency=(1, 4)
+    )
+
+
+def q_raster_terrain(sf_dir: str):
+    """TPI / TRI (Riley) / roughness terrain indices in one 3x3 stencil
+    pass (raster.terrain_index_raster): tile + one-pixel-halo actor-pool
+    kernel; all arithmetic exact on the integer-valued band, so the
+    oracle compares raw doubles."""
+    from ..raster import SyntheticRaster, terrain_index_raster
+
+    return terrain_index_raster(
         SyntheticRaster(**_RASTER_KW), tile_size_cell=64, concurrency=(1, 4)
     )
 
@@ -7963,7 +8076,7 @@ def q_convex_hull(sf_dir: str):
     # distributed AND-reduce over broadcast candidate pairs).
     sub = pa.concat_tables(
         ds.map_batches(local_hull, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
+            batch_size=None, batch_format="pyarrow"
         )
     )
     did = np.asarray(sub["doc_id"], np.int64)
@@ -8335,7 +8448,7 @@ def q_zonal_majority(sf_dir: str):
     import ray.data as rd
 
     hist = q_zonal_hist(sf_dir)
-    tbl = pa.concat_tables(hist.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(hist.iter_batches(batch_size=None, batch_format="pyarrow"))
     poly = np.asarray(tbl["poly_id"], np.int64)
     binv = np.asarray(tbl["bin"], np.int64)
     n = np.asarray(tbl["n_cells"], np.int64)
@@ -8384,7 +8497,7 @@ def q_skyline(sf_dir: str):
     cand = pa.concat_tables(
         docs_points(sf_dir)
         .map_batches(local_skyline, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
     )
     did = np.asarray(cand["doc_id"], np.int64)
     x = np.asarray(cand["x"], np.float64)
@@ -8967,7 +9080,7 @@ def q_dissimilarity_index(sf_dir: str):
 
     tbl = pa.concat_tables(
         _cell_counts(sf_dir, split_lang="en").iter_batches(
-            batch_format="pyarrow"
+            batch_size=None, batch_format="pyarrow"
         )
     )
     a = np.asarray(tbl["a"], np.int64)
@@ -9019,7 +9132,7 @@ def q_zipf_fit(sf_dir: str):
     import ray.data as rd
 
     tbl = pa.concat_tables(
-        _cell_counts(sf_dir).iter_batches(batch_format="pyarrow")
+        _cell_counts(sf_dir).iter_batches(batch_size=None, batch_format="pyarrow")
     )
     cell = np.asarray(tbl["cell"], np.int64)
     n = np.asarray(tbl["n"], np.int64)
@@ -9543,7 +9656,7 @@ def q_st_dbscan(sf_dir: str):
         .map_groups(kern_count, batch_format="pandas")
     )
     core_tbl = pa.concat_tables(
-        counts.iter_batches(batch_format="pyarrow")
+        counts.iter_batches(batch_size=None, batch_format="pyarrow")
     )
     ce = np.asarray(core_tbl["eid"], np.int64)
     cc_ = np.asarray(core_tbl["cnt"], np.int64)
@@ -9598,7 +9711,7 @@ def q_st_dbscan(sf_dir: str):
         kern_edges, batch_format="pandas"
     )
     comp = connected_components(edges)
-    batches = list(comp.iter_batches(batch_format="pyarrow"))
+    batches = list(comp.iter_batches(batch_size=None, batch_format="pyarrow"))
     ctbl = (
         pa.concat_tables(batches)
         if batches
@@ -9906,7 +10019,7 @@ def q_benford(sf_dir: str):
         .groupby("digit")
         .sum("n")
     )
-    tbl = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(agg.iter_batches(batch_size=None, batch_format="pyarrow"))
     dig = np.asarray(tbl["digit"], np.int64)
     n = np.asarray(tbl["sum(n)"], np.int64)
     order = np.argsort(dig)
@@ -10028,6 +10141,61 @@ def _sql_kcore() -> str:
         f" JOIN {last} ga ON ga.n = e.a JOIN {last} gb ON gb.n = e.b"
         f" GROUP BY e.a"
     )
+
+
+TRI_MINW = 3
+
+
+def q_triangle_stats(sf_dir: str):
+    """Triangle census + global clustering coefficient of the supplier
+    co-purchase graph (suppliers co-occurring in >= {TRI_MINW} orders):
+    group-bucketed vectorized pair emission -> packed-key pair counts ->
+    thresholded edge table -> degree-oriented wedge scan with
+    sorted-array closure tests (the O(E^1.5) exact algorithm)."""
+    import ray.data as rd
+
+    from ..graph import cooccurrence_edge_table, triangle_stats
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    edges = cooccurrence_edge_table(
+        line, "l_orderkey", "l_suppkey", min_weight=TRI_MINW
+    )
+    return triangle_stats(edges)
+
+
+def _sql_triangle_stats() -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS s FROM lineitem),
+pr AS (
+  SELECT a.s AS u, b.s AS v FROM li a
+  JOIN li b ON b.g = a.g AND a.s < b.s
+),
+ed AS (SELECT u, v FROM pr GROUP BY u, v HAVING COUNT(*) >= {TRI_MINW}),
+deg AS (
+  SELECT n, COUNT(*)::BIGINT AS d
+  FROM (SELECT u AS n FROM ed UNION ALL SELECT v AS n FROM ed)
+  GROUP BY n
+),
+tri AS (
+  SELECT COUNT(*)::BIGINT AS t
+  FROM ed e1
+  JOIN ed e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+agg AS (
+  SELECT (SELECT COUNT(*)::BIGINT FROM deg) AS n_nodes,
+         (SELECT COUNT(*)::BIGINT FROM ed) AS n_edges,
+         (SELECT SUM(d * (d - 1) // 2)::BIGINT FROM deg) AS n_wedges,
+         (SELECT t FROM tri) AS n_triangles
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges = 0 THEN NULL
+            ELSE ROUND((3.0::DOUBLE * n_triangles::DOUBLE)
+                       / n_wedges::DOUBLE * 1e6) / 1e6 END AS clustering
+FROM agg
+"""
 
 
 def q_raster_focal_median(sf_dir: str):
@@ -10631,7 +10799,7 @@ def q_ipf_balance(sf_dir: str):
         .groupby("od")
         .aggregate(Sum("n", alias_name="n"))
     )
-    tbl = pa.concat_tables(flows.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(flows.iter_batches(batch_size=None, batch_format="pyarrow"))
     od = np.asarray(tbl["od"], np.int64)
     n = np.asarray(tbl["n"], np.int64)
     M = np.zeros((3 * 3, 3 * 3))
@@ -10751,7 +10919,7 @@ def q_region_week_chi2(sf_dir: str):
         .groupby("rw")
         .aggregate(Sum("n", alias_name="n"))
     )
-    tbl = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(agg.iter_batches(batch_size=None, batch_format="pyarrow"))
     rw = np.asarray(tbl["rw"], np.int64)
     n = np.asarray(tbl["n"], np.int64)
     reg = rw // 1_000_000
@@ -10867,7 +11035,7 @@ def q_movement_entropy(sf_dir: str):
         .groupby("ft")
         .aggregate(Sum("n", alias_name="n"))
     )
-    tbl = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(agg.iter_batches(batch_size=None, batch_format="pyarrow"))
     ft = np.asarray(tbl["ft"], np.int64)
     n = np.asarray(tbl["n"], np.int64)
     frm = ft // 9
@@ -10973,6 +11141,7 @@ def queries():
         "ab_test": q_ab_test,
         "benford": q_benford,
         "kcore": q_kcore,
+        "triangle_stats": q_triangle_stats,
         "raster_focal_median": q_raster_focal_median,
         "hex_cusum": q_hex_cusum,
         "geary_c": q_geary_c,
@@ -11144,6 +11313,7 @@ def queries():
         "bigram_lm": q_bigram_lm,
         "cells_export": q_cells_export,
         "events_retention": q_events_retention,
+        "seasonal_naive": q_seasonal_naive,
         "q3_shipping": q3_shipping,
         "rollup": q_rollup,
         "pivot_langs": q_pivot_langs,
@@ -11165,6 +11335,7 @@ def queries():
         "raster_cells": q_raster_cells,
         "raster_hillshade": q_raster_hillshade,
         "raster_d8": q_raster_d8,
+        "raster_terrain": q_raster_terrain,
         "raster_bilinear": q_raster_bilinear,
         "raster_contour": q_raster_contour,
         "raster_profile": q_raster_profile,
@@ -11698,6 +11869,7 @@ def oracle_sql():
         "ab_test": _sql_ab_test(),
         "benford": _sql_benford(),
         "kcore": _sql_kcore(),
+        "triangle_stats": _sql_triangle_stats(),
         "raster_focal_median": _sql_raster_focal_median(),
         "hex_cusum": _sql_hex_cusum(),
         "geary_c": _sql_geary_c(),
@@ -11923,6 +12095,7 @@ def oracle_sql():
         "bigram_lm": _sql_bigram_lm(),
         "cells_export": _sql_cells_export(),
         "events_retention": _sql_events_retention(),
+        "seasonal_naive": _sql_seasonal_naive(),
         "q3_shipping": _sql_q3(),
         "rollup": _sql_rollup(),
         "pivot_langs": _sql_pivot_langs(),
@@ -11959,6 +12132,7 @@ def oracle_sql():
         "raster_cells": _sql_raster_cells(),
         "raster_hillshade": _sql_raster_hillshade(),
         "raster_d8": _sql_raster_d8(),
+        "raster_terrain": _sql_raster_terrain(),
         "raster_bilinear": _sql_raster_bilinear(),
         "raster_contour": _sql_raster_contour(),
         "raster_profile": _sql_raster_profile(),
@@ -11989,6 +12163,12 @@ def _sql_raster_cells():
     from ..raster import SyntheticRaster, sql_raster_cells
 
     return sql_raster_cells(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
+
+
+def _sql_raster_terrain():
+    from ..raster import SyntheticRaster, sql_terrain_index
+
+    return sql_terrain_index(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
 
 
 def _sql_raster_d8():

@@ -1383,7 +1383,7 @@ d AS (
          y - LAG(y) OVER w2 AS dy
   FROM s WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY us, event_id)
 )
-SELECT user_id, sid AS session_idx, COUNT(*)::BIGINT AS n_events,
+SELECT user_id, sid::BIGINT AS session_idx, COUNT(*)::BIGINT AS n_events,
        ROUND(COALESCE(SUM(sqrt(dx*dx + dy*dy)), 0.0) * 1e2) / 1e2 AS path_len
 FROM d GROUP BY user_id, sid
 """

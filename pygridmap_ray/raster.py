@@ -1373,7 +1373,7 @@ def _flow_forest(
         tile_size_cell=tile_size_cell,
         concurrency=concurrency,
     )
-    tbl = pa.concat_tables(d8.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(d8.iter_batches(batch_size=None, batch_format="pyarrow"))
     x = np.asarray(tbl["x"], np.float64)
     y = np.asarray(tbl["y"], np.float64)
     code = np.asarray(tbl["d8"], np.int64)
@@ -1727,7 +1727,7 @@ def _cost_field(
     cells = rd.from_items(strips).map_batches(
         read_strip, batch_format="pyarrow"
     )
-    tbl = pa.concat_tables(cells.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(cells.iter_batches(batch_size=None, batch_format="pyarrow"))
     grid = np.full((h, w), np.nan)
     grid[
         np.asarray(tbl["ri"], np.int64), np.asarray(tbl["ci"], np.int64)
@@ -2222,3 +2222,195 @@ def sql_cost_allocation(
         f" QUALIFY ROW_NUMBER() OVER (PARTITION BY ri, ci"
         f" ORDER BY d, src) = 1"
     )
+
+
+class TerrainIndexKernel:
+    """Actor-pool stencil kernel: the three classic terrain-morphology
+    indices per pixel in ONE 3x3 pass — TPI (topographic position:
+    center minus 8-neighbor mean), TRI (Riley ruggedness: sqrt of the
+    sum of squared center-neighbor differences) and roughness (window
+    max - min).  Same tile + one-pixel-halo shape as
+    :class:`HillshadeKernel` (no shuffle at any raster size).
+
+    Exactness: band values are integer-valued doubles (the synthetic
+    band law), so every sum/square is exact and IEEE sqrt is correctly
+    rounded — the DuckDB twin (:func:`sql_terrain_index`) compares RAW
+    doubles, no rounding step.  Border pixels and any pixel whose 3x3
+    window touches nodata are skipped (the d8 validity law)."""
+
+    def __init__(self, raster: RasterSource, tile_size_cell: int,
+                 band: str = "elev"):
+        self.r = raster
+        self.ts = int(tile_size_cell)
+        self.band = band
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for xt, yt in zip(
+            np.asarray(batch["xt"], dtype=np.int64),
+            np.asarray(batch["yt"], dtype=np.int64),
+        ):
+            t = self._tile(int(xt), int(yt))
+            if t is not None:
+                parts.append(t)
+        if parts:
+            return pa.concat_tables(parts)
+        return pa.table(
+            {
+                "xt": pa.array([], pa.int64()),
+                "yt": pa.array([], pa.int64()),
+                "x": pa.array([], pa.float64()),
+                "y": pa.array([], pa.float64()),
+                "tpi": pa.array([], pa.float64()),
+                "tri": pa.array([], pa.float64()),
+                "rough": pa.array([], pa.float64()),
+            }
+        )
+
+    def _tile(self, xt: int, yt: int):
+        r, ts = self.r, self.ts
+        row0 = r.height - (yt + 1) * ts
+        col0 = xt * ts
+        h = ts + min(row0, 0)
+        row0 = max(row0, 0)
+        if h <= 0 or col0 >= r.width:
+            return None
+        hr0 = max(row0 - 1, 0)
+        hc0 = max(col0 - 1, 0)
+        hh = min(row0 + h + 1, r.height) - hr0
+        hw = min(col0 + ts + 1, r.width) - hc0
+        z = self.r.read_window(self.band, hr0, hc0, hh, hw)
+        o_r0 = max(row0, 1)
+        o_r1 = min(row0 + h, r.height - 1)
+        o_c0 = max(col0, 1)
+        o_c1 = min(col0 + ts, r.width - 1)
+        if o_r0 >= o_r1 or o_c0 >= o_c1:
+            return None
+        lr0, lc0 = o_r0 - hr0, o_c0 - hc0
+        nh, nw = o_r1 - o_r0, o_c1 - o_c0
+
+        def win(dr, dc):
+            return z[lr0 + dr : lr0 + dr + nh, lc0 + dc : lc0 + dc + nw]
+
+        zc = win(0, 0)
+        valid = zc != NODATA
+        nsum = np.zeros((nh, nw))
+        sq = np.zeros((nh, nw))
+        zmax = zc.copy()
+        zmin = zc.copy()
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                zn = win(dr, dc)
+                valid &= zn != NODATA
+                nsum += zn
+                d = zc - zn
+                sq += d * d
+                np.maximum(zmax, zn, out=zmax)
+                np.minimum(zmin, zn, out=zmin)
+        if not valid.any():
+            return None
+        tpi = zc - nsum / 8.0
+        tri = np.sqrt(sq)
+        rough = zmax - zmin
+        rr, cc = np.nonzero(valid)
+        abs_row = o_r0 + rr
+        abs_col = o_c0 + cc
+        return pa.table(
+            {
+                "xt": pa.array(np.full(len(rr), xt, dtype=np.int64)),
+                "yt": pa.array(np.full(len(rr), yt, dtype=np.int64)),
+                "x": pa.array(r.x_min + abs_col * r.resolution),
+                "y": pa.array(
+                    r.y_min + (r.height - abs_row - 1) * r.resolution
+                ),
+                "tpi": pa.array(tpi[valid]),
+                "tri": pa.array(tri[valid]),
+                "rough": pa.array(rough[valid]),
+            }
+        )
+
+
+def terrain_index_raster(
+    raster: RasterSource,
+    *,
+    band: str = "elev",
+    tile_size_cell: int = 128,
+    concurrency=None,
+):
+    """Raster -> per-pixel (tpi, tri, rough) Dataset (tile stencil)."""
+    import math
+
+    import ray.data as rd
+
+    nxt = math.ceil(raster.width / tile_size_cell)
+    nyt = math.ceil(raster.height / tile_size_cell)
+    specs = [{"xt": xt, "yt": yt} for yt in range(nyt) for xt in range(nxt)]
+    ds = rd.from_items(specs).repartition(min(len(specs), 128))
+    if concurrency is not None:
+        return ds.map_batches(
+            TerrainIndexKernel,
+            batch_format="pyarrow",
+            batch_size=4,
+            fn_constructor_args=(raster, tile_size_cell, band),
+            concurrency=concurrency,
+        )
+    return ds.map_batches(
+        TerrainIndexKernel(raster, tile_size_cell, band),
+        batch_format="pyarrow",
+        batch_size=4,
+    )
+
+
+def sql_terrain_index(
+    raster: SyntheticRaster, band: str = "elev", tile_size_cell: int = 128
+) -> str:
+    """Oracle for :func:`terrain_index_raster`: the 8 neighbor values as
+    closed-form band expressions; all arithmetic is exact on the
+    integer-valued synthetic band, so no rounding step is needed."""
+    h, w, res = raster.height, raster.width, raster.resolution
+    x0, y0 = raster.x_min, raster.y_min
+    p1, p2 = _BAND_P1[band], _BAND_P2[band]
+    pct = _BAND_NODATA_PCT[band]
+
+    def ok(dr, dc):
+        return (
+            f"(((r.i + {dr}) * 7919 + (c.i + {dc}) * 104729) % 100) >= {pct}"
+        )
+
+    valid = " AND ".join(
+        ok(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+    )
+
+    def pz(dr, dc):
+        return f"(((ri + {dr}) * {p1} + (ci + {dc}) * {p2}) % 1000)::DOUBLE"
+
+    nbrs = [
+        (dr, dc)
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+        if not (dr == 0 and dc == 0)
+    ]
+    nsum = " + ".join(pz(dr, dc) for dr, dc in nbrs)
+    sq = " + ".join(
+        f"({pz(0, 0)} - {pz(dr, dc)}) * ({pz(0, 0)} - {pz(dr, dc)})"
+        for dr, dc in nbrs
+    )
+    allv = ", ".join([pz(0, 0)] + [pz(dr, dc) for dr, dc in nbrs])
+    return f"""
+WITH px AS (
+  SELECT r.i AS ri, c.i AS ci
+  FROM (SELECT UNNEST(generate_series(1, {h - 2})) AS i) r,
+       (SELECT UNNEST(generate_series(1, {w - 2})) AS i) c
+  WHERE {valid}
+)
+SELECT (ci // {tile_size_cell})::BIGINT AS xt,
+       (({h} - ri - 1) // {tile_size_cell})::BIGINT AS yt,
+       {x0!r} + ci * {res!r} AS x,
+       {y0!r} + ({h} - ri - 1) * {res!r} AS y,
+       {pz(0, 0)} - ({nsum}) / 8.0 AS tpi,
+       sqrt({sq}) AS tri,
+       GREATEST({allv}) - LEAST({allv}) AS rough
+FROM px
+"""
