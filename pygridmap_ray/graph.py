@@ -708,3 +708,129 @@ def triangle_stats(edges: pa.Table, *, round_to: int = 6) -> pa.Table:
             "clustering": cl,
         }
     )
+
+
+def adamic_adar_table(edges: pa.Table, *, round_to: int = 6) -> pa.Table:
+    """Adamic-Adar link prediction over an undirected simple graph given
+    its (u, v) edge table (u < v): one row per NON-adjacent two-hop pair
+    (u < w) with the common-neighbor count and the AA score
+    sum_v 1 / ln(deg(v)), rounded half-away at ``round_to`` dp (the step
+    dwarfs float-sum order noise; see CLAUDE.md rounding protocol).
+
+    Driver-final by design: candidate volume is sum_v deg(v)^2 / 2 of
+    the THRESHOLDED graph the caller built (cooccurrence_edge_table's
+    min_weight bounds it); at 100 TB the same wedge emission runs as the
+    per-bucket kernel of the triangle census, this helper is the
+    analytics tail.  Wedges emit via the CSR stride scan (no Python per
+    node), pair scores reduce with one lexsort + np.add.reduceat."""
+    u = np.asarray(edges["u"], np.int64)
+    v = np.asarray(edges["v"], np.int64)
+    empty = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "aa": pa.array([], pa.float64()),
+        }
+    )
+    if not len(u):
+        return empty
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u):]
+    n = len(nodes)
+    # symmetric CSR: neighbors of every node, sorted by (node, neighbor)
+    src = np.concatenate([iu, iv])
+    dst = np.concatenate([iv, iu])
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    with np.errstate(divide="ignore"):
+        # deg==1 gives inf but a degree-1 node is never a wedge center
+        inv_ln = 1.0 / np.log(deg.astype(np.float64))
+    # wedge emission: for stride d, rows i and i+d share src => dst pair
+    pk_parts, wt_parts = [], []
+    d = 1
+    while d < len(src):
+        same = src[:-d] == src[d:]
+        if not same.any():
+            break
+        a = dst[:-d][same]  # a < b: dst ascends within a src run
+        b = dst[d:][same]
+        pk_parts.append(a * n + b)
+        wt_parts.append(inv_ln[src[:-d][same]])
+        d += 1
+    if not pk_parts:
+        return empty
+    pk = np.concatenate(pk_parts)
+    wt = np.concatenate(wt_parts)
+    # drop pairs that are direct edges (sorted membership, no hashing)
+    lo = np.minimum(iu, iv)
+    hi = np.maximum(iu, iv)
+    ekey = np.sort(lo * n + hi)
+    pos = np.searchsorted(ekey, pk)
+    pos = np.clip(pos, 0, len(ekey) - 1)
+    keep = ekey[pos] != pk
+    pk, wt = pk[keep], wt[keep]
+    if not len(pk):
+        return empty
+    order = np.argsort(pk, kind="stable")
+    pk, wt = pk[order], wt[order]
+    starts = np.flatnonzero(np.concatenate([[True], pk[1:] != pk[:-1]]))
+    score = np.add.reduceat(wt, starts)
+    cnt = np.diff(np.append(starts, len(pk)))
+    pk = pk[starts]
+    tol = 10.0 ** round_to
+    score = np.sign(score) * np.floor(np.abs(score) * tol + 0.5) / tol
+    return pa.table(
+        {
+            "u": pa.array(nodes[pk // n]),
+            "w": pa.array(nodes[pk % n]),
+            "n_common": pa.array(cnt.astype(np.int64)),
+            "aa": pa.array(score),
+        }
+    )
+
+
+def assortativity_table(edges: pa.Table, *, round_to: int = 6) -> pa.Table:
+    """Degree assortativity of an undirected simple graph: the Pearson
+    correlation of (deg(src), deg(dst)) over the 2M directed-symmetrized
+    edges.  All five sums are int64 (exact); the only float ops are the
+    final casts, one sqrt and one divide — bit-identical to the SQL twin
+    which uses the same closed form."""
+    u = np.asarray(edges["u"], np.int64)
+    v = np.asarray(edges["v"], np.int64)
+    if not len(u):
+        return pa.table(
+            {
+                "n_edges": pa.array([0], pa.int64()),
+                "assortativity": pa.array([None], pa.float64()),
+            }
+        )
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u):]
+    deg = (
+        np.bincount(iu, minlength=len(nodes))
+        + np.bincount(iv, minlength=len(nodes))
+    ).astype(np.int64)
+    x = np.concatenate([deg[iu], deg[iv]])
+    y = np.concatenate([deg[iv], deg[iu]])
+    m = len(x)
+    sx = int(x.sum())
+    sy = int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    num = float(m * sxy - sx * sy)
+    den = np.sqrt(float(m * sxx - sx * sx) * float(m * syy - sy * sy))
+    if den == 0.0:
+        r = None
+    else:
+        r = num / den
+        tol = 10.0 ** round_to
+        r = float(np.sign(r) * np.floor(abs(r) * tol + 0.5) / tol)
+    return pa.table(
+        {
+            "n_edges": pa.array([len(u)], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )

@@ -10198,6 +10198,248 @@ FROM agg
 """
 
 
+AA_MINW = 2  #: part co-purchase threshold (sparse at every sf; see BASELINE)
+
+
+def _part_copurchase_edges(sf_dir: str):
+    import ray.data as rd
+
+    from ..graph import cooccurrence_edge_table
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return cooccurrence_edge_table(
+        line, "l_orderkey", "l_partkey", min_weight=AA_MINW
+    )
+
+
+_SQL_PART_EDGES = f"""
+li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS s FROM lineitem),
+pr AS (
+  SELECT a.s AS u, b.s AS v FROM li a
+  JOIN li b ON b.g = a.g AND a.s < b.s
+),
+ed AS (SELECT u, v FROM pr GROUP BY u, v HAVING COUNT(*) >= {AA_MINW})
+"""
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction on the part co-purchase graph (parts
+    sharing >= {AA_MINW} orders): every non-adjacent two-hop pair scored
+    sum 1/ln(deg(common neighbor)).  Edge build is the group-bucketed
+    co-occurrence plan; the wedge/score pass is the driver-final CSR
+    stride scan (graph.adamic_adar_table)."""
+    from ..graph import adamic_adar_table
+
+    return adamic_adar_table(_part_copurchase_edges(sf_dir))
+
+
+def _sql_adamic_adar() -> str:
+    return f"""
+WITH {_SQL_PART_EDGES},
+sym AS (SELECT u AS a, v AS b FROM ed UNION ALL SELECT v, u FROM ed),
+deg AS (SELECT a AS n, COUNT(*)::BIGINT AS d FROM sym GROUP BY a),
+two AS (
+  SELECT s1.a AS u, s2.b AS w, s1.b AS v
+  FROM sym s1 JOIN sym s2 ON s2.a = s1.b AND s1.a < s2.b
+),
+nonadj AS (
+  SELECT t.u, t.w, t.v FROM two t
+  LEFT JOIN ed e ON e.u = t.u AND e.v = t.w
+  WHERE e.u IS NULL
+)
+SELECT n.u, n.w, COUNT(*)::BIGINT AS n_common,
+       ROUND(SUM(1.0::DOUBLE / ln(d.d::DOUBLE)) * 1e6) / 1e6 AS aa
+FROM nonadj n JOIN deg d ON d.n = n.v
+GROUP BY n.u, n.w
+"""
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the part co-purchase graph: exact
+    integer-sum Pearson over directed-symmetrized edge endpoint degrees
+    (graph.assortativity_table)."""
+    from ..graph import assortativity_table
+
+    return assortativity_table(_part_copurchase_edges(sf_dir))
+
+
+def _sql_assortativity() -> str:
+    return f"""
+WITH {_SQL_PART_EDGES},
+sym AS (SELECT u AS a, v AS b FROM ed UNION ALL SELECT v, u FROM ed),
+deg AS (SELECT a AS n, COUNT(*)::BIGINT AS d FROM sym GROUP BY a),
+xy AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM sym JOIN deg du ON du.n = sym.a JOIN deg dv ON dv.n = sym.b
+),
+s AS (
+  SELECT COUNT(*)::BIGINT AS m, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+         SUM(x*y)::BIGINT AS sxy, SUM(x*x)::BIGINT AS sxx,
+         SUM(y*y)::BIGINT AS syy
+  FROM xy
+)
+SELECT (SELECT COUNT(*) FROM ed)::BIGINT AS n_edges,
+       CASE WHEN m >= 2 AND m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0 THEN
+         ROUND((m*sxy - sx*sy)::DOUBLE
+               / sqrt(((m*sxx - sx*sx)::DOUBLE) * ((m*syy - sy*sy)::DOUBLE))
+               * 1e6) / 1e6
+       ELSE NULL END AS assortativity
+FROM s
+"""
+
+
+def q_auc_nchars(sf_dir: str):
+    """ROC AUC of document length (n_chars) as a predictor of
+    lang = 'en', via the tie-averaged Mann-Whitney law: over distinct
+    scores s ascending, AUC = sum_s pos_s * (neg_below_s + neg_s/2)
+    / (P * N).  Every term is an exact integer-half, so the float sum is
+    EXACT on both sides regardless of order — no rounding step needed
+    beyond the shared 6dp.
+
+    Plan: per-batch (score, pos, neg) count partials -> built-in Sum
+    groupby on score (cardinality bounded by the length domain) ->
+    driver-final cumulative pass on the tiny score table."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        sc = np.asarray(b["n_chars"], np.int64)
+        pos = (np.asarray(b["lang"]).astype(object) == "en").astype(np.int64)
+        order = np.argsort(sc, kind="stable")
+        sc, pos = sc[order], pos[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sc[1:] != sc[:-1]])
+        ) if len(sc) else np.empty(0, np.int64)
+        if not len(sc):
+            return pa.table(
+                {"sc": pa.array([], pa.int64()),
+                 "p": pa.array([], pa.int64()),
+                 "q": pa.array([], pa.int64())}
+            )
+        p = np.add.reduceat(pos, starts)
+        tot = np.diff(np.append(starts, len(sc)))
+        return pa.table(
+            {
+                "sc": pa.array(sc[starts]),
+                "p": pa.array(p),
+                "q": pa.array(tot - p),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("sc")
+        .aggregate(Sum("p", alias_name="p"), Sum("q", alias_name="q"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    sc = np.asarray(tbl["sc"], np.int64)
+    p = np.asarray(tbl["p"], np.int64)
+    q = np.asarray(tbl["q"], np.int64)
+    order = np.argsort(sc)
+    p, q = p[order], q[order]
+    P, N = int(p.sum()), int(q.sum())
+    if P == 0 or N == 0:
+        auc = None
+    else:
+        cq = np.concatenate([[0], np.cumsum(q)[:-1]]).astype(np.float64)
+        num = float(
+            (p.astype(np.float64) * (cq + q.astype(np.float64) / 2.0)).sum()
+        )
+        auc = num / (float(P) * float(N))
+        auc = float(np.floor(auc * 1e6 + 0.5) / 1e6)
+    return pa.table(
+        {
+            "n_pos": pa.array([P], pa.int64()),
+            "n_neg": pa.array([N], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+        }
+    )
+
+
+def _sql_auc_nchars() -> str:
+    return """
+WITH s AS (
+  SELECT n_chars AS sc,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+c AS (
+  SELECT sc, SUM(y)::BIGINT AS p, COUNT(*)::BIGINT - SUM(y)::BIGINT AS q
+  FROM s GROUP BY sc
+),
+w AS (
+  SELECT p, q,
+         COALESCE(SUM(q) OVER (ORDER BY sc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cq
+  FROM c
+)
+SELECT (SELECT SUM(p) FROM c)::BIGINT AS n_pos,
+       (SELECT SUM(q) FROM c)::BIGINT AS n_neg,
+       ROUND(SUM(p::DOUBLE * (cq::DOUBLE + q::DOUBLE / 2.0))
+             / ((SELECT SUM(p) FROM c)::DOUBLE
+                * (SELECT SUM(q) FROM c)::DOUBLE) * 1e6) / 1e6 AS auc
+FROM w
+"""
+
+
+def q_events_acf(sf_dir: str):
+    from .relational import events_acf
+
+    return events_acf(sf_dir)
+
+
+def _sql_events_acf_q() -> str:
+    from .relational import sql_events_acf
+
+    return sql_events_acf()
+
+
+def _sql_events_type_corr_q() -> str:
+    from .relational import sql_events_type_corr
+
+    return sql_events_type_corr()
+
+
+def _sql_events_interarrival_q() -> str:
+    from .relational import sql_events_interarrival
+
+    return sql_events_interarrival()
+
+
+def _sql_events_survival_q() -> str:
+    from .relational import sql_events_survival
+
+    return sql_events_survival()
+
+
+def q_events_type_corr(sf_dir: str):
+    from .relational import events_type_corr
+
+    return events_type_corr(sf_dir)
+
+
+def q_events_interarrival(sf_dir: str):
+    from .relational import events_interarrival
+
+    return events_interarrival(sf_dir)
+
+
+def q_events_survival(sf_dir: str):
+    from .relational import events_survival
+
+    return events_survival(sf_dir)
+
+
 def q_raster_focal_median(sf_dir: str):
     """3x3 focal MEDIAN filter over the elevation band (interior pixels,
     nodata excluded from each window, center must be valid): the robust
@@ -11142,6 +11384,13 @@ def queries():
         "benford": q_benford,
         "kcore": q_kcore,
         "triangle_stats": q_triangle_stats,
+        "adamic_adar": q_adamic_adar,
+        "assortativity": q_assortativity,
+        "auc_nchars": q_auc_nchars,
+        "events_acf": q_events_acf,
+        "events_type_corr": q_events_type_corr,
+        "events_interarrival": q_events_interarrival,
+        "events_survival": q_events_survival,
         "raster_focal_median": q_raster_focal_median,
         "hex_cusum": q_hex_cusum,
         "geary_c": q_geary_c,
@@ -11870,6 +12119,13 @@ def oracle_sql():
         "benford": _sql_benford(),
         "kcore": _sql_kcore(),
         "triangle_stats": _sql_triangle_stats(),
+        "adamic_adar": _sql_adamic_adar(),
+        "assortativity": _sql_assortativity(),
+        "auc_nchars": _sql_auc_nchars(),
+        "events_acf": _sql_events_acf_q(),
+        "events_type_corr": _sql_events_type_corr_q(),
+        "events_interarrival": _sql_events_interarrival_q(),
+        "events_survival": _sql_events_survival_q(),
         "raster_focal_median": _sql_raster_focal_median(),
         "hex_cusum": _sql_hex_cusum(),
         "geary_c": _sql_geary_c(),

@@ -2722,3 +2722,430 @@ FROM lens l JOIN slopes s ON s.hq = l.hq AND s.hr = l.hr
 WHERE l.L >= 2
 GROUP BY l.hq, l.hr, l.L
 """
+
+
+ACF_MAX_LAG = 7
+
+
+def _pearson_int(m, sx, sy, sxy, sxx, syy, round_to=6):
+    """Pearson r from INTEGER sums (exact up to the closed form's three
+    float casts, one sqrt and one divide — the SQL twin uses the same
+    form so the doubles are bit-identical). None when degenerate."""
+    vx = m * sxx - sx * sx
+    vy = m * syy - sy * sy
+    if m < 2 or vx <= 0 or vy <= 0:
+        return None
+    r = float(m * sxy - sx * sy) / np.sqrt(float(vx) * float(vy))
+    tol = 10.0 ** round_to
+    return float(np.sign(r) * np.floor(abs(r) * tol + 0.5) / tol)
+
+
+def events_acf(sf_dir: str, *, max_lag: int = ACF_MAX_LAG):
+    """Autocorrelation of the daily total event count at lags
+    1..max_lag: Pearson r between the series and its lag over every day
+    pair where both exist (inner-join law).  One per-batch (day, n)
+    combiner -> the built-in Sum groupby (day cardinality is bounded by
+    the time span, never by corpus size) -> the tiny daily table aligns
+    lags driver-side with integer sums (exact; see _pearson_int)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        day = np.asarray(us, np.int64) // DAY_US  # positive: trunc == floor
+        d, n = np.unique(day, return_counts=True)
+        return pa.table({"d": pa.array(d), "n": pa.array(n.astype(np.int64))})
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    d = np.asarray(tbl["d"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    out_lag, out_np, out_r = [], [], []
+    for lag in range(1, max_lag + 1):
+        pos = np.searchsorted(d, d + lag)
+        pos = np.clip(pos, 0, len(d) - 1)
+        hit = d[pos] == d + lag
+        x = n[hit]
+        y = n[pos[hit]]
+        m = len(x)
+        r = _pearson_int(
+            m, int(x.sum()), int(y.sum()), int((x * y).sum()),
+            int((x * x).sum()), int((y * y).sum()),
+        )
+        if r is None:
+            continue
+        out_lag.append(lag)
+        out_np.append(m)
+        out_r.append(r)
+    return pa.table(
+        {
+            "lag": pa.array(out_lag, pa.int64()),
+            "n_pairs": pa.array(out_np, pa.int64()),
+            "acf": pa.array(out_r, pa.float64()),
+        }
+    )
+
+
+def sql_events_acf(max_lag: int = ACF_MAX_LAG) -> str:
+    return f"""
+WITH c AS (
+  SELECT epoch_us(ts) // {DAY_US} AS d, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY d
+),
+lags AS (SELECT UNNEST(generate_series(1, {max_lag})) AS lag),
+p AS (
+  SELECT lags.lag AS lag, a.n AS x, b.n AS y
+  FROM lags JOIN c a ON TRUE JOIN c b ON b.d = a.d + lags.lag
+),
+s AS (
+  SELECT lag, COUNT(*)::BIGINT AS m, SUM(x)::BIGINT AS sx,
+         SUM(y)::BIGINT AS sy, SUM(x*y)::BIGINT AS sxy,
+         SUM(x*x)::BIGINT AS sxx, SUM(y*y)::BIGINT AS syy
+  FROM p GROUP BY lag
+)
+SELECT lag::BIGINT AS lag, m AS n_pairs,
+       ROUND((m*sxy - sx*sy)::DOUBLE
+             / sqrt(((m*sxx - sx*sx)::DOUBLE) * ((m*syy - sy*sy)::DOUBLE))
+             * 1e6) / 1e6 AS acf
+FROM s
+WHERE m >= 2 AND m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0
+"""
+
+
+def events_type_corr(sf_dir: str):
+    """Pairwise Pearson correlation between the daily count series of
+    every unordered event-type pair (type_a < type_b), over days where
+    BOTH types have events (inner-join law).  Same combiner -> Sum
+    groupby -> tiny (type, day) table plan as events_acf; the pair loop
+    runs driver-side over n_types^2 — a constant, never corpus scale."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        day = np.asarray(us, np.int64) // DAY_US
+        df = pd.DataFrame(
+            {"event_type": np.asarray(b["event_type"]).astype(object),
+             "d": day}
+        )
+        g = df.groupby(["event_type", "d"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "d"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    et = np.asarray(tbl["event_type"]).astype(object)
+    d = np.asarray(tbl["d"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    types = np.unique(et)
+    series = {}
+    for t in types:
+        sel = et == t
+        dd, nn = d[sel], n[sel]
+        o = np.argsort(dd)
+        series[t] = (dd[o], nn[o])
+    out_a, out_b, out_nd, out_r = [], [], [], []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            da, na = series[types[i]]
+            db, nb = series[types[j]]
+            pos = np.searchsorted(db, da)
+            pos = np.clip(pos, 0, len(db) - 1)
+            hit = db[pos] == da
+            x = na[hit]
+            y = nb[pos[hit]]
+            m = len(x)
+            r = _pearson_int(
+                m, int(x.sum()), int(y.sum()), int((x * y).sum()),
+                int((x * x).sum()), int((y * y).sum()),
+            )
+            if r is None:
+                continue
+            out_a.append(types[i])
+            out_b.append(types[j])
+            out_nd.append(m)
+            out_r.append(r)
+    return pa.table(
+        {
+            "type_a": pa.array(out_a, pa.string()),
+            "type_b": pa.array(out_b, pa.string()),
+            "n_days": pa.array(out_nd, pa.int64()),
+            "r": pa.array(out_r, pa.float64()),
+        }
+    )
+
+
+def sql_events_type_corr() -> str:
+    return f"""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // {DAY_US} AS d, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY event_type, d
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.n AS x, b.n AS y
+  FROM c a JOIN c b ON b.d = a.d AND a.event_type < b.event_type
+),
+s AS (
+  SELECT type_a, type_b, COUNT(*)::BIGINT AS m, SUM(x)::BIGINT AS sx,
+         SUM(y)::BIGINT AS sy, SUM(x*y)::BIGINT AS sxy,
+         SUM(x*x)::BIGINT AS sxx, SUM(y*y)::BIGINT AS syy
+  FROM p GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, m AS n_days,
+       ROUND((m*sxy - sx*sy)::DOUBLE
+             / sqrt(((m*sxx - sx*sx)::DOUBLE) * ((m*syy - sy*sy)::DOUBLE))
+             * 1e6) / 1e6 AS r
+FROM s
+WHERE m >= 2 AND m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0
+"""
+
+
+MIN_GAPS = 4  #: users need >= MIN_GAPS+1 events for inter-arrival stats
+
+
+def events_interarrival(sf_dir: str, *, num_buckets: int = 64):
+    """Inter-arrival statistics per user (>= {MIN_GAPS} gaps): mean gap,
+    coefficient of variation and burstiness B = (sd - mean)/(sd + mean)
+    (Goh & Barabasi 2008) over consecutive-event gaps in INTEGER seconds
+    (exact sums; squares stay under int64 at any per-user span).
+
+    Plan: the sessionize shape — one coarse user-hash bucket shuffle,
+    one lexsort + np.diff + np.add.reduceat per bucket; all per-user
+    math is three reduceat sums and the closed forms."""
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "sec": pa.array(np.asarray(us, np.int64) // 1_000_000),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        sec = g["sec"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, sec, uid))
+        uid, sec = uid[order], sec[order]
+        same_user = np.empty(len(uid), dtype=bool)
+        same_user[0] = False
+        same_user[1:] = uid[1:] == uid[:-1]
+        gap = np.diff(sec, prepend=sec[0])
+        starts = np.flatnonzero(~same_user)
+        # per-user sums over that user's gaps (exclude each first event)
+        gv = np.where(same_user, gap, 0)
+        m = np.diff(np.append(starts, len(uid))) - 1
+        sg = np.add.reduceat(gv, starts)
+        sgg = np.add.reduceat(gv * gv, starts)
+        keep = (m >= MIN_GAPS) & (sg > 0)  # mean>0 => cv/B defined
+        uu, m, sg, sgg = uid[starts][keep], m[keep], sg[keep], sgg[keep]
+        mean = sg.astype(np.float64) / m
+        sd = np.sqrt((m * sgg - sg * sg).astype(np.float64)) / m
+        tol = 1e6
+        def rnd(a):
+            return np.sign(a) * np.floor(np.abs(a) * tol + 0.5) / tol
+        cv = sd / mean
+        bur = (sd - mean) / (sd + mean)
+        return pd.DataFrame(
+            {
+                "user_id": uu,
+                "n_gaps": m,
+                "mean_gap_s": rnd(mean),
+                "cv": rnd(cv),
+                "burstiness": rnd(bur),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_interarrival() -> str:
+    return f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000
+           - LAG(epoch_us(ts) // 1000000)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, COUNT(gap)::BIGINT AS m, SUM(gap)::BIGINT AS sg,
+         SUM(gap*gap)::BIGINT AS sgg
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(gap) >= {MIN_GAPS} AND SUM(gap) > 0
+)
+SELECT user_id, m AS n_gaps,
+       ROUND(sg::DOUBLE / m * 1e6) / 1e6 AS mean_gap_s,
+       ROUND(sqrt((m*sgg - sg*sg)::DOUBLE) / m / (sg::DOUBLE / m) * 1e6) / 1e6
+         AS cv,
+       ROUND((sqrt((m*sgg - sg*sg)::DOUBLE) / m - sg::DOUBLE / m)
+             / (sqrt((m*sgg - sg*sg)::DOUBLE) / m + sg::DOUBLE / m)
+             * 1e6) / 1e6 AS burstiness
+FROM s
+"""
+
+
+def events_survival(sf_dir: str):
+    """Kaplan-Meier time-to-conversion curve: per user, the survival
+    time is whole days from the FIRST event to the FIRST ``purchase``;
+    users with no purchase are right-censored at their last event.
+    S(t) multiplies (1 - d_t/n_t) over times in ascending order (the
+    window-product / cumprod order — identical on both sides), reported
+    at death times.
+
+    Plan: per-batch (user, min_us, max_us, min_purchase_us) partials
+    (no-purchase batches carry an int64-max sentinel) -> built-in
+    Min/Max groupby on user (hash aggregate, scale-safe) -> the curve
+    itself is bounded by the day span and finalizes driver-side."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    SENT = np.iinfo(np.int64).max
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = np.asarray(
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()), np.int64
+        )
+        uid = np.asarray(b["user_id"], np.int64)
+        is_p = np.asarray(b["event_type"]).astype(object) == "purchase"
+        pus = np.where(is_p, us, SENT)
+        df = pd.DataFrame({"user_id": uid, "us": us, "pus": pus})
+        g = df.groupby("user_id", sort=False).agg(
+            f=("us", "min"), l=("us", "max"), p=("pus", "min")
+        )
+        out = g.reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+                "f": pa.array(out["f"].to_numpy(np.int64)),
+                "l": pa.array(out["l"].to_numpy(np.int64)),
+                "p": pa.array(out["p"].to_numpy(np.int64)),
+            }
+        )
+
+    users = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min("f", alias_name="f"),
+            Max("l", alias_name="l"),
+            Min("p", alias_name="p"),
+        )
+    )
+    utbl = pa.concat_tables(
+        t
+        for t in users.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    f = np.asarray(utbl["f"], np.int64)
+    last = np.asarray(utbl["l"], np.int64)
+    p = np.asarray(utbl["p"], np.int64)
+    converted = p != SENT
+    t_day = np.where(converted, (p - f) // DAY_US, (last - f) // DAY_US)
+    evt = converted.astype(np.int64)
+    # counts per time (deaths and all-at-time), then the KM recursion
+    order = np.argsort(t_day, kind="stable")
+    t_s, e_s = t_day[order], evt[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], t_s[1:] != t_s[:-1]])
+    )
+    tt = t_s[starts]
+    n_all = np.diff(np.append(starts, len(t_s)))
+    n_ev = np.add.reduceat(e_s, starts)
+    n_total = len(t_day)
+    n_risk = n_total - np.concatenate([[0], np.cumsum(n_all)[:-1]])
+    factors = 1.0 - n_ev.astype(np.float64) / n_risk.astype(np.float64)
+    surv = np.cumprod(factors)
+    keep = n_ev > 0
+    tol = 1e6
+    sv = surv[keep]
+    sv = np.sign(sv) * np.floor(np.abs(sv) * tol + 0.5) / tol
+    return pa.table(
+        {
+            "t_day": pa.array(tt[keep]),
+            "n_risk": pa.array(n_risk[keep]),
+            "n_events": pa.array(n_ev[keep]),
+            "survival": pa.array(sv),
+        }
+    )
+
+
+def sql_events_survival() -> str:
+    return f"""
+WITH u AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS p
+  FROM events GROUP BY user_id
+),
+t AS (
+  SELECT CASE WHEN p IS NOT NULL THEN (p - f) // {DAY_US}
+              ELSE (l - f) // {DAY_US} END AS t_day,
+         CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u
+),
+c AS (
+  SELECT t_day, COUNT(*)::BIGINT AS n_all, SUM(ev)::BIGINT AS n_ev
+  FROM t GROUP BY t_day
+),
+r AS (
+  SELECT t_day, n_ev,
+         (SELECT COUNT(*) FROM t)
+           - COALESCE(SUM(n_all) OVER (ORDER BY t_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM c
+),
+s AS (
+  SELECT t_day, n_risk, n_ev,
+         product(1.0::DOUBLE - n_ev::DOUBLE / n_risk::DOUBLE)
+           OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS surv
+  FROM r
+)
+SELECT t_day::BIGINT AS t_day, n_risk::BIGINT AS n_risk,
+       n_ev AS n_events, ROUND(surv * 1e6) / 1e6 AS survival
+FROM s WHERE n_ev > 0
+"""

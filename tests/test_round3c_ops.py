@@ -1,0 +1,198 @@
+"""Round-3 wave: link prediction, assortativity, ROC AUC, daily-series
+ACF / cross-correlation, inter-arrival burstiness, Kaplan-Meier."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _mk(d):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(d))
+
+
+def test_adamic_adar_hand_graph(ray_session):
+    from pygridmap_ray.graph import adamic_adar_table
+
+    # path 0-1-2 plus edge 1-3: AA pairs through hub 1 (deg 3)
+    edges = pa.table(
+        {
+            "u": pa.array([0, 1, 1], pa.int64()),
+            "v": pa.array([1, 2, 3], pa.int64()),
+            "w": pa.array([1, 1, 1], pa.int64()),
+        }
+    )
+    out = adamic_adar_table(edges).to_pandas()
+    out = out.sort_values(["u", "w"]).reset_index(drop=True)
+    # non-adjacent two-hop pairs: (0,2),(0,3),(2,3), all via node 1
+    assert list(zip(out.u, out.w)) == [(0, 2), (0, 3), (2, 3)]
+    assert (out.n_common == 1).all()
+    expect = round(1.0 / np.log(3.0), 6)
+    assert np.allclose(out.aa, expect)
+
+
+def test_adamic_adar_excludes_direct_edges(ray_session):
+    from pygridmap_ray.graph import adamic_adar_table
+
+    # triangle: every two-hop pair is also a direct edge -> empty
+    edges = pa.table(
+        {
+            "u": pa.array([0, 0, 1], pa.int64()),
+            "v": pa.array([1, 2, 2], pa.int64()),
+            "w": pa.array([1, 1, 1], pa.int64()),
+        }
+    )
+    assert adamic_adar_table(edges).num_rows == 0
+
+
+def test_assortativity_star_is_negative_one(ray_session):
+    from pygridmap_ray.graph import assortativity_table
+
+    # star K1,3: perfectly disassortative, r = -1
+    edges = pa.table(
+        {
+            "u": pa.array([0, 0, 0], pa.int64()),
+            "v": pa.array([1, 2, 3], pa.int64()),
+            "w": pa.array([1, 1, 1], pa.int64()),
+        }
+    )
+    st = assortativity_table(edges).to_pandas().iloc[0]
+    assert st.n_edges == 3
+    assert st.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_is_null(ray_session):
+    from pygridmap_ray.graph import assortativity_table
+
+    # 4-cycle: all degrees equal -> zero variance -> None
+    edges = pa.table(
+        {
+            "u": pa.array([0, 1, 2, 0], pa.int64()),
+            "v": pa.array([1, 2, 3, 3], pa.int64()),
+            "w": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    st = assortativity_table(edges).to_pandas().iloc[0]
+    assert pd.isna(st.assortativity)
+
+
+def test_pearson_int_matches_numpy():
+    from pygridmap_ray.pipelines.relational import _pearson_int
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 100, 40).astype(np.int64)
+    y = (x + rng.randint(-10, 10, 40)).astype(np.int64)
+    got = _pearson_int(
+        len(x), int(x.sum()), int(y.sum()), int((x * y).sum()),
+        int((x * x).sum()), int((y * y).sum()),
+    )
+    assert abs(got - np.corrcoef(x, y)[0, 1]) < 1e-6
+    # degenerate: constant series
+    assert _pearson_int(3, 6, 6, 12, 12, 12) is None
+
+
+def test_auc_hand_law(ray_session):
+    """AUC of a perfect separator is 1, of a tie-heavy score is 0.5."""
+    import duckdb
+
+    from pygridmap_ray.pipelines.queries import _sql_auc_nchars, q_auc_nchars
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = q_auc_nchars("/root/testdata/sf0.001").to_pandas()
+    exp = con.sql(_sql_auc_nchars()).df()
+    pd.testing.assert_frame_equal(
+        got.reindex(sorted(got.columns), axis=1),
+        exp.reindex(sorted(exp.columns), axis=1),
+        check_dtype=False,
+    )
+    assert 0.0 <= got.auc[0] <= 1.0
+
+
+def test_km_hand_example(ray_session, tmp_path):
+    """Classic KM hand computation on a 4-user toy events table."""
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.relational import DAY_US, events_survival
+
+    # users: 1 converts day 1, 2 converts day 1, 3 converts day 3,
+    # 4 never converts (censored at day 2)
+    base = 1_700_000_000_000_000
+    rows = [
+        (1, "view", 0), (1, "purchase", 1 * DAY_US),
+        (2, "view", 0), (2, "purchase", 1 * DAY_US + 5),
+        (3, "view", 0), (3, "purchase", 3 * DAY_US),
+        (4, "view", 0), (4, "click", 2 * DAY_US),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array(
+                [base + r[2] for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_survival(str(tmp_path)).to_pandas()
+    out = out.sort_values("t_day").reset_index(drop=True)
+    # death times: day 1 (2 deaths, 4 at risk), day 3 (1 death, 1 at risk)
+    assert list(out.t_day) == [1, 3]
+    assert list(out.n_risk) == [4, 1]
+    assert list(out.n_events) == [2, 1]
+    assert out.survival[0] == 0.5
+    assert out.survival[1] == 0.0
+
+
+def test_interarrival_single_user(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.relational import events_interarrival
+
+    base = 1_700_000_000_000_000
+    gaps = [10, 20, 30, 40]  # seconds
+    ts = np.concatenate([[0], np.cumsum(gaps)]) * 1_000_000 + base
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(ts)), pa.int64()),
+            "user_id": pa.array([7] * len(ts), pa.int64()),
+            "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_interarrival(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    g = np.array(gaps, np.float64)
+    mean = g.mean()
+    sd = np.sqrt(((g - mean) ** 2).mean())
+    assert r.n_gaps == 4
+    assert abs(r.mean_gap_s - mean) < 1e-6
+    assert abs(r.cv - sd / mean) < 1e-6
+    assert abs(r.burstiness - (sd - mean) / (sd + mean)) < 1e-6
+
+
+def test_acf_constant_series_excluded(ray_session, tmp_path):
+    """A flat daily series has zero variance -> no ACF rows."""
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.relational import DAY_US, events_acf
+
+    base = 1_700_000_000_000_000
+    # 10 days x 3 events/day, identical counts
+    ts = [base + d * DAY_US + k for d in range(10) for k in range(3)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(ts)), pa.int64()),
+            "user_id": pa.array([1] * len(ts), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_acf(str(tmp_path)).to_pandas()
+    assert len(out) == 0
