@@ -834,3 +834,94 @@ def assortativity_table(edges: pa.Table, *, round_to: int = 6) -> pa.Table:
             "assortativity": pa.array([r], pa.float64()),
         }
     )
+
+
+HITS_ITERS = 5
+
+
+def hits_scores(
+    pairs: pa.Table,
+    hub_col: str = "a",
+    auth_col: str = "b",
+    *,
+    iters: int = HITS_ITERS,
+    round_to: int = 6,
+) -> pa.Table:
+    """HITS hubs-and-authorities over a bipartite (hub, auth) distinct
+    edge table: a = sum of hub scores over in-edges, h = sum of
+    authority scores over out-edges, each normalized by its MAX every
+    iteration (max-normalization keeps the per-iteration float error at
+    one divide instead of a norm-sum; the SQL twin mirrors the order).
+
+    Driver-final over the distinct-pair table (the kcore shape); the
+    10^9-edge path is the pagerank superstep — same scatter, hub/auth
+    state broadcast or joined per iteration."""
+    hub = np.asarray(pairs[hub_col], np.int64)
+    aut = np.asarray(pairs[auth_col], np.int64)
+    hn, hi = np.unique(hub, return_inverse=True)
+    an, ai = np.unique(aut, return_inverse=True)
+    h = np.ones(len(hn))
+    a = np.zeros(len(an))
+    for _ in range(iters):
+        a = np.zeros(len(an))
+        np.add.at(a, ai, h[hi])
+        a = a / a.max()
+        h = np.zeros(len(hn))
+        np.add.at(h, hi, a[ai])
+        h = h / h.max()
+    tol = 10.0 ** round_to
+    h = np.sign(h) * np.floor(np.abs(h) * tol + 0.5) / tol
+    a = np.sign(a) * np.floor(np.abs(a) * tol + 0.5) / tol
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate([hn, an])),
+            "kind": pa.array(
+                ["hub"] * len(hn) + ["auth"] * len(an), pa.string()
+            ),
+            "score": pa.array(np.concatenate([h, a])),
+        }
+    )
+
+
+def sql_hits(
+    *,
+    source: str = "lineitem",
+    left: str = "l_suppkey",
+    right: str = "l_partkey",
+    iters: int = HITS_ITERS,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`hits_scores` on the distinct
+    (left, right) bipartite edges: the power iteration unrolled with
+    identical max-normalization order."""
+    tol = f"1e{round_to}"
+    ctes = [
+        f"e AS (SELECT DISTINCT {left} AS hub, {right} AS aut FROM {source})",
+        "h0 AS (SELECT hub AS v, 1.0::DOUBLE AS s FROM (SELECT DISTINCT hub FROM e))",
+    ]
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        # normalize with a window MAX so every CTE is referenced ONCE —
+        # DuckDB inlines CTEs, and a scalar (SELECT MAX..) re-reference
+        # doubles the join chain per iteration (2^iters blowup)
+        ctes.append(
+            f"a{k} AS (SELECT v, s / MAX(s) OVER () AS s FROM ("
+            f"SELECT e.aut AS v, SUM(p.s) AS s"
+            f" FROM e JOIN {prev_h} p ON p.v = e.hub GROUP BY e.aut))"
+        )
+        ctes.append(
+            f"h{k} AS (SELECT v, s / MAX(s) OVER () AS s FROM ("
+            f"SELECT e.hub AS v, SUM(p.s) AS s"
+            f" FROM e JOIN a{k} p ON p.v = e.aut GROUP BY e.hub))"
+        )
+        prev_h = f"h{k}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v AS node, 'hub' AS kind, ROUND(s * {tol}) / {tol} AS score
+FROM h{iters}
+UNION ALL
+SELECT v AS node, 'auth' AS kind, ROUND(s * {tol}) / {tol} AS score
+FROM a{iters}
+"""
+    )

@@ -10440,6 +10440,71 @@ def q_events_survival(sf_dir: str):
     return events_survival(sf_dir)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs (suppliers) and authorities (parts) on the distinct
+    supplier-part bipartite graph, 5 max-normalized power iterations
+    (graph.hits_scores; the distinct-pair build is the kcore shape)."""
+    import ray.data as rd
+
+    from ..graph import distinct_int_pairs_table, hits_scores
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    pairs = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
+    return hits_scores(pairs, "l_suppkey", "l_partkey")
+
+
+def _sql_hits() -> str:
+    from ..graph import sql_hits
+
+    return sql_hits()
+
+
+def q_doc_keywords(sf_dir: str):
+    """Top-3 TF-IDF keywords per document (text.doc_keywords): df
+    vocabulary reduce -> broadcast -> per-batch score + total-order
+    rank."""
+    import ray.data as rd
+
+    from ..text import doc_keywords
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return doc_keywords(docs)
+
+
+def _sql_doc_keywords() -> str:
+    from ..text import sql_doc_keywords
+
+    return sql_doc_keywords()
+
+
+def q_seasonal_decompose(sf_dir: str):
+    from .relational import events_seasonal_decompose
+
+    return events_seasonal_decompose(sf_dir)
+
+
+def _sql_seasonal_decompose() -> str:
+    from .relational import sql_events_seasonal_decompose
+
+    return sql_events_seasonal_decompose()
+
+
+def q_type_jaccard(sf_dir: str):
+    from .relational import events_type_jaccard
+
+    return events_type_jaccard(sf_dir)
+
+
+def _sql_type_jaccard() -> str:
+    from .relational import sql_events_type_jaccard
+
+    return sql_events_type_jaccard()
+
+
 def q_raster_focal_median(sf_dir: str):
     """3x3 focal MEDIAN filter over the elevation band (interior pixels,
     nodata excluded from each window, center must be valid): the robust
@@ -11391,6 +11456,10 @@ def queries():
         "events_type_corr": q_events_type_corr,
         "events_interarrival": q_events_interarrival,
         "events_survival": q_events_survival,
+        "hits": q_hits,
+        "doc_keywords": q_doc_keywords,
+        "seasonal_decompose": q_seasonal_decompose,
+        "type_jaccard": q_type_jaccard,
         "raster_focal_median": q_raster_focal_median,
         "hex_cusum": q_hex_cusum,
         "geary_c": q_geary_c,
@@ -12126,6 +12195,10 @@ def oracle_sql():
         "events_type_corr": _sql_events_type_corr_q(),
         "events_interarrival": _sql_events_interarrival_q(),
         "events_survival": _sql_events_survival_q(),
+        "hits": _sql_hits(),
+        "doc_keywords": _sql_doc_keywords(),
+        "seasonal_decompose": _sql_seasonal_decompose(),
+        "type_jaccard": _sql_type_jaccard(),
         "raster_focal_median": _sql_raster_focal_median(),
         "hex_cusum": _sql_hex_cusum(),
         "geary_c": _sql_geary_c(),

@@ -3149,3 +3149,238 @@ SELECT t_day::BIGINT AS t_day, n_risk::BIGINT AS n_risk,
        n_ev AS n_events, ROUND(surv * 1e6) / 1e6 AS survival
 FROM s WHERE n_ev > 0
 """
+
+
+STL_HALF = 3  #: centered moving-average half-width (7-day trend window)
+
+
+def events_seasonal_decompose(sf_dir: str):
+    """Classical additive seasonal decomposition of the daily total
+    event count: trend = centered 7-day moving average (only days whose
+    full d-3..d+3 calendar window exists), detrended = n - trend,
+    seasonal = per-weekday mean of detrended CENTERED by the mean of
+    the 7 weekday means, remainder = detrended - seasonal.
+
+    The trend is EXACT (integer 7-day sum / 7.0); the weekday means are
+    short float sums under the 6dp rounding protocol.  Plan: per-batch
+    (day, n) combiner -> Sum groupby (day-span bounded) -> driver-final
+    alignment, identical to events_acf."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        day = np.asarray(us, np.int64) // DAY_US
+        d, n = np.unique(day, return_counts=True)
+        return pa.table({"d": pa.array(d), "n": pa.array(n.astype(np.int64))})
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    d = np.asarray(tbl["d"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    # full-window days: all of d-3..d+3 present (calendar law, not rows)
+    s7 = np.zeros(len(d), np.int64)
+    full = np.ones(len(d), bool)
+    for off in range(-STL_HALF, STL_HALF + 1):
+        pos = np.searchsorted(d, d + off)
+        pos = np.clip(pos, 0, len(d) - 1)
+        hit = d[pos] == d + off
+        full &= hit
+        s7 += np.where(hit, n[pos], 0)
+    d, n, s7 = d[full], n[full], s7[full]
+    if not len(d):
+        return pa.table(
+            {
+                "d": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "trend": pa.array([], pa.float64()),
+                "seasonal": pa.array([], pa.float64()),
+                "remainder": pa.array([], pa.float64()),
+            }
+        )
+    trend = s7.astype(np.float64) / 7.0
+    det = n.astype(np.float64) - trend
+    wd = d % 7
+    means = np.full(7, np.nan)
+    for w in range(7):
+        sel = wd == w
+        if sel.any():
+            means[w] = det[sel].mean()
+    grand = means[~np.isnan(means)].mean()
+    seas = means - grand
+    sv = seas[wd]
+    rem = det - sv
+    tol = 1e6
+
+    def rnd(a):
+        return np.sign(a) * np.floor(np.abs(a) * tol + 0.5) / tol
+
+    return pa.table(
+        {
+            "d": pa.array(d),
+            "n": pa.array(n),
+            "trend": pa.array(rnd(trend)),
+            "seasonal": pa.array(rnd(sv)),
+            "remainder": pa.array(rnd(rem)),
+        }
+    )
+
+
+def sql_events_seasonal_decompose() -> str:
+    return f"""
+WITH c AS (
+  SELECT epoch_us(ts) // {DAY_US} AS d, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY d
+),
+t AS (
+  SELECT a.d, a.n, SUM(b.n)::BIGINT AS s7, COUNT(*)::BIGINT AS c7
+  FROM c a JOIN c b ON b.d BETWEEN a.d - {STL_HALF} AND a.d + {STL_HALF}
+  GROUP BY a.d, a.n
+),
+dt AS (
+  SELECT d, n, s7::DOUBLE / 7.0 AS tr,
+         n::DOUBLE - s7::DOUBLE / 7.0 AS det
+  FROM t WHERE c7 = 7
+),
+sw AS (SELECT d % 7 AS wd, AVG(det) AS s FROM dt GROUP BY wd),
+sc AS (SELECT wd, s - (SELECT AVG(s) FROM sw) AS s FROM sw)
+SELECT dt.d, dt.n,
+       ROUND(tr * 1e6) / 1e6 AS trend,
+       ROUND(sc.s * 1e6) / 1e6 AS seasonal,
+       ROUND((det - sc.s) * 1e6) / 1e6 AS remainder
+FROM dt JOIN sc ON sc.wd = dt.d % 7
+"""
+
+
+def events_type_jaccard(sf_dir: str, *, num_buckets: int = 64):
+    """Jaccard similarity between the USER SETS of every event-type
+    pair: |users(a) n users(b)| / |users(a) u users(b)|, exact.
+
+    Scale plan: distinct (user, type) per batch -> one coarse bucket
+    shuffle on user hash -> per-bucket the user's type set emits every
+    unordered type pair INCLUDING the diagonal (t, t), so one Sum
+    groupby on (type_a, type_b) yields both the intersections and the
+    per-type distinct-user counts; the T x T table finalizes
+    driver-side.  Per-user work is a sorted scan — never a fine
+    per-user group; pair volume is bounded by n_types^2 per user."""
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        et = np.asarray(b["event_type"]).astype(object)
+        df = pd.DataFrame({"user_id": uid, "event_type": et})
+        df = df.drop_duplicates()
+        uid = df["user_id"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["user_id", "event_type"]].drop_duplicates()
+        codes, types = pd.factorize(df["event_type"], sort=True)
+        uid = df["user_id"].to_numpy(np.int64)
+        order = np.lexsort((codes, uid))
+        uid, codes = uid[order], codes[order]
+        T = len(types)
+        parts = []
+        d = 0
+        while True:
+            if d >= len(uid):
+                break
+            same = uid[: len(uid) - d] == uid[d:] if d else np.ones(
+                len(uid), bool
+            )
+            if not same.any():
+                break
+            a = codes[: len(codes) - d][same]
+            b = codes[d:][same]
+            parts.append(a * T + b)  # a <= b: codes ascend per user
+            d += 1
+        k = np.concatenate(parts)
+        pk, cnt = np.unique(k, return_counts=True)
+        return pd.DataFrame(
+            {
+                "type_a": types[pk // T],
+                "type_b": types[pk % T],
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    ta = np.asarray(tbl["type_a"]).astype(object)
+    tb = np.asarray(tbl["type_b"]).astype(object)
+    n = np.asarray(tbl["n"], np.int64)
+    diag = {a: c for a, b, c in zip(ta, tb, n) if a == b}
+    sel = ta != tb
+    ta, tb, n = ta[sel], tb[sel], n[sel]
+    na = np.array([diag[a] for a in ta], np.int64)
+    nb = np.array([diag[b] for b in tb], np.int64)
+    jac = n.astype(np.float64) / (na + nb - n).astype(np.float64)
+    tol = 1e6
+    jac = np.sign(jac) * np.floor(np.abs(jac) * tol + 0.5) / tol
+    order = np.lexsort((tb, ta))
+    return pa.table(
+        {
+            "type_a": pa.array(ta[order], pa.string()),
+            "type_b": pa.array(tb[order], pa.string()),
+            "n_both": pa.array(n[order]),
+            "n_a": pa.array(na[order]),
+            "n_b": pa.array(nb[order]),
+            "jaccard": pa.array(jac[order]),
+        }
+    )
+
+
+def sql_events_type_jaccard() -> str:
+    return """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*)::BIGINT AS c
+  FROM ut a JOIN ut b
+    ON b.user_id = a.user_id AND a.event_type <= b.event_type
+  GROUP BY ta, tb
+)
+SELECT i.ta AS type_a, i.tb AS type_b, i.c AS n_both,
+       da.c AS n_a, db.c AS n_b,
+       ROUND(i.c::DOUBLE / (da.c + db.c - i.c)::DOUBLE * 1e6) / 1e6
+         AS jaccard
+FROM p i
+JOIN p da ON da.ta = i.ta AND da.tb = i.ta
+JOIN p db ON db.ta = i.tb AND db.tb = i.tb
+WHERE i.ta < i.tb
+"""

@@ -1799,3 +1799,154 @@ SELECT a.tok AS tok_a, b.tok AS tok_b,
 FROM uni a JOIN uni b ON a.tok < b.tok
 WHERE levenshtein(a.tok, b.tok) <= {max_dist}
 """
+
+
+DOC_KEYWORDS_K = 3
+
+
+def doc_keywords(
+    ds,
+    *,
+    k: int = DOC_KEYWORDS_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+):
+    """Top-``k`` TF-IDF keywords per document: score = tf * ln(N/df)
+    (plain idf over whitespace tokens), ranked per doc by (score DESC,
+    token ASC) — a total order, so ranking is deterministic on both
+    sides; terms present in EVERY doc score exactly 0 and are dropped.
+
+    Two-phase plan (the bm25 shape): phase 1 reduces the corpus to
+    (token, df) partials — plus one empty-string marker row per batch
+    carrying the batch row count, '' can never be a \\S+ token — folded
+    by the built-in Sum groupby; the vocabulary table returns
+    driver-side (bounded by the token domain, not the corpus; beyond
+    ~2M tokens ship it as a partitioned join instead, the tfidf.py
+    fallback).  Phase 2 broadcasts {token: df} in the task closure and
+    scores each batch with one pandas composite-key count + one total
+    sort."""
+    import re
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    tok_re = re.compile(TOKEN_PATTERN)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        c: dict = {}
+        for t in texts:
+            for w in set(tok_re.findall(t or "")):
+                c[w] = c.get(w, 0) + 1
+        toks = list(c.keys()) + [""]
+        vals = list(c.values()) + [len(texts)]
+        return pa.table(
+            {"tok": pa.array(toks, pa.string()),
+             "df": pa.array(vals, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    vt = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    toks = np.asarray(vt["tok"]).astype(object)
+    dfs = np.asarray(vt["df"], np.int64)
+    n_docs = float(dfs[toks == ""][0])
+    dfmap = dict(zip(toks[toks != ""], dfs[toks != ""]))
+    tol = 10.0 ** round_to
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = np.asarray(batch[id_col], np.int64)
+        toks_per_doc = [tok_re.findall(t or "") for t in texts]
+        lens = np.fromiter(
+            (len(t) for t in toks_per_doc), dtype=np.int64, count=len(texts)
+        )
+        if not lens.sum():
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int64()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            )
+        flat = [w for ts in toks_per_doc for w in ts]
+        tf = (
+            pd.DataFrame(
+                {"i": np.repeat(np.arange(len(texts)), lens), "tok": flat}
+            )
+            .groupby(["i", "tok"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        dfv = tf["tok"].map(dfmap).to_numpy(np.float64)
+        s = tf["tf"].to_numpy(np.float64) * np.log(n_docs / dfv)
+        tf["s"] = s
+        tf = tf[s > 0.0]
+        tf = tf.sort_values(
+            ["i", "s", "tok"], ascending=[True, False, True]
+        )
+        tf["rank"] = tf.groupby("i", sort=False).cumcount() + 1
+        tf = tf[tf["rank"] <= k]
+        sr = tf["s"].to_numpy(np.float64)
+        sr = np.sign(sr) * np.floor(np.abs(sr) * tol + 0.5) / tol
+        return pa.table(
+            {
+                id_col: pa.array(ids[tf["i"].to_numpy(np.int64)]),
+                "tok": pa.array(tf["tok"], pa.string()),
+                "rank": pa.array(tf["rank"].to_numpy(np.int64)),
+                "tfidf": pa.array(sr),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def sql_doc_keywords(
+    *,
+    k: int = DOC_KEYWORDS_K,
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`doc_keywords` (same tf, idf and tie law)."""
+    tol = f"1e{round_to}"
+    return f"""
+WITH tk AS (
+  SELECT {id_col}, unnest(regexp_split_to_array({text_col}, '\\s+')) AS tok
+  FROM {source}
+),
+tf AS (
+  SELECT {id_col}, tok, COUNT(*)::BIGINT AS tf
+  FROM tk GROUP BY {id_col}, tok
+),
+df AS (
+  SELECT tok, COUNT(*)::BIGINT AS df
+  FROM (SELECT DISTINCT {id_col}, tok FROM tk) GROUP BY tok
+),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM {source}),
+sc AS (
+  SELECT tf.{id_col}, tf.tok,
+         tf.tf::DOUBLE * ln((SELECT n FROM n) / df.df::DOUBLE) AS s
+  FROM tf JOIN df ON df.tok = tf.tok
+),
+rk AS (
+  SELECT {id_col}, tok, s,
+         ROW_NUMBER() OVER (PARTITION BY {id_col}
+                            ORDER BY s DESC, tok) AS r
+  FROM sc WHERE s > 0
+)
+SELECT {id_col}, tok, r AS rank, ROUND(s * {tol}) / {tol} AS tfidf
+FROM rk WHERE r <= {k}
+"""

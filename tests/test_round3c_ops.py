@@ -196,3 +196,85 @@ def test_acf_constant_series_excluded(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     out = events_acf(str(tmp_path)).to_pandas()
     assert len(out) == 0
+
+
+def test_hits_hand_bipartite(ray_session):
+    from pygridmap_ray.graph import hits_scores
+
+    # hubs {0,1}, auths {10, 11}; hub 0 -> both, hub 1 -> 10 only
+    pairs = pa.table(
+        {
+            "a": pa.array([0, 0, 1], pa.int64()),
+            "b": pa.array([10, 11, 10], pa.int64()),
+        }
+    )
+    out = hits_scores(pairs).to_pandas()
+    hub = out[out.kind == "hub"].set_index("node").score
+    aut = out[out.kind == "auth"].set_index("node").score
+    # auth 10 cited by both hubs -> max; hub 0 cites both auths -> max
+    assert aut[10] == 1.0 and aut[11] < 1.0
+    assert hub[0] == 1.0 and hub[1] < 1.0
+
+
+def test_doc_keywords_hand_law(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.text import doc_keywords
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["apple apple banana", "banana cherry", "cherry dog"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = doc_keywords(docs, k=2).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("rank")
+    # apple: tf=2, df=1 -> 2*ln(3); banana: tf=1, df=2 -> ln(1.5)
+    assert list(d0.tok) == ["apple", "banana"]
+    assert abs(d0.tfidf.iloc[0] - round(2 * np.log(3.0), 6)) < 1e-9
+    assert abs(d0.tfidf.iloc[1] - round(np.log(1.5), 6)) < 1e-9
+
+
+def test_seasonal_decompose_additivity(ray_session):
+    from pygridmap_ray.pipelines.relational import (
+        events_seasonal_decompose,
+    )
+
+    out = events_seasonal_decompose("/root/testdata/sf0.001").to_pandas()
+    if len(out):
+        # n == trend + seasonal + remainder up to the 3 roundings
+        resid = out.n - (out.trend + out.seasonal + out.remainder)
+        assert np.abs(resid).max() < 1e-5
+        # seasonal component sums to ~0 over one full week of weekdays
+        wk = out.groupby(out.d % 7).seasonal.first()
+        if len(wk) == 7:
+            assert abs(wk.sum()) < 1e-4
+
+
+def test_type_jaccard_hand(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.relational import events_type_jaccard
+
+    # users: 1 does A,B; 2 does A; 3 does B,C
+    rows = [(1, "A"), (1, "B"), (2, "A"), (3, "B"), (3, "C"), (1, "A")]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_type_jaccard(str(tmp_path)).to_pandas()
+    out = out.set_index(["type_a", "type_b"])
+    ab = out.loc[("A", "B")]
+    assert (ab.n_both, ab.n_a, ab.n_b) == (1, 2, 2)
+    assert ab.jaccard == round(1 / 3, 6)
+    bc = out.loc[("B", "C")]
+    assert bc.jaccard == 0.5
+    assert ("A", "C") not in out.index  # empty intersection emits no row
