@@ -226,6 +226,16 @@ def _secondary() -> dict:
         ("st_dbscan", q.q_st_dbscan),
         ("kcore", q.q_kcore),
         ("traj_simplify", q.q_traj_simplify),
+        # closing round-3: graph analytics / TS / eval wave
+        ("triangle_stats", q.q_triangle_stats),
+        ("adamic_adar", q.q_adamic_adar),
+        ("hits", q.q_hits),
+        ("doc_keywords", q.q_doc_keywords),
+        ("auc_nchars", q.q_auc_nchars),
+        ("events_interarrival", q.q_events_interarrival),
+        ("events_survival", q.q_events_survival),
+        ("type_jaccard", q.q_type_jaccard),
+        ("raster_terrain", q.q_raster_terrain),
     ]:
 
         def once(fn=fn):
