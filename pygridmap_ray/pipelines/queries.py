@@ -10505,6 +10505,26 @@ def _sql_type_jaccard() -> str:
     return sql_events_type_jaccard()
 
 
+def q_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes language classifier, trained and applied
+    over the documents corpus (text.naive_bayes_lang): count reduce ->
+    broadcast dense log-likelihood model -> vectorized batch scoring."""
+    import ray.data as rd
+
+    from ..text import naive_bayes_lang
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return naive_bayes_lang(docs)
+
+
+def _sql_naive_bayes() -> str:
+    from ..text import sql_naive_bayes_lang
+
+    return sql_naive_bayes_lang()
+
+
 def q_raster_focal_median(sf_dir: str):
     """3x3 focal MEDIAN filter over the elevation band (interior pixels,
     nodata excluded from each window, center must be valid): the robust
@@ -11460,6 +11480,7 @@ def queries():
         "doc_keywords": q_doc_keywords,
         "seasonal_decompose": q_seasonal_decompose,
         "type_jaccard": q_type_jaccard,
+        "naive_bayes": q_naive_bayes,
         "raster_focal_median": q_raster_focal_median,
         "hex_cusum": q_hex_cusum,
         "geary_c": q_geary_c,
@@ -12199,6 +12220,7 @@ def oracle_sql():
         "doc_keywords": _sql_doc_keywords(),
         "seasonal_decompose": _sql_seasonal_decompose(),
         "type_jaccard": _sql_type_jaccard(),
+        "naive_bayes": _sql_naive_bayes(),
         "raster_focal_median": _sql_raster_focal_median(),
         "hex_cusum": _sql_hex_cusum(),
         "geary_c": _sql_geary_c(),

@@ -1950,3 +1950,185 @@ rk AS (
 SELECT {id_col}, tok, r AS rank, ROUND(s * {tol}) / {tol} AS tfidf
 FROM rk WHERE r <= {k}
 """
+
+
+def naive_bayes_lang(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    round_to: int = 6,
+):
+    """Multinomial Naive Bayes language classifier trained AND applied
+    on the same corpus (the self-train shape; split-train is the same
+    plan with two inputs): per-class token counts with add-1 smoothing,
+    P(tok|l) = (c+1)/(nt_l+V), score(doc,l) = ln(ndocs_l/N) + sum over
+    token occurrences of ln P(tok|l); prediction = argmax with ties to
+    the smallest label.  Docs with zero tokens emit no row (they have
+    no likelihood term — the SQL twin's join law).
+
+    Two-phase plan: phase 1 reduces to (label, token, count) partials
+    plus per-label doc-count marker rows ('' is never a \\S+ token),
+    folded by one Sum groupby — model size is vocab x labels, bounded
+    by the token domain (prune to top-K tokens by count before the
+    broadcast at open-vocab scale); phase 2 broadcasts the dense
+    log-likelihood matrix in the task closure and scores each batch
+    with one token->column lookup + per-label segment sums."""
+    import re
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    tok_re = re.compile(TOKEN_PATTERN)
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        labs = batch[label_col].to_pylist()
+        c: dict = {}
+        nd: dict = {}
+        for t, l in zip(texts, labs):
+            nd[l] = nd.get(l, 0) + 1
+            for w in tok_re.findall(t or ""):
+                key = (l, w)
+                c[key] = c.get(key, 0) + 1
+        labels = [k[0] for k in c] + list(nd.keys())
+        toks = [k[1] for k in c] + [""] * len(nd)
+        vals = list(c.values()) + list(nd.values())
+        return pa.table(
+            {
+                "lab": pa.array(labels, pa.string()),
+                "tok": pa.array(toks, pa.string()),
+                "c": pa.array(vals, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby(["lab", "tok"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    mt = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    lab = np.asarray(mt["lab"]).astype(object)
+    tok = np.asarray(mt["tok"]).astype(object)
+    c = np.asarray(mt["c"], np.int64)
+    is_marker = tok == ""
+    labels = np.unique(lab)
+    labels.sort()
+    lidx = {l: i for i, l in enumerate(labels)}
+    ndocs = np.zeros(len(labels), np.int64)
+    for l, cc in zip(lab[is_marker], c[is_marker]):
+        ndocs[lidx[l]] += cc
+    n_total = float(ndocs.sum())
+    vocab = np.unique(tok[~is_marker])
+    vidx = {w: i for i, w in enumerate(vocab)}
+    V = len(vocab)
+    nt = np.zeros(len(labels), np.int64)
+    cm = np.zeros((len(labels), V), np.int64)
+    li = np.array([lidx[l] for l in lab[~is_marker]], np.int64)
+    ti = np.array([vidx[w] for w in tok[~is_marker]], np.int64)
+    np.add.at(nt, li, c[~is_marker])
+    cm[li, ti] = c[~is_marker]
+    # dense log-likelihood matrix, same op order as the SQL twin:
+    # ln((c+1)::DOUBLE / (nt+V)::DOUBLE)
+    L = np.log(
+        (cm + 1).astype(np.float64)
+        / (nt + V).astype(np.float64)[:, None]
+    )
+    prior = np.log(ndocs.astype(np.float64) / n_total)
+    tol = 10.0 ** round_to
+    labels_list = list(labels)
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = np.asarray(batch[id_col], np.int64)
+        toks_per_doc = [tok_re.findall(t or "") for t in texts]
+        lens = np.fromiter(
+            (len(t) for t in toks_per_doc), dtype=np.int64, count=len(texts)
+        )
+        keep = lens > 0
+        if not keep.any():
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "pred_lang": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        flat = [w for ts in toks_per_doc for w in ts]
+        tix = np.array([vidx[w] for w in flat], np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        # per-segment reduceat, NOT cumsum differencing: float cumsum
+        # error grows with the batch total and would leak across docs.
+        # Zero-token docs share their offset with the next start, so
+        # restricting to kept starts keeps segments exact.
+        starts = offs[:-1][keep]
+        nl = len(labels_list)
+        s = np.empty((int(keep.sum()), nl))
+        for j in range(nl):
+            s[:, j] = prior[j] + np.add.reduceat(L[j][tix], starts)
+        best = np.argmax(s, axis=1)  # first max = smallest label on ties
+        sc = s[np.arange(len(s)), best]
+        sc = np.sign(sc) * np.floor(np.abs(sc) * tol + 0.5) / tol
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep]),
+                "pred_lang": pa.array(
+                    [labels_list[b] for b in best], pa.string()
+                ),
+                "score": pa.array(sc),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def sql_naive_bayes_lang(
+    *,
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`naive_bayes_lang` (same smoothing, same
+    prior and tie law)."""
+    tol = f"1e{round_to}"
+    return f"""
+WITH tk AS (
+  SELECT {id_col}, unnest(regexp_split_to_array({text_col}, '\\s+')) AS tok
+  FROM {source}
+),
+cnt AS (
+  SELECT d.{label_col} AS lab, tk.tok, COUNT(*)::BIGINT AS c
+  FROM tk JOIN {source} d USING ({id_col})
+  GROUP BY lab, tk.tok
+),
+nt AS (SELECT lab, SUM(c)::BIGINT AS nt FROM cnt GROUP BY lab),
+nd AS (
+  SELECT {label_col} AS lab, COUNT(*)::BIGINT AS ndocs
+  FROM {source} GROUP BY lab
+),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM {source}),
+vv AS (SELECT COUNT(DISTINCT tok)::BIGINT AS v FROM tk),
+sc AS (
+  SELECT tk.{id_col}, nd.lab,
+         ln(nd.ndocs::DOUBLE / (SELECT n FROM nn)::DOUBLE)
+         + SUM(ln((COALESCE(cnt.c, 0) + 1)::DOUBLE
+                  / (nt.nt + (SELECT v FROM vv))::DOUBLE)) AS s
+  FROM tk
+  CROSS JOIN nd
+  JOIN nt ON nt.lab = nd.lab
+  LEFT JOIN cnt ON cnt.lab = nd.lab AND cnt.tok = tk.tok
+  GROUP BY tk.{id_col}, nd.lab, nd.ndocs, nt.nt
+)
+SELECT {id_col}, lab AS pred_lang, ROUND(s * {tol}) / {tol} AS score
+FROM sc
+QUALIFY ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY s DESC, lab) = 1
+"""

@@ -278,3 +278,29 @@ def test_type_jaccard_hand(ray_session, tmp_path):
     bc = out.loc[("B", "C")]
     assert bc.jaccard == 0.5
     assert ("A", "C") not in out.index  # empty intersection emits no row
+
+
+def test_naive_bayes_hand_law(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.text import naive_bayes_lang
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["aa aa bb", "aa aa", "cc dd", "cc cc dd"], pa.string()
+                ),
+                "lang": pa.array(["x", "x", "y", "y"], pa.string()),
+            }
+        )
+    )
+    out = naive_bayes_lang(docs).to_pandas().set_index("doc_id")
+    # each doc's own class dominates (its tokens are class-exclusive)
+    assert list(out.loc[[0, 1]].pred_lang) == ["x", "x"]
+    assert list(out.loc[[2, 3]].pred_lang) == ["y", "y"]
+    # hand-check doc 1 score: prior ln(2/4) + 2*ln((c_aa+1)/(nt_x+V))
+    # x tokens: aa x4, bb x1 -> nt_x=5, V=4; c(aa|x)=4
+    expect = np.log(2 / 4) + 2 * np.log((4 + 1) / (5 + 4))
+    assert abs(out.loc[1].score - round(expect, 6)) < 1e-9
