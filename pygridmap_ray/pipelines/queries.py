@@ -10525,6 +10525,30 @@ def _sql_naive_bayes() -> str:
     return sql_naive_bayes_lang()
 
 
+def q_state_intervals(sf_dir: str):
+    from .relational import events_state_intervals
+
+    return events_state_intervals(sf_dir)
+
+
+def _sql_state_intervals() -> str:
+    from .relational import sql_events_state_intervals
+
+    return sql_events_state_intervals()
+
+
+def q_holt_linear(sf_dir: str):
+    from .relational import events_holt_linear
+
+    return events_holt_linear(sf_dir)
+
+
+def _sql_holt_linear() -> str:
+    from .relational import sql_events_holt_linear
+
+    return sql_events_holt_linear()
+
+
 def q_raster_focal_median(sf_dir: str):
     """3x3 focal MEDIAN filter over the elevation band (interior pixels,
     nodata excluded from each window, center must be valid): the robust
@@ -11481,6 +11505,8 @@ def queries():
         "seasonal_decompose": q_seasonal_decompose,
         "type_jaccard": q_type_jaccard,
         "naive_bayes": q_naive_bayes,
+        "state_intervals": q_state_intervals,
+        "holt_linear": q_holt_linear,
         "raster_focal_median": q_raster_focal_median,
         "hex_cusum": q_hex_cusum,
         "geary_c": q_geary_c,
@@ -12221,6 +12247,8 @@ def oracle_sql():
         "seasonal_decompose": _sql_seasonal_decompose(),
         "type_jaccard": _sql_type_jaccard(),
         "naive_bayes": _sql_naive_bayes(),
+        "state_intervals": _sql_state_intervals(),
+        "holt_linear": _sql_holt_linear(),
         "raster_focal_median": _sql_raster_focal_median(),
         "hex_cusum": _sql_hex_cusum(),
         "geary_c": _sql_geary_c(),

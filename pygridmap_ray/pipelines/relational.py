@@ -3384,3 +3384,210 @@ JOIN p da ON da.ta = i.ta AND da.tb = i.ta
 JOIN p db ON db.ta = i.tb AND db.tb = i.tb
 WHERE i.ta < i.tb
 """
+
+
+def events_state_intervals(sf_dir: str, *, num_buckets: int = 64):
+    """SCD2-style interval coalescing (gaps-and-islands): the per-day
+    state of each user is the day's LAST event type (ts DESC, event_id
+    DESC tie law); consecutive-day runs with the same state merge into
+    one (user, state, from_day, to_day, n_days) interval — a gap in
+    days OR a state change breaks the run.
+
+    Plan: one coarse user-hash bucket shuffle; per bucket one lexsort
+    picks the last event per (user, day) and one vectorized break scan
+    + reduceat builds the intervals.  Never a per-user group."""
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "event_type": b["event_type"],
+                "us": us,
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        st = g["event_type"].to_numpy(object)
+        day = us // DAY_US
+        # ascending (user, day, us, eid): the LAST row of each (user,
+        # day) run is the day's state
+        order = np.lexsort((eid, us, day, uid))
+        uid, day, st = uid[order], day[order], st[order]
+        last = np.empty(len(uid), bool)
+        last[-1] = True
+        last[:-1] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        uid, day, st = uid[last], day[last], st[last]
+        brk = np.empty(len(uid), bool)
+        brk[0] = True
+        brk[1:] = (
+            (uid[1:] != uid[:-1])
+            | (day[1:] != day[:-1] + 1)
+            | (st[1:] != st[:-1])
+        )
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(uid)) - 1
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "state": st[starts],
+                "from_day": day[starts],
+                "to_day": day[ends],
+                "n_days": ends - starts + 1,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_state_intervals() -> str:
+    return f"""
+WITH m AS (
+  SELECT user_id, day, state FROM (
+    SELECT user_id, epoch_us(ts) // {DAY_US} AS day,
+           event_type AS state,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id, epoch_us(ts) // {DAY_US}
+             ORDER BY ts DESC, event_id DESC) AS r
+    FROM events) WHERE r = 1
+),
+g AS (
+  SELECT user_id, day, state,
+         CASE WHEN LAG(day) OVER w = day - 1
+               AND LAG(state) OVER w = state THEN 0 ELSE 1 END AS brk
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+i AS (
+  SELECT user_id, day, state,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM g
+)
+SELECT user_id, state, MIN(day)::BIGINT AS from_day,
+       MAX(day)::BIGINT AS to_day, COUNT(*)::BIGINT AS n_days
+FROM i GROUP BY user_id, state, grp
+"""
+
+
+HOLT_ALPHA = 0.5  #: level gain (dyadic: exact in both engines)
+HOLT_BETA = 0.3
+
+
+def events_holt_linear(sf_dir: str):
+    """Holt double exponential smoothing of the daily total event
+    count: l_t = a*n_t + (1-a)*(l+b), b_t = B*(l_t - l) + (1-B)*b, with
+    l_1 = n_1, b_1 = n_2 - n_1; reports level, trend and the one-step
+    fitted forecast (l+b of the previous step) from the 2nd day on.
+
+    The recursion is sequential BY LAW (each value feeds the next), so
+    both sides run it in day order with identical expressions —
+    bit-exact before the shared 6dp rounding.  Day-count reduce is the
+    events_acf combiner; the recursion itself is day-span-bounded
+    driver work (the CUSUM/IPF precedent)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        day = np.asarray(us, np.int64) // DAY_US
+        d, n = np.unique(day, return_counts=True)
+        return pa.table({"d": pa.array(d), "n": pa.array(n.astype(np.int64))})
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    d = np.asarray(tbl["d"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    cols = {"d": [], "n": [], "level": [], "trend": [], "fitted": []}
+    if len(d) >= 2:
+        a, B = HOLT_ALPHA, HOLT_BETA
+        lv = float(n[0])
+        bv = float(n[1]) - float(n[0])
+        for t in range(1, len(d)):
+            fit = lv + bv
+            nl = a * float(n[t]) + (1.0 - a) * (lv + bv)
+            bv = B * (nl - lv) + (1.0 - B) * bv
+            lv = nl
+            cols["d"].append(int(d[t]))
+            cols["n"].append(int(n[t]))
+            cols["level"].append(lv)
+            cols["trend"].append(bv)
+            cols["fitted"].append(fit)
+    tol = 1e6
+
+    def rnd(v):
+        x = np.asarray(v, np.float64)
+        return np.sign(x) * np.floor(np.abs(x) * tol + 0.5) / tol
+
+    return pa.table(
+        {
+            "d": pa.array(cols["d"], pa.int64()),
+            "n": pa.array(cols["n"], pa.int64()),
+            "level": pa.array(rnd(cols["level"]), pa.float64()),
+            "trend": pa.array(rnd(cols["trend"]), pa.float64()),
+            "fitted": pa.array(rnd(cols["fitted"]), pa.float64()),
+        }
+    )
+
+
+def sql_events_holt_linear() -> str:
+    a, B = HOLT_ALPHA, HOLT_BETA
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT epoch_us(ts) // {DAY_US} AS d, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY d
+),
+o AS (
+  SELECT d, n, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM c
+),
+h(rn, d, n, fit, l, b) AS (
+  SELECT o2.rn, o2.d, o2.n,
+         o1.n::DOUBLE + (o2.n::DOUBLE - o1.n::DOUBLE),
+         {a!r}::DOUBLE * o2.n::DOUBLE
+           + (1.0 - {a!r}::DOUBLE) * (o1.n::DOUBLE + (o2.n::DOUBLE - o1.n::DOUBLE)),
+         {B!r}::DOUBLE * (({a!r}::DOUBLE * o2.n::DOUBLE
+                   + (1.0 - {a!r}::DOUBLE) * (o1.n::DOUBLE
+                       + (o2.n::DOUBLE - o1.n::DOUBLE)))
+                  - o1.n::DOUBLE)
+           + (1.0 - {B!r}::DOUBLE) * (o2.n::DOUBLE - o1.n::DOUBLE)
+  FROM o o1 JOIN o o2 ON o1.rn = 1 AND o2.rn = 2
+  UNION ALL
+  SELECT o.rn, o.d, o.n,
+         h.l + h.b,
+         {a!r}::DOUBLE * o.n::DOUBLE + (1.0 - {a!r}::DOUBLE) * (h.l + h.b),
+         {B!r}::DOUBLE * (({a!r}::DOUBLE * o.n::DOUBLE + (1.0 - {a!r}::DOUBLE) * (h.l + h.b)) - h.l)
+           + (1.0 - {B!r}::DOUBLE) * h.b
+  FROM h JOIN o ON o.rn = h.rn + 1
+)
+SELECT d, n, ROUND(l * 1e6) / 1e6 AS level, ROUND(b * 1e6) / 1e6 AS trend,
+       ROUND(fit * 1e6) / 1e6 AS fitted
+FROM h
+"""

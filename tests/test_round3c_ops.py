@@ -304,3 +304,74 @@ def test_naive_bayes_hand_law(ray_session):
     # x tokens: aa x4, bb x1 -> nt_x=5, V=4; c(aa|x)=4
     expect = np.log(2 / 4) + 2 * np.log((4 + 1) / (5 + 4))
     assert abs(out.loc[1].score - round(expect, 6)) < 1e-9
+
+
+def test_state_intervals_hand(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.relational import (
+        DAY_US, events_state_intervals,
+    )
+
+    base = 1_700_000_000_000_000
+    # user 1: A on day 0 (two events, last wins), A on day 1, B on day 2,
+    # gap, A on day 5
+    rows = [
+        (1, "B", 0), (1, "A", 10),            # day 0: last is A
+        (1, "A", DAY_US),                     # day 1
+        (1, "B", 2 * DAY_US),                 # day 2
+        (1, "A", 5 * DAY_US),                 # day 5 after a gap
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([base + r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_state_intervals(str(tmp_path)).to_pandas()
+    out = out.sort_values("from_day").reset_index(drop=True)
+    base_day = base // DAY_US
+    got = [
+        (r.state, r.from_day - base_day, r.to_day - base_day, r.n_days)
+        for r in out.itertuples()
+    ]
+    assert got == [("A", 0, 1, 2), ("B", 2, 2, 1), ("A", 5, 5, 1)]
+
+
+def test_holt_linear_hand(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.relational import (
+        DAY_US, HOLT_ALPHA, HOLT_BETA, events_holt_linear,
+    )
+
+    base = 1_700_000_000_000_000
+    counts = [4, 6, 5, 9]
+    ts = [
+        base + d * DAY_US + k
+        for d, c in enumerate(counts)
+        for k in range(c)
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(ts)), pa.int64()),
+            "user_id": pa.array([1] * len(ts), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_holt_linear(str(tmp_path)).to_pandas()
+    assert len(out) == 3  # from the 2nd day on
+    a, B = HOLT_ALPHA, HOLT_BETA
+    lv, bv = 4.0, 2.0
+    for i, n in enumerate(counts[1:]):
+        fit = lv + bv
+        nl = a * n + (1 - a) * (lv + bv)
+        bv = B * (nl - lv) + (1 - B) * bv
+        lv = nl
+        assert abs(out.fitted[i] - round(fit, 6)) < 1e-9
+        assert abs(out.level[i] - round(nl, 6)) < 1e-9
+        assert abs(out.trend[i] - round(bv, 6)) < 1e-9
