@@ -10549,6 +10549,32 @@ def _sql_holt_linear() -> str:
     return sql_events_holt_linear()
 
 
+def q_transition_stationary(sf_dir: str):
+    from .relational import events_transition_stationary
+
+    return events_transition_stationary(sf_dir)
+
+
+def _sql_transition_stationary() -> str:
+    from .relational import sql_events_transition_stationary
+
+    return sql_events_transition_stationary()
+
+
+def q_raster_equalize(sf_dir: str):
+    """Histogram equalization of the elevation band
+    (raster.equalize_raster): integer CDF law, exact on both sides."""
+    from ..raster import SyntheticRaster, equalize_raster
+
+    return equalize_raster(SyntheticRaster(**_RASTER_KW), tile_size_cell=64)
+
+
+def _sql_raster_equalize() -> str:
+    from ..raster import SyntheticRaster, sql_equalize
+
+    return sql_equalize(SyntheticRaster(**_RASTER_KW))
+
+
 def q_raster_focal_median(sf_dir: str):
     """3x3 focal MEDIAN filter over the elevation band (interior pixels,
     nodata excluded from each window, center must be valid): the robust
@@ -11507,6 +11533,8 @@ def queries():
         "naive_bayes": q_naive_bayes,
         "state_intervals": q_state_intervals,
         "holt_linear": q_holt_linear,
+        "transition_stationary": q_transition_stationary,
+        "raster_equalize": q_raster_equalize,
         "raster_focal_median": q_raster_focal_median,
         "hex_cusum": q_hex_cusum,
         "geary_c": q_geary_c,
@@ -12249,6 +12277,8 @@ def oracle_sql():
         "naive_bayes": _sql_naive_bayes(),
         "state_intervals": _sql_state_intervals(),
         "holt_linear": _sql_holt_linear(),
+        "transition_stationary": _sql_transition_stationary(),
+        "raster_equalize": _sql_raster_equalize(),
         "raster_focal_median": _sql_raster_focal_median(),
         "hex_cusum": _sql_hex_cusum(),
         "geary_c": _sql_geary_c(),

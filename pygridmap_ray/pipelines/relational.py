@@ -3591,3 +3591,85 @@ SELECT d, n, ROUND(l * 1e6) / 1e6 AS level, ROUND(b * 1e6) / 1e6 AS trend,
        ROUND(fit * 1e6) / 1e6 AS fitted
 FROM h
 """
+
+
+MARKOV_ITERS = 8
+
+
+def events_transition_stationary(sf_dir: str, *, iters: int = MARKOV_ITERS):
+    """Approximate stationary distribution of the event-type Markov
+    chain: row-normalize the transition counts (sink types get a
+    self-loop, the standard stochastic fix), start uniform over all
+    observed types, apply v' = vP for {MARKOV_ITERS} iterations.
+
+    The transition reduce is :func:`events_transitions` (one coarse
+    bucket pass); the chain itself is n_types^2 — driver-final by
+    construction at any corpus size."""
+    counts = pa.concat_tables(
+        t
+        for t in events_transitions(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+        if t.num_rows
+    )
+    src = np.asarray(counts["src"]).astype(object)
+    dst = np.asarray(counts["dst"]).astype(object)
+    n = np.asarray(counts["n"], np.int64)
+    types = np.unique(np.concatenate([src, dst]))
+    tix = {t: i for i, t in enumerate(types)}
+    T = len(types)
+    si = np.array([tix[t] for t in src], np.int64)
+    di = np.array([tix[t] for t in dst], np.int64)
+    rowsum = np.zeros(T, np.int64)
+    np.add.at(rowsum, si, n)
+    P = np.zeros((T, T))
+    P[si, di] = n.astype(np.float64) / rowsum[si].astype(np.float64)
+    sinks = rowsum == 0
+    P[sinks, sinks] = 1.0
+    v = np.full(T, 1.0 / T)
+    for _ in range(iters):
+        v = v @ P
+    tol = 1e6
+    v = np.sign(v) * np.floor(np.abs(v) * tol + 0.5) / tol
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "stationary": pa.array(v, pa.float64()),
+        }
+    )
+
+
+def sql_events_transition_stationary(iters: int = MARKOV_ITERS) -> str:
+    ctes = [
+        """tr AS (
+  SELECT src, dst, COUNT(*)::BIGINT AS n FROM (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events) WHERE dst IS NOT NULL GROUP BY src, dst
+)""",
+        "ty AS (SELECT DISTINCT src AS t FROM tr"
+        " UNION SELECT DISTINCT dst FROM tr)",
+        "rs AS (SELECT src, SUM(n)::BIGINT AS s FROM tr GROUP BY src)",
+        "p AS (SELECT tr.src, tr.dst, tr.n::DOUBLE / rs.s::DOUBLE AS p"
+        " FROM tr JOIN rs USING (src)"
+        " UNION ALL"
+        " SELECT t, t, 1.0::DOUBLE FROM ty"
+        " WHERE t NOT IN (SELECT src FROM tr))",
+        "v0 AS (SELECT t, 1.0::DOUBLE / (SELECT COUNT(*) FROM ty)::DOUBLE"
+        " AS s FROM ty)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"v{k} AS (SELECT p.dst AS t, SUM(v.s * p.p) AS s"
+            f" FROM p JOIN v{k - 1} v ON v.t = p.src GROUP BY p.dst)"
+        )
+    # LEFT JOIN back onto the type set: a type with no incoming edges
+    # drops out of the iterated CTEs but holds an exact 0.0 in the
+    # numpy vector
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT ty.t AS event_type,"
+        f" ROUND(COALESCE(v.s, 0.0) * 1e6) / 1e6 AS stationary"
+        f" FROM ty LEFT JOIN v{iters} v ON v.t = ty.t"
+    )

@@ -2414,3 +2414,98 @@ SELECT (ci // {tile_size_cell})::BIGINT AS xt,
        GREATEST({allv}) - LEAST({allv}) AS rough
 FROM px
 """
+
+
+def equalize_raster(
+    raster: RasterSource,
+    *,
+    band: str = "elev",
+    tile_size_cell: int = 128,
+):
+    """Histogram equalization of a band: every valid pixel maps to
+    ``eq = ((cdf(z) - cdf_min) * 255) // (n_valid - cdf_min)`` — the
+    classic image-contrast op, PURE INTEGER arithmetic (band values are
+    integer-valued), so both sides are exact with no rounding step.
+
+    Two passes over the tiled cell stream: pass 1 reduces to a (z,
+    count) histogram (value-domain cardinality, not pixels) via Sum
+    groupby; the CDF broadcasts in the map closure; pass 2 is a
+    stateless per-batch lookup."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cells = tiling_raster(raster, tile_size_cell=tile_size_cell)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[band], np.float64)
+        ok = ~np.isnan(v)
+        z, c = np.unique(v[ok].astype(np.int64), return_counts=True)
+        return pa.table(
+            {"z": pa.array(z), "c": pa.array(c.astype(np.int64))}
+        )
+
+    agg = (
+        cells.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("z")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    ht = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    z = np.asarray(ht["z"], np.int64)
+    c = np.asarray(ht["c"], np.int64)
+    order = np.argsort(z)
+    z, c = z[order], c[order]
+    cdf = np.cumsum(c)
+    m = int(cdf[0])
+    n = int(cdf[-1])
+    lut = np.zeros(int(z.max()) + 1, np.int64)
+    lut[z] = ((cdf - m) * 255) // max(n - m, 1)
+
+    def apply(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[band], np.float64)
+        ok = ~np.isnan(v)
+        zz = v[ok].astype(np.int64)
+        return pa.table(
+            {
+                "x": pa.array(np.asarray(b["x"], np.float64)[ok]),
+                "y": pa.array(np.asarray(b["y"], np.float64)[ok]),
+                "z": pa.array(zz),
+                "eq": pa.array(lut[zz]),
+            }
+        )
+
+    return cells.select_columns(["x", "y", band]).map_batches(
+        apply, batch_format="pyarrow"
+    )
+
+
+def sql_equalize(raster: SyntheticRaster, band: str = "elev") -> str:
+    """DuckDB twin of :func:`equalize_raster` (same integer CDF law)."""
+    h, w, res = raster.height, raster.width, raster.resolution
+    x0, y0 = raster.x_min, raster.y_min
+    p1, p2 = _BAND_P1[band], _BAND_P2[band]
+    pct = _BAND_NODATA_PCT[band]
+    return f"""
+WITH px AS (
+  SELECT r.i AS ri, c.i AS ci,
+         ((r.i * {p1} + c.i * {p2}) % 1000)::BIGINT AS z
+  FROM (SELECT UNNEST(generate_series(0, {h - 1})) AS i) r,
+       (SELECT UNNEST(generate_series(0, {w - 1})) AS i) c
+  WHERE ((r.i * 7919 + c.i * 104729) % 100) >= {pct}
+),
+hi AS (SELECT z, COUNT(*)::BIGINT AS c FROM px GROUP BY z),
+cd AS (
+  SELECT z, SUM(c) OVER (ORDER BY z
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cdf
+  FROM hi
+),
+mm AS (SELECT MIN(cdf) AS m, (SELECT SUM(c) FROM hi) AS n FROM cd)
+SELECT {x0!r} + px.ci * {res!r} AS x,
+       {y0!r} + ({h} - px.ri - 1) * {res!r} AS y,
+       px.z,
+       ((cd.cdf - mm.m) * 255) // GREATEST(mm.n - mm.m, 1) AS eq
+FROM px JOIN cd ON cd.z = px.z CROSS JOIN mm
+"""

@@ -375,3 +375,57 @@ def test_holt_linear_hand(ray_session, tmp_path):
         assert abs(out.fitted[i] - round(fit, 6)) < 1e-9
         assert abs(out.level[i] - round(nl, 6)) < 1e-9
         assert abs(out.trend[i] - round(bv, 6)) < 1e-9
+
+
+def test_transition_stationary_two_state(ray_session, tmp_path):
+    """Two-state chain with known stationary distribution."""
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.relational import (
+        events_transition_stationary,
+    )
+
+    base = 1_700_000_000_000_000
+    # one user cycling A->A->B->A->A->B ... : P(A->A)=.5, P(A->B)=.5,
+    # P(B->A)=1 -> stationary (2/3, 1/3)
+    seq = ["A", "A", "B"] * 40
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(seq)), pa.int64()),
+            "user_id": pa.array([1] * len(seq), pa.int64()),
+            "event_type": pa.array(seq, pa.string()),
+            "ts": pa.array(
+                [base + i * 1000 for i in range(len(seq))],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_transition_stationary(str(tmp_path)).to_pandas()
+    out = out.set_index("event_type").stationary
+    assert abs(out["A"] - 2 / 3) < 0.02  # 8 iterations converge close
+    assert abs(out["B"] - 1 / 3) < 0.02
+    assert abs(out.sum() - 1.0) < 1e-6
+
+
+def test_equalize_uniform_ramp(ray_session):
+    """A nodata-free ramp raster equalizes to the identity ramp."""
+    from pygridmap_ray.raster import RasterSource, equalize_raster
+
+    class Ramp(RasterSource):
+        width = 16
+        height = 16
+        resolution = 1.0
+        x_min = 0.0
+        y_min = 0.0
+        bands = ("elev",)
+
+        def read_window(self, band, r0, c0, h, w):
+            base = np.arange(16 * 16, dtype=np.float64).reshape(16, 16)
+            return base[r0 : r0 + h, c0 : c0 + w]
+
+    out = equalize_raster(Ramp(), tile_size_cell=8).to_pandas()
+    assert len(out) == 256
+    out = out.sort_values("z").reset_index(drop=True)
+    # uniform histogram: eq = (rank * 255) // 255 = rank for 256 levels
+    assert list(out["eq"]) == list(range(256))
