@@ -10575,6 +10575,91 @@ def _sql_raster_equalize() -> str:
     return sql_equalize(SyntheticRaster(**_RASTER_KW))
 
 
+def q_props_stats(sf_dir: str):
+    """JSON property extraction + rollup: parse the integer ``k`` from
+    the events ``props`` JSON column (vectorized regex — the column's
+    schema is the flat ``{{"k": N}}`` law; a full JSON parser is only
+    needed for open-schema props) and reduce per event type to count /
+    sum / min / max / 6dp mean.  Integer sums — exact.
+
+    Plan: per-batch (type, n, s, mn, mx) combiners -> one tiny groupby
+    -> driver-final mean."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        sp = pd.Series(b["props"].to_pylist(), dtype=object)
+        kx = sp.str.extract(r'"k":\s*(-?\d+)', expand=False)
+        ok = kx.notna().to_numpy()
+        k = kx[ok].astype(np.int64).to_numpy()
+        et = np.asarray(b["event_type"]).astype(object)[ok]
+        df = pd.DataFrame({"event_type": et, "k": k})
+        g = df.groupby("event_type", sort=False)["k"].agg(
+            ["size", "sum", "min", "max"]
+        )
+        out = g.reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n": pa.array(out["size"].to_numpy(np.int64)),
+                "s": pa.array(out["sum"].to_numpy(np.int64)),
+                "mn": pa.array(out["min"].to_numpy(np.int64)),
+                "mx": pa.array(out["max"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+        )
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    n = np.asarray(tbl["n"], np.int64)
+    s = np.asarray(tbl["s"], np.int64)
+    mean = s.astype(np.float64) / n.astype(np.float64)
+    mean = np.floor(mean * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            "event_type": tbl["event_type"],
+            "n": tbl["n"],
+            "sum_k": tbl["s"],
+            "min_k": tbl["mn"],
+            "max_k": tbl["mx"],
+            "mean_k": pa.array(mean),
+        }
+    )
+
+
+def _sql_props_stats() -> str:
+    return """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(k)::BIGINT AS n, SUM(k)::BIGINT AS sum_k,
+       MIN(k)::BIGINT AS min_k, MAX(k)::BIGINT AS max_k,
+       ROUND(SUM(k)::DOUBLE / COUNT(k)::DOUBLE * 1e6) / 1e6 AS mean_k
+FROM e WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def q_raster_focal_median(sf_dir: str):
     """3x3 focal MEDIAN filter over the elevation band (interior pixels,
     nodata excluded from each window, center must be valid): the robust
@@ -11535,6 +11620,7 @@ def queries():
         "holt_linear": q_holt_linear,
         "transition_stationary": q_transition_stationary,
         "raster_equalize": q_raster_equalize,
+        "props_stats": q_props_stats,
         "raster_focal_median": q_raster_focal_median,
         "hex_cusum": q_hex_cusum,
         "geary_c": q_geary_c,
@@ -12279,6 +12365,7 @@ def oracle_sql():
         "holt_linear": _sql_holt_linear(),
         "transition_stationary": _sql_transition_stationary(),
         "raster_equalize": _sql_raster_equalize(),
+        "props_stats": _sql_props_stats(),
         "raster_focal_median": _sql_raster_focal_median(),
         "hex_cusum": _sql_hex_cusum(),
         "geary_c": _sql_geary_c(),
