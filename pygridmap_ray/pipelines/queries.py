@@ -9235,7 +9235,9 @@ def q_knox_test(sf_dir: str):
             }
         )
 
-    pts = ds.map_batches(prep, batch_format="pyarrow")
+    # the filtered point set feeds BOTH pair plans — materialize it once
+    # (subset-scale, bounded by KNOX_MOD) instead of re-reading parquet
+    pts = ds.map_batches(prep, batch_format="pyarrow").materialize()
 
     # --- spatial (and both) pairs: 3x3 ghost cells of size KNOX_DS ----
     def scat_xy(b: pa.Table) -> pa.Table:
@@ -9286,18 +9288,80 @@ def q_knox_test(sf_dir: str):
         starts = np.flatnonzero(np.concatenate([[True], ck[1:] != ck[:-1]]))
         ends = np.append(starts[1:], len(ck))
         n_space = n_both = 0
+        # Clustered inputs make dense own x block compares quadratic in
+        # cluster size (tens of millions of pairs sit entirely inside
+        # the radius).  MICRO-CELL closed form kills that: sub-bucket
+        # each block at MC = DS/1.5; a micro pair whose MAX possible
+        # distance clears the threshold contributes own_a * n_b pairs
+        # with no compare at all (time-close pairs counted by two
+        # searchsorted bounds on the micro's sorted times); a pair
+        # whose MIN possible distance exceeds it contributes nothing;
+        # only threshold-straddling micro pairs (cluster fringes) go
+        # dense.  The 1e-12 guard bands keep the closed-form decisions
+        # strictly inside what the float d2 <= ds2 law would decide, so
+        # counts are bit-identical to the all-dense kernel.
+        # Self-pairs (pid unique => exactly one per own row, d2 = dt =
+        # 0) are counted once by the A == B closed form and subtracted.
+        MC = KNOX_DS / 1.5
+        hi_gate = ds2 * (1.0 - 1e-12)
+        lo_gate = ds2 * (1.0 + 1e-12)
         for s, e in zip(starts, ends):
             o = own[s:e] > 0
-            if not o.any():
+            no = int(o.sum())
+            if not no:
                 continue
-            dx = px[s:e][o][:, None] - px[s:e][None, :]
-            dy = py[s:e][o][:, None] - py[s:e][None, :]
-            d2 = dx * dx + dy * dy
-            neq = pid[s:e][o][:, None] != pid[s:e][None, :]
-            close = (d2 <= ds2) & neq
-            n_space += int(close.sum())
-            dt = np.abs(pt[s:e][o][:, None] - pt[s:e][None, :])
-            n_both += int((close & (dt <= KNOX_DT)).sum())
+            X, Y, T = px[s:e], py[s:e], pt[s:e]
+            mx = np.floor(X / MC).astype(np.int64)
+            my = np.floor(Y / MC).astype(np.int64)
+            mk = (mx - mx.min()) * 1024 + (my - my.min())
+            o2 = np.argsort(mk, kind="stable")
+            Xs, Ys, Ts, os_ = X[o2], Y[o2], T[o2], o[o2]
+            mks = mk[o2]
+            ms = np.flatnonzero(
+                np.concatenate([[True], mks[1:] != mks[:-1]])
+            )
+            me = np.append(ms[1:], len(mks))
+            mxs = mks[ms] // 1024
+            mys = mks[ms] % 1024
+            nmc = len(ms)
+            tsorted = [np.sort(Ts[ms[b]:me[b]]) for b in range(nmc)]
+            for a in range(nmc):
+                am = os_[ms[a]:me[a]]
+                ao = int(am.sum())
+                if not ao:
+                    continue
+                aX = Xs[ms[a]:me[a]][am]
+                aY = Ys[ms[a]:me[a]][am]
+                aT = Ts[ms[a]:me[a]][am]
+                for b in range(nmc):
+                    dmx = abs(int(mxs[a]) - int(mxs[b]))
+                    dmy = abs(int(mys[a]) - int(mys[b]))
+                    mnx = max(dmx - 1, 0) * MC
+                    mny = max(dmy - 1, 0) * MC
+                    if mnx * mnx + mny * mny > lo_gate:
+                        continue
+                    mxx = (dmx + 1) * MC
+                    mxy = (dmy + 1) * MC
+                    nb = int(me[b] - ms[b])
+                    if mxx * mxx + mxy * mxy <= hi_gate:
+                        n_space += ao * nb
+                        tb = tsorted[b]
+                        hi = np.searchsorted(tb, aT + KNOX_DT, side="right")
+                        lo = np.searchsorted(tb, aT - KNOX_DT, side="left")
+                        n_both += int((hi - lo).sum())
+                        continue
+                    bX = Xs[ms[b]:me[b]]
+                    bY = Ys[ms[b]:me[b]]
+                    bT = Ts[ms[b]:me[b]]
+                    dx = aX[:, None] - bX[None, :]
+                    dy = aY[:, None] - bY[None, :]
+                    close = dx * dx + dy * dy <= ds2
+                    n_space += int(close.sum())
+                    ii, jj = np.nonzero(close)
+                    dtv = np.abs(aT[ii] - bT[jj])
+                    n_both += int((dtv <= KNOX_DT).sum())
+            n_space -= no
+            n_both -= no
         return pd.DataFrame({"n_space": [n_space], "n_both": [n_both]})
 
     sp = (
@@ -9340,14 +9404,20 @@ def q_knox_test(sf_dir: str):
         ends = np.append(starts[1:], len(tk))
         n_time = 0
         cnt = 0
+        # same self-pair closed form as the spatial kernel (pid unique);
+        # within a time bucket a SORT + two searchsorted bounds count
+        # |dt| <= KNOX_DT pairs without any dense matrix
         for s, e in zip(starts, ends):
             o = own[s:e] > 0
-            if not o.any():
+            no = int(o.sum())
+            if not no:
                 continue
-            dt = np.abs(pt[s:e][o][:, None] - pt[s:e][None, :])
-            neq = pid[s:e][o][:, None] != pid[s:e][None, :]
-            n_time += int(((dt <= KNOX_DT) & neq).sum())
-            cnt += int(o.sum())
+            T = np.sort(pt[s:e])
+            ot = pt[s:e][o]
+            hi = np.searchsorted(T, ot + KNOX_DT, side="right")
+            lo = np.searchsorted(T, ot - KNOX_DT, side="left")
+            n_time += int((hi - lo).sum()) - no
+            cnt += no
         return pd.DataFrame({"n_time": [n_time], "n": [cnt]})
 
     tm = (
