@@ -9683,6 +9683,40 @@ def q_st_dbscan(sf_dir: str):
         ends = np.append(starts[1:], len(ck))
         return order, starts, ends
 
+    # Micro-cell machinery (the Knox closed-form, per-owner variant):
+    # sub-bucket each cell block at MC = eps/1.5; micro self-pairs are
+    # always fully inside eps (diag^2 = 0.889 eps^2), micro pairs whose
+    # max possible distance clears eps need only the TIME test, pairs
+    # whose min distance exceeds eps contribute nothing, and only the
+    # threshold-straddling fringe goes dense.  1e-12 guard bands keep
+    # every closed-form decision strictly inside the float d2 <= ds2
+    # law, so counts and components are identical to the dense kernel.
+    STDB_MC = STDB_DS / 1.5
+    _HI_GATE = ds2 * (1.0 - 1e-12)
+    _LO_GATE = ds2 * (1.0 + 1e-12)
+
+    def _micros(X, Y):
+        mx = np.floor(X / STDB_MC).astype(np.int64)
+        my = np.floor(Y / STDB_MC).astype(np.int64)
+        mk = (mx - mx.min()) * 1024 + (my - my.min())
+        o2 = np.argsort(mk, kind="stable")
+        mks = mk[o2]
+        ms = np.flatnonzero(np.concatenate([[True], mks[1:] != mks[:-1]]))
+        me = np.append(ms[1:], len(mks))
+        return o2, ms, me, mks[ms] // 1024, mks[ms] % 1024
+
+    def _classify(mxs, mys, a, b):
+        """-1 skip, 1 all-spatially-close, 0 dense."""
+        dmx = abs(int(mxs[a]) - int(mxs[b]))
+        dmy = abs(int(mys[a]) - int(mys[b]))
+        mnx = max(dmx - 1, 0) * STDB_MC
+        mny = max(dmy - 1, 0) * STDB_MC
+        if mnx * mnx + mny * mny > _LO_GATE:
+            return -1
+        mxx = (dmx + 1) * STDB_MC
+        mxy = (dmy + 1) * STDB_MC
+        return 1 if mxx * mxx + mxy * mxy <= _HI_GATE else 0
+
     def kern_count(g: pd.DataFrame) -> pd.DataFrame:
         order, starts, ends = _cells(g)
         px = g["px"].to_numpy(np.float64)[order]
@@ -9691,29 +9725,50 @@ def q_st_dbscan(sf_dir: str):
         pt = g["pt"].to_numpy(np.int64)[order]
         own = g["own"].to_numpy(np.int8)[order]
         ids, cnts = [], []
-        CHUNK = 512  # bound hot-cell owner blocks (exact: law is per-pair)
         for s, e in zip(starts, ends):
             o = own[s:e] > 0
             if not o.any():
                 continue
-            ox_all = px[s:e][o]
-            oy_all = py[s:e][o]
-            ot_all = pt[s:e][o]
-            oid_all = pid[s:e][o]
-            for c0 in range(0, len(ox_all), CHUNK):
-                sl = slice(c0, c0 + CHUNK)
-                dx = ox_all[sl][:, None] - px[s:e][None, :]
-                dy = oy_all[sl][:, None] - py[s:e][None, :]
-                close = (
-                    (dx * dx + dy * dy <= ds2)
-                    & (
-                        np.abs(ot_all[sl][:, None] - pt[s:e][None, :])
-                        <= STDB_DT
+            X, Y, T = px[s:e], py[s:e], pt[s:e]
+            o2, ms, me, mxs, mys = _micros(X, Y)
+            Xs, Ys, Ts, os_ = X[o2], Y[o2], T[o2], o[o2]
+            ids_s = pid[s:e][o2]
+            nmc = len(ms)
+            tsorted = [np.sort(Ts[ms[b]:me[b]]) for b in range(nmc)]
+            for a in range(nmc):
+                am = os_[ms[a]:me[a]]
+                ao = int(am.sum())
+                if not ao:
+                    continue
+                aX = Xs[ms[a]:me[a]][am]
+                aY = Ys[ms[a]:me[a]][am]
+                aT = Ts[ms[a]:me[a]][am]
+                cnt = np.full(ao, -1, np.int64)  # self pair (pid unique)
+                for b in range(nmc):
+                    cls = _classify(mxs, mys, a, b)
+                    if cls < 0:
+                        continue
+                    if cls == 1:
+                        tb = tsorted[b]
+                        hi = np.searchsorted(
+                            tb, aT + STDB_DT, side="right"
+                        )
+                        lo = np.searchsorted(
+                            tb, aT - STDB_DT, side="left"
+                        )
+                        cnt += hi - lo
+                        continue
+                    bX = Xs[ms[b]:me[b]]
+                    bY = Ys[ms[b]:me[b]]
+                    bT = Ts[ms[b]:me[b]]
+                    dx = aX[:, None] - bX[None, :]
+                    dy = aY[:, None] - bY[None, :]
+                    close = (dx * dx + dy * dy <= ds2) & (
+                        np.abs(aT[:, None] - bT[None, :]) <= STDB_DT
                     )
-                    & (oid_all[sl][:, None] != pid[s:e][None, :])
-                )
-                ids.append(oid_all[sl])
-                cnts.append(close.sum(axis=1).astype(np.int64))
+                    cnt += close.sum(axis=1)
+                ids.append(ids_s[ms[a]:me[a]][am])
+                cnts.append(cnt)
         if not ids:
             return pd.DataFrame({"eid": [], "cnt": []}).astype(np.int64)
         return pd.DataFrame(
@@ -9744,38 +9799,107 @@ def q_st_dbscan(sf_dir: str):
             is_core = core[pos] == pid
         else:
             is_core = np.zeros(len(pid), bool)
+        # EXACT connectivity-preserving edge reduction over the micro
+        # structure.  Every emitted edge is a true space-time-close
+        # core pair, and every true core-core edge's endpoints stay
+        # connected, because (i) within one micro all points are
+        # spatially close and a consecutive-in-time chain with gap <=
+        # DT connects exactly the groups the full time-close clique
+        # would (any two window-mates span <= DT, so every consecutive
+        # gap between them is <= DT); (ii) for an all-close micro pair
+        # it suffices to link each own core to its nearest PREV and
+        # NEXT core of the other micro: any other window-mate lies
+        # within a <= DT span of that anchor and chains to it through
+        # (i).  Straddling micro pairs keep the dense per-pair edges.
+        # Duplicate emissions across cells are harmless (component
+        # fold dedups).
         eas, ebs = [], []
-        CHUNK = 512
+
+        def _emit(a_arr, b_arr):
+            eas.append(a_arr)
+            ebs.append(b_arr)
+
         for s, e in zip(starts, ends):
             o = (own[s:e] > 0) & is_core[s:e]
             cand = is_core[s:e]
             if not o.any() or not cand.any():
                 continue
-            ox_all = px[s:e][o]
-            oy_all = py[s:e][o]
-            ot_all = pt[s:e][o]
-            oid_all = pid[s:e][o]
-            for c0 in range(0, len(ox_all), CHUNK):
-                sl = slice(c0, c0 + CHUNK)
-                dx = ox_all[sl][:, None] - px[s:e][None, :]
-                dy = oy_all[sl][:, None] - py[s:e][None, :]
-                close = (
-                    (dx * dx + dy * dy <= ds2)
-                    & (
-                        np.abs(ot_all[sl][:, None] - pt[s:e][None, :])
-                        <= STDB_DT
+            X, Y, T = px[s:e], py[s:e], pt[s:e]
+            o2, ms, me, mxs, mys = _micros(X, Y)
+            Xs, Ys, Ts = X[o2], Y[o2], T[o2]
+            os_ = o[o2]
+            cs_ = cand[o2]
+            ids_s = pid[s:e][o2]
+            nmc = len(ms)
+            # per micro: CORE rows sorted by (time, id) — deterministic
+            core_t, core_id = [], []
+            for b in range(nmc):
+                cm = cs_[ms[b]:me[b]]
+                tb = Ts[ms[b]:me[b]][cm]
+                ib = ids_s[ms[b]:me[b]][cm]
+                o3 = np.lexsort((ib, tb))
+                core_t.append(tb[o3])
+                core_id.append(ib[o3])
+            for a in range(nmc):
+                am = os_[ms[a]:me[a]]
+                ao = int(am.sum())
+                ta = core_t[a]
+                if ao and len(ta) >= 2:
+                    # (i) intra-micro chain over ALL block cores (own
+                    # or ghost: a micro straddling a cell boundary is
+                    # chained whole in every cell that owns part of it)
+                    gap_ok = (ta[1:] - ta[:-1]) <= STDB_DT
+                    _emit(core_id[a][:-1][gap_ok], core_id[a][1:][gap_ok])
+                if not ao:
+                    continue
+                aoc = am & cs_[ms[a]:me[a]]
+                if not aoc.any():
+                    a_has_core = False
+                else:
+                    a_has_core = True
+                    aT = Ts[ms[a]:me[a]][aoc]
+                    aI = ids_s[ms[a]:me[a]][aoc]
+                    aXc = Xs[ms[a]:me[a]][aoc]
+                    aYc = Ys[ms[a]:me[a]][aoc]
+                for b in range(nmc):
+                    if b == a or not a_has_core or not len(core_t[b]):
+                        continue
+                    cls = _classify(mxs, mys, a, b)
+                    if cls < 0:
+                        continue
+                    if cls == 1:
+                        # (ii) prev/next time anchors into micro b
+                        tb, ib = core_t[b], core_id[b]
+                        hi = np.searchsorted(tb, aT, side="right")
+                        prev = hi - 1
+                        okp = prev >= 0
+                        okp[okp] &= (aT[okp] - tb[prev[okp]]) <= STDB_DT
+                        _emit(aI[okp], ib[prev[okp]])
+                        nxt = np.searchsorted(tb, aT, side="left")
+                        okn = nxt < len(tb)
+                        okn[okn] &= (tb[nxt[okn]] - aT[okn]) <= STDB_DT
+                        _emit(aI[okn], ib[nxt[okn]])
+                        continue
+                    tb, ib = core_t[b], core_id[b]
+                    bXc = Xs[ms[b]:me[b]][cs_[ms[b]:me[b]]]
+                    bYc = Ys[ms[b]:me[b]][cs_[ms[b]:me[b]]]
+                    bTc = Ts[ms[b]:me[b]][cs_[ms[b]:me[b]]]
+                    bIc = ids_s[ms[b]:me[b]][cs_[ms[b]:me[b]]]
+                    dx = aXc[:, None] - bXc[None, :]
+                    dy = aYc[:, None] - bYc[None, :]
+                    close = (dx * dx + dy * dy <= ds2) & (
+                        np.abs(aT[:, None] - bTc[None, :]) <= STDB_DT
                     )
-                    & (oid_all[sl][:, None] < pid[s:e][None, :])
-                    & cand[None, :]
-                )
-                oi, cj = np.nonzero(close)
-                eas.append(oid_all[sl][oi])
-                ebs.append(pid[s:e][cj])
+                    oi, cj = np.nonzero(close)
+                    _emit(aI[oi], bIc[cj])
         if not eas:
             return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        return pd.DataFrame(
-            {"id_a": np.concatenate(eas), "id_b": np.concatenate(ebs)}
-        )
+        ia = np.concatenate(eas)
+        ib2 = np.concatenate(ebs)
+        lo_ = np.minimum(ia, ib2)
+        hi_ = np.maximum(ia, ib2)
+        keep = lo_ != hi_
+        return pd.DataFrame({"id_a": lo_[keep], "id_b": hi_[keep]})
 
     edges = scattered.groupby("__b").map_groups(
         kern_edges, batch_format="pandas"
