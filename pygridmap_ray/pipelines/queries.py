@@ -10586,6 +10586,267 @@ FROM w
 """
 
 
+def q_mann_whitney(sf_dir: str):
+    """Mann-Whitney U rank-sum test: does document length (n_chars)
+    differ between lang='en' and the rest?  U from the tie-averaged
+    pair law (the AUC numerator — exact integer-halves), z with the
+    tie-corrected normal approximation; every sum is integer so both
+    sides compute identical doubles before the shared 6dp rounding.
+
+    Plan: the q_auc_nchars combiner -> Sum groupby on score -> driver
+    closed form over the score-domain table."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        sc = np.asarray(b["n_chars"], np.int64)
+        pos = (np.asarray(b["lang"]).astype(object) == "en").astype(np.int64)
+        order = np.argsort(sc, kind="stable")
+        sc, pos = sc[order], pos[order]
+        if not len(sc):
+            return pa.table(
+                {"sc": pa.array([], pa.int64()),
+                 "p": pa.array([], pa.int64()),
+                 "q": pa.array([], pa.int64())}
+            )
+        starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+        p = np.add.reduceat(pos, starts)
+        tot = np.diff(np.append(starts, len(sc)))
+        return pa.table(
+            {"sc": pa.array(sc[starts]), "p": pa.array(p),
+             "q": pa.array(tot - p)}
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("sc")
+        .aggregate(Sum("p", alias_name="p"), Sum("q", alias_name="q"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    sc = np.asarray(tbl["sc"], np.int64)
+    p = np.asarray(tbl["p"], np.int64)
+    q = np.asarray(tbl["q"], np.int64)
+    order = np.argsort(sc)
+    p, q = p[order], q[order]
+    n1, n2 = int(p.sum()), int(q.sum())
+    n = n1 + n2
+    cq = np.concatenate([[0], np.cumsum(q)[:-1]])
+    u = float(
+        (p.astype(np.float64)
+         * (cq.astype(np.float64) + q.astype(np.float64) / 2.0)).sum()
+    )
+    t = p + q
+    tie = int((t * t * t - t).sum())
+    mu = float(n1) * float(n2) / 2.0
+    var = (
+        float(n1) * float(n2) / 12.0
+        * (float(n + 1) - float(tie) / (float(n) * float(n - 1)))
+    )
+    z = (u - mu) / np.sqrt(var) if var > 0 else None
+    if z is not None:
+        z = float(np.sign(z) * np.floor(abs(z) * 1e6 + 0.5) / 1e6)
+    return pa.table(
+        {
+            "n_en": pa.array([n1], pa.int64()),
+            "n_rest": pa.array([n2], pa.int64()),
+            "u": pa.array([u], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        }
+    )
+
+
+def _sql_mann_whitney() -> str:
+    return """
+WITH s AS (
+  SELECT n_chars AS sc, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+c AS (
+  SELECT sc, SUM(y)::BIGINT AS p, COUNT(*)::BIGINT - SUM(y)::BIGINT AS q
+  FROM s GROUP BY sc
+),
+w AS (
+  SELECT p, q,
+         COALESCE(SUM(q) OVER (ORDER BY sc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cq
+  FROM c
+),
+agg AS (
+  SELECT (SELECT SUM(p) FROM c)::BIGINT AS n1,
+         (SELECT SUM(q) FROM c)::BIGINT AS n2,
+         SUM(p::DOUBLE * (cq::DOUBLE + q::DOUBLE / 2.0)) AS u,
+         (SELECT SUM((p+q)*(p+q)*(p+q) - (p+q)) FROM c)::BIGINT AS tie
+  FROM w
+)
+SELECT n1 AS n_en, n2 AS n_rest, u,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+         ROUND((u - n1::DOUBLE * n2::DOUBLE / 2.0)
+               / sqrt(n1::DOUBLE * n2::DOUBLE / 12.0
+                      * ((n1 + n2 + 1)::DOUBLE
+                         - tie::DOUBLE / ((n1 + n2)::DOUBLE
+                                          * (n1 + n2 - 1)::DOUBLE)))
+               * 1e6) / 1e6
+       ELSE NULL END AS z
+FROM agg
+"""
+
+
+def q_kendall_tau(sf_dir: str):
+    """Kendall tau-b between the daily count series of every event-type
+    pair (days where both types have events): C - D from sign products,
+    tie corrections from integer value counts — all exact; one sqrt +
+    divide mirrors the SQL twin.  Day-pair volume is span^2, driver
+    scale at any corpus size (the events_acf reduce)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .relational import DAY_US
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        day = np.asarray(us, np.int64) // DAY_US
+        df = pd.DataFrame(
+            {"event_type": np.asarray(b["event_type"]).astype(object),
+             "d": day}
+        )
+        g = df.groupby(["event_type", "d"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "d"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    et = np.asarray(tbl["event_type"]).astype(object)
+    d = np.asarray(tbl["d"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    types = np.unique(et)
+    series = {}
+    for t in types:
+        sel = et == t
+        dd, nn = d[sel], n[sel]
+        o = np.argsort(dd)
+        series[t] = (dd[o], nn[o])
+    out_a, out_b, out_m, out_tau = [], [], [], []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            da, na = series[types[i]]
+            db, nb = series[types[j]]
+            pos = np.searchsorted(db, da)
+            pos = np.clip(pos, 0, len(db) - 1)
+            hit = db[pos] == da
+            x = na[hit].astype(np.int64)
+            y = nb[pos[hit]].astype(np.int64)
+            m = len(x)
+            if m < 2:
+                continue
+            sx = np.sign(x[:, None] - x[None, :])
+            sy = np.sign(y[:, None] - y[None, :])
+            iu = np.triu_indices(m, 1)
+            cd = int((sx[iu] * sy[iu]).sum())
+            n0 = m * (m - 1) // 2
+            _, cx = np.unique(x, return_counts=True)
+            _, cy = np.unique(y, return_counts=True)
+            n1t = int((cx * (cx - 1) // 2).sum())
+            n2t = int((cy * (cy - 1) // 2).sum())
+            den = float(n0 - n1t) * float(n0 - n2t)
+            if den <= 0:
+                continue
+            tau = float(cd) / np.sqrt(den)
+            tau = float(np.sign(tau) * np.floor(abs(tau) * 1e6 + 0.5) / 1e6)
+            out_a.append(types[i])
+            out_b.append(types[j])
+            out_m.append(m)
+            out_tau.append(tau)
+    return pa.table(
+        {
+            "type_a": pa.array(out_a, pa.string()),
+            "type_b": pa.array(out_b, pa.string()),
+            "n_days": pa.array(out_m, pa.int64()),
+            "tau": pa.array(out_tau, pa.float64()),
+        }
+    )
+
+
+def _sql_kendall_tau() -> str:
+    from .relational import DAY_US
+
+    return f"""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // {DAY_US} AS d, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY event_type, d
+),
+p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.d AS d,
+         a.n AS x, b.n AS y
+  FROM c a JOIN c b ON b.d = a.d AND a.event_type < b.event_type
+),
+cd AS (
+  SELECT p1.ta, p1.tb,
+         SUM(SIGN(p2.x - p1.x) * SIGN(p2.y - p1.y))::BIGINT AS cd,
+         (SELECT COUNT(*) FROM p q
+          WHERE q.ta = p1.ta AND q.tb = p1.tb)::BIGINT AS m
+  FROM p p1 JOIN p p2
+    ON p2.ta = p1.ta AND p2.tb = p1.tb AND p2.d > p1.d
+  GROUP BY p1.ta, p1.tb
+),
+tx AS (
+  SELECT ta, tb, SUM(t * (t - 1) // 2)::BIGINT AS n1t
+  FROM (SELECT ta, tb, x, COUNT(*)::BIGINT AS t FROM p GROUP BY ta, tb, x)
+  GROUP BY ta, tb
+),
+ty AS (
+  SELECT ta, tb, SUM(t * (t - 1) // 2)::BIGINT AS n2t
+  FROM (SELECT ta, tb, y, COUNT(*)::BIGINT AS t FROM p GROUP BY ta, tb, y)
+  GROUP BY ta, tb
+)
+SELECT cd.ta AS type_a, cd.tb AS type_b, cd.m AS n_days,
+       ROUND(cd.cd::DOUBLE
+             / sqrt((cd.m * (cd.m - 1) // 2 - tx.n1t)::DOUBLE
+                    * (cd.m * (cd.m - 1) // 2 - ty.n2t)::DOUBLE)
+             * 1e6) / 1e6 AS tau
+FROM cd
+JOIN tx ON tx.ta = cd.ta AND tx.tb = cd.tb
+JOIN ty ON ty.ta = cd.ta AND ty.tb = cd.tb
+WHERE cd.m >= 2
+  AND cd.m * (cd.m - 1) // 2 - tx.n1t > 0
+  AND cd.m * (cd.m - 1) // 2 - ty.n2t > 0
+"""
+
+
+def q_attribution(sf_dir: str):
+    from .relational import events_attribution
+
+    return events_attribution(sf_dir)
+
+
+def _sql_attribution() -> str:
+    from .relational import sql_events_attribution
+
+    return sql_events_attribution()
+
+
 def q_events_acf(sf_dir: str):
     from .relational import events_acf
 
@@ -12028,6 +12289,9 @@ def queries():
         "q1_pricing": q_q1_pricing,
         "q5_revenue": q_q5_revenue,
         "top_customers": q_top_customers,
+        "mann_whitney": q_mann_whitney,
+        "kendall_tau": q_kendall_tau,
+        "attribution": q_attribution,
     }
 
 
@@ -12846,6 +13110,9 @@ def oracle_sql():
         "q1_pricing": _sql_q1(),
         "q5_revenue": _sql_q5(),
         "top_customers": _sql_topcust(),
+        "mann_whitney": _sql_mann_whitney(),
+        "kendall_tau": _sql_kendall_tau(),
+        "attribution": _sql_attribution(),
     }
 
 

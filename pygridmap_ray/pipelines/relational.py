@@ -3673,3 +3673,142 @@ def sql_events_transition_stationary(iters: int = MARKOV_ITERS) -> str:
         f" ROUND(COALESCE(v.s, 0.0) * 1e6) / 1e6 AS stationary"
         f" FROM ty LEFT JOIN v{iters} v ON v.t = ty.t"
     )
+
+
+ATTR_WINDOW_US = 7 * DAY_US  #: attribution lookback
+ATTR_TOUCHES = ("view", "click")  #: channels eligible for credit
+
+
+def events_attribution(sf_dir: str, *, num_buckets: int = 64):
+    """Last-touch attribution: each ``purchase`` credits the user's
+    latest preceding touch event (view/click) within the lookback
+    window; purchases with no eligible touch fall into the ``direct``
+    channel.  Ties on timestamp break by highest event_id (the LAST
+    row in (ts, event_id) order).  Output per channel: attributed
+    purchase count and summed value (2dp money law).
+
+    Plan: one coarse user-hash bucket pass; per bucket one lexsort,
+    then a vectorized last-touch scan (cummax of touch indices along
+    the ordered stream) — never a per-user group or a join."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..joins import _bucket_of
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts", "value"],
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "event_type": b["event_type"],
+                "us": us,
+                "value": pc.cast(b["value"], pa.float64()),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        val = g["value"].to_numpy(np.float64)
+        order = np.lexsort((eid, us, uid))
+        uid, us, et, val = uid[order], us[order], et[order], val[order]
+        is_touch = np.isin(et, list(ATTR_TOUCHES))
+        is_purch = et == "purchase"
+        idx = np.arange(len(uid))
+        # latest touch index at-or-before each row, per user: segmented
+        # cummax over touch positions (user changes reset the running max)
+        touch_pos = np.where(is_touch, idx, -1)
+        user_start = np.empty(len(uid), bool)
+        if len(uid):
+            user_start[0] = True
+            user_start[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(user_start) - 1
+        # reset cummax per segment: offset trick — add seg * n so maxima
+        # never cross users, subtract after
+        n = len(uid)
+        biased = np.where(is_touch, idx + seg * n, -1)
+        run = np.maximum.accumulate(biased)
+        last_touch = run - seg * n
+        last_touch = np.where(run >= seg * n, last_touch, -1)
+        p = is_purch & (len(uid) > 0)
+        pi = np.flatnonzero(p)
+        lt = last_touch[pi]
+        ok = lt >= 0
+        ok[ok] &= (us[pi[ok]] - us[lt[ok]]) <= ATTR_WINDOW_US
+        channel = np.where(ok, et[np.clip(lt, 0, None)], "direct")
+        dfp = pd.DataFrame(
+            {"channel": channel.astype(object), "v": val[pi]}
+        )
+        g2 = dfp.groupby("channel", sort=False).agg(
+            n=("v", "size"), s=("v", "sum")
+        )
+        out = g2.reset_index()
+        return pd.DataFrame(
+            {
+                "channel": out["channel"],
+                "n": out["n"].astype(np.int64),
+                "s": out["s"].astype(np.float64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("channel")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    s = np.asarray(tbl["s"], np.float64)
+    s = np.sign(s) * np.floor(np.abs(s) * 100.0 + 0.5) / 100.0
+    return pa.table(
+        {
+            "channel": tbl["channel"],
+            "n_purchases": tbl["n"],
+            "revenue": pa.array(s),
+        }
+    )
+
+
+def sql_events_attribution() -> str:
+    touches = ", ".join(f"'{t}'" for t in ATTR_TOUCHES)
+    return f"""
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us, value,
+         CASE WHEN event_type IN ({touches})
+              THEN ROW_NUMBER() OVER w END AS tix,
+         ROW_NUMBER() OVER w AS rix
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+lt AS (
+  SELECT user_id, rix, us, value, event_type,
+         MAX(tix) OVER (PARTITION BY user_id ORDER BY rix
+                        ROWS UNBOUNDED PRECEDING) AS last_tix
+  FROM s
+),
+att AS (
+  SELECT p.value,
+         CASE WHEN t.us IS NOT NULL AND p.us - t.us <= {ATTR_WINDOW_US}
+              THEN t.event_type ELSE 'direct' END AS channel
+  FROM lt p
+  LEFT JOIN s t ON t.user_id = p.user_id AND t.tix = p.last_tix
+  WHERE p.event_type = 'purchase'
+)
+SELECT channel, COUNT(*)::BIGINT AS n_purchases,
+       ROUND(SUM(value) * 1e2) / 1e2 AS revenue
+FROM att GROUP BY channel
+"""
