@@ -11999,6 +11999,337 @@ FROM t
 """
 
 
+def _anova_f_from_groups(ng, sg, qg):
+    """Shared one-way-ANOVA driver fold: exact integer per-group
+    (n, sum, sumsq) -> F.  The only float summation is the k-term
+    sum of sg^2/ng (k tiny), whose ulp error is orders of magnitude
+    below the 6dp rounding step — same budget as region_week_chi2.
+    Returns (n, k, f_or_None)."""
+    n = int(sum(int(v) for v in ng))
+    k = len(ng)
+    s = sum(int(v) for v in sg)
+    sq = sum(int(v) for v in qg)
+    tt = 0.0
+    for sv, nv in zip(sg, ng):
+        tt += float(int(sv) * int(sv)) / float(int(nv))
+    ssb = tt - float(s * s) / float(n)
+    ssw = float(sq) - tt
+    if k < 2 or n <= k or ssw <= 0:
+        return n, k, None
+    f = (ssb / float(k - 1)) / (ssw / float(n - k))
+    f = float(np.sign(f) * np.floor(np.abs(f) * 1e6 + 0.5) / 1e6)
+    return n, k, f
+
+
+_SQL_ANOVA_TAIL = """
+SELECT n, k,
+       CASE WHEN k >= 2 AND n > k AND (q::DOUBLE - tt) > 0 THEN
+         ROUND(((tt - (s*s)::DOUBLE / n::DOUBLE) / (k - 1)::DOUBLE)
+               / ((q::DOUBLE - tt) / (n - k)::DOUBLE) * 1e6) / 1e6
+       ELSE NULL END AS f
+FROM t
+"""
+
+
+def q_anova_f(sf_dir: str):
+    """One-way ANOVA F test: does order value differ across the five
+    o_orderpriority classes?  Values quantized to whole dollars
+    (ROUND half-away, both sides), so every per-group (n, sum, sumsq)
+    is an exact int64; F folds from five exact terms on the driver.
+
+    Scale shape: reduceat combiners inside map_batches -> a k-row
+    groupby -> closed-form driver fold; nothing wide."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = np.asarray(b["o_orderpriority"]).astype(str)
+        x = np.floor(
+            np.asarray(b["o_totalprice"], np.float64) + 0.5
+        ).astype(np.int64)
+        if not len(x):
+            return pa.table(
+                {"g": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.int64()),
+                 "q": pa.array([], pa.int64())}
+            )
+        keys, inv = np.unique(g, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        xi, gi = x[order], inv[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], gi[1:] != gi[:-1]])
+        )
+        return pa.table(
+            {
+                "g": pa.array(keys[gi[starts]], pa.string()),
+                "n": pa.array(
+                    np.diff(np.append(starts, len(xi))).astype(np.int64)
+                ),
+                "s": pa.array(np.add.reduceat(xi, starts)),
+                "q": pa.array(np.add.reduceat(xi * xi, starts)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("q", alias_name="q"),
+        )
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    gk = np.asarray(tbl["g"]).astype(object)
+    order = np.argsort(gk.astype(str))
+    ng = np.asarray(tbl["n"], np.int64)[order]
+    sg = np.asarray(tbl["s"], np.int64)[order]
+    qg = np.asarray(tbl["q"], np.int64)[order]
+    n, k, f = _anova_f_from_groups(ng, sg, qg)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "f": pa.array([f], pa.float64()),
+        }
+    )
+
+
+def _sql_anova_f() -> str:
+    return f"""
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(ROUND(o_totalprice) AS BIGINT) AS x
+  FROM orders
+),
+gr AS (
+  SELECT g, COUNT(*)::BIGINT AS n, SUM(x) AS s, SUM(x*x) AS q
+  FROM v GROUP BY g
+),
+t AS (
+  SELECT SUM(n)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+         SUM(s) AS s, SUM(q) AS q,
+         SUM((s*s)::DOUBLE / n::DOUBLE) AS tt
+  FROM gr
+)
+{_SQL_ANOVA_TAIL}
+"""
+
+
+def q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov: D = max |ECDF_en - ECDF_rest|
+    over document length (n_chars) — the distribution-shape companion
+    of q_mann_whitney (which only sees location).  D's numerator
+    max|cp*n2 - cq*n1| is an exact int64 on both sides; D and the
+    scaled statistic ks = D*sqrt(n1*n2/(n1+n2)) are single fixed-order
+    float expressions, rounded 6dp.
+
+    Scale shape: the mann_whitney per-value combiner -> Sum groupby on
+    the bounded score domain -> exact driver cumsum."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        sc = np.asarray(b["n_chars"], np.int64)
+        pos = (np.asarray(b["lang"]).astype(object) == "en").astype(np.int64)
+        if not len(sc):
+            return pa.table(
+                {"sc": pa.array([], pa.int64()),
+                 "p": pa.array([], pa.int64()),
+                 "q": pa.array([], pa.int64())}
+            )
+        order = np.argsort(sc, kind="stable")
+        sc, pos = sc[order], pos[order]
+        starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+        p = np.add.reduceat(pos, starts)
+        tot = np.diff(np.append(starts, len(sc)))
+        return pa.table(
+            {"sc": pa.array(sc[starts]), "p": pa.array(p),
+             "q": pa.array(tot - p)}
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("sc")
+        .aggregate(Sum("p", alias_name="p"), Sum("q", alias_name="q"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    sc = np.asarray(tbl["sc"], np.int64)
+    order = np.argsort(sc)
+    p = np.asarray(tbl["p"], np.int64)[order]
+    q = np.asarray(tbl["q"], np.int64)[order]
+    n1, n2 = int(p.sum()), int(q.sum())
+    cp, cq = np.cumsum(p), np.cumsum(q)
+    dnum = int(np.abs(cp * n2 - cq * n1).max()) if len(p) else 0
+    if n1 > 0 and n2 > 0:
+        d = float(dnum) / float(n1 * n2)
+        ks = (
+            float(dnum) / float(n1 * n2)
+            * np.sqrt(float(n1) * float(n2) / float(n1 + n2))
+        )
+        d = float(np.floor(d * 1e6 + 0.5) / 1e6)
+        ks = float(np.floor(ks * 1e6 + 0.5) / 1e6)
+    else:
+        d = ks = None
+    return pa.table(
+        {
+            "n_en": pa.array([n1], pa.int64()),
+            "n_rest": pa.array([n2], pa.int64()),
+            "d": pa.array([d], pa.float64()),
+            "ks": pa.array([ks], pa.float64()),
+        }
+    )
+
+
+def _sql_ks_test() -> str:
+    return """
+WITH s AS (
+  SELECT n_chars AS sc, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+c AS (
+  SELECT sc, SUM(y)::BIGINT AS p, COUNT(*)::BIGINT - SUM(y)::BIGINT AS q
+  FROM s GROUP BY sc
+),
+t AS (SELECT SUM(p)::BIGINT AS n1, SUM(q)::BIGINT AS n2 FROM c),
+w AS (
+  SELECT SUM(p) OVER (ORDER BY sc) AS cp,
+         SUM(q) OVER (ORDER BY sc) AS cq
+  FROM c
+),
+m AS (
+  SELECT MAX(ABS(cp * t.n2 - cq * t.n1))::BIGINT AS dnum
+  FROM w CROSS JOIN t
+)
+SELECT t.n1 AS n_en, t.n2 AS n_rest,
+       CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+         ROUND(m.dnum::DOUBLE / (t.n1 * t.n2)::DOUBLE * 1e6) / 1e6
+       ELSE NULL END AS d,
+       CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+         ROUND(m.dnum::DOUBLE / (t.n1 * t.n2)::DOUBLE
+               * sqrt(t.n1::DOUBLE * t.n2::DOUBLE
+                      / (t.n1 + t.n2)::DOUBLE) * 1e6) / 1e6
+       ELSE NULL END AS ks
+FROM m CROSS JOIN t
+"""
+
+
+def q_brown_forsythe(sf_dir: str):
+    """Brown-Forsythe homogeneity-of-variance test: one-way ANOVA F on
+    z = |n_chars - median(lang)| across document languages.  The group
+    median is the explicit lower-median law (min value whose cumulative
+    count reaches (n+1)//2) so z is an exact integer on both sides; the
+    F fold reuses _anova_f_from_groups.
+
+    Scale shape: per-(lang, value) count combiners over the bounded
+    n_chars domain -> small groupby -> driver fold (medians + F) on the
+    (langs x values) table only."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"g": np.asarray(b["lang"]).astype(object),
+             "v": np.asarray(b["n_chars"], np.int64)}
+        )
+        out = df.groupby(["g", "v"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    gk = np.asarray(tbl["g"]).astype(str)
+    v = np.asarray(tbl["v"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    langs = np.unique(gk)
+    ng_l, sz_l, qz_l = [], [], []
+    for lang in langs:
+        sel = gk == lang
+        vv, nn = v[sel], n[sel]
+        o = np.argsort(vv)
+        vv, nn = vv[o], nn[o]
+        cum = np.cumsum(nn)
+        tot = int(cum[-1])
+        rank = (tot + 1) // 2
+        med = int(vv[np.searchsorted(cum, rank, side="left")])
+        z = np.abs(vv - med)
+        ng_l.append(tot)
+        sz_l.append(int((nn * z).sum()))
+        qz_l.append(int((nn * z * z).sum()))
+    nt, k, f = _anova_f_from_groups(ng_l, sz_l, qz_l)
+    return pa.table(
+        {
+            "n": pa.array([nt], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "f": pa.array([f], pa.float64()),
+        }
+    )
+
+
+def _sql_brown_forsythe() -> str:
+    return f"""
+WITH c AS (
+  SELECT lang AS g, n_chars AS v, COUNT(*)::BIGINT AS n
+  FROM documents GROUP BY g, v
+),
+w AS (
+  SELECT g, v, n,
+         SUM(n) OVER (PARTITION BY g ORDER BY v) AS cum,
+         SUM(n) OVER (PARTITION BY g) AS ng
+  FROM c
+),
+med AS (
+  SELECT g, MIN(v) AS med FROM w WHERE cum >= (ng + 1) // 2 GROUP BY g
+),
+z AS (
+  SELECT c.g, ABS(c.v - med.med)::BIGINT AS z, c.n
+  FROM c JOIN med USING (g)
+),
+gr AS (
+  SELECT g, SUM(n)::BIGINT AS n, SUM(n*z) AS s, SUM(n*z*z) AS q
+  FROM z GROUP BY g
+),
+t AS (
+  SELECT SUM(n)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+         SUM(s) AS s, SUM(q) AS q,
+         SUM((s*s)::DOUBLE / n::DOUBLE) AS tt
+  FROM gr
+)
+{_SQL_ANOVA_TAIL}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12292,6 +12623,9 @@ def queries():
         "mann_whitney": q_mann_whitney,
         "kendall_tau": q_kendall_tau,
         "attribution": q_attribution,
+        "anova_f": q_anova_f,
+        "ks_test": q_ks_test,
+        "brown_forsythe": q_brown_forsythe,
     }
 
 
@@ -13113,6 +13447,9 @@ def oracle_sql():
         "mann_whitney": _sql_mann_whitney(),
         "kendall_tau": _sql_kendall_tau(),
         "attribution": _sql_attribution(),
+        "anova_f": _sql_anova_f(),
+        "ks_test": _sql_ks_test(),
+        "brown_forsythe": _sql_brown_forsythe(),
     }
 
 
