@@ -12330,6 +12330,493 @@ t AS (
 """
 
 
+def q_welch_t(sf_dir: str):
+    """Welch's unequal-variance t-test on document length (n_chars),
+    lang='en' vs the rest — the parametric companion of q_mann_whitney.
+    Per-side (n, sum, sumsq) are exact int64; t and the
+    Welch-Satterthwaite df are single fixed-order float expressions
+    mirrored verbatim in the SQL twin, rounded 6dp.
+
+    Scale shape: one reduceat combiner -> 2-row groupby -> driver
+    closed form."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["n_chars"], np.int64)
+        g = (np.asarray(b["lang"]).astype(object) == "en").astype(np.int64)
+        if not len(x):
+            return pa.table(
+                {"g": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.int64()),
+                 "q": pa.array([], pa.int64())}
+            )
+        order = np.argsort(g, kind="stable")
+        xi, gi = x[order], g[order]
+        starts = np.flatnonzero(np.concatenate([[True], gi[1:] != gi[:-1]]))
+        return pa.table(
+            {
+                "g": pa.array(gi[starts]),
+                "n": pa.array(
+                    np.diff(np.append(starts, len(xi))).astype(np.int64)
+                ),
+                "s": pa.array(np.add.reduceat(xi, starts)),
+                "q": pa.array(np.add.reduceat(xi * xi, starts)),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("q", alias_name="q"),
+        )
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    gk = np.asarray(tbl["g"], np.int64)
+    nn = np.asarray(tbl["n"], np.int64)
+    ss = np.asarray(tbl["s"], np.int64)
+    qq = np.asarray(tbl["q"], np.int64)
+    stat = {int(k): (int(n), int(s), int(q))
+            for k, n, s, q in zip(gk, nn, ss, qq)}
+    n1, s1, q1 = stat.get(1, (0, 0, 0))
+    n2, s2, q2 = stat.get(0, (0, 0, 0))
+    if n1 > 1 and n2 > 1:
+        v1 = (float(q1) - float(s1 * s1) / float(n1)) / float(n1 - 1)
+        v2 = (float(q2) - float(s2 * s2) / float(n2)) / float(n2 - 1)
+        se2 = v1 / float(n1) + v2 / float(n2)
+        t = (float(s1) / float(n1) - float(s2) / float(n2)) / np.sqrt(se2)
+        df = se2 * se2 / (
+            (v1 / float(n1)) * (v1 / float(n1)) / float(n1 - 1)
+            + (v2 / float(n2)) * (v2 / float(n2)) / float(n2 - 1)
+        )
+        t = float(np.sign(t) * np.floor(np.abs(t) * 1e6 + 0.5) / 1e6)
+        df = float(np.floor(df * 1e6 + 0.5) / 1e6)
+    else:
+        t = df = None
+    return pa.table(
+        {
+            "n_en": pa.array([n1], pa.int64()),
+            "n_rest": pa.array([n2], pa.int64()),
+            "t": pa.array([t], pa.float64()),
+            "df": pa.array([df], pa.float64()),
+        }
+    )
+
+
+def _sql_welch_t() -> str:
+    return """
+WITH s AS (
+  SELECT n_chars AS x, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+  FROM documents
+),
+gr AS (
+  SELECT g, COUNT(*)::BIGINT AS n, SUM(x) AS s, SUM(x*x) AS q
+  FROM s GROUP BY g
+),
+t AS (
+  SELECT
+    (SELECT n FROM gr WHERE g = 1) AS n1,
+    (SELECT s FROM gr WHERE g = 1) AS s1,
+    (SELECT q FROM gr WHERE g = 1) AS q1,
+    (SELECT n FROM gr WHERE g = 0) AS n2,
+    (SELECT s FROM gr WHERE g = 0) AS s2,
+    (SELECT q FROM gr WHERE g = 0) AS q2
+),
+v AS (
+  SELECT n1, n2,
+         (q1::DOUBLE - (s1*s1)::DOUBLE / n1::DOUBLE) / (n1 - 1)::DOUBLE AS v1,
+         (q2::DOUBLE - (s2*s2)::DOUBLE / n2::DOUBLE) / (n2 - 1)::DOUBLE AS v2,
+         s1::DOUBLE / n1::DOUBLE AS m1, s2::DOUBLE / n2::DOUBLE AS m2
+  FROM t WHERE n1 > 1 AND n2 > 1
+)
+SELECT n1 AS n_en, n2 AS n_rest,
+       ROUND((m1 - m2) / sqrt(v1 / n1::DOUBLE + v2 / n2::DOUBLE) * 1e6)
+         / 1e6 AS t,
+       ROUND((v1 / n1::DOUBLE + v2 / n2::DOUBLE)
+             * (v1 / n1::DOUBLE + v2 / n2::DOUBLE)
+             / ((v1 / n1::DOUBLE) * (v1 / n1::DOUBLE) / (n1 - 1)::DOUBLE
+                + (v2 / n2::DOUBLE) * (v2 / n2::DOUBLE) / (n2 - 1)::DOUBLE)
+             * 1e6) / 1e6 AS df
+FROM v
+"""
+
+
+def q_wilcoxon_signed(sf_dir: str):
+    """Wilcoxon signed-rank test on the paired daily counts of 'click'
+    vs 'view' events (days where both types occur; zero differences
+    dropped).  2*W+ folds exactly over the |d|-value count table
+    (tie-averaged ranks are integer halves, as in q_mann_whitney); z
+    uses the tie-corrected normal approximation, 6dp.
+
+    Scale shape: the kendall_tau per-(type, day) combiner -> Sum
+    groupby -> driver closed form over the bounded |d| domain."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .relational import DAY_US
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    ).filter(expr="event_type == 'click' or event_type == 'view'")
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        day = np.asarray(us, np.int64) // DAY_US
+        df = pd.DataFrame(
+            {"event_type": np.asarray(b["event_type"]).astype(object),
+             "d": day}
+        )
+        g = df.groupby(["event_type", "d"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "d"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    et = np.asarray(tbl["event_type"]).astype(object)
+    d = np.asarray(tbl["d"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    sa = et == "click"
+    sb = et == "view"
+    da, na_ = d[sa], n[sa]
+    db, nb_ = d[sb], n[sb]
+    oa, ob = np.argsort(da), np.argsort(db)
+    da, na_, db, nb_ = da[oa], na_[oa], db[ob], nb_[ob]
+    pos = np.searchsorted(db, da)
+    pos = np.clip(pos, 0, max(len(db) - 1, 0))
+    hit = (db[pos] == da) if len(db) else np.zeros(len(da), bool)
+    diff = na_[hit].astype(np.int64) - nb_[pos[hit]].astype(np.int64)
+    diff = diff[diff != 0]
+    m = len(diff)
+    if m == 0:
+        w = z = None
+        return pa.table(
+            {"n_pairs": pa.array([0], pa.int64()),
+             "w": pa.array([w], pa.float64()),
+             "z": pa.array([z], pa.float64())}
+        )
+    absd = np.abs(diff)
+    vals, inv = np.unique(absd, return_inverse=True)
+    tot = np.bincount(inv).astype(np.int64)
+    p = np.bincount(inv, weights=(diff > 0).astype(np.int64)).astype(np.int64)
+    cb = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    w2 = int((p * (2 * cb + tot + 1)).sum())
+    tie3 = int((tot * tot * tot - tot).sum())
+    var = (
+        float(m) * float(m + 1) * float(2 * m + 1) / 24.0
+        - float(tie3) / 48.0
+    )
+    w = float(w2) / 2.0
+    if var > 0:
+        z = (float(w2) / 2.0 - float(m) * float(m + 1) / 4.0) / np.sqrt(var)
+        z = float(np.sign(z) * np.floor(np.abs(z) * 1e6 + 0.5) / 1e6)
+    else:
+        z = None
+    return pa.table(
+        {
+            "n_pairs": pa.array([m], pa.int64()),
+            "w": pa.array([w], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        }
+    )
+
+
+def _sql_wilcoxon_signed() -> str:
+    from .relational import DAY_US
+
+    return f"""
+WITH c AS (
+  SELECT epoch_us(ts) // {DAY_US} AS d,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  GROUP BY d
+),
+p AS (
+  SELECT na - nb AS diff FROM c WHERE na > 0 AND nb > 0 AND na <> nb
+),
+a AS (
+  SELECT ABS(diff) AS v, COUNT(*)::BIGINT AS tot,
+         SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END)::BIGINT AS p
+  FROM p GROUP BY v
+),
+w AS (
+  SELECT v, tot, p,
+         COALESCE(SUM(tot) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM a
+),
+agg AS (
+  SELECT SUM(p * (2*cb + tot + 1))::BIGINT AS w2,
+         SUM(tot)::BIGINT AS m,
+         SUM(tot*tot*tot - tot)::BIGINT AS tie3
+  FROM w
+)
+SELECT COALESCE(m, 0) AS n_pairs,
+       w2::DOUBLE / 2.0 AS w,
+       CASE WHEN m::DOUBLE * (m+1)::DOUBLE * (2*m+1)::DOUBLE / 24.0
+                 - tie3::DOUBLE / 48.0 > 0 THEN
+         ROUND((w2::DOUBLE / 2.0 - m::DOUBLE * (m+1)::DOUBLE / 4.0)
+               / sqrt(m::DOUBLE * (m+1)::DOUBLE * (2*m+1)::DOUBLE / 24.0
+                      - tie3::DOUBLE / 48.0) * 1e6) / 1e6
+       ELSE NULL END AS z
+FROM agg
+"""
+
+
+def q_cramers_v(sf_dir: str):
+    """Cramer's V association between document lang and source: the
+    chi-square of the (lang x source) contingency table normalized by
+    n*(min(r,c)-1), then sqrt — the region_week_chi2 law on a pure
+    categorical pair, one row (n, n_langs, n_sources, v 6dp).
+
+    Scale shape: composite-key integer count combiners -> tiny
+    contingency fold on the driver."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": np.asarray(b["lang"]).astype(object),
+             "source": np.asarray(b["source"]).astype(object)}
+        )
+        out = (
+            df.groupby(["lang", "source"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    lg = np.asarray(tbl["lang"]).astype(str)
+    sc = np.asarray(tbl["source"]).astype(str)
+    n = np.asarray(tbl["n"], np.int64)
+    langs, li = np.unique(lg, return_inverse=True)
+    srcs, si = np.unique(sc, return_inverse=True)
+    row = np.bincount(li, weights=n, minlength=len(langs))
+    col = np.bincount(si, weights=n, minlength=len(srcs))
+    tot = float(n.sum())
+    e_obs = row[li] * col[si] / tot
+    chi = float(((n - e_obs) * (n - e_obs) / e_obs).sum())
+    chi += float((row.sum() * col.sum() / tot) - e_obs.sum())
+    kmin = min(len(langs), len(srcs)) - 1
+    v = (
+        float(np.floor(np.sqrt(chi / (tot * float(kmin))) * 1e6 + 0.5) / 1e6)
+        if kmin > 0
+        else None
+    )
+    return pa.table(
+        {
+            "n": pa.array([int(tot)], pa.int64()),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+            "n_sources": pa.array([len(srcs)], pa.int64()),
+            "v": pa.array([v], pa.float64()),
+        }
+    )
+
+
+def _sql_cramers_v() -> str:
+    return """
+WITH o AS (
+  SELECT lang, source, COUNT(*)::BIGINT AS n
+  FROM documents GROUP BY lang, source
+),
+r AS (SELECT lang, SUM(n)::DOUBLE AS rn FROM o GROUP BY lang),
+c AS (SELECT source, SUM(n)::DOUBLE AS cn FROM o GROUP BY source),
+t AS (SELECT SUM(n)::DOUBLE AS tot FROM o),
+obs AS (
+  SELECT SUM((o.n - r.rn * c.cn / t.tot) * (o.n - r.rn * c.cn / t.tot)
+             / (r.rn * c.cn / t.tot)) AS chi_obs,
+         SUM(r.rn * c.cn / t.tot) AS e_obs
+  FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+),
+dims AS (
+  SELECT (SELECT COUNT(*) FROM r)::BIGINT AS nr,
+         (SELECT COUNT(*) FROM c)::BIGINT AS nc
+)
+SELECT CAST(t.tot AS BIGINT) AS n,
+       dims.nr AS n_langs, dims.nc AS n_sources,
+       CASE WHEN LEAST(dims.nr, dims.nc) > 1 THEN
+         ROUND(sqrt((obs.chi_obs
+                     + ((SELECT SUM(rn) FROM r) * (SELECT SUM(cn) FROM c)
+                        / t.tot - obs.e_obs))
+                    / (t.tot
+                       * (LEAST(dims.nr, dims.nc) - 1)::DOUBLE)) * 1e6) / 1e6
+       ELSE NULL END AS v
+FROM obs CROSS JOIN t CROSS JOIN dims
+"""
+
+
+def q_ols_fit(sf_dir: str):
+    """Two-regressor OLS by distributed normal equations: regress
+    lineitem revenue (whole dollars) on quantity and discount points
+    (l_discount*100).  One combiner pass emits the nine exact-integer
+    moments (X'X, X'y, y'y); the driver solves the 3x3 system by
+    Cramer's rule in exact big-int arithmetic (HUGEINT in the twin), so
+    betas are identical int-ratio doubles on both sides; r2 follows the
+    same fixed-order float law.  One row (n, b0, b1, b2, r2), 6dp.
+
+    Scale shape: a single map_batches combiner -> one 9-integer fold;
+    no wide operation at any corpus size."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_extendedprice"],
+    )
+
+    cols = ["n", "sx1", "sx2", "sy", "s11", "s22", "s12", "s1y", "s2y",
+            "syy"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        x1 = np.floor(
+            np.asarray(b["l_quantity"], np.float64) + 0.5
+        ).astype(np.int64)
+        x2 = np.floor(
+            np.asarray(b["l_discount"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        y = np.floor(
+            np.asarray(b["l_extendedprice"], np.float64) + 0.5
+        ).astype(np.int64)
+        vals = [
+            len(y),
+            int(x1.sum()), int(x2.sum()), int(y.sum()),
+            int((x1 * x1).sum()), int((x2 * x2).sum()),
+            int((x1 * x2).sum()), int((x1 * y).sum()),
+            int((x2 * y).sum()), int((y * y).sum()),
+        ]
+        return pa.table(
+            {c: pa.array([v], pa.int64()) for c, v in zip(cols, vals)}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in cols]
+    )
+    n = int(agg["n"])
+    sx1, sx2, sy = int(agg["sx1"]), int(agg["sx2"]), int(agg["sy"])
+    s11, s22, s12 = int(agg["s11"]), int(agg["s22"]), int(agg["s12"])
+    s1y, s2y, syy = int(agg["s1y"]), int(agg["s2y"]), int(agg["syy"])
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+    da = det3(n, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+    d0 = det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+    d1 = det3(n, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+    d2 = det3(n, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    if da == 0:
+        b0 = b1 = b2 = r2 = None
+    else:
+        b0 = float(d0) / float(da)
+        b1 = float(d1) / float(da)
+        b2 = float(d2) / float(da)
+        sse = float(syy) - b0 * float(sy) - b1 * float(s1y) - b2 * float(s2y)
+        sst = float(syy) - float(sy * sy) / float(n)
+        r2 = 1.0 - sse / sst if sst > 0 else None
+        rnd = lambda x: (
+            None if x is None
+            else float(np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6)
+        )
+        b0, b1, b2, r2 = rnd(b0), rnd(b1), rnd(b2), rnd(r2)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "b0": pa.array([b0], pa.float64()),
+            "b1": pa.array([b1], pa.float64()),
+            "b2": pa.array([b2], pa.float64()),
+            "r2": pa.array([r2], pa.float64()),
+        }
+    )
+
+
+def _sql_ols_fit() -> str:
+    return """
+WITH v AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100.0) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT COUNT(*)::HUGEINT AS n,
+         SUM(x1)::HUGEINT AS sx1, SUM(x2)::HUGEINT AS sx2,
+         SUM(y)::HUGEINT AS sy,
+         SUM(x1*x1)::HUGEINT AS s11, SUM(x2*x2)::HUGEINT AS s22,
+         SUM(x1*x2)::HUGEINT AS s12, SUM(x1*y)::HUGEINT AS s1y,
+         SUM(x2*y)::HUGEINT AS s2y, SUM(y*y)::HUGEINT AS syy
+  FROM v
+),
+d AS (
+  SELECT n, sy, s1y, s2y, syy,
+         n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)
+           + sx2*(sx1*s12 - s11*sx2) AS da,
+         sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)
+           + sx2*(s1y*s12 - s11*s2y) AS d0,
+         n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)
+           + sx2*(sx1*s2y - s1y*sx2) AS d1,
+         n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)
+           + sy*(sx1*s12 - s11*sx2) AS d2
+  FROM m
+),
+b AS (
+  SELECT CAST(n AS BIGINT) AS n, sy, s1y, s2y, syy,
+         d0::DOUBLE / da::DOUBLE AS b0,
+         d1::DOUBLE / da::DOUBLE AS b1,
+         d2::DOUBLE / da::DOUBLE AS b2
+  FROM d WHERE da <> 0
+)
+SELECT n,
+       ROUND(b0 * 1e6) / 1e6 AS b0,
+       ROUND(b1 * 1e6) / 1e6 AS b1,
+       ROUND(b2 * 1e6) / 1e6 AS b2,
+       CASE WHEN syy::DOUBLE - (sy*sy)::DOUBLE / n::DOUBLE > 0 THEN
+         ROUND((1.0 - (syy::DOUBLE - b0 * sy::DOUBLE - b1 * s1y::DOUBLE
+                       - b2 * s2y::DOUBLE)
+                      / (syy::DOUBLE - (sy*sy)::DOUBLE / n::DOUBLE))
+               * 1e6) / 1e6
+       ELSE NULL END AS r2
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12626,6 +13113,10 @@ def queries():
         "anova_f": q_anova_f,
         "ks_test": q_ks_test,
         "brown_forsythe": q_brown_forsythe,
+        "welch_t": q_welch_t,
+        "wilcoxon_signed": q_wilcoxon_signed,
+        "cramers_v": q_cramers_v,
+        "ols_fit": q_ols_fit,
     }
 
 
@@ -13450,6 +13941,10 @@ def oracle_sql():
         "anova_f": _sql_anova_f(),
         "ks_test": _sql_ks_test(),
         "brown_forsythe": _sql_brown_forsythe(),
+        "welch_t": _sql_welch_t(),
+        "wilcoxon_signed": _sql_wilcoxon_signed(),
+        "cramers_v": _sql_cramers_v(),
+        "ols_fit": _sql_ols_fit(),
     }
 
 
