@@ -12817,6 +12817,207 @@ FROM b
 """
 
 
+def q_cohens_kappa(sf_dir: str):
+    """Cohen's kappa agreement between the lang_id heuristic and the
+    labeled language — the chance-corrected summary of q_lang_confusion.
+    kappa = (N*sum(diag) - sum(row_i*col_i)) / (N^2 - sum(row_i*col_i))
+    folds from exact integer confusion counts (Python bigint / HUGEINT),
+    one float division, 6dp.
+
+    Scale shape: classify in map_batches -> tiny (lang, pred) groupby ->
+    driver fold on the k x k table."""
+    from ray.data.aggregate import Count
+
+    from ..text import lang_id
+
+    preds = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
+        lang_id, batch_format="pyarrow"
+    )
+    conf = (
+        preds.select_columns(["lang", "lang_pred"])
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in conf.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    a = np.asarray(tbl["lang"]).astype(str)
+    b = np.asarray(tbl["lang_pred"]).astype(str)
+    n = np.asarray(tbl["n"], np.int64)
+    labs = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(labs, a)
+    bi = np.searchsorted(labs, b)
+    row = np.bincount(ai, weights=n, minlength=len(labs)).astype(np.int64)
+    col = np.bincount(bi, weights=n, minlength=len(labs)).astype(np.int64)
+    tot = int(n.sum())
+    diag = int(n[ai == bi].sum())
+    pe_num = int(sum(int(r) * int(c) for r, c in zip(row, col)))
+    den = tot * tot - pe_num
+    kappa = (
+        float(np.sign(tot * diag - pe_num)
+              * np.floor(np.abs(float(tot * diag - pe_num) / float(den))
+                         * 1e6 + 0.5) / 1e6)
+        if den != 0
+        else None
+    )
+    return pa.table(
+        {
+            "n": pa.array([tot], pa.int64()),
+            "agree": pa.array([diag], pa.int64()),
+            "kappa": pa.array([kappa], pa.float64()),
+        }
+    )
+
+
+def _sql_cohens_kappa() -> str:
+    from ..text import sql_lang_id
+
+    return f"""
+WITH conf AS (
+  SELECT lang, lang_pred, COUNT(*)::BIGINT AS n
+  FROM ({sql_lang_id()}) GROUP BY lang, lang_pred
+),
+r AS (SELECT lang AS lab, SUM(n)::BIGINT AS rn FROM conf GROUP BY lang),
+c AS (SELECT lang_pred AS lab, SUM(n)::BIGINT AS cn FROM conf
+      GROUP BY lang_pred),
+t AS (
+  SELECT (SELECT SUM(n) FROM conf)::BIGINT AS tot,
+         (SELECT COALESCE(SUM(n), 0) FROM conf
+          WHERE lang = lang_pred)::BIGINT AS diag,
+         (SELECT SUM(COALESCE(r.rn, 0)::HUGEINT * COALESCE(c.cn, 0)::HUGEINT)
+          FROM r FULL OUTER JOIN c USING (lab)) AS pe
+)
+SELECT tot AS n, diag AS agree,
+       CASE WHEN tot::HUGEINT * tot::HUGEINT - pe <> 0 THEN
+         ROUND((tot::HUGEINT * diag::HUGEINT - pe)::DOUBLE
+               / (tot::HUGEINT * tot::HUGEINT - pe)::DOUBLE * 1e6) / 1e6
+       ELSE NULL END AS kappa
+FROM t
+"""
+
+
+def q_jensen_shannon(sf_dir: str):
+    """Jensen-Shannon divergence (natural log) between the event-type
+    mix on weekdays vs weekends: integer (is_weekend, type) counts ->
+    driver fold JSD = (KL(P||M)+KL(Q||M))/2 over the tiny type table,
+    6dp.  Day-of-week from the epoch-day law (1970-01-01 = Thursday).
+
+    Scale shape: composite integer count combiners -> k-row driver
+    fold."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .relational import DAY_US
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        day = np.asarray(us, np.int64) // DAY_US
+        dow = (day + 4) % 7
+        we = ((dow == 0) | (dow == 6)).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": np.asarray(b["event_type"]).astype(object),
+             "we": we}
+        )
+        out = (
+            df.groupby(["event_type", "we"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "we"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    et = np.asarray(tbl["event_type"]).astype(str)
+    we = np.asarray(tbl["we"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    types = np.unique(et)
+    ti = np.searchsorted(types, et)
+    wd_c = np.bincount(ti[we == 0], weights=n[we == 0],
+                       minlength=len(types)).astype(np.int64)
+    we_c = np.bincount(ti[we == 1], weights=n[we == 1],
+                       minlength=len(types)).astype(np.int64)
+    n_wd, n_we = int(wd_c.sum()), int(we_c.sum())
+    if n_wd == 0 or n_we == 0:
+        jsd = None
+    else:
+        jsd = 0.0
+        # types in sorted order on both sides; zero-count terms drop out
+        for i in range(len(types)):
+            p = float(wd_c[i]) / float(n_wd)
+            q = float(we_c[i]) / float(n_we)
+            m = (p + q) / 2.0
+            if p > 0:
+                jsd += 0.5 * p * np.log(p / m)
+            if q > 0:
+                jsd += 0.5 * q * np.log(q / m)
+        jsd = float(np.floor(jsd * 1e6 + 0.5) / 1e6)
+    return pa.table(
+        {
+            "n_weekday": pa.array([n_wd], pa.int64()),
+            "n_weekend": pa.array([n_we], pa.int64()),
+            "jsd": pa.array([jsd], pa.float64()),
+        }
+    )
+
+
+def _sql_jensen_shannon() -> str:
+    from .relational import DAY_US
+
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN ((epoch_us(ts) // {DAY_US}) + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END AS we
+  FROM events
+),
+c AS (
+  SELECT event_type,
+         SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END)::BIGINT AS nwd,
+         SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END)::BIGINT AS nwe
+  FROM e GROUP BY event_type
+),
+t AS (SELECT SUM(nwd)::BIGINT AS n_wd, SUM(nwe)::BIGINT AS n_we FROM c),
+terms AS (
+  SELECT
+    CASE WHEN c.nwd > 0 THEN
+      0.5 * (c.nwd::DOUBLE / t.n_wd::DOUBLE)
+          * ln((c.nwd::DOUBLE / t.n_wd::DOUBLE)
+               / ((c.nwd::DOUBLE / t.n_wd::DOUBLE
+                   + c.nwe::DOUBLE / t.n_we::DOUBLE) / 2.0))
+    ELSE 0.0 END
+    + CASE WHEN c.nwe > 0 THEN
+      0.5 * (c.nwe::DOUBLE / t.n_we::DOUBLE)
+          * ln((c.nwe::DOUBLE / t.n_we::DOUBLE)
+               / ((c.nwd::DOUBLE / t.n_wd::DOUBLE
+                   + c.nwe::DOUBLE / t.n_we::DOUBLE) / 2.0))
+    ELSE 0.0 END AS term
+  FROM c CROSS JOIN t
+)
+SELECT t.n_wd AS n_weekday, t.n_we AS n_weekend,
+       CASE WHEN t.n_wd > 0 AND t.n_we > 0 THEN
+         ROUND((SELECT SUM(term) FROM terms) * 1e6) / 1e6
+       ELSE NULL END AS jsd
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13117,6 +13318,8 @@ def queries():
         "wilcoxon_signed": q_wilcoxon_signed,
         "cramers_v": q_cramers_v,
         "ols_fit": q_ols_fit,
+        "cohens_kappa": q_cohens_kappa,
+        "jensen_shannon": q_jensen_shannon,
     }
 
 
@@ -13945,6 +14148,8 @@ def oracle_sql():
         "wilcoxon_signed": _sql_wilcoxon_signed(),
         "cramers_v": _sql_cramers_v(),
         "ols_fit": _sql_ols_fit(),
+        "cohens_kappa": _sql_cohens_kappa(),
+        "jensen_shannon": _sql_jensen_shannon(),
     }
 
 
