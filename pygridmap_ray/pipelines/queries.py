@@ -5340,22 +5340,45 @@ def q3_shipping(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    from ..cluster import default_num_partitions
+    # The keeper dimension (segment customers' pre-cut orders) is ~1.5%
+    # of the orders table; broadcast it while it fits (the tfidf norms
+    # law: <=2M rows), else fall back to the partitioned hash join.
+    keeper = orders.select_columns(["o_orderkey", "o_orderdate"]).materialize()
+    if keeper.count() <= 2_000_000:
+        from ..joins import lookup_join
 
-    nparts = default_num_partitions()
-    j = li.repartition(nparts).join(
-        orders.select_columns(["o_orderkey", "o_orderdate"]).repartition(nparts),
-        "inner",
-        num_partitions=nparts,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+        dim = pa.concat_tables(
+            keeper.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        j = lookup_join(
+            li, dim, on="l_orderkey", key="o_orderkey",
+            value_cols=["o_orderdate"],
+        )
+    else:
+        from ..cluster import default_num_partitions
+
+        nparts = default_num_partitions()
+        j = li.repartition(nparts).join(
+            keeper.repartition(nparts),
+            "inner",
+            num_partitions=nparts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
     agg = j.groupby(["l_orderkey", "o_orderdate"]).aggregate(
         Sum("rev", alias_name="revenue")
     )
-    agg = agg.map_batches(
-        lambda b: round_half_away(b, ["revenue"], 2), batch_format="pyarrow"
-    )
+    def _finish(b: pa.Table) -> pa.Table:
+        # the broadcast-lookup path round-trips the date through numpy,
+        # narrowing timestamp[us] to [s]; restore the schema law
+        b = b.set_column(
+            b.schema.get_field_index("o_orderdate"),
+            "o_orderdate",
+            pc.cast(b["o_orderdate"], pa.timestamp("us")),
+        )
+        return round_half_away(b, ["revenue"], 2)
+
+    agg = agg.map_batches(_finish, batch_format="pyarrow")
     return agg.sort(
         ["revenue", "l_orderkey"], descending=[True, False]
     ).limit(10)
@@ -13018,6 +13041,132 @@ FROM t
 """
 
 
+def q_grouped_regression(sf_dir: str):
+    """Per-language simple OLS: slope/intercept/Pearson r of n_chars
+    on the whitespace token count.  One combiner pass emits per-(lang)
+    exact integer moments; slope and r are exact big-int ratios
+    (HUGEINT in the twin) converted once to double, intercept follows
+    the same fixed-order law, 6dp.  Degenerate (zero-variance) groups
+    drop on both sides.
+
+    Scale shape: reduceat combiners -> k-row groupby -> vectorized
+    driver fold; no wide op."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..text import TOKEN_PATTERN
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang", "n_chars"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(
+            pc.cast(pc.count_substring_regex(b["text"], TOKEN_PATTERN),
+                    pa.int64())
+        )
+        y = np.asarray(b["n_chars"], np.int64)
+        g = np.asarray(b["lang"]).astype(str)
+        if not len(x):
+            return pa.table(
+                {"lang": pa.array([], pa.string())}
+                | {c: pa.array([], pa.int64())
+                   for c in ("n", "sx", "sy", "sxx", "sxy", "syy")}
+            )
+        keys, inv = np.unique(g, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        xi, yi, gi = x[order], y[order], inv[order]
+        st = np.flatnonzero(np.concatenate([[True], gi[1:] != gi[:-1]]))
+        return pa.table(
+            {
+                "lang": pa.array(keys[gi[st]], pa.string()),
+                "n": pa.array(
+                    np.diff(np.append(st, len(xi))).astype(np.int64)
+                ),
+                "sx": pa.array(np.add.reduceat(xi, st)),
+                "sy": pa.array(np.add.reduceat(yi, st)),
+                "sxx": pa.array(np.add.reduceat(xi * xi, st)),
+                "sxy": pa.array(np.add.reduceat(xi * yi, st)),
+                "syy": pa.array(np.add.reduceat(yi * yi, st)),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            *[Sum(c, alias_name=c)
+              for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
+        )
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    langs = np.asarray(tbl["lang"]).astype(str)
+    order = np.argsort(langs)
+    out = {"lang": [], "n": [], "slope": [], "intercept": [], "r": []}
+    rnd6 = lambda x: float(np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6)
+    for i in order:
+        n = int(tbl["n"][i].as_py())
+        sx, sy = int(tbl["sx"][i].as_py()), int(tbl["sy"][i].as_py())
+        sxx = int(tbl["sxx"][i].as_py())
+        sxy = int(tbl["sxy"][i].as_py())
+        syy = int(tbl["syy"][i].as_py())
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        if dx <= 0 or dy <= 0:
+            continue
+        num = n * sxy - sx * sy
+        slope = float(num) / float(dx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        r = float(num) / np.sqrt(float(dx * dy))
+        out["lang"].append(str(langs[i]))
+        out["n"].append(n)
+        out["slope"].append(rnd6(slope))
+        out["intercept"].append(rnd6(intercept))
+        out["r"].append(rnd6(r))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "slope": pa.array(out["slope"], pa.float64()),
+            "intercept": pa.array(out["intercept"], pa.float64()),
+            "r": pa.array(out["r"], pa.float64()),
+        }
+    )
+
+
+def _sql_grouped_regression() -> str:
+    return r"""
+WITH v AS (
+  SELECT lang, len(regexp_extract_all(text, '\S+'))::BIGINT AS x,
+         n_chars AS y
+  FROM documents
+),
+g AS (
+  SELECT lang, COUNT(*)::HUGEINT AS n,
+         SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+         SUM(x*x)::HUGEINT AS sxx, SUM(x*y)::HUGEINT AS sxy,
+         SUM(y*y)::HUGEINT AS syy
+  FROM v GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       ROUND((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE * 1e6)
+         / 1e6 AS slope,
+       ROUND((sy::DOUBLE
+              - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE)
+                * sx::DOUBLE) / n::DOUBLE * 1e6) / 1e6 AS intercept,
+       ROUND((n*sxy - sx*sy)::DOUBLE
+             / sqrt(((n*sxx - sx*sx) * (n*syy - sy*sy))::DOUBLE) * 1e6)
+         / 1e6 AS r
+FROM g
+WHERE (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13320,6 +13469,7 @@ def queries():
         "ols_fit": q_ols_fit,
         "cohens_kappa": q_cohens_kappa,
         "jensen_shannon": q_jensen_shannon,
+        "grouped_regression": q_grouped_regression,
     }
 
 
@@ -14150,6 +14300,7 @@ def oracle_sql():
         "ols_fit": _sql_ols_fit(),
         "cohens_kappa": _sql_cohens_kappa(),
         "jensen_shannon": _sql_jensen_shannon(),
+        "grouped_regression": _sql_grouped_regression(),
     }
 
 
