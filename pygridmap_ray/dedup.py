@@ -665,64 +665,138 @@ def ngram_jaccard_pairs(
         .materialize()
     )
 
-    # shrink the corpus-scale set table to ~candidate scale BEFORE the
-    # verify joins: a fixed-size bloom of the surviving candidate ids
-    # (near-linear in true pairs after the PPJoin count filter) keeps the
-    # Acero hash join from shuffling every doc's shingle set — only
-    # bloom-hit sets (candidates + a bounded FP fraction) enter it
-    from .joins import bloom_build, bloom_prefilter
+    def _pack_sets(b: pa.Table, prefix: str = "") -> pa.Table:
+        # Acero / lookup payloads reject list<> columns -> pack each
+        # sorted int64 set as a binary cell, zero-copy from the list
+        # array's value buffer
+        sh = b["shingles"].combine_chunks()
+        vals = np.asarray(sh.flatten(), dtype=np.int64)
+        offs = (np.asarray(sh.offsets, dtype=np.int64) * 8).astype(np.int32)
+        packed = pa.Array.from_buffers(
+            pa.binary(),
+            len(sh),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(vals.tobytes())],
+        )
+        return pa.table({f"id{prefix}": b[id_col], f"sh{prefix}": packed})
 
-    bloom_a = bloom_build(cands, "id_a")
-    bloom_b = bloom_build(cands, "id_b")
+    # The verify plan is SIZE-GATED on the surviving candidate count
+    # (free: cands is materialized).  Post-count-filter survivors are
+    # near-linear in true pairs, so the common case is tiny: the pair
+    # ids come to the driver (16 B/pair), ONE streamed pass over the
+    # materialized set table picks exactly the hit sets (sorted-vector
+    # membership, no bloom FPs), and both equality joins become
+    # broadcast lookup_joins — zero Acero shuffles, which at this scale
+    # are pure fixed overhead (~2-4 s each).  Above the bound (an
+    # adversarial corpus where survivors exceed driver memory) the plan
+    # falls back to bloom-prefiltered partitioned hash joins.
+    n_cands = cands.count()
+    if n_cands == 0:
+        return direct
+    if n_cands <= 500_000:
+        import ray
 
-    def _rename(suffix):
-        def f(b: pa.Table) -> pa.Table:
-            # Acero (the join kernel) rejects list<> payload columns ->
-            # pack each sorted int64 set as a binary cell, zero-copy from
-            # the list array's value buffer
-            sh = b["shingles"].combine_chunks()
-            vals = np.asarray(sh.flatten(), dtype=np.int64)
-            offs = (np.asarray(sh.offsets, dtype=np.int64) * 8).astype(np.int32)
-            packed = pa.Array.from_buffers(
-                pa.binary(),
-                len(sh),
-                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(vals.tobytes())],
+        from .joins import lookup_join
+
+        cand_parts = [
+            t
+            for t in cands.iter_batches(
+                batch_size=None, batch_format="pyarrow"
             )
-            return pa.table(
-                {f"id_{suffix}": b[id_col], f"sh_{suffix}": packed}
+            if t.num_rows and t.num_columns
+        ]
+        cand_tbl = pa.concat_tables(cand_parts)
+        want = np.unique(
+            np.concatenate(
+                [
+                    np.asarray(cand_tbl["id_a"], dtype=np.int64),
+                    np.asarray(cand_tbl["id_b"], dtype=np.int64),
+                ]
             )
+        )
+        want_ref = {"__ref__": ray.put(want)}
+        from .spatial import _cached_kernel
 
-        return f
+        ck = f"jacwant:{want_ref['__ref__'].hex()}"
 
-    sets_a = bloom_prefilter(
-        sets.map_batches(_rename("a"), batch_format="pyarrow"), bloom_a, "id_a"
-    )
-    sets_b = bloom_prefilter(
-        sets.map_batches(_rename("b"), batch_format="pyarrow"), bloom_b, "id_b"
-    )
-    from .cluster import safe_join
+        def pick(b: pa.Table) -> pa.Table:
+            w = _cached_kernel(ck, want_ref, lambda arr: arr)
+            ids = np.asarray(b[id_col], dtype=np.int64)
+            pos = np.searchsorted(w, ids)
+            pos[pos == len(w)] = 0
+            hit = w[pos] == ids if len(w) else np.zeros(len(ids), bool)
+            return _pack_sets(b.filter(pa.array(hit)))
 
-    _half_schema = pa.schema(
-        [("id_a", pa.int64()), ("id_b", pa.int64()), ("sh_a", pa.binary())]
-    )
-    half = safe_join(
-        cands,
-        sets_a,
-        "inner",
-        num_partitions=num_partitions,
-        on=("id_a",),
-        left_schema=_cand_schema,
-        right_schema=pa.schema([("id_a", pa.int64()), ("sh_a", pa.binary())]),
-    )
-    joined = safe_join(
-        half,
-        sets_b,
-        "inner",
-        num_partitions=num_partitions,
-        on=("id_b",),
-        left_schema=_half_schema,
-        right_schema=pa.schema([("id_b", pa.int64()), ("sh_b", pa.binary())]),
-    )
+        hit_parts = [
+            t
+            for t in sets.map_batches(
+                pick, batch_format="pyarrow"
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+            if t.num_rows
+        ]
+        dim = (
+            pa.concat_tables(hit_parts)
+            if hit_parts
+            else pa.table(
+                {"id": pa.array([], pa.int64()), "sh": pa.array([], pa.binary())}
+            )
+        )
+        joined = lookup_join(
+            lookup_join(
+                cands,
+                dim.rename_columns(["id_a", "sh_a"]),
+                on="id_a",
+                value_cols=["sh_a"],
+            ),
+            dim.rename_columns(["id_b", "sh_b"]),
+            on="id_b",
+            value_cols=["sh_b"],
+        )
+    else:
+        # shrink the corpus-scale set table to ~candidate scale BEFORE
+        # the verify joins: a fixed-size bloom of the surviving candidate
+        # ids keeps the Acero hash join from shuffling every doc's
+        # shingle set — only bloom-hit sets (candidates + a bounded FP
+        # fraction) enter it
+        from .cluster import safe_join
+        from .joins import bloom_build, bloom_prefilter
+
+        bloom_a = bloom_build(cands, "id_a")
+        bloom_b = bloom_build(cands, "id_b")
+        sets_a = bloom_prefilter(
+            sets.map_batches(
+                lambda b: _pack_sets(b, "_a"), batch_format="pyarrow"
+            ),
+            bloom_a,
+            "id_a",
+        )
+        sets_b = bloom_prefilter(
+            sets.map_batches(
+                lambda b: _pack_sets(b, "_b"), batch_format="pyarrow"
+            ),
+            bloom_b,
+            "id_b",
+        )
+        _half_schema = pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("sh_a", pa.binary())]
+        )
+        half = safe_join(
+            cands,
+            sets_a,
+            "inner",
+            num_partitions=num_partitions,
+            on=("id_a",),
+            left_schema=_cand_schema,
+            right_schema=pa.schema([("id_a", pa.int64()), ("sh_a", pa.binary())]),
+        )
+        joined = safe_join(
+            half,
+            sets_b,
+            "inner",
+            num_partitions=num_partitions,
+            on=("id_b",),
+            left_schema=_half_schema,
+            right_schema=pa.schema([("id_b", pa.int64()), ("sh_b", pa.binary())]),
+        )
 
     def verify(batch: pa.Table) -> pa.Table:
         na = batch.num_rows
