@@ -135,31 +135,32 @@ def _coarse_sum(
 def _pair_partials(g: pd.DataFrame, *, max_df: int, nf: float) -> pd.DataFrame:
     """One term bucket -> packed-key normalized pair partials.
 
-    ``g`` columns: doc, term, tf, nrm (per-doc norm already attached).
-    Emits (pk, val) rows where ``pk = id_a << 31 | id_b`` (id_a < id_b)
-    and val sums to the pair's cosine across buckets."""
+    ``g`` columns: doc, th (int64 term hash), tf, nrm (per-doc norm
+    already attached).  Emits (pk, val) rows where ``pk = id_a << 31 |
+    id_b`` (id_a < id_b) and val sums to the pair's cosine across
+    buckets."""
     empty = pd.DataFrame(
         {"pk": pd.Series([], dtype="int64"), "val": pd.Series([], dtype="float64")}
     )
-    dfc = g.groupby("term", sort=False)["doc"].size()
-    dfv = g["term"].map(dfc).to_numpy(np.float64)
+    th = g["th"].to_numpy(np.int64)
+    _, inv, cnt = np.unique(th, return_inverse=True, return_counts=True)
+    dfv = cnt[inv].astype(np.float64)
     kept = (dfv <= max_df) & (dfv >= 2)  # singleton terms cannot pair
     if not kept.any():
         return empty
-    g = g.iloc[np.nonzero(kept)[0]]
+    th = th[kept]
     dfv = dfv[kept]
     wn = (
-        g["tf"].to_numpy(np.float64)
+        g["tf"].to_numpy(np.float64)[kept]
         * np.log(nf / dfv)
-        / g["nrm"].to_numpy(np.float64)
+        / g["nrm"].to_numpy(np.float64)[kept]
     )
-    doc = g["doc"].to_numpy(np.int64)
-    terms = g["term"].to_numpy()
-    order = np.lexsort((doc, terms))
-    terms, doc, wn = terms[order], doc[order], wn[order]
-    change = np.r_[True, terms[1:] != terms[:-1]]
+    doc = g["doc"].to_numpy(np.int64)[kept]
+    order = np.lexsort((doc, th))
+    th, doc, wn = th[order], doc[order], wn[order]
+    change = np.r_[True, th[1:] != th[:-1]]
     starts = np.nonzero(change)[0]
-    sizes = np.diff(np.append(starts, len(terms)))
+    sizes = np.diff(np.append(starts, len(th)))
     ga_l, gb_l = [], []
     for sz in np.unique(sizes):
         segs = starts[sizes == sz]
@@ -179,6 +180,98 @@ def _pair_partials(g: pd.DataFrame, *, max_df: int, nf: float) -> pd.DataFrame:
     )
 
 
+def _dense_pairs(
+    post: pd.DataFrame,
+    u: np.ndarray,
+    inv: np.ndarray,
+    dfc: np.ndarray,
+    *,
+    max_df: int,
+    nf: float,
+    threshold: float,
+    tol: float,
+    num_partitions: int,
+):
+    """Dense gram-matrix cosine scan for the small-vocabulary regime.
+
+    Builds the row-normalized doc x term weight matrix on the driver
+    (gated by the caller: postings and matrix both bounded), broadcasts
+    it once, and fans out row blocks; each task emits only the
+    above-threshold (id_a < id_b) survivors of one ``W[lo:hi] @ W.T``.
+    df = 1 terms stay in the matrix — they shape the norm exactly like
+    the sparse plan — and cannot reach a cross product (only one doc
+    holds them).  Same weight / threshold / rounding law as the sparse
+    path; dgemm changes only the float addition order, which the 1e-6
+    rounding step dwarfs (<= vocab addends of |x| <= 1)."""
+    import ray
+    import ray.data as rd
+
+    from .spatial import _cached_kernel
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    keep_t = dfc <= max_df
+    col = np.full(len(u), -1, dtype=np.int64)
+    col[keep_t] = np.arange(int(keep_t.sum()))
+    c = col[inv]
+    m = c >= 0
+    ids_u, doc_inv = np.unique(
+        post["doc"].to_numpy(np.int64), return_inverse=True
+    )
+    n = len(ids_u)
+    if n < 2 or not m.any():
+        return rd.from_arrow(empty)
+    W = np.zeros((n, int(keep_t.sum())), dtype=np.float64)
+    W[doc_inv[m], c[m]] = post["tf"].to_numpy(np.float64)[m] * np.log(
+        nf / dfc[inv[m]]
+    )
+    nrm = np.sqrt(np.einsum("ij,ij->i", W, W))
+    nrm[nrm == 0.0] = 1.0
+    W /= nrm[:, None]
+    ref = {"__ref__": ray.put((ids_u, W))}
+    ckey = f"tfidf-dense:{ref['__ref__'].hex()}"
+    rows_cap = max(1, (64 << 20) // (n * 8))  # 64 MB gram slab per task
+    block_rows = max(1, min(rows_cap, -(-n // (num_partitions * 4))))
+    nb = -(-n // block_rows)
+
+    def pair_block(b: pa.Table) -> pa.Table:
+        ids_b, W_b = _cached_kernel(ckey, ref, lambda p: p)
+        nn = len(ids_b)
+        ia_l, ib_l, cv_l = [], [], []
+        for k in np.asarray(b["id"], dtype=np.int64):
+            lo = int(k) * block_rows
+            hi = min(lo + block_rows, nn)
+            if lo >= hi:
+                continue
+            G = W_b[lo:hi] @ W_b.T
+            mask = G >= threshold
+            mask &= np.arange(nn)[None, :] > np.arange(lo, hi)[:, None]
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                ia_l.append(ids_b[ii + lo])
+                ib_l.append(ids_b[jj])
+                cv_l.append(G[ii, jj])
+        if not ia_l:
+            return empty
+        cv = np.concatenate(cv_l)
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(ia_l)),
+                "id_b": pa.array(np.concatenate(ib_l)),
+                "cosine": pa.array(np.floor(cv * tol + 0.5) / tol),
+            }
+        )
+
+    return rd.range(nb, override_num_blocks=nb).map_batches(
+        pair_block, batch_format="pyarrow"
+    )
+
+
 def tfidf_pairs(
     docs,
     *,
@@ -193,6 +286,8 @@ def tfidf_pairs(
     broadcast_norms_limit: int = 2_000_000,
     persist: str = "memory",
     persist_path: str | None = None,
+    dense_postings_limit: int = 20_000_000,
+    dense_matrix_bytes_limit: int = 1 << 30,
 ):
     """All document pairs with TF-IDF cosine similarity >= ``threshold``
     (columns ``id_a < id_b``, ``cosine`` rounded half-away).
@@ -228,10 +323,23 @@ def tfidf_pairs(
         num_partitions = default_num_partitions()
 
     def tf_stage(b: pa.Table) -> pa.Table:
+        # Both downstream passes need term IDENTITY only (df counts,
+        # posting-list grouping), never the string — replace it with its
+        # 64-bit hash right here so the two posting-stream shuffles and
+        # every per-bucket lexsort are pure int64 (an object-dtype
+        # lexsort was the measured hot cost of this operator).  Same
+        # accepted collision law as the shingle/minhash family.
         t = doc_term_freqs(b, id_col=id_col, text_col=text_col, n=n)
         h = pd.util.hash_array(np.asarray(t["term"]).astype(object))
         cg = (h % np.uint64(num_buckets)).astype(np.int64)
-        return t.append_column("__cg", pa.array(cg))
+        return pa.table(
+            {
+                "doc": t["doc"],
+                "th": pa.array(h.view(np.int64)),
+                "tf": t["tf"],
+                "__cg": pa.array(cg),
+            }
+        )
 
     tfd = docs.map_batches(tf_stage, batch_format="pyarrow")
     if persist == "memory":
@@ -249,24 +357,48 @@ def tfidf_pairs(
             f"persist must be memory|parquet|recompute, got {persist!r}"
         )
 
+    # DENSE regime gate.  The sparse plan's pair volume is sum(df^2)/2 —
+    # on a small-vocabulary corpus (boilerplate-heavy shards, synthetic
+    # fixtures) that dwarfs n_docs x vocab, and the partial stream (36M
+    # rows from 5k docs / 931 terms at sf0.1) swamps two sort shuffles.
+    # When the postings fit the driver AND the doc x term matrix fits a
+    # broadcast, cosine IS a gram matrix: build the row-normalized
+    # weight matrix once, ray.put it, and scan row blocks with one dgemm
+    # each — zero shuffles, zero joins, output only the survivors.  The
+    # sparse PPJoin-family plan below stays the corpus-scale path.
+    if (
+        persist == "memory"
+        and dense_postings_limit
+        and tfd.count() <= dense_postings_limit
+    ):
+        post = tfd.to_pandas()
+        u, inv, dfc = np.unique(
+            post["th"].to_numpy(np.int64), return_inverse=True,
+            return_counts=True,
+        )
+        if int(len(u)) * n_docs * 8 <= dense_matrix_bytes_limit:
+            return _dense_pairs(
+                post, u, inv, dfc.astype(np.float64), max_df=max_df, nf=nf,
+                threshold=threshold, tol=10.0**round_to,
+                num_partitions=num_partitions,
+            )
+
     def norm_kernel(g: pd.DataFrame) -> pd.DataFrame:
-        dfc = g.groupby("term", sort=False)["doc"].size()
-        dfv = g["term"].map(dfc).to_numpy(np.float64)
+        th = g["th"].to_numpy(np.int64)
+        _, inv, cnt = np.unique(th, return_inverse=True, return_counts=True)
+        dfv = cnt[inv].astype(np.float64)
         kept = dfv <= max_df  # df=1 terms DO count toward the norm
-        g = g.iloc[np.nonzero(kept)[0]]
-        if not len(g):
+        if not kept.any():
             return pd.DataFrame(
                 {"a": pd.Series([], dtype="int64"),
                  "val": pd.Series([], dtype="float64")}
             )
-        w = g["tf"].to_numpy(np.float64) * np.log(nf / dfv[kept])
-        out = (
-            pd.DataFrame({"a": g["doc"].to_numpy(np.int64), "val": w * w})
-            .groupby("a", sort=False)["val"]
-            .sum()
-            .reset_index()
-        )
-        return out
+        w = g["tf"].to_numpy(np.float64)[kept] * np.log(nf / dfv[kept])
+        doc = g["doc"].to_numpy(np.int64)[kept]
+        o = np.argsort(doc, kind="stable")
+        d, v = doc[o], (w * w)[o]
+        st = np.nonzero(np.r_[True, d[1:] != d[:-1]])[0]
+        return pd.DataFrame({"a": d[st], "val": np.add.reduceat(v, st)})
 
     norms = _coarse_sum(
         tfd.groupby("__cg").map_groups(norm_kernel, batch_format="pandas"),

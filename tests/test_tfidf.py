@@ -106,3 +106,31 @@ def test_tfidf_persist_modes_identical(ray_session, tmp_path):
     assert base.equals(pq)
     assert base.equals(rc)
     assert (tmp_path / "postings").exists()
+
+
+def test_tfidf_dense_equals_sparse(ray_session):
+    """The dense gram-matrix regime emits exactly the sparse plan's
+    pairs (same weight/threshold/rounding law; dgemm only reorders the
+    float additions, dwarfed by the 1e-6 rounding step)."""
+    import ray.data as rd
+
+    from pygridmap_ray.tfidf import tfidf_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(15)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(5, 20)).tolist())
+        for _ in range(40)
+    ]
+    t = pa.table(
+        {"doc_id": np.arange(len(texts), dtype=np.int64) * 7, "text": texts}
+    )
+    kw = dict(n=1, max_df_frac=0.8, threshold=0.2, num_partitions=4)
+    dense = _pairs_df(tfidf_pairs(rd.from_arrow(t).repartition(3), **kw))
+    sparse = _pairs_df(
+        tfidf_pairs(
+            rd.from_arrow(t).repartition(3), dense_postings_limit=0, **kw
+        )
+    )
+    assert len(dense) > 0
+    assert dense.equals(sparse)
