@@ -1190,21 +1190,48 @@ def neardup_components(docs, pairs, *, id_col: str = "doc_id",
         num_partitions = default_num_partitions()
     comp = connected_components(
         pairs, max_iter=max_iter, num_partitions=num_partitions
-    )
-    from .cluster import safe_join
+    ).materialize()
 
     nparts = num_partitions
-    out = safe_join(
-        docs.select_columns([id_col]).repartition(nparts),
-        comp,
-        "left_outer",
-        num_partitions=nparts,
-        on=(id_col,),
-        right_on=("node",),
-        # comp can be a single EMPTY block (no pairs) — the explicit
-        # schema lets the guard emit its never-matching sentinel row
-        right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
-    )
+    # the labeled-node side is near-dup-graph scale (a tiny fraction of
+    # the corpus) — broadcast it while it fits so the corpus-scale doc
+    # stream never enters a shuffle; partitioned join above the bound
+    if comp.count() <= 2_000_000:
+        from .joins import lookup_join
+
+        parts = [
+            t
+            for t in comp.iter_batches(batch_size=None, batch_format="pyarrow")
+            if t.num_rows and t.num_columns
+        ]
+        dim = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64())}
+            )
+        )
+        out = lookup_join(
+            docs.select_columns([id_col]), dim,
+            on=id_col, key="node", value_cols=["label"], how="left",
+        )
+    else:
+        from .cluster import safe_join
+
+        out = safe_join(
+            docs.select_columns([id_col]).repartition(nparts),
+            comp,
+            "left_outer",
+            num_partitions=nparts,
+            on=(id_col,),
+            right_on=("node",),
+            # comp can be a single EMPTY block (no pairs) — the explicit
+            # schema lets the guard emit its never-matching sentinel row
+            right_schema=pa.schema(
+                [("node", pa.int64()), ("label", pa.int64())]
+            ),
+        )
 
     def finish(b: pa.Table) -> pa.Table:
         lab = pc.coalesce(

@@ -292,21 +292,46 @@ def cell_clusters(
         .groupby("__cg")
         .map_groups(edge_kernel, batch_format="pandas")
     )
-    labels = connected_components(edges, src="id_a", dst="id_b")
+    labels = connected_components(edges, src="id_a", dst="id_b").materialize()
 
-    from .cluster import safe_join
+    # labels are node-scale (occupied cells, already a tiny fraction of
+    # the point stream) and usually driver-solved by the CC hybrid —
+    # broadcast them while they fit instead of paying a fixed-cost
+    # partitioned hash join; fall back to safe_join above the bound.
+    if labels.count() <= 2_000_000:
+        from .joins import lookup_join
 
-    joined = safe_join(
-        cells,  # already compacted above — no empty blocks
-        labels,
-        "inner",
-        num_partitions=nparts,
-        on=("pk",),
-        right_on=("node",),
-        # the label side can be sparse or globally empty (local CC solve
-        # on a tiny graph) — see cluster.compact_blocks
-        right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
-    )
+        parts = [
+            t
+            for t in labels.iter_batches(batch_size=None, batch_format="pyarrow")
+            if t.num_rows and t.num_columns
+        ]
+        dim = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64())}
+            )
+        )
+        joined = lookup_join(cells, dim, on="pk", key="node",
+                             value_cols=["label"])
+    else:
+        from .cluster import safe_join
+
+        joined = safe_join(
+            cells,  # already compacted above — no empty blocks
+            labels,
+            "inner",
+            num_partitions=nparts,
+            on=("pk",),
+            right_on=("node",),
+            # the label side can be sparse or globally empty (local CC
+            # solve on a tiny graph) — see cluster.compact_blocks
+            right_schema=pa.schema(
+                [("node", pa.int64()), ("label", pa.int64())]
+            ),
+        )
 
     def cluster_partial(b: pa.Table) -> pa.Table:
         return pa.table(
