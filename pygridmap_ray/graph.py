@@ -431,35 +431,46 @@ def co_occurrence(ds, key_col: str, item_col: str, *,
     are the quadratic risk, exactly the PPJoin/LSH hot-bucket rule used
     in dedup.py).
 
-    Plan: distinct (key, item) via the packed-unique coarse dedup -> one
-    coarse-bucket shuffle on key hash (all items of a key share a
-    bucket) -> per-bucket vectorized within-segment pair emission (no
-    Python loop over keys) + packed-pair partial counts -> second coarse
-    shuffle on pair hash -> reduceat sum.  Pair ids are HIGH-cardinality
-    so they never see a fine groupby."""
-
-    pairs = distinct_int_pairs(ds, key_col, item_col,
-                               num_buckets=num_buckets)
+    Plan: one coarse-bucket shuffle on key hash (all items — and all
+    duplicate copies — of a key share a bucket, so the global
+    (key, item) dedup happens IN-BUCKET with one packed np.unique
+    instead of its own shuffle; per-batch partial dedup bounds the
+    shuffle volume first) -> per-bucket vectorized within-segment pair
+    emission (no Python loop over keys) + packed-pair partial counts ->
+    second coarse shuffle on pair hash -> reduceat sum.  Pair ids are
+    HIGH-cardinality so they never see a fine groupby."""
 
     def bucket(b: pa.Table) -> pa.Table:
         k = np.asarray(b[key_col], np.int64)
+        it = np.asarray(b[item_col], np.int64)
+        if len(k) and (
+            k.max() >= (1 << 31) or it.max() >= (1 << 31)
+            or k.min() < 0 or it.min() < 0
+        ):
+            raise ValueError("key/item values must be in [0, 2^31)")
+        u = np.unique(k * (1 << 31) + it)  # per-batch partial dedup
+        k = u >> 31
         cg = (
             (k.astype(np.uint64) * np.uint64(2654435761))
             % np.uint64(num_buckets)
         ).astype(np.int64)
         return pa.table(
             {"k": pa.array(k),
-             "it": pa.array(np.asarray(b[item_col], np.int64)),
+             "it": pa.array(u & ((1 << 31) - 1)),
              "__cg": pa.array(cg)}
         )
 
     def emit_pairs(g):
         import pandas as pd
 
-        k = g["k"].to_numpy(np.int64)
-        it = g["it"].to_numpy(np.int64)
-        order = np.lexsort((it, k))
-        k, it = k[order], it[order]
+        # global (key, item) dedup: every copy of a pair shares this
+        # bucket; the sorted unpack is already lexsorted by (k, it)
+        u = np.unique(
+            g["k"].to_numpy(np.int64) * (1 << 31)
+            + g["it"].to_numpy(np.int64)
+        )
+        k = u >> 31
+        it = u & ((1 << 31) - 1)
         starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
         n = np.diff(np.append(starts, len(k)))
         keep = n <= max_degree
@@ -514,7 +525,8 @@ def co_occurrence(ds, key_col: str, item_col: str, *,
         )
 
     return (
-        pairs.map_batches(bucket, batch_format="pyarrow")
+        ds.select_columns([key_col, item_col])
+        .map_batches(bucket, batch_format="pyarrow")
         .groupby("__cg")
         .map_groups(emit_pairs, batch_format="pandas")
         .map_batches(rebucket, batch_format="pyarrow")
