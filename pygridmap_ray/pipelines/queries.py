@@ -8270,6 +8270,45 @@ def q_geometric_median(sf_dir: str):
     med = np.array([list(_CLX), list(_CLY)], np.float64).T.copy()
     cols = [f"{p}{i}" for p in ("n", "sw", "swx", "swy") for i in range(3)]
 
+    # Weiszfeld is sequential, so every superstep pays a full dataset
+    # execution (~0.4 s fixed) just to reduce to a 3x2 state.  Below the
+    # gate the pinned projection collects ONCE and all iterations run in
+    # numpy on the driver — same law (the 4dp rounding dwarfs summation
+    # order on both sides, exactly as it does for the block-order-
+    # nondeterministic distributed sum).  Above it: broadcast-state
+    # supersteps, the pagerank shape.
+    n_pts = ds.count()
+    if 0 < n_pts <= 4_000_000:
+        tb = pa.concat_tables(
+            [
+                t
+                for t in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+                if t.num_rows
+            ]
+        )
+        g = np.asarray(tb["g"], np.int64)
+        x = np.asarray(tb["x"], np.float64)
+        y = np.asarray(tb["y"], np.float64)
+        for _ in range(GMED_ITERS):
+            dx = x - med[g, 0]
+            dy = y - med[g, 1]
+            w = 1.0 / np.maximum(np.sqrt(dx * dx + dy * dy), GMED_EPS)
+            sw = np.bincount(g, weights=w, minlength=3)
+            med[:, 0] = np.bincount(g, weights=x * w, minlength=3) / sw
+            med[:, 1] = np.bincount(g, weights=y * w, minlength=3) / sw
+        counts = np.bincount(g, minlength=3).astype(np.int64)
+        rnd = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "g": np.arange(3, dtype=np.int64),
+                    "n": counts,
+                    "mx": rnd(med[:, 0]),
+                    "my": rnd(med[:, 1]),
+                }
+            )
+        )
+
     counts = None
     for _ in range(GMED_ITERS):
         mx, my = med[:, 0].copy(), med[:, 1].copy()
