@@ -446,6 +446,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     n: int = 3,
     num_partitions: int | None = None,
+    driver_candgen_limit: int = 5_000_000,
 ):
     """EXACT n-gram Jaccard near-dup pairs via prefix-filter candidate
     generation (the AllPairs/PPJoin family) — full recall, unlike the
@@ -578,23 +579,8 @@ def ngram_jaccard_pairs(
             }
         )
 
-    emitted = (
-        prefix.map_batches(_add_cg, batch_format="pyarrow")
-        .groupby("__cg")
-        .map_groups(candgen_partition, batch_format="pandas")
-        # two consumers below (direct pairs + candidate counting) — without
-        # this pin, Ray re-executes the whole shingle/prefix lineage once
-        # per consumer.  Pair-slot rows are tiny (5 numeric cols).
-        .materialize()
-    )
     import pyarrow.compute as pc
 
-    direct = emitted.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["jaccard"], 0.0)).select(
-            ["id_a", "id_b", "jaccard"]
-        ),
-        batch_format="pyarrow",
-    )
     def _pack_pairs(b: pa.Table) -> pa.Table:
         """Candidate rows -> (pairkey, sizes, bucket).  One int64 key per
         pair keeps the dedup-count stage fully vectorized; a generic
@@ -652,18 +638,86 @@ def ngram_jaccard_pairs(
         )
 
     _cand_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    cands = (
-        emitted.map_batches(_pack_pairs, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(_count_filter, batch_format="pandas")
-        # the hash-shuffle map_groups emits COLUMN-LESS blocks for empty
-        # partitions; the repartition merges them for the two bloom-build
-        # consumers (their map UDFs skip empty blocks anyway), and the
-        # verify JOIN below is guarded by safe_join's compaction
-        .repartition(num_partitions)
-        # three consumers (two bloom builds + the verify join)
-        .materialize()
-    )
+    import ray.data as rd
+
+    # Candidate-generation gate: the prefix stream is bounded by the
+    # corpus shingle volume (sets is materialized, so the sum is one
+    # cheap aggregate).  Below the bound the WHOLE candgen + count-filter
+    # chain — two sort shuffles whose payload is a few MB — runs once on
+    # the driver with the very same kernels; above it the bucketed
+    # distributed plan runs unchanged.
+    cand_tbl = None
+    if int(sets.sum("size") or 0) <= driver_candgen_limit:
+        pparts = [
+            t
+            for t in prefix.iter_batches(batch_size=None, batch_format="pyarrow")
+            if t.num_rows
+        ]
+        em = (
+            candgen_partition(pa.concat_tables(pparts).to_pandas())
+            if pparts
+            else _CAND_EMPTY
+        )
+        d = em[em["jaccard"] >= 0.0]
+        direct = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(d["id_a"].to_numpy(np.int64)),
+                    "id_b": pa.array(d["id_b"].to_numpy(np.int64)),
+                    "jaccard": pa.array(d["jaccard"].to_numpy(np.float64)),
+                }
+            )
+        )
+        cf = (
+            _count_filter(
+                _pack_pairs(
+                    pa.Table.from_pandas(em, preserve_index=False)
+                ).to_pandas()
+            )
+            if len(em)
+            else pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64")}
+            )
+        )
+        cand_tbl = pa.table(
+            {
+                "id_a": pa.array(cf["id_a"].to_numpy(np.int64)),
+                "id_b": pa.array(cf["id_b"].to_numpy(np.int64)),
+            }
+        )
+        n_cands = cand_tbl.num_rows
+        cands = rd.from_arrow(cand_tbl)
+    else:
+        emitted = (
+            prefix.map_batches(_add_cg, batch_format="pyarrow")
+            .groupby("__cg")
+            .map_groups(candgen_partition, batch_format="pandas")
+            # two consumers below (direct pairs + candidate counting) —
+            # without this pin, Ray re-executes the whole shingle/prefix
+            # lineage once per consumer.  Pair-slot rows are tiny.
+            .materialize()
+        )
+        direct = emitted.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["jaccard"], 0.0)).select(
+                ["id_a", "id_b", "jaccard"]
+            ),
+            batch_format="pyarrow",
+        )
+        cands = (
+            emitted.map_batches(_pack_pairs, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(_count_filter, batch_format="pandas")
+            # the hash-shuffle map_groups emits COLUMN-LESS blocks for
+            # empty partitions; the repartition merges them for the two
+            # bloom-build consumers (their map UDFs skip empty blocks
+            # anyway), and the verify JOIN below is guarded by
+            # safe_join's compaction
+            .repartition(num_partitions)
+            # three consumers (two bloom builds + the verify join)
+            .materialize()
+        )
+        n_cands = cands.count()
 
     def _pack_sets(b: pa.Table, prefix: str = "") -> pa.Table:
         # Acero / lookup payloads reject list<> columns -> pack each
@@ -680,16 +734,15 @@ def ngram_jaccard_pairs(
         return pa.table({f"id{prefix}": b[id_col], f"sh{prefix}": packed})
 
     # The verify plan is SIZE-GATED on the surviving candidate count
-    # (free: cands is materialized).  Post-count-filter survivors are
-    # near-linear in true pairs, so the common case is tiny: the pair
-    # ids come to the driver (16 B/pair), ONE streamed pass over the
-    # materialized set table picks exactly the hit sets (sorted-vector
-    # membership, no bloom FPs), and both equality joins become
-    # broadcast lookup_joins — zero Acero shuffles, which at this scale
-    # are pure fixed overhead (~2-4 s each).  Above the bound (an
+    # (free: cands is materialized or driver-built).  Post-count-filter
+    # survivors are near-linear in true pairs, so the common case is
+    # tiny: the pair ids come to the driver (16 B/pair), ONE streamed
+    # pass over the materialized set table picks exactly the hit sets
+    # (sorted-vector membership, no bloom FPs), and both equality joins
+    # become broadcast lookup_joins — zero Acero shuffles, which at this
+    # scale are pure fixed overhead (~2-4 s each).  Above the bound (an
     # adversarial corpus where survivors exceed driver memory) the plan
     # falls back to bloom-prefiltered partitioned hash joins.
-    n_cands = cands.count()
     if n_cands == 0:
         return direct
     if n_cands <= 500_000:
@@ -697,14 +750,15 @@ def ngram_jaccard_pairs(
 
         from .joins import lookup_join
 
-        cand_parts = [
-            t
-            for t in cands.iter_batches(
-                batch_size=None, batch_format="pyarrow"
-            )
-            if t.num_rows and t.num_columns
-        ]
-        cand_tbl = pa.concat_tables(cand_parts)
+        if cand_tbl is None:
+            cand_parts = [
+                t
+                for t in cands.iter_batches(
+                    batch_size=None, batch_format="pyarrow"
+                )
+                if t.num_rows and t.num_columns
+            ]
+            cand_tbl = pa.concat_tables(cand_parts)
         want = np.unique(
             np.concatenate(
                 [
