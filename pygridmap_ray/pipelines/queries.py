@@ -4523,6 +4523,23 @@ def q_quality_score(sf_dir: str):
     )
 
 
+def q_readability(sf_dir: str):
+    """Flesch reading-ease per doc (regex-twinned word / sentence /
+    vowel-group-syllable laws, counts floored at 1, 6dp half-away)."""
+    from ..text import flesch_reading
+
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: flesch_reading(b.filter(pc.is_valid(b["text"]))),
+        batch_format="pyarrow",
+    )
+    ds = ds.select_columns(
+        ["doc_id", "n_words", "n_sents", "n_syllables", "flesch"]
+    )
+    return ds.map_batches(
+        lambda b: round6(b, ["flesch"]), batch_format="pyarrow"
+    )
+
+
 def q_lang_id(sf_dir: str):
     from ..text import lang_id
 
@@ -13416,6 +13433,7 @@ def queries():
         "spans_roundtrip": q_spans_roundtrip,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
+        "readability": q_readability,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "rolling_fp": q_rolling_fp,
@@ -14227,6 +14245,18 @@ def oracle_sql():
             "SELECT doc_id, n_tokens, ROUND(punct_ratio * 1e6) / 1e6 AS punct_ratio, "
             "ROUND(stop_ratio * 1e6) / 1e6 AS stop_ratio, ROUND(quality * 1e6) / 1e6 AS quality "
             f"FROM ({_sql_quality()})"
+        ),
+        "readability": (
+            "SELECT doc_id, n_words, n_sents, n_syllables, "
+            "ROUND((206.835::DOUBLE - 1.015::DOUBLE * "
+            "(GREATEST(n_words, 1)::DOUBLE / GREATEST(n_sents, 1)::DOUBLE) "
+            "- 84.6::DOUBLE * (n_syllables::DOUBLE / "
+            "GREATEST(n_words, 1)::DOUBLE)) * 1e6) / 1e6 AS flesch "
+            "FROM (SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words, "
+            "len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sents, "
+            "len(regexp_extract_all(text, '[AEIOUYaeiouy]+'))::BIGINT "
+            "AS n_syllables FROM documents WHERE text IS NOT NULL)"
         ),
         "lang_id": f"SELECT doc_id, lang, lang_pred FROM ({_sql_lang()})",
         "fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",

@@ -52,6 +52,48 @@ def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+#: Flesch reading-ease component laws — regex-twinned, shared verbatim
+#: with the DuckDB oracle.  Sentences are ``[.!?]+`` runs, syllables are
+#: vowel-group runs (the classic approximation; the LAW is the twin, not
+#: a linguistics claim).
+FLESCH_SENT_PATTERN = r"[.!?]+"
+FLESCH_VOWEL_PATTERN = r"[AEIOUYaeiouy]+"
+
+
+def flesch_reading(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Flesch reading-ease per doc, fully vectorized (three RE2 count
+    kernels + scalar arithmetic): words = ``\\S+`` runs, sentences /
+    syllables per the module patterns, word and sentence counts floored
+    at 1, ``flesch = 206.835 - 1.015 w/s - 84.6 syl/w``.  Callers filter
+    null text (the twin does the same)."""
+    t = batch[text_col]
+    n_w = pc.cast(pc.count_substring_regex(t, TOKEN_PATTERN), pa.float64())
+    n_s = pc.cast(
+        pc.count_substring_regex(t, FLESCH_SENT_PATTERN), pa.float64()
+    )
+    n_y = pc.cast(
+        pc.count_substring_regex(t, FLESCH_VOWEL_PATTERN), pa.float64()
+    )
+    w = pc.max_element_wise(n_w, pa.scalar(1.0))
+    s = pc.max_element_wise(n_s, pa.scalar(1.0))
+    score = pc.subtract(
+        pc.subtract(
+            pa.scalar(206.835),
+            pc.multiply(pa.scalar(1.015), pc.divide(w, s)),
+        ),
+        pc.multiply(pa.scalar(84.6), pc.divide(n_y, w)),
+    )
+    out = batch
+    for name, col in [
+        ("n_words", pc.cast(n_w, pa.int64())),
+        ("n_sents", pc.cast(n_s, pa.int64())),
+        ("n_syllables", pc.cast(n_y, pa.int64())),
+        ("flesch", score),
+    ]:
+        out = out.append_column(name, col)
+    return out
+
+
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality features + one scalar score.
 
