@@ -29,6 +29,53 @@ def _qlabel(q: float) -> str:
     return f"q{int(round(q * 100)):02d}"
 
 
+def _grouped_value_hist(ds, *, key: str, value: str) -> pd.DataFrame:
+    """Exact per-(key, value) counts, gathered to the driver — the
+    shared histogram pass behind :func:`grouped_quantiles` /
+    :func:`grouped_quantiles_cont`.  Vocabulary-scale by contract
+    (discrete / bounded value domains; the corpus-scale continuous path
+    is :func:`approx_quantiles`).  One stateless combiner pass (a
+    per-batch vectorized groupby-size) then a driver concat + final
+    sum — ZERO Ray shuffle.  The previous plan paid two all-to-all
+    exchanges (``groupby([key, value]).count()`` then
+    ``groupby(key).map_groups``) to build the very same
+    vocabulary-scale table that the quantile finish materializes
+    anyway; the combiner gather moves strictly fewer bytes.  Null
+    values are excluded (SQL aggregate semantics); null keys keep
+    their own group (``dropna=False``)."""
+    import ray
+
+    ds = ds.select_columns([key, value]).map_batches(
+        lambda b: b.filter(pc.is_valid(b[value])), batch_format="pyarrow"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.to_pandas()
+            .groupby([key, value], dropna=False, sort=False)
+            .size()
+            .reset_index(name="count()")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = [
+        p
+        for p in (
+            ray.get(r)
+            for r in ds.map_batches(
+                partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    if not parts:
+        return pd.DataFrame({key: [], value: [], "count()": []})
+    allp = pa.concat_tables(parts, promote_options="permissive").to_pandas()
+    return allp.groupby(
+        [key, value], dropna=False, sort=False, as_index=False
+    )["count()"].sum()
+
+
 def grouped_quantiles(
     ds,
     *,
@@ -39,11 +86,13 @@ def grouped_quantiles(
     """Per-``key`` exact quantiles of ``value`` -> one row per key with
     columns ``q25, q50, ...`` (label = q + percent).  Null values are
     excluded (SQL aggregate semantics); null keys form their own group.
-    """
-    ds = ds.select_columns([key, value]).map_batches(
-        lambda b: b.filter(pc.is_valid(b[value])), batch_format="pyarrow"
-    )
-    hist = ds.groupby([key, value]).count()
+
+    Plan: the :func:`_grouped_value_hist` combiner gather (zero Ray
+    shuffle), then the per-key rank walk runs once on the driver over
+    the k-row-per-key histogram (k = group count, small by contract)."""
+    import ray.data as rd
+
+    hist = _grouped_value_hist(ds, key=key, value=value)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(value, kind="stable")
@@ -56,7 +105,12 @@ def grouped_quantiles(
             out[_qlabel(q)] = [g[value].iloc[pos]]
         return pd.DataFrame(out)
 
-    return hist.groupby(key).map_groups(finish, batch_format="pandas")
+    frames = [
+        finish(g) for _, g in hist.groupby(key, dropna=False, sort=False)
+    ]
+    if not frames:
+        frames = [pd.DataFrame({key: []} | {_qlabel(q): [] for q in qs})]
+    return rd.from_pandas(pd.concat(frames, ignore_index=True))
 
 
 def sql_grouped_quantiles(
@@ -1367,15 +1421,15 @@ def grouped_quantiles_cont(
     """Per-key CONTINUOUS (interpolated) quantiles — SQL:2016
     ``percentile_cont`` / DuckDB ``quantile_cont`` law: at fractional
     rank ``h = q*(n-1)`` (0-based) the result interpolates the two
-    neighboring order statistics.  Same histogram two-phase plan as
-    :func:`grouped_quantiles` (the shuffle carries distinct (key, value)
-    pairs only); the per-key finish walks cumulative counts and linearly
-    interpolates.  Outputs round half-away at ``round_to`` on both sides
+    neighboring order statistics.  Same combiner-gather histogram plan
+    as :func:`grouped_quantiles` (:func:`_grouped_value_hist` — zero
+    Ray shuffle, vocabulary-scale gather by contract); the per-key
+    finish walks cumulative counts and linearly interpolates, once, on
+    the driver.  Outputs round half-away at ``round_to`` on both sides
     (interpolation is float arithmetic)."""
-    ds = ds.select_columns([key, value]).map_batches(
-        lambda b: b.filter(pc.is_valid(b[value])), batch_format="pyarrow"
-    )
-    hist = ds.groupby([key, value]).count()
+    import ray.data as rd
+
+    hist = _grouped_value_hist(ds, key=key, value=value)
     tol = 10.0 ** round_to
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
@@ -1398,7 +1452,12 @@ def grouped_quantiles_cont(
             ]
         return pd.DataFrame(out)
 
-    return hist.groupby(key).map_groups(finish, batch_format="pandas")
+    frames = [
+        finish(g) for _, g in hist.groupby(key, dropna=False, sort=False)
+    ]
+    if not frames:
+        frames = [pd.DataFrame({key: []} | {_qlabel(q): [] for q in qs})]
+    return rd.from_pandas(pd.concat(frames, ignore_index=True))
 
 
 def percent_rank(
@@ -1804,31 +1863,46 @@ def iqr_outliers(
             }
         )
 
-    from ray.data.aggregate import Sum
+    # the partial stream is one row per (key, batch) — aggregate-scale;
+    # fold it on the driver instead of paying a Ray all-to-all whose
+    # fixed cost dwarfs the 5-row result (same contract as the
+    # _grouped_value_hist gather above)
+    import ray
+    import ray.data as rd
 
+    parts = [
+        p
+        for p in (
+            ray.get(r)
+            for r in ds.map_batches(
+                partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_outliers": pa.array([], pa.int64()),
+                    "outlier_rate": pa.array([], pa.float64()),
+                }
+            )
+        )
     folded = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("n_outliers", alias_name="n_outliers"),
-        )
+        pa.concat_tables(parts, promote_options="permissive")
+        .to_pandas()
+        .groupby(key, dropna=False, sort=False, as_index=False)[
+            ["n_events", "n_outliers"]
+        ]
+        .sum()
     )
-
-    def finish(b: pa.Table) -> pa.Table:
-        n = np.asarray(b["n_events"], np.float64)
-        k_out = np.asarray(b["n_outliers"], np.float64)
-        rate = np.floor((k_out / n) * tol + 0.5) / tol  # rates are >= 0
-        return pa.table(
-            {
-                key: b[key],
-                "n_events": pa.array(np.asarray(b["n_events"], np.int64)),
-                "n_outliers": pa.array(np.asarray(b["n_outliers"], np.int64)),
-                "outlier_rate": pa.array(rate),
-            }
-        )
-
-    return folded.map_batches(finish, batch_format="pyarrow")
+    n = folded["n_events"].to_numpy(np.float64)
+    k_out = folded["n_outliers"].to_numpy(np.float64)
+    folded["outlier_rate"] = np.floor((k_out / n) * tol + 0.5) / tol
+    return rd.from_pandas(folded)
 
 
 def sql_iqr_outliers(
