@@ -1130,12 +1130,7 @@ def connected_components(pairs, *, src: str = "id_a", dst: str = "id_b",
     edges = pairs.select_columns([src, dst]).map_batches(
         _sym, batch_format="pyarrow"
     )
-    # repartition before materializing: upstream map_groups stages can leave
-    # empty blocks with degenerate (column-less) schemas, which
-    # Dataset.join's per-partition pyarrow join rejects; the merge
-    # re-schemas every block uniformly.  num_partitions scales with edge
-    # volume (it is also the join/shuffle width).
-    edges = edges.repartition(num_partitions).materialize()
+    edges = edges.materialize()
 
     # Hybrid fast path (the GraphX/GraphFrames pattern): the near-dup pair
     # graph is a minuscule fraction of the corpus — after the bucketed pair
@@ -1144,14 +1139,23 @@ def connected_components(pairs, *, src: str = "id_a", dst: str = "id_b",
     # count is free (edges is materialized); below the cap we solve with
     # numpy pointer-jumping on the driver, above it the distributed loop
     # runs.  Semantics are identical: component = min reachable node id.
+    # (The distributed path repartitions below — the local gather filters
+    # degenerate empty blocks itself, so it never pays that all-to-all.)
     if edges.count() <= local_max_edges:
         import ray
         import ray.data
 
-        tabs = ray.get(edges.to_arrow_refs())
-        tab = pa.concat_tables([t for t in tabs if t.num_rows],
-                               promote_options="default") if any(
-            t.num_rows for t in tabs) else None
+        # to_arrow_refs passes pandas blocks (from upstream
+        # batch_format="pandas" map_groups stages) through as-is —
+        # normalize each block to Arrow before concatenating
+        tabs = [
+            t if isinstance(t, pa.Table)
+            else pa.Table.from_pandas(t, preserve_index=False)
+            for t in ray.get(edges.to_arrow_refs())
+        ]
+        tabs = [t for t in tabs if t.num_rows]
+        tab = (pa.concat_tables(tabs, promote_options="default")
+               if tabs else None)
         if tab is None:
             return ray.data.from_arrow(
                 pa.table({"node": pa.array([], pa.int64()),
@@ -1179,6 +1183,12 @@ def connected_components(pairs, *, src: str = "id_a", dst: str = "id_b",
             pa.table({"node": pa.array(nodes), "label": pa.array(nodes[lab])})
         )
 
+    # Distributed path: repartition before joining — upstream map_groups
+    # stages can leave empty blocks with degenerate (column-less)
+    # schemas, which Dataset.join's per-partition pyarrow join rejects;
+    # the merge re-schemas every block uniformly.  num_partitions scales
+    # with edge volume (it is also the join/shuffle width).
+    edges = edges.repartition(num_partitions).materialize()
     nparts = num_partitions
 
     def _node_min(b: pa.Table) -> pa.Table:

@@ -9980,7 +9980,20 @@ def q_st_dbscan(sf_dir: str):
         keep = lo_ != hi_
         return pd.DataFrame({"id_a": lo_[keep], "id_b": hi_[keep]})
 
-    edges = scattered.groupby("__b").map_groups(
+    # pass 2 only ever links CORE points — filter to the core set before
+    # re-scattering so the second shuffle carries the core fraction, not
+    # the full 9x ghost stream
+    def only_core(b: pa.Table, core=core_ids) -> pa.Table:
+        eid = np.asarray(b["eid"], np.int64)
+        if not len(core):
+            return b.slice(0, 0)
+        pos = np.clip(np.searchsorted(core, eid), 0, len(core) - 1)
+        return b.filter(pa.array(core[pos] == eid))
+
+    scattered_core = pts.map_batches(
+        only_core, batch_format="pyarrow"
+    ).map_batches(scat, batch_format="pyarrow")
+    edges = scattered_core.groupby("__b").map_groups(
         kern_edges, batch_format="pandas"
     )
     comp = connected_components(edges)
