@@ -5382,23 +5382,90 @@ def q3_shipping(sf_dir: str):
             on=("l_orderkey",),
             right_on=("o_orderkey",),
         )
-    agg = j.groupby(["l_orderkey", "o_orderdate"]).aggregate(
-        Sum("rev", alias_name="revenue")
-    )
-    def _finish(b: pa.Table) -> pa.Table:
-        # the broadcast-lookup path round-trips the date through numpy,
-        # narrowing timestamp[us] to [s]; restore the schema law
-        b = b.set_column(
-            b.schema.get_field_index("o_orderdate"),
-            "o_orderdate",
-            pc.cast(b["o_orderdate"], pa.timestamp("us")),
-        )
-        return round_half_away(b, ["revenue"], 2)
+    # Grouped revenue + top-10 WITHOUT a fine per-order groupby or a
+    # global sort: per-batch combiners sum revenue by order key (every
+    # key carries one date), a 64-bucket coarse shuffle finishes each
+    # key's exact sum (a key lives wholly in one bucket) and keeps only
+    # that bucket's top-10 by the ROUNDED-revenue tie law, and the
+    # driver merges 64x10 candidate rows — the per-stage volume is
+    # combiner-bounded at any scale, vs the previous plan's one Ray
+    # group per order key plus an all-data sort.
+    import ray
+    import pandas as pd
 
-    agg = agg.map_batches(_finish, batch_format="pyarrow")
-    return agg.sort(
-        ["revenue", "l_orderkey"], descending=[True, False]
-    ).limit(10)
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["l_orderkey"], np.int64)
+        r = np.asarray(b["rev"], np.float64)
+        d = (
+            np.asarray(pc.cast(b["o_orderdate"], pa.timestamp("us")))
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=r, minlength=len(uk))
+        first = np.zeros(len(uk), np.int64)
+        first[inv[::-1]] = d[::-1]  # one date per order key
+        cg = (
+            (uk.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(uk),
+                "d": pa.array(first),
+                "s": pa.array(s),
+                "__cg": pa.array(cg),
+            }
+        )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.float64)
+        d = g["d"].to_numpy(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, s, d = k[order], s[order], d[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        sums = np.add.reduceat(s, starts)
+        uk, ud = k[starts], d[starts]
+        rev = np.sign(sums) * np.floor(np.abs(sums) * 1e2 + 0.5) / 1e2
+        top = np.lexsort((uk, -rev))[:10]
+        return pd.DataFrame({"k": uk[top], "d": ud[top], "revenue": rev[top]})
+
+    cand_tops = j.map_batches(bucket_partial, batch_format="pyarrow").groupby(
+        "__cg"
+    ).map_groups(bucket_topk, batch_format="pandas").materialize()
+    # (materialize before to_arrow_refs: consuming a lazy Dataset via
+    # refs triggers schema-probe re-executions of the whole DAG)
+    parts = [
+        t if isinstance(t, pa.Table)
+        else pa.Table.from_pandas(t, preserve_index=False)
+        for t in ray.get(cand_tops.to_arrow_refs())
+    ]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        merged = pd.DataFrame(
+            {"k": pd.Series([], np.int64), "d": pd.Series([], np.int64),
+             "revenue": pd.Series([], np.float64)}
+        )
+    else:
+        merged = pa.concat_tables(
+            parts, promote_options="permissive"
+        ).to_pandas()
+    uk = merged["k"].to_numpy(np.int64)
+    rev = merged["revenue"].to_numpy(np.float64)
+    top = np.lexsort((uk, -rev))[:10]
+    out = pa.table(
+        {
+            "l_orderkey": pa.array(uk[top]),
+            "o_orderdate": pa.array(
+                merged["d"].to_numpy(np.int64)[top]
+            ).cast(pa.timestamp("us")),
+            "revenue": pa.array(rev[top]),
+        }
+    )
+    import ray.data as _rd
+
+    return _rd.from_arrow(out)
 
 
 def _sql_q3() -> str:

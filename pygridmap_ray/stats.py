@@ -58,16 +58,10 @@ def _grouped_value_hist(ds, *, key: str, value: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = [
-        p
-        for p in (
-            ray.get(r)
-            for r in ds.map_batches(
-                partial, batch_format="pyarrow"
-            ).to_arrow_refs()
-        )
-        if p.num_rows
-    ]
+    # materialize before to_arrow_refs: consuming a lazy Dataset via
+    # refs triggers schema-probe re-executions of the whole DAG
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    parts = [p for p in ray.get(partials.to_arrow_refs()) if p.num_rows]
     if not parts:
         return pd.DataFrame({key: [], value: [], "count()": []})
     allp = pa.concat_tables(parts, promote_options="permissive").to_pandas()
@@ -1870,16 +1864,8 @@ def iqr_outliers(
     import ray
     import ray.data as rd
 
-    parts = [
-        p
-        for p in (
-            ray.get(r)
-            for r in ds.map_batches(
-                partial, batch_format="pyarrow"
-            ).to_arrow_refs()
-        )
-        if p.num_rows
-    ]
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    parts = [p for p in ray.get(partials.to_arrow_refs()) if p.num_rows]
     if not parts:
         return rd.from_arrow(
             pa.table(

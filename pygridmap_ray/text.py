@@ -766,7 +766,9 @@ def unigram_logprob_score(ds, *, id_col: str = "doc_id", text_col: str = "text")
         .groupby("ngram")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
-    vocab_tbl = counts.to_arrow_refs()
+    # materialize first: gathering a lazy Dataset via to_arrow_refs
+    # triggers schema-probe re-executions of the whole aggregate DAG
+    vocab_tbl = counts.materialize().to_arrow_refs()
     # Ray's hash-shuffle aggregate can emit EMPTY blocks with column-less
     # schemas on small inputs (see CLAUDE.md gotcha); drop them before the
     # concat or pa.concat_tables raises "Schema at index N was different".
@@ -1118,7 +1120,8 @@ def bigram_logprob_score(
             .aggregate(Sum("cnt", alias_name="cnt"))
         )
         parts = [
-            t for t in (ray.get(r) for r in c.to_arrow_refs())
+            t
+            for t in (ray.get(r) for r in c.materialize().to_arrow_refs())
             if t.num_columns > 0
         ]
         tab = (
@@ -1548,7 +1551,9 @@ def _gather_totals(totals) -> pa.Table:
 
     parts = [
         t
-        for t in (ray.get(r) for r in totals.to_arrow_refs())
+        for t in (
+            ray.get(r) for r in totals.materialize().to_arrow_refs()
+        )
         if t.num_columns > 0 and t.num_rows > 0
     ]
     if not parts:
