@@ -475,3 +475,237 @@ def heal_rings(rings: Rings, tol: float = 0.0) -> Rings:
         if len(h) >= 3:
             out.append(h)
     return out
+
+
+# --- parity (even-odd) healing for SELF-INTERSECTING rings -------------------
+# The reference repairs TopologyException inputs with ``unary_union`` +
+# ``buffer(buff_geom_prec)`` (reference overlay.py:299-309); for a
+# self-intersecting ring that node-and-rebuild yields the even-odd
+# interior (a bowtie becomes its two lobes).  The kernels below compute
+# that healed interior's measure DIRECTLY — area and rect-clipped area
+# under the parity rule — via a scanline slab decomposition, without ever
+# reconstructing valid rings.  They are driver/broadcast-side kernels
+# (clip layers are small); per-row quad healing has a vectorized closed
+# form in :func:`quad_parity_area`.
+
+
+def _parity_slabs(rings: Rings):
+    """Slab decomposition of a possibly self-intersecting ring list.
+
+    Returns ``(ys, segs)``: sorted unique slab-boundary y's (every vertex
+    y plus every pairwise proper-intersection y, so no two segments cross
+    strictly inside a slab) and the (E, 4) non-degenerate segment array.
+    """
+    segs = segments_of(rings)
+    if len(segs) == 0:
+        return np.empty(0), segs
+    keep = (segs[:, 0] != segs[:, 2]) | (segs[:, 1] != segs[:, 3])
+    segs = segs[keep]
+    if len(segs) == 0:
+        return np.empty(0), segs
+    ys = [segs[:, 1], segs[:, 3]]
+    # pairwise proper intersections, vectorized over the E x E grid
+    px, py, qx, qy = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    rx, ry = qx - px, qy - py
+    denom = rx[:, None] * ry[None, :] - ry[:, None] * rx[None, :]
+    dpx = px[None, :] - px[:, None]
+    dpy = py[None, :] - py[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (dpx * ry[None, :] - dpy * rx[None, :]) / denom
+        u = (dpx * ry[:, None] - dpy * rx[:, None]) / denom
+    hit = (
+        (denom != 0.0) & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
+    )
+    if hit.any():
+        i, _ = np.nonzero(hit)
+        ys.append(py[i] + t[hit] * ry[i])
+    return np.unique(np.concatenate(ys)), segs
+
+
+def _slab_intervals(segs: np.ndarray, ylo: float, yhi: float):
+    """x-intervals of the parity interior over one slab.
+
+    Returns ``(xlo_l, xhi_l, xlo_r, xhi_r)`` arrays — the left/right
+    boundary x's evaluated at the slab bottom and top, one row per
+    interior interval (crossings paired 0-1, 2-3, ...).
+    """
+    ymid = 0.5 * (ylo + yhi)
+    y1, y2 = segs[:, 1], segs[:, 3]
+    act = (np.minimum(y1, y2) <= ylo) & (np.maximum(y1, y2) >= yhi) & (
+        y1 != y2
+    )
+    if not act.any():
+        z = np.empty(0)
+        return z, z, z, z
+    s = segs[act]
+    dx = (s[:, 2] - s[:, 0]) / (s[:, 3] - s[:, 1])
+    xb = s[:, 0] + (ylo - s[:, 1]) * dx
+    xt = s[:, 0] + (yhi - s[:, 1]) * dx
+    xm = s[:, 0] + (ymid - s[:, 1]) * dx
+    order = np.lexsort((xb, xm))
+    xb, xt = xb[order], xt[order]
+    n2 = (len(xb) // 2) * 2
+    return xb[0:n2:2], xt[0:n2:2], xb[1:n2:2], xt[1:n2:2]
+
+
+def parity_area(rings: Rings) -> float:
+    """Even-odd ("healed") area of a possibly SELF-INTERSECTING ring
+    list.  Agrees with ``abs(rings_area)`` on simple polygons (holes
+    subtract under parity exactly as signed areas do); on a bowtie it
+    returns the sum of the lobe areas where the shoelace cancels to 0."""
+    ys, segs = _parity_slabs(rings)
+    if len(ys) < 2:
+        return 0.0
+    total = 0.0
+    for k in range(len(ys) - 1):
+        ylo, yhi = ys[k], ys[k + 1]
+        if yhi <= ylo:
+            continue
+        lb, lt, rb, rt = _slab_intervals(segs, ylo, yhi)
+        if len(lb):
+            total += 0.5 * (yhi - ylo) * float(np.sum((rb + rt) - (lb + lt)))
+    return total
+
+
+def parity_clip_area_rect(
+    rings: Rings, xmin: float, ymin: float, xmax: float, ymax: float
+) -> float:
+    """Area of (even-odd healed interior) ∩ axis-aligned rect.
+
+    Exact: within a slab each interior interval is bounded by two linear
+    edges, so the clipped width ``max(0, min(xr, xmax) - max(xl, xmin))``
+    is piecewise linear in y; integrating trapezoid-exactly between the
+    breakpoints (where an edge crosses xmin/xmax) gives the closed form.
+    This is the healed counterpart of :func:`clip_area_rect` — valid on
+    input the Sutherland-Hodgman path would silently mis-measure."""
+    ys, segs = _parity_slabs(rings)
+    if len(ys) < 2 or xmax <= xmin or ymax <= ymin:
+        return 0.0
+    total = 0.0
+    for k in range(len(ys) - 1):
+        ylo, yhi = max(float(ys[k]), ymin), min(float(ys[k + 1]), ymax)
+        if yhi <= ylo:
+            continue
+        lb, lt, rb, rt = _slab_intervals(segs, ys[k], ys[k + 1])
+        h = ys[k + 1] - ys[k]
+        for i in range(len(lb)):
+            # linear boundary x(y) over the FULL slab; clip y to the rect
+            lsl = (lt[i] - lb[i]) / h
+            rsl = (rt[i] - rb[i]) / h
+
+            def width(y):
+                xl = lb[i] + (y - ys[k]) * lsl
+                xr = rb[i] + (y - ys[k]) * rsl
+                return max(0.0, min(xr, xmax) - max(xl, xmin))
+
+            # breakpoints: either boundary crossing xmin or xmax
+            brk = [ylo, yhi]
+            for x0, sl in ((lb[i], lsl), (rb[i], rsl)):
+                for bound in (xmin, xmax):
+                    if sl != 0.0:
+                        yb = ys[k] + (bound - x0) / sl
+                        if ylo < yb < yhi:
+                            brk.append(float(yb))
+            brk = sorted(set(brk))
+            for a, b in zip(brk[:-1], brk[1:]):
+                total += 0.5 * (b - a) * (width(a) + width(b))
+    return total
+
+
+def cells_coverage_parity(
+    rings: Rings,
+    x0: float,
+    y0: float,
+    w: float,
+    h: float,
+    nx: int,
+    ny: int,
+) -> np.ndarray:
+    """:func:`cells_coverage` for a possibly self-intersecting polygon:
+    per-cell areas of the parity-healed interior.  Interior cells still
+    resolve through the (already even-odd) center containment test;
+    boundary cells use :func:`parity_clip_area_rect`.  Driver-side
+    healing path — quadratic slab setup, polygon-at-a-time."""
+    cov = np.zeros((ny, nx), dtype=np.float64)
+    if not rings:
+        return cov
+    segs = segments_of(rings)
+    if len(segs) == 0:
+        return cov
+    boundary = np.zeros((ny, nx), dtype=bool)
+    ex0 = np.minimum(segs[:, 0], segs[:, 2])
+    ex1 = np.maximum(segs[:, 0], segs[:, 2])
+    ey0 = np.minimum(segs[:, 1], segs[:, 3])
+    ey1 = np.maximum(segs[:, 1], segs[:, 3])
+    ix0 = np.clip(np.floor((ex0 - x0) / w).astype(np.int64), 0, nx - 1)
+    ix1 = np.clip(np.floor((ex1 - x0) / w - TOL_EPS).astype(np.int64), 0, nx - 1)
+    iy0 = np.clip(np.floor((ey0 - y0) / h).astype(np.int64), 0, ny - 1)
+    iy1 = np.clip(np.floor((ey1 - y0) / h - TOL_EPS).astype(np.int64), 0, ny - 1)
+    ix1 = np.maximum(ix1, ix0)
+    iy1 = np.maximum(iy1, iy0)
+    for k in range(len(segs)):
+        boundary[iy0[k] : iy1[k] + 1, ix0[k] : ix1[k] + 1] = True
+    interior = ~boundary
+    if interior.any():
+        iys, ixs = np.nonzero(interior)
+        cx = x0 + (ixs + 0.5) * w
+        cy = y0 + (iys + 0.5) * h
+        inside = points_in_rings(cx, cy, rings)
+        cov[iys[inside], ixs[inside]] = w * h
+    iys, ixs = np.nonzero(boundary)
+    for iy, ix in zip(iys.tolist(), ixs.tolist()):
+        cx0 = x0 + ix * w
+        cy0 = y0 + iy * h
+        a = parity_clip_area_rect(rings, cx0, cy0, cx0 + w, cy0 + h)
+        if a > 0:
+            cov[iy, ix] = a
+    return cov
+
+
+def quad_parity_area(
+    ax, ay, bx, by, cx, cy, dx, dy
+) -> np.ndarray:
+    """Vectorized parity-healed area of quadrilaterals A-B-C-D.
+
+    The row-scale specialization of :func:`parity_area`: a quad's healed
+    interior has a closed form — if an opposite-edge pair properly
+    crosses at X, the interior is the two lobes split at X; otherwise the
+    quad is simple and the shoelace magnitude is exact.  Each formula is
+    written in a fixed operation order so a SQL twin reproduces the
+    doubles bit-for-bit (see ``_sql_heal_area``)."""
+    ax, ay, bx, by, cx, cy, dx, dy = (
+        np.asarray(v, np.float64) for v in (ax, ay, bx, by, cx, cy, dx, dy)
+    )
+
+    def tri(x1, y1, x2, y2, x3, y3):
+        return np.abs((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)) / 2.0
+
+    def lobes(px, py, qx, qy, rx, ry, sx, sy, m1x, m1y, m2x, m2y):
+        """Segments PQ x RS; lobe triangles (X,Q,M1) and (X,S,M2)."""
+        d3 = (sx - rx) * (py - ry) - (sy - ry) * (px - rx)
+        d4 = (sx - rx) * (qy - ry) - (sy - ry) * (qx - rx)
+        t = d3 / (d3 - d4)
+        xx = px + t * (qx - px)
+        xy = py + t * (qy - py)
+        return tri(xx, xy, qx, qy, m1x, m1y) + tri(xx, xy, sx, sy, m2x, m2y)
+
+    def crosses(px, py, qx, qy, rx, ry, sx, sy):
+        d1 = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+        d2 = (qx - px) * (sy - py) - (qy - py) * (sx - px)
+        d3 = (sx - rx) * (py - ry) - (sy - ry) * (px - rx)
+        d4 = (sx - rx) * (qy - ry) - (sy - ry) * (qx - rx)
+        return (d1 * d2 < 0.0) & (d3 * d4 < 0.0)
+
+    shoe = (
+        ((ax * by - bx * ay) + (bx * cy - cx * by))
+        + (cx * dy - dx * cy)
+    ) + (dx * ay - ax * dy)
+    simple = np.abs(shoe) / 2.0
+    c1 = crosses(ax, ay, bx, by, cx, cy, dx, dy)  # AB x CD
+    c2 = crosses(bx, by, cx, cy, dx, dy, ax, ay)  # BC x DA
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # AB x CD at X: lobes (X,B,C) and (X,D,A)
+        a1 = lobes(ax, ay, bx, by, cx, cy, dx, dy, cx, cy, ax, ay)
+        # BC x DA at X: lobes (X,C,D) and (X,A,B)
+        a2 = lobes(bx, by, cx, cy, dx, dy, ax, ay, dx, dy, bx, by)
+    return np.where(c1, a1, np.where(c2, a2, simple))

@@ -13303,6 +13303,118 @@ ORDER BY lang
 """
 
 
+def q_heal_area(sf_dir: str):
+    """Parity (even-odd) healing of self-intersecting polygons — the
+    engine's answer to the reference's TopologyException retry
+    (``unary_union`` + ``buffer``, reference overlay.py:299-309), whose
+    node-and-rebuild yields the even-odd interior (a bowtie becomes its
+    two lobes).  Quadrilaterals are traced A->B->C->D through four
+    derived points per qid (roughly two thirds self-intersect), and each
+    row reports which opposite-edge pair crossed plus the HEALED area
+    via ``geom.kernels.quad_parity_area`` — the vectorized closed-form
+    specialization of the general scanline healer
+    ``geom.kernels.parity_area`` (pytest ties the two together; the
+    general kernel also backs ``parity_clip_area_rect`` /
+    ``cells_coverage_parity`` for healed overlay paths).  Map-only: the
+    corner coordinates are closed-form in qid, so no shuffle exists."""
+    import ray.data as rd
+
+    from ..geom.kernels import quad_parity_area
+    from ..synth import derive_xy
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def f(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], np.int64)
+        did = did[did % 4 == 0]
+        qid = did // 4
+        cs = []
+        for k in range(4):
+            x, y = derive_xy(did + k)
+            cs.extend([x / 1000.0, y / 1000.0])
+        ax, ay, bx, by, cx, cy, dx, dy = cs
+        # crossing detector mirrors quad_parity_area's branch order
+        def _cross(px, py, qx, qy, rx, ry, sx, sy):
+            d1 = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+            d2 = (qx - px) * (sy - py) - (qy - py) * (sx - px)
+            d3 = (sx - rx) * (py - ry) - (sy - ry) * (px - rx)
+            d4 = (sx - rx) * (qy - ry) - (sy - ry) * (qx - rx)
+            return (d1 * d2 < 0.0) & (d3 * d4 < 0.0)
+
+        c1 = _cross(ax, ay, bx, by, cx, cy, dx, dy)
+        c2 = _cross(bx, by, cx, cy, dx, dy, ax, ay)
+        crossing = np.where(c1, 1, np.where(c2, 2, 0)).astype(np.int64)
+        healed = quad_parity_area(ax, ay, bx, by, cx, cy, dx, dy)
+        t = pa.table(
+            {
+                "qid": pa.array(qid),
+                "crossing": pa.array(crossing),
+                "healed_area": pa.array(healed),
+            }
+        )
+        return round6(t, ["healed_area"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_heal_area() -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    def at(k: int) -> tuple[str, str]:
+        if k == 0:
+            return SQL_X, SQL_Y
+        rep = f"(doc_id + {k})"
+        return SQL_X.replace("doc_id", rep), SQL_Y.replace("doc_id", rep)
+
+    corners = []
+    for name, k in (("a", 0), ("b", 1), ("c", 2), ("d", 3)):
+        sx, sy = at(k)
+        corners.append(f"({sx})/1000.0 AS {name}x, ({sy})/1000.0 AS {name}y")
+    tri = (
+        "ABS(({2} - {0}) * ({5} - {1}) - ({3} - {1}) * ({4} - {0})) / 2.0"
+    )
+
+    def lobe_sql(p, q, r, s, m1, m2):
+        """Segments PQ x RS; healed area = tri(X,Q,M1) + tri(X,S,M2)."""
+        d3 = f"(({s}x - {r}x) * ({p}y - {r}y) - ({s}y - {r}y) * ({p}x - {r}x))"
+        d4 = f"(({s}x - {r}x) * ({q}y - {r}y) - ({s}y - {r}y) * ({q}x - {r}x))"
+        t = f"({d3} / ({d3} - {d4}))"
+        xx = f"({p}x + {t} * ({q}x - {p}x))"
+        xy = f"({p}y + {t} * ({q}y - {p}y))"
+        t1 = tri.format(xx, xy, f"{q}x", f"{q}y", f"{m1}x", f"{m1}y")
+        t2 = tri.format(xx, xy, f"{s}x", f"{s}y", f"{m2}x", f"{m2}y")
+        return f"({t1} + {t2})"
+
+    def cross_sql(p, q, r, s):
+        d1 = f"(({q}x - {p}x) * ({r}y - {p}y) - ({q}y - {p}y) * ({r}x - {p}x))"
+        d2 = f"(({q}x - {p}x) * ({s}y - {p}y) - ({q}y - {p}y) * ({s}x - {p}x))"
+        d3 = f"(({s}x - {r}x) * ({p}y - {r}y) - ({s}y - {r}y) * ({p}x - {r}x))"
+        d4 = f"(({s}x - {r}x) * ({q}y - {r}y) - ({s}y - {r}y) * ({q}x - {r}x))"
+        return f"({d1} * {d2} < 0.0 AND {d3} * {d4} < 0.0)"
+
+    shoe = (
+        "(((ax * by - bx * ay) + (bx * cy - cx * by))"
+        " + (cx * dy - dx * cy)) + (dx * ay - ax * dy)"
+    )
+    c1 = cross_sql("a", "b", "c", "d")
+    c2 = cross_sql("b", "c", "d", "a")
+    a1 = lobe_sql("a", "b", "c", "d", "c", "a")
+    a2 = lobe_sql("b", "c", "d", "a", "d", "b")
+    return f"""
+WITH pts AS (
+  SELECT doc_id // 4 AS qid, {", ".join(corners)}
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT qid,
+       CAST(CASE WHEN {c1} THEN 1 WHEN {c2} THEN 2 ELSE 0 END AS BIGINT)
+         AS crossing,
+       ROUND((CASE WHEN {c1} THEN {a1} WHEN {c2} THEN {a2}
+              ELSE ABS({shoe}) / 2.0 END) * 1e6) / 1e6 AS healed_area
+FROM pts
+ORDER BY qid
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13333,6 +13445,7 @@ def queries():
         "hex_entropy": q_hex_entropy,
         "g_function": q_g_function,
         "f_function": q_f_function,
+        "heal_area": q_heal_area,
         "voronoi_assign": q_voronoi_assign,
         "map_match": q_map_match,
         "traj_hausdorff": q_traj_hausdorff,
@@ -14092,6 +14205,7 @@ def oracle_sql():
         "hex_entropy": _sql_hex_entropy(),
         "g_function": _sql_g_function(),
         "f_function": _sql_f_function(),
+        "heal_area": _sql_heal_area(),
         "voronoi_assign": _sql_voronoi_assign(),
         "map_match": _sql_map_match(),
         "traj_hausdorff": _sql_traj_hausdorff(),
