@@ -11360,7 +11360,10 @@ def q_raster_focal_median(sf_dir: str):
             }
         )
 
-    return rd.from_items(specs).repartition(16).map_batches(
+    from ..cluster import default_num_partitions
+
+    width = max(1, min(len(specs), default_num_partitions(per_cpu=1.0)))
+    return rd.from_items(specs).repartition(width).map_batches(
         tile, batch_format="pyarrow", batch_size=4
     )
 
@@ -13415,6 +13418,31 @@ ORDER BY qid
 """
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): per-doc hashed-unigram
+    importance log-weight of the eval slice (doc_id % 13 == 5, the
+    decontamination split) vs the rest of the corpus — the resampling
+    key a domain-matched pretraining mix selects on.  One bucket-count
+    reduce + broadcast + stateless vectorized scoring; no corpus-scale
+    shuffle (see ``text.dsir_weights``)."""
+    from ..text import dsir_weights
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    out = dsir_weights(
+        docs,
+        target_mask_fn=lambda ids: (ids % DECON_MOD) == DECON_RES,
+    )
+    return out.map_batches(
+        lambda b: round6(b, ["dsir_logw"]), batch_format="pyarrow"
+    )
+
+
+def _sql_dsir_weights() -> str:
+    from ..text import sql_dsir_weights
+
+    return sql_dsir_weights(f"doc_id % {DECON_MOD} = {DECON_RES}")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13446,6 +13474,7 @@ def queries():
         "g_function": q_g_function,
         "f_function": q_f_function,
         "heal_area": q_heal_area,
+        "dsir_weights": q_dsir_weights,
         "voronoi_assign": q_voronoi_assign,
         "map_match": q_map_match,
         "traj_hausdorff": q_traj_hausdorff,
@@ -14206,6 +14235,7 @@ def oracle_sql():
         "g_function": _sql_g_function(),
         "f_function": _sql_f_function(),
         "heal_area": _sql_heal_area(),
+        "dsir_weights": _sql_dsir_weights(),
         "voronoi_assign": _sql_voronoi_assign(),
         "map_match": _sql_map_match(),
         "traj_hausdorff": _sql_traj_hausdorff(),

@@ -2179,3 +2179,170 @@ SELECT {id_col}, lab AS pred_lang, ROUND(s * {tol}) / {tol} AS score
 FROM sc
 QUALIFY ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY s DESC, lab) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (data selection for pretraining mixes)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_weights(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_mask_fn=None,
+    n_buckets: int = DSIR_BUCKETS,
+):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): per-doc importance log-weight under hashed
+    bag-of-words LMs of a TARGET (in-domain) slice vs the RAW remainder,
+    ``mean over tokens of ln(p_target(bucket) / p_raw(bucket))`` with
+    add-one smoothing over ``n_buckets`` md5-law hash buckets.  Docs
+    with positive weight look more target-like — the resampling key for
+    domain-matched pretraining mixes.
+
+    ``target_mask_fn(ids: np.ndarray) -> bool mask`` labels the target
+    slice from the id column (a closed-form predicate keeps the DuckDB
+    twin exact; a membership lookup works the same way).
+
+    Scale shape: ONE pass over the text reduces to at most ``n_buckets``
+    (bucket, target-count, raw-count) rows per batch -> a tiny Sum
+    groupby; the two count vectors (KBs) broadcast once per worker and
+    the scoring pass is stateless + vectorized.  No corpus-scale shuffle
+    exists at any size.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if target_mask_fn is None:
+        raise ValueError("dsir_weights requires target_mask_fn")
+
+    def _tokens(batch: pa.Table):
+        la = pc.split_pattern_regex(batch[text_col], r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.flatten()
+        lens = np.diff(la.offsets.to_numpy())
+        rid = np.repeat(np.arange(len(la), dtype=np.int64), lens)
+        keep = np.asarray(pc.fill_null(pc.not_equal(flat, ""), False))
+        words = flat.filter(pa.array(keep))
+        return words, rid[keep]
+
+    def _buckets(words) -> np.ndarray:
+        toks = np.asarray(words).astype(object)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        if not len(uniq):
+            return np.zeros(0, np.int64)
+        hb = (
+            md5_prefix_int(pa.array(list(uniq), pa.string()))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return hb[inv]
+
+    def cpart(batch: pa.Table) -> pa.Table:
+        words, rid = _tokens(batch)
+        b = _buckets(words)
+        ids = np.asarray(batch[id_col], np.int64)
+        tgt = np.asarray(target_mask_fn(ids), bool)[rid]
+        ct = np.bincount(b[tgt], minlength=n_buckets)
+        cr = np.bincount(b[~tgt], minlength=n_buckets)
+        nz = np.flatnonzero(ct | cr)
+        return pa.table(
+            {
+                "bucket": pa.array(nz),
+                "ct": pa.array(ct[nz]),
+                "cr": pa.array(cr[nz]),
+            }
+        )
+
+    counts = (
+        ds.map_batches(cpart, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("ct", alias_name="ct"), Sum("cr", alias_name="cr"))
+    )
+    parts = [
+        t
+        for t in (
+            ray.get(r) for r in counts.materialize().to_arrow_refs()
+        )
+        if t.num_columns > 0 and t.num_rows > 0
+    ]
+    CT = np.zeros(n_buckets, np.float64)
+    CR = np.zeros(n_buckets, np.float64)
+    for p in parts:
+        bk = np.asarray(p["bucket"], np.int64)
+        CT[bk] += np.asarray(p["ct"], np.float64)
+        CR[bk] += np.asarray(p["cr"], np.float64)
+    tt, tr, nb = float(CT.sum()), float(CR.sum()), float(n_buckets)
+    ref = {"__ref__": ray.put((CT, CR))}
+
+    def score(batch: pa.Table) -> pa.Table:
+        from .spatial import _cached_kernel
+
+        ct_s, cr_s = _cached_kernel(
+            f"dsir:{ref['__ref__'].hex()}", ref, lambda v: v
+        )
+        words, rid = _tokens(batch)
+        b = _buckets(words)
+        lw = np.log(
+            ((ct_s[b] + 1.0) / (tt + nb)) / ((cr_s[b] + 1.0) / (tr + nb))
+        ) if len(b) else np.zeros(0)
+        n = batch.num_rows
+        sums = np.zeros(n)
+        np.add.at(sums, rid, lw if len(lw) else 0.0)
+        ntok = np.bincount(rid, minlength=n).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            mean = sums / ntok
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(ntok),
+                "dsir_logw": pa.array(mean, mask=ntok == 0),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_dsir_weights(
+    target_pred: str,
+    *,
+    n_buckets: int = DSIR_BUCKETS,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dsir_weights`: same tokenizer, same md5
+    bucket law, same add-one-smoothed log-ratio (AVG per doc; 6-dp
+    rounding absorbs summation-order ulps, the unigram_logprob
+    precedent)."""
+    nb = float(n_buckets)
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM {source}
+), tk2 AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT
+              % {n_buckets} AS BIGINT) AS bucket
+  FROM tk WHERE tok <> ''
+),
+cnts AS (
+  SELECT bucket,
+         SUM(CASE WHEN {target_pred} THEN 1 ELSE 0 END)::DOUBLE AS ct,
+         SUM(CASE WHEN {target_pred} THEN 0 ELSE 1 END)::DOUBLE AS cr
+  FROM tk2 GROUP BY bucket
+),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnts),
+scored AS (
+  SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+         AVG(LN(((c.ct + 1.0) / ((SELECT tt FROM tot) + {nb}))
+                / ((c.cr + 1.0) / ((SELECT tr FROM tot) + {nb})))) AS w
+  FROM tk2 t JOIN cnts c USING (bucket) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       ROUND(s.w * 1e6) / 1e6 AS dsir_logw
+FROM {source} d LEFT JOIN scored s USING (doc_id)
+"""
