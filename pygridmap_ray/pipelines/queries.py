@@ -13749,7 +13749,49 @@ def queries():
         "cohens_kappa": q_cohens_kappa,
         "jensen_shannon": q_jensen_shannon,
         "grouped_regression": q_grouped_regression,
+        "q4_priority": q_q4_priority,
+        "q6_revenue": q_q6_revenue,
+        "q10_returned": q_q10_returned,
+        "q14_promo": q_q14_promo,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_discount": q_q19_discount,
     }
+
+
+def q_q4_priority(sf_dir: str):
+    from .tpch import q4_priority
+
+    return q4_priority(sf_dir)
+
+
+def q_q6_revenue(sf_dir: str):
+    from .tpch import q6_revenue
+
+    return q6_revenue(sf_dir)
+
+
+def q_q10_returned(sf_dir: str):
+    from .tpch import q10_returned
+
+    return q10_returned(sf_dir)
+
+
+def q_q14_promo(sf_dir: str):
+    from .tpch import q14_promo
+
+    return q14_promo(sf_dir)
+
+
+def q_q18_large_orders(sf_dir: str):
+    from .tpch import q18_large_orders
+
+    return q18_large_orders(sf_dir)
+
+
+def q_q19_discount(sf_dir: str):
+    from .tpch import q19_discount
+
+    return q19_discount(sf_dir)
 
 
 def _sql_stratified_sample() -> str:
@@ -14594,7 +14636,19 @@ def oracle_sql():
         "cohens_kappa": _sql_cohens_kappa(),
         "jensen_shannon": _sql_jensen_shannon(),
         "grouped_regression": _sql_grouped_regression(),
+        "q4_priority": _sql_tpch("sql_q4"),
+        "q6_revenue": _sql_tpch("sql_q6"),
+        "q10_returned": _sql_tpch("sql_q10"),
+        "q14_promo": _sql_tpch("sql_q14"),
+        "q18_large_orders": _sql_tpch("sql_q18"),
+        "q19_discount": _sql_tpch("sql_q19"),
     }
+
+
+def _sql_tpch(name: str) -> str:
+    from . import tpch
+
+    return getattr(tpch, name)()
 
 
 def _sql_raster_cells():

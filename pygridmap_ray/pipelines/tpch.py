@@ -1,0 +1,621 @@
+"""TPC-H-style decision-support queries over the synthetic star schema.
+
+Complements the existing Q1 (pipelines/relational.py), Q3 and Q5
+(pipelines/queries.py) with the remaining classic shapes the schema can
+express: Q6 (predicate-pushed scan aggregate), Q14 (broadcast dimension
+CASE ratio), Q19 (broadcast dimension disjunctive predicate), Q4
+(EXISTS semi-aggregate, re-planned as one coarse-bucket shuffle with no
+join), Q18 (high-cardinality HAVING filter + driver-final dimension
+attach) and Q10 (partitioned fact join + grouped top-k).
+
+Every query shares its literals with a ``sql_*`` twin so the DuckDB
+oracle runs the numerically identical law: money sums round to 2dp
+half-away on both sides, ratios to 6dp (step >> ulp(sum) x addends per
+the repo float law).  The schema lacks l_commitdate/l_receiptdate/
+l_shipmode, so Q4's "late" predicate is adapted to
+``l_shipdate >= o_orderdate + LATE_DAYS`` — the same EXISTS
+semi-aggregate shape as the reference query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# shared constants (engine and SQL twins read THESE — never inline)
+Q6_D0, Q6_D1 = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY_LT = 24.0
+
+Q14_D0, Q14_D1 = "1996-03-01", "1996-04-01"
+Q14_PROMO = "PROMO"
+
+# (brand, max_size, qty_lo, qty_hi) disjuncts; sizes start at 1
+Q19_CASES = (
+    ("Brand#12", 5, 1.0, 11.0),
+    ("Brand#23", 10, 10.0, 20.0),
+    ("Brand#15", 15, 20.0, 30.0),
+)
+
+Q4_LATE_DAYS = 60
+Q4_BUCKETS = 64
+
+Q18_QTY_GT = 300.0
+
+Q10_D0, Q10_D1 = "1996-10-01", "1997-01-01"
+Q10_K = 20
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _ts_us(date: str) -> int:
+    return int(np.datetime64(date).astype("datetime64[us]").astype(np.int64))
+
+
+def _bucket_of(k: np.ndarray, nb: int) -> np.ndarray:
+    """Deterministic coarse bucket of an int64 key (Knuth multiplicative
+    hash in uint64 wrap-around, like ``dedup._coarse_group_apply``)."""
+    return (
+        (k.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(nb)
+    ).astype(np.int64)
+
+
+def _round_half_away_scalar(v: float, decimals: int) -> float:
+    """Half-away-from-zero scalar rounding (SQL ROUND law; the scalar
+    twin of ``queries.round_half_away``)."""
+    step = 10.0 ** decimals
+    return float(np.sign(v) * np.floor(np.abs(v) * step + 0.5) / step)
+
+
+def q6_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 revenue-change forecast: one predicate-pushed scan, one
+    float per batch leaves the workers (combiner partials -> Sum)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    d0, d1 = _ts_us(Q6_D0), _ts_us(Q6_D1)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = np.asarray(b["l_shipdate"]).astype("datetime64[us]").view("int64")
+        disc = np.asarray(b["l_discount"], np.float64)
+        qty = np.asarray(b["l_quantity"], np.float64)
+        ext = np.asarray(b["l_extendedprice"], np.float64)
+        m = (
+            (ship >= d0) & (ship < d1)
+            & (disc >= Q6_DISC_LO) & (disc <= Q6_DISC_HI)
+            & (qty < Q6_QTY_LT)
+        )
+        return pa.table({"rev": pa.array([float((ext[m] * disc[m]).sum())])})
+
+    total = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="revenue")
+    )["revenue"]
+    return pa.table({"revenue": pa.array([_round_half_away_scalar(total, 2)])})
+
+
+def sql_q6() -> str:
+    return f"""
+SELECT ROUND(SUM(l_extendedprice * l_discount) * 1e2) / 1e2 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_D0}' AND l_shipdate < TIMESTAMP '{Q6_D1}'
+  AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY_LT}
+"""
+
+
+def _part_lookup(sf_dir: str, columns: list[str]):
+    """Sorted p_partkey + companion columns, ray.put once (the part
+    dimension is the classic broadcast side: ~200k rows/SF)."""
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"] + columns)
+    keys = np.asarray(t["p_partkey"], np.int64)
+    order = np.argsort(keys, kind="stable")
+    payload = tuple(
+        np.asarray(t[c])[order] if t[c].type != pa.string()
+        else np.asarray(t[c].to_pylist(), dtype=object)[order]
+        for c in columns
+    )
+    return {"__ref__": ray.put((keys[order], payload))}
+
+
+def q14_promo(sf_dir: str) -> pa.Table:
+    """TPC-H Q14 promo-revenue share: ship-month window pushed at the
+    scan, part type rides a broadcast sorted lookup, two partial sums per
+    batch, driver-final ratio (6dp both sides)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..spatial import _cached_kernel
+
+    d0, d1 = _ts_us(Q14_D0), _ts_us(Q14_D1)
+    ref = _part_lookup(sf_dir, ["p_type"])
+    key = f"q14part:{ref['__ref__'].hex()}"
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk_sorted, (ptype,) = _cached_kernel(
+            key, ref, lambda d: (d[0], (np.asarray(d[1][0] == Q14_PROMO),))
+        )
+        ship = np.asarray(b["l_shipdate"]).astype("datetime64[us]").view("int64")
+        m = (ship >= d0) & (ship < d1)
+        pk = np.asarray(b["l_partkey"], np.int64)[m]
+        rev = (
+            np.asarray(b["l_extendedprice"], np.float64)[m]
+            * (1.0 - np.asarray(b["l_discount"], np.float64)[m])
+        )
+        pos = np.searchsorted(pk_sorted, pk)
+        pos = np.minimum(pos, len(pk_sorted) - 1)
+        hit = pk_sorted[pos] == pk
+        promo = hit & ptype[pos]
+        return pa.table(
+            {
+                "promo": pa.array([float(rev[promo].sum())]),
+                "total": pa.array([float(rev[hit].sum())]),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo", alias_name="p"), Sum("total", alias_name="t")
+    )
+    pct = (100.0 * agg["p"]) / agg["t"]
+    return pa.table({"promo_pct": pa.array([_round_half_away_scalar(pct, 6)])})
+
+
+def sql_q14() -> str:
+    return f"""
+SELECT ROUND((100.0 * SUM(CASE WHEN p_type = '{Q14_PROMO}'
+                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END))
+       / SUM(l_extendedprice * (1.0 - l_discount)) * 1e6) / 1e6 AS promo_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '{Q14_D0}' AND l_shipdate < TIMESTAMP '{Q14_D1}'
+"""
+
+
+def q19_discount(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 disjunctive brand/size/quantity revenue: the three-way
+    OR is evaluated vectorized against a broadcast (brand_code, size)
+    part lookup; one partial sum per batch."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..spatial import _cached_kernel
+
+    ref = _part_lookup(sf_dir, ["p_brand", "p_size"])
+    key = f"q19part:{ref['__ref__'].hex()}"
+    brands = tuple(c[0] for c in Q19_CASES)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def build(d):
+        pk_sorted, (brand, size) = d
+        code = np.full(len(brand), -1, np.int64)
+        for i, bname in enumerate(brands):
+            code[brand == bname] = i
+        return pk_sorted, code, np.asarray(size, np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk_sorted, code, size = _cached_kernel(key, ref, build)
+        pk = np.asarray(b["l_partkey"], np.int64)
+        qty = np.asarray(b["l_quantity"], np.float64)
+        rev = (
+            np.asarray(b["l_extendedprice"], np.float64)
+            * (1.0 - np.asarray(b["l_discount"], np.float64))
+        )
+        pos = np.searchsorted(pk_sorted, pk)
+        pos = np.minimum(pos, len(pk_sorted) - 1)
+        hit = pk_sorted[pos] == pk
+        c, s = np.where(hit, code[pos], -1), size[pos]
+        keep = np.zeros(len(pk), bool)
+        for i, (_, max_size, qlo, qhi) in enumerate(Q19_CASES):
+            keep |= (
+                (c == i) & (s >= 1) & (s <= max_size)
+                & (qty >= qlo) & (qty <= qhi)
+            )
+        return pa.table({"rev": pa.array([float(rev[keep].sum())])})
+
+    total = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="revenue")
+    )["revenue"]
+    return pa.table({"revenue": pa.array([_round_half_away_scalar(total, 2)])})
+
+
+def sql_q19() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {ms}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, ms, qlo, qhi in Q19_CASES
+    )
+    return f"""
+SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 1e2) / 1e2 AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND ({ors})
+"""
+
+
+def q4_priority(sf_dir: str):
+    """TPC-H Q4 order-priority check (EXISTS semi-aggregate), adapted to
+    the schema's columns: an order is "late" when any lineitem shipped
+    >= ``Q4_LATE_DAYS`` days after the order date.
+
+    Scale plan: NO join.  EXISTS(ship >= thresh) == max(ship) >= thresh,
+    so lineitem reduces to per-order max-shipdate combiner partials;
+    those partials and the (orderkey, threshold, priority) order rows
+    union into ONE coarse orderkey-hash bucket shuffle (``Q4_BUCKETS``
+    groups — never a fine per-order groupby), each bucket resolves
+    late orders with a sort + ``np.maximum.reduceat`` segment max and
+    emits per-priority partial counts; a 5-row groupby finishes."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..cluster import default_num_partitions
+
+    late_us = Q4_LATE_DAYS * _US_PER_DAY
+    nb = max(Q4_BUCKETS, default_num_partitions())
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        key = np.asarray(b["l_orderkey"], np.int64)
+        ship = np.asarray(b["l_shipdate"]).astype("datetime64[us]").view("int64")
+        order = np.argsort(key, kind="stable")
+        key, ship = key[order], ship[order]
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        mx = np.maximum.reduceat(ship, starts) if len(key) else ship[:0]
+        k = key[starts]
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "us": pa.array(mx),
+                "prio": pa.array([""] * len(k), pa.string()),
+                "src": pa.array(np.zeros(len(k), np.int8)),
+                "__b": pa.array(_bucket_of(k, nb)),
+            }
+        )
+
+    def ord_rows(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["o_orderkey"], np.int64)
+        thr = (
+            np.asarray(b["o_orderdate"]).astype("datetime64[us]").view("int64")
+            + late_us
+        )
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "us": pa.array(thr),
+                "prio": b["o_orderpriority"],
+                "src": pa.array(np.ones(len(k), np.int8)),
+                "__b": pa.array(_bucket_of(k, nb)),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(ord_rows, batch_format="pyarrow")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["src"].to_numpy()
+        lk = g["key"].to_numpy()[src == 0]
+        lus = g["us"].to_numpy()[src == 0]
+        ok = g["key"].to_numpy()[src == 1]
+        othr = g["us"].to_numpy()[src == 1]
+        oprio = g["prio"].to_numpy()[src == 1]
+        if not len(lk) or not len(ok):
+            return pd.DataFrame(
+                {"o_orderpriority": pd.Series([], dtype=object),
+                 "order_count": pd.Series([], dtype=np.int64)}
+            )
+        order = np.argsort(lk, kind="stable")
+        lk, lus = lk[order], lus[order]
+        starts = np.flatnonzero(np.concatenate([[True], lk[1:] != lk[:-1]]))
+        mx = np.maximum.reduceat(lus, starts)
+        uk = lk[starts]
+        oorder = np.argsort(ok, kind="stable")
+        ok_s, othr_s, oprio_s = ok[oorder], othr[oorder], oprio[oorder]
+        pos = np.searchsorted(ok_s, uk)
+        pos = np.minimum(pos, len(ok_s) - 1)
+        hit = ok_s[pos] == uk
+        late = hit & (mx >= othr_s[pos])
+        vc = pd.Series(oprio_s[pos[late]]).value_counts()
+        return pd.DataFrame(
+            {"o_orderpriority": vc.index.to_numpy(object),
+             "order_count": vc.to_numpy(np.int64)}
+        )
+
+    counts = (
+        li.union(orders)
+        .groupby("__b")
+        .map_groups(bucket, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+    )
+    return counts.sort("o_orderpriority")
+
+
+def sql_q4() -> str:
+    return f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q18_large_orders(sf_dir: str) -> pa.Table:
+    """TPC-H Q18 large-volume customers: per-order quantity combiner
+    partials -> hash aggregate -> HAVING filter (result is top-k scale)
+    -> driver-final dimension attach via partkey-filtered pruned reads
+    (only the matching row groups leave storage)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("l_orderkey", sort=False)["l_quantity"].sum()
+        return pa.table(
+            {"l_orderkey": pa.array(g.index.to_numpy(np.int64)),
+             "l_quantity": pa.array(g.to_numpy(np.float64))}
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="total_qty"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["total_qty"], Q18_QTY_GT)),
+            batch_format="pyarrow",
+        )
+    )
+    big = agg.to_pandas()
+    if not len(big):
+        return pa.table(
+            {"c_name": pa.array([], pa.string()),
+             "o_custkey": pa.array([], pa.int64()),
+             "o_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.timestamp("us")),
+             "o_totalprice": pa.array([], pa.float64()),
+             "total_qty": pa.array([], pa.float64())}
+        )
+    keys = set(big["l_orderkey"].tolist())
+    import pyarrow.dataset as pads
+
+    ords = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        filter=pads.field("o_orderkey").isin(list(keys)),
+    ).to_pandas()
+    custs = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name"],
+        filter=pads.field("c_custkey").isin(ords["o_custkey"].tolist()),
+    ).to_pandas()
+    out = (
+        big.rename(columns={"l_orderkey": "o_orderkey"})
+        .merge(ords, on="o_orderkey")
+        .merge(custs, left_on="o_custkey", right_on="c_custkey")
+    )
+    out = out.sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+    )
+    return pa.table(
+        {
+            "c_name": pa.array(out["c_name"].tolist(), pa.string()),
+            "o_custkey": pa.array(out["o_custkey"].to_numpy(np.int64)),
+            "o_orderkey": pa.array(out["o_orderkey"].to_numpy(np.int64)),
+            "o_orderdate": pa.array(
+                out["o_orderdate"].to_numpy().astype("datetime64[us]")
+            ),
+            "o_totalprice": pa.array(out["o_totalprice"].to_numpy(np.float64)),
+            "total_qty": pa.array(out["total_qty"].to_numpy(np.float64)),
+        }
+    )
+
+
+def sql_q18() -> str:
+    return f"""
+SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_QTY_GT})
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+"""
+
+
+def q10_returned(sf_dir: str) -> pa.Table:
+    """TPC-H Q10 returned-item ranking.
+
+    Scale plan (the q3_shipping shape): the quarter's keeper orders are
+    size-gate broadcast (``joins.lookup_join``) onto the return-filtered
+    lineitem stream while they fit, else a cluster-derived partitioned
+    hash join; grouped revenue + top-20 run WITHOUT a fine per-customer
+    groupby or a global sort — per-batch combiners sum revenue by
+    custkey, a 64-bucket coarse shuffle finishes each key's exact sum
+    and keeps that bucket's top-20 by the rounded-revenue tie law, and
+    the driver merges 64x20 candidate rows; the customer/nation
+    dimension attaches driver-final (K rows only, partkey-filtered
+    pruned read)."""
+    import ray
+    import ray.data as rd
+
+    from ..cluster import default_num_partitions
+
+    d0, d1 = _ts_us(Q10_D0), _ts_us(Q10_D1)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "o_custkey"]).filter(
+            pa.array(
+                (
+                    np.asarray(b["o_orderdate"]).astype("datetime64[us]")
+                    .view("int64") >= d0
+                )
+                & (
+                    np.asarray(b["o_orderdate"]).astype("datetime64[us]")
+                    .view("int64") < d1
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_project(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["l_returnflag"], "R")
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev": pc.multiply(
+                    b["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), b["l_discount"]),
+                ),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_project, batch_format="pyarrow")
+
+    keeper = orders.materialize()
+    if keeper.count() <= 2_000_000:
+        from ..joins import lookup_join
+
+        dim = pa.concat_tables(
+            keeper.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        j = lookup_join(
+            li, dim, on="l_orderkey", key="o_orderkey",
+            value_cols=["o_custkey"],
+        )
+    else:
+        nparts = default_num_partitions()
+        j = li.repartition(nparts).join(
+            keeper.repartition(nparts),
+            "inner",
+            num_partitions=nparts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.float64()),
+                 "__cg": pa.array([], pa.int64())}
+            )
+        k = np.asarray(b["o_custkey"], np.int64)
+        r = np.asarray(b["rev"], np.float64)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=r, minlength=len(uk))
+        return pa.table(
+            {"k": pa.array(uk), "s": pa.array(s),
+             "__cg": pa.array(_bucket_of(uk, 64))}
+        )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.float64)
+        order = np.argsort(k, kind="stable")
+        k, s = k[order], s[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        sums = np.add.reduceat(s, starts)
+        uk = k[starts]
+        rev = np.sign(sums) * np.floor(np.abs(sums) * 1e2 + 0.5) / 1e2
+        top = np.lexsort((uk, -rev))[:Q10_K]
+        return pd.DataFrame({"k": uk[top], "revenue": rev[top]})
+
+    cand = (
+        j.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .materialize()
+    )
+    parts = [
+        t if isinstance(t, pa.Table)
+        else pa.Table.from_pandas(t, preserve_index=False)
+        for t in ray.get(cand.to_arrow_refs())
+    ]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        top = pd.DataFrame(
+            {"o_custkey": pd.Series([], np.int64),
+             "revenue": pd.Series([], np.float64)}
+        )
+    else:
+        merged = pa.concat_tables(parts).to_pandas()
+        merged = merged.sort_values(
+            ["revenue", "k"], ascending=[False, True]
+        ).head(Q10_K)
+        top = merged.rename(columns={"k": "o_custkey"})
+    import pyarrow.dataset as pads
+
+    custs = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=pads.field("c_custkey").isin(top["o_custkey"].tolist()),
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pydict()
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    out = top.merge(custs, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(
+        ["revenue", "o_custkey"], ascending=[False, True]
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["o_custkey"].to_numpy(np.int64)),
+            "c_name": pa.array(out["c_name"].tolist(), pa.string()),
+            "revenue": pa.array(out["revenue"].to_numpy(np.float64)),
+            "c_acctbal": pa.array(out["c_acctbal"].to_numpy(np.float64)),
+            "n_name": pa.array(
+                [nmap[int(v)] for v in out["c_nationkey"]], pa.string()
+            ),
+        }
+    )
+
+
+def sql_q10() -> str:
+    return f"""
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 1e2) / 1e2
+           AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '{Q10_D0}'
+  AND o_orderdate < TIMESTAMP '{Q10_D1}'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT {Q10_K}
+"""

@@ -156,6 +156,12 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "events_sessionize",
         "q1_pricing",
         "top_customers",
+        "q4_priority",
+        "q6_revenue",
+        "q10_returned",
+        "q14_promo",
+        "q18_large_orders",
+        "q19_discount",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):
