@@ -361,7 +361,7 @@ def ivf_topk(
 # Distributed Lloyd k-means over the embedding column
 # ---------------------------------------------------------------------------
 
-def kmeans_embeddings(
+def kmeans_fit(
     ds,
     *,
     id_col: str = "vec_id",
@@ -369,10 +369,10 @@ def kmeans_embeddings(
     k: int = 8,
     iters: int = 2,
     round_to: int = 6,
-):
-    """Deterministic Lloyd k-means — the semantic-clustering building
-    block (cluster-then-dedup / cluster-balanced sampling).  Returns
-    (id_col, cluster) for every vector.
+) -> np.ndarray:
+    """Fit deterministic Lloyd k-means centroids, returning the final
+    ``(k, d)`` matrix (the fitting half of :func:`kmeans_embeddings`;
+    also the quantizer for :func:`pygridmap_ray.dedup.semdedup`).
 
     Fully distributed at the right granularity: centroids broadcast via
     ``ray.put`` each sweep; ``map_batches`` computes per-batch PARTIAL
@@ -458,6 +458,33 @@ def kmeans_embeddings(
                 m = s / nc
                 new[cid] = np.sign(m) * np.floor(np.abs(m) * tol + 0.5) / tol
         cents = new
+
+    return cents
+
+
+def kmeans_embeddings(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_to: int = 6,
+):
+    """Deterministic Lloyd k-means — the semantic-clustering building
+    block (cluster-then-dedup / cluster-balanced sampling).  Returns
+    (id_col, cluster) for every vector: :func:`kmeans_fit` centroids
+    broadcast once, assignment is a stateless vectorized map (never an
+    assignment shuffle)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .spatial import _cached_kernel
+
+    cents = kmeans_fit(
+        ds, id_col=id_col, emb_col=emb_col, k=k, iters=iters,
+        round_to=round_to,
+    )
 
     ref = {"__ref__": ray.put(cents)}
     ckey = f"kmeans:{ref['__ref__'].hex()}"

@@ -1070,6 +1070,109 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {t
 """
 
 
+def semdedup(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.3,
+):
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then mark a
+    vector REMOVED when its cluster holds a lower-id vector with cosine
+    similarity >= ``tau`` — duplicates are only ever sought inside a
+    cluster, which is the paper's point: the k-means pass bounds the
+    candidate set so no cross-cluster pair is ever scored.
+
+    Scale plan: :func:`pygridmap_ray.ann.kmeans_fit` centroids broadcast
+    once (combiner-partial sweeps, never an assignment shuffle); the
+    assignment map keeps the vector column so ONE k-way groupby (k is
+    low-cardinality by construction) co-locates each cluster; per
+    cluster the keep/remove scan is a normalized gram matrix + one
+    upper-triangle ``any`` — for clusters too big for a dense gram,
+    chunk the gram row-block-wise against the (sorted-by-id) prefix,
+    exactly the dense-regime fence used by ``tfidf_pairs``.
+
+    Returns (id_col, cluster, removed) for every input vector."""
+    from .ann import _emb_matrix, _normalize, kmeans_fit
+
+    import ray
+
+    from .spatial import _cached_kernel
+
+    cents = kmeans_fit(
+        ds, id_col=id_col, emb_col=emb_col, k=k, iters=iters
+    )
+    ref = {"__ref__": ray.put(cents)}
+    ckey = f"semdedup:{ref['__ref__'].hex()}"
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    emb_col: pa.array([], b.schema.field(emb_col).type),
+                }
+            )
+        C = _cached_kernel(ckey, ref, lambda c: c)
+        X = _emb_matrix(b, emb_col)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+                emb_col: b[emb_col],
+            }
+        )
+
+    def cluster_scan(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        emb = _normalize(
+            np.stack([np.asarray(v, np.float64) for v in g[emb_col]])
+        )[order]
+        sims = emb @ emb.T
+        removed = np.triu(sims >= tau, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": g["cluster"].to_numpy(np.int64)[order],
+                "removed": removed,
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(cluster_scan, batch_format="pandas")
+        .sort(id_col)
+    )
+
+
+def sql_semdedup(k: int = 8, iters: int = 2, tau: float = 0.3) -> str:
+    """DuckDB twin of :func:`semdedup`: the :func:`~pygridmap_ray.ann.sql_kmeans`
+    assignment CTE + an EXISTS(lower id, same cluster, cosine >= tau)."""
+    from .ann import sql_kmeans
+
+    return f"""
+WITH assign AS ({sql_kmeans(k=k, iters=iters, dim=64)})
+SELECT v.vec_id, v.cluster,
+       EXISTS (
+           SELECT 1 FROM assign u, embeddings ea, embeddings eb
+           WHERE u.cluster = v.cluster AND u.vec_id < v.vec_id
+             AND ea.vec_id = u.vec_id AND eb.vec_id = v.vec_id
+             AND list_cosine_similarity(
+                     ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= {tau}
+       ) AS removed
+FROM assign v
+ORDER BY v.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering: pairs -> components -> canonical keep-one
 # ---------------------------------------------------------------------------

@@ -13749,6 +13749,7 @@ def queries():
         "cohens_kappa": q_cohens_kappa,
         "jensen_shannon": q_jensen_shannon,
         "grouped_regression": q_grouped_regression,
+        "semdedup": q_semdedup,
         "q4_priority": q_q4_priority,
         "q6_revenue": q_q6_revenue,
         "q10_returned": q_q10_returned,
@@ -13756,6 +13757,22 @@ def queries():
         "q18_large_orders": q_q18_large_orders,
         "q19_discount": q_q19_discount,
     }
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup: k-means-bucketed within-cluster cosine
+    keep/remove marking over the embeddings table."""
+    import ray.data as rd
+
+    from ..dedup import semdedup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(ds, k=8, iters=2, tau=SEMDEDUP_TAU)
+
+
+SEMDEDUP_TAU = 0.3
 
 
 def q_q4_priority(sf_dir: str):
@@ -14636,6 +14653,7 @@ def oracle_sql():
         "cohens_kappa": _sql_cohens_kappa(),
         "jensen_shannon": _sql_jensen_shannon(),
         "grouped_regression": _sql_grouped_regression(),
+        "semdedup": _sql_semdedup(),
         "q4_priority": _sql_tpch("sql_q4"),
         "q6_revenue": _sql_tpch("sql_q6"),
         "q10_returned": _sql_tpch("sql_q10"),
@@ -14649,6 +14667,12 @@ def _sql_tpch(name: str) -> str:
     from . import tpch
 
     return getattr(tpch, name)()
+
+
+def _sql_semdedup() -> str:
+    from ..dedup import sql_semdedup
+
+    return sql_semdedup(k=8, iters=2, tau=SEMDEDUP_TAU)
 
 
 def _sql_raster_cells():

@@ -162,6 +162,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "q14_promo",
         "q18_large_orders",
         "q19_discount",
+        "semdedup",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):
