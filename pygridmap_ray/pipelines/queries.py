@@ -13756,7 +13756,42 @@ def queries():
         "q14_promo": q_q14_promo,
         "q18_large_orders": q_q18_large_orders,
         "q19_discount": q_q19_discount,
+        "q7_volume": q_q7_volume,
+        "q8_market_share": q_q8_market_share,
+        "q13_custdist": q_q13_custdist,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q22_lapsed": q_q22_lapsed,
     }
+
+
+def q_q7_volume(sf_dir: str):
+    from .tpch import q7_volume
+
+    return q7_volume(sf_dir)
+
+
+def q_q8_market_share(sf_dir: str):
+    from .tpch import q8_market_share
+
+    return q8_market_share(sf_dir)
+
+
+def q_q13_custdist(sf_dir: str):
+    from .tpch import q13_custdist
+
+    return q13_custdist(sf_dir)
+
+
+def q_q15_top_supplier(sf_dir: str):
+    from .tpch import q15_top_supplier
+
+    return q15_top_supplier(sf_dir)
+
+
+def q_q22_lapsed(sf_dir: str):
+    from .tpch import q22_lapsed
+
+    return q22_lapsed(sf_dir)
 
 
 def q_semdedup(sf_dir: str):
@@ -14660,6 +14695,11 @@ def oracle_sql():
         "q14_promo": _sql_tpch("sql_q14"),
         "q18_large_orders": _sql_tpch("sql_q18"),
         "q19_discount": _sql_tpch("sql_q19"),
+        "q7_volume": _sql_tpch("sql_q7"),
+        "q8_market_share": _sql_tpch("sql_q8"),
+        "q13_custdist": _sql_tpch("sql_q13"),
+        "q15_top_supplier": _sql_tpch("sql_q15"),
+        "q22_lapsed": _sql_tpch("sql_q22"),
     }
 
 

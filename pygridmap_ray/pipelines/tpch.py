@@ -619,3 +619,684 @@ GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT {Q10_K}
 """
+
+
+# wave C constants
+Q7_N1, Q7_N2 = "NATION_1", "NATION_2"
+Q7_D0, Q7_D1 = "1996-01-01", "1998-01-01"
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_7"
+Q8_PTYPE = "STANDARD"
+Q8_D0, Q8_D1 = "1996-01-01", "1998-01-01"
+
+Q15_D0, Q15_D1 = "1996-01-01", "1996-04-01"
+
+Q22_NATIONS = (1, 4, 11, 14, 21, 23)
+Q22_CUTOFF = "2000-07-01"
+
+
+def _nation_maps(sf_dir: str):
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    by_key = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    by_region = {}
+    for k, rk in zip(nat["n_nationkey"], nat["n_regionkey"]):
+        by_region.setdefault(rk, set()).add(k)
+    return by_key, by_region
+
+
+def _supplier_nation_ref(sf_dir: str):
+    import ray
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = np.asarray(supp["s_suppkey"], np.int64)
+    sn = np.asarray(supp["s_nationkey"], np.int64)
+    o = np.argsort(sk, kind="stable")
+    return {"__ref__": ray.put((sk[o], sn[o]))}
+
+
+def q7_volume(sf_dir: str):
+    """TPC-H Q7 volume shipping between two nations: the q5_revenue
+    chain shape — customers pre-filtered to the two nations join the
+    order stream partitioned; lineitem (ship-window pushed, supplier
+    nation via broadcast sorted lookup) joins that; the opposite-nation
+    predicate and the (supp, cust, year) partial sums are vectorized,
+    so the final groupby is 4 rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..cluster import default_num_partitions
+    from ..spatial import _cached_kernel
+    from .queries import round_half_away
+
+    by_key, _ = _nation_maps(sf_dir)
+    name_of = {k: v for k, v in by_key.items() if v in (Q7_N1, Q7_N2)}
+    pair_keys = frozenset(name_of)
+    s_ref = _supplier_nation_ref(sf_dir)
+    skey = f"q7supp:{s_ref['__ref__'].hex()}"
+    d0, d1 = _ts_us(Q7_D0), _ts_us(Q7_D1)
+    nparts = default_num_partitions()
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pa.array(
+                np.isin(np.asarray(b["c_nationkey"], np.int64), list(pair_keys))
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    # two nations are 2/25 of the customer table: broadcast while small
+    # (the q3_shipping gate), else partitioned safe_join with the
+    # filtered side's schema guarded against the Ray 2.49 schema race
+    # (at tiny scale its rows can be fewer than the shuffle width).
+    if cust.count() <= 2_000_000:
+        from ..joins import lookup_join
+
+        dim = pa.concat_tables(
+            cust.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        ord_cust = lookup_join(
+            orders, dim, on="o_custkey", key="c_custkey",
+            value_cols=["c_nationkey"],
+        )
+    else:
+        from ..cluster import safe_join
+
+        ord_cust = safe_join(
+            orders.repartition(nparts),
+            cust,
+            "inner",
+            num_partitions=nparts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+            right_schema=pa.schema(
+                [("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]
+            ),
+        )
+
+    def li_project(b: pa.Table) -> pa.Table:
+        sk_sorted, sn_sorted = _cached_kernel(skey, s_ref, lambda d: d)
+        ship = np.asarray(b["l_shipdate"]).astype("datetime64[us]").view("int64")
+        m = (ship >= d0) & (ship < d1)
+        lk = np.asarray(b["l_orderkey"], np.int64)[m]
+        sup = np.asarray(b["l_suppkey"], np.int64)[m]
+        year = (
+            np.asarray(b["l_shipdate"])[m]
+            .astype("datetime64[Y]")
+            .astype(np.int64) + 1970
+        )
+        rev = (
+            np.asarray(b["l_extendedprice"], np.float64)[m]
+            * (1.0 - np.asarray(b["l_discount"], np.float64)[m])
+        )
+        pos = np.searchsorted(sk_sorted, sup)
+        pos = np.minimum(pos, len(sk_sorted) - 1)
+        hit = sk_sorted[pos] == sup
+        s_nat = np.where(hit, sn_sorted[pos], -1)
+        keep = np.isin(s_nat, list(pair_keys))
+        return pa.table(
+            {
+                "l_orderkey": pa.array(lk[keep]),
+                "s_nat": pa.array(s_nat[keep]),
+                "l_year": pa.array(year[keep]),
+                "rev": pa.array(rev[keep]),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(li_project, batch_format="pyarrow")
+
+    keeper = ord_cust.select_columns(["o_orderkey", "c_nationkey"]).materialize()
+    if keeper.count() <= 2_000_000:
+        from ..joins import lookup_join
+
+        kdim = pa.concat_tables(
+            keeper.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        j = lookup_join(
+            li, kdim, on="l_orderkey", key="o_orderkey",
+            value_cols=["c_nationkey"],
+        )
+    else:
+        from ..cluster import safe_join
+
+        j = safe_join(
+            li.repartition(nparts),
+            keeper,
+            "inner",
+            num_partitions=nparts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+            right_schema=pa.schema(
+                [("o_orderkey", pa.int64()),
+                 ("c_nationkey", pa.int32())]
+            ),
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {"s_nat": pa.array([], pa.int64()),
+                 "c_nat": pa.array([], pa.int64()),
+                 "l_year": pa.array([], pa.int64()),
+                 "rev": pa.array([], pa.float64())}
+            )
+        s_nat = np.asarray(b["s_nat"], np.int64)
+        c_nat = np.asarray(b["c_nationkey"], np.int64)
+        keep = s_nat != c_nat  # opposite nations (both already in pair set)
+        s_nat, c_nat = s_nat[keep], c_nat[keep]
+        year = np.asarray(b["l_year"], np.int64)[keep]
+        rev = np.asarray(b["rev"], np.float64)[keep]
+        # pack (s, c, y) into one int64 for a vectorized partial sum
+        packed = (s_nat * 32 + c_nat) * 4096 + (year - 1970)
+        uk, inv = np.unique(packed, return_inverse=True)
+        sums = np.bincount(inv, weights=rev, minlength=len(uk))
+        return pa.table(
+            {
+                "s_nat": pa.array((uk // 4096) // 32),
+                "c_nat": pa.array((uk // 4096) % 32),
+                "l_year": pa.array(uk % 4096 + 1970),
+                "rev": pa.array(sums),
+            }
+        )
+
+    # the group domain is 2 nations x 2 nations x years — driver-final
+    # (a globally empty stream would otherwise finalize column-less)
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(["s_nat", "c_nat", "l_year"])
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    if not len(agg):
+        return pa.table(
+            {"supp_nation": pa.array([], pa.string()),
+             "cust_nation": pa.array([], pa.string()),
+             "l_year": pa.array([], pa.int64()),
+             "revenue": pa.array([], pa.float64())}
+        )
+    agg["supp_nation"] = [
+        name_of[int(v)] for v in agg["s_nat"].to_numpy(np.int64)
+    ]
+    agg["cust_nation"] = [
+        name_of[int(v)] for v in agg["c_nat"].to_numpy(np.int64)
+    ]
+    agg = agg.sort_values(["supp_nation", "cust_nation", "l_year"])
+    out = pa.table(
+        {
+            "supp_nation": pa.array(agg["supp_nation"].tolist(), pa.string()),
+            "cust_nation": pa.array(agg["cust_nation"].tolist(), pa.string()),
+            "l_year": pa.array(agg["l_year"].to_numpy(np.int64)),
+            "revenue": pa.array(agg["revenue"].to_numpy(np.float64)),
+        }
+    )
+    return round_half_away(out, ["revenue"], 2)
+
+
+def sql_q7() -> str:
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 1e2) / 1e2
+           AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = '{Q7_N1}' AND n2.n_name = '{Q7_N2}')
+       OR (n1.n_name = '{Q7_N2}' AND n2.n_name = '{Q7_N1}'))
+  AND l_shipdate >= TIMESTAMP '{Q7_D0}' AND l_shipdate < TIMESTAMP '{Q7_D1}'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 national market share: region-filtered customers join
+    the date-windowed order stream partitioned; lineitem is pre-filtered
+    by part type via the broadcast part lookup and carries the supplier
+    nation from the broadcast supplier lookup; per-year (numerator,
+    denominator) partial sums finish in a 2-row groupby + driver ratio."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..cluster import default_num_partitions
+    from ..spatial import _cached_kernel
+
+    by_key, by_region = _nation_maps(sf_dir)
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
+    rkey = {k for k, n in zip(reg["r_regionkey"], reg["r_name"])
+            if n == Q8_REGION}
+    region_nations = frozenset().union(
+        *(by_region.get(r, set()) for r in rkey)
+    )
+    target_key = next(k for k, v in by_key.items() if v == Q8_NATION)
+
+    p_ref = _part_lookup(sf_dir, ["p_type"])
+    pkey = f"q8part:{p_ref['__ref__'].hex()}"
+    s_ref = _supplier_nation_ref(sf_dir)
+    skey = f"q8supp:{s_ref['__ref__'].hex()}"
+    d0, d1 = _ts_us(Q8_D0), _ts_us(Q8_D1)
+    nparts = default_num_partitions()
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.select(["c_custkey"]).filter(
+            pa.array(
+                np.isin(
+                    np.asarray(b["c_nationkey"], np.int64),
+                    list(region_nations),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def ord_project(b: pa.Table) -> pa.Table:
+        dt = np.asarray(b["o_orderdate"]).astype("datetime64[us]")
+        m = (dt.view("int64") >= d0) & (dt.view("int64") < d1)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(np.asarray(b["o_orderkey"], np.int64)[m]),
+                "o_custkey": pa.array(np.asarray(b["o_custkey"], np.int64)[m]),
+                "o_year": pa.array(
+                    dt[m].astype("datetime64[Y]").astype(np.int64) + 1970
+                ),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_project, batch_format="pyarrow")
+
+    ord_cust = orders.repartition(nparts).join(
+        cust.repartition(nparts),
+        "inner",
+        num_partitions=nparts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def li_project(b: pa.Table) -> pa.Table:
+        pk_sorted, (ptype,) = _cached_kernel(
+            pkey, p_ref, lambda d: (d[0], (np.asarray(d[1][0] == Q8_PTYPE),))
+        )
+        sk_sorted, sn_sorted = _cached_kernel(skey, s_ref, lambda d: d)
+        pk = np.asarray(b["l_partkey"], np.int64)
+        pos = np.searchsorted(pk_sorted, pk)
+        pos = np.minimum(pos, len(pk_sorted) - 1)
+        m = (pk_sorted[pos] == pk) & ptype[pos]
+        lk = np.asarray(b["l_orderkey"], np.int64)[m]
+        sup = np.asarray(b["l_suppkey"], np.int64)[m]
+        rev = (
+            np.asarray(b["l_extendedprice"], np.float64)[m]
+            * (1.0 - np.asarray(b["l_discount"], np.float64)[m])
+        )
+        spos = np.searchsorted(sk_sorted, sup)
+        spos = np.minimum(spos, len(sk_sorted) - 1)
+        shit = sk_sorted[spos] == sup
+        is_target = shit & (sn_sorted[spos] == target_key)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(lk),
+                "rev": pa.array(rev),
+                "tgt": pa.array(is_target),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(li_project, batch_format="pyarrow")
+
+    j = li.repartition(nparts).join(
+        ord_cust.select_columns(["o_orderkey", "o_year"]).repartition(nparts),
+        "inner",
+        num_partitions=nparts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {"o_year": pa.array([], pa.int64()),
+                 "num": pa.array([], pa.float64()),
+                 "den": pa.array([], pa.float64())}
+            )
+        year = np.asarray(b["o_year"], np.int64)
+        rev = np.asarray(b["rev"], np.float64)
+        tgt = np.asarray(b["tgt"], bool)
+        uy, inv = np.unique(year, return_inverse=True)
+        den = np.bincount(inv, weights=rev, minlength=len(uy))
+        num = np.bincount(inv, weights=rev * tgt, minlength=len(uy))
+        return pa.table(
+            {"o_year": pa.array(uy), "num": pa.array(num),
+             "den": pa.array(den)}
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("num", alias_name="num"), Sum("den", alias_name="den"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {"o_year": pa.array([], pa.int64()),
+                 "mkt_share": pa.array([], pa.float64())}
+            )
+        num = np.asarray(b["num"], np.float64)
+        den = np.asarray(b["den"], np.float64)
+        share = num / den
+        share = np.sign(share) * np.floor(np.abs(share) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"o_year": b["o_year"], "mkt_share": pa.array(share)}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("o_year")
+
+
+def sql_q8() -> str:
+    return f"""
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = '{Q8_NATION}' THEN volume ELSE 0.0 END)
+             / SUM(volume) * 1e6) / 1e6 AS mkt_share
+FROM (
+    SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+           l_extendedprice * (1.0 - l_discount) AS volume,
+           n2.n_name AS nation
+    FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+         region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      AND r_name = '{Q8_REGION}' AND s_nationkey = n2.n_nationkey
+      AND o_orderdate >= TIMESTAMP '{Q8_D0}'
+      AND o_orderdate < TIMESTAMP '{Q8_D1}'
+      AND p_type = '{Q8_PTYPE}') all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q13_custdist(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 customer order-count distribution: per-batch custkey
+    count partials -> hash aggregate -> per-batch count-of-count
+    partials -> tiny groupby; the LEFT-JOIN zero bucket is recovered
+    driver-final from the customer row count minus the customers seen
+    with orders (no join at all)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["o_custkey"], np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {"o_custkey": pa.array(uk), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def dist_partial(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["c_count"], np.int64)
+        uc, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {"c_count": pa.array(uc),
+             "custdist": pa.array(cnt.astype(np.int64))}
+        )
+
+    dist = (
+        per_cust.map_batches(dist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()
+    )
+    n_cust = pads.dataset(f"{sf_dir}/customer.parquet").count_rows()
+    zero = n_cust - int(dist["custdist"].sum())
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    dist = dist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    )
+    return pa.table(
+        {
+            "c_count": pa.array(dist["c_count"].to_numpy(np.int64)),
+            "custdist": pa.array(dist["custdist"].to_numpy(np.int64)),
+        }
+    )
+
+
+def sql_q13() -> str:
+    return """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H Q15 top supplier: quarter-windowed revenue per supplier via
+    combiner partials + hash aggregate (supplier cardinality), rounded
+    2dp BEFORE the max on both sides, equal-to-max filter, driver-final
+    name attach on the (usually single-row) winner set."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from .queries import round_half_away
+
+    d0, d1 = _ts_us(Q15_D0), _ts_us(Q15_D1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = np.asarray(b["l_shipdate"]).astype("datetime64[us]").view("int64")
+        m = (ship >= d0) & (ship < d1)
+        sup = np.asarray(b["l_suppkey"], np.int64)[m]
+        rev = (
+            np.asarray(b["l_extendedprice"], np.float64)[m]
+            * (1.0 - np.asarray(b["l_discount"], np.float64)[m])
+        )
+        uk, inv = np.unique(sup, return_inverse=True)
+        sums = np.bincount(inv, weights=rev, minlength=len(uk))
+        return pa.table(
+            {"s_suppkey": pa.array(uk), "rev": pa.array(sums)}
+        )
+
+    per_supp = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev", alias_name="total_revenue"))
+        .map_batches(
+            lambda b: round_half_away(b, ["total_revenue"], 2),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    mx = per_supp.aggregate(Max("total_revenue", alias_name="m"))["m"]
+    win = per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b["total_revenue"], mx)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    names = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(win["s_suppkey"].tolist()),
+    ).to_pandas()
+    out = win.merge(names, on="s_suppkey").sort_values("s_suppkey")
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+            "s_name": pa.array(out["s_name"].tolist(), pa.string()),
+            "total_revenue": pa.array(
+                out["total_revenue"].to_numpy(np.float64)
+            ),
+        }
+    )
+
+
+def sql_q15() -> str:
+    return f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 1e2) / 1e2
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q15_D0}'
+      AND l_shipdate < TIMESTAMP '{Q15_D1}'
+    GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q22_lapsed(sf_dir: str):
+    """TPC-H Q22 global-sales-opportunity, adapted to "lapsed"
+    customers: above-average-balance customers in the target nations
+    with NO order since ``Q22_CUTOFF`` (the schema keeps every customer
+    active over its full span, so the classic no-orders-ever predicate
+    is vacuous).  The average is one (sum, count) reduce broadcast as a
+    scalar; the NOT EXISTS is the broadcast anti semi-join over the
+    cutoff-filtered orders' distinct custkeys; per-nation (count, sum)
+    combiners finish in a 6-row groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..joins import semi_join
+    from .queries import round_half_away
+
+    cut = _ts_us(Q22_CUTOFF)
+    nset = list(Q22_NATIONS)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(
+        lambda b: b.filter(
+            pa.array(np.isin(np.asarray(b["c_nationkey"], np.int64), nset))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    pos = cust.map_batches(
+        lambda b: pa.table(
+            {
+                "s": pa.array(
+                    [float(
+                        np.asarray(b["c_acctbal"], np.float64)[
+                            np.asarray(b["c_acctbal"], np.float64) > 0.0
+                        ].sum()
+                    )]
+                ),
+                "n": pa.array(
+                    [int((np.asarray(b["c_acctbal"], np.float64) > 0.0).sum())]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    avg = pos["s"] / pos["n"]
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], avg)),
+        batch_format="pyarrow",
+    )
+
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.select(["o_custkey"]).filter(
+            pa.array(
+                np.asarray(b["o_orderdate"]).astype("datetime64[us]")
+                .view("int64") >= cut
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    lapsed = semi_join(rich, recent, on="c_custkey", right_on="o_custkey",
+                       anti=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["c_nationkey"], np.int64)
+        bal = np.asarray(b["c_acctbal"], np.float64)
+        uk, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "cntrycode": pa.array(uk),
+                "numcust": pa.array(
+                    np.bincount(inv, minlength=len(uk)).astype(np.int64)
+                ),
+                "totacctbal": pa.array(
+                    np.bincount(inv, weights=bal, minlength=len(uk))
+                ),
+            }
+        )
+
+    agg = (
+        lapsed.map_batches(partial, batch_format="pyarrow")
+        .groupby("cntrycode")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal", alias_name="totacctbal"),
+        )
+        .map_batches(
+            lambda b: round_half_away(b, ["totacctbal"], 2),
+            batch_format="pyarrow",
+        )
+    )
+    return agg.sort("cntrycode")
+
+
+def sql_q22() -> str:
+    nlist = ", ".join(str(n) for n in Q22_NATIONS)
+    return f"""
+SELECT c_nationkey::BIGINT AS cntrycode, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal) * 1e2) / 1e2 AS totacctbal
+FROM customer
+WHERE c_nationkey IN ({nlist})
+  AND c_acctbal > (SELECT SUM(c_acctbal) / COUNT(*) FROM customer
+                   WHERE c_acctbal > 0.0 AND c_nationkey IN ({nlist}))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""

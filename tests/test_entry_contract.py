@@ -163,6 +163,11 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "q18_large_orders",
         "q19_discount",
         "semdedup",
+        "q7_volume",
+        "q8_market_share",
+        "q13_custdist",
+        "q15_top_supplier",
+        "q22_lapsed",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):
