@@ -13761,6 +13761,8 @@ def queries():
         "q13_custdist": q_q13_custdist,
         "q15_top_supplier": q_q15_top_supplier,
         "q22_lapsed": q_q22_lapsed,
+        "gopher_rules": q_gopher_rules,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -13792,6 +13794,91 @@ def q_q22_lapsed(sf_dir: str):
     from .tpch import q22_lapsed
 
     return q22_lapsed(sf_dir)
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher quality-rule gate (first-fail reason codes, integer
+    cross-multiplied boundaries)."""
+    import ray.data as rd
+
+    from ..text import gopher_rules
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(gopher_rules, batch_format="pyarrow").sort("doc_id")
+
+
+def _sql_gopher_rules() -> str:
+    from ..text import sql_gopher_rules
+
+    return sql_gopher_rules()
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity bucketing: the corpus-own
+    unigram logprob proxy (aggregate -> broadcast -> vectorized score),
+    rounded 6dp, then NTILE(3) head/middle/tail per language via the
+    integer-rank tile law — the float threshold never exists, so the
+    bucket boundary cannot flip on summation noise."""
+    import ray.data as rd
+
+    from ..stats import ntile
+    from ..text import unigram_logprob_score
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    scored = unigram_logprob_score(ds, keep_cols=("lang",))
+
+    def prep(b: pa.Table) -> pa.Table:
+        lp = np.asarray(b["logprob"], np.float64)
+        null = np.asarray(pc.is_null(b["logprob"]).combine_chunks())
+        r = np.sign(lp) * np.floor(np.abs(lp) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "logprob": pa.array(r, mask=null),
+                # ascending tile order == logprob DESC; NaN sorts last
+                # on both sides (DuckDB DESC NULLS LAST)
+                "neg_lp": pa.array(np.where(null, np.nan, -r)),
+            }
+        )
+
+    tiled = ntile(
+        scored.map_batches(prep, batch_format="pyarrow"),
+        group_col="lang",
+        order_col="neg_lp",
+        tiebreak_col="doc_id",
+        n=3,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "logprob": b["logprob"],
+                "bucket": b["tile"],
+            }
+        )
+
+    return tiled.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def _sql_ccnet_buckets() -> str:
+    from ..text import sql_unigram_logprob
+
+    return f"""
+WITH scored AS (SELECT * FROM ({sql_unigram_logprob("documents")}) t)
+SELECT s.doc_id, d.lang, s.logprob,
+       NTILE(3) OVER (PARTITION BY d.lang
+                      ORDER BY s.logprob DESC NULLS LAST, s.doc_id)::BIGINT
+           AS bucket
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.doc_id
+"""
 
 
 def q_semdedup(sf_dir: str):
@@ -14700,6 +14787,8 @@ def oracle_sql():
         "q13_custdist": _sql_tpch("sql_q13"),
         "q15_top_supplier": _sql_tpch("sql_q15"),
         "q22_lapsed": _sql_tpch("sql_q22"),
+        "gopher_rules": _sql_gopher_rules(),
+        "ccnet_buckets": _sql_ccnet_buckets(),
     }
 
 

@@ -739,7 +739,10 @@ GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {k}
 """
 
 
-def unigram_logprob_score(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+def unigram_logprob_score(
+    ds, *, id_col: str = "doc_id", text_col: str = "text",
+    keep_cols: tuple = (),
+):
     """Per-doc mean unigram log-probability under the corpus's own
     unigram distribution — the classic cheap LM-quality proxy.
 
@@ -810,13 +813,14 @@ def unigram_logprob_score(ds, *, id_col: str = "doc_id", text_col: str = "text")
         ntok = np.bincount(rid, minlength=n).astype(np.int64)
         with np.errstate(invalid="ignore"):
             mean = sums / ntok
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "n_tokens": pa.array(ntok),
-                "logprob": pa.array(mean, mask=ntok == 0),
-            }
-        )
+        cols = {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(ntok),
+            "logprob": pa.array(mean, mask=ntok == 0),
+        }
+        for c in keep_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
 
@@ -2345,4 +2349,96 @@ SELECT d.doc_id,
        COALESCE(s.n_tokens, 0) AS n_tokens,
        ROUND(s.w * 1e6) / 1e6 AS dsir_logw
 FROM {source} d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule gate (Rae et al. 2021, arXiv:2112.11446 Table A1)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3, 10  # mean word length bounds
+GOPHER_SYMBOL_DEN = 10  # symbol ratio fail when 10*symbols > words
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5  # fail when alpha/words < 4/5
+GOPHER_MIN_STOP = 2
+GOPHER_WORD_RE = r"\S+"
+GOPHER_NONWS_RE = r"\S"
+GOPHER_SYMBOL_RE = r"(\.\.\.|#)"
+GOPHER_ALPHA_WORD_RE = r"\S*[A-Za-z]\S*"
+GOPHER_STOP_RE = r"\b(the|be|to|of|and|that|have|with)\b"
+
+
+def gopher_rules(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher quality-rule gate: FIRST failing rule as the reason code
+    (``word_count`` -> ``word_length`` -> ``symbol_ratio`` ->
+    ``alpha_ratio`` -> ``stopwords`` -> ``pass``), the paper's document
+    filters re-expressed over this corpus's columns.
+
+    Every ratio rule is evaluated by INTEGER cross-multiplication
+    (``10*symbols > words`` instead of ``symbols/words > 0.1``) so the
+    boundary can never flip on float noise — the SQL twin multiplies the
+    same integers.  One stateless vectorized stage: five RE2 count
+    kernels, zero shuffles, linear in corpus bytes."""
+    t = batch[text_col]
+
+    def cnt(pat):
+        return np.asarray(
+            pc.cast(pc.count_substring_regex(t, pat), pa.int64())
+        )
+
+    words = cnt(GOPHER_WORD_RE)
+    nonws = cnt(GOPHER_NONWS_RE)
+    sym = cnt(GOPHER_SYMBOL_RE)
+    alpha = cnt(GOPHER_ALPHA_WORD_RE)
+    stop = cnt(GOPHER_STOP_RE)
+
+    reason = np.full(batch.num_rows, "pass", dtype=object)
+    ok = np.ones(batch.num_rows, dtype=bool)
+
+    def fire(mask, code):
+        nonlocal ok
+        hit = ok & mask
+        reason[hit] = code
+        ok &= ~mask
+
+    fire((words < GOPHER_MIN_WORDS) | (words > GOPHER_MAX_WORDS),
+         "word_count")
+    fire((nonws < GOPHER_MWL_LO * words) | (nonws > GOPHER_MWL_HI * words),
+         "word_length")
+    fire(GOPHER_SYMBOL_DEN * sym > words, "symbol_ratio")
+    fire(GOPHER_ALPHA_DEN * alpha < GOPHER_ALPHA_NUM * words, "alpha_ratio")
+    fire(stop < GOPHER_MIN_STOP, "stopwords")
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(words),
+            "reason": pa.array(reason, pa.string()),
+        }
+    )
+
+
+def sql_gopher_rules(source: str = "documents") -> str:
+    """DuckDB twin of :func:`gopher_rules` — same RE2 patterns (DuckDB
+    string literals keep backslashes), same integer cross-multiplied
+    boundaries, same first-fail CASE order."""
+    w = f"len(regexp_extract_all(text, '{GOPHER_WORD_RE}'))"
+    nw = f"len(regexp_extract_all(text, '{GOPHER_NONWS_RE}'))"
+    sy = f"len(regexp_extract_all(text, '{GOPHER_SYMBOL_RE}'))"
+    al = f"len(regexp_extract_all(text, '{GOPHER_ALPHA_WORD_RE}'))"
+    st = f"len(regexp_extract_all(text, '{GOPHER_STOP_RE}'))"
+    return f"""
+SELECT doc_id, {w}::BIGINT AS n_words,
+  CASE
+    WHEN {w} < {GOPHER_MIN_WORDS} OR {w} > {GOPHER_MAX_WORDS}
+        THEN 'word_count'
+    WHEN {nw} < {GOPHER_MWL_LO} * {w} OR {nw} > {GOPHER_MWL_HI} * {w}
+        THEN 'word_length'
+    WHEN {GOPHER_SYMBOL_DEN} * {sy} > {w} THEN 'symbol_ratio'
+    WHEN {GOPHER_ALPHA_DEN} * {al} < {GOPHER_ALPHA_NUM} * {w}
+        THEN 'alpha_ratio'
+    WHEN {st} < {GOPHER_MIN_STOP} THEN 'stopwords'
+    ELSE 'pass'
+  END AS reason
+FROM {source}
 """

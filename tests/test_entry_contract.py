@@ -168,6 +168,8 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "q13_custdist",
         "q15_top_supplier",
         "q22_lapsed",
+        "gopher_rules",
+        "ccnet_buckets",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):
