@@ -13763,6 +13763,8 @@ def queries():
         "q22_lapsed": q_q22_lapsed,
         "gopher_rules": q_gopher_rules,
         "ccnet_buckets": q_ccnet_buckets,
+        "path_cell_length": q_path_cell_length,
+        "events_watermark": q_events_watermark,
     }
 
 
@@ -13794,6 +13796,35 @@ def q_q22_lapsed(sf_dir: str):
     from .tpch import q22_lapsed
 
     return q22_lapsed(sf_dir)
+
+
+def q_path_cell_length(sf_dir: str):
+    """Line x grid overlay: per-cell trajectory length via vectorized
+    grid-line clipping (ragged-arange crossings, one user-bucket
+    shuffle)."""
+    from .relational import events_path_cell_length
+
+    return events_path_cell_length(sf_dir)
+
+
+def _sql_path_cell_length() -> str:
+    from .relational import sql_events_path_cell_length
+
+    return sql_events_path_cell_length()
+
+
+def q_events_watermark(sf_dir: str):
+    """Streaming watermark lateness accounting (two-pass range-bucket
+    prefix cummax over the deterministic arrival shuffle)."""
+    from .relational import events_watermark
+
+    return events_watermark(sf_dir)
+
+
+def _sql_events_watermark() -> str:
+    from .relational import sql_events_watermark
+
+    return sql_events_watermark()
 
 
 def q_gopher_rules(sf_dir: str):
@@ -14789,6 +14820,8 @@ def oracle_sql():
         "q22_lapsed": _sql_tpch("sql_q22"),
         "gopher_rules": _sql_gopher_rules(),
         "ccnet_buckets": _sql_ccnet_buckets(),
+        "path_cell_length": _sql_path_cell_length(),
+        "events_watermark": _sql_events_watermark(),
     }
 
 

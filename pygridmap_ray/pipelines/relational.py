@@ -3812,3 +3812,327 @@ SELECT channel, COUNT(*)::BIGINT AS n_purchases,
        ROUND(SUM(value) * 1e2) / 1e2 AS revenue
 FROM att GROUP BY channel
 """
+
+
+# ---------------------------------------------------------------------------
+# line x grid overlay: per-cell trajectory length (Liang-Barsky family)
+# ---------------------------------------------------------------------------
+
+PCL_CELL = 50_000.0
+
+
+def events_path_cell_length(
+    sf_dir: str, *, cell: float = PCL_CELL, num_buckets: int = 64
+):
+    """Per-cell trajectory length: every consecutive same-user step (the
+    ``events_trajectory`` segment law) is clipped against the regular
+    ``cell``-sized grid and each crossed cell accumulates the length of
+    the piece inside it — the line x polygon overlay primitive the
+    reference's polygon-only overlay lacks, for axis-aligned cells.
+
+    Scale shape: ONE coarse user-hash bucket shuffle (segments need
+    consecutive per-user events), then a single vectorized per-bucket
+    pass — grid-line crossing parameters are generated with a ragged
+    arange (``kx+ky`` crossings per segment, no per-segment Python),
+    sorted once per bucket, pieces resolved by midpoint cell; per-cell
+    partial sums leave each bucket and a tiny (ix, iy) groupby
+    finishes.  Every float expression (crossing t, midpoint, piece
+    length) is mirrored term-for-term in the SQL twin; the 2dp output
+    rounding dwarfs summation-order noise on ~1e5-scale lengths."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..joins import _bucket_of
+    from ..synth import derive_xy
+    from .queries import round_half_away
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        x, y = derive_xy(eid)
+        uid = np.asarray(b["user_id"], np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "ix": pd.Series([], dtype=np.int64),
+            "iy": pd.Series([], dtype=np.int64),
+            "total_len": pd.Series([], dtype=np.float64),
+        }
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        order = np.lexsort((eid, us, uid))
+        uid, x, y = uid[order], x[order], y[order]
+        same = uid[1:] == uid[:-1]
+        x1, y1 = x[:-1][same], y[:-1][same]
+        x2, y2 = x[1:][same], y[1:][same]
+        n = len(x1)
+        if n == 0:
+            return empty
+        dx, dy = x2 - x1, y2 - y1
+        seglen = np.sqrt(dx * dx + dy * dy)
+        fx1, fx2 = np.floor(x1 / cell), np.floor(x2 / cell)
+        fy1, fy2 = np.floor(y1 / cell), np.floor(y2 / cell)
+        lix, kx = np.minimum(fx1, fx2), np.abs(fx2 - fx1).astype(np.int64)
+        liy, ky = np.minimum(fy1, fy2), np.abs(fy2 - fy1).astype(np.int64)
+
+        def crossings(lo, k, p1, dp):
+            idx = np.repeat(np.arange(n), k)
+            if not len(idx):
+                return idx, np.zeros(0, np.float64)
+            cum0 = np.concatenate([[0], np.cumsum(k)[:-1]])
+            r = np.arange(len(idx)) - np.repeat(cum0, k)
+            grid = (lo[idx] + (r + 1)) * cell
+            return idx, (grid - p1[idx]) / dp[idx]
+
+        ix_idx, tx = crossings(lix, kx, x1, dx)
+        iy_idx, ty = crossings(liy, ky, y1, dy)
+        seg = np.concatenate([ix_idx, iy_idx, np.arange(n)])
+        t = np.concatenate([tx, ty, np.ones(n)])
+        o2 = np.lexsort((t, seg))
+        seg, t = seg[o2], t[o2]
+        first = np.concatenate([[True], seg[1:] != seg[:-1]])
+        prev = np.where(first, 0.0, np.concatenate([[0.0], t[:-1]]))
+        tm = (prev + t) / 2.0
+        px = x1[seg] + dx[seg] * tm
+        py = y1[seg] + dy[seg] * tm
+        plen = (t - prev) * seglen[seg]
+        cix = np.floor(px / cell).astype(np.int64)
+        ciy = np.floor(py / cell).astype(np.int64)
+        packed = cix * 1_000_003 + ciy
+        uk, inv = np.unique(packed, return_inverse=True)
+        sums = np.bincount(inv, weights=plen, minlength=len(uk))
+        return pd.DataFrame(
+            {
+                "ix": uk // 1_000_003,
+                "iy": uk % 1_000_003,
+                "total_len": sums,
+            }
+        )
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby(["ix", "iy"])
+        .aggregate(Sum("total_len", alias_name="total_len"))
+        .map_batches(
+            lambda b: round_half_away(b, ["total_len"], 2),
+            batch_format="pyarrow",
+        )
+    )
+    return agg.sort(["ix", "iy"])
+
+
+def sql_events_path_cell_length(cell: float = PCL_CELL) -> str:
+    from ..synth import SQL_X, SQL_Y
+
+    ex = SQL_X.replace("doc_id", "event_id")
+    ey = SQL_Y.replace("doc_id", "event_id")
+    cs = f"{cell!r}"
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ex} AS x, {ey} AS y
+  FROM events
+),
+seg AS (
+  SELECT event_id,
+         LAG(x) OVER w AS x1, LAG(y) OVER w AS y1, x AS x2, y AS y2
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT event_id AS sid, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy,
+         SQRT((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)) AS len,
+         LEAST(FLOOR(x1/{cs}), FLOOR(x2/{cs})) AS lix,
+         ABS(FLOOR(x2/{cs}) - FLOOR(x1/{cs}))::BIGINT AS kx,
+         LEAST(FLOOR(y1/{cs}), FLOOR(y2/{cs})) AS liy,
+         ABS(FLOOR(y2/{cs}) - FLOOR(y1/{cs}))::BIGINT AS ky
+  FROM seg WHERE x1 IS NOT NULL
+),
+tx AS (
+  SELECT sid, ((lix + g) * {cs} - x1) / dx AS t
+  FROM (SELECT sid, lix, x1, dx,
+               UNNEST(generate_series(1, kx)) AS g FROM s WHERE kx > 0) gx
+  UNION ALL
+  SELECT sid, ((liy + g) * {cs} - y1) / dy AS t
+  FROM (SELECT sid, liy, y1, dy,
+               UNNEST(generate_series(1, ky)) AS g FROM s WHERE ky > 0) gy
+  UNION ALL
+  SELECT sid, 1.0 AS t FROM s
+),
+sub AS (
+  SELECT sid, t, LAG(t, 1, 0.0) OVER (PARTITION BY sid ORDER BY t) AS t0
+  FROM tx
+),
+pieces AS (
+  SELECT FLOOR((s.x1 + s.dx * ((sub.t0 + sub.t) / 2.0)) / {cs})::BIGINT AS ix,
+         FLOOR((s.y1 + s.dy * ((sub.t0 + sub.t) / 2.0)) / {cs})::BIGINT AS iy,
+         (sub.t - sub.t0) * s.len AS plen
+  FROM sub JOIN s USING (sid)
+)
+SELECT ix, iy, ROUND(SUM(plen) * 1e2) / 1e2 AS total_len
+FROM pieces GROUP BY ix, iy ORDER BY ix, iy
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming watermark: late-event accounting over an out-of-order stream
+# ---------------------------------------------------------------------------
+
+WM_HORIZON_US = 15 * 24 * 3_600_000_000  # lateness allowance
+WM_WIN_US = 3_600_000_000  # 1 h tumbling windows
+WM_MULT = 2654435761
+WM_MOD = 4294967296
+
+
+def events_watermark(sf_dir: str, *, num_buckets: int = 64):
+    """Streaming high-watermark lateness accounting: events "arrive" in
+    the deterministic hash-shuffle order (``(event_id * WM_MULT) %
+    WM_MOD``, ties by event_id — the ``shuffle_pos`` law; the raw table
+    is time-ordered so hash order simulates the out-of-order stream),
+    the watermark is the running max event-time over STRICT predecessors
+    minus ``WM_HORIZON_US``, and each tumbling window reports total vs
+    late arrivals — the drop-accounting a production streaming sink
+    keeps.
+
+    Scale shape: the prefix-cummax is a two-pass range-bucket plan (the
+    ``pack.global prefix sum`` shape): arrival keys range-bucket into
+    ``num_buckets`` ORDERED buckets; pass 1 reduces per-bucket max
+    event-times (one tiny groupby) and the driver folds the 64-entry
+    strict-prefix table; pass 2 re-buckets, runs one vectorized
+    sort + shifted cummax per bucket seeded with its prefix, and emits
+    per-window (total, late) partials into a tiny window groupby.  No
+    global sort, no per-event Python."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
+        a = (
+            (eid.astype(np.uint64) * np.uint64(WM_MULT))
+            % np.uint64(WM_MOD)
+        ).astype(np.int64)
+        us = np.asarray(
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        )
+        bid = (a * num_buckets) // WM_MOD
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "a": pa.array(a),
+                "us": pa.array(us),
+                "__b": pa.array(bid),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    # pass 1: per-bucket max event-time -> driver strict-prefix fold
+    bmax = (
+        tagged.map_batches(
+            lambda b: pa.table(
+                {
+                    "__b": pa.array(
+                        np.unique(np.asarray(b["__b"], np.int64))
+                    ),
+                    "mx": pa.array(
+                        pd.DataFrame(
+                            {
+                                "b": np.asarray(b["__b"], np.int64),
+                                "u": np.asarray(b["us"], np.int64),
+                            }
+                        )
+                        .groupby("b", sort=True)["u"]
+                        .max()
+                        .to_numpy(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("__b")
+        .aggregate(Max("mx", alias_name="mx"))
+        .to_pandas()
+    )
+    prefix = np.full(num_buckets, np.iinfo(np.int64).min, dtype=np.int64)
+    got = dict(zip(bmax["__b"].tolist(), bmax["mx"].tolist()))
+    run = np.iinfo(np.int64).min
+    for b in range(num_buckets):
+        prefix[b] = run
+        if b in got:
+            run = max(run, int(got[b]))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        bid = int(g["__b"].iloc[0])
+        a = g["a"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        order = np.lexsort((eid, a))
+        us = us[order]
+        seed = prefix[bid]
+        shifted = np.concatenate([[seed], us[:-1]])
+        hwm = np.maximum.accumulate(shifted)
+        valid = hwm != np.iinfo(np.int64).min
+        late = valid & (us < hwm - WM_HORIZON_US)
+        win = (us // WM_WIN_US) * WM_WIN_US
+        uw, inv = np.unique(win, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "win_us": uw,
+                "n_total": np.bincount(inv, minlength=len(uw)).astype(
+                    np.int64
+                ),
+                "n_late": np.bincount(
+                    inv, weights=late.astype(np.float64), minlength=len(uw)
+                ).astype(np.int64),
+            }
+        )
+
+    out = (
+        tagged.groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("win_us")
+        .aggregate(
+            Sum("n_total", alias_name="n_total"),
+            Sum("n_late", alias_name="n_late"),
+        )
+    )
+    return out.sort("win_us")
+
+
+def sql_events_watermark() -> str:
+    return f"""
+WITH m AS (
+  SELECT epoch_us(ts) AS us,
+         MAX(epoch_us(ts)) OVER (
+             ORDER BY (event_id * {WM_MULT}) % {WM_MOD}, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM events)
+SELECT (us // {WM_WIN_US}) * {WM_WIN_US} AS win_us,
+       COUNT(*)::BIGINT AS n_total,
+       SUM(CASE WHEN hwm IS NOT NULL AND us < hwm - {WM_HORIZON_US}
+                THEN 1 ELSE 0 END)::BIGINT AS n_late
+FROM m GROUP BY win_us ORDER BY win_us
+"""

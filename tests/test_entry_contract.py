@@ -170,6 +170,8 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "q22_lapsed",
         "gopher_rules",
         "ccnet_buckets",
+        "path_cell_length",
+        "events_watermark",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):
