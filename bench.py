@@ -236,6 +236,17 @@ def _secondary() -> dict:
         ("events_survival", q.q_events_survival),
         ("type_jaccard", q.q_type_jaccard),
         ("raster_terrain", q.q_raster_terrain),
+        # continuation: TPC-H completion + LLM-data + line-overlay wave
+        ("q4_priority", q.q_q4_priority),
+        ("q10_returned", q.q_q10_returned),
+        ("q13_custdist", q.q_q13_custdist),
+        ("q7_volume", q.q_q7_volume),
+        ("q17_small_qty", q.q_q17_small_qty),
+        ("semdedup", q.q_semdedup),
+        ("gopher_rules", q.q_gopher_rules),
+        ("ccnet_buckets", q.q_ccnet_buckets),
+        ("path_cell_length", q.q_path_cell_length),
+        ("events_watermark", q.q_events_watermark),
     ]:
 
         def once(fn=fn):

@@ -13765,6 +13765,9 @@ def queries():
         "ccnet_buckets": q_ccnet_buckets,
         "path_cell_length": q_path_cell_length,
         "events_watermark": q_events_watermark,
+        "q17_small_qty": q_q17_small_qty,
+        "q21_waiting": q_q21_waiting,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -13825,6 +13828,66 @@ def _sql_events_watermark() -> str:
     from .relational import sql_events_watermark
 
     return sql_events_watermark()
+
+
+def q_q17_small_qty(sf_dir: str):
+    from .tpch import q17_small_qty
+
+    return q17_small_qty(sf_dir)
+
+
+def q_q21_waiting(sf_dir: str):
+    from .tpch import q21_waiting
+
+    return q21_waiting(sf_dir)
+
+
+def q_ann_recall(sf_dir: str):
+    """ANN index-quality evaluation: recall@k of the IVF(nprobe=3) path
+    against the exact brute-force top-k, per query — the acceptance
+    metric an index build pipeline gates on.  Both sides run the
+    engine's own pipelines (broadcast queries, streamed corpus); the
+    comparison is a driver-final join on (query, neighbor) over
+    Q x k rows only."""
+    import ray.data as rd
+
+    from ..ann import ann_topk, ivf_topk
+
+    qids, qmat = _head_vectors(sf_dir, 10)
+    _, cents = _head_vectors(sf_dir, 8)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = ann_topk(
+        ds, {"ids": qids, "matrix": qmat}, k=5
+    ).select_columns(["query_id", "neighbor_id"]).to_pandas()
+    approx = ivf_topk(
+        ds, {"ids": qids, "matrix": qmat}, cents, k=5, nprobe=3
+    ).select_columns(["query_id", "neighbor_id"]).to_pandas()
+    hits = exact.merge(approx, on=["query_id", "neighbor_id"])
+    per_q = hits.groupby("query_id").size()
+    qs = np.sort(exact["query_id"].unique())
+    rec = np.array([per_q.get(q, 0) for q in qs], np.float64) / 5.0
+    rec = np.sign(rec) * np.floor(np.abs(rec) * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {"query_id": pa.array(qs.astype(np.int64)),
+         "recall": pa.array(rec)}
+    )
+
+
+def _sql_ann_recall() -> str:
+    from ..ann import sql_ann_topk, sql_ivf_topk
+
+    return f"""
+WITH exact AS (SELECT * FROM ({sql_ann_topk(5, 10)}) t),
+     approx AS (SELECT * FROM ({sql_ivf_topk(5, 3, 10, 8)}) t)
+SELECT e.query_id,
+       ROUND(COUNT(a.neighbor_id) / 5.0 * 1e6) / 1e6 AS recall
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
 
 
 def q_gopher_rules(sf_dir: str):
@@ -14822,6 +14885,9 @@ def oracle_sql():
         "ccnet_buckets": _sql_ccnet_buckets(),
         "path_cell_length": _sql_path_cell_length(),
         "events_watermark": _sql_events_watermark(),
+        "q17_small_qty": _sql_tpch("sql_q17"),
+        "q21_waiting": _sql_tpch("sql_q21"),
+        "ann_recall": _sql_ann_recall(),
     }
 
 

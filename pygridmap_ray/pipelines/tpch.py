@@ -1300,3 +1300,254 @@ WHERE c_nationkey IN ({nlist})
 GROUP BY c_nationkey
 ORDER BY cntrycode
 """
+
+
+Q17_BRAND = "Brand#21"
+Q17_FRAC = 0.2
+Q17_YEARS = 7.0
+
+
+def q17_small_qty(sf_dir: str) -> pa.Table:
+    """TPC-H Q17 small-quantity-order revenue (container filter dropped —
+    the schema has no p_container): lineitems of one brand whose quantity
+    is below ``Q17_FRAC`` x that part's average quantity.
+
+    The correlated per-part average is EXACT-INTEGER on both sides
+    (quantities are whole numbers, so sum/count is the same double in
+    any summation order — the threshold comparison can never flip).
+    Scale plan: per-part (sum, count) combiners -> part-cardinality hash
+    aggregate, thresholds restricted to the brand's parts (1/25 of the
+    dimension) before the broadcast; the lineitem rescan filters
+    vectorized against the broadcast threshold lookup."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..spatial import _cached_kernel
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    brand_keys = np.asarray(part["p_partkey"], np.int64)[
+        np.asarray(part["p_brand"].to_pylist(), dtype=object) == Q17_BRAND
+    ]
+    brand_set = frozenset(int(v) for v in brand_keys)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def avg_partial(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["l_partkey"], np.int64)
+        m = np.isin(pk, list(brand_set))
+        pk = pk[m]
+        qty = np.asarray(b["l_quantity"], np.float64)[m]
+        uk, inv = np.unique(pk, return_inverse=True)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uk),
+                "s": pa.array(np.bincount(inv, weights=qty, minlength=len(uk))),
+                "n": pa.array(
+                    np.bincount(inv, minlength=len(uk)).astype(np.float64)
+                ),
+            }
+        )
+
+    avg = (
+        li.map_batches(avg_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if len(avg):
+        thr_keys = avg["l_partkey"].to_numpy(np.int64)
+        thr = Q17_FRAC * (
+            avg["s"].to_numpy(np.float64) / avg["n"].to_numpy(np.float64)
+        )
+        o = np.argsort(thr_keys, kind="stable")
+        ref = {"__ref__": ray.put((thr_keys[o], thr[o]))}
+    else:
+        ref = {"__ref__": ray.put((np.zeros(0, np.int64), np.zeros(0)))}
+    ckey = f"q17thr:{ref['__ref__'].hex()}"
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        tk, tv = _cached_kernel(ckey, ref, lambda d: d)
+        pk = np.asarray(b["l_partkey"], np.int64)
+        qty = np.asarray(b["l_quantity"], np.float64)
+        ext = np.asarray(b["l_extendedprice"], np.float64)
+        if not len(tk):
+            return pa.table({"rev": pa.array([0.0])})
+        pos = np.searchsorted(tk, pk)
+        pos = np.minimum(pos, len(tk) - 1)
+        hit = tk[pos] == pk
+        keep = hit & (qty < np.where(hit, tv[pos], 0.0))
+        return pa.table({"rev": pa.array([float(ext[keep].sum())])})
+
+    total = li.map_batches(rev_partial, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="rev")
+    )["rev"]
+    avg_yearly = _round_half_away_scalar(total / Q17_YEARS, 2)
+    return pa.table({"avg_yearly": pa.array([avg_yearly])})
+
+
+def sql_q17() -> str:
+    return f"""
+SELECT ROUND(SUM(l_extendedprice) / {Q17_YEARS} * 1e2) / 1e2 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = '{Q17_BRAND}'
+  AND l_quantity < (SELECT {Q17_FRAC} * (SUM(l_quantity) / COUNT(*))
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+Q21_STATUS = "F"
+Q21_K = 10
+
+
+def q21_waiting(sf_dir: str) -> pa.Table:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting, adapted to the
+    schema's columns (no commit/receipt dates): in a finished
+    multi-supplier order, the supplier whose line is the SOLE latest
+    shipment "kept the order waiting".  Same nested-EXISTS shape as the
+    reference query (exists another supplier; not exists another equally
+    late supplier), resolved without any EXISTS join.
+
+    Scale plan: the status-F orderkey set applies as a broadcast
+    semi-join on the lineitem stream; ONE coarse orderkey-hash bucket
+    shuffle co-locates each order's lines; the per-bucket kernel finds
+    per-order max shipdate, distinct-supplier counts and sole-latest
+    winners with two lexsort segment scans (no per-order Python); winner
+    counts finish in a supplier-cardinality hash aggregate + 64-bucket
+    coarse top-10."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..joins import semi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda b: b.select(["o_orderkey"]).filter(
+            pc.equal(b["o_orderstatus"], Q21_STATUS)
+        ),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    lf = semi_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    nb = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["l_orderkey"], np.int64)
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "s": pa.array(np.asarray(b["l_suppkey"], np.int64)),
+                "us": pa.array(
+                    np.asarray(b["l_shipdate"])
+                    .astype("datetime64[us]")
+                    .view("int64")
+                ),
+                "__b": pa.array(_bucket_of(k, nb)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        order = np.lexsort((s, k))
+        k, s, us = k[order], s[order], us[order]
+        first = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(first)
+        mx = np.maximum.reduceat(us, starts)
+        oid = np.cumsum(first) - 1  # dense order index per row
+        # distinct suppliers per order: (k, s) sorted -> new-pair mask
+        new_pair = np.concatenate(
+            [[True], (k[1:] != k[:-1]) | (s[1:] != s[:-1])]
+        )
+        ns = np.bincount(oid[new_pair], minlength=len(starts))
+        # rows attaining the order max shipdate
+        at_max = us == mx[oid]
+        pk, ps, po = k[at_max], s[at_max], oid[at_max]
+        new_w = np.concatenate(
+            [[True], (pk[1:] != pk[:-1]) | (ps[1:] != ps[:-1])]
+        )
+        pw, po_w = ps[new_w], po[new_w]
+        nm = np.bincount(po_w, minlength=len(starts))
+        # first (lowest suppkey) winner per order: rows are (k, s) sorted
+        first_w = np.concatenate([[True], po_w[1:] != po_w[:-1]])
+        win_o, win_s = po_w[first_w], pw[first_w]
+        sole = (nm[win_o] == 1) & (ns[win_o] >= 2)
+        winners = win_s[sole]
+        if not len(winners):
+            return pd.DataFrame(
+                {"s_suppkey": pd.Series([], dtype=np.int64),
+                 "numwait": pd.Series([], dtype=np.int64)}
+            )
+        uk, cnt = np.unique(winners, return_counts=True)
+        return pd.DataFrame(
+            {"s_suppkey": uk, "numwait": cnt.astype(np.int64)}
+        )
+
+    counts = (
+        lf.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .to_pandas()
+    )
+    if not len(counts):
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "s_name": pa.array([], pa.string()),
+             "numwait": pa.array([], pa.int64())}
+        )
+    counts = counts.sort_values(
+        ["numwait", "s_suppkey"], ascending=[False, True]
+    ).head(Q21_K)
+    names = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(counts["s_suppkey"].tolist()),
+    ).to_pandas()
+    out = counts.merge(names, on="s_suppkey").sort_values(
+        ["numwait", "s_suppkey"], ascending=[False, True]
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+            "s_name": pa.array(out["s_name"].tolist(), pa.string()),
+            "numwait": pa.array(out["numwait"].to_numpy(np.int64)),
+        }
+    )
+
+
+def sql_q21() -> str:
+    return f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = '{Q21_STATUS}'),
+agg AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS m,
+         COUNT(DISTINCT l_suppkey) AS ns
+  FROM l GROUP BY l_orderkey),
+winners AS (
+  SELECT a.l_orderkey, MIN(l.l_suppkey) AS s,
+         COUNT(DISTINCT l.l_suppkey) AS nm
+  FROM agg a JOIN l ON l.l_orderkey = a.l_orderkey AND l.l_shipdate = a.m
+  WHERE a.ns >= 2 GROUP BY a.l_orderkey)
+SELECT w.s AS s_suppkey, s_name, COUNT(*)::BIGINT AS numwait
+FROM winners w JOIN supplier ON s_suppkey = w.s
+WHERE w.nm = 1
+GROUP BY w.s, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT {Q21_K}
+"""

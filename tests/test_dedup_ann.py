@@ -73,7 +73,10 @@ def test_minhash_hot_cluster_bounded(ray_session):
     assert (cluster["jaccard"] == 1.0).all()
     # unique docs never pair with the cluster or each other
     assert len(pairs) == len(cluster)
-    assert elapsed < 60, f"hot cluster took {elapsed:.1f}s"
+    # generous bound: the O(m^2)-per-band regression this guards took
+    # minutes; the healthy path runs ~35-60s depending on the host's
+    # documented 1.8x throughput drift (memory: bench-noise-protocol)
+    assert elapsed < 120, f"hot cluster took {elapsed:.1f}s"
 
 
 def test_ngram_jaccard_exact_values(dup_docs):

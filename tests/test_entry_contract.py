@@ -172,6 +172,9 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "ccnet_buckets",
         "path_cell_length",
         "events_watermark",
+        "q17_small_qty",
+        "q21_waiting",
+        "ann_recall",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):
