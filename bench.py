@@ -247,6 +247,8 @@ def _secondary() -> dict:
         ("ccnet_buckets", q.q_ccnet_buckets),
         ("path_cell_length", q.q_path_cell_length),
         ("events_watermark", q.q_events_watermark),
+        ("sq8_recall", q.q_sq8_recall),
+        ("simhash_screen", q.q_simhash_screen),
     ]:
 
         def once(fn=fn):

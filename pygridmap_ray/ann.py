@@ -630,3 +630,186 @@ def sql_quantize(dim: int = 64, levels: int = 255) -> str:
         f"WITH s AS (SELECT {mins}, {maxs} FROM embeddings)"
         f" SELECT vec_id, [{dims}] AS qvec FROM embeddings, s"
     )
+
+
+def dequantize_embeddings(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    levels: int = 255,
+):
+    """Quantize-then-dequantize an embedding column in one pass — the
+    column a search over an int8-compressed store actually sees, used by
+    the ``sq8_recall`` acceptance gate (recall@k of the compressed index
+    vs the float corpus; cf. the reference's grid fidelity checks,
+    reference ``gridtiler_raster.py`` resample round-trips).
+
+    Same corpus [min, max] reduce and the same code law as
+    :func:`quantize_embeddings` (``floor((x - mn) / scale * levels
+    + 0.5)``, non-negative domain so it equals SQL ROUND), then the
+    reconstruction ``mn + code * scale / levels``.  Constant dimensions
+    reconstruct to ``mn`` exactly.  Emits (id, embedding) with the
+    dequantized ``list<double>`` column so it drops into
+    :func:`ann_topk` unchanged."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .spatial import _cached_kernel
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "mn": pa.array([], pa.list_(pa.float64())),
+                    "mx": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        X = _emb_matrix(b, emb_col)
+        return pa.table(
+            {
+                "mn": pa.array([X.min(axis=0)], pa.list_(pa.float64())),
+                "mx": pa.array([X.max(axis=0)], pa.list_(pa.float64())),
+            }
+        )
+
+    p = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    mn = np.min(np.stack(p["mn"].to_numpy()), axis=0)
+    mx = np.max(np.stack(p["mx"].to_numpy()), axis=0)
+    scale = mx - mn
+    scale[scale == 0] = 1.0  # constant dim -> code 0 -> reconstruct mn
+    ref = {"__ref__": ray.put({"mn": mn, "scale": scale})}
+    ckey = f"dequant:{ref['__ref__'].hex()}"
+
+    def dq(b: pa.Table) -> pa.Table:
+        s = _cached_kernel(ckey, ref, lambda x: x)
+        X = _emb_matrix(b, emb_col)
+        code = np.floor((X - s["mn"]) / s["scale"] * float(levels) + 0.5)
+        rec = s["mn"] + code * s["scale"] / float(levels)
+        off = np.arange(0, (len(X) + 1) * X.shape[1], X.shape[1])
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                emb_col: pa.LargeListArray.from_arrays(
+                    pa.array(off), pa.array(rec.ravel())
+                ).cast(pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(dq, batch_format="pyarrow")
+
+
+def truncate_embeddings(
+    ds,
+    dims: int,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Keep the first ``dims`` coordinates of an embedding column — the
+    Matryoshka / dimension-truncation storage trade (half the bytes, most
+    of the recall when the representation front-loads information).
+    Cosine re-normalizes inside :func:`ann_topk`, so no re-scaling is
+    needed here.  Emits (id, embedding[:dims])."""
+    import pyarrow.compute as pc
+
+    def trunc(b: pa.Table) -> pa.Table:
+        X = _emb_matrix(b, emb_col)[:, :dims] if b.num_rows else np.zeros(
+            (0, dims)
+        )
+        off = np.arange(0, (b.num_rows + 1) * dims, dims)
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                emb_col: pa.LargeListArray.from_arrays(
+                    pa.array(off), pa.array(X.ravel().astype(np.float64))
+                ).cast(pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(trunc, batch_format="pyarrow")
+
+
+def _sql_dequant_cte(dim: int = 64, levels: int = 255) -> str:
+    """``dq(vec_id, emb)`` CTE body — the dequantized corpus, same code
+    law as :func:`sql_quantize` and the same reconstruction op order as
+    :func:`dequantize_embeddings` (``mn + code * scale / levels``)."""
+    mins = ", ".join(
+        f"MIN((embedding::DOUBLE[])[{i + 1}]) AS mn{i}" for i in range(dim)
+    )
+    maxs = ", ".join(
+        f"MAX((embedding::DOUBLE[])[{i + 1}]) AS mx{i}" for i in range(dim)
+    )
+    lv = f"{float(levels)!r}"
+    dims = ", ".join(
+        f"s.mn{i} + ROUND(((embedding::DOUBLE[])[{i + 1}] - s.mn{i})"
+        f" / (CASE WHEN s.mx{i} = s.mn{i} THEN 1.0"
+        f" ELSE s.mx{i} - s.mn{i} END) * {lv})"
+        f" * (CASE WHEN s.mx{i} = s.mn{i} THEN 1.0"
+        f" ELSE s.mx{i} - s.mn{i} END) / {lv}"
+        for i in range(dim)
+    )
+    return (
+        f"WITH s AS (SELECT {mins}, {maxs} FROM embeddings)"
+        f" SELECT vec_id, [{dims}] AS emb FROM embeddings, s"
+    )
+
+
+def sql_sq_recall(
+    k: int = 5, n_queries: int = 10, dim: int = 64, levels: int = 255
+) -> str:
+    """DuckDB twin of the sq8 recall gate: exact top-k on the float
+    corpus vs top-k of FLOAT queries against the dequantized corpus
+    (asymmetric distance), recall@k per query — same tie law (cosine
+    DESC, neighbor ASC) as :func:`sql_ann_topk`."""
+    return f"""
+WITH exact AS (SELECT * FROM ({sql_ann_topk(k, n_queries)}) t),
+dq AS ({_sql_dequant_cte(dim, levels)}),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], d.emb) DESC,
+                      d.vec_id ASC
+           ) AS rank
+    FROM embeddings q, dq d
+    WHERE q.vec_id < {n_queries}
+  ) WHERE rank <= {k}
+)
+SELECT e.query_id,
+       ROUND(COUNT(a.neighbor_id) / {float(k)!r} * 1e6) / 1e6 AS recall
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+def sql_trunc_recall(k: int = 5, n_queries: int = 10, dims: int = 16) -> str:
+    """DuckDB twin of the Matryoshka truncation recall gate: top-k over
+    the first ``dims`` coordinates (queries truncated identically) vs the
+    full-dimension exact top-k."""
+    return f"""
+WITH exact AS (SELECT * FROM ({sql_ann_topk(k, n_queries)}) t),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+                        list_slice(q.embedding::DOUBLE[], 1, {dims}),
+                        list_slice(d.embedding::DOUBLE[], 1, {dims})) DESC,
+                      d.vec_id ASC
+           ) AS rank
+    FROM embeddings q, embeddings d
+    WHERE q.vec_id < {n_queries}
+  ) WHERE rank <= {k}
+)
+SELECT e.query_id,
+       ROUND(COUNT(a.neighbor_id) / {float(k)!r} * 1e6) / 1e6 AS recall
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""

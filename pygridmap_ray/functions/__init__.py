@@ -1,7 +1,13 @@
 """Scalar/vector functions: geometry kernels, text analysis, dedup
 signatures, similarity search."""
 
-from ..ann import ann_topk, ivf_topk, kmeans_lite  # noqa: F401
+from ..ann import (  # noqa: F401
+    ann_topk,
+    dequantize_embeddings,
+    ivf_topk,
+    kmeans_lite,
+    truncate_embeddings,
+)
 from ..dedup import (  # noqa: F401
     connected_components,
     content_hash,

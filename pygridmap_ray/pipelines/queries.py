@@ -13768,6 +13768,9 @@ def queries():
         "q17_small_qty": q_q17_small_qty,
         "q21_waiting": q_q21_waiting,
         "ann_recall": q_ann_recall,
+        "sq8_recall": q_sq8_recall,
+        "trunc_recall": q_trunc_recall,
+        "simhash_screen": q_simhash_screen,
     }
 
 
@@ -13864,15 +13867,148 @@ def q_ann_recall(sf_dir: str):
     approx = ivf_topk(
         ds, {"ids": qids, "matrix": qmat}, cents, k=5, nprobe=3
     ).select_columns(["query_id", "neighbor_id"]).to_pandas()
+    return _recall_table(exact, approx, k=5)
+
+
+def _recall_table(exact, approx, *, k: int) -> pa.Table:
+    """Shared recall@k fold of the index acceptance gates (ann_recall,
+    sq8_recall, trunc_recall): fraction of each query's exact top-k that
+    the approximate side recovered, 6dp half-away — the driver-final
+    join runs over Q x k rows only."""
     hits = exact.merge(approx, on=["query_id", "neighbor_id"])
     per_q = hits.groupby("query_id").size()
     qs = np.sort(exact["query_id"].unique())
-    rec = np.array([per_q.get(q, 0) for q in qs], np.float64) / 5.0
+    rec = np.array([per_q.get(q, 0) for q in qs], np.float64) / float(k)
     rec = np.sign(rec) * np.floor(np.abs(rec) * 1e6 + 0.5) / 1e6
     return pa.table(
         {"query_id": pa.array(qs.astype(np.int64)),
          "recall": pa.array(rec)}
     )
+
+
+def q_sq8_recall(sf_dir: str):
+    """Embedding-compression acceptance gate: recall@k of brute-force
+    search over the scalar quantize->dequantize corpus (asymmetric:
+    float queries, compressed store — the layout an ANN service actually
+    serves) against the float-exact top-k.  The quantization law is
+    :func:`pygridmap_ray.ann.quantize_embeddings`'s at 16 levels (int4 —
+    int8/255 is rank-lossless on this corpus, so the 4-bit store is the
+    regime where the gate discriminates); search reuses ann_topk
+    unchanged on the reconstructed column."""
+    import ray.data as rd
+
+    from ..ann import ann_topk, dequantize_embeddings
+
+    qids, qmat = _head_vectors(sf_dir, 10)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = ann_topk(
+        ds, {"ids": qids, "matrix": qmat}, k=5
+    ).select_columns(["query_id", "neighbor_id"]).to_pandas()
+    approx = ann_topk(
+        dequantize_embeddings(ds, levels=15), {"ids": qids, "matrix": qmat},
+        k=5,
+    ).select_columns(["query_id", "neighbor_id"]).to_pandas()
+    return _recall_table(exact, approx, k=5)
+
+
+def _sql_sq8_recall() -> str:
+    from ..ann import sql_sq_recall
+
+    return sql_sq_recall(5, 10, 64, 15)
+
+
+def q_trunc_recall(sf_dir: str):
+    """Matryoshka dimension-truncation acceptance gate: recall@k when
+    both queries and corpus keep only the first 16 of 64 coordinates
+    (cosine re-normalizes inside ann_topk) vs the full-dimension exact
+    top-k — the storage/recall trade measured before shrinking an
+    embedding store 4x."""
+    import ray.data as rd
+
+    from ..ann import ann_topk, truncate_embeddings
+
+    dims = 16
+    qids, qmat = _head_vectors(sf_dir, 10)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = ann_topk(
+        ds, {"ids": qids, "matrix": qmat}, k=5
+    ).select_columns(["query_id", "neighbor_id"]).to_pandas()
+    approx = ann_topk(
+        truncate_embeddings(ds, dims),
+        {"ids": qids, "matrix": qmat[:, :dims]}, k=5,
+    ).select_columns(["query_id", "neighbor_id"]).to_pandas()
+    return _recall_table(exact, approx, k=5)
+
+
+def _sql_trunc_recall() -> str:
+    from ..ann import sql_trunc_recall
+
+    return sql_trunc_recall(5, 10, 16)
+
+
+def q_simhash_screen(sf_dir: str):
+    """Near-dup screen quality gate: precision/recall of the SimHash
+    hamming<=3 candidate screen against exact n-gram Jaccard >= 0.3
+    ground truth, both sides the engine's own pipelines over the real
+    corpus.  At 100 TB this gate runs on a corpus SAMPLE (the pair sets
+    are sample-bounded); the fold packs (id_a, id_b) into int64 keys and
+    counts overlap with one sorted isin — no per-pair Python."""
+    from ..dedup import ngram_jaccard_pairs, simhash_pairs
+
+    truth = (
+        ngram_jaccard_pairs(_docs(sf_dir, ("doc_id", "text")), threshold=0.3)
+        .select_columns(["id_a", "id_b"])
+        .to_pandas()
+    )
+    screen = (
+        simhash_pairs(_docs(sf_dir, ("doc_id", "text")))
+        .select_columns(["id_a", "id_b"])
+        .to_pandas()
+    )
+
+    def pack(df) -> np.ndarray:
+        return (
+            df["id_a"].to_numpy(np.int64) * np.int64(2**32)
+            + df["id_b"].to_numpy(np.int64)
+        )
+
+    tk, sk = pack(truth), pack(screen)
+    n_truth, n_screen = len(tk), len(sk)
+    n_overlap = int(np.isin(sk, tk).sum())
+    recall = n_overlap / max(n_truth, 1)
+    prec = n_overlap / max(n_screen, 1)
+    r6 = lambda v: np.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731 — v >= 0
+    return pa.table(
+        {
+            "n_truth": pa.array([n_truth], pa.int64()),
+            "n_screen": pa.array([n_screen], pa.int64()),
+            "n_overlap": pa.array([n_overlap], pa.int64()),
+            "recall": pa.array([float(r6(recall))]),
+            "prec": pa.array([float(r6(prec))]),
+        }
+    )
+
+
+def _sql_simhash_screen() -> str:
+    from ..dedup import sql_ngram_jaccard, sql_simhash_pairs
+
+    return f"""
+WITH sp AS ({sql_simhash_pairs(3)}),
+tj AS ({sql_ngram_jaccard(0.3)}),
+m AS (SELECT
+  (SELECT COUNT(*) FROM tj)::BIGINT AS n_truth,
+  (SELECT COUNT(*) FROM sp)::BIGINT AS n_screen,
+  (SELECT COUNT(*) FROM sp JOIN tj
+     ON sp.id_a = tj.id_a AND sp.id_b = tj.id_b)::BIGINT AS n_overlap)
+SELECT n_truth, n_screen, n_overlap,
+       ROUND(n_overlap / GREATEST(n_truth, 1) * 1e6) / 1e6 AS recall,
+       ROUND(n_overlap / GREATEST(n_screen, 1) * 1e6) / 1e6 AS prec
+FROM m
+"""
 
 
 def _sql_ann_recall() -> str:
@@ -14888,6 +15024,9 @@ def oracle_sql():
         "q17_small_qty": _sql_tpch("sql_q17"),
         "q21_waiting": _sql_tpch("sql_q21"),
         "ann_recall": _sql_ann_recall(),
+        "sq8_recall": _sql_sq8_recall(),
+        "trunc_recall": _sql_trunc_recall(),
+        "simhash_screen": _sql_simhash_screen(),
     }
 
 

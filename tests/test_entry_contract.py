@@ -175,6 +175,9 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "q17_small_qty",
         "q21_waiting",
         "ann_recall",
+        "sq8_recall",
+        "trunc_recall",
+        "simhash_screen",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):
