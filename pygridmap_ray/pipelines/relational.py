@@ -4049,40 +4049,41 @@ def events_watermark(sf_dir: str, *, num_buckets: int = 64):
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
 
-    # pass 1: per-bucket max event-time -> driver strict-prefix fold
-    bmax = (
-        tagged.map_batches(
-            lambda b: pa.table(
-                {
-                    "__b": pa.array(
-                        np.unique(np.asarray(b["__b"], np.int64))
-                    ),
-                    "mx": pa.array(
-                        pd.DataFrame(
-                            {
-                                "b": np.asarray(b["__b"], np.int64),
-                                "u": np.asarray(b["us"], np.int64),
-                            }
-                        )
-                        .groupby("b", sort=True)["u"]
-                        .max()
-                        .to_numpy(np.int64)
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("__b")
-        .aggregate(Max("mx", alias_name="mx"))
-        .to_pandas()
-    )
+    # pass 1: per-bucket max event-time -> driver strict-prefix fold.
+    # The partials are (<= num_buckets) rows PER BATCH; folding them on
+    # the driver (a few thousand int64 rows) replaces a Ray sort
+    # aggregate whose fixed per-partition overhead dwarfed the work
+    # (measured 7 s of overhead on 46k-row inputs at sf0.1).
+    bmax = tagged.map_batches(
+        lambda b: pa.table(
+            {
+                "__b": pa.array(
+                    np.unique(np.asarray(b["__b"], np.int64))
+                ),
+                "mx": pa.array(
+                    pd.DataFrame(
+                        {
+                            "b": np.asarray(b["__b"], np.int64),
+                            "u": np.asarray(b["us"], np.int64),
+                        }
+                    )
+                    .groupby("b", sort=True)["u"]
+                    .max()
+                    .to_numpy(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
     prefix = np.full(num_buckets, np.iinfo(np.int64).min, dtype=np.int64)
-    got = dict(zip(bmax["__b"].tolist(), bmax["mx"].tolist()))
+    pb = bmax["__b"].to_numpy(np.int64)
+    pm = bmax["mx"].to_numpy(np.int64)
     run = np.iinfo(np.int64).min
     for b in range(num_buckets):
         prefix[b] = run
-        if b in got:
-            run = max(run, int(got[b]))
+        sel = pb == b
+        if sel.any():
+            run = max(run, int(pm[sel].max()))
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         bid = int(g["__b"].iloc[0])
@@ -4110,16 +4111,30 @@ def events_watermark(sf_dir: str, *, num_buckets: int = 64):
             }
         )
 
-    out = (
+    # the per-bucket partials are <= num_buckets x n_windows rows
+    # (calendar-bounded), so the final window sum is a driver fold —
+    # the Ray aggregate alternative paid ~7 s of fixed overhead for
+    # 46k rows at sf0.1.
+    part = (
         tagged.groupby("__b")
         .map_groups(kernel, batch_format="pandas")
-        .groupby("win_us")
-        .aggregate(
-            Sum("n_total", alias_name="n_total"),
-            Sum("n_late", alias_name="n_late"),
-        )
+        .to_pandas()
     )
-    return out.sort("win_us")
+    win = part["win_us"].to_numpy(np.int64)
+    uw, inv = np.unique(win, return_inverse=True)
+    n_total = np.bincount(
+        inv, weights=part["n_total"].to_numpy(np.float64), minlength=len(uw)
+    ).astype(np.int64)
+    n_late = np.bincount(
+        inv, weights=part["n_late"].to_numpy(np.float64), minlength=len(uw)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "win_us": pa.array(uw),
+            "n_total": pa.array(n_total),
+            "n_late": pa.array(n_late),
+        }
+    )
 
 
 def sql_events_watermark() -> str:
