@@ -242,6 +242,9 @@ def _secondary() -> dict:
         ("q13_custdist", q.q_q13_custdist),
         ("q7_volume", q.q_q7_volume),
         ("q17_small_qty", q.q_q17_small_qty),
+        ("q9_profit", q.q_q9_profit),
+        ("q12_late_priority", q.q_q12_late_priority),
+        ("q16_supplier_cnt", q.q_q16_supplier_cnt),
         ("semdedup", q.q_semdedup),
         ("gopher_rules", q.q_gopher_rules),
         ("ccnet_buckets", q.q_ccnet_buckets),

@@ -13767,6 +13767,12 @@ def queries():
         "events_watermark": q_events_watermark,
         "q17_small_qty": q_q17_small_qty,
         "q21_waiting": q_q21_waiting,
+        "q2_min_cost": q_q2_min_cost,
+        "q9_profit": q_q9_profit,
+        "q11_important": q_q11_important,
+        "q12_late_priority": q_q12_late_priority,
+        "q16_supplier_cnt": q_q16_supplier_cnt,
+        "q20_excess": q_q20_excess,
         "ann_recall": q_ann_recall,
         "sq8_recall": q_sq8_recall,
         "trunc_recall": q_trunc_recall,
@@ -13843,6 +13849,42 @@ def q_q21_waiting(sf_dir: str):
     from .tpch import q21_waiting
 
     return q21_waiting(sf_dir)
+
+
+def q_q2_min_cost(sf_dir: str):
+    from .tpch import q2_min_cost
+
+    return q2_min_cost(sf_dir)
+
+
+def q_q9_profit(sf_dir: str):
+    from .tpch import q9_profit
+
+    return q9_profit(sf_dir)
+
+
+def q_q11_important(sf_dir: str):
+    from .tpch import q11_important_parts
+
+    return q11_important_parts(sf_dir)
+
+
+def q_q12_late_priority(sf_dir: str):
+    from .tpch import q12_late_priority
+
+    return q12_late_priority(sf_dir)
+
+
+def q_q16_supplier_cnt(sf_dir: str):
+    from .tpch import q16_supplier_cnt
+
+    return q16_supplier_cnt(sf_dir)
+
+
+def q_q20_excess(sf_dir: str):
+    from .tpch import q20_excess
+
+    return q20_excess(sf_dir)
 
 
 def q_ann_recall(sf_dir: str):
@@ -15023,6 +15065,12 @@ def oracle_sql():
         "events_watermark": _sql_events_watermark(),
         "q17_small_qty": _sql_tpch("sql_q17"),
         "q21_waiting": _sql_tpch("sql_q21"),
+        "q2_min_cost": _sql_tpch("sql_q2"),
+        "q9_profit": _sql_tpch("sql_q9"),
+        "q11_important": _sql_tpch("sql_q11"),
+        "q12_late_priority": _sql_tpch("sql_q12"),
+        "q16_supplier_cnt": _sql_tpch("sql_q16"),
+        "q20_excess": _sql_tpch("sql_q20"),
         "ann_recall": _sql_ann_recall(),
         "sq8_recall": _sql_sq8_recall(),
         "trunc_recall": _sql_trunc_recall(),

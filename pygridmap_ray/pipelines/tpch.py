@@ -1551,3 +1551,881 @@ GROUP BY w.s, s_name
 ORDER BY numwait DESC, s_suppkey
 LIMIT {Q21_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion wave: Q2 / Q9 / Q11 / Q12 / Q16 / Q20 adaptations.
+# The schema has no partsupp table (and no l_shipmode / l_receiptdate), so
+# each query keeps the REFERENCE SHAPE — correlated min subquery, profit
+# rollup, HAVING vs a global scalar, late-line CASE counts, COUNT(DISTINCT)
+# over a bridge, grouped-sum semi-join — with lineitem standing in for the
+# part-supplier bridge and the Q4-style ship-lateness law standing in for
+# receipt lateness.  All literals are shared with the sql_* twins.
+
+Q2_SIZE = 15
+Q2_TYPE = "STANDARD"
+Q2_REGION = "EUROPE"
+
+Q9_NAME_SUB = "red"       # p_name LIKE '%red%'
+Q9_COST_FRAC = 0.5        # cost model: frac * p_retailprice * l_quantity
+
+Q11_NATION = "NATION_7"
+Q11_FRACTION = 0.001
+
+Q12_D0, Q12_D1 = "1996-01-01", "1997-01-01"
+Q12_LATE_DAYS = 45
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+Q16_EXCL_BRAND = "Brand#5"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+Q20_NAME_PREFIX = "red"   # p_name LIKE 'red%'
+Q20_D0, Q20_D1 = "1996-01-01", "1997-01-01"
+Q20_QTY_GT = 200.0
+Q20_NATION = "NATION_3"
+
+
+def q2_min_cost(sf_dir: str) -> pa.Table:
+    """TPC-H Q2 minimum-cost supplier (adapted): for parts of one
+    size/type, the cheapest observed unit price (l_extendedprice /
+    l_quantity) among region suppliers, returning every (supplier, part)
+    row achieving the per-part minimum.  The correlated MIN subquery
+    becomes one hash aggregate over the doubly-filtered lineitem
+    projection plus a broadcast min-map second pass — the filtered part
+    set is parts/(sizes*types) and the achieving-rows output is bounded
+    by it, so the min map is broadcast-scale by construction (a
+    partitioned ``cluster.safe_join`` is the >2M-part fallback)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..spatial import _cached_kernel
+    from .queries import round_half_away
+
+    by_key, by_region = _nation_maps(sf_dir)
+    region_key = {
+        "AFRICA": 0, "AMERICA": 1, "ASIA": 2, "EUROPE": 3, "MIDDLE EAST": 4,
+    }[Q2_REGION]
+    region_nations = by_region[region_key]
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_type"]
+    )
+    pk = np.asarray(part["p_partkey"], np.int64)
+    keep = (
+        (np.asarray(part["p_size"], np.int64) == Q2_SIZE)
+        & (np.asarray(part["p_type"].to_pylist(), dtype=object) == Q2_TYPE)
+    )
+    part_keys = np.sort(pk[keep])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet")
+    sk = np.asarray(supp["s_suppkey"], np.int64)
+    sn = np.asarray(supp["s_nationkey"], np.int64)
+    in_region = np.isin(sn, list(region_nations))
+    supp_keys = np.sort(sk[in_region])
+    ref = {"__ref__": ray.put((part_keys, supp_keys))}
+    ckey = f"q2sets:{ref['__ref__'].hex()}"
+
+    def project(b: pa.Table) -> pa.Table:
+        pks, sks = _cached_kernel(ckey, ref, lambda d: d)
+        lp = np.asarray(b["l_partkey"], np.int64)
+        ls = np.asarray(b["l_suppkey"], np.int64)
+        m = np.zeros(len(lp), dtype=bool)
+        if len(pks) and len(sks):
+            pi = np.searchsorted(pks, lp)
+            pi = np.minimum(pi, len(pks) - 1)
+            si = np.searchsorted(sks, ls)
+            si = np.minimum(si, len(sks) - 1)
+            m = (pks[pi] == lp) & (sks[si] == ls)
+        unit = (
+            np.asarray(b["l_extendedprice"], np.float64)[m]
+            / np.asarray(b["l_quantity"], np.float64)[m]
+        )
+        return pa.table(
+            {
+                "p_partkey": pa.array(lp[m]),
+                "s_suppkey": pa.array(ls[m]),
+                "unit": pa.array(unit),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    ).map_batches(project, batch_format="pyarrow")
+
+    mins = (
+        li.groupby("p_partkey")
+        .aggregate(Min("unit", alias_name="mn"))
+        .to_pandas()  # bounded by the filtered part count (parts/300)
+    )
+    mk = mins["p_partkey"].to_numpy(np.int64)
+    mo = np.argsort(mk, kind="stable")
+    mref = {"__ref__": ray.put((mk[mo], mins["mn"].to_numpy(np.float64)[mo]))}
+    mkey = f"q2min:{mref['__ref__'].hex()}"
+
+    def achieving(b: pa.Table) -> pa.Table:
+        keys, mn = _cached_kernel(mkey, mref, lambda d: d)
+        lp = np.asarray(b["p_partkey"], np.int64)
+        unit = np.asarray(b["unit"], np.float64)
+        m = np.zeros(len(lp), dtype=bool)
+        if len(keys):
+            pi = np.searchsorted(keys, lp)
+            pi = np.minimum(pi, len(keys) - 1)
+            m = (keys[pi] == lp) & (unit == mn[pi])  # exact: min of these
+        # distinct (part, supp) partial — the unit is determined by part
+        k = np.unique(
+            lp[m] * (1 << 31) + np.asarray(b["s_suppkey"], np.int64)[m]
+        )
+        return pa.table({"k": pa.array(k)})
+
+    kt = pa.concat_tables(
+        li.map_batches(achieving, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    k = np.unique(np.asarray(kt["k"], np.int64))
+    ppk = k >> 31
+    ssk = k & ((1 << 31) - 1)
+    # driver attach: supplier + nation are dimension tables
+    sorder = np.argsort(sk, kind="stable")
+    sk_s, so = sk[sorder], sorder
+    si = np.searchsorted(sk_s, ssk)
+    si = np.minimum(si, max(len(sk_s) - 1, 0))
+    names = np.asarray(supp["s_name"].to_pylist(), dtype=object)
+    bals = np.asarray(supp["s_acctbal"], np.float64)
+    nats = sn
+    s_name = names[so][si]
+    s_bal = bals[so][si]
+    n_name = np.asarray(
+        [by_key[int(v)] for v in nats[so][si]], dtype=object
+    ) if len(si) else np.asarray([], dtype=object)
+    morder = np.argsort(mk, kind="stable")
+    mi = np.searchsorted(mk[morder], ppk)
+    mi = np.minimum(mi, max(len(mk) - 1, 0))
+    unit = mins["mn"].to_numpy(np.float64)[morder][mi] if len(mk) else np.asarray([], np.float64)
+    out = pa.table(
+        {
+            "s_acctbal": pa.array(s_bal, pa.float64()),
+            "s_name": pa.array(list(s_name), pa.string()),
+            "n_name": pa.array(list(n_name), pa.string()),
+            "p_partkey": pa.array(ppk),
+            "unit_cost": pa.array(unit, pa.float64()),
+        }
+    )
+    return round_half_away(out, ["unit_cost"], 6)
+
+
+def sql_q2() -> str:
+    return f"""
+WITH f AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = {Q2_SIZE} AND p_type = '{Q2_TYPE}'
+    AND r_name = '{Q2_REGION}'),
+m AS (SELECT l_partkey, MIN(unit) AS mn FROM f GROUP BY l_partkey)
+SELECT DISTINCT s_acctbal, s_name, n_name, f.l_partkey AS p_partkey,
+       ROUND(f.unit * 1e6) / 1e6 AS unit_cost
+FROM f
+JOIN m ON f.l_partkey = m.l_partkey AND f.unit = m.mn
+JOIN supplier ON s_suppkey = f.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+def q9_profit(sf_dir: str):
+    """TPC-H Q9 product-type profit (adapted): for parts whose name
+    contains ``Q9_NAME_SUB``, profit = revenue minus a retail-price cost
+    model (no partsupp table), rolled up by supplier nation and order
+    year.  Part cost and supplier nation ride broadcast sorted lookups
+    inside the lineitem scan; the order-year attach follows the q7
+    keeper-join gate (broadcast under 2M orders, partitioned
+    ``safe_join`` above); the (nation, year) domain is tiny so partials
+    pack into one int64 and the final groupby is nations x years."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..cluster import default_num_partitions
+    from ..spatial import _cached_kernel
+    from .queries import round_half_away
+
+    by_key, _ = _nation_maps(sf_dir)
+    s_ref = _supplier_nation_ref(sf_dir)
+    skey = f"q9supp:{s_ref['__ref__'].hex()}"
+    nparts = default_num_partitions()
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    names = part["p_name"].to_pylist()
+    keep = np.fromiter(
+        (Q9_NAME_SUB in (n or "") for n in names), dtype=bool, count=len(names)
+    )
+    pk = np.asarray(part["p_partkey"], np.int64)[keep]
+    retail = np.asarray(part["p_retailprice"], np.float64)[keep]
+    o = np.argsort(pk, kind="stable")
+    p_ref = {"__ref__": ray.put((pk[o], retail[o]))}
+    pkey = f"q9part:{p_ref['__ref__'].hex()}"
+
+    def project(b: pa.Table) -> pa.Table:
+        pks, pret = _cached_kernel(pkey, p_ref, lambda d: d)
+        sks, snat = _cached_kernel(skey, s_ref, lambda d: d)
+        lp = np.asarray(b["l_partkey"], np.int64)
+        m = np.zeros(len(lp), dtype=bool)
+        pi = np.zeros(len(lp), dtype=np.int64)
+        if len(pks):
+            pi = np.minimum(np.searchsorted(pks, lp), len(pks) - 1)
+            m = pks[pi] == lp
+        ls = np.asarray(b["l_suppkey"], np.int64)[m]
+        si = np.minimum(np.searchsorted(sks, ls), len(sks) - 1)
+        nat = snat[si]
+        amount = (
+            np.asarray(b["l_extendedprice"], np.float64)[m]
+            * (1.0 - np.asarray(b["l_discount"], np.float64)[m])
+            - Q9_COST_FRAC
+            * pret[pi[m]]
+            * np.asarray(b["l_quantity"], np.float64)[m]
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(np.asarray(b["l_orderkey"], np.int64)[m]),
+                "nat": pa.array(nat),
+                "amount": pa.array(amount),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount", "l_quantity",
+        ],
+    ).map_batches(project, batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_year": pa.array(
+                    np.asarray(b["o_orderdate"])
+                    .astype("datetime64[Y]")
+                    .astype(np.int64) + 1970
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if orders.count() <= 2_000_000:
+        from ..joins import lookup_join
+
+        dim = pa.concat_tables(
+            orders.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        j = lookup_join(
+            li, dim, on="l_orderkey", key="o_orderkey", value_cols=["o_year"]
+        )
+    else:
+        from ..cluster import safe_join
+
+        j = safe_join(
+            li.repartition(nparts),
+            orders,
+            "inner",
+            num_partitions=nparts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+            left_schema=pa.schema(
+                [("l_orderkey", pa.int64()), ("nat", pa.int64()),
+                 ("amount", pa.float64())]
+            ),
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table(
+                {"nat": pa.array([], pa.int64()),
+                 "o_year": pa.array([], pa.int64()),
+                 "amount": pa.array([], pa.float64())}
+            )
+        nat = np.asarray(b["nat"], np.int64)
+        year = np.asarray(b["o_year"], np.int64)
+        amt = np.asarray(b["amount"], np.float64)
+        packed = nat * 4096 + (year - 1970)
+        uk, inv = np.unique(packed, return_inverse=True)
+        sums = np.bincount(inv, weights=amt, minlength=len(uk))
+        return pa.table(
+            {
+                "nat": pa.array(uk // 4096),
+                "o_year": pa.array(uk % 4096 + 1970),
+                "amount": pa.array(sums),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nat", "o_year"])
+        .aggregate(Sum("amount", alias_name="sum_profit"))
+        .to_pandas()  # nations x years rows
+    )
+    if not len(agg):
+        return pa.table(
+            {"nation": pa.array([], pa.string()),
+             "o_year": pa.array([], pa.int64()),
+             "sum_profit": pa.array([], pa.float64())}
+        )
+    agg["nation"] = [by_key[int(v)] for v in agg["nat"].to_numpy(np.int64)]
+    agg = agg.sort_values(["nation", "o_year"], ascending=[True, False])
+    out = pa.table(
+        {
+            "nation": pa.array(agg["nation"].tolist(), pa.string()),
+            "o_year": pa.array(agg["o_year"].to_numpy(np.int64)),
+            "sum_profit": pa.array(agg["sum_profit"].to_numpy(np.float64)),
+        }
+    )
+    return round_half_away(out, ["sum_profit"], 2)
+
+
+def sql_q9() -> str:
+    return f"""
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)
+                 - {Q9_COST_FRAC}::DOUBLE * p_retailprice * l_quantity)
+             * 1e2) / 1e2 AS sum_profit
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%{Q9_NAME_SUB}%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 important stock (adapted): per-part inventory value
+    from one nation's suppliers — value = SUM(l_extendedprice *
+    (1 - l_discount)) over the nation-filtered lineitem stream — kept
+    where it exceeds ``Q11_FRACTION`` of the global total.  The HAVING
+    vs a global scalar is a two-phase plan: per-part hash aggregate
+    (int-key, vectorized), a one-row total reduce over the SAME partial
+    stream, then a broadcast-scalar filter.  Output is bounded above by
+    1/fraction rows regardless of corpus size, so the final attach is
+    driver-scale by construction."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..spatial import _cached_kernel
+    from .queries import round_half_away
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    nkey = {v: k for k, v in zip(nat["n_nationkey"], nat["n_name"])}[Q11_NATION]
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sset = np.sort(
+        np.asarray(supp["s_suppkey"], np.int64)[
+            np.asarray(supp["s_nationkey"], np.int64) == nkey
+        ]
+    )
+    ref = {"__ref__": ray.put(sset)}
+    ckey = f"q11supp:{ref['__ref__'].hex()}"
+
+    def partial(b: pa.Table) -> pa.Table:
+        sks = _cached_kernel(ckey, ref, lambda d: d)
+        ls = np.asarray(b["l_suppkey"], np.int64)
+        m = np.zeros(len(ls), dtype=bool)
+        if len(sks):
+            si = np.minimum(np.searchsorted(sks, ls), len(sks) - 1)
+            m = sks[si] == ls
+        lp = np.asarray(b["l_partkey"], np.int64)[m]
+        val = (
+            np.asarray(b["l_extendedprice"], np.float64)[m]
+            * (1.0 - np.asarray(b["l_discount"], np.float64)[m])
+        )
+        uk, inv = np.unique(lp, return_inverse=True)
+        sums = np.bincount(inv, weights=val, minlength=len(uk))
+        return pa.table(
+            {
+                "p_partkey": pa.array(uk, pa.int64()),
+                "value": pa.array(sums.astype(np.float64), pa.float64()),
+            }
+        )
+
+    partials = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow").materialize()
+
+    total = partials.sum("value") or 0.0
+    thr = _round_half_away_scalar(Q11_FRACTION * float(total), 2)
+
+    per_part = partials.groupby("p_partkey").aggregate(
+        Sum("value", alias_name="value")
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"], np.float64)
+        vr = np.sign(v) * np.floor(np.abs(v) * 1e2 + 0.5) / 1e2
+        m = vr > thr
+        return pa.table(
+            {
+                "p_partkey": pa.array(np.asarray(b["p_partkey"], np.int64)[m]),
+                "value": pa.array(vr[m]),
+            }
+        )
+
+    out = per_part.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return pa.table(
+            {"p_partkey": pa.array([], pa.int64()),
+             "value": pa.array([], pa.float64())}
+        )
+    out = out.sort_values(["value", "p_partkey"], ascending=[False, True])
+    return pa.table(
+        {
+            "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64)),
+            "value": pa.array(out["value"].to_numpy(np.float64)),
+        }
+    )
+
+
+def sql_q11() -> str:
+    return f"""
+WITH f AS (
+  SELECT l_partkey, l_extendedprice * (1.0 - l_discount) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = '{Q11_NATION}')
+SELECT l_partkey AS p_partkey,
+       ROUND(SUM(v) * 1e2) / 1e2 AS value
+FROM f
+GROUP BY l_partkey
+HAVING ROUND(SUM(v) * 1e2) / 1e2 >
+       ROUND((SELECT SUM(v) FROM f) * {Q11_FRACTION}::DOUBLE * 1e2) / 1e2
+ORDER BY value DESC, p_partkey
+"""
+
+
+def q12_late_priority(sf_dir: str):
+    """TPC-H Q12 shipping-priority audit (adapted): the schema has no
+    l_shipmode / l_receiptdate, so the group key is l_returnflag and the
+    lateness law is the Q4-style ship-vs-order-date gap.  Lines shipped
+    inside the window whose ship date trails the order date by more than
+    ``Q12_LATE_DAYS`` are counted per return flag, split into
+    high-priority (URGENT/HIGH) and low-priority orders — the classic
+    fact x fact join with a CASE rollup.  Orders attach via the q7
+    keeper gate; the group domain is 3 flags x 2, so partials collapse
+    per batch and the final groupby is tiny."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..cluster import default_num_partitions
+    from .queries import round_half_away  # noqa: F401 (house import)
+
+    d0, d1 = _ts_us(Q12_D0), _ts_us(Q12_D1)
+    late_us = Q12_LATE_DAYS * _US_PER_DAY
+    nparts = default_num_partitions()
+
+    def li_project(b: pa.Table) -> pa.Table:
+        ship = np.asarray(b["l_shipdate"]).astype("datetime64[us]").view("int64")
+        m = (ship >= d0) & (ship < d1)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(np.asarray(b["l_orderkey"], np.int64)[m]),
+                "l_returnflag": pc.cast(
+                    pa.array(
+                        np.asarray(b["l_returnflag"].to_pylist(), dtype=object)[m]
+                    ),
+                    pa.string(),
+                ),
+                "ship_us": pa.array(ship[m]),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    ).map_batches(li_project, batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "odate_us": pa.array(
+                    np.asarray(b["o_orderdate"])
+                    .astype("datetime64[us]")
+                    .view("int64")
+                ),
+                "is_high": pa.array(
+                    np.isin(
+                        np.asarray(b["o_orderpriority"].to_pylist(), dtype=object),
+                        list(Q12_HIGH),
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if orders.count() <= 2_000_000:
+        from ..joins import lookup_join
+
+        dim = pa.concat_tables(
+            orders.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        j = lookup_join(
+            li, dim, on="l_orderkey", key="o_orderkey",
+            value_cols=["odate_us", "is_high"],
+        )
+    else:
+        from ..cluster import safe_join
+
+        j = safe_join(
+            li.repartition(nparts),
+            orders,
+            "inner",
+            num_partitions=nparts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+            left_schema="auto",
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"l_returnflag": pa.array([], pa.string()),
+             "high_line_count": pa.array([], pa.int64()),
+             "low_line_count": pa.array([], pa.int64())}
+        )
+        if b.num_columns == 0 or b.num_rows == 0:
+            return empty
+        ship = np.asarray(b["ship_us"], np.int64)
+        odate = np.asarray(b["odate_us"], np.int64)
+        m = ship >= odate + late_us
+        if not m.any():
+            return empty
+        flags = np.asarray(b["l_returnflag"].to_pylist(), dtype=object)[m]
+        hi = np.asarray(b["is_high"], np.int64)[m]
+        uf, inv = np.unique(flags, return_inverse=True)
+        high = np.bincount(inv, weights=hi, minlength=len(uf)).astype(np.int64)
+        low = np.bincount(inv, weights=1 - hi, minlength=len(uf)).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(list(uf), pa.string()),
+                "high_line_count": pa.array(high),
+                "low_line_count": pa.array(low),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+        .to_pandas()
+    )
+    agg = agg.sort_values("l_returnflag")
+    return pa.table(
+        {
+            "l_returnflag": pa.array(agg["l_returnflag"].tolist(), pa.string()),
+            "high_line_count": pa.array(
+                agg["high_line_count"].to_numpy(np.int64)
+            ),
+            "low_line_count": pa.array(
+                agg["low_line_count"].to_numpy(np.int64)
+            ),
+        }
+    )
+
+
+def sql_q12() -> str:
+    hi = ", ".join(f"'{p}'" for p in Q12_HIGH)
+    return f"""
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ({hi}) THEN 1 ELSE 0 END)::BIGINT
+           AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ({hi}) THEN 0 ELSE 1 END)::BIGINT
+           AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_D0}' AND l_shipdate < TIMESTAMP '{Q12_D1}'
+  AND l_shipdate >= o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 supplier-count by part attributes (adapted): lineitem
+    is the part-supplier bridge (no partsupp), negative-balance
+    suppliers stand in for the complaints exclusion.  COUNT(DISTINCT
+    supplier) per (brand, type, size) runs as the packed-int distinct
+    plan — per-batch ``np.unique`` partials on (partkey << 31 | suppkey)
+    -> one coarse-bucket shuffle (``graph.distinct_int_pairs``) -> a
+    broadcast part-attribute lookup and a bounded final groupby (the
+    group domain is brands x types x sizes)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..graph import distinct_int_pairs
+    from ..spatial import _cached_kernel
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)
+    ptype = np.asarray(part["p_type"].to_pylist(), dtype=object)
+    size = np.asarray(part["p_size"], np.int64)
+    keep = (
+        (brand != Q16_EXCL_BRAND)
+        & (ptype != Q16_EXCL_TYPE)
+        & np.isin(size, list(Q16_SIZES))
+    )
+    pk = np.asarray(part["p_partkey"], np.int64)[keep]
+    o = np.argsort(pk, kind="stable")
+    pk = pk[o]
+    # dense TRIPLE id per filtered part: the distinct must run at the
+    # (triple, supplier) grain — two parts sharing (brand, type, size)
+    # count a common supplier ONCE (COUNT(DISTINCT) law)
+    triple_key = np.asarray(
+        [f"{b}\x00{t}\x00{s}" for b, t, s in
+         zip(brand[keep][o], ptype[keep][o], size[keep][o])],
+        dtype=object,
+    )
+    uniq_triples, tid_of_part = np.unique(triple_key, return_inverse=True)
+    t_brand = np.asarray([k.split("\x00")[0] for k in uniq_triples], dtype=object)
+    t_type = np.asarray([k.split("\x00")[1] for k in uniq_triples], dtype=object)
+    t_size = np.asarray([int(k.split("\x00")[2]) for k in uniq_triples], np.int64)
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    bad = np.sort(
+        np.asarray(supp["s_suppkey"], np.int64)[
+            np.asarray(supp["s_acctbal"], np.float64) < 0.0
+        ]
+    )
+    ref = {"__ref__": ray.put((pk, tid_of_part.astype(np.int64), bad))}
+    ckey = f"q16sets:{ref['__ref__'].hex()}"
+
+    def project(b: pa.Table) -> pa.Table:
+        pks, tids, badk = _cached_kernel(ckey, ref, lambda d: d)
+        lp = np.asarray(b["l_partkey"], np.int64)
+        ls = np.asarray(b["l_suppkey"], np.int64)
+        m = np.zeros(len(lp), dtype=bool)
+        pi = np.zeros(len(lp), dtype=np.int64)
+        if len(pks):
+            pi = np.minimum(np.searchsorted(pks, lp), len(pks) - 1)
+            m = pks[pi] == lp
+        if len(badk):
+            bi = np.minimum(np.searchsorted(badk, ls), len(badk) - 1)
+            m &= badk[bi] != ls
+        return pa.table(
+            {"tid": pa.array(tids[pi[m]]), "s_suppkey": pa.array(ls[m])}
+        )
+
+    pairs = distinct_int_pairs(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        ).map_batches(project, batch_format="pyarrow"),
+        "tid",
+        "s_suppkey",
+    )
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["tid"], np.int64)
+        if not len(t):
+            return pa.table(
+                {"tid": pa.array([], pa.int64()),
+                 "supplier_cnt": pa.array([], pa.int64())}
+            )
+        uk, inv = np.unique(t, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({"tid": pa.array(uk), "supplier_cnt": pa.array(cnt)})
+
+    agg = (
+        pairs.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("tid")
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+        .to_pandas()  # bounded by brands x types x sizes
+    )
+    if not len(agg):
+        return pa.table(
+            {"p_brand": pa.array([], pa.string()),
+             "p_type": pa.array([], pa.string()),
+             "p_size": pa.array([], pa.int64()),
+             "supplier_cnt": pa.array([], pa.int64())}
+        )
+    gi = agg["tid"].to_numpy(np.int64)
+    g = pd.DataFrame(
+        {
+            "p_brand": t_brand[gi],
+            "p_type": t_type[gi],
+            "p_size": t_size[gi],
+            "supplier_cnt": agg["supplier_cnt"].to_numpy(np.int64),
+        }
+    ).sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    )
+    return pa.table(
+        {
+            "p_brand": pa.array(g["p_brand"].tolist(), pa.string()),
+            "p_type": pa.array(g["p_type"].tolist(), pa.string()),
+            "p_size": pa.array(g["p_size"].to_numpy(np.int64)),
+            "supplier_cnt": pa.array(g["supplier_cnt"].to_numpy(np.int64)),
+        }
+    )
+
+
+def sql_q16() -> str:
+    sizes = ", ".join(str(s) for s in Q16_SIZES)
+    return f"""
+SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+       COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_type <> '{Q16_EXCL_TYPE}'
+  AND p_size IN ({sizes})
+  AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess(sf_dir: str):
+    """TPC-H Q20 excess-stock suppliers (adapted): suppliers from one
+    nation whose shipped quantity of name-prefixed parts inside the
+    window exceeds ``Q20_QTY_GT`` (the availqty > half-shipped law,
+    inverted to the observable side of the missing partsupp).  One
+    broadcast-filtered scan -> per-supplier packed partial sums -> hash
+    aggregate -> threshold filter; the supplier dimension attaches on
+    the driver (the output is bounded by the supplier table)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..spatial import _cached_kernel
+    from .queries import round_half_away
+
+    d0, d1 = _ts_us(Q20_D0), _ts_us(Q20_D1)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    nkey = {v: k for k, v in zip(nat["n_nationkey"], nat["n_name"])}[Q20_NATION]
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    names = part["p_name"].to_pylist()
+    keep = np.fromiter(
+        ((n or "").startswith(Q20_NAME_PREFIX) for n in names),
+        dtype=bool, count=len(names),
+    )
+    pk = np.sort(np.asarray(part["p_partkey"], np.int64)[keep])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet")
+    sk = np.asarray(supp["s_suppkey"], np.int64)
+    in_nat = np.sort(
+        sk[np.asarray(supp["s_nationkey"], np.int64) == nkey]
+    )
+    ref = {"__ref__": ray.put((pk, in_nat))}
+    ckey = f"q20sets:{ref['__ref__'].hex()}"
+
+    def partial(b: pa.Table) -> pa.Table:
+        pks, sks = _cached_kernel(ckey, ref, lambda d: d)
+        ship = np.asarray(b["l_shipdate"]).astype("datetime64[us]").view("int64")
+        lp = np.asarray(b["l_partkey"], np.int64)
+        ls = np.asarray(b["l_suppkey"], np.int64)
+        m = (ship >= d0) & (ship < d1)
+        if len(pks):
+            pi = np.minimum(np.searchsorted(pks, lp), len(pks) - 1)
+            m &= pks[pi] == lp
+        else:
+            m[:] = False
+        if len(sks):
+            si = np.minimum(np.searchsorted(sks, ls), len(sks) - 1)
+            m &= sks[si] == ls
+        else:
+            m[:] = False
+        qty = np.asarray(b["l_quantity"], np.float64)[m]
+        uk, inv = np.unique(ls[m], return_inverse=True)
+        sums = np.bincount(inv, weights=qty, minlength=len(uk))
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uk, pa.int64()),
+                "qty": pa.array(sums.astype(np.float64), pa.float64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_shipdate", "l_quantity"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("qty", alias_name="qty"))
+        .to_pandas()  # bounded by the supplier dimension
+    )
+    if len(agg):
+        q = agg["qty"].to_numpy(np.float64)
+        qr = np.sign(q) * np.floor(np.abs(q) * 1e2 + 0.5) / 1e2
+        agg = agg.assign(qty=qr)[qr > Q20_QTY_GT]
+    if not len(agg):
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "s_name": pa.array([], pa.string()),
+             "qty": pa.array([], pa.float64())}
+        )
+    so = np.argsort(sk, kind="stable")
+    ss = agg["s_suppkey"].to_numpy(np.int64)
+    si = np.minimum(np.searchsorted(sk[so], ss), len(sk) - 1)
+    nm = np.asarray(supp["s_name"].to_pylist(), dtype=object)[so][si]
+    out = pd.DataFrame(
+        {"s_suppkey": ss, "s_name": nm, "qty": agg["qty"].to_numpy(np.float64)}
+    ).sort_values("s_name")
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+            "s_name": pa.array(out["s_name"].tolist(), pa.string()),
+            "qty": pa.array(out["qty"].to_numpy(np.float64)),
+        }
+    )
+
+
+def sql_q20() -> str:
+    return f"""
+SELECT s_suppkey, s_name, qty
+FROM (
+  SELECT l_suppkey AS s_suppkey,
+         ROUND(SUM(l_quantity) * 1e2) / 1e2 AS qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+    AND l_shipdate >= TIMESTAMP '{Q20_D0}'
+    AND l_shipdate < TIMESTAMP '{Q20_D1}'
+  GROUP BY l_suppkey
+  HAVING ROUND(SUM(l_quantity) * 1e2) / 1e2 > {Q20_QTY_GT}
+) t
+JOIN supplier USING (s_suppkey)
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = '{Q20_NATION}'
+ORDER BY s_name
+"""

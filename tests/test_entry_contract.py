@@ -178,6 +178,12 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "sq8_recall",
         "trunc_recall",
         "simhash_screen",
+        "q2_min_cost",
+        "q9_profit",
+        "q11_important",
+        "q12_late_priority",
+        "q16_supplier_cnt",
+        "q20_excess",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):
