@@ -946,3 +946,207 @@ SELECT v AS node, 'auth' AS kind, ROUND(s * {tol}) / {tol} AS score
 FROM a{iters}
 """
     )
+
+
+def bfs_hops(
+    edges,
+    seeds: np.ndarray,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_hops: int = 4,
+    broadcast_state_limit: int = 2_000_000,
+    num_partitions: int | None = None,
+):
+    """Multi-source BFS hop distance over a SYMMETRIC deduplicated int64
+    edge Dataset: returns a ``pa.Table`` of ``(node, hops)`` with the
+    minimum hop count (<= ``max_hops``) from the seed set, seeds at 0.
+
+    Scale shape (the pagerank state law): BFS state is one small int
+    per node.  Below ``broadcast_state_limit`` nodes each superstep
+    broadcasts the FRONTIER as a sorted array (``ray.put`` once,
+    per-worker cache) and streams the edge set through a stateless
+    membership + packed-unique partial — one map pass per level, no
+    join, visited/dist arrays driver-held (the same node-scale budget
+    as pagerank's broadcast rank vector).  Above the limit each level
+    is a partitioned ``cluster.safe_join`` of the frontier Dataset
+    against the edge set plus a left_outer anti-join against the
+    visited state — same law, the 10^9-node shape."""
+    import ray
+    import ray.data as rd
+
+    if num_partitions is None:
+        from .cluster import default_num_partitions
+
+        num_partitions = default_num_partitions()
+
+    edges = edges.materialize()  # re-streamed once per level
+    # node-count probe: distinct endpoints bounded by 2x edge rows; use
+    # the driver-final packed unique (cheap per-batch partials)
+    def _ends(b: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [np.asarray(b[a_col], np.int64), np.asarray(b[b_col], np.int64)]
+            )
+        )
+        return pa.table({"v": pa.array(u)})
+
+    ends = pa.concat_tables(
+        edges.map_batches(_ends, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    nodes = np.unique(np.asarray(ends["v"], np.int64))
+
+    seeds = np.unique(np.asarray(seeds, np.int64))
+    seeds = seeds[np.isin(seeds, nodes)]
+
+    if len(nodes) <= broadcast_state_limit:
+        visited = seeds.copy()
+        dist = {0: seeds}
+        frontier = seeds
+        for d in range(1, max_hops + 1):
+            if not len(frontier):
+                break
+            f_ref = {"__ref__": ray.put(np.sort(frontier))}
+            fkey = f"bfs:{f_ref['__ref__'].hex()}"
+
+            def expand(b: pa.Table, _ref=f_ref, _key=fkey) -> pa.Table:
+                from .spatial import _cached_kernel
+
+                fr = _cached_kernel(_key, _ref, lambda x: x)
+                a = np.asarray(b[a_col], np.int64)
+                v = np.asarray(b[b_col], np.int64)
+                if len(fr):
+                    i = np.minimum(np.searchsorted(fr, a), len(fr) - 1)
+                    m = fr[i] == a
+                else:
+                    m = np.zeros(len(a), bool)
+                return pa.table({"v": pa.array(np.unique(v[m]))})
+
+            nxt = pa.concat_tables(
+                edges.map_batches(expand, batch_format="pyarrow").iter_batches(
+                    batch_size=None, batch_format="pyarrow"
+                )
+            )
+            cand = np.unique(np.asarray(nxt["v"], np.int64))
+            frontier = cand[~np.isin(cand, visited)]
+            if len(frontier):
+                dist[d] = frontier
+                visited = np.concatenate([visited, frontier])
+        out_v = np.concatenate([dist[d] for d in sorted(dist)])
+        out_d = np.concatenate(
+            [np.full(len(dist[d]), d, np.int64) for d in sorted(dist)]
+        )
+        o = np.argsort(out_v, kind="stable")
+        return pa.table(
+            {"node": pa.array(out_v[o]), "hops": pa.array(out_d[o])}
+        )
+
+    # distributed path: frontier / visited as Datasets, one safe_join
+    # expansion + one left_outer anti-join per level.  Every post-join
+    # projection goes through map_batches + compact_blocks: Ray 2.49's
+    # select_columns/rename_columns misbehave downstream of a hash join
+    # (stale schema probe), and empty blocks keep the pre-UDF schema.
+    from .cluster import compact_blocks, safe_join
+
+    v_schema = pa.schema([("v", pa.int64())])
+    vcg_schema = pa.schema([("v", pa.int64()), ("__cg", pa.int64())])
+    vis_schema = pa.schema([("v", pa.int64()), ("hops", pa.int64())])
+    visited_ds = rd.from_arrow(
+        pa.table({"v": pa.array(seeds), "hops": pa.array(
+            np.zeros(len(seeds), np.int64))})
+    ).repartition(num_partitions)
+    frontier_ds = compact_blocks(
+        visited_ds.map_batches(
+            lambda b: b.select(["v"]), batch_format="pyarrow"
+        ),
+        v_schema,
+    )
+    for d in range(1, max_hops + 1):
+        exp = safe_join(
+            edges.repartition(num_partitions),
+            frontier_ds,
+            "inner",
+            num_partitions=num_partitions,
+            on=(a_col,),
+            right_on=("v",),
+            right_schema=v_schema,
+        )
+
+        def _uniq(b: pa.Table) -> pa.Table:
+            u = np.unique(np.asarray(b[b_col], np.int64))
+            cg = (
+                (u.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(64)
+            ).astype(np.int64)
+            return pa.table({"v": pa.array(u), "__cg": pa.array(cg)})
+
+        def _uniq_g(g):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {"v": np.unique(g["v"].to_numpy(np.int64))}
+            )
+
+        cand = (
+            compact_blocks(
+                exp.map_batches(_uniq, batch_format="pyarrow"), vcg_schema
+            )
+            .groupby("__cg")
+            .map_groups(_uniq_g, batch_format="pandas")
+        )
+        anti = safe_join(
+            compact_blocks(
+                cand.map_batches(
+                    lambda b: pa.table(
+                        {"v": pc.cast(b["v"], pa.int64())}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                v_schema,
+            ),
+            visited_ds.map_batches(
+                lambda b: pa.table(
+                    {
+                        "vv": pc.cast(b["v"], pa.int64()),
+                        "m": pa.array(np.ones(b.num_rows, np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            "left_outer",
+            num_partitions=num_partitions,
+            on=("v",),
+            right_on=("vv",),
+            right_schema=pa.schema([("vv", pa.int64()), ("m", pa.int64())]),
+        )
+
+        def _new(b: pa.Table, _d=d) -> pa.Table:
+            keep = pc.is_null(b["m"])
+            v = np.asarray(b.filter(keep)["v"], np.int64)
+            return pa.table(
+                {
+                    "v": pa.array(v),
+                    "hops": pa.array(np.full(len(v), _d, np.int64)),
+                }
+            )
+
+        new = compact_blocks(
+            anti.map_batches(_new, batch_format="pyarrow"), vis_schema
+        )
+        if new.count() == 0:
+            break
+        frontier_ds = compact_blocks(
+            new.map_batches(
+                lambda b: b.select(["v"]), batch_format="pyarrow"
+            ),
+            v_schema,
+        )
+        visited_ds = visited_ds.union(new).materialize()
+    out = pa.concat_tables(
+        compact_blocks(visited_ds, vis_schema).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    return out.rename_columns(["node", "hops"]).sort_by("node")

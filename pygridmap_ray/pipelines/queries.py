@@ -10412,6 +10412,75 @@ FROM c CROSS JOIN t
 
 
 # ---------------------------------------------------------------------------
+# BFS shortest-path hops
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 4
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-level BFS hop distance from the minimum supplier node over
+    the supplier<->part bipartite graph (graph.bfs_hops): level-
+    synchronous frontier supersteps — each level broadcasts the sorted
+    frontier and streams the DISTRIBUTED distinct edge Dataset through
+    a stateless membership + packed-unique partial (no join below the
+    pagerank state gate; partitioned safe_join supersteps above).
+    Output (node, hops), the minimum hop count <= {BFS_MAX_HOPS}."""
+    import pyarrow.parquet as pq_
+
+    import ray.data as rd
+
+    from ..graph import bfs_hops, distinct_int_pairs
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    pairs = distinct_int_pairs(line, "l_suppkey", "l_partkey")
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["l_suppkey"], np.int64)
+        v = np.asarray(b["l_partkey"], np.int64) + KCORE_POFF
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, v])),
+                "b": pa.array(np.concatenate([v, a])),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    seed = int(
+        np.asarray(
+            pq_.read_table(
+                f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"]
+            )["l_suppkey"],
+            np.int64,
+        ).min()
+    )
+    return bfs_hops(
+        edges, np.asarray([seed], np.int64), max_hops=BFS_MAX_HOPS
+    )
+
+
+def _sql_bfs_hops() -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_suppkey AS a, l_partkey + {KCORE_POFF} AS b
+  FROM lineitem),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+bfs AS (
+  SELECT (SELECT MIN(l_suppkey) FROM lineitem) AS node, 0 AS hops
+  UNION
+  SELECT sym.b, bfs.hops + 1
+  FROM bfs JOIN sym ON sym.a = bfs.node
+  WHERE bfs.hops < {BFS_MAX_HOPS})
+SELECT node, MIN(hops)::BIGINT AS hops
+FROM bfs
+GROUP BY node
+ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # k-core / focal median / CUSUM
 # ---------------------------------------------------------------------------
 
@@ -13773,6 +13842,7 @@ def queries():
         "q12_late_priority": q_q12_late_priority,
         "q16_supplier_cnt": q_q16_supplier_cnt,
         "q20_excess": q_q20_excess,
+        "bfs_hops": q_bfs_hops,
         "ann_recall": q_ann_recall,
         "sq8_recall": q_sq8_recall,
         "trunc_recall": q_trunc_recall,
@@ -15071,6 +15141,7 @@ def oracle_sql():
         "q12_late_priority": _sql_tpch("sql_q12"),
         "q16_supplier_cnt": _sql_tpch("sql_q16"),
         "q20_excess": _sql_tpch("sql_q20"),
+        "bfs_hops": _sql_bfs_hops(),
         "ann_recall": _sql_ann_recall(),
         "sq8_recall": _sql_sq8_recall(),
         "trunc_recall": _sql_trunc_recall(),

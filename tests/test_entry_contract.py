@@ -184,6 +184,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "q12_late_priority",
         "q16_supplier_cnt",
         "q20_excess",
+        "bfs_hops",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):

@@ -54,3 +54,48 @@ def test_distinct_int_pairs(ray_session):
     )
     exp = sorted(set(zip(a.tolist(), b.tolist())))
     assert list(map(tuple, got[["x", "y"]].values)) == exp
+
+
+def test_bfs_hops_path_graph(ray_session):
+    """Path graph 0-1-2-3-4-5 from seed 0: hops = node index, capped at
+    max_hops; both state paths (broadcast and partitioned-join) agree."""
+    import ray.data as rd
+
+    from pygridmap_ray.graph import bfs_hops
+
+    a = np.array([0, 1, 2, 3, 4], np.int64)
+    b = a + 1
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(np.concatenate([a, b])),
+                "b": pa.array(np.concatenate([b, a])),
+            }
+        )
+    )
+    out = bfs_hops(edges, np.array([0], np.int64), max_hops=3)
+    got = dict(zip(out["node"].to_pylist(), out["hops"].to_pylist()))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    out2 = bfs_hops(
+        edges, np.array([0], np.int64), max_hops=3, broadcast_state_limit=0
+    )
+    got2 = dict(zip(out2["node"].to_pylist(), out2["hops"].to_pylist()))
+    assert got2 == got
+
+
+def test_bfs_hops_multi_seed_disconnected(ray_session):
+    """Two components + two seeds: distances are per-closest-seed and
+    the unreachable component stays absent beyond max_hops."""
+    import ray.data as rd
+
+    from pygridmap_ray.graph import bfs_hops
+
+    # component 1: 0-1-2 ; component 2: 10-11
+    pairs = [(0, 1), (1, 2), (10, 11)]
+    a = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
+    b = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
+    edges = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+    out = bfs_hops(edges, np.array([0, 10], np.int64), max_hops=2)
+    got = dict(zip(out["node"].to_pylist(), out["hops"].to_pylist()))
+    assert got == {0: 0, 1: 1, 2: 2, 10: 0, 11: 1}
