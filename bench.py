@@ -246,6 +246,7 @@ def _secondary() -> dict:
         ("q12_late_priority", q.q_q12_late_priority),
         ("q16_supplier_cnt", q.q_q16_supplier_cnt),
         ("bfs_hops", q.q_bfs_hops),
+        ("pq_recall", q.q_pq_recall),
         ("semdedup", q.q_semdedup),
         ("gopher_rules", q.q_gopher_rules),
         ("ccnet_buckets", q.q_ccnet_buckets),

@@ -813,3 +813,183 @@ FROM exact e LEFT JOIN approx a
 GROUP BY e.query_id
 ORDER BY e.query_id
 """
+
+
+def pq_reconstruct(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    kc: int = 8,
+    iters: int = 1,
+    round_to: int = 6,
+):
+    """Product-quantize-then-reconstruct an embedding column — the
+    column a search over a PQ-compressed store actually sees, used by
+    the ``pq_recall`` acceptance gate.
+
+    The vector splits into ``m`` contiguous subspaces of ``dim/m``
+    coordinates; each subspace gets its own :func:`kmeans_fit` codebook
+    (the identical broadcast-partials sweep — per batch only
+    ``kc x (dim/m + 1)`` floats move, never vectors), each vector
+    encodes as ``m`` centroid ids (``log2(kc) * m`` bits — 12 bits for
+    the 8x4 default vs 2048 for float32x64), and reconstruction concats
+    the chosen centroids.  Assignment ties break to the LOWER centroid
+    id (numpy argmin == the oracle's ORDER BY dist, cid LIMIT 1).
+    Emits (id, embedding) so it drops into :func:`ann_topk` unchanged."""
+    import pyarrow.compute as pc  # noqa: F401 (house import)
+    import ray
+
+    from .spatial import _cached_kernel
+
+    if dim % m:
+        raise ValueError("dim must divide into m equal subspaces")
+    w = dim // m
+
+    def _slicer(j: int):
+        lo = j * w
+
+        def f(b: pa.Table) -> pa.Table:
+            X = _emb_matrix(b, emb_col)
+            return pa.table(
+                {
+                    id_col: pc.cast(b[id_col], pa.int64()),
+                    emb_col: pa.array(
+                        list(X[:, lo:lo + w]), pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        return f
+
+    books = np.stack(
+        [
+            kmeans_fit(
+                ds.map_batches(_slicer(j), batch_format="pyarrow"),
+                id_col=id_col,
+                emb_col=emb_col,
+                k=kc,
+                iters=iters,
+                round_to=round_to,
+            )
+            for j in range(m)
+        ]
+    )  # (m, kc, w)
+    ref = {"__ref__": ray.put(books)}
+    ckey = f"pq:{ref['__ref__'].hex()}"
+
+    def reconstruct(b: pa.Table) -> pa.Table:
+        C = _cached_kernel(ckey, ref, lambda c: c)
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    emb_col: pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        X = _emb_matrix(b, emb_col)
+        out = np.empty_like(X)
+        for j in range(C.shape[0]):
+            S = X[:, j * w:(j + 1) * w]
+            d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # first minimum == lowest cid on ties
+            out[:, j * w:(j + 1) * w] = C[j][a]
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                emb_col: pa.array(list(out), pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(reconstruct, batch_format="pyarrow")
+
+
+def sql_pq_recall(
+    k: int = 5,
+    n_queries: int = 10,
+    dim: int = 64,
+    m: int = 4,
+    kc: int = 8,
+    iters: int = 1,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of the PQ recall gate: per-subspace iterated-CTE
+    k-means (the :func:`sql_kmeans` law over ``list_slice`` views),
+    reconstruction by centroid concat, float queries against the
+    reconstructed corpus (asymmetric), recall@k with the shared tie law
+    (cosine DESC, neighbor ASC)."""
+    r = 10.0**round_to
+    w = dim // m
+    ctes = []
+    rec_joins = []
+    concat = None
+    for j in range(m):
+        lo, hi = j * w + 1, (j + 1) * w  # list_slice is 1-based inclusive
+        sl = f"list_slice(embedding::DOUBLE[], {lo}, {hi})"
+        sld = f"list_slice(d.embedding::DOUBLE[], {lo}, {hi})"
+        ctes.append(
+            f"c0_{j} AS (SELECT vec_id AS cid, {sl} AS embedding"
+            f" FROM embeddings WHERE vec_id < {kc})"
+        )
+        for it in range(iters):
+            ctes.append(
+                f"a{it}_{j} AS (SELECT d.vec_id, {sld} AS emb,"
+                f" (SELECT c.cid FROM c{it}_{j} c"
+                f" ORDER BY list_distance({sld}, c.embedding)"
+                f" ASC, c.cid LIMIT 1) AS cluster FROM embeddings d)"
+            )
+            dims = ", ".join(
+                f"ROUND(SUM(emb[{i + 1}]) / COUNT(*) * {r!r}) / {r!r}"
+                for i in range(w)
+            )
+            ctes.append(
+                f"u{it}_{j} AS (SELECT cluster AS cid, [{dims}] AS embedding"
+                f" FROM a{it}_{j} GROUP BY cluster)"
+            )
+            ctes.append(
+                f"c{it + 1}_{j} AS (SELECT p.cid,"
+                f" COALESCE(u.embedding, p.embedding) AS embedding"
+                f" FROM c{it}_{j} p LEFT JOIN u{it}_{j} u USING (cid))"
+            )
+        ctes.append(
+            f"f_{j} AS (SELECT d.vec_id,"
+            f" (SELECT c.cid FROM c{iters}_{j} c"
+            f" ORDER BY list_distance({sld}, c.embedding)"
+            f" ASC, c.cid LIMIT 1) AS cluster FROM embeddings d)"
+        )
+        rec_joins.append(
+            f"JOIN f_{j} ON f_{j}.vec_id = d.vec_id"
+            f" JOIN c{iters}_{j} s{j} ON s{j}.cid = f_{j}.cluster"
+        )
+        piece = f"s{j}.embedding"
+        concat = piece if concat is None else f"list_concat({concat}, {piece})"
+    ctes.append(
+        f"rec AS (SELECT d.vec_id, {concat} AS emb FROM embeddings d "
+        + " ".join(rec_joins)
+        + ")"
+    )
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+exact AS (SELECT * FROM ({sql_ann_topk(k, n_queries)}) t),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], d.emb) DESC,
+                      d.vec_id ASC
+           ) AS rank
+    FROM embeddings q, rec d
+    WHERE q.vec_id < {n_queries}
+  ) WHERE rank <= {k}
+)
+SELECT e.query_id,
+       ROUND(COUNT(a.neighbor_id) / {float(k)!r} * 1e6) / 1e6 AS recall
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""

@@ -13843,6 +13843,7 @@ def queries():
         "q16_supplier_cnt": q_q16_supplier_cnt,
         "q20_excess": q_q20_excess,
         "bfs_hops": q_bfs_hops,
+        "pq_recall": q_pq_recall,
         "ann_recall": q_ann_recall,
         "sq8_recall": q_sq8_recall,
         "trunc_recall": q_trunc_recall,
@@ -14023,6 +14024,37 @@ def q_sq8_recall(sf_dir: str):
         k=5,
     ).select_columns(["query_id", "neighbor_id"]).to_pandas()
     return _recall_table(exact, approx, k=5)
+
+
+def q_pq_recall(sf_dir: str):
+    """Product-quantization acceptance gate: recall@k of brute-force
+    search over the PQ-reconstructed corpus (4 subspaces x 8 centroids
+    = 12-bit codes vs 2048-bit float vectors) against the float-exact
+    top-k — the compression regime where recall genuinely degrades, so
+    the gate discriminates.  Codebooks are per-subspace kmeans_fit
+    sweeps (broadcast partials, never an assignment shuffle); search
+    reuses ann_topk unchanged on the reconstructed column."""
+    import ray.data as rd
+
+    from ..ann import ann_topk, pq_reconstruct
+
+    qids, qmat = _head_vectors(sf_dir, 10)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = ann_topk(
+        ds, {"ids": qids, "matrix": qmat}, k=5
+    ).select_columns(["query_id", "neighbor_id"]).to_pandas()
+    approx = ann_topk(
+        pq_reconstruct(ds), {"ids": qids, "matrix": qmat}, k=5
+    ).select_columns(["query_id", "neighbor_id"]).to_pandas()
+    return _recall_table(exact, approx, k=5)
+
+
+def _sql_pq_recall() -> str:
+    from ..ann import sql_pq_recall
+
+    return sql_pq_recall(5, 10, 64, 4, 8, 1)
 
 
 def _sql_sq8_recall() -> str:
@@ -15142,6 +15174,7 @@ def oracle_sql():
         "q16_supplier_cnt": _sql_tpch("sql_q16"),
         "q20_excess": _sql_tpch("sql_q20"),
         "bfs_hops": _sql_bfs_hops(),
+        "pq_recall": _sql_pq_recall(),
         "ann_recall": _sql_ann_recall(),
         "sq8_recall": _sql_sq8_recall(),
         "trunc_recall": _sql_trunc_recall(),

@@ -185,6 +185,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "q16_supplier_cnt",
         "q20_excess",
         "bfs_hops",
+        "pq_recall",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):
