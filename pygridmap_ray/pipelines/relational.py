@@ -479,8 +479,6 @@ def events_retention(sf_dir: str, *, num_buckets: int = 64):
     Integer week ids (epoch_us // WEEK_US) keep the law hash-exact."""
     import ray.data as rd
 
-    from ray.data.aggregate import Sum
-
     from ..joins import _bucket_of
 
     ev = rd.read_parquet(
@@ -529,13 +527,26 @@ def events_retention(sf_dir: str, *, num_buckets: int = 64):
             }
         )
 
-    partials = (
+    # weeks^2-sized partials (<= num_buckets x weeks^2 rows): a Ray
+    # aggregate pays ~1 s fixed overhead on a driver-fold-sized input
+    # (the events_watermark finding), so the finish folds on the driver
+    part = (
         ev.map_batches(pack, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(kernel, batch_format="pandas")
+        .to_pandas()
     )
-    return partials.groupby(["cohort_week", "week"]).aggregate(
-        Sum("n", alias_name="n_users")
+    agg = (
+        part.groupby(["cohort_week", "week"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "cohort_week": pa.array(agg["cohort_week"].to_numpy(np.int64)),
+            "week": pa.array(agg["week"].to_numpy(np.int64)),
+            "n_users": pa.array(agg["n"].to_numpy(np.int64)),
+        }
     )
 
 

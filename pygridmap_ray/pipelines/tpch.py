@@ -259,9 +259,8 @@ def q4_priority(sf_dir: str):
     union into ONE coarse orderkey-hash bucket shuffle (``Q4_BUCKETS``
     groups — never a fine per-order groupby), each bucket resolves
     late orders with a sort + ``np.maximum.reduceat`` segment max and
-    emits per-priority partial counts; a 5-row groupby finishes."""
+    emits per-priority partial counts; a 5-row driver fold finishes."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from ..cluster import default_num_partitions
 
@@ -339,14 +338,28 @@ def q4_priority(sf_dir: str):
              "order_count": vc.to_numpy(np.int64)}
         )
 
-    counts = (
+    # the per-bucket partials are <= nb x 5 rows — a Ray aggregate here
+    # pays ~1 s of fixed overhead for a driver-fold-sized input (the
+    # events_watermark finding), so the 5-row finish folds on the driver
+    part = (
         li.union(orders)
         .groupby("__b")
         .map_groups(bucket, batch_format="pandas")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("order_count", alias_name="order_count"))
+        .to_pandas()
     )
-    return counts.sort("o_orderpriority")
+    agg = (
+        part.groupby("o_orderpriority", sort=True)["order_count"]
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(
+                agg["o_orderpriority"].tolist(), pa.string()
+            ),
+            "order_count": pa.array(agg["order_count"].to_numpy(np.int64)),
+        }
+    )
 
 
 def sql_q4() -> str:
@@ -1749,8 +1762,6 @@ def q9_profit(sf_dir: str):
     pack into one int64 and the final groupby is nations x years."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
-
     from ..cluster import default_num_partitions
     from ..spatial import _cached_kernel
     from .queries import round_half_away
@@ -1870,11 +1881,14 @@ def q9_profit(sf_dir: str):
             }
         )
 
+    # nations x years partials — driver fold (the q4/watermark finding:
+    # a Ray aggregate pays ~1 s fixed overhead on tiny inputs)
+    part = j.map_batches(partial, batch_format="pyarrow").to_pandas()
     agg = (
-        j.map_batches(partial, batch_format="pyarrow")
-        .groupby(["nat", "o_year"])
-        .aggregate(Sum("amount", alias_name="sum_profit"))
-        .to_pandas()  # nations x years rows
+        part.groupby(["nat", "o_year"], sort=False)["amount"]
+        .sum()
+        .reset_index()
+        .rename(columns={"amount": "sum_profit"})
     )
     if not len(agg):
         return pa.table(
@@ -2030,8 +2044,6 @@ def q12_late_priority(sf_dir: str):
     keeper gate; the group domain is 3 flags x 2, so partials collapse
     per batch and the final groupby is tiny."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
-
     from ..cluster import default_num_partitions
     from .queries import round_half_away  # noqa: F401 (house import)
 
@@ -2132,16 +2144,15 @@ def q12_late_priority(sf_dir: str):
             }
         )
 
+    # 3-flag partials — driver fold (the q4/watermark finding)
+    part = j.map_batches(partial, batch_format="pyarrow").to_pandas()
     agg = (
-        j.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_returnflag")
-        .aggregate(
-            Sum("high_line_count", alias_name="high_line_count"),
-            Sum("low_line_count", alias_name="low_line_count"),
-        )
-        .to_pandas()
+        part.groupby("l_returnflag", sort=True)[
+            ["high_line_count", "low_line_count"]
+        ]
+        .sum()
+        .reset_index()
     )
-    agg = agg.sort_values("l_returnflag")
     return pa.table(
         {
             "l_returnflag": pa.array(agg["l_returnflag"].tolist(), pa.string()),
@@ -2183,8 +2194,6 @@ def q16_supplier_cnt(sf_dir: str):
     group domain is brands x types x sizes)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
-
     from ..graph import distinct_int_pairs
     from ..spatial import _cached_kernel
 
@@ -2261,11 +2270,10 @@ def q16_supplier_cnt(sf_dir: str):
         cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
         return pa.table({"tid": pa.array(uk), "supplier_cnt": pa.array(cnt)})
 
+    # triple-domain partials — driver fold (the q4/watermark finding)
+    part = pairs.map_batches(cnt_partial, batch_format="pyarrow").to_pandas()
     agg = (
-        pairs.map_batches(cnt_partial, batch_format="pyarrow")
-        .groupby("tid")
-        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
-        .to_pandas()  # bounded by brands x types x sizes
+        part.groupby("tid", sort=False)["supplier_cnt"].sum().reset_index()
     )
     if not len(agg):
         return pa.table(
