@@ -827,11 +827,20 @@ def q7_volume(sf_dir: str):
 
     # the group domain is 2 nations x 2 nations x years — driver-final
     # (a globally empty stream would otherwise finalize column-less)
+    # 2x2xyears domain — driver fold (q4/watermark finding)
+    part = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(part):
+        part = pd.DataFrame(
+            {"s_nat": pd.Series([], dtype=np.int64),
+             "c_nat": pd.Series([], dtype=np.int64),
+             "l_year": pd.Series([], dtype=np.int64),
+             "rev": pd.Series([], dtype=np.float64)}
+        )
     agg = (
-        j.map_batches(partial, batch_format="pyarrow")
-        .groupby(["s_nat", "c_nat", "l_year"])
-        .aggregate(Sum("rev", alias_name="revenue"))
-        .to_pandas()
+        part.groupby(["s_nat", "c_nat", "l_year"], sort=False)["rev"]
+        .sum()
+        .reset_index()
+        .rename(columns={"rev": "revenue"})
     )
     if not len(agg):
         return pa.table(
@@ -1086,11 +1095,14 @@ def q13_custdist(sf_dir: str) -> pa.Table:
              "custdist": pa.array(cnt.astype(np.int64))}
         )
 
+    # c_count domain is bounded (orders per customer) — driver fold
+    # (the q4/watermark finding: Ray aggregates cost ~1 s fixed on tiny
+    # partial streams)
+    distp = per_cust.map_batches(
+        dist_partial, batch_format="pyarrow"
+    ).to_pandas()
     dist = (
-        per_cust.map_batches(dist_partial, batch_format="pyarrow")
-        .groupby("c_count")
-        .aggregate(Sum("custdist", alias_name="custdist"))
-        .to_pandas()
+        distp.groupby("c_count", sort=False)["custdist"].sum().reset_index()
     )
     n_cust = pads.dataset(f"{sf_dir}/customer.parquet").count_rows()
     zero = n_cust - int(dist["custdist"].sum())
@@ -1283,19 +1295,21 @@ def q22_lapsed(sf_dir: str):
             }
         )
 
+    # cntrycode domain = nations — driver fold (q4/watermark finding)
+    part = lapsed.map_batches(partial, batch_format="pyarrow").to_pandas()
     agg = (
-        lapsed.map_batches(partial, batch_format="pyarrow")
-        .groupby("cntrycode")
-        .aggregate(
-            Sum("numcust", alias_name="numcust"),
-            Sum("totacctbal", alias_name="totacctbal"),
-        )
-        .map_batches(
-            lambda b: round_half_away(b, ["totacctbal"], 2),
-            batch_format="pyarrow",
-        )
+        part.groupby("cntrycode", sort=True)[["numcust", "totacctbal"]]
+        .sum()
+        .reset_index()
     )
-    return agg.sort("cntrycode")
+    out = pa.table(
+        {
+            "cntrycode": pa.array(agg["cntrycode"].to_numpy(np.int64)),
+            "numcust": pa.array(agg["numcust"].to_numpy(np.int64)),
+            "totacctbal": pa.array(agg["totacctbal"].to_numpy(np.float64)),
+        }
+    )
+    return round_half_away(out, ["totacctbal"], 2)
 
 
 def sql_q22() -> str:
@@ -1367,11 +1381,13 @@ def q17_small_qty(sf_dir: str) -> pa.Table:
             }
         )
 
+    # the threshold map is broadcast to workers afterwards, so the
+    # per-part fold is driver-bound either way — fold the combiner
+    # partials directly (q4/watermark finding; brand filter bounds the
+    # domain at parts/brands)
+    avgp = li.map_batches(avg_partial, batch_format="pyarrow").to_pandas()
     avg = (
-        li.map_batches(avg_partial, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
-        .to_pandas()
+        avgp.groupby("l_partkey", sort=False)[["s", "n"]].sum().reset_index()
     )
     if len(avg):
         thr_keys = avg["l_partkey"].to_numpy(np.int64)
@@ -1397,9 +1413,11 @@ def q17_small_qty(sf_dir: str) -> pa.Table:
         keep = hit & (qty < np.where(hit, tv[pos], 0.0))
         return pa.table({"rev": pa.array([float(ext[keep].sum())])})
 
-    total = li.map_batches(rev_partial, batch_format="pyarrow").aggregate(
-        Sum("rev", alias_name="rev")
-    )["rev"]
+    total = float(
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .to_pandas()["rev"]
+        .sum()
+    )
     avg_yearly = _round_half_away_scalar(total / Q17_YEARS, 2)
     return pa.table({"avg_yearly": pa.array([avg_yearly])})
 
