@@ -13844,6 +13844,7 @@ def queries():
         "q20_excess": q_q20_excess,
         "bfs_hops": q_bfs_hops,
         "pq_recall": q_pq_recall,
+        "lsh_screen": q_lsh_screen,
         "ann_recall": q_ann_recall,
         "sq8_recall": q_sq8_recall,
         "trunc_recall": q_trunc_recall,
@@ -14148,6 +14149,74 @@ m AS (SELECT
   (SELECT COUNT(*) FROM sp)::BIGINT AS n_screen,
   (SELECT COUNT(*) FROM sp JOIN tj
      ON sp.id_a = tj.id_a AND sp.id_b = tj.id_b)::BIGINT AS n_overlap)
+SELECT n_truth, n_screen, n_overlap,
+       ROUND(n_overlap / GREATEST(n_truth, 1) * 1e6) / 1e6 AS recall,
+       ROUND(n_overlap / GREATEST(n_screen, 1) * 1e6) / 1e6 AS prec
+FROM m
+"""
+
+
+def q_lsh_screen(sf_dir: str):
+    """Hyperplane-LSH band-recall gate: the fraction of the EXACT
+    cosine>=0.35 near-dup pair set that sign-band collisions recover
+    (embedding_lsh_pairs verifies cosine in-bucket, so its pairs are a
+    subset of truth and precision is 1 by construction — the number an
+    engineer tunes hyperplane/band counts against).  Same packed-int64
+    overlap fold as simhash_screen; at 100 TB the gate runs on a corpus
+    sample (pair sets are sample-bounded)."""
+    import ray.data as rd
+
+    from ..dedup import embedding_lsh_pairs, embedding_neardup_pairs
+
+    _, cents = _head_vectors(sf_dir, 8)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    truth = (
+        embedding_neardup_pairs(ds, cents, threshold=0.35)
+        .select_columns(["id_a", "id_b"])
+        .to_pandas()
+    )
+    screen = (
+        embedding_lsh_pairs(ds, threshold=0.35)
+        .select_columns(["id_a", "id_b"])
+        .to_pandas()
+    )
+
+    def pack(df) -> np.ndarray:
+        return (
+            df["id_a"].to_numpy(np.int64) * np.int64(2**32)
+            + df["id_b"].to_numpy(np.int64)
+        )
+
+    tk, sk = pack(truth), pack(screen)
+    n_truth, n_screen = len(tk), len(sk)
+    n_overlap = int(np.isin(sk, tk).sum())
+    recall = n_overlap / max(n_truth, 1)
+    prec = n_overlap / max(n_screen, 1)
+    r6 = lambda v: np.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731 — v >= 0
+    return pa.table(
+        {
+            "n_truth": pa.array([n_truth], pa.int64()),
+            "n_screen": pa.array([n_screen], pa.int64()),
+            "n_overlap": pa.array([n_overlap], pa.int64()),
+            "recall": pa.array([float(r6(recall))]),
+            "prec": pa.array([float(r6(prec))]),
+        }
+    )
+
+
+def _sql_lsh_screen() -> str:
+    from ..dedup import sql_embedding_lsh, sql_embedding_neardup
+
+    return f"""
+WITH sc AS ({sql_embedding_lsh(0.35, 64)}),
+tj AS ({sql_embedding_neardup(0.35)}),
+m AS (SELECT
+  (SELECT COUNT(*) FROM tj)::BIGINT AS n_truth,
+  (SELECT COUNT(*) FROM sc)::BIGINT AS n_screen,
+  (SELECT COUNT(*) FROM sc JOIN tj
+     ON sc.id_a = tj.id_a AND sc.id_b = tj.id_b)::BIGINT AS n_overlap)
 SELECT n_truth, n_screen, n_overlap,
        ROUND(n_overlap / GREATEST(n_truth, 1) * 1e6) / 1e6 AS recall,
        ROUND(n_overlap / GREATEST(n_screen, 1) * 1e6) / 1e6 AS prec
@@ -15175,6 +15244,7 @@ def oracle_sql():
         "q20_excess": _sql_tpch("sql_q20"),
         "bfs_hops": _sql_bfs_hops(),
         "pq_recall": _sql_pq_recall(),
+        "lsh_screen": _sql_lsh_screen(),
         "ann_recall": _sql_ann_recall(),
         "sq8_recall": _sql_sq8_recall(),
         "trunc_recall": _sql_trunc_recall(),

@@ -186,6 +186,7 @@ def test_every_query_has_matching_oracle_or_is_declared(entrymod):
         "q20_excess",
         "bfs_hops",
         "pq_recall",
+        "lsh_screen",
     ],
 )
 def test_query_matches_oracle(entrymod, con, name):
