@@ -847,36 +847,91 @@ def pq_reconstruct(
     if dim % m:
         raise ValueError("dim must divide into m equal subspaces")
     w = dim // m
+    tol = 10.0**round_to
 
-    def _slicer(j: int):
-        lo = j * w
+    # fused fit: all m subspace codebooks advance in ONE corpus pass per
+    # sweep (per batch, m x kc x (w+1) floats of partials) — law-identical
+    # to m independent kmeans_fit runs over slice views (same lowest-id
+    # init, same (x-c)^2 argmin with ties to the lower cid, same rounded
+    # driver update; empty clusters keep their centroid)
+    init = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b[id_col], pa.scalar(kc))),
+            batch_format="pyarrow",
+        )
+        .select_columns([id_col, emb_col])
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    if len(init) != kc:
+        raise ValueError(f"init expects ids 0..{kc - 1} present, got {len(init)}")
+    X0 = np.stack([np.asarray(e, dtype=np.float64) for e in init[emb_col]])
+    books = np.stack(
+        [X0[:, j * w:(j + 1) * w] for j in range(m)]
+    )  # (m, kc, w)
 
-        def f(b: pa.Table) -> pa.Table:
+    for _ in range(iters):
+        fref = {"__ref__": ray.put(books)}
+        fkey = f"pqfit:{fref['__ref__'].hex()}"
+
+        def fit_partials(b: pa.Table, *, ref=None, ckey=None) -> pa.Table:
+            C = _cached_kernel(ckey, ref, lambda c: c)
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "sub": pa.array([], pa.int64()),
+                        "cid": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.float64()),
+                        "s": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
             X = _emb_matrix(b, emb_col)
+            subs, cids, ns, ss = [], [], [], []
+            for j in range(C.shape[0]):
+                S = X[:, j * w:(j + 1) * w]
+                d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                n = np.bincount(a, minlength=kc).astype(np.float64)
+                onehot = np.zeros((len(S), kc))
+                onehot[np.arange(len(S)), a] = 1.0
+                s = onehot.T @ S  # (kc, w)
+                subs.append(np.full(kc, j, np.int64))
+                cids.append(np.arange(kc, dtype=np.int64))
+                ns.append(n)
+                ss.append(s)
             return pa.table(
                 {
-                    id_col: pc.cast(b[id_col], pa.int64()),
-                    emb_col: pa.array(
-                        list(X[:, lo:lo + w]), pa.list_(pa.float64())
+                    "sub": pa.array(np.concatenate(subs)),
+                    "cid": pa.array(np.concatenate(cids)),
+                    "n": pa.array(np.concatenate(ns)),
+                    "s": pa.array(
+                        list(np.concatenate(ss, axis=0)), pa.list_(pa.float64())
                     ),
                 }
             )
 
-        return f
-
-    books = np.stack(
-        [
-            kmeans_fit(
-                ds.map_batches(_slicer(j), batch_format="pyarrow"),
-                id_col=id_col,
-                emb_col=emb_col,
-                k=kc,
-                iters=iters,
-                round_to=round_to,
-            )
-            for j in range(m)
-        ]
-    )  # (m, kc, w)
+        p = ds.map_batches(
+            lambda b, ref=fref, ckey=fkey: fit_partials(b, ref=ref, ckey=ckey),
+            batch_format="pyarrow",
+        ).to_pandas()
+        new = books.copy()
+        for j in range(m):
+            pj = p[p["sub"] == j]
+            n_tot = pj.groupby("cid")["n"].sum()
+            for cid in range(kc):
+                nc = float(n_tot.get(cid, 0.0))
+                if nc > 0:
+                    sv = np.sum(
+                        np.stack(
+                            pj.loc[pj["cid"] == cid, "s"].to_numpy()
+                        ),
+                        axis=0,
+                    )
+                    mvec = sv / nc
+                    new[j][cid] = (
+                        np.sign(mvec) * np.floor(np.abs(mvec) * tol + 0.5) / tol
+                    )
+        books = new
     ref = {"__ref__": ray.put(books)}
     ckey = f"pq:{ref['__ref__'].hex()}"
 
