@@ -1617,7 +1617,7 @@ Q20_QTY_GT = 200.0
 Q20_NATION = "NATION_3"
 
 
-def q2_min_cost(sf_dir: str) -> pa.Table:
+def q2_min_cost(sf_dir: str, *, broadcast_limit: int = 2_000_000) -> pa.Table:
     """TPC-H Q2 minimum-cost supplier (adapted): for parts of one
     size/type, the cheapest observed unit price (l_extendedprice /
     l_quantity) among region suppliers, returning every (supplier, part)
@@ -1685,37 +1685,87 @@ def q2_min_cost(sf_dir: str) -> pa.Table:
         columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
     ).map_batches(project, batch_format="pyarrow")
 
-    mins = (
-        li.groupby("p_partkey")
-        .aggregate(Min("unit", alias_name="mn"))
-        .to_pandas()  # bounded by the filtered part count (parts/300)
-    )
-    mk = mins["p_partkey"].to_numpy(np.int64)
-    mo = np.argsort(mk, kind="stable")
-    mref = {"__ref__": ray.put((mk[mo], mins["mn"].to_numpy(np.float64)[mo]))}
-    mkey = f"q2min:{mref['__ref__'].hex()}"
+    mins_ds = li.groupby("p_partkey").aggregate(
+        Min("unit", alias_name="mn")
+    ).materialize()
+    if mins_ds.count() <= broadcast_limit:
+        # min map bounded by the filtered part count (parts/300): broadcast
+        mins = mins_ds.to_pandas()
+        mk = mins["p_partkey"].to_numpy(np.int64)
+        mo = np.argsort(mk, kind="stable")
+        mref = {
+            "__ref__": ray.put((mk[mo], mins["mn"].to_numpy(np.float64)[mo]))
+        }
+        mkey = f"q2min:{mref['__ref__'].hex()}"
 
-    def achieving(b: pa.Table) -> pa.Table:
-        keys, mn = _cached_kernel(mkey, mref, lambda d: d)
-        lp = np.asarray(b["p_partkey"], np.int64)
-        unit = np.asarray(b["unit"], np.float64)
-        m = np.zeros(len(lp), dtype=bool)
-        if len(keys):
-            pi = np.searchsorted(keys, lp)
-            pi = np.minimum(pi, len(keys) - 1)
-            m = (keys[pi] == lp) & (unit == mn[pi])  # exact: min of these
-        # distinct (part, supp) partial — the unit is determined by part
-        k = np.unique(
-            lp[m] * (1 << 31) + np.asarray(b["s_suppkey"], np.int64)[m]
-        )
-        return pa.table({"k": pa.array(k)})
+        def achieving(b: pa.Table) -> pa.Table:
+            keys, mn = _cached_kernel(mkey, mref, lambda d: d)
+            lp = np.asarray(b["p_partkey"], np.int64)
+            unit = np.asarray(b["unit"], np.float64)
+            m = np.zeros(len(lp), dtype=bool)
+            if len(keys):
+                pi = np.searchsorted(keys, lp)
+                pi = np.minimum(pi, len(keys) - 1)
+                m = (keys[pi] == lp) & (unit == mn[pi])  # exact: min of these
+            # distinct (part, supp) partial — unit is determined by part,
+            # carried along so the driver never needs the global min map
+            k, first = np.unique(
+                lp[m] * (1 << 31) + np.asarray(b["s_suppkey"], np.int64)[m],
+                return_index=True,
+            )
+            return pa.table(
+                {"k": pa.array(k), "unit": pa.array(unit[m][first])}
+            )
+
+        ach = li.map_batches(achieving, batch_format="pyarrow")
+    else:
+        # >2M filtered parts: partitioned join back onto the projection
+        from ..cluster import default_num_partitions, safe_join
+
+        nparts = default_num_partitions()
+
+        def achieving_j(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0 or b.num_rows == 0:
+                return pa.table(
+                    {"k": pa.array([], pa.int64()),
+                     "unit": pa.array([], pa.float64())}
+                )
+            unit = np.asarray(b["unit"], np.float64)
+            m = unit == np.asarray(b["mn"], np.float64)
+            lp = np.asarray(b["p_partkey"], np.int64)[m]
+            k, first = np.unique(
+                lp * (1 << 31) + np.asarray(b["s_suppkey"], np.int64)[m],
+                return_index=True,
+            )
+            return pa.table(
+                {"k": pa.array(k), "unit": pa.array(unit[m][first])}
+            )
+
+        ach = safe_join(
+            li.repartition(nparts),
+            mins_ds.map_batches(
+                lambda b: pa.table(
+                    {
+                        "mp": pc.cast(b["p_partkey"], pa.int64()),
+                        "mn": pc.cast(b["mn"], pa.float64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            "inner",
+            num_partitions=nparts,
+            on=("p_partkey",),
+            right_on=("mp",),
+            right_schema=pa.schema([("mp", pa.int64()), ("mn", pa.float64())]),
+        ).map_batches(achieving_j, batch_format="pyarrow")
 
     kt = pa.concat_tables(
-        li.map_batches(achieving, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
+        ach.iter_batches(batch_size=None, batch_format="pyarrow")
     )
-    k = np.unique(np.asarray(kt["k"], np.int64))
+    kall = np.asarray(kt["k"], np.int64)
+    uall = np.asarray(kt["unit"], np.float64)
+    k, first = np.unique(kall, return_index=True)
+    unit = uall[first]
     ppk = k >> 31
     ssk = k & ((1 << 31) - 1)
     # driver attach: supplier + nation are dimension tables
@@ -1731,10 +1781,6 @@ def q2_min_cost(sf_dir: str) -> pa.Table:
     n_name = np.asarray(
         [by_key[int(v)] for v in nats[so][si]], dtype=object
     ) if len(si) else np.asarray([], dtype=object)
-    morder = np.argsort(mk, kind="stable")
-    mi = np.searchsorted(mk[morder], ppk)
-    mi = np.minimum(mi, max(len(mk) - 1, 0))
-    unit = mins["mn"].to_numpy(np.float64)[morder][mi] if len(mk) else np.asarray([], np.float64)
     out = pa.table(
         {
             "s_acctbal": pa.array(s_bal, pa.float64()),

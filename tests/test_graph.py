@@ -99,3 +99,14 @@ def test_bfs_hops_multi_seed_disconnected(ray_session):
     out = bfs_hops(edges, np.array([0, 10], np.int64), max_hops=2)
     got = dict(zip(out["node"].to_pylist(), out["hops"].to_pylist()))
     assert got == {0: 0, 1: 1, 2: 2, 10: 0, 11: 1}
+
+
+def test_q2_min_cost_join_fallback_matches_broadcast(ray_session):
+    """q2's >2M-part safe_join fallback produces the identical achieving
+    set as the broadcast min-map path."""
+    from pygridmap_ray.pipelines.tpch import q2_min_cost
+
+    sf = "/root/testdata/sf0.001"
+    a = q2_min_cost(sf).to_pandas().reset_index(drop=True)
+    b = q2_min_cost(sf, broadcast_limit=0).to_pandas().reset_index(drop=True)
+    assert a.equals(b)
