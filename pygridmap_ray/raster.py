@@ -2506,6 +2506,6 @@ mm AS (SELECT MIN(cdf) AS m, (SELECT SUM(c) FROM hi) AS n FROM cd)
 SELECT {x0!r} + px.ci * {res!r} AS x,
        {y0!r} + ({h} - px.ri - 1) * {res!r} AS y,
        px.z,
-       ((cd.cdf - mm.m) * 255) // GREATEST(mm.n - mm.m, 1) AS eq
+       (((cd.cdf - mm.m) * 255) // GREATEST(mm.n - mm.m, 1))::BIGINT AS eq
 FROM px JOIN cd ON cd.z = px.z CROSS JOIN mm
 """
