@@ -6039,6 +6039,58 @@ def q_pmi_bigrams(sf_dir: str):
     return pmi_bigrams(_docs(sf_dir, ("doc_id", "text")), min_count=5)
 
 
+def q_record_link(sf_dir: str):
+    """Fuzzy record linkage (joins.fuzzy_link): part names are corrupted
+    by the deterministic typo law (joins.typo_names), then each dirty
+    record links back to the distinct clean-name master via blocked
+    Jaro-Winkler best-match — the catalog-merge / entity-resolution
+    operator of a metadata pipeline.  The jw kernel is bit-exact vs
+    DuckDB's jaro_winkler_similarity; the master list broadcasts once
+    and the record stream never shuffles."""
+    import ray.data as rd
+
+    from ..joins import fuzzy_link, typo_names
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    # master roster: tiny distinct-name fold (the master list is an
+    # INPUT at production scale; here it is derived from the clean side)
+    seen: set[str] = set()
+    for b in parts.map_batches(
+        lambda t: pa.table(
+            {"p_name": pa.array(
+                np.unique(np.asarray(t["p_name"]).astype(object)),
+                pa.string(),
+            )}
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        seen.update(b["p_name"].to_pylist())
+    dirty = typo_names(
+        parts, id_col="p_partkey", name_col="p_name", out_col="dirty"
+    )
+    return fuzzy_link(
+        dirty, sorted(seen), id_col="p_partkey", name_col="dirty",
+        threshold=0.97,
+    )
+
+
+def _sql_record_link() -> str:
+    from ..joins import sql_fuzzy_link, sql_typo_expr
+
+    return sql_fuzzy_link(
+        source="part",
+        id_expr="p_partkey",
+        name_expr=sql_typo_expr("p_partkey", "p_name"),
+        master_source="part",
+        master_expr="p_name",
+        id_col="p_partkey",
+        name_col="dirty",
+        threshold=0.97,
+    )
+
+
 def q_fuzzy_vocab(sf_dir: str):
     """Fuzzy vocabulary self-join (typo/variant mining): recall-complete
     length banding + pair-vectorized Levenshtein DP over the broadcast
@@ -13733,6 +13785,7 @@ def queries():
         "top_bigrams": q_top_bigrams,
         "pmi_bigrams": q_pmi_bigrams,
         "fuzzy_vocab": q_fuzzy_vocab,
+        "record_link": q_record_link,
         "lang_quantiles": q_lang_quantiles,
         "train_split": q_train_split,
         "pack_sequences": q_pack_sequences,
@@ -15114,6 +15167,7 @@ def oracle_sql():
         "top_bigrams": sql_top_ngrams(2, 25),
         "pmi_bigrams": sql_pmi_bigrams(min_count=5),
         "fuzzy_vocab": sql_fuzzy_vocab(max_dist=2),
+        "record_link": _sql_record_link(),
         "lang_quantiles": sql_grouped_quantiles(),
         "train_split": _sql_train_split(),
         "pack_sequences": _sql_pack_sequences(),

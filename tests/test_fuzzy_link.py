@@ -1,0 +1,114 @@
+"""Fuzzy record linkage: the Jaro-Winkler kernel's bit-law vs DuckDB,
+the typo-corruption fixture law, and the fuzzy_link null paths."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _mats(strs):
+    from pygridmap_ray.joins import _char_matrix
+
+    return _char_matrix(pa.array(strs, pa.string()))
+
+
+def test_jw_block_bit_exact_vs_duckdb():
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from pygridmap_ray.joins import jaro_winkler_block
+
+    random.seed(7)
+    a, b = [], []
+    for _ in range(4000):
+        a.append("".join(random.choice("abcd ef") for _ in
+                         range(random.randint(0, 13))))
+        b.append("".join(random.choice("abcd ef") for _ in
+                         range(random.randint(0, 13))))
+    ma, la = _mats(a)
+    mb, lb = _mats(b)
+    got = jaro_winkler_block(ma, la, mb, lb)
+    df = pd.DataFrame({"a": a, "b": b})
+    con = duckdb.connect()
+    exp = con.sql(
+        "SELECT jaro_winkler_similarity(a, b) AS jw FROM df"
+    ).df()["jw"].values
+    assert np.array_equal(got, exp)  # BIT-exact, not just close
+
+
+def test_jw_block_known_values():
+    from pygridmap_ray.joins import jaro_winkler_block
+
+    ma, la = _mats(["martha", "dixon", "abc", ""])
+    mb, lb = _mats(["marhta", "dicksonx", "abc", ""])
+    jw = jaro_winkler_block(ma, la, mb, lb)
+    assert abs(jw[0] - 0.9611111111111111) < 1e-15
+    assert jw[2] == 1.0
+    assert jw[3] == 0.0  # DuckDB law: both-empty -> 0.0
+
+
+def test_typo_names_law(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.joins import typo_names
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "nm": pa.array(
+                    ["abcdef"] * 5, pa.string()
+                ),
+            }
+        )
+    )
+    out = (
+        typo_names(ds, id_col="id", name_col="nm", out_col="dirty")
+        .to_pandas()
+        .sort_values("id")
+    )
+    # id 0: mode 0, p = (0//3)%6+1 = 1 -> drop char 1
+    # id 1: mode 1, p = 1 -> duplicate char 1
+    # id 2: mode 2 -> unchanged
+    # id 3: mode 0, p = (3//3)%6+1 = 2 -> drop char 2
+    # id 4: mode 1, p = 2 -> duplicate char 2
+    assert list(out.dirty) == [
+        "bcdef", "aabcdef", "abcdef", "acdef", "abbcdef"
+    ]
+
+
+def test_fuzzy_link_paths(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.joins import fuzzy_link
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "name": pa.array(
+                    ["blue boltt", "xyz qqq", "red widget"], pa.string()
+                ),
+            }
+        )
+    )
+    out = (
+        fuzzy_link(
+            ds,
+            ["blue bolt", "red widget", "red wrench"],
+            id_col="id",
+            name_col="name",
+            threshold=0.9,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "match_name"] == "blue bolt"
+    assert out.loc[0, "jw"] > 0.9
+    assert out.loc[1, "match_name"] is None or (
+        isinstance(out.loc[1, "match_name"], float)
+    )  # no blocking candidate -> NULL
+    assert out.loc[2, "match_name"] == "red widget"
+    assert out.loc[2, "jw"] == 1.0
