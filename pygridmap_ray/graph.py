@@ -1150,3 +1150,270 @@ def bfs_hops(
         )
     )
     return out.rename_columns(["node", "hops"]).sort_by("node")
+
+
+def _scc_assign_round(color, member, nodes, scc, alive):
+    """Fold one FW-BW round's results into the scc/alive state: every
+    member node's component id is the MIN ORIGINAL node id of its color
+    class; members leave the alive set."""
+    midx = np.flatnonzero(member)
+    if not len(midx):
+        return 0
+    mc = color[midx]
+    order = np.argsort(mc, kind="stable")
+    midx_s = midx[order]
+    mc_s = mc[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], mc_s[1:] != mc_s[:-1]])
+    )
+    comp_min = np.minimum.reduceat(nodes[midx_s], starts)
+    grp = np.cumsum(
+        np.concatenate([[0], (mc_s[1:] != mc_s[:-1]).astype(np.int64)])
+    )
+    scc[midx_s] = comp_min[grp]
+    alive[midx_s] = False
+    return len(midx)
+
+
+def scc(
+    edges,
+    *,
+    a_col: str = "u",
+    b_col: str = "v",
+    max_rounds: int = 64,
+    local_max_edges: int = 1 << 20,
+    broadcast_state_limit: int = 2_000_000,
+):
+    """Strongly connected components of a DIRECTED int64 edge Dataset:
+    ``pa.Table (node, scc_id)`` for every endpoint, ``scc_id`` = the
+    MIN node id of the component (every node appears; singletons get
+    their own id).
+
+    Algorithm: iterative coloring / FW-BW (Orzan's distributed SCC —
+    the standard shared-nothing shape, no Tarjan stack):
+
+    1. forward MAX-color fixpoint along edges (``color(v) = max over
+       forward-ancestors ∪ self``) — each color class has its root
+       ``c`` (``color(c) == c``) and is closed under reachability from
+       the root;
+    2. backward reachability from all roots simultaneously, RESTRICTED
+       to each node's own color class (edge u->v joins u iff v is a
+       member and ``color(u) == color(v)``) — the joined set of class
+       ``c`` is exactly ``SCC(c)``;
+    3. assign (component id = min member node id), peel the assigned
+       nodes, repeat on the remaining subgraph.  Every round assigns
+       at least each class root's SCC, so rounds are bounded by the
+       longest root-chain (``max_rounds`` is a safety fence).
+
+    Hybrid execution (the `connected_components` law): at or below
+    ``local_max_edges`` the whole loop runs vectorized on the driver
+    over the deduplicated edge arrays.  Above it, the per-node color /
+    member state (one int64 + one bit per node, the pagerank /
+    bfs_hops state budget, gated by ``broadcast_state_limit``) is
+    broadcast per superstep (``ray.put`` once, per-worker cache) and
+    each fixpoint / BFS iteration is ONE stateless streaming pass over
+    the edge Dataset emitting packed per-batch partials — no join, no
+    fine groupby, edge stream materialized once and re-streamed per
+    pass.  Node sets beyond the broadcast gate would shard the color
+    state into a Dataset and swap each pass for a partitioned
+    `cluster.safe_join` (the bfs_hops distributed shape).
+    """
+    import ray
+
+    ep = distinct_int_pairs_table(edges, a_col, b_col)
+    U = np.asarray(ep[a_col], np.int64)
+    V = np.asarray(ep[b_col], np.int64)
+    nodes = np.unique(np.concatenate([U, V]))
+    n = len(nodes)
+    if n > broadcast_state_limit:
+        raise NotImplementedError(
+            "scc beyond the broadcast state gate needs the sharded-"
+            "state safe_join path (bfs_hops distributed shape)"
+        )
+    scc_out = np.full(n, -1, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+
+    local = len(U) <= local_max_edges
+    if local:
+        Ui = np.searchsorted(nodes, U)
+        Vi = np.searchsorted(nodes, V)
+
+        def max_color_pass(color, live_edge):
+            """one forward sweep; returns True if any color changed"""
+            cs = color[Ui[live_edge]]
+            vs = Vi[live_edge]
+            order = np.argsort(vs, kind="stable")
+            vs_s, cs_s = vs[order], cs[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], vs_s[1:] != vs_s[:-1]])
+            )
+            if not len(starts):
+                return False
+            heads = vs_s[starts]
+            mx = np.maximum.reduceat(cs_s, starts)
+            upd = mx > color[heads]
+            color[heads[upd]] = mx[upd]
+            return bool(upd.any())
+
+        def backward_pass(color, member, live_edge):
+            """one backward sweep; returns True if any node joined"""
+            m = (
+                live_edge
+                & member[Vi]
+                & ~member[Ui]
+                & (color[Ui] == color[Vi])
+            )
+            if not m.any():
+                return False
+            member[Ui[m]] = True
+            return True
+
+    else:
+        eds = edges.materialize()
+
+        def _passes(kind, state_payload):
+            ref = {"__ref__": ray.put(state_payload)}
+            key = f"scc:{kind}:{ref['__ref__'].hex()}"
+
+            def fwd(b: pa.Table, _r=ref, _k=key) -> pa.Table:
+                from .spatial import _cached_kernel
+
+                st = _cached_kernel(_k, _r, lambda x: x)
+                nd, col, al = st["nodes"], st["color"], st["alive"]
+                u = np.searchsorted(nd, np.asarray(b[a_col], np.int64))
+                v = np.searchsorted(nd, np.asarray(b[b_col], np.int64))
+                m = al[u] & al[v]
+                u, v = u[m], v[m]
+                if not len(u):
+                    return pa.table(
+                        {"h": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())}
+                    )
+                cs = col[u]
+                order = np.argsort(v, kind="stable")
+                vs, cs = v[order], cs[order]
+                starts = np.flatnonzero(
+                    np.concatenate([[True], vs[1:] != vs[:-1]])
+                )
+                return pa.table(
+                    {
+                        "h": pa.array(vs[starts]),
+                        "c": pa.array(np.maximum.reduceat(cs, starts)),
+                    }
+                )
+
+            def bwd(b: pa.Table, _r=ref, _k=key) -> pa.Table:
+                from .spatial import _cached_kernel
+
+                st = _cached_kernel(_k, _r, lambda x: x)
+                nd, col, al, mem = (
+                    st["nodes"], st["color"], st["alive"], st["member"]
+                )
+                u = np.searchsorted(nd, np.asarray(b[a_col], np.int64))
+                v = np.searchsorted(nd, np.asarray(b[b_col], np.int64))
+                m = (
+                    al[u] & al[v] & mem[v] & ~mem[u]
+                    & (col[u] == col[v])
+                )
+                return pa.table({"j": pa.array(np.unique(u[m]))})
+
+            return fwd if kind == "fwd" else bwd
+
+        def max_color_pass(color, live_edge):
+            fwd = _passes(
+                "fwd",
+                {"nodes": nodes, "color": color.copy(), "alive": alive},
+            )
+            tabs = list(
+                eds.map_batches(fwd, batch_format="pyarrow").iter_batches(
+                    batch_size=None, batch_format="pyarrow"
+                )
+            )
+            if not tabs:
+                return False
+            parts = pa.concat_tables(tabs)
+            h = np.asarray(parts["h"], np.int64)
+            c = np.asarray(parts["c"], np.int64)
+            if not len(h):
+                return False
+            order = np.argsort(h, kind="stable")
+            h, c = h[order], c[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], h[1:] != h[:-1]])
+            )
+            heads = h[starts]
+            mx = np.maximum.reduceat(c, starts)
+            upd = mx > color[heads]
+            color[heads[upd]] = mx[upd]
+            return bool(upd.any())
+
+        def backward_pass(color, member, live_edge):
+            bwd = _passes(
+                "bwd",
+                {
+                    "nodes": nodes,
+                    "color": color.copy(),
+                    "alive": alive,
+                    "member": member.copy(),
+                },
+            )
+            tabs = list(
+                eds.map_batches(bwd, batch_format="pyarrow").iter_batches(
+                    batch_size=None, batch_format="pyarrow"
+                )
+            )
+            if not tabs:
+                return False
+            parts = pa.concat_tables(tabs)
+            j = np.asarray(parts["j"], np.int64)
+            if not len(j):
+                return False
+            member[j] = True
+            return True
+
+    for _ in range(max_rounds):
+        if not alive.any():
+            break
+        live_edge = alive[Ui] & alive[Vi] if local else None
+        color = np.where(alive, np.arange(n, dtype=np.int64), -1)
+        while max_color_pass(color, live_edge):
+            pass
+        member = np.zeros(n, dtype=bool)
+        roots = alive & (color == np.arange(n))
+        member[np.flatnonzero(roots)] = True
+        while backward_pass(color, member, live_edge):
+            pass
+        if not _scc_assign_round(color, member, nodes, scc_out, alive):
+            break
+    if alive.any():
+        raise RuntimeError(
+            f"scc did not converge in {max_rounds} rounds"
+        )
+    return pa.table(
+        {"node": pa.array(nodes), "scc_id": pa.array(scc_out)}
+    )
+
+
+def sql_scc(*, edges_sql: str, nodes_sql: str) -> str:
+    """DuckDB twin of :func:`scc`: recursive reachability closure +
+    mutual-pair min fold.  ``edges_sql`` must yield (u, v);
+    ``nodes_sql`` must yield (u) — quadratic closure, oracle-scale
+    only."""
+    return f"""
+WITH RECURSIVE
+nodes AS ({nodes_sql}),
+e AS ({edges_sql}),
+reach AS (
+  SELECT u AS s, v AS t FROM e
+  UNION
+  SELECT r.s, e.v FROM reach r JOIN e ON e.u = r.t
+),
+mutual AS (
+  SELECT r1.s, r1.t FROM reach r1
+  JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s
+)
+SELECT n.u AS node,
+       LEAST(n.u, COALESCE(MIN(m.t), n.u))::BIGINT AS scc_id
+FROM nodes n LEFT JOIN mutual m ON m.s = n.u
+GROUP BY n.u
+"""

@@ -6039,6 +6039,65 @@ def q_pmi_bigrams(sf_dir: str):
     return pmi_bigrams(_docs(sf_dir, ("doc_id", "text")), min_count=5)
 
 
+_SCC_LIM = 512  # node cap of the directed-graph fixture (oracle closure
+# is quadratic, so the fixture is bounded at every sf)
+
+
+def q_scc(sf_dir: str):
+    """Strongly connected components (graph.scc, FW-BW coloring) over a
+    deterministic directed functional graph on the first doc_ids:
+    u -> (37u+11) % n for all u, plus u -> (61u+5) % n for u % 3 == 0 —
+    cycles with in-trees, several non-trivial SCCs.  scc_id = min node
+    id of the component; oracle is the recursive reachability closure +
+    mutual-pair fold."""
+    from ..graph import scc
+
+    docs = _docs(sf_dir, ("doc_id",))
+    n = 0
+    for b in docs.map_batches(
+        lambda t: pa.table(
+            {
+                "c": pa.array(
+                    [int((np.asarray(t["doc_id"]) < _SCC_LIM).sum())],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        n += int(np.asarray(b["c"]).sum())
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["doc_id"], np.int64)
+        u = u[u < _SCC_LIM]
+        m = u % 3 == 0
+        uu = np.concatenate([u, u[m]])
+        vv = np.concatenate([(u * 37 + 11) % n, (u[m] * 61 + 5) % n])
+        return pa.table({"u": pa.array(uu), "v": pa.array(vv)})
+
+    return scc(docs.map_batches(mk_edges, batch_format="pyarrow"))
+
+
+def _sql_scc() -> str:
+    from ..graph import sql_scc
+
+    nn = (
+        f"(SELECT COUNT(*)::BIGINT AS n FROM documents "
+        f"WHERE doc_id < {_SCC_LIM})"
+    )
+    edges = f"""
+  SELECT d.doc_id AS u, (d.doc_id * 37 + 11) % nn.n AS v
+  FROM documents d, {nn} nn WHERE d.doc_id < {_SCC_LIM}
+  UNION ALL
+  SELECT d.doc_id, (d.doc_id * 61 + 5) % nn.n
+  FROM documents d, {nn} nn
+  WHERE d.doc_id < {_SCC_LIM} AND d.doc_id % 3 = 0"""
+    nodes = (
+        f"SELECT doc_id AS u FROM documents WHERE doc_id < {_SCC_LIM}"
+    )
+    return sql_scc(edges_sql=edges, nodes_sql=nodes)
+
+
 def q_record_link(sf_dir: str):
     """Fuzzy record linkage (joins.fuzzy_link): part names are corrupted
     by the deterministic typo law (joins.typo_names), then each dirty
@@ -13786,6 +13845,7 @@ def queries():
         "pmi_bigrams": q_pmi_bigrams,
         "fuzzy_vocab": q_fuzzy_vocab,
         "record_link": q_record_link,
+        "scc": q_scc,
         "lang_quantiles": q_lang_quantiles,
         "train_split": q_train_split,
         "pack_sequences": q_pack_sequences,
@@ -15168,6 +15228,7 @@ def oracle_sql():
         "pmi_bigrams": sql_pmi_bigrams(min_count=5),
         "fuzzy_vocab": sql_fuzzy_vocab(max_dist=2),
         "record_link": _sql_record_link(),
+        "scc": _sql_scc(),
         "lang_quantiles": sql_grouped_quantiles(),
         "train_split": _sql_train_split(),
         "pack_sequences": _sql_pack_sequences(),

@@ -112,3 +112,46 @@ def test_fuzzy_link_paths(ray_session):
     )  # no blocking candidate -> NULL
     assert out.loc[2, "match_name"] == "red widget"
     assert out.loc[2, "jw"] == 1.0
+
+
+def test_scc_hand_graph(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.graph import scc
+
+    # 3-cycle {0,1,2}, 2-cycle {3,4}, self-loop 5, dag node 6 -> 0
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([0, 1, 2, 2, 3, 4, 5, 6], pa.int64()),
+                "v": pa.array([1, 2, 0, 3, 4, 3, 5, 0], pa.int64()),
+            }
+        )
+    )
+    out = scc(edges).to_pandas().sort_values("node")
+    assert list(out.scc_id) == [0, 0, 0, 3, 3, 5, 6]
+
+
+def test_scc_distributed_path_matches_local(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.graph import scc
+
+    n = 120
+    u = np.arange(n, dtype=np.int64)
+    uu = np.concatenate([u, u[u % 3 == 0]])
+    vv = np.concatenate(
+        [(u * 37 + 11) % n, (u[u % 3 == 0] * 61 + 5) % n]
+    )
+    edges = rd.from_arrow(
+        pa.table({"u": pa.array(uu), "v": pa.array(vv)})
+    )
+    loc = scc(edges).to_pandas().sort_values("node").reset_index(drop=True)
+    dist = (
+        scc(edges, local_max_edges=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert loc.equals(dist)
+    assert loc.scc_id.nunique() > 1  # non-trivial fixture
