@@ -1417,3 +1417,84 @@ SELECT n.u AS node,
 FROM nodes n LEFT JOIN mutual m ON m.s = n.u
 GROUP BY n.u
 """
+
+
+def local_clustering(edges: pa.Table, *, round_to: int = 6) -> pa.Table:
+    """Per-node (local) clustering coefficient of an undirected simple
+    graph given its (u, v) edge table (u < v): ``(node, degree, n_tri,
+    coeff)`` with ``coeff = 2*n_tri / (degree*(degree-1))`` rounded
+    half-away (NULL when degree < 2) — the node-level counterpart of
+    :func:`triangle_stats`'s global transitivity.
+
+    Same exact O(E^1.5) degree-oriented segmented-triu wedge scan; each
+    closed wedge credits ALL THREE corners via one bincount per slab.
+    Edge tables arrive pre-reduced (cooccurrence_edge_table), so the
+    driver-vectorized scan is the `connected_components` hybrid shape."""
+    u = np.asarray(edges["u"], np.int64)
+    v = np.asarray(edges["v"], np.int64)
+    if not len(u):
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "degree": pa.array([], pa.int64()),
+                "n_tri": pa.array([], pa.int64()),
+                "coeff": pa.array([], pa.float64()),
+            }
+        )
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u):]
+    n = len(nodes)
+    deg = (
+        np.bincount(iu, minlength=n) + np.bincount(iv, minlength=n)
+    ).astype(np.int64)
+    rank = np.empty(n, np.int64)
+    rank[np.lexsort((np.arange(n), deg))] = np.arange(n)
+    ru, rv = rank[iu], rank[iv]
+    src = np.where(ru < rv, ru, rv)
+    dst = np.where(ru < rv, rv, ru)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    ekey = src * n + dst
+    tri_cnt = np.zeros(n, np.int64)
+    unrank = np.empty(n, np.int64)
+    unrank[rank] = np.arange(n)
+    seg_starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    seg_sizes = np.diff(np.append(seg_starts, len(src)))
+    for sz in np.unique(seg_sizes):
+        if sz < 2:
+            continue
+        segs = seg_starts[seg_sizes == sz]
+        la, lb = np.triu_indices(int(sz), k=1)
+        per = max(1, 4_000_000 // len(la))
+        for i in range(0, len(segs), per):
+            s = segs[i : i + per]
+            ga = (s[:, None] + la[None, :]).ravel()
+            gb = (s[:, None] + lb[None, :]).ravel()
+            a = dst[ga]
+            b = dst[gb]
+            wk = np.minimum(a, b) * n + np.maximum(a, b)
+            pos = np.searchsorted(ekey, wk)
+            np.clip(pos, 0, len(ekey) - 1, out=pos)
+            closed = ekey[pos] == wk
+            if closed.any():
+                corners = np.concatenate(
+                    [src[ga[closed]], a[closed], b[closed]]
+                )
+                tri_cnt += np.bincount(corners, minlength=n)
+    # tri_cnt is indexed by RANK space (src/dst are ranks)
+    tri_by_node = tri_cnt[rank]
+    tol = 10.0 ** round_to
+    with np.errstate(divide="ignore", invalid="ignore"):
+        coeff = (2.0 * tri_by_node) / (deg * (deg - 1)).astype(np.float64)
+    coeff = np.floor(coeff * tol + 0.5) / tol  # coeff >= 0
+    ok = deg >= 2
+    return pa.table(
+        {
+            "node": pa.array(nodes),
+            "degree": pa.array(deg),
+            "n_tri": pa.array(tri_by_node),
+            "coeff": pa.array(
+                np.where(ok, coeff, 0.0), pa.float64(), mask=~ok
+            ),
+        }
+    )

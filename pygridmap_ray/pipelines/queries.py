@@ -10698,6 +10698,58 @@ def q_triangle_stats(sf_dir: str):
     return triangle_stats(edges)
 
 
+def q_local_clustering(sf_dir: str):
+    """Per-node clustering coefficient (graph.local_clustering) of the
+    supplier co-purchase graph — same edge fixture as triangle_stats,
+    each closed wedge credited to all three corners."""
+    import ray.data as rd
+
+    from ..graph import cooccurrence_edge_table, local_clustering
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    edges = cooccurrence_edge_table(
+        line, "l_orderkey", "l_suppkey", min_weight=TRI_MINW
+    )
+    return local_clustering(edges)
+
+
+def _sql_local_clustering() -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS s FROM lineitem),
+pr AS (
+  SELECT a.s AS u, b.s AS v FROM li a
+  JOIN li b ON b.g = a.g AND a.s < b.s
+),
+ed AS (SELECT u, v FROM pr GROUP BY u, v HAVING COUNT(*) >= {TRI_MINW}),
+deg AS (
+  SELECT n, COUNT(*)::BIGINT AS d
+  FROM (SELECT u AS n FROM ed UNION ALL SELECT v AS n FROM ed)
+  GROUP BY n
+),
+tr AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM ed e1
+  JOIN ed e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+corner AS (
+  SELECT x AS n FROM tr
+  UNION ALL SELECT y FROM tr
+  UNION ALL SELECT z FROM tr
+),
+tc AS (SELECT n, COUNT(*)::BIGINT AS t FROM corner GROUP BY n)
+SELECT deg.n AS node, deg.d AS degree,
+       COALESCE(tc.t, 0)::BIGINT AS n_tri,
+       CASE WHEN deg.d < 2 THEN NULL
+            ELSE ROUND((2.0::DOUBLE * COALESCE(tc.t, 0)::DOUBLE)
+                       / (deg.d * (deg.d - 1))::DOUBLE * 1e6) / 1e6
+       END AS coeff
+FROM deg LEFT JOIN tc ON tc.n = deg.n
+"""
+
+
 def _sql_triangle_stats() -> str:
     return f"""
 WITH li AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS s FROM lineitem),
@@ -13685,6 +13737,7 @@ def queries():
         "benford": q_benford,
         "kcore": q_kcore,
         "triangle_stats": q_triangle_stats,
+        "local_clustering": q_local_clustering,
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
         "auc_nchars": q_auc_nchars,
@@ -15003,6 +15056,7 @@ def oracle_sql():
         "benford": _sql_benford(),
         "kcore": _sql_kcore(),
         "triangle_stats": _sql_triangle_stats(),
+        "local_clustering": _sql_local_clustering(),
         "adamic_adar": _sql_adamic_adar(),
         "assortativity": _sql_assortativity(),
         "auc_nchars": _sql_auc_nchars(),

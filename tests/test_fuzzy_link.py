@@ -155,3 +155,20 @@ def test_scc_distributed_path_matches_local(ray_session):
     )
     assert loc.equals(dist)
     assert loc.scc_id.nunique() > 1  # non-trivial fixture
+
+
+def test_local_clustering_hand_graph(ray_session):
+    from pygridmap_ray.graph import local_clustering
+
+    # K4 minus edge (2,3): nodes 0,1 see both triangles
+    edges = pa.table(
+        {
+            "u": pa.array([0, 0, 0, 1, 1], pa.int64()),
+            "v": pa.array([1, 2, 3, 2, 3], pa.int64()),
+        }
+    )
+    out = local_clustering(edges).to_pandas().sort_values("node")
+    assert list(out.degree) == [3, 3, 2, 2]
+    assert list(out.n_tri) == [2, 2, 1, 1]
+    # nodes 0/1: 2 tri over C(3,2)=3 wedges; nodes 2/3: 1 over 1
+    assert list(out.coeff) == [0.666667, 0.666667, 1.0, 1.0]
