@@ -1048,3 +1048,100 @@ FROM exact e LEFT JOIN approx a
 GROUP BY e.query_id
 ORDER BY e.query_id
 """
+
+
+def hard_negatives(
+    ds,
+    queries: dict,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+):
+    """Hard-negative mining for contrastive training: for each broadcast
+    query, the top-k most-similar corpus vectors whose ``label`` DIFFERS
+    from the query's — the highest-cosine wrong-class examples (self is
+    excluded automatically: it shares the query's label).
+
+    ``queries``: {"ids": int64[], "matrix": (Q, D) float,
+    "labels": int64[]}.  Same broadcast-queries / streamed-corpus /
+    two-phase top-k shape as :func:`ann_topk`, same
+    (cosine desc, neighbor asc) tie-break via ``_topk_final`` — one
+    extra label-mask before the per-batch top-k.  Scale: the label mask
+    is one vectorized compare per (Q, N) block; corpus never
+    materializes."""
+    import ray
+
+    ref = {"__ref__": ray.put(queries)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .spatial import _cached_kernel
+
+        state = _cached_kernel(
+            f"hardneg:{ref['__ref__'].hex()}",
+            ref,
+            lambda p: {
+                "qm": _normalize(np.asarray(p["matrix"], dtype=np.float64)),
+                "qids": np.asarray(p["ids"], dtype=np.int64),
+                "qlab": np.asarray(p["labels"], dtype=np.int64),
+            },
+        )
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        if len(ids) == 0:
+            return empty
+        lab = np.asarray(batch[label_col], dtype=np.int64)
+        v = _normalize(_emb_matrix(batch, emb_col))
+        sims = state["qm"] @ v.T  # (Q, N)
+        q_out, n_out, s_out = [], [], []
+        for qi in range(len(state["qids"])):
+            keep = lab != state["qlab"][qi]
+            if not keep.any():
+                continue
+            s = sims[qi][keep]
+            nid = ids[keep]
+            kk = min(k, len(nid))
+            top = np.lexsort((nid, -s))[:kk]
+            q_out.append(np.full(kk, state["qids"][qi], dtype=np.int64))
+            n_out.append(nid[top])
+            s_out.append(s[top])
+        if not q_out:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(q_out)),
+                "neighbor_id": pa.array(np.concatenate(n_out)),
+                "cosine": pa.array(np.concatenate(s_out)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        _topk_final(k), batch_format="pandas"
+    )
+
+
+def sql_hard_negatives(k: int = 5, n_queries: int = 10) -> str:
+    """DuckDB twin of :func:`hard_negatives`: all-pairs cosine with the
+    label-exclusion predicate and the shared rank law."""
+    return f"""
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+               d.embedding::DOUBLE[]) * 1e6) / 1e6 AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                    d.embedding::DOUBLE[]) DESC, d.vec_id ASC
+         )::BIGINT AS rank
+  FROM embeddings q, embeddings d
+  WHERE q.vec_id < {n_queries} AND d.label <> q.label
+) WHERE rank <= {k}
+"""

@@ -6272,6 +6272,44 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
 
 
+def _sql_hard_negatives_q() -> str:
+    from ..ann import sql_hard_negatives
+
+    return sql_hard_negatives(k=5, n_queries=10)
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining (ann.hard_negatives): per query, the top-5
+    highest-cosine corpus vectors of a DIFFERENT label — the contrastive
+    training sampler.  Broadcast queries+labels, streamed corpus."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..ann import hard_negatives
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", 10)],
+    )
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    order = np.argsort(ids)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )[order]
+    labs = np.asarray(t["label"], dtype=np.int64)[order]
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    out = hard_negatives(
+        ds, {"ids": ids[order], "matrix": mat, "labels": labs}, k=5
+    )
+    return out.map_batches(
+        lambda b: round6(b, ["cosine"]), batch_format="pyarrow"
+    )
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF top-k with a data-sampled coarse quantizer (the first 8 corpus
     vectors) — deterministic and SQL-expressible, so the approximate path
@@ -13944,6 +13982,7 @@ def queries():
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh": q_embedding_lsh,
         "ann_topk": q_ann_topk,
+        "hard_negatives": q_hard_negatives,
         "kmeans": q_kmeans,
         "quantize_emb": q_quantize,
         "ivf_topk": q_ivf_topk,
@@ -15343,6 +15382,7 @@ def oracle_sql():
         "embedding_neardup": _sql_neardup(),
         "embedding_lsh": _sql_emb_lsh(),
         "ann_topk": _sql_ann(),
+        "hard_negatives": _sql_hard_negatives_q(),
         "kmeans": _sql_kmeans(),
         "quantize_emb": _sql_quantize(),
         "ivf_topk": _sql_ivf(),
