@@ -6906,6 +6906,21 @@ def q_events_transitions(sf_dir: str):
     return events_transitions(sf_dir)
 
 
+def q_events_seasonal(sf_dir: str):
+    """Classical trend/seasonal/residual decomposition of the daily
+    event-count series (relational.events_seasonal): integer 7-row
+    centered MA trend, day-of-week detrended means, residuals."""
+    from .relational import events_seasonal
+
+    return events_seasonal(sf_dir)
+
+
+def _sql_events_seasonal() -> str:
+    from .relational import sql_events_seasonal
+
+    return sql_events_seasonal()
+
+
 def q_events_ewma(sf_dir: str):
     from .relational import events_ewma
 
@@ -13860,6 +13875,7 @@ def queries():
         "grouped_corr": q_grouped_corr,
         "events_transitions": q_events_transitions,
         "events_ewma": q_events_ewma,
+        "events_seasonal": q_events_seasonal,
         "grouped_mode": q_grouped_mode,
         "cube": q_cube,
         "degree_hist": q_degree_hist,
@@ -15184,6 +15200,7 @@ def oracle_sql():
         "grouped_corr": _sql_grouped_corr(),
         "events_transitions": _sql_events_transitions(),
         "events_ewma": _sql_events_ewma(),
+        "events_seasonal": _sql_events_seasonal(),
         "grouped_mode": _sql_grouped_mode(),
         "cube": _sql_cube(),
         "degree_hist": _sql_degree_hist(),

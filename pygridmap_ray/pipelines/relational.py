@@ -4162,3 +4162,115 @@ SELECT (us // {WM_WIN_US}) * {WM_WIN_US} AS win_us,
                 THEN 1 ELSE 0 END)::BIGINT AS n_late
 FROM m GROUP BY win_us ORDER BY win_us
 """
+
+
+def events_seasonal(sf_dir: str):
+    """Classical seasonal decomposition of the daily event-count series:
+    ``trend`` = centered 7-ROW moving average over the day-sorted series
+    (NULL at the edges where the window is incomplete — the positional
+    ROWS law, well-defined on both sides even with calendar gaps),
+    ``seasonal`` = day-of-week mean of the detrended values,
+    ``resid = n - trend - seasonal``; 6dp half-away outputs.
+
+    Plan: per-batch (day, n) combiners -> the bounded-cardinality Sum
+    groupby (days are span-bounded, never corpus-bounded) -> driver-final
+    vectorized decomposition on the tiny daily table.  The 7-day sum is
+    INTEGER (exact both sides); detrended means differ only by float
+    summation order, absorbed by the rounding step."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import round_half_away
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        day = np.asarray(us, np.int64) // DAY_US
+        d, n = np.unique(day, return_counts=True)
+        return pa.table(
+            {"d": pa.array(d), "n": pa.array(n.astype(np.int64))}
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    d = np.asarray(tbl["d"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    m = len(d)
+    trend = np.full(m, np.nan)
+    if m >= 7:
+        win = np.convolve(n.astype(np.int64), np.ones(7, np.int64),
+                          mode="valid")  # integer 7-row sums, exact
+        trend[3 : m - 3] = win.astype(np.float64) / 7.0
+    has_t = ~np.isnan(trend)
+    dow = d % 7
+    detr = n - trend  # NaN where trend undefined
+    seas = np.full(7, np.nan)
+    for w in range(7):
+        sel = has_t & (dow == w)
+        if sel.any():
+            seas[w] = detr[sel].sum() / sel.sum()
+    seasonal = seas[dow]
+    has_s = ~np.isnan(seasonal)
+    resid = n - trend - seasonal
+    out = pa.table(
+        {
+            "day": pa.array(d),
+            "n": pa.array(n),
+            "dow": pa.array(dow),
+            "trend": pa.array(
+                np.where(has_t, trend, 0.0), pa.float64(), mask=~has_t
+            ),
+            "seasonal": pa.array(
+                np.where(has_s, seasonal, 0.0), pa.float64(),
+                mask=~has_s,
+            ),
+            "resid": pa.array(
+                np.where(has_t & has_s, resid, 0.0), pa.float64(),
+                mask=~(has_t & has_s),
+            ),
+        }
+    )
+    return round_half_away(out, ["trend", "seasonal", "resid"], 6)
+
+
+def sql_events_seasonal() -> str:
+    return f"""
+WITH c AS (
+  SELECT epoch_us(ts) // {DAY_US} AS d, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY d
+),
+t AS (
+  SELECT d, n,
+         SUM(n) OVER (ORDER BY d
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::DOUBLE
+           / 7.0 AS trend,
+         COUNT(*) OVER (ORDER BY d
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+  FROM c
+),
+t2 AS (SELECT d, n, CASE WHEN w = 7 THEN trend END AS trend FROM t),
+s AS (
+  SELECT d % 7 AS dow, SUM(n - trend) / COUNT(*) AS seas
+  FROM t2 WHERE trend IS NOT NULL GROUP BY dow
+)
+SELECT t2.d AS day, t2.n AS n, t2.d % 7 AS dow,
+       CASE WHEN t2.trend IS NOT NULL
+            THEN ROUND(t2.trend * 1e6) / 1e6 END AS trend,
+       CASE WHEN s.seas IS NOT NULL
+            THEN ROUND(s.seas * 1e6) / 1e6 END AS seasonal,
+       CASE WHEN t2.trend IS NOT NULL AND s.seas IS NOT NULL
+            THEN ROUND((t2.n - t2.trend - s.seas) * 1e6) / 1e6
+       END AS resid
+FROM t2 LEFT JOIN s ON s.dow = t2.d % 7
+"""
