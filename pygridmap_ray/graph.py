@@ -1498,3 +1498,134 @@ def local_clustering(edges: pa.Table, *, round_to: int = 6) -> pa.Table:
             ),
         }
     )
+
+
+def sssp_hops(
+    edges,
+    seeds: np.ndarray,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    w_col: str = "w",
+    max_hops: int = 4,
+    broadcast_state_limit: int = 2_000_000,
+):
+    """Bounded-hop weighted shortest path: minimum INTEGER path cost
+    from the seed set over paths of at most ``max_hops`` edges —
+    distributed Bellman-Ford, exactly ``max_hops`` relaxation
+    supersteps, so the hop bound is the LAW (both sides compute the
+    same quantity; an unbounded min-cost closure does not terminate in
+    recursive SQL).
+
+    Returns ``pa.Table (node, cost)`` for every reached node.
+
+    Scale shape (the bfs_hops state budget): per-node int64 distances
+    broadcast once per superstep (``ray.put`` + per-worker cache); each
+    superstep is ONE stateless streaming pass over the edge Dataset
+    emitting per-batch (head, min candidate) partials via
+    lexsort + ``np.minimum.reduceat`` — no joins, no fine groupbys.
+    Only edges whose tail improved last round relax (frontier-active
+    law), so converged regions stop paying.  Beyond the broadcast gate
+    the distance state shards into a Dataset and each pass becomes a
+    partitioned `cluster.safe_join` (the bfs_hops distributed shape)."""
+    import ray
+
+    INF = np.int64(1 << 62)
+    eds = edges.materialize()
+
+    def _ends(b: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [np.asarray(b[a_col], np.int64),
+                 np.asarray(b[b_col], np.int64)]
+            )
+        )
+        return pa.table({"v": pa.array(u)})
+
+    ends = pa.concat_tables(
+        eds.map_batches(_ends, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    nodes = np.unique(np.asarray(ends["v"], np.int64))
+    n = len(nodes)
+    if n > broadcast_state_limit:
+        raise NotImplementedError(
+            "sssp beyond the broadcast state gate needs the sharded-"
+            "state safe_join path (bfs_hops distributed shape)"
+        )
+    dist = np.full(n, INF, dtype=np.int64)
+    seeds = np.unique(np.asarray(seeds, np.int64))
+    sidx = np.searchsorted(nodes, seeds)
+    sidx = sidx[(sidx < n) & (nodes[np.minimum(sidx, n - 1)] == seeds)]
+    dist[sidx] = 0
+    active = np.sort(sidx)
+    for _ in range(max_hops):
+        if not len(active):
+            break
+        ref = {
+            "__ref__": ray.put(
+                {"nodes": nodes, "dist": dist.copy(),
+                 "active": active.copy()}
+            )
+        }
+        key = f"sssp:{ref['__ref__'].hex()}"
+
+        def relax(b: pa.Table, _r=ref, _k=key) -> pa.Table:
+            from .spatial import _cached_kernel
+
+            st = _cached_kernel(_k, _r, lambda x: x)
+            nd, ds_, ac = st["nodes"], st["dist"], st["active"]
+            u = np.searchsorted(nd, np.asarray(b[a_col], np.int64))
+            v = np.searchsorted(nd, np.asarray(b[b_col], np.int64))
+            w = np.asarray(b[w_col], np.int64)
+            if len(ac):
+                pos = np.minimum(np.searchsorted(ac, u), len(ac) - 1)
+                m = ac[pos] == u
+            else:
+                m = np.zeros(len(u), bool)
+            if not m.any():
+                return pa.table(
+                    {"h": pa.array([], pa.int64()),
+                     "c": pa.array([], pa.int64())}
+                )
+            v, cand = v[m], ds_[u[m]] + w[m]
+            order = np.argsort(v, kind="stable")
+            vs, cs = v[order], cand[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], vs[1:] != vs[:-1]])
+            )
+            return pa.table(
+                {
+                    "h": pa.array(vs[starts]),
+                    "c": pa.array(np.minimum.reduceat(cs, starts)),
+                }
+            )
+
+        tabs = list(
+            eds.map_batches(relax, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        if not tabs:
+            break
+        parts = pa.concat_tables(tabs)
+        h = np.asarray(parts["h"], np.int64)
+        c = np.asarray(parts["c"], np.int64)
+        if not len(h):
+            break
+        order = np.argsort(h, kind="stable")
+        h, c = h[order], c[order]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        heads = h[starts]
+        mn = np.minimum.reduceat(c, starts)
+        upd = mn < dist[heads]
+        dist[heads[upd]] = mn[upd]
+        active = np.sort(heads[upd])
+    reached = dist < INF
+    return pa.table(
+        {
+            "node": pa.array(nodes[reached]),
+            "cost": pa.array(dist[reached]),
+        }
+    )

@@ -10625,6 +10625,72 @@ def q_bfs_hops(sf_dir: str):
     )
 
 
+def q_sssp_cost(sf_dir: str):
+    """Bounded-hop weighted shortest path (graph.sssp_hops): distributed
+    Bellman-Ford over the supplier<->part bipartite graph with
+    deterministic integer weights w = (a + b) % 9 + 1 — exactly
+    {BFS_MAX_HOPS} relaxation supersteps, min cost over paths of at most
+    that many edges (the hop bound IS the law so the recursive oracle
+    terminates)."""
+    import pyarrow.parquet as pq_
+
+    import ray.data as rd
+
+    from ..graph import distinct_int_pairs, sssp_hops
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    pairs = distinct_int_pairs(line, "l_suppkey", "l_partkey")
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["l_suppkey"], np.int64)
+        v = np.asarray(b["l_partkey"], np.int64) + KCORE_POFF
+        aa = np.concatenate([a, v])
+        bb = np.concatenate([v, a])
+        return pa.table(
+            {
+                "a": pa.array(aa),
+                "b": pa.array(bb),
+                "w": pa.array((aa + bb) % 9 + 1),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    seed = int(
+        np.asarray(
+            pq_.read_table(
+                f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"]
+            )["l_suppkey"],
+            np.int64,
+        ).min()
+    )
+    return sssp_hops(
+        edges, np.asarray([seed], np.int64), max_hops=BFS_MAX_HOPS
+    )
+
+
+def _sql_sssp_cost() -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_suppkey AS a, l_partkey + {KCORE_POFF} AS b
+  FROM lineitem),
+sym AS (
+  SELECT a, b, (a + b) % 9 + 1 AS w FROM e
+  UNION ALL
+  SELECT b, a, (a + b) % 9 + 1 FROM e),
+p AS (
+  SELECT (SELECT MIN(l_suppkey) FROM lineitem) AS node,
+         0::BIGINT AS cost, 0 AS hops
+  UNION
+  SELECT sym.b, p.cost + sym.w, p.hops + 1
+  FROM p JOIN sym ON sym.a = p.node
+  WHERE p.hops < {BFS_MAX_HOPS})
+SELECT node, MIN(cost)::BIGINT AS cost
+FROM p GROUP BY node ORDER BY node
+"""
+
+
 def _sql_bfs_hops() -> str:
     return f"""
 WITH RECURSIVE e AS (
@@ -14064,6 +14130,7 @@ def queries():
         "q16_supplier_cnt": q_q16_supplier_cnt,
         "q20_excess": q_q20_excess,
         "bfs_hops": q_bfs_hops,
+        "sssp_cost": q_sssp_cost,
         "pq_recall": q_pq_recall,
         "lsh_screen": q_lsh_screen,
         "ann_recall": q_ann_recall,
@@ -15469,6 +15536,7 @@ def oracle_sql():
         "q16_supplier_cnt": _sql_tpch("sql_q16"),
         "q20_excess": _sql_tpch("sql_q20"),
         "bfs_hops": _sql_bfs_hops(),
+        "sssp_cost": _sql_sssp_cost(),
         "pq_recall": _sql_pq_recall(),
         "lsh_screen": _sql_lsh_screen(),
         "ann_recall": _sql_ann_recall(),

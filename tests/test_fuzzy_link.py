@@ -172,3 +172,26 @@ def test_local_clustering_hand_graph(ray_session):
     assert list(out.n_tri) == [2, 2, 1, 1]
     # nodes 0/1: 2 tri over C(3,2)=3 wedges; nodes 2/3: 1 over 1
     assert list(out.coeff) == [0.666667, 0.666667, 1.0, 1.0]
+
+
+def test_sssp_hand_graph(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.graph import sssp_hops
+
+    # 0 -1-> 1 -1-> 2, plus a direct heavy edge 0 -5-> 2, and 2 -1-> 3
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([0, 1, 0, 2], pa.int64()),
+                "b": pa.array([1, 2, 2, 3], pa.int64()),
+                "w": pa.array([1, 1, 5, 1], pa.int64()),
+            }
+        )
+    )
+    out = sssp_hops(edges, np.array([0]), max_hops=3).to_pandas()
+    got = dict(zip(out.node, out.cost))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # hop bound binds: with max_hops=1 only direct edges reach
+    out1 = sssp_hops(edges, np.array([0]), max_hops=1).to_pandas()
+    assert dict(zip(out1.node, out1.cost)) == {0: 0, 1: 1, 2: 5}
