@@ -6098,6 +6098,27 @@ def _sql_scc() -> str:
     return sql_scc(edges_sql=edges, nodes_sql=nodes)
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_table_profile(sf_dir: str):
+    """Per-column table profile (stats.table_profile) of the documents
+    table: n / nulls / exact distinct / native-domain min/max rendered
+    as VARCHAR.  Distinct rides the coarse-bucket md5-prefix shuffle —
+    (col, hash) int pairs only, the values never move."""
+    from ..stats import table_profile
+
+    return table_profile(
+        _docs(sf_dir, tuple(_PROFILE_COLS)), _PROFILE_COLS
+    )
+
+
+def _sql_table_profile() -> str:
+    from ..stats import sql_table_profile
+
+    return sql_table_profile(source="documents", cols=_PROFILE_COLS)
+
+
 def q_record_link(sf_dir: str):
     """Fuzzy record linkage (joins.fuzzy_link): part names are corrupted
     by the deterministic typo law (joins.typo_names), then each dirty
@@ -14018,6 +14039,7 @@ def queries():
         "pmi_bigrams": q_pmi_bigrams,
         "fuzzy_vocab": q_fuzzy_vocab,
         "record_link": q_record_link,
+        "table_profile": q_table_profile,
         "scc": q_scc,
         "lang_quantiles": q_lang_quantiles,
         "train_split": q_train_split,
@@ -15405,6 +15427,7 @@ def oracle_sql():
         "pmi_bigrams": sql_pmi_bigrams(min_count=5),
         "fuzzy_vocab": sql_fuzzy_vocab(max_dist=2),
         "record_link": _sql_record_link(),
+        "table_profile": _sql_table_profile(),
         "scc": _sql_scc(),
         "lang_quantiles": sql_grouped_quantiles(),
         "train_split": _sql_train_split(),

@@ -2803,3 +2803,192 @@ SELECT {group_col},
          / {t} AS spearman
 FROM s
 """
+
+
+def table_profile(ds, cols: list[str]):
+    """Per-column data profile — the catalog/inspection utility every
+    engine ships: ``(column, n, n_null, n_distinct, min_v, max_v)`` with
+    min/max rendered as VARCHAR of the NATIVE-domain extremum (numeric
+    order for integer columns, binary lexicographic for strings — the
+    SQL ``MIN(col)::VARCHAR`` law).  Integer and string columns only
+    (floats have no canonical text rendering to share with SQL).
+
+    Plan: one stateless combiner pass emits a (col, n, n_null, min,
+    max) partial row per column per block (driver-folds at
+    cols x blocks scale), and exact COUNT(DISTINCT) rides the
+    `distinct_int_pairs` coarse-bucket shuffle over 60-bit md5 prefixes
+    of the value strings — the content-stable hash law, so only
+    (col, hash) int pairs ever shuffle, never the values."""
+    import ray.data as rd
+
+    from .text import md5_prefix_int
+
+    col_idx = {c: i for i, c in enumerate(cols)}
+
+    def part(b: pa.Table) -> pa.Table:
+        ci, n, nn = [], [], []
+        mn_s, mx_s, mn_i, mx_i = [], [], [], []
+        for c in cols:
+            col = b[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ci.append(col_idx[c])
+            n.append(len(col))
+            nn.append(col.null_count)
+            valid = col.drop_null()
+            is_int = pa.types.is_integer(col.type)
+            if not len(valid):
+                mn_s.append(None); mx_s.append(None)
+                mn_i.append(None); mx_i.append(None)
+                continue
+            if is_int:
+                v = np.asarray(valid, np.int64)
+                mn_i.append(int(v.min())); mx_i.append(int(v.max()))
+                mn_s.append(None); mx_s.append(None)
+            elif pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type
+            ):
+                mm = pc.min_max(valid)
+                mn_s.append(mm["min"].as_py()); mx_s.append(mm["max"].as_py())
+                mn_i.append(None); mx_i.append(None)
+            elif pa.types.is_null(col.type):
+                mn_s.append(None); mx_s.append(None)
+                mn_i.append(None); mx_i.append(None)
+            else:
+                raise TypeError(
+                    f"table_profile supports int/string columns, got "
+                    f"{col.type} for {c!r}"
+                )
+        return pa.table(
+            {
+                "ci": pa.array(ci, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "nn": pa.array(nn, pa.int64()),
+                "mn_s": pa.array(mn_s, pa.string()),
+                "mx_s": pa.array(mx_s, pa.string()),
+                "mn_i": pa.array(mn_i, pa.int64()),
+                "mx_i": pa.array(mx_i, pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        t
+        for t in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+        if t.num_rows
+    )
+
+    def dh(b: pa.Table) -> pa.Table:
+        out_c, out_h = [], []
+        for c in cols:
+            col = b[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_null(col.type):
+                continue
+            valid = col.drop_null()
+            if not len(valid):
+                continue
+            s = pc.cast(valid, pa.string())
+            u = pc.unique(s)
+            h = md5_prefix_int(u).astype(np.int64)
+            out_c.append(np.full(len(h), col_idx[c], np.int64))
+            out_h.append(h)
+        if not out_c:
+            return pa.table(
+                {"ci": pa.array([], pa.int64()),
+                 "h": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "ci": pa.array(np.concatenate(out_c)),
+                "h": pa.array(np.concatenate(out_h)),
+            }
+        )
+
+    # distinct: (hash << 4 | col) packed uint64 keys (60-bit md5 prefix,
+    # <= 16 columns), per-batch unique -> coarse-bucket shuffle -> per-
+    # bucket unique + per-column count partials, driver-folded
+    if len(cols) > 16:
+        raise ValueError("table_profile packs <= 16 columns per call")
+
+    def packk(b: pa.Table) -> pa.Table:
+        h = np.asarray(b["h"], np.int64).astype(np.uint64)
+        ci_ = np.asarray(b["ci"], np.int64).astype(np.uint64)
+        k = np.unique((h << np.uint64(4)) | ci_)
+        cg = (
+            (k * np.uint64(2654435761)) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.table(
+            {"k": pa.array(k.astype(np.int64)), "__cg": pa.array(cg)}
+        )
+
+    def ucount(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(g["k"].to_numpy(np.int64).astype(np.uint64))
+        ci_ = (k & np.uint64(15)).astype(np.int64)
+        u, c = np.unique(ci_, return_counts=True)
+        return pd.DataFrame({"ci": u, "c": c.astype(np.int64)})
+
+    dparts = (
+        ds.map_batches(dh, batch_format="pyarrow")
+        .map_batches(packk, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(ucount, batch_format="pandas")
+    )
+    dcounts = np.zeros(len(cols), np.int64)
+    for t in dparts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for ciL, cL in zip(
+            np.asarray(t["ci"], np.int64), np.asarray(t["c"], np.int64)
+        ):
+            dcounts[ciL] += cL
+
+    pci = np.asarray(parts["ci"], np.int64)
+    pn = np.asarray(parts["n"], np.int64)
+    pnn = np.asarray(parts["nn"], np.int64)
+    out_rows = []
+    for c, i in col_idx.items():
+        sel = pci == i
+        n_tot = int(pn[sel].sum())
+        nn_tot = int(pnn[sel].sum())
+        mi = parts["mn_i"].take(pa.array(np.flatnonzero(sel))).drop_null()
+        ms = parts["mn_s"].take(pa.array(np.flatnonzero(sel))).drop_null()
+        xi = parts["mx_i"].take(pa.array(np.flatnonzero(sel))).drop_null()
+        xs = parts["mx_s"].take(pa.array(np.flatnonzero(sel))).drop_null()
+        if len(mi):
+            mn = str(int(np.asarray(mi, np.int64).min()))
+            mx = str(int(np.asarray(xi, np.int64).max()))
+        elif len(ms):
+            mn = min(ms.to_pylist())
+            mx = max(xs.to_pylist())
+        else:
+            mn = None
+            mx = None
+        out_rows.append(
+            (c, n_tot, nn_tot, int(dcounts[i]), mn, mx)
+        )
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in out_rows], pa.string()),
+            "n": pa.array([r[1] for r in out_rows], pa.int64()),
+            "n_null": pa.array([r[2] for r in out_rows], pa.int64()),
+            "n_distinct": pa.array([r[3] for r in out_rows], pa.int64()),
+            "min_v": pa.array([r[4] for r in out_rows], pa.string()),
+            "max_v": pa.array([r[5] for r in out_rows], pa.string()),
+        }
+    )
+
+
+def sql_table_profile(*, source: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`table_profile` — one UNION ALL arm per
+    column, MIN/MAX cast to VARCHAR in the native domain."""
+    arms = []
+    for c in cols:
+        arms.append(
+            f"SELECT '{c}' AS \"column\", COUNT(*)::BIGINT AS n, "
+            f"(COUNT(*) - COUNT({c}))::BIGINT AS n_null, "
+            f"COUNT(DISTINCT {c})::BIGINT AS n_distinct, "
+            f"MIN({c})::VARCHAR AS min_v, MAX({c})::VARCHAR AS max_v "
+            f"FROM {source}"
+        )
+    return "\nUNION ALL\n".join(arms)

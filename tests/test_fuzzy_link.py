@@ -195,3 +195,29 @@ def test_sssp_hand_graph(ray_session):
     # hop bound binds: with max_hops=1 only direct edges reach
     out1 = sssp_hops(edges, np.array([0]), max_hops=1).to_pandas()
     assert dict(zip(out1.node, out1.cost)) == {0: 0, 1: 1, 2: 5}
+
+
+def test_table_profile_nulls_and_order(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.stats import table_profile
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([3, None, 10, 9], pa.int64()),
+                "s": pa.array(["b", "a", None, "a"], pa.string()),
+            }
+        )
+    )
+    out = (
+        table_profile(ds, ["a", "s"])
+        .to_pandas()
+        .set_index("column")
+    )
+    assert out.loc["a", "n"] == 4 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 3
+    # NUMERIC min/max, rendered as text ('10' > '9' numerically)
+    assert out.loc["a", "min_v"] == "3" and out.loc["a", "max_v"] == "10"
+    assert out.loc["s", "n_distinct"] == 2
+    assert out.loc["s", "min_v"] == "a" and out.loc["s", "max_v"] == "b"
