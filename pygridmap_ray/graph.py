@@ -39,6 +39,7 @@ def pagerank(
     num_partitions: int | None = None,
     round_to: int = 6,
     broadcast_state_limit: int = 2_000_000,
+    seed_nodes: np.ndarray | None = None,
 ):
     """Damped PageRank after exactly ``iters`` supersteps over a
     deduplicated directed int64 edge Dataset.  Returns ``(v,
@@ -50,7 +51,14 @@ def pagerank(
     set through a stateless multiply + coarse sum — one shuffle per
     superstep, no join.  Above the limit it falls back to a partitioned
     hash join per superstep (state x edges on src) — same law, the
-    shape a 10^9-node graph needs."""
+    shape a 10^9-node graph needs.
+
+    ``seed_nodes`` switches to PERSONALIZED PageRank: the restart mass
+    (1 - damping) is split over the seed set instead of all nodes, and
+    the walk starts at the seeds — topic-/trust-biased importance.
+    Seeds are inherently a small broadcastable set; supported on the
+    broadcast-state path (the sharded-state variant needs one extra
+    LEFT join of the node universe per superstep — not wired)."""
     import ray
 
     from .tfidf import _coarse_sum
@@ -88,6 +96,18 @@ def pagerank(
         n = len(ids)
         nf = float(n)
         teleport = (1.0 - damping) / nf
+        if seed_nodes is not None:
+            smask = np.isin(
+                ids, np.unique(np.asarray(seed_nodes, np.int64))
+            )
+            if not smask.any():
+                raise ValueError("no seed_nodes present in the graph")
+            kf = float(smask.sum())
+            tvec = np.where(smask, (1.0 - damping) / kf, 0.0)
+            pr_init = np.where(smask, 1.0 / kf, 0.0)
+        else:
+            tvec = np.full(n, teleport)
+            pr_init = np.full(n, 1.0 / nf)
         dref = {"__ref__": ray.put({"ids": ids, "deg": degv})}
         dkey = f"pr-deg:{dref['__ref__'].hex()}"
 
@@ -103,7 +123,7 @@ def pagerank(
             .materialize()  # reused every superstep
         )
         dense = n <= 1 << 18  # 2 MB state: dense per-task partial vectors
-        pr = np.full(n, 1.0 / nf)
+        pr = pr_init
         for it in range(iters):
             pref = {"__ref__": ray.put(pr)}
             pkey = f"pr-state:{pref['__ref__'].hex()}"
@@ -131,7 +151,7 @@ def pagerank(
                 ).iter_batches(batch_size=None, batch_format="pyarrow"):
                     for buf in b["acc"].to_pylist():
                         acc += np.frombuffer(buf, dtype=np.float64)
-                pr = teleport + damping * acc
+                pr = tvec + damping * acc
                 continue
 
             def contrib(b: pa.Table, _pref=pref, _pkey=pkey) -> pa.Table:
@@ -146,9 +166,9 @@ def pagerank(
             s = _coarse_sum(
                 wedges.map_batches(contrib, batch_format="pyarrow"), ["dst"]
             ).to_pandas()
-            pr = np.full(n, teleport)
+            pr = tvec.copy()
             pos = np.searchsorted(ids, s["dst"].to_numpy(np.int64))
-            pr[pos] = teleport + damping * s["val"].to_numpy(np.float64)
+            pr[pos] = tvec[pos] + damping * s["val"].to_numpy(np.float64)
         out = np.sign(pr * nf) * np.floor(np.abs(pr * nf) * tol + 0.5) / tol
         import ray.data as rd
 
@@ -156,6 +176,12 @@ def pagerank(
             pa.table({"v": pa.array(ids), "pr_scaled": pa.array(out)})
         )
 
+    if seed_nodes is not None:
+        raise NotImplementedError(
+            "personalized pagerank above the broadcast gate needs a "
+            "node-universe LEFT join per superstep (seeds themselves "
+            "stay broadcastable)"
+        )
     # big-graph path: the state is a Dataset, attached per superstep with
     # a partitioned hash join.  No safe_join guard needed: this path only
     # runs above the broadcast limit (nodes >> join width), and every
@@ -1628,4 +1654,49 @@ def sssp_hops(
             "node": pa.array(nodes[reached]),
             "cost": pa.array(dist[reached]),
         }
+    )
+
+
+def sql_personalized_pagerank(
+    *,
+    edges_sql: str,
+    seeds_sql: str,
+    damping: float = 0.85,
+    iters: int = 5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pagerank` with ``seed_nodes`` — the power
+    iteration unrolled over the FULL src-node universe (LEFT joins keep
+    zero-contribution nodes at their teleport), restart mass split over
+    the seeds present in the graph.  ``seeds_sql`` must yield (sv)."""
+    d = repr(damping)
+    tol = f"1e{round_to}"
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src)",
+        "wedges AS (SELECT e.src, e.dst, 1.0 / deg.deg AS wt"
+        " FROM edges e JOIN deg ON deg.src = e.src)",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM deg)",
+        f"sd AS (SELECT DISTINCT s.sv FROM ({seeds_sql}) s"
+        " JOIN deg ON deg.src = s.sv)",
+        "kk AS (SELECT COUNT(*)::DOUBLE AS k FROM sd)",
+        "pr0 AS (SELECT deg.src AS v, CASE WHEN sd.sv IS NOT NULL"
+        " THEN 1.0 / (SELECT k FROM kk) ELSE 0.0 END AS pr"
+        " FROM deg LEFT JOIN sd ON sd.sv = deg.src)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"pr{k} AS (SELECT deg.src AS v,"
+            f" CASE WHEN sd.sv IS NOT NULL THEN (1.0 - {d})"
+            f" / (SELECT k FROM kk) ELSE 0.0 END"
+            f" + {d} * COALESCE(a.acc, 0.0) AS pr"
+            f" FROM deg LEFT JOIN sd ON sd.sv = deg.src"
+            f" LEFT JOIN (SELECT w.dst AS v, SUM(p.pr * w.wt) AS acc"
+            f" FROM wedges w JOIN pr{k - 1} p ON p.v = w.src"
+            f" GROUP BY w.dst) a ON a.v = deg.src)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v, ROUND(pr * (SELECT n FROM nn)"
+        f" * {tol}) / {tol} AS pr_scaled FROM pr{iters}"
     )

@@ -3952,6 +3952,55 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, iters=5)
 
 
+def q_pagerank_pers(sf_dir: str):
+    """Personalized PageRank (graph.pagerank with seed_nodes): restart
+    mass split over the 3 smallest supplier nodes — topic/trust-biased
+    importance over the same bipartite graph as q_pagerank."""
+    import pyarrow.parquet as pq_
+
+    import ray.data as rd
+
+    from ..cluster import default_num_partitions
+    from ..graph import distinct_int_pairs_table, pagerank
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    tbl = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
+    s = np.asarray(tbl["l_suppkey"], np.int64) * 2
+    p = np.asarray(tbl["l_partkey"], np.int64) * 2 + 1
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.concatenate([s, p])),
+                "dst": pa.array(np.concatenate([p, s])),
+            }
+        )
+    ).repartition(default_num_partitions())
+    sk = np.unique(
+        np.asarray(
+            pq_.read_table(
+                f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"]
+            )["l_suppkey"],
+            np.int64,
+        )
+    )[:3]
+    return pagerank(edges, iters=5, seed_nodes=sk * 2)
+
+
+def _sql_pagerank_pers() -> str:
+    from ..graph import bipartite_edges_sql, sql_personalized_pagerank
+
+    return sql_personalized_pagerank(
+        edges_sql=bipartite_edges_sql(),
+        seeds_sql=(
+            "SELECT DISTINCT l_suppkey * 2 AS sv FROM lineitem "
+            "ORDER BY sv LIMIT 3"
+        ),
+        iters=5,
+    )
+
+
 def _sql_pagerank() -> str:
     from ..graph import bipartite_edges_sql, sql_pagerank
 
@@ -14003,6 +14052,7 @@ def queries():
         "hll_distinct": q_hll_distinct,
         "tfidf_pairs": q_tfidf_pairs,
         "pagerank": q_pagerank,
+        "pagerank_pers": q_pagerank_pers,
         "grouped_topk": q_grouped_topk,
         "anti_join": q_anti_join,
         "reproject": q_reproject,
@@ -15329,6 +15379,7 @@ def oracle_sql():
         "hll_distinct": _sql_hll_distinct(),
         "tfidf_pairs": _sql_tfidf_pairs(),
         "pagerank": _sql_pagerank(),
+        "pagerank_pers": _sql_pagerank_pers(),
         "grouped_topk": _sql_grouped_topk(),
         "semi_join": (
             "SELECT l_orderkey, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty "

@@ -221,3 +221,28 @@ def test_table_profile_nulls_and_order(ray_session):
     assert out.loc["a", "min_v"] == "3" and out.loc["a", "max_v"] == "10"
     assert out.loc["s", "n_distinct"] == 2
     assert out.loc["s", "min_v"] == "a" and out.loc["s", "max_v"] == "b"
+
+
+def test_personalized_pagerank_concentrates_on_seeds(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.graph import pagerank
+
+    # two disjoint 2-cycles; seed only the first
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 2, 3], pa.int64()),
+                "dst": pa.array([1, 0, 3, 2], pa.int64()),
+            }
+        )
+    )
+    out = (
+        pagerank(edges, iters=8, seed_nodes=np.array([0]))
+        .to_pandas()
+        .set_index("v")["pr_scaled"]
+    )
+    # all mass stays in the seed cycle (scaled mean 1.0 over 4 nodes)
+    assert abs(out[0] + out[1] - 4.0) < 1e-5
+    assert out[0] > out[1] > 1.0
+    assert out[2] == 0.0 and out[3] == 0.0
