@@ -159,6 +159,12 @@ def _secondary() -> dict:
         ("events_rolling", q.q_events_rolling),
         ("events_sessionize", q.q_events_sessionize),
         ("events_retention", q.q_events_retention),
+        ("events_seasonal", q.q_events_seasonal),
+        ("record_link", q.q_record_link),
+        ("scc", q.q_scc),
+        ("sssp_cost", q.q_sssp_cost),
+        ("table_profile", q.q_table_profile),
+        ("hard_negatives", q.q_hard_negatives),
         ("poly_overlay", q.q_poly_overlay),
         ("focal_mean", q.q_focal_mean),
         ("cell_clusters", q.q_cell_clusters),

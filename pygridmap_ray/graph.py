@@ -1700,3 +1700,52 @@ def sql_personalized_pagerank(
         + f"\nSELECT v, ROUND(pr * (SELECT n FROM nn)"
         f" * {tol}) / {tol} AS pr_scaled FROM pr{iters}"
     )
+
+
+def harmonic_centrality(
+    edges,
+    landmarks: np.ndarray,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_hops: int = 4,
+    round_to: int = 6,
+) -> pa.Table:
+    """Landmark harmonic centrality: for every node reached from any
+    landmark within ``max_hops``, ``harm = sum over landmarks L of
+    1/hops(L, node)`` (terms with hops = 0, i.e. the landmark itself,
+    contribute 0 — the standard convention), rounded half-away.  The
+    landmark-sample estimator is THE scalable form of closeness-family
+    centrality (exact all-pairs BFS is quadratic); each landmark costs
+    one :func:`bfs_hops` run — level-synchronous broadcast-frontier
+    supersteps, no joins below the state gate.
+
+    Output: (node, n_seen, harm) — n_seen = how many landmarks reach
+    the node within the bound."""
+    landmarks = np.unique(np.asarray(landmarks, np.int64))
+    nds, hps = [], []
+    for lm in landmarks:
+        t = bfs_hops(
+            edges, np.asarray([lm], np.int64),
+            a_col=a_col, b_col=b_col, max_hops=max_hops,
+        )
+        nds.append(np.asarray(t["node"], np.int64))
+        hps.append(np.asarray(t["hops"], np.int64))
+    nd = np.concatenate(nds) if nds else np.array([], np.int64)
+    hp = np.concatenate(hps) if hps else np.array([], np.int64)
+    # node-scale vectorized fold: group by node, count landmarks,
+    # sum 1/hops over positive-hop terms
+    nodes, inv = np.unique(nd, return_inverse=True)
+    n_seen = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+    term = np.where(hp > 0, 1.0 / np.maximum(hp, 1), 0.0)
+    harm = np.zeros(len(nodes), np.float64)
+    np.add.at(harm, inv, term)
+    tol = 10.0 ** round_to
+    harm = np.floor(harm * tol + 0.5) / tol
+    return pa.table(
+        {
+            "node": pa.array(nodes),
+            "n_seen": pa.array(n_seen),
+            "harm": pa.array(harm),
+        }
+    )

@@ -10761,6 +10761,67 @@ FROM p GROUP BY node ORDER BY node
 """
 
 
+def q_harmonic(sf_dir: str):
+    """Landmark harmonic centrality (graph.harmonic_centrality): sum of
+    1/hops from the 3 smallest supplier landmarks within
+    {BFS_MAX_HOPS} hops — the scalable landmark-sample estimator of
+    closeness-family centrality, one bfs_hops frontier run per
+    landmark."""
+    import pyarrow.parquet as pq_
+
+    import ray.data as rd
+
+    from ..graph import distinct_int_pairs, harmonic_centrality
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    pairs = distinct_int_pairs(line, "l_suppkey", "l_partkey")
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["l_suppkey"], np.int64)
+        v = np.asarray(b["l_partkey"], np.int64) + KCORE_POFF
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, v])),
+                "b": pa.array(np.concatenate([v, a])),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    lms = np.unique(
+        np.asarray(
+            pq_.read_table(
+                f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"]
+            )["l_suppkey"],
+            np.int64,
+        )
+    )[:3]
+    return harmonic_centrality(edges, lms, max_hops=BFS_MAX_HOPS)
+
+
+def _sql_harmonic() -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_suppkey AS a, l_partkey + {KCORE_POFF} AS b
+  FROM lineitem),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+lms AS (
+  SELECT DISTINCT l_suppkey AS lm FROM lineitem ORDER BY lm LIMIT 3),
+bfs AS (
+  SELECT lm AS node, lm, 0 AS hops FROM lms
+  UNION
+  SELECT sym.b, bfs.lm, bfs.hops + 1
+  FROM bfs JOIN sym ON sym.a = bfs.node
+  WHERE bfs.hops < {BFS_MAX_HOPS}),
+mh AS (SELECT lm, node, MIN(hops) AS h FROM bfs GROUP BY lm, node)
+SELECT node, COUNT(*)::BIGINT AS n_seen,
+       ROUND(SUM(CASE WHEN h > 0 THEN 1.0 / h ELSE 0.0 END) * 1e6)
+         / 1e6 AS harm
+FROM mh GROUP BY node ORDER BY node
+"""
+
+
 def _sql_bfs_hops() -> str:
     return f"""
 WITH RECURSIVE e AS (
@@ -14203,6 +14264,7 @@ def queries():
         "q20_excess": q_q20_excess,
         "bfs_hops": q_bfs_hops,
         "sssp_cost": q_sssp_cost,
+        "harmonic": q_harmonic,
         "pq_recall": q_pq_recall,
         "lsh_screen": q_lsh_screen,
         "ann_recall": q_ann_recall,
@@ -15611,6 +15673,7 @@ def oracle_sql():
         "q20_excess": _sql_tpch("sql_q20"),
         "bfs_hops": _sql_bfs_hops(),
         "sssp_cost": _sql_sssp_cost(),
+        "harmonic": _sql_harmonic(),
         "pq_recall": _sql_pq_recall(),
         "lsh_screen": _sql_lsh_screen(),
         "ann_recall": _sql_ann_recall(),
