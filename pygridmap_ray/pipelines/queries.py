@@ -6976,6 +6976,21 @@ def q_events_transitions(sf_dir: str):
     return events_transitions(sf_dir)
 
 
+def q_events_scd2(sf_dir: str):
+    """SCD2 change-interval history (relational.events_scd2): per-user
+    runs of equal event_type collapse to validity intervals — one
+    coarse user-hash shuffle, vectorized run detection."""
+    from .relational import events_scd2
+
+    return events_scd2(sf_dir)
+
+
+def _sql_events_scd2() -> str:
+    from .relational import sql_events_scd2
+
+    return sql_events_scd2()
+
+
 def q_events_seasonal(sf_dir: str):
     """Classical trend/seasonal/residual decomposition of the daily
     event-count series (relational.events_seasonal): integer 7-row
@@ -14073,6 +14088,7 @@ def queries():
         "events_transitions": q_events_transitions,
         "events_ewma": q_events_ewma,
         "events_seasonal": q_events_seasonal,
+        "events_scd2": q_events_scd2,
         "grouped_mode": q_grouped_mode,
         "cube": q_cube,
         "degree_hist": q_degree_hist,
@@ -15402,6 +15418,7 @@ def oracle_sql():
         "events_transitions": _sql_events_transitions(),
         "events_ewma": _sql_events_ewma(),
         "events_seasonal": _sql_events_seasonal(),
+        "events_scd2": _sql_events_scd2(),
         "grouped_mode": _sql_grouped_mode(),
         "cube": _sql_cube(),
         "degree_hist": _sql_degree_hist(),

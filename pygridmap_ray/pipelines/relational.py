@@ -4274,3 +4274,102 @@ SELECT t2.d AS day, t2.n AS n, t2.d % 7 AS dow,
        END AS resid
 FROM t2 LEFT JOIN s ON s.dow = t2.d % 7
 """
+
+
+def events_scd2(sf_dir: str, *, num_buckets: int = 64):
+    """SCD2-style change-interval build (the warehouse history table):
+    per user, consecutive runs of equal ``event_type`` in (ts,
+    event_id) order collapse to validity intervals — (user_id,
+    event_type, valid_from_us, valid_to_us, n_events), where
+    ``valid_to_us`` is the first timestamp of the NEXT run (NULL while
+    current).
+
+    Plan: ONE coarse user-hash bucket shuffle (the sessionize shape),
+    one lexsort per bucket, vectorized run-boundary detection +
+    reduceat counts — zero joins, zero per-user Python."""
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "us": us,
+                "event_type": b["event_type"],
+                "__b": pa.array(_bucket_of(uid, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy()
+        order = np.lexsort((eid, us, uid))
+        uid, us, typ = uid[order], us[order], typ[order]
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        chg = np.concatenate([[True], typ[1:] != typ[:-1]]) | new_user
+        starts = np.flatnonzero(chg)
+        n = np.diff(np.append(starts, len(uid))).astype(np.int64)
+        vfrom = us[starts]
+        # valid_to = next run's first ts when the next run is the SAME
+        # user, else NULL
+        nxt = np.empty(len(starts), np.int64)
+        nxt[:-1] = vfrom[1:]
+        nxt[-1] = 0
+        same_user = np.zeros(len(starts), bool)
+        if len(starts) > 1:
+            same_user[:-1] = uid[starts[1:]] == uid[starts[:-1]]
+        # float64 with NaN for open intervals: BIGINT-with-NULL comes
+        # back float64 from the oracle, and epoch-us values sit far
+        # below 2^53 so the float render is exact
+        vto = np.where(same_user, nxt.astype(np.float64), np.nan)
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "event_type": typ[starts],
+                "valid_from_us": vfrom,
+                "valid_to_us": vto,
+                "n_events": n,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def sql_events_scd2() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CASE WHEN LAG(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events),
+g AS (
+  SELECT *, SUM(chg) OVER (
+    PARTITION BY user_id ORDER BY rn) AS run FROM o),
+r AS (
+  SELECT user_id, run, MIN(event_type) AS event_type,
+         MIN(us)::BIGINT AS valid_from_us, COUNT(*)::BIGINT AS n_events
+  FROM g GROUP BY user_id, run)
+SELECT user_id, event_type, valid_from_us,
+       LEAD(valid_from_us) OVER (
+         PARTITION BY user_id ORDER BY run) AS valid_to_us,
+       n_events
+FROM r
+"""
