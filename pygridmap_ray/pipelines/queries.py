@@ -6168,6 +6168,43 @@ def _sql_table_profile() -> str:
     return sql_table_profile(source="documents", cols=_PROFILE_COLS)
 
 
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity / l-diversity privacy audit (stats.k_anonymity): the
+    quasi-identifier classes (lang, source, n_chars // 100) smaller than
+    k = 5, with their distinct-sensitive-value (text) counts — the
+    release gate a compliance pipeline runs before publishing."""
+    from ..stats import k_anonymity
+
+    ds = _docs(sf_dir, ("lang", "source", "n_chars", "text"))
+
+    def derive(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket",
+            pa.array(np.asarray(b["n_chars"], np.int64) // 100),
+        )
+
+    return k_anonymity(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["lang", "source", "bucket"],
+        sensitive_col="text",
+        k=5,
+    )
+
+
+def _sql_k_anonymity() -> str:
+    from ..stats import sql_k_anonymity
+
+    return sql_k_anonymity(
+        source=(
+            "(SELECT lang, source, n_chars // 100 AS bucket, text "
+            "FROM documents)"
+        ),
+        quasi_cols=["lang", "source", "bucket"],
+        sensitive_col="text",
+        k=5,
+    )
+
+
 def q_record_link(sf_dir: str):
     """Fuzzy record linkage (joins.fuzzy_link): part names are corrupted
     by the deterministic typo law (joins.typo_names), then each dirty
@@ -14167,6 +14204,7 @@ def queries():
         "fuzzy_vocab": q_fuzzy_vocab,
         "record_link": q_record_link,
         "table_profile": q_table_profile,
+        "k_anonymity": q_k_anonymity,
         "scc": q_scc,
         "lang_quantiles": q_lang_quantiles,
         "train_split": q_train_split,
@@ -14187,6 +14225,7 @@ def queries():
         "lang_confusion": q_lang_confusion,
         "distinct_count": q_distinct_count,
         "table_profile": q_table_profile,
+        "k_anonymity": q_k_anonymity,
         "incremental_agg": q_incremental_agg,
         "sample_exact_k": q_sample_exact_k,
         "approx_quantiles": q_approx_quantiles,
@@ -15558,6 +15597,7 @@ def oracle_sql():
         "fuzzy_vocab": sql_fuzzy_vocab(max_dist=2),
         "record_link": _sql_record_link(),
         "table_profile": _sql_table_profile(),
+        "k_anonymity": _sql_k_anonymity(),
         "scc": _sql_scc(),
         "lang_quantiles": sql_grouped_quantiles(),
         "train_split": _sql_train_split(),
@@ -15578,6 +15618,7 @@ def oracle_sql():
         "lang_confusion": _sql_lang_confusion(),
         "distinct_count": _sql_distinct_count(),
         "table_profile": _sql_table_profile(),
+        "k_anonymity": _sql_k_anonymity(),
         "incremental_agg": _sql_incremental_agg(),
         "sample_exact_k": _sql_sample_exact_k(),
         "approx_quantiles": _sql_approx_quantiles(),

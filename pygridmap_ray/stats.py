@@ -2992,3 +2992,144 @@ def sql_table_profile(*, source: str, cols: list[str]) -> str:
             f"FROM {source}"
         )
     return "\nUNION ALL\n".join(arms)
+
+
+def k_anonymity(
+    ds,
+    quasi_cols: list[str],
+    *,
+    sensitive_col: str | None = None,
+    k: int = 5,
+):
+    """Privacy audit of a release candidate: group rows by the
+    quasi-identifier combination and report, per equivalence class that
+    VIOLATES k-anonymity (size < k), the class size — plus l-diversity
+    (distinct sensitive values) when ``sensitive_col`` is given.
+    Output: (class size ``n``, ``l_div``, one row per violating class,
+    with the quasi columns rendered as the joined key string).
+
+    Plan: quasi values hash to one 60-bit md5 prefix of the joined key
+    string (the content-stable law) carried WITH the rendered key; a
+    per-batch (hash, count, sensitive-hash set) combiner -> ONE
+    coarse-bucket shuffle -> per-bucket exact fold.  Only (hash, key,
+    partials) rows shuffle — never the table."""
+    from .text import md5_prefix_int
+
+    sep = "\x1f"
+
+    def part(b: pa.Table) -> pa.Table:
+        cols = [
+            pc.cast(b[c], pa.string()).to_pandas().astype(str)
+            for c in quasi_cols
+        ]
+        key = cols[0]
+        for c in cols[1:]:
+            key = key + sep + c
+        key = key.to_numpy(dtype=object)
+        h = md5_prefix_int(pa.array(key, pa.string())).astype(np.int64)
+        if sensitive_col is not None:
+            sv = md5_prefix_int(
+                pc.cast(b[sensitive_col], pa.string())
+            ).astype(np.int64)
+        else:
+            sv = np.zeros(len(h), np.int64)
+        order = np.lexsort((sv, h))
+        h, key, sv = h[order], key[order], sv[order]
+        # distinct (h, sv) runs for the l-diversity partial
+        starts = np.flatnonzero(
+            np.concatenate(
+                [[True], (h[1:] != h[:-1]) | (sv[1:] != sv[:-1])]
+            )
+        )
+        gstarts = np.flatnonzero(
+            np.concatenate([[True], h[1:] != h[:-1]])
+        )
+        cnt = np.diff(np.append(gstarts, len(h))).astype(np.int64)
+        cg = (
+            (h[gstarts].astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(64)
+        ).astype(np.int64)
+        gt = pa.table(
+            {
+                "h": pa.array(h[gstarts]),
+                "key": pa.array(key[gstarts].astype(object), pa.string()),
+                "n": pa.array(cnt),
+                "sv": pa.array(np.full(len(gstarts), -1, np.int64)),
+                "__cg": pa.array(cg),
+            }
+        )
+        cg2 = (
+            (h[starts].astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(64)
+        ).astype(np.int64)
+        st = pa.table(
+            {
+                "h": pa.array(h[starts]),
+                "key": pa.array(key[starts].astype(object), pa.string()),
+                "n": pa.array(np.zeros(len(starts), np.int64)),
+                "sv": pa.array(sv[starts]),
+                "__cg": pa.array(cg2),
+            }
+        )
+        return pa.concat_tables([gt, st])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        sv = g["sv"].to_numpy(np.int64)
+        key = g["key"].to_numpy(object)
+        order = np.lexsort((sv, h))
+        h, n, sv, key = h[order], n[order], sv[order], key[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], h[1:] != h[:-1]])
+        )
+        tot = np.add.reduceat(n, starts)
+        # distinct sensitive values per class: (h, sv) runs with sv >= 0
+        pair_new = np.concatenate(
+            [[True], (h[1:] != h[:-1]) | (sv[1:] != sv[:-1])]
+        )
+        grp = np.cumsum(
+            np.concatenate([[0], (h[1:] != h[:-1]).astype(np.int64)])
+        )
+        ldiv = np.bincount(
+            grp[pair_new & (sv >= 0)], minlength=len(starts)
+        ).astype(np.int64)
+        bad = tot < k
+        return pd.DataFrame(
+            {
+                "qkey": key[starts][bad].astype(object),
+                "n": tot[bad].astype(np.int64),
+                "l_div": ldiv[bad],
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def sql_k_anonymity(
+    *,
+    source: str,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`k_anonymity` (separator \\x1f joined key,
+    same violation predicate)."""
+    keyexpr = " || chr(31) || ".join(
+        f"CAST({c} AS VARCHAR)" for c in quasi_cols
+    )
+    ldiv = (
+        f"COUNT(DISTINCT {sensitive_col})::BIGINT"
+        if sensitive_col is not None
+        else "0::BIGINT"
+    )
+    return f"""
+SELECT {keyexpr} AS qkey, COUNT(*)::BIGINT AS n, {ldiv} AS l_div
+FROM {source}
+GROUP BY qkey
+HAVING COUNT(*) < {k}
+"""
