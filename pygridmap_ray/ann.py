@@ -1145,3 +1145,172 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
   WHERE q.vec_id < {n_queries} AND d.label <> q.label
 ) WHERE rank <= {k}
 """
+
+
+def mmr_select(
+    ds,
+    query_vec: np.ndarray,
+    *,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 6,
+):
+    """Maximal Marginal Relevance selection — the diversity-aware top-k
+    a retrieval/curation pipeline uses instead of plain cosine top-k:
+    greedily pick ``argmax lam*rel(v) - (1-lam)*max_cos(v, selected)``
+    (penalty 0 for the first pick), ties to the LOWER id; the argmax
+    compares 6dp-ROUNDED scores on both sides so ulp noise cannot flip
+    a selection.
+
+    k distributed passes over the corpus: each step broadcasts the
+    query + the selected vectors (tiny), every batch computes its local
+    best candidate vectorized, and the driver folds block winners —
+    no shuffle, corpus never materializes.  Returns (rank, vec_id,
+    mmr)."""
+    import ray
+
+    q = np.asarray(query_vec, np.float64)
+    q = q / np.linalg.norm(q)
+    tol = 10.0 ** round_to
+    onemlam = 1.0 - lam
+    sel_ids: list[int] = []
+    sel_vecs: list[np.ndarray] = []
+    sel_mmr: list[float] = []
+    for _ in range(k):
+        payload = {
+            "q": q,
+            "sel": np.stack(sel_vecs) if sel_vecs else None,
+            "ids": np.asarray(sel_ids, np.int64),
+        }
+        ref = {"__ref__": ray.put(payload)}
+        key = f"mmr:{ref['__ref__'].hex()}"
+
+        def best(b: pa.Table, _r=ref, _k=key) -> pa.Table:
+            from .spatial import _cached_kernel
+
+            st = _cached_kernel(_k, _r, lambda x: x)
+            empty = pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "mmr": pa.array([], pa.float64()),
+                    "vec": pa.array(
+                        [], pa.list_(pa.float64())
+                    ),
+                }
+            )
+            ids = np.asarray(b[id_col], np.int64)
+            if not len(ids):
+                return empty
+            keep = ~np.isin(ids, st["ids"])
+            if not keep.any():
+                return empty
+            ids = ids[keep]
+            v = _emb_matrix(b, emb_col)[keep]
+            vn = _normalize(v)
+            rel = vn @ st["q"]
+            if st["sel"] is not None:
+                sn = _normalize(st["sel"])
+                pen = (sn @ vn.T).max(axis=0)
+            else:
+                pen = np.zeros(len(ids))
+            mmr = lam * rel - onemlam * pen
+            mmr = np.sign(mmr) * np.floor(np.abs(mmr) * tol + 0.5) / tol
+            i = np.lexsort((ids, -mmr))[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[i])], pa.int64()),
+                    "mmr": pa.array([float(mmr[i])], pa.float64()),
+                    "vec": pa.array(
+                        [v[i].tolist()], pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        tabs = [
+            t
+            for t in ds.map_batches(
+                best, batch_format="pyarrow"
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+            if t.num_rows
+        ]
+        if not tabs:
+            break
+        parts = pa.concat_tables(tabs)
+        pid = np.asarray(parts["vec_id"], np.int64)
+        pmm = np.asarray(parts["mmr"], np.float64)
+        w = np.lexsort((pid, -pmm))[0]
+        sel_ids.append(int(pid[w]))
+        sel_mmr.append(float(pmm[w]))
+        sel_vecs.append(
+            np.asarray(parts["vec"][int(w)].as_py(), np.float64)
+        )
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, len(sel_ids) + 1, dtype=np.int64)
+            ),
+            "vec_id": pa.array(np.asarray(sel_ids, np.int64)),
+            "mmr": pa.array(np.asarray(sel_mmr, np.float64)),
+        }
+    )
+
+
+def sql_mmr_select(
+    *, query_id: int = 0, k: int = 5, lam: float = 0.7, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`mmr_select`: the greedy loop unrolled into
+    k CTE steps, each selecting the rounded-argmax candidate given the
+    union of prior picks (same (1.0 - lam) float expression, same
+    ROUND law, same lower-id tie-break)."""
+    tol = f"1e{round_to}"
+    lr = repr(lam)
+    ctes = [
+        f"""base AS (
+  SELECT d.vec_id, d.embedding,
+         list_cosine_similarity(d.embedding::DOUBLE[],
+           (SELECT embedding FROM embeddings
+            WHERE vec_id = {query_id})::DOUBLE[]) AS rel
+  FROM embeddings d)"""
+    ]
+    prev_sel: list[str] = []
+    for i in range(1, k + 1):
+        if prev_sel:
+            union = " UNION ALL ".join(
+                f"SELECT vec_id, embedding FROM {s}" for s in prev_sel
+            )
+            pen = (
+                f"(SELECT MAX(list_cosine_similarity("
+                f"b.embedding::DOUBLE[], s.embedding::DOUBLE[]))"
+                f" FROM ({union}) s)"
+            )
+            notin = (
+                "WHERE b.vec_id NOT IN ("
+                + ", ".join(f"SELECT vec_id FROM {s}" for s in prev_sel)
+                + ")"
+                if len(prev_sel) == 1
+                else "WHERE b.vec_id NOT IN ("
+                + " UNION ALL ".join(
+                    f"SELECT vec_id FROM {s}" for s in prev_sel
+                )
+                + ")"
+            )
+        else:
+            pen = "0.0"
+            notin = ""
+        ctes.append(
+            f"""s{i} AS (
+  SELECT b.vec_id, b.embedding,
+         ROUND(({lr} * b.rel - (1.0 - {lr}) * {pen}) * {tol}) / {tol}
+           AS mmr
+  FROM base b
+  {notin}
+  ORDER BY mmr DESC, b.vec_id ASC LIMIT 1)"""
+        )
+        prev_sel.append(f"s{i}")
+    finals = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rank, vec_id, mmr FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals

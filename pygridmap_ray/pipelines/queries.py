@@ -6168,6 +6168,58 @@ def _sql_table_profile() -> str:
     return sql_table_profile(source="documents", cols=_PROFILE_COLS)
 
 
+_FK_CHECKS = [
+    # (name, fact table, fact key, dim table, dim key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    # deliberately cross-domain: events.user_id is NOT a customer key,
+    # so this gate reports real violations
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+]
+
+
+def q_fk_check(sf_dir: str):
+    """Referential-integrity gate (joins.semi_join anti mode): per
+    declared foreign key, the count of fact rows whose key is absent
+    from the dimension — each check is one broadcast key-set membership
+    pass over the fact stream, no shuffle."""
+    import ray.data as rd
+
+    from ..joins import semi_join
+
+    names, counts = [], []
+    for name, ft, fk, dt, dk in _FK_CHECKS:
+        fact = rd.read_parquet(f"{sf_dir}/{ft}.parquet", columns=[fk])
+        dim = rd.read_parquet(f"{sf_dir}/{dt}.parquet", columns=[dk])
+        bad = semi_join(fact, dim, on=fk, right_on=dk, anti=True)
+        names.append(name)
+        counts.append(int(bad.count()))
+    return pa.table(
+        {
+            "cname": pa.array(names, pa.string()),
+            "n_violations": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def _sql_fk_check() -> str:
+    arms = []
+    for name, ft, fk, dt, dk in _FK_CHECKS:
+        arms.append(
+            f"SELECT '{name}' AS cname, COUNT(*)::BIGINT AS n_violations"
+            f" FROM {ft} f LEFT JOIN (SELECT DISTINCT {dk} FROM {dt}) d"
+            f" ON d.{dk} = f.{fk} WHERE d.{dk} IS NULL"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
 def q_k_anonymity(sf_dir: str):
     """k-anonymity / l-diversity privacy audit (stats.k_anonymity): the
     quasi-identifier classes (lang, source, n_chars // 100) smaller than
@@ -6415,6 +6467,36 @@ def q_hard_negatives(sf_dir: str):
     return out.map_batches(
         lambda b: round6(b, ["cosine"]), batch_format="pyarrow"
     )
+
+
+def q_mmr_select(sf_dir: str):
+    """Diversity-aware retrieval (ann.mmr_select): greedy Maximal
+    Marginal Relevance top-5 against vec_id 0's embedding — k broadcast
+    passes, block-winner folds, rounded-argmax law."""
+    import pyarrow.parquet as pq_
+
+    import ray.data as rd
+
+    from ..ann import mmr_select
+
+    qv = np.asarray(
+        pq_.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "=", 0)],
+        )["embedding"][0].as_py(),
+        np.float64,
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return mmr_select(ds, qv, k=5, lam=0.7)
+
+
+def _sql_mmr_select() -> str:
+    from ..ann import sql_mmr_select
+
+    return sql_mmr_select(query_id=0, k=5, lam=0.7)
 
 
 def q_ivf_topk(sf_dir: str):
@@ -14205,6 +14287,7 @@ def queries():
         "record_link": q_record_link,
         "table_profile": q_table_profile,
         "k_anonymity": q_k_anonymity,
+        "fk_check": q_fk_check,
         "scc": q_scc,
         "lang_quantiles": q_lang_quantiles,
         "train_split": q_train_split,
@@ -14226,6 +14309,7 @@ def queries():
         "distinct_count": q_distinct_count,
         "table_profile": q_table_profile,
         "k_anonymity": q_k_anonymity,
+        "fk_check": q_fk_check,
         "incremental_agg": q_incremental_agg,
         "sample_exact_k": q_sample_exact_k,
         "approx_quantiles": q_approx_quantiles,
@@ -14253,6 +14337,7 @@ def queries():
         "embedding_lsh": q_embedding_lsh,
         "ann_topk": q_ann_topk,
         "hard_negatives": q_hard_negatives,
+        "mmr_select": q_mmr_select,
         "kmeans": q_kmeans,
         "quantize_emb": q_quantize,
         "ivf_topk": q_ivf_topk,
@@ -15598,6 +15683,7 @@ def oracle_sql():
         "record_link": _sql_record_link(),
         "table_profile": _sql_table_profile(),
         "k_anonymity": _sql_k_anonymity(),
+        "fk_check": _sql_fk_check(),
         "scc": _sql_scc(),
         "lang_quantiles": sql_grouped_quantiles(),
         "train_split": _sql_train_split(),
@@ -15619,6 +15705,7 @@ def oracle_sql():
         "distinct_count": _sql_distinct_count(),
         "table_profile": _sql_table_profile(),
         "k_anonymity": _sql_k_anonymity(),
+        "fk_check": _sql_fk_check(),
         "incremental_agg": _sql_incremental_agg(),
         "sample_exact_k": _sql_sample_exact_k(),
         "approx_quantiles": _sql_approx_quantiles(),
@@ -15661,6 +15748,7 @@ def oracle_sql():
         "embedding_lsh": _sql_emb_lsh(),
         "ann_topk": _sql_ann(),
         "hard_negatives": _sql_hard_negatives_q(),
+        "mmr_select": _sql_mmr_select(),
         "kmeans": _sql_kmeans(),
         "quantize_emb": _sql_quantize(),
         "ivf_topk": _sql_ivf(),
