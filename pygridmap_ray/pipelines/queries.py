@@ -6220,6 +6220,48 @@ def _sql_fk_check() -> str:
     return "\nUNION ALL\n".join(arms)
 
 
+def q_quota_sample(sf_dir: str):
+    """Cluster-balanced (quota) sampling: an EXACT-k deterministic
+    sample per language — content-stable md5 rank (the engine's hash
+    law) + stats.grouped_topk ascending, so every class contributes at
+    most k docs no matter how skewed the corpus mix is (the balanced-
+    mixture sampler an LLM data pipeline runs after clustering)."""
+    from ..stats import grouped_topk
+    from ..text import md5_prefix_int
+
+    ds = _docs(sf_dir, ("doc_id", "lang"))
+
+    def rank(b: pa.Table) -> pa.Table:
+        r = md5_prefix_int(
+            pc.cast(b["doc_id"], pa.string()), salt="qs"
+        ).astype(np.int64)
+        return b.append_column("r", pa.array(r))
+
+    out = grouped_topk(
+        ds.map_batches(rank, batch_format="pyarrow"),
+        group_col="lang",
+        order_col="r",
+        tiebreak_col="doc_id",
+        k=20,
+        descending=False,
+    )
+    return out.select_columns(["lang", "doc_id", "rank"])
+
+
+def _sql_quota_sample() -> str:
+    return """
+SELECT lang, doc_id, rank FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'qs'),
+                     1, 15))::UBIGINT ASC, doc_id ASC
+         )::BIGINT AS rank
+  FROM documents
+) WHERE rank <= 20
+"""
+
+
 def q_k_anonymity(sf_dir: str):
     """k-anonymity / l-diversity privacy audit (stats.k_anonymity): the
     quasi-identifier classes (lang, source, n_chars // 100) smaller than
@@ -6307,6 +6349,21 @@ def _sql_record_link() -> str:
         name_col="dirty",
         threshold=0.97,
     )
+
+
+def q_bpe_merges(sf_dir: str):
+    """First-round BPE merge statistics (text.bpe_merge_counts): top-20
+    in-token adjacent char pairs — alphabet-bounded dense combiners, one
+    driver add."""
+    from ..text import bpe_merge_counts
+
+    return bpe_merge_counts(_docs(sf_dir, ("text",)), top_k=20)
+
+
+def _sql_bpe_merges() -> str:
+    from ..text import sql_bpe_merge_counts
+
+    return sql_bpe_merge_counts(top_k=20)
 
 
 def q_fuzzy_vocab(sf_dir: str):
@@ -14284,10 +14341,12 @@ def queries():
         "top_bigrams": q_top_bigrams,
         "pmi_bigrams": q_pmi_bigrams,
         "fuzzy_vocab": q_fuzzy_vocab,
+        "bpe_merges": q_bpe_merges,
         "record_link": q_record_link,
         "table_profile": q_table_profile,
         "k_anonymity": q_k_anonymity,
         "fk_check": q_fk_check,
+        "quota_sample": q_quota_sample,
         "scc": q_scc,
         "lang_quantiles": q_lang_quantiles,
         "train_split": q_train_split,
@@ -14310,6 +14369,7 @@ def queries():
         "table_profile": q_table_profile,
         "k_anonymity": q_k_anonymity,
         "fk_check": q_fk_check,
+        "quota_sample": q_quota_sample,
         "incremental_agg": q_incremental_agg,
         "sample_exact_k": q_sample_exact_k,
         "approx_quantiles": q_approx_quantiles,
@@ -15680,10 +15740,12 @@ def oracle_sql():
         "top_bigrams": sql_top_ngrams(2, 25),
         "pmi_bigrams": sql_pmi_bigrams(min_count=5),
         "fuzzy_vocab": sql_fuzzy_vocab(max_dist=2),
+        "bpe_merges": _sql_bpe_merges(),
         "record_link": _sql_record_link(),
         "table_profile": _sql_table_profile(),
         "k_anonymity": _sql_k_anonymity(),
         "fk_check": _sql_fk_check(),
+        "quota_sample": _sql_quota_sample(),
         "scc": _sql_scc(),
         "lang_quantiles": sql_grouped_quantiles(),
         "train_split": _sql_train_split(),
@@ -15706,6 +15768,7 @@ def oracle_sql():
         "table_profile": _sql_table_profile(),
         "k_anonymity": _sql_k_anonymity(),
         "fk_check": _sql_fk_check(),
+        "quota_sample": _sql_quota_sample(),
         "incremental_agg": _sql_incremental_agg(),
         "sample_exact_k": _sql_sample_exact_k(),
         "approx_quantiles": _sql_approx_quantiles(),

@@ -2442,3 +2442,97 @@ SELECT doc_id, {w}::BIGINT AS n_words,
   END AS reason
 FROM {source}
 """
+
+
+_WS_BYTES = (9, 10, 11, 12, 13, 32)  # regex \s on the ASCII corpus law
+
+
+def bpe_merge_counts(ds, *, text_col: str = "text", top_k: int = 20):
+    """First-round BPE merge statistics: counts of ADJACENT CHARACTER
+    pairs inside whitespace tokens, the quantity a byte-pair-encoding
+    trainer maximizes per merge.  Output: (rank, pair, cnt), top_k by
+    (cnt DESC, pair ASC).
+
+    Vectorized over the flat Arrow string buffer: one mask pass marks
+    positions whose char AND successor are non-whitespace and belong to
+    the same document, packed pair codes (c0*256 + c1) feed one
+    ``np.bincount`` per batch — a dense 65536-cell combiner row — and
+    the pair domain is ALPHABET-BOUNDED (<= 64k cells) so the final
+    fold is a driver-side add regardless of corpus size."""
+    import ray.data as rd
+
+    def part(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.cast(col, pa.string())
+        off = np.frombuffer(
+            col.buffers()[1], np.int32, len(col) + 1 + col.offset
+        )[col.offset:]
+        total = int(off[-1]) - int(off[0])
+        if total < 2:
+            return pa.table({"acc": pa.array([], pa.binary())})
+        data = np.frombuffer(
+            col.buffers()[2], np.uint8, int(off[-1])
+        )[int(off[0]):]
+        ws = np.zeros(256, bool)
+        for w in _WS_BYTES:
+            ws[w] = True
+        ok = ~ws[data]
+        # successor within the same document: position p pairs with p+1
+        # unless p+1 is a document start
+        doc_start = np.zeros(total, bool)
+        starts = (off[:-1] - off[0]).astype(np.int64)
+        doc_start[starts[starts < total]] = True
+        pair_ok = ok[:-1] & ok[1:] & ~doc_start[1:]
+        codes = (
+            data[:-1][pair_ok].astype(np.int64) * 256
+            + data[1:][pair_ok].astype(np.int64)
+        )
+        acc = np.bincount(codes, minlength=65536).astype(np.int64)
+        return pa.table({"acc": pa.array([acc.tobytes()], pa.binary())})
+
+    acc = np.zeros(65536, np.int64)
+    for t in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for buf in t["acc"].to_pylist():
+            acc += np.frombuffer(buf, np.int64)
+    nz = np.flatnonzero(acc)
+    pairs = np.array(
+        [chr(int(c) >> 8) + chr(int(c) & 255) for c in nz], dtype=object
+    )
+    cnt = acc[nz]
+    order = np.lexsort((pairs, -cnt))[:top_k]
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, len(order) + 1, dtype=np.int64)
+            ),
+            "pair": pa.array(pairs[order].astype(object), pa.string()),
+            "cnt": pa.array(cnt[order]),
+        }
+    )
+
+
+def sql_bpe_merge_counts(
+    *, source: str = "documents", text: str = "text", top_k: int = 20
+) -> str:
+    """DuckDB twin of :func:`bpe_merge_counts` (regexp \\s+ token split,
+    in-token adjacent substr pairs, same top-k law)."""
+    return f"""
+WITH tk AS (
+  SELECT unnest(regexp_split_to_array({text}, '\\s+')) AS t FROM {source}
+),
+pr AS (
+  SELECT substr(t, g.i, 2) AS pair
+  FROM tk, LATERAL (
+    SELECT unnest(generate_series(1, length(t) - 1)) AS i) g
+  WHERE length(t) >= 2
+)
+SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair ASC)::BIGINT
+         AS rank,
+       pair, COUNT(*)::BIGINT AS cnt
+FROM pr GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT {top_k}
+"""
