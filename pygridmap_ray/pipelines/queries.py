@@ -7152,6 +7152,35 @@ def q_events_transitions(sf_dir: str):
     return events_transitions(sf_dir)
 
 
+def q_events_did(sf_dir: str):
+    """Difference-in-differences 2x2 estimator over events
+    (relational.events_did): rounded cell means, DiD of the rounded
+    means."""
+    from .relational import events_did
+
+    return events_did(sf_dir)
+
+
+def _sql_events_did() -> str:
+    from .relational import sql_events_did
+
+    return sql_events_did()
+
+
+def q_events_changepoint(sf_dir: str):
+    """Single change-point (binary segmentation, k=1) on the daily
+    event-count series (relational.events_changepoint)."""
+    from .relational import events_changepoint
+
+    return events_changepoint(sf_dir)
+
+
+def _sql_events_changepoint() -> str:
+    from .relational import sql_events_changepoint
+
+    return sql_events_changepoint()
+
+
 def q_events_scd2(sf_dir: str):
     """SCD2 change-interval history (relational.events_scd2): per-user
     runs of equal event_type collapse to validity intervals — one
@@ -14265,6 +14294,8 @@ def queries():
         "events_ewma": q_events_ewma,
         "events_seasonal": q_events_seasonal,
         "events_scd2": q_events_scd2,
+        "events_changepoint": q_events_changepoint,
+        "events_did": q_events_did,
         "grouped_mode": q_grouped_mode,
         "cube": q_cube,
         "degree_hist": q_degree_hist,
@@ -15603,6 +15634,8 @@ def oracle_sql():
         "events_ewma": _sql_events_ewma(),
         "events_seasonal": _sql_events_seasonal(),
         "events_scd2": _sql_events_scd2(),
+        "events_changepoint": _sql_events_changepoint(),
+        "events_did": _sql_events_did(),
         "grouped_mode": _sql_grouped_mode(),
         "cube": _sql_cube(),
         "degree_hist": _sql_degree_hist(),

@@ -4373,3 +4373,226 @@ SELECT user_id, event_type, valid_from_us,
        n_events
 FROM r
 """
+
+
+def events_changepoint(sf_dir: str):
+    """Single change-point detection on the daily event-count series
+    (binary segmentation, k = 1): the split day t* that maximizes the
+    between-segment sum-of-squares reduction
+    ``gain(t) = S1^2/n1 + S2^2/n2 - S^2/n`` (S = integer day-count
+    sums — the classic CUSUM-equivalent form, EXACT integer numerators
+    over float divisions in fixed order).  Output: one row
+    (split_day, n_left, n_right, mean_left, mean_right, gain), ties to
+    the EARLIEST split day.
+
+    Plan: the events_seasonal shape — (day, n) combiners -> bounded Sum
+    groupby -> driver-final vectorized prefix scan over the tiny daily
+    table."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import round_half_away
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        day = np.asarray(us, np.int64) // DAY_US
+        d, n = np.unique(day, return_counts=True)
+        return pa.table(
+            {"d": pa.array(d), "n": pa.array(n.astype(np.int64))}
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    d = np.asarray(tbl["d"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    m = len(d)
+    if m < 2:
+        raise ValueError("changepoint needs >= 2 observed days")
+    cs = np.cumsum(n)
+    S = int(cs[-1])
+    n1 = np.arange(1, m, dtype=np.int64)        # left sizes (rows, not days)
+    S1 = cs[:-1].astype(np.float64)
+    n2 = (m - n1).astype(np.int64)
+    S2 = (S - cs[:-1]).astype(np.float64)
+    gain = (
+        S1 * S1 / n1 + S2 * S2 / n2 - (float(S) * float(S)) / float(m)
+    )
+    tol = 1e6
+    gain_r = np.sign(gain) * np.floor(np.abs(gain) * tol + 0.5) / tol
+    best = int(np.lexsort((d[:-1], -gain_r))[0])
+    out = pa.table(
+        {
+            "split_day": pa.array([int(d[best])], pa.int64()),
+            "n_left": pa.array([int(n1[best])], pa.int64()),
+            "n_right": pa.array([int(n2[best])], pa.int64()),
+            "mean_left": pa.array(
+                [float(S1[best]) / float(n1[best])], pa.float64()
+            ),
+            "mean_right": pa.array(
+                [float(S2[best]) / float(n2[best])], pa.float64()
+            ),
+            "gain": pa.array([float(gain_r[best])], pa.float64()),
+        }
+    )
+    return round_half_away(out, ["mean_left", "mean_right"], 6)
+
+
+def sql_events_changepoint() -> str:
+    return f"""
+WITH c AS (
+  SELECT epoch_us(ts) // {DAY_US} AS d, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY d
+),
+p AS (
+  SELECT d, n,
+         SUM(n) OVER (ORDER BY d)::DOUBLE AS s1,
+         ROW_NUMBER() OVER (ORDER BY d)::BIGINT AS n1,
+         (SELECT SUM(n) FROM c)::DOUBLE AS s,
+         (SELECT COUNT(*) FROM c)::BIGINT AS m
+  FROM c
+),
+g AS (
+  SELECT d AS split_day, n1 AS n_left, (m - n1)::BIGINT AS n_right,
+         s1, (s - s1) AS s2,
+         ROUND((s1 * s1 / n1 + (s - s1) * (s - s1) / (m - n1)
+                - (s * s) / m) * 1e6) / 1e6 AS gain
+  FROM p WHERE n1 < m
+)
+SELECT split_day, n_left, n_right,
+       ROUND(s1 / n_left * 1e6) / 1e6 AS mean_left,
+       ROUND(s2 / n_right * 1e6) / 1e6 AS mean_right,
+       gain
+FROM g ORDER BY gain DESC, split_day ASC LIMIT 1
+"""
+
+
+def events_did(sf_dir: str):
+    """Difference-in-differences estimator over the event stream: the
+    2x2 (treatment = user_id % 2, post = day >= cutoff) cell means of
+    ``value``, cutoff = (min_day + max_day + 1) // 2, and
+    ``did = (t_post - t_pre) - (c_post - c_pre)`` computed from the
+    6dp-ROUNDED cell means (so both sides difference bit-identical
+    inputs).  One pass of per-(treat, day) combiners -> bounded Sum
+    groupby -> driver 2x2 fold."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        day = np.asarray(us, np.int64) // DAY_US
+        treat = np.asarray(b["user_id"], np.int64) % 2
+        val = np.asarray(b["value"], np.float64)
+        key = treat * (1 << 32) + day
+        order = np.argsort(key, kind="stable")
+        key, val = key[order], val[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], key[1:] != key[:-1]])
+        )
+        return pa.table(
+            {
+                "k": pa.array(key[starts]),
+                "n": pa.array(
+                    np.diff(np.append(starts, len(key))).astype(np.int64)
+                ),
+                "s": pa.array(np.add.reduceat(val, starts)),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    k = np.asarray(tbl["k"], np.int64)
+    n = np.asarray(tbl["n"], np.int64)
+    s = np.asarray(tbl["s"], np.float64)
+    treat = k >> 32
+    day = k & ((1 << 32) - 1)
+    cutoff = (int(day.min()) + int(day.max()) + 1) // 2
+    post = (day >= cutoff).astype(np.int64)
+    mu = np.zeros((2, 2))
+    nn = np.zeros((2, 2), np.int64)
+    for t_ in (0, 1):
+        for p_ in (0, 1):
+            sel = (treat == t_) & (post == p_)
+            nn[t_, p_] = int(n[sel].sum())
+            tot = float(s[sel].sum())
+            m = tot / float(nn[t_, p_])
+            mu[t_, p_] = np.floor(np.abs(m) * 1e6 + 0.5) / 1e6 * np.sign(m)
+    did = (mu[1, 1] - mu[1, 0]) - (mu[0, 1] - mu[0, 0])
+    did = np.sign(did) * np.floor(np.abs(did) * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            "cutoff_day": pa.array([cutoff], pa.int64()),
+            "n_c_pre": pa.array([int(nn[0, 0])], pa.int64()),
+            "n_c_post": pa.array([int(nn[0, 1])], pa.int64()),
+            "n_t_pre": pa.array([int(nn[1, 0])], pa.int64()),
+            "n_t_post": pa.array([int(nn[1, 1])], pa.int64()),
+            "mu_c_pre": pa.array([mu[0, 0]]),
+            "mu_c_post": pa.array([mu[0, 1]]),
+            "mu_t_pre": pa.array([mu[1, 0]]),
+            "mu_t_post": pa.array([mu[1, 1]]),
+            "did": pa.array([float(did)]),
+        }
+    )
+
+
+def sql_events_did() -> str:
+    return f"""
+WITH b AS (
+  SELECT (MIN(epoch_us(ts) // {DAY_US})
+          + MAX(epoch_us(ts) // {DAY_US}) + 1) // 2 AS cutoff
+  FROM events
+),
+c AS (
+  SELECT user_id % 2 AS treat,
+         CASE WHEN epoch_us(ts) // {DAY_US} >= b.cutoff
+              THEN 1 ELSE 0 END AS post,
+         value
+  FROM events, b
+),
+m AS (
+  SELECT treat, post, COUNT(*)::BIGINT AS n,
+         ROUND(SUM(value) / COUNT(*) * 1e6) / 1e6 AS mu
+  FROM c GROUP BY treat, post
+),
+pv AS (
+  SELECT
+    MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_c_pre,
+    MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_c_post,
+    MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t_pre,
+    MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_t_post,
+    MAX(CASE WHEN treat = 0 AND post = 0 THEN mu END) AS mu_c_pre,
+    MAX(CASE WHEN treat = 0 AND post = 1 THEN mu END) AS mu_c_post,
+    MAX(CASE WHEN treat = 1 AND post = 0 THEN mu END) AS mu_t_pre,
+    MAX(CASE WHEN treat = 1 AND post = 1 THEN mu END) AS mu_t_post
+  FROM m
+)
+SELECT (SELECT cutoff FROM b) AS cutoff_day,
+       n_c_pre, n_c_post, n_t_pre, n_t_post,
+       mu_c_pre, mu_c_post, mu_t_pre, mu_t_post,
+       ROUND(((mu_t_post - mu_t_pre) - (mu_c_post - mu_c_pre)) * 1e6)
+         / 1e6 AS did
+FROM pv
+"""
