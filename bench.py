@@ -160,6 +160,7 @@ def _secondary() -> dict:
         ("events_sessionize", q.q_events_sessionize),
         ("events_retention", q.q_events_retention),
         ("events_seasonal", q.q_events_seasonal),
+        ("events_rfm", q.q_events_rfm),
         ("record_link", q.q_record_link),
         ("scc", q.q_scc),
         ("sssp_cost", q.q_sssp_cost),

@@ -7167,6 +7167,20 @@ def _sql_events_did() -> str:
     return sql_events_did()
 
 
+def q_events_rfm(sf_dir: str):
+    """RFM quartile segmentation (relational.events_rfm): one per-user
+    hash aggregate, broadcast quantile boundaries, scoring scan."""
+    from .relational import events_rfm
+
+    return events_rfm(sf_dir)
+
+
+def _sql_events_rfm() -> str:
+    from .relational import sql_events_rfm
+
+    return sql_events_rfm()
+
+
 def q_events_changepoint(sf_dir: str):
     """Single change-point (binary segmentation, k=1) on the daily
     event-count series (relational.events_changepoint)."""
@@ -14296,6 +14310,7 @@ def queries():
         "events_scd2": q_events_scd2,
         "events_changepoint": q_events_changepoint,
         "events_did": q_events_did,
+        "events_rfm": q_events_rfm,
         "grouped_mode": q_grouped_mode,
         "cube": q_cube,
         "degree_hist": q_degree_hist,
@@ -15636,6 +15651,7 @@ def oracle_sql():
         "events_scd2": _sql_events_scd2(),
         "events_changepoint": _sql_events_changepoint(),
         "events_did": _sql_events_did(),
+        "events_rfm": _sql_events_rfm(),
         "grouped_mode": _sql_grouped_mode(),
         "cube": _sql_cube(),
         "degree_hist": _sql_degree_hist(),

@@ -4596,3 +4596,159 @@ SELECT (SELECT cutoff FROM b) AS cutoff_day,
          / 1e6 AS did
 FROM pv
 """
+
+
+def events_rfm(sf_dir: str, *, round_to: int = 6):
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic customer-analytics operator: per user, days since last
+    event, event count, and 6dp-rounded value sum, each scored 1-4 by
+    the corpus quartiles, plus the packed ``rfm_code``.
+
+    Scale shape: corpus -> user-scale via ONE built-in hash aggregate
+    (Max/Count/Sum combiners); the user table is materialized once
+    (user-scale, the standard pin) and re-read for the three quantile
+    reduces and the final scoring scan.  Quartile boundaries are nine
+    floats — closure-captured, never shuffled.  Scores compare against
+    the 6dp-ROUNDED boundaries (the proven quantile_cont law) and
+    monetary is rounded before comparing, so strict ``>`` agrees
+    bitwise with the SQL twin.  Higher recency score = more recent
+    (4 - #boundaries-exceeded); frequency/monetary score ascending
+    (1 + #boundaries-exceeded)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stats import grouped_quantiles_cont
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        usv = np.asarray(
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+            np.int64,
+        )
+        # truncate-toward-zero day law (matches DuckDB integer //)
+        day = np.where(usv >= 0, usv // DAY_US, -((-usv) // DAY_US))
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "day": pa.array(day),
+                "value": pc.cast(b["value"], pa.float64()),
+            }
+        )
+
+    pu = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("day", alias_name="last_day"),
+            Count(alias_name="frequency"),
+            Sum("value", alias_name="msum"),
+        )
+        .materialize()  # user-scale
+    )
+    mday = int(pu.max("last_day"))
+    tol = 10.0**round_to
+
+    def derive(b: pa.Table) -> pa.Table:
+        last = np.asarray(b["last_day"], np.int64)
+        ms = np.asarray(b["msum"], np.float64)
+        mon = np.sign(ms) * np.floor(np.abs(ms) * tol + 0.5) / tol
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "recency": pa.array(mday - last),
+                "frequency": pc.cast(b["frequency"], pa.int64()),
+                "monetary": pa.array(mon),
+            }
+        )
+
+    pur = pu.map_batches(derive, batch_format="pyarrow").materialize()
+
+    def bounds(col: str) -> list[float]:
+        proj = pur.map_batches(
+            lambda b, c=col: pa.table(
+                {"__k": np.zeros(len(b), np.int64), c: b[c]}
+            ),
+            batch_format="pyarrow",
+        )
+        r = grouped_quantiles_cont(
+            proj, key="__k", value=col, qs=(0.25, 0.5, 0.75),
+            round_to=round_to,
+        ).to_pandas()
+        return [float(r[c].iloc[0]) for c in r.columns if c != "__k"]
+
+    rb, fb, mb = bounds("recency"), bounds("frequency"), bounds("monetary")
+
+    def score(b: pa.Table) -> pa.Table:
+        r = np.asarray(b["recency"], np.float64)
+        f = np.asarray(b["frequency"], np.float64)
+        m = np.asarray(b["monetary"], np.float64)
+
+        def above(v, bs):
+            return (
+                (v > bs[0]).astype(np.int64)
+                + (v > bs[1]).astype(np.int64)
+                + (v > bs[2]).astype(np.int64)
+            )
+
+        rs = np.int64(4) - above(r, rb)
+        fs = np.int64(1) + above(f, fb)
+        ms_ = np.int64(1) + above(m, mb)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "recency": b["recency"],
+                "frequency": b["frequency"],
+                "monetary": b["monetary"],
+                "r_score": pa.array(rs),
+                "f_score": pa.array(fs),
+                "m_score": pa.array(ms_),
+                "rfm_code": pa.array(rs * 100 + fs * 10 + ms_),
+            }
+        )
+
+    return pur.map_batches(score, batch_format="pyarrow")
+
+
+def sql_events_rfm() -> str:
+    def b3(col: str, p: str) -> str:
+        return ", ".join(
+            f"ROUND(quantile_cont({col}, {q}) * 1e6) / 1e6 AS {p}{i}"
+            for i, q in enumerate((0.25, 0.5, 0.75), 1)
+        )
+
+    return f"""
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN epoch_us(ts) >= 0 THEN epoch_us(ts) // {DAY_US}
+              ELSE -((-epoch_us(ts)) // {DAY_US}) END) AS last_day,
+         COUNT(*)::BIGINT AS frequency,
+         ROUND(SUM(value) * 1e6) / 1e6 AS monetary
+  FROM events GROUP BY user_id
+),
+pur AS (
+  SELECT user_id, (SELECT MAX(last_day) FROM pu) - last_day AS recency,
+         frequency, monetary
+  FROM pu
+),
+b AS (
+  SELECT {b3('recency', 'rb')}, {b3('frequency', 'fb')},
+         {b3('monetary', 'mb')}
+  FROM pur
+),
+s AS (
+  SELECT user_id, recency, frequency, monetary,
+    4 - ((recency > rb1)::BIGINT + (recency > rb2)::BIGINT
+         + (recency > rb3)::BIGINT) AS r_score,
+    1 + ((frequency > fb1)::BIGINT + (frequency > fb2)::BIGINT
+         + (frequency > fb3)::BIGINT) AS f_score,
+    1 + ((monetary > mb1)::BIGINT + (monetary > mb2)::BIGINT
+         + (monetary > mb3)::BIGINT) AS m_score
+  FROM pur, b
+)
+SELECT user_id, recency, frequency, monetary, r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm_code
+FROM s
+"""

@@ -429,3 +429,41 @@ def test_equalize_uniform_ramp(ray_session):
     out = out.sort_values("z").reset_index(drop=True)
     # uniform histogram: eq = (rank * 255) // 255 = rank for 256 levels
     assert list(out["eq"]) == list(range(256))
+
+
+def test_events_rfm_hand_quartiles(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.relational import DAY_US, events_rfm
+
+    # user i (1..8): i events on day (8 - i), value 10*i each ->
+    # recency 0..7 ascending, frequency 1..8, monetary 10*i*i —
+    # all three metrics strictly ascending in i, so quartile scores
+    # follow the closed NTILE-free boundary law exactly.
+    base = 1_700_000_000_000_000
+    uid, ts, val = [], [], []
+    for i in range(1, 9):
+        for j in range(i):
+            uid.append(i)
+            ts.append(base + (8 - i) * DAY_US + j)
+            val.append(10.0 * i)
+    t = pa.table(
+        {
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(val, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_rfm(str(tmp_path)).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    assert list(out.recency) == list(range(8))
+    assert list(out.frequency) == list(range(1, 9))
+    assert list(out.monetary) == [10.0 * i * i for i in range(1, 9)]
+    assert list(out.r_score) == [4, 4, 3, 3, 2, 2, 1, 1]
+    assert list(out.f_score) == [1, 1, 2, 2, 3, 3, 4, 4]
+    assert list(out.m_score) == [1, 1, 2, 2, 3, 3, 4, 4]
+    assert list(out.rfm_code) == [
+        r * 100 + f * 10 + m
+        for r, f, m in zip(out.r_score, out.f_score, out.m_score)
+    ]
