@@ -1749,3 +1749,174 @@ def harmonic_centrality(
             "harm": pa.array(harm),
         }
     )
+
+
+def assoc_rules(
+    ds,
+    key_col: str,
+    item_col: str,
+    *,
+    min_count: int = 1,
+    num_buckets: int = 64,
+):
+    """Association rules (market-basket support / confidence / lift)
+    over (basket-key, item) rows: one directed rule row per ordered
+    item pair co-occurring in >= ``min_count`` baskets.
+
+    Scale plan: the item vocabulary is BOUNDED (the engine-wide
+    groupby-key rule) and gathers once to the driver for the code map;
+    the (key, item) stream dedups per batch with one packed
+    ``np.unique``, takes ONE coarse shuffle on key hash (all copies of
+    a basket co-locate, so the global dedup is in-bucket), and each
+    bucket folds vectorized to (item-count / pair-count /
+    distinct-basket) partials — at most ``K + K^2 + 1`` rows per
+    bucket.  The final is domain-bounded, so it folds on the driver
+    (SCALE.md driver-fold law).  Float law shared with the twin:
+    ``support = round6(n_both / n_baskets)``, ``confidence =
+    round6(n_both / n_ante)``, ``lift = round6((n_both * 1.0 *
+    n_baskets) / (n_ante * 1.0 * n_cons))`` — same literals, same op
+    order."""
+    import pandas as pd
+    import ray.data as rd
+
+    vocab = sorted(
+        r[item_col]
+        for r in ds.groupby(item_col).count().to_pandas().to_dict("records")
+    )
+    K = len(vocab)
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col], np.int64)
+        if len(k) and (k.max() >= (1 << 31) or k.min() < 0):
+            raise ValueError("basket keys must be in [0, 2^31)")
+        it = np.asarray(
+            pc.index_in(
+                pc.cast(b[item_col], pa.string()),
+                value_set=pa.array(vocab, pa.string()),
+            )
+        ).astype(np.int64)
+        u = np.unique(k * np.int64(K) + it)  # per-batch partial dedup
+        uk = u // np.int64(K)
+        cg = (
+            (uk.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {"k": pa.array(uk), "it": pa.array(u % np.int64(K)),
+             "__cg": pa.array(cg)}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(
+            g["k"].to_numpy(np.int64) * np.int64(K)
+            + g["it"].to_numpy(np.int64)
+        )
+        k = u // np.int64(K)
+        it = u % np.int64(K)
+        rows_a, rows_b, rows_n, rows_kind = [], [], [], []
+        # item partial counts
+        iv, ic = np.unique(it, return_counts=True)
+        rows_kind.append(np.zeros(len(iv), np.int64))
+        rows_a.append(iv)
+        rows_b.append(np.zeros(len(iv), np.int64))
+        rows_n.append(ic.astype(np.int64))
+        # unordered pair partial counts (within-basket segments)
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        n = np.diff(np.append(starts, len(k)))
+        local = np.arange(len(k)) - np.repeat(starts, n)
+        rem = np.repeat(n, n) - 1 - local
+        total = int(rem.sum())
+        if total:
+            left = np.repeat(np.arange(len(k)), rem)
+            run_start = np.cumsum(rem) - rem
+            off = np.arange(total) - np.repeat(run_start, rem) + 1
+            a, b_ = it[left], it[left + off]
+            lo, hi = np.minimum(a, b_), np.maximum(a, b_)
+            pv, pc_ = np.unique(lo * np.int64(K) + hi, return_counts=True)
+            rows_kind.append(np.ones(len(pv), np.int64))
+            rows_a.append(pv // np.int64(K))
+            rows_b.append(pv % np.int64(K))
+            rows_n.append(pc_.astype(np.int64))
+        # distinct-basket partial count
+        rows_kind.append(np.array([2], np.int64))
+        rows_a.append(np.array([0], np.int64))
+        rows_b.append(np.array([0], np.int64))
+        rows_n.append(np.array([len(starts)], np.int64))
+        return pd.DataFrame(
+            {
+                "kind": np.concatenate(rows_kind),
+                "a": np.concatenate(rows_a),
+                "b": np.concatenate(rows_b),
+                "n": np.concatenate(rows_n),
+            }
+        )
+
+    part = (
+        ds.select_columns([key_col, item_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["kind", "a", "b"])
+        .sum("n")
+        .to_pandas()
+    )  # domain-bounded: K + K^2 + 1 rows
+    nb = int(part.loc[part["kind"] == 2, "sum(n)"].sum())
+    icnt = {
+        int(r.a): int(r._4)
+        for r in part[part["kind"] == 0].itertuples()
+    }
+    out = {
+        "antecedent": [], "consequent": [], "n_both": [],
+        "n_ante": [], "n_cons": [], "n_baskets": [],
+        "support": [], "confidence": [], "lift": [],
+    }
+
+    def r6(x: float) -> float:
+        return float(np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6)
+
+    for r in part[part["kind"] == 1].itertuples():
+        both = int(r._4)
+        if both < min_count:
+            continue
+        for a, c in ((int(r.a), int(r.b)), (int(r.b), int(r.a))):
+            na, nc = icnt[a], icnt[c]
+            out["antecedent"].append(vocab[a])
+            out["consequent"].append(vocab[c])
+            out["n_both"].append(both)
+            out["n_ante"].append(na)
+            out["n_cons"].append(nc)
+            out["n_baskets"].append(nb)
+            out["support"].append(r6(both * 1.0 / nb))
+            out["confidence"].append(r6(both * 1.0 / na))
+            out["lift"].append(r6((both * 1.0 * nb) / (na * 1.0 * nc)))
+    return rd.from_pandas(pd.DataFrame(out))
+
+
+def sql_assoc_rules(
+    *,
+    source: str = "events",
+    key: str = "user_id",
+    item: str = "event_type",
+    min_count: int = 1,
+) -> str:
+    return f"""
+WITH e AS (SELECT DISTINCT {key}, {item} FROM {source}),
+n AS (SELECT COUNT(DISTINCT {key})::BIGINT AS nb FROM e),
+ic AS (SELECT {item}, COUNT(*)::BIGINT AS cnt FROM e GROUP BY {item}),
+p AS (
+  SELECT a.{item} AS ante, b.{item} AS cons, COUNT(*)::BIGINT AS n_both
+  FROM e a JOIN e b
+    ON a.{key} = b.{key} AND a.{item} <> b.{item}
+  GROUP BY ante, cons
+)
+SELECT p.ante AS antecedent, p.cons AS consequent, p.n_both,
+       ia.cnt AS n_ante, ib.cnt AS n_cons, (SELECT nb FROM n) AS n_baskets,
+       ROUND(p.n_both * 1.0 / (SELECT nb FROM n) * 1e6) / 1e6 AS support,
+       ROUND(p.n_both * 1.0 / ia.cnt * 1e6) / 1e6 AS confidence,
+       ROUND((p.n_both * 1.0 * (SELECT nb FROM n))
+             / (ia.cnt * 1.0 * ib.cnt) * 1e6) / 1e6 AS lift
+FROM p
+JOIN ic ia ON ia.{item} = p.ante
+JOIN ic ib ON ib.{item} = p.cons
+WHERE p.n_both >= {min_count}
+"""

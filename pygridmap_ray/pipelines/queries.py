@@ -7314,6 +7314,26 @@ def q_co_occurrence(sf_dir: str):
     return co_occurrence(line, "l_partkey", "l_suppkey")
 
 
+def q_assoc_rules(sf_dir: str):
+    """Market-basket association rules (graph.assoc_rules) over per-user
+    event-type baskets: support / confidence / lift with the shared
+    6dp float law."""
+    import ray.data as rd
+
+    from ..graph import assoc_rules
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return assoc_rules(ev, "user_id", "event_type")
+
+
+def _sql_assoc_rules() -> str:
+    from ..graph import sql_assoc_rules
+
+    return sql_assoc_rules()
+
+
 def q_spearman(sf_dir: str):
     """Spearman rank correlation of quantity vs discount per return
     flag (both columns discrete — the broadcast-rank-map contract)."""
@@ -14315,6 +14335,7 @@ def queries():
         "cube": q_cube,
         "degree_hist": q_degree_hist,
         "co_occurrence": q_co_occurrence,
+        "assoc_rules": q_assoc_rules,
         "events_rolling_users": q_events_rolling_users,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "histogram": q_histogram,
@@ -15656,6 +15677,7 @@ def oracle_sql():
         "cube": _sql_cube(),
         "degree_hist": _sql_degree_hist(),
         "co_occurrence": _sql_co_occurrence(),
+        "assoc_rules": _sql_assoc_rules(),
         "events_rolling_users": _sql_events_rolling_users(),
         "jsonl_roundtrip": _sql_jsonl_roundtrip(),
         "histogram": _sql_histogram(),

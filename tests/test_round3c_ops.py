@@ -467,3 +467,36 @@ def test_events_rfm_hand_quartiles(ray_session, tmp_path):
         r * 100 + f * 10 + m
         for r, f, m in zip(out.r_score, out.f_score, out.m_score)
     ]
+
+
+def test_assoc_rules_hand_baskets(ray_session):
+    from pygridmap_ray.graph import assoc_rules
+
+    # baskets: u1={A,B}, u2={A,B} (with a duplicate row), u3={A,C}, u4={B}
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 2, 2, 2, 3, 3, 4], pa.int64()),
+            "it": pa.array(
+                ["A", "B", "A", "B", "B", "A", "C", "B"], pa.string()
+            ),
+        }
+    )
+    import ray.data as rd
+
+    out = assoc_rules(rd.from_arrow(t), "u", "it").to_pandas()
+    out = out.sort_values(["antecedent", "consequent"]).reset_index(
+        drop=True
+    )
+    got = {
+        (r.antecedent, r.consequent): (
+            r.n_both, r.n_ante, r.n_cons, r.n_baskets,
+            r.support, r.confidence, r.lift,
+        )
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("A", "B"): (2, 3, 3, 4, 0.5, 0.666667, 0.888889),
+        ("B", "A"): (2, 3, 3, 4, 0.5, 0.666667, 0.888889),
+        ("A", "C"): (1, 3, 1, 4, 0.25, 0.333333, 1.333333),
+        ("C", "A"): (1, 1, 3, 4, 0.25, 1.0, 1.333333),
+    }
