@@ -4666,20 +4666,30 @@ def events_rfm(sf_dir: str, *, round_to: int = 6):
 
     pur = pu.map_batches(derive, batch_format="pyarrow").materialize()
 
-    def bounds(col: str) -> list[float]:
-        proj = pur.map_batches(
-            lambda b, c=col: pa.table(
-                {"__k": np.zeros(len(b), np.int64), c: b[c]}
-            ),
-            batch_format="pyarrow",
+    # all nine boundaries from ONE histogram reduce: project the three
+    # metrics into a long (metric-id, value) stream (3 rows per user)
+    # and let the per-key quantile plan do them together
+    def melt(b: pa.Table) -> pa.Table:
+        n = len(b)
+        vals = np.concatenate(
+            [
+                np.asarray(b["recency"], np.float64),
+                np.asarray(b["frequency"], np.float64),
+                np.asarray(b["monetary"], np.float64),
+            ]
         )
-        r = grouped_quantiles_cont(
-            proj, key="__k", value=col, qs=(0.25, 0.5, 0.75),
-            round_to=round_to,
-        ).to_pandas()
-        return [float(r[c].iloc[0]) for c in r.columns if c != "__k"]
+        k = np.repeat(np.arange(3, dtype=np.int64), n)
+        return pa.table({"__k": pa.array(k), "v": pa.array(vals)})
 
-    rb, fb, mb = bounds("recency"), bounds("frequency"), bounds("monetary")
+    qb = grouped_quantiles_cont(
+        pur.map_batches(melt, batch_format="pyarrow"),
+        key="__k", value="v", qs=(0.25, 0.5, 0.75), round_to=round_to,
+    ).to_pandas().sort_values("__k")
+    qcols = [c for c in qb.columns if c != "__k"]
+    rb, fb, mb = (
+        [float(x) for x in qb[qb["__k"] == i][qcols].iloc[0]]
+        for i in range(3)
+    )
 
     def score(b: pa.Table) -> pa.Table:
         r = np.asarray(b["recency"], np.float64)
