@@ -162,6 +162,7 @@ def _secondary() -> dict:
         ("events_seasonal", q.q_events_seasonal),
         ("events_rfm", q.q_events_rfm),
         ("assoc_rules", q.q_assoc_rules),
+        ("events_ltv", q.q_events_ltv),
         ("record_link", q.q_record_link),
         ("scc", q.q_scc),
         ("sssp_cost", q.q_sssp_cost),

@@ -7181,6 +7181,20 @@ def _sql_events_rfm() -> str:
     return sql_events_rfm()
 
 
+def q_events_ltv(sf_dir: str):
+    """Cohort LTV curves (relational.events_ltv): retention's zero-join
+    plan with micro-int exact cumulative revenue."""
+    from .relational import events_ltv
+
+    return events_ltv(sf_dir)
+
+
+def _sql_events_ltv() -> str:
+    from .relational import sql_events_ltv
+
+    return sql_events_ltv()
+
+
 def q_events_changepoint(sf_dir: str):
     """Single change-point (binary segmentation, k=1) on the daily
     event-count series (relational.events_changepoint)."""
@@ -14331,6 +14345,7 @@ def queries():
         "events_changepoint": q_events_changepoint,
         "events_did": q_events_did,
         "events_rfm": q_events_rfm,
+        "events_ltv": q_events_ltv,
         "grouped_mode": q_grouped_mode,
         "cube": q_cube,
         "degree_hist": q_degree_hist,
@@ -15673,6 +15688,7 @@ def oracle_sql():
         "events_changepoint": _sql_events_changepoint(),
         "events_did": _sql_events_did(),
         "events_rfm": _sql_events_rfm(),
+        "events_ltv": _sql_events_ltv(),
         "grouped_mode": _sql_grouped_mode(),
         "cube": _sql_cube(),
         "degree_hist": _sql_degree_hist(),

@@ -4762,3 +4762,175 @@ SELECT user_id, recency, frequency, monetary, r_score, f_score, m_score,
        r_score * 100 + f_score * 10 + m_score AS rfm_code
 FROM s
 """
+
+
+def events_ltv(sf_dir: str, *, num_buckets: int = 64):
+    """Cohort LTV curves: cumulative revenue (and ARPU) per
+    (cohort_week, week offset) — the revenue companion to
+    :func:`events_retention`'s distinct-user triangle.
+
+    Same zero-join plan: per-batch (user, week) revenue partials pack
+    into int64 keys, ONE coarse shuffle on user hash co-locates each
+    user, the bucket kernel derives cohorts (min week, exact — the user
+    is whole in the bucket) and emits per-(cohort, week) revenue and
+    per-cohort user-count partials; the weeks²-bounded finish folds on
+    the driver (the events_watermark fixed-overhead rule).
+
+    Float law: each (cohort, week) revenue cell rounds half-away at 6dp
+    on BOTH sides, converts to integer MICRO-UNITS, and the cumulative
+    sum runs in int64 — exact under any association, so the window
+    order DuckDB picks can never shift an ulp (monetary totals are
+    bounded to ±9.2e12 units by the micro-int law; shift the scale for
+    larger books).  ARPU divides the identical cum/1e6 by the cohort
+    size in the same op order before the shared 6dp round."""
+    import ray.data as rd
+
+    from ..joins import _bucket_of
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    mask = (1 << _WEEK_BITS) - 1
+
+    def pack(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b["ts"]).astype("datetime64[us]").view(np.int64)
+        week = np.where(ts >= 0, ts // WEEK_US, -((-ts) // WEEK_US))
+        week = week + _WEEK_BIAS
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        if len(week) and (
+            week.min() < 0
+            or week.max() >= (1 << _WEEK_BITS)
+            or uid.min() < 0
+            or uid.max() >= (1 << (63 - _WEEK_BITS))
+        ):
+            raise ValueError("user/week id out of packed range")
+        key = (uid << _WEEK_BITS) | week
+        val = np.asarray(b["value"], np.float64)
+        order = np.argsort(key, kind="stable")
+        key, val = key[order], val[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], key[1:] != key[:-1]])
+        )
+        k = key[starts]
+        v = np.add.reduceat(val, starts) if len(val) else val
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "v": pa.array(v),
+                "__b": pa.array(_bucket_of(k >> _WEEK_BITS, num_buckets)),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["k"].to_numpy(np.int64)
+        val = g["v"].to_numpy(np.float64)
+        order = np.argsort(key, kind="stable")
+        key, val = key[order], val[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], key[1:] != key[:-1]])
+        )
+        k = key[starts]
+        v = np.add.reduceat(val, starts)
+        uid = k >> _WEEK_BITS
+        week = k & mask
+        ustarts = np.concatenate([[True], uid[1:] != uid[:-1]])
+        cohort = week[np.flatnonzero(ustarts)][np.cumsum(ustarts) - 1]
+        # per-(cohort, week) revenue partials
+        cw = (cohort << _WEEK_BITS) | week
+        o2 = np.argsort(cw, kind="stable")
+        cw, v2 = cw[o2], v[o2]
+        s2 = np.flatnonzero(np.concatenate([[True], cw[1:] != cw[:-1]]))
+        pairs = cw[s2]
+        rev = np.add.reduceat(v2, s2)
+        # per-cohort distinct-user partials
+        cu, cn = np.unique(cohort[ustarts], return_counts=True)
+        return pd.DataFrame(
+            {
+                "kind": np.concatenate(
+                    [np.zeros(len(pairs), np.int64),
+                     np.ones(len(cu), np.int64)]
+                ),
+                "cohort_week": np.concatenate(
+                    [(pairs >> _WEEK_BITS) - _WEEK_BIAS, cu - _WEEK_BIAS]
+                ),
+                "week": np.concatenate(
+                    [(pairs & mask) - _WEEK_BIAS, np.zeros(len(cu), np.int64)]
+                ),
+                "rev": np.concatenate([rev, np.zeros(len(cu))]),
+                "n": np.concatenate(
+                    [np.zeros(len(pairs), np.int64), cn.astype(np.int64)]
+                ),
+            }
+        )
+
+    part = (
+        ev.map_batches(pack, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    sz = (
+        part[part["kind"] == 1]
+        .groupby("cohort_week", sort=True)["n"].sum()
+    )
+    cell = (
+        part[part["kind"] == 0]
+        .groupby(["cohort_week", "week"], sort=True)["rev"]
+        .sum()
+        .reset_index()
+    )
+    # 6dp round -> exact integer micro-unit cumulative sum per cohort
+    micro = np.asarray(
+        np.sign(cell["rev"]) * np.floor(np.abs(cell["rev"]) * 1e6 + 0.5),
+        np.int64,
+    )
+    co = cell["cohort_week"].to_numpy(np.int64)
+    wk = cell["week"].to_numpy(np.int64)
+    cum = np.cumsum(micro)
+    cstarts = np.flatnonzero(np.concatenate([[True], co[1:] != co[:-1]]))
+    base = np.repeat(
+        np.concatenate([[0], cum[cstarts[1:] - 1]]),
+        np.diff(np.append(cstarts, len(co))),
+    )
+    cum = cum - base
+    nu = sz.loc[co].to_numpy(np.int64)
+    arpu_raw = (cum / 1e6) / nu
+    arpu = np.sign(arpu_raw) * np.floor(np.abs(arpu_raw) * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            "cohort_week": pa.array(co),
+            "offset_weeks": pa.array(wk - co),
+            "n_users": pa.array(nu),
+            "cum_rev": pa.array(cum / 1e6),
+            "arpu": pa.array(arpu),
+        }
+    )
+
+
+def sql_events_ltv() -> str:
+    """DuckDB twin of :func:`events_ltv` (micro-int cumulative law)."""
+    return f"""
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // {WEEK_US} AS week, value FROM events
+),
+c AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id),
+sz AS (SELECT cohort_week, COUNT(*)::BIGINT AS n_users
+       FROM c GROUP BY cohort_week),
+cell AS (
+  SELECT c.cohort_week, w.week,
+         CAST(ROUND(SUM(w.value) * 1e6) AS BIGINT) AS rev_micro
+  FROM w JOIN c USING (user_id)
+  GROUP BY c.cohort_week, w.week
+),
+cum AS (
+  SELECT cohort_week, week,
+         SUM(rev_micro) OVER (
+           PARTITION BY cohort_week ORDER BY week
+         ) AS cum_micro
+  FROM cell
+)
+SELECT cum.cohort_week, cum.week - cum.cohort_week AS offset_weeks,
+       sz.n_users, cum.cum_micro / 1e6 AS cum_rev,
+       ROUND(cum.cum_micro / 1e6 / sz.n_users * 1e6) / 1e6 AS arpu
+FROM cum JOIN sz USING (cohort_week)
+"""

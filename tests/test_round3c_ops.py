@@ -500,3 +500,35 @@ def test_assoc_rules_hand_baskets(ray_session):
         ("A", "C"): (1, 3, 1, 4, 0.25, 0.333333, 1.333333),
         ("C", "A"): (1, 1, 3, 4, 0.25, 1.0, 1.333333),
     }
+
+
+def test_events_ltv_hand_curve(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.relational import WEEK_US, events_ltv
+
+    W = 2809  # arbitrary absolute week id
+    rows = [  # (user, week, value)
+        (1, W, 10.0), (1, W + 1, 20.0),   # cohort W, cum 10 -> 30
+        (2, W + 1, 5.0),                  # cohort W+1, cum 5
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] * WEEK_US for r in rows], pa.timestamp("us")
+            ),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_ltv(str(tmp_path)).to_pandas()
+    out = out.sort_values(["cohort_week", "offset_weeks"]).reset_index(
+        drop=True
+    )
+    got = [
+        (r.cohort_week - W, r.offset_weeks, r.n_users, r.cum_rev, r.arpu)
+        for r in out.itertuples()
+    ]
+    assert got == [(0, 0, 1, 10.0, 10.0), (0, 1, 1, 30.0, 30.0),
+                   (1, 0, 1, 5.0, 5.0)]
