@@ -13498,6 +13498,116 @@ FROM agg
 """
 
 
+def q_mutual_info(sf_dir: str):
+    """Mutual information (and NMI) between document lang and source —
+    the feature-selection companion to cramers_v: MI over the OBSERVED
+    contingency cells (zero cells contribute exactly 0), entropies from
+    the margins, NMI = mi / sqrt(h_lang * h_src) computed from the
+    6dp-ROUNDED terms so both sides divide bit-identical inputs.
+
+    Scale shape: composite-key integer count combiners -> tiny
+    contingency fold on the driver (bounded lang x source domain);
+    factor order inside ln mirrored in the twin."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": np.asarray(b["lang"]).astype(object),
+             "source": np.asarray(b["source"]).astype(object)}
+        )
+        out = (
+            df.groupby(["lang", "source"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        t
+        for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    )
+    lg = np.asarray(tbl["lang"]).astype(str)
+    sc = np.asarray(tbl["source"]).astype(str)
+    n = np.asarray(tbl["n"], np.int64).astype(np.float64)
+    langs, li = np.unique(lg, return_inverse=True)
+    srcs, si = np.unique(sc, return_inverse=True)
+    row = np.bincount(li, weights=n, minlength=len(langs))
+    col = np.bincount(si, weights=n, minlength=len(srcs))
+    tot = float(n.sum())
+
+    def r6(x: float) -> float:
+        return float(np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6)
+
+    mi = r6(float(
+        ((n * 1.0 / tot) * np.log((n * 1.0 * tot) / (row[li] * 1.0 * col[si]))).sum()
+    ))
+    hl = r6(float(-((row * 1.0 / tot) * np.log(row * 1.0 / tot)).sum()))
+    hs = r6(float(-((col * 1.0 / tot) * np.log(col * 1.0 / tot)).sum()))
+    nmi = r6(mi / float(np.sqrt(hl * hs))) if hl > 0 and hs > 0 else None
+    return pa.table(
+        {
+            "n": pa.array([int(tot)], pa.int64()),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+            "n_sources": pa.array([len(srcs)], pa.int64()),
+            "mi": pa.array([mi], pa.float64()),
+            "h_lang": pa.array([hl], pa.float64()),
+            "h_source": pa.array([hs], pa.float64()),
+            "nmi": pa.array([nmi], pa.float64()),
+        }
+    )
+
+
+def _sql_mutual_info() -> str:
+    return """
+WITH cell AS (
+  SELECT lang, source, COUNT(*)::BIGINT AS n
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT SUM(n)::BIGINT AS t FROM cell),
+r AS (SELECT lang, SUM(n)::BIGINT AS rn FROM cell GROUP BY lang),
+c AS (SELECT source, SUM(n)::BIGINT AS cn FROM cell GROUP BY source),
+terms AS (
+  SELECT
+    ROUND(SUM((cell.n * 1.0 / t.t)
+              * ln((cell.n * 1.0 * t.t) / (r.rn * 1.0 * c.cn))) * 1e6)
+      / 1e6 AS mi,
+    (SELECT COUNT(*) FROM r)::BIGINT AS n_langs,
+    (SELECT COUNT(*) FROM c)::BIGINT AS n_sources,
+    (SELECT t FROM tot) AS n
+  FROM cell
+  JOIN r USING (lang) JOIN c USING (source), tot t
+),
+ent AS (
+  SELECT
+    ROUND(-SUM((rn * 1.0 / (SELECT t FROM tot))
+               * ln(rn * 1.0 / (SELECT t FROM tot))) * 1e6) / 1e6 AS h_lang,
+    (SELECT ROUND(-SUM((cn * 1.0 / (SELECT t FROM tot))
+               * ln(cn * 1.0 / (SELECT t FROM tot))) * 1e6) / 1e6
+     FROM c) AS h_source
+  FROM r
+)
+SELECT terms.n, terms.n_langs, terms.n_sources, terms.mi,
+       ent.h_lang, ent.h_source,
+       CASE WHEN ent.h_lang > 0 AND ent.h_source > 0
+            THEN ROUND(terms.mi / sqrt(ent.h_lang * ent.h_source) * 1e6)
+                 / 1e6 END AS nmi
+FROM terms, ent
+"""
+
+
 def q_cramers_v(sf_dir: str):
     """Cramer's V association between document lang and source: the
     chi-square of the (lang x source) contingency table normalized by
@@ -14351,6 +14461,7 @@ def queries():
         "degree_hist": q_degree_hist,
         "co_occurrence": q_co_occurrence,
         "assoc_rules": q_assoc_rules,
+        "mutual_info": q_mutual_info,
         "events_rolling_users": q_events_rolling_users,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "histogram": q_histogram,
@@ -15694,6 +15805,7 @@ def oracle_sql():
         "degree_hist": _sql_degree_hist(),
         "co_occurrence": _sql_co_occurrence(),
         "assoc_rules": _sql_assoc_rules(),
+        "mutual_info": _sql_mutual_info(),
         "events_rolling_users": _sql_events_rolling_users(),
         "jsonl_roundtrip": _sql_jsonl_roundtrip(),
         "histogram": _sql_histogram(),

@@ -532,3 +532,34 @@ def test_events_ltv_hand_curve(ray_session, tmp_path):
     ]
     assert got == [(0, 0, 1, 10.0, 10.0), (0, 1, 1, 30.0, 30.0),
                    (1, 0, 1, 5.0, 5.0)]
+
+
+def test_mutual_info_independent_is_zero(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.queries import q_mutual_info
+
+    # perfectly independent 2x2 (all four cells equal) -> MI = 0, and
+    # perfectly dependent diagonal -> MI = ln 2 = entropy, NMI = 1
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "lang": pa.array(["en", "en", "de", "de"] * 2, pa.string()),
+            "source": pa.array(["a", "b"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_mutual_info(str(tmp_path)).to_pandas().iloc[0]
+    assert out.n == 8 and out.mi == 0.0 and out.nmi == 0.0
+
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "lang": pa.array(["en", "de"] * 4, pa.string()),
+            "source": pa.array(["a", "b"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(t2, str(tmp_path / "documents.parquet"))
+    out2 = q_mutual_info(str(tmp_path)).to_pandas().iloc[0]
+    ln2 = round(float(np.log(2.0)), 6)
+    assert out2.mi == ln2 and out2.h_lang == ln2 and out2.nmi == 1.0
