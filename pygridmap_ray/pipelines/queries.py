@@ -5192,6 +5192,25 @@ def _sql_iqr_outliers() -> str:
     return sql_iqr_outliers(key="event_type", value="value")
 
 
+def q_trimmed_mean(sf_dir: str):
+    """Per-event-type 5/95 trimmed mean (stats.trimmed_mean): exact
+    rounded fences broadcast, one partial-count scan, driver fold."""
+    import ray.data as rd
+
+    from ..stats import trimmed_mean
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return trimmed_mean(ds, key="event_type", value="value")
+
+
+def _sql_trimmed_mean() -> str:
+    from ..stats import sql_trimmed_mean
+
+    return sql_trimmed_mean()
+
+
 def q_distinct_count(sf_dir: str):
     """EXACT grouped count-distinct (the exact twin of the hll_distinct
     estimate): dedupe groupby on (lang, source) -> per-lang count.  The
@@ -14462,6 +14481,7 @@ def queries():
         "co_occurrence": q_co_occurrence,
         "assoc_rules": q_assoc_rules,
         "mutual_info": q_mutual_info,
+        "trimmed_mean": q_trimmed_mean,
         "events_rolling_users": q_events_rolling_users,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "histogram": q_histogram,
@@ -15806,6 +15826,7 @@ def oracle_sql():
         "co_occurrence": _sql_co_occurrence(),
         "assoc_rules": _sql_assoc_rules(),
         "mutual_info": _sql_mutual_info(),
+        "trimmed_mean": _sql_trimmed_mean(),
         "events_rolling_users": _sql_events_rolling_users(),
         "jsonl_roundtrip": _sql_jsonl_roundtrip(),
         "histogram": _sql_histogram(),

@@ -3133,3 +3133,104 @@ FROM {source}
 GROUP BY qkey
 HAVING COUNT(*) < {k}
 """
+
+
+def trimmed_mean(
+    ds,
+    *,
+    key: str,
+    value: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    round_to: int = 6,
+):
+    """Per-key trimmed (winsor-fence) mean: the mean of values inside
+    the INCLUSIVE ``[quantile_cont(q_lo), quantile_cont(q_hi)]`` band —
+    the robust-location companion to :func:`iqr_outliers`, same plan:
+    exact histogram quantiles -> 6dp-rounded fences closure-broadcast ->
+    one scan emitting per-(key, batch) (count, kept, kept-sum) partials
+    -> driver fold (aggregate-scale, the fixed-cost rule).  Comparisons
+    run against the ROUNDED fences so both sides keep identical rows.
+
+    Output: ``key, n_total, n_kept, trimmed_mean`` (rounded half-away)."""
+    quarts = grouped_quantiles_cont(
+        ds, key=key, value=value, qs=(q_lo, q_hi), round_to=round_to
+    ).to_pandas()
+    cols = [c for c in quarts.columns if c != key]
+    fences = dict(
+        zip(
+            quarts[key].astype(str).tolist(),
+            zip(
+                quarts[cols[0]].to_numpy(np.float64),
+                quarts[cols[1]].to_numpy(np.float64),
+            ),
+        )
+    )
+    tol = 10.0**round_to
+
+    def partial(b: pa.Table) -> pa.Table:
+        ks = np.asarray(pc.cast(b[key], pa.string())).astype(object)
+        v = np.asarray(b[value], np.float64)
+        ug, inv = np.unique(ks, return_inverse=True)
+        lo = np.array([fences.get(g, (-np.inf, np.inf))[0] for g in ug])
+        hi = np.array([fences.get(g, (-np.inf, np.inf))[1] for g in ug])
+        keep = (v >= lo[inv]) & (v <= hi[inv])
+        n = np.bincount(inv, minlength=len(ug)).astype(np.int64)
+        nk = np.bincount(inv, weights=keep, minlength=len(ug)).astype(np.int64)
+        sk = np.bincount(inv, weights=np.where(keep, v, 0.0), minlength=len(ug))
+        return pa.table(
+            {
+                key: pa.array(ug, pa.string()),
+                "n_total": pa.array(n),
+                "n_kept": pa.array(nk),
+                "kept_sum": pa.array(sk),
+            }
+        )
+
+    import ray
+    import ray.data as rd
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    parts = [p for p in ray.get(partials.to_arrow_refs()) if p.num_rows]
+    folded = (
+        pa.concat_tables(parts, promote_options="permissive")
+        .to_pandas()
+        .groupby(key, dropna=False, sort=False, as_index=False)[
+            ["n_total", "n_kept", "kept_sum"]
+        ]
+        .sum()
+    )
+    nk = folded["n_kept"].to_numpy(np.float64)
+    sk = folded["kept_sum"].to_numpy(np.float64)
+    m = sk / nk
+    folded["trimmed_mean"] = np.sign(m) * np.floor(np.abs(m) * tol + 0.5) / tol
+    return rd.from_pandas(folded.drop(columns="kept_sum"))
+
+
+def sql_trimmed_mean(
+    *,
+    key: str = "event_type",
+    value: str = "value",
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    source: str = "events",
+) -> str:
+    """DuckDB twin of :func:`trimmed_mean` (shared rounded-fence law)."""
+    return f"""
+WITH q AS (
+  SELECT {key},
+         ROUND(quantile_cont({value}, {q_lo}) * 1e6) / 1e6 AS lo,
+         ROUND(quantile_cont({value}, {q_hi}) * 1e6) / 1e6 AS hi
+  FROM {source} GROUP BY {key}
+)
+SELECT e.{key},
+       COUNT(*)::BIGINT AS n_total,
+       SUM(CASE WHEN e.{value} >= q.lo AND e.{value} <= q.hi
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       ROUND(SUM(CASE WHEN e.{value} >= q.lo AND e.{value} <= q.hi
+                      THEN e.{value} ELSE 0 END)
+             / SUM(CASE WHEN e.{value} >= q.lo AND e.{value} <= q.hi
+                        THEN 1 ELSE 0 END) * 1e6) / 1e6 AS trimmed_mean
+FROM {source} e JOIN q USING ({key})
+GROUP BY e.{key}
+"""

@@ -563,3 +563,26 @@ def test_mutual_info_independent_is_zero(ray_session, tmp_path):
     out2 = q_mutual_info(str(tmp_path)).to_pandas().iloc[0]
     ln2 = round(float(np.log(2.0)), 6)
     assert out2.mi == ln2 and out2.h_lang == ln2 and out2.nmi == 1.0
+
+
+def test_trimmed_mean_hand_band(ray_session):
+    import ray.data as rd
+
+    from pygridmap_ray.stats import trimmed_mean
+
+    # values 1..10 plus an outlier 1000: over 11 values the q05 fence
+    # interpolates to 1.5 (h = 0.05*10 between v1=1 and v2=2) and q95 to
+    # 505 (between 10 and 1000) — so BOTH tails trim one row each:
+    # kept = 2..10, trimmed mean = 54/9 = 6.0
+    vals = list(range(1, 11)) + [1000]
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 11, pa.string()),
+            "v": pa.array([float(x) for x in vals], pa.float64()),
+        }
+    )
+    out = trimmed_mean(
+        rd.from_arrow(t), key="k", value="v"
+    ).to_pandas().iloc[0]
+    assert out.n_total == 11 and out.n_kept == 9
+    assert out.trimmed_mean == 6.0
