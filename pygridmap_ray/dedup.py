@@ -1070,14 +1070,23 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {t
 """
 
 
+#: SemDeDup regime (Abbas et al. 2023 §3): clusters of ~10^4 vectors keep
+#: the per-cluster scan a worker-sized task regardless of corpus size
+_SEMDEDUP_CLUSTER_TARGET = 10_000
+#: gram-slab fence: rows per block sized so block x cluster float64 slab
+#: stays under this many bytes (the tfidf_pairs `_dense_pairs` budget)
+_SEMDEDUP_SLAB_BYTES = 64 << 20
+
+
 def semdedup(
     ds,
     *,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     tau: float = 0.3,
+    slab_bytes: int = _SEMDEDUP_SLAB_BYTES,
 ):
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then mark a
@@ -1088,12 +1097,16 @@ def semdedup(
 
     Scale plan: :func:`pygridmap_ray.ann.kmeans_fit` centroids broadcast
     once (combiner-partial sweeps, never an assignment shuffle); the
-    assignment map keeps the vector column so ONE k-way groupby (k is
-    low-cardinality by construction) co-locates each cluster; per
-    cluster the keep/remove scan is a normalized gram matrix + one
-    upper-triangle ``any`` — for clusters too big for a dense gram,
-    chunk the gram row-block-wise against the (sorted-by-id) prefix,
-    exactly the dense-regime fence used by ``tfidf_pairs``.
+    assignment map keeps the vector column so ONE k-way groupby
+    co-locates each cluster.  ``k`` defaults to the paper's regime —
+    one cluster per ~10^4 vectors (floor 8), so a cluster is a
+    worker-sized task at any corpus size, and k stays far below the
+    fine-groupby cliff (k = n / 10^4 clusters of ~10^4 rows each).
+    Per cluster the keep/remove scan never builds the full gram: row
+    blocks of the (sorted-by-id) matrix multiply against the id-suffix
+    only, each slab bounded by ``slab_bytes`` — the same dense-regime
+    fence as ``tfidf._dense_pairs`` — so per-task transient memory is
+    O(block x cluster), not O(cluster^2).
 
     Returns (id_col, cluster, removed) for every input vector."""
     from .ann import _emb_matrix, _normalize, kmeans_fit
@@ -1102,6 +1115,11 @@ def semdedup(
 
     from .spatial import _cached_kernel
 
+    if k is None:
+        # paper regime: ~10^4 vectors per cluster; floor keeps tiny
+        # corpora meaningful, cap bounds the broadcast centroid matrix
+        n_vec = ds.count()
+        k = int(max(8, min(65_536, -(-n_vec // _SEMDEDUP_CLUSTER_TARGET))))
     cents = kmeans_fit(
         ds, id_col=id_col, emb_col=emb_col, k=k, iters=iters
     )
@@ -1135,8 +1153,21 @@ def semdedup(
         emb = _normalize(
             np.stack([np.asarray(v, np.float64) for v in g[emb_col]])
         )[order]
-        sims = emb @ emb.T
-        removed = np.triu(sims >= tau, k=1).any(axis=0)
+        m = len(ids)
+        removed = np.zeros(m, dtype=bool)
+        # row-block the gram against the id-SUFFIX: rows i in [lo, hi)
+        # score only columns j in [lo, m) and keep j > i survivors, so
+        # every (i < j) pair is scored exactly once and the slab is
+        # block x (m - lo) floats, never m x m
+        block = max(1, slab_bytes // max(1, m * 8))
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            sims = emb[lo:hi] @ emb[lo:].T
+            mask = sims >= tau
+            mask &= (
+                np.arange(lo, hi)[:, None] < np.arange(lo, m)[None, :]
+            )
+            removed[lo:] |= mask.any(axis=0)
         return pd.DataFrame(
             {
                 id_col: ids,

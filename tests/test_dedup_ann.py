@@ -239,3 +239,69 @@ def test_quantize_embeddings_bounds_and_reconstruction(ray_session):
     mn, mx = X[:, :5].min(axis=0), X[:, :5].max(axis=0)
     rec = Q[:, :5] / 255.0 * (mx - mn) + mn
     assert np.abs(rec - X[:, :5]).max() <= (mx - mn).max() / 255.0
+
+
+def test_semdedup_chunked_scan_matches_bruteforce(ray_session):
+    """The per-cluster scan must never need the full gram: a cluster far
+    larger than the slab fence (slab_bytes tiny -> many row blocks) must
+    produce EXACTLY the min-id-keeper law of a brute-force full gram,
+    and agree with the single-slab run."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygridmap_ray.ann import _normalize
+    from pygridmap_ray.dedup import semdedup
+
+    rng = np.random.default_rng(7)
+    n, dim, tau = 300, 8, 0.92
+    # planted near-dup families on a noisy background
+    base = rng.normal(0, 1, (30, dim))
+    X = np.concatenate([base + rng.normal(0, 0.02, (30, dim)) for _ in range(10)])
+    t = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array(list(X), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    small = (
+        semdedup(ds, k=1, iters=1, tau=tau, slab_bytes=1 << 10)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    big = (
+        semdedup(ds, k=1, iters=1, tau=tau, slab_bytes=1 << 30)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (small["removed"] == big["removed"]).all()
+    # brute-force oracle: k=1 puts everything in one cluster, so removed[j]
+    # iff any i < j has cosine >= tau
+    E = _normalize(X)
+    sims = E @ E.T
+    expect = np.triu(sims >= tau, k=1).any(axis=0)
+    assert (small["removed"].to_numpy() == expect).all()
+    # multi-slab path really ran: fence forces ceil(n*8*n/2^10) > 1 blocks
+    assert (1 << 10) // (n * 8) < n
+
+
+def test_semdedup_derived_k_default(ray_session):
+    """k=None derives the SemDeDup cluster count from corpus size (floor
+    8 at test scale) and still emits one row per input vector."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygridmap_ray.dedup import semdedup
+
+    rng = np.random.default_rng(3)
+    n = 120
+    t = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array(
+                list(rng.normal(0, 1, (n, 6))), pa.list_(pa.float64())
+            ),
+        }
+    )
+    out = semdedup(rd.from_arrow(t), tau=0.99).to_pandas()
+    assert len(out) == n
+    assert set(out.columns) == {"vec_id", "cluster", "removed"}
+    assert out["cluster"].nunique() <= 8
