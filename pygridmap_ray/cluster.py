@@ -30,6 +30,47 @@ def default_num_partitions(min_parts: int = 2, per_cpu: float = 0.5) -> int:
     return max(min_parts, int(cpus * per_cpu))
 
 
+def default_num_buckets(min_buckets: int = 8, per_cpu: float = 2.0) -> int:
+    """Coarse-bucket shuffle width (the ``groupby(hash % nb).map_groups``
+    plans): a few buckets per core, rounded UP to a power of two.
+
+    Bucket keys are hashes everywhere in the engine, so any count is
+    law-neutral — the count only sets (a) the ``map_groups`` parallelism
+    ceiling and (b) rows-per-bucket memory, both of which must scale
+    with the cluster, never sit at a laptop literal.  Power of two
+    because range-shift bucketing (``pack.shuffle_by_hash``) requires
+    it and it costs nothing elsewhere.  Same fallback rule as
+    :func:`default_num_partitions`: 4 CPUs before ``ray.init`` (widths
+    are re-derived lazily at call time, so that path only serves unit
+    imports)."""
+    cpus = 4.0
+    if ray.is_initialized():
+        cpus = float(ray.cluster_resources().get("CPU", 4.0))
+    target = max(min_buckets, int(cpus * per_cpu))
+    return 1 << (target - 1).bit_length()
+
+
+def resolve_num_buckets(num_buckets: int | None) -> int:
+    """``None`` -> :func:`default_num_buckets`; an explicit count passes
+    through (callers that must pin a width — tests, reproducible plans —
+    keep that ability)."""
+    return default_num_buckets() if num_buckets is None else num_buckets
+
+
+_AUTO_NB: dict = {}
+
+
+def auto_num_buckets() -> int:
+    """Per-process cached :func:`default_num_buckets` for PER-BATCH UDF
+    bucket hashing: ``ray.cluster_resources()`` is a GCS round-trip, so
+    hot map closures call this instead.  The cluster-wide CPU total is
+    identical from every worker, so all stages of a pipeline agree on
+    the bucket count without shipping it through the plan."""
+    if "nb" not in _AUTO_NB:
+        _AUTO_NB["nb"] = default_num_buckets()
+    return _AUTO_NB["nb"]
+
+
 def compact_blocks(ds, schema, sentinel_keys: dict | None = None):
     """Rebuild ``ds`` from its NON-EMPTY blocks only — the deterministic
     guard against Ray 2.49's hash-shuffle schema race.

@@ -22,6 +22,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from pygridmap_ray.cluster import (
+    auto_num_buckets as _auto_nb,
+    resolve_num_buckets as _resolve_buckets,
+)
 
 TOKEN_RE = re.compile(r"\S+")
 
@@ -86,7 +90,7 @@ def _coarse_group_apply(
     key_cols: list[str],
     per_group,
     empty_df: pd.DataFrame,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """``groupby(key_cols).map_groups(per_group)`` with per-group Python
     cost proportional to MULTI-MEMBER groups only.
@@ -101,6 +105,7 @@ def _coarse_group_apply(
     never emit a pair).  All rows of one real group share a coarse bucket
     by construction, so semantics are identical to the fine groupby.
     """
+    num_buckets = _resolve_buckets(num_buckets)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         h = np.zeros(b.num_rows, dtype=np.uint64)
@@ -513,7 +518,8 @@ def ngram_jaccard_pairs(
     def _add_cg(b: pa.Table) -> pa.Table:
         # coarse partition key: all rows of one shingle group share it
         h = np.asarray(b["shingle"]).astype(np.uint64)
-        cg = ((h * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)
+        cg = ((h * np.uint64(2654435761))
+              % np.uint64(_auto_nb())).astype(np.int64)
         return b.append_column("__cg", pa.array(cg))
 
     _CAND_EMPTY = pd.DataFrame(
@@ -596,7 +602,7 @@ def ngram_jaccard_pairs(
             )
         key = (ia << np.int64(32)) | ib
         bucket = ((key.astype(np.uint64) * np.uint64(2654435761))
-                  % np.uint64(64)).astype(np.int64)
+                  % np.uint64(_auto_nb())).astype(np.int64)
         return pa.table(
             {
                 "pairkey": pa.array(key),
@@ -1876,14 +1882,21 @@ def dedup_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk: int = _LINE_CHUNK,
-    num_buckets: int = 64,
+    splitter: str = "chunk",
+    num_buckets: int | None = None,
 ):
     """Line-level exact dedup (the C4 rule): a line survives only at its
     GLOBAL first occurrence — ``(doc_id, line_idx)`` minimal over all
     docs containing that line — and every doc is reassembled from its
-    surviving lines in order.  "Lines" here are consecutive ``chunk``-
-    token windows (the fixture corpus has no newlines; swap the splitter
-    for ``\\n`` on real text — the plan is identical).
+    surviving lines in order.
+
+    ``splitter`` picks the line law: ``"chunk"`` (consecutive ``chunk``-
+    token windows — the fixture corpus has no newlines) or ``"newline"``
+    (real-text ``\\n`` lines, kept verbatim; line identity is the 60-bit
+    md5 prefix of the line string — equal strings <=> equal keys absent
+    ~2^-60 collisions, the engine-wide hash-identity convention).  The
+    plan is identical either way; only the explode stage and the
+    reassembly separator change.
 
     Plan: explode lines with a 64-bit polynomial key over the token
     hashes (equal line strings <=> equal keys, absent ~2^-61 collisions,
@@ -1895,6 +1908,9 @@ def dedup_lines(
 
     Emits (doc_id, n_lines, n_kept, text_kept); docs whose every line is
     a later occurrence drop out (their text is fully redundant)."""
+    num_buckets = _resolve_buckets(num_buckets)
+    if splitter not in ("chunk", "newline"):
+        raise ValueError(f"splitter must be chunk|newline, got {splitter!r}")
 
     # base^e mod 2^64 for e in [0, chunk) — the rolling polynomial
     # acc = ((h0*B + h1)*B + ...) equals sum h_j * B^(m-1-j) in the
@@ -1964,8 +1980,46 @@ def dedup_lines(
             }
         )
 
+    def explode_newline(b: pa.Table) -> pa.Table:
+        from .text import md5_prefix_int
+
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        split = pc.split_pattern(
+            pc.fill_null(pc.cast(b[text_col], pa.string()), ""), "\n"
+        ).combine_chunks()
+        if isinstance(split, pa.ChunkedArray):  # zero-chunk empty input
+            split = pa.array([], pa.list_(pa.string()))
+        vals = split.flatten()
+        nl = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        total_lines = int(nl.sum())
+        if total_lines == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "line": pa.array([], pa.string()),
+                    "key": pa.array([], pa.int64()),
+                }
+            )
+        line_doc = np.repeat(np.arange(len(ids), dtype=np.int64), nl)
+        starts = np.concatenate(([0], np.cumsum(nl)))[:-1]
+        idx = np.arange(total_lines, dtype=np.int64) - starts[line_doc]
+        key = md5_prefix_int(vals, hexdigits=15).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[line_doc]),
+                "idx": pa.array(idx),
+                "n_lines": pa.array(nl[line_doc]),
+                "line": vals,
+                "key": pa.array(key),
+            }
+        )
+
+    sep = " " if splitter == "chunk" else "\n"
     lines = ds.select_columns([id_col, text_col]).map_batches(
-        explode, batch_format="pyarrow"
+        explode if splitter == "chunk" else explode_newline,
+        batch_format="pyarrow",
     )
 
     def add_kb(b: pa.Table) -> pa.Table:
@@ -2008,7 +2062,7 @@ def dedup_lines(
         agg = g.groupby(id_col, sort=False).agg(
             n_lines=("n_lines", "first"),
             n_kept=("idx", "size"),
-            text_kept=("line", " ".join),
+            text_kept=("line", sep.join),
         )
         return agg.reset_index()
 
@@ -2062,6 +2116,37 @@ GROUP BY k.doc_id
 """
 
 
+def sql_dedup_lines_nl(*, source: str = "documents") -> str:
+    """DuckDB twin of :func:`dedup_lines` with ``splitter="newline"``
+    over line STRINGS (the engine's md5-prefix keys are equal iff the
+    strings are, absent ~2^-60 collisions).  ``source`` may be a
+    parenthesized aliased subquery yielding (doc_id, text)."""
+    return f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS t FROM {source}
+),
+l2 AS (
+  SELECT doc_id, i, t[i + 1] AS line
+  FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM s)
+),
+firsts AS (
+  SELECT line, MIN(doc_id * {1 << _LINE_IDX_BITS} + i) AS pos
+  FROM l2 GROUP BY line
+),
+kept AS (
+  SELECT l.doc_id, l.i, l.line
+  FROM l2 l JOIN firsts f
+    ON f.line = l.line AND l.doc_id * {1 << _LINE_IDX_BITS} + l.i = f.pos
+),
+nl AS (SELECT doc_id, len(t) AS n_lines FROM s)
+SELECT k.doc_id, ANY_VALUE(n.n_lines)::BIGINT AS n_lines,
+       COUNT(*)::BIGINT AS n_kept,
+       string_agg(k.line, chr(10) ORDER BY k.i) AS text_kept
+FROM kept k JOIN nl n USING (doc_id)
+GROUP BY k.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # duplicate n-gram coverage (substring-level dedup diagnostic)
 # ---------------------------------------------------------------------------
@@ -2073,7 +2158,7 @@ def dup_gram_coverage(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     round_to: int = 6,
 ):
     """Per-document fraction of token n-gram POSITIONS whose n-gram occurs
@@ -2093,6 +2178,7 @@ def dup_gram_coverage(
     Output: ``doc_id, n_grams, dup_grams, dup_frac`` (docs with fewer
     than ``n`` tokens have no gram positions and are absent, matching
     the SQL twin)."""
+    num_buckets = _resolve_buckets(num_buckets)
     import pandas as pd
 
     from .tfidf import _coarse_sum, doc_term_freqs
@@ -2194,7 +2280,7 @@ def neardup_keep_best(
     score_col: str = "quality",
     max_iter: int = 25,
     num_partitions: int | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Keep the HIGHEST-SCORING doc per near-dup component (ties -> min
     id) — the production retention rule (survivor = best quality), vs
@@ -2210,6 +2296,7 @@ def neardup_keep_best(
     buckets by ``hash(component) % num_buckets``).
 
     Output: ``id_col, component, score_col`` — one row per component."""
+    num_buckets = _resolve_buckets(num_buckets)
     from .cluster import default_num_partitions
     from .stats import grouped_topk
 

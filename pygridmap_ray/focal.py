@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from .tfidf import _coarse_sum
+from pygridmap_ray.cluster import resolve_num_buckets as _resolve_buckets
 
 #: cell coords must fit this packing (iy * 2^32 + ix, both >= 0;
 #: iy is bounded so pk - and the clusters path sentinel pk + 2^32
@@ -91,7 +92,7 @@ def focal_counts(
     ix_col: str = "ix",
     iy_col: str = "iy",
     ksize: int = 1,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     round_to: int = 6,
 ):
     """Per occupied cell: its own point count plus the focal sum / mean
@@ -102,6 +103,7 @@ def focal_counts(
     ``focal_mean = round(focal_sum / (2k+1)^2, round_to)`` half-away —
     the SQL twin is a self-join on ``BETWEEN +-k`` (:func:`sql_focal_mean`).
     """
+    num_buckets = _resolve_buckets(num_buckets)
     if ksize < 1:
         raise ValueError("ksize must be >= 1")
     denom = float((2 * ksize + 1) ** 2)
@@ -170,7 +172,7 @@ def cell_clusters(
     iy_col: str = "iy",
     min_count: int = 1,
     min_cluster_docs: int = 1,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Contiguous clusters of occupied grid cells — the Eurostat
     degree-of-urbanisation shape (GHSL "urban cluster": threshold cells,
@@ -191,6 +193,7 @@ def cell_clusters(
     Output: ``cluster_id`` (min packed cell key in the component),
     ``n_cells``, ``n_docs`` — rows with ``n_docs >= min_cluster_docs``.
     """
+    num_buckets = _resolve_buckets(num_buckets)
     import pandas as pd
 
     from .dedup import connected_components
@@ -416,7 +419,7 @@ def cell_majority(
     ix_col: str = "ix",
     iy_col: str = "iy",
     cat_col: str = "lang",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     round_to: int = 6,
 ):
     """Majority category per occupied cell (choropleth-style dominant
@@ -433,6 +436,7 @@ def cell_majority(
 
     Output: ``ix, iy, top_cat, n_top, n_total, share`` (share rounded
     half-away)."""
+    num_buckets = _resolve_buckets(num_buckets)
     import pandas as pd
 
     def partial(b: pa.Table) -> pa.Table:

@@ -27,6 +27,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from pygridmap_ray.cluster import (
+    auto_num_buckets as _auto_nb,
+    resolve_num_buckets as _resolve_buckets,
+)
 
 
 def pagerank(
@@ -310,11 +314,12 @@ def sql_pagerank(
     )
 
 
-def distinct_int_pairs(ds, a_col: str, b_col: str, *, num_buckets: int = 64):
+def distinct_int_pairs(ds, a_col: str, b_col: str, *, num_buckets: int | None = None):
     """Global DISTINCT over an int pair column set: per-batch np.unique
     partial on the packed 64-bit key -> coarse-bucket shuffle (all copies
     of one pair share a bucket) -> per-bucket np.unique -> unpacked
     ``(a, b)`` rows.  Requires both values < 2^31 (packed key layout)."""
+    num_buckets = _resolve_buckets(num_buckets)
 
     def pack(b: pa.Table) -> pa.Table:
         a = np.asarray(b[a_col], dtype=np.int64)
@@ -378,7 +383,7 @@ def distinct_int_pairs_table(ds, a_col: str, b_col: str) -> pa.Table:
 
 
 def degree_histogram(pairs, a_col: str, b_col: str, *,
-                     num_buckets: int = 64):
+                     num_buckets: int | None = None):
     """Degree distribution of the bipartite graph given its DISTINCT
     edge set (e.g. :func:`distinct_int_pairs` output): one row
     ``(degree, n_nodes)`` per observed degree, both sides counted in a
@@ -393,6 +398,7 @@ def degree_histogram(pairs, a_col: str, b_col: str, *,
     Mirrors reference ``gridtiler.py`` aggregation staging (partial ->
     tiny final), applied to graph degrees.
     """
+    num_buckets = _resolve_buckets(num_buckets)
     from ray.data.aggregate import Sum
 
     def explode(b: pa.Table) -> pa.Table:
@@ -448,7 +454,7 @@ SELECT deg AS degree, COUNT(*)::BIGINT AS n_nodes FROM nodes GROUP BY deg
 
 
 def co_occurrence(ds, key_col: str, item_col: str, *,
-                  max_degree: int = 64, num_buckets: int = 64):
+                  max_degree: int = 64, num_buckets: int | None = None):
     """Bipartite projection with pair counts: for every unordered item
     pair sharing a key, how many keys they share (the co-purchase /
     co-occurrence matrix).  The classic blowup control is the degree
@@ -465,6 +471,7 @@ def co_occurrence(ds, key_col: str, item_col: str, *,
     emission (no Python loop over keys) + packed-pair partial counts ->
     second coarse shuffle on pair hash -> reduceat sum.  Pair ids are
     HIGH-cardinality so they never see a fine groupby."""
+    num_buckets = _resolve_buckets(num_buckets)
 
     def bucket(b: pa.Table) -> pa.Table:
         k = np.asarray(b[key_col], np.int64)
@@ -584,7 +591,7 @@ def cooccurrence_edge_table(
     item_col: str,
     *,
     min_weight: int = 3,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> pa.Table:
     """Thresholded item co-occurrence graph: one (u, v, w) row per item
     pair sharing >= ``min_weight`` distinct groups, u < v by item id.
@@ -598,6 +605,7 @@ def cooccurrence_edge_table(
     key and sum vectorized.  The THRESHOLDED edge set returns as a
     driver table — bounded by min_weight (the analytics consumers hold
     it anyway); raise min_weight rather than gathering dense graphs."""
+    num_buckets = _resolve_buckets(num_buckets)
 
     def emit_pairs(b: pa.Table) -> pa.Table:
         g = np.asarray(b[group_col], np.int64)
@@ -1104,7 +1112,7 @@ def bfs_hops(
             u = np.unique(np.asarray(b[b_col], np.int64))
             cg = (
                 (u.astype(np.uint64) * np.uint64(2654435761))
-                % np.uint64(64)
+                % np.uint64(_auto_nb())
             ).astype(np.int64)
             return pa.table({"v": pa.array(u), "__cg": pa.array(cg)})
 
@@ -1757,7 +1765,7 @@ def assoc_rules(
     item_col: str,
     *,
     min_count: int = 1,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Association rules (market-basket support / confidence / lift)
     over (basket-key, item) rows: one directed rule row per ordered
@@ -1776,6 +1784,7 @@ def assoc_rules(
     round6(n_both / n_ante)``, ``lift = round6((n_both * 1.0 *
     n_baskets) / (n_ante * 1.0 * n_cons))`` — same literals, same op
     order."""
+    num_buckets = _resolve_buckets(num_buckets)
     import pandas as pd
     import ray.data as rd
 

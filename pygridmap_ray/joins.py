@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from pygridmap_ray.cluster import resolve_num_buckets as _resolve_buckets
 
 _HASH_MULT = 2654435761  # Knuth multiplicative hash (public domain constant)
 
@@ -50,7 +51,7 @@ def asof_join(
     by: str = "user_id",
     direction: str = "backward",
     suffix: str = "_r",
-    num_buckets: int = 64,
+    num_buckets: int | str | None = "auto",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
 ):
@@ -62,8 +63,11 @@ def asof_join(
     Right columns other than ``by``/``on`` are appended with ``suffix``;
     right's own ``on`` is appended as ``on + suffix``.  ``by`` must be
     integer-typed (bucketing hash); pass ``num_buckets=None`` to group
-    directly by the key instead (any type, one group per key).
+    directly by the key instead (any type, one group per key);
+    ``"auto"`` (the default) derives the bucket count from the cluster.
     """
+    if num_buckets == "auto":
+        num_buckets = _resolve_buckets(None)
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # Dataset.schema() EXECUTES the upstream pipeline to its first block
@@ -647,7 +651,7 @@ def salted_join(
 
 
 def key_set_op(left, right, key_col: str, *, op: str,
-               num_buckets: int = 64):
+               num_buckets: int | None = None):
     """Distributed DISTINCT set algebra over an int64 key column:
     ``op`` in {"intersect", "except", "union"} with SQL DISTINCT
     semantics.  Per-batch ``np.unique`` partials tagged with a side bit
@@ -656,6 +660,7 @@ def key_set_op(left, right, key_col: str, *, op: str,
     sorted-run membership scan.  Keys are HIGH-cardinality so they
     never meet a fine groupby, and only distinct (key, side) pairs
     ever shuffle."""
+    num_buckets = _resolve_buckets(num_buckets)
     if op not in ("intersect", "except", "union"):
         raise ValueError(f"unknown set op {op!r}")
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from pygridmap_ray.cluster import resolve_num_buckets as _resolve_buckets
 
 
 def global_prefix_sum(
@@ -40,7 +41,7 @@ def global_prefix_sum(
     order_col: str,
     value_col: str,
     out_col: str = "start",
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ):
     """Exclusive prefix sum of ``value_col`` in ascending ``order_col``
     order (the sum of all values with a strictly smaller key).
@@ -48,6 +49,7 @@ def global_prefix_sum(
     ``order_col`` must be a unique integer key — it defines the global
     concatenation order, so ties would make the law ambiguous.
     """
+    n_buckets = _resolve_buckets(n_buckets)
     from ray.data.aggregate import Max, Min
 
     ds = ds.materialize()  # three consumers: bounds, partials, shuffle
@@ -110,7 +112,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     cap: int = 2048,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ):
     """Concat-and-chunk sequence packing: documents concatenate in
     ascending ``id_col`` order into one virtual token stream, which is
@@ -119,6 +121,7 @@ def pack_sequences(
     (``seq_off``), and how many sequences the doc spans (``n_seqs`` —
     long documents straddle chunk boundaries, exactly like the training
     reality).  Deterministic and order/partitioning-independent."""
+    n_buckets = _resolve_buckets(n_buckets)
     out = global_prefix_sum(
         ds, order_col=id_col, value_col=tokens_col,
         out_col="__start", n_buckets=n_buckets,
@@ -174,7 +177,7 @@ def shuffle_by_hash(
     *,
     key_col: str = "doc_id",
     salt: str = "",
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ):
     """Deterministic global training shuffle: every record gets a dense
     0-based ``pos`` — its rank under ``ORDER BY md5(key || salt), key``.
@@ -188,6 +191,7 @@ def shuffle_by_hash(
     collect on the driver (``n_buckets`` int64s), each bucket sorts
     vectorized and adds its base rank.  One shuffle, same cost class as
     ``Dataset.sort``."""
+    n_buckets = _resolve_buckets(n_buckets)
     import pyarrow.compute as pc
 
     from .text import md5_prefix_int

@@ -45,6 +45,10 @@ from ..tiler import (
     sql_grid_aggregation,
     with_cell_columns,
 )
+from pygridmap_ray.cluster import (
+    auto_num_buckets as _auto_nb,
+    resolve_num_buckets as _resolve_buckets,
+)
 
 RES, TSC = 1000.0, 128
 GRID_CELL = 10_000.0
@@ -1819,7 +1823,7 @@ def q_mutual_nn(sf_dir: str):
             {
                 "pkey": pa.array(key),
                 "dot": pa.array(d),
-                "__b": pa.array(_bucket_of(key, 64)),
+                "__b": pa.array(_bucket_of(key, _auto_nb())),
             }
         )
 
@@ -4870,7 +4874,7 @@ def q_pack_sequences(sf_dir: str):
         .select_columns(["doc_id", "n_tokens"])
     )
     return pack_sequences(
-        ds, id_col="doc_id", tokens_col="n_tokens", cap=PACK_CAP, n_buckets=64
+        ds, id_col="doc_id", tokens_col="n_tokens", cap=PACK_CAP
     )
 
 
@@ -4977,8 +4981,7 @@ def q_llm_prepare(sf_dir: str):
         batch_format="pyarrow",
     )
     return pack_sequences(
-        train, id_col="doc_id", tokens_col="n_tokens",
-        cap=PACK_CAP, n_buckets=64,
+        train, id_col="doc_id", tokens_col="n_tokens", cap=PACK_CAP,
     )
 
 
@@ -5044,6 +5047,39 @@ def _sql_dedup_lines() -> str:
     from ..dedup import sql_dedup_lines
 
     return sql_dedup_lines()
+
+
+def q_dedup_lines_nl(sf_dir: str):
+    """C4 line dedup over REAL newline lines: the fixture text (no
+    newlines) gains them via replace('line' -> chr(10)) — the same
+    left-to-right non-overlapping replace law on both sides — then
+    dedup_lines(splitter="newline") keeps each \\n-line only at its
+    global first occurrence."""
+    from ..dedup import dedup_lines
+
+    def add_nl(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": pc.replace_substring(
+                    pc.cast(b["text"], pa.string()), "line", "\n"
+                ),
+            }
+        )
+
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        add_nl, batch_format="pyarrow"
+    )
+    return dedup_lines(ds, splitter="newline")
+
+
+def _sql_dedup_lines_nl() -> str:
+    from ..dedup import sql_dedup_lines_nl
+
+    return sql_dedup_lines_nl(
+        source="(SELECT doc_id, replace(text, 'line', chr(10)) AS text"
+        " FROM documents) AS d"
+    )
 
 
 def q_lang_quantiles_cont(sf_dir: str):
@@ -5475,7 +5511,7 @@ def q3_shipping(sf_dir: str):
         first[inv[::-1]] = d[::-1]  # one date per order key
         cg = (
             (uk.astype(np.uint64) * np.uint64(2654435761))
-            % np.uint64(64)
+            % np.uint64(_auto_nb())
         ).astype(np.int64)
         return pa.table(
             {
@@ -6027,8 +6063,7 @@ def q_shuffle(sf_dir: str):
     from ..pack import shuffle_by_hash
 
     out = shuffle_by_hash(
-        _docs(sf_dir, ("doc_id",)), key_col="doc_id",
-        salt=SHUFFLE_SALT, n_buckets=64,
+        _docs(sf_dir, ("doc_id",)), key_col="doc_id", salt=SHUFFLE_SALT,
     )
     return out.select_columns(["doc_id", "pos"])
 
@@ -7825,7 +7860,7 @@ def q_path_density(sf_dir: str):
             {
                 "hkey": pa.array(pairs[:, 0]),
                 "uid": pa.array(pairs[:, 1]),
-                "__b": pa.array(_bucket_of(mix, 64)),
+                "__b": pa.array(_bucket_of(mix, _auto_nb())),
             }
         )
 
@@ -9229,7 +9264,7 @@ def _sql_skyline() -> str:
 TRAJ_L = 12  # DP prefix: first L events per user in (ts, event_id) order
 
 
-def _traj_dp(sf_dir: str, kind: str, num_buckets: int = 64):
+def _traj_dp(sf_dir: str, kind: str, num_buckets: int | None = None):
     """Shared DP engine for discrete Frechet / DTW of each user's first
     TRAJ_L telemetry points against the 8-vertex HAUS_REF polyline.
 
@@ -9241,6 +9276,7 @@ def _traj_dp(sf_dir: str, kind: str, num_buckets: int = 64):
     Scale shape: one user-hash coarse-bucket shuffle; inside a bucket the
     DP runs as L x 8 vectorized steps across ALL the bucket's users at
     once (no per-user Python dispatch)."""
+    num_buckets = _resolve_buckets(num_buckets)
     import pandas as pd
     import ray.data as rd
 
@@ -9936,7 +9972,7 @@ def q_knox_test(sf_dir: str):
                 "pid": pa.array(np.concatenate(es)),
                 "pt": pa.array(np.concatenate(ts_)),
                 "own": pa.array(np.concatenate(ow)),
-                "__b": pa.array(_bucket_of(key, 64)),
+                "__b": pa.array(_bucket_of(key, _auto_nb())),
             }
         )
 
@@ -10056,7 +10092,7 @@ def q_knox_test(sf_dir: str):
                 "pid": pa.array(np.concatenate(es)),
                 "pt": pa.array(np.concatenate(ts_)),
                 "own": pa.array(np.concatenate(ow)),
-                "__b": pa.array(_bucket_of(key, 64)),
+                "__b": pa.array(_bucket_of(key, _auto_nb())),
             }
         )
 
@@ -10185,7 +10221,7 @@ def q_bearing_stats(sf_dir: str):
                 "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
                 "x": pa.array(x),
                 "y": pa.array(y),
-                "__b": pa.array(_bucket_of(uid, 64)),
+                "__b": pa.array(_bucket_of(uid, _auto_nb())),
             }
         )
 
@@ -10337,7 +10373,7 @@ def q_st_dbscan(sf_dir: str):
                 "pid": pa.array(np.concatenate(es)),
                 "pt": pa.array(np.concatenate(ts_)),
                 "own": pa.array(np.concatenate(ow)),
-                "__b": pa.array(_bucket_of(key, 64)),
+                "__b": pa.array(_bucket_of(key, _auto_nb())),
             }
         )
 
@@ -10690,7 +10726,7 @@ def q_traj_simplify(sf_dir: str):
                 "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
                 "x": pa.array(x),
                 "y": pa.array(y),
-                "__b": pa.array(_bucket_of(uid, 64)),
+                "__b": pa.array(_bucket_of(uid, _auto_nb())),
             }
         )
 
@@ -12232,7 +12268,7 @@ def q_hex_cusum(sf_dir: str):
                 }
             )
         k = np.asarray(b["hkey"], np.int64)
-        return b.append_column("__b", pa.array(_bucket_of(k, 64)))
+        return b.append_column("__b", pa.array(_bucket_of(k, _auto_nb())))
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         k = g["hkey"].to_numpy(np.int64)
@@ -12619,7 +12655,7 @@ def q_ipf_balance(sf_dir: str):
                 "event_id": pa.array(eid),
                 "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
                 "reg": pa.array(reg),
-                "__b": pa.array(_bucket_of(uid, 64)),
+                "__b": pa.array(_bucket_of(uid, _auto_nb())),
             }
         )
 
@@ -12860,7 +12896,7 @@ def q_movement_entropy(sf_dir: str):
                 "event_id": pa.array(eid),
                 "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
                 "reg": pa.array(reg),
-                "__b": pa.array(_bucket_of(uid, 64)),
+                "__b": pa.array(_bucket_of(uid, _auto_nb())),
             }
         )
 
@@ -14571,6 +14607,7 @@ def queries():
         "events_lag": q_events_lag,
         "mixture": q_mixture,
         "dedup_lines": q_dedup_lines,
+        "dedup_lines_nl": q_dedup_lines_nl,
         "countmin_topk": q_countmin,
         "lang_quantiles_cont": q_lang_quantiles_cont,
         "filter_cascade": q_filter_cascade,
@@ -15977,6 +16014,7 @@ def oracle_sql():
         "events_lag": _sql_events_lag(),
         "mixture": _sql_mixture(),
         "dedup_lines": _sql_dedup_lines(),
+        "dedup_lines_nl": _sql_dedup_lines_nl(),
         "countmin_topk": _sql_countmin(),
         "lang_quantiles_cont": _sql_lang_quantiles_cont(),
         "filter_cascade": _sql_filter_cascade(),

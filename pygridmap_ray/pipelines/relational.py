@@ -13,6 +13,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from pygridmap_ray.cluster import resolve_num_buckets as _resolve_buckets
 
 US_PER_HOUR = 3_600_000_000
 US_SESSION_GAP = 1_800_000_000  # 30 min
@@ -59,7 +60,7 @@ def sql_events_tumbling_window() -> str:
     )
 
 
-def events_sessionize(sf_dir: str, *, num_buckets: int = 64):
+def events_sessionize(sf_dir: str, *, num_buckets: int | None = None):
     """Session windows (30-min inactivity gap) per user: one COARSE
     bucket shuffle on user hash (all of a user's events share a bucket),
     then a single vectorized scan per bucket — one lexsort over
@@ -68,6 +69,7 @@ def events_sessionize(sf_dir: str, *, num_buckets: int = 64):
     Never a per-user group: a fine ``groupby(user_id).map_groups`` costs
     ~1 ms Python PER USER (the repo's documented rule), which at 10^8
     users is days; this plan's per-user cost is a few sorted-array ops."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..joins import _bucket_of
@@ -462,7 +464,7 @@ _WEEK_BITS = 16  # biased weeks fit 16 bits for years ~1656..2911
 _WEEK_BIAS = 1 << 14  # pre-1970 timestamps give negative week ids
 
 
-def events_retention(sf_dir: str, *, num_buckets: int = 64):
+def events_retention(sf_dir: str, *, num_buckets: int | None = None):
     """Cohort retention: users bucketed by their FIRST event week; for
     every (cohort_week, event_week) the distinct active users — the
     standard week-over-week retention triangle.
@@ -477,6 +479,7 @@ def events_retention(sf_dir: str, *, num_buckets: int = 64):
     plan's user→cohort hash join and per-(cohort,week,user) distinct
     groupby (~1 ms Python per group) are both gone.
     Integer week ids (epoch_us // WEEK_US) keep the law hash-exact."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..joins import _bucket_of
@@ -563,7 +566,7 @@ GROUP BY c.cohort_week, w.week
 """
 
 
-def events_transitions(sf_dir: str, *, num_buckets: int = 64):
+def events_transitions(sf_dir: str, *, num_buckets: int | None = None):
     """Markov transition counts (event_type -> next event_type within a
     user's time-ordered stream): the sessionize plan — ONE coarse bucket
     shuffle on user hash, per-bucket lexsort over (user, ts, event_id),
@@ -571,6 +574,7 @@ def events_transitions(sf_dir: str, *, num_buckets: int = 64):
     then the (src, dst) pairs (LOW-cardinality: event types squared)
     feed the one small built-in groupby.  Never a per-user group and the
     strings never shuffle twice: types are factorized per bucket."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -639,7 +643,7 @@ FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
 """
 
 
-def events_ewma(sf_dir: str, *, num_buckets: int = 64):
+def events_ewma(sf_dir: str, *, num_buckets: int | None = None):
     """Per-user exponentially weighted mean of ``value`` over the
     time-ordered stream (normalized weights 0.5^k, k = age in events):
     the same single-coarse-shuffle plan as sessionize — bucket on user
@@ -647,6 +651,7 @@ def events_ewma(sf_dir: str, *, num_buckets: int = 64):
     weighting (no per-user Python).  alpha = 0.5 keeps every weight an
     exact binary power so the numpy and SQL laws agree bit-for-bit
     before the shared 6dp rounding."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..joins import _bucket_of
@@ -719,7 +724,7 @@ DAY_US = 86_400_000_000
 ROLLING_DAYS = 7  #: trailing window width (shared with the SQL twin)
 
 
-def events_rolling_users(sf_dir: str, *, num_buckets: int = 64):
+def events_rolling_users(sf_dir: str, *, num_buckets: int | None = None):
     """Rolling 7-day distinct active users per window-end day: an event
     on day d contributes to windows d..d+6, so the explode is the
     hopping-window repeat+arange (no self-join), and the distinct is the
@@ -728,6 +733,7 @@ def events_rolling_users(sf_dir: str, *, num_buckets: int = 64):
     unique, then only LOW-cardinality (day, partial-count) rows reach
     the built-in groupby.  Day uses the truncate-toward-zero law so the
     numpy and DuckDB ``//`` agree on pre-1970 timestamps."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -789,7 +795,7 @@ SELECT wday, COUNT(*)::BIGINT AS n_users FROM w GROUP BY wday
 """
 
 
-def events_gap_fill(sf_dir: str, *, num_buckets: int = 64):
+def events_gap_fill(sf_dir: str, *, num_buckets: int | None = None):
     """Per-user daily resample with last-value carry-forward: one row
     per (user, day) over the user's own [min day, max day] span, value
     = latest event value at or before that day (ASOF semantics).  The
@@ -797,6 +803,7 @@ def events_gap_fill(sf_dir: str, *, num_buckets: int = 64):
     single vectorized per-bucket pass: lexsort, per-(user, day) last
     value, per-user day grids via repeat+arange, ``searchsorted``
     carry-forward.  Day uses the truncate-toward-zero law."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..joins import _bucket_of
@@ -898,7 +905,7 @@ FROM grid g ASOF JOIN lastp l
 """
 
 
-def events_trajectory(sf_dir: str, *, num_buckets: int = 64):
+def events_trajectory(sf_dir: str, *, num_buckets: int | None = None):
     """Per-user planar trajectory length: events ordered by (ts,
     event_id), each step contributes sqrt(dx*dx + dy*dy) over the
     synth point law applied to event_id.
@@ -910,6 +917,7 @@ def events_trajectory(sf_dir: str, *, num_buckets: int = 64):
     half-away to 2dp (sums of ~1e5-magnitude steps: the step dwarfs
     summation-order ulp noise on both sides).
     """
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..joins import _bucket_of
@@ -990,7 +998,7 @@ FROM d GROUP BY user_id
 """
 
 
-def events_od_matrix(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
+def events_od_matrix(sf_dir: str, *, hex_size: float, num_buckets: int | None = None):
     """Origin-destination flow matrix over the hex lattice: each user's
     FIRST and LAST event (by ts, event_id) become origin/destination
     points (synth law on event_id), both ends are hex-indexed, and flows
@@ -1001,6 +1009,7 @@ def events_od_matrix(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
     emits (okey, dkey, n) partial counts; a tiny composite-key hash
     aggregate finishes.  Raw events never shuffle twice, never a
     per-user group."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1106,7 +1115,7 @@ GROUP BY f.hq, f.hr, l.hq, l.hr
 """
 
 
-def events_hex_dwell(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
+def events_hex_dwell(sf_dir: str, *, hex_size: float, num_buckets: int | None = None):
     """Longest same-hex dwell per user (gaps-and-islands): events in
     (ts, event_id) order, a run is a maximal stretch of consecutive
     events in the SAME hex cell; output each user's longest run length.
@@ -1116,6 +1125,7 @@ def events_hex_dwell(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
     (run lengths, then per-user max via ``np.maximum.at``) — the
     vectorized replacement for the SQL double-ROW_NUMBER islands trick.
     """
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..hex import _pack, hex_axial
@@ -1194,13 +1204,14 @@ SELECT user_id, MAX(len)::BIGINT AS max_run FROM runs GROUP BY user_id
 """
 
 
-def events_step_bearings(sf_dir: str, *, num_buckets: int = 64):
+def events_step_bearings(sf_dir: str, *, num_buckets: int | None = None):
     """Global 8-sector travel-direction histogram: per-user consecutive
     steps (ts, event_id order), bearing = atan2(dy, dx) folded into 45°
     sectors.  Same one-coarse-bucket shuffle as the trajectory kernel;
     each bucket emits ONE 8-cell bincount partial.  Sector boundaries
     are irrational for the synth points, so libm atan2 ulps cannot flip
     a sector (measure-zero law, same footing as the haversine ops)."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1289,13 +1300,14 @@ GROUP BY sector
 """
 
 
-def events_session_paths(sf_dir: str, *, num_buckets: int = 64):
+def events_session_paths(sf_dir: str, *, num_buckets: int | None = None):
     """Per-SESSION trajectory length: sessionization (30-min gap law,
     same as `events_sessionize`) fused with the ordered step-sum kernel
     — one coarse bucket shuffle, one lexsort, session ids by cumulative
     gap flags, per-session step sums that never cross a session
     boundary.  session_idx is 1-based within each user (the SQL running
     SUM law).  path_len rounded half-away to 2dp."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..joins import _bucket_of
@@ -1490,7 +1502,7 @@ FROM m
 """
 
 
-def events_location_entropy(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
+def events_location_entropy(sf_dir: str, *, hex_size: float, num_buckets: int | None = None):
     """Per-user location diversity: number of distinct hexes visited and
     the Shannon entropy of the user's hex-visit distribution.
 
@@ -1499,6 +1511,7 @@ def events_location_entropy(sf_dir: str, *, hex_size: float, num_buckets: int = 
     user-bucket pass computes each user's entropy with a lexsort +
     segment reduction (users are high-cardinality — never a fine
     groupby).  Entropy rounded 6dp (p·ln p ulps are far below)."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1601,7 +1614,7 @@ GROUP BY m.user_id, t.n_hexes, t.total
 
 
 def events_hex_weekly_growth(
-    sf_dir: str, *, hex_size: float, num_buckets: int = 64
+    sf_dir: str, *, hex_size: float, num_buckets: int | None = None
 ):
     """Week-over-week activity growth per hex: events bucketed to
     (hex, epoch-week), then LAG + percent change along each hex's weekly
@@ -1612,6 +1625,7 @@ def events_hex_weekly_growth(
     Scale shape: (hex, week) count partials -> one composite aggregate
     -> ONE coarse hex-bucket pass (lexsort + shifted-diff).  Weeks use
     the nonnegative-epoch truncation law."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1720,7 +1734,7 @@ FROM m WINDOW w AS (PARTITION BY hq, hr ORDER BY week)
 
 
 def events_hex_mann_kendall(
-    sf_dir: str, *, hex_size: float, num_buckets: int = 64
+    sf_dir: str, *, hex_size: float, num_buckets: int | None = None
 ):
     """Emerging-hotspot trend per hex: the Mann-Kendall statistic over
     each hex's OBSERVED weekly activity series (sparse weeks, same
@@ -1738,6 +1752,7 @@ def events_hex_mann_kendall(
     VECTORIZED (repeat/arange construction, no per-hex Python loop) —
     pair volume is sum L^2 with L <= #weeks, linear in hexes.
     """
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1896,7 +1911,7 @@ WHERE l.L >= 2
 """
 
 
-def events_od_gravity(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
+def events_od_gravity(sf_dir: str, *, hex_size: float, num_buckets: int | None = None):
     """Gravity-model fit over the OD hex-flow matrix: OLS of
     ``ln(flow)`` on ``ln(center distance)`` across origin!=destination
     flows — one row (n_pairs, alpha, beta, r2), 6dp.  beta is the
@@ -1908,6 +1923,7 @@ def events_od_gravity(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
     closed-form fit — flows never leave the cluster, the driver sees six
     numbers.
     """
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -2083,7 +2099,7 @@ FROM st
 """
 
 
-def events_home_work(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
+def events_home_work(sf_dir: str, *, hex_size: float, num_buckets: int | None = None):
     """Home / work anchor detection per user: the modal NIGHT-hour hex
     (hour < 6 or >= 22) is "home", the modal OFFICE-hour hex
     (9 <= hour < 17) is "work"; ties break to the smallest (hq, hr);
@@ -2095,6 +2111,7 @@ def events_home_work(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
     first-row-per-user under the (count DESC, hq, hr) tie order) and one
     in-bucket merge — no per-user Python, no second shuffle.
     """
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..hex import hex_axial
@@ -2198,7 +2215,7 @@ def events_coloc(
     *,
     hex_size: float,
     min_meets: int = 2,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Co-location (contact) pairs: two users MEET when they appear in
     the SAME hex cell during the SAME epoch hour; output unordered user
@@ -2214,6 +2231,7 @@ def events_coloc(
     the hour slicing, and hot cells are visible in the group sizes, not
     hidden in a shuffle.
     """
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..hex import _pack, hex_axial
@@ -2336,7 +2354,7 @@ HAVING COUNT(*) >= {min_meets}
 """
 
 
-def events_od_paths(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
+def events_od_paths(sf_dir: str, *, hex_size: float, num_buckets: int | None = None):
     """Hex path densification: for every user, the straight-line cell
     path from the ORIGIN hex (first event) to the DESTINATION hex (last
     event) — step k of n samples the segment between the two cell
@@ -2348,6 +2366,7 @@ def events_od_paths(sf_dir: str, *, hex_size: float, num_buckets: int = 64):
     kernel finds first/last with a lexsort segment scan and explodes
     paths VECTORIZED (repeat/arange over per-user step counts).
     """
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..hex import _pack, hex_axial, hex_center
@@ -2466,7 +2485,7 @@ SELECT user_id, seq, hq, hr FROM p_hexed
 
 
 def events_speed_outliers(
-    sf_dir: str, *, vmax: float = 30.0, num_buckets: int = 64
+    sf_dir: str, *, vmax: float = 30.0, num_buckets: int | None = None
 ):
     """Telemetry speed screening (GPS-noise filter law): per-user
     consecutive steps in (ts, event_id) order; a step is FLAGGED when
@@ -2476,6 +2495,7 @@ def events_speed_outliers(
 
     Scale shape: the trajectory one-coarse-bucket plan; the kernel is
     one lexsort + vectorized diffs (no per-user Python)."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..joins import _bucket_of
@@ -2584,7 +2604,7 @@ FROM sp GROUP BY user_id
 
 
 def events_hex_theil_sen(
-    sf_dir: str, *, hex_size: float, num_buckets: int = 64
+    sf_dir: str, *, hex_size: float, num_buckets: int | None = None
 ):
     """Theil-Sen trend slope per hex: the MEDIAN of all pairwise weekly
     slopes (n_j - n_i) / (w_j - w_i) over each hex's observed weekly
@@ -2597,6 +2617,7 @@ def events_hex_theil_sen(
     composite aggregate, ONE coarse hex-bucket pass with vectorized
     repeat/arange pair construction and a lexsort median (no per-hex
     Python)."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -2939,7 +2960,7 @@ WHERE m >= 2 AND m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0
 MIN_GAPS = 4  #: users need >= MIN_GAPS+1 events for inter-arrival stats
 
 
-def events_interarrival(sf_dir: str, *, num_buckets: int = 64):
+def events_interarrival(sf_dir: str, *, num_buckets: int | None = None):
     """Inter-arrival statistics per user (>= {MIN_GAPS} gaps): mean gap,
     coefficient of variation and burstiness B = (sd - mean)/(sd + mean)
     (Goh & Barabasi 2008) over consecutive-event gaps in INTEGER seconds
@@ -2948,6 +2969,7 @@ def events_interarrival(sf_dir: str, *, num_buckets: int = 64):
     Plan: the sessionize shape — one coarse user-hash bucket shuffle,
     one lexsort + np.diff + np.add.reduceat per bucket; all per-user
     math is three reduceat sums and the closed forms."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..joins import _bucket_of
@@ -3275,7 +3297,7 @@ FROM dt JOIN sc ON sc.wd = dt.d % 7
 """
 
 
-def events_type_jaccard(sf_dir: str, *, num_buckets: int = 64):
+def events_type_jaccard(sf_dir: str, *, num_buckets: int | None = None):
     """Jaccard similarity between the USER SETS of every event-type
     pair: |users(a) n users(b)| / |users(a) u users(b)|, exact.
 
@@ -3286,6 +3308,7 @@ def events_type_jaccard(sf_dir: str, *, num_buckets: int = 64):
     per-type distinct-user counts; the T x T table finalizes
     driver-side.  Per-user work is a sorted scan — never a fine
     per-user group; pair volume is bounded by n_types^2 per user."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..joins import _bucket_of
@@ -3397,7 +3420,7 @@ WHERE i.ta < i.tb
 """
 
 
-def events_state_intervals(sf_dir: str, *, num_buckets: int = 64):
+def events_state_intervals(sf_dir: str, *, num_buckets: int | None = None):
     """SCD2-style interval coalescing (gaps-and-islands): the per-day
     state of each user is the day's LAST event type (ts DESC, event_id
     DESC tie law); consecutive-day runs with the same state merge into
@@ -3407,6 +3430,7 @@ def events_state_intervals(sf_dir: str, *, num_buckets: int = 64):
     Plan: one coarse user-hash bucket shuffle; per bucket one lexsort
     picks the last event per (user, day) and one vectorized break scan
     + reduceat builds the intervals.  Never a per-user group."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..joins import _bucket_of
@@ -3690,7 +3714,7 @@ ATTR_WINDOW_US = 7 * DAY_US  #: attribution lookback
 ATTR_TOUCHES = ("view", "click")  #: channels eligible for credit
 
 
-def events_attribution(sf_dir: str, *, num_buckets: int = 64):
+def events_attribution(sf_dir: str, *, num_buckets: int | None = None):
     """Last-touch attribution: each ``purchase`` credits the user's
     latest preceding touch event (view/click) within the lookback
     window; purchases with no eligible touch fall into the ``direct``
@@ -3701,6 +3725,7 @@ def events_attribution(sf_dir: str, *, num_buckets: int = 64):
     Plan: one coarse user-hash bucket pass; per bucket one lexsort,
     then a vectorized last-touch scan (cummax of touch indices along
     the ordered stream) — never a per-user group or a join."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -3833,7 +3858,7 @@ PCL_CELL = 50_000.0
 
 
 def events_path_cell_length(
-    sf_dir: str, *, cell: float = PCL_CELL, num_buckets: int = 64
+    sf_dir: str, *, cell: float = PCL_CELL, num_buckets: int | None = None
 ):
     """Per-cell trajectory length: every consecutive same-user step (the
     ``events_trajectory`` segment law) is clipped against the regular
@@ -3850,6 +3875,7 @@ def events_path_cell_length(
     finishes.  Every float expression (crossing t, midpoint, piece
     length) is mirrored term-for-term in the SQL twin; the 2dp output
     rounding dwarfs summation-order noise on ~1e5-scale lengths."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -4014,7 +4040,7 @@ WM_MULT = 2654435761
 WM_MOD = 4294967296
 
 
-def events_watermark(sf_dir: str, *, num_buckets: int = 64):
+def events_watermark(sf_dir: str, *, num_buckets: int | None = None):
     """Streaming high-watermark lateness accounting: events "arrive" in
     the deterministic hash-shuffle order (``(event_id * WM_MULT) %
     WM_MOD``, ties by event_id — the ``shuffle_pos`` law; the raw table
@@ -4032,6 +4058,7 @@ def events_watermark(sf_dir: str, *, num_buckets: int = 64):
     sort + shifted cummax per bucket seeded with its prefix, and emits
     per-window (total, late) partials into a tiny window groupby.  No
     global sort, no per-event Python."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
     from ray.data.aggregate import Max, Sum
 
@@ -4276,7 +4303,7 @@ FROM t2 LEFT JOIN s ON s.dow = t2.d % 7
 """
 
 
-def events_scd2(sf_dir: str, *, num_buckets: int = 64):
+def events_scd2(sf_dir: str, *, num_buckets: int | None = None):
     """SCD2-style change-interval build (the warehouse history table):
     per user, consecutive runs of equal ``event_type`` in (ts,
     event_id) order collapse to validity intervals — (user_id,
@@ -4287,6 +4314,7 @@ def events_scd2(sf_dir: str, *, num_buckets: int = 64):
     Plan: ONE coarse user-hash bucket shuffle (the sessionize shape),
     one lexsort per bucket, vectorized run-boundary detection +
     reduceat counts — zero joins, zero per-user Python."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..joins import _bucket_of
@@ -4764,7 +4792,7 @@ FROM s
 """
 
 
-def events_ltv(sf_dir: str, *, num_buckets: int = 64):
+def events_ltv(sf_dir: str, *, num_buckets: int | None = None):
     """Cohort LTV curves: cumulative revenue (and ARPU) per
     (cohort_week, week offset) — the revenue companion to
     :func:`events_retention`'s distinct-user triangle.
@@ -4783,6 +4811,7 @@ def events_ltv(sf_dir: str, *, num_buckets: int = 64):
     bounded to ±9.2e12 units by the micro-int law; shift the scale for
     larger books).  ARPU divides the identical cum/1e6 by the cohort
     size in the same op order before the shared 6dp round."""
+    num_buckets = _resolve_buckets(num_buckets)
     import ray.data as rd
 
     from ..joins import _bucket_of

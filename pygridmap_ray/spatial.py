@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from .geom.kernels import points_in_rings
+from pygridmap_ray.cluster import resolve_num_buckets as _resolve_buckets
 
 
 class PointJoinKernel:
@@ -265,7 +266,8 @@ def polygon_cells_index(
             }
         )
 
-    specs = rd.range(len(polygons), override_num_blocks=max(1, min(len(polygons), 64)))
+    specs = rd.range(len(polygons), override_num_blocks=max(
+        1, min(len(polygons), _resolve_buckets(None))))
     return specs.map_batches(emit, batch_format="pyarrow")
 
 
@@ -799,7 +801,7 @@ def ripley_k(
     x_col: str = "x",
     y_col: str = "y",
     id_col: str = "doc_id",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Ripley's K point-pattern statistic at the given radii:
     ``K(r) = area * #{(i, j) : i != j, d_ij <= r} / n^2`` (no edge
@@ -816,6 +818,7 @@ def ripley_k(
     pairs are counted from the owner's side only, so no global dedup is
     needed; the driver reduces one count per radius.
     """
+    num_buckets = _resolve_buckets(num_buckets)
     import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -917,7 +920,7 @@ def variogram(
     y_col: str = "y",
     val_col: str = "val",
     id_col: str = "doc_id",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     directional: bool = False,
 ):
     """Empirical semivariogram: ``gamma(bin) = sum (z_i - z_j)^2 /
@@ -936,6 +939,7 @@ def variogram(
     trig-free |dx|/|dy| comparison edges at +-22.5 degrees, so the twin
     is bit-identical) — the anisotropy diagnostic.
     """
+    num_buckets = _resolve_buckets(num_buckets)
     import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Sum

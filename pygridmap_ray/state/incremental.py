@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pygridmap_ray.cluster import resolve_num_buckets as _resolve_buckets
 
 
 def _partition_fingerprint(part_dir: str) -> str:
@@ -150,7 +151,7 @@ def snapshot_diff(
     *,
     id_col: str = "doc_id",
     hash_col: str = "h",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Corpus snapshot diff — the data-versioning audit between two
     ingest runs: every id labeled ``added`` (B only), ``removed`` (A
@@ -161,6 +162,7 @@ def snapshot_diff(
     One union + coarse-bucket shuffle on the id; per bucket the two
     sides align with vectorized index reindexing — no per-id Python.
     Ids must be unique within each snapshot."""
+    num_buckets = _resolve_buckets(num_buckets)
     from ..joins import _bucket_of
 
     def tag(side: int):

@@ -23,6 +23,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from pygridmap_ray.cluster import (
+    auto_num_buckets as _auto_nb,
+    resolve_num_buckets as _resolve_buckets,
+)
 
 
 def _qlabel(q: float) -> str:
@@ -257,7 +261,7 @@ def rolling_aggregate(
     order_cols: tuple[str, ...],
     value_col: str,
     window: int,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     round_to: int | None = 6,
 ):
     """Per-key moving-window aggregates over ROWS ``window-1`` PRECEDING
@@ -278,6 +282,7 @@ def rolling_aggregate(
     noise cannot flip the comparison; min/max/count are exact selections
     and pass through unrounded.
     """
+    num_buckets = _resolve_buckets(num_buckets)
     if window < 1:
         raise ValueError("window must be >= 1")
     from .joins import _bucket_of
@@ -701,7 +706,7 @@ def grouped_topk(
     tiebreak_col: str,
     k: int,
     descending: bool = True,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Top ``k`` rows per group by ``order_col`` (desc by default), ties
     broken by ``tiebreak_col`` ASC — SQL's ``ROW_NUMBER() OVER
@@ -712,6 +717,7 @@ def grouped_topk(
     group count regardless of group cardinality), then a vectorized
     per-bucket sort + cumcount.  ``tiebreak_col`` must be unique within
     a group or ranks are nondeterministic."""
+    num_buckets = _resolve_buckets(num_buckets)
     if k < 1:
         raise ValueError("k must be >= 1")
 
@@ -1104,7 +1110,7 @@ def keyed_lag(
     ts_col: str,
     id_col: str,
     value_col: str,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Per-key ordered neighbor access — SQL's ``LAG``/``LEAD`` — plus
     the inter-event time delta (microseconds since the key's previous
@@ -1115,6 +1121,7 @@ def keyed_lag(
     ``hash(key) % num_buckets`` coarse buckets (bounded group count at
     any key cardinality), one lexsort per bucket, neighbor values via
     shifted views masked at key boundaries — zero per-key Python."""
+    num_buckets = _resolve_buckets(num_buckets)
     from .joins import _bucket_of
 
     def tag(b: pa.Table) -> pa.Table:
@@ -1702,7 +1709,7 @@ def ntile(
     order_col: str,
     tiebreak_col: str,
     n: int,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """SQL's ``NTILE(n) OVER (PARTITION BY group ORDER BY order, tie)``
     — equal-height bucketing with the exact SQL fill law (the first
@@ -1719,6 +1726,7 @@ def ntile(
     (the standard keyed-window bound).
 
     Output: the input columns plus ``tile`` (1-based int64)."""
+    num_buckets = _resolve_buckets(num_buckets)
     if n < 1:
         raise ValueError("n must be >= 1")
 
@@ -1939,7 +1947,7 @@ def sample_exact_k(
     key_col: str,
     k: int,
     salt: str = "",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """EXACTLY ``k`` records per group (fewer iff the group is smaller),
     chosen deterministically: rank by md5(key || salt) ascending, ties by
@@ -1950,6 +1958,7 @@ def sample_exact_k(
 
     Plan: hash tag (one stateless stage) + :func:`grouped_topk`'s
     coarse-bucket rank kernel."""
+    num_buckets = _resolve_buckets(num_buckets)
     from .text import md5_prefix_int
 
     def tag(b: pa.Table) -> pa.Table:
@@ -2060,7 +2069,7 @@ def priority_sample_grouped(
     weight_col: str,
     k: int,
     salt: str = "",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """EXACTLY ``k`` weighted samples per group (fewer iff smaller) —
     the per-group form of :func:`priority_sample`: same transcendental-
@@ -2069,6 +2078,7 @@ def priority_sample_grouped(
     (one bounded shuffle, no per-group Python beyond the bucket scan).
 
     Output: the input columns plus ``rank`` (1-based within group)."""
+    num_buckets = _resolve_buckets(num_buckets)
     from .text import md5_prefix_int
 
     scale = float(1 << 60)
@@ -2590,7 +2600,7 @@ FROM d GROUP BY {key}
 
 
 def grouped_latest(ds, *, key: str, order_cols: tuple,
-                   carry_cols: tuple, num_buckets: int = 64):
+                   carry_cols: tuple, num_buckets: int | None = None):
     """Latest row per key (distributed arg-max): the classic
     last-snapshot-per-entity reduction.  Arg-max is a combiner — each
     batch keeps ONE candidate row per key it sees (vectorized lexsort +
@@ -2600,6 +2610,7 @@ def grouped_latest(ds, *, key: str, order_cols: tuple,
     ``order_cols`` must be int64-comparable (cast timestamps upstream).
     Ties break by the full ``order_cols`` tuple, so the result is
     deterministic and partition-invariant."""
+    num_buckets = _resolve_buckets(num_buckets)
     from .joins import _bucket_of
 
     cols = [key, *order_cols, *carry_cols]
@@ -2918,7 +2929,7 @@ def table_profile(ds, cols: list[str]):
         ci_ = np.asarray(b["ci"], np.int64).astype(np.uint64)
         k = np.unique((h << np.uint64(4)) | ci_)
         cg = (
-            (k * np.uint64(2654435761)) % np.uint64(64)
+            (k * np.uint64(2654435761)) % np.uint64(_auto_nb())
         ).astype(np.int64)
         return pa.table(
             {"k": pa.array(k.astype(np.int64)), "__cg": pa.array(cg)}
@@ -3047,7 +3058,7 @@ def k_anonymity(
         cnt = np.diff(np.append(gstarts, len(h))).astype(np.int64)
         cg = (
             (h[gstarts].astype(np.uint64) * np.uint64(2654435761))
-            % np.uint64(64)
+            % np.uint64(_auto_nb())
         ).astype(np.int64)
         gt = pa.table(
             {
@@ -3060,7 +3071,7 @@ def k_anonymity(
         )
         cg2 = (
             (h[starts].astype(np.uint64) * np.uint64(2654435761))
-            % np.uint64(64)
+            % np.uint64(_auto_nb())
         ).astype(np.int64)
         st = pa.table(
             {

@@ -16,6 +16,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from pygridmap_ray.cluster import resolve_num_buckets as _resolve_buckets
 
 #: language -> stopword regex (RE2; identical string used in SQL twins)
 LANG_PATTERNS: dict[str, str] = {
@@ -688,7 +689,7 @@ def top_ngrams(ds, *, n: int = 2, k: int = 20, text_col: str = "text"):
     The shuffle carries unique n-grams per batch, not token streams."""
     import pandas as pd
 
-    num_buckets = 64
+    num_buckets = _resolve_buckets(None)
 
     def partial(b: pa.Table) -> pa.Table:
         t = ngram_counts_partial(b, n=n, text_col=text_col)
@@ -1366,13 +1367,14 @@ def inverted_index_build(ds, index_dir: str, *, id_col: str = "doc_id",
 
 def keyword_search(index_dir: str, terms: tuple[str, ...], *,
                    id_col: str = "doc_id", num_buckets: int = 16,
-                   coarse_buckets: int = 64):
+                   coarse_buckets: int | None = None):
     """AND-of-terms search over :func:`inverted_index_build`'s tree:
     reads ONLY the query terms' bucket partitions (partition pruning at
     the source), filters to the terms, then counts distinct matched
     terms per doc via per-batch packed-unique partials + ONE coarse
     bucket on doc hash — doc ids are HIGH-cardinality so they never see
     a fine groupby — and keeps docs matching all k terms."""
+    coarse_buckets = _resolve_buckets(coarse_buckets)
     import zlib
 
     import pandas as pd
@@ -1521,12 +1523,13 @@ FROM t,
 
 
 def _ngram_totals(ds, *, n: int, text_col: str = "text",
-                  min_count: int = 1, num_buckets: int = 64):
+                  min_count: int = 1, num_buckets: int | None = None):
     """Global (ngram, cnt) totals: per-batch ``ngram_counts_partial``
     combiner -> coarse hash-bucket groupby (the engine-wide
     hash-like-key rule: never one Ray group per unique gram) ->
     per-bucket vectorized sum, filtered to ``cnt >= min_count``.  The
     shuffle carries unique grams per batch, never token streams."""
+    num_buckets = _resolve_buckets(num_buckets)
     import pandas as pd
 
     def partial(b: pa.Table) -> pa.Table:

@@ -41,6 +41,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from pygridmap_ray.cluster import resolve_num_buckets as _resolve_buckets
 
 _PAIR_SHIFT = 31  # doc ids must fit [0, 2^31): packed pair key layout
 
@@ -93,7 +94,7 @@ def _coarse_sum(
     key_cols: list[str],
     val_cols: tuple[str, ...] = ("val",),
     *,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     map_parallelism: int = 0,
 ):
     """Sum ``val_cols`` per int64 key tuple without a fine groupby:
@@ -101,6 +102,7 @@ def _coarse_sum(
     bucket.  ``map_parallelism > 0`` repartitions the input first so the
     sort-shuffle's map phase is not serialized by a low block count
     (narrow inputs often arrive as 1-2 blocks)."""
+    num_buckets = _resolve_buckets(num_buckets)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         h = np.zeros(b.num_rows, dtype=np.uint64)
@@ -280,7 +282,7 @@ def tfidf_pairs(
     n: int = 2,
     max_df_frac: float = 0.5,
     threshold: float = 0.35,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     round_to: int = 6,
     num_partitions: int | None = None,
     broadcast_norms_limit: int = 2_000_000,
@@ -312,6 +314,7 @@ def tfidf_pairs(
     - ``"recompute"``: no pin at all; lineage re-runs tokenize+hash per
       consumer (pay 2x compute, hold nothing).
     """
+    num_buckets = _resolve_buckets(num_buckets)
     import ray
 
     n_docs = docs.count()  # parquet metadata count — no data scan

@@ -305,3 +305,35 @@ def test_semdedup_derived_k_default(ray_session):
     assert len(out) == n
     assert set(out.columns) == {"vec_id", "cluster", "removed"}
     assert out["cluster"].nunique() <= 8
+
+
+def test_dedup_lines_newline_splitter(ray_session):
+    """splitter='newline': real \\n lines dedup at their global first
+    (doc_id, idx) occurrence; docs reassemble with \\n; fully-redundant
+    docs drop out."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pygridmap_ray.dedup import dedup_lines
+
+    rows = [
+        {"doc_id": 0, "text": "alpha\nbeta\ngamma"},
+        {"doc_id": 1, "text": "beta\ndelta"},      # beta dies (doc 0 first)
+        {"doc_id": 2, "text": "alpha\nbeta"},      # fully redundant -> drops
+        {"doc_id": 3, "text": ""},                  # one empty line, first
+        {"doc_id": 4, "text": "\ndelta"},           # empty line dies (doc 3)
+    ]
+    out = (
+        dedup_lines(
+            rd.from_pandas(pd.DataFrame(rows)), splitter="newline"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert list(out.index) == [0, 1, 3]
+    assert out.loc[0, "text_kept"] == "alpha\nbeta\ngamma"
+    assert out.loc[0, "n_lines"] == 3 and out.loc[0, "n_kept"] == 3
+    assert out.loc[1, "text_kept"] == "delta"
+    assert out.loc[1, "n_lines"] == 2 and out.loc[1, "n_kept"] == 1
+    assert out.loc[3, "text_kept"] == "" and out.loc[3, "n_kept"] == 1
