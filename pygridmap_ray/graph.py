@@ -585,27 +585,14 @@ GROUP BY item_a, item_b
 """
 
 
-def cooccurrence_edge_table(
-    ds,
-    group_col: str,
-    item_col: str,
-    *,
-    min_weight: int = 3,
-    num_buckets: int | None = None,
-) -> pa.Table:
-    """Thresholded item co-occurrence graph: one (u, v, w) row per item
-    pair sharing >= ``min_weight`` distinct groups, u < v by item id.
-
-    Scale plan: rows bucket by GROUP hash (all members of one group
-    co-locate; groups are small — order line counts — so per-group pair
-    volume is bounded); within each bucket the (group, item) set is
-    deduped with one packed np.unique, pairs emit via the vectorized
-    stride-d scan (no Python per group), and partial pair counts reduce
-    with a second packed np.unique.  Partials then hash-bucket by PAIR
-    key and sum vectorized.  The THRESHOLDED edge set returns as a
-    driver table — bounded by min_weight (the analytics consumers hold
-    it anyway); raise min_weight rather than gathering dense graphs."""
-    num_buckets = _resolve_buckets(num_buckets)
+def _coocc_pair_partials(ds, group_col: str, item_col: str,
+                         num_buckets: int):
+    """Stages 1-2 of the co-occurrence pair count (shared by the
+    driver-table and Dataset folds): per-batch packed (group, item)
+    dedup partials, ONE group-hash coarse shuffle (all members of a
+    group co-locate), per-bucket vectorized stride-d pair emission with
+    in-bucket pre-sum.  Returns the (pk, cnt) partial Dataset — one
+    pair may still span partial rows across buckets."""
 
     def emit_pairs(b: pa.Table) -> pa.Table:
         g = np.asarray(b[group_col], np.int64)
@@ -649,11 +636,38 @@ def cooccurrence_edge_table(
         pk, cnt = np.unique(np.concatenate(parts), return_counts=True)
         return pd.DataFrame({"pk": pk, "cnt": cnt.astype(np.int64)})
 
-    partials = (
+    return (
         ds.map_batches(emit_pairs, batch_format="pyarrow")
         .groupby("__cg")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+
+
+def cooccurrence_edge_table(
+    ds,
+    group_col: str,
+    item_col: str,
+    *,
+    min_weight: int = 3,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Thresholded item co-occurrence graph: one (u, v, w) row per item
+    pair sharing >= ``min_weight`` distinct groups, u < v by item id.
+
+    Scale plan: rows bucket by GROUP hash (all members of one group
+    co-locate; groups are small — order line counts — so per-group pair
+    volume is bounded); within each bucket the (group, item) set is
+    deduped with one packed np.unique, pairs emit via the vectorized
+    stride-d scan (no Python per group), and partial pair counts reduce
+    with a second packed np.unique.  Partials then hash-bucket by PAIR
+    key and sum vectorized.  The THRESHOLDED edge set returns as a
+    driver table — bounded by min_weight (the analytics consumers hold
+    it anyway); raise min_weight rather than gathering dense graphs.
+    For graphs whose THRESHOLDED edge set itself outgrows the driver,
+    use :func:`cooccurrence_edges_ds` + the ``*_distributed`` census
+    consumers."""
+    num_buckets = _resolve_buckets(num_buckets)
+    partials = _coocc_pair_partials(ds, group_col, item_col, num_buckets)
     # final: per-batch partials of one pair may span buckets of stage 1;
     # reduce on the driver over (pk, cnt) partial rows — pair-vocabulary
     # scale, then threshold
@@ -1209,6 +1223,357 @@ def _scc_assign_round(color, member, nodes, scc, alive):
     return len(midx)
 
 
+def _endpoint_distinct(ep_ds, a_col: str, b_col: str, *,
+                       num_buckets: int | None = None):
+    """Distinct endpoint ids of a pair Dataset as a ``("v",)`` Dataset —
+    per-batch ``np.unique`` partials + ONE coarse-bucket shuffle (node
+    ids are high-cardinality; never a fine groupby)."""
+    import pandas as pd
+
+    num_buckets = _resolve_buckets(num_buckets)
+
+    def part(b: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [np.asarray(b[a_col], np.int64),
+                 np.asarray(b[b_col], np.int64)]
+            )
+        )
+        cg = (
+            (u.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pa.table({"v": pa.array(u), "__cg": pa.array(cg)})
+
+    def fold(g):
+        return pd.DataFrame({"v": np.unique(g["v"].to_numpy(np.int64))})
+
+    return (
+        ep_ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def _coarse_reduce_by_key(ds, key_col: str, val_col: str, *, op: str,
+                          out_key: str, out_val: str,
+                          num_buckets: int | None = None):
+    """``(key, max/min(val))`` over an int64 pair stream: per-batch
+    sort+``reduceat`` partials shrink each batch to its distinct keys,
+    then ONE coarse bucket shuffle folds per key vectorized — the
+    aggregation shape every high-cardinality key takes in this engine."""
+    import pandas as pd
+
+    num_buckets = _resolve_buckets(num_buckets)
+    red = {"max": np.maximum, "min": np.minimum, "sum": np.add}[op]
+
+    def part(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col], np.int64)
+        x = np.asarray(b[val_col], np.int64)
+        o = np.argsort(k, kind="stable")
+        k, x = k[o], x[o]
+        st = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        ku = k[st]
+        xv = red.reduceat(x, st) if len(st) else x[:0]
+        cg = (
+            (ku.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {out_key: pa.array(ku), out_val: pa.array(xv),
+             "__cg": pa.array(cg)}
+        )
+
+    def fold(g):
+        k = g[out_key].to_numpy(np.int64)
+        x = g[out_val].to_numpy(np.int64)
+        o = np.argsort(k, kind="stable")
+        k, x = k[o], x[o]
+        st = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        return pd.DataFrame(
+            {out_key: k[st],
+             out_val: red.reduceat(x, st) if len(st) else x[:0]}
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def _scc_sharded(ep_ds, nodes_ds, *, a_col: str, b_col: str,
+                 max_rounds: int):
+    """FW-BW coloring with SHARDED per-node state — the above-the-
+    broadcast-gate branch of :func:`scc` (the ``bfs_hops`` distributed
+    shape): color/alive/member live in a node-scale Dataset, every
+    fixpoint sweep is one partitioned ``cluster.safe_join`` of the
+    deduplicated edge Dataset against the live state plus a coarse
+    per-target max/min reduce, and state updates are a left_outer join
+    back — nothing node- or edge-scale ever lands on the driver.
+
+    Returns a ``ray.data.Dataset`` of (node, scc_id) sorted by node
+    (node-scale output stays distributed at this size)."""
+    import ray.data as rd
+
+    from .cluster import compact_blocks, default_num_partitions, safe_join
+
+    w = default_num_partitions()
+    I = pa.int64()
+    edge_schema = pa.schema([(a_col, I), (b_col, I)])
+    state_schema = pa.schema(
+        [("v", I), ("color", I), ("alive", I), ("member", I)]
+    )
+    live_schema = pa.schema([("v", I), ("color", I)])
+    memb_schema = pa.schema([("vt", I), ("ct", I)])
+    mx_schema = pa.schema([("vm", I), ("mx", I)])
+    new_schema = pa.schema([("vn", I), ("one", I)])
+    cand_schema = pa.schema([("uc", I), ("ct", I)])
+    comp_schema = pa.schema([("cmk", I), ("scc_id", I)])
+    asg_schema = pa.schema([("node", I), ("scc_id", I)])
+
+    edges = compact_blocks(ep_ds.repartition(w), edge_schema)
+
+    def init_state(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        one = pa.array(np.ones(n, np.int64))
+        zero = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {"v": b["v"], "color": b["v"], "alive": one, "member": zero}
+        )
+
+    state = compact_blocks(
+        nodes_ds.map_batches(init_state, batch_format="pyarrow")
+        .repartition(w),
+        state_schema,
+    )
+    out_parts = []
+
+    def reset(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["v"], np.int64)
+        al = np.asarray(b["alive"], np.int64)
+        return pa.table(
+            {
+                "v": b["v"],
+                "color": pa.array(np.where(al == 1, v, -1)),
+                "alive": b["alive"],
+                "member": pa.array(np.zeros(len(v), np.int64)),
+            }
+        )
+
+    def live_of(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["alive"], 1)
+        f = b.filter(keep)
+        return pa.table({"v": f["v"], "color": f["color"]})
+
+    def roots(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["v"], np.int64)
+        c = np.asarray(b["color"], np.int64)
+        al = np.asarray(b["alive"], np.int64)
+        return pa.table(
+            {
+                "v": b["v"], "color": b["color"], "alive": b["alive"],
+                "member": pa.array(((al == 1) & (c == v)).astype(np.int64)),
+            }
+        )
+
+    def memb_of(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["member"], 1))
+        return pa.table({"vt": f["v"], "ct": f["color"]})
+
+    for _ in range(max_rounds):
+        if not state.sum("alive"):
+            break
+        state = compact_blocks(
+            state.map_batches(reset, batch_format="pyarrow"), state_schema
+        )
+        # forward MAX-color fixpoint
+        while True:
+            live = compact_blocks(
+                state.map_batches(live_of, batch_format="pyarrow"),
+                live_schema,
+            )
+            msgs = safe_join(
+                edges, live, "inner", num_partitions=w,
+                on=(a_col,), right_on=("v",), right_schema=live_schema,
+            )
+            mx = _coarse_reduce_by_key(
+                msgs, b_col, "color", op="max", out_key="vm", out_val="mx"
+            )
+            mxd = compact_blocks(mx, mx_schema)
+            upd = safe_join(
+                state, mxd, "left_outer", num_partitions=w,
+                on=("v",), right_on=("vm",), right_schema=mx_schema,
+            )
+
+            def apply_mx(b: pa.Table) -> pa.Table:
+                c = np.asarray(b["color"], np.int64)
+                al = np.asarray(b["alive"], np.int64)
+                m = np.asarray(
+                    pc.fill_null(b["mx"], -(1 << 62)), np.int64
+                )
+                new = np.where((al == 1) & (m > c), m, c)
+                return pa.table(
+                    {
+                        "v": b["v"], "color": pa.array(new),
+                        "alive": b["alive"], "member": b["member"],
+                        "chg": pa.array((new != c).astype(np.int64)),
+                    }
+                )
+
+            u2 = upd.map_batches(
+                apply_mx, batch_format="pyarrow"
+            ).materialize()
+            changed = u2.sum("chg")
+            state = compact_blocks(u2, state_schema)  # select drops chg
+            if not changed:
+                break
+        # backward reachability restricted to each color class
+        state = compact_blocks(
+            state.map_batches(roots, batch_format="pyarrow"), state_schema
+        )
+        while True:
+            mem = compact_blocks(
+                state.map_batches(memb_of, batch_format="pyarrow"),
+                memb_schema,
+            )
+            msgs = safe_join(
+                edges, mem, "inner", num_partitions=w,
+                on=(b_col,), right_on=("vt",), right_schema=memb_schema,
+            )
+
+            def cand_part(b: pa.Table) -> pa.Table:
+                u = np.asarray(b[a_col], np.int64)
+                ct = np.asarray(b["ct"], np.int64)
+                k = np.unique((u << np.int64(31)) | ct)
+                cg = (
+                    (k.astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(_resolve_buckets(None))
+                ).astype(np.int64)
+                return pa.table(
+                    {
+                        "uc": pa.array(k >> np.int64(31)),
+                        "ct": pa.array(k & np.int64((1 << 31) - 1)),
+                        "__cg": pa.array(cg),
+                    }
+                )
+
+            cands = compact_blocks(
+                msgs.map_batches(cand_part, batch_format="pyarrow"),
+                cand_schema,
+            )
+            hits = safe_join(
+                cands, state, "inner", num_partitions=w,
+                on=("uc",), right_on=("v",), left_schema=cand_schema,
+            )
+
+            def pick_new(b: pa.Table) -> pa.Table:
+                u = np.asarray(b["uc"], np.int64)
+                ct = np.asarray(b["ct"], np.int64)
+                c = np.asarray(b["color"], np.int64)
+                al = np.asarray(b["alive"], np.int64)
+                mb = np.asarray(b["member"], np.int64)
+                keep = (al == 1) & (mb == 0) & (c == ct)
+                vn = np.unique(u[keep])
+                return pa.table(
+                    {
+                        "vn": pa.array(vn),
+                        "one": pa.array(np.ones(len(vn), np.int64)),
+                    }
+                )
+
+            nd = (
+                hits.map_batches(pick_new, batch_format="pyarrow")
+                .materialize()
+            )
+            if not nd.sum("one"):
+                break
+            nmat = compact_blocks(nd, new_schema)
+            upd = safe_join(
+                state, nmat, "left_outer", num_partitions=w,
+                on=("v",), right_on=("vn",), right_schema=new_schema,
+            )
+
+            def join_mem(b: pa.Table) -> pa.Table:
+                hit = pc.fill_null(b["one"], 0)
+                mb = np.asarray(b["member"], np.int64) | np.asarray(
+                    hit, np.int64
+                )
+                return pa.table(
+                    {
+                        "v": b["v"], "color": b["color"],
+                        "alive": b["alive"], "member": pa.array(mb),
+                    }
+                )
+
+            state = compact_blocks(
+                upd.map_batches(join_mem, batch_format="pyarrow"),
+                state_schema,
+            )
+        # assign: component id = min member node id of each color class
+        members = compact_blocks(
+            state.map_batches(
+                lambda b: (lambda f: pa.table(
+                    {"cm": f["color"], "node": f["v"]}
+                ))(b.filter(pc.equal(b["member"], 1))),
+                batch_format="pyarrow",
+            ),
+            pa.schema([("cm", I), ("node", I)]),
+        )
+        comp = compact_blocks(
+            _coarse_reduce_by_key(
+                members, "cm", "node", op="min",
+                out_key="cmk", out_val="scc_id",
+            ),
+            comp_schema,
+        )
+        asg = safe_join(
+            members, comp, "inner", num_partitions=w,
+            on=("cm",), right_on=("cmk",),
+            left_schema=pa.schema([("cm", I), ("node", I)]),
+            right_schema=comp_schema,
+        )
+        am = (
+            asg.map_batches(
+                lambda b: pa.table(
+                    {"node": b["node"], "scc_id": b["scc_id"]}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        if not am.count():
+            break
+        out_parts.append(am)
+
+        def peel(b: pa.Table) -> pa.Table:
+            al = np.asarray(b["alive"], np.int64)
+            mb = np.asarray(b["member"], np.int64)
+            return pa.table(
+                {
+                    "v": b["v"], "color": b["color"],
+                    "alive": pa.array(al & (1 - mb)),
+                    "member": pa.array(np.zeros(len(al), np.int64)),
+                }
+            )
+
+        state = compact_blocks(
+            state.map_batches(peel, batch_format="pyarrow"), state_schema
+        )
+    if state.sum("alive"):
+        raise RuntimeError(f"scc did not converge in {max_rounds} rounds")
+    if not out_parts:
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], I), "scc_id": pa.array([], I)}
+            )
+        )
+    res = out_parts[0]
+    for p in out_parts[1:]:
+        res = res.union(p)
+    return res.sort("node")
+
+
 def scc(
     edges,
     *,
@@ -1248,26 +1613,52 @@ def scc(
     each fixpoint / BFS iteration is ONE stateless streaming pass over
     the edge Dataset emitting packed per-batch partials — no join, no
     fine groupby, edge stream materialized once and re-streamed per
-    pass.  Node sets beyond the broadcast gate would shard the color
-    state into a Dataset and swap each pass for a partitioned
-    `cluster.safe_join` (the bfs_hops distributed shape).
+    pass.  Node sets beyond the broadcast gate take
+    :func:`_scc_sharded` — state sharded into a node-scale Dataset and
+    every pass a partitioned `cluster.safe_join` (the bfs_hops
+    distributed shape); that branch returns a ``Dataset`` of
+    (node, scc_id) because node-scale output no longer fits the driver.
     """
     import ray
 
-    ep = distinct_int_pairs_table(edges, a_col, b_col)
-    U = np.asarray(ep[a_col], np.int64)
-    V = np.asarray(ep[b_col], np.int64)
-    nodes = np.unique(np.concatenate([U, V]))
-    n = len(nodes)
-    if n > broadcast_state_limit:
-        raise NotImplementedError(
-            "scc beyond the broadcast state gate needs the sharded-"
-            "state safe_join path (bfs_hops distributed shape)"
+    # the edge census never gathers the raw edge set to the driver:
+    # distributed distinct first, then count-gated materialization
+    ep_ds = distinct_int_pairs(edges, a_col, b_col).materialize()
+    m = ep_ds.count()
+    local = m <= local_max_edges
+    if local:
+        if m:
+            ep = pa.concat_tables(
+                ep_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+            )
+            U = np.asarray(ep[a_col], np.int64)
+            V = np.asarray(ep[b_col], np.int64)
+        else:
+            U = np.empty(0, np.int64)
+            V = np.empty(0, np.int64)
+        nodes = np.unique(np.concatenate([U, V]))
+    else:
+        nodes_ds = _endpoint_distinct(ep_ds, a_col, b_col).materialize()
+        n_nodes = nodes_ds.count()
+        if n_nodes > broadcast_state_limit:
+            return _scc_sharded(
+                ep_ds, nodes_ds, a_col=a_col, b_col=b_col,
+                max_rounds=max_rounds,
+            )
+        nodes = np.sort(
+            np.concatenate(
+                [
+                    np.asarray(b["v"], np.int64)
+                    for b in nodes_ds.iter_batches(
+                        batch_size=None, batch_format="pyarrow"
+                    )
+                ]
+            )
         )
+    n = len(nodes)
     scc_out = np.full(n, -1, dtype=np.int64)
     alive = np.ones(n, dtype=bool)
 
-    local = len(U) <= local_max_edges
     if local:
         Ui = np.searchsorted(nodes, U)
         Vi = np.searchsorted(nodes, V)
@@ -1303,7 +1694,7 @@ def scc(
             return True
 
     else:
-        eds = edges.materialize()
+        eds = ep_ds  # deduplicated, already materialized
 
         def _passes(kind, state_payload):
             ref = {"__ref__": ray.put(state_payload)}
@@ -1532,6 +1923,367 @@ def local_clustering(edges: pa.Table, *, round_to: int = 6) -> pa.Table:
             ),
         }
     )
+
+
+def cooccurrence_edges_ds(
+    ds,
+    group_col: str,
+    item_col: str,
+    *,
+    min_weight: int = 3,
+    num_buckets: int | None = None,
+):
+    """:func:`cooccurrence_edge_table` with the final fold DISTRIBUTED:
+    the (pk, cnt) partials take a second coarse shuffle on PAIR hash
+    (all partials of one pair co-locate), each bucket sums and
+    thresholds vectorized, and the (u, v, w) edge set stays a Dataset —
+    the path for graphs whose thresholded edge table exceeds the
+    driver gate.  Identical pair/threshold law to the driver fold."""
+    import pandas as pd
+
+    num_buckets = _resolve_buckets(num_buckets)
+    partials = _coocc_pair_partials(ds, group_col, item_col, num_buckets)
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["pk"], np.int64)
+        cg = (
+            (pk.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {"pk": b["pk"], "cnt": b["cnt"], "__cg2": pa.array(cg)}
+        )
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        pk = g["pk"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        o = np.argsort(pk, kind="stable")
+        pk, cnt = pk[o], cnt[o]
+        st = np.flatnonzero(np.concatenate([[True], pk[1:] != pk[:-1]]))
+        tot = np.add.reduceat(cnt, st)
+        pku = pk[st]
+        keep = tot >= min_weight
+        pku, tot = pku[keep], tot[keep]
+        return pd.DataFrame(
+            {"u": pku >> 31, "v": pku & ((1 << 31) - 1), "w": tot}
+        )
+
+    return (
+        partials.map_batches(rebucket, batch_format="pyarrow")
+        .groupby("__cg2")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def _oriented_edges_ds(edges_ds, *, num_partitions: int):
+    """Degree-orient an undirected (u, v) edge Dataset without driver
+    state: per-node degrees via coarse-sum partials, two partitioned
+    joins attach deg(u)/deg(v), and each edge points from the LOWER
+    (deg, node) endpoint to the higher — the same total order as the
+    driver census's rank (packed surrogate key ``deg << 31 | node`` is
+    monotone in (deg, node); node ids are < 2^31 by the pair-packing
+    contract).  Returns (degrees_ds ("node", "deg"), oriented_ds
+    ("src", "dst", "dpk") with dpk the dst's packed key)."""
+    from .cluster import compact_blocks, safe_join
+
+    I = pa.int64()
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        nd = np.concatenate(
+            [np.asarray(b["u"], np.int64), np.asarray(b["v"], np.int64)]
+        )
+        u, c = np.unique(nd, return_counts=True)
+        return pa.table({"node": pa.array(u), "deg": pa.array(
+            c.astype(np.int64))})
+
+    deg_ds = _coarse_reduce_by_key(
+        edges_ds.map_batches(deg_part, batch_format="pyarrow"),
+        "node", "deg", op="sum", out_key="node", out_val="deg",
+    )
+    deg_schema = pa.schema([("node", I), ("deg", I)])
+    degd = compact_blocks(deg_ds, deg_schema)
+    e = safe_join(
+        edges_ds, degd.map_batches(
+            lambda b: pa.table({"node": b["node"], "du": b["deg"]}),
+            batch_format="pyarrow",
+        ),
+        "inner", num_partitions=num_partitions,
+        on=("u",), right_on=("node",),
+        left_schema=pa.schema([("u", I), ("v", I), ("w", I)]),
+        right_schema=pa.schema([("node", I), ("du", I)]),
+    )
+    e = safe_join(
+        e, degd.map_batches(
+            lambda b: pa.table({"node": b["node"], "dv": b["deg"]}),
+            batch_format="pyarrow",
+        ),
+        "inner", num_partitions=num_partitions,
+        on=("v",), right_on=("node",),
+        left_schema=pa.schema(
+            [("u", I), ("v", I), ("w", I), ("du", I)]
+        ),
+        right_schema=pa.schema([("node", I), ("dv", I)]),
+    )
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["u"], np.int64)
+        v = np.asarray(b["v"], np.int64)
+        pku = (np.asarray(b["du"], np.int64) << 31) | u
+        pkv = (np.asarray(b["dv"], np.int64) << 31) | v
+        lo = pku < pkv
+        return pa.table(
+            {
+                "src": pa.array(np.where(lo, u, v)),
+                "dst": pa.array(np.where(lo, v, u)),
+                "dpk": pa.array(np.where(lo, pkv, pku)),
+            }
+        )
+
+    oriented = compact_blocks(
+        e.map_batches(orient, batch_format="pyarrow"),
+        pa.schema([("src", I), ("dst", I), ("dpk", I)]),
+    )
+    return degd, oriented
+
+
+def _wedge_partials(oriented, *, with_center: bool,
+                    num_buckets: int | None = None):
+    """Bucketed segmented-triu wedge emission over a degree-oriented
+    edge Dataset: ONE coarse shuffle on src hash (a node's out-
+    neighborhood co-locates; out-degrees are O(sqrt(E)) under degree
+    orientation), per bucket each src segment emits its dst pairs
+    canonically ordered by packed (deg, node) key, chunked so the
+    wedge slab stays bounded.  Emits (wk, cnt) — or (wk, center) rows
+    when ``with_center`` (the per-node census needs the third corner)."""
+    import pandas as pd
+
+    num_buckets = _resolve_buckets(num_buckets)
+
+    def tag(b: pa.Table) -> pa.Table:
+        srt = np.asarray(b["src"], np.int64)
+        cg = (
+            (srt.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return b.append_column("__cg", pa.array(cg))
+
+    def wedges(g: "pd.DataFrame") -> "pd.DataFrame":
+        srt = g["src"].to_numpy(np.int64)
+        dn = g["dst"].to_numpy(np.int64)
+        dpk = g["dpk"].to_numpy(np.int64)
+        o = np.lexsort((dpk, srt))
+        srt, dn, dpk = srt[o], dn[o], dpk[o]
+        seg_starts = np.flatnonzero(np.r_[True, srt[1:] != srt[:-1]])
+        seg_sizes = np.diff(np.append(seg_starts, len(srt)))
+        wk_l, extra_l = [], []
+        for sz in np.unique(seg_sizes):
+            if sz < 2:
+                continue
+            segs = seg_starts[seg_sizes == sz]
+            la, lb = np.triu_indices(int(sz), k=1)
+            per = max(1, 4_000_000 // len(la))
+            for i in range(0, len(segs), per):
+                st = segs[i : i + per]
+                ga = (st[:, None] + la[None, :]).ravel()
+                gb = (st[:, None] + lb[None, :]).ravel()
+                # dpk ascends within a segment => dn[ga] is the lower
+                # (deg, node) corner: wedge key in oriented-edge order
+                wk_l.append((dn[ga] << 31) | dn[gb])
+                if with_center:
+                    extra_l.append(srt[ga])
+        if not wk_l:
+            return pd.DataFrame(
+                {"wk": pd.Series([], dtype="int64")}
+                | (
+                    {"center": pd.Series([], dtype="int64")}
+                    if with_center
+                    else {"cnt": pd.Series([], dtype="int64")}
+                )
+            )
+        wk = np.concatenate(wk_l)
+        if with_center:
+            return pd.DataFrame(
+                {"wk": wk, "center": np.concatenate(extra_l)}
+            )
+        wku, cnt = np.unique(wk, return_counts=True)
+        return pd.DataFrame({"wk": wku, "cnt": cnt.astype(np.int64)})
+
+    return (
+        oriented.map_batches(tag, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+
+def triangle_stats_distributed(
+    edges_ds, *, round_to: int = 6, num_partitions: int | None = None
+) -> pa.Table:
+    """:func:`triangle_stats` for edge sets beyond the driver gate: the
+    (u, v, w) Dataset (e.g. :func:`cooccurrence_edges_ds`) never lands
+    on the driver.  Degrees fold in coarse-sum partials; wedges emit
+    via the bucketed segmented-triu partials; closure is ONE
+    partitioned join of wedge keys against the oriented edge-key set
+    (a triangle closes iff its top pair is itself an oriented edge —
+    each triangle counted once, at its minimum-(deg, node) corner).
+    Only the five census scalars reach the driver."""
+    from .cluster import compact_blocks, default_num_partitions, safe_join
+
+    w = num_partitions or default_num_partitions()
+    I = pa.int64()
+    edges_ds = edges_ds.materialize()
+    n_edges = int(edges_ds.count())
+    if n_edges == 0:
+        return triangle_stats(
+            pa.table({"u": pa.array([], I), "v": pa.array([], I)}),
+            round_to=round_to,
+        )
+    degd, oriented = _oriented_edges_ds(edges_ds, num_partitions=w)
+    n_nodes = int(degd.count())
+    n_wedges = int(
+        degd.map_batches(
+            lambda b: pa.table(
+                {
+                    "wd": pa.array(
+                        (lambda d: d * (d - 1) // 2)(
+                            np.asarray(b["deg"], np.int64)
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("wd")
+        or 0
+    )
+    ekeys = compact_blocks(
+        oriented.map_batches(
+            lambda b: pa.table(
+                {
+                    "wk": pa.array(
+                        (np.asarray(b["src"], np.int64) << 31)
+                        | np.asarray(b["dst"], np.int64)
+                    ),
+                    "hit": pa.array(
+                        np.ones(b.num_rows, np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("wk", I), ("hit", I)]),
+    )
+    wparts = compact_blocks(
+        _wedge_partials(oriented, with_center=False),
+        pa.schema([("wk", I), ("cnt", I)]),
+    )
+    closed = safe_join(
+        wparts, ekeys, "inner", num_partitions=w,
+        on=("wk",),
+        left_schema=pa.schema([("wk", I), ("cnt", I)]),
+        right_schema=pa.schema([("wk", I), ("hit", I)]),
+    )
+    tri = int(closed.sum("cnt") or 0)
+    if n_wedges:
+        c = (3.0 * float(tri)) / float(n_wedges)
+        tol = 10.0 ** round_to
+        c = np.sign(c) * np.floor(abs(c) * tol + 0.5) / tol
+        cl = pa.array([float(c)])
+    else:
+        cl = pa.array([None], pa.float64())
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_nodes], I),
+            "n_edges": pa.array([n_edges], I),
+            "n_wedges": pa.array([n_wedges], I),
+            "n_triangles": pa.array([tri], I),
+            "clustering": cl,
+        }
+    )
+
+
+def local_clustering_distributed(
+    edges_ds, *, round_to: int = 6, num_partitions: int | None = None
+):
+    """:func:`local_clustering` beyond the driver gate: per-node
+    triangle credits from the SAME wedge-closure join as
+    :func:`triangle_stats_distributed`, but wedges carry their center
+    so every closed wedge credits all three corners; credits fold in
+    coarse-sum partials and join back onto the degree Dataset.
+    Returns a node-scale Dataset (node, degree, n_tri, coeff)."""
+    from .cluster import compact_blocks, default_num_partitions, safe_join
+
+    w = num_partitions or default_num_partitions()
+    I = pa.int64()
+    edges_ds = edges_ds.materialize()
+    degd, oriented = _oriented_edges_ds(edges_ds, num_partitions=w)
+    ekeys = compact_blocks(
+        oriented.map_batches(
+            lambda b: pa.table(
+                {
+                    "wk": pa.array(
+                        (np.asarray(b["src"], np.int64) << 31)
+                        | np.asarray(b["dst"], np.int64)
+                    ),
+                    "hit": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("wk", I), ("hit", I)]),
+    )
+    wparts = compact_blocks(
+        _wedge_partials(oriented, with_center=True),
+        pa.schema([("wk", I), ("center", I)]),
+    )
+    closed = safe_join(
+        wparts, ekeys, "inner", num_partitions=w,
+        on=("wk",),
+        left_schema=pa.schema([("wk", I), ("center", I)]),
+        right_schema=pa.schema([("wk", I), ("hit", I)]),
+    )
+
+    def credits(b: pa.Table) -> pa.Table:
+        wk = np.asarray(b["wk"], np.int64)
+        c = np.asarray(b["center"], np.int64)
+        nd = np.concatenate([wk >> 31, wk & ((1 << 31) - 1), c])
+        u, n = np.unique(nd, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u), "n_tri": pa.array(n.astype(np.int64))}
+        )
+
+    tri_ds = compact_blocks(
+        _coarse_reduce_by_key(
+            closed.map_batches(credits, batch_format="pyarrow"),
+            "node", "n_tri", op="sum", out_key="node", out_val="n_tri",
+        ),
+        pa.schema([("node", I), ("n_tri", I)]),
+    )
+    joined = safe_join(
+        degd, tri_ds, "left_outer", num_partitions=w,
+        on=("node",),
+        right_schema=pa.schema([("node", I), ("n_tri", I)]),
+    )
+    tol = 10.0 ** round_to
+
+    def finish(b: pa.Table) -> pa.Table:
+        deg = np.asarray(b["deg"], np.int64)
+        nt = np.asarray(pc.fill_null(b["n_tri"], 0), np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coeff = (2.0 * nt) / (deg * (deg - 1)).astype(np.float64)
+        coeff = np.floor(coeff * tol + 0.5) / tol
+        ok = deg >= 2
+        return pa.table(
+            {
+                "node": b["node"],
+                "degree": pa.array(deg),
+                "n_tri": pa.array(nt),
+                "coeff": pa.array(
+                    np.where(ok, coeff, 0.0), pa.float64(), mask=~ok
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("node")
+
 
 
 def sssp_hops(
@@ -1766,6 +2518,7 @@ def assoc_rules(
     *,
     min_count: int = 1,
     num_buckets: int | None = None,
+    max_vocab: int = 10_000,
 ):
     """Association rules (market-basket support / confidence / lift)
     over (basket-key, item) rows: one directed rule row per ordered
@@ -1791,10 +2544,22 @@ def assoc_rules(
     vocab = sorted(
         r[item_col]
         for r in ds.groupby(item_col).count().to_pandas().to_dict("records")
+        if r[item_col] is not None  # DISTINCT join semantics: nulls drop
     )
     K = len(vocab)
+    if K > max_vocab:
+        raise ValueError(
+            f"assoc_rules item vocabulary has {K} distinct items — the "
+            f"K + K^2 rule domain only fits BOUNDED vocabularies (gate "
+            f"{max_vocab}); bucket or top-k the item column first"
+        )
 
     def tag(b: pa.Table) -> pa.Table:
+        # drop null key/item rows to match the vocab (a null item would
+        # index_in to null -> garbage int64 cast)
+        b = b.filter(
+            pc.and_(pc.is_valid(b[key_col]), pc.is_valid(b[item_col]))
+        )
         k = np.asarray(b[key_col], np.int64)
         if len(k) and (k.max() >= (1 << 31) or k.min() < 0):
             raise ValueError("basket keys must be in [0, 2^31)")

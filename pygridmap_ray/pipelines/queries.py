@@ -11252,40 +11252,73 @@ def _sql_kcore() -> str:
 TRI_MINW = 3
 
 
-def q_triangle_stats(sf_dir: str):
-    """Triangle census + global clustering coefficient of the supplier
-    co-purchase graph (suppliers co-occurring in >= {TRI_MINW} orders):
-    group-bucketed vectorized pair emission -> packed-key pair counts ->
-    thresholded edge table -> degree-oriented wedge scan with
-    sorted-array closure tests (the O(E^1.5) exact algorithm)."""
+#: thresholded co-occurrence edge sets at or below this stay a driver
+#: table (the vectorized single-pass census); above it the wedge census
+#: runs distributed (graph.triangle_stats_distributed and friends)
+COOCC_DRIVER_GATE = 2_000_000
+
+
+def _coocc_edges_gated(sf_dir: str):
+    """Supplier co-purchase edge fixture with the fold DISTRIBUTED
+    (graph.cooccurrence_edges_ds — pair totals never touch the driver)
+    and a count-gated hand-off: returns (edges_table, None) when the
+    thresholded set fits the driver census, (None, edges_ds) above."""
     import ray.data as rd
 
-    from ..graph import cooccurrence_edge_table, triangle_stats
+    from ..graph import cooccurrence_edges_ds
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
     )
-    edges = cooccurrence_edge_table(
+    eds = cooccurrence_edges_ds(
         line, "l_orderkey", "l_suppkey", min_weight=TRI_MINW
-    )
-    return triangle_stats(edges)
+    ).materialize()
+    if eds.count() > COOCC_DRIVER_GATE:
+        return None, eds
+    tabs = [
+        t
+        for t in eds.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    ]
+    if not tabs:
+        return (
+            pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            ),
+            None,
+        )
+    return pa.concat_tables(tabs).sort_by([("u", "ascending"),
+                                           ("v", "ascending")]), None
+
+
+def q_triangle_stats(sf_dir: str):
+    """Triangle census + global clustering coefficient of the supplier
+    co-purchase graph (suppliers co-occurring in >= {TRI_MINW} orders):
+    group-bucketed vectorized pair emission -> packed-key pair counts
+    folded DISTRIBUTED -> count-gated census (driver wedge scan below
+    COOCC_DRIVER_GATE, partitioned wedge-closure join above)."""
+    from ..graph import triangle_stats, triangle_stats_distributed
+
+    tab, eds = _coocc_edges_gated(sf_dir)
+    if tab is not None:
+        return triangle_stats(tab)
+    return triangle_stats_distributed(eds)
 
 
 def q_local_clustering(sf_dir: str):
     """Per-node clustering coefficient (graph.local_clustering) of the
-    supplier co-purchase graph — same edge fixture as triangle_stats,
-    each closed wedge credited to all three corners."""
-    import ray.data as rd
+    supplier co-purchase graph — same edge fixture and count gate as
+    triangle_stats, each closed wedge credited to all three corners."""
+    from ..graph import local_clustering, local_clustering_distributed
 
-    from ..graph import cooccurrence_edge_table, local_clustering
-
-    line = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
-    )
-    edges = cooccurrence_edge_table(
-        line, "l_orderkey", "l_suppkey", min_weight=TRI_MINW
-    )
-    return local_clustering(edges)
+    tab, eds = _coocc_edges_gated(sf_dir)
+    if tab is not None:
+        return local_clustering(tab)
+    return local_clustering_distributed(eds)
 
 
 def _sql_local_clustering() -> str:
@@ -13589,11 +13622,24 @@ def q_mutual_info(sf_dir: str):
         .groupby(["lang", "source"])
         .aggregate(Sum("n", alias_name="n"))
     )
-    tbl = pa.concat_tables(
+    tabs = [
         t
         for t in agg.iter_batches(batch_size=None, batch_format="pyarrow")
         if t.num_rows
-    )
+    ]
+    if not tabs:  # empty corpus: one null-filled row, not a ValueError
+        return pa.table(
+            {
+                "n": pa.array([0], pa.int64()),
+                "n_langs": pa.array([0], pa.int64()),
+                "n_sources": pa.array([0], pa.int64()),
+                "mi": pa.array([None], pa.float64()),
+                "h_lang": pa.array([None], pa.float64()),
+                "h_source": pa.array([None], pa.float64()),
+                "nmi": pa.array([None], pa.float64()),
+            }
+        )
+    tbl = pa.concat_tables(tabs)
     lg = np.asarray(tbl["lang"]).astype(str)
     sc = np.asarray(tbl["source"]).astype(str)
     n = np.asarray(tbl["n"], np.int64).astype(np.float64)

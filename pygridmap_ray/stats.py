@@ -1461,8 +1461,31 @@ def grouped_quantiles_cont(
     return rd.from_pandas(pd.concat(frames, ignore_index=True))
 
 
+def _gated_pair_histogram(ds, group_col: str, value_col: str,
+                          domain_limit: int):
+    """The DISCRETE-domain histogram reduce shared by
+    :func:`percent_rank` / :func:`window_ranks` /
+    :func:`spearman_corr` — with the contract ENFORCED: the distinct
+    (group, value) count is taken on the materialized aggregate (a
+    distributed shuffle, safe at any cardinality) BEFORE anything is
+    gathered, and a continuous-looking domain raises instead of
+    OOMing the driver."""
+    hist_ds = ds.groupby([group_col, value_col]).count().materialize()
+    n_pairs = hist_ds.count()
+    if n_pairs > domain_limit:
+        raise ValueError(
+            f"{n_pairs} distinct ({group_col}, {value_col}) pairs exceed "
+            f"the discrete-domain gate ({domain_limit}): this operator "
+            "broadcasts the per-group value histogram, which only fits "
+            "bounded domains — for continuous values use "
+            "grouped_quantiles_cont / grouped_moments / the approx paths"
+        )
+    return hist_ds.to_pandas()
+
+
 def percent_rank(
-    ds, *, group_col: str, value_col: str, round_to: int = 6
+    ds, *, group_col: str, value_col: str, round_to: int = 6,
+    domain_limit: int = 2_000_000,
 ):
     """SQL's ``PERCENT_RANK() OVER (PARTITION BY group ORDER BY value)``
     for every row, without a window shuffle: ``(rank_min - 1) / (n - 1)``
@@ -1481,7 +1504,7 @@ def percent_rank(
 
     from .spatial import _cached_kernel
 
-    hist = ds.groupby([group_col, value_col]).count().to_pandas()
+    hist = _gated_pair_histogram(ds, group_col, value_col, domain_limit)
     hist = hist.sort_values([group_col, value_col], kind="stable")
     payload = {}
     for g, sub in hist.groupby(group_col, sort=False):
@@ -1515,7 +1538,8 @@ def percent_rank(
 
 
 def window_ranks(
-    ds, *, group_col: str, value_col: str, round_to: int = 6
+    ds, *, group_col: str, value_col: str, round_to: int = 6,
+    domain_limit: int = 2_000_000,
 ):
     """SQL's ``RANK / DENSE_RANK / CUME_DIST OVER (PARTITION BY group
     ORDER BY value)`` for every row, without a window shuffle — same
@@ -1534,7 +1558,7 @@ def window_ranks(
 
     from .spatial import _cached_kernel
 
-    hist = ds.groupby([group_col, value_col]).count().to_pandas()
+    hist = _gated_pair_histogram(ds, group_col, value_col, domain_limit)
     hist = hist.sort_values([group_col, value_col], kind="stable")
     payload = {}
     for g, sub in hist.groupby(group_col, sort=False):
@@ -2710,7 +2734,7 @@ WHERE NOT EXISTS (
 
 
 def spearman_corr(ds, *, group_col: str, x_col: str, y_col: str,
-                  round_to: int = 6):
+                  round_to: int = 6, domain_limit: int = 2_000_000):
     """Per-group Spearman rank correlation (ties get average ranks —
     the standard law): phase 1 reduces each column to its per-group
     discrete histogram (distinct (group, value) counts — the same
@@ -2724,7 +2748,7 @@ def spearman_corr(ds, *, group_col: str, x_col: str, y_col: str,
     exact in binary, matching ``RANK() + (tie_count - 1)/2.0``."""
 
     def rank_map(col: str) -> dict:
-        hist = (
+        hist_ds = (
             ds.select_columns([group_col, col])
             .map_batches(
                 lambda b: b.filter(pc.is_valid(b[col])),
@@ -2732,8 +2756,17 @@ def spearman_corr(ds, *, group_col: str, x_col: str, y_col: str,
             )
             .groupby([group_col, col])
             .count()
-            .take_all()
+            .materialize()
         )
+        n_pairs = hist_ds.count()
+        if n_pairs > domain_limit:
+            raise ValueError(
+                f"{n_pairs} distinct ({group_col}, {col}) pairs exceed "
+                f"the discrete-domain gate ({domain_limit}): "
+                "spearman_corr broadcasts per-group rank maps — for "
+                "continuous values use grouped_corr (Pearson) instead"
+            )
+        hist = hist_ds.take_all()
         by_g: dict = {}
         for r in hist:
             by_g.setdefault(str(r[group_col]), []).append(
@@ -3180,6 +3213,9 @@ def trimmed_mean(
     tol = 10.0**round_to
 
     def partial(b: pa.Table) -> pa.Table:
+        # NULL keys drop here, mirroring the twin's JOIN q USING(key)
+        # semantics (and np.unique over object arrays raises on None)
+        b = b.filter(pc.is_valid(b[key]))
         ks = np.asarray(pc.cast(b[key], pa.string())).astype(object)
         v = np.asarray(b[value], np.float64)
         ug, inv = np.unique(ks, return_inverse=True)

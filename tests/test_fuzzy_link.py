@@ -246,3 +246,28 @@ def test_personalized_pagerank_concentrates_on_seeds(ray_session):
     assert abs(out[0] + out[1] - 4.0) < 1e-5
     assert out[0] > out[1] > 1.0
     assert out[2] == 0.0 and out[3] == 0.0
+
+
+def test_scc_sharded_path_matches_local(ray_session):
+    """Above the broadcast gate scc must run the sharded safe_join path
+    (no NotImplementedError, no driver edge gather) and agree with the
+    local solve.  Gate forced tiny; the fixture stays small because
+    every fixpoint sweep is a real partitioned join round-trip."""
+    import ray.data as rd
+
+    from pygridmap_ray.graph import scc
+
+    # 3-cycle {0,1,2}, 2-cycle {3,4}, self-loop 5, dag 6 -> 0, bridge 2->3
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([0, 1, 2, 2, 3, 4, 5, 6], pa.int64()),
+                "v": pa.array([1, 2, 0, 3, 4, 3, 5, 0], pa.int64()),
+            }
+        )
+    )
+    loc = scc(edges).to_pandas().sort_values("node").reset_index(drop=True)
+    sh = scc(edges, local_max_edges=0, broadcast_state_limit=4)
+    sh = sh.to_pandas().sort_values("node").reset_index(drop=True)
+    assert loc.equals(sh)
+    assert list(sh.scc_id) == [0, 0, 0, 3, 3, 5, 6]

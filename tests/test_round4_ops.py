@@ -1,0 +1,177 @@
+"""Round-4 regressions: discrete-domain gates, assoc_rules guards,
+trimmed_mean null keys, q_mutual_info empty corpus."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _kv_ds(rows):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_percent_rank_domain_gate(ray_session):
+    from pygridmap_ray.stats import percent_rank
+
+    ds = _kv_ds(
+        [{"g": i % 2, "v": float(i)} for i in range(50)]
+    )
+    with pytest.raises(ValueError, match="discrete-domain gate"):
+        percent_rank(
+            ds, group_col="g", value_col="v", domain_limit=10
+        ).materialize()
+    # over-the-gate limit still works
+    out = percent_rank(
+        ds, group_col="g", value_col="v", domain_limit=1000
+    ).to_pandas()
+    assert len(out) == 50 and "pct_rank" in out.columns
+
+
+def test_window_ranks_domain_gate(ray_session):
+    from pygridmap_ray.stats import window_ranks
+
+    ds = _kv_ds([{"g": 0, "v": float(i)} for i in range(30)])
+    with pytest.raises(ValueError, match="discrete-domain gate"):
+        window_ranks(
+            ds, group_col="g", value_col="v", domain_limit=5
+        ).materialize()
+
+
+def test_spearman_domain_gate(ray_session):
+    from pygridmap_ray.stats import spearman_corr
+
+    ds = _kv_ds(
+        [{"g": 0, "x": float(i), "y": float(i * 2)} for i in range(30)]
+    )
+    with pytest.raises(ValueError, match="discrete-domain gate"):
+        spearman_corr(
+            ds, group_col="g", x_col="x", y_col="y", domain_limit=5
+        )
+
+
+def test_assoc_rules_null_items_and_vocab_cap(ray_session):
+    from pygridmap_ray.graph import assoc_rules
+
+    rows = [
+        {"k": 0, "item": "a"}, {"k": 0, "item": "b"},
+        {"k": 1, "item": "a"}, {"k": 1, "item": "b"},
+        {"k": 1, "item": None}, {"k": 2, "item": "a"},
+    ]
+    out = assoc_rules(_kv_ds(rows), "k", "item").to_pandas()
+    # nulls dropped: only a->b / b->a rules, support over 3 baskets
+    assert set(zip(out["antecedent"], out["consequent"])) == {
+        ("a", "b"), ("b", "a")
+    }
+    big = _kv_ds(
+        [{"k": i, "item": f"it{i}"} for i in range(200)]
+    )
+    with pytest.raises(ValueError, match="vocabular"):
+        assoc_rules(big, "k", "item", max_vocab=100)
+
+
+def test_trimmed_mean_null_keys_match_join_semantics(ray_session):
+    """NULL keys must drop (the twin's JOIN USING(key) law) instead of
+    raising from np.unique over object arrays."""
+    from pygridmap_ray.stats import trimmed_mean
+
+    rows = [{"k": "a", "v": float(i)} for i in range(20)]
+    rows += [{"k": None, "v": 999.0}] * 3
+    out = (
+        trimmed_mean(_kv_ds(rows), key="k", value="v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == ["a"]
+    assert out["n_total"].iloc[0] == 20
+
+
+def test_mutual_info_empty_corpus(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pygridmap_ray.pipelines.queries import q_mutual_info
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(empty, tmp_path / "documents.parquet")
+    out = q_mutual_info(str(tmp_path))
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    if isinstance(out, pa.Table):
+        out = out.to_pandas()
+    assert len(out) == 1
+    assert out["n"].iloc[0] == 0 and pd.isna(out["mi"].iloc[0])
+
+
+def _coocc_fixture_ds():
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(60):
+        items = rng.choice(20, size=rng.integers(2, 6), replace=False)
+        rows += [{"g": int(g), "item": int(i)} for i in items]
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_cooccurrence_edges_ds_matches_table(ray_session):
+    from pygridmap_ray.graph import (
+        cooccurrence_edge_table,
+        cooccurrence_edges_ds,
+    )
+
+    ds = _coocc_fixture_ds()
+    tab = (
+        cooccurrence_edge_table(ds, "g", "item", min_weight=2)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    dst = (
+        cooccurrence_edges_ds(ds, "g", "item", min_weight=2)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    assert tab.equals(dst)
+    assert len(tab) > 5
+
+
+def test_triangle_census_distributed_matches_driver(ray_session):
+    from pygridmap_ray.graph import (
+        cooccurrence_edge_table,
+        cooccurrence_edges_ds,
+        local_clustering,
+        local_clustering_distributed,
+        triangle_stats,
+        triangle_stats_distributed,
+    )
+
+    ds = _coocc_fixture_ds()
+    tab = cooccurrence_edge_table(ds, "g", "item", min_weight=2)
+    eds = cooccurrence_edges_ds(ds, "g", "item", min_weight=2)
+    drv = triangle_stats(tab).to_pandas()
+    dst = triangle_stats_distributed(eds).to_pandas()
+    assert drv.equals(dst)
+    assert drv["n_triangles"].iloc[0] > 0
+    lc_drv = (
+        local_clustering(tab)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    lc_dst = (
+        local_clustering_distributed(eds)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert lc_drv.equals(lc_dst)
