@@ -263,6 +263,11 @@ def _secondary() -> dict:
         ("events_watermark", q.q_events_watermark),
         ("sq8_recall", q.q_sq8_recall),
         ("simhash_screen", q.q_simhash_screen),
+        # round-4: newline line-dedup + gated census + budget/contamination
+        ("dedup_lines_nl", q.q_dedup_lines_nl),
+        ("local_clustering", q.q_local_clustering),
+        ("token_budget", q.q_token_budget),
+        ("contamination_overlap", q.q_contamination_overlap),
     ]:
 
         def once(fn=fn):

@@ -1830,6 +1830,104 @@ def decontaminate(
     return train.map_batches(flag, batch_format="pyarrow")
 
 
+def contamination_overlap(
+    train,
+    eval_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    round_to: int = 6,
+):
+    """Per-doc contamination FRACTION — :func:`decontaminate`'s graded
+    sibling: the share of a training doc's DISTINCT word n-grams that
+    appear anywhere in the eval corpus (the curriculum-filter score a
+    graded threshold policy needs, vs the binary 13-gram flag).
+
+    Same scale shape as decontaminate: eval gram-hash set broadcast
+    once, the training corpus streams through ONE vectorized
+    map_batches (sorted isin probe + segmented counts) — no corpus
+    shuffle.  Emits (id_col, n_grams, n_hit, overlap_frac), frac
+    rounded half-away at ``round_to`` dp, NULL for gram-less docs."""
+    import ray
+
+    from .spatial import _cached_kernel
+
+    def ev_partial(b: pa.Table) -> pa.Table:
+        t = _shingle_sets(b, id_col, text_col, n)
+        sh = t["shingles"].combine_chunks()
+        flat = np.unique(np.asarray(sh.flatten(), dtype=np.int64))
+        return pa.table({"gram": pa.array(flat)})
+
+    ev_rows = (
+        eval_ds.select_columns([id_col, text_col])
+        .map_batches(ev_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ev_sorted = (
+        np.unique(ev_rows["gram"].to_numpy(dtype=np.int64))
+        if "gram" in ev_rows.columns and len(ev_rows)
+        else np.empty(0, dtype=np.int64)
+    )
+    ref = {"__ref__": ray.put(ev_sorted)}
+    ckey = f"contam:{ref['__ref__'].hex()}"
+    tol = 10.0 ** round_to
+
+    def score(b: pa.Table) -> pa.Table:
+        ev = _cached_kernel(ckey, ref, lambda a: a)
+        t = _shingle_sets(b, id_col, text_col, n)
+        sh = t["shingles"].combine_chunks()
+        flat = np.asarray(sh.flatten(), dtype=np.int64)
+        offs = np.asarray(sh.offsets, dtype=np.int64)
+        hit = np.isin(flat, ev).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(hit)])
+        nh = cs[offs[1:]] - cs[offs[:-1]]
+        ng = (offs[1:] - offs[:-1]).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.floor(nh / ng * tol + 0.5) / tol  # frac >= 0
+        ok = ng > 0
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "n_grams": pa.array(ng),
+                "n_hit": pa.array(nh),
+                "overlap_frac": pa.array(
+                    np.where(ok, frac, 0.0), pa.float64(), mask=~ok
+                ),
+            }
+        )
+
+    return train.map_batches(score, batch_format="pyarrow")
+
+
+def sql_contamination_overlap(
+    *,
+    n: int = 3,
+    eval_pred: str = "doc_id % 13 = 5",
+    source: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`contamination_overlap` over string grams
+    (equal iff the engine's polynomial hashes are, absent 2^-61
+    collisions) — shared distinct-gram law via :func:`sql_grams_cte`."""
+    return f"""
+WITH {sql_grams_cte(n, source, text)},
+ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE {eval_pred}),
+tr AS (SELECT doc_id, g FROM grams WHERE NOT ({eval_pred})),
+tg AS (SELECT doc_id, unnest(g) AS gram FROM tr),
+hits AS (
+  SELECT tg.doc_id, COUNT(*)::BIGINT AS n_hit
+  FROM tg JOIN ev USING (gram) GROUP BY tg.doc_id
+),
+sz AS (SELECT doc_id, len(g)::BIGINT AS n_grams FROM tr)
+SELECT s.doc_id, s.n_grams, COALESCE(h.n_hit, 0)::BIGINT AS n_hit,
+  CASE WHEN s.n_grams > 0
+    THEN ROUND(COALESCE(h.n_hit, 0) * 1.0 / s.n_grams * 1e6) / 1e6
+    ELSE NULL END AS overlap_frac
+FROM sz s LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def sql_grams_cte(n: int, source: str = "documents",
                   text: str = "text") -> str:
     """``toks``/``grams`` CTE fragment (distinct word n-gram strings per

@@ -13,6 +13,7 @@ from ..dedup import (  # noqa: F401
     content_hash,
     decontaminate,
     dedup_lines,
+    semdedup,
     embedding_lsh_pairs,
     embedding_neardup_pairs,
     exact_dedup,

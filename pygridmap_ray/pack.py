@@ -172,6 +172,172 @@ FROM c
 """
 
 
+def keyed_prefix_sum(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    n_buckets: int | None = None,
+    key_limit: int = 100_000,
+):
+    """Per-key INCLUSIVE prefix sum in ascending ``order_col`` order —
+    the keyed companion of :func:`global_prefix_sum` (SQL's
+    ``SUM(v) OVER (PARTITION BY key ORDER BY o ROWS UNBOUNDED
+    PRECEDING)``), the primitive under per-source token budgeting /
+    curriculum cutoffs.
+
+    Same shape: one Min/Max bound pass, per-batch (bucket, key)
+    subtotal partials, driver-side scan into per-(key, bucket) base
+    offsets, ONE range shuffle with a per-bucket vectorized keyed
+    cumsum.  ``order_col`` must be a unique integer key (global
+    uniqueness — doc ids); ``key_col`` must be LOW-cardinality (the
+    driver holds n_keys x n_buckets int64 bases — gated by
+    ``key_limit`` with a clear error, the bounded-domain rule)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    n_buckets = _resolve_buckets(n_buckets)
+    ds = ds.materialize()
+    bounds = ds.aggregate(
+        Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi")
+    )
+    if bounds["lo"] is None:
+        return ds  # empty input: nothing to scan
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = hi - lo + 1
+    nb = min(n_buckets, span)
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        return ((keys.astype(np.int64) - lo) * nb // span).astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = np.asarray(pc.cast(b[key_col], pa.string())).astype(object)
+        o = np.asarray(b[order_col], dtype=np.int64)
+        v = np.asarray(b[value_col], dtype=np.int64)
+        bk = bucket_of(o)
+        ku, ki = np.unique(k, return_inverse=True)
+        pk = ki.astype(np.int64) * np.int64(nb) + bk
+        pku, pki = np.unique(pk, return_inverse=True)
+        tot = np.bincount(pki, weights=v, minlength=len(pku)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "__k": pa.array(ku[(pku // nb)], pa.string()),
+                "__bk": pa.array(pku % np.int64(nb)),
+                "__sub": pa.array(tot),
+            }
+        )
+
+    sub = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    keys = sub["__k"].unique()
+    if len(keys) > key_limit:
+        raise ValueError(
+            f"{len(keys)} distinct {key_col!r} keys exceed the "
+            f"bounded-domain gate ({key_limit}): keyed_prefix_sum holds "
+            "n_keys x n_buckets driver bases — bucket the key first"
+        )
+    base: dict = {}
+    for kv, g in sub.groupby("__k", sort=False):
+        tot = np.zeros(nb, dtype=np.int64)
+        np.add.at(tot, g["__bk"].to_numpy(np.int64),
+                  g["__sub"].to_numpy(np.int64))
+        base[kv] = np.concatenate([[0], np.cumsum(tot)[:-1]])
+
+    def tag(b: pa.Table) -> pa.Table:
+        o = np.asarray(b[order_col], dtype=np.int64)
+        return b.append_column("__bk", pa.array(bucket_of(o)))
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        o = g[order_col].to_numpy(dtype=np.int64)
+        if len(o) > 1 and (o[1:] == o[:-1]).any():
+            raise ValueError(
+                f"keyed_prefix_sum: duplicate {order_col!r} keys — the "
+                "order column must be globally unique"
+            )
+        k = g[key_col].astype(str).to_numpy(dtype=object)
+        v = g[value_col].to_numpy(dtype=np.int64)
+        bk = int(g["__bk"].iloc[0])
+        cum = np.empty(len(v), np.int64)
+        dfk = pd.Series(v)
+        cum = dfk.groupby(pd.Series(k), sort=False).cumsum().to_numpy(
+            np.int64
+        )
+        kb = np.array([base[kv][bk] for kv in k], dtype=np.int64)
+        g[out_col] = cum + kb
+        return g.drop(columns=["__bk"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bk")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
+
+
+def token_budget_take(
+    ds,
+    *,
+    key_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 1 << 20,
+):
+    """Per-source token budgeting — the data-mixing cutoff step: docs
+    concatenate per source in ascending ``order_col`` order and a doc
+    is KEPT while its source's running token total (inclusive) is
+    within ``budget``.  One :func:`keyed_prefix_sum` + a stateless map;
+    deterministic and partitioning-independent.
+
+    Emits (order_col, key_col, tokens_col, cum_tokens, kept)."""
+    out = keyed_prefix_sum(
+        ds, key_col=key_col, order_col=order_col, value_col=tokens_col,
+        out_col="cum_tokens",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cum = np.asarray(b["cum_tokens"], np.int64)
+        return pa.table(
+            {
+                order_col: b[order_col],
+                key_col: b[key_col],
+                tokens_col: b[tokens_col],
+                "cum_tokens": b["cum_tokens"],
+                "kept": pa.array(cum <= budget),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_token_budget_take(
+    budget: int,
+    *,
+    key_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`token_budget_take` — one window cumsum.
+    Pure int64 arithmetic on both sides."""
+    return f"""
+WITH c AS (
+  SELECT {order_col}, {key_col}, {tokens_col},
+    SUM({tokens_col}) OVER (PARTITION BY {key_col} ORDER BY {order_col}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      AS cum_tokens
+  FROM {source}
+)
+SELECT {order_col}, {key_col}, {tokens_col}, cum_tokens,
+       (cum_tokens <= {budget}) AS kept
+FROM c
+"""
+
+
 def shuffle_by_hash(
     ds,
     *,

@@ -4878,6 +4878,42 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+TOKEN_BUDGET = 800  #: per-source token budget (sf0.01 splits kept/cut)
+
+
+def q_token_budget(sf_dir: str):
+    """Per-source token budgeting (pack.token_budget_take): keyed
+    distributed prefix sum over n_tokens in doc_id order, doc kept
+    while its source's inclusive running total fits TOKEN_BUDGET —
+    the data-mixing cutoff a 100 TB curriculum run applies per
+    domain."""
+    from ..pack import token_budget_take
+    from ..text import token_count
+
+    ds = (
+        _docs(sf_dir, ("doc_id", "source", "text"))
+        .map_batches(token_count, batch_format="pyarrow")
+        .select_columns(["doc_id", "source", "n_tokens"])
+    )
+    return token_budget_take(
+        ds, key_col="source", order_col="doc_id",
+        tokens_col="n_tokens", budget=TOKEN_BUDGET,
+    )
+
+
+def _sql_token_budget() -> str:
+    from ..pack import sql_token_budget_take
+
+    return sql_token_budget_take(
+        TOKEN_BUDGET,
+        source=(
+            "(SELECT doc_id, source, "
+            "len(regexp_extract_all(text, '\S+'))::BIGINT "
+            "AS n_tokens FROM documents) AS t"
+        ),
+    )
+
+
 def _sql_pack_sequences() -> str:
     from ..pack import sql_pack_sequences
 
@@ -6075,6 +6111,35 @@ def _sql_shuffle() -> str:
 
 
 DECON_MOD, DECON_RES = 13, 5  # eval split: doc_id % 13 == 5
+
+
+def q_contamination_overlap(sf_dir: str):
+    """Graded contamination score: fraction of each training doc's
+    distinct word 4-grams present in the eval slice — broadcast gram
+    set, zero corpus shuffle (dedup.contamination_overlap)."""
+    from ..dedup import contamination_overlap
+
+    def side(is_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            return b.filter(
+                pa.array((ids % DECON_MOD == DECON_RES) == is_eval)
+            )
+
+        return f
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    ev = docs.map_batches(side(True), batch_format="pyarrow")
+    tr = docs.map_batches(side(False), batch_format="pyarrow")
+    return contamination_overlap(tr, ev, n=4)
+
+
+def _sql_contamination_overlap() -> str:
+    from ..dedup import sql_contamination_overlap
+
+    return sql_contamination_overlap(
+        n=4, eval_pred=f"doc_id % {DECON_MOD} = {DECON_RES}"
+    )
 
 
 def q_decontaminate(sf_dir: str):
@@ -14646,7 +14711,9 @@ def queries():
         "lang_quantiles": q_lang_quantiles,
         "train_split": q_train_split,
         "pack_sequences": q_pack_sequences,
+        "token_budget": q_token_budget,
         "decontaminate": q_decontaminate,
+        "contamination_overlap": q_contamination_overlap,
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
         "llm_prepare": q_llm_prepare,
@@ -16053,7 +16120,9 @@ def oracle_sql():
         "lang_quantiles": sql_grouped_quantiles(),
         "train_split": _sql_train_split(),
         "pack_sequences": _sql_pack_sequences(),
+        "token_budget": _sql_token_budget(),
         "decontaminate": _sql_decontaminate(),
+        "contamination_overlap": _sql_contamination_overlap(),
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
         "llm_prepare": _sql_llm_prepare(),

@@ -47,6 +47,60 @@ class RasterSource:
         raise NotImplementedError
 
 
+class RasterioRaster(RasterSource):
+    """rasterio-backed :class:`RasterSource` — the real-data READER SWAP
+    (reference ``tiling.py`` delegates all IO to rasterio; this sandbox
+    cannot install it, so construction raises a clear ImportError and
+    :class:`SyntheticRaster` carries the oracle-checked semantics).
+
+    The tiling drivers (:func:`tiling_raster`,
+    :func:`tiling_raster_generic`) consume ANY ``RasterSource`` through
+    ``read_window`` — window addressing, y-flip, nodata and resample
+    laws all live in the drivers — so pointing this adapter at a
+    GeoTIFF runs the exact plan the oracles pin, over real pixels.
+
+    Conventions: windows are ``(row0, col0, h, w)`` with a TOP-LEFT
+    row origin, matching ``rasterio.windows.Window(col0, row0, w, h)``
+    directly for north-up rasters; ``bands`` maps logical names to
+    1-based rasterio band indexes (defaults to ``band_1..band_N``)."""
+
+    def __init__(self, path: str, bands: dict[str, int] | None = None):
+        try:
+            import rasterio
+        except ImportError as exc:  # env-blocked in this sandbox
+            raise ImportError(
+                "rasterio is not installed — RasterioRaster is the "
+                "real-data reader swap for RasterSource; use "
+                "SyntheticRaster here, or install rasterio on a real "
+                "deployment"
+            ) from exc
+        self._src = rasterio.open(path)
+        if bands is None:
+            bands = {
+                f"band_{i}": i for i in range(1, self._src.count + 1)
+            }
+        self._band_index = dict(bands)
+        self.bands = tuple(bands)
+        self.height = int(self._src.height)
+        self.width = int(self._src.width)
+        t = self._src.transform
+        self.resolution = float(t.a)
+        self.x_min = float(t.c)
+        # north-up GeoTIFFs have e < 0 (row 0 at y_max): the engine's
+        # y_min is the BOTTOM edge either way
+        self.y_min = float(min(t.f, t.f + t.e * self._src.height))
+
+    def read_window(self, band, row0, col0, h, w):
+        from rasterio.windows import Window
+
+        return np.asarray(
+            self._src.read(
+                self._band_index[band], window=Window(col0, row0, w, h)
+            ),
+            dtype=np.float64,
+        )
+
+
 class SyntheticRaster(RasterSource):
     """Deterministic raster (FIXTURES.md F5): bands pop/elev, closed-form
     values + sprinkled nodata; any window computed on the fly."""

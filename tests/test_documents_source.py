@@ -68,3 +68,28 @@ def test_span_schema_contract():
     with pytest.raises(ValueError, match="offset"):
         validate_span_schema(pa.table({"spans": bad_inner}).schema)
     assert set(SPAN_FIELDS) == {"kind", "text", "media_ref", "offset"}
+
+
+def _lance_available():
+    from pygridmap_ray.sources.documents import _lance_available as f
+
+    return f()
+
+
+@pytest.mark.skipif(
+    not _lance_available(),
+    reason="lance not installed (env-blocked); activates when available",
+)
+def test_lance_roundtrip_when_available(ray_session, tmp_path):
+    """The Lance branch is a READER SWAP: same pruned-column streaming
+    contract as parquet.  Runs automatically wherever pylance exists."""
+    import lance
+
+    did = np.arange(20, dtype=np.int64)
+    t = pa.table({"doc_id": did, "spans": build_spans_array(did)})
+    path = str(tmp_path / "corpus.lance")
+    lance.write_dataset(t, path)
+    ds = read_document_table(path, validate=True)
+    assert ds.count() == 20
+    pruned = read_document_table(path, columns=["doc_id"])
+    assert pruned.schema().names == ["doc_id"]

@@ -185,3 +185,50 @@ def test_skyline_matches_brute_force():
             )
         ]
         assert got == exp
+
+
+def _rasterio_available():
+    try:
+        import rasterio  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_rasterio_adapter_gated():
+    """Without rasterio the adapter must raise a CLEAR ImportError at
+    construction — never a silent stub."""
+    import pytest as _pytest
+
+    from pygridmap_ray.raster import RasterioRaster
+
+    if _rasterio_available():
+        _pytest.skip("rasterio present; gating path not reachable")
+    with _pytest.raises(ImportError, match="rasterio"):
+        RasterioRaster("/tmp/nonexistent.tif")
+
+
+def test_rasterio_adapter_when_available(tmp_path):
+    """Activates wherever rasterio exists: a tiny in-memory GeoTIFF must
+    flow through the SAME tiling driver as SyntheticRaster."""
+    import pytest as _pytest
+
+    if not _rasterio_available():
+        _pytest.skip("rasterio not installed (env-blocked)")
+    import rasterio
+    from rasterio.transform import from_origin
+
+    from pygridmap_ray.raster import RasterioRaster
+
+    path = str(tmp_path / "t.tif")
+    data = np.arange(64, dtype=np.float64).reshape(8, 8)
+    with rasterio.open(
+        path, "w", driver="GTiff", height=8, width=8, count=1,
+        dtype="float64", transform=from_origin(0, 8000, 1000, 1000),
+    ) as dst:
+        dst.write(data, 1)
+    src = RasterioRaster(path, bands={"pop": 1})
+    assert (src.height, src.width) == (8, 8)
+    w = src.read_window("pop", 2, 3, 2, 2)
+    assert w.shape == (2, 2) and w[0, 0] == data[2, 3]

@@ -175,3 +175,70 @@ def test_triangle_census_distributed_matches_driver(ray_session):
         .reset_index(drop=True)
     )
     assert lc_drv.equals(lc_dst)
+
+
+def test_keyed_prefix_sum_law(ray_session):
+    from pygridmap_ray.pack import keyed_prefix_sum
+
+    rows = [
+        {"k": "a", "o": 1, "v": 10}, {"k": "b", "o": 2, "v": 5},
+        {"k": "a", "o": 3, "v": 7}, {"k": "b", "o": 4, "v": 1},
+        {"k": "a", "o": 5, "v": 2},
+    ]
+    out = (
+        keyed_prefix_sum(
+            _kv_ds(rows), key_col="k", order_col="o", value_col="v"
+        )
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    assert list(out["cum"]) == [10, 5, 17, 6, 19]
+    # duplicate order keys must fail loudly
+    import pytest as _pytest
+
+    dup = rows + [{"k": "c", "o": 3, "v": 1}]
+    with _pytest.raises(Exception):
+        keyed_prefix_sum(
+            _kv_ds(dup), key_col="k", order_col="o", value_col="v"
+        ).materialize()
+
+
+def test_token_budget_take_cutoff(ray_session):
+    from pygridmap_ray.pack import token_budget_take
+
+    rows = [
+        {"doc_id": i, "source": f"s{i % 2}", "n_tokens": 30}
+        for i in range(10)
+    ]
+    out = (
+        token_budget_take(_kv_ds(rows), budget=100)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # each source: docs at cum 30/60/90 kept, 120/150 cut
+    assert out.groupby("source")["kept"].sum().tolist() == [3, 3]
+    assert (out[out.kept]["cum_tokens"] <= 100).all()
+
+
+def test_contamination_overlap_planted(ray_session):
+    from pygridmap_ray.dedup import contamination_overlap
+
+    tr = _kv_ds(
+        [
+            {"doc_id": 0, "text": "alpha beta gamma delta"},  # 2/2 hit
+            {"doc_id": 1, "text": "zz yy xx ww vv"},          # 0 hit
+            {"doc_id": 2, "text": "alpha beta gamma qq rr"},  # 1/3 hit
+        ]
+    )
+    ev = _kv_ds([{"doc_id": 9, "text": "alpha beta gamma delta"}])
+    out = (
+        contamination_overlap(tr, ev, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_hit"]) == [2, 0, 1]
+    assert out["overlap_frac"].iloc[0] == 1.0
+    assert out["overlap_frac"].iloc[1] == 0.0
