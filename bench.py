@@ -268,6 +268,7 @@ def _secondary() -> dict:
         ("local_clustering", q.q_local_clustering),
         ("token_budget", q.q_token_budget),
         ("contamination_overlap", q.q_contamination_overlap),
+        ("decon_neardup", q.q_decon_neardup),
     ]:
 
         def once(fn=fn):

@@ -1928,6 +1928,107 @@ FROM sz s LEFT JOIN hits h USING (doc_id)
 """
 
 
+def neardup_decontaminate(
+    train,
+    eval_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+):
+    """FUZZY decontamination (the Llama-style near-dup rule): flag every
+    training doc whose distinct-n-gram Jaccard vs ANY eval doc reaches
+    ``threshold`` — :func:`decontaminate`'s exact-overlap flag misses
+    lightly edited eval copies; this catches them with FULL recall by
+    running the exact PPJoin pair scan (:func:`ngram_jaccard_pairs`,
+    prefix-filter candidates, no LSH probability) over the union of the
+    two sides in disjoint id spaces.
+
+    Scale shape: the union streams through the same
+    shingle-hash-only shuffle as ngram_jaccard_pairs (text never
+    shuffles); eval ids shift by max(train id) + 1 (one cheap Max
+    aggregate); the surviving CROSS pairs are candidate-scale and
+    broadcast back over the training stream for the flag — no corpus
+    gather.  Emits (id_col, fuzzy_contaminated) for every train doc
+    with at least one gram (the pair law ignores gram-less docs,
+    mirroring the twin's len(g) > 0 guard)."""
+    import ray
+
+    from ray.data.aggregate import Max
+
+    from .spatial import _cached_kernel
+
+    mx = train.aggregate(Max(id_col, alias_name="m"))["m"]
+    off = int(mx) + 1 if mx is not None else 0
+
+    def shift(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], np.int64) + off
+        return pa.table({id_col: pa.array(ids), text_col: b[text_col]})
+
+    u = train.select_columns([id_col, text_col]).union(
+        eval_ds.select_columns([id_col, text_col]).map_batches(
+            shift, batch_format="pyarrow"
+        )
+    )
+    pairs = ngram_jaccard_pairs(
+        u, id_col=id_col, text_col=text_col, threshold=threshold, n=n
+    ).to_pandas()
+    a = pairs["id_a"].to_numpy(np.int64)
+    b_ = pairs["id_b"].to_numpy(np.int64)
+    cross = (a < off) != (b_ < off)
+    bad = np.unique(np.where(a[cross] < off, a[cross], b_[cross]))
+    ref = {"__ref__": ray.put(bad)}
+    ckey = f"neardup-decon:{ref['__ref__'].hex()}"
+
+    def flag(b: pa.Table) -> pa.Table:
+        bd = _cached_kernel(ckey, ref, lambda x: x)
+        # len(g) > 0 <=> at least one token (m = min(n, n_tokens) law)
+        ntok = np.asarray(
+            pc.count_substring_regex(
+                pc.fill_null(pc.cast(b[text_col], pa.string()), ""),
+                r"\S+",
+            ),
+            np.int64,
+        )
+        ids = np.asarray(b[id_col], np.int64)[ntok > 0]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "fuzzy_contaminated": pa.array(np.isin(ids, bd)),
+            }
+        )
+
+    return train.map_batches(flag, batch_format="pyarrow")
+
+
+def sql_neardup_decontaminate(
+    *,
+    threshold: float = 0.5,
+    n: int = 3,
+    eval_pred: str = "doc_id % 13 = 5",
+    source: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`neardup_decontaminate` — the exact Jaccard
+    law of :func:`sql_ngram_jaccard` joined across the two slices."""
+    return f"""
+WITH {sql_grams_cte(n, source, text)},
+tr AS (SELECT doc_id, g FROM grams WHERE NOT ({eval_pred})
+       AND len(g) > 0),
+ev AS (SELECT doc_id, g FROM grams WHERE {eval_pred} AND len(g) > 0),
+hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM tr t JOIN ev e
+    ON len(list_intersect(t.g, e.g))::DOUBLE
+       / len(list_distinct(t.g || e.g)) >= {threshold}
+)
+SELECT t.doc_id,
+       (t.doc_id IN (SELECT doc_id FROM hits)) AS fuzzy_contaminated
+FROM tr t
+"""
+
+
 def sql_grams_cte(n: int, source: str = "documents",
                   text: str = "text") -> str:
     """``toks``/``grams`` CTE fragment (distinct word n-gram strings per

@@ -6142,6 +6142,40 @@ def _sql_contamination_overlap() -> str:
     )
 
 
+NEARDUP_DECON_T = 0.35  #: fuzzy-decon Jaccard threshold (splits at sf0.01)
+
+
+def q_decon_neardup(sf_dir: str):
+    """Fuzzy decontamination: training docs whose distinct-4-gram
+    Jaccard vs ANY eval-slice doc reaches the threshold — exact PPJoin
+    pair scan over the union in disjoint id spaces, candidate-scale
+    flag broadcast (dedup.neardup_decontaminate)."""
+    from ..dedup import neardup_decontaminate
+
+    def side(is_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            return b.filter(
+                pa.array((ids % DECON_MOD == DECON_RES) == is_eval)
+            )
+
+        return f
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    ev = docs.map_batches(side(True), batch_format="pyarrow")
+    tr = docs.map_batches(side(False), batch_format="pyarrow")
+    return neardup_decontaminate(tr, ev, threshold=NEARDUP_DECON_T, n=4)
+
+
+def _sql_decon_neardup() -> str:
+    from ..dedup import sql_neardup_decontaminate
+
+    return sql_neardup_decontaminate(
+        threshold=NEARDUP_DECON_T, n=4,
+        eval_pred=f"doc_id % {DECON_MOD} = {DECON_RES}",
+    )
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: training docs flagged when they share a
     word 4-gram with the (hash-designated) eval slice — broadcast gram
@@ -14714,6 +14748,7 @@ def queries():
         "token_budget": q_token_budget,
         "decontaminate": q_decontaminate,
         "contamination_overlap": q_contamination_overlap,
+        "decon_neardup": q_decon_neardup,
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
         "llm_prepare": q_llm_prepare,
@@ -16123,6 +16158,7 @@ def oracle_sql():
         "token_budget": _sql_token_budget(),
         "decontaminate": _sql_decontaminate(),
         "contamination_overlap": _sql_contamination_overlap(),
+        "decon_neardup": _sql_decon_neardup(),
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
         "llm_prepare": _sql_llm_prepare(),

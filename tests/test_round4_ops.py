@@ -242,3 +242,27 @@ def test_contamination_overlap_planted(ray_session):
     assert list(out["n_hit"]) == [2, 0, 1]
     assert out["overlap_frac"].iloc[0] == 1.0
     assert out["overlap_frac"].iloc[1] == 0.0
+
+
+def test_neardup_decontaminate_planted(ray_session):
+    from pygridmap_ray.dedup import neardup_decontaminate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the tall green hills tonight"
+    )
+    tr = _kv_ds(
+        [
+            {"doc_id": 0, "text": base.replace("lazy", "sleepy")},  # near
+            {"doc_id": 1, "text": "entirely different words here now"},
+            {"doc_id": 2, "text": base},                            # exact
+        ]
+    )
+    ev = _kv_ds([{"doc_id": 0, "text": base}])
+    out = (
+        neardup_decontaminate(tr, ev, threshold=0.5, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["fuzzy_contaminated"]) == [True, False, True]
