@@ -269,6 +269,8 @@ def _secondary() -> dict:
         ("token_budget", q.q_token_budget),
         ("contamination_overlap", q.q_contamination_overlap),
         ("decon_neardup", q.q_decon_neardup),
+        ("curriculum_rank", q.q_curriculum_rank),
+        ("mix_weights", q.q_mix_weights),
     ]:
 
         def once(fn=fn):

@@ -6142,6 +6142,115 @@ def _sql_contamination_overlap() -> str:
     )
 
 
+def q_mix_weights(sf_dir: str):
+    """Data-mixing weights: per-source sampling weight that moves the
+    observed token share to a UNIFORM target (weight = target_share /
+    observed_share) — the reweighting step of a multi-domain training
+    mix.  One token-count combiner + a bounded source-domain aggregate;
+    the final is domain-bounded so it folds on the driver (SCALE.md
+    driver-fold law).  Float law shared with the twin: obs_share =
+    round6(n_tokens / total); mix_weight = round6((1.0 / n_sources) /
+    (n_tokens * 1.0 / total)) — same literals, same op order."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..text import token_count
+
+    agg = (
+        _docs(sf_dir, ("doc_id", "source", "text"))
+        .map_batches(token_count, batch_format="pyarrow")
+        .select_columns(["source", "n_tokens"])
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Count(alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    tot = float(agg["n_tokens"].sum())
+    k = len(agg)
+    n = agg["n_tokens"].to_numpy(np.float64)
+    obs = n * 1.0 / tot
+    w = (1.0 / k) / (n * 1.0 / tot)
+
+    def r6(x):
+        return np.floor(np.abs(x) * 1e6 + 0.5) / 1e6 * np.sign(x)
+
+    out = pd.DataFrame(
+        {
+            "source": agg["source"],
+            "n_docs": agg["n_docs"].astype(np.int64),
+            "n_tokens": agg["n_tokens"].astype(np.int64),
+            "obs_share": r6(obs),
+            "mix_weight": r6(w),
+        }
+    )
+    return rd.from_pandas(out)
+
+
+def _sql_mix_weights() -> str:
+    return """
+WITH tc AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs,
+         SUM(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens)::BIGINT AS t, COUNT(*)::BIGINT AS k FROM tc)
+SELECT source, n_docs, n_tokens,
+  ROUND((n_tokens * 1.0 / tot.t) * 1e6) / 1e6 AS obs_share,
+  ROUND(((1.0 / tot.k) / (n_tokens * 1.0 / tot.t)) * 1e6) / 1e6
+    AS mix_weight
+FROM tc, tot
+"""
+
+
+def q_curriculum_rank(sf_dir: str):
+    """Quality-curriculum global ordering: dense 0-based rank under
+    (quality DESC, doc_id ASC) via the distributed prefix sum over a
+    packed (1e6 - quality-micro, doc_id) order key — the curriculum
+    layout step, same cost class as one range shuffle, no global sort
+    materialization (pack.global_prefix_sum)."""
+    from ..pack import global_prefix_sum
+    from ..text import quality_score
+
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        quality_score, batch_format="pyarrow"
+    )
+
+    def pack_key(b: pa.Table) -> pa.Table:
+        q = np.asarray(b["quality"], np.float64)
+        qint = np.floor(q * 1e6 + 0.5).astype(np.int64)
+        did = np.asarray(b["doc_id"], np.int64)
+        key = (np.int64(1_000_000) - qint) * np.int64(1 << 31) + did
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "quality": pa.array(qint / 1e6),
+                "__ok": pa.array(key),
+                "__one": pa.array(np.ones(len(did), np.int64)),
+            }
+        )
+
+    out = global_prefix_sum(
+        ds.map_batches(pack_key, batch_format="pyarrow"),
+        order_col="__ok", value_col="__one", out_col="crank",
+    )
+    return out.select_columns(["doc_id", "quality", "crank"])
+
+
+def _sql_curriculum_rank() -> str:
+    from ..text import sql_quality_score
+
+    return f"""
+WITH qs AS ({sql_quality_score()})
+SELECT doc_id, ROUND(quality * 1e6) / 1e6 AS quality,
+  (ROW_NUMBER() OVER (
+     ORDER BY ROUND(quality * 1e6) DESC, doc_id) - 1)::BIGINT AS crank
+FROM qs
+"""
+
+
 NEARDUP_DECON_T = 0.35  #: fuzzy-decon Jaccard threshold (splits at sf0.01)
 
 
@@ -14749,6 +14858,8 @@ def queries():
         "decontaminate": q_decontaminate,
         "contamination_overlap": q_contamination_overlap,
         "decon_neardup": q_decon_neardup,
+        "curriculum_rank": q_curriculum_rank,
+        "mix_weights": q_mix_weights,
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
         "llm_prepare": q_llm_prepare,
@@ -16159,6 +16270,8 @@ def oracle_sql():
         "decontaminate": _sql_decontaminate(),
         "contamination_overlap": _sql_contamination_overlap(),
         "decon_neardup": _sql_decon_neardup(),
+        "curriculum_rank": _sql_curriculum_rank(),
+        "mix_weights": _sql_mix_weights(),
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
         "llm_prepare": _sql_llm_prepare(),
