@@ -668,9 +668,13 @@ def cooccurrence_edge_table(
     consumers."""
     num_buckets = _resolve_buckets(num_buckets)
     partials = _coocc_pair_partials(ds, group_col, item_col, num_buckets)
-    # final: per-batch partials of one pair may span buckets of stage 1;
-    # reduce on the driver over (pk, cnt) partial rows — pair-vocabulary
-    # scale, then threshold
+    return _fold_pair_partials_table(partials, min_weight)
+
+
+def _fold_pair_partials_table(partials, min_weight: int) -> pa.Table:
+    """Driver fold of the (pk, cnt) pair partials: one per-batch partial
+    of a pair may span stage-1 buckets, so totals reduce on the driver
+    over pair-vocabulary-scale rows, then threshold."""
     parts = [
         (np.asarray(b["pk"], np.int64), np.asarray(b["cnt"], np.int64))
         for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
@@ -1943,6 +1947,14 @@ def cooccurrence_edges_ds(
 
     num_buckets = _resolve_buckets(num_buckets)
     partials = _coocc_pair_partials(ds, group_col, item_col, num_buckets)
+    return _fold_pair_partials_ds(partials, min_weight, num_buckets)
+
+
+def _fold_pair_partials_ds(partials, min_weight: int, num_buckets: int):
+    """Distributed fold of the (pk, cnt) pair partials: a second coarse
+    shuffle on PAIR hash co-locates every partial of a pair; each
+    bucket sums and thresholds vectorized."""
+    import pandas as pd
 
     def rebucket(b: pa.Table) -> pa.Table:
         pk = np.asarray(b["pk"], np.int64)

@@ -11467,40 +11467,33 @@ COOCC_DRIVER_GATE = 2_000_000
 
 
 def _coocc_edges_gated(sf_dir: str):
-    """Supplier co-purchase edge fixture with the fold DISTRIBUTED
-    (graph.cooccurrence_edges_ds — pair totals never touch the driver)
-    and a count-gated hand-off: returns (edges_table, None) when the
-    thresholded set fits the driver census, (None, edges_ds) above."""
+    """Supplier co-purchase edge fixture with a PARTIALS-count-gated
+    fold: the (pk, cnt) pair partials materialize once; at or below
+    COOCC_DRIVER_GATE partial rows they fold on the driver (one
+    vectorized reduce — partial rows upper-bound the edge count, so the
+    gate is conservative) and the census gets a table; above it the
+    fold is a second coarse shuffle (graph._fold_pair_partials_ds) and
+    the edge set STAYS a Dataset for the distributed census.  Returns
+    (edges_table, None) or (None, edges_ds)."""
     import ray.data as rd
 
-    from ..graph import cooccurrence_edges_ds
+    from ..cluster import resolve_num_buckets
+    from ..graph import (
+        _coocc_pair_partials,
+        _fold_pair_partials_ds,
+        _fold_pair_partials_table,
+    )
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
     )
-    eds = cooccurrence_edges_ds(
-        line, "l_orderkey", "l_suppkey", min_weight=TRI_MINW
+    nb = resolve_num_buckets(None)
+    partials = _coocc_pair_partials(
+        line, "l_orderkey", "l_suppkey", nb
     ).materialize()
-    if eds.count() > COOCC_DRIVER_GATE:
-        return None, eds
-    tabs = [
-        t
-        for t in eds.iter_batches(batch_size=None, batch_format="pyarrow")
-        if t.num_rows
-    ]
-    if not tabs:
-        return (
-            pa.table(
-                {
-                    "u": pa.array([], pa.int64()),
-                    "v": pa.array([], pa.int64()),
-                    "w": pa.array([], pa.int64()),
-                }
-            ),
-            None,
-        )
-    return pa.concat_tables(tabs).sort_by([("u", "ascending"),
-                                           ("v", "ascending")]), None
+    if partials.count() > COOCC_DRIVER_GATE:
+        return None, _fold_pair_partials_ds(partials, TRI_MINW, nb)
+    return _fold_pair_partials_table(partials, TRI_MINW), None
 
 
 def q_triangle_stats(sf_dir: str):
