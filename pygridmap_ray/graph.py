@@ -2298,6 +2298,79 @@ def local_clustering_distributed(
 
 
 
+def _sssp_sharded(eds, nodes_ds, seeds, *, a_col: str, b_col: str,
+                  w_col: str, max_hops: int):
+    """Bounded-hop Bellman-Ford with SHARDED distance state — the
+    above-the-gate branch of :func:`sssp_hops`: reached (node, cost)
+    rows live in a Dataset; each of the exactly ``max_hops`` supersteps
+    is one partitioned ``safe_join`` of the edge set against the
+    current state (relax: cost + w to each head) followed by a coarse
+    per-target min over state ∪ candidates.  Nothing node- or
+    edge-scale lands on the driver; returns a Dataset (node, cost)
+    sorted by node."""
+    import ray.data as rd
+
+    from .cluster import compact_blocks, default_num_partitions, safe_join
+
+    wparts = default_num_partitions()
+    I = pa.int64()
+    edge_schema = pa.schema([(a_col, I), (b_col, I), (w_col, I)])
+    st_schema = pa.schema([("v", I), ("cost", I)])
+    edges_c = compact_blocks(eds.repartition(wparts), edge_schema)
+    sv = np.unique(np.asarray(seeds, np.int64))
+    seed_ds = rd.from_arrow(
+        pa.table(
+            {"v": pa.array(sv), "cost": pa.array(
+                np.zeros(len(sv), np.int64))}
+        )
+    )
+    # seeds outside the node universe drop (broadcast-path parity)
+    state = compact_blocks(
+        safe_join(
+            compact_blocks(seed_ds, st_schema),
+            nodes_ds,
+            "inner",
+            num_partitions=wparts,
+            on=("v",),
+            left_schema=st_schema,
+            right_schema=pa.schema([("v", I)]),
+        ),
+        st_schema,
+    )
+
+    def relax(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": pc.cast(b[b_col], I),
+                "cost": pa.array(
+                    np.asarray(b["cost"], np.int64)
+                    + np.asarray(b[w_col], np.int64)
+                ),
+            }
+        )
+
+    for _ in range(max_hops):
+        msgs = safe_join(
+            edges_c, state, "inner", num_partitions=wparts,
+            on=(a_col,), right_on=("v",), right_schema=st_schema,
+        )
+        cand = msgs.map_batches(relax, batch_format="pyarrow")
+        state = compact_blocks(
+            _coarse_reduce_by_key(
+                state.union(cand), "v", "cost", op="min",
+                out_key="v", out_val="cost",
+            ),
+            st_schema,
+        )
+    return (
+        state.map_batches(
+            lambda b: pa.table({"node": b["v"], "cost": b["cost"]}),
+            batch_format="pyarrow",
+        )
+        .sort("node")
+    )
+
+
 def sssp_hops(
     edges,
     seeds: np.ndarray,
@@ -2324,34 +2397,36 @@ def sssp_hops(
     lexsort + ``np.minimum.reduceat`` — no joins, no fine groupbys.
     Only edges whose tail improved last round relax (frontier-active
     law), so converged regions stop paying.  Beyond the broadcast gate
-    the distance state shards into a Dataset and each pass becomes a
-    partitioned `cluster.safe_join` (the bfs_hops distributed shape)."""
+    the distance state shards into a Dataset and each superstep is a
+    partitioned `cluster.safe_join` relaxation + coarse per-target min
+    (:func:`_sssp_sharded`) — that branch returns a ``Dataset`` of
+    (node, cost), node-scale output staying distributed."""
     import ray
 
     INF = np.int64(1 << 62)
     eds = edges.materialize()
-
-    def _ends(b: pa.Table) -> pa.Table:
-        u = np.unique(
+    # node census stays distributed; only the count gates the branch
+    nodes_ds = _endpoint_distinct(eds, a_col, b_col).materialize()
+    n_nodes = nodes_ds.count()
+    if n_nodes > broadcast_state_limit:
+        return _sssp_sharded(
+            eds, nodes_ds, seeds, a_col=a_col, b_col=b_col, w_col=w_col,
+            max_hops=max_hops,
+        )
+    if n_nodes:
+        nodes = np.sort(
             np.concatenate(
-                [np.asarray(b[a_col], np.int64),
-                 np.asarray(b[b_col], np.int64)]
+                [
+                    np.asarray(b["v"], np.int64)
+                    for b in nodes_ds.iter_batches(
+                        batch_size=None, batch_format="pyarrow"
+                    )
+                ]
             )
         )
-        return pa.table({"v": pa.array(u)})
-
-    ends = pa.concat_tables(
-        eds.map_batches(_ends, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    )
-    nodes = np.unique(np.asarray(ends["v"], np.int64))
+    else:
+        nodes = np.empty(0, np.int64)
     n = len(nodes)
-    if n > broadcast_state_limit:
-        raise NotImplementedError(
-            "sssp beyond the broadcast state gate needs the sharded-"
-            "state safe_join path (bfs_hops distributed shape)"
-        )
     dist = np.full(n, INF, dtype=np.int64)
     seeds = np.unique(np.asarray(seeds, np.int64))
     sidx = np.searchsorted(nodes, seeds)

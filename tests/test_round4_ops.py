@@ -266,3 +266,32 @@ def test_neardup_decontaminate_planted(ray_session):
         .reset_index(drop=True)
     )
     assert list(out["fuzzy_contaminated"]) == [True, False, True]
+
+
+def test_sssp_sharded_path_matches_broadcast(ray_session):
+    """Beyond the broadcast gate sssp_hops must run the sharded
+    Bellman-Ford (no NotImplementedError) and agree with the broadcast
+    solve; gate forced to 0."""
+    import ray.data as rd
+
+    from pygridmap_ray.graph import sssp_hops
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([0, 0, 1, 2, 3, 9], pa.int64()),
+                "b": pa.array([1, 2, 3, 3, 4, 0], pa.int64()),
+                "w": pa.array([1, 5, 1, 1, 7, 2], pa.int64()),
+            }
+        )
+    )
+    seeds = np.array([0, 77], np.int64)  # 77 not in the graph: drops
+    bc = sssp_hops(edges, seeds, max_hops=3)
+    bc = bc.to_pandas() if hasattr(bc, "to_pandas") else bc.to_pandas()
+    sh = sssp_hops(edges, seeds, max_hops=3, broadcast_state_limit=0)
+    sh = sh.to_pandas()
+    bc = bc.sort_values("node").reset_index(drop=True)
+    sh = sh.sort_values("node").reset_index(drop=True)
+    assert bc.equals(sh)
+    got = dict(zip(bc["node"], bc["cost"]))
+    assert got == {0: 0, 1: 1, 2: 5, 3: 2, 4: 9}
