@@ -180,12 +180,6 @@ def pagerank(
             pa.table({"v": pa.array(ids), "pr_scaled": pa.array(out)})
         )
 
-    if seed_nodes is not None:
-        raise NotImplementedError(
-            "personalized pagerank above the broadcast gate needs a "
-            "node-universe LEFT join per superstep (seeds themselves "
-            "stay broadcastable)"
-        )
     # big-graph path: the state is a Dataset, attached per superstep with
     # a partitioned hash join.  No safe_join guard needed: this path only
     # runs above the broadcast limit (nodes >> join width), and every
@@ -215,17 +209,63 @@ def pagerank(
 
     n = deg_ds.count()
     nf = float(n)
-    teleport = (1.0 - damping) / nf
+    sv = None
+    if seed_nodes is not None:
+        # PERSONALIZED restart: teleport mass splits over the seeds
+        # PRESENT in the graph — seeds stay broadcastable (tiny array
+        # in the update closures), only the rank state is sharded
+        sv = np.unique(np.asarray(seed_nodes, np.int64))
 
-    pr = deg_ds.map_batches(
+        def _member(b: pa.Table) -> pa.Table:
+            m = np.isin(np.asarray(b["src"], np.int64), sv)
+            return pa.table({"m": pa.array(m.astype(np.int64))})
+
+        k = float(
+            deg_ds.map_batches(_member, batch_format="pyarrow").sum("m")
+            or 0
+        )
+        teleport = (1.0 - damping) / k
+        init_val = 1.0 / k
+    else:
+        teleport = (1.0 - damping) / nf
+        init_val = 1.0 / nf
+
+    def _init(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["src"], np.int64)
+        if sv is None:
+            p0 = np.full(len(v), init_val)
+        else:
+            p0 = np.where(np.isin(v, sv), init_val, 0.0)
+        return pa.table({"v": b["src"], "pr": pa.array(p0)})
+
+    pr = deg_ds.map_batches(_init, batch_format="pyarrow").materialize()
+    # zero-contribution universe rows: unioned into every superstep's
+    # sum so nodes with no inbound mass KEEP their teleport (and keep
+    # contributing) instead of silently dropping out of the state
+    zeros = deg_ds.map_batches(
         lambda b: pa.table(
             {
-                "v": b["src"],
-                "pr": pa.nulls(b.num_rows, pa.float64()).fill_null(1.0 / nf),
+                "dst": b["src"],
+                "val": pa.nulls(b.num_rows, pa.float64()).fill_null(0.0),
             }
         ),
         batch_format="pyarrow",
     ).materialize()
+
+    def _update(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["dst"], np.int64)
+        if sv is None:
+            tv = np.full(len(v), teleport)
+        else:
+            tv = np.where(np.isin(v, sv), teleport, 0.0)
+        return pa.table(
+            {
+                "v": b["dst"],
+                "pr": pa.array(
+                    tv + damping * np.asarray(b["val"], np.float64)
+                ),
+            }
+        )
 
     for _ in range(iters):
         state = pr.map_batches(
@@ -243,18 +283,9 @@ def pagerank(
             ),
             batch_format="pyarrow",
         )
-        summed = _coarse_sum(contrib, ["dst"])
+        summed = _coarse_sum(contrib.union(zeros), ["dst"])
         pr = summed.map_batches(
-            lambda b: pa.table(
-                {
-                    "v": b["dst"],
-                    "pr": pc.add(
-                        pa.scalar(teleport),
-                        pc.multiply(pa.scalar(damping), b["val"]),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
+            _update, batch_format="pyarrow"
         ).materialize()
 
     def finish(b: pa.Table) -> pa.Table:

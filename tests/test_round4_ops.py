@@ -295,3 +295,35 @@ def test_sssp_sharded_path_matches_broadcast(ray_session):
     assert bc.equals(sh)
     got = dict(zip(bc["node"], bc["cost"]))
     assert got == {0: 0, 1: 1, 2: 5, 3: 2, 4: 9}
+
+
+def test_pagerank_distributed_matches_broadcast_and_ppr(ray_session):
+    """Forced above the gate, pagerank (standard AND personalized) must
+    agree with the broadcast solve at the 6dp rounding step — including
+    nodes with no inbound edges, which the distributed update must keep
+    at their teleport instead of dropping."""
+    import ray.data as rd
+
+    from pygridmap_ray.graph import pagerank
+
+    # doubled edges + one pure source node (8 -> 0 only)
+    u = [0, 1, 2, 3, 4, 0, 2, 8]
+    v = [1, 2, 3, 4, 0, 2, 0, 0]
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(u, pa.int64()),
+                  "dst": pa.array(v, pa.int64())})
+    )
+    for seeds in (None, np.array([0, 2], np.int64)):
+        bc = (
+            pagerank(edges, iters=4, seed_nodes=seeds)
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        )
+        dist = (
+            pagerank(
+                edges, iters=4, seed_nodes=seeds,
+                broadcast_state_limit=0,
+            )
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        )
+        assert list(bc["v"]) == list(dist["v"])
+        assert np.allclose(bc["pr_scaled"], dist["pr_scaled"], atol=2e-6)
