@@ -271,6 +271,7 @@ def _secondary() -> dict:
         ("decon_neardup", q.q_decon_neardup),
         ("curriculum_rank", q.q_curriculum_rank),
         ("mix_weights", q.q_mix_weights),
+        ("ngram_diversity", q.q_ngram_diversity),
     ]:
 
         def once(fn=fn):

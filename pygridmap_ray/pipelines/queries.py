@@ -6142,6 +6142,23 @@ def _sql_contamination_overlap() -> str:
     )
 
 
+def q_ngram_diversity(sf_dir: str):
+    """Per-source bigram diversity (type-token ratio): combiner totals +
+    one coarse gram-hash distinct shuffle (text.ngram_diversity) — the
+    mode-collapse / boilerplate slice diagnostic."""
+    from ..text import ngram_diversity
+
+    return ngram_diversity(
+        _docs(sf_dir, ("doc_id", "source", "text")), n=2
+    )
+
+
+def _sql_ngram_diversity() -> str:
+    from ..text import sql_ngram_diversity
+
+    return sql_ngram_diversity(n=2)
+
+
 def q_mix_weights(sf_dir: str):
     """Data-mixing weights: per-source sampling weight that moves the
     observed token share to a UNIFORM target (weight = target_share /
@@ -14853,6 +14870,7 @@ def queries():
         "decon_neardup": q_decon_neardup,
         "curriculum_rank": q_curriculum_rank,
         "mix_weights": q_mix_weights,
+        "ngram_diversity": q_ngram_diversity,
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
         "llm_prepare": q_llm_prepare,
@@ -16265,6 +16283,7 @@ def oracle_sql():
         "decon_neardup": _sql_decon_neardup(),
         "curriculum_rank": _sql_curriculum_rank(),
         "mix_weights": _sql_mix_weights(),
+        "ngram_diversity": _sql_ngram_diversity(),
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
         "llm_prepare": _sql_llm_prepare(),

@@ -678,6 +678,163 @@ def ngram_counts_partial(
     )
 
 
+def ngram_diversity(
+    ds,
+    *,
+    n: int = 2,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_to: int = 6,
+    num_buckets: int | None = None,
+):
+    """Per-group n-gram diversity (type-token ratio): one row per group
+    with the TOTAL word n-gram count, the DISTINCT n-gram count, and
+    ``ttr = round(n_distinct / n_grams)`` — the cheap mode-collapse /
+    boilerplate diagnostic of a corpus slice.
+
+    Scale shape: totals are a pure combiner (per-batch counts ->
+    bounded-group sum); distincts shuffle only per-batch-distinct
+    (group, gram-hash) pairs on ONE coarse gram-hash bucket (every
+    copy of a pair shares a bucket, so per-bucket dedup is global),
+    fold to per-(group, bucket) partial counts, and sum over the
+    BOUNDED group domain.  Gram identity is the 61-bit polynomial
+    hash family (collisions ~2^-61, the engine-wide convention)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _shingle_hashes
+
+    num_buckets = _resolve_buckets(num_buckets)
+
+    def totals(b: pa.Table) -> pa.Table:
+        # raw window MULTISET count is pure arithmetic on token counts:
+        # ntok - min(n, ntok) + 1 windows per doc with >= 1 token
+        # (shingle hashes are per-doc DISTINCT, so they can't count it)
+        src = np.asarray(
+            pc.cast(b[group_col], pa.string())
+        ).astype(object)
+        ntok = np.asarray(
+            pc.count_substring_regex(
+                pc.fill_null(pc.cast(b[text_col], pa.string()), ""),
+                r"\S+",
+            ),
+            np.int64,
+        )
+        cnt = np.where(ntok > 0, ntok - np.minimum(n, ntok) + 1, 0)
+        u, inv = np.unique(src, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt, minlength=len(u))
+        return pa.table(
+            {
+                group_col: pa.array(u, pa.string()),
+                "n_grams": pa.array(tot.astype(np.int64)),
+            }
+        )
+
+    tot = (
+        ds.select_columns([group_col, text_col])
+        .map_batches(totals, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n_grams", alias_name="n_grams"))
+        .to_pandas()
+    )
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        src = np.asarray(
+            pc.cast(b[group_col], pa.string())
+        ).astype(object)
+        texts = b[text_col].to_pylist()
+        gs, ss = [], []
+        for sv, t in zip(src, texts):
+            h = np.unique(_shingle_hashes(t, n).astype(np.int64))
+            gs.append(h)
+            ss.append(np.full(len(h), sv, dtype=object))
+        if not gs:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "g": pa.array([], pa.int64()),
+                    "__cg": pa.array([], pa.int64()),
+                }
+            )
+        g = np.concatenate(gs)
+        sv = np.concatenate(ss)
+        df = pd.DataFrame({group_col: sv, "g": g}).drop_duplicates()
+        gg = df["g"].to_numpy(np.int64)
+        cg = (
+            (gg.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                group_col: pa.array(
+                    df[group_col].to_numpy(object), pa.string()
+                ),
+                "g": pa.array(gg),
+                "__cg": pa.array(cg),
+            }
+        )
+
+    def bucket_count(gdf: pd.DataFrame) -> pd.DataFrame:
+        d = gdf[[group_col, "g"]].drop_duplicates()
+        out = d.groupby(group_col, sort=False).size().reset_index(
+            name="n_distinct"
+        )
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out
+
+    dis = (
+        ds.select_columns([group_col, text_col])
+        .map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(bucket_count, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    out = tot.merge(dis, on=group_col, how="left")
+    out = out[out["n_grams"] > 0].reset_index(drop=True)  # twin's law:
+    # a group whose every doc is gram-less has no rows to aggregate
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    out["n_grams"] = out["n_grams"].astype(np.int64)
+    tol = 10.0 ** round_to
+    r = out["n_distinct"].to_numpy(np.float64) / np.maximum(
+        out["n_grams"].to_numpy(np.float64), 1.0
+    )
+    out["ttr"] = np.floor(r * tol + 0.5) / tol
+    return rd.from_pandas(out)
+
+
+def sql_ngram_diversity(
+    *,
+    n: int = 2,
+    source: str = "documents",
+    text: str = "text",
+    group: str = "source",
+) -> str:
+    """DuckDB twin of :func:`ngram_diversity` over gram STRINGS (equal
+    iff the polynomial hashes are, absent 2^-61 collisions).  RAW gram
+    multiset for the totals, DISTINCT per group for the types."""
+    return f"""
+WITH toks AS (
+  SELECT {group} AS grp, t, LEAST({n}, len(t)) AS m
+  FROM (SELECT {group}, regexp_extract_all({text}, '\S+') AS t
+        FROM {source})
+),
+g AS (
+  SELECT grp, unnest(
+    [array_to_string(list_slice(t, p, p + m - 1), chr(31))
+     for p in generate_series(1, len(t) - m + 1)]) AS gram
+  FROM toks WHERE len(t) > 0
+)
+SELECT grp AS {group}, COUNT(*)::BIGINT AS n_grams,
+  COUNT(DISTINCT gram)::BIGINT AS n_distinct,
+  ROUND((COUNT(DISTINCT gram) * 1.0
+         / GREATEST(COUNT(*), 1)) * 1e6) / 1e6 AS ttr
+FROM g GROUP BY grp
+"""
+
+
 def top_ngrams(ds, *, n: int = 2, k: int = 20, text_col: str = "text"):
     """Corpus-level top-k n-grams: per-batch combiner partials -> coarse
     hash-bucket groupby (64 groups, never one Ray group per unique

@@ -327,3 +327,24 @@ def test_pagerank_distributed_matches_broadcast_and_ppr(ray_session):
         )
         assert list(bc["v"]) == list(dist["v"])
         assert np.allclose(bc["pr_scaled"], dist["pr_scaled"], atol=2e-6)
+
+
+def test_ngram_diversity_hand_values(ray_session):
+    from pygridmap_ray.text import ngram_diversity
+
+    rows = [
+        {"doc_id": 0, "source": "a", "text": "x y x y"},   # grams: xy yx xy -> 3 total, 2 distinct
+        {"doc_id": 1, "source": "a", "text": "x y"},        # xy -> dup of above
+        {"doc_id": 2, "source": "b", "text": "p q r"},      # pq qr -> 2/2
+        {"doc_id": 3, "source": "c", "text": ""},           # gram-less: drops
+    ]
+    out = (
+        ngram_diversity(_kv_ds(rows), n=2)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert list(out["source"]) == ["a", "b"]
+    assert list(out["n_grams"]) == [4, 2]
+    assert list(out["n_distinct"]) == [2, 2]
+    assert out["ttr"].iloc[0] == 0.5 and out["ttr"].iloc[1] == 1.0
