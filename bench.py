@@ -272,6 +272,7 @@ def _secondary() -> dict:
         ("curriculum_rank", q.q_curriculum_rank),
         ("mix_weights", q.q_mix_weights),
         ("ngram_diversity", q.q_ngram_diversity),
+        ("winnow", q.q_winnow),
     ]:
 
         def once(fn=fn):

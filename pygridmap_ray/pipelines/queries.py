@@ -6142,6 +6142,23 @@ def _sql_contamination_overlap() -> str:
     )
 
 
+def q_winnow(sf_dir: str):
+    """Winnowing fingerprints (MOSS): per-doc window-min selection over
+    the md5 gram-hash sequence, rightmost tie rule — one stateless map
+    pass, no shuffle (text.winnow_fingerprints)."""
+    from ..text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(sf_dir, ("doc_id", "text")), n=3, window=4
+    )
+
+
+def _sql_winnow() -> str:
+    from ..text import sql_winnow_fingerprints
+
+    return sql_winnow_fingerprints(n=3, window=4)
+
+
 def q_ngram_diversity(sf_dir: str):
     """Per-source bigram diversity (type-token ratio): combiner totals +
     one coarse gram-hash distinct shuffle (text.ngram_diversity) — the
@@ -14871,6 +14888,7 @@ def queries():
         "curriculum_rank": q_curriculum_rank,
         "mix_weights": q_mix_weights,
         "ngram_diversity": q_ngram_diversity,
+        "winnow": q_winnow,
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
         "llm_prepare": q_llm_prepare,
@@ -16284,6 +16302,7 @@ def oracle_sql():
         "curriculum_rank": _sql_curriculum_rank(),
         "mix_weights": _sql_mix_weights(),
         "ngram_diversity": _sql_ngram_diversity(),
+        "winnow": _sql_winnow(),
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
         "llm_prepare": _sql_llm_prepare(),

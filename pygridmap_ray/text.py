@@ -835,6 +835,183 @@ FROM g GROUP BY grp
 """
 
 
+def winnow_fingerprints(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+    round_to: int = 6,
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): slide a ``window`` over the
+    word-``n``-gram hash sequence and select each window's minimum
+    (RIGHTMOST on ties); the distinct selected positions are the doc's
+    fingerprints, guaranteeing any shared substring of at least
+    ``window + n - 1`` tokens shares a fingerprint.  Emits per doc
+    ``(id_col, n_grams, n_fp, density)`` with density = round(n_fp /
+    n_grams); docs shorter than the window winnow their single
+    truncated window; token-less docs drop (the twin's law).
+
+    Scale shape: embarrassingly parallel — ONE stateless map pass, no
+    shuffle at all.  Inside a batch everything after the per-doc
+    regex tokenization is vectorized: gram STRINGS build from one
+    Arrow take + list binary_join over the flat token stream (the
+    ``dedup_lines`` explode trick, overlap via index ragging), hashes
+    are the vectorized single-block md5 law (``md5_prefix_int`` — the
+    SQL-shared identity), and the window minima fall out of one
+    lexsort over (window-id, hash, -position)."""
+    from .dedup import TOKEN_RE
+
+    w = int(window)
+    tol = 10.0 ** round_to
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], np.int64)
+        texts = b[text_col].to_pylist()
+        tok_lists = [TOKEN_RE.findall(t or "") for t in texts]
+        ntok = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64,
+            count=len(tok_lists),
+        )
+        keep = ntok > 0
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_fp": pa.array([], pa.int64()),
+                "density": pa.array([], pa.float64()),
+            }
+        )
+        if not keep.any():
+            return empty
+        import itertools
+
+        flat_toks = list(itertools.chain.from_iterable(tok_lists))
+        toks_arr = pa.array(flat_toks, pa.string())
+        doc_tok0 = np.concatenate(([0], np.cumsum(ntok)))[:-1]
+        m_doc = np.minimum(n, ntok)
+        L = np.where(keep, ntok - m_doc + 1, 0)
+        total_g = int(L.sum())
+        # gram strings: overlapping windows -> ragged index take
+        gdoc = np.repeat(np.arange(len(ids)), L)
+        gstart0 = np.concatenate(([0], np.cumsum(L)))[:-1]
+        gpos = np.arange(total_g, dtype=np.int64) - gstart0[gdoc]
+        mg = m_doc[gdoc]
+        tok_first = doc_tok0[gdoc] + gpos
+        total_m = int(mg.sum())
+        mstart = np.concatenate(([0], np.cumsum(mg)))[:-1]
+        off_in_g = np.arange(total_m, dtype=np.int64) - np.repeat(
+            mstart, mg
+        )
+        flat_idx = np.repeat(tok_first, mg) + off_in_g
+        vals = toks_arr.take(pa.array(flat_idx))
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(mg))), pa.int64()
+        )
+        grams = pc.cast(
+            pc.binary_join(
+                pa.LargeListArray.from_arrays(offsets, vals),
+                pa.scalar("\x1f"),
+            ),
+            pa.string(),
+        )
+        hv = md5_prefix_int(grams, hexdigits=15).astype(np.int64)
+        # windows: starts s in [0, max(L - w, 0)]; size min(w, L)
+        n_win = np.where(L > 0, np.maximum(L - w, 0) + 1, 0)
+        total_w = int(n_win.sum())
+        wdoc = np.repeat(np.arange(len(ids)), n_win)
+        wstart0 = np.concatenate(([0], np.cumsum(n_win)))[:-1]
+        ws_local = np.arange(total_w, dtype=np.int64) - wstart0[wdoc]
+        wsize = np.minimum(w, L)[wdoc]
+        member_first = gstart0[wdoc] + ws_local
+        total_mem = int(wsize.sum())
+        memstart = np.concatenate(([0], np.cumsum(wsize)))[:-1]
+        off_in_w = np.arange(total_mem, dtype=np.int64) - np.repeat(
+            memstart, wsize
+        )
+        member = np.repeat(member_first, wsize) + off_in_w
+        wid = np.repeat(np.arange(total_w, dtype=np.int64), wsize)
+        # rightmost minimum per window: (wid, hv asc, position desc)
+        order = np.lexsort((-member, hv[member], wid))
+        wid_s = wid[order]
+        firsts = np.flatnonzero(
+            np.concatenate([[True], wid_s[1:] != wid_s[:-1]])
+        )
+        sel = np.unique(member[order][firsts])  # distinct (doc, p, hv)
+        n_fp = np.bincount(gdoc[sel], minlength=len(ids)).astype(
+            np.int64
+        )
+        dens = np.floor(
+            n_fp / np.maximum(L, 1) * tol + 0.5
+        ) / tol  # density >= 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep]),
+                "n_grams": pa.array(L[keep]),
+                "n_fp": pa.array(n_fp[keep]),
+                "density": pa.array(dens[keep]),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow"
+    )
+
+
+def sql_winnow_fingerprints(
+    *,
+    n: int = 3,
+    window: int = 4,
+    source: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` over gram STRINGS
+    hashed with the shared md5-prefix law (identical selection,
+    absent 2^-60 collisions)."""
+    w = int(window)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t, LEAST({n}, len(t)) AS m
+  FROM (SELECT doc_id, regexp_extract_all({text}, '\S+') AS t
+        FROM {source})
+  WHERE len(t) > 0
+),
+h0 AS (
+  SELECT doc_id,
+    unnest([{{'p': p - 1,
+             'g': array_to_string(list_slice(t, p, p + m - 1), chr(31))}}
+            for p in generate_series(1, len(t) - m + 1)]) AS u
+  FROM toks
+),
+h AS (
+  SELECT doc_id, u.p AS p,
+    ('0x' || substr(md5(u.g), 1, 15))::BIGINT AS hv
+  FROM h0
+),
+win AS (SELECT doc_id, len(t) - m + 1 AS L FROM toks),
+ws AS (
+  SELECT doc_id, unnest([s for s in
+          generate_series(0, GREATEST(L - {w}, 0))]) AS s
+  FROM win
+),
+sel AS (
+  SELECT ws.doc_id, ws.s, h.p, h.hv,
+    ROW_NUMBER() OVER (PARTITION BY ws.doc_id, ws.s
+                       ORDER BY h.hv ASC, h.p DESC) AS rn
+  FROM ws JOIN h ON h.doc_id = ws.doc_id
+   AND h.p >= ws.s AND h.p < ws.s + {w}
+),
+fp AS (SELECT DISTINCT doc_id, p, hv FROM sel WHERE rn = 1)
+SELECT f.doc_id, ANY_VALUE(w.L)::BIGINT AS n_grams,
+  COUNT(*)::BIGINT AS n_fp,
+  ROUND((COUNT(*) * 1.0 / ANY_VALUE(w.L)) * 1e6) / 1e6 AS density
+FROM fp f JOIN win w ON w.doc_id = f.doc_id
+GROUP BY f.doc_id
+"""
+
+
 def top_ngrams(ds, *, n: int = 2, k: int = 20, text_col: str = "text"):
     """Corpus-level top-k n-grams: per-batch combiner partials -> coarse
     hash-bucket groupby (64 groups, never one Ray group per unique

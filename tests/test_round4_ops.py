@@ -348,3 +348,28 @@ def test_ngram_diversity_hand_values(ray_session):
     assert list(out["n_grams"]) == [4, 2]
     assert list(out["n_distinct"]) == [2, 2]
     assert out["ttr"].iloc[0] == 0.5 and out["ttr"].iloc[1] == 1.0
+
+
+def test_winnow_guarantee_and_hand_check(ray_session):
+    """Winnowing guarantee: two docs sharing a run of >= window + n - 1
+    tokens share at least one fingerprint; and density <= 1."""
+    from pygridmap_ray.text import winnow_fingerprints
+
+    shared = "aa bb cc dd ee ff"  # 6 tokens >= 4 + 3 - 1
+    rows = [
+        {"doc_id": 0, "text": f"xx yy {shared} zz"},
+        {"doc_id": 1, "text": f"{shared} qq rr ss tt"},
+        {"doc_id": 2, "text": "totally different tokens here now ok"},
+        {"doc_id": 3, "text": "ab"},  # single token: one truncated window
+    ]
+    out = (
+        winnow_fingerprints(_kv_ds(rows), n=3, window=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert (out["n_fp"] >= 1).all()
+    assert (out["n_fp"] <= out["n_grams"]).all()
+    assert out.loc[3, "n_grams"] == 1 and out.loc[3, "n_fp"] == 1
+    assert out.loc[3, "density"] == 1.0
