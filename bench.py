@@ -273,6 +273,7 @@ def _secondary() -> dict:
         ("mix_weights", q.q_mix_weights),
         ("ngram_diversity", q.q_ngram_diversity),
         ("winnow", q.q_winnow),
+        ("grid_join_counts", q.q_grid_join_counts),
     ]:
 
         def once(fn=fn):

@@ -6142,6 +6142,51 @@ def _sql_contamination_overlap() -> str:
     )
 
 
+JC_CELL = 25000.0  #: join-count cell size (occupied lattice at sf0.01)
+JC_THRESH = 2  #: black mark: cell holds >= 2 docs
+
+
+def q_grid_join_counts(sf_dir: str):
+    """Join-count statistics (BB/BW/WW rook-adjacency association) over
+    the doc point field: packed-cell count partials -> coarse sum ->
+    two key-arithmetic safe_joins of the bounded cell table
+    (spatial.grid_join_counts)."""
+    from ..spatial import grid_join_counts
+
+    return grid_join_counts(
+        docs_points(sf_dir), cell=JC_CELL, threshold=JC_THRESH
+    )
+
+
+def _sql_grid_join_counts() -> str:
+    from ..synth import sql_points_cte
+
+    return f"""
+WITH pts AS ({sql_points_cte()}),
+cells AS (
+  SELECT CAST(FLOOR(x / {JC_CELL!r}) AS BIGINT) AS ix,
+         CAST(FLOOR(y / {JC_CELL!r}) AS BIGINT) AS iy,
+         COUNT(*)::BIGINT AS c
+  FROM pts GROUP BY 1, 2
+),
+m AS (SELECT ix, iy, (c >= {JC_THRESH}) AS black FROM cells),
+pairs AS (
+  SELECT a.black AS b1, b.black AS b2
+  FROM m a JOIN m b ON b.ix = a.ix + 1 AND b.iy = a.iy
+  UNION ALL
+  SELECT a.black, b.black
+  FROM m a JOIN m b ON b.ix = a.ix AND b.iy = a.iy + 1
+)
+SELECT (SELECT COUNT(*) FROM m)::BIGINT AS n_cells,
+  COUNT(*)::BIGINT AS n_joins,
+  COALESCE(SUM(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END), 0)::BIGINT AS bb,
+  COALESCE(SUM(CASE WHEN b1 != b2 THEN 1 ELSE 0 END), 0)::BIGINT AS bw,
+  COALESCE(SUM(CASE WHEN NOT b1 AND NOT b2 THEN 1 ELSE 0 END), 0)::BIGINT
+    AS ww
+FROM pairs
+"""
+
+
 def q_winnow(sf_dir: str):
     """Winnowing fingerprints (MOSS): per-doc window-min selection over
     the md5 gram-hash sequence, rightmost tie rule — one stateless map
@@ -14873,10 +14918,6 @@ def queries():
         "fuzzy_vocab": q_fuzzy_vocab,
         "bpe_merges": q_bpe_merges,
         "record_link": q_record_link,
-        "table_profile": q_table_profile,
-        "k_anonymity": q_k_anonymity,
-        "fk_check": q_fk_check,
-        "quota_sample": q_quota_sample,
         "scc": q_scc,
         "lang_quantiles": q_lang_quantiles,
         "train_split": q_train_split,
@@ -14889,6 +14930,7 @@ def queries():
         "mix_weights": q_mix_weights,
         "ngram_diversity": q_ngram_diversity,
         "winnow": q_winnow,
+        "grid_join_counts": q_grid_join_counts,
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
         "llm_prepare": q_llm_prepare,
@@ -16287,10 +16329,6 @@ def oracle_sql():
         "fuzzy_vocab": sql_fuzzy_vocab(max_dist=2),
         "bpe_merges": _sql_bpe_merges(),
         "record_link": _sql_record_link(),
-        "table_profile": _sql_table_profile(),
-        "k_anonymity": _sql_k_anonymity(),
-        "fk_check": _sql_fk_check(),
-        "quota_sample": _sql_quota_sample(),
         "scc": _sql_scc(),
         "lang_quantiles": sql_grouped_quantiles(),
         "train_split": _sql_train_split(),
@@ -16303,6 +16341,7 @@ def oracle_sql():
         "mix_weights": _sql_mix_weights(),
         "ngram_diversity": _sql_ngram_diversity(),
         "winnow": _sql_winnow(),
+        "grid_join_counts": _sql_grid_join_counts(),
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
         "llm_prepare": _sql_llm_prepare(),

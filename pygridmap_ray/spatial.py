@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .geom.kernels import points_in_rings
 from pygridmap_ray.cluster import resolve_num_buckets as _resolve_buckets
@@ -1155,3 +1156,131 @@ def hull_boundary_support(
         if ok.any():
             keep.append(p)
     return np.asarray(keep, dtype=np.int64)
+
+_JC_OFF = np.int64(1 << 19)  # cell-index offset: indexes in (-2^19, 2^19)
+
+
+def grid_join_counts(
+    ds,
+    *,
+    cell: float,
+    threshold: int,
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Join-count statistics (the ESDA BB/BW/WW spatial-association
+    classic, Cliff & Ord): square cells of size ``cell``, a cell is
+    BLACK when it holds >= ``threshold`` points, and every rook-adjacent
+    pair of OCCUPIED cells is classified BB / BW / WW.  Returns one row
+    ``(n_cells, n_joins, bb, bw, ww)`` — BB far above (BW far below)
+    the CSR expectation means clustered marks.
+
+    Scale shape: raw points reduce to packed-cell count partials and
+    one coarse-bucket sum (lattice-bounded domain — the ripley_k
+    contract); rook adjacency is PURE KEY ARITHMETIC on the packed
+    (ix, iy) key (+2^20 for ix+1, +1 for iy+1), so the pair scan is
+    two partitioned `cluster.safe_join`s of the bounded cell table
+    against itself — no point ever meets a pair."""
+    import ray.data as rd
+
+    from .cluster import compact_blocks, default_num_partitions, safe_join
+    from .tfidf import _coarse_sum
+
+    w = default_num_partitions()
+    I = pa.int64()
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[x_col], np.float64)
+        y = np.asarray(b[y_col], np.float64)
+        ix = np.floor(x / cell).astype(np.int64) + _JC_OFF
+        iy = np.floor(y / cell).astype(np.int64) + _JC_OFF
+        if len(ix) and (
+            ix.min() < 0 or ix.max() >= (1 << 20)
+            or iy.min() < 0 or iy.max() >= (1 << 20)
+        ):
+            raise ValueError("cell indexes out of the 20-bit pack range")
+        k = (ix << np.int64(20)) | iy
+        ku, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {"k": pa.array(ku), "val": pa.array(cnt.astype(np.int64))}
+        )
+
+    cells = compact_blocks(
+        _coarse_sum(
+            ds.map_batches(cell_partial, batch_format="pyarrow"), ["k"]
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "k": pc.cast(b["k"], I),
+                    "black": pa.array(
+                        (
+                            np.asarray(b["val"], np.float64)
+                            >= threshold
+                        ).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("k", I), ("black", I)]),
+    )
+    n_cells = int(cells.count())
+    parts = []
+    for shift in (np.int64(1) << np.int64(20), np.int64(1)):
+        nbr = cells.map_batches(
+            lambda b, _s=shift: pa.table(
+                {
+                    "kn": pa.array(np.asarray(b["k"], np.int64) - _s),
+                    "black_b": b["black"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        pairs = safe_join(
+            cells, compact_blocks(
+                nbr, pa.schema([("kn", I), ("black_b", I)])
+            ),
+            "inner", num_partitions=w,
+            on=("k",), right_on=("kn",),
+            left_schema=pa.schema([("k", I), ("black", I)]),
+            right_schema=pa.schema([("kn", I), ("black_b", I)]),
+        )
+        parts.append(
+            pairs.map_batches(
+                lambda b: pa.table(
+                    {
+                        "bb": pa.array(
+                            (
+                                np.asarray(b["black"], np.int64)
+                                & np.asarray(b["black_b"], np.int64)
+                            )
+                        ),
+                        "bw": pa.array(
+                            (
+                                np.asarray(b["black"], np.int64)
+                                ^ np.asarray(b["black_b"], np.int64)
+                            )
+                        ),
+                        "one": pa.array(
+                            np.ones(b.num_rows, np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+    tot = parts[0].union(parts[1]).materialize()
+    n_joins = int(tot.sum("one") or 0)
+    bb = int(tot.sum("bb") or 0)
+    bw = int(tot.sum("bw") or 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([n_cells], I),
+                "n_joins": pa.array([n_joins], I),
+                "bb": pa.array([bb], I),
+                "bw": pa.array([bw], I),
+                "ww": pa.array([n_joins - bb - bw], I),
+            }
+        )
+    )

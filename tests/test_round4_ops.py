@@ -373,3 +373,23 @@ def test_winnow_guarantee_and_hand_check(ray_session):
     assert (out["n_fp"] <= out["n_grams"]).all()
     assert out.loc[3, "n_grams"] == 1 and out.loc[3, "n_fp"] == 1
     assert out.loc[3, "density"] == 1.0
+
+
+def test_grid_join_counts_hand_lattice(ray_session):
+    from pygridmap_ray.spatial import grid_join_counts
+
+    # 2x2 occupied lattice: cells (0,0)B (0,1)W (1,0)W (1,1)B with
+    # threshold 2; 4 rook joins, all BW
+    pts = []
+    for (cx, cy), k in [((0, 0), 2), ((0, 1), 1), ((1, 0), 1), ((1, 1), 3)]:
+        pts += [
+            {"doc_id": len(pts) + i, "x": cx * 10.0 + 5.0,
+             "y": cy * 10.0 + 5.0}
+            for i in range(k)
+        ]
+    out = (
+        grid_join_counts(_kv_ds(pts), cell=10.0, threshold=2)
+        .to_pandas().iloc[0]
+    )
+    assert out["n_cells"] == 4 and out["n_joins"] == 4
+    assert out["bb"] == 0 and out["ww"] == 0 and out["bw"] == 4
