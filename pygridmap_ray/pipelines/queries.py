@@ -5332,7 +5332,7 @@ def _sql_lang_confusion() -> str:
     )
 
 
-def q_table_profile(sf_dir: str):
+def q_numeric_profile(sf_dir: str):
     """Data-quality profile of lineitem's numeric columns: per column
     (n, nulls, min, max, sum) from ONE combiner pass — each batch emits
     one row per column, the tiny groupby folds them (the expectations/
@@ -5385,7 +5385,7 @@ def q_table_profile(sf_dir: str):
     )
 
 
-def _sql_table_profile() -> str:
+def _sql_numeric_profile() -> str:
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     parts = [
         (
@@ -14947,6 +14947,7 @@ def queries():
         "lang_confusion": q_lang_confusion,
         "distinct_count": q_distinct_count,
         "table_profile": q_table_profile,
+        "numeric_profile": q_numeric_profile,
         "k_anonymity": q_k_anonymity,
         "fk_check": q_fk_check,
         "quota_sample": q_quota_sample,
@@ -16358,6 +16359,7 @@ def oracle_sql():
         "lang_confusion": _sql_lang_confusion(),
         "distinct_count": _sql_distinct_count(),
         "table_profile": _sql_table_profile(),
+        "numeric_profile": _sql_numeric_profile(),
         "k_anonymity": _sql_k_anonymity(),
         "fk_check": _sql_fk_check(),
         "quota_sample": _sql_quota_sample(),
