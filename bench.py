@@ -274,6 +274,7 @@ def _secondary() -> dict:
         ("ngram_diversity", q.q_ngram_diversity),
         ("winnow", q.q_winnow),
         ("grid_join_counts", q.q_grid_join_counts),
+        ("dup_cluster_sizes", q.q_dup_cluster_sizes),
     ]:
 
         def once(fn=fn):

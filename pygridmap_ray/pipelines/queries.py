@@ -6142,6 +6142,78 @@ def _sql_contamination_overlap() -> str:
     )
 
 
+def q_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size histogram — the dedup-audit report: docs
+    cluster by the md5 of their first-4-token prefix (the fixture's
+    stand-in for a content hash; full-text md5 is the same plan) and
+    one row per observed cluster size counts the clusters.
+
+    Scale shape: text reduces to an 8-byte hash in the first map;
+    cluster sizes fold in ONE coarse hash shuffle; the size histogram
+    is a bounded-domain aggregate (sizes are small integers)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..text import md5_prefix_int
+
+    def hash_partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        from ..dedup import TOKEN_RE
+
+        pref = [
+            "\x1f".join(TOKEN_RE.findall(t or "")[:4]) for t in texts
+        ]
+        h = md5_prefix_int(pa.array(pref, pa.string()), hexdigits=15)
+        k = h.astype(np.int64)
+        ku, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {"k": pa.array(ku), "val": pa.array(cnt.astype(np.int64))}
+        )
+
+    from ..tfidf import _coarse_sum
+
+    sizes = _coarse_sum(
+        _docs(sf_dir, ("doc_id", "text")).map_batches(
+            hash_partial, batch_format="pyarrow"
+        ),
+        ["k"],
+    )
+
+    def hist_partial(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["val"].to_numpy(np.float64).astype(np.int64)
+        u, c = np.unique(s, return_counts=True)
+        return pd.DataFrame(
+            {"size": u, "n_clusters": c.astype(np.int64)}
+        )
+
+    out = (
+        sizes.map_batches(
+            lambda b: pa.Table.from_pandas(
+                hist_partial(b.to_pandas()), preserve_index=False
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )
+    return out.sort("size")
+
+
+def _sql_dup_cluster_sizes() -> str:
+    return """
+WITH t AS (
+  SELECT regexp_extract_all(text, '\S+') AS t FROM documents
+),
+h AS (
+  SELECT md5(array_to_string(list_slice(t, 1, 4), chr(31))) AS h FROM t
+),
+c AS (SELECT h, COUNT(*)::BIGINT AS s FROM h GROUP BY h)
+SELECT s AS size, COUNT(*)::BIGINT AS n_clusters
+FROM c GROUP BY s ORDER BY s
+"""
+
+
 JC_CELL = 25000.0  #: join-count cell size (occupied lattice at sf0.01)
 JC_THRESH = 2  #: black mark: cell holds >= 2 docs
 
@@ -14931,6 +15003,7 @@ def queries():
         "ngram_diversity": q_ngram_diversity,
         "winnow": q_winnow,
         "grid_join_counts": q_grid_join_counts,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
         "llm_prepare": q_llm_prepare,
@@ -16343,6 +16416,7 @@ def oracle_sql():
         "ngram_diversity": _sql_ngram_diversity(),
         "winnow": _sql_winnow(),
         "grid_join_counts": _sql_grid_join_counts(),
+        "dup_cluster_sizes": _sql_dup_cluster_sizes(),
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
         "llm_prepare": _sql_llm_prepare(),
