@@ -275,6 +275,7 @@ def _secondary() -> dict:
         ("winnow", q.q_winnow),
         ("grid_join_counts", q.q_grid_join_counts),
         ("dup_cluster_sizes", q.q_dup_cluster_sizes),
+        ("fd_check", q.q_fd_check),
     ]:
 
         def once(fn=fn):

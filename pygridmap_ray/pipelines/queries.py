@@ -6142,6 +6142,87 @@ def _sql_contamination_overlap() -> str:
     )
 
 
+_FD_CHECKS = [
+    # (name, table, key col, dependent col) — A -> B holds when every A
+    # value maps to exactly one distinct B
+    ("documents.doc_id->lang", "documents", "doc_id", "lang"),
+    ("documents.source->lang", "documents", "source", "lang"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+]
+
+
+def q_fd_check(sf_dir: str):
+    """Functional-dependency audit (the DQ profiling companion of
+    fk_check): per declared A -> B, the distinct-A count and how many
+    A values map to MORE than one distinct B.  Per check: per-batch
+    distinct (A, B) partials -> ONE coarse A-hash shuffle (all copies
+    of an A co-locate, so per-A distinct-B counts are exact in-bucket)
+    -> two scalars; only distinct pairs ever move."""
+    import pandas as pd
+    import ray.data as rd
+
+    names, nk, nv = [], [], []
+    nb = np.uint64(_resolve_buckets(None))
+    for name, tbl, a_col, b_col in _FD_CHECKS:
+        ds = rd.read_parquet(
+            f"{sf_dir}/{tbl}.parquet", columns=[a_col, b_col]
+        )
+
+        def part(b: pa.Table, _a=a_col, _b=b_col) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "a": np.asarray(
+                        pc.cast(b[_a], pa.string())
+                    ).astype(object),
+                    "b": np.asarray(
+                        pc.cast(b[_b], pa.string())
+                    ).astype(object),
+                }
+            ).drop_duplicates()
+            h = pd.util.hash_array(df["a"].to_numpy(object))
+            df["__cg"] = (h % nb).astype(np.int64)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            d = g[["a", "b"]].drop_duplicates()
+            per = d.groupby("a", sort=False)["b"].nunique()
+            return pd.DataFrame(
+                {
+                    "n_keys": [np.int64(len(per))],
+                    "n_violating": [np.int64(int((per > 1).sum()))],
+                }
+            )
+
+        parts = (
+            ds.map_batches(part, batch_format="pyarrow")
+            .groupby("__cg")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas()
+        )
+        names.append(name)
+        nk.append(int(parts["n_keys"].sum()))
+        nv.append(int(parts["n_violating"].sum()))
+    return pa.table(
+        {
+            "fd": pa.array(names, pa.string()),
+            "n_keys": pa.array(nk, pa.int64()),
+            "n_violating": pa.array(nv, pa.int64()),
+        }
+    )
+
+
+def _sql_fd_check() -> str:
+    arms = []
+    for name, tbl, a_col, b_col in _FD_CHECKS:
+        arms.append(
+            f"SELECT '{name}' AS fd, COUNT(*)::BIGINT AS n_keys, "
+            f"COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0)::BIGINT"
+            f" AS n_violating FROM (SELECT {a_col}, "
+            f"COUNT(DISTINCT {b_col}) AS c FROM {tbl} GROUP BY {a_col})"
+        )
+    return " UNION ALL ".join(arms)
+
+
 def q_dup_cluster_sizes(sf_dir: str):
     """Duplicate-cluster size histogram — the dedup-audit report: docs
     cluster by the md5 of their first-4-token prefix (the fixture's
@@ -15004,6 +15085,7 @@ def queries():
         "winnow": q_winnow,
         "grid_join_counts": q_grid_join_counts,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        "fd_check": q_fd_check,
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
         "llm_prepare": q_llm_prepare,
@@ -16417,6 +16499,7 @@ def oracle_sql():
         "winnow": _sql_winnow(),
         "grid_join_counts": _sql_grid_join_counts(),
         "dup_cluster_sizes": _sql_dup_cluster_sizes(),
+        "fd_check": _sql_fd_check(),
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
         "llm_prepare": _sql_llm_prepare(),
