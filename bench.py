@@ -276,6 +276,7 @@ def _secondary() -> dict:
         ("grid_join_counts", q.q_grid_join_counts),
         ("dup_cluster_sizes", q.q_dup_cluster_sizes),
         ("fd_check", q.q_fd_check),
+        ("quality_psi", q.q_quality_psi),
     ]:
 
         def once(fn=fn):

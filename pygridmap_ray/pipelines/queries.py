@@ -6142,6 +6142,103 @@ def _sql_contamination_overlap() -> str:
     )
 
 
+PSI_NBUCK = 10  #: fixed uniform quality buckets over [0, 1]
+
+
+def q_quality_psi(sf_dir: str):
+    """Population Stability Index between two corpus snapshots (doc_id
+    parity split) over fixed uniform quality buckets — the standard
+    data-drift monitor: psi = sum (pa - pb) * ln(pa / pb) over buckets
+    populated on BOTH sides (documented zero-bucket law), 6dp-rounded
+    terms so both sides sum identical doubles.
+
+    Scale shape: ONE pass — per-batch (side, bucket) count combiners ->
+    a bounded 2 x 10 domain fold on the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..text import quality_score
+
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        quality_score, batch_format="pyarrow"
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], np.int64)
+        q = np.asarray(b["quality"], np.float64)
+        # round6 first (the shared quality law), then bucket
+        q6 = np.floor(q * 1e6 + 0.5) / 1e6
+        bk = np.minimum(
+            (q6 * PSI_NBUCK).astype(np.int64), PSI_NBUCK - 1
+        )
+        side = (did % 2).astype(np.int64)
+        key = side * PSI_NBUCK + bk
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {"k": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cnt = np.zeros(2 * PSI_NBUCK, np.int64)
+    cnt[agg["k"].to_numpy(np.int64)] = agg["n"].to_numpy(np.int64)
+    a = cnt[:PSI_NBUCK].astype(np.float64)
+    b_ = cnt[PSI_NBUCK:].astype(np.float64)
+    ta, tb = a.sum(), b_.sum()
+    both = (a > 0) & (b_ > 0)
+
+    def r6(x):
+        return np.floor(np.abs(x) * 1e6 + 0.5) / 1e6 * np.sign(x)
+
+    pa_ = a[both] / ta
+    pb_ = b_[both] / tb
+    terms = r6((pa_ - pb_) * np.log(pa_ / pb_))
+    psi = float(r6(terms.sum()))
+    return pa.table(
+        {
+            "n_a": pa.array([int(ta)], pa.int64()),
+            "n_b": pa.array([int(tb)], pa.int64()),
+            "n_buckets_both": pa.array([int(both.sum())], pa.int64()),
+            "psi": pa.array([psi], pa.float64()),
+        }
+    )
+
+
+def _sql_quality_psi() -> str:
+    from ..text import sql_quality_score
+
+    return f"""
+WITH qs AS ({sql_quality_score()}),
+b AS (
+  SELECT (doc_id % 2) AS side,
+    LEAST(CAST(FLOOR((ROUND(quality * 1e6) / 1e6) * {PSI_NBUCK})
+               AS BIGINT), {PSI_NBUCK - 1}) AS bk
+  FROM qs
+),
+c AS (SELECT side, bk, COUNT(*)::BIGINT AS n FROM b GROUP BY side, bk),
+tot AS (
+  SELECT side, SUM(n)::BIGINT AS t FROM c GROUP BY side
+),
+j AS (
+  SELECT ca.bk,
+    ca.n * 1.0 / ta.t AS pa, cb.n * 1.0 / tb.t AS pb
+  FROM c ca JOIN c cb ON cb.bk = ca.bk AND cb.side = 1
+  JOIN tot ta ON ta.side = 0 JOIN tot tb ON tb.side = 1
+  WHERE ca.side = 0
+)
+SELECT COALESCE((SELECT t FROM tot WHERE side = 0), 0)::BIGINT AS n_a,
+  COALESCE((SELECT t FROM tot WHERE side = 1), 0)::BIGINT AS n_b,
+  (SELECT COUNT(*) FROM j)::BIGINT AS n_buckets_both,
+  ROUND(COALESCE(SUM(ROUND((pa - pb) * ln(pa / pb) * 1e6) / 1e6), 0)
+        * 1e6) / 1e6 AS psi
+FROM j
+"""
+
+
 _FD_CHECKS = [
     # (name, table, key col, dependent col) — A -> B holds when every A
     # value maps to exactly one distinct B
@@ -15086,6 +15183,7 @@ def queries():
         "grid_join_counts": q_grid_join_counts,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "fd_check": q_fd_check,
+        "quality_psi": q_quality_psi,
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
         "llm_prepare": q_llm_prepare,
@@ -16500,6 +16598,7 @@ def oracle_sql():
         "grid_join_counts": _sql_grid_join_counts(),
         "dup_cluster_sizes": _sql_dup_cluster_sizes(),
         "fd_check": _sql_fd_check(),
+        "quality_psi": _sql_quality_psi(),
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
         "llm_prepare": _sql_llm_prepare(),
