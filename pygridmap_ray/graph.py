@@ -2402,6 +2402,137 @@ def _sssp_sharded(eds, nodes_ds, seeds, *, a_col: str, b_col: str,
     )
 
 
+def kcore_membership(
+    edges,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    k: int = 3,
+    rounds: int = 6,
+    local_max_edges: int = 1 << 20,
+):
+    """k-core membership (+ in-core degree) of a SYMMETRIC deduplicated
+    int64 edge Dataset: peel nodes with degree < ``k`` for exactly
+    ``rounds`` supersteps (idempotent once converged — the bounded-
+    round LAW both twins share), then emit every surviving node with
+    its in-core degree.
+
+    Hybrid (the scc shape): the edge census never gathers blind — the
+    caller hands a Dataset, and at or below ``local_max_edges`` rows it
+    folds to driver arrays for the vectorized bincount peel; above,
+    alive membership lives in a node-scale Dataset and each superstep
+    is two partitioned ``safe_join`` endpoint filters + one coarse
+    per-tail degree sum (early-stable exit: peeling only removes
+    nodes, so an unchanged alive COUNT is exact convergence).  Returns
+    a ``pa.Table`` (node, deg) below the gate, a Dataset above."""
+    import ray.data as rd
+
+    from .cluster import compact_blocks, default_num_partitions, safe_join
+
+    edges = edges.materialize()
+    m = int(edges.count())
+    if m <= local_max_edges:
+        tabs = [
+            t
+            for t in edges.iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+            if t.num_rows
+        ]
+        if not tabs:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "deg": pa.array([], pa.int64())}
+            )
+        tbl = pa.concat_tables(tabs)
+        u = np.asarray(tbl[a_col], np.int64)
+        v = np.asarray(tbl[b_col], np.int64)
+        nodes, inv_u = np.unique(u, return_inverse=True)
+        inv_v = np.searchsorted(nodes, v)
+        alive = np.ones(len(nodes), bool)
+        for _ in range(rounds):
+            e_alive = alive[inv_u] & alive[inv_v]
+            deg = np.bincount(inv_u[e_alive], minlength=len(nodes))
+            nxt = alive & (deg >= k)
+            if np.array_equal(nxt, alive):
+                break
+            alive = nxt
+        e_alive = alive[inv_u] & alive[inv_v]
+        deg = np.bincount(inv_u[e_alive], minlength=len(nodes))
+        keep = alive & (deg > 0)
+        return pa.table(
+            {
+                "node": pa.array(nodes[keep], pa.int64()),
+                "deg": pa.array(deg[keep].astype(np.int64)),
+            }
+        )
+
+    w = default_num_partitions()
+    I = pa.int64()
+    edge_schema = pa.schema([(a_col, I), (b_col, I)])
+    v_schema = pa.schema([("v", I)])
+    vb_schema = pa.schema([("vb", I)])
+    edges_c = compact_blocks(edges.repartition(w), edge_schema)
+    alive = compact_blocks(
+        _endpoint_distinct(edges_c, a_col, b_col), v_schema
+    )
+    prev = int(alive.count())
+
+    def live_edges(alv):
+        e1 = safe_join(
+            edges_c, alv, "inner", num_partitions=w,
+            on=(a_col,), right_on=("v",), right_schema=v_schema,
+        )
+        alv_b = compact_blocks(
+            alv.map_batches(
+                lambda b: pa.table({"vb": b["v"]}),
+                batch_format="pyarrow",
+            ),
+            vb_schema,
+        )
+        return safe_join(
+            e1, alv_b, "inner", num_partitions=w,
+            on=(b_col,), right_on=("vb",), right_schema=vb_schema,
+        )
+
+    def deg_of(e_ds):
+        def part(b: pa.Table) -> pa.Table:
+            a = np.asarray(b[a_col], np.int64)
+            u, c = np.unique(a, return_counts=True)
+            return pa.table(
+                {"node": pa.array(u),
+                 "deg": pa.array(c.astype(np.int64))}
+            )
+
+        return _coarse_reduce_by_key(
+            e_ds.map_batches(part, batch_format="pyarrow"),
+            "node", "deg", op="sum", out_key="node", out_val="deg",
+        )
+
+    deg_schema = pa.schema([("node", I), ("deg", I)])
+    for _ in range(rounds):
+        deg = compact_blocks(deg_of(live_edges(alive)), deg_schema)
+        alive = compact_blocks(
+            deg.map_batches(
+                lambda b: (lambda f: pa.table({"v": f["node"]}))(
+                    b.filter(pc.greater_equal(b["deg"], k))
+                ),
+                batch_format="pyarrow",
+            ),
+            v_schema,
+        )
+        cur = int(alive.count())
+        if cur == prev:
+            break
+        prev = cur
+    final = compact_blocks(deg_of(live_edges(alive)), deg_schema)
+    return final.map_batches(
+        lambda b: b.filter(pc.greater(b["deg"], 0)),
+        batch_format="pyarrow",
+    ).sort("node")
+
+
+
 def sssp_hops(
     edges,
     seeds: np.ndarray,

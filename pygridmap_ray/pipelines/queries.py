@@ -11718,45 +11718,33 @@ def q_kcore(sf_dir: str):
     sides run the same count), so engine and oracle agree at any scale
     factor.
 
-    Scale shape: the distinct edge set comes from per-batch packed-key
-    partials + one driver-final unique (graph.distinct_int_pairs_table
-    — this consumer gathers the edge set anyway, so the coarse-bucket
-    shuffle would be pure overhead); the peel is node-scale —
-    vectorized bincount rounds over the gathered edge array below the
-    pagerank dense-path threshold, degree-filter supersteps (groupby +
-    broadcast alive set) above it."""
+    Scale shape: distributed distinct + mirror first (the raw edges
+    never gather blind), then graph.kcore_membership's count-gated
+    hybrid — vectorized bincount peel over driver arrays at or below
+    the edge gate, and partitioned safe_join endpoint filters + coarse
+    degree sums per superstep above it."""
     import ray.data as rd
 
-    from ..graph import distinct_int_pairs_table
+    from ..graph import distinct_int_pairs, kcore_membership
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
     )
-    tbl = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
-    a = np.asarray(tbl["l_suppkey"], np.int64)
-    b = np.asarray(tbl["l_partkey"], np.int64) + KCORE_POFF
-    # symmetric edge list
-    u = np.concatenate([a, b])
-    v = np.concatenate([b, a])
-    nodes, inv_u = np.unique(u, return_inverse=True)
-    inv_v = np.searchsorted(nodes, v)
-    alive = np.ones(len(nodes), bool)
-    for _ in range(KCORE_ROUNDS):
-        e_alive = alive[inv_u] & alive[inv_v]
-        deg = np.bincount(inv_u[e_alive], minlength=len(nodes))
-        nxt = alive & (deg >= KCORE_K)
-        if np.array_equal(nxt, alive):
-            break
-        alive = nxt
-    e_alive = alive[inv_u] & alive[inv_v]
-    deg = np.bincount(inv_u[e_alive], minlength=len(nodes))
-    keep = alive & (deg > 0)
-    return pa.table(
-        {
-            "node": pa.array(nodes[keep], pa.int64()),
-            "deg": pa.array(deg[keep].astype(np.int64)),
-        }
-    )
+    ep = distinct_int_pairs(line, "l_suppkey", "l_partkey")
+
+    def mirror(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["l_suppkey"], np.int64)
+        bb = np.asarray(b["l_partkey"], np.int64) + KCORE_POFF
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, bb])),
+                "b": pa.array(np.concatenate([bb, a])),
+            }
+        )
+
+    edges = ep.map_batches(mirror, batch_format="pyarrow")
+    out = kcore_membership(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return out if isinstance(out, pa.Table) else out
 
 
 def _sql_kcore() -> str:

@@ -393,3 +393,31 @@ def test_grid_join_counts_hand_lattice(ray_session):
     )
     assert out["n_cells"] == 4 and out["n_joins"] == 4
     assert out["bb"] == 0 and out["ww"] == 0 and out["bw"] == 4
+
+
+def test_kcore_sharded_matches_local(ray_session):
+    """Above the edge gate kcore_membership must run the superstep path
+    and agree with the driver peel; gate forced to 0."""
+    import ray.data as rd
+
+    from pygridmap_ray.graph import kcore_membership
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 25, 140).astype(np.int64)
+    b = rng.integers(0, 25, 140).astype(np.int64)
+    keep = a != b
+    pairs = set()
+    for x, y in zip(a[keep], b[keep]):
+        pairs.add((min(x, y), max(x, y)))
+    u = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
+    v = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
+    edges = rd.from_arrow(
+        pa.table({"a": pa.array(u), "b": pa.array(v)})
+    )
+    loc = kcore_membership(edges, k=3, rounds=8)
+    assert isinstance(loc, pa.Table)
+    sh = kcore_membership(edges, k=3, rounds=8, local_max_edges=0)
+    sh = sh.to_pandas().sort_values("node").reset_index(drop=True)
+    lp = loc.to_pandas().sort_values("node").reset_index(drop=True)
+    assert lp.equals(sh)
+    assert len(lp) > 0
