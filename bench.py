@@ -277,6 +277,7 @@ def _secondary() -> dict:
         ("dup_cluster_sizes", q.q_dup_cluster_sizes),
         ("fd_check", q.q_fd_check),
         ("quality_psi", q.q_quality_psi),
+        ("ann_range", q.q_ann_range),
     ]:
 
         def once(fn=fn):

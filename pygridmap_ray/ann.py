@@ -99,6 +99,69 @@ def ann_topk(
     )
 
 
+def ann_range(
+    ds,
+    queries: dict,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 6,
+):
+    """Radius (range) similarity search: every corpus vector whose
+    cosine against a broadcast query reaches ``threshold`` — the
+    streaming companion of :func:`ann_topk` for recall-oriented
+    retrieval (dedup candidate pull, near-duplicate expansion).
+    ``queries``: {"ids": int64[], "matrix": (Q, D) float}.  Returns
+    (query_id, neighbor_id, cosine rounded half-away) — map-only, no
+    shuffle; output volume is survivor-scale by construction."""
+    import ray
+
+    ref = {"__ref__": ray.put(queries)}
+    tol = 10.0 ** round_to
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .spatial import _cached_kernel
+
+        state = _cached_kernel(
+            f"annr:{ref['__ref__'].hex()}",
+            ref,
+            lambda p: {
+                "qm": _normalize(
+                    np.asarray(p["matrix"], dtype=np.float64)
+                ),
+                "qids": np.asarray(p["ids"], dtype=np.int64),
+            },
+        )
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        v = _normalize(_emb_matrix(batch, emb_col))
+        sims = state["qm"] @ v.T  # (Q, N)
+        qi, ni = np.nonzero(sims >= threshold)
+        if not len(qi):
+            return empty
+        cs = sims[qi, ni]
+        cs = np.sign(cs) * np.floor(np.abs(cs) * tol + 0.5) / tol
+        return pa.table(
+            {
+                "query_id": pa.array(state["qids"][qi]),
+                "neighbor_id": pa.array(ids[ni]),
+                "cosine": pa.array(cs),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+
 def _topk_final(k: int):
     """Shared per-query reducer: sort by (cosine desc, neighbor asc) —
     THE tie-break contract the SQL oracle encodes — take k, assign ranks.
@@ -130,6 +193,22 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
   WHERE q.vec_id < {n_queries}
 ) WHERE rank <= {k}
 """
+
+
+def sql_ann_range(threshold: float, n_queries: int = 10) -> str:
+    """DuckDB twin of :func:`ann_range`: all-pairs cosine filtered at
+    the UNROUNDED threshold, output rounded — the engine's comparison
+    order exactly."""
+    return f"""
+SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+  ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+        d.embedding::DOUBLE[]) * 1e6) / 1e6 AS cosine
+FROM embeddings q, embeddings d
+WHERE q.vec_id < {n_queries}
+  AND list_cosine_similarity(q.embedding::DOUBLE[],
+      d.embedding::DOUBLE[]) >= {threshold}
+"""
+
 
 
 def sql_ivf_topk(

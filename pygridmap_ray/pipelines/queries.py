@@ -7079,6 +7079,32 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
 
 
+ANN_RANGE_T = 0.3  #: radius-search threshold (splits at sf0.01)
+
+
+def q_ann_range(sf_dir: str):
+    """Radius similarity search (ann.ann_range): every corpus vector
+    with cosine >= threshold against the 10 broadcast queries — the
+    recall-oriented retrieval companion of ann_topk; map-only."""
+    import ray.data as rd
+
+    from ..ann import ann_range
+
+    qids, qmat = _head_vectors(sf_dir, 10)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann_range(
+        ds, {"ids": qids, "matrix": qmat}, threshold=ANN_RANGE_T
+    )
+
+
+def _sql_ann_range() -> str:
+    from ..ann import sql_ann_range
+
+    return sql_ann_range(ANN_RANGE_T, n_queries=10)
+
+
 def _sql_hard_negatives_q() -> str:
     from ..ann import sql_hard_negatives
 
@@ -15218,6 +15244,7 @@ def queries():
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh": q_embedding_lsh,
         "ann_topk": q_ann_topk,
+        "ann_range": q_ann_range,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "kmeans": q_kmeans,
@@ -16648,6 +16675,7 @@ def oracle_sql():
         "embedding_neardup": _sql_neardup(),
         "embedding_lsh": _sql_emb_lsh(),
         "ann_topk": _sql_ann(),
+        "ann_range": _sql_ann_range(),
         "hard_negatives": _sql_hard_negatives_q(),
         "mmr_select": _sql_mmr_select(),
         "kmeans": _sql_kmeans(),
