@@ -11734,6 +11734,7 @@ ORDER BY node
 KCORE_K = 3
 KCORE_ROUNDS = 30  # generous peel depth; converges in < 10 on these graphs
 KCORE_POFF = 1 << 22  # part-node id offset in the bipartite graph
+KCORE_EDGE_GATE = 1 << 20  #: raw pair rows at/below: driver census
 
 
 def q_kcore(sf_dir: str):
@@ -11751,12 +11752,15 @@ def q_kcore(sf_dir: str):
     degree sums per superstep above it."""
     import ray.data as rd
 
-    from ..graph import distinct_int_pairs, kcore_membership
+    from ..graph import (
+        distinct_int_pairs,
+        distinct_int_pairs_table,
+        kcore_membership,
+    )
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
     )
-    ep = distinct_int_pairs(line, "l_suppkey", "l_partkey")
 
     def mirror(b: pa.Table) -> pa.Table:
         a = np.asarray(b["l_suppkey"], np.int64)
@@ -11768,9 +11772,24 @@ def q_kcore(sf_dir: str):
             }
         )
 
-    edges = ep.map_batches(mirror, batch_format="pyarrow")
-    out = kcore_membership(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
-    return out if isinstance(out, pa.Table) else out
+    # RAW row count (parquet metadata, no execution) gates the census:
+    # below the edge gate the driver-final distinct is ~3x cheaper than
+    # the coarse shuffle (BASELINE.md measurement) and the peel gathers
+    # anyway; above it nothing may land on the driver, so the distinct
+    # AND the peel both run distributed
+    if line.count() <= KCORE_EDGE_GATE:
+        tbl = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
+        edges = rd.from_arrow(mirror(tbl))
+        return kcore_membership(
+            edges, k=KCORE_K, rounds=KCORE_ROUNDS,
+            local_max_edges=1 << 62,
+        )
+    edges = distinct_int_pairs(line, "l_suppkey", "l_partkey").map_batches(
+        mirror, batch_format="pyarrow"
+    )
+    return kcore_membership(
+        edges, k=KCORE_K, rounds=KCORE_ROUNDS, local_max_edges=0
+    )
 
 
 def _sql_kcore() -> str:

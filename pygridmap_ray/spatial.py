@@ -1167,6 +1167,7 @@ def grid_join_counts(
     threshold: int,
     x_col: str = "x",
     y_col: str = "y",
+    driver_gate: int = 2_000_000,
 ):
     """Join-count statistics (the ESDA BB/BW/WW spatial-association
     classic, Cliff & Ord): square cells of size ``cell``, a cell is
@@ -1205,26 +1206,65 @@ def grid_join_counts(
             {"k": pa.array(ku), "val": pa.array(cnt.astype(np.int64))}
         )
 
-    cells = compact_blocks(
-        _coarse_sum(
-            ds.map_batches(cell_partial, batch_format="pyarrow"), ["k"]
-        ).map_batches(
-            lambda b: pa.table(
-                {
-                    "k": pc.cast(b["k"], I),
-                    "black": pa.array(
-                        (
-                            np.asarray(b["val"], np.float64)
-                            >= threshold
-                        ).astype(np.int64)
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
+    marked = _coarse_sum(
+        ds.map_batches(cell_partial, batch_format="pyarrow"), ["k"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "k": pc.cast(b["k"], I),
+                "black": pa.array(
+                    (
+                        np.asarray(b["val"], np.float64)
+                        >= threshold
+                    ).astype(np.int64)
+                ),
+            }
         ),
-        pa.schema([("k", I), ("black", I)]),
-    )
-    n_cells = int(cells.count())
+        batch_format="pyarrow",
+    ).materialize()
+    n_cells = int(marked.count())
+    if n_cells <= driver_gate:
+        # lattice-bounded cell table: sorted-array adjacency on the
+        # driver beats two partitioned joins by their fixed cost
+        tabs = [
+            t
+            for t in marked.iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+            if t.num_rows
+        ]
+        if tabs:
+            tbl = pa.concat_tables(tabs)
+            kk = np.asarray(tbl["k"], np.int64)
+            blk = np.asarray(tbl["black"], np.int64)
+            o = np.argsort(kk, kind="stable")
+            kk, blk = kk[o], blk[o]
+        else:
+            kk = np.empty(0, np.int64)
+            blk = np.empty(0, np.int64)
+        nj = bb = bw = 0
+        for shift in (np.int64(1) << np.int64(20), np.int64(1)):
+            tgt = kk + shift
+            pos = np.searchsorted(kk, tgt)
+            pos = np.minimum(pos, max(len(kk) - 1, 0))
+            hit = (len(kk) > 0) & (kk[pos] == tgt) if len(kk) else (
+                np.zeros(0, bool)
+            )
+            nj += int(np.count_nonzero(hit))
+            bb += int((blk[hit] & blk[pos[hit]]).sum())
+            bw += int((blk[hit] ^ blk[pos[hit]]).sum())
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_cells": pa.array([n_cells], I),
+                    "n_joins": pa.array([nj], I),
+                    "bb": pa.array([bb], I),
+                    "bw": pa.array([bw], I),
+                    "ww": pa.array([nj - bb - bw], I),
+                }
+            )
+        )
+    cells = compact_blocks(marked, pa.schema([("k", I), ("black", I)]))
     parts = []
     for shift in (np.int64(1) << np.int64(20), np.int64(1)):
         nbr = cells.map_batches(
