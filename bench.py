@@ -278,6 +278,7 @@ def _secondary() -> dict:
         ("fd_check", q.q_fd_check),
         ("quality_psi", q.q_quality_psi),
         ("ann_range", q.q_ann_range),
+        ("token_js", q.q_token_js),
     ]:
 
         def once(fn=fn):

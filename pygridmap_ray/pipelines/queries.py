@@ -6142,6 +6142,149 @@ def _sql_contamination_overlap() -> str:
     )
 
 
+def q_token_js(sf_dir: str):
+    """Jensen-Shannon divergence between the two snapshot halves'
+    unigram distributions (doc_id parity split) — the token-level
+    drift monitor complementing quality_psi.  Per-token terms round to
+    int64 nano-units (1e9) so the global sum is EXACT integer addition
+    in any order; the output rounds the nano sum at 6dp — both twins
+    add identical integers (pointwise JS contributions are >= 0, so
+    floor(x * 1e9 + 0.5) is the shared half-away law).
+
+    Scale shape: one totals combiner (two ints), then per-batch
+    (side, token) count partials ride ONE coarse token-hash shuffle
+    (all copies of a token co-locate -> per-token terms are exact
+    in-bucket) and only per-bucket int64 partial sums reach the
+    driver."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..dedup import TOKEN_RE
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    nb = np.uint64(_resolve_buckets(None))
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], np.int64)
+        texts = b["text"].to_pylist()
+        sides, toks = [], []
+        for d, t in zip(did, texts):
+            tl = TOKEN_RE.findall(t or "")
+            toks.extend(tl)
+            sides.extend([int(d % 2)] * len(tl))
+        if not toks:
+            return pa.table(
+                {
+                    "side": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "__cg": pa.array([], pa.int64()),
+                }
+            )
+        df = (
+            pd.DataFrame({"side": sides, "t": toks})
+            .groupby(["side", "t"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        h = pd.util.hash_array(df["t"].to_numpy(object))
+        df["__cg"] = (h % nb).astype(np.int64)
+        df["n"] = df["n"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = docs.map_batches(
+        tok_partial, batch_format="pyarrow"
+    ).materialize()
+    # totals per side (tiny)
+    tot = np.zeros(2, np.int64)
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        sd = np.asarray(b["side"], np.int64)
+        nn = np.asarray(b["n"], np.int64)
+        np.add.at(tot, sd, nn)
+    sa, sb = float(tot[0]), float(tot[1])
+
+    def bucket_terms(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["t", "side"], sort=False)["n"].sum().unstack(
+            fill_value=0
+        )
+        na = agg[0].to_numpy(np.float64) if 0 in agg else np.zeros(
+            len(agg)
+        )
+        nb_ = agg[1].to_numpy(np.float64) if 1 in agg else np.zeros(
+            len(agg)
+        )
+        p = na / sa
+        q = nb_ / sb
+        m = (p + q) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tp = np.where(p > 0, 0.5 * p * np.log(p / m), 0.0)
+            tq = np.where(q > 0, 0.5 * q * np.log(q / m), 0.0)
+        micro = np.floor((tp + tq) * 1e9 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "msum": [np.int64(micro.sum())],
+                "n_tokens": [np.int64(len(agg))],
+            }
+        )
+
+    fold = (
+        parts.groupby("__cg")
+        .map_groups(bucket_terms, batch_format="pandas")
+        .to_pandas()
+    )
+    msum = int(fold["msum"].sum())
+    n_tok = int(fold["n_tokens"].sum())
+    js = np.floor(msum / 1e9 * 1e6 + 0.5) / 1e6  # js >= 0
+    return pa.table(
+        {
+            "n_tok_a": pa.array([int(sa)], pa.int64()),
+            "n_tok_b": pa.array([int(sb)], pa.int64()),
+            "vocab": pa.array([n_tok], pa.int64()),
+            "js": pa.array([float(js)], pa.float64()),
+        }
+    )
+
+
+def _sql_token_js() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id % 2 AS side,
+         unnest(regexp_extract_all(text, '\S+')) AS t
+  FROM documents
+),
+c AS (SELECT side, t, COUNT(*)::BIGINT AS n FROM tok GROUP BY side, t),
+tot AS (SELECT side, SUM(n)::BIGINT AS s FROM c GROUP BY side),
+pt AS (
+  SELECT t,
+    COALESCE(SUM(CASE WHEN side = 0 THEN n END), 0)::BIGINT AS na,
+    COALESCE(SUM(CASE WHEN side = 1 THEN n END), 0)::BIGINT AS nb
+  FROM c GROUP BY t
+),
+terms AS (
+  SELECT
+    ROUND((
+      CASE WHEN na > 0 THEN 0.5 * (na * 1.0 / sa.s)
+        * ln((na * 1.0 / sa.s)
+             / (((na * 1.0 / sa.s) + (nb * 1.0 / sb.s)) / 2.0))
+      ELSE 0.0 END
+      +
+      CASE WHEN nb > 0 THEN 0.5 * (nb * 1.0 / sb.s)
+        * ln((nb * 1.0 / sb.s)
+             / (((na * 1.0 / sa.s) + (nb * 1.0 / sb.s)) / 2.0))
+      ELSE 0.0 END
+    ) * 1e9)::BIGINT AS micro
+  FROM pt, (SELECT s FROM tot WHERE side = 0) sa,
+       (SELECT s FROM tot WHERE side = 1) sb
+)
+SELECT
+  (SELECT s FROM tot WHERE side = 0)::BIGINT AS n_tok_a,
+  (SELECT s FROM tot WHERE side = 1)::BIGINT AS n_tok_b,
+  (SELECT COUNT(*) FROM pt)::BIGINT AS vocab,
+  ROUND(SUM(micro) / 1e9 * 1e6) / 1e6 AS js
+FROM terms
+"""
+
+
 PSI_NBUCK = 10  #: fixed uniform quality buckets over [0, 1]
 
 
@@ -15217,6 +15360,7 @@ def queries():
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "fd_check": q_fd_check,
         "quality_psi": q_quality_psi,
+        "token_js": q_token_js,
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
         "llm_prepare": q_llm_prepare,
@@ -16633,6 +16777,7 @@ def oracle_sql():
         "dup_cluster_sizes": _sql_dup_cluster_sizes(),
         "fd_check": _sql_fd_check(),
         "quality_psi": _sql_quality_psi(),
+        "token_js": _sql_token_js(),
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
         "llm_prepare": _sql_llm_prepare(),
