@@ -165,3 +165,50 @@ def test_sssp_broadcast_matches_bruteforce(ray_session, seed):
         dist = nd
     ref = {v: c for v, c in dist.items() if c < INF}
     assert got == ref
+
+
+@pytest.mark.parametrize("nb", [4, 32])
+def test_bucket_width_law_neutrality(ray_session, nb):
+    """Coarse-bucket widths are law-neutral: the same pipeline at
+    different explicit widths produces IDENTICAL results (the
+    cluster-derived default can therefore change with cluster size
+    without touching any oracle law)."""
+    from pygridmap_ray.dedup import dedup_lines
+    from pygridmap_ray.pack import keyed_prefix_sum
+
+    rows = [
+        {"doc_id": i, "text": f"tok{i % 7} tok{i % 5} tok{i % 3} end"}
+        for i in range(60)
+    ]
+    base = (
+        dedup_lines(_ds(pd.DataFrame(rows)), chunk=2, num_buckets=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    alt = (
+        dedup_lines(_ds(pd.DataFrame(rows)), chunk=2, num_buckets=nb)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert base.equals(alt)
+
+    kv = pd.DataFrame(
+        {
+            "k": [f"s{i % 3}" for i in range(50)],
+            "o": np.arange(50, dtype=np.int64),
+            "v": (np.arange(50) % 7).astype(np.int64),
+        }
+    )
+    b1 = (
+        keyed_prefix_sum(
+            _ds(kv), key_col="k", order_col="o", value_col="v",
+            n_buckets=16,
+        )
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    )
+    b2 = (
+        keyed_prefix_sum(
+            _ds(kv), key_col="k", order_col="o", value_col="v",
+            n_buckets=nb,
+        )
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    )
+    assert (b1["cum"].to_numpy() == b2["cum"].to_numpy()).all()
