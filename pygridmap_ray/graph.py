@@ -374,16 +374,19 @@ def distinct_int_pairs(ds, a_col: str, b_col: str, *, num_buckets: int | None = 
     )
 
 
-def distinct_int_pairs_table(ds, a_col: str, b_col: str) -> pa.Table:
+def distinct_int_pairs_table(ds, a_col: str, b_col: str, *,
+                             max_rows: int = 50_000_000) -> pa.Table:
     """Driver-final variant of :func:`distinct_int_pairs` for DENSE-PATH
     consumers (k-core, label propagation, the pagerank dense gate) that
     materialize the whole distinct edge set on the driver anyway: one
     per-batch packed-key ``np.unique`` partial, partials streamed to the
     driver, one final ``np.unique`` — no shuffle at all (measured ~3x
-    faster than the coarse-groupby plan at sf0.1).  Only correct to use
-    when the DISTINCT pair count is driver-memory scale (the same gate
-    those consumers already assume); the distributed
-    :func:`distinct_int_pairs` remains the above-threshold path."""
+    faster than the coarse-groupby plan at sf0.1).  The driver-memory
+    contract is ENFORCED: streamed partial volume beyond ``max_rows``
+    raises a clear error naming :func:`distinct_int_pairs` (the
+    coarse-bucket distributed distinct) instead of OOMing the driver —
+    partial rows upper-bound the distinct count, so the gate is
+    conservative."""
 
     def pack(b: pa.Table) -> pa.Table:
         a = np.asarray(b[a_col], dtype=np.int64)
@@ -397,12 +400,22 @@ def distinct_int_pairs_table(ds, a_col: str, b_col: str) -> pa.Table:
             raise ValueError("pair values must be in [0, 2^31)")
         return pa.table({"k": pa.array(np.unique(a * (1 << 31) + v))})
 
-    parts = [
-        np.asarray(b["k"], np.int64)
-        for b in ds.map_batches(pack, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    ]
+    parts = []
+    total = 0
+    for b in ds.map_batches(pack, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        arr = np.asarray(b["k"], np.int64)
+        total += len(arr)
+        if total > max_rows:
+            raise ValueError(
+                f"distinct pair partials exceed the driver gate "
+                f"({max_rows} rows): this consumer's edge set is not "
+                "driver-memory scale — use distinct_int_pairs (the "
+                "coarse-bucket distributed distinct) and a sharded "
+                "consumer path (kcore_membership / _scc_sharded shape)"
+            )
+        parts.append(arr)
     k = (
         np.unique(np.concatenate(parts))
         if parts

@@ -421,3 +421,25 @@ def test_kcore_sharded_matches_local(ray_session):
     lp = loc.to_pandas().sort_values("node").reset_index(drop=True)
     assert lp.equals(sh)
     assert len(lp) > 0
+
+
+def test_distinct_pairs_table_driver_gate(ray_session):
+    """The driver-final distinct must fail FAST with a clear error when
+    partial volume exceeds the gate, never OOM."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from pygridmap_ray.graph import distinct_int_pairs_table
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(np.arange(100, dtype=np.int64)),
+                "b": pa.array(np.arange(100, dtype=np.int64) + 1),
+            }
+        )
+    )
+    with _pytest.raises(ValueError, match="driver gate"):
+        distinct_int_pairs_table(ds, "a", "b", max_rows=10)
+    out = distinct_int_pairs_table(ds, "a", "b")
+    assert out.num_rows == 100
