@@ -2546,6 +2546,173 @@ def kcore_membership(
 
 
 
+def label_prop_membership(
+    edges,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    rounds: int = 10,
+    local_max_edges: int = 1 << 20,
+):
+    """Synchronous label propagation over a SYMMETRIC deduplicated edge
+    Dataset: labels start as node ids; each of exactly ``rounds``
+    rounds every node with neighbors adopts its most frequent neighbor
+    label (tie -> smallest).  Returns the community census
+    ``(community, n_nodes)`` — the bounded-round LAW both twins share.
+
+    Hybrid (the kcore_membership shape): at or below
+    ``local_max_edges`` edge rows the vectorized mode pass runs over
+    driver arrays; above, the label state is a node-scale Dataset and
+    each round is one partitioned ``safe_join`` (neighbor labels) +
+    one coarse (node, label) count reduce + one coarse per-node argmax
+    + a left_outer adopt join — nothing edge- or node-scale on the
+    driver, census folds to community-scale."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .cluster import compact_blocks, default_num_partitions, safe_join
+
+    edges = edges.materialize()
+    m = int(edges.count())
+    if m <= local_max_edges:
+        tabs = [
+            t
+            for t in edges.iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+            if t.num_rows
+        ]
+        if not tabs:
+            return pa.table(
+                {"community": pa.array([], pa.int64()),
+                 "n_nodes": pa.array([], pa.int64())}
+            )
+        tbl = pa.concat_tables(tabs)
+        u = np.asarray(tbl[a_col], np.int64)
+        v = np.asarray(tbl[b_col], np.int64)
+        nodes, inv_u = np.unique(u, return_inverse=True)
+        inv_v = np.searchsorted(nodes, v)
+        lab = nodes.copy()
+        for _ in range(rounds):
+            nl = lab[inv_v]
+            order = np.lexsort((nl, inv_u))
+            su, sl = inv_u[order], nl[order]
+            runs = np.concatenate(
+                [[True], (su[1:] != su[:-1]) | (sl[1:] != sl[:-1])]
+            )
+            rs = np.flatnonzero(runs)
+            rc = np.diff(np.append(rs, len(su)))
+            ru, rl = su[rs], sl[rs]
+            pick = np.lexsort((rl, -rc, ru))
+            first = np.concatenate(
+                [[True], ru[pick][1:] != ru[pick][:-1]]
+            )
+            new = lab.copy()
+            new[ru[pick][first]] = rl[pick][first]
+            lab = new
+        comm, sizes = np.unique(lab, return_counts=True)
+        return pa.table(
+            {
+                "community": pa.array(comm, pa.int64()),
+                "n_nodes": pa.array(sizes.astype(np.int64)),
+            }
+        )
+
+    w = default_num_partitions()
+    I = pa.int64()
+    edge_schema = pa.schema([(a_col, I), (b_col, I)])
+    lab_schema = pa.schema([("v", I), ("lab", I)])
+    upd_schema = pa.schema([("vu", I), ("newlab", I)])
+    edges_c = compact_blocks(edges.repartition(w), edge_schema)
+    labels = compact_blocks(
+        _endpoint_distinct(edges_c, a_col, b_col).map_batches(
+            lambda b: pa.table({"v": b["v"], "lab": b["v"]}),
+            batch_format="pyarrow",
+        ),
+        lab_schema,
+    )
+    nb = _resolve_buckets(None)
+
+    def count_part(b: pa.Table) -> pa.Table:
+        # per-batch (node, label) count partial, coarse NODE bucket
+        u = np.asarray(b[a_col], np.int64)
+        la = np.asarray(b["lab"], np.int64)
+        df = (
+            pd.DataFrame({"u": u, "la": la})
+            .groupby(["u", "la"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        uu = df["u"].to_numpy(np.int64)
+        cg = (
+            (uu.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(nb)
+        ).astype(np.int64)
+        df["__cg"] = cg
+        df["c"] = df["c"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def argmax_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            g.groupby(["u", "la"], sort=False)["c"].sum().reset_index()
+        )
+        uu = d["u"].to_numpy(np.int64)
+        la = d["la"].to_numpy(np.int64)
+        c = d["c"].to_numpy(np.int64)
+        pick = np.lexsort((la, -c, uu))
+        first = np.concatenate(
+            [[True], uu[pick][1:] != uu[pick][:-1]]
+        )
+        return pd.DataFrame(
+            {"vu": uu[pick][first], "newlab": la[pick][first]}
+        )
+
+    for _ in range(rounds):
+        msgs = safe_join(
+            edges_c,
+            labels, "inner", num_partitions=w,
+            on=(b_col,), right_on=("v",), right_schema=lab_schema,
+        )
+        upd = compact_blocks(
+            msgs.map_batches(count_part, batch_format="pyarrow")
+            .groupby("__cg")
+            .map_groups(argmax_fold, batch_format="pandas"),
+            upd_schema,
+        )
+        joined = safe_join(
+            labels, upd, "left_outer", num_partitions=w,
+            on=("v",), right_on=("vu",), right_schema=upd_schema,
+        )
+        labels = compact_blocks(
+            joined.map_batches(
+                lambda b: pa.table(
+                    {
+                        "v": b["v"],
+                        "lab": pc.coalesce(b["newlab"], b["lab"]),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            lab_schema,
+        )
+
+    def census_part(b: pa.Table) -> pa.Table:
+        la = np.asarray(b["lab"], np.int64)
+        u, c = np.unique(la, return_counts=True)
+        return pa.table(
+            {"community": pa.array(u),
+             "n_nodes": pa.array(c.astype(np.int64))}
+        )
+
+    out = _coarse_reduce_by_key(
+        labels.map_batches(census_part, batch_format="pyarrow"),
+        "community", "n_nodes", op="sum",
+        out_key="community", out_val="n_nodes",
+    )
+    return out.sort("community")
+
+
+
 def sssp_hops(
     edges,
     seeds: np.ndarray,

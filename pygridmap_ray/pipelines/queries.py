@@ -13279,48 +13279,46 @@ def q_label_prop(sf_dir: str):
     defined by the fixed round count, so engine and oracle agree at any
     sf).  Output per community: (community, n_nodes).
 
-    Scale shape: the distinct edge set comes from per-batch packed-key
-    partials + one driver-final unique (distinct_int_pairs_table — the
-    mode rounds gather the edge array anyway); each round is an
-    all-integer vectorized mode pass over edge-scale arrays (node-hash
-    partitioned joins are the above-threshold path)."""
+    Scale shape: raw-count gated like kcore — driver-final distinct +
+    vectorized mode rounds at or below the edge gate, and
+    graph.label_prop_membership's sharded path above it (labels in a
+    node-scale Dataset, one join + coarse count/argmax per round)."""
     import ray.data as rd
 
-    from ..graph import distinct_int_pairs_table
+    from ..graph import (
+        distinct_int_pairs,
+        distinct_int_pairs_table,
+        label_prop_membership,
+    )
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
     )
-    tbl = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
-    a = np.asarray(tbl["l_suppkey"], np.int64)
-    b = np.asarray(tbl["l_partkey"], np.int64) + KCORE_POFF
-    u = np.concatenate([a, b])
-    v = np.concatenate([b, a])
-    nodes, inv_u = np.unique(u, return_inverse=True)
-    inv_v = np.searchsorted(nodes, v)
-    lab = nodes.copy()
-    for _ in range(LPA_ROUNDS):
-        nl = lab[inv_v]
-        order = np.lexsort((nl, inv_u))
-        su, sl = inv_u[order], nl[order]
-        runs = np.concatenate([[True], (su[1:] != su[:-1]) | (sl[1:] != sl[:-1])])
-        rs = np.flatnonzero(runs)
-        rc = np.diff(np.append(rs, len(su)))
-        ru, rl = su[rs], sl[rs]
-        pick = np.lexsort((rl, -rc, ru))
-        first = np.concatenate([[True], ru[pick][1:] != ru[pick][:-1]])
-        upd_nodes = ru[pick][first]
-        upd_labs = rl[pick][first]
-        new = lab.copy()
-        new[upd_nodes] = upd_labs
-        lab = new
-    comm, sizes = np.unique(lab, return_counts=True)
-    return pa.table(
-        {
-            "community": pa.array(comm, pa.int64()),
-            "n_nodes": pa.array(sizes.astype(np.int64)),
-        }
-    )
+
+    def mirror(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["l_suppkey"], np.int64)
+        bb = np.asarray(b["l_partkey"], np.int64) + KCORE_POFF
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, bb])),
+                "b": pa.array(np.concatenate([bb, a])),
+            }
+        )
+
+    if line.count() <= KCORE_EDGE_GATE:
+        tbl = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
+        edges = rd.from_arrow(mirror(tbl))
+        out = label_prop_membership(
+            edges, rounds=LPA_ROUNDS, local_max_edges=1 << 62
+        )
+    else:
+        edges = distinct_int_pairs(
+            line, "l_suppkey", "l_partkey"
+        ).map_batches(mirror, batch_format="pyarrow")
+        out = label_prop_membership(
+            edges, rounds=LPA_ROUNDS, local_max_edges=0
+        )
+    return out
 
 
 def _sql_label_prop() -> str:

@@ -443,3 +443,28 @@ def test_distinct_pairs_table_driver_gate(ray_session):
         distinct_int_pairs_table(ds, "a", "b", max_rows=10)
     out = distinct_int_pairs_table(ds, "a", "b")
     assert out.num_rows == 100
+
+
+def test_label_prop_sharded_matches_local(ray_session):
+    """Above the edge gate label_prop_membership must run the sharded
+    mode-pass rounds and agree with the driver solve; gate forced."""
+    import ray.data as rd
+
+    from pygridmap_ray.graph import label_prop_membership
+
+    # two 4-cliques joined by one bridge edge
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    cl2 = [(a + 10, b + 10) for a, b in cl1]
+    bridge = [(3, 10), (10, 3)]
+    edges_l = cl1 + cl2 + bridge
+    u = np.array([e[0] for e in edges_l], np.int64)
+    v = np.array([e[1] for e in edges_l], np.int64)
+    edges = rd.from_arrow(
+        pa.table({"a": pa.array(u), "b": pa.array(v)})
+    )
+    loc = label_prop_membership(edges, rounds=6)
+    assert isinstance(loc, pa.Table)
+    sh = label_prop_membership(edges, rounds=6, local_max_edges=0)
+    sh = sh.to_pandas().sort_values("community").reset_index(drop=True)
+    lp = loc.to_pandas().sort_values("community").reset_index(drop=True)
+    assert lp.equals(sh)
