@@ -52,8 +52,11 @@ def read_document_table(
     """Read an interleaved-document table as a streaming Dataset.
 
     ``path`` ending in ``.lance`` (or containing a ``_versions`` Lance
-    manifest dir) selects the Lance reader; otherwise parquet.  Columns
-    are pruned AT THE READ on both branches — never read the heavy
+    manifest dir) selects the Lance reader; ``.jsonl``/``.json`` files
+    or directories of them take the JSONL reader (the common corpus
+    interchange format — rows project to ``columns`` right after parse,
+    the closest JSONL gets to column pruning); otherwise parquet.
+    Parquet/Lance prune columns AT THE READ — never read the heavy
     ``spans`` column for a doc_id-only pipeline.
 
     ``validate=True`` asserts the span-struct contract on the schema
@@ -64,6 +67,14 @@ def read_document_table(
     is_lance = path.rstrip("/").endswith(".lance") or os.path.isdir(
         os.path.join(path, "_versions")
     )
+    stripped = path.rstrip("/")
+    is_jsonl = stripped.endswith((".jsonl", ".json")) or (
+        os.path.isdir(path)
+        and any(
+            f.endswith((".jsonl", ".json")) for f in os.listdir(path)
+        )
+        and not any(f.endswith(".parquet") for f in os.listdir(path))
+    )
     if is_lance:
         if not _lance_available():
             raise ImportError(
@@ -72,6 +83,10 @@ def read_document_table(
                 "(pygridmap_ray.tiler.write_partitioned)"
             )
         ds = rd.read_lance(path, columns=columns)
+    elif is_jsonl:
+        ds = rd.read_json(path, file_extensions=["jsonl", "json"])
+        if columns:
+            ds = ds.select_columns(list(columns))
     else:
         ds = rd.read_parquet(path, columns=columns, file_extensions=["parquet"])
     if validate:

@@ -93,3 +93,20 @@ def test_lance_roundtrip_when_available(ray_session, tmp_path):
     assert ds.count() == 20
     pruned = read_document_table(path, columns=["doc_id"])
     assert pruned.schema().names == ["doc_id"]
+
+
+def test_jsonl_branch_streams(ray_session, tmp_path):
+    """JSONL corpora (the interchange format) read through the same
+    entry point with post-parse column projection."""
+    import json
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    with open(d / "part-0.jsonl", "w") as f:
+        for i in range(30):
+            f.write(json.dumps({"doc_id": i, "text": f"doc {i}",
+                                "lang": "en"}) + "\n")
+    ds = read_document_table(str(d))
+    assert ds.count() == 30
+    pruned = read_document_table(str(d), columns=["doc_id"])
+    assert pruned.schema().names == ["doc_id"]
