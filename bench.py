@@ -279,6 +279,7 @@ def _secondary() -> dict:
         ("quality_psi", q.q_quality_psi),
         ("ann_range", q.q_ann_range),
         ("token_js", q.q_token_js),
+        ("emb_outlier", q.q_emb_outlier),
     ]:
 
         def once(fn=fn):

@@ -590,7 +590,8 @@ def kmeans_embeddings(
 
 
 def sql_kmeans(
-    k: int = 8, iters: int = 2, dim: int = 64, round_to: int = 6
+    k: int = 8, iters: int = 2, dim: int = 64, round_to: int = 6,
+    with_distance: bool = False,
 ) -> str:
     """DuckDB twin of :func:`kmeans_embeddings`: iterated CTE sweeps,
     per-dim centroid means generated as ``dim`` explicit expressions
@@ -622,12 +623,77 @@ def sql_kmeans(
             f" COALESCE(u.embedding, p.embedding) AS embedding"
             f" FROM c{it} p LEFT JOIN u{it} u USING (cid))"
         )
+    if with_distance:
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f"\nSELECT d.vec_id, (SELECT c.cid FROM c{iters} c"
+            f" ORDER BY list_distance(d.embedding::DOUBLE[], c.embedding)"
+            f" ASC, c.cid LIMIT 1)::BIGINT AS cluster,"
+            f" ROUND((SELECT MIN(list_distance(d.embedding::DOUBLE[],"
+            f" c.embedding)) FROM c{iters} c) * {r!r}) / {r!r} AS dist"
+            f" FROM embeddings d"
+        )
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT d.vec_id, (SELECT c.cid FROM c{iters} c"
         f" ORDER BY list_distance(d.embedding::DOUBLE[], c.embedding)"
         f" ASC, c.cid LIMIT 1)::BIGINT AS cluster FROM embeddings d"
     )
+
+
+def kmeans_distances(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_to: int = 6,
+):
+    """Per-vector centroid-distance outlier score: the euclidean
+    distance to the OWN cluster centroid after :func:`kmeans_fit` — the
+    embedding-space quality/outlier diagnostic (large distance = far
+    from every mode; the SemDeDup/cleanlab-style pruning signal).
+    Emits (id_col, cluster, dist rounded half-away); broadcast
+    centroids, one stateless map pass, no shuffle."""
+    import ray
+
+    from .spatial import _cached_kernel
+
+    cents = kmeans_fit(
+        ds, id_col=id_col, emb_col=emb_col, k=k, iters=iters,
+        round_to=round_to,
+    )
+    ref = {"__ref__": ray.put(cents)}
+    ckey = f"kmdist:{ref['__ref__'].hex()}"
+    tol = 10.0 ** round_to
+
+    import pyarrow.compute as pc
+
+    def score(b: pa.Table) -> pa.Table:
+        C = _cached_kernel(ckey, ref, lambda c: c)
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        X = _emb_matrix(b, emb_col)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        d = np.sqrt(d2[np.arange(len(cl)), cl])
+        d = np.floor(d * tol + 0.5) / tol  # dist >= 0
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "cluster": pa.array(cl.astype(np.int64)),
+                "dist": pa.array(d),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def quantize_embeddings(

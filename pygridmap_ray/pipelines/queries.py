@@ -7186,6 +7186,26 @@ def q_kmeans(sf_dir: str):
     return kmeans_embeddings(ds, k=8, iters=2)
 
 
+def q_emb_outlier(sf_dir: str):
+    """Embedding outlier scores (ann.kmeans_distances): euclidean
+    distance to the own k-means centroid — broadcast centroids, one
+    stateless map pass, the embedding-space pruning signal."""
+    import ray.data as rd
+
+    from ..ann import kmeans_distances
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_distances(ds, k=8, iters=2)
+
+
+def _sql_emb_outlier() -> str:
+    from ..ann import sql_kmeans
+
+    return sql_kmeans(k=8, iters=2, dim=64, with_distance=True)
+
+
 def _sql_kmeans() -> str:
     from ..ann import sql_kmeans
 
@@ -15409,6 +15429,7 @@ def queries():
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "kmeans": q_kmeans,
+        "emb_outlier": q_emb_outlier,
         "quantize_emb": q_quantize,
         "ivf_topk": q_ivf_topk,
         "ivf_pruned": q_ivf_pruned,
@@ -16841,6 +16862,7 @@ def oracle_sql():
         "hard_negatives": _sql_hard_negatives_q(),
         "mmr_select": _sql_mmr_select(),
         "kmeans": _sql_kmeans(),
+        "emb_outlier": _sql_emb_outlier(),
         "quantize_emb": _sql_quantize(),
         "ivf_topk": _sql_ivf(),
         "ivf_pruned": _sql_ivf(),
