@@ -205,3 +205,26 @@ def test_query_matches_oracle(entrymod, con, name):
             assert ok.all(), f"{name}.{c}: max diff {np.nanmax(np.abs(g - e))}"
         else:
             assert g.astype(str).tolist() == e.astype(str).tolist(), f"{name}.{c}"
+
+
+def test_no_duplicate_defs_or_registry_keys():
+    """Python dict literals silently keep the LAST duplicate key and
+    later same-name defs shadow earlier ones — both bit this repo in
+    round 4 (q_join_counts, q_table_profile).  Pin: no module in the
+    pipeline surface has duplicate top-level defs, and the queries()/
+    oracle_sql() registries are built from unique keys."""
+    import re
+    from collections import Counter
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "pygridmap_ray"
+    for mod in root.rglob("*.py"):
+        defs = re.findall(
+            r"^def ([a-zA-Z0-9_]+)\(", mod.read_text(), re.M
+        )
+        dups = [k for k, c in Counter(defs).items() if c > 1]
+        assert not dups, f"{mod}: duplicate top-level defs {dups}"
+    qsrc = (root / "pipelines" / "queries.py").read_text()
+    qkeys = re.findall(r'^\s{8}"([a-z0-9_]+)": q_', qsrc, re.M)
+    dups = [k for k, c in Counter(qkeys).items() if c > 1]
+    assert not dups, f"duplicate queries() keys: {dups}"
