@@ -280,6 +280,7 @@ def _secondary() -> dict:
         ("ann_range", q.q_ann_range),
         ("token_js", q.q_token_js),
         ("emb_outlier", q.q_emb_outlier),
+        ("cross_snapshot_dups", q.q_cross_snapshot_dups),
     ]:
 
         def once(fn=fn):

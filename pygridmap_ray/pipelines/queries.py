@@ -6463,6 +6463,83 @@ def _sql_fd_check() -> str:
     return " UNION ALL ".join(arms)
 
 
+def q_cross_snapshot_dups(sf_dir: str):
+    """Cross-snapshot duplicate flags — the incremental-ingest dedup
+    gate: every NEW-snapshot doc (doc_id parity 1) flagged when its
+    content key (md5 of the 4-token prefix, the fixture's content-hash
+    stand-in) already appears in the OLD snapshot (parity 0).
+
+    Scale shape: rows reduce to (doc_id, side, 8-byte key) in the
+    first map; ONE coarse key-hash shuffle co-locates every copy of a
+    key, so the old-side membership probe is exact in-bucket — no
+    broadcast of the old corpus, no driver fold."""
+    import pandas as pd
+
+    from ..text import md5_prefix_int
+
+    nb = np.uint64(_resolve_buckets(None))
+
+    def part(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], np.int64)
+        texts = b["text"].to_pylist()
+        from ..dedup import TOKEN_RE
+
+        pref = [
+            "\x1f".join(TOKEN_RE.findall(t or "")[:4]) for t in texts
+        ]
+        h = md5_prefix_int(pa.array(pref, pa.string()), hexdigits=15)
+        k = h.astype(np.int64)
+        cg = ((h * np.uint64(2654435761)) % nb).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "side": pa.array((did % 2).astype(np.int64)),
+                "k": pa.array(k),
+                "__cg": pa.array(cg),
+            }
+        )
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        old = np.unique(
+            g.loc[g["side"] == 0, "k"].to_numpy(np.int64)
+        )
+        new = g[g["side"] == 1]
+        kk = new["k"].to_numpy(np.int64)
+        if len(old):
+            pos = np.minimum(np.searchsorted(old, kk), len(old) - 1)
+            hit = old[pos] == kk
+        else:
+            hit = np.zeros(len(kk), bool)
+        return pd.DataFrame(
+            {
+                "doc_id": new["doc_id"].to_numpy(np.int64),
+                "dup_of_old": hit,
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(probe, batch_format="pandas")
+    )
+
+
+def _sql_cross_snapshot_dups() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, doc_id % 2 AS side,
+    md5(array_to_string(
+      list_slice(regexp_extract_all(text, '\S+'), 1, 4), chr(31)))
+      AS h
+  FROM documents
+),
+a AS (SELECT DISTINCT h FROM t WHERE side = 0)
+SELECT doc_id, (h IN (SELECT h FROM a)) AS dup_of_old
+FROM t WHERE side = 1
+"""
+
+
 def q_dup_cluster_sizes(sf_dir: str):
     """Duplicate-cluster size histogram — the dedup-audit report: docs
     cluster by the md5 of their first-4-token prefix (the fixture's
@@ -15376,6 +15453,7 @@ def queries():
         "winnow": q_winnow,
         "grid_join_counts": q_grid_join_counts,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        "cross_snapshot_dups": q_cross_snapshot_dups,
         "fd_check": q_fd_check,
         "quality_psi": q_quality_psi,
         "token_js": q_token_js,
@@ -16794,6 +16872,7 @@ def oracle_sql():
         "winnow": _sql_winnow(),
         "grid_join_counts": _sql_grid_join_counts(),
         "dup_cluster_sizes": _sql_dup_cluster_sizes(),
+        "cross_snapshot_dups": _sql_cross_snapshot_dups(),
         "fd_check": _sql_fd_check(),
         "quality_psi": _sql_quality_psi(),
         "token_js": _sql_token_js(),
