@@ -2,17 +2,21 @@
 signatures, similarity search."""
 
 from ..ann import (  # noqa: F401
+    ann_range,
     ann_topk,
     dequantize_embeddings,
     ivf_topk,
+    kmeans_distances,
     kmeans_lite,
     truncate_embeddings,
 )
 from ..dedup import (  # noqa: F401
     connected_components,
+    contamination_overlap,
     content_hash,
     decontaminate,
     dedup_lines,
+    neardup_decontaminate,
     semdedup,
     embedding_lsh_pairs,
     embedding_neardup_pairs,
@@ -45,8 +49,10 @@ from ..stats import (  # noqa: F401
 )
 from ..pack import (  # noqa: F401
     global_prefix_sum,
+    keyed_prefix_sum,
     pack_sequences,
     shuffle_by_hash,
+    token_budget_take,
 )
 from ..frame import FrameProcessor, frame_apply  # noqa: F401
 from ..geom import (  # noqa: F401
@@ -62,10 +68,12 @@ from ..text import (  # noqa: F401
     filter_cascade,
     lang_id,
     md5_fingerprint,
+    ngram_diversity,
     quality_score,
     rolling_fingerprint,
     token_count,
     top_ngrams,
+    winnow_fingerprints,
 )
 from ..joins import salted_join  # noqa: F401
 from ..geom.proj import reproject, set_ref_crs, transform_xy  # noqa: F401
