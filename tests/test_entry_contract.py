@@ -228,3 +228,29 @@ def test_no_duplicate_defs_or_registry_keys():
     qkeys = re.findall(r'^\s{8}"([a-z0-9_]+)": q_', qsrc, re.M)
     dups = [k for k, c in Counter(qkeys).items() if c > 1]
     assert not dups, f"duplicate queries() keys: {dups}"
+
+
+def test_no_library_ray_init():
+    """Sessions belong to the caller: no library module or
+    __ray_entry__ may call ray.init — the only sanctioned site is the
+    CLI entry point, and that one must sit behind an
+    is_initialized guard (checked textually)."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    offenders = []
+    for mod in list((root / "pygridmap_ray").rglob("*.py")) + [
+        root / "__ray_entry__.py"
+    ]:
+        txt = mod.read_text()
+        for m in re.finditer(r"^\s*ray\.init\(", txt, re.M):
+            if mod.name == "cli.py":
+                # must be preceded by an is_initialized early-return
+                pre = txt[: m.start()]
+                assert "is_initialized" in pre.rsplit("def ", 1)[-1], (
+                    "cli.py ray.init lacks the is_initialized guard"
+                )
+                continue
+            offenders.append(str(mod))
+    assert not offenders, f"library ray.init in: {offenders}"
