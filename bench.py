@@ -281,6 +281,7 @@ def _secondary() -> dict:
         ("token_js", q.q_token_js),
         ("emb_outlier", q.q_emb_outlier),
         ("cross_snapshot_dups", q.q_cross_snapshot_dups),
+        ("events_acf_cal", q.q_events_acf_cal),
     ]:
 
         def once(fn=fn):

@@ -6288,6 +6288,93 @@ FROM terms
 PSI_NBUCK = 10  #: fixed uniform quality buckets over [0, 1]
 
 
+ACF_CAL_MAX_LAG = 7
+
+
+def q_events_acf_cal(sf_dir: str):
+    """Autocorrelation of the CALENDAR daily event-count series at lags
+    1..7 (missing days count 0 — the zero-filled companion of the
+    observed-pair `events_acf`; weekly seasonality shows as a lag-7
+    peak).  r_k = sum (x_t - m)(x_{t+k} - m) / sum (x_t - m)^2 over
+    the overlapping range, 6dp half-away.
+
+    Scale shape: per-batch (day, n) count combiners -> one bounded
+    date-domain aggregate -> driver fold over a few hundred day ints
+    (the fixed-cost rule)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def part(b: pa.Table) -> pa.Table:
+        us = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        day = us // np.int64(86_400_000_000)  # ts epochs are positive
+        u, c = np.unique(day, return_counts=True)
+        return pa.table(
+            {"day": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    days = agg["day"].to_numpy(np.int64)
+    ns = agg["n"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    x = np.zeros(hi - lo + 1, np.float64)
+    x[days - lo] = ns
+    m = x.sum() / len(x)
+    d = x - m
+    ssq = float((d * d).sum())
+    lags, acf = [], []
+    for k in range(1, ACF_CAL_MAX_LAG + 1):
+        num = float((d[:-k] * d[k:]).sum()) if k < len(x) else 0.0
+        r = num / ssq if ssq > 0 else 0.0
+        r = float(np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6)
+        lags.append(k)
+        acf.append(r)
+    return pa.table(
+        {
+            "lag": pa.array(lags, pa.int64()),
+            "acf": pa.array(acf, pa.float64()),
+        }
+    )
+
+
+def _sql_events_acf_cal() -> str:
+    return f"""
+WITH c AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
+         COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+cal AS (
+  SELECT unnest(generate_series(lo, hi)) AS day FROM rng
+),
+x AS (
+  SELECT cal.day, COALESCE(c.n, 0)::DOUBLE AS v
+  FROM cal LEFT JOIN c USING (day)
+),
+mstat AS (SELECT SUM(v) / COUNT(*) AS m FROM x),
+dv AS (SELECT day, v - (SELECT m FROM mstat) AS d FROM x),
+ssq AS (SELECT SUM(d * d) AS s FROM dv),
+lags AS (
+  SELECT unnest(generate_series(1, {ACF_CAL_MAX_LAG})) AS lag
+)
+SELECT l.lag,
+  ROUND(COALESCE(SUM(a.d * b.d), 0) / (SELECT s FROM ssq) * 1e6) / 1e6
+    AS acf
+FROM lags l
+JOIN dv a ON TRUE
+JOIN dv b ON b.day = a.day + l.lag
+GROUP BY l.lag
+ORDER BY l.lag
+"""
+
+
 def q_quality_psi(sf_dir: str):
     """Population Stability Index between two corpus snapshots (doc_id
     parity split) over fixed uniform quality buckets — the standard
@@ -15456,6 +15543,7 @@ def queries():
         "cross_snapshot_dups": q_cross_snapshot_dups,
         "fd_check": q_fd_check,
         "quality_psi": q_quality_psi,
+        "events_acf_cal": q_events_acf_cal,
         "token_js": q_token_js,
         "embedding_cov": q_embedding_cov,
         "shuffle_pos": q_shuffle,
@@ -16875,6 +16963,7 @@ def oracle_sql():
         "cross_snapshot_dups": _sql_cross_snapshot_dups(),
         "fd_check": _sql_fd_check(),
         "quality_psi": _sql_quality_psi(),
+        "events_acf_cal": _sql_events_acf_cal(),
         "token_js": _sql_token_js(),
         "embedding_cov": _sql_embedding_cov(),
         "shuffle_pos": _sql_shuffle(),
