@@ -263,10 +263,11 @@ def keyed_prefix_sum(
         k = g[key_col].astype(str).to_numpy(dtype=object)
         v = g[value_col].to_numpy(dtype=np.int64)
         bk = int(g["__bk"].iloc[0])
-        cum = np.empty(len(v), np.int64)
-        dfk = pd.Series(v)
-        cum = dfk.groupby(pd.Series(k), sort=False).cumsum().to_numpy(
-            np.int64
+        cum = (
+            pd.Series(v)
+            .groupby(pd.Series(k), sort=False)
+            .cumsum()
+            .to_numpy(np.int64)
         )
         kb = np.array([base[kv][bk] for kv in k], dtype=np.int64)
         g[out_col] = cum + kb
