@@ -397,3 +397,30 @@ def test_bloom_prefilter_superset_and_fp_rate(ray_session):
     fp = (len(kept) - len(members)) / len(non_members)
     # m/n = 16.4 bits/key, k=4 -> p ~ (1-e^(-4/16.4))^4 ~ 0.0023
     assert fp < 0.01, fp
+
+
+def test_connected_components_distributed_matches_local(ray_session):
+    """Forced above the local gate the pointer-jumping Dataset path
+    must reproduce the local solve exactly."""
+    from pygridmap_ray.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(0, 20)]
+    far = [(1000, 2000), (2000, 3000)]
+    edges = chain + far
+    ds = _mk(
+        {
+            "id_a": np.array([a for a, _ in edges], dtype=np.int64),
+            "id_b": np.array([b for _, b in edges], dtype=np.int64),
+        }
+    )
+    loc = (
+        connected_components(ds, max_iter=50, num_partitions=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        connected_components(
+            ds, max_iter=50, num_partitions=4, local_max_edges=0
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert loc.equals(dist)
