@@ -1000,6 +1000,159 @@ def hits_scores(
     )
 
 
+def hits_scores_ds(
+    edges,
+    hub_col: str = "a",
+    auth_col: str = "b",
+    *,
+    iters: int = HITS_ITERS,
+    round_to: int = 6,
+):
+    """:func:`hits_scores` for DISTINCT bipartite edge Datasets beyond
+    the driver gate — the pagerank superstep shape: hub/authority
+    scores live in node-scale Datasets; each iteration is one
+    partitioned ``safe_join`` scatter + one coarse per-target sum per
+    direction, with the max normalization from a streaming aggregate.
+    Returns a Dataset (node, kind, score) — same law/rounding as the
+    driver solve."""
+    import ray.data as rd
+
+    from .cluster import compact_blocks, default_num_partitions, safe_join
+
+    w = default_num_partitions()
+    I = pa.int64()
+    edge_schema = pa.schema([(hub_col, I), (auth_col, I)])
+    h_schema = pa.schema([("v", I), ("s", pa.float64())])
+    edges_c = compact_blocks(edges.repartition(w), edge_schema)
+
+    def _distinct_col(col):
+        def part(b: pa.Table) -> pa.Table:
+            u = np.unique(np.asarray(b[col], np.int64))
+            cg = (
+                (u.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(_resolve_buckets(None))
+            ).astype(np.int64)
+            return pa.table({"v": pa.array(u), "__cg": pa.array(cg)})
+
+        import pandas as pd
+
+        def fold(g):
+            return pd.DataFrame(
+                {"v": np.unique(g["v"].to_numpy(np.int64))}
+            )
+
+        return (
+            edges_c.map_batches(part, batch_format="pyarrow")
+            .groupby("__cg")
+            .map_groups(fold, batch_format="pandas")
+        )
+
+    hubs = compact_blocks(
+        _distinct_col(hub_col).map_batches(
+            lambda b: pa.table(
+                {
+                    "v": pc.cast(b["v"], I),
+                    "s": pa.nulls(b.num_rows, pa.float64()).fill_null(
+                        1.0
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        h_schema,
+    )
+    auths = None
+
+    def scatter(src_state, on_col, out_col):
+        msgs = safe_join(
+            edges_c, src_state, "inner", num_partitions=w,
+            on=(on_col,), right_on=("v",), right_schema=h_schema,
+        )
+        summed = _coarse_sum_float(msgs, out_col).materialize()
+        mx = summed.max("s")
+        return compact_blocks(
+            summed.map_batches(
+                lambda b, _m=float(mx): pa.table(
+                    {
+                        "v": b["v"],
+                        "s": pc.divide(b["s"], pa.scalar(_m)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            h_schema,
+        )
+
+    def _coarse_sum_float(ds, key_col):
+        import pandas as pd
+
+        nb = _resolve_buckets(None)
+
+        def part(b: pa.Table) -> pa.Table:
+            k = np.asarray(b[key_col], np.int64)
+            x = np.asarray(b["s"], np.float64)
+            o = np.argsort(k, kind="stable")
+            k, x = k[o], x[o]
+            st = np.flatnonzero(
+                np.concatenate([[True], k[1:] != k[:-1]])
+            )
+            cg = (
+                (k[st].astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(nb)
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "v": pa.array(k[st]),
+                    "s": pa.array(np.add.reduceat(x, st)),
+                    "__cg": pa.array(cg),
+                }
+            )
+
+        def fold(g):
+            k = g["v"].to_numpy(np.int64)
+            x = g["s"].to_numpy(np.float64)
+            o = np.argsort(k, kind="stable")
+            k, x = k[o], x[o]
+            st = np.flatnonzero(
+                np.concatenate([[True], k[1:] != k[:-1]])
+            )
+            return pd.DataFrame(
+                {"v": k[st], "s": np.add.reduceat(x, st)}
+            )
+
+        return (
+            ds.map_batches(part, batch_format="pyarrow")
+            .groupby("__cg")
+            .map_groups(fold, batch_format="pandas")
+        )
+
+    for _ in range(iters):
+        auths = scatter(hubs, hub_col, auth_col)
+        hubs = scatter(auths, auth_col, hub_col)
+    tol = 10.0 ** round_to
+
+    def finish(kind):
+        def f(b: pa.Table) -> pa.Table:
+            sc = np.asarray(b["s"], np.float64)
+            sc = np.sign(sc) * np.floor(np.abs(sc) * tol + 0.5) / tol
+            return pa.table(
+                {
+                    "node": b["v"],
+                    "kind": pa.array([kind] * b.num_rows, pa.string()),
+                    "score": pa.array(sc),
+                }
+            )
+
+        return f
+
+    return (
+        hubs.map_batches(finish("hub"), batch_format="pyarrow")
+        .union(auths.map_batches(finish("auth"), batch_format="pyarrow"))
+        .sort(["kind", "node"])
+    )
+
+
+
 def sql_hits(
     *,
     source: str = "lineitem",

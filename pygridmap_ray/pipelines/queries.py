@@ -12788,13 +12788,23 @@ def q_hits(sf_dir: str):
     (graph.hits_scores; the distinct-pair build is the kcore shape)."""
     import ray.data as rd
 
-    from ..graph import distinct_int_pairs_table, hits_scores
+    from ..graph import (
+        distinct_int_pairs,
+        distinct_int_pairs_table,
+        hits_scores,
+        hits_scores_ds,
+    )
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
     )
-    pairs = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
-    return hits_scores(pairs, "l_suppkey", "l_partkey")
+    if line.count() <= KCORE_EDGE_GATE:  # raw-count gate (metadata)
+        pairs = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
+        return hits_scores(pairs, "l_suppkey", "l_partkey")
+    return hits_scores_ds(
+        distinct_int_pairs(line, "l_suppkey", "l_partkey"),
+        "l_suppkey", "l_partkey",
+    )
 
 
 def _sql_hits() -> str:

@@ -468,3 +468,30 @@ def test_label_prop_sharded_matches_local(ray_session):
     sh = sh.to_pandas().sort_values("community").reset_index(drop=True)
     lp = loc.to_pandas().sort_values("community").reset_index(drop=True)
     assert lp.equals(sh)
+
+
+def test_hits_sharded_matches_driver(ray_session):
+    """The Dataset HITS (pagerank superstep shape) must agree with the
+    driver solve at the 6dp step."""
+    import ray.data as rd
+
+    from pygridmap_ray.graph import hits_scores, hits_scores_ds
+
+    rng = np.random.default_rng(13)
+    hub = rng.integers(0, 12, 60).astype(np.int64)
+    aut = rng.integers(100, 115, 60).astype(np.int64)
+    pairs = np.unique(hub * (1 << 31) + aut)
+    hub = (pairs >> 31).astype(np.int64)
+    aut = (pairs & ((1 << 31) - 1)).astype(np.int64)
+    tbl = pa.table({"a": pa.array(hub), "b": pa.array(aut)})
+    drv = (
+        hits_scores(tbl, "a", "b", iters=4)
+        .to_pandas().sort_values(["kind", "node"]).reset_index(drop=True)
+    )
+    dst = (
+        hits_scores_ds(rd.from_arrow(tbl), "a", "b", iters=4)
+        .to_pandas().sort_values(["kind", "node"]).reset_index(drop=True)
+    )
+    assert list(drv["node"]) == list(dst["node"])
+    assert list(drv["kind"]) == list(dst["kind"])
+    assert np.allclose(drv["score"], dst["score"], atol=2e-6)
