@@ -3927,33 +3927,49 @@ def _sql_tfidf_pairs() -> str:
     return sql_tfidf_pairs(n=2, max_df_frac=0.5, threshold=0.35)
 
 
-def q_pagerank(sf_dir: str):
-    """Fixed-iteration PageRank (graph.pagerank) over the supplier<->part
-    bipartite graph: distinct edges via per-batch packed-key partials +
-    one driver-final unique (this demo graph is node-scale, the pagerank
-    dense gate — at corpus scale swap in the distributed
-    graph.distinct_int_pairs), 5 Pregel supersteps of join + coarse-sum
-    with materialized rank state."""
+def _bipartite_pr_edges(sf_dir: str):
+    """Doubled namespaced supplier<->part edge Dataset for the pagerank
+    family — RAW-count gated (parquet metadata): below the gate one
+    driver-final distinct builds the doubled table in numpy; above it
+    the distributed distinct + a mirror map keep everything off the
+    driver (graph.pagerank accepts the Dataset either way)."""
     import ray.data as rd
 
     from ..cluster import default_num_partitions
-    from ..graph import distinct_int_pairs_table, pagerank
+    from ..graph import distinct_int_pairs, distinct_int_pairs_table
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
     )
-    tbl = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
-    s = np.asarray(tbl["l_suppkey"], np.int64) * 2
-    p = np.asarray(tbl["l_partkey"], np.int64) * 2 + 1
-    edges = rd.from_arrow(
-        pa.table(
+
+    def mirror(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["l_suppkey"], np.int64) * 2
+        pp = np.asarray(b["l_partkey"], np.int64) * 2 + 1
+        return pa.table(
             {
-                "src": pa.array(np.concatenate([s, p])),
-                "dst": pa.array(np.concatenate([p, s])),
+                "src": pa.array(np.concatenate([s, pp])),
+                "dst": pa.array(np.concatenate([pp, s])),
             }
         )
-    ).repartition(default_num_partitions())
-    return pagerank(edges, iters=5)
+
+    if line.count() <= KCORE_EDGE_GATE:
+        tbl = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
+        return rd.from_arrow(mirror(tbl)).repartition(
+            default_num_partitions()
+        )
+    return distinct_int_pairs(
+        line, "l_suppkey", "l_partkey"
+    ).map_batches(mirror, batch_format="pyarrow")
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-iteration PageRank (graph.pagerank) over the supplier<->part
+    bipartite graph: raw-count-gated distinct + mirror edge build
+    (_bipartite_pr_edges), 5 Pregel supersteps of join + coarse-sum
+    with materialized rank state."""
+    from ..graph import pagerank
+
+    return pagerank(_bipartite_pr_edges(sf_dir), iters=5)
 
 
 def q_pagerank_pers(sf_dir: str):
@@ -3962,25 +3978,9 @@ def q_pagerank_pers(sf_dir: str):
     importance over the same bipartite graph as q_pagerank."""
     import pyarrow.parquet as pq_
 
-    import ray.data as rd
+    from ..graph import pagerank
 
-    from ..cluster import default_num_partitions
-    from ..graph import distinct_int_pairs_table, pagerank
-
-    line = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
-    )
-    tbl = distinct_int_pairs_table(line, "l_suppkey", "l_partkey")
-    s = np.asarray(tbl["l_suppkey"], np.int64) * 2
-    p = np.asarray(tbl["l_partkey"], np.int64) * 2 + 1
-    edges = rd.from_arrow(
-        pa.table(
-            {
-                "src": pa.array(np.concatenate([s, p])),
-                "dst": pa.array(np.concatenate([p, s])),
-            }
-        )
-    ).repartition(default_num_partitions())
+    edges = _bipartite_pr_edges(sf_dir)
     sk = np.unique(
         np.asarray(
             pq_.read_table(
