@@ -57,18 +57,14 @@ def resolve_num_buckets(num_buckets: int | None) -> int:
     return default_num_buckets() if num_buckets is None else num_buckets
 
 
-_AUTO_NB: dict = {}
-
-
-def auto_num_buckets() -> int:
-    """Per-process cached :func:`default_num_buckets` for PER-BATCH UDF
-    bucket hashing: ``ray.cluster_resources()`` is a GCS round-trip, so
-    hot map closures call this instead.  The cluster-wide CPU total is
-    identical from every worker, so all stages of a pipeline agree on
-    the bucket count without shipping it through the plan."""
-    if "nb" not in _AUTO_NB:
-        _AUTO_NB["nb"] = default_num_buckets()
-    return _AUTO_NB["nb"]
+# NOTE there is deliberately NO worker-side cached bucket resolver
+# (the former ``auto_num_buckets``): a per-worker cache of
+# ``ray.cluster_resources()`` is only consistent on a STATIC cluster —
+# on an elastic one (nodes joining/leaving, worker processes spanning a
+# resize) two workers of the same stage can cache different CPU totals
+# and silently split coarse groups.  Bucket counts are resolved ONCE on
+# the driver at pipeline entry (``resolve_num_buckets``) and captured
+# in the UDF closures, so every batch of a stage agrees by construction.
 
 
 def compact_blocks(ds, schema, sentinel_keys: dict | None = None):

@@ -23,7 +23,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from pygridmap_ray.cluster import (
-    auto_num_buckets as _auto_nb,
     resolve_num_buckets as _resolve_buckets,
 )
 
@@ -515,11 +514,12 @@ def ngram_jaccard_pairs(
 
     prefix = sets.map_batches(explode_prefix, batch_format="pyarrow")
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def _add_cg(b: pa.Table) -> pa.Table:
         # coarse partition key: all rows of one shingle group share it
         h = np.asarray(b["shingle"]).astype(np.uint64)
         cg = ((h * np.uint64(2654435761))
-              % np.uint64(_auto_nb())).astype(np.int64)
+              % np.uint64(_nb_cap)).astype(np.int64)
         return b.append_column("__cg", pa.array(cg))
 
     _CAND_EMPTY = pd.DataFrame(
@@ -587,6 +587,7 @@ def ngram_jaccard_pairs(
 
     import pyarrow.compute as pc
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def _pack_pairs(b: pa.Table) -> pa.Table:
         """Candidate rows -> (pairkey, sizes, bucket).  One int64 key per
         pair keeps the dedup-count stage fully vectorized; a generic
@@ -602,7 +603,7 @@ def ngram_jaccard_pairs(
             )
         key = (ia << np.int64(32)) | ib
         bucket = ((key.astype(np.uint64) * np.uint64(2654435761))
-                  % np.uint64(_auto_nb())).astype(np.int64)
+                  % np.uint64(_nb_cap)).astype(np.int64)
         return pa.table(
             {
                 "pairkey": pa.array(key),

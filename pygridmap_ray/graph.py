@@ -28,7 +28,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from pygridmap_ray.cluster import (
-    auto_num_buckets as _auto_nb,
     resolve_num_buckets as _resolve_buckets,
 )
 
@@ -1020,6 +1019,7 @@ def hits_scores_ds(
     from .cluster import compact_blocks, default_num_partitions, safe_join
 
     w = default_num_partitions()
+    nb_distinct = _resolve_buckets(None)  # driver-resolved, captured in UDFs
     I = pa.int64()
     edge_schema = pa.schema([(hub_col, I), (auth_col, I)])
     h_schema = pa.schema([("v", I), ("s", pa.float64())])
@@ -1030,7 +1030,7 @@ def hits_scores_ds(
             u = np.unique(np.asarray(b[col], np.int64))
             cg = (
                 (u.astype(np.uint64) * np.uint64(2654435761))
-                % np.uint64(_resolve_buckets(None))
+                % np.uint64(nb_distinct)
             ).astype(np.int64)
             return pa.table({"v": pa.array(u), "__cg": pa.array(cg)})
 
@@ -1323,11 +1323,12 @@ def bfs_hops(
             right_schema=v_schema,
         )
 
+        _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
         def _uniq(b: pa.Table) -> pa.Table:
             u = np.unique(np.asarray(b[b_col], np.int64))
             cg = (
                 (u.astype(np.uint64) * np.uint64(2654435761))
-                % np.uint64(_auto_nb())
+                % np.uint64(_nb_cap)
             ).astype(np.int64)
             return pa.table({"v": pa.array(u), "__cg": pa.array(cg)})
 
@@ -1520,6 +1521,7 @@ def _scc_sharded(ep_ds, nodes_ds, *, a_col: str, b_col: str,
     from .cluster import compact_blocks, default_num_partitions, safe_join
 
     w = default_num_partitions()
+    nb_cand = _resolve_buckets(None)  # driver-resolved, captured in UDFs
     I = pa.int64()
     edge_schema = pa.schema([(a_col, I), (b_col, I)])
     state_schema = pa.schema(
@@ -1649,7 +1651,7 @@ def _scc_sharded(ep_ds, nodes_ds, *, a_col: str, b_col: str,
                 k = np.unique((u << np.int64(31)) | ct)
                 cg = (
                     (k.astype(np.uint64) * np.uint64(2654435761))
-                    % np.uint64(_resolve_buckets(None))
+                    % np.uint64(nb_cand)
                 ).astype(np.int64)
                 return pa.table(
                     {

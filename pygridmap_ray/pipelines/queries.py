@@ -46,7 +46,6 @@ from ..tiler import (
     with_cell_columns,
 )
 from pygridmap_ray.cluster import (
-    auto_num_buckets as _auto_nb,
     resolve_num_buckets as _resolve_buckets,
 )
 
@@ -1812,6 +1811,7 @@ def q_mutual_nn(sf_dir: str):
 
     nn = q_sphere_nn(sf_dir)
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def edges(b: pa.Table) -> pa.Table:
         a = np.asarray(b["doc_id"], np.int64)
         c = np.asarray(b["nn_id"], np.int64)
@@ -1823,7 +1823,7 @@ def q_mutual_nn(sf_dir: str):
             {
                 "pkey": pa.array(key),
                 "dot": pa.array(d),
-                "__b": pa.array(_bucket_of(key, _auto_nb())),
+                "__b": pa.array(_bucket_of(key, _nb_cap)),
             }
         )
 
@@ -5533,6 +5533,7 @@ def q3_shipping(sf_dir: str):
     import ray
     import pandas as pd
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def bucket_partial(b: pa.Table) -> pa.Table:
         k = np.asarray(b["l_orderkey"], np.int64)
         r = np.asarray(b["rev"], np.float64)
@@ -5547,7 +5548,7 @@ def q3_shipping(sf_dir: str):
         first[inv[::-1]] = d[::-1]  # one date per order key
         cg = (
             (uk.astype(np.uint64) * np.uint64(2654435761))
-            % np.uint64(_auto_nb())
+            % np.uint64(_nb_cap)
         ).astype(np.int64)
         return pa.table(
             {
@@ -8739,6 +8740,7 @@ def q_path_density(sf_dir: str):
 
     paths = events_od_paths(sf_dir, hex_size=HEX_SIZE)
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def partial(b: pa.Table) -> pa.Table:
         uid = np.asarray(b["user_id"], np.int64)
         key = _pack(np.asarray(b["hq"], np.int64), np.asarray(b["hr"], np.int64))
@@ -8750,7 +8752,7 @@ def q_path_density(sf_dir: str):
             {
                 "hkey": pa.array(pairs[:, 0]),
                 "uid": pa.array(pairs[:, 1]),
-                "__b": pa.array(_bucket_of(mix, _auto_nb())),
+                "__b": pa.array(_bucket_of(mix, _nb_cap)),
             }
         )
 
@@ -10833,6 +10835,7 @@ def q_knox_test(sf_dir: str):
     pts = ds.map_batches(prep, batch_format="pyarrow").materialize()
 
     # --- spatial (and both) pairs: 3x3 ghost cells of size KNOX_DS ----
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def scat_xy(b: pa.Table) -> pa.Table:
         x = np.asarray(b["x"], np.float64)
         y = np.asarray(b["y"], np.float64)
@@ -10862,7 +10865,7 @@ def q_knox_test(sf_dir: str):
                 "pid": pa.array(np.concatenate(es)),
                 "pt": pa.array(np.concatenate(ts_)),
                 "own": pa.array(np.concatenate(ow)),
-                "__b": pa.array(_bucket_of(key, _auto_nb())),
+                "__b": pa.array(_bucket_of(key, _nb_cap)),
             }
         )
 
@@ -10965,6 +10968,7 @@ def q_knox_test(sf_dir: str):
     )
 
     # --- temporal pairs: 1D ghost buckets of width KNOX_DT ------------
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def scat_t(b: pa.Table) -> pa.Table:
         eid = np.asarray(b["eid"], np.int64)
         us = np.asarray(b["us"], np.int64)
@@ -10982,7 +10986,7 @@ def q_knox_test(sf_dir: str):
                 "pid": pa.array(np.concatenate(es)),
                 "pt": pa.array(np.concatenate(ts_)),
                 "own": pa.array(np.concatenate(ow)),
-                "__b": pa.array(_bucket_of(key, _auto_nb())),
+                "__b": pa.array(_bucket_of(key, _nb_cap)),
             }
         )
 
@@ -11100,6 +11104,7 @@ def q_bearing_stats(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def tag(b: pa.Table) -> pa.Table:
         uid = np.asarray(b["user_id"], np.int64)
         eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
@@ -11111,7 +11116,7 @@ def q_bearing_stats(sf_dir: str):
                 "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
                 "x": pa.array(x),
                 "y": pa.array(y),
-                "__b": pa.array(_bucket_of(uid, _auto_nb())),
+                "__b": pa.array(_bucket_of(uid, _nb_cap)),
             }
         )
 
@@ -11234,6 +11239,7 @@ def q_st_dbscan(sf_dir: str):
 
     pts = ds.map_batches(prep, batch_format="pyarrow").materialize()
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def scat(b: pa.Table) -> pa.Table:
         x = np.asarray(b["x"], np.float64)
         y = np.asarray(b["y"], np.float64)
@@ -11263,7 +11269,7 @@ def q_st_dbscan(sf_dir: str):
                 "pid": pa.array(np.concatenate(es)),
                 "pt": pa.array(np.concatenate(ts_)),
                 "own": pa.array(np.concatenate(ow)),
-                "__b": pa.array(_bucket_of(key, _auto_nb())),
+                "__b": pa.array(_bucket_of(key, _nb_cap)),
             }
         )
 
@@ -11605,6 +11611,7 @@ def q_traj_simplify(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def tag(b: pa.Table) -> pa.Table:
         uid = np.asarray(b["user_id"], np.int64)
         eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
@@ -11616,7 +11623,7 @@ def q_traj_simplify(sf_dir: str):
                 "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
                 "x": pa.array(x),
                 "y": pa.array(y),
-                "__b": pa.array(_bucket_of(uid, _auto_nb())),
+                "__b": pa.array(_bucket_of(uid, _nb_cap)),
             }
         )
 
@@ -13190,6 +13197,7 @@ def q_hex_cusum(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
     )
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def tag(b: pa.Table) -> pa.Table:
         if b.num_columns == 0 or b.num_rows == 0:
             return pa.table(
@@ -13201,7 +13209,7 @@ def q_hex_cusum(sf_dir: str):
                 }
             )
         k = np.asarray(b["hkey"], np.int64)
-        return b.append_column("__b", pa.array(_bucket_of(k, _auto_nb())))
+        return b.append_column("__b", pa.array(_bucket_of(k, _nb_cap)))
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         k = g["hkey"].to_numpy(np.int64)
@@ -13572,6 +13580,7 @@ def q_ipf_balance(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def tag(b: pa.Table) -> pa.Table:
         uid = np.asarray(b["user_id"], np.int64)
         eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
@@ -13586,7 +13595,7 @@ def q_ipf_balance(sf_dir: str):
                 "event_id": pa.array(eid),
                 "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
                 "reg": pa.array(reg),
-                "__b": pa.array(_bucket_of(uid, _auto_nb())),
+                "__b": pa.array(_bucket_of(uid, _nb_cap)),
             }
         )
 
@@ -13813,6 +13822,7 @@ def q_movement_entropy(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def tag(b: pa.Table) -> pa.Table:
         uid = np.asarray(b["user_id"], np.int64)
         eid = np.asarray(pc.cast(b["event_id"], pa.int64()))
@@ -13827,7 +13837,7 @@ def q_movement_entropy(sf_dir: str):
                 "event_id": pa.array(eid),
                 "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
                 "reg": pa.array(reg),
-                "__b": pa.array(_bucket_of(uid, _auto_nb())),
+                "__b": pa.array(_bucket_of(uid, _nb_cap)),
             }
         )
 

@@ -389,9 +389,11 @@ def events_funnel(sf_dir: str, stages: tuple[str, ...] = FUNNEL_STAGES,
         batch_format="pyarrow",
     )
 
+    nb = _resolve_buckets(None)  # driver-resolved once, captured below
+
     def tag(b: pa.Table) -> pa.Table:
         return b.append_column(
-            "__b", pa.array(_bucket_of(np.asarray(b["user_id"]), 64))
+            "__b", pa.array(_bucket_of(np.asarray(b["user_id"]), nb))
         )
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:

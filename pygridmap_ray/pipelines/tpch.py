@@ -477,8 +477,9 @@ def q10_returned(sf_dir: str) -> pa.Table:
     import ray
     import ray.data as rd
 
-    from ..cluster import default_num_partitions
+    from ..cluster import default_num_partitions, resolve_num_buckets
 
+    nb = resolve_num_buckets(None)  # driver-resolved once, captured below
     d0, d1 = _ts_us(Q10_D0), _ts_us(Q10_D1)
 
     orders = rd.read_parquet(
@@ -552,7 +553,7 @@ def q10_returned(sf_dir: str) -> pa.Table:
         s = np.bincount(inv, weights=r, minlength=len(uk))
         return pa.table(
             {"k": pa.array(uk), "s": pa.array(s),
-             "__cg": pa.array(_bucket_of(uk, 64))}
+             "__cg": pa.array(_bucket_of(uk, nb))}
         )
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:

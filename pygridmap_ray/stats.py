@@ -24,7 +24,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from pygridmap_ray.cluster import (
-    auto_num_buckets as _auto_nb,
     resolve_num_buckets as _resolve_buckets,
 )
 
@@ -2957,12 +2956,13 @@ def table_profile(ds, cols: list[str]):
     if len(cols) > 16:
         raise ValueError("table_profile packs <= 16 columns per call")
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def packk(b: pa.Table) -> pa.Table:
         h = np.asarray(b["h"], np.int64).astype(np.uint64)
         ci_ = np.asarray(b["ci"], np.int64).astype(np.uint64)
         k = np.unique((h << np.uint64(4)) | ci_)
         cg = (
-            (k * np.uint64(2654435761)) % np.uint64(_auto_nb())
+            (k * np.uint64(2654435761)) % np.uint64(_nb_cap)
         ).astype(np.int64)
         return pa.table(
             {"k": pa.array(k.astype(np.int64)), "__cg": pa.array(cg)}
@@ -3061,6 +3061,7 @@ def k_anonymity(
 
     sep = "\x1f"
 
+    _nb_cap = _resolve_buckets(None)  # driver-resolved once, captured
     def part(b: pa.Table) -> pa.Table:
         cols = [
             pc.cast(b[c], pa.string()).to_pandas().astype(str)
@@ -3091,7 +3092,7 @@ def k_anonymity(
         cnt = np.diff(np.append(gstarts, len(h))).astype(np.int64)
         cg = (
             (h[gstarts].astype(np.uint64) * np.uint64(2654435761))
-            % np.uint64(_auto_nb())
+            % np.uint64(_nb_cap)
         ).astype(np.int64)
         gt = pa.table(
             {
@@ -3104,7 +3105,7 @@ def k_anonymity(
         )
         cg2 = (
             (h[starts].astype(np.uint64) * np.uint64(2654435761))
-            % np.uint64(_auto_nb())
+            % np.uint64(_nb_cap)
         ).astype(np.int64)
         st = pa.table(
             {

@@ -230,6 +230,33 @@ def test_no_duplicate_defs_or_registry_keys():
     assert not dups, f"duplicate queries() keys: {dups}"
 
 
+def test_no_literal_bucket_widths():
+    """Shuffle widths must derive from the cluster, never sit at a
+    laptop literal (a constant caps parallelism on 256 nodes), and the
+    count must be resolved ON THE DRIVER and captured — a worker-side
+    cache (the removed ``auto_num_buckets``) can diverge across an
+    elastic-cluster resize and silently split coarse groups.  Pin both:
+    no ``_bucket_of(x, <int literal>)`` call and no worker-side
+    resolver name anywhere in the engine source."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "pygridmap_ray"
+    offenders = []
+    for mod in root.rglob("*.py"):
+        # comments may explain the removed resolver; only code counts
+        txt = "\n".join(
+            ln for ln in mod.read_text().splitlines()
+            if not ln.lstrip().startswith("#")
+        )
+        for m in re.finditer(r"_bucket_of\([^()]*,\s*(\d+)\s*\)", txt):
+            offenders.append(f"{mod.name}: literal width {m.group(0)}")
+        for name in ("auto_num_buckets", "_auto_nb"):
+            if re.search(rf"\b{name}\b", txt):
+                offenders.append(f"{mod.name}: worker-side resolver {name}")
+    assert not offenders, offenders
+
+
 def test_no_library_ray_init():
     """Sessions belong to the caller: no library module or
     __ray_entry__ may call ray.init — the only sanctioned site is the
