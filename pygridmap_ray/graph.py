@@ -223,6 +223,8 @@ def pagerank(
             deg_ds.map_batches(_member, batch_format="pyarrow").sum("m")
             or 0
         )
+        if k == 0.0:  # same error as the broadcast path (graph.py:107)
+            raise ValueError("no seed_nodes present in the graph")
         teleport = (1.0 - damping) / k
         init_val = 1.0 / k
     else:

@@ -172,6 +172,28 @@ FROM c
 """
 
 
+def _empty_with_schema(ds, extra_cols: list[tuple[str, pa.DataType]]):
+    """A zero-row dataset carrying ``ds``'s columns plus ``extra_cols``
+    — the declared-output-schema contract for empty inputs (map_batches
+    UDFs are never invoked on zero-row blocks, so an empty pipeline
+    would otherwise surface the INPUT schema and break any consumer
+    that selects the promised output columns)."""
+    import ray.data as rd
+
+    sch = ds.schema()
+    if sch is None:  # schemaless empty dataset: nothing to declare
+        return ds
+    fields: list[tuple[str, pa.DataType]] = []
+    for n, t in zip(sch.names, sch.types):
+        if not isinstance(t, pa.DataType):  # pandas-block numpy dtype
+            t = pa.from_numpy_dtype(t)
+        fields.append((n, t))
+    fields += extra_cols
+    return rd.from_arrow(
+        pa.table({n: pa.array([], t) for n, t in fields})
+    )
+
+
 def keyed_prefix_sum(
     ds,
     *,
@@ -204,7 +226,9 @@ def keyed_prefix_sum(
         Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi")
     )
     if bounds["lo"] is None:
-        return ds  # empty input: nothing to scan
+        # empty input: still honor the declared output schema (input
+        # columns + out_col) so schema-sensitive consumers don't break
+        return _empty_with_schema(ds, [(out_col, pa.int64())])
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = hi - lo + 1
     nb = min(n_buckets, span)
@@ -295,6 +319,16 @@ def token_budget_take(
     deterministic and partitioning-independent.
 
     Emits (order_col, key_col, tokens_col, cum_tokens, kept)."""
+    ds = ds.materialize()
+    if ds.count() == 0:
+        # finish() below never runs on zero-row blocks: declare the
+        # promised five-column schema directly (bool kept)
+        base = _empty_with_schema(
+            ds, [("cum_tokens", pa.int64()), ("kept", pa.bool_())]
+        )
+        return base.select_columns(
+            [order_col, key_col, tokens_col, "cum_tokens", "kept"]
+        )
     out = keyed_prefix_sum(
         ds, key_col=key_col, order_col=order_col, value_col=tokens_col,
         out_col="cum_tokens",

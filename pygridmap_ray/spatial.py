@@ -1243,16 +1243,28 @@ def grid_join_counts(
             kk = np.empty(0, np.int64)
             blk = np.empty(0, np.int64)
         nj = bb = bw = 0
+        iy_max = np.int64((1 << 20) - 1)
         for shift in (np.int64(1) << np.int64(20), np.int64(1)):
-            tgt = kk + shift
+            if shift == 1:
+                # a cell whose iy FIELD is at its max has no iy+1
+                # neighbor: k+1 would carry into the ix field and match
+                # (ix+1, iy=0) as a false rook pair (the SQL twin joins
+                # real (ix, iy) and never wraps)
+                src = (kk & iy_max) != iy_max
+            else:
+                # ix at field max packs past 2^40 — no real key up
+                # there, searchsorted can't false-match
+                src = np.ones(len(kk), bool)
+            ks, bs = kk[src], blk[src]
+            tgt = ks + shift
             pos = np.searchsorted(kk, tgt)
             pos = np.minimum(pos, max(len(kk) - 1, 0))
             hit = (len(kk) > 0) & (kk[pos] == tgt) if len(kk) else (
                 np.zeros(0, bool)
             )
             nj += int(np.count_nonzero(hit))
-            bb += int((blk[hit] & blk[pos[hit]]).sum())
-            bw += int((blk[hit] ^ blk[pos[hit]]).sum())
+            bb += int((bs[hit] & blk[pos[hit]]).sum())
+            bw += int((bs[hit] ^ blk[pos[hit]]).sum())
         return rd.from_arrow(
             pa.table(
                 {
@@ -1267,15 +1279,22 @@ def grid_join_counts(
     cells = compact_blocks(marked, pa.schema([("k", I), ("black", I)]))
     parts = []
     for shift in (np.int64(1) << np.int64(20), np.int64(1)):
-        nbr = cells.map_batches(
-            lambda b, _s=shift: pa.table(
-                {
-                    "kn": pa.array(np.asarray(b["k"], np.int64) - _s),
-                    "black_b": b["black"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
+
+        def _nbr(b: pa.Table, _s=shift) -> pa.Table:
+            k = np.asarray(b["k"], np.int64)
+            blq = np.asarray(b["black"], np.int64)
+            if _s == 1:
+                # iy field 0 cannot be anyone's iy+1 neighbor: k-1
+                # would borrow from the ix field and claim (ix-1,
+                # iy at max) as a false rook pair — same wrap the
+                # driver branch masks
+                keep = (k & np.int64((1 << 20) - 1)) != 0
+                k, blq = k[keep], blq[keep]
+            return pa.table(
+                {"kn": pa.array(k - _s), "black_b": pa.array(blq)}
+            )
+
+        nbr = cells.map_batches(_nbr, batch_format="pyarrow")
         pairs = safe_join(
             cells, compact_blocks(
                 nbr, pa.schema([("kn", I), ("black_b", I)])

@@ -188,3 +188,88 @@ def test_semdedup_forced_chunked_assign(ray_session):
     assert (plain["cluster"] == forced["cluster"]).all()
     assert (plain["removed"] == forced["removed"]).all()
     assert plain["removed"].sum() >= 50  # the planted dups were caught
+
+
+# ---------------------------------------------------------------------------
+# round-5 ADVICE fixes
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_no_seed_error_consistent_across_gate(ray_session):
+    """Personalized pagerank with no seed present must raise the SAME
+    clear ValueError on both sides of the broadcast gate (the sharded
+    branch used to divide by zero)."""
+    import ray.data as rd
+
+    from pygridmap_ray.graph import pagerank
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 0], pa.int64()),
+    }))
+    seeds = np.array([99], np.int64)  # absent from the graph
+    for limit in (2_000_000, 0):  # broadcast and sharded branches
+        with pytest.raises(ValueError, match="no seed_nodes present"):
+            pagerank(
+                edges, iters=2, seed_nodes=seeds,
+                broadcast_state_limit=limit,
+            ).to_pandas()
+
+
+def test_grid_join_counts_no_iy_field_wrap(ray_session):
+    """Packed-key rook adjacency must not wrap across the iy field: a
+    cell at the TOP of the permitted iy range (+2^19 - 1) packs to
+    k with all-ones low bits, and k+1 equals the packed key of
+    (ix+1, iy = -2^19) — NOT a rook neighbor.  Both the driver branch
+    and the distributed join branch must reject the pair (the SQL twin
+    joins real (ix, iy) and never wraps)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pygridmap_ray.spatial import grid_join_counts
+
+    top = (1 << 19) - 1          # max permitted raw iy index
+    bot = -(1 << 19)             # min permitted raw iy index
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "x": [0.5, 0.5, 1.5, 1.5],
+        "y": [top + 0.5, top + 0.5, bot + 0.5, bot + 0.5],
+    })
+    for gate in (2_000_000, 0):
+        out = grid_join_counts(
+            rd.from_pandas(df), cell=1.0, threshold=2, driver_gate=gate,
+        ).to_pandas().iloc[0]
+        assert out["n_cells"] == 2
+        assert out["n_joins"] == 0, (
+            f"iy-field wrap produced a false rook join (gate={gate})"
+        )
+        assert out["bb"] == 0 and out["bw"] == 0 and out["ww"] == 0
+
+
+def test_keyed_prefix_sum_empty_input_schema(ray_session):
+    """Empty corpora keep the promised output schema: keyed_prefix_sum
+    adds out_col, token_budget_take adds cum_tokens + kept (map_batches
+    UDFs never run on zero-row blocks, so the schema must be declared
+    explicitly on the empty path)."""
+    import ray.data as rd
+
+    from pygridmap_ray.pack import keyed_prefix_sum, token_budget_take
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "source": pa.array([], pa.string()),
+        "n_tokens": pa.array([], pa.int64()),
+    }))
+    out = keyed_prefix_sum(
+        empty, key_col="source", order_col="doc_id",
+        value_col="n_tokens",
+    )
+    assert out.count() == 0
+    assert list(out.schema().names) == [
+        "doc_id", "source", "n_tokens", "cum"
+    ]
+    tb = token_budget_take(empty, budget=100)
+    assert tb.count() == 0
+    assert list(tb.schema().names) == [
+        "doc_id", "source", "n_tokens", "cum_tokens", "kept"
+    ]
