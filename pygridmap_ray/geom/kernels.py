@@ -366,15 +366,10 @@ def _points_in_tri(P: np.ndarray, a, b, c, eps: float) -> np.ndarray:
     return (d0 > eps) & (d1 > eps) & (d2 > eps)
 
 
-def triangulate_ring(ring: Ring) -> list[Ring]:
-    """Ear-clipping triangulation of a SIMPLE (non-self-intersecting)
-    ring, any orientation -> CCW triangles that exactly tile it.  O(n^2)
-    — meant for clip-layer polygons that are triangulated ONCE on the
-    driver and broadcast, never for per-row geometry.  Degenerate
-    (collinear) vertices are dropped as zero-area ears."""
-    r = as_ring(np.asarray(ring, dtype=np.float64))
-    if ring_signed_area(r) < 0:
-        r = r[::-1]
+def _triangulate_simple(r: Ring) -> list[Ring]:
+    """Core ear clip over an already-oriented CCW ring; raises on a
+    ring where no ear exists (see :func:`triangulate_ring` for the
+    healing wrapper that catches this)."""
     scale = max(r[:, 0].ptp(), r[:, 1].ptp()) or 1.0
     eps = 1e-12 * scale * scale
     idx = list(range(len(r)))
@@ -410,6 +405,60 @@ def triangulate_ring(ring: Ring) -> list[Ring]:
         if ring_signed_area(t) > 0:
             tris.append(t)
     return tris
+
+
+def _split_pinch(r: Ring, tol: float) -> tuple[Ring, Ring] | None:
+    """Find the first pair of NON-adjacent (near-)coincident vertices —
+    a self-TOUCHING pinch point — and split the ring into its two lobes
+    there (both keep the pinch vertex once).  Returns None when the
+    ring has no pinch within ``tol``."""
+    n = len(r)
+    t2 = tol * tol
+    for i in range(n - 2):
+        d2 = ((r[i + 2:] - r[i]) ** 2).sum(axis=1)
+        for off in np.flatnonzero(d2 <= t2):
+            j = i + 2 + int(off)
+            if i == 0 and j == n - 1:
+                continue  # first/last adjacency around the wrap
+            return r[i:j], np.concatenate([r[j:], r[:i]], axis=0)
+    return None
+
+
+def triangulate_ring(ring: Ring) -> list[Ring]:
+    """Ear-clipping triangulation of a SIMPLE (non-self-intersecting)
+    ring, any orientation -> CCW triangles that exactly tile it.  O(n^2)
+    — meant for clip-layer polygons that are triangulated ONCE on the
+    driver and broadcast, never for per-row geometry.  Degenerate
+    (collinear) vertices are dropped as zero-area ears.
+
+    Healing pre/retry pass (the engine's analog of the reference's
+    TopologyException retry, reference overlay.py:299-309): when no ear
+    exists, the ring is first healed with :func:`heal_ring` at TOL_EPS
+    (snap-duplicate vertex dedup, spike/collinear drop, zero-area ring
+    drop — a healed-empty ring triangulates to zero triangles instead
+    of raising), then a self-TOUCHING pinch (two non-adjacent vertices
+    within TOL_EPS) is split into its lobes, each triangulated
+    recursively.  A truly self-CROSSING ring still raises — its
+    intended interior is ambiguous (use the parity kernels for the
+    even-odd reading)."""
+    r = as_ring(np.asarray(ring, dtype=np.float64))
+    if len(r) < 3:
+        return []
+    if ring_signed_area(r) < 0:
+        r = r[::-1]
+    try:
+        return _triangulate_simple(r)
+    except ValueError:
+        healed = heal_ring(r, TOL_EPS)
+        if len(healed) < 3:
+            return []  # zero-area / collapsed ring: nothing to tile
+        if len(healed) != len(r) or not np.array_equal(healed, r):
+            return triangulate_ring(healed)
+        pinch = _split_pinch(r, TOL_EPS)
+        if pinch is not None:
+            a, b = pinch
+            return triangulate_ring(a) + triangulate_ring(b)
+        raise
 
 
 def clip_area_poly(rings: Rings, clip: Ring) -> float:

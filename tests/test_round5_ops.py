@@ -246,6 +246,87 @@ def test_grid_join_counts_no_iy_field_wrap(ray_session):
         assert out["bb"] == 0 and out["bw"] == 0 and out["ww"] == 0
 
 
+def test_triangulate_healing_pre_pass():
+    """The VERDICT-4 polygon-healing pre-pass: degenerate rings that
+    used to raise 'no ear found' now triangulate — snap-duplicate
+    dedup, spike drop, zero-area drop, self-TOUCHING pinch split — and
+    the resulting triangles still tile the intended interior exactly.
+    A genuinely self-CROSSING ring (ambiguous interior) still raises."""
+    from pygridmap_ray.geom.kernels import (
+        ring_signed_area, triangulate_ring,
+    )
+
+    # self-touching hourglass: vertex (1,1) appears twice non-adjacent
+    pinch = np.array(
+        [(0, 0), (2, 0), (1, 1), (2, 2), (0, 2), (1, 1)], float
+    )
+    tris = triangulate_ring(pinch)
+    assert len(tris) == 2
+    assert sum(ring_signed_area(t) for t in tris) == 2.0
+
+    # duplicate vertices + an out-and-back spike on a 2x2 square
+    degen = np.array(
+        [(0, 0), (1, 0), (1, 0), (2, 0), (1.5, 0.0), (2, 0), (2, 2),
+         (0, 2)], float
+    )
+    tris = triangulate_ring(degen)
+    assert abs(sum(ring_signed_area(t) for t in tris) - 4.0) < 1e-12
+
+    # zero-area (fully collinear) ring drops to no triangles
+    assert triangulate_ring(
+        np.array([(0, 0), (1, 1), (2, 2)], float)
+    ) == []
+
+    # a crossing ring with no ear anywhere still raises (interior is
+    # ambiguous; the parity kernels own the even-odd reading)
+    crossing = np.array(
+        [[0.4, 3.0], [1.0, 0.6], [1.3, 0.3], [2.7, 3.2], [3.9, 2.5],
+         [0.9, 2.2], [2.2, 0.9]], float
+    )
+    with pytest.raises(ValueError, match="no ear found"):
+        triangulate_ring(crossing)
+
+    # simple rings are untouched by the wrapper
+    sq = np.array([(0, 0), (1, 0), (1, 1), (0, 1)], float)
+    assert len(triangulate_ring(sq)) == 2
+
+
+def test_poly_overlay_degenerate_clip_heals(ray_session):
+    """A degenerate CLIP polygon (duplicate vertices + self-touching
+    pinch) used to raise in poly_overlay's driver-side triangulation;
+    it must now overlay with the same areas as the equivalent clean
+    two-triangle clip layer."""
+    import ray.data as rd
+
+    from pygridmap_ray.overlay import poly_overlay
+
+    subj = [{
+        "poly_id": 0,
+        "rings": [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]],
+    }]
+    # hourglass with a duplicated vertex thrown in
+    dirty = [{
+        "clip_id": 7,
+        "ring": [[0, 0], [2, 0], [2, 0], [1, 1], [2, 2], [0, 2],
+                 [1, 1]],
+    }]
+    clean = [
+        {"clip_id": 7, "ring": [[0, 0], [2, 0], [1, 1]]},
+        {"clip_id": 7, "ring": [[1, 1], [2, 2], [0, 2]]},
+    ]
+
+    def run(clips):
+        return (
+            poly_overlay(rd.from_items(subj), clips)
+            .to_pandas()
+            .groupby("clip_id", as_index=False)["area"].sum()
+        )
+
+    a, b = run(dirty), run(clean)
+    assert a.equals(b)
+    assert float(a["area"].iloc[0]) == 2.0
+
+
 def test_keyed_prefix_sum_empty_input_schema(ray_session):
     """Empty corpora keep the promised output schema: keyed_prefix_sum
     adds out_col, token_budget_take adds cum_tokens + kept (map_batches
