@@ -7540,6 +7540,28 @@ def q_ivf_pruned(sf_dir: str):
     return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
 
 
+def q_ivf_multiprobe(sf_dir: str):
+    """Multi-probe IVF through the persisted pruned-read index: the
+    nprobe=5 (of 8 coarse cells) regime a 100 TB recall target needs —
+    more probed partitions, same partition-pruned physical read, same
+    exact SQL oracle law at its own nprobe."""
+    import os as _os
+
+    import ray.data as rd
+
+    from ..ann import ivf_build, ivf_search_pruned
+
+    qids, qmat = _head_vectors(sf_dir, 10)
+    _, cents = _head_vectors(sf_dir, 8)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx_dir = f"/tmp/ivf_index_mp_{_os.getpid()}"
+    ivf_build(ds, cents, idx_dir)
+    out = ivf_search_pruned(
+        idx_dir, {"ids": qids, "matrix": qmat}, cents, k=5, nprobe=5
+    )
+    return out.map_batches(lambda b: round6(b, ["cosine"]), batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # raster / frame / multimodal / stream-shaped
 # ---------------------------------------------------------------------------
@@ -15619,6 +15641,7 @@ def queries():
         "quantize_emb": q_quantize,
         "ivf_topk": q_ivf_topk,
         "ivf_pruned": q_ivf_pruned,
+        "ivf_multiprobe": q_ivf_multiprobe,
         "raster_cells": q_raster_cells,
         "raster_hillshade": q_raster_hillshade,
         "raster_d8": q_raster_d8,
@@ -17054,6 +17077,7 @@ def oracle_sql():
         "quantize_emb": _sql_quantize(),
         "ivf_topk": _sql_ivf(),
         "ivf_pruned": _sql_ivf(),
+        "ivf_multiprobe": _sql_ivf_multiprobe(),
         "raster_cells": _sql_raster_cells(),
         "raster_hillshade": _sql_raster_hillshade(),
         "raster_d8": _sql_raster_d8(),
@@ -17276,3 +17300,9 @@ def _sql_ivf():
     from ..ann import sql_ivf_topk
 
     return sql_ivf_topk(5, 3, 10, 8)
+
+
+def _sql_ivf_multiprobe():
+    from ..ann import sql_ivf_topk
+
+    return sql_ivf_topk(5, 5, 10, 8)

@@ -246,6 +246,51 @@ def test_grid_join_counts_no_iy_field_wrap(ray_session):
         assert out["bb"] == 0 and out["bw"] == 0 and out["ww"] == 0
 
 
+def test_ivf_multiprobe_recall_monotone(ray_session, sf_dir, tmp_path):
+    """Recall@5 vs the exact scan is MONOTONE in nprobe and the
+    multi-probe regime strictly beats single-probe on the test corpus —
+    the 100 TB recall story behind the ivf_multiprobe oracle row."""
+    import ray.data as rd
+
+    from pygridmap_ray.ann import (
+        ann_topk, ivf_build, ivf_search_pruned,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    head = (
+        ds.filter(lambda r: r["vec_id"] < 10)
+        .to_pandas().sort_values("vec_id")
+    )
+    qids = head["vec_id"].to_numpy(np.int64)
+    qmat = np.stack([np.asarray(e, float) for e in head["embedding"]])
+    cents = qmat[:8]
+
+    exact = ann_topk(ds, {"ids": qids, "matrix": qmat}, k=5).to_pandas()
+    truth = {
+        q: set(g["neighbor_id"]) for q, g in exact.groupby("query_id")
+    }
+    idx = str(tmp_path / "ivf")
+    ivf_build(ds, cents, idx)
+
+    def recall(nprobe):
+        got = ivf_search_pruned(
+            idx, {"ids": qids, "matrix": qmat}, cents, k=5,
+            nprobe=nprobe,
+        ).to_pandas()
+        hit = tot = 0
+        for q, g in got.groupby("query_id"):
+            hit += len(set(g["neighbor_id"]) & truth[q])
+            tot += len(truth[q])
+        return hit / tot
+
+    r1, r3, r5, r8 = (recall(n) for n in (1, 3, 5, 8))
+    assert r1 <= r3 <= r5 <= r8  # monotone in probes
+    assert r5 > r1               # multi-probe genuinely buys recall
+    assert r8 == 1.0             # probing every cell == exact scan
+
+
 def test_triangulate_healing_pre_pass():
     """The VERDICT-4 polygon-healing pre-pass: degenerate rings that
     used to raise 'no ear found' now triangulate — snap-duplicate
