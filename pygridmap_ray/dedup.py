@@ -201,20 +201,80 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.7,
+    hot_limit: int = 5_000_000,
 ):
     """Near-dup pairs via MinHash banding.
 
-    shingle -> minhash (map_batches) -> explode to (band, bucket, id, sig)
-    rows -> groupby (band, bucket) -> in-bucket signature-Jaccard verify
-    with CANONICAL emission (each pair from exactly one band), so no
-    global pair-dedup shuffle follows.  Returns (id_a, id_b, jaccard)
-    with id_a < id_b, each pair exactly once.
+    shingle -> minhash (map_batches) -> hot-bucket pre-pass -> explode
+    to (band, bucket, id, sig) rows FOR CANDIDATE DOCS ONLY -> groupby
+    (band, bucket) -> in-bucket signature-Jaccard verify with CANONICAL
+    emission (each pair from exactly one band), so no global pair-dedup
+    shuffle follows.  Returns (id_a, id_b, jaccard) with id_a < id_b,
+    each pair exactly once.
+
+    Scale shape (round-5 pressure finding): a naive explode ships the
+    full 64 x int64 signature in EVERY band row — a ``_LSH_BANDS``-fold
+    (~8 KB/doc) payload amplification through the shuffle that overflows
+    a node's spill disk long before the corpus does.  Instead a THIN
+    (band, bucket, id) pass (20 B/row) counts bucket occupancy first;
+    only rows of NON-SINGLETON buckets (the candidates) carry the
+    signature into the verify shuffle.  Output is identical: a
+    singleton bucket can never emit, and any emitting (pair, band) is
+    by definition a shared — hence hot — bucket.  When the hot-key set
+    exceeds ``hot_limit`` (a mostly-duplicate corpus, where candidate
+    pruning cannot help) the plan falls back to the dense explode,
+    which in that regime ships no more than the candidates would.
     """
+    import ray
+
+    from .spatial import _cached_kernel
+
     sigged = ds.select_columns([id_col, text_col]).map_batches(
         lambda b: minhash_signatures(b, text_col), batch_format="pyarrow"
-    )
+    ).materialize()  # consumed twice: hot-key count + candidate explode
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def _hot_keys_of(sig: np.ndarray) -> np.ndarray:
+        """Approximate (band, bucket) key: a 64-bit mix — collisions
+        only admit extra singleton groups downstream, never drop or
+        merge a real bucket (the verify re-groups by exact keys)."""
+        out = np.empty((len(sig), _LSH_BANDS), np.uint64)
+        for b in range(_LSH_BANDS):
+            bk = _band_buckets(sig, b).astype(np.uint64)
+            out[:, b] = (bk + np.uint64(b)) * np.uint64(0x9E3779B97F4A7C15)
+        return out
+
+    def thin_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()),
+                 "val": pa.array([], pa.int64())}
+            )
+        sig = np.asarray(
+            batch["minhash"].combine_chunks().flatten()
+        ).reshape(batch.num_rows, _MINHASH_K)
+        hk, cnt = np.unique(_hot_keys_of(sig), return_counts=True)
+        return pa.table(
+            {"k": pa.array(hk.astype(np.int64)),
+             "val": pa.array(cnt.astype(np.int64))}
+        )
+
+    from .tfidf import _coarse_sum
+
+    hot_ds = (
+        _coarse_sum(
+            sigged.map_batches(thin_partial, batch_format="pyarrow"), ["k"]
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["val"], pa.scalar(2))
+            ).select(["k"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_hot = hot_ds.count()
+
+    def explode(batch: pa.Table, *, hot_ref=None, hot_key=None) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return pa.table(
@@ -229,12 +289,47 @@ def minhash_lsh_pairs(
             n, _MINHASH_K
         )
         ids = np.asarray(batch[id_col], dtype=np.int64)
+        if hot_ref is not None:
+            hot = _cached_kernel(hot_key, hot_ref, lambda h: h)
+            if hot.size == 0:  # no non-singleton bucket anywhere
+                return pa.table(
+                    {
+                        "band": pa.array([], pa.int32()),
+                        "bucket": pa.array([], pa.int64()),
+                        id_col: pa.array([], pa.int64()),
+                        "minhash": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            hks = _hot_keys_of(sig)
         bands, buckets, out_ids, out_sig = [], [], [], []
         for b in range(_LSH_BANDS):
-            bands.append(np.full(n, b, dtype=np.int32))
-            buckets.append(_band_buckets(sig, b))
-            out_ids.append(ids)
-            out_sig.append(sig)
+            bk = _band_buckets(sig, b)
+            if hot_ref is not None:
+                pos = np.searchsorted(hot, hks[:, b])
+                keep = (pos < len(hot)) & (
+                    hot[np.minimum(pos, max(len(hot) - 1, 0))]
+                    == hks[:, b]
+                )
+                if not keep.any():
+                    continue
+                bands.append(np.full(int(keep.sum()), b, dtype=np.int32))
+                buckets.append(bk[keep])
+                out_ids.append(ids[keep])
+                out_sig.append(sig[keep])
+            else:
+                bands.append(np.full(n, b, dtype=np.int32))
+                buckets.append(bk)
+                out_ids.append(ids)
+                out_sig.append(sig)
+        if not bands:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "minhash": pa.array([], pa.list_(pa.int64())),
+                }
+            )
         return pa.table(
             {
                 "band": pa.array(np.concatenate(bands)),
@@ -244,7 +339,33 @@ def minhash_lsh_pairs(
             }
         )
 
-    exploded = sigged.map_batches(explode, batch_format="pyarrow")
+    if n_hot == 0:
+        # no non-singleton bucket anywhere: nothing can pair — return
+        # the declared schema directly (an all-empty pipeline would
+        # surface column-less blocks)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    if n_hot <= hot_limit:
+        hot = np.sort(
+            hot_ds.to_pandas()["k"].to_numpy(np.int64).astype(np.uint64)
+        )
+        hot_ref = {"__ref__": ray.put(hot)}
+        hot_key = f"mhhot:{hot_ref['__ref__'].hex()}"
+        exploded = sigged.map_batches(
+            lambda b, r=hot_ref, k=hot_key: explode(b, hot_ref=r, hot_key=k),
+            batch_format="pyarrow",
+        )
+    else:  # mostly-duplicate corpus: pruning cannot help, ship dense
+        exploded = sigged.map_batches(explode, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

@@ -246,6 +246,52 @@ def test_grid_join_counts_no_iy_field_wrap(ray_session):
         assert out["bb"] == 0 and out["bw"] == 0 and out["ww"] == 0
 
 
+def test_minhash_hot_bucket_prune_identical(ray_session, sf_dir):
+    """The round-5 hot-bucket pre-pass (only candidate docs ship their
+    signatures) must produce byte-identical pairs to the dense explode
+    (forced via hot_limit=0), on a corpus with planted near-dups."""
+    import ray.data as rd
+
+    from pygridmap_ray.dedup import minhash_lsh_pairs
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def run(**kw):
+        return (
+            minhash_lsh_pairs(docs, **kw)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    pruned = run()                 # hot-bucket pruning active
+    dense = run(hot_limit=0)       # forced dense fallback
+    assert pruned.equals(dense)
+
+
+def test_minhash_all_unique_corpus_zero_pairs(ray_session):
+    """A corpus with no non-singleton bucket takes the hot.size == 0
+    early-out and yields zero pairs."""
+    import ray.data as rd
+
+    from pygridmap_ray.dedup import minhash_lsh_pairs
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(40), pa.int64()),
+        "text": pa.array(
+            [" ".join(f"w{i}x{j}" for j in range(30)) for i in range(40)],
+            pa.string(),
+        ),
+    }))
+    out = minhash_lsh_pairs(docs)
+    assert out.count() == 0
+    # Ray 2.49's to_pandas drops columns on zero-row datasets; the
+    # schema contract lives on the Dataset itself
+    assert list(out.schema().names) == ["id_a", "id_b", "jaccard"]
+
+
 def test_ivf_multiprobe_recall_monotone(ray_session, sf_dir, tmp_path):
     """Recall@5 vs the exact scan is MONOTONE in nprobe and the
     multi-probe regime strictly beats single-probe on the test corpus —
