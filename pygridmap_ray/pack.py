@@ -56,6 +56,10 @@ def global_prefix_sum(
     bounds = ds.aggregate(
         Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi")
     )
+    if bounds["lo"] is None:
+        # empty input: int(None) would raise — honor the declared
+        # output schema instead (same contract as keyed_prefix_sum)
+        return _empty_with_schema(ds, [(out_col, pa.int64())])
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = hi - lo + 1
     nb = min(n_buckets, span)
@@ -122,6 +126,16 @@ def pack_sequences(
     long documents straddle chunk boundaries, exactly like the training
     reality).  Deterministic and order/partitioning-independent."""
     n_buckets = _resolve_buckets(n_buckets)
+    ds = ds.materialize()
+    if ds.count() == 0:
+        # finish() below never runs on zero-row blocks: declare the
+        # promised five-column schema directly
+        return _empty_with_schema(
+            ds,
+            [("seq_id", pa.int64()), ("seq_off", pa.int64()),
+             ("n_seqs", pa.int64())],
+            keep=[id_col, tokens_col],
+        )
     out = global_prefix_sum(
         ds, order_col=id_col, value_col=tokens_col,
         out_col="__start", n_buckets=n_buckets,
@@ -172,23 +186,30 @@ FROM c
 """
 
 
-def _empty_with_schema(ds, extra_cols: list[tuple[str, pa.DataType]]):
-    """A zero-row dataset carrying ``ds``'s columns plus ``extra_cols``
-    — the declared-output-schema contract for empty inputs (map_batches
-    UDFs are never invoked on zero-row blocks, so an empty pipeline
-    would otherwise surface the INPUT schema and break any consumer
-    that selects the promised output columns)."""
+def _empty_with_schema(
+    ds,
+    extra_cols: list[tuple[str, pa.DataType]],
+    keep: list[str] | None = None,
+):
+    """A zero-row dataset carrying ``ds``'s columns (restricted to
+    ``keep`` when given, in ``keep`` order) plus ``extra_cols`` — the
+    declared-output-schema contract for empty inputs (map_batches UDFs
+    are never invoked on zero-row blocks, so an empty pipeline would
+    otherwise surface the INPUT schema — and ``select_columns`` does
+    not project the schema of a zero-row dataset either — breaking any
+    consumer that reads the promised output columns)."""
     import ray.data as rd
 
     sch = ds.schema()
     if sch is None:  # schemaless empty dataset: nothing to declare
         return ds
-    fields: list[tuple[str, pa.DataType]] = []
+    types = {}
     for n, t in zip(sch.names, sch.types):
         if not isinstance(t, pa.DataType):  # pandas-block numpy dtype
             t = pa.from_numpy_dtype(t)
-        fields.append((n, t))
-    fields += extra_cols
+        types[n] = t
+    names = list(sch.names) if keep is None else list(keep)
+    fields = [(n, types[n]) for n in names] + extra_cols
     return rd.from_arrow(
         pa.table({n: pa.array([], t) for n, t in fields})
     )
@@ -323,11 +344,9 @@ def token_budget_take(
     if ds.count() == 0:
         # finish() below never runs on zero-row blocks: declare the
         # promised five-column schema directly (bool kept)
-        base = _empty_with_schema(
-            ds, [("cum_tokens", pa.int64()), ("kept", pa.bool_())]
-        )
-        return base.select_columns(
-            [order_col, key_col, tokens_col, "cum_tokens", "kept"]
+        return _empty_with_schema(
+            ds, [("cum_tokens", pa.int64()), ("kept", pa.bool_())],
+            keep=[order_col, key_col, tokens_col],
         )
     out = keyed_prefix_sum(
         ds, key_col=key_col, order_col=order_col, value_col=tokens_col,

@@ -445,3 +445,18 @@ def test_keyed_prefix_sum_empty_input_schema(ray_session):
     assert list(tb.schema().names) == [
         "doc_id", "source", "n_tokens", "cum_tokens", "kept"
     ]
+
+    from pygridmap_ray.pack import global_prefix_sum, pack_sequences
+
+    gp = global_prefix_sum(
+        empty, order_col="doc_id", value_col="n_tokens"
+    )
+    assert gp.count() == 0
+    assert list(gp.schema().names) == [
+        "doc_id", "source", "n_tokens", "start"
+    ]
+    pk = pack_sequences(empty, cap=64)
+    assert pk.count() == 0
+    assert list(pk.schema().names) == [
+        "doc_id", "n_tokens", "seq_id", "seq_off", "n_seqs"
+    ]
