@@ -229,9 +229,14 @@ def minhash_lsh_pairs(
 
     from .spatial import _cached_kernel
 
+    # Consumed twice (hot-key count + candidate explode): materialize
+    # stores the 512 B/doc signature table once — in the object store,
+    # spilling to disk past its budget, which costs the same bytes a
+    # parquet stage-out would while avoiding a second full shingle +
+    # permutation compute pass over the corpus (the CPU-dominant stage).
     sigged = ds.select_columns([id_col, text_col]).map_batches(
         lambda b: minhash_signatures(b, text_col), batch_format="pyarrow"
-    ).materialize()  # consumed twice: hot-key count + candidate explode
+    ).materialize()
 
     def _hot_keys_of(sig: np.ndarray) -> np.ndarray:
         """Approximate (band, bucket) key: a 64-bit mix — collisions
