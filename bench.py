@@ -282,6 +282,10 @@ def _secondary() -> dict:
         ("emb_outlier", q.q_emb_outlier),
         ("cross_snapshot_dups", q.q_cross_snapshot_dups),
         ("events_acf_cal", q.q_events_acf_cal),
+        # round-5: hot-bucket-pruned minhash, multi-probe IVF, funnel
+        ("minhash_lsh", q.q_minhash_lsh),
+        ("ivf_multiprobe", q.q_ivf_multiprobe),
+        ("events_funnel", q.q_events_funnel),
     ]:
 
         def once(fn=fn):
