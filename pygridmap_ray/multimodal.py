@@ -148,6 +148,118 @@ WHERE ((d.doc_id + i.i) % 3) != 0
 """
 
 
+#: modulus of the deterministic media CONTENT fingerprint — the
+#: stand-in for a bytes hash (the codec/payload read is env-gated), a
+#: small modulus so the synthetic corpus genuinely contains cross-doc
+#: duplicate assets for the dedup law to find
+MEDIA_CFP_MOD = 211
+
+
+def media_dup_groups(ds, *, min_refs: int = 2):
+    """Cross-document MEDIA deduplication over the interleaved spans —
+    the asset-level companion of the text dedup family: media spans
+    whose content fingerprint coincides form one duplicate group; emit
+    per group the fingerprint, reference count, distinct-doc count and
+    the canonical keeper (lowest doc_id, then span_idx — every other
+    reference would rewrite to the keeper's stored asset).
+
+    The fingerprint here is the deterministic
+    ``(doc_id * 31 + span_idx * 17) % MEDIA_CFP_MOD`` law standing in
+    for md5(payload) (codecs are env-gated; the Ray-side plumbing —
+    span explode, fingerprint group, keeper election — is the real
+    thing).  Keeper election packs (doc_id * 8 + span_idx) so a single
+    Min aggregate yields both fields exactly (span_idx < 8 by the span
+    law); the same integer form is the SQL twin's, so both sides are
+    bit-identical.
+
+    Scale shape: pure-Arrow span explode -> stateless fingerprint map
+    -> per-batch (cfp, count, distinct-doc partials, min-pack) combine
+    -> ONE bounded groupby (the fingerprint domain) -> vectorized
+    fold.  Distinct-doc counting stays exact by carrying (cfp, doc)
+    unique pairs per batch — bounded by batch x domain."""
+    import pandas as pd
+
+    def rows(b: pa.Table) -> pa.Table:
+        med = explode_media_spans(b)
+        if med.num_rows == 0:
+            return pa.table(
+                {"cfp": pa.array([], pa.int64()),
+                 "doc": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "kp": pa.array([], pa.int64())}
+            )
+        d = np.asarray(med["doc_id"], np.int64)
+        s = np.asarray(med["span_idx"], np.int64)
+        cfp = (d * 31 + s * 17) % MEDIA_CFP_MOD
+        pack = d * 8 + s
+        # per-batch combine: one row per (cfp, doc) with local count
+        # and local min pack — exact after the global fold
+        key = cfp * (1 << 40) + d  # doc_id < 2^40 by table contract
+        ku, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        kp = np.full(len(ku), np.iinfo(np.int64).max)
+        np.minimum.at(kp, inv, pack)
+        return pa.table(
+            {
+                "cfp": pa.array(ku // (1 << 40)),
+                "doc": pa.array(ku % (1 << 40)),
+                "n": pa.array(n),
+                "kp": pa.array(kp),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cfp = g["cfp"].to_numpy(np.int64)
+        doc = g["doc"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        kp = g["kp"].to_numpy(np.int64)
+        order = np.lexsort((doc, cfp))
+        cfp, doc, n, kp = cfp[order], doc[order], n[order], kp[order]
+        st = np.flatnonzero(np.concatenate([[True], cfp[1:] != cfp[:-1]]))
+        n_refs = np.add.reduceat(n, st)
+        # distinct docs: (cfp, doc) rows are unique per batch but can
+        # repeat across batches — count distinct within the sorted run
+        new_doc = np.concatenate(
+            [[True], (cfp[1:] != cfp[:-1]) | (doc[1:] != doc[:-1])]
+        )
+        n_docs = np.add.reduceat(new_doc.astype(np.int64), st)
+        kpm = np.minimum.reduceat(kp, st)
+        keep = n_refs >= min_refs
+        return pd.DataFrame(
+            {
+                "cfp": cfp[st][keep],
+                "n_refs": n_refs[keep],
+                "n_docs": n_docs[keep],
+                "keep_doc": kpm[keep] // 8,
+                "keep_span": kpm[keep] % 8,
+            }
+        )
+
+    return (
+        ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("cfp")  # bounded domain (MEDIA_CFP_MOD groups)
+        .map_groups(fold, batch_format="pandas")
+        .sort("cfp")
+    )
+
+
+def sql_media_dup_groups(min_refs: int = 2) -> str:
+    """DuckDB twin of :func:`media_dup_groups` — the media-row CTE with
+    the same fingerprint and packed-keeper integer laws."""
+    return f"""
+WITH m AS ({_sql_media_rows()})
+SELECT ((doc_id * 31 + span_idx * 17) % {MEDIA_CFP_MOD})::BIGINT AS cfp,
+       COUNT(*)::BIGINT AS n_refs,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       (MIN(doc_id * 8 + span_idx) // 8)::BIGINT AS keep_doc,
+       (MIN(doc_id * 8 + span_idx) % 8)::BIGINT AS keep_span
+FROM m
+GROUP BY 1
+HAVING COUNT(*) >= {min_refs}
+ORDER BY cfp
+"""
+
+
 def sql_media_features() -> str:
     """Oracle for doc_id/span_idx/kind/media_ref/offset/n_bytes/width/
     height of the media pipeline (byte-law twins are exact)."""

@@ -7873,6 +7873,35 @@ def q_frame_rowsum(sf_dir: str):
     return out.map_batches(lambda b: round6(b, ["rowsum"]), batch_format="pyarrow")
 
 
+def q_media_dedup(sf_dir: str):
+    """Cross-document media-asset dedup over the interleaved spans:
+    fingerprint-coincident media spans form duplicate groups with a
+    canonical keeper — the asset-level companion of the text dedup
+    family (multimodal.media_dup_groups)."""
+    from ..multimodal import media_dup_groups
+
+    ds = docs_points(sf_dir).drop_columns(["x", "y"])
+
+    def add_spans(b: pa.Table) -> pa.Table:
+        return b.append_column("spans", build_spans_array(np.asarray(b["doc_id"])))
+
+    return media_dup_groups(ds.map_batches(add_spans, batch_format="pyarrow"))
+
+
+def q_winnow_pairs(sf_dir: str):
+    """MOSS shared-substring pairs: documents sharing >= 2 distinct
+    winnowing fingerprints (each witnesses a shared >= window+n-1-token
+    run) — text.winnow_dup_pairs over the documents table."""
+    import ray.data as rd
+
+    from ..text import winnow_dup_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_dup_pairs(ds)
+
+
 def q_media_features(sf_dir: str):
     from ..multimodal import media_pipeline
 
@@ -15654,6 +15683,8 @@ def queries():
         "frame_rowsum": q_frame_rowsum,
         "media_features": q_media_features,
         "media_features_vec": q_media_features_vec,
+        "media_dedup": q_media_dedup,
+        "winnow_pairs": q_winnow_pairs,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "events_window": q_events_window,
@@ -17094,6 +17125,8 @@ def oracle_sql():
         ),
         "media_features": _sql_media(),
         "media_features_vec": _sql_media_vec(),
+        "media_dedup": _sql_media_dedup(),
+        "winnow_pairs": _sql_winnow_pairs(),
         "media_resize": _sql_media_resize(),
         "media_frames": _sql_media_frames(),
         "events_window": _sql_events_window(),
@@ -17300,6 +17333,18 @@ def _sql_ivf():
     from ..ann import sql_ivf_topk
 
     return sql_ivf_topk(5, 3, 10, 8)
+
+
+def _sql_media_dedup():
+    from ..multimodal import sql_media_dup_groups
+
+    return sql_media_dup_groups()
+
+
+def _sql_winnow_pairs():
+    from ..text import sql_winnow_dup_pairs
+
+    return sql_winnow_dup_pairs()
 
 
 def _sql_ivf_multiprobe():

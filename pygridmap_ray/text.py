@@ -835,6 +835,71 @@ FROM g GROUP BY grp
 """
 
 
+def _winnow_select(ids, tok_lists, ntok, keep, n: int, w: int):
+    """Shared winnowing core: per-doc word-n-gram hashes + the
+    rightmost-minimum window selection.  Returns ``(L, gdoc, sel, hv)``
+    — gram counts per doc, gram->doc index, the selected (distinct)
+    gram positions, and the gram hash vector — exactly the law of
+    :func:`winnow_fingerprints` (its per-batch body before this
+    extraction; the counts op and :func:`winnow_dup_pairs` both build
+    on it)."""
+    import itertools
+
+    flat_toks = list(itertools.chain.from_iterable(tok_lists))
+    toks_arr = pa.array(flat_toks, pa.string())
+    doc_tok0 = np.concatenate(([0], np.cumsum(ntok)))[:-1]
+    m_doc = np.minimum(n, ntok)
+    L = np.where(keep, ntok - m_doc + 1, 0)
+    total_g = int(L.sum())
+    # gram strings: overlapping windows -> ragged index take
+    gdoc = np.repeat(np.arange(len(ids)), L)
+    gstart0 = np.concatenate(([0], np.cumsum(L)))[:-1]
+    gpos = np.arange(total_g, dtype=np.int64) - gstart0[gdoc]
+    mg = m_doc[gdoc]
+    tok_first = doc_tok0[gdoc] + gpos
+    total_m = int(mg.sum())
+    mstart = np.concatenate(([0], np.cumsum(mg)))[:-1]
+    off_in_g = np.arange(total_m, dtype=np.int64) - np.repeat(
+        mstart, mg
+    )
+    flat_idx = np.repeat(tok_first, mg) + off_in_g
+    vals = toks_arr.take(pa.array(flat_idx))
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(mg))), pa.int64()
+    )
+    grams = pc.cast(
+        pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, vals),
+            pa.scalar("\x1f"),
+        ),
+        pa.string(),
+    )
+    hv = md5_prefix_int(grams, hexdigits=15).astype(np.int64)
+    # windows: starts s in [0, max(L - w, 0)]; size min(w, L)
+    n_win = np.where(L > 0, np.maximum(L - w, 0) + 1, 0)
+    total_w = int(n_win.sum())
+    wdoc = np.repeat(np.arange(len(ids)), n_win)
+    wstart0 = np.concatenate(([0], np.cumsum(n_win)))[:-1]
+    ws_local = np.arange(total_w, dtype=np.int64) - wstart0[wdoc]
+    wsize = np.minimum(w, L)[wdoc]
+    member_first = gstart0[wdoc] + ws_local
+    total_mem = int(wsize.sum())
+    memstart = np.concatenate(([0], np.cumsum(wsize)))[:-1]
+    off_in_w = np.arange(total_mem, dtype=np.int64) - np.repeat(
+        memstart, wsize
+    )
+    member = np.repeat(member_first, wsize) + off_in_w
+    wid = np.repeat(np.arange(total_w, dtype=np.int64), wsize)
+    # rightmost minimum per window: (wid, hv asc, position desc)
+    order = np.lexsort((-member, hv[member], wid))
+    wid_s = wid[order]
+    firsts = np.flatnonzero(
+        np.concatenate([[True], wid_s[1:] != wid_s[:-1]])
+    )
+    sel = np.unique(member[order][firsts])  # distinct (doc, p, hv)
+    return L, gdoc, sel, hv
+
+
 def winnow_fingerprints(
     ds,
     *,
@@ -886,60 +951,7 @@ def winnow_fingerprints(
         )
         if not keep.any():
             return empty
-        import itertools
-
-        flat_toks = list(itertools.chain.from_iterable(tok_lists))
-        toks_arr = pa.array(flat_toks, pa.string())
-        doc_tok0 = np.concatenate(([0], np.cumsum(ntok)))[:-1]
-        m_doc = np.minimum(n, ntok)
-        L = np.where(keep, ntok - m_doc + 1, 0)
-        total_g = int(L.sum())
-        # gram strings: overlapping windows -> ragged index take
-        gdoc = np.repeat(np.arange(len(ids)), L)
-        gstart0 = np.concatenate(([0], np.cumsum(L)))[:-1]
-        gpos = np.arange(total_g, dtype=np.int64) - gstart0[gdoc]
-        mg = m_doc[gdoc]
-        tok_first = doc_tok0[gdoc] + gpos
-        total_m = int(mg.sum())
-        mstart = np.concatenate(([0], np.cumsum(mg)))[:-1]
-        off_in_g = np.arange(total_m, dtype=np.int64) - np.repeat(
-            mstart, mg
-        )
-        flat_idx = np.repeat(tok_first, mg) + off_in_g
-        vals = toks_arr.take(pa.array(flat_idx))
-        offsets = pa.array(
-            np.concatenate(([0], np.cumsum(mg))), pa.int64()
-        )
-        grams = pc.cast(
-            pc.binary_join(
-                pa.LargeListArray.from_arrays(offsets, vals),
-                pa.scalar("\x1f"),
-            ),
-            pa.string(),
-        )
-        hv = md5_prefix_int(grams, hexdigits=15).astype(np.int64)
-        # windows: starts s in [0, max(L - w, 0)]; size min(w, L)
-        n_win = np.where(L > 0, np.maximum(L - w, 0) + 1, 0)
-        total_w = int(n_win.sum())
-        wdoc = np.repeat(np.arange(len(ids)), n_win)
-        wstart0 = np.concatenate(([0], np.cumsum(n_win)))[:-1]
-        ws_local = np.arange(total_w, dtype=np.int64) - wstart0[wdoc]
-        wsize = np.minimum(w, L)[wdoc]
-        member_first = gstart0[wdoc] + ws_local
-        total_mem = int(wsize.sum())
-        memstart = np.concatenate(([0], np.cumsum(wsize)))[:-1]
-        off_in_w = np.arange(total_mem, dtype=np.int64) - np.repeat(
-            memstart, wsize
-        )
-        member = np.repeat(member_first, wsize) + off_in_w
-        wid = np.repeat(np.arange(total_w, dtype=np.int64), wsize)
-        # rightmost minimum per window: (wid, hv asc, position desc)
-        order = np.lexsort((-member, hv[member], wid))
-        wid_s = wid[order]
-        firsts = np.flatnonzero(
-            np.concatenate([[True], wid_s[1:] != wid_s[:-1]])
-        )
-        sel = np.unique(member[order][firsts])  # distinct (doc, p, hv)
+        L, gdoc, sel, hv = _winnow_select(ids, tok_lists, ntok, keep, n, w)
         n_fp = np.bincount(gdoc[sel], minlength=len(ids)).astype(
             np.int64
         )
@@ -1009,6 +1021,149 @@ SELECT f.doc_id, ANY_VALUE(w.L)::BIGINT AS n_grams,
   ROUND((COUNT(*) * 1.0 / ANY_VALUE(w.L)) * 1e6) / 1e6 AS density
 FROM fp f JOIN win w ON w.doc_id = f.doc_id
 GROUP BY f.doc_id
+"""
+
+
+def winnow_dup_pairs(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+):
+    """MOSS-style shared-substring pairs: document pairs sharing at
+    least ``min_shared`` distinct winnowing fingerprint HASHES — by the
+    winnowing guarantee, each shared fingerprint witnesses a shared
+    token run of at least ``window + n - 1`` words, so this is the
+    plagiarism/boilerplate pair report built on
+    :func:`winnow_fingerprints`'s exact selection law.  Emits
+    (id_a, id_b, n_shared) with id_a < id_b, ordered.
+
+    Scale shape: the fingerprint pass is the same zero-shuffle map as
+    the counts op; (hash, doc) rows then reduce through ONE coarse
+    hash-bucket groupby where each fingerprint's (bounded) doc group
+    emits its pairs vectorized, and pair counts fold via the
+    packed-key coarse sum — never a fine groupby over pair keys.
+    Boilerplate fingerprints shared by m docs cost O(m^2) pairs, the
+    same documented hot-bucket bound as the MinHash verify."""
+    import pandas as pd
+
+    from .cluster import resolve_num_buckets
+    from .dedup import TOKEN_RE
+    from .tfidf import _coarse_sum
+
+    w = int(window)
+    nb = resolve_num_buckets(None)  # driver-resolved once, captured
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], np.int64)
+        texts = b[text_col].to_pylist()
+        tok_lists = [TOKEN_RE.findall(t or "") for t in texts]
+        ntok = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64,
+            count=len(tok_lists),
+        )
+        keep = ntok > 0
+        if not keep.any():
+            return pa.table(
+                {"hv": pa.array([], pa.int64()),
+                 "doc": pa.array([], pa.int64()),
+                 "__cg": pa.array([], pa.int64())}
+            )
+        _, gdoc, sel, hv = _winnow_select(ids, tok_lists, ntok, keep, n, w)
+        # DISTINCT (hash, doc): a hash selected at several positions of
+        # one doc counts once toward sharing
+        dfu = np.unique(
+            np.stack([hv[sel], ids[gdoc[sel]]], axis=1), axis=0
+        )
+        cg = (
+            (dfu[:, 0].astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(nb)
+        ).astype(np.int64)
+        return pa.table(
+            {"hv": pa.array(dfu[:, 0]), "doc": pa.array(dfu[:, 1]),
+             "__cg": pa.array(cg)}
+        )
+
+    _PAIR_EMPTY = pd.DataFrame(
+        {"k": pd.Series([], dtype="int64"),
+         "val": pd.Series([], dtype="int64")}
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of one hash land in one bucket; emit its doc pairs
+        # (packed a*2^32+b, doc ids are < 2^32 by table contract)
+        h = g["hv"].to_numpy(np.int64)
+        d = g["doc"].to_numpy(np.int64)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        st = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        cnt = np.diff(np.append(st, len(h)))
+        packed = []
+        for s, c in zip(st, cnt):
+            if c < 2:
+                continue
+            mem = d[s:s + c]  # ascending (lexsort)
+            ia, ib = np.triu_indices(c, k=1)
+            packed.append(mem[ia] * np.int64(1 << 32) + mem[ib])
+        if not packed:
+            return _PAIR_EMPTY
+        pk, pc_ = np.unique(np.concatenate(packed), return_counts=True)
+        return pd.DataFrame({"k": pk, "val": pc_.astype(np.int64)})
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        fp_rows, batch_format="pyarrow"
+    )
+    counts = _coarse_sum(
+        rows.groupby("__cg").map_groups(
+            bucket_pairs, batch_format="pandas"
+        ),
+        ["k"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["k"], np.int64)
+        v = np.asarray(b["val"], np.float64).astype(np.int64)
+        m = v >= min_shared
+        k, v = k[m], v[m]
+        return pa.table(
+            {
+                "id_a": pa.array(k >> np.int64(32)),
+                "id_b": pa.array(k & np.int64((1 << 32) - 1)),
+                "n_shared": pa.array(v),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow").sort(
+        ["id_a", "id_b"]
+    )
+
+
+def sql_winnow_dup_pairs(
+    *,
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    source: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`winnow_dup_pairs` — the
+    :func:`sql_winnow_fingerprints` selection CTE, distinct (doc, hv),
+    self-joined on the hash."""
+    base = sql_winnow_fingerprints(
+        n=n, window=window, source=source, text=text
+    )
+    # reuse the CTE chain up to `fp`, replace the final aggregate
+    head = base.split("SELECT f.doc_id,")[0].rstrip()
+    return f"""{head},
+fp2 AS (SELECT DISTINCT doc_id, hv FROM fp)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+FROM fp2 a JOIN fp2 b ON b.hv = a.hv AND b.doc_id > a.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {min_shared}
+ORDER BY id_a, id_b
 """
 
 

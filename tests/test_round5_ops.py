@@ -246,6 +246,66 @@ def test_grid_join_counts_no_iy_field_wrap(ray_session):
         assert out["bb"] == 0 and out["bw"] == 0 and out["ww"] == 0
 
 
+def test_winnow_dup_pairs_planted(ray_session):
+    """Two docs sharing a long token run pair up with n_shared >= 2;
+    unrelated docs do not; id_a < id_b ordering holds."""
+    import ray.data as rd
+
+    from pygridmap_ray.text import winnow_dup_pairs
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "intro one two " + shared,
+            shared + " outro alpha beta",
+            "completely different tokens here nine ten eleven twelve",
+        ], pa.string()),
+    }))
+    out = winnow_dup_pairs(docs).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["n_shared"] >= 2
+
+
+def test_media_dup_groups_keeper_law(ray_session):
+    """Keeper election: lowest doc_id then span_idx within each
+    fingerprint group; counts match a brute-force reference."""
+    import ray.data as rd
+
+    from pygridmap_ray.multimodal import MEDIA_CFP_MOD, media_dup_groups
+    from pygridmap_ray.synth import build_spans_array
+
+    ids = np.arange(40, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids),
+        "spans": build_spans_array(ids),
+    })).repartition(4)  # cross-batch distinct-doc folding matters
+    out = media_dup_groups(docs).to_pandas().set_index("cfp")
+
+    # brute force over the span law
+    rows = []
+    for d in ids:
+        for i in range(1 + d % 8):
+            if (d + i) % 3 != 0:
+                rows.append((int((d * 31 + i * 17) % MEDIA_CFP_MOD),
+                             int(d), int(i)))
+    import collections
+    by = collections.defaultdict(list)
+    for cfp, d, i in rows:
+        by[cfp].append((d, i))
+    for cfp, mem in by.items():
+        if len(mem) < 2:
+            assert cfp not in out.index
+            continue
+        g = out.loc[cfp]
+        assert g["n_refs"] == len(mem)
+        assert g["n_docs"] == len({d for d, _ in mem})
+        kd, ks = min(mem)
+        assert (g["keep_doc"], g["keep_span"]) == (kd, ks)
+
+
 def test_minhash_hot_bucket_prune_identical(ray_session, sf_dir):
     """The round-5 hot-bucket pre-pass (only candidate docs ship their
     signatures) must produce byte-identical pairs to the dense explode
