@@ -286,6 +286,8 @@ def _secondary() -> dict:
         ("minhash_lsh", q.q_minhash_lsh),
         ("ivf_multiprobe", q.q_ivf_multiprobe),
         ("events_funnel", q.q_events_funnel),
+        ("media_dedup", q.q_media_dedup),
+        ("winnow_pairs", q.q_winnow_pairs),
     ]:
 
         def once(fn=fn):
