@@ -190,6 +190,12 @@ def media_dup_groups(ds, *, min_refs: int = 2):
             )
         d = np.asarray(med["doc_id"], np.int64)
         s = np.asarray(med["span_idx"], np.int64)
+        if len(d) and d.max() >= (1 << 40):
+            # the (cfp, doc) pack below would leak doc bits into the
+            # fingerprint field and silently merge groups
+            raise ValueError(
+                "media_dup_groups packing needs doc ids < 2^40; remap ids"
+            )
         cfp = (d * 31 + s * 17) % MEDIA_CFP_MOD
         pack = d * 8 + s
         # per-batch combine: one row per (cfp, doc) with local count

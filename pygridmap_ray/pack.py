@@ -206,7 +206,15 @@ def _empty_with_schema(
     types = {}
     for n, t in zip(sch.names, sch.types):
         if not isinstance(t, pa.DataType):  # pandas-block numpy dtype
-            t = pa.from_numpy_dtype(t)
+            # object columns surface as numpy dtype('O') or the literal
+            # `object` class (Ray's empty-pandas-block schema); neither
+            # has a numpy->arrow mapping — string is the only object
+            # payload the engine's key/group columns carry
+            t = (
+                pa.string()
+                if t is object or getattr(t, "kind", None) == "O"
+                else pa.from_numpy_dtype(t)
+            )
         types[n] = t
     names = list(sch.names) if keep is None else list(keep)
     fields = [(n, types[n]) for n in names] + extra_cols

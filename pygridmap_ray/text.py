@@ -972,16 +972,18 @@ def winnow_fingerprints(
     )
 
 
-def sql_winnow_fingerprints(
+def _sql_winnow_ctes(
     *,
     n: int = 3,
     window: int = 4,
     source: str = "documents",
     text: str = "text",
 ) -> str:
-    """DuckDB twin of :func:`winnow_fingerprints` over gram STRINGS
-    hashed with the shared md5-prefix law (identical selection,
-    absent 2^-60 collisions)."""
+    """Shared winnowing CTE chain (``WITH toks ... fp``) — the selection
+    law both :func:`sql_winnow_fingerprints` and
+    :func:`sql_winnow_dup_pairs` append their final SELECT to (the
+    `_sql_media_rows` sharing pattern, so the two oracles cannot
+    drift)."""
     w = int(window)
     return f"""
 WITH toks AS (
@@ -1015,7 +1017,21 @@ sel AS (
   FROM ws JOIN h ON h.doc_id = ws.doc_id
    AND h.p >= ws.s AND h.p < ws.s + {w}
 ),
-fp AS (SELECT DISTINCT doc_id, p, hv FROM sel WHERE rn = 1)
+fp AS (SELECT DISTINCT doc_id, p, hv FROM sel WHERE rn = 1)"""
+
+
+def sql_winnow_fingerprints(
+    *,
+    n: int = 3,
+    window: int = 4,
+    source: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` over gram STRINGS
+    hashed with the shared md5-prefix law (identical selection,
+    absent 2^-60 collisions)."""
+    ctes = _sql_winnow_ctes(n=n, window=window, source=source, text=text)
+    return f"""{ctes}
 SELECT f.doc_id, ANY_VALUE(w.L)::BIGINT AS n_grams,
   COUNT(*)::BIGINT AS n_fp,
   ROUND((COUNT(*) * 1.0 / ANY_VALUE(w.L)) * 1e6) / 1e6 AS density
@@ -1094,9 +1110,14 @@ def winnow_dup_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # all rows of one hash land in one bucket; emit its doc pairs
-        # (packed a*2^32+b, doc ids are < 2^32 by table contract)
+        # packed a*2^32+b — same contract (and same loud failure) as
+        # dedup._pack_pairs: a >= 2^31 would overflow int64 silently
         h = g["hv"].to_numpy(np.int64)
         d = g["doc"].to_numpy(np.int64)
+        if len(d) and d.max() >= (1 << 31):
+            raise ValueError(
+                "pair packing needs doc ids < 2^31; remap ids"
+            )
         order = np.lexsort((d, h))
         h, d = h[order], d[order]
         st = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
@@ -1149,14 +1170,12 @@ def sql_winnow_dup_pairs(
     source: str = "documents",
     text: str = "text",
 ) -> str:
-    """DuckDB twin of :func:`winnow_dup_pairs` — the
-    :func:`sql_winnow_fingerprints` selection CTE, distinct (doc, hv),
+    """DuckDB twin of :func:`winnow_dup_pairs` — the shared
+    :func:`_sql_winnow_ctes` selection chain, distinct (doc, hv),
     self-joined on the hash."""
-    base = sql_winnow_fingerprints(
+    head = _sql_winnow_ctes(
         n=n, window=window, source=source, text=text
-    )
-    # reuse the CTE chain up to `fp`, replace the final aggregate
-    head = base.split("SELECT f.doc_id,")[0].rstrip()
+    ).rstrip()
     return f"""{head},
 fp2 AS (SELECT DISTINCT doc_id, hv FROM fp)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared

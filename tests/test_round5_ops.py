@@ -520,3 +520,45 @@ def test_keyed_prefix_sum_empty_input_schema(ray_session):
     assert list(pk.schema().names) == [
         "doc_id", "n_tokens", "seq_id", "seq_off", "n_seqs"
     ]
+
+    # pandas-block empty inputs carry `object` string columns whose
+    # schema type is the literal `object` class — must map to string,
+    # not crash (code-review finding)
+    import pandas as pd
+
+    empty_pd = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "source": pd.Series([], dtype=object),
+        "n_tokens": pd.Series([], dtype="int64"),
+    }))
+    tb2 = token_budget_take(empty_pd, budget=10)
+    assert tb2.count() == 0
+    assert list(tb2.schema().names) == [
+        "doc_id", "source", "n_tokens", "cum_tokens", "kept"
+    ]
+
+
+def test_round5_packed_key_guards(ray_session):
+    """The new packed-key ops fail LOUDLY outside their id contracts
+    instead of silently corrupting output (code-review findings)."""
+    import ray.data as rd
+
+    from pygridmap_ray.multimodal import media_dup_groups
+    from pygridmap_ray.synth import build_spans_array
+    from pygridmap_ray.text import winnow_dup_pairs
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1 << 31, (1 << 31) + 1], pa.int64()),
+        "text": pa.array([shared, shared], pa.string()),
+    }))
+    with pytest.raises(Exception, match="remap ids"):
+        winnow_dup_pairs(docs).to_pandas()
+
+    big = np.array([1 << 40, (1 << 40) + 3], np.int64)
+    media = rd.from_arrow(pa.table({
+        "doc_id": pa.array(big),
+        "spans": build_spans_array(big),
+    }))
+    with pytest.raises(Exception, match="remap ids"):
+        media_dup_groups(media).to_pandas()
