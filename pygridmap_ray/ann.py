@@ -37,6 +37,9 @@ def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
 #: memory cliff — with semdedup's corpus-scaled k (cap 65536) and d=64
 #: a 4096-row batch would allocate ~137 GB.
 _ARGMIN_SLAB_BYTES = 64 << 20
+#: minimum centroid-chunk width before the scan row-chunks instead —
+#: narrower chunks spend more time in the Python loop than in numpy
+_ARGMIN_MIN_BLOCK = 256
 
 
 def _argmin_sq_dist(
@@ -63,6 +66,21 @@ def _argmin_sq_dist(
     # budget the dominant rows x block x d slab; ~2-3x transients ride
     # within the same order of magnitude
     block = max(1, int(slab_bytes // max(1, n * d * 8)))
+    if block < _ARGMIN_MIN_BLOCK and n > 1:
+        # big batch x big k would force 1-few-centroid chunks whose
+        # Python loop overhead dwarfs the numpy work (measured 10x+ at
+        # k=8192): chunk the ROWS first — rows are independent, so this
+        # is trivially bit-identical — keeping centroid blocks wide
+        r = max(1, int(slab_bytes // (_ARGMIN_MIN_BLOCK * d * 8)))
+        besti = np.empty(n, np.int64)
+        best = np.empty(n, np.float64)
+        for lo in range(0, n, r):
+            bi, bm = _argmin_sq_dist(
+                X[lo:lo + r], C, slab_bytes=slab_bytes
+            )
+            besti[lo:lo + len(bi)] = bi
+            best[lo:lo + len(bm)] = bm
+        return besti, best
     best = np.full(n, np.inf)
     besti = np.zeros(n, np.int64)
     rows = np.arange(n)

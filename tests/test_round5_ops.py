@@ -28,17 +28,24 @@ def test_argmin_sq_dist_chunked_equals_full_tensor():
 
     r = _rng()
     X = r.normal(size=(257, 12))
-    C = r.normal(size=(103, 12))
-    C[41] = C[7]  # exact duplicate centroid: tie must pick cid 7
-    X[5] = C[7]   # a row exactly ON the duplicated centroid
+    # k > _ARGMIN_MIN_BLOCK so the slab genuinely splits the CENTROID
+    # axis (smaller k would route through the row-chunk path instead)
+    C = r.normal(size=(600, 12))
+    C[441] = C[7]  # exact duplicate centroid: tie must pick cid 7
+    X[5] = C[7]    # a row exactly ON the duplicated centroid
     full = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     a_ref = full.argmin(axis=1)
     m_ref = full[np.arange(len(X)), a_ref]
-    # slab of one centroid-row per chunk: 103 chunks, worst case
-    a, m = _argmin_sq_dist(X, C, slab_bytes=X.shape[0] * X.shape[1] * 8)
+    # slab sized for a 300-centroid chunk: 2 chunks, tie crosses them
+    a, m = _argmin_sq_dist(
+        X, C, slab_bytes=300 * X.shape[0] * X.shape[1] * 8
+    )
     assert (a == a_ref).all()
     assert (m == m_ref).all()          # same bits, not just close
     assert a[5] == 7                   # tie broke to the lower cid
+    # tiny slab: the row-chunk + centroid-chunk combined path
+    a3, m3 = _argmin_sq_dist(X, C, slab_bytes=1 << 12)
+    assert (a3 == a_ref).all() and (m3 == m_ref).all()
     # default slab on a small input: single chunk, same result
     a2, m2 = _argmin_sq_dist(X, C)
     assert (a2 == a_ref).all() and (m2 == m_ref).all()
